@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration + Column-level API for graft's native expressions.
+  *
+  * Spark 4 removed public `new Column(Expression)`, so expressions are
+  * exposed through the session FunctionRegistry and invoked with
+  * `call_function` — which also makes them usable from SQL.
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_fingerprint64", exprs => Fingerprint64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinHashSignature(exprs.head, 32), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_isect", exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+  }
+
+  def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine_sim", a, b)
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def simhash64(c: Column): Column = call_function("graft_simhash64", c)
+  def fingerprint64(c: Column): Column = call_function("graft_fingerprint64", c)
+  def minhash(c: Column): Column = call_function("graft_minhash", c)
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function("graft_isect", a, b)
+}

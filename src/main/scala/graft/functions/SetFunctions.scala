@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** sorted_intersect_count(a, b) — size of the intersection of two
+  * SORTED, DISTINCT long arrays via a single merge pass.
+  *
+  * Replaces `size(array_intersect(a, b))` in jaccard verification:
+  * no per-row hash-set build, no allocation — just two cursors over
+  * primitive arrays. With |A∪B| = |A|+|B|−|A∩B| this also removes the
+  * `array_union` materialization. On the pairwise dedup path this is
+  * the per-pair inner loop, so constant factors matter at any scale.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}

@@ -1,0 +1,242 @@
+package graft.pipeline
+
+import graft.QueryDef
+import graft.QueryDef.table
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings`.
+  *
+  * Scale design (100 TB): exact dedup is a hash group-by (one shuffle
+  * on the content hash). Near-dup detection has two paths:
+  *  - the *oracle baseline* (dd03/dd05): exact pairwise with a cheap
+  *    blocking predicate — quadratic, only for verification at small SF;
+  *  - the *scale path* (dd02/dd04/dd06): signature → band → equi-join
+  *    on bucket key, so candidate generation is a shuffle on band keys
+  *    and the quadratic blow-up is confined to same-bucket collisions.
+  */
+object Dedup {
+
+  /** Distinct word 3-shingles of `text`, hashed to 64-bit — set
+    * operations on long arrays are ~10× cheaper than on the shingle
+    * strings, and the jaccard value is unchanged barring a 2⁻⁶⁴
+    * collision (0-based Spark array lambda).
+    */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("w", split(trim(col("text")), "\\s+"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", sort_array(array_distinct(expr(
+        "transform(sequence(1, size(w) - 2), i -> xxhash64(concat(w[i-1], ' ', w[i], ' ', w[i+1])))"))))
+
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    withShingles(table(s, d, "documents").select("doc_id", "text", "n_chars"))
+      .select("doc_id", "n_chars", "sh")
+
+  /** Exact jaccard over candidate pairs carrying sorted sh_a/sh_b:
+    * merge-count intersection, |A∪B| = |A|+|B|−|A∩B|.
+    */
+  private def jaccard = {
+    val ic = GraftFunctions.sortedIntersectCount(col("sh_a"), col("sh_b"))
+      .cast("double")
+    round(ic / (size(col("sh_a")) + size(col("sh_b")) - ic), 4)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "dd01_exact_dedup",
+      (s, d) =>
+        // Exact dedup on normalized content: single hash-aggregate,
+        // map-side partial combine, one shuffle on the 128-bit hash.
+        table(s, d, "documents")
+          .withColumn("text_hash",
+            md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+          .groupBy("text_hash")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy("text_hash"),
+      Some("""SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_hash,
+             |       min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents
+             |GROUP BY 1 ORDER BY text_hash""".stripMargin)),
+
+    QueryDef(
+      "dd02_minhash_lsh",
+      (s, d) => {
+        // MinHash (k=32) over 3-shingles → 8 bands × 4 rows → equi-join
+        // on (band, band_sig) buckets → exact-jaccard verification.
+        // Only the bucket join shuffles; candidates ≪ n².
+        GraftFunctions.register(s)
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), GraftFunctions.minhash(col("text")).as("sig"))
+        val bands = docs.select(
+          col("doc_id"),
+          explode(array((0 until 8).map { b =>
+            struct(lit(b).as("band"),
+              xxhash64(col("sig")(4 * b), col("sig")(4 * b + 1),
+                col("sig")(4 * b + 2), col("sig")(4 * b + 3)).as("bsig"))
+          }: _*)).as("bs"))
+          .select(col("doc_id"), col("bs.band"), col("bs.bsig"))
+        val cands = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val sh = docShingles(s, d)
+        cands
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .withColumn("jac", jaccard)
+          .filter(col("jac") >= 0.5)
+          .select("doc_a", "doc_b", "jac")
+          .orderBy("doc_a", "doc_b")
+      },
+      // LSH recall is probabilistic — verified by the rows-only check
+      // plus dd03 (exact baseline, same threshold) at small SF.
+      None),
+
+    QueryDef(
+      "dd03_ngram_jaccard",
+      (s, d) => {
+        // Exact pairwise 3-shingle jaccard under a length-blocking
+        // predicate (near-dups have near-equal length). The length
+        // block `|Δ| ≤ 0.2·max` implies a length ratio ≤ 1.25, so
+        // log₁.₂₅ buckets of qualifying pairs differ by at most 1:
+        // exploding each doc into buckets {b-1, b, b+1} turns the
+        // quadratic theta-join into a shuffle equi-join on bucket —
+        // the shape that survives a 100× scale-up.
+        GraftFunctions.register(s)
+        val sh = docShingles(s, d)
+          .withColumn("bucket",
+            floor(log(col("n_chars").cast("double")) / math.log(1.25)))
+        val probe = sh.select(
+          col("doc_id").as("doc_a"), col("n_chars").as("nc_a"), col("sh").as("sh_a"),
+          explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1))
+            .as("jb"))
+        val build = sh.select(
+          col("doc_id").as("doc_b"), col("n_chars").as("nc_b"), col("sh").as("sh_b"),
+          col("bucket").as("jb"))
+        probe.join(build, Seq("jb"))
+          .filter(col("doc_a") < col("doc_b") &&
+            abs(col("nc_a") - col("nc_b")) <=
+              lit(0.2) * greatest(col("nc_a"), col("nc_b")))
+          .withColumn("jac", jaccard)
+          .filter(col("jac") >= 0.5)
+          .select("doc_a", "doc_b", "jac")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, n_chars,
+             |         list_distinct(list_transform(generate_series(1, len(w) - 2),
+             |                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM (SELECT doc_id, n_chars, string_split_regex(trim(text), '\s+') AS w
+             |        FROM documents)
+             |  WHERE len(w) >= 3
+             |)
+             |SELECT doc_a, doc_b, jac FROM (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         round(len(list_intersect(a.s, b.s))::DOUBLE
+             |               / len(list_distinct(a.s || b.s)), 4) AS jac
+             |  FROM sh a JOIN sh b
+             |    ON a.doc_id < b.doc_id
+             |   AND abs(a.n_chars - b.n_chars) <= 0.2 * greatest(a.n_chars, b.n_chars)
+             |)
+             |WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    QueryDef(
+      "dd04_simhash",
+      (s, d) => {
+        // SimHash64 → 4 bands × 16 bits; Hamming ≤3 pairs always share
+        // at least one exact band (pigeonhole), so the bucket equi-join
+        // has perfect recall for the ≤3 radius.
+        GraftFunctions.register(s)
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), GraftFunctions.simhash64(col("text")).as("sim"))
+        val bands = docs.select(
+          col("doc_id"), col("sim"),
+          explode(array((0 until 4).map { b =>
+            struct(lit(b).as("band"),
+              shiftrightunsigned(col("sim"), 16 * b).bitwiseAND(lit(0xffffL)).as("bval"))
+          }: _*)).as("bs"))
+          .select(col("doc_id"), col("sim"), col("bs.band"), col("bs.bval"))
+        bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    QueryDef(
+      "dd05_embedding_dup",
+      (s, d) => {
+        // Oracle baseline: exact pairwise cosine ≥ 0.35. The small side
+        // broadcasts (nested-loop pair generation) — quadratic, kept for
+        // verification; dd06 is the LSH scale path.
+        GraftFunctions.register(s)
+        val e = table(s, d, "embeddings").select("vec_id", "embedding")
+        e.as("a")
+          .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos_sim",
+            round(GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")), 4))
+          .filter(col("cos_sim") >= 0.35)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            col("cos_sim"))
+          .orderBy("vec_a", "vec_b")
+      },
+      Some("""SELECT vec_a, vec_b, cos_sim FROM (
+             |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |         round(list_cosine_similarity(a.embedding::DOUBLE[],
+             |                                      b.embedding::DOUBLE[]), 4) AS cos_sim
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |)
+             |WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin)),
+
+    QueryDef(
+      "dd06_embedding_lsh",
+      (s, d) => {
+        // Random-hyperplane LSH: 16 sign bits from deterministic pseudo-
+        // random planes; candidates share a 8-bit half-sketch; verified
+        // with exact cosine. Bucket equi-join — the 100 TB path.
+        GraftFunctions.register(s)
+        val planes = Seq.tabulate(16, 64) { (p, i) =>
+          // deterministic plane weights in [-1, 1) from FNV
+          (graft.functions.Fnv64.hashString(s"plane-$p-$i") % 1000L) / 1000.0
+        }
+        val e = table(s, d, "embeddings").select("vec_id", "embedding")
+        val planeCols = planes.zipWithIndex.map { case (w, p) =>
+          val arr = array(w.map(lit): _*)
+          when(GraftFunctions.dot(col("embedding"), arr) >= 0, 1L << p).otherwise(0L)
+        }
+        // candidate generation carries only ids (narrow shuffle rows);
+        // embeddings re-join afterwards for exact-cosine verification.
+        val sketched = e.withColumn("sketch", planeCols.reduce(_.bitwiseOR(_)))
+        val bands = sketched.select(
+          col("vec_id"),
+          explode(array(
+            struct(lit(0).as("band"), col("sketch").bitwiseAND(lit(0xffL)).as("bval")),
+            struct(lit(1).as("band"),
+              shiftrightunsigned(col("sketch"), 8).bitwiseAND(lit(0xffL)).as("bval"))))
+            .as("bs"))
+          .select(col("vec_id"), col("bs.band"), col("bs.bval"))
+        val cands = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+          .distinct()
+        cands
+          .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+          .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+          .withColumn("cos_sim", round(GraftFunctions.cosineSim(col("ea"), col("eb")), 4))
+          .filter(col("cos_sim") >= 0.35)
+          .select("vec_a", "vec_b", "cos_sim")
+          .orderBy("vec_a", "vec_b")
+      },
+      None)
+  )
+}

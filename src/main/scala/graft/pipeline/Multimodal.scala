@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import graft.QueryDef
+import graft.QueryDef.table
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary`
+  * columns with a typed metadata struct, batch feature extraction via
+  * `mapPartitions`.
+  *
+  * The real decode step (image/audio codecs) is STUBBED — this
+  * container has no media libraries — with a deterministic fake
+  * (`FakeDecoder`). Everything Spark-side is real: the binary column,
+  * the metadata schema, per-partition batch processing (one decoder
+  * instance per partition, not per row), and the output schema. At
+  * 100 TB the binary column rides the parquet scan and each partition
+  * decodes independently — no shuffle, no driver involvement.
+  */
+object Multimodal {
+
+  /** Deterministic stand-in for a codec: "decodes" payload bytes into
+    * (n_bytes, mean_byte, max_byte). Swap for a real codec off-line.
+    */
+  private object FakeDecoder {
+    def decode(payload: Array[Byte]): (Long, Double, Int) = {
+      var sum = 0L; var max = 0; var i = 0
+      while (i < payload.length) {
+        val b = payload(i) & 0xff
+        sum += b; if (b > max) max = b; i += 1
+      }
+      val mean = if (payload.isEmpty) 0.0 else sum.toDouble / payload.length
+      (payload.length.toLong, mean, max)
+    }
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media_kind", StringType),
+    StructField("n_bytes", LongType),
+    StructField("mean_byte", DoubleType),
+    StructField("max_byte", IntegerType)))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "mm01_media_ingest",
+      (s, d) =>
+        // Ingest: attach a binary payload + typed metadata struct.
+        // (Payload here is the utf-8 text bytes — a stand-in for real
+        // media blobs; the schema/partitioning is what is exercised.)
+        table(s, d, "documents")
+          .withColumn("media", encode(col("text"), "utf-8"))
+          .withColumn("media_kind",
+            when(pmod(col("doc_id"), lit(3)) === 0, "image")
+              .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+              .otherwise("video"))
+          .select(
+            col("doc_id"), col("media_kind"),
+            length(col("media")).as("media_len"),
+            col("source").as("meta_source"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       CASE doc_id % 3 WHEN 0 THEN 'image'
+             |                       WHEN 1 THEN 'audio'
+             |                       ELSE 'video' END AS media_kind,
+             |       octet_length(encode(text)) AS media_len,
+             |       source AS meta_source
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "mm02_feature_extract",
+      (s, d) => {
+        // Batch feature extraction: mapPartitions so the (stubbed)
+        // decoder initializes once per partition; rows stream through.
+        val rows = table(s, d, "documents")
+          .withColumn("media", encode(col("text"), "utf-8"))
+          .select("doc_id", "media")
+        val out = rows.mapPartitions { it =>
+          // per-partition decoder init would go here (codec handle etc.)
+          it.map { r =>
+            val id = r.getLong(0)
+            val payload = r.getAs[Array[Byte]](1)
+            val (n, mean, max) = FakeDecoder.decode(payload)
+            val kind = (id % 3) match {
+              case 0 => "image"; case 1 => "audio"; case _ => "video"
+            }
+            Row(id, kind, n, mean, max)
+          }
+        }(org.apache.spark.sql.Encoders.row(featureSchema))
+        out.withColumn("mean_byte", round(col("mean_byte"), 4)).orderBy("doc_id")
+      },
+      None) // decoder is a stub — verified structurally + rows-only
+  )
+}

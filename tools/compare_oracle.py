@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB against the sf tables, compare with the Spark-written parquet.
+Columns sorted by name; rows compared in order; floats exact + tolerant
+report. Usage: compare_oracle.py <sfDir> <verifyOut>
+"""
+import sys, json, glob, os
+import duckdb
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sf}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracles = json.load(open(f"{out}/oracle_sql.json"))
+fails = []
+for name in sorted(oracles):
+    if not os.path.isdir(f"{out}/{name}"):
+        fails.append(name)
+        print(f"{name:24s} MISSING OUTPUT (query failed?)")
+for name in sorted(os.listdir(out)):
+    d = f"{out}/{name}"
+    if not os.path.isdir(d):
+        continue
+    spark = con.sql(f"SELECT * FROM '{d}/*.parquet'").df()
+    if name not in oracles:
+        status = f"rows-only rows={len(spark)}"
+        if len(spark) == 0:
+            fails.append(name); status += "  <-- EMPTY"
+        print(f"{name:24s} {status}")
+        continue
+    try:
+        oracle = con.sql(oracles[name]).df()
+    except Exception as e:
+        fails.append(name)
+        print(f"{name:24s} ORACLE SQL ERROR: {e}")
+        continue
+    spark = spark[sorted(spark.columns)]
+    oracle = oracle[sorted(oracle.columns)]
+    if list(spark.columns) != list(oracle.columns):
+        fails.append(name)
+        print(f"{name:24s} COLUMN MISMATCH spark={list(spark.columns)} oracle={list(oracle.columns)}")
+        continue
+    if len(spark) != len(oracle):
+        fails.append(name)
+        print(f"{name:24s} ROWCOUNT spark={len(spark)} oracle={len(oracle)}")
+        continue
+    bad = []
+    for c in spark.columns:
+        a, b = spark[c], oracle[c]
+        if str(a.dtype) != str(b.dtype):
+            try:
+                b = b.astype(a.dtype)
+            except Exception:
+                bad.append(f"{c}: dtype {a.dtype} vs {b.dtype}")
+                continue
+        if a.dtype.kind == 'f':
+            import numpy as np
+            neq = ~(np.isclose(a, b, rtol=0, atol=1e-9) | (a.isna() & b.isna()))
+        else:
+            neq = ~((a == b) | (a.isna() & b.isna()))
+        if neq.any():
+            i = neq.idxmax()
+            bad.append(f"{c}: {int(neq.sum())} diffs, first@{i}: {a[i]!r} vs {b[i]!r}")
+    if bad:
+        fails.append(name)
+        print(f"{name:24s} VALUE DIFFS: " + "; ".join(bad[:3]))
+    else:
+        print(f"{name:24s} OK rows={len(spark)}")
+print()
+print(f"FAILED: {fails}" if fails else "ALL OK")
+sys.exit(1 if fails else 0)

@@ -1,0 +1,65 @@
+package graft.objects
+
+/** Catalog object definitions (reference: proto/objects.proto:39-96).
+  * Serialized as JSON (Jackson, see [[Json]]) instead of protobuf —
+  * same fields and semantics, different encoding; protobuf-java is not
+  * resolvable offline (SURVEY.md §7.1).
+  */
+final case class CatalogDef(
+    // B-tree fan-out (reference ObjectDefinitions.java:35)
+    order: Int = 128,
+    namespaceNameMaxBytes: Int = 100,
+    tableNameMaxBytes: Int = 100,
+    viewNameMaxBytes: Int = 100,
+    nodeFileMaxBytes: Long = 1L << 20,
+    // transaction defaults (ObjectDefinitions.java:45-48)
+    txnIsolationLevel: String = IsolationLevel.Snapshot,
+    txnTtlMillis: Long = 3L * 24 * 3600 * 1000,
+    properties: Map[String, String] = Map.empty)
+
+object IsolationLevel {
+  val Snapshot = "SNAPSHOT"
+  val Serializable = "SERIALIZABLE"
+}
+
+final case class NamespaceDef(
+    name: String,
+    properties: Map[String, String] = Map.empty)
+
+/** Table pointer. The reference stores an Iceberg metadata location
+  * (objects.proto:58-69); graft tables point at our own snapshot-log
+  * metadata JSON (graft.format.TableMetadata) — format tag PARQUET.
+  */
+final case class TableDef(
+    name: String,
+    namespaceName: String,
+    format: String = "PARQUET",
+    metadataLocation: String,
+    previousMetadataLocation: Option[String] = None,
+    properties: Map[String, String] = Map.empty)
+
+/** View definition. The reference stores a Substrait read relation
+  * (objects.proto:71-85); no substrait library resolves offline, so
+  * graft stores Spark SQL text + the bound schema (format tag SQL) and
+  * keeps `referencedObjectNames` for invalidation — capability-
+  * equivalent (SURVEY.md §7.5).
+  */
+final case class ViewDef(
+    name: String,
+    namespaceName: String,
+    format: String = "SQL",
+    sqlText: String,
+    schemaJson: String,
+    referencedObjectNames: Seq[String] = Seq.empty,
+    properties: Map[String, String] = Map.empty)
+
+/** Suspended distributed transaction (objects.proto:89-96): resumable
+  * from any process by id.
+  */
+final case class DistTransactionDef(
+    txnId: String,
+    isolationLevel: String,
+    beginningRootPath: String,
+    runningRootPath: String,
+    beganAtMillis: Long,
+    expireAtMillis: Long)

@@ -1,0 +1,68 @@
+package graft.storage
+
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+
+/** Local-filesystem storage (reference: LocalStorageOps.java:33-119 +
+  * LocalAtomicStagingOutputStream.java:25-72).
+  *
+  * Atomic create = stage to a temp file in the same directory, then
+  * `Files.move` WITHOUT replace — a rename within one filesystem, so
+  * concurrent creators of the same target see exactly one winner and
+  * the loser gets FileAlreadyExistsException.
+  *
+  * An S3-class implementation slots in behind the same trait using
+  * conditional PUT (`If-None-Match: *`, reference
+  * S3AtomicOutputStream.java:36-49); out of scope offline.
+  */
+class LocalStorageOps(val root: String) extends StorageOps {
+  private val rootPath: Path = Paths.get(root)
+
+  private def p(rel: String): Path = rootPath.resolve(rel)
+
+  override def exists(rel: String): Boolean = Files.exists(p(rel))
+
+  override def read(rel: String): Array[Byte] = Files.readAllBytes(p(rel))
+
+  override def writeAtomic(rel: String, data: Array[Byte]): Unit = {
+    val target = p(rel)
+    Files.createDirectories(target.getParent)
+    val staging = Files.createTempFile(target.getParent, ".staging-", ".tmp")
+    try {
+      Files.write(staging, data)
+      try Files.move(staging, target) // no REPLACE_EXISTING: create-only
+      catch {
+        case e: FileAlreadyExistsException =>
+          throw new AtomicSealFailureException(rel, e)
+      }
+    } finally Files.deleteIfExists(staging)
+  }
+
+  override def overwrite(rel: String, data: Array[Byte]): Unit = {
+    val target = p(rel)
+    Files.createDirectories(target.getParent)
+    val staging = Files.createTempFile(target.getParent, ".staging-", ".tmp")
+    try {
+      Files.write(staging, data)
+      Files.move(staging, target, StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(staging)
+  }
+
+  override def deleteBatch(rels: Seq[String]): Unit =
+    rels.foreach(rel => Files.deleteIfExists(p(rel)))
+
+  override def listPrefix(prefix: String): Seq[String] = {
+    val dir = p(prefix)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Using.resource(Files.list(dir)) { stream =>
+      stream.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .filterNot(_.getFileName.toString.startsWith(".staging-"))
+        .map(f => rootPath.relativize(f).toString)
+        .toSeq.sorted
+    }
+  }
+
+  override def absolute(rel: String): String = p(rel).toString
+}

@@ -1,0 +1,106 @@
+package graft.tree
+
+import scala.collection.mutable
+
+/** Copy-on-write vector slice: a [start, end) index range over this
+  * node's persisted file that is still current. Updates split the
+  * covering slice at the hit index instead of rewriting rows
+  * (reference VectorSlice + TreeOperations.java:592-613); at write
+  * time untouched ranges transfer wholesale.
+  */
+final case class VectorSlice(start: Int, end: Int) {
+  def size: Int = end - start
+}
+
+/** In-memory tree node: persisted file (if any) + live slices over it
+  * + pending changes, newest-wins (reference BasicTreeNode.java:27-239).
+  * NOT thread-safe — all catalog mutation is driver-side, single-
+  * threaded per transaction (Transaction.java:26-31, TreeNode.java:23-28).
+  *
+  * A pending entry with value=None ∧ child=None is a tombstone
+  * (removeKey is tombstone-only in the reference too —
+  * TreeOperations.java:637-640).
+  */
+final class TreeNode(var persisted: Option[NodeFile]) {
+  var slices: List[VectorSlice] =
+    persisted.map(f => List(VectorSlice(0, f.rowCount))).getOrElse(Nil)
+  val pending: mutable.TreeMap[String, TreeRow] = mutable.TreeMap.empty
+  /** Child covering keys below the first row key (kept in node metadata
+    * as `leftmost_child`, not as a NULL-key row).
+    */
+  var leftmostChildPath: Option[String] = None
+  var dirty: Boolean = false
+  /** Loaded children, keyed by the pivot key (None = leftmost child). */
+  val loadedChildren: mutable.Map[Option[String], TreeNode] = mutable.Map.empty
+
+  /** Merged, key-ordered live view: persisted slices ⊎ pending with
+    * pending winning on duplicate keys and tombstones dropped
+    * (reference NodeRowMerger.java:26-171 — priority-queue k-way merge;
+    * slices are ordered and disjoint here, so a two-iterator merge is
+    * equivalent).
+    */
+  def mergedRows: Vector[TreeRow] = {
+    val out = Vector.newBuilder[TreeRow]
+    val pend = pending.iterator.buffered
+    val persistedIt = slices.iterator.flatMap { s =>
+      (s.start until s.end).iterator.map(i => persisted.get.row(i))
+    }.buffered
+    while (persistedIt.hasNext || pend.hasNext) {
+      val takePending =
+        if (!persistedIt.hasNext) true
+        else if (!pend.hasNext) false
+        else pend.head._1 <= persistedIt.head.key
+      if (takePending) {
+        val (k, row) = pend.next()
+        // pending shadows an equal persisted key
+        if (persistedIt.hasNext && persistedIt.head.key == k) persistedIt.next()
+        if (row.isLive) out += row
+      } else {
+        val row = persistedIt.next()
+        if (row.isLive) out += row
+      }
+    }
+    out.result()
+  }
+
+  /** Number of live keys (rows) currently in the node. */
+  def numRows: Int = mergedRows.size
+
+  /** Point lookup without materializing rows: pending first, then
+    * binary search in the persisted vectors within live slices
+    * (reference searchInNode + searchInPersistedData,
+    * TreeOperations.java:659-761).
+    */
+  def lookup(key: String): Option[TreeRow] =
+    pending.get(key).orElse {
+      persisted.flatMap { f =>
+        val i = f.binarySearch(key)
+        if (i >= 0 && slices.exists(s => i >= s.start && i < s.end)) Some(f.row(i))
+        else None
+      }
+    }
+
+  /** Stage a row; if the key lives in a persisted slice, split that
+    * slice at the hit index (copy-on-write update).
+    */
+  def put(row: TreeRow): Unit = {
+    persisted.foreach { f =>
+      val i = f.binarySearch(row.key)
+      if (i >= 0) {
+        slices = slices.flatMap { s =>
+          if (i >= s.start && i < s.end)
+            List(VectorSlice(s.start, i), VectorSlice(i + 1, s.end)).filter(_.size > 0)
+          else List(s)
+        }
+      }
+    }
+    pending.put(row.key, row)
+    dirty = true
+  }
+
+  /** Greatest child-bearing row with key <= target, for descent. */
+  def floorChildRow(key: String): Option[TreeRow] = {
+    val cands = mergedRows.filter(r => r.child.isDefined && r.key <= key)
+    cands.lastOption
+  }
+}

@@ -14,6 +14,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
+      .config("spark.sql.extensions",
+        classOf[graft.spark.GraftSparkExtensions].getName)
       .config("spark.ui.enabled", "false")
 
   def main(args: Array[String]): Unit = {

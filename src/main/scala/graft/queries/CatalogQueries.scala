@@ -1,0 +1,191 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.QueryDef
+import graft.spark.GraftCatalog
+import graft.tree.TreeOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.7 Q1–Q3, Q6–Q12 through the graft catalog: scans with
+  * pushdown, append/overwrite/delete snapshots, catalog time travel,
+  * multi-table transaction atomicity, listings, views — each checked
+  * against a DuckDB oracle over the raw parquet inputs, proving the
+  * catalog+DSv2 path is semantics-preserving.
+  *
+  * Each query provisions its own graft catalog (one warehouse per
+  * session per catalog name) and rebuilds its tables idempotently, so
+  * repeated invocations in one session stay deterministic.
+  */
+object CatalogQueries {
+
+  /** Ensure catalog `name` is registered; return it ready for SQL. */
+  private def ensureCatalog(s: SparkSession, name: String): GraftCatalog = {
+    if (s.conf.getOption(s"spark.sql.catalog.$name").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$name.warehouse",
+        Files.createTempDirectory(s"graft-$name").toString)
+    }
+    s.sessionState.catalogManager.catalog(name).asInstanceOf[GraftCatalog]
+  }
+
+  /** Fresh `cat.ns1.<table>` loaded from the sf parquet input. */
+  private def provision(s: SparkSession, cat: String, d: String,
+      table: String, source: String): Unit = {
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns1")
+    s.sql(s"DROP TABLE IF EXISTS $cat.ns1.$table")
+    val src = s.read.parquet(s"$d/$source.parquet")
+    src.limit(0).writeTo(s"$cat.ns1.$table").create()
+    src.writeTo(s"$cat.ns1.$table").append()
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "c01_catalog_scan_pushdown",
+      (s, d) => {
+        // Q1–Q3: scan through the catalog; projection + filter reach
+        // the parquet reader (delegated DSv2 scan).
+        ensureCatalog(s, "gc1")
+        provision(s, "gc1", d, "lineitem", "lineitem")
+        s.sql("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+                 FROM gc1.ns1.lineitem
+                 WHERE l_discount > 0.05 AND l_quantity >= 30
+                 ORDER BY l_orderkey, l_linenumber""")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+             |FROM lineitem
+             |WHERE l_discount > 0.05 AND l_quantity >= 30
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef(
+      "c02_insert_append",
+      (s, d) => {
+        // Q6: INSERT INTO appends a second snapshot; count reflects both.
+        ensureCatalog(s, "gc2")
+        provision(s, "gc2", d, "orders", "orders")
+        s.sql(s"""INSERT INTO gc2.ns1.orders
+                  SELECT * FROM parquet.`$d/orders.parquet`
+                  WHERE o_orderkey % 10 = 0""")
+        s.sql("""SELECT count(*) AS n, count(DISTINCT o_orderkey) AS n_keys
+                 FROM gc2.ns1.orders""")
+      },
+      Some("""SELECT count(*) + (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0) AS n,
+             |       count(DISTINCT o_orderkey) AS n_keys
+             |FROM orders""".stripMargin)),
+
+    QueryDef(
+      "c03_insert_overwrite",
+      (s, d) => {
+        // Q7: INSERT OVERWRITE replaces the snapshot's file set.
+        ensureCatalog(s, "gc3")
+        provision(s, "gc3", d, "part", "part")
+        s.sql(s"""INSERT OVERWRITE gc3.ns1.part
+                  SELECT * FROM parquet.`$d/part.parquet` WHERE p_size >= 25""")
+        s.sql("""SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS total
+                 FROM gc3.ns1.part GROUP BY p_brand ORDER BY p_brand""")
+      },
+      Some("""SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS total
+             |FROM part WHERE p_size >= 25
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    QueryDef(
+      "c04_delete_where",
+      (s, d) => {
+        // Q8: copy-on-write DELETE, then scan the rewritten snapshot.
+        val cat = ensureCatalog(s, "gc4")
+        provision(s, "gc4", d, "customer", "customer")
+        cat.deleteWhere(s, Identifier.of(Array("ns1"), "customer"),
+          col("c_acctbal") < 0)
+        s.sql("""SELECT c_mktsegment, count(*) AS n,
+                        round(sum(c_acctbal), 2) AS bal
+                 FROM gc4.ns1.customer
+                 GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+             |FROM customer WHERE NOT (c_acctbal < 0)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    QueryDef(
+      "c05_time_travel",
+      (s, d) => {
+        // Q9: catalog VERSION AS OF — read the table as of the commit
+        // that contained only the first append.
+        val cat = ensureCatalog(s, "gc5")
+        provision(s, "gc5", d, "nation", "nation")
+        val v1 = TreeOps.findLatestRoot(cat.storage).get.version
+        s.sql(s"INSERT INTO gc5.ns1.nation SELECT * FROM parquet.`$d/nation.parquet`")
+        s.sql(s"""SELECT n_nationkey, n_name FROM gc5.ns1.nation VERSION AS OF $v1
+                  ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, n_name FROM nation
+             |ORDER BY n_nationkey""".stripMargin)),
+
+    QueryDef(
+      "c06_txn_atomic",
+      (s, d) => {
+        // Q10: BEGIN; write two tables; COMMIT — both-or-neither.
+        val cat = ensureCatalog(s, "gc6")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gc6.ns1")
+        s.sql("DROP TABLE IF EXISTS gc6.ns1.ta")
+        s.sql("DROP TABLE IF EXISTS gc6.ns1.tb")
+        s.sql("CREATE TABLE gc6.ns1.ta (r_regionkey INT, r_name STRING)")
+        s.sql("CREATE TABLE gc6.ns1.tb (n_nationkey INT, n_name STRING)")
+        cat.beginTransaction()
+        s.sql(s"""INSERT INTO gc6.ns1.ta
+                  SELECT r_regionkey, r_name FROM parquet.`$d/region.parquet`""")
+        s.sql(s"""INSERT INTO gc6.ns1.tb
+                  SELECT n_nationkey, n_name FROM parquet.`$d/nation.parquet`""")
+        cat.commitTransaction()
+        s.sql("""SELECT 'region' AS src, count(*) AS n FROM gc6.ns1.ta
+                 UNION ALL
+                 SELECT 'nation' AS src, count(*) AS n FROM gc6.ns1.tb
+                 ORDER BY src""")
+      },
+      Some("""SELECT 'nation' AS src, count(*) AS n FROM nation
+             |UNION ALL
+             |SELECT 'region' AS src, count(*) AS n FROM region
+             |ORDER BY src""".stripMargin)),
+
+    QueryDef(
+      "c07_listings",
+      (s, d) => {
+        // Q11: SHOW NAMESPACES / SHOW TABLES / DESCRIBE — deterministic
+        // catalog listings as a result set.
+        ensureCatalog(s, "gc7")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gc7.ns1")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gc7.ns2")
+        s.sql("CREATE TABLE IF NOT EXISTS gc7.ns1.t1 (a INT)")
+        s.sql("CREATE TABLE IF NOT EXISTS gc7.ns1.t2 (b STRING)")
+        val namespaces = s.sql("SHOW NAMESPACES IN gc7")
+          .select(col("namespace").as("item"))
+          .withColumn("kind", lit("namespace"))
+        val tables = s.sql("SHOW TABLES IN gc7.ns1")
+          .select(col("tableName").as("item"))
+          .withColumn("kind", lit("table"))
+        namespaces.unionAll(tables).orderBy("kind", "item")
+      },
+      Some("""SELECT item, kind FROM (VALUES
+             |  ('ns1', 'namespace'), ('ns2', 'namespace'),
+             |  ('t1', 'table'), ('t2', 'table')) AS v(item, kind)
+             |ORDER BY kind, item""".stripMargin)),
+
+    QueryDef(
+      "c08_view",
+      (s, d) => {
+        // Q12: CREATE VIEW via extension SQL, query through resolution.
+        ensureCatalog(s, "gc8")
+        provision(s, "gc8", d, "supplier", "supplier")
+        s.sql("DROP VIEW IF EXISTS gc8.ns1.rich_suppliers")
+        s.sql("""CREATE VIEW gc8.ns1.rich_suppliers AS
+                 SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal
+                 FROM gc8.ns1.supplier WHERE s_acctbal > 5000""")
+        s.sql("""SELECT s_suppkey, s_name, bal FROM gc8.ns1.rich_suppliers
+                 ORDER BY s_suppkey""")
+      },
+      Some("""SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal
+             |FROM supplier WHERE s_acctbal > 5000
+             |ORDER BY s_suppkey""".stripMargin))
+  )
+}

@@ -1,0 +1,441 @@
+package graft.spark
+
+import java.util.{Map => JMap, UUID}
+import scala.jdk.CollectionConverters._
+
+import graft.catalog.Graft
+import graft.format.TableMetadata
+import graft.objects._
+import graft.storage.{LocalStorageOps, StorageOps}
+import graft.tree.{TreeOps, TreeRoot}
+import graft.txn.{Action, ActionType, Transaction}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NoSuchViewException}
+import org.apache.spark.sql.connector.catalog.{Column => V2Column, _}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Spark V2 catalog plugin backed by the graft transactional tree
+  * (reference analog: OlympiaIcebergCatalog.java:77 — the catalog
+  * surface exposed to the engine; here it is a NATIVE Spark catalog,
+  * no Iceberg indirection).
+  *
+  * Register with:
+  * {{{
+  *   spark.sql.catalog.<name> = graft.spark.GraftCatalog
+  *   spark.sql.catalog.<name>.warehouse = /path/to/catalog/root
+  * }}}
+  *
+  * Transactions: every operation runs inside either the session
+  * transaction (BEGIN/COMMIT/ROLLBACK — SQL via
+  * [[GraftSparkExtensions]] or the begin/commit/rollbackTransaction
+  * API) or an ephemeral auto-commit transaction. `loadTable` always
+  * resolves through the active transaction's running root, so reads
+  * inside a transaction see its own writes while outside readers see
+  * only committed roots (reference beginOrLoadTransaction,
+  * OlympiaIcebergCatalog.java:639-673). No table caching — a cached
+  * table would bypass snapshot resolution (SURVEY §7.5 risk register).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog {
+
+  private var catalogName: String = _
+  private[graft] var storage: StorageOps = _
+  /** Session-level explicit transaction (BEGIN .. COMMIT). */
+  @volatile private var sessionTxn: Option[Transaction] = None
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option 'warehouse'"))
+    storage = new LocalStorageOps(warehouse)
+    if (!Graft.catalogExists(storage)) Graft.createCatalog(storage, CatalogDef())
+  }
+
+  override def name(): String = catalogName
+
+  // ---------------- transaction plumbing ----------------
+
+  def beginTransaction(isolation: Option[String] = None): Unit = synchronized {
+    require(sessionTxn.isEmpty, "a transaction is already in progress")
+    sessionTxn = Some(Graft.beginTransaction(storage, isolation))
+  }
+
+  def commitTransaction(): Unit = synchronized {
+    val txn = sessionTxn.getOrElse(
+      throw new IllegalStateException("no transaction in progress"))
+    try Graft.commitTransaction(storage, txn)
+    finally sessionTxn = None
+  }
+
+  def rollbackTransaction(): Unit = synchronized {
+    require(sessionTxn.isDefined, "no transaction in progress")
+    sessionTxn = None // discard: nothing was published
+  }
+
+  def transactionActive: Boolean = sessionTxn.isDefined
+
+  /** Run `f` in the session txn (no commit) or an ephemeral one
+    * (auto-commit).
+    */
+  private def inTxn[T](f: Transaction => T): T = sessionTxn match {
+    case Some(txn) => f(txn)
+    case None =>
+      val txn = Graft.beginTransaction(storage)
+      val out = f(txn)
+      Graft.commitTransaction(storage, txn)
+      out
+  }
+
+  private[spark] def tableKey(td: TableDef): String =
+    ObjectKeys.tableKey(td.namespaceName, td.name,
+      Graft.catalogDef(storage, TreeOps.findLatestRoot(storage).get))
+
+  private def ns1(namespace: Array[String]): String = {
+    if (namespace.length != 1)
+      throw new NoSuchNamespaceException(namespace)
+    namespace(0)
+  }
+
+  // ---------------- namespaces ----------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    inTxn(txn => Graft.showNamespaces(storage, txn).map(Array(_)).toArray)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty // single-level
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 &&
+      inTxn(txn => Graft.namespaceExists(storage, txn, namespace(0)))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] =
+    try inTxn(txn =>
+      Graft.describeNamespace(storage, txn, ns1(namespace)).properties.asJava)
+    catch { case _: NoSuchElementException =>
+      throw new NoSuchNamespaceException(namespace)
+    }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit =
+    inTxn(txn => Graft.createNamespace(storage, txn,
+      NamespaceDef(ns1(namespace), metadata.asScala.toMap)))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit = inTxn { txn =>
+    val cur = Graft.describeNamespace(storage, txn, ns1(namespace))
+    val props = changes.foldLeft(cur.properties) {
+      case (p, set: NamespaceChange.SetProperty) =>
+        p + (set.property() -> set.value())
+      case (p, rm: NamespaceChange.RemoveProperty) => p - rm.property()
+      case (p, _) => p
+    }
+    Graft.alterNamespace(storage, txn, cur.copy(properties = props),
+      if (changes.forall(_.isInstanceOf[NamespaceChange.RemoveProperty]))
+        ActionType.AlterNamespaceUnsetProps
+      else ActionType.AlterNamespaceSetProps)
+  }
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    try inTxn { txn =>
+      Graft.dropNamespace(storage, txn, ns1(namespace), cascade); true
+    } catch { case _: IllegalArgumentException => false }
+
+  // ---------------- tables ----------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    inTxn(txn => Graft.showTables(storage, txn, ns1(namespace))
+      .map(t => Identifier.of(namespace, t)).toArray)
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace.length == 1 && inTxn(txn =>
+      Graft.tableExists(storage, txn, ident.namespace()(0), ident.name()))
+
+  override def loadTable(ident: Identifier): Table = inTxn { txn =>
+    loadFromTxn(ident, txn)
+  }
+
+  private def loadFromTxn(ident: Identifier, txn: Transaction): GraftTable = {
+    val ns = ns1(ident.namespace())
+    val td =
+      try Graft.describeTable(storage, txn, ns, ident.name())
+      catch { case _: NoSuchElementException => throw new NoSuchTableException(ident) }
+    val meta = TableMetadata.read(storage, td.metadataLocation)
+    new GraftTable(this, ident, td, meta, txn, storage)
+  }
+
+  /** Catalog time travel: `VERSION AS OF v` resolves the table against
+    * root version v (TreeOperations.java:373-395 semantics).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val latest = TreeOps.findLatestRoot(storage).get
+    val root = TreeOps.findRootForVersion(storage, latest, version.toLong)
+    loadAtRoot(ident, root)
+  }
+
+  /** `TIMESTAMP AS OF t` — Spark passes microseconds since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val latest = TreeOps.findLatestRoot(storage).get
+    val root = TreeOps.findRootBeforeTimestamp(storage, latest, timestamp / 1000L)
+    loadAtRoot(ident, root)
+  }
+
+  private def loadAtRoot(ident: Identifier, root: TreeRoot): Table = {
+    val frozen = TreeOps.loadRoot(storage, root.path.get)
+    val txn = new Transaction(UUID.randomUUID().toString,
+      IsolationLevel.Snapshot, frozen, frozen,
+      System.currentTimeMillis(), Long.MaxValue)
+    val ns = ns1(ident.namespace())
+    val td =
+      try Graft.describeTable(storage, txn, ns, ident.name())
+      catch { case _: NoSuchElementException => throw new NoSuchTableException(ident) }
+    val meta = TableMetadata.read(storage, td.metadataLocation)
+    new GraftTable(this, ident, td, meta, txn, storage)
+  }
+
+  override def createTable(ident: Identifier, columns: Array[V2Column],
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val schema = StructType(columns.map { c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())
+    })
+    createTable(ident, schema, partitions, properties)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty, "partitioned tables land in a later round")
+    val ns = ns1(ident.namespace())
+    inTxn { txn =>
+      val metaPath = FileLocations.tableMetadataPath(ns, ident.name())
+      TableMetadata.write(storage, metaPath, TableMetadata.empty(schema.json))
+      Graft.createTable(storage, txn, TableDef(
+        ident.name(), ns, metadataLocation = metaPath,
+        properties = properties.asScala.toMap))
+    }
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val ns = ns1(ident.namespace())
+    inTxn { txn =>
+      val td = Graft.describeTable(storage, txn, ns, ident.name())
+      val meta = TableMetadata.read(storage, td.metadataLocation)
+      var schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+      var props = td.properties
+      var actionType = ActionType.AlterTable
+      changes.foreach {
+        case set: TableChange.SetProperty =>
+          props = props + (set.property() -> set.value())
+        case rm: TableChange.RemoveProperty => props = props - rm.property()
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames().length == 1, "nested add-column unsupported")
+          schema = schema.add(add.fieldNames()(0), add.dataType(), add.isNullable)
+          actionType = ActionType.AlterTableAddColumns
+        case del: TableChange.DeleteColumn =>
+          require(del.fieldNames().length == 1, "nested drop-column unsupported")
+          schema = StructType(schema.filterNot(_.name == del.fieldNames()(0)))
+          actionType = ActionType.AlterTableRemoveColumns
+        case other =>
+          throw new UnsupportedOperationException(s"table change $other")
+      }
+      val metaPath = FileLocations.tableMetadataPath(ns, ident.name())
+      TableMetadata.write(storage, metaPath,
+        TableMetadata(schema.json, meta.currentSnapshotId, meta.snapshots,
+          meta.properties))
+      Graft.alterTable(storage, txn,
+        td.copy(metadataLocation = metaPath,
+          previousMetadataLocation = Some(td.metadataLocation),
+          properties = props),
+        actionType)
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    try inTxn { txn =>
+      Graft.dropTable(storage, txn, ns1(ident.namespace()), ident.name()); true
+    } catch { case _: IllegalArgumentException => false }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(oldIdent.namespace().sameElements(newIdent.namespace()),
+      "cross-namespace rename unsupported")
+    inTxn(txn => Graft.renameTable(storage, txn, ns1(oldIdent.namespace()),
+      oldIdent.name(), newIdent.name()))
+  }
+
+  // ---------------- write commit (called from GraftTable's V1Write) ----------------
+
+  /** Stage the DataFrame as parquet in a fresh commit directory, then
+    * commit a snapshot that appends (or replaces) the table's file
+    * list. Registered as a replay so a lost commit race re-merges with
+    * the winner's file list instead of clobbering it (the append/append
+    * rebase the reference's matrix declares resolvable,
+    * AnalyzeActionConflicts.java:171-187).
+    */
+  def commitWrite(ident: Identifier, data: org.apache.spark.sql.DataFrame,
+      overwrite: Boolean): Unit = {
+    val ns = ns1(ident.namespace())
+    val t = ident.name()
+    val commitDir = s"${FileLocations.tableDataDir(ns, t)}/${UUID.randomUUID()}"
+    data.write.parquet(storage.absolute(commitDir))
+    val newFiles = GraftTable.listCommitFiles(storage, commitDir)
+    val op = if (overwrite) "overwrite" else "append"
+    inTxn { txn =>
+      applyTableCommit(storage, txn.runningRoot, ns, t, op, newFiles, overwrite)
+      txn.replays += ((s, r) => applyTableCommit(s, r, ns, t, op, newFiles, overwrite))
+      val cd = Graft.catalogDef(storage, txn.runningRoot)
+      txn.record(Action(
+        if (overwrite) ActionType.TableUpdate else ActionType.TableInsert,
+        ObjectKeys.tableKey(ns, t, cd),
+        Map("files" -> newFiles.map(_.path).mkString(","))))
+    }
+  }
+
+  /** Copy-on-write DELETE WHERE: rewrite the table without matching
+    * rows, commit as an overwrite snapshot (the reference reaches
+    * storage the same way — delete-as-overwrite, SURVEY §2.4).
+    */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, ident: Identifier,
+      condition: org.apache.spark.sql.Column): Unit = {
+    val full = s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}"
+    val remaining = spark.table(full).filter(!condition)
+    val ns = ns1(ident.namespace())
+    val t = ident.name()
+    val commitDir = s"${FileLocations.tableDataDir(ns, t)}/${UUID.randomUUID()}"
+    remaining.write.parquet(storage.absolute(commitDir))
+    val newFiles = GraftTable.listCommitFiles(storage, commitDir)
+    inTxn { txn =>
+      applyTableCommit(storage, txn.runningRoot, ns, t, "delete", newFiles,
+        overwrite = true)
+      txn.replays += ((s, r) =>
+        applyTableCommit(s, r, ns, t, "delete", newFiles, overwrite = true))
+      val cd = Graft.catalogDef(storage, txn.runningRoot)
+      txn.record(Action(ActionType.TableDelete,
+        ObjectKeys.tableKey(ns, t, cd), Map.empty))
+    }
+  }
+
+  /** Apply one table snapshot commit against a running root — re-reads
+    * the table def FROM THAT ROOT so replays merge with whatever the
+    * winner committed.
+    */
+  private def applyTableCommit(s: StorageOps, root: TreeRoot, ns: String,
+      t: String, op: String, newFiles: Seq[graft.format.DataFileEntry],
+      overwrite: Boolean): Unit = {
+    val cd = Graft.catalogDef(s, root)
+    val key = ObjectKeys.tableKey(ns, t, cd)
+    val defPath = TreeOps.searchValue(s, root, key).getOrElse(
+      throw new NoSuchTableException(Identifier.of(Array(ns), t)))
+    val td = Json.read(s.read(defPath), classOf[TableDef])
+    val meta = TableMetadata.read(s, td.metadataLocation)
+    val files = if (overwrite) newFiles else meta.currentFiles ++ newFiles
+    val meta2 = meta.withSnapshot(op, files)
+    val metaPath = FileLocations.tableMetadataPath(ns, t)
+    TableMetadata.write(s, metaPath, meta2)
+    val td2 = td.copy(metadataLocation = metaPath,
+      previousMetadataLocation = Some(td.metadataLocation))
+    val defPath2 = FileLocations.newTableDefPath(ns, t)
+    s.writeAtomic(defPath2, Json.write(td2))
+    TreeOps.setValue(s, root, key, Some(defPath2), cd.order)
+  }
+
+  // ---------------- views ----------------
+
+  override def listViews(namespace: String*): Array[Identifier] =
+    inTxn(txn => Graft.showViews(storage, txn, ns1(namespace.toArray))
+      .map(v => Identifier.of(namespace.toArray, v)).toArray)
+
+  override def viewExists(ident: Identifier): Boolean =
+    ident.namespace().length == 1 && inTxn(txn =>
+      Graft.viewExists(storage, txn, ident.namespace()(0), ident.name()))
+
+  override def loadView(ident: Identifier): View = {
+    val d =
+      try inTxn(txn =>
+        Graft.describeView(storage, txn, ns1(ident.namespace()), ident.name()))
+      catch { case _: NoSuchElementException => throw new NoSuchViewException(ident) }
+    new GraftView(catalogName, ident, d)
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    inTxn(txn => Graft.createView(storage, txn, ViewDef(
+      ident.name(), ns1(ident.namespace()),
+      sqlText = info.sql(),
+      schemaJson = info.schema().json,
+      referencedObjectNames = Seq.empty,
+      properties = info.properties().asScala.toMap ++ Map(
+        "spark.query.columns" -> info.queryColumnNames().mkString(","),
+        "spark.view.currentCatalog" -> info.currentCatalog(),
+        "spark.view.currentNamespace" -> info.currentNamespace().mkString(".")))))
+    loadView(ident)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ident = info.ident()
+    inTxn(txn => Graft.createView(storage, txn, ViewDef(
+      ident.name(), ns1(ident.namespace()),
+      sqlText = info.sql(),
+      schemaJson = info.schema().json,
+      referencedObjectNames = Seq.empty,
+      properties = info.properties().asScala.toMap ++ Map(
+        "spark.query.columns" -> info.queryColumnNames().mkString(","),
+        "spark.view.currentCatalog" -> info.currentCatalog(),
+        "spark.view.currentNamespace" -> info.currentNamespace().mkString("."))),
+      replace = true))
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    try inTxn { txn =>
+      Graft.dropView(storage, txn, ns1(ident.namespace()), ident.name()); true
+    } catch { case _: IllegalArgumentException => false }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val ns = ns1(ident.namespace())
+    inTxn { txn =>
+      val cur = Graft.describeView(storage, txn, ns, ident.name())
+      val props = changes.foldLeft(cur.properties) {
+        case (p, set: ViewChange.SetProperty) => p + (set.property() -> set.value())
+        case (p, rm: ViewChange.RemoveProperty) => p - rm.property()
+        case (p, _) => p
+      }
+      Graft.createView(storage, txn, cur.copy(properties = props), replace = true)
+    }
+    loadView(ident)
+  }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(oldIdent.namespace().sameElements(newIdent.namespace()),
+      "cross-namespace view rename unsupported")
+    val ns = ns1(oldIdent.namespace())
+    inTxn { txn =>
+      val cur = Graft.describeView(storage, txn, ns, oldIdent.name())
+      Graft.createView(storage, txn, cur.copy(name = newIdent.name()))
+      Graft.dropView(storage, txn, ns, oldIdent.name())
+    }
+  }
+}
+
+/** V2 view over a stored [[ViewDef]]. */
+class GraftView(catalogName: String, ident: Identifier, d: ViewDef) extends View {
+  override def name(): String = ident.toString
+  override def query(): String = d.sqlText
+  override def currentCatalog(): String =
+    d.properties.getOrElse("spark.view.currentCatalog", catalogName)
+  override def currentNamespace(): Array[String] = {
+    val ns = d.properties.getOrElse("spark.view.currentNamespace", "")
+    if (ns.isEmpty) Array.empty else ns.split('.')
+  }
+  override def schema(): StructType =
+    DataType.fromJson(d.schemaJson).asInstanceOf[StructType]
+  override def queryColumnNames(): Array[String] = {
+    val cols = d.properties.getOrElse("spark.query.columns", "")
+    if (cols.isEmpty) Array.empty else cols.split(',')
+  }
+  override def columnAliases(): Array[String] = Array.empty
+  override def columnComments(): Array[String] = Array.empty
+  override def properties(): JMap[String, String] = d.properties.asJava
+}

@@ -1,0 +1,176 @@
+package graft.spark
+
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Session extensions (reference analog:
+  * spark/v3.5/spark-extensions/.../OlympiaSparkExtensions.scala:20-30):
+  *
+  *  - txn SQL: `BEGIN | COMMIT | ROLLBACK [TRANSACTION]` against the
+  *    current graft catalog. The reference pre-filters with a
+  *    normalized startsWith check before ANTLR
+  *    (OlympiaSparkSqlExtensionsParser.scala:115-133); with no ANTLR
+  *    codegen offline, a small matcher IS the parser here.
+  *  - view DDL + resolution: Spark 4.1 defines the V2 ViewCatalog API
+  *    but wires neither CREATE VIEW execution nor SELECT resolution
+  *    for it — engines ship both via extensions, as done here.
+  *
+  * {{{ spark.sql.extensions = graft.spark.GraftSparkExtensions }}}
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+    ext.injectResolutionRule(session => new GraftViewResolution(session))
+  }
+}
+
+/** Delegating parser that intercepts graft statements
+  * (reference OlympiaSparkSqlExtensionsParser.scala:44-98).
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  private val txnRe =
+    """(?is)^\s*(BEGIN|COMMIT|ROLLBACK)(\s+TRANSACTION)?\s*;?\s*$""".r
+  private val createViewRe =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.`]+)\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val dropViewRe =
+    """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$""".r
+
+  /** Is `parts` a reference into a graft catalog (explicit or current)? */
+  private def graftCatalogFor(parts: Seq[String]): Option[(String, Seq[String])] = {
+    def isGraft(name: String): Boolean =
+      session.conf.getOption(s"spark.sql.catalog.$name")
+        .contains(classOf[GraftCatalog].getName)
+    parts match {
+      case Seq(c, ns, n) if isGraft(c) => Some((c, Seq(ns, n)))
+      case Seq(ns, n) =>
+        val cur = session.sessionState.catalogManager.currentCatalog.name()
+        if (isGraft(cur)) Some((cur, Seq(ns, n))) else None
+      case _ => None
+    }
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case txnRe(verb, _) =>
+      TransactionCommand(verb.toUpperCase(java.util.Locale.ROOT))
+    case createViewRe(replace, ident, query) =>
+      val parts = delegate.parseMultipartIdentifier(ident.replace("`", ""))
+      graftCatalogFor(parts) match {
+        case Some((cat, Seq(ns, name))) =>
+          CreateGraftViewCommand(cat, ns, name, query.trim, replace != null)
+        case _ => delegate.parsePlan(sqlText)
+      }
+    case dropViewRe(ifExists, ident) =>
+      val parts = delegate.parseMultipartIdentifier(ident.replace("`", ""))
+      graftCatalogFor(parts) match {
+        case Some((cat, Seq(ns, name))) =>
+          DropGraftViewCommand(cat, ns, name, ifExists != null)
+        case _ => delegate.parsePlan(sqlText)
+      }
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(s: String): Expression = delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String): TableIdentifier =
+    delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String): Seq[String] =
+    delegate.parseMultipartIdentifier(s)
+  override def parseTableSchema(s: String): StructType = delegate.parseTableSchema(s)
+  override def parseDataType(s: String): DataType = delegate.parseDataType(s)
+  override def parseQuery(s: String): LogicalPlan = delegate.parseQuery(s)
+  override def parseRoutineParam(s: String): StructType = delegate.parseRoutineParam(s)
+}
+
+/** BEGIN/COMMIT/ROLLBACK against the session's current graft catalog
+  * (reference BeginTransactionExec.scala:21-44 and siblings — note the
+  * reference's commit/rollback preconditions are inverted so COMMIT
+  * always throws, OlympiaIcebergCatalog.java:626-637; graft's happy
+  * path is covered by tests).
+  */
+case class TransactionCommand(verb: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = session.sessionState.catalogManager.currentCatalog match {
+      case g: GraftCatalog => g
+      case other => throw new IllegalStateException(
+        s"$verb TRANSACTION requires a graft catalog, found ${other.name()}; " +
+          "run USE <graft-catalog> first")
+    }
+    verb match {
+      case "BEGIN" => cat.beginTransaction()
+      case "COMMIT" => cat.commitTransaction()
+      case "ROLLBACK" => cat.rollbackTransaction()
+    }
+    Seq.empty
+  }
+}
+
+case class CreateGraftViewCommand(catalogName: String, ns: String, name: String,
+    query: String, replace: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = session.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftCatalog]
+    val schema = session.sql(query).schema
+    val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
+      Identifier.of(Array(ns), name), query, catalogName, Array(ns), schema,
+      schema.fieldNames, Array.empty, Array.empty,
+      java.util.Collections.emptyMap())
+    if (replace) cat.replaceView(info, true) else cat.createView(info)
+    Seq.empty
+  }
+}
+
+case class DropGraftViewCommand(catalogName: String, ns: String, name: String,
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = session.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftCatalog]
+    val dropped = cat.dropView(Identifier.of(Array(ns), name))
+    if (!dropped && !ifExists)
+      throw new NoSuchElementException(s"view not found: $catalogName.$ns.$name")
+    Seq.empty
+  }
+}
+
+/** Resolves `SELECT ... FROM <graft-catalog>.<ns>.<view>` by expanding
+  * the stored SQL text inline (the V2 analog of Spark's session-catalog
+  * view expansion; schema-on-read like the reference's
+  * `schema_binding=false` views).
+  */
+class GraftViewResolution(session: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u: UnresolvedRelation if u.multipartIdentifier.length >= 2 =>
+        resolveView(u).getOrElse(u)
+    }
+
+  private def resolveView(u: UnresolvedRelation): Option[LogicalPlan] = {
+    val parts = u.multipartIdentifier
+    val (catName, ns, name) = parts match {
+      case Seq(c, n, v) => (c, n, v)
+      case Seq(n, v) =>
+        (session.sessionState.catalogManager.currentCatalog.name(), n, v)
+      case _ => return None
+    }
+    val cat =
+      try session.sessionState.catalogManager.catalog(catName) match {
+        case g: GraftCatalog => g
+        case _ => return None
+      } catch { case _: Exception => return None }
+    val ident = Identifier.of(Array(ns), name)
+    if (!cat.viewExists(ident)) return None
+    val view = cat.loadView(ident)
+    Some(SubqueryAlias(parts,
+      session.sessionState.sqlParser.parsePlan(view.query())))
+  }
+}

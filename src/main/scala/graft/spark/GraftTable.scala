@@ -1,0 +1,120 @@
+package graft.spark
+
+import java.util.{Set => JSet}
+import scala.jdk.CollectionConverters._
+
+import graft.format.{DataFileEntry, TableMetadata}
+import graft.objects.TableDef
+import graft.storage.StorageOps
+import graft.txn.{Action, ActionType, Transaction}
+import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 table over a graft snapshot (reference analog:
+  * OlympiaIcebergTable.java:24-40 — a thin facade that delegates the
+  * data plane to the engine's native reader/writer while recording
+  * transaction actions).
+  *
+  * Read path: delegates to Spark's own parquet DSv2 table constructed
+  * over this snapshot's EXACT file list — vectorized reader, filter
+  * pushdown, column pruning, file splitting all come from Spark
+  * (SURVEY §4.1: no custom rule needed), while snapshot isolation and
+  * time travel come from which files we hand it. A TABLE_SELECT action
+  * is recorded for conflict analysis (OlympiaIcebergTableScan.java:31-48).
+  *
+  * Write path: V1Write fallback — the incoming DataFrame is written
+  * through Spark's parquet writer into a fresh commit directory, the
+  * produced files become a new snapshot, and the snapshot commit rides
+  * the catalog transaction (OlympiaIcebergMergeAppend.java:36-68).
+  */
+class GraftTable(
+    catalog: GraftCatalog,
+    val ident: Identifier,
+    val tableDef: TableDef,
+    val meta: TableMetadata,
+    txn: Transaction,
+    storage: StorageOps) extends Table with SupportsRead with SupportsWrite {
+
+  private def spark: ClassicSession =
+    org.apache.spark.sql.SparkSession.active.asInstanceOf[ClassicSession]
+
+  override def name(): String = s"${tableDef.namespaceName}.${tableDef.name}"
+
+  override lazy val schema: StructType =
+    DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+
+  override def partitioning(): Array[Transform] = Array.empty
+
+  override def properties(): java.util.Map[String, String] =
+    tableDef.properties.asJava
+
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
+
+  // ---------------- read ----------------
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    txn.record(Action(ActionType.TableSelect, catalog.tableKey(tableDef),
+      Map("columns" -> schema.fieldNames.mkString(","))))
+    val files = meta.currentFiles.map(f => storage.absolute(f.path))
+    if (files.isEmpty) {
+      // empty snapshot: serve an empty scan with the declared schema
+      new EmptyScanBuilder(schema)
+    } else {
+      ParquetTable(name(), spark, options, files, Some(schema),
+        classOf[ParquetFileFormat]).newScanBuilder(options)
+    }
+  }
+
+  // ---------------- write ----------------
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data, overwriteFlag) =>
+            catalog.commitWrite(ident, data, overwrite || overwriteFlag)
+      }
+    }
+}
+
+object GraftTable {
+  /** List the parquet files Spark's writer produced under `dir`. */
+  def listCommitFiles(storage: StorageOps, relDir: String): Seq[DataFileEntry] =
+    storage.listPrefix(relDir)
+      .filter(_.endsWith(".parquet"))
+      .map { rel =>
+        val abs = java.nio.file.Paths.get(storage.absolute(rel))
+        DataFileEntry(rel, rowCount = -1L, sizeBytes = java.nio.file.Files.size(abs))
+      }
+}
+
+/** Scan of an empty table: zero partitions, declared schema. */
+private class EmptyScanBuilder(schema: StructType) extends ScanBuilder {
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new org.apache.spark.sql.connector.read.Scan {
+      override def readSchema(): StructType = schema
+      override def toBatch: org.apache.spark.sql.connector.read.Batch =
+        new org.apache.spark.sql.connector.read.Batch {
+          override def planInputPartitions()
+              : Array[org.apache.spark.sql.connector.read.InputPartition] = Array.empty
+          override def createReaderFactory()
+              : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+            (_: org.apache.spark.sql.connector.read.InputPartition) =>
+              throw new UnsupportedOperationException("empty scan has no partitions")
+        }
+    }
+}

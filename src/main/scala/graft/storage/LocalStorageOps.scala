@@ -31,7 +31,11 @@ class LocalStorageOps(val root: String) extends StorageOps {
     val staging = Files.createTempFile(target.getParent, ".staging-", ".tmp")
     try {
       Files.write(staging, data)
-      try Files.move(staging, target) // no REPLACE_EXISTING: create-only
+      // link(2) fails atomically when the target exists — unlike
+      // Files.move without ATOMIC_MOVE, whose exists-check + rename is
+      // a TOCTOU race where concurrent creators overwrite each other
+      // (caught by the 8-writer race test).
+      try Files.createLink(target, staging)
       catch {
         case e: FileAlreadyExistsException =>
           throw new AtomicSealFailureException(rel, e)

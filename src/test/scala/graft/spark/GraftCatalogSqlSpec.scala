@@ -1,0 +1,160 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end Spark SQL through the graft catalog — the minimum slice
+  * of SURVEY §7.4 and beyond: DDL, DSv2 writes, scans with pushdown,
+  * time travel, transactions, views.
+  */
+class GraftCatalogSqlSpec extends AnyFunSuite {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-wh").toString
+
+  lazy val spark: SparkSession = graft.Verify.sessionBuilder("4")
+    .config("spark.sql.extensions", classOf[GraftSparkExtensions].getName)
+    .config("spark.sql.catalog.cat", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.cat.warehouse", warehouse)
+    .getOrCreate()
+
+  private def cat: GraftCatalog =
+    spark.sessionState.catalogManager.catalog("cat").asInstanceOf[GraftCatalog]
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("namespace DDL via SQL") {
+    spark.sql("CREATE NAMESPACE cat.ns1")
+    val namespaces = spark.sql("SHOW NAMESPACES IN cat").collect().map(_.getString(0))
+    assert(namespaces.contains("ns1"))
+    spark.sql("ALTER NAMESPACE cat.ns1 SET PROPERTIES ('team'='graft')")
+    val props = spark.sql("DESCRIBE NAMESPACE EXTENDED cat.ns1").collect()
+    assert(props.exists(_.toString.contains("team")))
+  }
+
+  test("create table, append via DSv2, scan with pushdown") {
+    spark.sql("""CREATE TABLE cat.ns1.lineitem (
+      l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,
+      l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE,
+      l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING,
+      l_linestatus STRING, l_shipdate TIMESTAMP_NTZ)""")
+    val src = spark.read.parquet(s"$sf/lineitem.parquet")
+    src.writeTo("cat.ns1.lineitem").append()
+    assert(spark.table("cat.ns1.lineitem").count() == src.count())
+
+    val q = spark.sql(
+      "SELECT l_orderkey, l_quantity FROM cat.ns1.lineitem WHERE l_discount > 0.05")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_discount"),
+      s"filter not pushed:\n$plan")
+    assert(q.count() ==
+      src.filter("l_discount > 0.05").count())
+  }
+
+  test("second append accumulates; INSERT INTO works") {
+    val before = spark.table("cat.ns1.lineitem").count()
+    spark.sql(
+      s"INSERT INTO cat.ns1.lineitem SELECT * FROM parquet.`$sf/lineitem.parquet` LIMIT 100")
+    assert(spark.table("cat.ns1.lineitem").count() == before + 100)
+  }
+
+  test("INSERT OVERWRITE replaces content") {
+    spark.sql("CREATE TABLE cat.ns1.small (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO cat.ns1.small VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT OVERWRITE cat.ns1.small VALUES (9, 'z')")
+    val rows = spark.table("cat.ns1.small").collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 9)
+  }
+
+  test("copy-on-write DELETE WHERE") {
+    spark.sql("CREATE TABLE cat.ns1.deltest (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO cat.ns1.deltest VALUES (1,'a'), (2,'b'), (3,'c')")
+    cat.deleteWhere(spark,
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("ns1"), "deltest"),
+      org.apache.spark.sql.functions.col("k") === 2)
+    assert(spark.table("cat.ns1.deltest").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 3L)))
+  }
+
+  test("catalog time travel: VERSION AS OF") {
+    spark.sql("CREATE TABLE cat.ns1.tt (k BIGINT)")
+    val v1 = graft.tree.TreeOps.findLatestRoot(cat.storage).get.version
+    spark.sql("INSERT INTO cat.ns1.tt VALUES (1)")
+    spark.sql("INSERT INTO cat.ns1.tt VALUES (2)")
+    assert(spark.table("cat.ns1.tt").count() == 2)
+    assert(spark.sql(s"SELECT * FROM cat.ns1.tt VERSION AS OF ${v1 + 1}").count() == 1)
+    assert(spark.sql(s"SELECT * FROM cat.ns1.tt VERSION AS OF $v1").count() == 0)
+  }
+
+  test("multi-table transaction: all-or-nothing visibility") {
+    spark.sql("CREATE TABLE cat.ns1.txa (k BIGINT)")
+    spark.sql("CREATE TABLE cat.ns1.txb (k BIGINT)")
+    cat.beginTransaction()
+    spark.sql("INSERT INTO cat.ns1.txa VALUES (1)")
+    spark.sql("INSERT INTO cat.ns1.txb VALUES (1)")
+    // inside the txn: own writes visible
+    assert(spark.table("cat.ns1.txa").count() == 1)
+    cat.commitTransaction()
+    assert(spark.table("cat.ns1.txa").count() == 1)
+    assert(spark.table("cat.ns1.txb").count() == 1)
+
+    // rollback variant
+    cat.beginTransaction()
+    spark.sql("INSERT INTO cat.ns1.txa VALUES (2)")
+    cat.rollbackTransaction()
+    assert(spark.table("cat.ns1.txa").count() == 1)
+  }
+
+  test("views: CREATE VIEW / SELECT / DROP VIEW via extension SQL") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    spark.sql("CREATE TABLE cat.ns1.vtbl (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO cat.ns1.vtbl VALUES (1,'a'), (2,'b')")
+    spark.sql("CREATE VIEW cat.ns1.v1 AS SELECT k FROM cat.ns1.vtbl WHERE k > 1")
+    assert(spark.sql("SELECT * FROM cat.ns1.v1").collect().map(_.getLong(0))
+      .sameElements(Array(2L)))
+    val ident = Identifier.of(Array("ns1"), "v1")
+    assert(cat.viewExists(ident))
+    assert(cat.listViews("ns1").map(_.name()).contains("v1"))
+    spark.sql("CREATE OR REPLACE VIEW cat.ns1.v1 AS SELECT k FROM cat.ns1.vtbl")
+    assert(spark.sql("SELECT * FROM cat.ns1.v1").count() == 2)
+    spark.sql("DROP VIEW cat.ns1.v1")
+    assert(!cat.viewExists(ident))
+  }
+
+  test("BEGIN/COMMIT/ROLLBACK TRANSACTION SQL") {
+    spark.sql("CREATE TABLE cat.ns1.sqltx (k BIGINT)")
+    spark.sql("USE cat")
+    try {
+      spark.sql("BEGIN TRANSACTION")
+      spark.sql("INSERT INTO cat.ns1.sqltx VALUES (1)")
+      spark.sql("COMMIT TRANSACTION")
+      assert(spark.table("cat.ns1.sqltx").count() == 1)
+      spark.sql("BEGIN")
+      spark.sql("INSERT INTO cat.ns1.sqltx VALUES (2)")
+      spark.sql("ROLLBACK")
+      assert(spark.table("cat.ns1.sqltx").count() == 1)
+    } finally spark.sql("USE spark_catalog")
+  }
+
+  test("SHOW TABLES / DESCRIBE TABLE / DROP TABLE") {
+    val tables = spark.sql("SHOW TABLES IN cat.ns1").collect().map(_.getString(1))
+    assert(tables.contains("lineitem"))
+    val desc = spark.sql("DESCRIBE TABLE cat.ns1.lineitem").collect()
+    assert(desc.exists(r => r.getString(0) == "l_orderkey"))
+    spark.sql("CREATE TABLE cat.ns1.tmp (x INT)")
+    spark.sql("DROP TABLE cat.ns1.tmp")
+    assert(!spark.sql("SHOW TABLES IN cat.ns1").collect().map(_.getString(1))
+      .contains("tmp"))
+  }
+
+  test("ALTER TABLE add column + set property") {
+    spark.sql("CREATE TABLE cat.ns1.alt (a INT)")
+    spark.sql("INSERT INTO cat.ns1.alt VALUES (1)")
+    spark.sql("ALTER TABLE cat.ns1.alt ADD COLUMN b STRING")
+    assert(spark.table("cat.ns1.alt").schema.fieldNames.sameElements(Array("a", "b")))
+    // existing files lack the new column → read as nulls
+    val row = spark.table("cat.ns1.alt").collect()(0)
+    assert(row.getInt(0) == 1 && row.isNullAt(1))
+  }
+}

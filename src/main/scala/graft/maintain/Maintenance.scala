@@ -1,0 +1,169 @@
+package graft.maintain
+
+import graft.catalog.Graft
+import graft.format.{DataFileEntry, TableMetadata}
+import graft.objects.{FileLocations, Json, ObjectKeys, TableDef}
+import graft.spark.{GraftCatalog, GraftTable}
+import graft.tree.TreeOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.Identifier
+
+/** Table + catalog maintenance jobs (SURVEY §7.6 north star; the
+  * reference's spec gestures at this via the `vn/oldest` hint,
+  * docs/format.md:213-216, and the acknowledged tombstone-forever
+  * delete, TreeOperations.java:637-640).
+  *
+  * All jobs are Spark jobs over the catalog's own metadata — driver
+  * code only orchestrates; data movement (compaction rewrite) runs
+  * distributed.
+  */
+object Maintenance {
+
+  final case class CompactionResult(filesBefore: Int, filesAfter: Int)
+
+  /** Bin-pack a table's data files: when the current snapshot holds
+    * more than `targetFiles` files, rewrite them into `targetFiles`
+    * outputs and commit as a `compact` snapshot. The rewrite is a
+    * distributed read→repartition→write; only the commit is
+    * driver-side. Readers are unaffected: old snapshots still
+    * reference the old files until expiration.
+    */
+  def compactDataFiles(spark: SparkSession, cat: GraftCatalog, ident: Identifier,
+      targetFiles: Int = 1): CompactionResult = {
+    val storage = cat.storage
+    val txn = Graft.beginTransaction(storage)
+    val ns = ident.namespace()(0)
+    val td = Graft.describeTable(storage, txn, ns, ident.name())
+    val meta = TableMetadata.read(storage, td.metadataLocation)
+    val before = meta.currentFiles.size
+    if (before <= targetFiles) return CompactionResult(before, before)
+    val df = spark.read.parquet(meta.currentFiles.map(f => storage.absolute(f.path)): _*)
+    val commitDir = s"${FileLocations.tableDataDir(ns, ident.name())}/compact-${java.util.UUID.randomUUID()}"
+    df.repartition(targetFiles).write.parquet(storage.absolute(commitDir))
+    val newFiles = GraftTable.listCommitFiles(storage, commitDir)
+    commitSnapshot(cat, txn, ns, ident.name(), "compact", newFiles)
+    CompactionResult(before, newFiles.size)
+  }
+
+  /** Drop all but the newest `keepLast` snapshots from the table's
+    * metadata. Data files referenced only by expired snapshots become
+    * orphans — removable by [[removeOrphanFiles]].
+    */
+  def expireSnapshots(cat: GraftCatalog, ident: Identifier, keepLast: Int): Int = {
+    val storage = cat.storage
+    val txn = Graft.beginTransaction(storage)
+    val ns = ident.namespace()(0)
+    val td = Graft.describeTable(storage, txn, ns, ident.name())
+    val meta = TableMetadata.read(storage, td.metadataLocation)
+    val keep = meta.snapshots.sortBy(-_.id).take(keepLast)
+    val expired = meta.snapshots.size - keep.size
+    if (expired == 0) return 0
+    val meta2 = meta.copy(snapshots = keep.sortBy(_.id))
+    val metaPath = FileLocations.tableMetadataPath(ns, ident.name())
+    TableMetadata.write(storage, metaPath, meta2)
+    val defPath = FileLocations.newTableDefPath(ns, ident.name())
+    storage.writeAtomic(defPath, Json.write(td.copy(
+      metadataLocation = metaPath,
+      previousMetadataLocation = Some(td.metadataLocation))))
+    val cd = Graft.catalogDef(storage, txn.runningRoot)
+    val key = ObjectKeys.tableKey(ns, ident.name(), cd)
+    TreeOps.setValue(storage, txn.runningRoot, key, Some(defPath), cd.order)
+    txn.replays += ((s, r) => TreeOps.setValue(s, r, key, Some(defPath),
+      Graft.catalogDef(s, r).order))
+    txn.record(graft.txn.Action(graft.txn.ActionType.AlterTable, key))
+    Graft.commitTransaction(storage, txn)
+    expired
+  }
+
+  /** Data files under the table's directory that no retained snapshot
+    * references. Returns the removed (or, with dryRun, removable)
+    * relative paths.
+    */
+  def removeOrphanFiles(cat: GraftCatalog, ident: Identifier,
+      dryRun: Boolean = false): Seq[String] = {
+    val storage = cat.storage
+    val txn = Graft.beginTransaction(storage)
+    val ns = ident.namespace()(0)
+    val td = Graft.describeTable(storage, txn, ns, ident.name())
+    val meta = TableMetadata.read(storage, td.metadataLocation)
+    val referenced = meta.snapshots.flatMap(_.files).map(_.path).toSet
+    val dataDir = FileLocations.tableDataDir(ns, ident.name())
+    val onDisk = listRecursive(storage, dataDir).filter(_.endsWith(".parquet"))
+    val orphans = onDisk.filterNot(referenced)
+    if (!dryRun && orphans.nonEmpty) storage.deleteBatch(orphans)
+    orphans
+  }
+
+  private def listRecursive(storage: graft.storage.StorageOps,
+      dir: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(storage.absolute(dir))
+    if (!java.nio.file.Files.isDirectory(root)) return Seq.empty
+    val base = java.nio.file.Paths.get(storage.root)
+    val out = Seq.newBuilder[String]
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p)) out += base.relativize(p).toString
+    }
+    out.result()
+  }
+
+  /** Catalog-history expiration: delete root-version files older than
+    * the newest `keepLast` versions (bounding the time-travel horizon)
+    * together with node files reachable ONLY from expired roots.
+    * The live root chain is never touched.
+    */
+  def expireCatalogVersions(cat: GraftCatalog, keepLast: Int): Int = {
+    val storage = cat.storage
+    val latest = TreeOps.findLatestRoot(storage).getOrElse(return 0)
+    val roots = TreeOps.listRoots(storage, latest).toSeq
+    val (keep, expire) = roots.splitAt(keepLast)
+    if (expire.isEmpty) return 0
+    val keepNodes = keep.flatMap(r => reachableNodes(storage, r.path.get)).toSet
+    val deletable = expire.flatMap { r =>
+      r.path.get +: reachableNodes(storage, r.path.get)
+        .filterNot(keepNodes).toSeq
+    }
+    storage.deleteBatch(deletable.distinct)
+    expire.size
+  }
+
+  private def reachableNodes(storage: graft.storage.StorageOps,
+      rootPath: String): Seq[String] = {
+    val root = TreeOps.loadRoot(storage, rootPath)
+    val out = Seq.newBuilder[String]
+    def walk(nodePath: Option[String]): Unit = nodePath.foreach { p =>
+      out += p
+      val node = TreeOps.loadNode(storage, p)
+      walk(node.leftmostChildPath)
+      node.mergedRows.foreach(r => walk(r.child))
+    }
+    walk(root.node.leftmostChildPath)
+    root.node.mergedRows.foreach(r => walk(r.child))
+    out.result()
+  }
+
+  private def commitSnapshot(cat: GraftCatalog, txn: graft.txn.Transaction,
+      ns: String, table: String, op: String, files: Seq[DataFileEntry]): Unit = {
+    val storage = cat.storage
+    def apply(s: graft.storage.StorageOps, root: graft.tree.TreeRoot): Unit = {
+      val cd = Graft.catalogDef(s, root)
+      val key = ObjectKeys.tableKey(ns, table, cd)
+      val defPath = TreeOps.searchValue(s, root, key).get
+      val td = Json.read(s.read(defPath), classOf[TableDef])
+      val meta = TableMetadata.read(s, td.metadataLocation)
+      val meta2 = meta.withSnapshot(op, files)
+      val metaPath = FileLocations.tableMetadataPath(ns, table)
+      TableMetadata.write(s, metaPath, meta2)
+      val defPath2 = FileLocations.newTableDefPath(ns, table)
+      s.writeAtomic(defPath2, Json.write(td.copy(
+        metadataLocation = metaPath,
+        previousMetadataLocation = Some(td.metadataLocation))))
+      TreeOps.setValue(s, root, key, Some(defPath2), cd.order)
+    }
+    apply(storage, txn.runningRoot)
+    txn.replays += ((s, r) => apply(s, r))
+    val cd = Graft.catalogDef(storage, txn.runningRoot)
+    txn.record(graft.txn.Action(graft.txn.ActionType.TableUpdate,
+      ObjectKeys.tableKey(ns, table, cd), Map("op" -> op)))
+    Graft.commitTransaction(storage, txn)
+  }
+}

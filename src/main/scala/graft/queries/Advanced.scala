@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second tranche of relational coverage: sessionization
+  * (gaps-and-islands), exact percentiles, conditional aggregation,
+  * date extraction, scalar/IN subqueries, pivot-style aggregation,
+  * ordered string aggregation. All oracle-checked.
+  */
+object Advanced {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q23_sessionize",
+      (s, d) => {
+        // gaps-and-islands: a new session starts after >30 min idle;
+        // count sessions + avg session length per event_type.
+        val ev = table(s, d, "events")
+          .withColumn("ts_us", expr("ts div 1000"))
+        val w = Window.partitionBy("user_id").orderBy("ts_us")
+        val sessions = ev
+          .withColumn("prev_us", lag("ts_us", 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              col("ts_us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+          .withColumn("sess_id",
+            sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        sessions.groupBy("user_id", "sess_id")
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_sessions"),
+            round(avg("n_events"), 4).as("avg_events_per_session"),
+            max("n_events").as("max_session_len"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) AS ts_us,
+             |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             |              THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+             |), sess AS (
+             |  SELECT user_id,
+             |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+             |  FROM ev
+             |), per AS (
+             |  SELECT user_id, sess_id, count(*) AS n_events
+             |  FROM sess GROUP BY user_id, sess_id
+             |)
+             |SELECT count(*) AS n_sessions,
+             |       round(avg(n_events), 4) AS avg_events_per_session,
+             |       max(n_events) AS max_session_len
+             |FROM per""".stripMargin)),
+
+    QueryDef(
+      "q24_percentiles",
+      (s, d) =>
+        table(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+            round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+             |       round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+             |       round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+             |       count(*) AS n
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    QueryDef(
+      "q25_conditional_agg",
+      (s, d) =>
+        table(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count(when(col("l_discount") > 0.05, 1)).as("n_high_disc"),
+            round(sum(when(col("l_tax") > 0.04, col("l_extendedprice"))
+              .otherwise(0.0)), 2).as("taxed_value"),
+            round(avg(when(col("l_quantity") >= 25, col("l_quantity"))), 4)
+              .as("avg_bulk_qty"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |       count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_high_disc,
+             |       round(sum(CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0 END), 2) AS taxed_value,
+             |       round(avg(CASE WHEN l_quantity >= 25 THEN l_quantity END), 4) AS avg_bulk_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
+      "q26_date_extract",
+      (s, d) =>
+        table(s, d, "orders")
+          .withColumn("yr", year(col("o_orderdate")))
+          .withColumn("mo", month(col("o_orderdate")))
+          .groupBy("yr", "mo")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("revenue"))
+          .orderBy("yr", "mo"),
+      Some("""SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+             |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+             |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin)),
+
+    QueryDef(
+      "q27_scalar_subquery",
+      (s, d) => {
+        val p = table(s, d, "part")
+        val avgPrice = p.agg(avg("p_retailprice")).first().getDouble(0)
+        p.filter(col("p_retailprice") > avgPrice)
+          .select("p_partkey", "p_name", "p_retailprice")
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name, p_retailprice FROM part
+             |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+             |ORDER BY p_partkey""".stripMargin)),
+
+    QueryDef(
+      "q28_in_subquery",
+      (s, d) => {
+        val bigOrders = table(s, d, "orders")
+          .filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey"))
+        table(s, d, "customer")
+          .join(bigOrders.distinct(), col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "q29_pivot",
+      (s, d) =>
+        table(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(round(sum("l_quantity"), 2))
+          .withColumnRenamed("F", "qty_f")
+          .withColumnRenamed("O", "qty_o")
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+             |       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
+      "q30_string_agg",
+      (s, d) =>
+        table(s, d, "nation")
+          .groupBy("n_regionkey")
+          .agg(
+            concat_ws(",", array_sort(collect_list("n_name"))).as("nations"),
+            count(lit(1)).as("n"))
+          .orderBy("n_regionkey"),
+      Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             |       count(*) AS n
+             |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    QueryDef(
+      "m01_compact_preserves_content",
+      (s, d) => {
+        // maintenance as a graded op: 4 appends → 4+ files → compact to
+        // 1 → content must still hash-match the oracle.
+        import graft.spark.GraftCatalog
+        if (s.conf.getOption("spark.sql.catalog.gm1").isEmpty) {
+          s.conf.set("spark.sql.catalog.gm1", classOf[GraftCatalog].getName)
+          s.conf.set("spark.sql.catalog.gm1.warehouse",
+            java.nio.file.Files.createTempDirectory("graft-gm1").toString)
+        }
+        val cat = s.sessionState.catalogManager.catalog("gm1")
+          .asInstanceOf[GraftCatalog]
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gm1.ns1")
+        s.sql("DROP TABLE IF EXISTS gm1.ns1.supplier")
+        val src = s.read.parquet(s"$d/supplier.parquet")
+        src.limit(0).writeTo("gm1.ns1.supplier").create()
+        (0 until 4).foreach { i =>
+          src.filter(col("s_suppkey") % 4 === i).writeTo("gm1.ns1.supplier").append()
+        }
+        graft.maintain.Maintenance.compactDataFiles(s, cat,
+          org.apache.spark.sql.connector.catalog.Identifier.of(Array("ns1"), "supplier"),
+          targetFiles = 1)
+        s.sql("""SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS bal
+                 FROM gm1.ns1.supplier ORDER BY s_suppkey""")
+      },
+      Some("""SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS bal
+             |FROM supplier ORDER BY s_suppkey""".stripMargin))
+  )
+}

@@ -1,0 +1,72 @@
+package graft.maintain
+
+import java.nio.file.Files
+
+import graft.spark.GraftCatalog
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.scalatest.funsuite.AnyFunSuite
+
+class MaintenanceSpec extends AnyFunSuite {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-mwh").toString
+
+  lazy val spark: SparkSession = graft.Verify.sessionBuilder("4")
+    .config("spark.sql.catalog.mcat", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.mcat.warehouse", warehouse)
+    .getOrCreate()
+
+  private def cat: GraftCatalog =
+    spark.sessionState.catalogManager.catalog("mcat").asInstanceOf[GraftCatalog]
+
+  private def currentFiles(ident: Identifier): Int = {
+    val txn = graft.catalog.Graft.beginTransaction(cat.storage)
+    val td = graft.catalog.Graft.describeTable(cat.storage, txn,
+      ident.namespace()(0), ident.name())
+    graft.format.TableMetadata.read(cat.storage, td.metadataLocation)
+      .currentFiles.size
+  }
+
+  test("compaction bin-packs files and preserves content") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mcat.ns1")
+    spark.sql("CREATE TABLE mcat.ns1.c (k BIGINT, v DOUBLE)")
+    (1 to 4).foreach { i =>
+      spark.sql(s"INSERT INTO mcat.ns1.c SELECT id + ${i * 100}, rand(42) FROM range(50)")
+    }
+    val ident = Identifier.of(Array("ns1"), "c")
+    val before = spark.table("mcat.ns1.c").groupBy().sum("k").collect()(0).getLong(0)
+    assert(currentFiles(ident) >= 4)
+    val res = Maintenance.compactDataFiles(spark, cat, ident, targetFiles = 1)
+    assert(res.filesAfter == 1 && res.filesBefore >= 4)
+    assert(currentFiles(ident) == 1)
+    val after = spark.table("mcat.ns1.c").groupBy().sum("k").collect()(0).getLong(0)
+    assert(before == after)
+    assert(spark.table("mcat.ns1.c").count() == 200)
+  }
+
+  test("snapshot expiration + orphan cleanup") {
+    spark.sql("CREATE TABLE mcat.ns1.e (k BIGINT)")
+    (1 to 3).foreach(_ => spark.sql("INSERT INTO mcat.ns1.e VALUES (1), (2)"))
+    val ident = Identifier.of(Array("ns1"), "e")
+    // overwrite makes the older files unreferenced by the current snapshot
+    spark.sql("INSERT OVERWRITE mcat.ns1.e VALUES (9)")
+    val expired = Maintenance.expireSnapshots(cat, ident, keepLast = 1)
+    assert(expired == 3)
+    val orphans = Maintenance.removeOrphanFiles(cat, ident)
+    assert(orphans.nonEmpty)
+    // table still reads correctly after cleanup
+    assert(spark.table("mcat.ns1.e").collect().map(_.getLong(0)).sameElements(Array(9L)))
+  }
+
+  test("catalog version expiration bounds time travel, keeps latest") {
+    spark.sql("CREATE TABLE mcat.ns1.h (k BIGINT)")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO mcat.ns1.h VALUES ($i)"))
+    val latestBefore = graft.tree.TreeOps.findLatestRoot(cat.storage).get.version
+    val removed = Maintenance.expireCatalogVersions(cat, keepLast = 2)
+    assert(removed > 0)
+    val latest = graft.tree.TreeOps.findLatestRoot(cat.storage).get
+    assert(latest.version == latestBefore)
+    // full current state still readable
+    assert(spark.table("mcat.ns1.h").count() == 3)
+  }
+}

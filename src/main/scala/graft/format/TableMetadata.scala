@@ -19,7 +19,8 @@ final case class DataFileEntry(
   */
 final case class Snapshot(
     id: Long,
-    parentId: Option[Long],
+    parentId: Long = -1L, // -1 = none (plain Long: Option[Long] erases
+    //                       to Integer under Jackson's scala module)
     timestampMillis: Long,
     operation: String, // append | overwrite | delete | compact
     files: Seq[DataFileEntry])
@@ -44,8 +45,7 @@ final case class TableMetadata(
     copy(
       currentSnapshotId = id,
       snapshots = snapshots :+ Snapshot(
-        id, Some(currentSnapshotId).filter(_ >= 0),
-        System.currentTimeMillis(), op, files))
+        id, currentSnapshotId, System.currentTimeMillis(), op, files))
   }
 }
 

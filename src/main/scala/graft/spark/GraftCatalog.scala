@@ -107,9 +107,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     else if (namespaceExists(namespace)) Array.empty // single-level
     else throw new NoSuchNamespaceException(namespace)
 
-  override def namespaceExists(namespace: Array[String]): Boolean =
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    if (isDtxnPath(namespace) && namespace.length == 3)
+      return Graft.distTransactionExists(storage, namespace(2))
     namespace.length == 1 &&
       inTxn(txn => Graft.namespaceExists(storage, txn, namespace(0)))
+  }
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] =
     try inTxn(txn =>
@@ -119,12 +122,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     }
 
   override def createNamespace(namespace: Array[String],
-      metadata: JMap[String, String]): Unit =
+      metadata: JMap[String, String]): Unit = {
+    // CREATE NAMESPACE cat.sys.dtxns.<id> begins a distributed txn and
+    // suspends it to storage (reference system-namespace protocol,
+    // docs/iceberg.md:95-179)
+    if (isDtxnPath(namespace) && namespace.length == 3) {
+      val id = namespace(2)
+      require(!Graft.distTransactionExists(storage, id),
+        s"distributed transaction $id already exists")
+      val latest = TreeOps.findLatestRoot(storage).get
+      val cd = Graft.catalogDef(storage, latest)
+      val running = TreeOps.loadRoot(storage, latest.path.get)
+      val now = System.currentTimeMillis()
+      val txn = new Transaction(id, cd.txnIsolationLevel, latest, running,
+        now, now + cd.txnTtlMillis)
+      Graft.saveDistTransaction(storage, txn)
+      return
+    }
     inTxn(txn => Graft.createNamespace(storage, txn,
       NamespaceDef(ns1(namespace), metadata.asScala.toMap)))
+  }
 
   override def alterNamespace(namespace: Array[String],
-      changes: NamespaceChange*): Unit = inTxn { txn =>
+      changes: NamespaceChange*): Unit = {
+    // ALTER NAMESPACE cat.sys.dtxns.<id> SET PROPERTIES('commit'='true')
+    // resumes and commits the suspended txn (docs/spark.md:110-142)
+    if (isDtxnPath(namespace) && namespace.length == 3) {
+      val commit = changes.exists {
+        case s: NamespaceChange.SetProperty =>
+          s.property() == "commit" && s.value() == "true"
+        case _ => false
+      }
+      require(commit, "only ('commit'='true') is supported on a dtxn namespace")
+      val txn = Graft.loadDistTransaction(storage, namespace(2))
+      Graft.commitTransaction(storage, txn)
+      storage.deleteBatch(Seq(FileLocations.distTransactionDefPath(namespace(2))))
+      return
+    }
+    alterRealNamespace(namespace, changes)
+  }
+
+  private def alterRealNamespace(namespace: Array[String],
+      changes: Seq[NamespaceChange]): Unit = inTxn { txn =>
     val cur = Graft.describeNamespace(storage, txn, ns1(namespace))
     val props = changes.foldLeft(cur.properties) {
       case (p, set: NamespaceChange.SetProperty) =>
@@ -138,10 +177,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       else ActionType.AlterNamespaceSetProps)
   }
 
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    // DROP NAMESPACE cat.sys.dtxns.<id> rolls the suspended txn back
+    if (isDtxnPath(namespace) && namespace.length == 3) {
+      val path = FileLocations.distTransactionDefPath(namespace(2))
+      val existed = storage.exists(path)
+      storage.deleteBatch(Seq(path))
+      return existed
+    }
     try inTxn { txn =>
       Graft.dropNamespace(storage, txn, ns1(namespace), cascade); true
     } catch { case _: IllegalArgumentException => false }
+  }
 
   // ---------------- tables ----------------
 
@@ -153,9 +200,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     ident.namespace.length == 1 && inTxn(txn =>
       Graft.tableExists(storage, txn, ident.namespace()(0), ident.name()))
 
-  override def loadTable(ident: Identifier): Table = inTxn { txn =>
-    loadFromTxn(ident, txn)
+  override def loadTable(ident: Identifier): Table = {
+    // metadata tables: <table>$snapshots / <table>$files (reference
+    // surfaces Iceberg metadata tables the same way,
+    // OlympiaIcebergCatalog.java:360-367)
+    MetadataTables.Suffixes.find(ident.name().endsWith(_)).foreach { suffix =>
+      val base = ident.name().dropRight(suffix.length)
+      val meta = inTxn { txn =>
+        val td =
+          try Graft.describeTable(storage, txn, ns1(ident.namespace()), base)
+          catch { case _: NoSuchElementException =>
+            throw new NoSuchTableException(ident)
+          }
+        TableMetadata.read(storage, td.metadataLocation)
+      }
+      return MetadataTables.forSuffix(s"$catalogName.${ns1(ident.namespace())}.$base",
+        suffix, meta)
+    }
+    // distributed-txn protocol: sys.dtxns.dtxn_<id>.<ns>.<table> reads
+    // the table through the suspended transaction's running root
+    // (reference docs/spark.md:83-142)
+    if (isDtxnPath(ident.namespace())) {
+      val txn = Graft.loadDistTransaction(storage, ident.namespace()(2))
+      val ns = ident.namespace()(3)
+      val td =
+        try Graft.describeTable(storage, txn, ns, ident.name())
+        catch { case _: NoSuchElementException => throw new NoSuchTableException(ident) }
+      val meta = TableMetadata.read(storage, td.metadataLocation)
+      // keep the dtxn path as the table's ident so writes route back
+      // into the suspended transaction (commitWrite re-suspends it)
+      return new GraftTable(this, ident, td, meta, txn, storage)
+    }
+    inTxn { txn => loadFromTxn(ident, txn) }
   }
+
+  /** namespace array shaped `sys.dtxns.<txn-id>[.<real-ns>]` */
+  private def isDtxnPath(namespace: Array[String]): Boolean =
+    namespace.length >= 3 && namespace(0) == "sys" && namespace(1) == "dtxns"
 
   private def loadFromTxn(ident: Identifier, txn: Transaction): GraftTable = {
     val ns = ns1(ident.namespace())
@@ -276,6 +357,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     */
   def commitWrite(ident: Identifier, data: org.apache.spark.sql.DataFrame,
       overwrite: Boolean): Unit = {
+    // write inside a suspended distributed txn: apply to its running
+    // tree and re-suspend — nothing publishes until the commit property
+    // is set (write-audit-publish, docs/index.md:54-64)
+    if (isDtxnPath(ident.namespace())) {
+      val id = ident.namespace()(2)
+      val ns = ident.namespace()(3)
+      val t = ident.name()
+      val txn = Graft.loadDistTransaction(storage, id)
+      val commitDir = s"${FileLocations.tableDataDir(ns, t)}/${UUID.randomUUID()}"
+      data.write.parquet(storage.absolute(commitDir))
+      val newFiles = GraftTable.listCommitFiles(storage, commitDir)
+      applyTableCommit(storage, txn.runningRoot, ns, t, "append", newFiles,
+        overwrite)
+      val cd = Graft.catalogDef(storage, txn.runningRoot)
+      txn.record(Action(ActionType.TableInsert,
+        ObjectKeys.tableKey(ns, t, cd),
+        Map("files" -> newFiles.map(_.path).mkString(","))))
+      Graft.saveDistTransaction(storage, txn)
+      return
+    }
     val ns = ns1(ident.namespace())
     val t = ident.name()
     val commitDir = s"${FileLocations.tableDataDir(ns, t)}/${UUID.randomUUID()}"

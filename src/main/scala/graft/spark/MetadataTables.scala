@@ -1,0 +1,70 @@
+package graft.spark
+
+import java.util.{Set => JSet}
+import scala.jdk.CollectionConverters._
+
+import graft.format.TableMetadata
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Inspection tables resolved as `<table>$snapshots` / `<table>$files`
+  * (reference: Iceberg metadata tables surfaced through
+  * OlympiaIcebergCatalog.java:360-367). Served as [[LocalScan]]s —
+  * catalog metadata is driver-resident by construction, so shipping it
+  * through executors would only add overhead.
+  */
+object MetadataTables {
+  val Suffixes: Seq[String] = Seq("$snapshots", "$files")
+
+  def forSuffix(baseName: String, suffix: String, meta: TableMetadata): Table =
+    suffix match {
+      case "$snapshots" => new SnapshotsTable(baseName, meta)
+      case "$files" => new FilesTable(baseName, meta)
+    }
+}
+
+private abstract class LocalMetadataTable(tableName: String) extends Table
+    with SupportsRead {
+  def rows: Seq[InternalRow]
+  override def name(): String = tableName
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new LocalScan {
+      override def readSchema(): StructType = schema()
+      override def rows(): Array[InternalRow] = LocalMetadataTable.this.rows.toArray
+    }
+}
+
+private class SnapshotsTable(baseName: String, meta: TableMetadata)
+    extends LocalMetadataTable(s"$baseName$$snapshots") {
+  override def schema(): StructType = StructType(Seq(
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("parent_id", LongType, nullable = true),
+    StructField("committed_at_millis", LongType, nullable = false),
+    StructField("operation", StringType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("is_current", BooleanType, nullable = false)))
+
+  override def rows: Seq[InternalRow] = meta.snapshots.map { s =>
+    InternalRow(s.id, if (s.parentId >= 0) Long.box(s.parentId) else null,
+      s.timestampMillis, UTF8String.fromString(s.operation), s.files.size,
+      s.id == meta.currentSnapshotId)
+  }
+}
+
+private class FilesTable(baseName: String, meta: TableMetadata)
+    extends LocalMetadataTable(s"$baseName$$files") {
+  override def schema(): StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false)))
+
+  override def rows: Seq[InternalRow] =
+    meta.currentSnapshot.toSeq.flatMap(s => s.files.map(f =>
+      InternalRow(UTF8String.fromString(f.path), f.sizeBytes, s.id)))
+}

@@ -57,6 +57,82 @@ object StreamingQueries {
              |       event_type, count(*) AS n_events,
              |       round(sum(value), 2) AS total_value
              |FROM events
-             |GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin)),
+
+    QueryDef(
+      "st02_stateful_sessions",
+      (s, d) => {
+        // Custom streaming state: flatMapGroupsWithState sessionizes
+        // each user's event stream (30-min idle gap). The oracle is the
+        // batch gaps-and-islands SQL — streaming-state result must
+        // equal batch semantics.
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        import s.implicits._
+        val sink = s"st02_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val gapUs = 1800000000L
+        val parsed = s.readStream
+          .schema(eventsSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .selectExpr("user_id", "ts div 1000 AS ts_us")
+          .as[(Long, Long)]
+        val sessions = parsed
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            // state = (lastTs, openSessionIndex) stitches batches
+            case (uid, evs, state: GroupState[(Long, Long)]) =>
+              val ts = evs.map(_._2).toArray.sorted
+              var (lastTs, sess) = state.getOption.getOrElse((Long.MinValue, 0L))
+              val out = Seq.newBuilder[(Long, Long, Long)]
+              var count = 0L
+              ts.foreach { t =>
+                if (lastTs == Long.MinValue || t - lastTs > gapUs) {
+                  if (count > 0) out += ((uid, sess, count))
+                  sess += 1
+                  count = 0
+                }
+                count += 1
+                lastTs = t
+              }
+              if (count > 0) out += ((uid, sess, count))
+              state.update((lastTs, sess))
+              out.result().iterator
+          }
+          .toDF("user_id", "sess_id", "n_events")
+        val q = sessions.writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+          .groupBy()
+          .agg(count(lit(1)).as("n_sessions"),
+            round(avg("n_events"), 4).as("avg_events_per_session"),
+            max("n_events").as("max_session_len"))
+      },
+      // identical oracle to q23: streaming state == batch windows
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) AS ts_us,
+             |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             |              THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+             |), sess AS (
+             |  SELECT user_id,
+             |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+             |  FROM ev
+             |), per AS (
+             |  SELECT user_id, sess_id, count(*) AS n_events
+             |  FROM sess GROUP BY user_id, sess_id
+             |)
+             |SELECT count(*) AS n_sessions,
+             |       round(avg(n_events), 4) AS avg_events_per_session,
+             |       max(n_events) AS max_session_len
+             |FROM per""".stripMargin))
   )
 }

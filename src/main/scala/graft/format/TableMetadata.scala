@@ -11,7 +11,9 @@ import graft.storage.StorageOps
 final case class DataFileEntry(
     path: String,
     rowCount: Long,
-    sizeBytes: Long)
+    sizeBytes: Long,
+    minValues: Map[String, String] = Map.empty,
+    maxValues: Map[String, String] = Map.empty)
 
 /** An immutable table version: full file list + provenance. Replaces
   * the reference's `iceberg_metadata_location` indirection

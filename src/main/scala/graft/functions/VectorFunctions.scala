@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -10,14 +10,16 @@ import org.apache.spark.sql.types._
   * Implemented as `Expression`s (not Scala UDFs) so the whole row stays
   * inside Tungsten: inputs arrive as `ArrayData` (no boxing of the
   * vector into Scala collections), and the dot/norm loop runs over the
-  * primitive array. At 100 TB this is the hot path of similarity
-  * search — a UDF would serialize every row through an encoder.
+  * primitive array — with `doGenCode` so the loop is compiled into the
+  * enclosing whole-stage-codegen function. At 100 TB this is the hot
+  * path of similarity search; a UDF would serialize every row through
+  * an encoder, and a fallback expression would break the codegen span.
   *
   * Accumulation is sequential in `Double`, matching what a columnar
   * engine (e.g. DuckDB's list_cosine_similarity on DOUBLE[]) computes,
   * so results are comparable to an external oracle up to ~1 ulp.
   */
-abstract class VectorBinaryExpression extends BinaryExpression with CodegenFallback {
+abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
@@ -25,6 +27,15 @@ abstract class VectorBinaryExpression extends BinaryExpression with CodegenFallb
     e.dataType match {
       case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
       case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+      case other =>
+        throw new IllegalArgumentException(s"expected array<float|double>, got $other")
+    }
+
+  /** Java source for element i of an ArrayData variable, as double. */
+  protected def elemJava(e: Expression, arr: String, i: String): String =
+    e.dataType match {
+      case ArrayType(FloatType, _) => s"(double) $arr.getFloat($i)"
+      case ArrayType(DoubleType, _) => s"$arr.getDouble($i)"
       case other =>
         throw new IllegalArgumentException(s"expected array<float|double>, got $other")
     }
@@ -49,6 +60,30 @@ case class CosineSimilarity(left: Expression, right: Expression)
     if (denom == 0.0) null else dot / denom
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${elemJava(left, a, i)};
+         |  double $y = ${elemJava(right, b, i)};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |double $denom = Math.sqrt($na) * Math.sqrt($nb);
+         |if ($denom == 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $dot / $denom; }
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : Expression = copy(left = l, right = r)
 }
@@ -67,6 +102,21 @@ case class DotProduct(left: Expression, right: Expression)
     while (i < n) { dot += getL(a, i) * getR(b, i); i += 1 }
     dot
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (${elemJava(left, a, i)}) * (${elemJava(right, b, i)});
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : Expression = copy(left = l, right = r)

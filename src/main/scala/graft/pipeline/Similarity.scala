@@ -87,6 +87,26 @@ object Similarity {
           .select("qid", "rank", "vec_id", "cos_sim")
           .orderBy("qid", "rank")
       },
-      None) // approximate: recall measured against ss01, not an oracle
+      None), // approximate: recall measured against ss01, not an oracle
+
+    QueryDef(
+      "ss03_ann_recall",
+      (s, d) => {
+        // quality harness: recall@10 of the IVF path against the exact
+        // brute-force baseline, per query vector — the measurement a
+        // production ANN deployment monitors.
+        val exact = defs.find(_.name == "ss01_brute_topk").get.fn(s, d)
+          .select(col("qid"), col("vec_id"))
+        val approx = defs.find(_.name == "ss02_ann_ivf").get.fn(s, d)
+          .select(col("qid").as("a_qid"), col("vec_id").as("a_vec"))
+        exact.join(approx,
+            col("qid") === col("a_qid") && col("vec_id") === col("a_vec"),
+            "left_outer")
+          .groupBy("qid")
+          .agg((count(col("a_vec")).cast("double") / count(lit(1)))
+            .as("recall_at_10"))
+          .orderBy("qid")
+      },
+      None)
   )
 }

@@ -1,0 +1,155 @@
+package graft.spark
+
+import graft.format.DataFileEntry
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scan builder with snapshot-stats file pruning.
+  *
+  * Receives Catalyst data filters (same interface Spark's own file
+  * sources use), prunes the snapshot's file list against the per-file
+  * min/max recorded at commit time, and only then constructs the
+  * delegated parquet scan over the surviving files — so at 100 TB a
+  * selective filter never even lists, opens, or splits the excluded
+  * files. Parquet row-group pruning still applies inside each surviving
+  * file via the delegated builder (filters are forwarded).
+  *
+  * Pruning is conservative: any un-analyzable predicate keeps the file.
+  */
+class GraftScanBuilder(
+    spark: ClassicSession,
+    tableName: String,
+    options: CaseInsensitiveStringMap,
+    schema: StructType,
+    files: Seq[(String, DataFileEntry)], // (absolute path, entry)
+    onBuild: (Seq[String], Seq[Expression]) => Unit)
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownCatalystFilters {
+
+  private var requiredSchema: StructType = schema
+  private var dataFilters: Seq[Expression] = Seq.empty
+  private var innerPushed: Array[Predicate] = Array.empty
+
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = required
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    dataFilters = filters
+    filters // Spark re-evaluates after the scan; parquet gets them below
+  }
+
+  override def pushedFilters(): Array[Predicate] = innerPushed
+
+  override def build(): Scan = {
+    val kept = files.filter { case (_, f) =>
+      dataFilters.forall(expr => FilePruning.mayMatch(expr, f, schema))
+    }
+    onBuild(requiredSchema.fieldNames.toSeq, dataFilters)
+    if (kept.isEmpty) return new EmptyScanBuilder(requiredSchema).build()
+    val inner = ParquetTable(tableName, spark, options, kept.map(_._1),
+      Some(schema), classOf[ParquetFileFormat])
+      .newScanBuilder(options)
+    inner match {
+      case p: SupportsPushDownRequiredColumns => p.pruneColumns(requiredSchema)
+      case _ => ()
+    }
+    inner match {
+      case p: SupportsPushDownCatalystFilters =>
+        p.pushFilters(dataFilters)
+        innerPushed = p.pushedFilters
+      case _ => ()
+    }
+    inner.build()
+  }
+}
+
+/** Min/max interval analysis of Catalyst predicates against one file's
+  * stats. `mayMatch = false` ⇒ provably zero matching rows.
+  */
+object FilePruning {
+
+  def mayMatch(expr: Expression, file: DataFileEntry, schema: StructType): Boolean =
+    expr match {
+      case And(l, r) => mayMatch(l, file, schema) && mayMatch(r, file, schema)
+      case Or(l, r) => mayMatch(l, file, schema) || mayMatch(r, file, schema)
+      case EqualTo(a: Attribute, Literal(v, _)) =>
+        within(a, v, file, schema)
+      case EqualTo(Literal(v, _), a: Attribute) =>
+        within(a, v, file, schema)
+      case GreaterThan(a: Attribute, Literal(v, _)) =>
+        compareMax(a, v, file, schema).forall(_ > 0)
+      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) =>
+        compareMax(a, v, file, schema).forall(_ >= 0)
+      case LessThan(a: Attribute, Literal(v, _)) =>
+        compareMin(a, v, file, schema).forall(_ < 0)
+      case LessThanOrEqual(a: Attribute, Literal(v, _)) =>
+        compareMin(a, v, file, schema).forall(_ <= 0)
+      case GreaterThan(Literal(v, _), a: Attribute) =>
+        compareMin(a, v, file, schema).forall(_ < 0)
+      case GreaterThanOrEqual(Literal(v, _), a: Attribute) =>
+        compareMin(a, v, file, schema).forall(_ <= 0)
+      case LessThan(Literal(v, _), a: Attribute) =>
+        compareMax(a, v, file, schema).forall(_ > 0)
+      case LessThanOrEqual(Literal(v, _), a: Attribute) =>
+        compareMax(a, v, file, schema).forall(_ >= 0)
+      case In(a: Attribute, values) if values.forall(_.isInstanceOf[Literal]) =>
+        values.exists(l => within(a, l.asInstanceOf[Literal].value, file, schema))
+      case _ => true // unknown shape: keep the file
+    }
+
+  /** cmp(file.max(attr), v): None = no stats (keep). */
+  private def compareMax(a: Attribute, v: Any, f: DataFileEntry,
+      schema: StructType): Option[Int] =
+    f.maxValues.get(a.name).flatMap(s => cmp(s, v, typeOf(a, schema)))
+
+  private def compareMin(a: Attribute, v: Any, f: DataFileEntry,
+      schema: StructType): Option[Int] =
+    f.minValues.get(a.name).flatMap(s => cmp(s, v, typeOf(a, schema)))
+
+  private def within(a: Attribute, v: Any, f: DataFileEntry,
+      schema: StructType): Boolean = {
+    val aboveMin = compareMin(a, v, f, schema).forall(_ <= 0)
+    val belowMax = compareMax(a, v, f, schema).forall(_ >= 0)
+    aboveMin && belowMax
+  }
+
+  private def typeOf(a: Attribute, schema: StructType): DataType =
+    schema.find(_.name == a.name).map(_.dataType).getOrElse(a.dataType)
+
+  /** Compare a rendered stat with a Catalyst literal value; None when
+    * the combination isn't comparable (prune conservatively).
+    */
+  private def cmp(stat: String, v: Any, dt: DataType): Option[Int] =
+    try dt match {
+      case LongType | IntegerType | ShortType | ByteType |
+           TimestampType | TimestampNTZType | DateType =>
+        val lit = v match {
+          case n: java.lang.Number => n.longValue()
+          case _ => return None
+        }
+        Some(java.lang.Long.compare(stat.toLong, lit))
+      case DoubleType | FloatType =>
+        val lit = v match {
+          case n: java.lang.Number => n.doubleValue()
+          case _ => return None
+        }
+        Some(java.lang.Double.compare(stat.toDouble, lit))
+      case StringType =>
+        val lit = v match {
+          case s: UTF8String => s.toString
+          case s: String => s
+          case _ => return None
+        }
+        Some(stat.compareTo(lit))
+      case _ => None
+    } catch { case _: NumberFormatException => None }
+}

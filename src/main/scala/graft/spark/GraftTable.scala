@@ -63,15 +63,19 @@ class GraftTable(
   // ---------------- read ----------------
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    txn.record(Action(ActionType.TableSelect, catalog.tableKey(tableDef),
-      Map("columns" -> schema.fieldNames.mkString(","))))
-    val files = meta.currentFiles.map(f => storage.absolute(f.path))
+    val files = meta.currentFiles.map(f => (storage.absolute(f.path), f))
     if (files.isEmpty) {
       // empty snapshot: serve an empty scan with the declared schema
+      txn.record(Action(ActionType.TableSelect, catalog.tableKey(tableDef)))
       new EmptyScanBuilder(schema)
     } else {
-      ParquetTable(name(), spark, options, files, Some(schema),
-        classOf[ParquetFileFormat]).newScanBuilder(options)
+      new GraftScanBuilder(spark, name(), options, schema, files,
+        onBuild = (columns, filters) =>
+          // projection + pushed predicates captured as the txn's read
+          // set (reference TableSelectDef, actions.proto:94-97)
+          txn.record(Action(ActionType.TableSelect, catalog.tableKey(tableDef),
+            Map("columns" -> columns.mkString(","),
+              "filters" -> filters.map(_.sql).mkString(" AND ")))))
     }
   }
 
@@ -92,18 +96,25 @@ class GraftTable(
 }
 
 object GraftTable {
-  /** List the parquet files Spark's writer produced under `dir`. */
+  /** List the parquet files Spark's writer produced under `dir`,
+    * harvesting row counts + per-column min/max from the footers (one
+    * driver-side footer read per freshly written file, at commit only —
+    * these stats drive file-level pruning at scan time).
+    */
   def listCommitFiles(storage: StorageOps, relDir: String): Seq[DataFileEntry] =
     storage.listPrefix(relDir)
       .filter(_.endsWith(".parquet"))
       .map { rel =>
-        val abs = java.nio.file.Paths.get(storage.absolute(rel))
-        DataFileEntry(rel, rowCount = -1L, sizeBytes = java.nio.file.Files.size(abs))
+        val abs = storage.absolute(rel)
+        val stats = graft.format.ParquetStats.read(abs)
+        DataFileEntry(rel, rowCount = stats.rowCount,
+          sizeBytes = java.nio.file.Files.size(java.nio.file.Paths.get(abs)),
+          minValues = stats.minValues, maxValues = stats.maxValues)
       }
 }
 
 /** Scan of an empty table: zero partitions, declared schema. */
-private class EmptyScanBuilder(schema: StructType) extends ScanBuilder {
+private[spark] class EmptyScanBuilder(schema: StructType) extends ScanBuilder {
   override def build(): org.apache.spark.sql.connector.read.Scan =
     new org.apache.spark.sql.connector.read.Scan {
       override def readSchema(): StructType = schema

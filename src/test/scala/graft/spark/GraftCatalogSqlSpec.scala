@@ -87,6 +87,19 @@ class GraftCatalogSqlSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM cat.ns1.tt VERSION AS OF $v1").count() == 0)
   }
 
+  test("catalog time travel: TIMESTAMP AS OF") {
+    spark.sql("CREATE TABLE cat.ns1.tts (k BIGINT)")
+    spark.sql("INSERT INTO cat.ns1.tts VALUES (1)")
+    Thread.sleep(50)
+    val mid = java.time.Instant.now()
+    Thread.sleep(50)
+    spark.sql("INSERT INTO cat.ns1.tts VALUES (2)")
+    assert(spark.table("cat.ns1.tts").count() == 2)
+    val asOf = spark.sql(
+      s"SELECT * FROM cat.ns1.tts TIMESTAMP AS OF '${java.sql.Timestamp.from(mid)}'")
+    assert(asOf.count() == 1)
+  }
+
   test("multi-table transaction: all-or-nothing visibility") {
     spark.sql("CREATE TABLE cat.ns1.txa (k BIGINT)")
     spark.sql("CREATE TABLE cat.ns1.txb (k BIGINT)")

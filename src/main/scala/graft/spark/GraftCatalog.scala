@@ -286,14 +286,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty, "partitioned tables land in a later round")
+    // identity partitioning = partition-clustered files: writes
+    // repartition by these columns so each file covers few partition
+    // values and the per-file min/max stats make partition pruning
+    // exact. (Hive-style directory layout is unnecessary — pruning
+    // happens on snapshot stats, not paths.)
+    val partCols = partitions.map { t =>
+      require(t.name() == "identity" && t.references().length == 1,
+        s"only identity partitioning is supported, got $t")
+      t.references()(0).fieldNames().mkString(".")
+    }
     val ns = ns1(ident.namespace())
     inTxn { txn =>
       val metaPath = FileLocations.tableMetadataPath(ns, ident.name())
       TableMetadata.write(storage, metaPath, TableMetadata.empty(schema.json))
+      val props = properties.asScala.toMap ++
+        (if (partCols.nonEmpty)
+          Map(GraftCatalog.PartitionColsProp -> partCols.mkString(","))
+        else Map.empty)
       Graft.createTable(storage, txn, TableDef(
-        ident.name(), ns, metadataLocation = metaPath,
-        properties = properties.asScala.toMap))
+        ident.name(), ns, metadataLocation = metaPath, properties = props))
     }
     loadTable(ident)
   }
@@ -380,7 +392,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val ns = ns1(ident.namespace())
     val t = ident.name()
     val commitDir = s"${FileLocations.tableDataDir(ns, t)}/${UUID.randomUUID()}"
-    data.write.parquet(storage.absolute(commitDir))
+    // cluster by the table's partition columns so files carry tight
+    // stats on them (exact partition pruning at scan time)
+    val partCols = inTxn(txn =>
+      Graft.describeTable(storage, txn, ns, t).properties
+        .get(GraftCatalog.PartitionColsProp))
+      .map(_.split(',').toSeq).getOrElse(Seq.empty)
+    val clustered =
+      if (partCols.nonEmpty)
+        data.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+      else data
+    clustered.write.parquet(storage.absolute(commitDir))
     val newFiles = GraftTable.listCommitFiles(storage, commitDir)
     val op = if (overwrite) "overwrite" else "append"
     inTxn { txn =>
@@ -539,4 +561,9 @@ class GraftView(catalogName: String, ident: Identifier, d: ViewDef) extends View
   override def columnAliases(): Array[String] = Array.empty
   override def columnComments(): Array[String] = Array.empty
   override def properties(): JMap[String, String] = d.properties.asJava
+}
+
+object GraftCatalog {
+  /** TableDef property holding comma-separated partition column names. */
+  val PartitionColsProp = "graft.partition-columns"
 }

@@ -51,7 +51,12 @@ class GraftTable(
   override lazy val schema: StructType =
     DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
 
-  override def partitioning(): Array[Transform] = Array.empty
+  override def partitioning(): Array[Transform] =
+    tableDef.properties.get(GraftCatalog.PartitionColsProp)
+      .map(_.split(',').map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+          .asInstanceOf[Transform]))
+      .getOrElse(Array.empty)
 
   override def properties(): java.util.Map[String, String] =
     tableDef.properties.asJava

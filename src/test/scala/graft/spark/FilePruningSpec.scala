@@ -58,6 +58,27 @@ class FilePruningSpec extends AnyFunSuite {
     assert(scannedFiles(s) == 0)
   }
 
+  test("partitioned table: clustered writes give exact partition pruning") {
+    spark.sql(
+      "CREATE TABLE pcat.ns1.parted (k BIGINT, region STRING) PARTITIONED BY (region)")
+    spark.sql("""INSERT INTO pcat.ns1.parted
+      SELECT id, CASE WHEN id % 3 = 0 THEN 'asia'
+                      WHEN id % 3 = 1 THEN 'emea' ELSE 'amer' END
+      FROM range(0, 300, 1, 4)""")
+    assert(spark.table("pcat.ns1.parted").count() == 300)
+    // identity partitioning reported through the V2 API
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cat = spark.sessionState.catalogManager.catalog("pcat")
+      .asInstanceOf[GraftCatalog]
+    val t = cat.loadTable(Identifier.of(Array("ns1"), "parted"))
+    assert(t.partitioning().map(_.toString).sameElements(Array("identity(region)")))
+    // a single-partition filter scans only that partition's file(s)
+    val one = spark.sql("SELECT * FROM pcat.ns1.parted WHERE region = 'emea'")
+    assert(one.count() == 100)
+    assert(scannedFiles(one) == 1,
+      "partition-clustered write should confine 'emea' to one file")
+  }
+
   test("row counts recorded in snapshot metadata") {
     val files = spark.table("pcat.ns1.`ranged$files`").collect()
     assert(files.length == 4)

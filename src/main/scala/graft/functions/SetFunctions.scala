@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -15,8 +15,26 @@ import org.apache.spark.sql.types._
   * the per-pair inner loop, so constant factors matter at any scale.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = IntegerType
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $i = 0, $j = 0, $n = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x == $y) { $n++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]

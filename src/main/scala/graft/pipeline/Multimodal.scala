@@ -90,6 +90,44 @@ object Multimodal {
         }(org.apache.spark.sql.Encoders.row(featureSchema))
         out.withColumn("mean_byte", round(col("mean_byte"), 4)).orderBy("doc_id")
       },
-      None) // decoder is a stub — verified structurally + rows-only
+      None), // decoder is a stub — verified structurally + rows-only
+
+    QueryDef(
+      "mm03_frame_sample",
+      (s, d) => {
+        // frame sampling: treat the payload as a fake "video" of
+        // fixed-size frames and emit every k-th frame's feature row —
+        // one input row explodes into per-frame rows with typed
+        // metadata, the exact shape a real decoder feeds downstream.
+        // Deterministic stand-in (frame = 64-byte slice, stride 4).
+        val frameBytes = 64
+        val stride = 4
+        val rows = table(s, d, "documents")
+          .withColumn("media", encode(col("text"), "utf-8"))
+          .select("doc_id", "media")
+        val out = rows.mapPartitions { it =>
+          it.flatMap { r =>
+            val id = r.getLong(0)
+            val payload = r.getAs[Array[Byte]](1)
+            val nFrames = payload.length / frameBytes
+            (0 until nFrames by stride).map { f =>
+              val (n, mean, _) = {
+                val slice = java.util.Arrays.copyOfRange(
+                  payload, f * frameBytes, (f + 1) * frameBytes)
+                var sum = 0L; var max = 0
+                slice.foreach { b => sum += (b & 0xff); max = math.max(max, b & 0xff) }
+                (slice.length.toLong, sum.toDouble / slice.length, max)
+              }
+              Row(id, f, n, math.rint(mean * 10000) / 10000)
+            }
+          }
+        }(org.apache.spark.sql.Encoders.row(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("frame_idx", IntegerType),
+          StructField("frame_bytes", LongType),
+          StructField("mean_byte", DoubleType)))))
+        out.orderBy("doc_id", "frame_idx")
+      },
+      None)
   )
 }

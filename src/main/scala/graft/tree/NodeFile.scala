@@ -50,6 +50,10 @@ final class NodeFile(bytes: Array[Byte]) extends AutoCloseable {
   val metadata: Map[String, String] = root.getSchema.getCustomMetadata.asScala.toMap
 
   def keyBytes(i: Int): Array[Byte] = keyV.get(i)
+  def valueBytes(i: Int): Array[Byte] = valueV.get(i)
+  def childBytes(i: Int): Array[Byte] = childV.get(i)
+  def valueIsNull(i: Int): Boolean = valueV.isNull(i)
+  def childIsNull(i: Int): Boolean = childV.isNull(i)
   def key(i: Int): String = new String(keyV.get(i), StandardCharsets.UTF_8)
   def value(i: Int): Option[String] =
     if (valueV.isNull(i)) None else Some(new String(valueV.get(i), StandardCharsets.UTF_8))
@@ -96,6 +100,19 @@ object NodeFile {
     * metadata so cross-process conflict analysis works, SURVEY §4.3.1).
     */
   def write(rows: Seq[TreeRow], metadata: Map[String, String]): Array[Byte] = {
+    val utf8 = StandardCharsets.UTF_8
+    writeRaw(rows.iterator.map(r => RawRow(r.key.getBytes(utf8),
+      r.value.map(_.getBytes(utf8)).orNull,
+      r.child.map(_.getBytes(utf8)).orNull)), metadata)
+  }
+
+  /** Byte-level write path: rows sourced from persisted slices arrive
+    * as the original buffers and transfer without decode/encode
+    * (reference SliceRowIterator.transferToTargetVectors,
+    * NodeRowMerger.java:91-94 — the core write-amplification
+    * optimization, SURVEY §4.2).
+    */
+  def writeRaw(rows: Iterator[RawRow], metadata: Map[String, String]): Array[Byte] = {
     val fields = Seq("key", "value", "pnode").map(n =>
       new Field(n, FieldType.nullable(new ArrowType.Utf8()), null))
     val schema = new Schema(fields.asJava, metadata.asJava)
@@ -105,18 +122,14 @@ object NodeFile {
       val valueV = root.getVector("value").asInstanceOf[VarCharVector]
       val childV = root.getVector("pnode").asInstanceOf[VarCharVector]
       root.allocateNew()
-      rows.zipWithIndex.foreach { case (r, i) =>
-        keyV.setSafe(i, r.key.getBytes(StandardCharsets.UTF_8))
-        r.value match {
-          case Some(v) => valueV.setSafe(i, v.getBytes(StandardCharsets.UTF_8))
-          case None => valueV.setNull(i)
-        }
-        r.child match {
-          case Some(c) => childV.setSafe(i, c.getBytes(StandardCharsets.UTF_8))
-          case None => childV.setNull(i)
-        }
+      var i = 0
+      rows.foreach { r =>
+        keyV.setSafe(i, r.key)
+        if (r.value != null) valueV.setSafe(i, r.value) else valueV.setNull(i)
+        if (r.child != null) childV.setSafe(i, r.child) else childV.setNull(i)
+        i += 1
       }
-      root.setRowCount(rows.size)
+      root.setRowCount(i)
       val out = new ByteArrayOutputStream()
       val writer = new ArrowFileWriter(root, null, Channels.newChannel(out))
       try {

@@ -103,4 +103,57 @@ final class TreeNode(var persisted: Option[NodeFile]) {
     val cands = mergedRows.filter(r => r.child.isDefined && r.key <= key)
     cands.lastOption
   }
+
+  /** Merged live rows in RAW form: persisted slice rows surface as the
+    * original UTF-8 byte arrays (no decode), pending rows encode once.
+    * This is the write path's view — unchanged slice ranges transfer
+    * into the new node file wholesale, byte-for-byte (the reference's
+    * `SliceRowIterator.transferToTargetVectors` optimization,
+    * NodeRowMerger.java:91-94).
+    */
+  def mergedRawRows: Iterator[RawRow] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val pend = pending.iterator.buffered
+    val persistedIt = slices.iterator.flatMap { s =>
+      (s.start until s.end).iterator
+    }.buffered
+    new Iterator[RawRow] {
+      private var nextRow: RawRow = advance()
+
+      private def advance(): RawRow = {
+        while (persistedIt.hasNext || pend.hasNext) {
+          val f = persisted.orNull
+          val takePending =
+            if (!persistedIt.hasNext) true
+            else if (!pend.hasNext) false
+            else pend.head._1 <= f.key(persistedIt.head)
+          if (takePending) {
+            val (k, row) = pend.next()
+            if (persistedIt.hasNext && f.key(persistedIt.head) == k) persistedIt.next()
+            if (row.isLive) {
+              return RawRow(k.getBytes(utf8),
+                row.value.map(_.getBytes(utf8)).orNull,
+                row.child.map(_.getBytes(utf8)).orNull)
+            }
+          } else {
+            val i = persistedIt.next()
+            val value = if (f.valueIsNull(i)) null else f.valueBytes(i)
+            val child = if (f.childIsNull(i)) null else f.childBytes(i)
+            if (value != null || child != null) {
+              return RawRow(f.keyBytes(i), value, child)
+            }
+          }
+        }
+        null
+      }
+
+      override def hasNext: Boolean = nextRow != null
+      override def next(): RawRow = {
+        val r = nextRow; nextRow = advance(); r
+      }
+    }
+  }
 }
+
+/** One node row as raw UTF-8 bytes (null = SQL-null column). */
+final case class RawRow(key: Array[Byte], value: Array[Byte], child: Array[Byte])

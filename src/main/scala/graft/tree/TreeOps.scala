@@ -240,9 +240,8 @@ object TreeOps {
         }
       }
     }
-    val rows = root.node.mergedRows
     val meta = rootMeta ++ root.node.leftmostChildPath.map(MLeftmost -> _).toMap
-    storage.overwrite(path, NodeFile.write(rows, meta))
+    storage.overwrite(path, NodeFile.writeRaw(root.node.mergedRawRows, meta))
     root.node.dirty = false
     root.path = Some(path)
   }
@@ -261,9 +260,8 @@ object TreeOps {
         }
       }
     }
-    val rows = node.mergedRows
     val meta = extraMeta ++ node.leftmostChildPath.map(MLeftmost -> _).toMap
-    val bytes = NodeFile.write(rows, meta)
+    val bytes = NodeFile.writeRaw(node.mergedRawRows, meta)
     val path = rootVersion match {
       case Some(v) =>
         val p = FileLocations.rootNodePath(v)

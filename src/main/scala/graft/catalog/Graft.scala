@@ -19,7 +19,9 @@ object Graft {
   // ---------- catalog ----------
 
   def catalogExists(storage: StorageOps): Boolean =
-    storage.exists(FileLocations.rootNodePath(0L))
+    storage.exists(FileLocations.rootNodePath(0L)) ||
+      // v0 may have been expired by catalog-history expiration
+      TreeOps.findLatestRoot(storage).isDefined
 
   /** Write CatalogDef + empty root v0 (Olympia.java:53-63). */
   def createCatalog(storage: StorageOps, cd: CatalogDef): Unit = {

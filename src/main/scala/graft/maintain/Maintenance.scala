@@ -106,6 +106,31 @@ object Maintenance {
     out.result()
   }
 
+  /** Metadata-only import of existing parquet files into a table — no
+    * data copy (the migration path for users switching an existing
+    * parquet lake onto the catalog; analog of Iceberg's add_files).
+    * Footer stats are harvested so imported files prune like native
+    * ones. The files must already live under the catalog root.
+    */
+  def importFiles(cat: GraftCatalog, ident: Identifier,
+      relPaths: Seq[String]): Int = {
+    val storage = cat.storage
+    val txn = Graft.beginTransaction(storage)
+    val ns = ident.namespace()(0)
+    val entries = relPaths.map { rel =>
+      val abs = storage.absolute(rel)
+      val stats = graft.format.ParquetStats.read(abs)
+      DataFileEntry(rel, stats.rowCount,
+        java.nio.file.Files.size(java.nio.file.Paths.get(abs)),
+        stats.minValues, stats.maxValues)
+    }
+    val td = Graft.describeTable(storage, txn, ns, ident.name())
+    val meta = TableMetadata.read(storage, td.metadataLocation)
+    commitSnapshot(cat, txn, ns, ident.name(), "import",
+      meta.currentFiles ++ entries)
+    entries.size
+  }
+
   /** Catalog-history expiration: delete root-version files older than
     * the newest `keepLast` versions (bounding the time-travel horizon)
     * together with node files reachable ONLY from expired roots.

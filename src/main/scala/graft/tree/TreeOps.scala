@@ -286,8 +286,19 @@ object TreeOps {
       if (storage.exists(FileLocations.LatestVersionHint))
         new String(storage.read(FileLocations.LatestVersionHint), "UTF-8").trim.toLong
       else 0L
-    var v = if (storage.exists(FileLocations.rootNodePath(hint))) hint else 0L
-    if (!storage.exists(FileLocations.rootNodePath(v))) return None
+    var v =
+      if (storage.exists(FileLocations.rootNodePath(hint))) hint
+      else if (storage.exists(FileLocations.rootNodePath(0L))) 0L
+      else {
+        // stale hint AND v0 expired (history expiration): recover by
+        // listing vn/ and decoding the reversed-binary version names
+        val versions = storage.listPrefix("vn")
+          .map(_.stripPrefix("vn/"))
+          .filter(n => n.length == 64 && n.forall(c => c == '0' || c == '1'))
+          .map(bits => java.lang.Long.reverse(java.lang.Long.parseUnsignedLong(bits, 2)))
+        if (versions.isEmpty) return None
+        versions.max
+      }
     while (storage.exists(FileLocations.rootNodePath(v + 1))) v += 1
     Some(loadRoot(storage, FileLocations.rootNodePath(v)))
   }
@@ -300,8 +311,9 @@ object TreeOps {
       s"version $version is newer than latest ${latest.version}")
     var cur = latest
     while (cur.version != version) {
-      val prev = cur.previousRootPath.getOrElse(
-        throw new IllegalArgumentException(s"version $version unreachable"))
+      val prev = cur.previousRootPath.filter(storage.exists).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $version unreachable (expired or never existed)"))
       cur = loadRoot(storage, prev)
     }
     cur
@@ -313,10 +325,11 @@ object TreeOps {
   def findRootBeforeTimestamp(storage: StorageOps, latest: TreeRoot, ts: Long): TreeRoot = {
     var cur = latest
     while (cur.createdAtMillis > ts) {
-      cur = cur.previousRootPath match {
+      cur = cur.previousRootPath.filter(storage.exists) match {
         case Some(prev) => loadRoot(storage, prev)
         case None => throw new IllegalArgumentException(
-          s"no catalog version exists at or before timestamp $ts")
+          s"no catalog version exists at or before timestamp $ts " +
+            "(older history may have been expired)")
       }
     }
     cur
@@ -327,7 +340,10 @@ object TreeOps {
     */
   def listRoots(storage: StorageOps, latest: TreeRoot): Iterator[TreeRoot] =
     Iterator.iterate(Option(latest)) {
-      case Some(r) => r.previousRootPath.map(loadRoot(storage, _))
+      case Some(r) =>
+        // stop at the expiration horizon: the chain may legitimately
+        // point at a root that catalog-history expiration deleted
+        r.previousRootPath.filter(storage.exists).map(loadRoot(storage, _))
       case None => None
     }.takeWhile(_.isDefined).map(_.get)
 

@@ -58,6 +58,32 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.table("mcat.ns1.e").collect().map(_.getLong(0)).sameElements(Array(9L)))
   }
 
+  test("metadata-only import of pre-existing parquet files") {
+    // files written OUTSIDE the catalog's commit path
+    val ext = "external/imported"
+    spark.range(0, 77).selectExpr("id AS k")
+      .write.parquet(cat.storage.absolute(ext))
+    val rels = cat.storage.listPrefix(ext).filter(_.endsWith(".parquet"))
+    spark.sql("CREATE TABLE mcat.ns1.imp (k BIGINT)")
+    val ident = Identifier.of(Array("ns1"), "imp")
+    val n = Maintenance.importFiles(cat, ident, rels)
+    assert(n == rels.size)
+    assert(spark.table("mcat.ns1.imp").count() == 77)
+    // imported files carry footer stats → prunable
+    val none = spark.sql("SELECT * FROM mcat.ns1.imp WHERE k > 1000")
+    assert(none.count() == 0)
+  }
+
+  test("catalog survives history expiration with a stale latest hint") {
+    val before = graft.tree.TreeOps.findLatestRoot(cat.storage).get.version
+    Maintenance.expireCatalogVersions(cat, keepLast = 2)
+    // poison the hint to a deleted version
+    cat.storage.overwrite("vn/latest", "0".getBytes)
+    val latest = graft.tree.TreeOps.findLatestRoot(cat.storage)
+    assert(latest.isDefined && latest.get.version == before)
+    assert(graft.catalog.Graft.catalogExists(cat.storage))
+  }
+
   test("catalog version expiration bounds time travel, keeps latest") {
     spark.sql("CREATE TABLE mcat.ns1.h (k BIGINT)")
     (1 to 3).foreach(i => spark.sql(s"INSERT INTO mcat.ns1.h VALUES ($i)"))

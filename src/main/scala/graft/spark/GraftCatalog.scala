@@ -65,12 +65,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val txn = sessionTxn.getOrElse(
       throw new IllegalStateException("no transaction in progress"))
     try Graft.commitTransaction(storage, txn)
-    finally sessionTxn = None
+    finally { sessionTxn = None; txn.close() }
   }
 
   def rollbackTransaction(): Unit = synchronized {
     require(sessionTxn.isDefined, "no transaction in progress")
+    val txn = sessionTxn.get
     sessionTxn = None // discard: nothing was published
+    txn.close()
   }
 
   def transactionActive: Boolean = sessionTxn.isDefined
@@ -82,14 +84,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     case Some(txn) => f(txn)
     case None =>
       val txn = Graft.beginTransaction(storage)
-      val out = f(txn)
-      Graft.commitTransaction(storage, txn)
-      out
+      try {
+        val out = f(txn)
+        Graft.commitTransaction(storage, txn)
+        out
+      } finally txn.close() // release Arrow buffers of the snapshot trees
   }
 
-  private[spark] def tableKey(td: TableDef): String =
-    ObjectKeys.tableKey(td.namespaceName, td.name,
-      Graft.catalogDef(storage, TreeOps.findLatestRoot(storage).get))
+  private[spark] def tableKey(td: TableDef): String = {
+    val root = TreeOps.findLatestRoot(storage).get
+    try ObjectKeys.tableKey(td.namespaceName, td.name,
+      Graft.catalogDef(storage, root))
+    finally root.close()
+  }
 
   private def ns1(namespace: Array[String]): String = {
     if (namespace.length != 1)
@@ -155,7 +162,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       }
       require(commit, "only ('commit'='true') is supported on a dtxn namespace")
       val txn = Graft.loadDistTransaction(storage, namespace(2))
-      Graft.commitTransaction(storage, txn)
+      try Graft.commitTransaction(storage, txn)
+      finally txn.close()
       storage.deleteBatch(Seq(FileLocations.distTransactionDefPath(namespace(2))))
       return
     }
@@ -222,14 +230,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     // (reference docs/spark.md:83-142)
     if (isDtxnPath(ident.namespace())) {
       val txn = Graft.loadDistTransaction(storage, ident.namespace()(2))
-      val ns = ident.namespace()(3)
-      val td =
-        try Graft.describeTable(storage, txn, ns, ident.name())
-        catch { case _: NoSuchElementException => throw new NoSuchTableException(ident) }
-      val meta = TableMetadata.read(storage, td.metadataLocation)
-      // keep the dtxn path as the table's ident so writes route back
-      // into the suspended transaction (commitWrite re-suspends it)
-      return new GraftTable(this, ident, td, meta, txn, storage)
+      try {
+        val ns = ident.namespace()(3)
+        val td =
+          try Graft.describeTable(storage, txn, ns, ident.name())
+          catch { case _: NoSuchElementException =>
+            throw new NoSuchTableException(ident)
+          }
+        val meta = TableMetadata.read(storage, td.metadataLocation)
+        // keep the dtxn path as the table's ident so writes route back
+        // into the suspended transaction (commitWrite re-suspends it)
+        return new GraftTable(this, ident, td, meta, txn, storage)
+      } finally txn.close()
     }
     inTxn { txn => loadFromTxn(ident, txn) }
   }
@@ -268,12 +280,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val txn = new Transaction(UUID.randomUUID().toString,
       IsolationLevel.Snapshot, frozen, frozen,
       System.currentTimeMillis(), Long.MaxValue)
-    val ns = ns1(ident.namespace())
-    val td =
-      try Graft.describeTable(storage, txn, ns, ident.name())
-      catch { case _: NoSuchElementException => throw new NoSuchTableException(ident) }
-    val meta = TableMetadata.read(storage, td.metadataLocation)
-    new GraftTable(this, ident, td, meta, txn, storage)
+    try {
+      val ns = ns1(ident.namespace())
+      val td =
+        try Graft.describeTable(storage, txn, ns, ident.name())
+        catch { case _: NoSuchElementException => throw new NoSuchTableException(ident) }
+      val meta = TableMetadata.read(storage, td.metadataLocation)
+      new GraftTable(this, ident, td, meta, txn, storage)
+    } finally txn.close() // table carries materialized meta; tree not needed
   }
 
   override def createTable(ident: Identifier, columns: Array[V2Column],
@@ -377,16 +391,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       val ns = ident.namespace()(3)
       val t = ident.name()
       val txn = Graft.loadDistTransaction(storage, id)
-      val commitDir = s"${FileLocations.tableDataDir(ns, t)}/${UUID.randomUUID()}"
-      data.write.parquet(storage.absolute(commitDir))
-      val newFiles = GraftTable.listCommitFiles(storage, commitDir)
-      applyTableCommit(storage, txn.runningRoot, ns, t, "append", newFiles,
-        overwrite)
-      val cd = Graft.catalogDef(storage, txn.runningRoot)
-      txn.record(Action(ActionType.TableInsert,
-        ObjectKeys.tableKey(ns, t, cd),
-        Map("files" -> newFiles.map(_.path).mkString(","))))
-      Graft.saveDistTransaction(storage, txn)
+      try {
+        val commitDir = s"${FileLocations.tableDataDir(ns, t)}/${UUID.randomUUID()}"
+        data.write.parquet(storage.absolute(commitDir))
+        val newFiles = GraftTable.listCommitFiles(storage, commitDir)
+        applyTableCommit(storage, txn.runningRoot, ns, t, "append", newFiles,
+          overwrite)
+        val cd = Graft.catalogDef(storage, txn.runningRoot)
+        txn.record(Action(ActionType.TableInsert,
+          ObjectKeys.tableKey(ns, t, cd),
+          Map("files" -> newFiles.map(_.path).mkString(","))))
+        Graft.saveDistTransaction(storage, txn)
+      } finally txn.close()
       return
     }
     val ns = ns1(ident.namespace())

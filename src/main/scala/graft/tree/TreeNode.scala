@@ -104,6 +104,19 @@ final class TreeNode(var persisted: Option[NodeFile]) {
     cands.lastOption
   }
 
+  /** Release this node's Arrow buffers and those of loaded children.
+    * Idempotent; the tree must not be used afterwards.
+    */
+  def close(): Unit = {
+    loadedChildren.values.foreach(_.close())
+    loadedChildren.clear()
+    persisted.foreach { f =>
+      try f.close() catch { case _: IllegalStateException => () /* already closed */ }
+    }
+    persisted = None
+    slices = Nil
+  }
+
   /** Merged live rows in RAW form: persisted slice rows surface as the
     * original UTF-8 byte arrays (no decode), pending rows encode once.
     * This is the write path's view — unchanged slice ranges transfer

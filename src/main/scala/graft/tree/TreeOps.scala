@@ -20,6 +20,9 @@ final class TreeRoot(
     var createdAtMillis: Long,
     var actionsJson: String) {
   var path: Option[String] = None
+
+  /** Release Arrow buffers; the root must not be used afterwards. */
+  def close(): Unit = node.close()
 }
 
 /** Tree algorithms (reference TreeOperations.java, ~1k LoC). All

@@ -33,6 +33,15 @@ final class Transaction(
 
   var committed: Boolean = false
 
+  /** Release the Arrow buffers of both tree snapshots. Call once the
+    * transaction is finished (committed, rolled back, or suspended);
+    * recorded actions/results stay valid — only tree reads die.
+    */
+  def close(): Unit = {
+    beginningRoot.close()
+    if (runningRoot ne beginningRoot) runningRoot.close()
+  }
+
   def requireOpen(): Unit = {
     require(!committed, s"transaction $id is already committed")
     require(System.currentTimeMillis() < expireAtMillis, s"transaction $id expired")

@@ -10,6 +10,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Verify.sessionBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM/codegen/parquet paths so the first measured query
+    // isn't charged session initialization
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {

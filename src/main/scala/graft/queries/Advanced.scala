@@ -163,6 +163,48 @@ object Advanced {
              |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
 
     QueryDef(
+      "q33_correlated_subquery",
+      (s, d) => {
+        // each customer's orders above that customer's own average
+        val o = table(s, d, "orders")
+        val avgPer = o.groupBy(col("o_custkey").as("ck"))
+          .agg(avg("o_totalprice").as("cust_avg"))
+        // cust_avg itself is NOT emitted: 2-decimal prices put group
+        // averages exactly on round-half boundaries where a 1-ulp
+        // cross-engine difference flips the rounded digit
+        o.join(avgPer, col("o_custkey") === col("ck"))
+          .filter(col("o_totalprice") > col("cust_avg"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice"), 2).as("price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+             |FROM (
+             |  SELECT o_orderkey, o_custkey, o_totalprice,
+             |         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+             |  FROM orders
+             |)
+             |WHERE o_totalprice > cust_avg
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef(
+      "q34_having",
+      (s, d) =>
+        table(s, d, "lineitem")
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("revenue"))
+          .filter(col("n_items") >= 70)
+          .orderBy("l_suppkey"),
+      Some("""SELECT l_suppkey, count(*) AS n_items,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |GROUP BY l_suppkey
+             |HAVING count(*) >= 70
+             |ORDER BY l_suppkey""".stripMargin)),
+
+    QueryDef(
       "m01_compact_preserves_content",
       (s, d) => {
         // maintenance as a graded op: 4 appends → 4+ files → compact to

@@ -24,6 +24,8 @@ object GraftFunctions {
       "graft_minhash", exprs => MinHashSignature(exprs.head, 32), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_isect", exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_jaccard_ge_05", exprs => JaccardGe(exprs(0), exprs(1), 0.5), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine_sim", a, b)
@@ -33,4 +35,6 @@ object GraftFunctions {
   def minhash(c: Column): Column = call_function("graft_minhash", c)
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("graft_isect", a, b)
+  def jaccardGeHalf(a: Column, b: Column): Column =
+    call_function("graft_jaccard_ge_05", a, b)
 }

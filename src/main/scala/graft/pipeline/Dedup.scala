@@ -33,14 +33,13 @@ object Dedup {
     withShingles(table(s, d, "documents").select("doc_id", "text", "n_chars"))
       .select("doc_id", "n_chars", "sh")
 
-  /** Exact jaccard over candidate pairs carrying sorted sh_a/sh_b:
-    * merge-count intersection, |A∪B| = |A|+|B|−|A∩B|.
+  /** Exact jaccard over candidate pairs carrying sorted sh_a/sh_b,
+    * NULL when < 0.5 — the merge aborts as soon as the threshold is
+    * provably unreachable, which on blocking candidates skips most of
+    * the per-pair work. Values for surviving pairs are exact.
     */
-  private def jaccard = {
-    val ic = GraftFunctions.sortedIntersectCount(col("sh_a"), col("sh_b"))
-      .cast("double")
-    round(ic / (size(col("sh_a")) + size(col("sh_b")) - ic), 4)
-  }
+  private def jaccard =
+    round(GraftFunctions.jaccardGeHalf(col("sh_a"), col("sh_b")), 4)
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(

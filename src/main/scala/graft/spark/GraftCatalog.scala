@@ -225,6 +225,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       return MetadataTables.forSuffix(s"$catalogName.${ns1(ident.namespace())}.$base",
         suffix, meta)
     }
+    // catalog-wide object listing: <catalog>.sys.objects
+    if (ident.namespace().sameElements(Array("sys")) && ident.name() == "objects") {
+      val latest = TreeOps.findLatestRoot(storage).get
+      try {
+        val cd = Graft.catalogDef(storage, latest)
+        val rows = TreeOps.traverse(storage, latest).map { r =>
+          if (ObjectKeys.isNamespaceKey(r.key))
+            ("namespace", ObjectKeys.namespaceNameFromKey(r.key), "", r.value.get)
+          else if (ObjectKeys.isTableKey(r.key)) {
+            val (ns, t) = ObjectKeys.tableNameFromKey(r.key, cd)
+            ("table", ns, t, r.value.get)
+          } else {
+            val (ns, v) = ObjectKeys.viewNameFromKey(r.key, cd)
+            ("view", ns, v, r.value.get)
+          }
+        }.toSeq
+        return MetadataTables.objectsTable(catalogName, latest.version, rows)
+      } finally latest.close()
+    }
     // distributed-txn protocol: sys.dtxns.dtxn_<id>.<ns>.<table> reads
     // the table through the suspended transaction's running root
     // (reference docs/spark.md:83-142)

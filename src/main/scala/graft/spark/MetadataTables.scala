@@ -25,6 +25,28 @@ object MetadataTables {
       case "$snapshots" => new SnapshotsTable(baseName, meta)
       case "$files" => new FilesTable(baseName, meta)
     }
+
+  /** `<catalog>.sys.objects` — every object in the catalog at its
+    * latest version, from one streaming tree traversal. (For a
+    * billion-object catalog the scale path reads the Arrow node files
+    * distributed; the schema stays the same.)
+    */
+  def objectsTable(catalogName: String, version: Long,
+      objectRows: Seq[(String, String, String, String)]): Table =
+    new LocalMetadataTable(s"$catalogName.sys.objects") {
+      override def schema(): StructType = StructType(Seq(
+        StructField("kind", StringType, nullable = false),
+        StructField("namespace", StringType, nullable = false),
+        StructField("name", StringType, nullable = false),
+        StructField("def_path", StringType, nullable = false),
+        StructField("catalog_version", LongType, nullable = false)))
+
+      override def rows: Seq[InternalRow] =
+        objectRows.map { case (kind, ns, name, path) =>
+          InternalRow(UTF8String.fromString(kind), UTF8String.fromString(ns),
+            UTF8String.fromString(name), UTF8String.fromString(path), version)
+        }
+    }
 }
 
 private abstract class LocalMetadataTable(tableName: String) extends Table

@@ -45,6 +45,13 @@ class DtxnProtocolSpec extends AnyFunSuite {
     assert(!graft.catalog.Graft.distTransactionExists(cat.storage, "dtxn_rb"))
   }
 
+  test("catalog-wide object listing: sys.objects") {
+    val objs = spark.table("dcat.sys.objects").collect()
+    assert(objs.exists(r => r.getString(0) == "namespace" && r.getString(1) == "ns1"))
+    assert(objs.exists(r => r.getString(0) == "table" && r.getString(2) == "t"))
+    assert(objs.forall(_.getLong(4) >= 0))
+  }
+
   test("metadata tables: $snapshots and $files") {
     val snaps = spark.table("dcat.ns1.`t$snapshots`").collect()
     assert(snaps.length >= 2) // first insert + dtxn insert

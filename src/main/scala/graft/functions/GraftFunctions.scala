@@ -26,6 +26,8 @@ object GraftFunctions {
       "graft_isect", exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_jaccard_ge_05", exprs => JaccardGe(exprs(0), exprs(1), 0.5), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_langid", exprs => LangIdTrigram(exprs.head), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine_sim", a, b)
@@ -37,4 +39,5 @@ object GraftFunctions {
     call_function("graft_isect", a, b)
   def jaccardGeHalf(a: Column, b: Column): Column =
     call_function("graft_jaccard_ge_05", a, b)
+  def langIdTrigram(c: Column): Column = call_function("graft_langid", c)
 }

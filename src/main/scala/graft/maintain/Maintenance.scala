@@ -131,6 +131,50 @@ object Maintenance {
     entries.size
   }
 
+  /** Export one catalog version to another storage prefix as a
+    * standalone catalog at version 0 (reference: whole-catalog
+    * snapshot export, docs/format.md:284-326). Copies the root
+    * (rebased to v0, history pointers dropped), reachable node files,
+    * object defs, the catalog def, and table-metadata documents;
+    * `copyData` additionally copies the referenced parquet files so
+    * the export is fully self-contained. Returns files copied.
+    */
+  def exportSnapshot(cat: GraftCatalog, version: Long,
+      dest: graft.storage.StorageOps, copyData: Boolean = true): Int = {
+    val storage = cat.storage
+    val latest = TreeOps.findLatestRoot(storage)
+      .getOrElse(throw new IllegalStateException("catalog does not exist"))
+    val target = TreeOps.findRootForVersion(storage, latest, version)
+    var copied = 0
+    def copy(rel: String): Unit = {
+      dest.overwrite(rel, storage.read(rel)); copied += 1
+    }
+    copy(target.catalogDefPath)
+    reachableNodes(storage, target.path.get).foreach(copy)
+    // defs + table metadata (+ data)
+    TreeOps.traverse(storage, target).foreach { row =>
+      val defPath = row.value.get
+      copy(defPath)
+      if (ObjectKeys.isTableKey(row.key)) {
+        val td = Json.read(storage.read(defPath), classOf[TableDef])
+        copy(td.metadataLocation)
+        if (copyData) {
+          TableMetadata.read(storage, td.metadataLocation)
+            .snapshots.flatMap(_.files).map(_.path).distinct.foreach(copy)
+        }
+      }
+    }
+    // rebased v0 root
+    val exportRoot = TreeOps.loadRoot(storage, target.path.get)
+    exportRoot.version = 0L
+    exportRoot.previousRootPath = None
+    exportRoot.rollbackFromRootPath = None
+    TreeOps.writeRootAt(dest, exportRoot,
+      graft.objects.FileLocations.rootNodePath(0L))
+    dest.overwrite(graft.objects.FileLocations.LatestVersionHint, "0".getBytes)
+    copied + 1
+  }
+
   /** Catalog-history expiration: delete root-version files older than
     * the newest `keepLast` versions (bounding the time-travel horizon)
     * together with node files reachable ONLY from expired roots.

@@ -118,6 +118,21 @@ object TextAnalysis {
             GraftFunctions.simhash64(col("text")).as("simhash"))
           .orderBy("doc_id")
       },
-      None) // native winnowing fingerprint — not DuckDB-expressible
+      None), // native winnowing fingerprint — not DuckDB-expressible
+
+    QueryDef(
+      "ta05_langid_trigram",
+      (s, d) => {
+        // character-trigram profile language ID (Cavnar–Trenkle-style)
+        // as a native expression; the synthetic corpus is English word
+        // soup so 'en' should dominate regardless of the random label.
+        GraftFunctions.register(s)
+        table(s, d, "documents")
+          .withColumn("pred", GraftFunctions.langIdTrigram(col("text")))
+          .groupBy("pred")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("pred")
+      },
+      None)
   )
 }

@@ -74,6 +74,27 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("catalog snapshot export: standalone copy opens as a fresh catalog") {
+    spark.sql("CREATE TABLE mcat.ns1.exp (k BIGINT)")
+    spark.sql("INSERT INTO mcat.ns1.exp VALUES (7), (8)")
+    val version = graft.tree.TreeOps.findLatestRoot(cat.storage).get.version
+    val destDir = Files.createTempDirectory("graft-export").toString
+    val dest = new graft.storage.LocalStorageOps(destDir)
+    val copied = Maintenance.exportSnapshot(cat, version, dest)
+    assert(copied > 0)
+    // the export is a standalone catalog at version 0
+    val exported = graft.tree.TreeOps.findLatestRoot(dest).get
+    assert(exported.version == 0L)
+    assert(graft.catalog.Graft.catalogExists(dest))
+    val txn = graft.catalog.Graft.beginTransaction(dest)
+    assert(graft.catalog.Graft.tableExists(dest, txn, "ns1", "exp"))
+    // and readable through a catalog registered on the export
+    spark.conf.set("spark.sql.catalog.expcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.expcat.warehouse", destDir)
+    assert(spark.table("expcat.ns1.exp").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(7L, 8L)))
+  }
+
   test("catalog survives history expiration with a stale latest hint") {
     val before = graft.tree.TreeOps.findLatestRoot(cat.storage).get.version
     Maintenance.expireCatalogVersions(cat, keepLast = 2)

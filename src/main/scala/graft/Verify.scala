@@ -43,7 +43,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // a null oracle (e.g. an object-initialization forward reference)
+    // must not NPE here — that would leave a stale/absent json and
+    // silently zero the round's correctness
     val json = SparkEntry.oracleSql
+      .filter { case (k, v) =>
+        if (v == null) System.err.println(s"[verify] NULL oracle for $k — skipped")
+        v != null
+      }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -26,6 +26,32 @@ object StreamingQueries {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+
+  /** Shared oracle for all three sessionization implementations:
+    * batch gaps-and-islands in DuckDB.
+    */
+  private final val SessionOracle: String =
+    ("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) AS ts_us,
+             |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             |              THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+             |), sess AS (
+             |  SELECT user_id,
+             |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+             |  FROM ev
+             |), per AS (
+             |  SELECT user_id, sess_id, count(*) AS n_events
+             |  FROM sess GROUP BY user_id, sess_id
+             |)
+             |SELECT count(*) AS n_sessions,
+             |       round(avg(n_events), 4) AS avg_events_per_session,
+             |       max(n_events) AS max_session_len
+             |FROM per""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "st01_stream_hourly",
@@ -113,26 +139,28 @@ object StreamingQueries {
             round(avg("n_events"), 4).as("avg_events_per_session"),
             max("n_events").as("max_session_len"))
       },
-      // identical oracle to q23: streaming state == batch windows
-      Some("""WITH ev AS (
-             |  SELECT user_id, epoch_us(ts) AS ts_us,
-             |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-             |               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-             |              THEN 1 ELSE 0 END AS new_sess
-             |  FROM events
-             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
-             |), sess AS (
-             |  SELECT user_id,
-             |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
-             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
-             |  FROM ev
-             |), per AS (
-             |  SELECT user_id, sess_id, count(*) AS n_events
-             |  FROM sess GROUP BY user_id, sess_id
-             |)
-             |SELECT count(*) AS n_sessions,
-             |       round(avg(n_events), 4) AS avg_events_per_session,
-             |       max(n_events) AS max_session_len
-             |FROM per""".stripMargin))
+      Some(SessionOracle)),
+
+    QueryDef(
+      "st03_session_window",
+      (s, d) => {
+        // Spark's NATIVE session_window operator (dynamic-gap session
+        // aggregation) — third implementation of the same semantics;
+        // must agree with the window-function batch (q23) and the
+        // flatMapGroupsWithState (st02) versions.
+        val ev = s.read
+          .parquet(s"$d/events.parquet")
+          .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+        val perSession = ev
+          .groupBy(col("user_id"), session_window(col("event_ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+        perSession
+          .groupBy()
+          .agg(count(lit(1)).as("n_sessions"),
+            round(avg("n_events"), 4).as("avg_events_per_session"),
+            max("n_events").as("max_session_len"))
+      },
+      Some(SessionOracle))
   )
+
 }

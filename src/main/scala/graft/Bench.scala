@@ -16,7 +16,10 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      // noop sink: materializes every output row (count() would let
+      // Catalyst prune columns and drop sorts, flattering the numbers)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }

@@ -178,13 +178,16 @@ object Dedup {
         // verification; dd06 is the LSH scale path.
         GraftFunctions.register(s)
         val e = table(s, d, "embeddings").select("vec_id", "embedding")
+        val cos =
+          round(GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")), 4)
+        // threshold INSIDE the join condition: non-matching pairs are
+        // rejected in the nested-loop inner loop and never materialize
+        // as output rows (only ~0.2% of the n² pairs survive)
         e.as("a")
-          .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .withColumn("cos_sim",
-            round(GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")), 4))
-          .filter(col("cos_sim") >= 0.35)
+          .join(e.as("b"),
+            col("a.vec_id") < col("b.vec_id") && cos >= 0.35)
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            col("cos_sim"))
+            cos.as("cos_sim"))
           .orderBy("vec_a", "vec_b")
       },
       Some("""SELECT vec_a, vec_b, cos_sim FROM (

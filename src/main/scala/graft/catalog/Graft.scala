@@ -92,11 +92,16 @@ object Graft {
               throw new CommitFailedException(s"txn ${txn.id}: $reason")
             case Right(_) =>
               // rebase: rebuild the running tree on the winner and
-              // replay this txn's effects in order
+              // replay this txn's effects in order; release the
+              // superseded running tree's buffers
+              val superseded = root
               base = winner
               root = TreeOps.loadRoot(storage, winner.path.get)
               replays.foreach(r => r(storage, root))
               txn.runningRoot = root
+              if ((superseded ne txn.beginningRoot) && (superseded ne root))
+                superseded.close()
+              winner.close() // actions already extracted
           }
       }
     }

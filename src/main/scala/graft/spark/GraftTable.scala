@@ -41,7 +41,8 @@ class GraftTable(
     val tableDef: TableDef,
     val meta: TableMetadata,
     txn: Transaction,
-    storage: StorageOps) extends Table with SupportsRead with SupportsWrite {
+    storage: StorageOps) extends Table with SupportsRead with SupportsWrite
+    with SupportsDeleteV2 {
 
   private def spark: ClassicSession =
     org.apache.spark.sql.SparkSession.active.asInstanceOf[ClassicSession]
@@ -82,6 +83,27 @@ class GraftTable(
             Map("columns" -> columns.mkString(","),
               "filters" -> filters.map(_.sql).mkString(" AND ")))))
     }
+  }
+
+  // ---------------- delete (SQL `DELETE FROM`) ----------------
+
+  /** Copy-on-write DELETE: translated to a rewrite-without-matching-
+    * rows snapshot commit (delete-as-overwrite, SURVEY §2.4). Refused
+    * (`false`) when a predicate can't be translated — deleting too
+    * little silently is worse than an error.
+    */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean =
+    PredicateToColumn.translateAll(predicates.toIndexedSeq).isDefined
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val cond = PredicateToColumn.translateAll(predicates.toIndexedSeq).getOrElse(
+      throw new UnsupportedOperationException(
+        s"cannot translate delete predicates: ${predicates.mkString(", ")}"))
+    catalog.deleteWhere(spark, ident, cond)
   }
 
   // ---------------- write ----------------

@@ -77,6 +77,18 @@ class GraftCatalogSqlSpec extends AnyFunSuite {
       .sameElements(Array(1L, 3L)))
   }
 
+  test("SQL DELETE FROM with compound predicate") {
+    spark.sql("CREATE TABLE cat.ns1.sqldel (k BIGINT, v STRING)")
+    spark.sql(
+      "INSERT INTO cat.ns1.sqldel VALUES (1,'keep'), (2,'drop'), (3,'drop'), (4,'keep')")
+    spark.sql("DELETE FROM cat.ns1.sqldel WHERE v = 'drop' AND k >= 3")
+    assert(spark.table("cat.ns1.sqldel").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 4L)))
+    spark.sql("DELETE FROM cat.ns1.sqldel WHERE k IN (1, 4)")
+    assert(spark.table("cat.ns1.sqldel").collect().map(_.getLong(0))
+      .sameElements(Array(2L)))
+  }
+
   test("catalog time travel: VERSION AS OF") {
     spark.sql("CREATE TABLE cat.ns1.tt (k BIGINT)")
     val v1 = graft.tree.TreeOps.findLatestRoot(cat.storage).get.version

@@ -93,11 +93,10 @@ object CatalogQueries {
     QueryDef(
       "c04_delete_where",
       (s, d) => {
-        // Q8: copy-on-write DELETE, then scan the rewritten snapshot.
-        val cat = ensureCatalog(s, "gc4")
+        // Q8: SQL copy-on-write DELETE, then scan the rewritten snapshot.
+        ensureCatalog(s, "gc4")
         provision(s, "gc4", d, "customer", "customer")
-        cat.deleteWhere(s, Identifier.of(Array("ns1"), "customer"),
-          col("c_acctbal") < 0)
+        s.sql("DELETE FROM gc4.ns1.customer WHERE c_acctbal < 0")
         s.sql("""SELECT c_mktsegment, count(*) AS n,
                         round(sum(c_acctbal), 2) AS bal
                  FROM gc4.ns1.customer

@@ -56,14 +56,37 @@ object Similarity {
     QueryDef(
       "ss02_ann_ivf",
       (s, d) => {
-        // IVF: 16 deterministic seed centroids (the 16 lowest vec_ids),
-        // assign every vector to its nearest centroid (broadcast join →
-        // no shuffle of the big side), probe the 4 nearest cells per
-        // query, exact cosine within the probed cells only.
+        // IVF with k-means training: deterministic seeding (16 lowest
+        // vec_ids), 3 Lloyd iterations computed distributed (assign via
+        // broadcast-centroid join, recompute means element-wise), then
+        // probe the 4 nearest cells per query and run exact cosine
+        // within the probed cells only. Centroids stay broadcast-sized;
+        // the big side never shuffles for assignment.
         GraftFunctions.register(s)
         val e = table(s, d, "embeddings").select("vec_id", "embedding")
-        val cents = broadcast(e.orderBy("vec_id").limit(16)
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+        var centroids = e.orderBy("vec_id").limit(16)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        for (_ <- 1 to 3) {
+          val assigned = {
+            val wn = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
+            e.crossJoin(broadcast(centroids))
+              .withColumn("csim", GraftFunctions.cosineSim(col("embedding"), col("cvec")))
+              .withColumn("crank", row_number().over(wn))
+              .filter(col("crank") === 1)
+              .select(col("cid"), col("embedding"))
+          }
+          // element-wise mean per cluster: explode positions, average,
+          // reassemble in position order
+          centroids = assigned
+            .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+            .groupBy("cid", "pos")
+            .agg(avg("x").as("m"))
+            .groupBy("cid")
+            .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+            .select(col("cid"),
+              expr("transform(pm, p -> CAST(p.m AS FLOAT))").as("cvec"))
+        }
+        val cents = broadcast(centroids)
         def nearestCells(df: org.apache.spark.sql.DataFrame, vec: String, n: Int) = {
           val wn = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
           df.crossJoin(cents)

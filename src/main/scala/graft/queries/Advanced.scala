@@ -205,6 +205,55 @@ object Advanced {
              |ORDER BY l_suppkey""".stripMargin)),
 
     QueryDef(
+      "q35_cube",
+      (s, d) =>
+        table(s, d, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+            col("n"), col("total"))
+          .orderBy("flag", "status"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+             |       coalesce(l_linestatus, 'ALL') AS status,
+             |       count(*) AS n, round(sum(l_extendedprice), 2) AS total
+             |FROM lineitem
+             |GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY flag, status""".stripMargin)),
+
+    QueryDef(
+      "q36_window_suite",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        table(s, d, "orders")
+          .withColumn("rnk", dense_rank().over(w))
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("next_price",
+            round(lead("o_totalprice", 1).over(w), 2))
+          .withColumn("top_price", round(first_value(col("o_totalprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+          .filter(col("rnk") <= 5)
+          .select("o_orderpriority", "rnk", "o_orderkey", "quartile",
+            "next_price", "top_price")
+          .orderBy("o_orderpriority", "rnk", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, rnk, o_orderkey, quartile, next_price, top_price
+             |FROM (
+             |  SELECT o_orderpriority, o_orderkey,
+             |         dense_rank() OVER w AS rnk,
+             |         ntile(4) OVER w AS quartile,
+             |         round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+             |         round(first_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS top_price
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_orderpriority
+             |               ORDER BY o_totalprice DESC, o_orderkey)
+             |)
+             |WHERE rnk <= 5
+             |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin)),
+
+    QueryDef(
       "m01_compact_preserves_content",
       (s, d) => {
         // maintenance as a graded op: 4 appends → 4+ files → compact to

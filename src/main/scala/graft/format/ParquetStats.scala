@@ -31,22 +31,29 @@ object ParquetStats {
       val rowCount = blocks.map(_.getRowCount).sum
       val mins = scala.collection.mutable.Map.empty[String, String]
       val maxs = scala.collection.mutable.Map.empty[String, String]
+      // a block without stats poisons the column for the WHOLE file —
+      // a later block with stats must not re-insert it, or file-level
+      // min/max would under-cover the stats-less block
+      val poisoned = scala.collection.mutable.Set.empty[String]
       for (block <- blocks; col <- block.getColumns.asScala) {
         // top-level columns only (nested stats are not prunable here)
         if (col.getPath.size() == 1) {
           val name = col.getPath.toDotString
           val stats = col.getStatistics
-          if (stats != null && stats.hasNonNullValue) {
+          if (poisoned(name)) ()
+          else if (stats != null && stats.hasNonNullValue) {
             val tpe = col.getPrimitiveType.getPrimitiveTypeName
             (render(tpe, stats.genericGetMin.asInstanceOf[AnyRef]),
               render(tpe, stats.genericGetMax.asInstanceOf[AnyRef])) match {
               case (Some(mn), Some(mx)) =>
                 mins(name) = mins.get(name).fold(mn)(cur => strMin(cur, mn, tpe))
                 maxs(name) = maxs.get(name).fold(mx)(cur => strMax(cur, mx, tpe))
-              case _ => ()
+              case _ =>
+                poisoned += name
+                mins.remove(name); maxs.remove(name)
             }
           } else {
-            // a block without stats poisons the column: drop it
+            poisoned += name
             mins.remove(name); maxs.remove(name)
           }
         }

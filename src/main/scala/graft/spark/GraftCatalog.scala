@@ -458,7 +458,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, ident: Identifier,
       condition: org.apache.spark.sql.Column): Unit = {
     val full = s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}"
-    val remaining = spark.table(full).filter(!condition)
+    // SQL DELETE removes only rows where the condition is TRUE; a NULL
+    // predicate (e.g. x > 5 with x IS NULL) must KEEP the row.
+    val remaining = spark.table(full).filter(
+      org.apache.spark.sql.functions.not(
+        org.apache.spark.sql.functions.coalesce(
+          condition, org.apache.spark.sql.functions.lit(false))))
     val ns = ns1(ident.namespace())
     val t = ident.name()
     val commitDir = s"${FileLocations.tableDataDir(ns, t)}/${UUID.randomUUID()}"

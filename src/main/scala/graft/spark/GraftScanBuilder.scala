@@ -149,7 +149,23 @@ object FilePruning {
           case s: String => s
           case _ => return None
         }
-        Some(stat.compareTo(lit))
+        // parquet binary min/max and Spark's UTF8String order by UTF-8
+        // bytes; String.compareTo (UTF-16 code units) disagrees for
+        // supplementary characters — compare raw bytes unsigned.
+        Some(utf8Compare(stat, lit))
       case _ => None
     } catch { case _: NumberFormatException => None }
+
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
+  }
 }

@@ -89,6 +89,17 @@ class GraftCatalogSqlSpec extends AnyFunSuite {
       .sameElements(Array(2L)))
   }
 
+  test("SQL DELETE FROM on a nullable column keeps NULL-predicate rows") {
+    spark.sql("CREATE TABLE cat.ns1.nulldel (k BIGINT, x BIGINT)")
+    spark.sql(
+      "INSERT INTO cat.ns1.nulldel VALUES (1, 10), (2, NULL), (3, 3), (4, NULL)")
+    // x > 5 is NULL for rows 2 and 4 — SQL deletes only where TRUE,
+    // so the NULL rows must survive the copy-on-write rewrite
+    spark.sql("DELETE FROM cat.ns1.nulldel WHERE x > 5")
+    assert(spark.table("cat.ns1.nulldel").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(2L, 3L, 4L)))
+  }
+
   test("catalog time travel: VERSION AS OF") {
     spark.sql("CREATE TABLE cat.ns1.tt (k BIGINT)")
     val v1 = graft.tree.TreeOps.findLatestRoot(cat.storage).get.version

@@ -1,34 +1,106 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+
 /** Benchmark main: every SparkEntry query against SPARK_GRAFT_SF_DIR,
   * one JSON line on stdout. Queries are timed over a full action
-  * (count) after the plan is built — wall time includes scan + shuffle.
+  * (noop write) after the plan is built — wall time includes scan +
+  * shuffle.
+  *
+  * Isolation: queries run grouped by family (c*, dd*, q*, ss*, st*,
+  * ta*, ...) with a FRESH SparkSession per family, warmed up before
+  * the first timed query. A single shared session accumulates state
+  * across 50+ queries (streaming memory-sink tables, state-store
+  * maintenance threads, listener/codegen caches) that inflated
+  * round-1 per-query times up to 30x by the tail of the run; session
+  * boundaries make per-query times order-independent signals.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Verify.sessionBuilder(cpus).getOrCreate()
+
+  private def family(name: String): String = name.takeWhile(!_.isDigit)
+
+  private def freshSession(cpus: String): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = Verify.sessionBuilder(cpus)
+      // bound driver-side bookkeeping growth within a family
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  private def warmup(spark: SparkSession, sfDir: String): Unit = {
     // warm the JVM/codegen/parquet paths so the first measured query
     // isn't charged session initialization
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: materializes every output row (count() would let
-      // Catalyst prune columns and drop sorts, flattering the numbers)
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val asc = SparkEntry.queries.toSeq.sortBy(_._1)
+    // audit knob: SPARK_GRAFT_ORDER=reverse runs families and queries
+    // backwards — per-query times should be order-independent (<2x)
+    val ordered =
+      if (sys.env.get("SPARK_GRAFT_ORDER").contains("reverse")) asc.reverse else asc
+    // group by family, preserving order of first appearance
+    val families = ordered.map(q => family(q._1)).distinct
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val status = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (fam <- families) {
+      val spark = freshSession(cpus)
+      try {
+        warmup(spark, sfDir)
+        val famQueries = ordered.filter(q => family(q._1) == fam)
+        // the family's first query additionally warms family-specific
+        // class loading (Arrow/Jackson for c*, streaming for st*, ...)
+        // with one untimed run, so position in the family stops
+        // mattering for the timed numbers
+        try famQueries.head._2(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        spark.streams.active.foreach(_.stop())
+        for ((name, fn) <- famQueries) {
+          // min of two runs: the first run anywhere in a family pays
+          // one-time codegen/JIT for that query's expression shapes;
+          // min-of-2 makes per-query times independent of run order
+          var best = Double.MaxValue
+          var runs = 0
+          while (runs < 2 && status.getOrElse(name, "ok") == "ok") {
+            val t0 = System.nanoTime()
+            // noop sink: materializes every output row (count() would
+            // let Catalyst prune columns and drop sorts, flattering
+            // the numbers)
+            try {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              status(name) = "ok"
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] $name failed: ${e.getMessage}")
+                status(name) = "failed"
+            }
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+            // a query that started streams must not bill its successors
+            spark.streams.active.foreach(_.stop())
+            runs += 1
+          }
+          times(name) = best
+        }
+      } finally {
+        spark.stop()
+        System.gc()
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val st = status.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = times.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$st,"sf":"$sfDir"}""")
+    if (status.values.exists(_ == "failed")) sys.exit(1)
   }
 }

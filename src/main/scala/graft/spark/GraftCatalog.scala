@@ -48,7 +48,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val warehouse = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name requires option 'warehouse'"))
-    storage = new LocalStorageOps(warehouse)
+    // storage=object routes ALL catalog traffic through the narrow
+    // object-store API (conditional PUT / GET / LIST — no renames),
+    // backed on disk so Spark parquet jobs still get real paths
+    storage = Option(options.get("storage")) match {
+      case Some("object") =>
+        new graft.storage.ObjectStoreOps(
+          new graft.storage.DirectoryObjectStoreClient(warehouse))
+      case _ => new LocalStorageOps(warehouse)
+    }
     if (!Graft.catalogExists(storage)) Graft.createCatalog(storage, CatalogDef())
   }
 

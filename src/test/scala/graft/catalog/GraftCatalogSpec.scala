@@ -3,7 +3,7 @@ package graft.catalog
 import java.nio.file.Files
 
 import graft.objects._
-import graft.storage.LocalStorageOps
+import graft.storage.{DirectoryObjectStoreClient, InMemoryObjectStoreClient, LocalStorageOps, ObjectStoreOps, StorageOps}
 import graft.tree.TreeOps
 import graft.txn.CommitFailedException
 import org.scalatest.funsuite.AnyFunSuite
@@ -13,15 +13,23 @@ import org.scalatest.funsuite.AnyFunSuite
   * bound to local storage, with the FIXTURES.md §1 fixtures, plus
   * commit-race conflict tests (FIXTURES.md §3).
   */
-class GraftCatalogSpec extends AnyFunSuite {
+abstract class GraftCatalogContract extends AnyFunSuite {
 
-  private def fresh(): LocalStorageOps = {
-    val s = new LocalStorageOps(Files.createTempDirectory("graft-cat").toString)
+  /** A fresh, empty storage backend for one test. */
+  protected def freshStorage(): StorageOps
+
+  /** A second handle over the SAME underlying store — "another
+    * process" in the cross-process tests.
+    */
+  protected def reopen(s: StorageOps): StorageOps
+
+  private def fresh(): StorageOps = {
+    val s = freshStorage()
     Graft.createCatalog(s, CatalogDef())
     s
   }
 
-  private def commitVersion(s: LocalStorageOps): Long =
+  private def commitVersion(s: StorageOps): Long =
     TreeOps.findLatestRoot(s).get.version
 
   test("createCatalog writes v0; catalogExists") {
@@ -249,7 +257,7 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(Graft.distTransactionExists(s, id))
 
     // "another process": fresh storage handle + reload
-    val s2 = new LocalStorageOps(s.root)
+    val s2 = reopen(s)
     val resumed = Graft.loadDistTransaction(s2, id)
     assert(resumed.actions.nonEmpty)
     Graft.commitTransaction(s2, resumed)
@@ -275,4 +283,35 @@ class GraftCatalogSpec extends AnyFunSuite {
     val t = Graft.beginTransaction(s)
     assert(Graft.showNamespaces(s, t) == Seq("ns1"))
   }
+}
+
+/** The catalog contract over the local filesystem backend. */
+class GraftCatalogSpec extends GraftCatalogContract {
+  override protected def freshStorage(): StorageOps =
+    new LocalStorageOps(Files.createTempDirectory("graft-cat").toString)
+  override protected def reopen(s: StorageOps): StorageOps =
+    new LocalStorageOps(s.root)
+}
+
+/** The same contract over object-store semantics: every catalog
+  * mutation reduces to conditional PUT / GET / LIST — no renames, no
+  * directories. A reopened handle shares the store but not the read
+  * cache, like a second process against one bucket.
+  */
+class ObjectStoreGraftCatalogSpec extends GraftCatalogContract {
+  override protected def freshStorage(): StorageOps =
+    new ObjectStoreOps(new InMemoryObjectStoreClient)
+  override protected def reopen(s: StorageOps): StorageOps =
+    new ObjectStoreOps(s.asInstanceOf[ObjectStoreOps].client)
+}
+
+/** And over the on-disk object-store fake (the backend the Spark
+  * integration suites use, where parquet jobs need real paths).
+  */
+class DirectoryObjectStoreGraftCatalogSpec extends GraftCatalogContract {
+  override protected def freshStorage(): StorageOps =
+    new ObjectStoreOps(new DirectoryObjectStoreClient(
+      Files.createTempDirectory("graft-cat-os").toString))
+  override protected def reopen(s: StorageOps): StorageOps =
+    new ObjectStoreOps(s.asInstanceOf[ObjectStoreOps].client)
 }

@@ -11,49 +11,78 @@ import org.scalatest.funsuite.AnyFunSuite
   * both appends survive (the conflict the reference's matrix declares
   * resolvable, AnalyzeActionConflicts.java:171-187, with the rebase
   * the reference left TODO).
+  *
+  * Bound twice: to local-filesystem storage and to the object-store
+  * backend, where the root-version race is decided by a conditional
+  * PUT instead of link(2).
   */
-class ConcurrentWriteSpec extends AnyFunSuite {
+abstract class ConcurrentWriteContract extends AnyFunSuite {
+
+  /** Distinct per binding — catalogs are session-global. */
+  protected def catA: String
+  protected def catB: String
+  /** Extra per-catalog options (e.g. storage=object). */
+  protected def catalogOptions: Map[String, String]
 
   private lazy val warehouse = Files.createTempDirectory("graft-cwh").toString
 
-  lazy val spark: SparkSession = graft.Verify.sessionBuilder("4")
-    .config("spark.sql.catalog.wa", classOf[GraftCatalog].getName)
-    .config("spark.sql.catalog.wa.warehouse", warehouse)
-    .config("spark.sql.catalog.wb", classOf[GraftCatalog].getName)
-    .config("spark.sql.catalog.wb.warehouse", warehouse)
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    var b = graft.Verify.sessionBuilder("4")
+      .config(s"spark.sql.catalog.$catA", classOf[GraftCatalog].getName)
+      .config(s"spark.sql.catalog.$catA.warehouse", warehouse)
+      .config(s"spark.sql.catalog.$catB", classOf[GraftCatalog].getName)
+      .config(s"spark.sql.catalog.$catB.warehouse", warehouse)
+    for ((k, v) <- catalogOptions) {
+      b = b.config(s"spark.sql.catalog.$catA.$k", v)
+        .config(s"spark.sql.catalog.$catB.$k", v)
+    }
+    b.getOrCreate()
+  }
 
   private def cat(name: String): GraftCatalog =
     spark.sessionState.catalogManager.catalog(name).asInstanceOf[GraftCatalog]
 
   test("append/append race across sessions rebases; both appends survive") {
-    spark.sql("CREATE NAMESPACE wa.ns1")
-    spark.sql("CREATE TABLE wa.ns1.t (k BIGINT)")
+    spark.sql(s"CREATE NAMESPACE $catA.ns1")
+    spark.sql(s"CREATE TABLE $catA.ns1.t (k BIGINT)")
 
     // session A opens a txn on the current snapshot and stages an insert
-    cat("wa").beginTransaction()
-    spark.sql("INSERT INTO wa.ns1.t VALUES (1), (2)")
+    cat(catA).beginTransaction()
+    spark.sql(s"INSERT INTO $catA.ns1.t VALUES (1), (2)")
     // session B commits first (auto-commit) — B wins the race
-    spark.sql("INSERT INTO wb.ns1.t VALUES (10), (20), (30)")
-    assert(spark.table("wb.ns1.t").count() == 3)
+    spark.sql(s"INSERT INTO $catB.ns1.t VALUES (10), (20), (30)")
+    assert(spark.table(s"$catB.ns1.t").count() == 3)
     // A commits: loses the root race, conflict matrix says resolvable,
     // replay re-appends A's files onto B's table state
-    cat("wa").commitTransaction()
+    cat(catA).commitTransaction()
 
-    val all = spark.table("wb.ns1.t").collect().map(_.getLong(0)).sorted
+    val all = spark.table(s"$catB.ns1.t").collect().map(_.getLong(0)).sorted
     assert(all.sameElements(Array(1L, 2L, 10L, 20L, 30L)),
       s"lost an append in the rebase: ${all.mkString(",")}")
   }
 
   test("update/update race across sessions aborts the loser") {
-    spark.sql("CREATE TABLE wa.ns1.u (k BIGINT)")
-    spark.sql("INSERT INTO wa.ns1.u VALUES (1)")
-    cat("wa").beginTransaction()
-    spark.sql("INSERT OVERWRITE wa.ns1.u VALUES (100)")
-    spark.sql("INSERT OVERWRITE wb.ns1.u VALUES (200)") // wins
-    val e = intercept[Exception] { cat("wa").commitTransaction() }
+    spark.sql(s"CREATE TABLE $catA.ns1.u (k BIGINT)")
+    spark.sql(s"INSERT INTO $catA.ns1.u VALUES (1)")
+    cat(catA).beginTransaction()
+    spark.sql(s"INSERT OVERWRITE $catA.ns1.u VALUES (100)")
+    spark.sql(s"INSERT OVERWRITE $catB.ns1.u VALUES (200)") // wins
+    val e = intercept[Exception] { cat(catA).commitTransaction() }
     assert(e.getMessage.contains("txn") || e.isInstanceOf[graft.txn.CommitFailedException])
     // winner's overwrite is the surviving state
-    assert(spark.table("wb.ns1.u").collect().map(_.getLong(0)).sameElements(Array(200L)))
+    assert(spark.table(s"$catB.ns1.u").collect().map(_.getLong(0)).sameElements(Array(200L)))
   }
+}
+
+class ConcurrentWriteSpec extends ConcurrentWriteContract {
+  override protected def catA = "wa"
+  override protected def catB = "wb"
+  override protected def catalogOptions: Map[String, String] = Map.empty
+}
+
+class ObjectStoreConcurrentWriteSpec extends ConcurrentWriteContract {
+  override protected def catA = "oa"
+  override protected def catB = "ob"
+  override protected def catalogOptions: Map[String, String] =
+    Map("storage" -> "object")
 }

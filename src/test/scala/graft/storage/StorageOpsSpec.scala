@@ -1,15 +1,18 @@
 package graft.storage
 
 import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Port of the reference's abstract StorageOpsTests (32-184) bound to
-  * the local backend.
+/** Port of the reference's abstract StorageOpsTests (32-184), bound
+  * to every backend (mirrors TestS3StorageOlympiaTests.java's
+  * abstract-suite pattern).
   */
-class StorageOpsSpec extends AnyFunSuite {
-  private def fresh(): StorageOps =
-    new LocalStorageOps(Files.createTempDirectory("graft-sops").toString)
+abstract class StorageOpsContract extends AnyFunSuite {
+
+  protected def fresh(): StorageOps
 
   test("write/read/exists round-trip") {
     val s = fresh()
@@ -42,5 +45,87 @@ class StorageOpsSpec extends AnyFunSuite {
     s.writeAtomic("p/a", "2".getBytes)
     assert(s.listPrefix("p") == Seq("p/a", "p/b"))
     assert(s.listPrefix("nope").isEmpty)
+  }
+
+  test("contention: 16 racing creators of one key see exactly one winner") {
+    val s = fresh()
+    val n = 16
+    val start = new CountDownLatch(1)
+    val wins = new AtomicInteger(0)
+    val losses = new AtomicInteger(0)
+    val pool = Executors.newFixedThreadPool(n)
+    try {
+      for (i <- 0 until n) pool.execute { () =>
+        start.await()
+        try { s.writeAtomic("race/key", s"writer-$i".getBytes); wins.incrementAndGet() }
+        catch { case _: AtomicSealFailureException => losses.incrementAndGet() }
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(30, TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    assert(wins.get() == 1, s"expected exactly one winner, got ${wins.get()}")
+    assert(losses.get() == n - 1)
+    // the surviving content is the winner's, intact
+    assert(new String(s.read("race/key")).startsWith("writer-"))
+  }
+}
+
+class LocalStorageOpsSpec extends StorageOpsContract {
+  override protected def fresh(): StorageOps =
+    new LocalStorageOps(Files.createTempDirectory("graft-sops").toString)
+}
+
+class InMemoryObjectStoreOpsSpec extends StorageOpsContract {
+  override protected def fresh(): StorageOps =
+    new ObjectStoreOps(new InMemoryObjectStoreClient)
+}
+
+class DirectoryObjectStoreOpsSpec extends StorageOpsContract {
+  override protected def fresh(): StorageOps =
+    new ObjectStoreOps(new DirectoryObjectStoreClient(
+      Files.createTempDirectory("graft-osops").toString))
+}
+
+/** Behaviors specific to the object-store backend: the read cache and
+  * the two-handles-one-bucket topology.
+  */
+class ObjectStoreReadCacheSpec extends AnyFunSuite {
+
+  test("read cache serves immutable objects without refetch, revalidates mutated ones") {
+    val client = new InMemoryObjectStoreClient
+    val counting = new ObjectStoreClient {
+      val gets = new AtomicInteger(0)
+      override def head(key: String) = client.head(key)
+      override def get(key: String) = { gets.incrementAndGet(); client.get(key) }
+      override def putIfNoneMatch(key: String, data: Array[Byte]) =
+        client.putIfNoneMatch(key, data)
+      override def put(key: String, data: Array[Byte]) = client.put(key, data)
+      override def delete(keys: Seq[String]) = client.delete(keys)
+      override def list(prefix: String) = client.list(prefix)
+      override def absolute(key: String) = client.absolute(key)
+    }
+    val ops = new ObjectStoreOps(counting)
+    ops.writeAtomic("node/a", "v1".getBytes)
+    // writeAtomic seeded the cache: reads hit local disk, zero GETs
+    assert(new String(ops.read("node/a")) == "v1")
+    assert(new String(ops.read("node/a")) == "v1")
+    assert(counting.gets.get() == 0)
+    // a mutation BEHIND the ops handle (another process overwrote the
+    // hint object) changes the etag — HEAD revalidation must refetch
+    client.put("node/a", "v2".getBytes)
+    assert(new String(ops.read("node/a")) == "v2")
+    assert(counting.gets.get() == 1)
+  }
+
+  test("two handles over one store: second process reads the first's writes") {
+    val client = new InMemoryObjectStoreClient
+    val a = new ObjectStoreOps(client)
+    val b = new ObjectStoreOps(client)
+    a.writeAtomic("vn/v1", "root".getBytes)
+    assert(b.exists("vn/v1"))
+    assert(new String(b.read("vn/v1")) == "root")
+    // and b loses the create race a already won
+    intercept[AtomicSealFailureException](b.writeAtomic("vn/v1", "x".getBytes))
   }
 }

@@ -28,6 +28,9 @@ object GraftFunctions {
       "graft_jaccard_ge_05", exprs => JaccardGe(exprs(0), exprs(1), 0.5), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_langid", exprs => LangIdTrigram(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_hyperplane_sketch",
+      exprs => HyperplaneSketch(exprs.head, nPlanes = 256, seed = 42L), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine_sim", a, b)
@@ -40,4 +43,6 @@ object GraftFunctions {
   def jaccardGeHalf(a: Column, b: Column): Column =
     call_function("graft_jaccard_ge_05", a, b)
   def langIdTrigram(c: Column): Column = call_function("graft_langid", c)
+  def hyperplaneSketch(c: Column): Column =
+    call_function("graft_hyperplane_sketch", c)
 }

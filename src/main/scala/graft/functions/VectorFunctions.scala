@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expressions for embedding math.
@@ -86,6 +86,77 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : Expression = copy(left = l, right = r)
+}
+
+/** hyperplane_sketch(v) — signs of `nPlanes` random-hyperplane
+  * projections, packed into nPlanes/64 long words (random-hyperplane
+  * LSH, Charikar 2002). Plane weights are Gaussian, derived
+  * deterministically from (seed, plane) so every executor — and every
+  * round — sketches identically without shipping a plane matrix.
+  *
+  * The matrix is materialized ONCE per executor per dimension
+  * (lazily, ~128×dim doubles) and the per-row work is nPlanes dot
+  * products over the primitive ArrayData — no per-row allocation
+  * beyond the output words. With 16-bit bands this gives 2¹⁶ buckets
+  * per band; the in-bucket candidate join at N rows is ~N²/2¹⁶ per
+  * band, the shape that survives 100 TB (vs. 2⁸ buckets, which
+  * degenerates to N²/256).
+  */
+case class HyperplaneSketch(child: Expression, nPlanes: Int, seed: Long)
+    extends UnaryExpression {
+  require(nPlanes % 64 == 0, "nPlanes must be a multiple of 64")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val getE: (ArrayData, Int) => Double =
+    child.dataType match {
+      case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+      case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+      case other =>
+        throw new IllegalArgumentException(s"expected array<float|double>, got $other")
+    }
+
+  // plane matrix per dimension (embedding dim is constant per dataset,
+  // so this holds exactly one entry in practice)
+  @transient private lazy val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+
+  private def planesFor(dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent(dim, d => Array.tabulate(nPlanes) { p =>
+      val rng = new java.util.Random(seed * 1000003L + p)
+      Array.fill(d)(rng.nextGaussian())
+    })
+
+  /** Public so generated code can call through the reference object. */
+  def sketch(a: ArrayData): ArrayData = {
+    val dim = a.numElements()
+    val planes = planesFor(dim)
+    val words = new Array[Long](nPlanes / 64)
+    var p = 0
+    while (p < nPlanes) {
+      val w = planes(p)
+      var dot = 0.0
+      var i = 0
+      while (i < dim) { dot += getE(a, i) * w(i); i += 1 }
+      if (dot >= 0.0) words(p >> 6) |= (1L << (p & 63))
+      p += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  override def nullSafeEval(v: Any): Any = sketch(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the plane loop lives in this instance; codegen calls through a
+    // reference object so the surrounding whole-stage span is kept
+    val ref = ctx.addReferenceObj("sketcher", this, classOf[HyperplaneSketch].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $ref.sketch($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** dot_product(a, b) — inner product of two numeric arrays. */

@@ -32,8 +32,53 @@ class DedupRecallSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // verification step guarantees precision (no false positives)
     assert((lsh -- exact).isEmpty)
-    // and the 16-bit sketch should recover a usable fraction
-    assert(lsh.size.toDouble / exact.size > 0.05,
+    // 16 coarse 8-bit bands at this dataset's similarity regime
+    // (cosine ~0.4 → per-bit agreement ~0.63) predict ~33% recall;
+    // assert a floor with margin. Planes are deterministic, so this
+    // is a fixed number per dataset, not a flaky sample.
+    assert(lsh.size.toDouble / exact.size > 0.15,
       s"LSH recall collapsed: ${lsh.size}/${exact.size}")
+  }
+
+  test("adaptive buckets: oversized coarse buckets re-bucket on the fine key") {
+    import spark.implicits._
+    val cap = 50
+    // one hot coarse bucket (band 0, v1=7) holding 1000 rows spread
+    // over 100 fine keys, plus a small coarse bucket that must stay
+    // coarse
+    val hot = (0 until 1000).map(i => (i.toLong, 0, 7L, 1000L + i % 100))
+    val cold = (0 until 10).map(i => (5000L + i, 0, 9L, 2000L + i))
+    val bands = (hot ++ cold).toDF("vec_id", "band", "v1", "v2")
+    val out = graft.pipeline.Dedup.adaptiveBuckets(bands, cap)
+      .groupBy("band", "bkey").count()
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val (coarse, refined) = out.partition(_._1 < 0x10000L)
+    // the cold bucket survives under its coarse key
+    assert(coarse.toSeq == Seq((9L, 10L)))
+    // the hot bucket split into 100 fine buckets of 10 — occupancy
+    // bounded by the fine keyspace, NOT by the hot-key row count
+    assert(refined.length == 100)
+    assert(refined.map(_._2).max == 10L)
+  }
+
+  test("dd06 bucket occupancy stays far below N at sf0.01") {
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions.hyperplaneSketch(col("embedding")).as("sk"))
+    val bands = e.select(col("vec_id"),
+      explode(array((0 until 16).map { b =>
+        val v16 = shiftrightunsigned(col("sk")(b / 4), 16 * (b % 4))
+          .bitwiseAND(lit(0xffffL))
+        struct(lit(b).as("band"), v16.bitwiseAND(lit(0xffL)).as("v1"),
+          v16.as("v2"))
+      }: _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band"), col("bs.v1"), col("bs.v2"))
+    val maxBucket = graft.pipeline.Dedup.adaptiveBuckets(bands, cap = 64)
+      .groupBy("band", "bkey").count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(maxBucket <= 64, s"bucket of $maxBucket rows exceeds the cap (N=$n)")
   }
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit, typedlit}
 
 /** Registration + Column-level API for graft's native expressions.
   *
@@ -31,6 +31,18 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_hyperplane_sketch",
       exprs => HyperplaneSketch(exprs.head, nPlanes = 256, seed = 42L), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_nearest_cells", exprs => {
+        // the centroid matrix / ids / n arrive as foldable literals and
+        // are decoded ONCE here, at function-build time
+        val cd = exprs(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val matrix = Array.tabulate(cd.numElements())(i => cd.getArray(i).toDoubleArray())
+        val ids = exprs(2).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+        val n = exprs(3).eval(null).asInstanceOf[Int]
+        NearestCentroids(exprs(0), matrix, ids, n)
+      }, "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine_sim", a, b)
@@ -45,4 +57,7 @@ object GraftFunctions {
   def langIdTrigram(c: Column): Column = call_function("graft_langid", c)
   def hyperplaneSketch(c: Column): Column =
     call_function("graft_hyperplane_sketch", c)
+  def nearestCentroids(v: Column, cents: Seq[Seq[Double]], cids: Seq[Long],
+      n: Int): Column =
+    call_function("graft_nearest_cells", v, typedlit(cents), typedlit(cids), lit(n))
 }

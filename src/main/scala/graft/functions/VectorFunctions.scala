@@ -159,6 +159,73 @@ case class HyperplaneSketch(child: Expression, nPlanes: Int, seed: Long)
     copy(child = c)
 }
 
+/** nearest_centroids(v) — ids of the `n` nearest centroids to `v` by
+  * cosine, ordered best-first (ties by id). The centroid matrix is a
+  * PLAN-TIME constant (collected on the driver — centroids are
+  * broadcast-sized by construction), so assignment is a pure map-side
+  * expression: no crossJoin row explosion, no row_number window
+  * shuffle — the N×K assignment shuffle the round-1 IVF paid per
+  * Lloyd iteration disappears entirely.
+  */
+case class NearestCentroids(child: Expression,
+    centroids: Array[Array[Double]], cids: Array[Long], n: Int)
+    extends UnaryExpression {
+  require(centroids.length == cids.length && centroids.nonEmpty)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val getE: (ArrayData, Int) => Double =
+    child.dataType match {
+      case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+      case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+      case other =>
+        throw new IllegalArgumentException(s"expected array<float|double>, got $other")
+    }
+
+  @transient private lazy val cNorms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  /** Public so generated code can call through the reference object. */
+  def nearest(a: ArrayData): ArrayData = {
+    val dim = a.numElements()
+    val k = math.min(n, centroids.length)
+    // top-k by insertion — k is tiny (1..nprobe)
+    val bestSim = Array.fill(k)(Double.NegativeInfinity)
+    val bestId = new Array[Long](k)
+    var c = 0
+    while (c < centroids.length) {
+      val w = centroids(c)
+      val m = math.min(dim, w.length)
+      var dot = 0.0; var na = 0.0; var i = 0
+      while (i < m) { val x = getE(a, i); dot += x * w(i); na += x * x; i += 1 }
+      val denom = math.sqrt(na) * cNorms(c)
+      val sim = if (denom == 0.0) Double.NegativeInfinity else dot / denom
+      // find insertion slot (sim desc, cid asc on ties)
+      var slot = k
+      while (slot > 0 && (sim > bestSim(slot - 1) ||
+        (sim == bestSim(slot - 1) && cids(c) < bestId(slot - 1)))) slot -= 1
+      if (slot < k) {
+        var j = k - 1
+        while (j > slot) { bestSim(j) = bestSim(j - 1); bestId(j) = bestId(j - 1); j -= 1 }
+        bestSim(slot) = sim; bestId(slot) = cids(c)
+      }
+      c += 1
+    }
+    new GenericArrayData(bestId)
+  }
+
+  override def nullSafeEval(v: Any): Any = nearest(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cfinder", this, classOf[NearestCentroids].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.nearest($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** dot_product(a, b) — inner product of two numeric arrays. */
 case class DotProduct(left: Expression, right: Expression)
     extends VectorBinaryExpression {

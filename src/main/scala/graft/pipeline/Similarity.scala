@@ -56,52 +56,58 @@ object Similarity {
     QueryDef(
       "ss02_ann_ivf",
       (s, d) => {
-        // IVF with k-means training: deterministic seeding (16 lowest
-        // vec_ids), 3 Lloyd iterations computed distributed (assign via
-        // broadcast-centroid join, recompute means element-wise), then
-        // probe the 4 nearest cells per query and run exact cosine
-        // within the probed cells only. Centroids stay broadcast-sized;
-        // the big side never shuffles for assignment.
+        // IVF with k-means training. nlist scales ~√N (override with
+        // spark.graft.ann.nlist), so cells stay ~√N rows at any scale.
+        // Assignment is a MAP-SIDE native expression over the
+        // driver-held centroid matrix (centroids are broadcast-sized
+        // by construction: nlist ≈ √N rows — 10⁵ at 100 TB): no
+        // crossJoin row explosion and no row_number window shuffle
+        // per Lloyd iteration; the only shuffles left are the
+        // nlist×dim-group mean recompute (map-side partial agg first,
+        // so the wire carries partitions×nlist×dim partial sums, not
+        // N×dim rows) and the final probed-cells join.
         GraftFunctions.register(s)
         val e = table(s, d, "embeddings").select("vec_id", "embedding")
-        var centroids = e.orderBy("vec_id").limit(16)
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        for (_ <- 1 to 3) {
-          val assigned = {
-            val wn = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
-            e.crossJoin(broadcast(centroids))
-              .withColumn("csim", GraftFunctions.cosineSim(col("embedding"), col("cvec")))
-              .withColumn("crank", row_number().over(wn))
-              .filter(col("crank") === 1)
-              .select(col("cid"), col("embedding"))
+        val nlist = s.conf.getOption("spark.graft.ann.nlist").map(_.toInt)
+          .getOrElse {
+            val n = e.count()
+            math.max(4, math.round(math.sqrt(n.toDouble)).toInt)
           }
-          // element-wise mean per cluster: explode positions, average,
-          // reassemble in position order
-          centroids = assigned
-            .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
-            .groupBy("cid", "pos")
+        val nprobe = math.max(4, nlist / 8)
+        // deterministic seeding: the nlist lowest vec_ids
+        var centroids: Array[(Long, Seq[Double])] =
+          e.orderBy("vec_id").limit(nlist).collect().map { r =>
+            (r.getLong(0), r.getSeq[Any](1).map {
+              case f: Float => f.toDouble
+              case d: Double => d
+              case x => x.asInstanceOf[Number].doubleValue()
+            })
+          }
+        def cells(vec: org.apache.spark.sql.Column, n: Int) =
+          GraftFunctions.nearestCentroids(vec,
+            centroids.map(_._2).toSeq, centroids.map(_._1).toSeq, n)
+        for (_ <- 1 to 3) {
+          // element-wise mean per cluster: explode positions map-side,
+          // partial-aggregate, one small shuffle of nlist×dim groups
+          val means = e
+            .withColumn("cell", element_at(cells(col("embedding"), 1), 1))
+            .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+            .groupBy("cell", "pos")
             .agg(avg("x").as("m"))
-            .groupBy("cid")
+            .groupBy("cell")
             .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-            .select(col("cid"),
-              expr("transform(pm, p -> CAST(p.m AS FLOAT))").as("cvec"))
+            .select(col("cell"), expr("transform(pm, p -> p.m)").as("cvec"))
+            .collect()
+          centroids = means.map(r =>
+            (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
         }
-        val cents = broadcast(centroids)
-        def nearestCells(df: org.apache.spark.sql.DataFrame, vec: String, n: Int) = {
-          val wn = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
-          df.crossJoin(cents)
-            .withColumn("csim", GraftFunctions.cosineSim(col(vec), col("cvec")))
-            .withColumn("crank", row_number().over(wn))
-            .filter(col("crank") <= n)
-        }
-        val assigned = nearestCells(e, "embedding", 1)
-          .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
-        val queries = nearestCells(
-          e.filter(col("vec_id") < NQ), "embedding", 4)
+        val assigned = e
+          .withColumn("cell", element_at(cells(col("embedding"), 1), 1))
+        val queries = e.filter(col("vec_id") < NQ)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-            col("cid").as("cell"))
+            explode(cells(col("embedding"), nprobe)).as("cell"))
         val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
-        assigned.join(queries, "cell")
+        assigned.join(broadcast(queries), "cell")
           .filter(col("vec_id") =!= col("qid"))
           .withColumn("cos_sim",
             round(GraftFunctions.cosineSim(col("embedding"), col("qvec")), 4))

@@ -57,7 +57,31 @@ object Graft {
   def commitTransaction(storage: StorageOps, txn: Transaction,
       maxRetries: Int = 10): TreeRoot = {
     txn.requireOpen()
-    if (txn.isReadOnly) { txn.committed = true; return txn.beginningRoot }
+    if (txn.isReadOnly) {
+      // a read-only txn publishes nothing, but under SERIALIZABLE its
+      // READ SET must still validate against everything committed
+      // since the snapshot — otherwise a stale read "commits" as if it
+      // had run before writers it actually ran after
+      if (txn.isolationLevel == IsolationLevel.Serializable) {
+        val latest = TreeOps.findLatestRoot(storage).get
+        try {
+          if (latest.version > txn.beginningRoot.version) {
+            val committedActions = TreeOps.listRoots(storage, latest)
+              .takeWhile(_.version > txn.beginningRoot.version)
+              .flatMap(r => Actions.fromJson(r.actionsJson))
+              .toSeq
+            ConflictAnalyzer.analyze(txn.actions.toSeq, committedActions,
+              txn.isolationLevel) match {
+              case Left(reason) =>
+                throw new CommitFailedException(s"txn ${txn.id}: $reason")
+              case Right(_) => ()
+            }
+          }
+        } finally latest.close()
+      }
+      txn.committed = true
+      return txn.beginningRoot
+    }
     // A resumed (distributed) transaction lost its replay closures at
     // suspend time; reconstruct them from the tree diff so a lost
     // commit race can still rebase instead of silently dropping work.

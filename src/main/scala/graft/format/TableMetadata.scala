@@ -61,3 +61,29 @@ object TableMetadata {
   def write(storage: StorageOps, rel: String, meta: TableMetadata): Unit =
     storage.writeAtomic(rel, Json.write(meta))
 }
+
+/** Per-column value ranges of a committed file set, serialized into
+  * write actions' args ("rng.<col>" → "lo|hi"). Numeric columns only,
+  * and only when EVERY file carries stats for the column — a file
+  * without stats could hold any value, so its column must not claim a
+  * range. The SERIALIZABLE conflict analyzer intersects these with a
+  * reader's predicate intervals to prove append/read disjointness.
+  */
+object StatsRanges {
+  def args(files: Seq[DataFileEntry]): Map[String, String] = {
+    if (files.isEmpty) return Map.empty
+    val cols = files.head.minValues.keySet
+      .filter(c => files.forall(f =>
+        f.minValues.contains(c) && f.maxValues.contains(c)))
+    cols.flatMap { c =>
+      val mins = files.map(f => parseNum(f.minValues(c)))
+      val maxs = files.map(f => parseNum(f.maxValues(c)))
+      if (mins.forall(_.isDefined) && maxs.forall(_.isDefined))
+        Some(s"rng.$c" -> s"${mins.flatten.min}|${maxs.flatten.max}")
+      else None
+    }.toMap
+  }
+
+  private def parseNum(s: String): Option[Double] =
+    try Some(s.toDouble) catch { case _: NumberFormatException => None }
+}

@@ -427,7 +427,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         val cd = Graft.catalogDef(storage, txn.runningRoot)
         txn.record(Action(ActionType.TableInsert,
           ObjectKeys.tableKey(ns, t, cd),
-          Map("files" -> newFiles.map(_.path).mkString(","))))
+          Map("files" -> newFiles.map(_.path).mkString(",")) ++
+            graft.format.StatsRanges.args(newFiles)))
         Graft.saveDistTransaction(storage, txn)
       } finally txn.close()
       return
@@ -455,7 +456,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       txn.record(Action(
         if (overwrite) ActionType.TableUpdate else ActionType.TableInsert,
         ObjectKeys.tableKey(ns, t, cd),
-        Map("files" -> newFiles.map(_.path).mkString(","))))
+        Map("files" -> newFiles.map(_.path).mkString(",")) ++
+          graft.format.StatsRanges.args(newFiles)))
     }
   }
 

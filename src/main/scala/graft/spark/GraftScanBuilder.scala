@@ -169,3 +169,61 @@ object FilePruning {
     java.lang.Integer.compare(x.length, y.length)
   }
 }
+
+/** Per-column numeric read intervals extracted from pushed predicates,
+  * serialized into the TABLE_SELECT action's args ("ivl.<col>" →
+  * "lo|hi", bounds treated as CLOSED — conservative). Under
+  * SERIALIZABLE these let the conflict analyzer prove a committed
+  * append DISJOINT from the read set (writer file stats on the other
+  * side), so txns touching different rows of one table both commit.
+  */
+object ReadIntervals {
+
+  private def num(v: Any): Option[Double] = v match {
+    case n: java.lang.Number => Some(n.doubleValue())
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case _ => None // strings/binary: no interval, stay conservative
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  def fromFilters(filters: Seq[Expression]): Map[String, String] = {
+    val acc = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    def tighten(c: String, lo: Double, hi: Double): Unit = {
+      val (l0, h0) = acc.getOrElse(c,
+        (Double.NegativeInfinity, Double.PositiveInfinity))
+      acc(c) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    for (f <- filters; e <- conjuncts(f)) e match {
+      case EqualTo(a: Attribute, Literal(v, _)) =>
+        num(v).foreach(x => tighten(a.name, x, x))
+      case EqualTo(Literal(v, _), a: Attribute) =>
+        num(v).foreach(x => tighten(a.name, x, x))
+      case GreaterThan(a: Attribute, Literal(v, _)) =>
+        num(v).foreach(x => tighten(a.name, x, Double.PositiveInfinity))
+      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) =>
+        num(v).foreach(x => tighten(a.name, x, Double.PositiveInfinity))
+      case LessThan(a: Attribute, Literal(v, _)) =>
+        num(v).foreach(x => tighten(a.name, Double.NegativeInfinity, x))
+      case LessThanOrEqual(a: Attribute, Literal(v, _)) =>
+        num(v).foreach(x => tighten(a.name, Double.NegativeInfinity, x))
+      case GreaterThan(Literal(v, _), a: Attribute) =>
+        num(v).foreach(x => tighten(a.name, Double.NegativeInfinity, x))
+      case GreaterThanOrEqual(Literal(v, _), a: Attribute) =>
+        num(v).foreach(x => tighten(a.name, Double.NegativeInfinity, x))
+      case LessThan(Literal(v, _), a: Attribute) =>
+        num(v).foreach(x => tighten(a.name, x, Double.PositiveInfinity))
+      case LessThanOrEqual(Literal(v, _), a: Attribute) =>
+        num(v).foreach(x => tighten(a.name, x, Double.PositiveInfinity))
+      case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        val xs = vs.collect { case Literal(v, _) => num(v) }.flatten
+        if (xs.nonEmpty && xs.length == vs.length)
+          tighten(a.name, xs.min, xs.max)
+      case _ => () // un-analyzable conjunct constrains nothing extra
+    }
+    acc.map { case (c, (lo, hi)) => s"ivl.$c" -> s"$lo|$hi" }.toMap
+  }
+}

@@ -81,7 +81,8 @@ class GraftTable(
           // set (reference TableSelectDef, actions.proto:94-97)
           txn.record(Action(ActionType.TableSelect, catalog.tableKey(tableDef),
             Map("columns" -> columns.mkString(","),
-              "filters" -> filters.map(_.sql).mkString(" AND ")))))
+              "filters" -> filters.map(_.sql).mkString(" AND ")) ++
+              ReadIntervals.fromFilters(filters))))
     }
   }
 

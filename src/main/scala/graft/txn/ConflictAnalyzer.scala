@@ -35,9 +35,21 @@ object ConflictAnalyzer {
     if (readOnly(c)) return NoConflict // committed read constrains nothing
     if (readOnly(p)) {
       // pending read vs committed write: visible only under SERIALIZABLE
-      return if (isolation == IsolationLevel.Serializable)
-        Unresolvable(s"serializable read-write conflict on ${pending.objectKey}: $p vs $c")
-      else NoConflict
+      if (isolation != IsolationLevel.Serializable) return NoConflict
+      // a METADATA read (describe/exists/show) observes schema and
+      // properties, which a data-plane write doesn't touch — only the
+      // data read (TABLE_SELECT) is constrained by inserts/updates
+      val dataWrites = Set(TableInsert, TableUpdate, TableDelete)
+      if (p != TableSelect && dataWrites(c)) return NoConflict
+      // predicate-level refinement: a committed APPEND whose file
+      // stats are provably outside the read's predicate intervals
+      // never changed a row the reader observed — no conflict. Only
+      // sound for pure appends: an overwrite/delete also REMOVES rows
+      // the stats of the new files say nothing about.
+      if (c == TableInsert && provablyDisjoint(pending.payload, committed.payload))
+        return NoConflict
+      return Unresolvable(
+        s"serializable read-write conflict on ${pending.objectKey}: $p vs $c")
     }
 
     // both writes on the same key (AnalyzeActionConflicts.java:82-249)
@@ -56,6 +68,32 @@ object ConflictAnalyzer {
         Unresolvable(s"write to concurrently dropped ${pending.objectKey}")
       case _ =>
         Unresolvable(s"$p vs $c on ${pending.objectKey}")
+    }
+  }
+
+  /** True when SOME column's read interval ("ivl.<col>" → "lo|hi" in
+    * the read action's args) provably misses the writer's value range
+    * ("rng.<col>" from the committed files' stats). One disjoint
+    * column proves the appended rows all fall outside the read
+    * predicate. Bounds are closed on both sides — equality counts as
+    * overlap, unparseable entries prove nothing.
+    */
+  private[txn] def provablyDisjoint(readArgs: Map[String, String],
+      writeArgs: Map[String, String]): Boolean = {
+    def parse(s: String): Option[(Double, Double)] = s.split('|') match {
+      case Array(lo, hi) =>
+        try Some((lo.toDouble, hi.toDouble))
+        catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+    readArgs.exists { case (k, v) =>
+      k.startsWith("ivl.") && {
+        val col = k.stripPrefix("ivl.")
+        (parse(v), writeArgs.get(s"rng.$col").flatMap(parse)) match {
+          case (Some((rLo, rHi)), Some((wLo, wHi))) => rHi < wLo || rLo > wHi
+          case _ => false
+        }
+      }
     }
   }
 

@@ -185,6 +185,33 @@ object CatalogQueries {
       },
       Some("""SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal
              |FROM supplier WHERE s_acctbal > 5000
-             |ORDER BY s_suppkey""".stripMargin))
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    QueryDef(
+      "c09_show_views",
+      (s, d) => {
+        // SHOW VIEWS + full view DDL: column aliases, COMMENT,
+        // TBLPROPERTIES, ALTER VIEW SET — queried back through the
+        // aliased view to prove the alias fold-in works end-to-end.
+        ensureCatalog(s, "gc9")
+        provision(s, "gc9", d, "region", "region")
+        s.sql("DROP VIEW IF EXISTS gc9.ns1.va")
+        s.sql("DROP VIEW IF EXISTS gc9.ns1.vb")
+        s.sql("""CREATE VIEW gc9.ns1.va (rk, rname)
+                 COMMENT 'aliased region view'
+                 TBLPROPERTIES('team'='graft')
+                 AS SELECT r_regionkey, r_name FROM gc9.ns1.region""")
+        s.sql("CREATE VIEW gc9.ns1.vb AS SELECT r_name FROM gc9.ns1.region")
+        s.sql("ALTER VIEW gc9.ns1.vb SET TBLPROPERTIES('tier'='bronze')")
+        val listed = s.sql("SHOW VIEWS IN gc9.ns1")
+          .select(col("viewName").as("view_name"))
+        val viaAlias = s.sql(
+          "SELECT cast(count(*) AS string) AS view_name FROM gc9.ns1.va WHERE rk >= 0")
+        listed.union(viaAlias).orderBy("view_name")
+      },
+      Some("""SELECT view_name FROM (
+             |  SELECT 'va' AS view_name UNION ALL SELECT 'vb'
+             |  UNION ALL SELECT cast(count(*) AS varchar) FROM region
+             |) ORDER BY view_name""".stripMargin))
   )
 }

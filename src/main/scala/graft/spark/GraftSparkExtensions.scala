@@ -3,13 +3,13 @@ package graft.spark
 import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
 
 /** Session extensions (reference analog:
   * spark/v3.5/spark-extensions/.../OlympiaSparkExtensions.scala:20-30):
@@ -40,16 +40,36 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   private val txnRe =
     """(?is)^\s*(BEGIN|COMMIT|ROLLBACK)(\s+TRANSACTION)?\s*;?\s*$""".r
+  // CREATE [OR REPLACE] VIEW v [(aliases)] [COMMENT '..']
+  //   [TBLPROPERTIES('k'='v',..)] AS query  (reference grammar scope,
+  //   spark-extensions/.../OlympiaSqlExtensions.g4:17-46)
   private val createViewRe =
-    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.`]+)\s+AS\s+(.+?)\s*;?\s*$""".r
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.`]+)\s*""" +
+      """(?:\(\s*([\w`\s,]+?)\s*\)\s*)?""" +
+      """(?:COMMENT\s+'((?:[^']|'')*)'\s*)?""" +
+      """(?:TBLPROPERTIES\s*\(\s*([^)]*?)\s*\)\s*)?""" +
+      """AS\s+(.+?)\s*;?\s*$""").r
   private val dropViewRe =
     """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$""".r
+  private val showViewsRe =
+    """(?is)^\s*SHOW\s+VIEWS(?:\s+(?:IN|FROM)\s+([\w.`]+))?\s*;?\s*$""".r
+  private val alterViewRe =
+    ("""(?is)^\s*ALTER\s+VIEW\s+([\w.`]+)\s+SET\s+""" +
+      """TBLPROPERTIES\s*\(\s*([^)]*?)\s*\)\s*;?\s*$""").r
+
+  private val propRe = """'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'""".r
+
+  private def parseProps(s: String): Map[String, String] =
+    propRe.findAllMatchIn(s)
+      .map(m => m.group(1).replace("''", "'") -> m.group(2).replace("''", "'"))
+      .toMap
+
+  private def isGraft(name: String): Boolean =
+    session.conf.getOption(s"spark.sql.catalog.$name")
+      .contains(classOf[GraftCatalog].getName)
 
   /** Is `parts` a reference into a graft catalog (explicit or current)? */
   private def graftCatalogFor(parts: Seq[String]): Option[(String, Seq[String])] = {
-    def isGraft(name: String): Boolean =
-      session.conf.getOption(s"spark.sql.catalog.$name")
-        .contains(classOf[GraftCatalog].getName)
     parts match {
       case Seq(c, ns, n) if isGraft(c) => Some((c, Seq(ns, n)))
       case Seq(ns, n) =>
@@ -62,11 +82,38 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case txnRe(verb, _) =>
       TransactionCommand(verb.toUpperCase(java.util.Locale.ROOT))
-    case createViewRe(replace, ident, query) =>
+    case createViewRe(replace, ident, aliases, comment, props, query) =>
       val parts = delegate.parseMultipartIdentifier(ident.replace("`", ""))
       graftCatalogFor(parts) match {
         case Some((cat, Seq(ns, name))) =>
-          CreateGraftViewCommand(cat, ns, name, query.trim, replace != null)
+          val aliasList = Option(aliases).toSeq.flatMap(
+            _.split(',').map(_.trim.replace("`", "")).filter(_.nonEmpty))
+          CreateGraftViewCommand(cat, ns, name, query.trim, replace != null,
+            aliasList, Option(comment).map(_.replace("''", "'")),
+            Option(props).map(parseProps).getOrElse(Map.empty))
+        case _ => delegate.parsePlan(sqlText)
+      }
+    case showViewsRe(target) =>
+      val resolved = Option(target)
+        .map(t => delegate.parseMultipartIdentifier(t.replace("`", ""))) match {
+        case Some(Seq(c, n)) if isGraft(c) => Some((c, Some(n)))
+        case Some(Seq(n)) =>
+          val cur = session.sessionState.catalogManager.currentCatalog.name()
+          if (isGraft(cur)) Some((cur, Some(n))) else None
+        case Some(_) => None
+        case None =>
+          val cur = session.sessionState.catalogManager.currentCatalog.name()
+          if (isGraft(cur)) Some((cur, None)) else None
+      }
+      resolved match {
+        case Some((cat, ns)) => ShowGraftViewsCommand(cat, ns)
+        case None => delegate.parsePlan(sqlText)
+      }
+    case alterViewRe(ident, props) =>
+      val parts = delegate.parseMultipartIdentifier(ident.replace("`", ""))
+      graftCatalogFor(parts) match {
+        case Some((cat, Seq(ns, name))) =>
+          AlterGraftViewCommand(cat, ns, name, parseProps(props))
         case _ => delegate.parsePlan(sqlText)
       }
     case dropViewRe(ifExists, ident) =>
@@ -116,16 +163,66 @@ case class TransactionCommand(verb: String) extends LeafRunnableCommand {
 }
 
 case class CreateGraftViewCommand(catalogName: String, ns: String, name: String,
-    query: String, replace: Boolean) extends LeafRunnableCommand {
+    query: String, replace: Boolean, columnAliases: Seq[String] = Seq.empty,
+    comment: Option[String] = None, properties: Map[String, String] = Map.empty)
+    extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val cat = session.sessionState.catalogManager.catalog(catalogName)
       .asInstanceOf[GraftCatalog]
-    val schema = session.sql(query).schema
+    val baseSchema = session.sql(query).schema
+    // column aliases are folded into the stored SQL so the persisted
+    // view is self-contained (no alias metadata needed at resolve time)
+    val finalQuery =
+      if (columnAliases.isEmpty) query
+      else {
+        require(columnAliases.length == baseSchema.length,
+          s"view $name: ${columnAliases.length} aliases for " +
+            s"${baseSchema.length} query columns")
+        val sel = baseSchema.fieldNames.zip(columnAliases)
+          .map { case (o, a) => s"`$o` AS `$a`" }.mkString(", ")
+        s"SELECT $sel FROM ($query)"
+      }
+    val schema =
+      if (columnAliases.isEmpty) baseSchema else session.sql(finalQuery).schema
+    val allProps = properties ++ comment.map("comment" -> _)
+    import scala.jdk.CollectionConverters._
     val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
-      Identifier.of(Array(ns), name), query, catalogName, Array(ns), schema,
-      schema.fieldNames, Array.empty, Array.empty,
-      java.util.Collections.emptyMap())
+      Identifier.of(Array(ns), name), finalQuery, catalogName, Array(ns), schema,
+      schema.fieldNames, Array.empty, Array.empty, allProps.asJava)
     if (replace) cat.replaceView(info, true) else cat.createView(info)
+    Seq.empty
+  }
+}
+
+/** SHOW VIEWS [IN <catalog>.<ns> | IN <ns>] over a graft catalog; with
+  * no namespace, lists every namespace's views.
+  */
+case class ShowGraftViewsCommand(catalogName: String, ns: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("namespace", StringType, nullable = false)(),
+    AttributeReference("viewName", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = session.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftCatalog]
+    val nss = ns.map(Seq(_)).getOrElse(
+      cat.listNamespaces().map(_.head).toSeq)
+    nss.flatMap(n => cat.listViews(n).map(id => Row(n, id.name())))
+      .sortBy(r => (r.getString(0), r.getString(1)))
+  }
+}
+
+/** ALTER VIEW v SET TBLPROPERTIES('k'='v', ...). */
+case class AlterGraftViewCommand(catalogName: String, ns: String, name: String,
+    props: Map[String, String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = session.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftCatalog]
+    val changes = props.toSeq.map { case (k, v) =>
+      org.apache.spark.sql.connector.catalog.ViewChange.setProperty(k, v)
+    }
+    cat.alterView(Identifier.of(Array(ns), name), changes: _*)
     Seq.empty
   }
 }

@@ -100,6 +100,36 @@ class GraftCatalogSqlSpec extends AnyFunSuite {
       .sameElements(Array(2L, 3L, 4L)))
   }
 
+  test("view DDL: aliases, COMMENT, TBLPROPERTIES, ALTER SET, SHOW VIEWS") {
+    spark.sql("CREATE TABLE cat.ns1.vsrc (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO cat.ns1.vsrc VALUES (1, 'a'), (2, 'b')")
+    spark.sql("""CREATE VIEW cat.ns1.valias (id, label)
+                 COMMENT 'it''s aliased'
+                 TBLPROPERTIES('owner'='qa', 'tier'='gold')
+                 AS SELECT k, s FROM cat.ns1.vsrc""")
+    // aliased columns resolve in queries against the view
+    val rows = spark.sql(
+      "SELECT id, label FROM cat.ns1.valias WHERE id > 1").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "b")))
+    // comment + properties persisted on the catalog object
+    val cat0 = spark.sessionState.catalogManager.catalog("cat")
+      .asInstanceOf[GraftCatalog]
+    val v = cat0.loadView(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("ns1"), "valias"))
+    assert(v.properties().get("comment") == "it's aliased")
+    assert(v.properties().get("owner") == "qa")
+    // ALTER VIEW SET TBLPROPERTIES merges
+    spark.sql("ALTER VIEW cat.ns1.valias SET TBLPROPERTIES('tier'='platinum')")
+    val v2 = cat0.loadView(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("ns1"), "valias"))
+    assert(v2.properties().get("tier") == "platinum")
+    assert(v2.properties().get("owner") == "qa")
+    // SHOW VIEWS lists it
+    val shown = spark.sql("SHOW VIEWS IN cat.ns1").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(shown.contains(("ns1", "valias")))
+  }
+
   test("catalog time travel: VERSION AS OF") {
     spark.sql("CREATE TABLE cat.ns1.tt (k BIGINT)")
     val v1 = graft.tree.TreeOps.findLatestRoot(cat.storage).get.version

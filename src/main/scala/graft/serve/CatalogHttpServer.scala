@@ -1,0 +1,102 @@
+package graft.serve
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.catalog.Graft
+import graft.objects.Json
+import graft.storage.StorageOps
+import graft.txn.Transaction
+
+/** Read-only HTTP façade over a graft warehouse — the out-of-process
+  * access path the reference exposes as an Iceberg REST catalog
+  * (docker/gravitino/, README.md "REST catalog"). Built on the JDK's
+  * own HTTP server: zero extra dependencies, good enough for a
+  * metadata-plane protocol whose payloads are a few KB of JSON.
+  *
+  * Endpoints (all GET, all JSON):
+  *   /v1/config                          → CatalogDef
+  *   /v1/namespaces                      → {"namespaces": [..]}
+  *   /v1/namespaces/{ns}                 → NamespaceDef
+  *   /v1/namespaces/{ns}/tables          → {"tables": [..]}
+  *   /v1/namespaces/{ns}/tables/{t}      → TableDef
+  *   /v1/namespaces/{ns}/views           → {"views": [..]}
+  *   /v1/namespaces/{ns}/views/{v}       → ViewDef
+  *
+  * Every request runs in its own read transaction against the latest
+  * committed root, so responses are each a consistent snapshot — the
+  * same guarantee in-process readers get.
+  */
+class CatalogHttpServer(storage: StorageOps, port: Int = 0) {
+
+  private val server =
+    HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  /** Starts serving; returns the bound port. */
+  def start(): Int = {
+    server.createContext("/v1", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(null) // single-threaded is fine for metadata
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestMethod != "GET") {
+        reply(ex, 405, """{"error":"read-only catalog: GET only"}""")
+        return
+      }
+      val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
+      val body = withReadTxn { txn =>
+        parts match {
+          case List("v1", "config") =>
+            val root = graft.tree.TreeOps.findLatestRoot(storage).get
+            try Some(Json.writeString(Graft.catalogDef(storage, root)))
+            finally root.close()
+          case List("v1", "namespaces") =>
+            Some(listJson("namespaces", Graft.showNamespaces(storage, txn)))
+          case List("v1", "namespaces", ns) =>
+            Some(Json.writeString(Graft.describeNamespace(storage, txn, ns)))
+          case List("v1", "namespaces", ns, "tables") =>
+            Some(listJson("tables", Graft.showTables(storage, txn, ns)))
+          case List("v1", "namespaces", ns, "tables", t) =>
+            Some(Json.writeString(Graft.describeTable(storage, txn, ns, t)))
+          case List("v1", "namespaces", ns, "views") =>
+            Some(listJson("views", Graft.showViews(storage, txn, ns)))
+          case List("v1", "namespaces", ns, "views", v) =>
+            Some(Json.writeString(Graft.describeView(storage, txn, ns, v)))
+          case _ => None
+        }
+      }
+      body match {
+        case Some(json) => reply(ex, 200, json)
+        case None => reply(ex, 404, """{"error":"no such route"}""")
+      }
+    } catch {
+      case _: NoSuchElementException =>
+        reply(ex, 404, """{"error":"object not found"}""")
+      case e: IllegalArgumentException =>
+        reply(ex, 404, s"""{"error":${Json.writeString(e.getMessage)}}""")
+      case e: Exception =>
+        reply(ex, 500, s"""{"error":${Json.writeString(String.valueOf(e.getMessage))}}""")
+    } finally ex.close()
+
+  private def withReadTxn[T](f: Transaction => T): T = {
+    val txn = Graft.beginTransaction(storage)
+    try f(txn) finally txn.close()
+  }
+
+  private def listJson(field: String, names: Seq[String]): String =
+    s"""{"$field":${Json.writeString(names)}}"""
+
+  private def reply(ex: HttpExchange, code: Int, json: String): Unit = {
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}

@@ -1,0 +1,72 @@
+package graft.serve
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import graft.spark.GraftCatalog
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Two access paths to ONE warehouse: the Spark SQL catalog writes,
+  * the HTTP façade serves — listings and object defs must agree.
+  */
+class CatalogHttpServerSpec extends AnyFunSuite {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-http").toString
+
+  lazy val spark: SparkSession = graft.Verify.sessionBuilder("4")
+    .config("spark.sql.catalog.hc", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.hc.warehouse", warehouse)
+    .getOrCreate()
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val res = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (res.statusCode(), res.body())
+  }
+
+  test("HTTP catalog serves what the SQL catalog wrote") {
+    spark.sql("CREATE NAMESPACE hc.ns1")
+    spark.sql("CREATE TABLE hc.ns1.t1 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO hc.ns1.t1 VALUES (1, 'x')")
+    spark.sql("CREATE VIEW hc.ns1.v1 AS SELECT k FROM hc.ns1.t1")
+
+    val storage = spark.sessionState.catalogManager.catalog("hc")
+      .asInstanceOf[GraftCatalog].storage
+    val server = new CatalogHttpServer(storage)
+    val port = server.start()
+    try {
+      val (c0, config) = get(port, "/v1/config")
+      assert(c0 == 200 && config.contains("txnIsolationLevel"))
+
+      val (c1, nss) = get(port, "/v1/namespaces")
+      assert(c1 == 200 && nss.contains("\"ns1\""))
+
+      val (c2, tables) = get(port, "/v1/namespaces/ns1/tables")
+      assert(c2 == 200 && tables.contains("\"t1\""))
+
+      val (c3, t1) = get(port, "/v1/namespaces/ns1/tables/t1")
+      assert(c3 == 200 && t1.contains("\"name\":\"t1\""))
+
+      val (c4, views) = get(port, "/v1/namespaces/ns1/views")
+      assert(c4 == 200 && views.contains("\"v1\""))
+
+      val (c5, v1) = get(port, "/v1/namespaces/ns1/views/v1")
+      assert(c5 == 200 && v1.contains("SELECT k FROM hc.ns1.t1"))
+
+      // a commit AFTER the server started is visible on the next
+      // request — each request snapshots the latest root
+      spark.sql("CREATE TABLE hc.ns1.t2 (x BIGINT)")
+      val (_, tables2) = get(port, "/v1/namespaces/ns1/tables")
+      assert(tables2.contains("\"t2\""))
+
+      // unknown objects/routes are 404, not 500
+      assert(get(port, "/v1/namespaces/ns1/tables/nope")._1 == 404)
+      assert(get(port, "/v1/nonsense")._1 == 404)
+    } finally server.stop()
+  }
+}

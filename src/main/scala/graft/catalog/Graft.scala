@@ -30,8 +30,16 @@ object Graft {
     TreeOps.createEmptyRoot(storage, defPath)
   }
 
-  def catalogDef(storage: StorageOps, root: TreeRoot): CatalogDef =
-    Json.read(storage.read(root.catalogDefPath), classOf[CatalogDef])
+  def catalogDef(storage: StorageOps, root: TreeRoot): CatalogDef = {
+    val cd = Json.read(storage.read(root.catalogDefPath), classOf[CatalogDef])
+    // pre-tag (round-1) files carry no formatVersion → layout 1;
+    // anything beyond what this reader implements must be refused,
+    // not misread (docs/FORMAT_COMPAT.md)
+    val v = if (cd.formatVersion == 0) 1 else cd.formatVersion
+    require(v <= CatalogDef.FormatVersion,
+      s"catalog format version $v is newer than supported ${CatalogDef.FormatVersion}")
+    cd.copy(formatVersion = v)
+  }
 
   // ---------- transactions ----------
 

@@ -6,6 +6,11 @@ package graft.objects
   * resolvable offline (SURVEY.md §7.1).
   */
 final case class CatalogDef(
+    // self-describing encoding tag (docs/FORMAT_COMPAT.md): version 1
+    // is the round-1 JSON layout; files written before the tag existed
+    // deserialize with this default, which is correct because the
+    // layout is unchanged — bump ONLY on incompatible layout changes
+    formatVersion: Int = CatalogDef.FormatVersion,
     // B-tree fan-out (reference ObjectDefinitions.java:35)
     order: Int = 128,
     namespaceNameMaxBytes: Int = 100,
@@ -16,6 +21,11 @@ final case class CatalogDef(
     txnIsolationLevel: String = IsolationLevel.Snapshot,
     txnTtlMillis: Long = 3L * 24 * 3600 * 1000,
     properties: Map[String, String] = Map.empty)
+
+object CatalogDef {
+  /** Current JSON object-def layout version (docs/FORMAT_COMPAT.md). */
+  val FormatVersion = 1
+}
 
 object IsolationLevel {
   val Snapshot = "SNAPSHOT"

@@ -98,10 +98,55 @@ final class TreeNode(var persisted: Option[NodeFile]) {
     dirty = true
   }
 
-  /** Greatest child-bearing row with key <= target, for descent. */
+  /** Greatest child-bearing row with key <= target, for descent.
+    *
+    * Does NOT materialize the node: the pending side is a ranged scan
+    * of the (small, in-memory) staged map, and the persisted side is
+    * a binary search for the floor index followed by a downward walk
+    * that decodes one row at a time, skipping dead slices and
+    * pending-shadowed keys. On internal nodes every row bears a
+    * child, so the walk terminates after the first visible row — the
+    * descent stays O(log n) row decodes, matching the lookup path's
+    * no-materialization property (NodeFile binary search).
+    */
   def floorChildRow(key: String): Option[TreeRow] = {
-    val cands = mergedRows.filter(r => r.child.isDefined && r.key <= key)
-    cands.lastOption
+    // pending side: greatest staged row ≤ key that bears a child
+    // (child.isDefined ⇒ live, so no extra liveness check)
+    var pendCand: Option[TreeRow] = None
+    pending.rangeTo(key).valuesIterator.foreach { r =>
+      if (r.child.isDefined) pendCand = Some(r)
+    }
+    // persisted side: floor index, then walk down to the first row
+    // that is inside a live slice, not shadowed by pending, and
+    // child-bearing
+    val persCand: Option[TreeRow] = persisted.flatMap { f =>
+      val r = f.binarySearch(key)
+      var idx = if (r >= 0) r else -(r + 1) - 1
+      var out: Option[TreeRow] = None
+      while (out.isEmpty && idx >= 0) {
+        sliceFloor(idx) match {
+          case None => idx = -1
+          case Some(i) =>
+            val row = f.row(i)
+            if (!pending.contains(row.key) && row.child.isDefined) out = Some(row)
+            idx = i - 1
+        }
+      }
+      out
+    }
+    (pendCand, persCand) match {
+      case (Some(p), Some(q)) => if (p.key >= q.key) Some(p) else Some(q)
+      case (p, q) => p.orElse(q)
+    }
+  }
+
+  /** Greatest index ≤ `idx` that lies inside a live slice. */
+  private def sliceFloor(idx: Int): Option[Int] = {
+    var best = -1
+    slices.foreach { s =>
+      if (s.start <= idx) best = math.max(best, math.min(idx, s.end - 1))
+    }
+    if (best >= 0) Some(best) else None
   }
 
   /** Release this node's Arrow buffers and those of loaded children.

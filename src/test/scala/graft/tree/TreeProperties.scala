@@ -41,6 +41,29 @@ object TreeProperties extends Properties("Tree") {
       lookupsOk && traversalOk
     }
 
+  property("floorChildRow equals the materialized floor on mixed nodes") =
+    forAll(Gen.listOf(keyGen), Gen.listOf(keyGen), Gen.listOf(keyGen),
+        Gen.nonEmptyListOf(keyGen)) { (persistedKeys, stagedKeys, tombKeys, probes) =>
+      // persisted rows alternate child-bearing and leaf-like; staged
+      // rows shadow/extend; tombstones kill persisted keys
+      val pRows = persistedKeys.distinct.sorted.zipWithIndex.map { case (k, i) =>
+        TreeRow(k, Some(s"v-$k"), if (i % 2 == 0) Some(s"c-$k") else None)
+      }
+      val node = new TreeNode(
+        if (pRows.isEmpty) None else Some(new NodeFile(NodeFile.write(pRows, Map.empty))))
+      try {
+        stagedKeys.distinct.zipWithIndex.foreach { case (k, i) =>
+          node.put(TreeRow(k, Some(s"s-$k"), if (i % 3 == 0) Some(s"sc-$k") else None))
+        }
+        tombKeys.distinct.foreach(k => node.put(TreeRow(k, None, None)))
+        probes.forall { probe =>
+          val oracle = node.mergedRows
+            .filter(r => r.child.isDefined && r.key <= probe).lastOption
+          node.floorChildRow(probe) == oracle
+        }
+      } finally node.close()
+    }
+
   property("binary search finds exactly the present keys") =
     forAll(Gen.nonEmptyListOf(keyGen)) { keys =>
       val rows = keys.distinct.sorted.map(k => TreeRow(k, Some(s"v-$k"), None))

@@ -109,9 +109,14 @@ object Advanced {
     QueryDef(
       "q27_scalar_subquery",
       (s, d) => {
+        // the scalar aggregate stays IN the plan: a broadcast
+        // cross-join of the 1-row agg keeps this a single job (no
+        // driver-side .first() between two jobs) — the shape a
+        // scalar subquery should compile to
         val p = table(s, d, "part")
-        val avgPrice = p.agg(avg("p_retailprice")).first().getDouble(0)
-        p.filter(col("p_retailprice") > avgPrice)
+        val avgPrice = broadcast(p.agg(avg("p_retailprice").as("__avg_price")))
+        p.crossJoin(avgPrice)
+          .filter(col("p_retailprice") > col("__avg_price"))
           .select("p_partkey", "p_name", "p_retailprice")
           .orderBy("p_partkey")
       },

@@ -37,10 +37,20 @@ object Maintenance {
     val meta = TableMetadata.read(storage, td.metadataLocation)
     val before = meta.currentFiles.size
     if (before <= targetFiles) return CompactionResult(before, before)
-    val df = spark.read.parquet(meta.currentFiles.map(f => storage.absolute(f.path)): _*)
-    val commitDir = s"${FileLocations.tableDataDir(ns, ident.name())}/compact-${java.util.UUID.randomUUID()}"
-    df.repartition(targetFiles).write.parquet(storage.absolute(commitDir))
-    val newFiles = GraftTable.listCommitFiles(storage, commitDir)
+    // basePath + declared schema restore Hive-partition columns for
+    // partitioned tables (their files don't carry those columns)
+    val dataRoot = storage.absolute(FileLocations.tableDataDir(ns, ident.name()))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val df = spark.read.schema(schema).option("basePath", dataRoot)
+      .parquet(meta.currentFiles.map(f => storage.absolute(f.path)): _*)
+    val partCols = td.properties.get(graft.spark.GraftCatalog.PartitionColsProp)
+      .map(_.split(',').toSeq).getOrElse(Seq.empty)
+    // one file per partition value IS the compaction for partitioned
+    // tables; non-partitioned tables coalesce to targetFiles
+    val compacted = if (partCols.isEmpty) df.repartition(targetFiles) else df
+    val newFiles = graft.spark.GraftCatalog.commitDataFiles(
+      compacted, partCols, storage, ns, ident.name())
     commitSnapshot(cat, txn, ns, ident.name(), "compact", newFiles)
     CompactionResult(before, newFiles.size)
   }

@@ -338,9 +338,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       t.references()(0).fieldNames().mkString(".")
     }
     val ns = ns1(ident.namespace())
+    // Hive convention: partition columns go LAST in the stored schema.
+    // This also makes the relation's column order equal the file
+    // scan's (data columns ++ partition columns), so Catalyst never
+    // needs a reorder Project over the relation — which would break
+    // the DELETE FROM pattern match on SupportsDeleteV2 tables.
+    val storedSchema =
+      if (partCols.isEmpty) schema
+      else {
+        val (partFields, dataFields) =
+          schema.fields.partition(f => partCols.contains(f.name))
+        StructType(dataFields ++ partFields)
+      }
     inTxn { txn =>
       val metaPath = FileLocations.tableMetadataPath(ns, ident.name())
-      TableMetadata.write(storage, metaPath, TableMetadata.empty(schema.json))
+      TableMetadata.write(storage, metaPath, TableMetadata.empty(storedSchema.json))
       val props = properties.asScala.toMap ++
         (if (partCols.nonEmpty)
           Map(GraftCatalog.PartitionColsProp -> partCols.mkString(","))
@@ -419,9 +431,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       val t = ident.name()
       val txn = Graft.loadDistTransaction(storage, id)
       try {
-        val commitDir = s"${FileLocations.tableDataDir(ns, t)}/${UUID.randomUUID()}"
-        data.write.parquet(storage.absolute(commitDir))
-        val newFiles = GraftTable.listCommitFiles(storage, commitDir)
+        val partCols = Graft.describeTable(storage, txn, ns, t).properties
+          .get(GraftCatalog.PartitionColsProp)
+          .map(_.split(',').toSeq).getOrElse(Seq.empty)
+        val newFiles = GraftCatalog.commitDataFiles(data, partCols, storage, ns, t)
         applyTableCommit(storage, txn.runningRoot, ns, t, "append", newFiles,
           overwrite)
         val cd = Graft.catalogDef(storage, txn.runningRoot)
@@ -435,19 +448,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     }
     val ns = ns1(ident.namespace())
     val t = ident.name()
-    val commitDir = s"${FileLocations.tableDataDir(ns, t)}/${UUID.randomUUID()}"
     // cluster by the table's partition columns so files carry tight
     // stats on them (exact partition pruning at scan time)
     val partCols = inTxn(txn =>
       Graft.describeTable(storage, txn, ns, t).properties
         .get(GraftCatalog.PartitionColsProp))
       .map(_.split(',').toSeq).getOrElse(Seq.empty)
-    val clustered =
-      if (partCols.nonEmpty)
-        data.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
-      else data
-    clustered.write.parquet(storage.absolute(commitDir))
-    val newFiles = GraftTable.listCommitFiles(storage, commitDir)
+    val newFiles = GraftCatalog.commitDataFiles(data, partCols, storage, ns, t)
     val op = if (overwrite) "overwrite" else "append"
     inTxn { txn =>
       applyTableCommit(storage, txn.runningRoot, ns, t, op, newFiles, overwrite)
@@ -476,9 +483,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           condition, org.apache.spark.sql.functions.lit(false))))
     val ns = ns1(ident.namespace())
     val t = ident.name()
-    val commitDir = s"${FileLocations.tableDataDir(ns, t)}/${UUID.randomUUID()}"
-    remaining.write.parquet(storage.absolute(commitDir))
-    val newFiles = GraftTable.listCommitFiles(storage, commitDir)
+    val delPartCols = inTxn(txn =>
+      Graft.describeTable(storage, txn, ns, t).properties
+        .get(GraftCatalog.PartitionColsProp))
+      .map(_.split(',').toSeq).getOrElse(Seq.empty)
+    val newFiles = GraftCatalog.commitDataFiles(remaining, delPartCols, storage, ns, t)
     inTxn { txn =>
       applyTableCommit(storage, txn.runningRoot, ns, t, "delete", newFiles,
         overwrite = true)
@@ -616,4 +625,58 @@ class GraftView(catalogName: String, ident: Identifier, d: ViewDef) extends View
 object GraftCatalog {
   /** TableDef property holding comma-separated partition column names. */
   val PartitionColsProp = "graft.partition-columns"
+
+  /** Commit a DataFrame as data files and return their entries.
+    *
+    * Non-partitioned tables: one flat commit directory per commit
+    * (files/<uuid>/part-*.parquet), as before.
+    *
+    * Partitioned tables: Hive-style layout SHARED across commits —
+    * files/<col>=<value>/<commitId>-part-*.parquet — so external
+    * readers partition-prune graft tables by path AND Spark's
+    * basePath partition discovery sees a uniform structure across
+    * commits (a per-commit uuid level between the base and the
+    * partition dirs would make discovery reject the layout). The
+    * job writes to a hidden staging dir, then files move into the
+    * shared dirs with a commit-unique prefix; snapshot isolation is
+    * unaffected because snapshots reference exact file lists.
+    */
+  private[graft] def commitDataFiles(data: org.apache.spark.sql.DataFrame,
+      partCols: Seq[String], storage: StorageOps, ns: String, t: String)
+      : Seq[graft.format.DataFileEntry] = {
+    val dataDir = FileLocations.tableDataDir(ns, t)
+    val commitId = UUID.randomUUID().toString
+    if (partCols.isEmpty) {
+      val commitDir = s"$dataDir/$commitId"
+      data.write.parquet(storage.absolute(commitDir))
+      GraftTable.listCommitFiles(storage, commitDir)
+    } else {
+      val staging = s"$dataDir/.staging-$commitId"
+      val stagingAbs = java.nio.file.Paths.get(storage.absolute(staging))
+      data.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.partitionBy(partCols: _*).parquet(stagingAbs.toString)
+      val dataAbs = java.nio.file.Paths.get(storage.absolute(dataDir))
+      import scala.jdk.CollectionConverters._
+      val moved = scala.util.Using.resource(java.nio.file.Files.walk(stagingAbs)) { st =>
+        st.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .toSeq
+      }.map { p =>
+        val sub = stagingAbs.relativize(p) // col=value/part-*.parquet
+        val target = dataAbs.resolve(sub.getParent)
+          .resolve(s"$commitId-${p.getFileName}")
+        java.nio.file.Files.createDirectories(target.getParent)
+        java.nio.file.Files.move(p, target)
+        target
+      }
+      // remove the emptied staging tree (deepest first)
+      scala.util.Using.resource(java.nio.file.Files.walk(stagingAbs)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      moved.sortBy(_.toString).map(p =>
+        GraftTable.fileEntry(storage, dataAbs, p))
+    }
+  }
 }

@@ -30,6 +30,7 @@ class GraftScanBuilder(
     options: CaseInsensitiveStringMap,
     schema: StructType,
     files: Seq[(String, DataFileEntry)], // (absolute path, entry)
+    baseDir: String, // table data root — basePath for partition discovery
     onBuild: (Seq[String], Seq[Expression]) => Unit)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
@@ -55,9 +56,20 @@ class GraftScanBuilder(
     }
     onBuild(requiredSchema.fieldNames.toSeq, dataFilters)
     if (kept.isEmpty) return new EmptyScanBuilder(requiredSchema).build()
-    val inner = ParquetTable(tableName, spark, options, kept.map(_._1),
+    // basePath lets Spark's file index parse Hive-style col=value
+    // directory levels back into (typed) partition columns — files
+    // written with partitionBy don't carry those columns themselves.
+    // Metadata-only IMPORTED files can live outside the table data
+    // dir; basePath must then be omitted (they're flat by contract).
+    val opts =
+      if (kept.forall(_._1.startsWith(baseDir))) {
+        val optMap = new java.util.HashMap[String, String](options)
+        optMap.put("basePath", baseDir)
+        new CaseInsensitiveStringMap(optMap)
+      } else options
+    val inner = ParquetTable(tableName, spark, opts, kept.map(_._1),
       Some(schema), classOf[ParquetFileFormat])
-      .newScanBuilder(options)
+      .newScanBuilder(opts)
     inner match {
       case p: SupportsPushDownRequiredColumns => p.pruneColumns(requiredSchema)
       case _ => ()

@@ -75,7 +75,10 @@ class GraftTable(
       txn.record(Action(ActionType.TableSelect, catalog.tableKey(tableDef)))
       new EmptyScanBuilder(schema)
     } else {
-      new GraftScanBuilder(spark, name(), options, schema, files,
+      val baseDir = storage.absolute(
+        graft.objects.FileLocations.tableDataDir(
+          tableDef.namespaceName, tableDef.name))
+      new GraftScanBuilder(spark, name(), options, schema, files, baseDir,
         onBuild = (columns, filters) =>
           // projection + pushed predicates captured as the txn's read
           // set (reference TableSelectDef, actions.proto:94-97)
@@ -129,16 +132,66 @@ object GraftTable {
     * driver-side footer read per freshly written file, at commit only —
     * these stats drive file-level pruning at scan time).
     */
-  def listCommitFiles(storage: StorageOps, relDir: String): Seq[DataFileEntry] =
-    storage.listPrefix(relDir)
-      .filter(_.endsWith(".parquet"))
-      .map { rel =>
-        val abs = storage.absolute(rel)
-        val stats = graft.format.ParquetStats.read(abs)
-        DataFileEntry(rel, rowCount = stats.rowCount,
-          sizeBytes = java.nio.file.Files.size(java.nio.file.Paths.get(abs)),
-          minValues = stats.minValues, maxValues = stats.maxValues)
+  def listCommitFiles(storage: StorageOps, relDir: String): Seq[DataFileEntry] = {
+    import scala.jdk.CollectionConverters._
+
+    val rootAbs = java.nio.file.Paths.get(storage.absolute(""))
+    val dirAbs = java.nio.file.Paths.get(storage.absolute(relDir))
+    if (!java.nio.file.Files.isDirectory(dirAbs)) return Seq.empty
+    // recursive: partitioned writes produce Hive-style col=value
+    // directory levels under the commit dir
+    val files = scala.util.Using.resource(java.nio.file.Files.walk(dirAbs)) { st =>
+      st.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .toSeq
+    }
+    files.sortBy(_.toString).map(p => fileEntry(storage, dirAbs, p))
+  }
+
+  /** Build a [[DataFileEntry]] for one data file: footer stats, plus
+    * Hive-style col=value path segments between `partitionBase` and
+    * the file as partition values — a partition value IS the column's
+    * min and max for that file, so stats-based pruning covers
+    * partition predicates with no extra machinery.
+    */
+  def fileEntry(storage: StorageOps, partitionBase: java.nio.file.Path,
+      p: java.nio.file.Path): DataFileEntry = {
+    import scala.jdk.CollectionConverters._
+    val rootAbs = java.nio.file.Paths.get(storage.absolute(""))
+    val rel = rootAbs.relativize(p).toString
+    val stats = graft.format.ParquetStats.read(p.toString)
+    val partVals = partitionBase.relativize(p.getParent).iterator().asScala
+      .map(_.toString).filter(_.contains('='))
+      .map { seg =>
+        val i = seg.indexOf('=')
+        seg.take(i) -> unescapePathValue(seg.drop(i + 1))
       }
+      .filter(_._2 != "__HIVE_DEFAULT_PARTITION__")
+      .toMap
+    DataFileEntry(rel, rowCount = stats.rowCount,
+      sizeBytes = java.nio.file.Files.size(p),
+      minValues = stats.minValues ++ partVals,
+      maxValues = stats.maxValues ++ partVals)
+  }
+
+  /** Undo Spark's %xx path escaping of partition values. */
+  def unescapePathValue(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { // malformed escape: pass the literal '%' through
+          case _: NumberFormatException => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 }
 
 /** Scan of an empty table: zero partitions, declared schema. */

@@ -1,0 +1,93 @@
+package graft.spark
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hive-style partition layout: writes land in col=value directories
+  * (external readers can path-prune graft tables), the scan restores
+  * partition columns via basePath discovery, and file pruning covers
+  * partition predicates through the path-derived stats.
+  */
+class PartitionedTableSpec extends AnyFunSuite {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-part").toString
+
+  lazy val spark: SparkSession = graft.Verify.sessionBuilder("4")
+    .config("spark.sql.catalog.pc", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.pc.warehouse", warehouse)
+    .getOrCreate()
+
+  test("partitioned table: layout, full readback, pruning, delete, compaction") {
+    spark.sql("CREATE NAMESPACE pc.ns1")
+    spark.sql(
+      "CREATE TABLE pc.ns1.sales (k BIGINT, region STRING, amount DOUBLE) PARTITIONED BY (region)")
+    // Hive convention: partition columns move to the END of the
+    // schema, so positional INSERT binds (k, amount, region)
+    assert(spark.table("pc.ns1.sales").schema.fieldNames.toSeq ==
+      Seq("k", "amount", "region"))
+    spark.sql("""INSERT INTO pc.ns1.sales VALUES
+      (1, 10.0, 'eu'), (2, 20.0, 'eu'), (3, 30.0, 'us'), (4, 40.0, 'apac')""")
+
+    // Hive-style directories on disk — the external-interop contract
+    val dataDir = Paths.get(warehouse, "data", "ns1", "sales")
+    val partDirs = java.nio.file.Files.walk(dataDir).iterator()
+    val dirNames = scala.jdk.javaapi.CollectionConverters.asScala(partDirs)
+      .filter(java.nio.file.Files.isDirectory(_))
+      .map(_.getFileName.toString).toSet
+    assert(dirNames.contains("region=eu") && dirNames.contains("region=us"),
+      s"expected region=... dirs, got $dirNames")
+
+    // partition columns come back on read (basePath discovery)
+    val rows = spark.table("pc.ns1.sales").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("region"),
+        r.getAs[Double]("amount"))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "eu", 10.0), (2L, "eu", 20.0),
+      (3L, "us", 30.0), (4L, "apac", 40.0)))
+
+    // a partition predicate prunes files BEFORE the parquet scan:
+    // only the region=eu file survives the snapshot-stats filter
+    val cat = spark.sessionState.catalogManager.catalog("pc")
+      .asInstanceOf[GraftCatalog]
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val meta = {
+      val t = cat.loadTable(Identifier.of(Array("ns1"), "sales"))
+        .asInstanceOf[GraftTable]
+      t.meta
+    }
+    val euFiles = meta.currentFiles.filter(f =>
+      f.minValues.get("region").contains("eu"))
+    assert(euFiles.nonEmpty)
+    assert(meta.currentFiles.forall(f => f.minValues.contains("region")))
+    assert(spark.sql(
+      "SELECT sum(amount) FROM pc.ns1.sales WHERE region = 'eu'")
+      .collect().head.getDouble(0) == 30.0)
+
+    // copy-on-write DELETE preserves the partitioned layout
+    spark.sql("DELETE FROM pc.ns1.sales WHERE k = 2")
+    assert(spark.table("pc.ns1.sales").count() == 3)
+    assert(spark.sql("SELECT k FROM pc.ns1.sales WHERE region = 'eu'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    // compaction keeps partition columns and content
+    spark.sql("INSERT INTO pc.ns1.sales VALUES (5, 50.0, 'eu')")
+    val res = graft.maintain.Maintenance.compactDataFiles(
+      spark, cat, Identifier.of(Array("ns1"), "sales"))
+    assert(res.filesAfter <= res.filesBefore)
+    val after = spark.table("pc.ns1.sales").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("region"))).sortBy(_._1)
+    assert(after.toSeq == Seq((1L, "eu"), (3L, "us"), (4L, "apac"), (5L, "eu")))
+  }
+
+  test("partition values with special characters round-trip") {
+    spark.sql(
+      "CREATE TABLE pc.ns1.esc (k BIGINT, tag STRING) PARTITIONED BY (tag)")
+    spark.sql("INSERT INTO pc.ns1.esc VALUES (1, 'a b'), (2, 'x:y')")
+    val rows = spark.table("pc.ns1.esc").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "a b"), (2L, "x:y")))
+    assert(spark.sql("SELECT k FROM pc.ns1.esc WHERE tag = 'a b'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+}

@@ -222,6 +222,77 @@ object Dedup {
              |WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin)),
 
     QueryDef(
+      "dd07_dup_clusters",
+      (s, d) => {
+        // Duplicate-cluster assignment: connected components over the
+        // exact near-dup pairs (dd03), labeling every clustered doc
+        // with the smallest doc_id in its component — the step that
+        // turns a pair list into "keep one per cluster" decisions.
+        // Iterative min-label propagation: each round is one
+        // edge⋈label shuffle + one min-aggregate, converging in
+        // O(cluster diameter) rounds; near-dup clusters are shallow
+        // (dups of one document), so rounds stay small even at 100 TB.
+        // (A production run at adversarial diameters would switch to
+        // the O(log n) small-star/large-star exchange — same join
+        // shapes, different exchange rule.)
+        val pairs = defs.find(_.name == "dd03_ngram_jaccard").get.fn(s, d)
+          .select(col("doc_a"), col("doc_b")).persist()
+        val edges = pairs.union(
+          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+          .withColumn("cluster_id", col("doc_id")).persist()
+        var changed = true
+        var rounds = 0
+        while (changed && rounds < 20) {
+          val prop = edges
+            .join(labels, edges("doc_a") === labels("doc_id"))
+            .groupBy(col("doc_b").as("n"))
+            .agg(min("cluster_id").as("prop_id"))
+          val next = labels
+            .join(prop, labels("doc_id") === prop("n"), "left")
+            .select(col("doc_id"),
+              least(col("cluster_id"), coalesce(col("prop_id"), col("cluster_id")))
+                .as("cluster_id"))
+            .persist()
+          changed = next.as("a")
+            .join(labels.as("b"), "doc_id")
+            .filter(col("a.cluster_id") < col("b.cluster_id"))
+            .limit(1).count() > 0
+          labels.unpersist()
+          labels = next
+          rounds += 1
+        }
+        pairs.unpersist()
+        labels.orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, n_chars,
+             |         list_distinct(list_transform(generate_series(1, len(w) - 2),
+             |                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM (SELECT doc_id, n_chars, string_split_regex(trim(text), '\s+') AS w
+             |        FROM documents)
+             |  WHERE len(w) >= 3
+             |), pairs AS (
+             |  SELECT doc_a, doc_b FROM (
+             |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |           round(len(list_intersect(a.s, b.s))::DOUBLE
+             |                 / len(list_distinct(a.s || b.s)), 4) AS jac
+             |    FROM sh a JOIN sh b
+             |      ON a.doc_id < b.doc_id
+             |     AND abs(a.n_chars - b.n_chars) <= 0.2 * greatest(a.n_chars, b.n_chars)
+             |  ) WHERE jac >= 0.5
+             |), edges AS (
+             |  SELECT doc_a AS s, doc_b AS t FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs
+             |), reach(n, m) AS (
+             |  SELECT DISTINCT s, s FROM edges
+             |  UNION
+             |  SELECT r.n, e.t FROM reach r JOIN edges e ON r.m = e.s
+             |)
+             |SELECT n AS doc_id, min(m) AS cluster_id
+             |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "dd06_embedding_lsh",
       (s, d) => {
         // Random-hyperplane LSH: 256 Gaussian planes (one native

@@ -212,6 +212,38 @@ object CatalogQueries {
       Some("""SELECT view_name FROM (
              |  SELECT 'va' AS view_name UNION ALL SELECT 'vb'
              |  UNION ALL SELECT cast(count(*) AS varchar) FROM region
-             |) ORDER BY view_name""".stripMargin))
+             |) ORDER BY view_name""".stripMargin)),
+
+    QueryDef(
+      "c10_partitioned_scan",
+      (s, d) => {
+        // Hive-style partitioned table: layout on disk is
+        // o_orderpriority=<v>/ dirs; the partition predicate prunes
+        // files by path-derived stats BEFORE the parquet scan and the
+        // partition column is restored via basePath discovery.
+        ensureCatalog(s, "gca")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gca.ns1")
+        s.sql("DROP TABLE IF EXISTS gca.ns1.orders_p")
+        val src = s.read.parquet(s"$d/orders.parquet")
+        s.sql("""CREATE TABLE gca.ns1.orders_p (
+                   o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+                   o_orderdate TIMESTAMP, o_orderpriority STRING)
+                 PARTITIONED BY (o_orderpriority)""")
+        src.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+            "o_orderpriority")
+          .writeTo("gca.ns1.orders_p").append()
+        s.sql("""SELECT o_orderpriority, count(*) AS n,
+                        round(sum(o_totalprice), 2) AS total
+                 FROM gca.ns1.orders_p
+                 WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 GROUP BY o_orderpriority
+                 ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |       round(sum(o_totalprice), 2) AS total
+             |FROM orders
+             |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 }

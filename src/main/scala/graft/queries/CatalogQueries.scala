@@ -244,6 +244,25 @@ object CatalogQueries {
              |FROM orders
              |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    QueryDef(
+      "c11_update",
+      (s, d) => {
+        // SQL UPDATE: copy-on-write rewrite through the extension
+        // parser; rows where the predicate is NULL stay untouched.
+        ensureCatalog(s, "gcb")
+        provision(s, "gcb", d, "supplier", "supplier")
+        s.sql("""UPDATE gcb.ns1.supplier
+                 SET s_acctbal = round(s_acctbal * 1.1, 2)
+                 WHERE s_acctbal > 5000""")
+        s.sql("""SELECT s_suppkey, round(s_acctbal, 2) AS bal
+                 FROM gcb.ns1.supplier ORDER BY s_suppkey""")
+      },
+      Some("""SELECT s_suppkey,
+             |       round(CASE WHEN s_acctbal > 5000
+             |                  THEN round(s_acctbal * 1.1, 2)
+             |                  ELSE s_acctbal END, 2) AS bal
+             |FROM supplier ORDER BY s_suppkey""".stripMargin))
   )
 }

@@ -59,6 +59,35 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   private val propRe = """'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'""".r
 
+  // UPDATE t SET a = expr [, b = expr ...] [WHERE cond]
+  private val updateRe =
+    """(?is)^\s*UPDATE\s+([\w.`]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+
+  /** Split on commas NOT nested in (), [] or quotes. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        cur.append(c)
+        if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; cur.append(c)
+        case '(' | '[' => depth += 1; cur.append(c)
+        case ')' | ']' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   private def parseProps(s: String): Map[String, String] =
     propRe.findAllMatchIn(s)
       .map(m => m.group(1).replace("''", "'") -> m.group(2).replace("''", "'"))
@@ -108,6 +137,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       resolved match {
         case Some((cat, ns)) => ShowGraftViewsCommand(cat, ns)
         case None => delegate.parsePlan(sqlText)
+      }
+    case updateRe(ident, setClause, where) =>
+      val parts = delegate.parseMultipartIdentifier(ident.replace("`", ""))
+      graftCatalogFor(parts) match {
+        case Some((cat, Seq(ns, name))) =>
+          val assignments = splitTopLevel(setClause).map { a =>
+            val eq = a.indexOf('=')
+            require(eq > 0, s"malformed SET assignment: $a")
+            (a.take(eq).trim.replace("`", ""), a.drop(eq + 1).trim)
+          }
+          UpdateGraftTableCommand(cat, ns, name, assignments, Option(where))
+        case _ => delegate.parsePlan(sqlText)
       }
     case alterViewRe(ident, props) =>
       val parts = delegate.parseMultipartIdentifier(ident.replace("`", ""))
@@ -269,5 +310,40 @@ class GraftViewResolution(session: SparkSession) extends Rule[LogicalPlan] {
     val view = cat.loadView(ident)
     Some(SubqueryAlias(parts,
       session.sessionState.sqlParser.parsePlan(view.query())))
+  }
+}
+
+/** UPDATE t SET ... [WHERE ...] — copy-on-write rewrite committed as
+  * an overwrite snapshot (the same storage shape as DELETE). Rows are
+  * updated only where the condition is TRUE; NULL/false keep the
+  * original values, matching SQL UPDATE semantics.
+  */
+case class UpdateGraftTableCommand(catalogName: String, ns: String, name: String,
+    assignments: Seq[(String, String)], where: Option[String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+    val cat = session.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftCatalog]
+    val full = s"$catalogName.$ns.$name"
+    val df = session.table(full)
+    val assigned = assignments.toMap
+    val unknown = assigned.keySet -- df.columns.toSet
+    require(unknown.isEmpty, s"UPDATE $full: no such column(s): ${unknown.mkString(", ")}")
+    val cond = where.map(w => coalesce(expr(w), lit(false))).getOrElse(lit(true))
+    // every RHS evaluates against the ORIGINAL row (SQL semantics —
+    // `SET a = b, b = a` swaps); values cast back to the declared
+    // column type so the rewritten files keep the table schema
+    val updated = df.select(df.schema.fields.map { f =>
+      assigned.get(f.name) match {
+        case Some(valueSql) =>
+          when(cond, expr(valueSql).cast(f.dataType))
+            .otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }.toSeq: _*)
+    cat.commitWrite(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array(ns), name), updated, overwrite = true)
+    Seq.empty
   }
 }

@@ -130,6 +130,28 @@ class GraftCatalogSqlSpec extends AnyFunSuite {
     assert(shown.contains(("ns1", "valias")))
   }
 
+  test("SQL UPDATE: multi-assignment, old-row RHS, NULL condition rows kept") {
+    spark.sql("CREATE TABLE cat.ns1.upd (k BIGINT, a BIGINT, b BIGINT)")
+    spark.sql(
+      "INSERT INTO cat.ns1.upd VALUES (1, 10, 100), (2, 20, 200), (3, NULL, 300)")
+    // swap semantics: both RHS evaluate against the ORIGINAL row
+    spark.sql("UPDATE cat.ns1.upd SET a = b, b = a WHERE k = 1")
+    val r1 = spark.table("cat.ns1.upd").collect()
+      .map(r => (r.getLong(0), r.get(1), r.get(2))).sortBy(_._1)
+    assert(r1.toSeq == Seq((1L, 100L, 10L), (2L, 20L, 200L), (3L, null, 300L)))
+    // a > 15 is NULL for k=3 — that row must stay untouched
+    // (k=1 has a=100 after the swap, so it updates too)
+    spark.sql("UPDATE cat.ns1.upd SET b = b + 1 WHERE a > 15")
+    val r2 = spark.table("cat.ns1.upd").collect()
+      .map(r => (r.getLong(0), r.get(2))).sortBy(_._1)
+    assert(r2.toSeq == Seq((1L, 11L), (2L, 201L), (3L, 300L)))
+    // no WHERE updates every row; function-call RHS with commas parses
+    spark.sql("UPDATE cat.ns1.upd SET b = greatest(b, 150, a)")
+    val r3 = spark.table("cat.ns1.upd").collect()
+      .map(r => (r.getLong(0), r.get(2))).sortBy(_._1)
+    assert(r3.toSeq == Seq((1L, 150L), (2L, 201L), (3L, 300L)))
+  }
+
   test("catalog time travel: VERSION AS OF") {
     spark.sql("CREATE TABLE cat.ns1.tt (k BIGINT)")
     val v1 = graft.tree.TreeOps.findLatestRoot(cat.storage).get.version

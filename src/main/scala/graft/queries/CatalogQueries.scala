@@ -263,6 +263,32 @@ object CatalogQueries {
              |       round(CASE WHEN s_acctbal > 5000
              |                  THEN round(s_acctbal * 1.1, 2)
              |                  ELSE s_acctbal END, 2) AS bal
-             |FROM supplier ORDER BY s_suppkey""".stripMargin))
+             |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
+    QueryDef(
+      "c12_merge",
+      (s, d) => {
+        // MERGE INTO upsert: nations with odd keys get re-labeled from
+        // the source, key 990 is new and inserted.
+        ensureCatalog(s, "gcc")
+        provision(s, "gcc", d, "nation", "nation")
+        s.sql(s"""MERGE INTO gcc.ns1.nation AS t
+                  USING (SELECT n_nationkey AS k, upper(n_name) AS nm
+                         FROM parquet.`$d/nation.parquet`
+                         WHERE n_nationkey % 2 = 1
+                         UNION ALL SELECT 990, 'NEWLAND') AS st
+                  ON t.n_nationkey = st.k
+                  WHEN MATCHED THEN UPDATE SET n_name = st.nm
+                  WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name)
+                    VALUES (st.k, st.nm)""")
+        s.sql("""SELECT n_nationkey, n_name FROM gcc.ns1.nation
+                 ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey,
+             |       CASE WHEN n_nationkey % 2 = 1 THEN upper(n_name)
+             |            ELSE n_name END AS n_name
+             |FROM nation
+             |UNION ALL SELECT 990, 'NEWLAND'
+             |ORDER BY n_nationkey""".stripMargin))
   )
 }

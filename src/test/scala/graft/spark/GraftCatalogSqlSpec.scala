@@ -152,6 +152,47 @@ class GraftCatalogSqlSpec extends AnyFunSuite {
     assert(r3.toSeq == Seq((1L, 150L), (2L, 201L), (3L, 300L)))
   }
 
+  test("SQL MERGE INTO: upsert with update + insert clauses") {
+    spark.sql("CREATE TABLE cat.ns1.mtgt (k BIGINT, v STRING, n BIGINT)")
+    spark.sql(
+      "INSERT INTO cat.ns1.mtgt VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    spark.sql("CREATE TABLE cat.ns1.msrc (k BIGINT, v STRING, n BIGINT)")
+    spark.sql(
+      "INSERT INTO cat.ns1.msrc VALUES (2, 'B', 200), (4, 'D', 400)")
+    spark.sql("""MERGE INTO cat.ns1.mtgt AS t USING cat.ns1.msrc AS s
+                 ON t.k = s.k
+                 WHEN MATCHED THEN UPDATE SET v = s.v, n = t.n + s.n
+                 WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (s.k, s.v, s.n)""")
+    val rows = spark.table("cat.ns1.mtgt").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "a", 10L), (2L, "B", 220L),
+      (3L, "c", 30L), (4L, "D", 400L)))
+  }
+
+  test("SQL MERGE INTO: delete-when-matched and subquery source") {
+    spark.sql("CREATE TABLE cat.ns1.mdel (k BIGINT, v STRING)")
+    spark.sql(
+      "INSERT INTO cat.ns1.mdel VALUES (1, 'keep'), (2, 'drop'), (3, 'keep')")
+    spark.sql("""MERGE INTO cat.ns1.mdel t
+                 USING (SELECT 2 AS kk UNION ALL SELECT 9) s
+                 ON t.k = s.kk
+                 WHEN MATCHED THEN DELETE""")
+    assert(spark.table("cat.ns1.mdel").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 3L)))
+  }
+
+  test("SQL MERGE INTO: cardinality violation is an error") {
+    spark.sql("CREATE TABLE cat.ns1.mcard (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO cat.ns1.mcard VALUES (1, 'x')")
+    spark.sql("CREATE TABLE cat.ns1.mcsrc (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO cat.ns1.mcsrc VALUES (1, 'a'), (1, 'b')")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("""MERGE INTO cat.ns1.mcard t USING cat.ns1.mcsrc s ON t.k = s.k
+                   WHEN MATCHED THEN UPDATE SET v = s.v""")
+    }
+    assert(e.getMessage.contains("cardinality"))
+  }
+
   test("catalog time travel: VERSION AS OF") {
     spark.sql("CREATE TABLE cat.ns1.tt (k BIGINT)")
     val v1 = graft.tree.TreeOps.findLatestRoot(cat.storage).get.version

@@ -33,10 +33,19 @@ object Bench {
   }
 
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
-    // warm the JVM/codegen/parquet paths so the first measured query
-    // isn't charged session initialization
+    // warm the JVM/codegen/parquet/shuffle paths so the first
+    // measured query isn't charged session initialization: a scan, a
+    // shuffle join, an aggregate, and a sort cover the executor code
+    // paths most queries hit
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    val r = spark.read.parquet(s"$sfDir/region.parquet")
+    val n = spark.read.parquet(s"$sfDir/nation.parquet")
+    n.join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+      .orderBy("r_name")
+      .write.format("noop").mode("overwrite").save()
   }
 
   def main(args: Array[String]): Unit = {
@@ -65,12 +74,16 @@ object Bench {
         catch { case _: Throwable => () }
         spark.streams.active.foreach(_.stop())
         for ((name, fn) <- famQueries) {
-          // min of two runs: the first run anywhere in a family pays
-          // one-time codegen/JIT for that query's expression shapes;
-          // min-of-2 makes per-query times independent of run order
+          // adaptive min-of-N: the first runs anywhere in a family pay
+          // one-time JIT/codegen for that query's shapes — keep
+          // re-running (up to 4) while the time is still improving by
+          // >1.4x, then report the best; per-query times become
+          // independent of run order
           var best = Double.MaxValue
+          var prev = Double.MaxValue
           var runs = 0
-          while (runs < 2 && status.getOrElse(name, "ok") == "ok") {
+          var done = false
+          while (!done && status.getOrElse(name, "ok") == "ok") {
             val t0 = System.nanoTime()
             // noop sink: materializes every output row (count() would
             // let Catalyst prune columns and drop sorts, flattering
@@ -83,10 +96,13 @@ object Bench {
                 System.err.println(s"[bench] $name failed: ${e.getMessage}")
                 status(name) = "failed"
             }
-            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+            val took = (System.nanoTime() - t0) / 1e9
             // a query that started streams must not bill its successors
             spark.streams.active.foreach(_.stop())
             runs += 1
+            best = math.min(best, took)
+            done = runs >= 4 || (runs >= 2 && !(took < prev / 1.4))
+            prev = took
           }
           times(name) = best
         }

@@ -181,6 +181,19 @@ class GraftCatalogSqlSpec extends AnyFunSuite {
       .sameElements(Array(1L, 3L)))
   }
 
+  test("SQL MERGE INTO: INSERT * maps source columns by name") {
+    spark.sql("CREATE TABLE cat.ns1.mstar (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO cat.ns1.mstar VALUES (1, 'a')")
+    spark.sql("CREATE TABLE cat.ns1.mssrc (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO cat.ns1.mssrc VALUES (1, 'A'), (2, 'B')")
+    spark.sql("""MERGE INTO cat.ns1.mstar t USING cat.ns1.mssrc s ON t.k = s.k
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val rows = spark.table("cat.ns1.mstar").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // k=1 matched with no matched clause -> kept unchanged; k=2 inserted
+    assert(rows.toSeq == Seq((1L, "a"), (2L, "B")))
+  }
+
   test("SQL MERGE INTO: cardinality violation is an error") {
     spark.sql("CREATE TABLE cat.ns1.mcard (k BIGINT, v STRING)")
     spark.sql("INSERT INTO cat.ns1.mcard VALUES (1, 'x')")

@@ -80,6 +80,21 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(after.toSeq == Seq((1L, "eu"), (3L, "us"), (4L, "apac"), (5L, "eu")))
   }
 
+  test("partitioned table works on the object-store backend") {
+    val osWarehouse = Files.createTempDirectory("graft-part-os").toString
+    spark.conf.set("spark.sql.catalog.po", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.po.warehouse", osWarehouse)
+    spark.conf.set("spark.sql.catalog.po.storage", "object")
+    spark.sql("CREATE NAMESPACE po.ns1")
+    spark.sql(
+      "CREATE TABLE po.ns1.ev (k BIGINT, kind STRING) PARTITIONED BY (kind)")
+    spark.sql("INSERT INTO po.ns1.ev VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    assert(spark.sql("SELECT k FROM po.ns1.ev WHERE kind = 'a'")
+      .collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 3L)))
+    spark.sql("DELETE FROM po.ns1.ev WHERE k = 1")
+    assert(spark.table("po.ns1.ev").count() == 2)
+  }
+
   test("partition values with special characters round-trip") {
     spark.sql(
       "CREATE TABLE pc.ns1.esc (k BIGINT, tag STRING) PARTITIONED BY (tag)")

@@ -67,3 +67,59 @@ object PredicateToColumn {
       for (a <- acc; c <- translate(p)) yield a && c
     }
 }
+
+/** V2 connector Predicate → Catalyst comparison Expression, for the
+  * FILE-PRUNING side of selective copy-on-write: only shapes
+  * [[FilePruning]] understands are translated (comparisons, IN,
+  * AND/OR); anything else returns None and the caller stays
+  * conservative (treats every file as touched).
+  */
+object PredicateToExpression {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal => CLiteral, Or => COr}
+
+  private def attr(e: VExpr): Option[Expression] = e match {
+    case n: NamedReference => Some(UnresolvedAttribute(n.fieldNames().toSeq))
+    case _ => None
+  }
+
+  private def lit(e: VExpr): Option[Expression] = e match {
+    case l: VLiteral[_] => Some(CLiteral(l.value(), l.dataType()))
+    case _ => None
+  }
+
+  private def binary(p: Predicate)(
+      f: (Expression, Expression) => Expression): Option[Expression] = {
+    val ch = p.children()
+    if (ch.length != 2) return None
+    // attr-op-literal in either order; FilePruning handles both
+    (attr(ch(0)), lit(ch(1)), lit(ch(0)), attr(ch(1))) match {
+      case (Some(a), Some(l), _, _) => Some(f(a, l))
+      case (_, _, Some(l), Some(a)) => Some(f(l, a))
+      case _ => None
+    }
+  }
+
+  def translate(p: Predicate): Option[Expression] = p match {
+    case a: VAnd =>
+      for (l <- translate(a.left()); r <- translate(a.right())) yield CAnd(l, r)
+    case o: VOr =>
+      for (l <- translate(o.left()); r <- translate(o.right())) yield COr(l, r)
+    case _ => p.name() match {
+      case "=" => binary(p)(EqualTo)
+      case ">" => binary(p)(GreaterThan)
+      case ">=" => binary(p)(GreaterThanOrEqual)
+      case "<" => binary(p)(LessThan)
+      case "<=" => binary(p)(LessThanOrEqual)
+      case "IN" =>
+        val ch = p.children()
+        if (ch.isEmpty) return None
+        for {
+          a <- attr(ch(0))
+          vs <- Option(ch.drop(1).map(lit))
+            .filter(_.forall(_.isDefined)).map(_.map(_.get))
+        } yield In(a, vs.toIndexedSeq)
+      case _ => None
+    }
+  }
+}

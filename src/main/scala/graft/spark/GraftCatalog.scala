@@ -468,34 +468,66 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     }
   }
 
-  /** Copy-on-write DELETE WHERE: rewrite the table without matching
-    * rows, commit as an overwrite snapshot (the reference reaches
-    * storage the same way — delete-as-overwrite, SURVEY §2.4).
+  /** Copy-on-write DELETE WHERE, FILE-SELECTIVE: only files whose
+    * stats may contain predicate-matching rows are rewritten; every
+    * other file carries into the new snapshot untouched — at 100 TB a
+    * selective delete rewrites a handful of files, not the table
+    * (`pruneExprs` are the translated conjuncts; pruning on a subset
+    * of conjuncts is still sound). SQL DELETE removes only rows where
+    * the condition is TRUE; a NULL predicate (e.g. x > 5 with x IS
+    * NULL) must KEEP the row.
     */
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, ident: Identifier,
-      condition: org.apache.spark.sql.Column): Unit = {
-    val full = s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}"
-    // SQL DELETE removes only rows where the condition is TRUE; a NULL
-    // predicate (e.g. x > 5 with x IS NULL) must KEEP the row.
-    val remaining = spark.table(full).filter(
-      org.apache.spark.sql.functions.not(
-        org.apache.spark.sql.functions.coalesce(
-          condition, org.apache.spark.sql.functions.lit(false))))
+      condition: org.apache.spark.sql.Column,
+      pruneExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+        Seq.empty): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    selectiveRewrite(spark, ident, pruneExprs,
+      df => df.filter(not(coalesce(condition, lit(false)))),
+      "delete", ActionType.TableDelete)
+  }
+
+  /** Shared engine of DELETE/UPDATE: split the snapshot's files into
+    * touched (stats overlap the predicate) and untouched, rewrite only
+    * the touched rows through `rewrite`, commit untouched ++ rewritten
+    * as the new snapshot.
+    */
+  private[graft] def selectiveRewrite(spark: org.apache.spark.sql.SparkSession,
+      ident: Identifier,
+      pruneExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      rewrite: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      op: String, actionType: String): Unit = {
     val ns = ns1(ident.namespace())
     val t = ident.name()
-    val delPartCols = inTxn(txn =>
-      Graft.describeTable(storage, txn, ns, t).properties
-        .get(GraftCatalog.PartitionColsProp))
-      .map(_.split(',').toSeq).getOrElse(Seq.empty)
-    val newFiles = GraftCatalog.commitDataFiles(remaining, delPartCols, storage, ns, t)
+    val (meta, partCols, schema) = inTxn { txn =>
+      val td = Graft.describeTable(storage, txn, ns, t)
+      val m = TableMetadata.read(storage, td.metadataLocation)
+      (m,
+        td.properties.get(GraftCatalog.PartitionColsProp)
+          .map(_.split(',').toSeq).getOrElse(Seq.empty),
+        DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+    }
+    val (touched, untouched) =
+      if (pruneExprs.isEmpty) (meta.currentFiles, Seq.empty)
+      else meta.currentFiles.partition(f =>
+        pruneExprs.forall(e => FilePruning.mayMatch(e, f, schema)))
+    if (touched.isEmpty) return // provably no matching rows anywhere
+    val dataRoot = storage.absolute(FileLocations.tableDataDir(ns, t))
+    val paths = touched.map(f => storage.absolute(f.path))
+    val reader0 = spark.read.schema(schema)
+    val reader =
+      if (paths.forall(_.startsWith(dataRoot))) reader0.option("basePath", dataRoot)
+      else reader0
+    val out = rewrite(reader.parquet(paths: _*))
+    val newFiles =
+      untouched ++ GraftCatalog.commitDataFiles(out, partCols, storage, ns, t)
     inTxn { txn =>
-      applyTableCommit(storage, txn.runningRoot, ns, t, "delete", newFiles,
+      applyTableCommit(storage, txn.runningRoot, ns, t, op, newFiles,
         overwrite = true)
       txn.replays += ((s, r) =>
-        applyTableCommit(s, r, ns, t, "delete", newFiles, overwrite = true))
+        applyTableCommit(s, r, ns, t, op, newFiles, overwrite = true))
       val cd = Graft.catalogDef(storage, txn.runningRoot)
-      txn.record(Action(ActionType.TableDelete,
-        ObjectKeys.tableKey(ns, t, cd), Map.empty))
+      txn.record(Action(actionType, ObjectKeys.tableKey(ns, t, cd), Map.empty))
     }
   }
 

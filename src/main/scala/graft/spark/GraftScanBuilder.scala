@@ -1,6 +1,7 @@
 package graft.spark
 
 import graft.format.DataFileEntry
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
@@ -87,55 +88,67 @@ class GraftScanBuilder(
 /** Min/max interval analysis of Catalyst predicates against one file's
   * stats. `mayMatch = false` ⇒ provably zero matching rows.
   */
+/** Column name from a resolved attribute OR an unresolved one (the
+  * selective-rewrite paths prune with parser-produced expressions
+  * that never went through the analyzer).
+  */
+private[spark] object AttrName {
+  def unapply(e: Expression): Option[String] = e match {
+    case a: Attribute => Some(a.name)
+    case u: UnresolvedAttribute => Some(u.nameParts.last)
+    case _ => None
+  }
+}
+
 object FilePruning {
 
   def mayMatch(expr: Expression, file: DataFileEntry, schema: StructType): Boolean =
     expr match {
       case And(l, r) => mayMatch(l, file, schema) && mayMatch(r, file, schema)
       case Or(l, r) => mayMatch(l, file, schema) || mayMatch(r, file, schema)
-      case EqualTo(a: Attribute, Literal(v, _)) =>
+      case EqualTo(AttrName(a), Literal(v, _)) =>
         within(a, v, file, schema)
-      case EqualTo(Literal(v, _), a: Attribute) =>
+      case EqualTo(Literal(v, _), AttrName(a)) =>
         within(a, v, file, schema)
-      case GreaterThan(a: Attribute, Literal(v, _)) =>
+      case GreaterThan(AttrName(a), Literal(v, _)) =>
         compareMax(a, v, file, schema).forall(_ > 0)
-      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) =>
+      case GreaterThanOrEqual(AttrName(a), Literal(v, _)) =>
         compareMax(a, v, file, schema).forall(_ >= 0)
-      case LessThan(a: Attribute, Literal(v, _)) =>
+      case LessThan(AttrName(a), Literal(v, _)) =>
         compareMin(a, v, file, schema).forall(_ < 0)
-      case LessThanOrEqual(a: Attribute, Literal(v, _)) =>
+      case LessThanOrEqual(AttrName(a), Literal(v, _)) =>
         compareMin(a, v, file, schema).forall(_ <= 0)
-      case GreaterThan(Literal(v, _), a: Attribute) =>
+      case GreaterThan(Literal(v, _), AttrName(a)) =>
         compareMin(a, v, file, schema).forall(_ < 0)
-      case GreaterThanOrEqual(Literal(v, _), a: Attribute) =>
+      case GreaterThanOrEqual(Literal(v, _), AttrName(a)) =>
         compareMin(a, v, file, schema).forall(_ <= 0)
-      case LessThan(Literal(v, _), a: Attribute) =>
+      case LessThan(Literal(v, _), AttrName(a)) =>
         compareMax(a, v, file, schema).forall(_ > 0)
-      case LessThanOrEqual(Literal(v, _), a: Attribute) =>
+      case LessThanOrEqual(Literal(v, _), AttrName(a)) =>
         compareMax(a, v, file, schema).forall(_ >= 0)
-      case In(a: Attribute, values) if values.forall(_.isInstanceOf[Literal]) =>
+      case In(AttrName(a), values) if values.forall(_.isInstanceOf[Literal]) =>
         values.exists(l => within(a, l.asInstanceOf[Literal].value, file, schema))
       case _ => true // unknown shape: keep the file
     }
 
   /** cmp(file.max(attr), v): None = no stats (keep). */
-  private def compareMax(a: Attribute, v: Any, f: DataFileEntry,
+  private def compareMax(a: String, v: Any, f: DataFileEntry,
       schema: StructType): Option[Int] =
-    f.maxValues.get(a.name).flatMap(s => cmp(s, v, typeOf(a, schema)))
+    f.maxValues.get(a).flatMap(s => typeOf(a, schema).flatMap(t => cmp(s, v, t)))
 
-  private def compareMin(a: Attribute, v: Any, f: DataFileEntry,
+  private def compareMin(a: String, v: Any, f: DataFileEntry,
       schema: StructType): Option[Int] =
-    f.minValues.get(a.name).flatMap(s => cmp(s, v, typeOf(a, schema)))
+    f.minValues.get(a).flatMap(s => typeOf(a, schema).flatMap(t => cmp(s, v, t)))
 
-  private def within(a: Attribute, v: Any, f: DataFileEntry,
+  private def within(a: String, v: Any, f: DataFileEntry,
       schema: StructType): Boolean = {
     val aboveMin = compareMin(a, v, f, schema).forall(_ <= 0)
     val belowMax = compareMax(a, v, f, schema).forall(_ >= 0)
     aboveMin && belowMax
   }
 
-  private def typeOf(a: Attribute, schema: StructType): DataType =
-    schema.find(_.name == a.name).map(_.dataType).getOrElse(a.dataType)
+  private def typeOf(a: String, schema: StructType): Option[DataType] =
+    schema.find(_.name == a).map(_.dataType)
 
   /** Compare a rendered stat with a Catalyst literal value; None when
     * the combination isn't comparable (prune conservatively).
@@ -210,30 +223,30 @@ object ReadIntervals {
       acc(c) = (math.max(l0, lo), math.min(h0, hi))
     }
     for (f <- filters; e <- conjuncts(f)) e match {
-      case EqualTo(a: Attribute, Literal(v, _)) =>
-        num(v).foreach(x => tighten(a.name, x, x))
-      case EqualTo(Literal(v, _), a: Attribute) =>
-        num(v).foreach(x => tighten(a.name, x, x))
-      case GreaterThan(a: Attribute, Literal(v, _)) =>
-        num(v).foreach(x => tighten(a.name, x, Double.PositiveInfinity))
-      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) =>
-        num(v).foreach(x => tighten(a.name, x, Double.PositiveInfinity))
-      case LessThan(a: Attribute, Literal(v, _)) =>
-        num(v).foreach(x => tighten(a.name, Double.NegativeInfinity, x))
-      case LessThanOrEqual(a: Attribute, Literal(v, _)) =>
-        num(v).foreach(x => tighten(a.name, Double.NegativeInfinity, x))
-      case GreaterThan(Literal(v, _), a: Attribute) =>
-        num(v).foreach(x => tighten(a.name, Double.NegativeInfinity, x))
-      case GreaterThanOrEqual(Literal(v, _), a: Attribute) =>
-        num(v).foreach(x => tighten(a.name, Double.NegativeInfinity, x))
-      case LessThan(Literal(v, _), a: Attribute) =>
-        num(v).foreach(x => tighten(a.name, x, Double.PositiveInfinity))
-      case LessThanOrEqual(Literal(v, _), a: Attribute) =>
-        num(v).foreach(x => tighten(a.name, x, Double.PositiveInfinity))
-      case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      case EqualTo(AttrName(a), Literal(v, _)) =>
+        num(v).foreach(x => tighten(a, x, x))
+      case EqualTo(Literal(v, _), AttrName(a)) =>
+        num(v).foreach(x => tighten(a, x, x))
+      case GreaterThan(AttrName(a), Literal(v, _)) =>
+        num(v).foreach(x => tighten(a, x, Double.PositiveInfinity))
+      case GreaterThanOrEqual(AttrName(a), Literal(v, _)) =>
+        num(v).foreach(x => tighten(a, x, Double.PositiveInfinity))
+      case LessThan(AttrName(a), Literal(v, _)) =>
+        num(v).foreach(x => tighten(a, Double.NegativeInfinity, x))
+      case LessThanOrEqual(AttrName(a), Literal(v, _)) =>
+        num(v).foreach(x => tighten(a, Double.NegativeInfinity, x))
+      case GreaterThan(Literal(v, _), AttrName(a)) =>
+        num(v).foreach(x => tighten(a, Double.NegativeInfinity, x))
+      case GreaterThanOrEqual(Literal(v, _), AttrName(a)) =>
+        num(v).foreach(x => tighten(a, Double.NegativeInfinity, x))
+      case LessThan(Literal(v, _), AttrName(a)) =>
+        num(v).foreach(x => tighten(a, x, Double.PositiveInfinity))
+      case LessThanOrEqual(Literal(v, _), AttrName(a)) =>
+        num(v).foreach(x => tighten(a, x, Double.PositiveInfinity))
+      case In(AttrName(a), vs) if vs.forall(_.isInstanceOf[Literal]) =>
         val xs = vs.collect { case Literal(v, _) => num(v) }.flatten
         if (xs.nonEmpty && xs.length == vs.length)
-          tighten(a.name, xs.min, xs.max)
+          tighten(a, xs.min, xs.max)
       case _ => () // un-analyzable conjunct constrains nothing extra
     }
     acc.map { case (c, (lo, hi)) => s"ivl.$c" -> s"$lo|$hi" }.toMap

@@ -365,24 +365,30 @@ case class UpdateGraftTableCommand(catalogName: String, ns: String, name: String
     val cat = session.sessionState.catalogManager.catalog(catalogName)
       .asInstanceOf[GraftCatalog]
     val full = s"$catalogName.$ns.$name"
-    val df = session.table(full)
     val assigned = assignments.toMap
-    val unknown = assigned.keySet -- df.columns.toSet
+    val unknown = assigned.keySet -- session.table(full).columns.toSet
     require(unknown.isEmpty, s"UPDATE $full: no such column(s): ${unknown.mkString(", ")}")
     val cond = where.map(w => coalesce(expr(w), lit(false))).getOrElse(lit(true))
-    // every RHS evaluates against the ORIGINAL row (SQL semantics —
-    // `SET a = b, b = a` swaps); values cast back to the declared
-    // column type so the rewritten files keep the table schema
-    val updated = df.select(df.schema.fields.map { f =>
-      assigned.get(f.name) match {
-        case Some(valueSql) =>
-          when(cond, expr(valueSql).cast(f.dataType))
-            .otherwise(col(f.name)).as(f.name)
-        case None => col(f.name)
-      }
-    }.toSeq: _*)
-    cat.commitWrite(org.apache.spark.sql.connector.catalog.Identifier
-      .of(Array(ns), name), updated, overwrite = true)
+    // the parsed WHERE doubles as the file-pruning predicate: only
+    // files whose stats overlap it are rewritten (selectiveRewrite)
+    val pruneExprs = where.toSeq.flatMap(w =>
+      scala.util.Try(session.sessionState.sqlParser.parseExpression(w)).toOption)
+    cat.selectiveRewrite(session,
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), name),
+      pruneExprs,
+      df =>
+        // every RHS evaluates against the ORIGINAL row (SQL semantics
+        // — `SET a = b, b = a` swaps); values cast back to the
+        // declared column type so rewritten files keep the table schema
+        df.select(df.schema.fields.map { f =>
+          assigned.get(f.name) match {
+            case Some(valueSql) =>
+              when(cond, expr(valueSql).cast(f.dataType))
+                .otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }.toSeq: _*),
+      "update", graft.txn.ActionType.TableUpdate)
     Seq.empty
   }
 }

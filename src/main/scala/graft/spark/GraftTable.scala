@@ -107,7 +107,11 @@ class GraftTable(
     val cond = PredicateToColumn.translateAll(predicates.toIndexedSeq).getOrElse(
       throw new UnsupportedOperationException(
         s"cannot translate delete predicates: ${predicates.mkString(", ")}"))
-    catalog.deleteWhere(spark, ident, cond)
+    // conjuncts that translate drive file-selective rewriting; the
+    // rest just mean fewer files are provably untouched
+    val pruneExprs = predicates.toIndexedSeq
+      .flatMap(PredicateToExpression.translate)
+    catalog.deleteWhere(spark, ident, cond, pruneExprs)
   }
 
   // ---------------- write ----------------

@@ -5,7 +5,8 @@ import java.nio.charset.StandardCharsets
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import graft.catalog.Graft
-import graft.objects.Json
+import graft.format.TableMetadata
+import graft.objects.{FileLocations, Json, NamespaceDef, TableDef}
 import graft.storage.StorageOps
 import graft.txn.Transaction
 
@@ -15,7 +16,7 @@ import graft.txn.Transaction
   * own HTTP server: zero extra dependencies, good enough for a
   * metadata-plane protocol whose payloads are a few KB of JSON.
   *
-  * Endpoints (all GET, all JSON):
+  * Read endpoints (GET, JSON):
   *   /v1/config                          → CatalogDef
   *   /v1/namespaces                      → {"namespaces": [..]}
   *   /v1/namespaces/{ns}                 → NamespaceDef
@@ -24,9 +25,17 @@ import graft.txn.Transaction
   *   /v1/namespaces/{ns}/views           → {"views": [..]}
   *   /v1/namespaces/{ns}/views/{v}       → ViewDef
   *
-  * Every request runs in its own read transaction against the latest
-  * committed root, so responses are each a consistent snapshot — the
-  * same guarantee in-process readers get.
+  * Write endpoints (metadata plane only — data files ride Spark):
+  *   POST   /v1/namespaces               {"name":.., "properties":{..}}
+  *   POST   /v1/namespaces/{ns}/tables   {"name":.., "schemaJson":..}
+  *   DELETE /v1/namespaces/{ns}          (RESTRICT)
+  *   DELETE /v1/namespaces/{ns}/tables/{t}
+  *
+  * Every request runs in its own transaction against the latest
+  * committed root: reads are each a consistent snapshot, writes are
+  * single auto-commit transactions decided by the same optimistic
+  * root race as in-process writers — two HTTP clients (or an HTTP
+  * client racing a Spark session) resolve exactly like two sessions.
   */
 class CatalogHttpServer(storage: StorageOps, port: Int = 0) {
 
@@ -45,11 +54,24 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0) {
 
   private def handle(ex: HttpExchange): Unit =
     try {
-      if (ex.getRequestMethod != "GET") {
-        reply(ex, 405, """{"error":"read-only catalog: GET only"}""")
-        return
-      }
       val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
+      ex.getRequestMethod match {
+        case "GET" => handleGet(ex, parts)
+        case "POST" => handlePost(ex, parts)
+        case "DELETE" => handleDelete(ex, parts)
+        case _ => reply(ex, 405, """{"error":"unsupported method"}""")
+      }
+    } catch {
+      case _: NoSuchElementException =>
+        reply(ex, 404, """{"error":"object not found"}""")
+      case e: IllegalArgumentException =>
+        reply(ex, 400, s"""{"error":${Json.writeString(e.getMessage)}}""")
+      case e: Exception =>
+        reply(ex, 500, s"""{"error":${Json.writeString(String.valueOf(e.getMessage))}}""")
+    } finally ex.close()
+
+  private def handleGet(ex: HttpExchange, parts: List[String]): Unit = {
+    {
       val body = withReadTxn { txn =>
         parts match {
           case List("v1", "config") =>
@@ -75,14 +97,47 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0) {
         case Some(json) => reply(ex, 200, json)
         case None => reply(ex, 404, """{"error":"no such route"}""")
       }
-    } catch {
-      case _: NoSuchElementException =>
-        reply(ex, 404, """{"error":"object not found"}""")
-      case e: IllegalArgumentException =>
-        reply(ex, 404, s"""{"error":${Json.writeString(e.getMessage)}}""")
-      case e: Exception =>
-        reply(ex, 500, s"""{"error":${Json.writeString(String.valueOf(e.getMessage))}}""")
-    } finally ex.close()
+    }
+  }
+
+  private def requestBody(ex: HttpExchange): Array[Byte] =
+    ex.getRequestBody.readAllBytes()
+
+  private def inWriteTxn(f: Transaction => Unit): Unit = {
+    val txn = Graft.beginTransaction(storage)
+    try { f(txn); Graft.commitTransaction(storage, txn); () }
+    finally txn.close()
+  }
+
+  private def handlePost(ex: HttpExchange, parts: List[String]): Unit =
+    parts match {
+      case List("v1", "namespaces") =>
+        val d = Json.read(requestBody(ex), classOf[NamespaceDef])
+        inWriteTxn(txn => Graft.createNamespace(storage, txn, d))
+        reply(ex, 201, Json.writeString(d))
+      case List("v1", "namespaces", ns, "tables") =>
+        val req = Json.read(requestBody(ex), classOf[CreateTableRequest])
+        require(req.name != null && req.schemaJson != null,
+          "table create needs name and schemaJson")
+        val metaPath = FileLocations.tableMetadataPath(ns, req.name)
+        TableMetadata.write(storage, metaPath, TableMetadata.empty(req.schemaJson))
+        inWriteTxn(txn => Graft.createTable(storage, txn,
+          TableDef(req.name, ns, metadataLocation = metaPath,
+            properties = Option(req.properties).getOrElse(Map.empty))))
+        reply(ex, 201, s"""{"created":${Json.writeString(req.name)}}""")
+      case _ => reply(ex, 404, """{"error":"no such route"}""")
+    }
+
+  private def handleDelete(ex: HttpExchange, parts: List[String]): Unit =
+    parts match {
+      case List("v1", "namespaces", ns) =>
+        inWriteTxn(txn => Graft.dropNamespace(storage, txn, ns, cascade = false))
+        reply(ex, 200, s"""{"dropped":${Json.writeString(ns)}}""")
+      case List("v1", "namespaces", ns, "tables", t) =>
+        inWriteTxn(txn => Graft.dropTable(storage, txn, ns, t))
+        reply(ex, 200, s"""{"dropped":${Json.writeString(t)}}""")
+      case _ => reply(ex, 404, """{"error":"no such route"}""")
+    }
 
   private def withReadTxn[T](f: Transaction => T): T = {
     val txn = Graft.beginTransaction(storage)
@@ -100,3 +155,9 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0) {
     try os.write(bytes) finally os.close()
   }
 }
+
+/** POST /v1/namespaces/{ns}/tables request body. */
+final case class CreateTableRequest(
+    name: String = null,
+    schemaJson: String = null,
+    properties: Map[String, String] = null)

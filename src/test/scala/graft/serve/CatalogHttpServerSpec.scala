@@ -69,4 +69,50 @@ class CatalogHttpServerSpec extends AnyFunSuite {
       assert(get(port, "/v1/nonsense")._1 == 404)
     } finally server.stop()
   }
+
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val res = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (res.statusCode(), res.body())
+  }
+
+  private def delete(port: Int, path: String): (Int, String) = {
+    val res = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (res.statusCode(), res.body())
+  }
+
+  test("HTTP writes commit real transactions the SQL catalog sees") {
+    val storage = spark.sessionState.catalogManager.catalog("hc")
+      .asInstanceOf[GraftCatalog].storage
+    val server = new CatalogHttpServer(storage)
+    val port = server.start()
+    try {
+      // create a namespace and a table over HTTP
+      assert(post(port, "/v1/namespaces",
+        """{"name":"ns2","properties":{"owner":"http"}}""")._1 == 201)
+      val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))).json
+      assert(post(port, "/v1/namespaces/ns2/tables",
+        s"""{"name":"t3","schemaJson":${graft.objects.Json.writeString(schemaJson)}}""")._1 == 201)
+      // the Spark SQL catalog sees both, and the table is writable
+      assert(spark.sql("SHOW NAMESPACES IN hc").collect()
+        .map(_.getString(0)).contains("ns2"))
+      spark.sql("INSERT INTO hc.ns2.t3 VALUES (7)")
+      assert(spark.table("hc.ns2.t3").collect().map(_.getLong(0))
+        .sameElements(Array(7L)))
+      // duplicate create is a clean 400, not a 500
+      assert(post(port, "/v1/namespaces", """{"name":"ns2"}""")._1 == 400)
+      // drop the table, then the namespace; RESTRICT refuses non-empty
+      assert(delete(port, "/v1/namespaces/ns2")._1 == 400)
+      assert(delete(port, "/v1/namespaces/ns2/tables/t3")._1 == 200)
+      assert(delete(port, "/v1/namespaces/ns2")._1 == 200)
+      assert(get(port, "/v1/namespaces/ns2")._1 == 404)
+    } finally server.stop()
+  }
 }

@@ -86,6 +86,38 @@ object StreamingQueries {
              |GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin)),
 
     QueryDef(
+      "st04_stream_dedup",
+      (s, d) => {
+        // Streaming exact dedup: dropDuplicates holds one state row
+        // per (user_id, event_type) key and emits only first
+        // occurrences — the streaming half of the dedup family
+        // (dd01's batch hash-dedup shape, as a stateful operator).
+        // The deduped stream lands in the sink, then a batch
+        // aggregate over it must equal batch COUNT(DISTINCT).
+        val sink = s"st04_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = s.readStream
+          .schema(eventsSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_ts", "1 hour")
+          .dropDuplicates("user_id", "event_type")
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_unique_users"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "st02_stateful_sessions",
       (s, d) => {
         // Custom streaming state: flatMapGroupsWithState sessionizes

@@ -241,9 +241,15 @@ object Dedup {
           pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         var labels = edges.select(col("doc_a").as("doc_id")).distinct()
           .withColumn("cluster_id", col("doc_id")).persist()
-        var changed = true
+        // labels only ever DECREASE, so the label sum is a strictly
+        // monotone convergence witness: equal sums across a round
+        // means a fixpoint — one aggregate instead of a change-join
+        def labelSum(): Long =
+          labels.agg(sum("cluster_id")).collect()(0).getLong(0)
+        var prevSum = labelSum()
         var rounds = 0
-        while (changed && rounds < 20) {
+        var converged = false
+        while (!converged && rounds < 20) {
           val prop = edges
             .join(labels, edges("doc_a") === labels("doc_id"))
             .groupBy(col("doc_b").as("n"))
@@ -254,12 +260,11 @@ object Dedup {
               least(col("cluster_id"), coalesce(col("prop_id"), col("cluster_id")))
                 .as("cluster_id"))
             .persist()
-          changed = next.as("a")
-            .join(labels.as("b"), "doc_id")
-            .filter(col("a.cluster_id") < col("b.cluster_id"))
-            .limit(1).count() > 0
           labels.unpersist()
           labels = next
+          val s2 = labelSum()
+          converged = s2 == prevSum
+          prevSum = s2
           rounds += 1
         }
         pairs.unpersist()

@@ -222,16 +222,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     // OlympiaIcebergCatalog.java:360-367)
     MetadataTables.Suffixes.find(ident.name().endsWith(_)).foreach { suffix =>
       val base = ident.name().dropRight(suffix.length)
-      val meta = inTxn { txn =>
+      val (meta, partCols) = inTxn { txn =>
         val td =
           try Graft.describeTable(storage, txn, ns1(ident.namespace()), base)
           catch { case _: NoSuchElementException =>
             throw new NoSuchTableException(ident)
           }
-        TableMetadata.read(storage, td.metadataLocation)
+        (TableMetadata.read(storage, td.metadataLocation),
+          td.properties.get(GraftCatalog.PartitionColsProp)
+            .map(_.split(',').toSeq).getOrElse(Seq.empty))
       }
       return MetadataTables.forSuffix(s"$catalogName.${ns1(ident.namespace())}.$base",
-        suffix, meta)
+        suffix, meta, partCols)
     }
     // catalog-wide object listing: <catalog>.sys.objects
     if (ident.namespace().sameElements(Array("sys")) && ident.name() == "objects") {

@@ -18,12 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * through executors would only add overhead.
   */
 object MetadataTables {
-  val Suffixes: Seq[String] = Seq("$snapshots", "$files")
+  val Suffixes: Seq[String] = Seq("$snapshots", "$files", "$partitions")
 
-  def forSuffix(baseName: String, suffix: String, meta: TableMetadata): Table =
+  def forSuffix(baseName: String, suffix: String, meta: TableMetadata,
+      partCols: Seq[String]): Table =
     suffix match {
       case "$snapshots" => new SnapshotsTable(baseName, meta)
       case "$files" => new FilesTable(baseName, meta)
+      case "$partitions" => new PartitionsTable(baseName, meta, partCols)
     }
 
   /** `<catalog>.sys.objects` — every object in the catalog at its
@@ -89,4 +91,30 @@ private class FilesTable(baseName: String, meta: TableMetadata)
   override def rows: Seq[InternalRow] =
     meta.currentSnapshot.toSeq.flatMap(s => s.files.map(f =>
       InternalRow(UTF8String.fromString(f.path), f.sizeBytes, s.id)))
+}
+
+/** `<table>$partitions` — per-partition file/row/byte counts from the
+  * snapshot's file entries (a partition value is recorded as the
+  * column's min==max on every file in that partition). Empty-string
+  * partition key for non-partitioned tables.
+  */
+private class PartitionsTable(baseName: String, meta: TableMetadata,
+    partCols: Seq[String])
+    extends LocalMetadataTable(s"$baseName$$partitions") {
+  override def schema(): StructType = StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false)))
+
+  override def rows: Seq[InternalRow] = {
+    meta.currentFiles
+      .groupBy(f => partCols
+        .map(c => s"$c=${f.minValues.getOrElse(c, "null")}").mkString("/"))
+      .toSeq.sortBy(_._1)
+      .map { case (part, fs) =>
+        InternalRow(UTF8String.fromString(part), fs.size,
+          fs.map(_.rowCount).sum, fs.map(_.sizeBytes).sum)
+      }
+  }
 }

@@ -95,6 +95,14 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(spark.table("po.ns1.ev").count() == 2)
   }
 
+  test("$partitions metadata table summarizes per-partition state") {
+    val rows = spark.table("pc.ns1.`sales$partitions`").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    // after the earlier delete/insert/compaction: eu{1,5}, us{3}, apac{4}
+    assert(rows.map(_._1).toSeq == Seq("region=apac", "region=eu", "region=us"))
+    assert(rows.map(_._3).sum == 4) // total rows across partitions
+  }
+
   test("partition values with special characters round-trip") {
     spark.sql(
       "CREATE TABLE pc.ns1.esc (k BIGINT, tag STRING) PARTITIONED BY (tag)")

@@ -206,6 +206,32 @@ class GraftCatalogSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cardinality"))
   }
 
+  test("UPDATE and MERGE ride the session transaction atomically") {
+    spark.sql("CREATE TABLE cat.ns1.txu (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO cat.ns1.txu VALUES (1, 10), (2, 20)")
+    val cat0 = spark.sessionState.catalogManager.catalog("cat")
+      .asInstanceOf[GraftCatalog]
+    // rollback: the update's effects never publish
+    cat0.beginTransaction()
+    spark.sql("UPDATE cat.ns1.txu SET v = 999 WHERE k = 1")
+    cat0.rollbackTransaction()
+    assert(spark.table("cat.ns1.txu").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+    // commit: update + merge in ONE transaction, both-or-neither
+    spark.sql("CREATE TABLE cat.ns1.txs (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO cat.ns1.txs VALUES (2, 200), (3, 300)")
+    cat0.beginTransaction()
+    spark.sql("UPDATE cat.ns1.txu SET v = v + 1 WHERE k = 2")
+    spark.sql("""MERGE INTO cat.ns1.txu t USING cat.ns1.txs s ON t.k = s.k
+                 WHEN MATCHED THEN UPDATE SET v = s.v
+                 WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    cat0.commitTransaction()
+    assert(spark.table("cat.ns1.txu").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ==
+      Seq((1L, 10L), (2L, 200L), (3L, 300L)))
+  }
+
   test("catalog time travel: VERSION AS OF") {
     spark.sql("CREATE TABLE cat.ns1.tt (k BIGINT)")
     val v1 = graft.tree.TreeOps.findLatestRoot(cat.storage).get.version

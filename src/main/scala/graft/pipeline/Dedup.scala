@@ -56,6 +56,81 @@ object Dedup {
     withShingles(table(s, d, "documents").select("doc_id", "text", "n_chars"))
       .select("doc_id", "n_chars", "sh")
 
+  /** Connected components by alternating small-star / large-star
+    * exchanges (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): each round reshapes the edge set toward a star
+    * forest whose centers are the component minima, converging in
+    * O(log n) rounds REGARDLESS of component diameter — the property
+    * plain label propagation (O(diameter) rounds) lacks, and what
+    * makes the operator safe against adversarial chain-shaped
+    * duplicate clusters at 100 TB. Both stars are a groupBy(min) +
+    * self-join — pure shuffle work, no driver state.
+    *
+    * Input: undirected edges as two long columns. Output:
+    * (`idCol`, `labelCol`) — every vertex labeled with its component's
+    * minimum vertex id (minima label themselves).
+    *
+    * Convergence is proven by EXACT edge-set equality (count + one-way
+    * except), never assumed: if `maxRounds` (default 64 ≫ log₂ of any
+    * physical edge count) passes without a fixpoint, this THROWS
+    * rather than returning wrong labels.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      idCol: String, labelCol: String, maxRounds: Int = 64): DataFrame = {
+    // canonical orientation: (u, v) with u > v, no self-loops, distinct.
+    // Each round is (eagerly) localCheckpoint-ed: the star exchanges
+    // reference the prior round several times, so carrying raw lineage
+    // would grow the logical plan EXPONENTIALLY with rounds — the
+    // checkpoint pins the round's result and truncates the plan (a
+    // production cluster run would point this at a reliable
+    // checkpoint dir; the shape is identical).
+    var e = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+
+    // large-star: every neighbor LARGER than u links to
+    // min(N(u) ∪ {u}); small-star: every neighbor SMALLER than u
+    // (all of them, given canonical orientation) links to min(N(u)),
+    // and u itself re-links there too. Outputs stay (big, small).
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(min("v"), first("u")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(edges: DataFrame): DataFrame = {
+      val mins = edges.groupBy("u").agg(min("v").as("m"))
+      edges.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxRounds rounds")
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // exact set equality: same cardinality ∧ next ⊆ e ⇒ next = e
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e.unpersist()
+      e = next
+      rounds += 1
+    }
+    // star forest: (u, v=component min) for every non-root u; roots
+    // (the minima) label themselves. `e` stays cached — the result is
+    // computed from it lazily (callers materialize then discard).
+    e.select(col("u").as(idCol), col("v").as(labelCol))
+      .union(e.select(col("v").as(idCol), col("v").as(labelCol)).distinct())
+  }
+
   /** Exact jaccard over candidate pairs carrying sorted sh_a/sh_b,
     * NULL when < 0.5 — the merge aborts as soon as the threshold is
     * provably unreachable, which on blocking candidates skips most of
@@ -228,47 +303,15 @@ object Dedup {
         // exact near-dup pairs (dd03), labeling every clustered doc
         // with the smallest doc_id in its component — the step that
         // turns a pair list into "keep one per cluster" decisions.
-        // Iterative min-label propagation: each round is one
-        // edge⋈label shuffle + one min-aggregate, converging in
-        // O(cluster diameter) rounds; near-dup clusters are shallow
-        // (dups of one document), so rounds stay small even at 100 TB.
-        // (A production run at adversarial diameters would switch to
-        // the O(log n) small-star/large-star exchange — same join
-        // shapes, different exchange rule.)
+        // Small-star/large-star exchange (see connectedComponents):
+        // O(log n) rounds at ANY cluster diameter, exact-equality
+        // convergence proof, throws rather than mislabeling.
         val pairs = defs.find(_.name == "dd03_ngram_jaccard").get.fn(s, d)
           .select(col("doc_a"), col("doc_b")).persist()
-        val edges = pairs.union(
-          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-          .withColumn("cluster_id", col("doc_id")).persist()
-        // labels only ever DECREASE, so the label sum is a strictly
-        // monotone convergence witness: equal sums across a round
-        // means a fixpoint — one aggregate instead of a change-join
-        def labelSum(): Long =
-          labels.agg(sum("cluster_id")).collect()(0).getLong(0)
-        var prevSum = labelSum()
-        var rounds = 0
-        var converged = false
-        while (!converged && rounds < 20) {
-          val prop = edges
-            .join(labels, edges("doc_a") === labels("doc_id"))
-            .groupBy(col("doc_b").as("n"))
-            .agg(min("cluster_id").as("prop_id"))
-          val next = labels
-            .join(prop, labels("doc_id") === prop("n"), "left")
-            .select(col("doc_id"),
-              least(col("cluster_id"), coalesce(col("prop_id"), col("cluster_id")))
-                .as("cluster_id"))
-            .persist()
-          labels.unpersist()
-          labels = next
-          val s2 = labelSum()
-          converged = s2 == prevSum
-          prevSum = s2
-          rounds += 1
-        }
+        val out = connectedComponents(pairs, "doc_a", "doc_b",
+          "doc_id", "cluster_id").orderBy("doc_id")
         pairs.unpersist()
-        labels.orderBy("doc_id")
+        out
       },
       Some("""WITH RECURSIVE sh AS (
              |  SELECT doc_id, n_chars,

@@ -289,6 +289,75 @@ object CatalogQueries {
              |            ELSE n_name END AS n_name
              |FROM nation
              |UNION ALL SELECT 990, 'NEWLAND'
-             |ORDER BY n_nationkey""".stripMargin))
+             |ORDER BY n_nationkey""".stripMargin)),
+
+    QueryDef(
+      "c13_merge_multi",
+      (s, d) => {
+        // Multi-clause conditional MERGE (native Spark planning via
+        // SupportsRowLevelOperations): matched customers in the
+        // BUILDING segment get their balance bumped, matched customers
+        // elsewhere with negative balance are deleted, unmatched
+        // source keys are inserted.
+        ensureCatalog(s, "gcd")
+        provision(s, "gcd", d, "customer", "customer")
+        s.sql(s"""MERGE INTO gcd.ns1.customer t
+                  USING (SELECT c_custkey AS k FROM parquet.`$d/customer.parquet`
+                         WHERE c_custkey % 3 = 0
+                         UNION ALL SELECT 777770) src
+                  ON t.c_custkey = src.k
+                  WHEN MATCHED AND t.c_mktsegment = 'BUILDING'
+                    THEN UPDATE SET c_acctbal = round(t.c_acctbal + 100, 2)
+                  WHEN MATCHED AND t.c_acctbal < 0 THEN DELETE
+                  WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal)
+                    VALUES (src.k, 'new-customer', 0.0)""")
+        s.sql("""SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+                 FROM gcd.ns1.customer ORDER BY c_custkey""")
+      },
+      Some("""WITH src AS (SELECT c_custkey AS k FROM customer
+             |             WHERE c_custkey % 3 = 0
+             |             UNION ALL SELECT 777770)
+             |SELECT c_custkey, c_name,
+             |       round(CASE WHEN c_custkey % 3 = 0
+             |                   AND c_mktsegment = 'BUILDING'
+             |                  THEN round(c_acctbal + 100, 2)
+             |                  ELSE c_acctbal END, 2) AS bal
+             |FROM customer
+             |WHERE NOT (c_custkey % 3 = 0
+             |           AND c_mktsegment <> 'BUILDING' AND c_acctbal < 0)
+             |UNION ALL
+             |SELECT 777770, 'new-customer', 0.0
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "c14_merge_not_matched_by_source",
+      (s, d) => {
+        // WHEN NOT MATCHED BY SOURCE — the clause only native MERGE
+        // planning supports: suppliers absent from the source feed are
+        // flagged inactive, present ones take the feed's balance.
+        ensureCatalog(s, "gce")
+        provision(s, "gce", d, "supplier", "supplier")
+        s.sql(s"""MERGE INTO gce.ns1.supplier t
+                  USING (SELECT s_suppkey AS k, s_acctbal AS bal
+                         FROM parquet.`$d/supplier.parquet`
+                         WHERE s_nationkey < 12) src
+                  ON t.s_suppkey = src.k
+                  WHEN MATCHED THEN UPDATE SET s_acctbal = round(src.bal * 2, 2)
+                  WHEN NOT MATCHED BY SOURCE AND t.s_acctbal < 1000
+                    THEN DELETE
+                  WHEN NOT MATCHED BY SOURCE
+                    THEN UPDATE SET s_name = 'stale'""")
+        s.sql("""SELECT s_suppkey, round(s_acctbal, 2) AS bal, s_name
+                 FROM gce.ns1.supplier ORDER BY s_suppkey""")
+      },
+      Some("""SELECT s_suppkey,
+             |       round(CASE WHEN s_nationkey < 12
+             |                  THEN round(s_acctbal * 2, 2)
+             |                  ELSE s_acctbal END, 2) AS bal,
+             |       CASE WHEN s_nationkey < 12 THEN s_name
+             |            ELSE 'stale' END AS s_name
+             |FROM supplier
+             |WHERE NOT (s_nationkey >= 12 AND s_acctbal < 1000)
+             |ORDER BY s_suppkey""".stripMargin))
   )
 }

@@ -533,21 +533,76 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     }
   }
 
+  /** Commit a ROW-LEVEL operation's file swap: the files the rewrite
+    * scanned leave the snapshot, the rewritten files join it, every
+    * other file carries over untouched (called from
+    * [[GraftCowBatchWrite]] on the driver at write commit).
+    */
+  private[spark] def commitReplace(ident: Identifier, replacedPaths: Seq[String],
+      newFiles: Seq[graft.format.DataFileEntry], op: String,
+      actionType: String): Unit = {
+    val replaced = replacedPaths.toSet
+    // inside a suspended distributed txn: apply to its running tree
+    // and re-suspend (write-audit-publish, docs/index.md:54-64)
+    if (isDtxnPath(ident.namespace())) {
+      val id = ident.namespace()(2)
+      val ns = ident.namespace()(3)
+      val t = ident.name()
+      val txn = Graft.loadDistTransaction(storage, id)
+      try {
+        applyReplaceCommit(storage, txn.runningRoot, ns, t, op, replaced, newFiles)
+        val cd = Graft.catalogDef(storage, txn.runningRoot)
+        txn.record(Action(actionType, ObjectKeys.tableKey(ns, t, cd),
+          Map("files" -> newFiles.map(_.path).mkString(",")) ++
+            graft.format.StatsRanges.args(newFiles)))
+        Graft.saveDistTransaction(storage, txn)
+      } finally txn.close()
+      return
+    }
+    val ns = ns1(ident.namespace())
+    val t = ident.name()
+    inTxn { txn =>
+      applyReplaceCommit(storage, txn.runningRoot, ns, t, op, replaced, newFiles)
+      txn.replays += ((s, r) =>
+        applyReplaceCommit(s, r, ns, t, op, replaced, newFiles))
+      val cd = Graft.catalogDef(storage, txn.runningRoot)
+      txn.record(Action(actionType, ObjectKeys.tableKey(ns, t, cd),
+        Map("files" -> newFiles.map(_.path).mkString(",")) ++
+          graft.format.StatsRanges.args(newFiles)))
+    }
+  }
+
   /** Apply one table snapshot commit against a running root — re-reads
     * the table def FROM THAT ROOT so replays merge with whatever the
     * winner committed.
     */
   private def applyTableCommit(s: StorageOps, root: TreeRoot, ns: String,
       t: String, op: String, newFiles: Seq[graft.format.DataFileEntry],
-      overwrite: Boolean): Unit = {
+      overwrite: Boolean): Unit =
+    applyFilesCommit(s, root, ns, t, op,
+      cur => if (overwrite) newFiles else cur ++ newFiles)
+
+  /** Row-level replace against a running root: on a rebase replay the
+    * replaced paths are removed from WHATEVER the winner committed —
+    * an append that raced this rewrite keeps its files.
+    */
+  private def applyReplaceCommit(s: StorageOps, root: TreeRoot, ns: String,
+      t: String, op: String, replaced: Set[String],
+      newFiles: Seq[graft.format.DataFileEntry]): Unit =
+    applyFilesCommit(s, root, ns, t, op,
+      cur => cur.filterNot(f => replaced(f.path)) ++ newFiles)
+
+  private def applyFilesCommit(s: StorageOps, root: TreeRoot, ns: String,
+      t: String, op: String,
+      transform: Seq[graft.format.DataFileEntry] => Seq[graft.format.DataFileEntry])
+      : Unit = {
     val cd = Graft.catalogDef(s, root)
     val key = ObjectKeys.tableKey(ns, t, cd)
     val defPath = TreeOps.searchValue(s, root, key).getOrElse(
       throw new NoSuchTableException(Identifier.of(Array(ns), t)))
     val td = Json.read(s.read(defPath), classOf[TableDef])
     val meta = TableMetadata.read(s, td.metadataLocation)
-    val files = if (overwrite) newFiles else meta.currentFiles ++ newFiles
-    val meta2 = meta.withSnapshot(op, files)
+    val meta2 = meta.withSnapshot(op, transform(meta.currentFiles))
     val metaPath = FileLocations.tableMetadataPath(ns, t)
     TableMetadata.write(s, metaPath, meta2)
     val td2 = td.copy(metadataLocation = metaPath,
@@ -680,37 +735,47 @@ object GraftCatalog {
       : Seq[graft.format.DataFileEntry] = {
     val dataDir = FileLocations.tableDataDir(ns, t)
     val commitId = UUID.randomUUID().toString
-    if (partCols.isEmpty) {
-      val commitDir = s"$dataDir/$commitId"
-      data.write.parquet(storage.absolute(commitDir))
-      GraftTable.listCommitFiles(storage, commitDir)
-    } else {
-      val staging = s"$dataDir/.staging-$commitId"
-      val stagingAbs = java.nio.file.Paths.get(storage.absolute(staging))
-      data.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
-        .write.partitionBy(partCols: _*).parquet(stagingAbs.toString)
-      val dataAbs = java.nio.file.Paths.get(storage.absolute(dataDir))
-      import scala.jdk.CollectionConverters._
-      val moved = scala.util.Using.resource(java.nio.file.Files.walk(stagingAbs)) { st =>
-        st.iterator().asScala
-          .filter(p => java.nio.file.Files.isRegularFile(p) &&
-            p.getFileName.toString.endsWith(".parquet"))
-          .toSeq
-      }.map { p =>
-        val sub = stagingAbs.relativize(p) // col=value/part-*.parquet
-        val target = dataAbs.resolve(sub.getParent)
-          .resolve(s"$commitId-${p.getFileName}")
-        java.nio.file.Files.createDirectories(target.getParent)
-        java.nio.file.Files.move(p, target)
+    val stagingAbs =
+      if (partCols.isEmpty) storage.absolute(s"$dataDir/$commitId")
+      else storage.absolute(s"$dataDir/.staging-$commitId")
+    if (partCols.isEmpty) data.write.parquet(stagingAbs)
+    else data.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.partitionBy(partCols: _*).parquet(stagingAbs)
+    finalizeCommitDir(storage, ns, t, commitId, partCols)
+  }
+
+  /** Turn a finished parquet job under the commit's staging location
+    * into the commit's [[graft.format.DataFileEntry]] list.
+    *
+    * Non-partitioned: the staging dir IS the commit dir
+    * (`files/<uuid>/`) — nothing moves. Partitioned: staged
+    * `col=value/part-*.parquet` files move into the SHARED Hive-style
+    * dirs under the table data root with a commit-unique name prefix
+    * (Spark's basePath partition discovery rejects a per-commit dir
+    * level between base and `col=value`). Moves go through
+    * [[StorageOps.move]] so the object-store backend works too — a
+    * store with no rename copies server-side and deletes.
+    */
+  private[graft] def finalizeCommitDir(storage: StorageOps, ns: String,
+      t: String, commitId: String, partCols: Seq[String])
+      : Seq[graft.format.DataFileEntry] = {
+    val dataDir = FileLocations.tableDataDir(ns, t)
+    if (partCols.isEmpty)
+      return GraftTable.listCommitFiles(storage, s"$dataDir/$commitId")
+    val staging = s"$dataDir/.staging-$commitId"
+    val moved = storage.listDeep(staging)
+      .filter(_.endsWith(".parquet"))
+      .map { rel =>
+        val sub = rel.stripPrefix(s"$staging/") // col=value/part-*.parquet
+        val i = sub.lastIndexOf('/')
+        require(i > 0, s"staged file outside a partition dir: $rel")
+        val target = s"$dataDir/${sub.take(i)}/$commitId-${sub.drop(i + 1)}"
+        storage.move(rel, target)
         target
       }
-      // remove the emptied staging tree (deepest first)
-      scala.util.Using.resource(java.nio.file.Files.walk(stagingAbs)) { st =>
-        st.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-      moved.sortBy(_.toString).map(p =>
-        GraftTable.fileEntry(storage, dataAbs, p))
-    }
+    storage.deleteTree(staging) // job markers (_SUCCESS) + empty dirs
+    val dataAbs = java.nio.file.Paths.get(storage.absolute(dataDir))
+    moved.sorted.map(rel => GraftTable.fileEntry(storage, dataAbs,
+      java.nio.file.Paths.get(storage.absolute(rel))))
   }
 }

@@ -1,0 +1,349 @@
+package graft.spark
+
+import java.util.UUID
+
+import graft.format.DataFileEntry
+import graft.objects.FileLocations
+import graft.storage.StorageOps
+import graft.txn.ActionType
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+import org.apache.spark.sql.connector.catalog.MetadataColumn
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder => VSortOrder, Expression => VExpr, Literal => VLiteral}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.graft.SparkInternals
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Native Spark row-level operations for graft tables (SURVEY §2.4).
+  *
+  * DELETE / UPDATE / MERGE are planned by Spark's OWN analyzer
+  * (`RewriteDeleteFromTable` / `RewriteUpdateTable` /
+  * `RewriteMergeIntoTable` → `ReplaceData`), so the full SQL surface —
+  * multi-clause conditional MERGE, `WHEN NOT MATCHED BY SOURCE`,
+  * assignment alignment, the single-pass cardinality check — comes
+  * from Spark, while graft supplies the two connector halves:
+  *
+  *  - a GROUP-granularity copy-on-write scan: groups are data FILES;
+  *    command predicates prune files by snapshot stats up front, and
+  *    Spark's runtime group filtering (`SupportsRuntimeV2Filtering` on
+  *    `_file`) narrows a MERGE to exactly the files with matching rows
+  *    — at 100 TB a 10-row upsert rewrites a handful of files;
+  *  - a real DSv2 parquet [[BatchWrite]] whose commit swaps the
+  *    scanned files for the rewritten ones in a new snapshot.
+  *
+  * Reference analog: the data plane delegated wholesale to the engine
+  * connector (OlympiaIcebergTable.java:24-40) — this IS that
+  * delegation, expressed through Spark's row-level-operation API.
+  */
+private[spark] object GraftMetadataColumns {
+  val FileName = "_file"
+
+  val FileColumn: MetadataColumn = new MetadataColumn {
+    override def name(): String = FileName
+    override def dataType(): org.apache.spark.sql.types.DataType = StringType
+    override def isNullable(): Boolean = false
+    override def comment(): String = "path of the data file holding the row"
+  }
+
+  /** Drop `_file` from a requested schema; true when it was present. */
+  def split(required: StructType): (StructType, Boolean) = {
+    val hasFile = required.fieldNames.contains(FileName)
+    (StructType(required.filterNot(_.name == FileName)), hasFile)
+  }
+
+  /** Normalize an absolute path the way a PartitionedFile renders it. */
+  def norm(abs: String): String =
+    new org.apache.hadoop.fs.Path(abs).toUri.getPath
+}
+
+/** Scan wrapper appending the per-row `_file` column (last). */
+private[spark] class FileTaggedScan(delegate: Scan, outSchema: StructType)
+    extends Scan {
+  override def readSchema(): StructType = outSchema
+  override def toBatch: Batch =
+    SparkInternals.fileTaggedBatch(delegate.toBatch, outSchema.length - 1)
+  override def description(): String = s"FileTagged(${delegate.description()})"
+}
+
+/** A Batch with no partitions (statically pruned to nothing). */
+private[spark] object EmptyBatch extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = Array.empty
+  override def createReaderFactory(): PartitionReaderFactory =
+    (_: InputPartition) =>
+      throw new UnsupportedOperationException("empty batch has no partitions")
+}
+
+class GraftRowLevelOperationBuilder(
+    catalog: GraftCatalog,
+    table: GraftTable,
+    info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new GraftRowLevelOperation(catalog, table, info.command())
+}
+
+/** One DELETE/UPDATE/MERGE execution: Spark calls `newScanBuilder` for
+  * the (single, shared) copy-on-write read and `newWriteBuilder` for
+  * the replacement write; the scan instance is cached so the runtime
+  * group filter's narrowing is visible to the write's commit.
+  */
+class GraftRowLevelOperation(
+    catalog: GraftCatalog,
+    table: GraftTable,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  private var scanBuilder: GraftCowScanBuilder = _
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    synchronized {
+      // one builder/scan for the command: the main read, the runtime
+      // group-filter subquery, and the write all see the same file set
+      if (scanBuilder == null)
+        scanBuilder = new GraftCowScanBuilder(table, options)
+      scanBuilder
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new GraftCowWrite(catalog, table,
+        GraftRowLevelOperation.this, info)
+    }
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GraftMetadataColumns.FileName))
+
+  /** Files the (possibly runtime-narrowed) scan finally covered — the
+    * groups the write replaces.
+    */
+  private[spark] def replacedEntries: Seq[DataFileEntry] = synchronized {
+    require(scanBuilder != null, "row-level write before scan")
+    scanBuilder.builtScan match {
+      case null => Seq.empty // scan never built: nothing was read
+      case s => s.keptEntries
+    }
+  }
+}
+
+/** Copy-on-write scan builder. Pushed command filters prune FILES via
+  * snapshot stats only — they are never handed to the parquet reader,
+  * because a group rewrite must return EVERY row of a touched file
+  * (the non-matching rows are carried over by the rewrite plan).
+  */
+class GraftCowScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownCatalystFilters {
+
+  private var requiredSchema: StructType = table.schema
+  private var groupFilters: Seq[Expression] = Seq.empty
+  private[spark] var builtScan: GraftCowScan = _
+
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = required
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    groupFilters = filters
+    filters // group-dirtiness hints only; all rows of kept files flow
+  }
+
+  override def pushedFilters(): Array[Predicate] = Array.empty
+
+  override def build(): Scan = synchronized {
+    if (builtScan == null) {
+      val schema = table.schema
+      val kept = table.currentFileTuples.filter { case (_, f) =>
+        groupFilters.forall(e => FilePruning.mayMatch(e, f, schema))
+      }
+      table.recordSelect(requiredSchema.fieldNames.toSeq
+        .filterNot(_ == GraftMetadataColumns.FileName), groupFilters)
+      builtScan = new GraftCowScan(table, options, kept, requiredSchema)
+    }
+    builtScan
+  }
+}
+
+/** The scan half of a copy-on-write group rewrite: parquet reading is
+  * delegated to Spark's own DSv2 parquet table over the kept files;
+  * `_file` rides along via single-file partitions (see
+  * [[SparkInternals.fileTaggedBatch]]); Spark's runtime group filter
+  * calls [[filter]] with `_file IN (…)` — the files that actually
+  * contain matching rows — and the batch re-plans over that subset.
+  */
+class GraftCowScan(
+    table: GraftTable,
+    options: CaseInsensitiveStringMap,
+    kept0: Seq[(String, DataFileEntry)],
+    requiredSchema: StructType) extends Scan with SupportsRuntimeV2Filtering {
+
+  @volatile private var kept: Seq[(String, DataFileEntry)] = kept0
+
+  private[spark] def keptEntries: Seq[DataFileEntry] = kept.map(_._2)
+
+  override def readSchema(): StructType = requiredSchema
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GraftMetadataColumns.FileName))
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    matchedPaths(predicates).foreach { paths =>
+      kept = kept.filter { case (abs, _) =>
+        paths.contains(GraftMetadataColumns.norm(abs))
+      }
+    }
+
+  /** `_file IN ('p1', …)` / `_file = 'p'` → the path set; None keeps
+    * every candidate (unknown predicate shapes stay conservative).
+    */
+  private def matchedPaths(ps: Array[Predicate]): Option[Set[String]] = {
+    def isFileRef(e: VExpr): Boolean = e match {
+      case n: NamedReference =>
+        n.fieldNames().sameElements(Array(GraftMetadataColumns.FileName))
+      case _ => false
+    }
+    def strings(es: Seq[VExpr]): Option[Set[String]] = {
+      val vs = es.collect { case l: VLiteral[_] if l.value() != null =>
+        l.value().toString
+      }
+      if (vs.length == es.length) Some(vs.toSet) else None
+    }
+    val sets = ps.toSeq.flatMap { p =>
+      p.name() match {
+        case "IN" if p.children().nonEmpty && isFileRef(p.children().head) =>
+          strings(p.children().drop(1).toSeq)
+        case "=" if p.children().length == 2 && isFileRef(p.children().head) =>
+          strings(p.children().drop(1).toSeq)
+        case _ => None
+      }
+    }
+    sets.reduceOption(_ intersect _)
+  }
+
+  // delegate batch is rebuilt whenever the kept set changed (runtime
+  // group filtering arrives between toBatch and planInputPartitions)
+  private var cachedFor: Seq[(String, DataFileEntry)] = _
+  private var cachedBatch: Batch = _
+
+  private def delegateBatch(): Batch = synchronized {
+    if (cachedBatch == null || (cachedFor ne kept)) {
+      cachedFor = kept
+      cachedBatch = buildDelegate()
+    }
+    cachedBatch
+  }
+
+  private def buildDelegate(): Batch = {
+    val (dataRequired, hasFile) = GraftMetadataColumns.split(requiredSchema)
+    if (kept.isEmpty) return EmptyBatch
+    val spark = org.apache.spark.sql.SparkSession.active
+      .asInstanceOf[ClassicSession]
+    val opts = {
+      val baseDir = table.dataRootAbs
+      if (kept.forall(_._1.startsWith(baseDir))) {
+        val m = new java.util.HashMap[String, String](options)
+        m.put("basePath", baseDir)
+        new CaseInsensitiveStringMap(m)
+      } else options
+    }
+    val inner = ParquetTable(table.name(), spark, opts, kept.map(_._1),
+      Some(table.schema), classOf[ParquetFileFormat])
+      .newScanBuilder(opts)
+    inner match {
+      case p: SupportsPushDownRequiredColumns => p.pruneColumns(dataRequired)
+      case _ => ()
+    }
+    // NO filter pushdown: every row of a kept file must be returned
+    val b = inner.build().toBatch
+    if (hasFile) SparkInternals.fileTaggedBatch(b, dataRequired.length) else b
+  }
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      delegateBatch().planInputPartitions()
+    override def createReaderFactory(): PartitionReaderFactory =
+      delegateBatch().createReaderFactory()
+  }
+
+  override def description(): String =
+    s"GraftCowScan(${table.name()}, files=${kept.length})"
+}
+
+/** The write half: a real DSv2 parquet write into a fresh commit
+  * location; commit swaps `op.replacedEntries` for the new files in
+  * one snapshot. Partitioned tables declare a clustered distribution
+  * + sort on the partition columns so the dynamic-partition writer
+  * emits one file per (task × partition-value run).
+  */
+class GraftCowWrite(
+    catalog: GraftCatalog,
+    table: GraftTable,
+    op: GraftRowLevelOperation,
+    info: LogicalWriteInfo) extends Write with RequiresDistributionAndOrdering {
+
+  private val partCols = table.partitionColumnNames
+
+  override def requiredDistribution(): Distribution =
+    if (partCols.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(
+      partCols.map(c => Expressions.identity(c)
+        : org.apache.spark.sql.connector.expressions.Expression).toArray)
+
+  override def requiredOrdering(): Array[VSortOrder] =
+    partCols.map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+
+  override def toBatch: BatchWrite =
+    new GraftCowBatchWrite(catalog, table, op, info)
+
+  override def description(): String =
+    s"GraftCowWrite(${table.name()}, ${op.command()})"
+}
+
+class GraftCowBatchWrite(
+    catalog: GraftCatalog,
+    table: GraftTable,
+    op: GraftRowLevelOperation,
+    info: LogicalWriteInfo) extends BatchWrite {
+
+  private val storage: StorageOps = table.storageOps
+  private val partCols = table.partitionColumnNames
+  private val commitId = UUID.randomUUID().toString
+  private val dataDir =
+    FileLocations.tableDataDir(table.namespaceName, table.tableName)
+  private val stagingRel =
+    if (partCols.isEmpty) s"$dataDir/$commitId"
+    else s"$dataDir/.staging-$commitId"
+
+  private lazy val delegate: BatchWrite = SparkInternals.parquetBatchWrite(
+    org.apache.spark.sql.SparkSession.active.asInstanceOf[ClassicSession],
+    info.schema(), partCols, storage.absolute(stagingRel), info.queryId())
+
+  override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
+    delegate.createBatchWriterFactory(pi)
+
+  override def useCommitCoordinator(): Boolean = delegate.useCommitCoordinator()
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    delegate.commit(messages) // finalizes parquet under the staging dir
+    val newFiles = GraftCatalog.finalizeCommitDir(
+      storage, table.namespaceName, table.tableName, commitId, partCols)
+    val actionType = op.command() match {
+      case RowLevelOperation.Command.DELETE => ActionType.TableDelete
+      case _ => ActionType.TableUpdate
+    }
+    catalog.commitReplace(table.ident, op.replacedEntries.map(_.path), newFiles,
+      op.command().toString.toLowerCase(java.util.Locale.ROOT), actionType)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    try delegate.abort(messages)
+    finally storage.deleteTree(stagingRel)
+  }
+}

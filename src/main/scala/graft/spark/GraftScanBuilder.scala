@@ -55,7 +55,10 @@ class GraftScanBuilder(
     val kept = files.filter { case (_, f) =>
       dataFilters.forall(expr => FilePruning.mayMatch(expr, f, schema))
     }
-    onBuild(requiredSchema.fieldNames.toSeq, dataFilters)
+    // `_file` metadata column: delegate reads the data columns, the
+    // wrapper appends the per-row file path (single-file partitions)
+    val (dataRequired, hasFile) = GraftMetadataColumns.split(requiredSchema)
+    onBuild(dataRequired.fieldNames.toSeq, dataFilters)
     if (kept.isEmpty) return new EmptyScanBuilder(requiredSchema).build()
     // basePath lets Spark's file index parse Hive-style col=value
     // directory levels back into (typed) partition columns — files
@@ -72,7 +75,7 @@ class GraftScanBuilder(
       Some(schema), classOf[ParquetFileFormat])
       .newScanBuilder(opts)
     inner match {
-      case p: SupportsPushDownRequiredColumns => p.pruneColumns(requiredSchema)
+      case p: SupportsPushDownRequiredColumns => p.pruneColumns(dataRequired)
       case _ => ()
     }
     inner match {
@@ -81,7 +84,12 @@ class GraftScanBuilder(
         innerPushed = p.pushedFilters
       case _ => ()
     }
-    inner.build()
+    val built = inner.build()
+    if (hasFile)
+      new FileTaggedScan(built,
+        StructType(dataRequired.fields :+ org.apache.spark.sql.types.StructField(
+          GraftMetadataColumns.FileName, StringType, nullable = false)))
+    else built
   }
 }
 

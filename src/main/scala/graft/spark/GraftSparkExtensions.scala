@@ -59,47 +59,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   private val propRe = """'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'""".r
 
-  // MERGE INTO tgt [AS t] USING src|(query) [AS s] ON cond
-  //   [WHEN MATCHED THEN UPDATE SET ... | WHEN MATCHED THEN DELETE]
-  //   [WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs) | INSERT *]
-  private val mergeRe =
-    ("""(?is)^\s*MERGE\s+INTO\s+([\w.`]+)(?:\s+AS)?(?:\s+(?!USING\b)(\w+))?\s+USING\s+""" +
-      """((?:\(.*?\))|[\w.`]+)(?:\s+AS)?(?:\s+(?!ON\b)(\w+))?\s+ON\s+(.+?)\s+(WHEN\s.+?)\s*;?\s*$""").r
-  private val mergeUpdRe =
-    """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)(?=\s+WHEN\s|\s*$)""".r
-  private val mergeDelRe = """(?is)WHEN\s+MATCHED\s+THEN\s+DELETE""".r
-  private val mergeInsRe =
-    ("""(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*""" +
-      """(?:\(\s*([^)]*?)\s*\)\s*VALUES\s*\((.+?)\)(?=\s+WHEN\s|\s*$)|\*)""").r
-
-  // UPDATE t SET a = expr [, b = expr ...] [WHERE cond]
-  private val updateRe =
-    """(?is)^\s*UPDATE\s+([\w.`]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
-
-  /** Split on commas NOT nested in (), [] or quotes. */
-  private def splitTopLevel(s: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var depth = 0
-    var quote: Char = 0
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (quote != 0) {
-        cur.append(c)
-        if (c == quote) quote = 0
-      } else c match {
-        case '\'' | '"' | '`' => quote = c; cur.append(c)
-        case '(' | '[' => depth += 1; cur.append(c)
-        case ')' | ']' => depth -= 1; cur.append(c)
-        case ',' if depth == 0 => out += cur.toString; cur.clear()
-        case _ => cur.append(c)
-      }
-      i += 1
-    }
-    if (cur.nonEmpty) out += cur.toString
-    out.result().map(_.trim).filter(_.nonEmpty)
-  }
+  // UPDATE / MERGE INTO need no interception: Spark's own parser
+  // produces UpdateTable/MergeIntoTable and GraftTable implements
+  // SupportsRowLevelOperations, so the analyzer plans them natively
+  // (multi-clause conditional MERGE, NOT MATCHED BY SOURCE, single-pass
+  // cardinality check — see GraftRowLevelOps).
 
   private def parseProps(s: String): Map[String, String] =
     propRe.findAllMatchIn(s)
@@ -150,44 +114,6 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       resolved match {
         case Some((cat, ns)) => ShowGraftViewsCommand(cat, ns)
         case None => delegate.parsePlan(sqlText)
-      }
-    case mergeRe(ident, tAliasOpt, srcPart, sAliasOpt, onCond, whenPart) =>
-      val parts = delegate.parseMultipartIdentifier(ident.replace("`", ""))
-      graftCatalogFor(parts) match {
-        case Some((cat, Seq(ns, name))) =>
-          val matchedUpdate = mergeUpdRe.findFirstMatchIn(whenPart)
-            .map(m => splitTopLevel(m.group(1)).map { a =>
-              val eq = a.indexOf('=')
-              require(eq > 0, s"malformed MERGE SET assignment: $a")
-              val lhs = a.take(eq).trim.replace("`", "")
-              // target-qualified LHS (t.col) refers to the target column
-              (lhs.substring(lhs.lastIndexOf('.') + 1), a.drop(eq + 1).trim)
-            })
-          val matchedDelete = mergeDelRe.findFirstIn(whenPart).isDefined
-          require(!(matchedUpdate.isDefined && matchedDelete),
-            "MERGE supports one WHEN MATCHED clause (UPDATE or DELETE)")
-          val notMatched = mergeInsRe.findFirstMatchIn(whenPart).map { m =>
-            if (m.group(1) == null) (Seq.empty[String], Seq.empty[String]) // INSERT *
-            else (m.group(1).split(',').map(_.trim.replace("`", "")).toSeq,
-              splitTopLevel(m.group(2)))
-          }
-          MergeGraftTableCommand(cat, ns, name,
-            Option(tAliasOpt).getOrElse(name),
-            srcPart.trim, Option(sAliasOpt).getOrElse("__src"),
-            onCond.trim, matchedUpdate, matchedDelete, notMatched)
-        case _ => delegate.parsePlan(sqlText)
-      }
-    case updateRe(ident, setClause, where) =>
-      val parts = delegate.parseMultipartIdentifier(ident.replace("`", ""))
-      graftCatalogFor(parts) match {
-        case Some((cat, Seq(ns, name))) =>
-          val assignments = splitTopLevel(setClause).map { a =>
-            val eq = a.indexOf('=')
-            require(eq > 0, s"malformed SET assignment: $a")
-            (a.take(eq).trim.replace("`", ""), a.drop(eq + 1).trim)
-          }
-          UpdateGraftTableCommand(cat, ns, name, assignments, Option(where))
-        case _ => delegate.parsePlan(sqlText)
       }
     case alterViewRe(ident, props) =>
       val parts = delegate.parseMultipartIdentifier(ident.replace("`", ""))
@@ -349,118 +275,5 @@ class GraftViewResolution(session: SparkSession) extends Rule[LogicalPlan] {
     val view = cat.loadView(ident)
     Some(SubqueryAlias(parts,
       session.sessionState.sqlParser.parsePlan(view.query())))
-  }
-}
-
-/** UPDATE t SET ... [WHERE ...] — copy-on-write rewrite committed as
-  * an overwrite snapshot (the same storage shape as DELETE). Rows are
-  * updated only where the condition is TRUE; NULL/false keep the
-  * original values, matching SQL UPDATE semantics.
-  */
-case class UpdateGraftTableCommand(catalogName: String, ns: String, name: String,
-    assignments: Seq[(String, String)], where: Option[String])
-    extends LeafRunnableCommand {
-  override def run(session: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
-    val cat = session.sessionState.catalogManager.catalog(catalogName)
-      .asInstanceOf[GraftCatalog]
-    val full = s"$catalogName.$ns.$name"
-    val assigned = assignments.toMap
-    val unknown = assigned.keySet -- session.table(full).columns.toSet
-    require(unknown.isEmpty, s"UPDATE $full: no such column(s): ${unknown.mkString(", ")}")
-    val cond = where.map(w => coalesce(expr(w), lit(false))).getOrElse(lit(true))
-    // the parsed WHERE doubles as the file-pruning predicate: only
-    // files whose stats overlap it are rewritten (selectiveRewrite)
-    val pruneExprs = where.toSeq.flatMap(w =>
-      scala.util.Try(session.sessionState.sqlParser.parseExpression(w)).toOption)
-    cat.selectiveRewrite(session,
-      org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), name),
-      pruneExprs,
-      df =>
-        // every RHS evaluates against the ORIGINAL row (SQL semantics
-        // — `SET a = b, b = a` swaps); values cast back to the
-        // declared column type so rewritten files keep the table schema
-        df.select(df.schema.fields.map { f =>
-          assigned.get(f.name) match {
-            case Some(valueSql) =>
-              when(cond, expr(valueSql).cast(f.dataType))
-                .otherwise(col(f.name)).as(f.name)
-            case None => col(f.name)
-          }
-        }.toSeq: _*),
-      "update", graft.txn.ActionType.TableUpdate)
-    Seq.empty
-  }
-}
-
-/** MERGE INTO — upsert as a copy-on-write rewrite. Target rows with a
-  * source match apply the WHEN MATCHED clause (UPDATE SET / DELETE /
-  * keep when absent); unmatched target rows are kept; unmatched
-  * SOURCE rows apply WHEN NOT MATCHED INSERT. A target row matching
-  * more than one source row is a cardinality violation (standard
-  * MERGE error), detected with one extra count.
-  */
-case class MergeGraftTableCommand(catalogName: String, ns: String, name: String,
-    tAlias: String, srcPart: String, sAlias: String, onCond: String,
-    matchedUpdate: Option[Seq[(String, String)]], matchedDelete: Boolean,
-    notMatched: Option[(Seq[String], Seq[String])])
-    extends LeafRunnableCommand {
-
-  override def run(session: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.{col, expr, lit, when}
-    val cat = session.sessionState.catalogManager.catalog(catalogName)
-      .asInstanceOf[GraftCatalog]
-    val full = s"$catalogName.$ns.$name"
-    val tgt = session.table(full)
-    val schema = tgt.schema
-    val src0 =
-      if (srcPart.startsWith("("))
-        session.sql(srcPart.substring(1, srcPart.length - 1))
-      else session.table(srcPart)
-    // non-null marker column survives the left join to flag matches
-    val marker = "__graft_merge_m"
-    val srcM = src0.withColumn(marker, lit(1)).alias(sAlias)
-    val joined = tgt.alias(tAlias).join(srcM, expr(onCond), "left_outer")
-    val nJoined = joined.count()
-    val nTgt = tgt.count()
-    require(nJoined == nTgt,
-      s"MERGE cardinality violation: ${nJoined - nTgt} target row(s) " +
-        "matched more than one source row")
-    val matched = col(s"$sAlias.$marker").isNotNull
-
-    val updatedOrKept = {
-      val base = if (matchedDelete) joined.filter(!matched) else joined
-      val assigned = matchedUpdate.getOrElse(Seq.empty).toMap
-      base.select(schema.fields.map { f =>
-        assigned.get(f.name) match {
-          case Some(valueSql) =>
-            when(matched, expr(valueSql).cast(f.dataType))
-              .otherwise(col(s"$tAlias.${f.name}")).as(f.name)
-          case None => col(s"$tAlias.${f.name}").as(f.name)
-        }
-      }.toSeq: _*)
-    }
-
-    val inserted = notMatched.map { case (cols, exprs) =>
-      val unknown = cols.toSet -- schema.fieldNames.toSet
-      require(unknown.isEmpty,
-        s"MERGE INSERT: no such column(s): ${unknown.mkString(", ")}")
-      require(cols.length == exprs.length,
-        s"MERGE INSERT: ${cols.length} columns but ${exprs.length} values")
-      val srcUnmatched = src0.alias(sAlias)
-        .join(tgt.alias(tAlias), expr(onCond), "left_anti")
-      val byName = cols.zip(exprs).toMap
-      srcUnmatched.select(schema.fields.map { f =>
-        val e =
-          if (cols.isEmpty) col(f.name) // INSERT *: source columns by name
-          else byName.get(f.name).map(expr).getOrElse(lit(null))
-        e.cast(f.dataType).as(f.name)
-      }.toSeq: _*)
-    }
-
-    val result = inserted.fold(updatedOrKept)(updatedOrKept.unionAll)
-    cat.commitWrite(org.apache.spark.sql.connector.catalog.Identifier
-      .of(Array(ns), name), result, overwrite = true)
-    Seq.empty
   }
 }

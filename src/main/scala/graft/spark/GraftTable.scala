@@ -42,7 +42,8 @@ class GraftTable(
     val meta: TableMetadata,
     txn: Transaction,
     storage: StorageOps) extends Table with SupportsRead with SupportsWrite
-    with SupportsDeleteV2 {
+    with SupportsDeleteV2 with SupportsRowLevelOperations
+    with SupportsMetadataColumns {
 
   private def spark: ClassicSession =
     org.apache.spark.sql.SparkSession.active.asInstanceOf[ClassicSession]
@@ -63,8 +64,46 @@ class GraftTable(
     tableDef.properties.asJava
 
   override def capabilities(): JSet[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
+
+  // -------- accessors for the row-level-operation machinery --------
+
+  private[spark] def namespaceName: String = tableDef.namespaceName
+  private[spark] def tableName: String = tableDef.name
+  private[spark] def storageOps: StorageOps = storage
+
+  private[spark] def partitionColumnNames: Seq[String] =
+    tableDef.properties.get(GraftCatalog.PartitionColsProp)
+      .map(_.split(',').toSeq).getOrElse(Seq.empty)
+
+  private[spark] def currentFileTuples: Seq[(String, DataFileEntry)] =
+    meta.currentFiles.map(f => (storage.absolute(f.path), f))
+
+  private[spark] def dataRootAbs: String = storage.absolute(
+    graft.objects.FileLocations.tableDataDir(tableDef.namespaceName, tableDef.name))
+
+  /** Record this read in the transaction's action log (conflict
+    * detection under SERIALIZABLE — reference TableSelectDef,
+    * actions.proto:94-97).
+    */
+  private[spark] def recordSelect(columns: Seq[String],
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit =
+    txn.record(Action(ActionType.TableSelect, catalog.tableKey(tableDef),
+      Map("columns" -> columns.mkString(","),
+        "filters" -> filters.map(_.sql).mkString(" AND ")) ++
+        ReadIntervals.fromFilters(filters)))
+
+  // -------- metadata columns / row-level operations --------
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(GraftMetadataColumns.FileColumn)
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new GraftRowLevelOperationBuilder(catalog, this, info)
 
   // ---------------- read ----------------
 

@@ -68,5 +68,31 @@ class LocalStorageOps(val root: String) extends StorageOps {
     }
   }
 
+  override def listDeep(prefix: String): Seq[String] = {
+    val dir = p(prefix)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Using.resource(Files.walk(dir)) { stream =>
+      stream.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(f => rootPath.relativize(f).toString)
+        .toSeq.sorted
+    }
+  }
+
+  override def move(srcRel: String, dstRel: String): Unit = {
+    val dst = p(dstRel)
+    Files.createDirectories(dst.getParent)
+    Files.move(p(srcRel), dst)
+  }
+
+  override def deleteTree(prefix: String): Unit = {
+    val dir = p(prefix)
+    if (Files.exists(dir))
+      Using.resource(Files.walk(dir)) { stream =>
+        stream.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+  }
+
   override def absolute(rel: String): String = p(rel).toString
 }

@@ -42,6 +42,14 @@ trait ObjectStoreClient {
     */
   def list(prefix: String): Seq[String]
 
+  /** Every key starting with `prefix` — S3 LIST with no delimiter. */
+  def listDeep(prefix: String): Seq[String]
+
+  /** Server-side copy (S3 CopyObject) — bytes never transit the
+    * client. The closest thing to rename an object store offers.
+    */
+  def copy(srcKey: String, dstKey: String): Unit
+
   /** An absolute location for handing to external readers/writers
     * (Spark parquet jobs). Only meaningful for stores that expose a
     * filesystem view; in-memory stores return an opaque URI.
@@ -80,6 +88,15 @@ class InMemoryObjectStoreClient extends ObjectStoreClient {
     objects.keySet().asScala.toSeq
       .filter(k => k.startsWith(prefix) && !k.drop(prefix.length).contains('/'))
       .sorted
+
+  override def listDeep(prefix: String): Seq[String] =
+    objects.keySet().asScala.toSeq.filter(_.startsWith(prefix)).sorted
+
+  override def copy(srcKey: String, dstKey: String): Unit = {
+    val b = objects.get(srcKey)
+    require(b != null, s"copy source missing: $srcKey")
+    objects.put(dstKey, b.clone())
+  }
 
   override def absolute(key: String): String = s"mem://graft/$key"
 }
@@ -148,6 +165,25 @@ class DirectoryObjectStoreClient(backingDir: String) extends ObjectStoreClient {
     }
   }
 
+  override def listDeep(prefix: String): Seq[String] = {
+    val d = p(prefix)
+    if (!Files.isDirectory(d)) Seq.empty
+    else Using.resource(Files.walk(d)) { stream =>
+      stream.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .filterNot(_.getFileName.toString.startsWith(".staging-"))
+        .map(f => dir.relativize(f).toString)
+        .toSeq.sorted
+    }
+  }
+
+  override def copy(srcKey: String, dstKey: String): Unit = {
+    val dst = p(dstKey)
+    Files.createDirectories(dst.getParent)
+    Files.copy(p(srcKey), dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   override def absolute(key: String): String = p(key).toString
 }
 
@@ -214,6 +250,23 @@ class ObjectStoreOps(val client: ObjectStoreClient) extends StorageOps {
   override def listPrefix(prefix: String): Seq[String] = {
     val p = if (prefix.endsWith("/")) prefix else prefix + "/"
     client.list(p)
+  }
+
+  override def listDeep(prefix: String): Seq[String] = {
+    val p = if (prefix.endsWith("/")) prefix else prefix + "/"
+    client.listDeep(p)
+  }
+
+  override def move(srcRel: String, dstRel: String): Unit = {
+    client.copy(srcRel, dstRel)
+    client.delete(Seq(srcRel))
+    cache.remove(srcRel)
+  }
+
+  override def deleteTree(prefix: String): Unit = {
+    val keys = listDeep(prefix)
+    client.delete(keys)
+    keys.foreach(cache.remove)
   }
 
   override def absolute(rel: String): String = client.absolute(rel)

@@ -35,6 +35,21 @@ trait StorageOps {
     */
   def listPrefix(prefix: String): Seq[String]
 
+  /** ALL file paths under `prefix`, recursive — an object store's
+    * natural no-delimiter LIST; directories walk on a filesystem.
+    */
+  def listDeep(prefix: String): Seq[String]
+
+  /** Move one object to a new key. Filesystems rename; object stores
+    * have no rename primitive, so they copy server-side then delete
+    * (the reference's S3 ops never rename either — commit layouts are
+    * arranged so moves stay off the hot path).
+    */
+  def move(srcRel: String, dstRel: String): Unit
+
+  /** Remove every object under `prefix` (staging cleanup). */
+  def deleteTree(prefix: String): Unit
+
   def absolute(rel: String): String
 }
 

@@ -1,0 +1,159 @@
+package org.apache.spark.sql.graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.Job
+import org.apache.hadoop.mapreduce.lib.output.FileOutputFormat
+
+import org.apache.spark.internal.io.FileCommitProtocol
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, JoinedRow}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.write.BatchWrite
+import org.apache.spark.sql.execution.datasources.{FilePartition, WriteJobDescription}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.{FileBatchWrite, FileWriterFactory}
+import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** Access seam for `private[sql]` Spark internals the graft connector
+  * builds on (the standard connector-shim pattern — a small file in the
+  * `org.apache.spark.sql` namespace; everything here is thin glue over
+  * Spark's own write/read machinery, no behavior of its own).
+  */
+object SparkInternals {
+
+  /** A real DSv2 [[BatchWrite]] producing parquet under `outDir` —
+    * exactly the files `DataFrame.write.parquet` would produce, but
+    * drivable from a connector write path (ReplaceData has no V1
+    * fallback). `partCols` nonempty ⇒ Hive-style `col=value` dynamic
+    * partition layout (those columns are not stored in the files).
+    */
+  def parquetBatchWrite(
+      spark: SparkSession,
+      schema: StructType,
+      partCols: Seq[String],
+      outDir: String,
+      queryId: String): BatchWrite = {
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    job.setOutputKeyClass(classOf[Void])
+    job.setOutputValueClass(classOf[InternalRow])
+    FileOutputFormat.setOutputPath(job, new Path(outDir))
+
+    val allAttrs: Seq[AttributeReference] = DataTypeUtils.toAttributes(schema)
+    val partAttrs = partCols.map { c =>
+      allAttrs.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"partition column $c not in $schema"))
+    }
+    val dataAttrs = allAttrs.filterNot(partAttrs.contains)
+
+    val factory = new ParquetFileFormat().prepareWrite(
+      spark, job, Map.empty, StructType(dataAttrs.map(a =>
+        org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable))))
+
+    val committer = FileCommitProtocol.instantiate(
+      spark.sessionState.conf.fileCommitProtocolClass,
+      jobId = queryId,
+      outputPath = outDir)
+
+    val description = new WriteJobDescription(
+      uuid = queryId,
+      serializableHadoopConf = new SerializableConfiguration(job.getConfiguration),
+      outputWriterFactory = factory,
+      allColumns = allAttrs,
+      dataColumns = dataAttrs,
+      partitionColumns = partAttrs,
+      bucketSpec = None,
+      path = outDir,
+      customPartitionLocations = Map.empty,
+      maxRecordsPerFile = spark.sessionState.conf.maxRecordsPerFile,
+      timeZoneId = spark.sessionState.conf.sessionLocalTimeZone,
+      statsTrackers = Seq.empty)
+
+    committer.setupJob(job)
+    new FileBatchWrite(job, description, committer)
+  }
+
+  /** Normalized filesystem path of a one-file [[FilePartition]]. */
+  def partitionFilePath(p: InputPartition): String = p match {
+    case fp: FilePartition =>
+      require(fp.files.length == 1, s"expected a single-file partition: $fp")
+      fp.files.head.toPath.toUri.getPath
+    case other =>
+      throw new IllegalStateException(s"expected FilePartition, got $other")
+  }
+
+  /** Rewrap a delegated parquet [[Batch]] so every partition holds
+    * splits of exactly ONE file, and every row carries that file's path
+    * as an appended string column (ordinal `tagOrdinal`, i.e. after the
+    * delegate's columns). This is what lets `_file` be a per-row
+    * metadata column over a scan we otherwise delegate wholesale to
+    * Spark's parquet reader — and what group-based row-level operations
+    * use to identify the files a row belongs to.
+    */
+  def fileTaggedBatch(delegate: Batch, tagOrdinal: Int): Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val out = Array.newBuilder[InputPartition]
+      var i = 0
+      delegate.planInputPartitions().foreach {
+        case fp: FilePartition =>
+          // one file per partition; splits of a file may share one
+          fp.files.groupBy(_.filePath).values.foreach { splits =>
+            out += FilePartition(i, splits)
+            i += 1
+          }
+        case other =>
+          throw new IllegalStateException(s"expected FilePartition, got $other")
+      }
+      out.result()
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new FileTaggedReaderFactory(delegate.createReaderFactory(), tagOrdinal)
+  }
+}
+
+/** Wraps the delegate parquet reader factory, appending the partition's
+  * (single) file path as a constant column — vectorized batches get a
+  * [[ConstantColumnVector]], row readers a [[JoinedRow]]; both keep the
+  * delegate's reading untouched.
+  */
+private class FileTaggedReaderFactory(
+    delegate: PartitionReaderFactory,
+    tagOrdinal: Int) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    delegate.supportColumnarReads(p)
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val tag = InternalRow(UTF8String.fromString(SparkInternals.partitionFilePath(p)))
+    val inner = delegate.createReader(p)
+    new PartitionReader[InternalRow] {
+      private val joined = new JoinedRow
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = joined(inner.get(), tag)
+      override def close(): Unit = inner.close()
+    }
+  }
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val path = UTF8String.fromString(SparkInternals.partitionFilePath(p))
+    val inner = delegate.createColumnarReader(p)
+    new PartitionReader[ColumnarBatch] {
+      override def next(): Boolean = inner.next()
+      override def get(): ColumnarBatch = {
+        val b = inner.get()
+        val vec = new ConstantColumnVector(b.numRows(), StringType)
+        vec.setUtf8String(path)
+        val cols = Array.tabulate[ColumnVector](tagOrdinal + 1) { i =>
+          if (i < tagOrdinal) b.column(i) else vec
+        }
+        new ColumnarBatch(cols, b.numRows())
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
+}

@@ -199,11 +199,14 @@ class GraftCatalogSqlSpec extends AnyFunSuite {
     spark.sql("INSERT INTO cat.ns1.mcard VALUES (1, 'x')")
     spark.sql("CREATE TABLE cat.ns1.mcsrc (k BIGINT, v STRING)")
     spark.sql("INSERT INTO cat.ns1.mcsrc VALUES (1, 'a'), (1, 'b')")
-    val e = intercept[IllegalArgumentException] {
+    // Spark's native MERGE rewrite raises MERGE_CARDINALITY_VIOLATION
+    // inside the single rewrite pass — no extra count() jobs
+    val e = intercept[Exception] {
       spark.sql("""MERGE INTO cat.ns1.mcard t USING cat.ns1.mcsrc s ON t.k = s.k
                    WHEN MATCHED THEN UPDATE SET v = s.v""")
     }
-    assert(e.getMessage.contains("cardinality"))
+    assert(e.asInstanceOf[org.apache.spark.SparkThrowable].getCondition ==
+      "MERGE_CARDINALITY_VIOLATION")
   }
 
   test("UPDATE and MERGE ride the session transaction atomically") {

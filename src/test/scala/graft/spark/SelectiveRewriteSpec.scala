@@ -54,6 +54,45 @@ class SelectiveRewriteSpec extends AnyFunSuite {
     assert(spark.table("sw.ns1.n").count() == 2)
   }
 
+  test("MERGE rewrites only files with matching rows (runtime group filter)") {
+    spark.sql("CREATE TABLE sw.ns1.m (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO sw.ns1.m VALUES (1, 10), (2, 20)")
+    spark.sql("INSERT INTO sw.ns1.m VALUES (500, 50), (501, 51)")
+    spark.sql("INSERT INTO sw.ns1.m VALUES (900, 90), (901, 91)")
+    val before = files("m")
+    assert(before.size == 6)
+    // source touches only k=500 (one file) and inserts k=7777
+    spark.sql("""MERGE INTO sw.ns1.m t
+                 USING (SELECT 500 AS k, 5000 AS v
+                        UNION ALL SELECT 7777, 70) s
+                 ON t.k = s.k
+                 WHEN MATCHED THEN UPDATE SET v = s.v
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val after = files("m")
+    // Spark's runtime group filter narrows the rewrite to the single
+    // file containing k=500; the other five keep their ORIGINAL paths
+    assert(after.toSet.intersect(before.toSet).size == 5,
+      s"expected 5 untouched files, got ${after.toSet.intersect(before.toSet).size}")
+    val rows = spark.table("sw.ns1.m").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 10L), (2L, 20L), (500L, 5000L),
+      (501L, 51L), (900L, 90L), (901L, 91L), (7777L, 70L)))
+  }
+
+  test("MERGE with no matched rows keeps every target file in place") {
+    spark.sql("CREATE TABLE sw.ns1.mi (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO sw.ns1.mi VALUES (1, 10), (2, 20)")
+    val before = files("mi")
+    spark.sql("""MERGE INTO sw.ns1.mi t
+                 USING (SELECT 999 AS k, 9 AS v) s ON t.k = s.k
+                 WHEN MATCHED THEN UPDATE SET v = s.v
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val after = files("mi")
+    // insert-only outcome: original files untouched, one new file
+    assert(before.toSet.subsetOf(after.toSet))
+    assert(spark.table("sw.ns1.mi").count() == 3)
+  }
+
   test("UPDATE rewrites only files whose stats overlap the predicate") {
     spark.sql("CREATE TABLE sw.ns1.u (k BIGINT, v BIGINT)")
     spark.sql("INSERT INTO sw.ns1.u VALUES (1, 10), (2, 20)")

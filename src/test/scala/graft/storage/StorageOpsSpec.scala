@@ -103,6 +103,8 @@ class ObjectStoreReadCacheSpec extends AnyFunSuite {
       override def put(key: String, data: Array[Byte]) = client.put(key, data)
       override def delete(keys: Seq[String]) = client.delete(keys)
       override def list(prefix: String) = client.list(prefix)
+      override def listDeep(prefix: String) = client.listDeep(prefix)
+      override def copy(srcKey: String, dstKey: String) = client.copy(srcKey, dstKey)
       override def absolute(key: String) = client.absolute(key)
     }
     val ops = new ObjectStoreOps(counting)

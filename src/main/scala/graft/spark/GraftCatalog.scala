@@ -385,6 +385,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           require(del.fieldNames().length == 1, "nested drop-column unsupported")
           schema = StructType(schema.filterNot(_.name == del.fieldNames()(0)))
           actionType = ActionType.AlterTableRemoveColumns
+        case rn: TableChange.RenameColumn =>
+          // metadata-only: the field keeps its PHYSICAL (on-file) name
+          // in metadata; data files are never rewritten (ColumnMapping)
+          require(rn.fieldNames().length == 1, "nested rename unsupported")
+          val from = rn.fieldNames()(0)
+          val to = rn.newName()
+          require(schema.fieldNames.contains(from),
+            s"no such column: $from")
+          require(!schema.fieldNames.contains(to),
+            s"rename target already exists: $to")
+          val partCols = props.get(GraftCatalog.PartitionColsProp)
+            .map(_.split(',').toSet).getOrElse(Set.empty[String])
+          require(!partCols.contains(from),
+            s"cannot rename partition column $from (directory layout is the storage)")
+          schema = StructType(schema.fields.map { f =>
+            if (f.name != from) f
+            else f.copy(name = to, metadata = new org.apache.spark.sql.types
+              .MetadataBuilder().withMetadata(f.metadata)
+              .putString(ColumnMapping.PhysKey, ColumnMapping.physicalName(f))
+              .build())
+          })
+        case ut: TableChange.UpdateColumnType =>
+          require(ut.fieldNames().length == 1, "nested retype unsupported")
+          val name = ut.fieldNames()(0)
+          val f = schema.find(_.name == name).getOrElse(
+            throw new IllegalArgumentException(s"no such column: $name"))
+          require(ColumnMapping.canWiden(f.dataType, ut.newDataType()),
+            s"only widening type changes are metadata-safe: " +
+              s"${f.dataType.simpleString} → ${ut.newDataType().simpleString} is not")
+          schema = StructType(schema.fields.map(x =>
+            if (x.name == name) x.copy(dataType = ut.newDataType()) else x))
+        case un: TableChange.UpdateColumnNullability =>
+          require(un.fieldNames().length == 1, "nested nullability unsupported")
+          require(un.nullable(),
+            "tightening to NOT NULL requires a data scan; only relaxing is supported")
+          schema = StructType(schema.fields.map(x =>
+            if (x.name == un.fieldNames()(0)) x.copy(nullable = true) else x))
+        case uc: TableChange.UpdateColumnComment =>
+          require(uc.fieldNames().length == 1, "nested comment unsupported")
+          schema = StructType(schema.fields.map(x =>
+            if (x.name == uc.fieldNames()(0)) x.withComment(uc.newComment()) else x))
         case other =>
           throw new UnsupportedOperationException(s"table change $other")
       }
@@ -775,7 +816,9 @@ object GraftCatalog {
       }
     storage.deleteTree(staging) // job markers (_SUCCESS) + empty dirs
     val dataAbs = java.nio.file.Paths.get(storage.absolute(dataDir))
-    moved.sorted.map(rel => GraftTable.fileEntry(storage, dataAbs,
-      java.nio.file.Paths.get(storage.absolute(rel))))
+    val absPaths = moved.sorted.map(storage.absolute)
+    val stats = GraftTable.harvestStats(absPaths)
+    absPaths.map(abs => GraftTable.fileEntry(storage, dataAbs,
+      java.nio.file.Paths.get(abs), stats(abs)))
   }
 }

@@ -170,15 +170,37 @@ class GraftTable(
 }
 
 object GraftTable {
+  /** Commits with more fresh files than this fan footer reads out as a
+    * Spark job; below it, driver-side reads skip the job overhead.
+    */
+  private val DriverStatsMax = 8
+
+  /** Footer stats + on-disk size for each path. Beyond
+    * [[DriverStatsMax]] files the reads run as a Spark job — a 100 TB
+    * append producing 10⁵ files must not serialize 10⁵ footer
+    * round-trips into the driver-side commit path (only the harvested
+    * stats, ~100 bytes/file, return to the driver).
+    */
+  def harvestStats(paths: Seq[String])
+      : Map[String, (graft.format.ParquetStats.FileStats, Long)] = {
+    def one(p: String) = (p, (graft.format.ParquetStats.read(p),
+      java.nio.file.Files.size(java.nio.file.Paths.get(p))))
+    if (paths.lengthCompare(DriverStatsMax) <= 0) paths.map(one).toMap
+    else {
+      val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+      sc.parallelize(paths, math.min(paths.size, sc.defaultParallelism * 2))
+        .map(one).collect().toMap
+    }
+  }
+
   /** List the parquet files Spark's writer produced under `dir`,
-    * harvesting row counts + per-column min/max from the footers (one
-    * driver-side footer read per freshly written file, at commit only —
-    * these stats drive file-level pruning at scan time).
+    * harvesting row counts + per-column min/max from the footers
+    * (distributed via [[harvestStats]] for large commits — these
+    * stats drive file-level pruning at scan time).
     */
   def listCommitFiles(storage: StorageOps, relDir: String): Seq[DataFileEntry] = {
     import scala.jdk.CollectionConverters._
 
-    val rootAbs = java.nio.file.Paths.get(storage.absolute(""))
     val dirAbs = java.nio.file.Paths.get(storage.absolute(relDir))
     if (!java.nio.file.Files.isDirectory(dirAbs)) return Seq.empty
     // recursive: partitioned writes produce Hive-style col=value
@@ -188,8 +210,9 @@ object GraftTable {
         .filter(p => java.nio.file.Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith(".parquet"))
         .toSeq
-    }
-    files.sortBy(_.toString).map(p => fileEntry(storage, dirAbs, p))
+    }.sortBy(_.toString)
+    val stats = harvestStats(files.map(_.toString))
+    files.map(p => fileEntry(storage, dirAbs, p, stats(p.toString)))
   }
 
   /** Build a [[DataFileEntry]] for one data file: footer stats, plus
@@ -199,11 +222,12 @@ object GraftTable {
     * partition predicates with no extra machinery.
     */
   def fileEntry(storage: StorageOps, partitionBase: java.nio.file.Path,
-      p: java.nio.file.Path): DataFileEntry = {
+      p: java.nio.file.Path,
+      harvested: (graft.format.ParquetStats.FileStats, Long)): DataFileEntry = {
     import scala.jdk.CollectionConverters._
     val rootAbs = java.nio.file.Paths.get(storage.absolute(""))
     val rel = rootAbs.relativize(p).toString
-    val stats = graft.format.ParquetStats.read(p.toString)
+    val (stats, size) = harvested
     val partVals = partitionBase.relativize(p.getParent).iterator().asScala
       .map(_.toString).filter(_.contains('='))
       .map { seg =>
@@ -213,7 +237,7 @@ object GraftTable {
       .filter(_._2 != "__HIVE_DEFAULT_PARTITION__")
       .toMap
     DataFileEntry(rel, rowCount = stats.rowCount,
-      sizeBytes = java.nio.file.Files.size(p),
+      sizeBytes = size,
       minValues = stats.minValues ++ partVals,
       maxValues = stats.maxValues ++ partVals)
   }

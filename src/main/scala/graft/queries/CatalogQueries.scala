@@ -358,6 +358,107 @@ object CatalogQueries {
              |            ELSE 'stale' END AS s_name
              |FROM supplier
              |WHERE NOT (s_nationkey >= 12 AND s_acctbal < 1000)
-             |ORDER BY s_suppkey""".stripMargin))
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    QueryDef(
+      "c15_rename_evolution",
+      (s, d) => {
+        // ALTER TABLE schema evolution (SURVEY §2.1): RENAME COLUMN is
+        // metadata-only (files keep physical names, the scan re-labels),
+        // retype is widening-only (readers promote int32→int64 on
+        // read). Files written before AND after the evolution coexist
+        // in one snapshot; the aggregate spans both.
+        ensureCatalog(s, "gcf")
+        provision(s, "gcf", d, "part", "part")
+        s.sql("ALTER TABLE gcf.ns1.part RENAME COLUMN p_retailprice TO price")
+        s.sql("ALTER TABLE gcf.ns1.part ALTER COLUMN p_size TYPE BIGINT")
+        s.sql(s"""INSERT INTO gcf.ns1.part
+                  SELECT p_partkey + 1000000, p_name, p_brand, p_type,
+                         p_size, p_retailprice
+                  FROM parquet.`$d/part.parquet` WHERE p_size > 40""")
+        s.sql("""SELECT p_brand, count(*) AS n, round(sum(price), 2) AS total,
+                        max(p_size) AS max_size
+                 FROM gcf.ns1.part
+                 WHERE price > 950 AND p_size >= 10
+                 GROUP BY p_brand ORDER BY p_brand""")
+      },
+      Some("""WITH t AS (
+             |  SELECT p_brand, p_size, p_retailprice AS price FROM part
+             |  UNION ALL
+             |  SELECT p_brand, p_size, p_retailprice FROM part WHERE p_size > 40)
+             |SELECT p_brand, count(*) AS n, round(sum(price), 2) AS total,
+             |       CAST(max(p_size) AS BIGINT) AS max_size
+             |FROM t WHERE price > 950 AND p_size >= 10
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    QueryDef(
+      "c16_nested_types",
+      (s, d) => {
+        // Nested STRUCT/ARRAY columns in a graft table (SURVEY §1.4 —
+        // the recursion the reference left TODO,
+        // IcebergToOlympia.java:196-201): schema JSON round-trips the
+        // nested types, parquet stores them natively, and struct-field
+        // access + array indexing work through the delegated scan.
+        ensureCatalog(s, "gcg")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcg.ns1")
+        s.sql("DROP TABLE IF EXISTS gcg.ns1.docs")
+        s.sql("""CREATE TABLE gcg.ns1.docs (
+                   doc_id BIGINT,
+                   meta STRUCT<lang: STRING, n_chars: BIGINT>,
+                   tags ARRAY<STRING>)""")
+        s.sql(s"""INSERT INTO gcg.ns1.docs
+                  SELECT doc_id,
+                         named_struct('lang', lang, 'n_chars', n_chars),
+                         array(source, lang)
+                  FROM parquet.`$d/documents.parquet`""")
+        s.sql("""SELECT meta.lang AS lang, tags[0] AS src, count(*) AS n,
+                        sum(meta.n_chars) AS chars
+                 FROM gcg.ns1.docs
+                 WHERE meta.n_chars > 500
+                 GROUP BY meta.lang, tags[0] ORDER BY lang, src""")
+      },
+      Some("""SELECT lang, source AS src, count(*) AS n,
+             |       CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents WHERE n_chars > 500
+             |GROUP BY lang, source ORDER BY lang, src""".stripMargin)),
+
+    QueryDef(
+      "c17_storage_partitioned_join",
+      (s, d) => {
+        // Storage-partitioned join: both tables Hive-partitioned on the
+        // join key; with v2 bucketing on, the join plans shuffle-free —
+        // each task reads both sides' files for one partition value
+        // (StoragePartitionedJoinSpec asserts the zero-shuffle plan;
+        // this graded query proves the RESULT is right).
+        ensureCatalog(s, "gch")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gch.ns1")
+        s.sql("DROP TABLE IF EXISTS gch.ns1.ord")
+        s.sql("DROP TABLE IF EXISTS gch.ns1.cust")
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.sql("""CREATE TABLE gch.ns1.ord (
+                   o_orderkey BIGINT, o_totalprice DOUBLE, bucket BIGINT)
+                 PARTITIONED BY (bucket)""")
+        s.sql(s"""INSERT INTO gch.ns1.ord
+                  SELECT o_orderkey, o_totalprice, o_custkey % 8
+                  FROM parquet.`$d/orders.parquet`""")
+        s.sql("""CREATE TABLE gch.ns1.cust (
+                   c_custkey BIGINT, c_acctbal DOUBLE, bucket BIGINT)
+                 PARTITIONED BY (bucket)""")
+        s.sql(s"""INSERT INTO gch.ns1.cust
+                  SELECT c_custkey, c_acctbal, c_custkey % 8
+                  FROM parquet.`$d/customer.parquet`""")
+        s.sql("""SELECT o.bucket, count(*) AS n,
+                        round(sum(o.o_totalprice + c.c_acctbal), 2) AS total
+                 FROM gch.ns1.ord o JOIN gch.ns1.cust c ON o.bucket = c.bucket
+                 WHERE c.c_custkey % 100 = 0
+                 GROUP BY o.bucket ORDER BY o.bucket""")
+      },
+      Some("""SELECT o.bucket, count(*) AS n,
+             |       round(sum(o.o_totalprice + c.c_acctbal), 2) AS total
+             |FROM (SELECT o_totalprice, o_custkey % 8 AS bucket FROM orders) o
+             |JOIN (SELECT c_custkey, c_acctbal, c_custkey % 8 AS bucket
+             |      FROM customer) c ON o.bucket = c.bucket
+             |WHERE c.c_custkey % 100 = 0
+             |GROUP BY o.bucket ORDER BY o.bucket""".stripMargin))
   )
 }

@@ -40,6 +40,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
 
   private var catalogName: String = _
   private[graft] var storage: StorageOps = _
+  /** Executor-reconstructible storage handle (distributed listings). */
+  private[graft] var storageConf: StorageConf = _
   /** Session-level explicit transaction (BEGIN .. COMMIT). */
   @volatile private var sessionTxn: Option[Transaction] = None
 
@@ -51,12 +53,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     // storage=object routes ALL catalog traffic through the narrow
     // object-store API (conditional PUT / GET / LIST — no renames),
     // backed on disk so Spark parquet jobs still get real paths
-    storage = Option(options.get("storage")) match {
-      case Some("object") =>
-        new graft.storage.ObjectStoreOps(
-          new graft.storage.DirectoryObjectStoreClient(warehouse))
-      case _ => new LocalStorageOps(warehouse)
-    }
+    storageConf = StorageConf(warehouse,
+      Option(options.get("storage")).getOrElse("local"))
+    storage = storageConf.create()
     if (!Graft.catalogExists(storage)) Graft.createCatalog(storage, CatalogDef())
   }
 
@@ -235,23 +234,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       return MetadataTables.forSuffix(s"$catalogName.${ns1(ident.namespace())}.$base",
         suffix, meta, partCols)
     }
-    // catalog-wide object listing: <catalog>.sys.objects
+    // catalog-wide object listing: <catalog>.sys.objects — a DSv2 scan
+    // whose partitions are tree-node files; the driver holds node
+    // PATHS only, object defs are parsed where the tasks run
+    // (billion-object ambition, reference docs/index.md:17-19)
     if (ident.namespace().sameElements(Array("sys")) && ident.name() == "objects") {
       val latest = TreeOps.findLatestRoot(storage).get
       try {
         val cd = Graft.catalogDef(storage, latest)
-        val rows = TreeOps.traverse(storage, latest).map { r =>
-          if (ObjectKeys.isNamespaceKey(r.key))
-            ("namespace", ObjectKeys.namespaceNameFromKey(r.key), "", r.value.get)
-          else if (ObjectKeys.isTableKey(r.key)) {
-            val (ns, t) = ObjectKeys.tableNameFromKey(r.key, cd)
-            ("table", ns, t, r.value.get)
-          } else {
-            val (ns, v) = ObjectKeys.viewNameFromKey(r.key, cd)
-            ("view", ns, v, r.value.get)
-          }
-        }.toSeq
-        return MetadataTables.objectsTable(catalogName, latest.version, rows)
+        val paths = DistributedTraverse.nodePaths(
+          org.apache.spark.sql.SparkSession.active, storageConf,
+          latest.path.get)
+        return new ObjectsTable(catalogName, latest.version, cd, storageConf,
+          paths)
       } finally latest.close()
     }
     // distributed-txn protocol: sys.dtxns.dtxn_<id>.<ns>.<table> reads
@@ -474,10 +469,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       val t = ident.name()
       val txn = Graft.loadDistTransaction(storage, id)
       try {
-        val partCols = Graft.describeTable(storage, txn, ns, t).properties
+        val td = Graft.describeTable(storage, txn, ns, t)
+        val partCols = td.properties
           .get(GraftCatalog.PartitionColsProp)
           .map(_.split(',').toSeq).getOrElse(Seq.empty)
-        val newFiles = GraftCatalog.commitDataFiles(data, partCols, storage, ns, t)
+        val schema = DataType.fromJson(TableMetadata.read(storage,
+          td.metadataLocation).schemaJson).asInstanceOf[StructType]
+        val newFiles = GraftCatalog.commitDataFiles(data, partCols, storage,
+          ns, t, Some(schema))
         applyTableCommit(storage, txn.runningRoot, ns, t, "append", newFiles,
           overwrite)
         val cd = Graft.catalogDef(storage, txn.runningRoot)
@@ -493,11 +492,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val t = ident.name()
     // cluster by the table's partition columns so files carry tight
     // stats on them (exact partition pruning at scan time)
-    val partCols = inTxn(txn =>
-      Graft.describeTable(storage, txn, ns, t).properties
-        .get(GraftCatalog.PartitionColsProp))
-      .map(_.split(',').toSeq).getOrElse(Seq.empty)
-    val newFiles = GraftCatalog.commitDataFiles(data, partCols, storage, ns, t)
+    val (partCols, schema) = inTxn { txn =>
+      val td = Graft.describeTable(storage, txn, ns, t)
+      (td.properties.get(GraftCatalog.PartitionColsProp)
+        .map(_.split(',').toSeq).getOrElse(Seq.empty),
+        DataType.fromJson(TableMetadata.read(storage,
+          td.metadataLocation).schemaJson).asInstanceOf[StructType])
+    }
+    val newFiles = GraftCatalog.commitDataFiles(data, partCols, storage, ns, t,
+      Some(schema))
     val op = if (overwrite) "overwrite" else "append"
     inTxn { txn =>
       applyTableCommit(storage, txn.runningRoot, ns, t, op, newFiles, overwrite)
@@ -550,20 +553,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           .map(_.split(',').toSeq).getOrElse(Seq.empty),
         DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
     }
+    // files + their stats speak PHYSICAL names; the rewrite fn speaks
+    // logical — read physical, re-label, rewrite, write physical
+    val renames = ColumnMapping.renames(schema)
+    val physSchema = ColumnMapping.toPhysical(schema)
+    val physPrune = pruneExprs.map(ColumnMapping.toPhysicalExpr(_, renames))
     val (touched, untouched) =
-      if (pruneExprs.isEmpty) (meta.currentFiles, Seq.empty)
+      if (physPrune.isEmpty) (meta.currentFiles, Seq.empty)
       else meta.currentFiles.partition(f =>
-        pruneExprs.forall(e => FilePruning.mayMatch(e, f, schema)))
+        physPrune.forall(e => FilePruning.mayMatch(e, f, physSchema)))
     if (touched.isEmpty) return // provably no matching rows anywhere
     val dataRoot = storage.absolute(FileLocations.tableDataDir(ns, t))
     val paths = touched.map(f => storage.absolute(f.path))
-    val reader0 = spark.read.schema(schema)
+    val reader0 = spark.read.schema(physSchema)
     val reader =
       if (paths.forall(_.startsWith(dataRoot))) reader0.option("basePath", dataRoot)
       else reader0
-    val out = rewrite(reader.parquet(paths: _*))
+    val logicalDf = renames.foldLeft(reader.parquet(paths: _*)) {
+      case (df, (logical, physical)) => df.withColumnRenamed(physical, logical)
+    }
+    val out = rewrite(logicalDf)
     val newFiles =
-      untouched ++ GraftCatalog.commitDataFiles(out, partCols, storage, ns, t)
+      untouched ++ GraftCatalog.commitDataFiles(out, partCols, storage, ns, t,
+        Some(schema))
     inTxn { txn =>
       applyTableCommit(storage, txn.runningRoot, ns, t, op, newFiles,
         overwrite = true)
@@ -771,9 +783,14 @@ object GraftCatalog {
     * shared dirs with a commit-unique prefix; snapshot isolation is
     * unaffected because snapshots reference exact file lists.
     */
-  private[graft] def commitDataFiles(data: org.apache.spark.sql.DataFrame,
-      partCols: Seq[String], storage: StorageOps, ns: String, t: String)
+  private[graft] def commitDataFiles(data0: org.apache.spark.sql.DataFrame,
+      partCols: Seq[String], storage: StorageOps, ns: String, t: String,
+      tableSchema: Option[StructType] = None)
       : Seq[graft.format.DataFileEntry] = {
+    // data files always carry PHYSICAL column names, so files written
+    // before and after a RENAME COLUMN stay byte-compatible
+    // (ColumnMapping; rename is metadata-only)
+    val data = tableSchema.fold(data0)(ColumnMapping.toPhysicalDf(data0, _))
     val dataDir = FileLocations.tableDataDir(ns, t)
     val commitId = UUID.randomUUID().toString
     val stagingAbs =

@@ -158,9 +158,13 @@ class GraftCowScanBuilder(table: GraftTable, options: CaseInsensitiveStringMap)
 
   override def build(): Scan = synchronized {
     if (builtScan == null) {
-      val schema = table.schema
+      // file stats key on PHYSICAL names (rename-safe, ColumnMapping)
+      val renames = ColumnMapping.renames(table.schema)
+      val physSchema = ColumnMapping.toPhysical(table.schema)
+      val physFilters =
+        groupFilters.map(ColumnMapping.toPhysicalExpr(_, renames))
       val kept = table.currentFileTuples.filter { case (_, f) =>
-        groupFilters.forall(e => FilePruning.mayMatch(e, f, schema))
+        physFilters.forall(e => FilePruning.mayMatch(e, f, physSchema))
       }
       table.recordSelect(requiredSchema.fieldNames.toSeq
         .filterNot(_ == GraftMetadataColumns.FileName), groupFilters)
@@ -252,11 +256,16 @@ class GraftCowScan(
         new CaseInsensitiveStringMap(m)
       } else options
     }
+    // delegate reads under PHYSICAL names; readSchema() stays logical
+    // and rows are positional (rename-safe reads, ColumnMapping)
+    val renames = ColumnMapping.renames(table.schema)
+    val physRequired = StructType(dataRequired.fields.map(f =>
+      f.copy(name = renames.getOrElse(f.name, f.name))))
     val inner = ParquetTable(table.name(), spark, opts, kept.map(_._1),
-      Some(table.schema), classOf[ParquetFileFormat])
+      Some(ColumnMapping.toPhysical(table.schema)), classOf[ParquetFileFormat])
       .newScanBuilder(opts)
     inner match {
-      case p: SupportsPushDownRequiredColumns => p.pruneColumns(dataRequired)
+      case p: SupportsPushDownRequiredColumns => p.pruneColumns(physRequired)
       case _ => ()
     }
     // NO filter pushdown: every row of a kept file must be returned
@@ -321,9 +330,17 @@ class GraftCowBatchWrite(
     if (partCols.isEmpty) s"$dataDir/$commitId"
     else s"$dataDir/.staging-$commitId"
 
-  private lazy val delegate: BatchWrite = SparkInternals.parquetBatchWrite(
-    org.apache.spark.sql.SparkSession.active.asInstanceOf[ClassicSession],
-    info.schema(), partCols, storage.absolute(stagingRel), info.queryId())
+  private lazy val delegate: BatchWrite = {
+    // data files always carry PHYSICAL column names (rename-safe
+    // writes, ColumnMapping) — rows are positional, so re-labeling the
+    // write schema is the whole job
+    val renames = ColumnMapping.renames(table.schema)
+    val physSchema = StructType(info.schema().fields.map(f =>
+      f.copy(name = renames.getOrElse(f.name, f.name))))
+    SparkInternals.parquetBatchWrite(
+      org.apache.spark.sql.SparkSession.active.asInstanceOf[ClassicSession],
+      physSchema, partCols, storage.absolute(stagingRel), info.queryId())
+  }
 
   override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
     delegate.createBatchWriterFactory(pi)

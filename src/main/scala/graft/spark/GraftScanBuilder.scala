@@ -32,7 +32,8 @@ class GraftScanBuilder(
     schema: StructType,
     files: Seq[(String, DataFileEntry)], // (absolute path, entry)
     baseDir: String, // table data root — basePath for partition discovery
-    onBuild: (Seq[String], Seq[Expression]) => Unit)
+    onBuild: (Seq[String], Seq[Expression]) => Unit,
+    partCols: Seq[String] = Seq.empty)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters {
@@ -52,13 +53,22 @@ class GraftScanBuilder(
   override def pushedFilters(): Array[Predicate] = innerPushed
 
   override def build(): Scan = {
+    // renamed columns: data files, footer stats, and conflict keys all
+    // speak PHYSICAL names; the delegate scans physical, the wrapper
+    // re-labels the result schema logical (purely positional)
+    val renames = ColumnMapping.renames(schema)
+    val physSchema = ColumnMapping.toPhysical(schema)
+    val physFilters =
+      dataFilters.map(ColumnMapping.toPhysicalExpr(_, renames))
     val kept = files.filter { case (_, f) =>
-      dataFilters.forall(expr => FilePruning.mayMatch(expr, f, schema))
+      physFilters.forall(expr => FilePruning.mayMatch(expr, f, physSchema))
     }
     // `_file` metadata column: delegate reads the data columns, the
     // wrapper appends the per-row file path (single-file partitions)
     val (dataRequired, hasFile) = GraftMetadataColumns.split(requiredSchema)
-    onBuild(dataRequired.fieldNames.toSeq, dataFilters)
+    val physRequired = StructType(dataRequired.fields.map(f =>
+      f.copy(name = renames.getOrElse(f.name, f.name))))
+    onBuild(physRequired.fieldNames.toSeq, physFilters)
     if (kept.isEmpty) return new EmptyScanBuilder(requiredSchema).build()
     // basePath lets Spark's file index parse Hive-style col=value
     // directory levels back into (typed) partition columns — files
@@ -72,25 +82,99 @@ class GraftScanBuilder(
         new CaseInsensitiveStringMap(optMap)
       } else options
     val inner = ParquetTable(tableName, spark, opts, kept.map(_._1),
-      Some(schema), classOf[ParquetFileFormat])
+      Some(physSchema), classOf[ParquetFileFormat])
       .newScanBuilder(opts)
     inner match {
-      case p: SupportsPushDownRequiredColumns => p.pruneColumns(dataRequired)
+      case p: SupportsPushDownRequiredColumns => p.pruneColumns(physRequired)
       case _ => ()
     }
     inner match {
       case p: SupportsPushDownCatalystFilters =>
-        p.pushFilters(dataFilters)
+        p.pushFilters(physFilters)
         innerPushed = p.pushedFilters
       case _ => ()
     }
     val built = inner.build()
-    if (hasFile)
-      new FileTaggedScan(built,
-        StructType(dataRequired.fields :+ org.apache.spark.sql.types.StructField(
-          GraftMetadataColumns.FileName, StringType, nullable = false)))
-    else built
+    val scan =
+      if (hasFile)
+        new FileTaggedScan(built,
+          StructType(dataRequired.fields :+ org.apache.spark.sql.types.StructField(
+            GraftMetadataColumns.FileName, StringType, nullable = false)))
+      else if (renames.isEmpty) built
+      else new RelabeledScan(built, dataRequired)
+    // storage-partitioned joins: report each Hive-partition value as a
+    // key-grouped storage partition so joins/aggregates clustered on
+    // the partition columns skip their shuffle entirely
+    if (partCols.nonEmpty && !hasFile &&
+        spark.sessionState.conf.v2BucketingEnabled &&
+        partCols.forall(c => dataRequired.fieldNames.contains(c)))
+      KeyGroupedScan.tryWrap(scan, partCols, schema).getOrElse(scan)
+    else scan
   }
+}
+
+/** Scan reporting [[KeyGroupedPartitioning]] over the table's
+  * partition columns — one storage partition per partition value. At
+  * 100 TB, a join of two tables partitioned on the same key runs
+  * shuffle-free: each task reads both sides' files for one key
+  * (Spark's storage-partitioned join; enabled by
+  * `spark.sql.sources.v2.bucketing.enabled`).
+  */
+class KeyGroupedScan(
+    delegate: Scan,
+    partCols: Seq[String],
+    partitions: Array[org.apache.spark.sql.connector.read.InputPartition])
+  extends Scan
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  override def readSchema(): StructType = delegate.readSchema()
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      partCols.map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+          : org.apache.spark.sql.connector.expressions.Expression).toArray,
+      partitions.length)
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    new org.apache.spark.sql.connector.read.Batch {
+      override def planInputPartitions()
+          : Array[org.apache.spark.sql.connector.read.InputPartition] = partitions
+      override def createReaderFactory()
+          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        org.apache.spark.sql.graft.SparkInternals.keyUnwrappingFactory(
+          delegate.toBatch.createReaderFactory())
+    }
+
+  override def description(): String =
+    s"KeyGrouped(${partCols.mkString(",")}, groups=${partitions.length}, " +
+      s"${delegate.description()})"
+}
+
+object KeyGroupedScan {
+  /** None when any file lacks partition values (imported/flat files) —
+    * callers keep the plain scan, losing only the optimization.
+    */
+  def tryWrap(delegate: Scan, partCols: Seq[String],
+      schema: StructType): Option[Scan] = {
+    val partTypes = partCols.map(c => schema(c).dataType)
+    org.apache.spark.sql.graft.SparkInternals
+      .keyGroupedPartitions(delegate.toBatch, partTypes)
+      .map(parts => new KeyGroupedScan(delegate, partCols, parts))
+  }
+}
+
+/** Scan wrapper reporting LOGICAL column names over a delegate that
+  * read under physical ones — rows are positional, so re-labeling the
+  * schema is the whole job (rename-safe reads, [[ColumnMapping]]).
+  */
+private[spark] class RelabeledScan(delegate: Scan, outSchema: StructType)
+    extends Scan {
+  override def readSchema(): StructType = outSchema
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    delegate.toBatch
+  override def description(): String = s"Relabeled(${delegate.description()})"
 }
 
 /** Min/max interval analysis of Catalyst predicates against one file's

@@ -89,11 +89,16 @@ class GraftTable(
     * actions.proto:94-97).
     */
   private[spark] def recordSelect(columns: Seq[String],
-      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit =
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit = {
+    // conflict keys speak PHYSICAL names — read intervals must line up
+    // with the footer-harvested stat ranges appends record
+    val renames = ColumnMapping.renames(schema)
+    val phys = filters.map(ColumnMapping.toPhysicalExpr(_, renames))
     txn.record(Action(ActionType.TableSelect, catalog.tableKey(tableDef),
-      Map("columns" -> columns.mkString(","),
-        "filters" -> filters.map(_.sql).mkString(" AND ")) ++
-        ReadIntervals.fromFilters(filters)))
+      Map("columns" -> columns.map(c => renames.getOrElse(c, c)).mkString(","),
+        "filters" -> phys.map(_.sql).mkString(" AND ")) ++
+        ReadIntervals.fromFilters(phys)))
+  }
 
   // -------- metadata columns / row-level operations --------
 
@@ -124,7 +129,8 @@ class GraftTable(
           txn.record(Action(ActionType.TableSelect, catalog.tableKey(tableDef),
             Map("columns" -> columns.mkString(","),
               "filters" -> filters.map(_.sql).mkString(" AND ")) ++
-              ReadIntervals.fromFilters(filters))))
+              ReadIntervals.fromFilters(filters))),
+        partCols = partitionColumnNames)
     }
   }
 

@@ -87,6 +87,59 @@ object SparkInternals {
       throw new IllegalStateException(s"expected FilePartition, got $other")
   }
 
+  /** Regroup a delegated parquet [[Batch]]'s input partitions by
+    * Hive-partition value: one [[InputPartition]] per distinct value
+    * tuple, each reporting its key ([[HasPartitionKey]]) — the physical
+    * half of storage-partitioned joins. Returns None when any file
+    * lacks the expected partition-value arity (pre-partitioning or
+    * imported files), so callers fall back to the plain scan.
+    */
+  def keyGroupedPartitions(delegate: Batch,
+      partTypes: Seq[org.apache.spark.sql.types.DataType])
+      : Option[Array[InputPartition]] = {
+    val files = Array.newBuilder[org.apache.spark.sql.execution.datasources.PartitionedFile]
+    delegate.planInputPartitions().foreach {
+      case fp: FilePartition => files ++= fp.files
+      case _ => return None
+    }
+    val all = files.result()
+    if (all.exists(_.partitionValues.numFields != partTypes.length)) return None
+    // group by VALUE-equal keys (InternalRow has no value equality;
+    // extracted values — UTF8String, boxed primitives — do)
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Any], (InternalRow, scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.execution.datasources.PartitionedFile])]
+    all.foreach { f =>
+      val k = partTypes.zipWithIndex.map { case (t, i) =>
+        f.partitionValues.get(i, t)
+      }
+      groups.getOrElseUpdate(k,
+        (f.partitionValues.copy(), scala.collection.mutable.ArrayBuffer()))
+        ._2 += f
+    }
+    Some(groups.values.zipWithIndex.map { case ((key, fs), i) =>
+      KeyedFilePartition(key, FilePartition(i, fs.toArray)): InputPartition
+    }.toArray)
+  }
+
+  /** Reader factory unwrapping [[KeyedFilePartition]] before the
+    * delegated parquet reader sees it.
+    */
+  def keyUnwrappingFactory(delegate: PartitionReaderFactory): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      private def unwrap(p: InputPartition): InputPartition = p match {
+        case k: KeyedFilePartition => k.inner
+        case other => other
+      }
+      override def supportColumnarReads(p: InputPartition): Boolean =
+        delegate.supportColumnarReads(unwrap(p))
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        delegate.createReader(unwrap(p))
+      override def createColumnarReader(p: InputPartition)
+          : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+        delegate.createColumnarReader(unwrap(p))
+    }
+
   /** Rewrap a delegated parquet [[Batch]] so every partition holds
     * splits of exactly ONE file, and every row carries that file's path
     * as an appended string column (ordinal `tagOrdinal`, i.e. after the
@@ -114,6 +167,17 @@ object SparkInternals {
     override def createReaderFactory(): PartitionReaderFactory =
       new FileTaggedReaderFactory(delegate.createReaderFactory(), tagOrdinal)
   }
+}
+
+/** One storage partition of a key-grouped scan: a set of files sharing
+  * one Hive-partition value tuple, reporting that tuple as the
+  * partition key so Spark's storage-partitioned join machinery can
+  * co-locate both sides without a shuffle.
+  */
+case class KeyedFilePartition(key: InternalRow, inner: FilePartition)
+    extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
 /** Wraps the delegate parquet reader factory, appending the partition's

@@ -16,6 +16,9 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
       .config("spark.sql.extensions",
         classOf[graft.spark.GraftSparkExtensions].getName)
+      // storage-partitioned joins (c17): session-level default so query
+      // plans/timings are order-independent (no per-query conf mutation)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   def main(args: Array[String]): Unit = {

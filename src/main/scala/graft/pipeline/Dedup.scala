@@ -118,8 +118,16 @@ object Dedup {
         throw new IllegalStateException(
           s"connected components did not converge in $maxRounds rounds")
       val next = smallStar(largeStar(e)).localCheckpoint()
-      // exact set equality: same cardinality ∧ next ⊆ e ⇒ next = e
-      converged = next.count() == e.count() && next.except(e).isEmpty
+      // exact set equality in ONE action: both sides are distinct edge
+      // sets, so tagging +1/-1 and summing per edge yields a nonzero
+      // group iff the edge is in exactly one set; isEmpty early-exits
+      // on the first mismatch. (The previous count+except probe was two
+      // to three Spark jobs per round — double the latency floor.)
+      converged = next.withColumn("_s", lit(1))
+        .union(e.withColumn("_s", lit(-1)))
+        .groupBy("u", "v").agg(sum("_s").as("_d"))
+        .filter(col("_d") =!= 0)
+        .isEmpty
       e.unpersist()
       e = next
       rounds += 1

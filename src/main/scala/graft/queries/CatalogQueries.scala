@@ -379,7 +379,7 @@ object CatalogQueries {
         s.sql("""SELECT p_brand, count(*) AS n, round(sum(price), 2) AS total,
                         max(p_size) AS max_size
                  FROM gcf.ns1.part
-                 WHERE price > 950 AND p_size >= 10
+                 WHERE price > 900 AND p_size >= 10
                  GROUP BY p_brand ORDER BY p_brand""")
       },
       Some("""WITH t AS (
@@ -388,7 +388,7 @@ object CatalogQueries {
              |  SELECT p_brand, p_size, p_retailprice FROM part WHERE p_size > 40)
              |SELECT p_brand, count(*) AS n, round(sum(price), 2) AS total,
              |       CAST(max(p_size) AS BIGINT) AS max_size
-             |FROM t WHERE price > 950 AND p_size >= 10
+             |FROM t WHERE price > 900 AND p_size >= 10
              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
     QueryDef(
@@ -434,7 +434,6 @@ object CatalogQueries {
         s.sql("CREATE NAMESPACE IF NOT EXISTS gch.ns1")
         s.sql("DROP TABLE IF EXISTS gch.ns1.ord")
         s.sql("DROP TABLE IF EXISTS gch.ns1.cust")
-        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
         s.sql("""CREATE TABLE gch.ns1.ord (
                    o_orderkey BIGINT, o_totalprice DOUBLE, bucket BIGINT)
                  PARTITIONED BY (bucket)""")

@@ -77,6 +77,24 @@ class GraftCatalogSqlSpec extends AnyFunSuite {
       .sameElements(Array(1L, 3L)))
   }
 
+  test("DELETE keeps rows where the predicate is NULL (SQL three-valued logic)") {
+    // DELETE FROM t WHERE x > 5 on a row with x IS NULL: the predicate is
+    // NULL, not TRUE — the row must survive. Exercises both the SQL
+    // row-level path and the direct copy-on-write deleteWhere path.
+    spark.sql("CREATE TABLE cat.ns1.delnull (k BIGINT, x BIGINT)")
+    spark.sql("INSERT INTO cat.ns1.delnull VALUES (1, 10), (2, NULL), (3, 1)")
+    spark.sql("DELETE FROM cat.ns1.delnull WHERE x > 5")
+    assert(spark.table("cat.ns1.delnull").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(2L, 3L)),
+      "NULL-predicate row was deleted by SQL DELETE")
+    cat.deleteWhere(spark,
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("ns1"), "delnull"),
+      org.apache.spark.sql.functions.col("x") < 5)
+    assert(spark.table("cat.ns1.delnull").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(2L)),
+      "NULL-predicate row was deleted by copy-on-write deleteWhere")
+  }
+
   test("SQL DELETE FROM with compound predicate") {
     spark.sql("CREATE TABLE cat.ns1.sqldel (k BIGINT, v STRING)")
     spark.sql(

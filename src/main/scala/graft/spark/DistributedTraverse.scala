@@ -1,7 +1,7 @@
 package graft.spark
 
 import graft.objects.{CatalogDef, ObjectKeys}
-import graft.storage.StorageOps
+import graft.storage.{StorageConf, StorageOps}
 import graft.tree.TreeOps
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
@@ -9,20 +9,6 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
-
-/** Executor-reconstructible storage handle: node files are read where
-  * the task runs, so catalog listings scale past driver memory
-  * (SURVEY §7.5 risk register; reference ambition of billions of
-  * objects, docs/index.md:17-19).
-  */
-final case class StorageConf(warehouse: String, kind: String)
-    extends Serializable {
-  def create(): StorageOps = kind match {
-    case "object" => new graft.storage.ObjectStoreOps(
-      new graft.storage.DirectoryObjectStoreClient(warehouse))
-    case _ => new graft.storage.LocalStorageOps(warehouse)
-  }
-}
 
 /** Level-parallel tree walk. The driver only ever holds node PATHS
   * (≈ N/order strings for N objects) — object definitions stay on the

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 import graft.catalog.Graft
 import graft.format.TableMetadata
 import graft.objects._
-import graft.storage.{LocalStorageOps, StorageOps}
+import graft.storage.{LocalStorageOps, StorageConf, StorageOps}
 import graft.tree.{TreeOps, TreeRoot}
 import graft.txn.{Action, ActionType, Transaction}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NoSuchViewException}
@@ -832,10 +832,8 @@ object GraftCatalog {
         target
       }
     storage.deleteTree(staging) // job markers (_SUCCESS) + empty dirs
-    val dataAbs = java.nio.file.Paths.get(storage.absolute(dataDir))
-    val absPaths = moved.sorted.map(storage.absolute)
-    val stats = GraftTable.harvestStats(absPaths)
-    absPaths.map(abs => GraftTable.fileEntry(storage, dataAbs,
-      java.nio.file.Paths.get(abs), stats(abs)))
+    val keys = moved.sorted
+    val stats = GraftTable.harvestStats(storage, keys)
+    keys.map(k => GraftTable.fileEntry(dataDir, k, stats(k)))
   }
 }

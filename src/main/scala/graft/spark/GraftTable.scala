@@ -181,68 +181,70 @@ object GraftTable {
     */
   private val DriverStatsMax = 8
 
-  /** Footer stats + on-disk size for each path. Beyond
-    * [[DriverStatsMax]] files the reads run as a Spark job — a 100 TB
-    * append producing 10⁵ files must not serialize 10⁵ footer
-    * round-trips into the driver-side commit path (only the harvested
-    * stats, ~100 bytes/file, return to the driver).
+  /** Footer stats + object size for each storage-relative key, read
+    * exclusively through [[StorageOps]] (listing, HEAD-style sizing,
+    * cache-mediated local handles for the footer parse) — the commit
+    * path never touches the filesystem behind a remote store's
+    * keyspace. Beyond [[DriverStatsMax]] files the reads run as a
+    * Spark job — a 100 TB append producing 10⁵ files must not
+    * serialize 10⁵ footer round-trips into the driver-side commit path
+    * (only the harvested stats, ~100 bytes/file, return to the
+    * driver); tasks reopen storage from its serializable descriptor.
+    * A backend with no descriptor (in-memory test store) stays
+    * driver-side on the live instance.
     */
-  def harvestStats(paths: Seq[String])
+  def harvestStats(storage: StorageOps, keys: Seq[String])
       : Map[String, (graft.format.ParquetStats.FileStats, Long)] = {
-    def one(p: String) = (p, (graft.format.ParquetStats.read(p),
-      java.nio.file.Files.size(java.nio.file.Paths.get(p))))
-    if (paths.lengthCompare(DriverStatsMax) <= 0) paths.map(one).toMap
+    def one(st: StorageOps)(k: String) =
+      (k, (graft.format.ParquetStats.read(st.prepareToReadLocal(k).toString),
+        st.sizeOf(k)))
+    val sconf = storage.reopenConf
+    if (keys.lengthCompare(DriverStatsMax) <= 0 || !sconf.reopenable)
+      keys.map(one(storage)).toMap
     else {
       val sc = org.apache.spark.sql.SparkSession.active.sparkContext
-      sc.parallelize(paths, math.min(paths.size, sc.defaultParallelism * 2))
-        .map(one).collect().toMap
+      sc.parallelize(keys, math.min(keys.size, sc.defaultParallelism * 2))
+        .mapPartitions { it =>
+          val st = sconf.create() // one storage client per task
+          it.map(one(st))
+        }.collect().toMap
     }
   }
 
-  /** List the parquet files Spark's writer produced under `dir`,
-    * harvesting row counts + per-column min/max from the footers
-    * (distributed via [[harvestStats]] for large commits — these
-    * stats drive file-level pruning at scan time).
+  /** List the parquet files Spark's writer produced under `relDir`
+    * (recursive storage LIST — partitioned writes produce Hive-style
+    * col=value levels), harvesting row counts + per-column min/max
+    * from the footers (distributed via [[harvestStats]] for large
+    * commits — these stats drive file-level pruning at scan time).
     */
   def listCommitFiles(storage: StorageOps, relDir: String): Seq[DataFileEntry] = {
-    import scala.jdk.CollectionConverters._
-
-    val dirAbs = java.nio.file.Paths.get(storage.absolute(relDir))
-    if (!java.nio.file.Files.isDirectory(dirAbs)) return Seq.empty
-    // recursive: partitioned writes produce Hive-style col=value
-    // directory levels under the commit dir
-    val files = scala.util.Using.resource(java.nio.file.Files.walk(dirAbs)) { st =>
-      st.iterator().asScala
-        .filter(p => java.nio.file.Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet"))
-        .toSeq
-    }.sortBy(_.toString)
-    val stats = harvestStats(files.map(_.toString))
-    files.map(p => fileEntry(storage, dirAbs, p, stats(p.toString)))
+    val keys = storage.listDeep(relDir).filter(_.endsWith(".parquet")).sorted
+    val stats = harvestStats(storage, keys)
+    keys.map(k => fileEntry(relDir, k, stats(k)))
   }
 
   /** Build a [[DataFileEntry]] for one data file: footer stats, plus
-    * Hive-style col=value path segments between `partitionBase` and
-    * the file as partition values — a partition value IS the column's
+    * Hive-style col=value path segments between `baseRel` and the
+    * file as partition values — a partition value IS the column's
     * min and max for that file, so stats-based pruning covers
-    * partition predicates with no extra machinery.
+    * partition predicates with no extra machinery. Pure key
+    * arithmetic: works identically on filesystem paths and object
+    * keys.
     */
-  def fileEntry(storage: StorageOps, partitionBase: java.nio.file.Path,
-      p: java.nio.file.Path,
+  def fileEntry(baseRel: String, key: String,
       harvested: (graft.format.ParquetStats.FileStats, Long)): DataFileEntry = {
-    import scala.jdk.CollectionConverters._
-    val rootAbs = java.nio.file.Paths.get(storage.absolute(""))
-    val rel = rootAbs.relativize(p).toString
     val (stats, size) = harvested
-    val partVals = partitionBase.relativize(p.getParent).iterator().asScala
-      .map(_.toString).filter(_.contains('='))
+    val base = if (baseRel.endsWith("/")) baseRel else baseRel + "/"
+    require(key.startsWith(base), s"data file $key outside commit base $base")
+    val partVals = key.drop(base.length).split('/').dropRight(1).toSeq
+      .filter(_.contains('='))
       .map { seg =>
         val i = seg.indexOf('=')
         seg.take(i) -> unescapePathValue(seg.drop(i + 1))
       }
       .filter(_._2 != "__HIVE_DEFAULT_PARTITION__")
       .toMap
-    DataFileEntry(rel, rowCount = stats.rowCount,
+    DataFileEntry(key, rowCount = stats.rowCount,
       sizeBytes = size,
       minValues = stats.minValues ++ partVals,
       maxValues = stats.maxValues ++ partVals)

@@ -25,6 +25,12 @@ class LocalStorageOps(val root: String) extends StorageOps {
 
   override def read(rel: String): Array[Byte] = Files.readAllBytes(p(rel))
 
+  override def sizeOf(rel: String): Long = Files.size(p(rel))
+
+  override def prepareToReadLocal(rel: String): Path = p(rel)
+
+  override def reopenConf: StorageConf = StorageConf(root, "local")
+
   override def writeAtomic(rel: String, data: Array[Byte]): Unit = {
     val target = p(rel)
     Files.createDirectories(target.getParent)

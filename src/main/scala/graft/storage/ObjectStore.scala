@@ -23,6 +23,9 @@ trait ObjectStoreClient {
   /** Content etag if the object exists (S3: HEAD). */
   def head(key: String): Option[String]
 
+  /** Object size in bytes if it exists (S3: HEAD Content-Length). */
+  def size(key: String): Option[Long]
+
   /** Object bytes + etag (S3: GET). */
   def get(key: String): Option[(Array[Byte], String)]
 
@@ -73,6 +76,9 @@ class InMemoryObjectStoreClient extends ObjectStoreClient {
   override def head(key: String): Option[String] =
     Option(objects.get(key)).map(ObjectStoreClient.md5)
 
+  override def size(key: String): Option[Long] =
+    Option(objects.get(key)).map(_.length.toLong)
+
   override def get(key: String): Option[(Array[Byte], String)] =
     Option(objects.get(key)).map(b => (b.clone(), ObjectStoreClient.md5(b)))
 
@@ -108,7 +114,7 @@ class InMemoryObjectStoreClient extends ObjectStoreClient {
   * same-filesystem link(2), which fails atomically when the target
   * exists.
   */
-class DirectoryObjectStoreClient(backingDir: String) extends ObjectStoreClient {
+class DirectoryObjectStoreClient(val backingDir: String) extends ObjectStoreClient {
   private val dir: Path = Paths.get(backingDir)
 
   private def p(key: String): Path = dir.resolve(key)
@@ -117,6 +123,11 @@ class DirectoryObjectStoreClient(backingDir: String) extends ObjectStoreClient {
     val f = p(key)
     if (Files.isRegularFile(f)) Some(ObjectStoreClient.md5(Files.readAllBytes(f)))
     else None
+  }
+
+  override def size(key: String): Option[Long] = {
+    val f = p(key)
+    if (Files.isRegularFile(f)) Some(Files.size(f)) else None
   }
 
   override def get(key: String): Option[(Array[Byte], String)] = {
@@ -210,10 +221,19 @@ class ObjectStoreOps(val client: ObjectStoreClient) extends StorageOps {
   override def read(rel: String): Array[Byte] =
     Files.readAllBytes(prepareToReadLocal(rel))
 
+  override def sizeOf(rel: String): Long =
+    client.size(rel).getOrElse(
+      throw new java.nio.file.NoSuchFileException(rel))
+
+  override def reopenConf: StorageConf = client match {
+    case d: DirectoryObjectStoreClient => StorageConf(d.backingDir, "object")
+    case _ => StorageConf(root, StorageConf.Opaque)
+  }
+
   /** Download-once: returns a local file holding the object's current
     * content, revalidating the cached copy against the store's etag.
     */
-  def prepareToReadLocal(rel: String): Path = {
+  override def prepareToReadLocal(rel: String): Path = {
     val remoteTag = client.head(rel).getOrElse(
       throw new java.nio.file.NoSuchFileException(rel))
     Option(cache.get(rel)) match {

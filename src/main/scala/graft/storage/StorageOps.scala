@@ -19,6 +19,26 @@ trait StorageOps {
 
   def read(rel: String): Array[Byte]
 
+  /** Object size in bytes without fetching content (S3: HEAD
+    * Content-Length; filesystem: stat).
+    */
+  def sizeOf(rel: String): Long
+
+  /** A LOCAL file holding the object's current content — filesystems
+    * return the file itself; remote stores download through their
+    * etag-validated read cache (reference `prepareToReadLocal`,
+    * S3StorageOps.java:111-135). This is the only sanctioned way to
+    * hand an object to a local-file reader (e.g. a parquet footer
+    * parse at commit time).
+    */
+  def prepareToReadLocal(rel: String): java.nio.file.Path
+
+  /** Serializable descriptor a Spark task can reopen this storage
+    * from; `reopenable == false` (e.g. the in-memory test store)
+    * means callers must stay driver-side on the live instance.
+    */
+  def reopenConf: StorageConf
+
   /** Create-if-absent; throws [[AtomicSealFailureException]] when the
     * target already exists. MUST be atomic: concurrent writers see
     * exactly one winner.

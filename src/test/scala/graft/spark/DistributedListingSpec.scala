@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import graft.catalog.Graft
 import graft.objects.{CatalogDef, FileLocations, ObjectKeys}
-import graft.storage.LocalStorageOps
+import graft.storage.{LocalStorageOps, StorageConf}
 import graft.tree.TreeOps
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession

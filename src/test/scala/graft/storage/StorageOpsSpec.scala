@@ -31,6 +31,16 @@ abstract class StorageOpsContract extends AnyFunSuite {
     assert(new String(s.read("x")) == "2")
   }
 
+  test("sizeOf reports byte length; prepareToReadLocal yields readable local file") {
+    val s = fresh()
+    val payload = Array.fill[Byte](1234)(7)
+    s.writeAtomic("sz/x.bin", payload)
+    assert(s.sizeOf("sz/x.bin") == 1234L)
+    intercept[java.nio.file.NoSuchFileException](s.sizeOf("sz/missing"))
+    val local = s.prepareToReadLocal("sz/x.bin")
+    assert(java.nio.file.Files.readAllBytes(local).sameElements(payload))
+  }
+
   test("deleteBatch removes present files, tolerates missing") {
     val s = fresh()
     s.writeAtomic("d/1", "a".getBytes)
@@ -97,6 +107,7 @@ class ObjectStoreReadCacheSpec extends AnyFunSuite {
     val counting = new ObjectStoreClient {
       val gets = new AtomicInteger(0)
       override def head(key: String) = client.head(key)
+      override def size(key: String) = client.size(key)
       override def get(key: String) = { gets.incrementAndGet(); client.get(key) }
       override def putIfNoneMatch(key: String, data: Array[Byte]) =
         client.putIfNoneMatch(key, data)

@@ -77,9 +77,25 @@ object ParquetStats {
 
   private def strMin(a: String, b: String, tpe: PrimitiveTypeName): String =
     if (numeric(tpe)) { if (BigDecimal(a) <= BigDecimal(b)) a else b }
-    else { if (a <= b) a else b }
+    else { if (utf8Compare(a, b) <= 0) a else b }
 
   private def strMax(a: String, b: String, tpe: PrimitiveTypeName): String =
     if (numeric(tpe)) { if (BigDecimal(a) >= BigDecimal(b)) a else b }
-    else { if (a >= b) a else b }
+    else { if (utf8Compare(a, b) >= 0) a else b }
+
+  // parquet binary min/max order by UTF-8 bytes; the scan-side pruner
+  // compares the same way — aggregating across blocks with UTF-16
+  // String order would disagree for supplementary characters
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
+  }
 }

@@ -458,6 +458,48 @@ object CatalogQueries {
              |JOIN (SELECT c_custkey, c_acctbal, c_custkey % 8 AS bucket
              |      FROM customer) c ON o.bucket = c.bucket
              |WHERE c.c_custkey % 100 = 0
-             |GROUP BY o.bucket ORDER BY o.bucket""".stripMargin))
+             |GROUP BY o.bucket ORDER BY o.bucket""".stripMargin)),
+
+    QueryDef(
+      "c18_nested_evolution",
+      (s, d) => {
+        // Nested-field schema evolution (SURVEY §2.1; the recursion the
+        // reference leaves TODO, IcebergToOlympia.java:196-201): ADD
+        // and RENAME inside a struct are metadata-only — files written
+        // before AND after each evolution coexist in one snapshot; old
+        // files read NULL for the added field and re-label the renamed
+        // one positionally.
+        ensureCatalog(s, "gci")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gci.ns1")
+        s.sql("DROP TABLE IF EXISTS gci.ns1.docs")
+        s.sql("""CREATE TABLE gci.ns1.docs (
+                   doc_id BIGINT,
+                   meta STRUCT<lang: STRING, n_chars: BIGINT>)""")
+        s.sql(s"""INSERT INTO gci.ns1.docs
+                  SELECT doc_id, named_struct('lang', lang, 'n_chars', n_chars)
+                  FROM parquet.`$d/documents.parquet`""")
+        s.sql("ALTER TABLE gci.ns1.docs ADD COLUMN meta.source STRING")
+        s.sql("ALTER TABLE gci.ns1.docs RENAME COLUMN meta.lang TO language")
+        s.sql(s"""INSERT INTO gci.ns1.docs
+                  SELECT doc_id + 1000000,
+                         named_struct('language', lang, 'n_chars', n_chars,
+                                      'source', source)
+                  FROM parquet.`$d/documents.parquet` WHERE n_chars > 800""")
+        s.sql("""SELECT meta.language AS lang,
+                        coalesce(meta.source, 'legacy') AS src,
+                        count(*) AS n, sum(meta.n_chars) AS chars
+                 FROM gci.ns1.docs
+                 WHERE meta.n_chars > 400
+                 GROUP BY meta.language, meta.source ORDER BY lang, src""")
+      },
+      Some("""WITH t AS (
+             |  SELECT lang, CAST(NULL AS VARCHAR) AS source, n_chars
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT lang, source, n_chars FROM documents WHERE n_chars > 800)
+             |SELECT lang, coalesce(source, 'legacy') AS src,
+             |       count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM t WHERE n_chars > 400
+             |GROUP BY lang, source ORDER BY lang, src""".stripMargin))
   )
 }

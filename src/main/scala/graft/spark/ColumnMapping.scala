@@ -37,20 +37,78 @@ object ColumnMapping {
   def physicalName(f: StructField): String =
     if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
 
-  /** logical → physical, only for columns whose names differ. */
+  /** logical → physical, only for TOP-LEVEL columns whose names differ
+    * (attribute-reference rewriting; nested field access is ordinal-
+    * based in Catalyst, so only the attribute name needs mapping).
+    */
   def renames(schema: StructType): Map[String, String] =
     schema.fields.iterator.flatMap { f =>
       val p = physicalName(f)
       if (p != f.name) Some(f.name -> p) else None
     }.toMap
 
-  /** The schema as data files see it: physical names, mapping
+  /** True when any field — at any nesting depth — carries a physical
+    * name differing from its logical one.
+    */
+  def hasRenames(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case s: StructType =>
+      s.fields.exists(f => f.metadata.contains(PhysKey) || hasRenames(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hasRenames(a.elementType)
+    case m: org.apache.spark.sql.types.MapType =>
+      hasRenames(m.keyType) || hasRenames(m.valueType)
+    case _ => false
+  }
+
+  /** The schema as data files see it: physical names at EVERY depth
+    * (struct fields inside structs/arrays/maps included), mapping
     * metadata dropped (types/order/nullability unchanged).
     */
   def toPhysical(schema: StructType): StructType =
-    StructType(schema.fields.map { f =>
-      f.copy(name = physicalName(f), metadata = stripPhys(f.metadata))
+    StructType(schema.fields.map(physField))
+
+  private def physField(f: StructField): StructField =
+    f.copy(name = physicalName(f), dataType = physType(f.dataType),
+      metadata = stripPhys(f.metadata))
+
+  private def physType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => StructType(s.fields.map(physField))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = physType(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = physType(m.keyType), valueType = physType(m.valueType))
+    case other => other
+  }
+
+  /** Map a PRUNED required schema to physical names by consulting the
+    * full table schema (the required copy may have lost field metadata
+    * on its way through Catalyst, so the table schema is the source of
+    * truth for physical names). Fields Spark pruned away are absent;
+    * structure is otherwise parallel.
+    */
+  def toPhysicalRequired(required: StructType, table: StructType): StructType =
+    StructType(required.fields.map { rf =>
+      table.fields.find(_.name == rf.name) match {
+        case Some(tf) => rf.copy(name = physicalName(tf),
+          dataType = physRequiredType(rf.dataType, tf.dataType),
+          metadata = stripPhys(rf.metadata))
+        case None => rf // metadata column etc. — not table data
+      }
     })
+
+  private def physRequiredType(req: org.apache.spark.sql.types.DataType,
+      tab: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = (req, tab) match {
+    case (r: StructType, t: StructType) => toPhysicalRequired(r, t)
+    case (r: org.apache.spark.sql.types.ArrayType,
+          t: org.apache.spark.sql.types.ArrayType) =>
+      r.copy(elementType = physRequiredType(r.elementType, t.elementType))
+    case (r: org.apache.spark.sql.types.MapType,
+          t: org.apache.spark.sql.types.MapType) =>
+      r.copy(keyType = physRequiredType(r.keyType, t.keyType),
+        valueType = physRequiredType(r.valueType, t.valueType))
+    case _ => req
+  }
 
   private def stripPhys(m: Metadata): Metadata =
     if (!m.contains(PhysKey)) m
@@ -67,12 +125,18 @@ object ColumnMapping {
         UnresolvedAttribute(u.nameParts.init :+ m(u.nameParts.last))
     }
 
-  /** Rename a DataFrame's columns logical → physical before a write. */
+  /** Rename a DataFrame's columns logical → physical before a write.
+    * Nested renames ride a struct→struct cast: same arity and types,
+    * only field names differ, so the cast is positional and free.
+    */
   def toPhysicalDf(df: DataFrame, schema: StructType): DataFrame = {
-    val m = renames(schema)
-    if (m.isEmpty) df
-    else m.foldLeft(df) { case (d, (logical, physical)) =>
-      d.withColumnRenamed(logical, physical)
+    if (!hasRenames(schema)) df
+    else schema.fields.foldLeft(df) { (d, f) =>
+      val pt = physType(f.dataType)
+      val recased =
+        if (pt == f.dataType) d else d.withColumn(f.name, d.col(f.name).cast(pt))
+      val p = physicalName(f)
+      if (p == f.name) recased else recased.withColumnRenamed(f.name, p)
     }
   }
 

@@ -12,7 +12,7 @@ import graft.txn.{Action, ActionType, Transaction}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NoSuchViewException}
 import org.apache.spark.sql.connector.catalog.{Column => V2Column, _}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Spark V2 catalog plugin backed by the graft transactional tree
@@ -373,54 +373,96 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           props = props + (set.property() -> set.value())
         case rm: TableChange.RemoveProperty => props = props - rm.property()
         case add: TableChange.AddColumn =>
-          require(add.fieldNames().length == 1, "nested add-column unsupported")
-          schema = schema.add(add.fieldNames()(0), add.dataType(), add.isNullable)
+          // any depth: old files lack the field at any nesting level →
+          // parquet schema clipping fills nulls on read. If a field of
+          // the same PHYSICAL name was dropped earlier, old files DO
+          // contain it — a fresh physical name prevents the old data
+          // from resurrecting under the new logical field.
+          val path = add.fieldNames().toSeq
+          val physTarget = (SchemaEvolution.physicalPath(schema, path.init)
+            :+ path.last).mkString(".")
+          val dropped = props.get(GraftCatalog.DroppedFieldsProp)
+            .map(_.split(',').toSet).getOrElse(Set.empty[String])
+          val newField =
+            if (!dropped.contains(physTarget))
+              StructField(path.last, add.dataType(), add.isNullable)
+            else StructField(path.last, add.dataType(), add.isNullable,
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putString(ColumnMapping.PhysKey,
+                  s"${path.last}_${UUID.randomUUID().toString.take(8)}")
+                .build())
+          schema = SchemaEvolution.updateAt(schema, path, {
+            case None => Some(newField)
+            case Some(_) => throw new IllegalArgumentException(
+              s"column already exists: ${path.mkString(".")}")
+          })
           actionType = ActionType.AlterTableAddColumns
         case del: TableChange.DeleteColumn =>
-          require(del.fieldNames().length == 1, "nested drop-column unsupported")
-          schema = StructType(schema.filterNot(_.name == del.fieldNames()(0)))
+          val path = del.fieldNames().toSeq
+          val physPath = SchemaEvolution.physicalPath(schema, path).mkString(".")
+          schema = SchemaEvolution.updateAt(schema, path, {
+            case Some(_) => None
+            case None => throw new IllegalArgumentException(
+              s"no such column: ${path.mkString(".")}")
+          })
+          val dropped = props.get(GraftCatalog.DroppedFieldsProp)
+            .map(_.split(',').toSet).getOrElse(Set.empty[String])
+          props = props + (GraftCatalog.DroppedFieldsProp ->
+            (dropped + physPath).toSeq.sorted.mkString(","))
           actionType = ActionType.AlterTableRemoveColumns
         case rn: TableChange.RenameColumn =>
-          // metadata-only: the field keeps its PHYSICAL (on-file) name
-          // in metadata; data files are never rewritten (ColumnMapping)
-          require(rn.fieldNames().length == 1, "nested rename unsupported")
-          val from = rn.fieldNames()(0)
+          // metadata-only AT ANY DEPTH: the field keeps its PHYSICAL
+          // (on-file) name in field metadata; data files are never
+          // rewritten (ColumnMapping)
+          val path = rn.fieldNames().toSeq
           val to = rn.newName()
-          require(schema.fieldNames.contains(from),
-            s"no such column: $from")
-          require(!schema.fieldNames.contains(to),
+          val parent = SchemaEvolution.parentStruct(schema, path)
+          require(!parent.fieldNames.contains(to),
             s"rename target already exists: $to")
-          val partCols = props.get(GraftCatalog.PartitionColsProp)
-            .map(_.split(',').toSet).getOrElse(Set.empty[String])
-          require(!partCols.contains(from),
-            s"cannot rename partition column $from (directory layout is the storage)")
-          schema = StructType(schema.fields.map { f =>
-            if (f.name != from) f
-            else f.copy(name = to, metadata = new org.apache.spark.sql.types
-              .MetadataBuilder().withMetadata(f.metadata)
-              .putString(ColumnMapping.PhysKey, ColumnMapping.physicalName(f))
-              .build())
+          if (path.length == 1) {
+            val partCols = props.get(GraftCatalog.PartitionColsProp)
+              .map(_.split(',').toSet).getOrElse(Set.empty[String])
+            require(!partCols.contains(path.head),
+              s"cannot rename partition column ${path.head} " +
+                "(directory layout is the storage)")
+          }
+          schema = SchemaEvolution.updateAt(schema, path, {
+            case Some(f) =>
+              Some(f.copy(name = to, metadata = new org.apache.spark.sql.types
+                .MetadataBuilder().withMetadata(f.metadata)
+                .putString(ColumnMapping.PhysKey, ColumnMapping.physicalName(f))
+                .build()))
+            case None => throw new IllegalArgumentException(
+              s"no such column: ${path.mkString(".")}")
           })
         case ut: TableChange.UpdateColumnType =>
-          require(ut.fieldNames().length == 1, "nested retype unsupported")
-          val name = ut.fieldNames()(0)
-          val f = schema.find(_.name == name).getOrElse(
-            throw new IllegalArgumentException(s"no such column: $name"))
-          require(ColumnMapping.canWiden(f.dataType, ut.newDataType()),
-            s"only widening type changes are metadata-safe: " +
-              s"${f.dataType.simpleString} → ${ut.newDataType().simpleString} is not")
-          schema = StructType(schema.fields.map(x =>
-            if (x.name == name) x.copy(dataType = ut.newDataType()) else x))
+          // widening-only at any depth (parquet readers promote the
+          // clipped nested type on read, same as top-level)
+          val path = ut.fieldNames().toSeq
+          schema = SchemaEvolution.updateAt(schema, path, {
+            case Some(f) =>
+              require(ColumnMapping.canWiden(f.dataType, ut.newDataType()),
+                s"only widening type changes are metadata-safe: " +
+                  s"${f.dataType.simpleString} → " +
+                  s"${ut.newDataType().simpleString} is not")
+              Some(f.copy(dataType = ut.newDataType()))
+            case None => throw new IllegalArgumentException(
+              s"no such column: ${path.mkString(".")}")
+          })
         case un: TableChange.UpdateColumnNullability =>
-          require(un.fieldNames().length == 1, "nested nullability unsupported")
           require(un.nullable(),
             "tightening to NOT NULL requires a data scan; only relaxing is supported")
-          schema = StructType(schema.fields.map(x =>
-            if (x.name == un.fieldNames()(0)) x.copy(nullable = true) else x))
+          schema = SchemaEvolution.updateAt(schema, un.fieldNames().toSeq, {
+            case Some(f) => Some(f.copy(nullable = true))
+            case None => throw new IllegalArgumentException(
+              s"no such column: ${un.fieldNames().mkString(".")}")
+          })
         case uc: TableChange.UpdateColumnComment =>
-          require(uc.fieldNames().length == 1, "nested comment unsupported")
-          schema = StructType(schema.fields.map(x =>
-            if (x.name == uc.fieldNames()(0)) x.withComment(uc.newComment()) else x))
+          schema = SchemaEvolution.updateAt(schema, uc.fieldNames().toSeq, {
+            case Some(f) => Some(f.withComment(uc.newComment()))
+            case None => throw new IllegalArgumentException(
+              s"no such column: ${uc.fieldNames().mkString(".")}")
+          })
         case other =>
           throw new UnsupportedOperationException(s"table change $other")
       }
@@ -767,6 +809,12 @@ class GraftView(catalogName: String, ident: Identifier, d: ViewDef) extends View
 object GraftCatalog {
   /** TableDef property holding comma-separated partition column names. */
   val PartitionColsProp = "graft.partition-columns"
+
+  /** TableDef property: comma-separated dotted PHYSICAL paths of every
+    * column ever dropped — a later ADD under a dropped name gets a
+    * fresh physical name so old file data cannot resurrect.
+    */
+  val DroppedFieldsProp = "graft.dropped-fields"
 
   /** Commit a DataFrame as data files and return their entries.
     *

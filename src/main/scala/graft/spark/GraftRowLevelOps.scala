@@ -258,9 +258,7 @@ class GraftCowScan(
     }
     // delegate reads under PHYSICAL names; readSchema() stays logical
     // and rows are positional (rename-safe reads, ColumnMapping)
-    val renames = ColumnMapping.renames(table.schema)
-    val physRequired = StructType(dataRequired.fields.map(f =>
-      f.copy(name = renames.getOrElse(f.name, f.name))))
+    val physRequired = ColumnMapping.toPhysicalRequired(dataRequired, table.schema)
     val inner = ParquetTable(table.name(), spark, opts, kept.map(_._1),
       Some(ColumnMapping.toPhysical(table.schema)), classOf[ParquetFileFormat])
       .newScanBuilder(opts)
@@ -334,9 +332,7 @@ class GraftCowBatchWrite(
     // data files always carry PHYSICAL column names (rename-safe
     // writes, ColumnMapping) — rows are positional, so re-labeling the
     // write schema is the whole job
-    val renames = ColumnMapping.renames(table.schema)
-    val physSchema = StructType(info.schema().fields.map(f =>
-      f.copy(name = renames.getOrElse(f.name, f.name))))
+    val physSchema = ColumnMapping.toPhysicalRequired(info.schema(), table.schema)
     SparkInternals.parquetBatchWrite(
       org.apache.spark.sql.SparkSession.active.asInstanceOf[ClassicSession],
       physSchema, partCols, storage.absolute(stagingRel), info.queryId())

@@ -66,8 +66,7 @@ class GraftScanBuilder(
     // `_file` metadata column: delegate reads the data columns, the
     // wrapper appends the per-row file path (single-file partitions)
     val (dataRequired, hasFile) = GraftMetadataColumns.split(requiredSchema)
-    val physRequired = StructType(dataRequired.fields.map(f =>
-      f.copy(name = renames.getOrElse(f.name, f.name))))
+    val physRequired = ColumnMapping.toPhysicalRequired(dataRequired, schema)
     onBuild(physRequired.fieldNames.toSeq, physFilters)
     if (kept.isEmpty) return new EmptyScanBuilder(requiredSchema).build()
     // basePath lets Spark's file index parse Hive-style col=value
@@ -100,7 +99,7 @@ class GraftScanBuilder(
         new FileTaggedScan(built,
           StructType(dataRequired.fields :+ org.apache.spark.sql.types.StructField(
             GraftMetadataColumns.FileName, StringType, nullable = false)))
-      else if (renames.isEmpty) built
+      else if (!ColumnMapping.hasRenames(schema)) built
       else new RelabeledScan(built, dataRequired)
     // storage-partitioned joins: report each Hive-partition value as a
     // key-grouped storage partition so joins/aggregates clustered on

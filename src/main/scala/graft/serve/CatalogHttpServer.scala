@@ -52,32 +52,141 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0) {
 
   def stop(): Unit = server.stop(0)
 
-  private def handle(ex: HttpExchange): Unit =
+  private def handle(ex: HttpExchange): Unit = {
+    val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
+    val iceberg = parts.take(2) == List("v1", "iceberg")
     try {
-      val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
-      ex.getRequestMethod match {
+      if (iceberg) handleIceberg(ex, ex.getRequestMethod, parts.drop(2))
+      else ex.getRequestMethod match {
         case "GET" => handleGet(ex, parts)
         case "POST" => handlePost(ex, parts)
         case "DELETE" => handleDelete(ex, parts)
         case _ => reply(ex, 405, """{"error":"unsupported method"}""")
       }
     } catch {
+      case _: NoSuchElementException if iceberg =>
+        reply(ex, 404,
+          IcebergRest.errorResponse(404, "NoSuchObjectException", "not found"))
       case _: NoSuchElementException =>
         reply(ex, 404, """{"error":"object not found"}""")
+      case e: IllegalArgumentException if iceberg =>
+        reply(ex, 400, IcebergRest.errorResponse(400, "BadRequestException",
+          String.valueOf(e.getMessage)))
       case e: IllegalArgumentException =>
         reply(ex, 400, s"""{"error":${Json.writeString(e.getMessage)}}""")
       case e: Exception =>
         reply(ex, 500, s"""{"error":${Json.writeString(String.valueOf(e.getMessage))}}""")
     } finally ex.close()
+  }
+
+  /** Iceberg-REST-catalog routes (PUBLIC Apache Iceberg REST OpenAPI
+    * shapes) under the spec's `prefix` mechanism: `GET /v1/config`
+    * advertises `prefix=iceberg`, so clients call
+    * `/v1/iceberg/namespaces/...`. Metadata-plane interop: external
+    * engines discover namespaces/tables/views and read Iceberg-format
+    * schemas, snapshot history, and properties over plain HTTP.
+    */
+  private def handleIceberg(ex: HttpExchange, method: String,
+      route: List[String]): Unit = (method, route) match {
+    case ("GET", List("namespaces")) =>
+      withReadTxn { txn =>
+        reply(ex, 200,
+          IcebergRest.namespacesResponse(Graft.showNamespaces(storage, txn)))
+      }
+    case ("POST", List("namespaces")) =>
+      val body = Json.mapper.readTree(requestBody(ex))
+      val nsArr = body.get("namespace")
+      require(nsArr != null && nsArr.size() == 1,
+        "graft namespaces are single-level")
+      val name = nsArr.get(0).asText()
+      val props = Option(body.get("properties")).map { p =>
+        val it = p.properties().iterator()
+        val m = scala.collection.mutable.Map.empty[String, String]
+        while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asText() }
+        m.toMap
+      }.getOrElse(Map.empty[String, String])
+      inWriteTxn(txn => Graft.createNamespace(storage, txn,
+        NamespaceDef(name, props)))
+      reply(ex, 200, IcebergRest.namespaceResponse(name, props))
+    case ("GET", List("namespaces", ns)) =>
+      withReadTxn { txn =>
+        val d = Graft.describeNamespace(storage, txn, ns)
+        reply(ex, 200, IcebergRest.namespaceResponse(d.name, d.properties))
+      }
+    case ("HEAD", List("namespaces", ns)) =>
+      val exists = withReadTxn(txn => Graft.namespaceExists(storage, txn, ns))
+      replyEmpty(ex, if (exists) 204 else 404)
+    case ("DELETE", List("namespaces", ns)) =>
+      inWriteTxn(txn => Graft.dropNamespace(storage, txn, ns, cascade = false))
+      replyEmpty(ex, 204)
+    case ("GET", List("namespaces", ns, "tables")) =>
+      withReadTxn { txn =>
+        reply(ex, 200,
+          IcebergRest.identifiersResponse(ns, Graft.showTables(storage, txn, ns)))
+      }
+    case ("POST", List("namespaces", ns, "tables")) =>
+      val body = Json.mapper.readTree(requestBody(ex))
+      require(body.hasNonNull("name") && body.hasNonNull("schema"),
+        "table create needs name and schema")
+      val name = body.get("name").asText()
+      val schema = IcebergRest.fromIcebergSchema(body.get("schema"))
+      val metaPath = FileLocations.tableMetadataPath(ns, name)
+      TableMetadata.write(storage, metaPath, TableMetadata.empty(schema.json))
+      inWriteTxn(txn => Graft.createTable(storage, txn,
+        TableDef(name, ns, metadataLocation = metaPath)))
+      replyLoadTable(ex, ns, name)
+    case ("GET", List("namespaces", ns, "tables", t)) =>
+      replyLoadTable(ex, ns, t)
+    case ("HEAD", List("namespaces", ns, "tables", t)) =>
+      val exists = withReadTxn(txn => Graft.tableExists(storage, txn, ns, t))
+      replyEmpty(ex, if (exists) 204 else 404)
+    case ("DELETE", List("namespaces", ns, "tables", t)) =>
+      inWriteTxn(txn => Graft.dropTable(storage, txn, ns, t))
+      replyEmpty(ex, 204)
+    case ("GET", List("namespaces", ns, "views")) =>
+      withReadTxn { txn =>
+        reply(ex, 200,
+          IcebergRest.identifiersResponse(ns, Graft.showViews(storage, txn, ns)))
+      }
+    case ("GET", List("namespaces", ns, "views", v)) =>
+      withReadTxn { txn =>
+        val vd = Graft.describeView(storage, txn, ns, v)
+        reply(ex, 200, IcebergRest.loadViewResult(vd,
+          storage.absolute(s"def/view/$ns-$v"), storage.root))
+      }
+    case _ =>
+      reply(ex, 404,
+        IcebergRest.errorResponse(404, "NoSuchRouteException", "no such route"))
+  }
+
+  private def replyLoadTable(ex: HttpExchange, ns: String, t: String): Unit =
+    withReadTxn { txn =>
+      val td = Graft.describeTable(storage, txn, ns, t)
+      val meta = TableMetadata.read(storage, td.metadataLocation)
+      reply(ex, 200, IcebergRest.loadTableResult(td, meta,
+        storage.absolute(td.metadataLocation),
+        storage.absolute(FileLocations.tableDataDir(ns, t))))
+    }
+
+  private def replyEmpty(ex: HttpExchange, code: Int): Unit =
+    ex.sendResponseHeaders(code, -1)
 
   private def handleGet(ex: HttpExchange, parts: List[String]): Unit = {
     {
       val body = withReadTxn { txn =>
         parts match {
           case List("v1", "config") =>
+            // one config doc serves both protocols: graft clients read
+            // the CatalogDef fields; Iceberg REST clients read
+            // defaults/overrides and learn the `iceberg` route prefix
             val root = graft.tree.TreeOps.findLatestRoot(storage).get
-            try Some(Json.writeString(Graft.catalogDef(storage, root)))
-            finally root.close()
+            try {
+              val node = Json.mapper.valueToTree[com.fasterxml.jackson.databind
+                .node.ObjectNode](Graft.catalogDef(storage, root))
+              node.putObject("defaults")
+              node.putObject("overrides").put("prefix", "iceberg")
+              Some(node.toString)
+            } finally root.close()
           case List("v1", "namespaces") =>
             Some(listJson("namespaces", Graft.showNamespaces(storage, txn)))
           case List("v1", "namespaces", ns) =>

@@ -1,0 +1,313 @@
+package graft.serve
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import graft.format.TableMetadata
+import graft.objects.{Json, TableDef, ViewDef}
+import org.apache.spark.sql.types._
+
+/** Iceberg-REST-catalog payload rendering (the reference's whole
+  * interop story is an Iceberg REST catalog — docker/gravitino/,
+  * docs/iceberg.md). Shapes follow the PUBLIC Apache Iceberg REST
+  * OpenAPI spec + table-spec (format-version 2): namespaces are
+  * string ARRAYS, tables load as `{"metadata-location", "metadata",
+  * "config"}`, schemas carry assigned field IDs at every depth.
+  *
+  * graft's native snapshot log replaces Iceberg's manifest tree, so
+  * `manifest-list` is served empty — external engines get full
+  * METADATA interop (discovery, schemas, snapshot history,
+  * properties); the data plane rides engines that speak graft
+  * natively. That matches the reference scope: its REST server also
+  * serves metadata only, data files ride the engine.
+  */
+object IcebergRest {
+
+  private def mapper = Json.mapper
+
+  // ---- Spark schema → Iceberg schema JSON (field IDs assigned) ----
+
+  /** Iceberg struct schema with sequential pre-order field IDs; also
+    * returns the last assigned id (metadata `last-column-id`).
+    */
+  def toIcebergSchema(schema: StructType): (ObjectNode, Int) = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val node = structNode(schema, counter)
+    node.put("schema-id", 0)
+    (node, counter.get())
+  }
+
+  private def structNode(s: StructType, c: java.util.concurrent.atomic.AtomicInteger): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("type", "struct")
+    val fields = n.putArray("fields")
+    // IDs are assigned level-first within a struct (all siblings before
+    // any child), matching how Iceberg's own assignFreshIds walks
+    val assigned = s.fields.map(f => (f, c.incrementAndGet()))
+    assigned.foreach { case (f, id) =>
+      val fn = fields.addObject()
+      fn.put("id", id)
+      fn.put("name", f.name)
+      fn.put("required", !f.nullable)
+      fn.set("type", typeNode(f.dataType, c))
+      f.getComment().foreach(fn.put("doc", _))
+    }
+    n
+  }
+
+  private def typeNode(dt: DataType, c: java.util.concurrent.atomic.AtomicInteger): JsonNode =
+    dt match {
+      case s: StructType => structNode(s, c)
+      case a: ArrayType =>
+        val n = mapper.createObjectNode()
+        n.put("type", "list")
+        n.put("element-id", c.incrementAndGet())
+        n.set("element", typeNode(a.elementType, c))
+        n.put("element-required", !a.containsNull)
+        n
+      case m: MapType =>
+        val n = mapper.createObjectNode()
+        n.put("type", "map")
+        n.put("key-id", c.incrementAndGet())
+        n.set("key", typeNode(m.keyType, c))
+        n.put("value-id", c.incrementAndGet())
+        n.set("value", typeNode(m.valueType, c))
+        n.put("value-required", !m.valueContainsNull)
+        n
+      case other => mapper.getNodeFactory.textNode(primitiveName(other))
+    }
+
+  private def primitiveName(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case ByteType | ShortType | IntegerType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case DateType => "date"
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case other =>
+      throw new IllegalArgumentException(
+        s"no Iceberg mapping for ${other.simpleString}")
+  }
+
+  // ---- Iceberg schema JSON → Spark schema (table create via REST) ----
+
+  def fromIcebergSchema(node: JsonNode): StructType =
+    fromStruct(node)
+
+  private def fromStruct(node: JsonNode): StructType = {
+    val fields = node.get("fields").elements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    while (fields.hasNext) {
+      val f = fields.next()
+      val nullable = !f.path("required").asBoolean(false)
+      out += StructField(f.get("name").asText(), fromType(f.get("type")), nullable)
+    }
+    StructType(out.toSeq)
+  }
+
+  private def fromType(t: JsonNode): DataType =
+    if (t.isTextual) fromPrimitive(t.asText())
+    else t.get("type").asText() match {
+      case "struct" => fromStruct(t)
+      case "list" =>
+        ArrayType(fromType(t.get("element")),
+          containsNull = !t.path("element-required").asBoolean(false))
+      case "map" =>
+        MapType(fromType(t.get("key")), fromType(t.get("value")),
+          valueContainsNull = !t.path("value-required").asBoolean(false))
+      case other => throw new IllegalArgumentException(s"unknown type $other")
+    }
+
+  private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+
+  private def fromPrimitive(name: String): DataType = name match {
+    case "boolean" => BooleanType
+    case "int" => IntegerType
+    case "long" => LongType
+    case "float" => FloatType
+    case "double" => DoubleType
+    case "string" => StringType
+    case "binary" => BinaryType
+    case "date" => DateType
+    case "timestamptz" => TimestampType
+    case "timestamp" => TimestampNTZType
+    case "uuid" => StringType
+    case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
+    case other => throw new IllegalArgumentException(s"unknown type $other")
+  }
+
+  // ---- LoadTableResult ----
+
+  /** Iceberg v2 table-metadata JSON from graft's snapshot log. */
+  def tableMetadataJson(td: TableDef, meta: TableMetadata,
+      metadataLocation: String, dataLocation: String): ObjectNode = {
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val (schemaNode, lastColId) = toIcebergSchema(schema)
+    val m = mapper.createObjectNode()
+    m.put("format-version", 2)
+    m.put("table-uuid",
+      java.util.UUID.nameUUIDFromBytes(
+        s"${td.namespaceName}.${td.name}".getBytes("UTF-8")).toString)
+    m.put("location", dataLocation)
+    m.put("last-sequence-number", meta.snapshots.size.toLong)
+    m.put("last-updated-ms",
+      meta.snapshots.lastOption.map(_.timestampMillis)
+        .getOrElse(System.currentTimeMillis()))
+    m.put("last-column-id", lastColId)
+    m.put("current-schema-id", 0)
+    m.putArray("schemas").add(schemaNode)
+    // graft partition layout is Hive-style identity on named columns
+    val partCols = td.properties.get("graft.partition-columns")
+      .map(_.split(',').toSeq).getOrElse(Seq.empty)
+    val spec = mapper.createObjectNode()
+    spec.put("spec-id", 0)
+    val sf = spec.putArray("fields")
+    partCols.zipWithIndex.foreach { case (colName, i) =>
+      val idx = fieldId(schemaNode, colName)
+      val f = sf.addObject()
+      f.put("name", colName)
+      f.put("transform", "identity")
+      f.put("source-id", idx)
+      f.put("field-id", 1000 + i)
+    }
+    m.putArray("partition-specs").add(spec)
+    m.put("default-spec-id", 0)
+    m.put("last-partition-id", 1000 + math.max(partCols.size - 1, 0))
+    m.put("default-sort-order-id", 0)
+    val order = mapper.createObjectNode()
+    order.put("order-id", 0)
+    order.putArray("fields")
+    m.putArray("sort-orders").add(order)
+    val props = m.putObject("properties")
+    td.properties.foreach { case (k, v) => props.put(k, v) }
+    m.put("current-snapshot-id", meta.currentSnapshotId)
+    val snaps = m.putArray("snapshots")
+    meta.snapshots.foreach { s =>
+      val sn = snaps.addObject()
+      sn.put("snapshot-id", s.id)
+      if (s.parentId >= 0) sn.put("parent-snapshot-id", s.parentId)
+      sn.put("sequence-number", s.id)
+      sn.put("timestamp-ms", s.timestampMillis)
+      val sum = sn.putObject("summary")
+      sum.put("operation", icebergOp(s.operation))
+      sum.put("added-data-files", s.files.size.toString)
+      sum.put("total-records", s.files.map(_.rowCount).sum.toString)
+      sum.put("total-files-size", s.files.map(_.sizeBytes).sum.toString)
+      sn.put("schema-id", 0)
+      // graft's snapshot log IS the file inventory; no avro manifests
+      sn.put("manifest-list", "")
+    }
+    val log = m.putArray("snapshot-log")
+    meta.snapshots.foreach { s =>
+      val e = log.addObject()
+      e.put("snapshot-id", s.id)
+      e.put("timestamp-ms", s.timestampMillis)
+    }
+    m.putArray("metadata-log")
+    m.putObject("refs")
+    m
+  }
+
+  private def fieldId(schemaNode: ObjectNode, name: String): Int = {
+    val fields = schemaNode.get("fields").elements()
+    while (fields.hasNext) {
+      val f = fields.next()
+      if (f.get("name").asText() == name) return f.get("id").asInt()
+    }
+    throw new IllegalArgumentException(s"no such partition source column: $name")
+  }
+
+  private def icebergOp(op: String): String = op match {
+    case "append" => "append"
+    case "overwrite" | "truncate" | "update" | "merge" => "overwrite"
+    case "delete" => "delete"
+    case "compact" => "replace"
+    case _ => "overwrite"
+  }
+
+  def loadTableResult(td: TableDef, meta: TableMetadata,
+      metadataLocation: String, dataLocation: String): String = {
+    val r = mapper.createObjectNode()
+    r.put("metadata-location", metadataLocation)
+    r.set("metadata",
+      tableMetadataJson(td, meta, metadataLocation, dataLocation))
+    r.putObject("config")
+    r.toString
+  }
+
+  // ---- LoadViewResult (view-spec format-version 1) ----
+
+  def loadViewResult(vd: ViewDef, metadataLocation: String,
+      location: String): String = {
+    val schema = DataType.fromJson(vd.schemaJson).asInstanceOf[StructType]
+    val (schemaNode, _) = toIcebergSchema(schema)
+    val m = mapper.createObjectNode()
+    m.put("view-uuid",
+      java.util.UUID.nameUUIDFromBytes(
+        s"${vd.namespaceName}.${vd.name}".getBytes("UTF-8")).toString)
+    m.put("format-version", 1)
+    m.put("location", location)
+    m.putArray("schemas").add(schemaNode)
+    m.put("current-version-id", 1)
+    val v = m.putArray("versions").addObject()
+    v.put("version-id", 1)
+    v.put("schema-id", 0)
+    v.put("timestamp-ms", System.currentTimeMillis())
+    v.putObject("summary")
+    val rep = v.putArray("representations").addObject()
+    rep.put("type", "sql")
+    rep.put("sql", vd.sqlText)
+    rep.put("dialect", "spark")
+    v.putArray("default-namespace").add(vd.namespaceName)
+    val log = m.putArray("version-log").addObject()
+    log.put("version-id", 1)
+    log.put("timestamp-ms", System.currentTimeMillis())
+    val props = m.putObject("properties")
+    vd.properties.foreach { case (k, v2) => props.put(k, v2) }
+    val r = mapper.createObjectNode()
+    r.put("metadata-location", metadataLocation)
+    r.set("metadata", m)
+    r.toString
+  }
+
+  // ---- small response builders ----
+
+  def namespacesResponse(names: Seq[String]): String = {
+    val r = mapper.createObjectNode()
+    val arr = r.putArray("namespaces")
+    names.foreach(n => arr.addArray().add(n))
+    r.toString
+  }
+
+  def namespaceResponse(name: String, properties: Map[String, String]): String = {
+    val r = mapper.createObjectNode()
+    r.putArray("namespace").add(name)
+    val p = r.putObject("properties")
+    properties.foreach { case (k, v) => p.put(k, v) }
+    r.toString
+  }
+
+  def identifiersResponse(ns: String, names: Seq[String]): String = {
+    val r = mapper.createObjectNode()
+    val arr = r.putArray("identifiers")
+    names.foreach { n =>
+      val id = arr.addObject()
+      id.putArray("namespace").add(ns)
+      id.put("name", n)
+    }
+    r.toString
+  }
+
+  def errorResponse(code: Int, errType: String, message: String): String = {
+    val r = mapper.createObjectNode()
+    val e = r.putObject("error")
+    e.put("message", message)
+    e.put("type", errType)
+    e.put("code", code)
+    r.toString
+  }
+}

@@ -1,0 +1,182 @@
+package graft.serve
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import graft.objects.Json
+import graft.spark.GraftCatalog
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Iceberg-REST-catalog facade driven end-to-end over plain HTTP,
+  * exactly as an external engine would: GET /v1/config to learn the
+  * prefix, then namespace/table CRUD + table loads under it. Shapes
+  * follow the PUBLIC Apache Iceberg REST OpenAPI spec (the reference's
+  * interop story — docker/gravitino/, docs/iceberg.md).
+  */
+class IcebergRestSpec extends AnyFunSuite {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-irest").toString
+
+  lazy val spark: SparkSession = graft.Verify.sessionBuilder("4")
+    .config("spark.sql.catalog.ir", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.ir.warehouse", warehouse)
+    .getOrCreate()
+
+  private val client = HttpClient.newHttpClient()
+
+  private def send(port: Int, method: String, path: String,
+      body: String = null): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+    val req = method match {
+      case "GET" => b.GET()
+      case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
+      case "DELETE" => b.DELETE()
+      case "POST" => b.header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body))
+    }
+    val res = client.send(req.build(), HttpResponse.BodyHandlers.ofString())
+    (res.statusCode(), res.body())
+  }
+
+  private def startServer(): (CatalogHttpServer, Int) = {
+    val storage = spark.sessionState.catalogManager.catalog("ir")
+      .asInstanceOf[GraftCatalog].storage
+    val server = new CatalogHttpServer(storage)
+    (server, server.start())
+  }
+
+  test("a pure-HTTP Iceberg REST client round-trips the catalog") {
+    // seed one table + view from the SQL side so loads have content
+    spark.sql("CREATE NAMESPACE ir.sqlns")
+    spark.sql("""CREATE TABLE ir.sqlns.events (
+      id BIGINT NOT NULL, payload STRUCT<kind: STRING, n: BIGINT>,
+      tags ARRAY<STRING>, attrs MAP<STRING, DOUBLE>, region STRING)
+      PARTITIONED BY (region)""")
+    spark.sql("INSERT INTO ir.sqlns.events VALUES " +
+      "(1, named_struct('kind', 'a', 'n', 2L), array('x'), map('m', 0.5D), 'eu')")
+    spark.sql("CREATE VIEW ir.sqlns.recent AS " +
+      "SELECT id FROM ir.sqlns.events WHERE id > 0")
+
+    val (server, port) = startServer()
+    try {
+      // 1. config advertises the prefix (spec's route-discovery step)
+      val (c0, cfg) = send(port, "GET", "/v1/config")
+      assert(c0 == 200)
+      val cfgNode = Json.mapper.readTree(cfg)
+      val prefix = cfgNode.get("overrides").get("prefix").asText()
+      assert(prefix == "iceberg")
+      val base = s"/v1/$prefix"
+
+      // 2. namespace listing: namespaces are string ARRAYS per spec
+      val (c1, nss) = send(port, "GET", s"$base/namespaces")
+      assert(c1 == 200 && nss.contains("[\"sqlns\"]"), nss)
+
+      // 3. create a namespace over REST; HEAD sees it; SQL side too
+      val (c2, created) = send(port, "POST", s"$base/namespaces",
+        """{"namespace":["restns"],"properties":{"owner":"it"}}""")
+      assert(c2 == 200 && created.contains("restns"))
+      assert(send(port, "HEAD", s"$base/namespaces/restns")._1 == 204)
+      assert(send(port, "HEAD", s"$base/namespaces/nope")._1 == 404)
+      val sqlSees = spark.sql("SHOW NAMESPACES IN ir")
+        .collect().map(_.getString(0))
+      assert(sqlSees.contains("restns"))
+
+      // 4. table list + load: LoadTableResult with v2 metadata
+      val (c3, ids) = send(port, "GET", s"$base/namespaces/sqlns/tables")
+      assert(c3 == 200)
+      val idNode = Json.mapper.readTree(ids).get("identifiers").get(0)
+      assert(idNode.get("namespace").get(0).asText() == "sqlns")
+      assert(idNode.get("name").asText() == "events")
+
+      val (c4, load) = send(port, "GET", s"$base/namespaces/sqlns/tables/events")
+      assert(c4 == 200)
+      val lt = Json.mapper.readTree(load)
+      assert(lt.hasNonNull("metadata-location"))
+      val md = lt.get("metadata")
+      assert(md.get("format-version").asInt() == 2)
+      // schema: field IDs assigned at every depth, nested types mapped
+      val schema = md.get("schemas").get(0)
+      val fields = schema.get("fields")
+      assert(fields.get(0).get("name").asText() == "id")
+      assert(fields.get(0).get("required").asBoolean())
+      assert(fields.get(0).get("id").asInt() > 0)
+      val payload = (0 until fields.size()).map(fields.get)
+        .find(_.get("name").asText() == "payload").get
+      assert(payload.get("type").get("type").asText() == "struct")
+      val ids2 = collectIds(schema)
+      assert(ids2.distinct.size == ids2.size, s"duplicate field ids: $ids2")
+      // partition spec: identity transform on the partition column
+      val spec = md.get("partition-specs").get(0).get("fields").get(0)
+      assert(spec.get("transform").asText() == "identity")
+      assert(spec.get("name").asText() == "region")
+      // snapshot log: the INSERT shows up with totals
+      assert(md.get("current-snapshot-id").asLong() >= 0)
+      val snap = md.get("snapshots").get(0)
+      assert(snap.get("summary").get("operation").asText() == "append")
+      assert(snap.get("summary").get("total-records").asText() == "1")
+
+      // 5. create a table over REST with a NESTED Iceberg schema; the
+      // SQL side reads and writes it
+      val mkBody =
+        """{"name":"metrics","schema":{"type":"struct","fields":[
+          |{"id":1,"name":"k","required":true,"type":"long"},
+          |{"id":2,"name":"dims","required":false,"type":{"type":"struct","fields":[
+          |  {"id":3,"name":"host","required":false,"type":"string"},
+          |  {"id":4,"name":"vals","required":false,"type":
+          |    {"type":"list","element-id":5,"element":"double","element-required":false}}
+          |]}}]}}""".stripMargin.replaceAll("\n", "")
+      val (c5, mk) = send(port, "POST", s"$base/namespaces/restns/tables", mkBody)
+      assert(c5 == 200, mk)
+      assert(Json.mapper.readTree(mk).get("metadata")
+        .get("schemas").get(0).get("fields").size() == 2)
+      spark.sql("INSERT INTO ir.restns.metrics VALUES " +
+        "(7, named_struct('host', 'h1', 'vals', array(1.5D, 2.5D)))")
+      val row = spark.sql(
+        "SELECT k, dims.host, dims.vals[1] FROM ir.restns.metrics").collect()(0)
+      assert(row.getLong(0) == 7 && row.getString(1) == "h1" &&
+        row.getDouble(2) == 2.5)
+
+      // 6. view endpoints: list + LoadViewResult with a SQL representation
+      val (c6, vids) = send(port, "GET", s"$base/namespaces/sqlns/views")
+      assert(c6 == 200 && vids.contains("recent"))
+      val (c7, vload) = send(port, "GET", s"$base/namespaces/sqlns/views/recent")
+      assert(c7 == 200)
+      val vm = Json.mapper.readTree(vload).get("metadata")
+      val rep = vm.get("versions").get(0).get("representations").get(0)
+      assert(rep.get("type").asText() == "sql")
+      assert(rep.get("sql").asText().toLowerCase.contains("select"))
+
+      // 7. drop over REST: table then namespace; 404 after
+      assert(send(port, "DELETE", s"$base/namespaces/restns/tables/metrics")._1 == 204)
+      assert(send(port, "HEAD", s"$base/namespaces/restns/tables/metrics")._1 == 404)
+      assert(send(port, "DELETE", s"$base/namespaces/restns")._1 == 204)
+      assert(send(port, "HEAD", s"$base/namespaces/restns")._1 == 404)
+
+      // 8. spec-shaped errors
+      val (c8, err) = send(port, "GET", s"$base/namespaces/ghost/tables/ghost")
+      assert(c8 == 404)
+      val en = Json.mapper.readTree(err).get("error")
+      assert(en.get("code").asInt() == 404 && en.hasNonNull("type"))
+    } finally server.stop()
+  }
+
+  private def collectIds(node: com.fasterxml.jackson.databind.JsonNode): Seq[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def walk(n: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      if (n.isObject) {
+        val it = n.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if ((e.getKey == "id" || e.getKey.endsWith("-id")) &&
+              e.getValue.isInt && e.getKey != "schema-id")
+            out += e.getValue.asInt()
+          walk(e.getValue)
+        }
+      } else if (n.isArray) n.forEach(walk(_))
+    }
+    walk(node)
+    out.toSeq
+  }
+}

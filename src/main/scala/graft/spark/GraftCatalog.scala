@@ -491,17 +491,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       oldIdent.name(), newIdent.name()))
   }
 
-  // ---------------- write commit (called from GraftTable's V1Write) ----------------
+  // ---------------- write commit (called from GraftAppendBatchWrite) ----------------
 
-  /** Stage the DataFrame as parquet in a fresh commit directory, then
-    * commit a snapshot that appends (or replaces) the table's file
-    * list. Registered as a replay so a lost commit race re-merges with
-    * the winner's file list instead of clobbering it (the append/append
-    * rebase the reference's matrix declares resolvable,
-    * AnalyzeActionConflicts.java:171-187).
+  /** Commit already-staged data files as a snapshot that appends (or
+    * replaces) the table's file list. Registered as a replay so a lost
+    * commit race re-merges with the winner's file list instead of
+    * clobbering it (the append/append rebase the reference's matrix
+    * declares resolvable, AnalyzeActionConflicts.java:171-187). The
+    * parquet staging itself happens in the DSv2 write
+    * ([[GraftAppendBatchWrite]]) before this runs on the driver.
     */
-  def commitWrite(ident: Identifier, data: org.apache.spark.sql.DataFrame,
-      overwrite: Boolean): Unit = {
+  private[spark] def commitFiles(ident: Identifier,
+      newFiles: Seq[graft.format.DataFileEntry], overwrite: Boolean): Unit = {
     // write inside a suspended distributed txn: apply to its running
     // tree and re-suspend — nothing publishes until the commit property
     // is set (write-audit-publish, docs/index.md:54-64)
@@ -511,14 +512,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       val t = ident.name()
       val txn = Graft.loadDistTransaction(storage, id)
       try {
-        val td = Graft.describeTable(storage, txn, ns, t)
-        val partCols = td.properties
-          .get(GraftCatalog.PartitionColsProp)
-          .map(_.split(',').toSeq).getOrElse(Seq.empty)
-        val schema = DataType.fromJson(TableMetadata.read(storage,
-          td.metadataLocation).schemaJson).asInstanceOf[StructType]
-        val newFiles = GraftCatalog.commitDataFiles(data, partCols, storage,
-          ns, t, Some(schema))
         applyTableCommit(storage, txn.runningRoot, ns, t, "append", newFiles,
           overwrite)
         val cd = Graft.catalogDef(storage, txn.runningRoot)
@@ -532,17 +525,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     }
     val ns = ns1(ident.namespace())
     val t = ident.name()
-    // cluster by the table's partition columns so files carry tight
-    // stats on them (exact partition pruning at scan time)
-    val (partCols, schema) = inTxn { txn =>
-      val td = Graft.describeTable(storage, txn, ns, t)
-      (td.properties.get(GraftCatalog.PartitionColsProp)
-        .map(_.split(',').toSeq).getOrElse(Seq.empty),
-        DataType.fromJson(TableMetadata.read(storage,
-          td.metadataLocation).schemaJson).asInstanceOf[StructType])
-    }
-    val newFiles = GraftCatalog.commitDataFiles(data, partCols, storage, ns, t,
-      Some(schema))
     val op = if (overwrite) "overwrite" else "append"
     inTxn { txn =>
       applyTableCommit(storage, txn.runningRoot, ns, t, op, newFiles, overwrite)

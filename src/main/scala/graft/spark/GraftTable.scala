@@ -11,10 +11,9 @@ import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -30,10 +29,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * time travel come from which files we hand it. A TABLE_SELECT action
   * is recorded for conflict analysis (OlympiaIcebergTableScan.java:31-48).
   *
-  * Write path: V1Write fallback — the incoming DataFrame is written
-  * through Spark's parquet writer into a fresh commit directory, the
-  * produced files become a new snapshot, and the snapshot commit rides
-  * the catalog transaction (OlympiaIcebergMergeAppend.java:36-68).
+  * Write path: native DSv2 [[GraftAppendWrite]] — executors stream
+  * rows through Spark's parquet BatchWrite into a fresh commit
+  * directory (clustered on partition columns), the produced files
+  * become a new snapshot, and the snapshot commit rides the catalog
+  * transaction (OlympiaIcebergMergeAppend.java:36-68).
   */
 class GraftTable(
     catalog: GraftCatalog,
@@ -65,7 +65,6 @@ class GraftTable(
 
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   // -------- accessors for the row-level-operation machinery --------
@@ -167,11 +166,8 @@ class GraftTable(
 
       override def truncate(): WriteBuilder = { overwrite = true; this }
 
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          (data, overwriteFlag) =>
-            catalog.commitWrite(ident, data, overwrite || overwriteFlag)
-      }
+      override def build(): Write =
+        new GraftAppendWrite(catalog, GraftTable.this, info, overwrite)
     }
 }
 

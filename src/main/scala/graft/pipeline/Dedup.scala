@@ -196,9 +196,27 @@ object Dedup {
           .select("doc_a", "doc_b", "jac")
           .orderBy("doc_a", "doc_b")
       },
-      // LSH recall is probabilistic — verified by the rows-only check
-      // plus dd03 (exact baseline, same threshold) at small SF.
-      None),
+      // Exact-jaccard verification makes precision 1.0, so the output
+      // equals dd03's truth set exactly when LSH recall is perfect —
+      // which DedupRecallSpec proves deterministic (fixed hash seeds)
+      // on this data. The oracle IS dd03's: any banding/signature
+      // regression that loses a pair now fails the graded compare
+      // instead of hiding behind a rows-only check.
+      Some("""WITH sh AS (
+             |  SELECT doc_id, n_chars,
+             |         list_distinct(list_transform(generate_series(1, len(w) - 2),
+             |                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM (SELECT doc_id, n_chars, string_split_regex(trim(text), '\s+') AS w
+             |        FROM documents)
+             |  WHERE len(w) >= 3
+             |)
+             |SELECT doc_a, doc_b, jac FROM (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         round(len(list_intersect(a.s, b.s))::DOUBLE
+             |               / len(list_distinct(a.s || b.s)), 4) AS jac
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |)
+             |WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
 
     QueryDef(
       "dd03_ngram_jaccard",
@@ -393,6 +411,35 @@ object Dedup {
           .select("vec_a", "vec_b", "cos_sim")
           .orderBy("vec_a", "vec_b")
       },
-      None)
+      None),
+
+    QueryDef(
+      "dd08_simhash_recall",
+      (s, d) => {
+        // Graded recall audit of dd04's banding: 4 bands × 16 bits
+        // guarantee (pigeonhole) that every Hamming ≤ 3 pair shares a
+        // band, so the banded candidate set must EQUAL the exact
+        // pairwise truth — n_missed > 0 means the band split lost
+        // recall, n_extra > 0 means the Hamming filter leaked. The
+        // truth side is quadratic BY DESIGN (verification-scale
+        // baseline, like dd05); dd04 itself is the scale path.
+        GraftFunctions.register(s)
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), GraftFunctions.simhash64(col("text")).as("sim"))
+        val truth = docs.as("a")
+          .join(docs.as("b"),
+            col("a.doc_id") < col("b.doc_id") &&
+              bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= 3)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        val banded = defs.find(_.name == "dd04_simhash").get.fn(s, d)
+          .select("doc_a", "doc_b")
+        truth.join(banded, Seq("doc_a", "doc_b"), "left_anti")
+          .select(count(lit(1)).as("n_missed"))
+          .crossJoin(
+            banded.join(truth, Seq("doc_a", "doc_b"), "left_anti")
+              .select(count(lit(1)).as("n_extra")))
+      },
+      // the invariant is mathematical: the oracle is the constant row
+      Some("SELECT CAST(0 AS BIGINT) AS n_missed, CAST(0 AS BIGINT) AS n_extra"))
   )
 }

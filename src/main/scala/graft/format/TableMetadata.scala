@@ -15,9 +15,18 @@ final case class DataFileEntry(
     minValues: Map[String, String] = Map.empty,
     maxValues: Map[String, String] = Map.empty)
 
-/** An immutable table version: full file list + provenance. Replaces
+/** An immutable table version: file inventory + provenance. Replaces
   * the reference's `iceberg_metadata_location` indirection
   * (proto/objects.proto:58-69) with graft's own snapshot log.
+  *
+  * The inventory lives in TWO places: `files` (inline entries — small
+  * tables and legacy documents) and `manifests` (keys of immutable
+  * manifest objects, each a [[ManifestDoc]] of entries). Past the
+  * inline threshold, commits write only a DELTA manifest and REUSE the
+  * parent's segments — at 100 TB an append touches one small object
+  * instead of rewriting a 10⁵-entry list, and the metadata document
+  * stays a few KB no matter how many files or snapshots exist.
+  * Summary totals are carried so listings never resolve manifests.
   */
 final case class Snapshot(
     id: Long,
@@ -25,7 +34,32 @@ final case class Snapshot(
     //                       to Integer under Jackson's scala module)
     timestampMillis: Long,
     operation: String, // append | overwrite | delete | compact
-    files: Seq[DataFileEntry])
+    files: Seq[DataFileEntry],
+    manifests: Seq[String] = Seq.empty,
+    fileCount: Long = -1L, // -1 = legacy doc: totals derive from files
+    rowCount: Long = -1L,
+    sizeBytes: Long = -1L) {
+
+  def totalFiles: Long = if (fileCount >= 0) fileCount else files.size.toLong
+  def totalRows: Long = if (fileCount >= 0) rowCount else files.map(_.rowCount).sum
+  def totalBytes: Long =
+    if (fileCount >= 0) sizeBytes else files.map(_.sizeBytes).sum
+}
+
+/** One manifest segment: a plain entry list (JSON object for format
+  * headroom). Segments are immutable and content-addressed by UUID
+  * key, so snapshots share them freely.
+  */
+final case class ManifestDoc(files: Seq[DataFileEntry])
+
+/** How a commit changes the file inventory — the edit, not the result
+  * list, so the manifest layer can reuse untouched segments.
+  */
+sealed trait FilesEdit
+final case class AppendFiles(add: Seq[DataFileEntry]) extends FilesEdit
+final case class OverwriteFiles(all: Seq[DataFileEntry]) extends FilesEdit
+final case class ReplaceFiles(remove: Set[String], add: Seq[DataFileEntry])
+  extends FilesEdit
 
 /** Table metadata document, stored at TableDef.metadataLocation; every
   * commit writes a new document (copy-on-write, like Iceberg metadata
@@ -39,15 +73,24 @@ final case class TableMetadata(
 
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.id == currentSnapshotId)
 
-  def currentFiles: Seq[DataFileEntry] =
-    currentSnapshot.map(_.files).getOrElse(Seq.empty)
+  /** The current snapshot's full inventory (inline + manifests). */
+  def currentFiles(storage: StorageOps): Seq[DataFileEntry] =
+    currentSnapshot.map(Manifests.filesOf(storage, _)).getOrElse(Seq.empty)
 
-  def withSnapshot(op: String, files: Seq[DataFileEntry]): TableMetadata = {
+  /** Append a snapshot produced by `edit`; manifest reuse / rewrite /
+    * merge decided by [[Manifests.applyEdit]]. `manifestDir` roots the
+    * new segment objects (per-table, sibling of the data dir).
+    */
+  def withSnapshotEdit(storage: StorageOps, manifestDir: String, op: String,
+      edit: FilesEdit,
+      inlineMax: Int = Manifests.InlineMaxDefault): TableMetadata = {
+    val next = Manifests.applyEdit(storage, manifestDir, currentSnapshot, edit,
+      inlineMax)
     val id = currentSnapshotId + 1
     copy(
       currentSnapshotId = id,
-      snapshots = snapshots :+ Snapshot(
-        id, currentSnapshotId, System.currentTimeMillis(), op, files))
+      snapshots = snapshots :+ next.copy(id = id, parentId = currentSnapshotId,
+        timestampMillis = System.currentTimeMillis(), operation = op))
   }
 }
 
@@ -60,6 +103,107 @@ object TableMetadata {
 
   def write(storage: StorageOps, rel: String, meta: TableMetadata): Unit =
     storage.writeAtomic(rel, Json.write(meta))
+}
+
+/** Manifest-segment engine. Policy:
+  *  - a table whose inventory fits [[inlineMax]] stays fully inline
+  *    (one metadata read serves the scan — today's fast path);
+  *  - above it, appends write ONE delta manifest and reuse the
+  *    parent's; replaces rewrite ONLY segments containing removed
+  *    paths (verbatim key reuse otherwise);
+  *  - at [[segmentsMax]] segments, the commit merges all into one
+  *    (amortized O(files/segmentsMax) per commit).
+  */
+object Manifests {
+
+  /** Inventories at/below this stay inline in the metadata document.
+    * Override per table with the `graft.manifest.inline-max` property
+    * (tests; unusual deployments).
+    */
+  val InlineMaxDefault = 64
+  val SegmentsMax = 64
+  val InlineMaxProp = "graft.manifest.inline-max"
+
+  def read(storage: StorageOps, key: String): Seq[DataFileEntry] =
+    Json.read(storage.read(key), classOf[ManifestDoc]).files
+
+  def write(storage: StorageOps, manifestDir: String,
+      entries: Seq[DataFileEntry]): String = {
+    val key = s"$manifestDir/${java.util.UUID.randomUUID()}.manifest.json"
+    storage.writeAtomic(key, Json.write(ManifestDoc(entries)))
+    key
+  }
+
+  /** Full inventory of one snapshot: inline entries ⊎ all segments. */
+  def filesOf(storage: StorageOps, s: Snapshot): Seq[DataFileEntry] =
+    if (s.manifests.isEmpty) s.files
+    else s.files ++ s.manifests.flatMap(read(storage, _))
+
+  private def totals(fs: Seq[DataFileEntry]): (Long, Long, Long) =
+    (fs.size.toLong, fs.map(_.rowCount).sum, fs.map(_.sizeBytes).sum)
+
+  /** Build the child snapshot (id/parent/time/op patched by caller). */
+  def applyEdit(storage: StorageOps, manifestDir: String,
+      parent: Option[Snapshot], edit: FilesEdit,
+      inlineMax: Int = InlineMaxDefault): Snapshot = {
+    val pInline = parent.map(_.files).getOrElse(Seq.empty)
+    val pManifests = parent.map(_.manifests).getOrElse(Seq.empty)
+    val (pCount, pRows, pBytes) = parent match {
+      case Some(s) => (s.totalFiles, s.totalRows, s.totalBytes)
+      case None => (0L, 0L, 0L)
+    }
+    val (inline, manifests, count, rows, bytes) = edit match {
+      case OverwriteFiles(all) =>
+        val (c, r, b) = totals(all)
+        if (all.lengthCompare(inlineMax) <= 0) (all, Seq.empty[String], c, r, b)
+        else (Seq.empty[DataFileEntry], Seq(write(storage, manifestDir, all)),
+          c, r, b)
+      case AppendFiles(add) =>
+        val (ac, ar, ab) = totals(add)
+        if (pManifests.isEmpty && pCount + ac <= inlineMax)
+          (pInline ++ add, Seq.empty[String], pCount + ac, pRows + ar, pBytes + ab)
+        else if (add.isEmpty)
+          (pInline, pManifests, pCount, pRows, pBytes)
+        else
+          (pInline, pManifests :+ write(storage, manifestDir, add),
+            pCount + ac, pRows + ar, pBytes + ab)
+      case ReplaceFiles(remove, add) =>
+        val keptInline = pInline.filterNot(f => remove(f.path))
+        var removedEntries = pInline.filter(f => remove(f.path))
+        // rewrite ONLY segments that contain a removed path; every
+        // other segment key carries over verbatim (shared with parent)
+        val keptManifests = pManifests.flatMap { key =>
+          val entries = read(storage, key)
+          val kept = entries.filterNot(f => remove(f.path))
+          if (kept.lengthCompare(entries.size) == 0) Some(key)
+          else {
+            removedEntries ++= entries.filter(f => remove(f.path))
+            if (kept.isEmpty) None
+            else Some(write(storage, manifestDir, kept))
+          }
+        }
+        val (rc, rr, rb) = totals(removedEntries)
+        val (ac, ar, ab) = totals(add)
+        val c = pCount - rc + ac
+        val r = pRows - rr + ar
+        val b = pBytes - rb + ab
+        if (keptManifests.isEmpty && c <= inlineMax)
+          (keptInline ++ add, Seq.empty[String], c, r, b)
+        else if (add.isEmpty) (keptInline, keptManifests, c, r, b)
+        else (keptInline, keptManifests :+ write(storage, manifestDir, add),
+          c, r, b)
+    }
+    // segment-count bound: merge everything into ONE manifest
+    val (mInline, mManifests) =
+      if (manifests.lengthCompare(SegmentsMax) <= 0) (inline, manifests)
+      else {
+        val all = inline ++ manifests.flatMap(read(storage, _))
+        (Seq.empty[DataFileEntry], Seq(write(storage, manifestDir, all)))
+      }
+    Snapshot(id = -1L, parentId = -1L, timestampMillis = 0L, operation = "",
+      files = mInline, manifests = mManifests,
+      fileCount = count, rowCount = rows, sizeBytes = bytes)
+  }
 }
 
 /** Per-column value ranges of a committed file set, serialized into

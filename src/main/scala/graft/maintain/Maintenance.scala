@@ -35,7 +35,8 @@ object Maintenance {
     val ns = ident.namespace()(0)
     val td = Graft.describeTable(storage, txn, ns, ident.name())
     val meta = TableMetadata.read(storage, td.metadataLocation)
-    val before = meta.currentFiles.size
+    val current = meta.currentFiles(storage)
+    val before = current.size
     if (before <= targetFiles) return CompactionResult(before, before)
     // basePath + declared schema restore Hive-partition columns for
     // partitioned tables (their files don't carry those columns)
@@ -43,7 +44,7 @@ object Maintenance {
     val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val df = spark.read.schema(schema).option("basePath", dataRoot)
-      .parquet(meta.currentFiles.map(f => storage.absolute(f.path)): _*)
+      .parquet(current.map(f => storage.absolute(f.path)): _*)
     val partCols = td.properties.get(graft.spark.GraftCatalog.PartitionColsProp)
       .map(_.split(',').toSeq).getOrElse(Seq.empty)
     // one file per partition value IS the compaction for partitioned
@@ -51,7 +52,8 @@ object Maintenance {
     val compacted = if (partCols.isEmpty) df.repartition(targetFiles) else df
     val newFiles = graft.spark.GraftCatalog.commitDataFiles(
       compacted, partCols, storage, ns, ident.name())
-    commitSnapshot(cat, txn, ns, ident.name(), "compact", newFiles)
+    commitSnapshot(cat, txn, ns, ident.name(), "compact",
+      graft.format.OverwriteFiles(newFiles))
     CompactionResult(before, newFiles.size)
   }
 
@@ -68,6 +70,12 @@ object Maintenance {
     val keep = meta.snapshots.sortBy(-_.id).take(keepLast)
     val expired = meta.snapshots.size - keep.size
     if (expired == 0) return 0
+    // manifest segments referenced ONLY by expired snapshots die with
+    // them (segments are shared across snapshots, so live refs win) —
+    // deleted only AFTER the expiration commit succeeds
+    val keptRefs = keep.flatMap(_.manifests).toSet
+    val deadManifests = meta.snapshots.sortBy(-_.id).drop(keepLast)
+      .flatMap(_.manifests).distinct.filterNot(keptRefs)
     val meta2 = meta.copy(snapshots = keep.sortBy(_.id))
     val metaPath = FileLocations.tableMetadataPath(ns, ident.name())
     TableMetadata.write(storage, metaPath, meta2)
@@ -82,6 +90,7 @@ object Maintenance {
       Graft.catalogDef(s, r).order))
     txn.record(graft.txn.Action(graft.txn.ActionType.AlterTable, key))
     Graft.commitTransaction(storage, txn)
+    if (deadManifests.nonEmpty) storage.deleteBatch(deadManifests)
     expired
   }
 
@@ -96,7 +105,8 @@ object Maintenance {
     val ns = ident.namespace()(0)
     val td = Graft.describeTable(storage, txn, ns, ident.name())
     val meta = TableMetadata.read(storage, td.metadataLocation)
-    val referenced = meta.snapshots.flatMap(_.files).map(_.path).toSet
+    val referenced = meta.snapshots
+      .flatMap(graft.format.Manifests.filesOf(storage, _)).map(_.path).toSet
     val dataDir = FileLocations.tableDataDir(ns, ident.name())
     val onDisk = listRecursive(storage, dataDir).filter(_.endsWith(".parquet"))
     val orphans = onDisk.filterNot(referenced)
@@ -134,10 +144,8 @@ object Maintenance {
         java.nio.file.Files.size(java.nio.file.Paths.get(abs)),
         stats.minValues, stats.maxValues)
     }
-    val td = Graft.describeTable(storage, txn, ns, ident.name())
-    val meta = TableMetadata.read(storage, td.metadataLocation)
     commitSnapshot(cat, txn, ns, ident.name(), "import",
-      meta.currentFiles ++ entries)
+      graft.format.AppendFiles(entries))
     entries.size
   }
 
@@ -168,9 +176,12 @@ object Maintenance {
       if (ObjectKeys.isTableKey(row.key)) {
         val td = Json.read(storage.read(defPath), classOf[TableDef])
         copy(td.metadataLocation)
+        val meta = TableMetadata.read(storage, td.metadataLocation)
+        meta.snapshots.flatMap(_.manifests).distinct.foreach(copy)
         if (copyData) {
-          TableMetadata.read(storage, td.metadataLocation)
-            .snapshots.flatMap(_.files).map(_.path).distinct.foreach(copy)
+          meta.snapshots
+            .flatMap(graft.format.Manifests.filesOf(storage, _))
+            .map(_.path).distinct.foreach(copy)
         }
       }
     }
@@ -221,7 +232,8 @@ object Maintenance {
   }
 
   private def commitSnapshot(cat: GraftCatalog, txn: graft.txn.Transaction,
-      ns: String, table: String, op: String, files: Seq[DataFileEntry]): Unit = {
+      ns: String, table: String, op: String,
+      edit: graft.format.FilesEdit): Unit = {
     val storage = cat.storage
     def apply(s: graft.storage.StorageOps, root: graft.tree.TreeRoot): Unit = {
       val cd = Graft.catalogDef(s, root)
@@ -229,7 +241,10 @@ object Maintenance {
       val defPath = TreeOps.searchValue(s, root, key).get
       val td = Json.read(s.read(defPath), classOf[TableDef])
       val meta = TableMetadata.read(s, td.metadataLocation)
-      val meta2 = meta.withSnapshot(op, files)
+      val inlineMax = td.properties.get(graft.format.Manifests.InlineMaxProp)
+        .map(_.toInt).getOrElse(graft.format.Manifests.InlineMaxDefault)
+      val meta2 = meta.withSnapshotEdit(s,
+        GraftCatalog.tableManifestDir(ns, table), op, edit, inlineMax)
       val metaPath = FileLocations.tableMetadataPath(ns, table)
       TableMetadata.write(s, metaPath, meta2)
       val defPath2 = FileLocations.newTableDefPath(ns, table)

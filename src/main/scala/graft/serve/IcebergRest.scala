@@ -194,9 +194,9 @@ object IcebergRest {
       sn.put("timestamp-ms", s.timestampMillis)
       val sum = sn.putObject("summary")
       sum.put("operation", icebergOp(s.operation))
-      sum.put("added-data-files", s.files.size.toString)
-      sum.put("total-records", s.files.map(_.rowCount).sum.toString)
-      sum.put("total-files-size", s.files.map(_.sizeBytes).sum.toString)
+      sum.put("total-data-files", s.totalFiles.toString)
+      sum.put("total-records", s.totalRows.toString)
+      sum.put("total-files-size", s.totalBytes.toString)
       sn.put("schema-id", 0)
       // graft's snapshot log IS the file inventory; no avro manifests
       sn.put("manifest-list", "")

@@ -232,21 +232,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
             .map(_.split(',').toSeq).getOrElse(Seq.empty))
       }
       return MetadataTables.forSuffix(s"$catalogName.${ns1(ident.namespace())}.$base",
-        suffix, meta, partCols)
+        suffix, meta, partCols, storage)
     }
     // catalog-wide object listing: <catalog>.sys.objects — a DSv2 scan
-    // whose partitions are tree-node files; the driver holds node
-    // PATHS only, object defs are parsed where the tasks run
-    // (billion-object ambition, reference docs/index.md:17-19)
+    // whose partitions are subtree roots under the pinned tree root;
+    // the walk happens lazily at scan time, bounded by any pushed
+    // kind/namespace predicates, and the driver holds O(cut width)
+    // node paths (billion-object ambition, reference docs/index.md:17-19)
     if (ident.namespace().sameElements(Array("sys")) && ident.name() == "objects") {
       val latest = TreeOps.findLatestRoot(storage).get
       try {
         val cd = Graft.catalogDef(storage, latest)
-        val paths = DistributedTraverse.nodePaths(
-          org.apache.spark.sql.SparkSession.active, storageConf,
-          latest.path.get)
         return new ObjectsTable(catalogName, latest.version, cd, storageConf,
-          paths)
+          latest.path.get)
       } finally latest.close()
     }
     // distributed-txn protocol: sys.dtxns.dtxn_<id>.<ns>.<table> reads
@@ -582,9 +580,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val renames = ColumnMapping.renames(schema)
     val physSchema = ColumnMapping.toPhysical(schema)
     val physPrune = pruneExprs.map(ColumnMapping.toPhysicalExpr(_, renames))
-    val (touched, untouched) =
-      if (physPrune.isEmpty) (meta.currentFiles, Seq.empty)
-      else meta.currentFiles.partition(f =>
+    val current = meta.currentFiles(storage)
+    val touched =
+      if (physPrune.isEmpty) current
+      else current.filter(f =>
         physPrune.forall(e => FilePruning.mayMatch(e, f, physSchema)))
     if (touched.isEmpty) return // provably no matching rows anywhere
     val dataRoot = storage.absolute(FileLocations.tableDataDir(ns, t))
@@ -597,14 +596,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       case (df, (logical, physical)) => df.withColumnRenamed(physical, logical)
     }
     val out = rewrite(logicalDf)
-    val newFiles =
-      untouched ++ GraftCatalog.commitDataFiles(out, partCols, storage, ns, t,
-        Some(schema))
+    // commit as a REPLACE of only the touched files: untouched files
+    // (and, past the inline threshold, untouched manifest SEGMENTS)
+    // carry over verbatim, and a racing append's files survive rebase
+    val replaced = touched.map(_.path).toSet
+    val newFiles = GraftCatalog.commitDataFiles(out, partCols, storage, ns, t,
+      Some(schema))
     inTxn { txn =>
-      applyTableCommit(storage, txn.runningRoot, ns, t, op, newFiles,
-        overwrite = true)
+      applyReplaceCommit(storage, txn.runningRoot, ns, t, op, replaced, newFiles)
       txn.replays += ((s, r) =>
-        applyTableCommit(s, r, ns, t, op, newFiles, overwrite = true))
+        applyReplaceCommit(s, r, ns, t, op, replaced, newFiles))
       val cd = Graft.catalogDef(storage, txn.runningRoot)
       txn.record(Action(actionType, ObjectKeys.tableKey(ns, t, cd), Map.empty))
     }
@@ -657,7 +658,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       t: String, op: String, newFiles: Seq[graft.format.DataFileEntry],
       overwrite: Boolean): Unit =
     applyFilesCommit(s, root, ns, t, op,
-      cur => if (overwrite) newFiles else cur ++ newFiles)
+      if (overwrite) graft.format.OverwriteFiles(newFiles)
+      else graft.format.AppendFiles(newFiles))
 
   /** Row-level replace against a running root: on a rebase replay the
     * replaced paths are removed from WHATEVER the winner committed —
@@ -667,19 +669,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       t: String, op: String, replaced: Set[String],
       newFiles: Seq[graft.format.DataFileEntry]): Unit =
     applyFilesCommit(s, root, ns, t, op,
-      cur => cur.filterNot(f => replaced(f.path)) ++ newFiles)
+      graft.format.ReplaceFiles(replaced, newFiles))
 
   private def applyFilesCommit(s: StorageOps, root: TreeRoot, ns: String,
-      t: String, op: String,
-      transform: Seq[graft.format.DataFileEntry] => Seq[graft.format.DataFileEntry])
-      : Unit = {
+      t: String, op: String, edit: graft.format.FilesEdit): Unit = {
     val cd = Graft.catalogDef(s, root)
     val key = ObjectKeys.tableKey(ns, t, cd)
     val defPath = TreeOps.searchValue(s, root, key).getOrElse(
       throw new NoSuchTableException(Identifier.of(Array(ns), t)))
     val td = Json.read(s.read(defPath), classOf[TableDef])
     val meta = TableMetadata.read(s, td.metadataLocation)
-    val meta2 = meta.withSnapshot(op, transform(meta.currentFiles))
+    val inlineMax = td.properties.get(graft.format.Manifests.InlineMaxProp)
+      .map(_.toInt).getOrElse(graft.format.Manifests.InlineMaxDefault)
+    val meta2 = meta.withSnapshotEdit(s,
+      GraftCatalog.tableManifestDir(ns, t), op, edit, inlineMax)
     val metaPath = FileLocations.tableMetadataPath(ns, t)
     TableMetadata.write(s, metaPath, meta2)
     val td2 = td.copy(metadataLocation = metaPath,
@@ -797,6 +800,12 @@ object GraftCatalog {
     * fresh physical name so old file data cannot resurrect.
     */
   val DroppedFieldsProp = "graft.dropped-fields"
+
+  /** Manifest segments live beside (not under) the data dir, so data
+    * file listings and orphan scans never see them.
+    */
+  def tableManifestDir(ns: String, t: String): String =
+    s"data/$ns/$t/manifests"
 
   /** Commit a DataFrame as data files and return their entries.
     *

@@ -78,7 +78,7 @@ class GraftTable(
       .map(_.split(',').toSeq).getOrElse(Seq.empty)
 
   private[spark] def currentFileTuples: Seq[(String, DataFileEntry)] =
-    meta.currentFiles.map(f => (storage.absolute(f.path), f))
+    meta.currentFiles(storage).map(f => (storage.absolute(f.path), f))
 
   private[spark] def dataRootAbs: String = storage.absolute(
     graft.objects.FileLocations.tableDataDir(tableDef.namespaceName, tableDef.name))
@@ -112,7 +112,7 @@ class GraftTable(
   // ---------------- read ----------------
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val files = meta.currentFiles.map(f => (storage.absolute(f.path), f))
+    val files = currentFileTuples
     if (files.isEmpty) {
       // empty snapshot: serve an empty scan with the declared schema
       txn.record(Action(ActionType.TableSelect, catalog.tableKey(tableDef)))

@@ -21,11 +21,11 @@ object MetadataTables {
   val Suffixes: Seq[String] = Seq("$snapshots", "$files", "$partitions")
 
   def forSuffix(baseName: String, suffix: String, meta: TableMetadata,
-      partCols: Seq[String]): Table =
+      partCols: Seq[String], storage: graft.storage.StorageOps): Table =
     suffix match {
       case "$snapshots" => new SnapshotsTable(baseName, meta)
-      case "$files" => new FilesTable(baseName, meta)
-      case "$partitions" => new PartitionsTable(baseName, meta, partCols)
+      case "$files" => new FilesTable(baseName, meta, storage)
+      case "$partitions" => new PartitionsTable(baseName, meta, partCols, storage)
     }
 
   /** `<catalog>.sys.objects` — every object in the catalog at its
@@ -75,13 +75,16 @@ private class SnapshotsTable(baseName: String, meta: TableMetadata)
     StructField("is_current", BooleanType, nullable = false)))
 
   override def rows: Seq[InternalRow] = meta.snapshots.map { s =>
+    // summary totals, NOT manifest resolution: listing a million-file
+    // table's history stays one metadata read
     InternalRow(s.id, if (s.parentId >= 0) Long.box(s.parentId) else null,
-      s.timestampMillis, UTF8String.fromString(s.operation), s.files.size,
+      s.timestampMillis, UTF8String.fromString(s.operation), s.totalFiles.toInt,
       s.id == meta.currentSnapshotId)
   }
 }
 
-private class FilesTable(baseName: String, meta: TableMetadata)
+private class FilesTable(baseName: String, meta: TableMetadata,
+    storage: graft.storage.StorageOps)
     extends LocalMetadataTable(s"$baseName$$files") {
   override def schema(): StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
@@ -89,8 +92,9 @@ private class FilesTable(baseName: String, meta: TableMetadata)
     StructField("snapshot_id", LongType, nullable = false)))
 
   override def rows: Seq[InternalRow] =
-    meta.currentSnapshot.toSeq.flatMap(s => s.files.map(f =>
-      InternalRow(UTF8String.fromString(f.path), f.sizeBytes, s.id)))
+    meta.currentSnapshot.toSeq.flatMap(s =>
+      graft.format.Manifests.filesOf(storage, s).map(f =>
+        InternalRow(UTF8String.fromString(f.path), f.sizeBytes, s.id)))
 }
 
 /** `<table>$partitions` — per-partition file/row/byte counts from the
@@ -99,7 +103,7 @@ private class FilesTable(baseName: String, meta: TableMetadata)
   * partition key for non-partitioned tables.
   */
 private class PartitionsTable(baseName: String, meta: TableMetadata,
-    partCols: Seq[String])
+    partCols: Seq[String], storage: graft.storage.StorageOps)
     extends LocalMetadataTable(s"$baseName$$partitions") {
   override def schema(): StructType = StructType(Seq(
     StructField("partition", StringType, nullable = false),
@@ -108,7 +112,7 @@ private class PartitionsTable(baseName: String, meta: TableMetadata,
     StructField("size_bytes", LongType, nullable = false)))
 
   override def rows: Seq[InternalRow] = {
-    meta.currentFiles
+    meta.currentFiles(storage)
       .groupBy(f => partCols
         .map(c => s"$c=${f.minValues.getOrElse(c, "null")}").mkString("/"))
       .toSeq.sortBy(_._1)

@@ -24,7 +24,7 @@ class MaintenanceSpec extends AnyFunSuite {
     val td = graft.catalog.Graft.describeTable(cat.storage, txn,
       ident.namespace()(0), ident.name())
     graft.format.TableMetadata.read(cat.storage, td.metadataLocation)
-      .currentFiles.size
+      .currentFiles(cat.storage).size
   }
 
   test("compaction bin-packs files and preserves content") {

@@ -46,15 +46,20 @@ class DistributedListingSpec extends AnyFunSuite {
     val buildSec = (System.nanoTime() - t0) / 1e9
     info(f"built $n-object tree: insert=$insertSec%.1fs total=$buildSec%.1fs")
 
-    // the path walk holds ONLY node paths on the driver
+    // the subtree-cut walk holds O(cut width) paths on the driver —
+    // bounded even at this tree's widest (planted) level of thousands
+    // of nodes; subtree roots are walked on the executors
     val sconf = StorageConf(DistributedListingSpec.warehouse, "local")
     val latest = TreeOps.findLatestRoot(storage).get
-    val paths =
-      try DistributedTraverse.nodePaths(spark, sconf, latest.path.get)
+    val cutWidth = 64
+    val (ancestors, cutRoots) =
+      try DistributedTraverse.subtreeCut(spark, sconf, latest.path.get,
+        cutWidth, Seq.empty)
       finally latest.close()
-    assert(paths.size > 1000, s"expected thousands of nodes, got ${paths.size}")
-    assert(paths.size < n / 10,
-      "node count must be a small fraction of object count")
+    assert(cutRoots.size > cutWidth, "cut must land on a wide level")
+    assert(ancestors.size + cutRoots.size <= cutWidth * (cd.order + 1),
+      s"driver growth must be bounded by cut width × order, " +
+        s"held ${ancestors.size + cutRoots.size}")
 
     // the listing itself runs as a distributed multi-task scan
     @volatile var maxTasks = 0
@@ -81,6 +86,28 @@ class DistributedListingSpec extends AnyFunSuite {
     val one = spark.table("big.sys.objects")
       .where("kind = 'table' AND name = 't0777777'").collect()
     assert(one.length == 1 && one(0).getString(3) == "def/777777")
+  }
+
+  test("kind/namespace predicates prune the walk to a key-bounded subtree") {
+    // a namespace-bounded listing must not read the whole tree: the
+    // kind+namespace equality maps to one key interval, so the walk
+    // touches one spine + matching leaves. 'ns' holds 1M tables, so a
+    // 'namespace'-kind listing under bounds reads only a handful of
+    // nodes — assert via row results AND that zero-match bounds plan
+    // an empty scan.
+    val df = spark.table("big.sys.objects")
+      .where("kind = 'namespace' AND namespace = 'ns'")
+    assert(df.count() == 1L)
+    // unknown kind literal → provably-empty key range → zero partitions
+    val none = spark.table("big.sys.objects").where("kind = 'function'")
+    assert(none.rdd.getNumPartitions == 0)
+    assert(none.count() == 0L)
+    // namespace-only predicate (three intervals: ns key + table/view
+    // prefixes) still finds the namespace and all its tables
+    val both = spark.table("big.sys.objects")
+      .where("namespace = 'ns'").groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(both("namespace") == 1L && both("table") == 1000000L)
   }
 }
 

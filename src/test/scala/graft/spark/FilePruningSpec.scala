@@ -89,8 +89,8 @@ class FilePruningSpec extends AnyFunSuite {
       .asInstanceOf[GraftCatalog]
     val td = graft.catalog.Graft.describeTable(cat.storage, txn, "ns1", "ranged")
     val meta = graft.format.TableMetadata.read(cat.storage, td.metadataLocation)
-    assert(meta.currentFiles.forall(_.rowCount == 100))
-    assert(meta.currentFiles.forall(f =>
+    assert(meta.currentFiles(cat.storage).forall(_.rowCount == 100))
+    assert(meta.currentFiles(cat.storage).forall(f =>
       f.minValues.contains("k") && f.maxValues.contains("k")))
   }
 }

@@ -56,10 +56,10 @@ class PartitionedTableSpec extends AnyFunSuite {
         .asInstanceOf[GraftTable]
       t.meta
     }
-    val euFiles = meta.currentFiles.filter(f =>
+    val euFiles = meta.currentFiles(cat.storage).filter(f =>
       f.minValues.get("region").contains("eu"))
     assert(euFiles.nonEmpty)
-    assert(meta.currentFiles.forall(f => f.minValues.contains("region")))
+    assert(meta.currentFiles(cat.storage).forall(f => f.minValues.contains("region")))
     assert(spark.sql(
       "SELECT sum(amount) FROM pc.ns1.sales WHERE region = 'eu'")
       .collect().head.getDouble(0) == 30.0)

@@ -24,7 +24,7 @@ class SelectiveRewriteSpec extends AnyFunSuite {
       .asInstanceOf[GraftCatalog]
     val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
       .of(Array("ns1"), table)).asInstanceOf[GraftTable]
-    t.meta.currentFiles.map(_.path)
+    t.meta.currentFiles(cat.storage).map(_.path)
   }
 
   test("DELETE rewrites only files whose stats overlap the predicate") {

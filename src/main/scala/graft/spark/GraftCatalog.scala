@@ -787,7 +787,10 @@ class GraftView(catalogName: String, ident: Identifier, d: ViewDef) extends View
     if (cols.isEmpty) Array.empty else cols.split(',')
   }
   override def columnAliases(): Array[String] = Array.empty
-  override def columnComments(): Array[String] = Array.empty
+  override def columnComments(): Array[String] = {
+    val comments = schema().fields.map(_.getComment().orNull)
+    if (comments.forall(_ == null)) Array.empty else comments
+  }
   override def properties(): JMap[String, String] = d.properties.asJava
 }
 

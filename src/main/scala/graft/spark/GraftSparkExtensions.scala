@@ -40,12 +40,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   private val txnRe =
     """(?is)^\s*(BEGIN|COMMIT|ROLLBACK)(\s+TRANSACTION)?\s*;?\s*$""".r
-  // CREATE [OR REPLACE] VIEW v [(aliases)] [COMMENT '..']
-  //   [TBLPROPERTIES('k'='v',..)] AS query  (reference grammar scope,
-  //   spark-extensions/.../OlympiaSqlExtensions.g4:17-46)
+  // CREATE [OR REPLACE] VIEW v [(alias [COMMENT '..'], ...)]
+  //   [COMMENT '..'] [TBLPROPERTIES('k'='v',..)] AS query  (reference
+  //   grammar scope, spark-extensions/.../OlympiaSqlExtensions.g4:17-46).
+  //   The column-list group matches quoted strings atomically, so a
+  //   per-column comment may contain anything but an unpaired quote.
   private val createViewRe =
     ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.`]+)\s*""" +
-      """(?:\(\s*([\w`\s,]+?)\s*\)\s*)?""" +
+      """(?:\(\s*((?:[^()']|'(?:[^']|'')*')*?)\s*\)\s*)?""" +
       """(?:COMMENT\s+'((?:[^']|'')*)'\s*)?""" +
       """(?:TBLPROPERTIES\s*\(\s*([^)]*?)\s*\)\s*)?""" +
       """AS\s+(.+?)\s*;?\s*$""").r
@@ -53,11 +55,41 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$""".r
   private val showViewsRe =
     """(?is)^\s*SHOW\s+VIEWS(?:\s+(?:IN|FROM)\s+([\w.`]+))?\s*;?\s*$""".r
+  private val showCreateViewRe =
+    """(?is)^\s*SHOW\s+CREATE\s+VIEW\s+([\w.`]+)\s*;?\s*$""".r
   private val alterViewRe =
     ("""(?is)^\s*ALTER\s+VIEW\s+([\w.`]+)\s+SET\s+""" +
       """TBLPROPERTIES\s*\(\s*([^)]*?)\s*\)\s*;?\s*$""").r
+  private val alterViewUnsetRe =
+    ("""(?is)^\s*ALTER\s+VIEW\s+([\w.`]+)\s+UNSET\s+""" +
+      """TBLPROPERTIES\s*(IF\s+EXISTS\s+)?\(\s*([^)]*?)\s*\)\s*;?\s*$""").r
 
   private val propRe = """'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'""".r
+  private val propKeyRe = """'((?:[^']|'')*)'""".r
+  private val colItemRe =
+    """(?is)^\s*`?(\w+)`?\s*(?:COMMENT\s+'((?:[^']|'')*)')?\s*$""".r
+
+  /** Split a column list on commas OUTSIDE single-quoted strings. */
+  private def splitColumns(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inQuote = false
+    s.foreach {
+      case '\'' => inQuote = !inQuote; sb += '\''
+      case ',' if !inQuote => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    out += sb.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def parseColumnList(s: String): Seq[(String, Option[String])] =
+    splitColumns(s).map {
+      case colItemRe(name, comment) =>
+        (name, Option(comment).map(_.replace("''", "'")))
+      case other =>
+        throw new IllegalArgumentException(s"bad view column: $other")
+    }
 
   // UPDATE / MERGE INTO need no interception: Spark's own parser
   // produces UpdateTable/MergeIntoTable and GraftTable implements
@@ -92,10 +124,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       val parts = delegate.parseMultipartIdentifier(ident.replace("`", ""))
       graftCatalogFor(parts) match {
         case Some((cat, Seq(ns, name))) =>
-          val aliasList = Option(aliases).toSeq.flatMap(
-            _.split(',').map(_.trim.replace("`", "")).filter(_.nonEmpty))
+          val cols = Option(aliases).toSeq.flatMap(parseColumnList)
           CreateGraftViewCommand(cat, ns, name, query.trim, replace != null,
-            aliasList, Option(comment).map(_.replace("''", "'")),
+            cols, Option(comment).map(_.replace("''", "'")),
             Option(props).map(parseProps).getOrElse(Map.empty))
         case _ => delegate.parsePlan(sqlText)
       }
@@ -120,6 +151,22 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       graftCatalogFor(parts) match {
         case Some((cat, Seq(ns, name))) =>
           AlterGraftViewCommand(cat, ns, name, parseProps(props))
+        case _ => delegate.parsePlan(sqlText)
+      }
+    case alterViewUnsetRe(ident, ifExists, keys) =>
+      val parts = delegate.parseMultipartIdentifier(ident.replace("`", ""))
+      graftCatalogFor(parts) match {
+        case Some((cat, Seq(ns, name))) =>
+          val keyList = propKeyRe.findAllMatchIn(keys)
+            .map(_.group(1).replace("''", "'")).toSeq
+          UnsetGraftViewPropsCommand(cat, ns, name, keyList, ifExists != null)
+        case _ => delegate.parsePlan(sqlText)
+      }
+    case showCreateViewRe(ident) =>
+      val parts = delegate.parseMultipartIdentifier(ident.replace("`", ""))
+      graftCatalogFor(parts) match {
+        case Some((cat, Seq(ns, name))) =>
+          ShowCreateGraftViewCommand(cat, ns, name)
         case _ => delegate.parsePlan(sqlText)
       }
     case dropViewRe(ifExists, ident) =>
@@ -169,7 +216,8 @@ case class TransactionCommand(verb: String) extends LeafRunnableCommand {
 }
 
 case class CreateGraftViewCommand(catalogName: String, ns: String, name: String,
-    query: String, replace: Boolean, columnAliases: Seq[String] = Seq.empty,
+    query: String, replace: Boolean,
+    columns: Seq[(String, Option[String])] = Seq.empty,
     comment: Option[String] = None, properties: Map[String, String] = Map.empty)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
@@ -177,25 +225,91 @@ case class CreateGraftViewCommand(catalogName: String, ns: String, name: String,
       .asInstanceOf[GraftCatalog]
     val baseSchema = session.sql(query).schema
     // column aliases are folded into the stored SQL so the persisted
-    // view is self-contained (no alias metadata needed at resolve time)
+    // view is self-contained (no alias metadata needed at resolve
+    // time); per-column comments ride the stored schema
     val finalQuery =
-      if (columnAliases.isEmpty) query
+      if (columns.isEmpty) query
       else {
-        require(columnAliases.length == baseSchema.length,
-          s"view $name: ${columnAliases.length} aliases for " +
+        require(columns.length == baseSchema.length,
+          s"view $name: ${columns.length} aliases for " +
             s"${baseSchema.length} query columns")
-        val sel = baseSchema.fieldNames.zip(columnAliases)
-          .map { case (o, a) => s"`$o` AS `$a`" }.mkString(", ")
+        val sel = baseSchema.fieldNames.zip(columns)
+          .map { case (o, (a, _)) => s"`$o` AS `$a`" }.mkString(", ")
         s"SELECT $sel FROM ($query)"
       }
-    val schema =
-      if (columnAliases.isEmpty) baseSchema else session.sql(finalQuery).schema
+    val schema0 =
+      if (columns.isEmpty) baseSchema else session.sql(finalQuery).schema
+    val schema = org.apache.spark.sql.types.StructType(
+      schema0.fields.zipWithIndex.map { case (f, i) =>
+        columns.lift(i).flatMap(_._2).fold(f)(f.withComment)
+      })
     val allProps = properties ++ comment.map("comment" -> _)
     import scala.jdk.CollectionConverters._
     val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
       Identifier.of(Array(ns), name), finalQuery, catalogName, Array(ns), schema,
       schema.fieldNames, Array.empty, Array.empty, allProps.asJava)
     if (replace) cat.replaceView(info, true) else cat.createView(info)
+    Seq.empty
+  }
+}
+
+/** `SHOW CREATE VIEW v` — reconstructs runnable DDL from the stored
+  * definition (query text, per-column comments, view comment, user
+  * properties).
+  */
+case class ShowCreateGraftViewCommand(catalogName: String, ns: String,
+    name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("createview_stmt", StringType, nullable = false)())
+
+  private def q(s: String): String = s"'${s.replace("'", "''")}'"
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = session.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftCatalog]
+    val view = cat.loadView(Identifier.of(Array(ns), name))
+    val schema = view.schema()
+    val colList =
+      if (schema.fields.forall(_.getComment().isEmpty)) ""
+      else schema.fields.map(f =>
+        s"`${f.name}`" + f.getComment().fold("")(c => s" COMMENT ${q(c)}"))
+        .mkString(" (", ", ", ")")
+    val comment = view.properties().get("comment") match {
+      case null => ""
+      case c => s"\nCOMMENT ${q(c)}"
+    }
+    import scala.jdk.CollectionConverters._
+    val userProps = view.properties().asScala.toSeq
+      .filterNot { case (k, _) =>
+        k == "comment" || k.startsWith("spark.") || k.startsWith("graft.")
+      }.sortBy(_._1)
+    val props =
+      if (userProps.isEmpty) ""
+      else userProps.map { case (k, v) => s"${q(k)} = ${q(v)}" }
+        .mkString("\nTBLPROPERTIES (", ", ", ")")
+    Seq(Row(s"CREATE VIEW $catalogName.$ns.$name$colList$comment$props\n" +
+      s"AS ${view.query()}"))
+  }
+}
+
+/** ALTER VIEW v UNSET TBLPROPERTIES [IF EXISTS] ('k', ...). */
+case class UnsetGraftViewPropsCommand(catalogName: String, ns: String,
+    name: String, keys: Seq[String], ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = session.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftCatalog]
+    val ident = Identifier.of(Array(ns), name)
+    if (!ifExists) {
+      val present = cat.loadView(ident).properties()
+      val missing = keys.filterNot(present.containsKey)
+      require(missing.isEmpty,
+        s"view $ns.$name has no such properties: ${missing.mkString(", ")} " +
+          "(use IF EXISTS to ignore)")
+    }
+    val changes = keys.map(k =>
+      org.apache.spark.sql.connector.catalog.ViewChange.removeProperty(k))
+    cat.alterView(ident, changes: _*)
     Seq.empty
   }
 }

@@ -311,6 +311,43 @@ class GraftCatalogSqlSpec extends AnyFunSuite {
     assert(!cat.viewExists(ident))
   }
 
+  test("views: per-column comments, SHOW CREATE VIEW, UNSET TBLPROPERTIES") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    spark.sql("""CREATE OR REPLACE VIEW cat.ns1.v2
+      (key COMMENT 'the key, obviously', val)
+      COMMENT 'demo view'
+      TBLPROPERTIES ('team'='graft', 'tier'='gold')
+      AS SELECT k, v FROM cat.ns1.vtbl""")
+    // aliases + comments land in the stored schema
+    val view = cat.loadView(Identifier.of(Array("ns1"), "v2"))
+    assert(view.schema().fieldNames.toSeq == Seq("key", "val"))
+    assert(view.columnComments().toSeq == Seq("the key, obviously", null))
+    assert(spark.sql("SELECT key FROM cat.ns1.v2").count() == 2)
+
+    // SHOW CREATE VIEW reconstructs runnable DDL
+    val ddl = spark.sql("SHOW CREATE VIEW cat.ns1.v2").collect()(0).getString(0)
+    assert(ddl.contains("CREATE VIEW cat.ns1.v2"), ddl)
+    assert(ddl.contains("COMMENT 'the key, obviously'"), ddl)
+    assert(ddl.contains("COMMENT 'demo view'"), ddl)
+    assert(ddl.contains("'team' = 'graft'"), ddl)
+    assert(ddl.contains("AS SELECT"), ddl)
+    spark.sql("DROP VIEW IF EXISTS cat.ns1.v2r")
+    spark.sql(ddl.replace("cat.ns1.v2", "cat.ns1.v2r"))
+    assert(spark.sql("SELECT key FROM cat.ns1.v2r").count() == 2)
+
+    // UNSET removes properties; IF EXISTS tolerates absent keys
+    spark.sql("ALTER VIEW cat.ns1.v2 UNSET TBLPROPERTIES ('tier')")
+    val props = cat.loadView(Identifier.of(Array("ns1"), "v2")).properties()
+    assert(props.get("team") == "graft" && !props.containsKey("tier"))
+    val e = intercept[Exception] {
+      spark.sql("ALTER VIEW cat.ns1.v2 UNSET TBLPROPERTIES ('ghost')")
+    }
+    assert(e.getMessage.contains("no such properties"))
+    spark.sql("ALTER VIEW cat.ns1.v2 UNSET TBLPROPERTIES IF EXISTS ('ghost')")
+    spark.sql("DROP VIEW cat.ns1.v2")
+    spark.sql("DROP VIEW cat.ns1.v2r")
+  }
+
   test("BEGIN/COMMIT/ROLLBACK TRANSACTION SQL") {
     spark.sql("CREATE TABLE cat.ns1.sqltx (k BIGINT)")
     spark.sql("USE cat")

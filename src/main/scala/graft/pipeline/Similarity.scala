@@ -122,8 +122,13 @@ object Similarity {
       "ss03_ann_recall",
       (s, d) => {
         // quality harness: recall@10 of the IVF path against the exact
-        // brute-force baseline, per query vector — the measurement a
-        // production ANN deployment monitors.
+        // brute-force baseline — the measurement a production ANN
+        // deployment monitors, GRADED: every query vector must clear
+        // the floor. Seeding and iteration count are deterministic, so
+        // the floor verdict is a fixed outcome per dataset (observed
+        // min recall 0.8 at sf0.01/sf0.1; floor 0.5 leaves margin for
+        // FP-summation ordering differences in the k-means means).
+        val floor = 0.5
         val exact = defs.find(_.name == "ss01_brute_topk").get.fn(s, d)
           .select(col("qid"), col("vec_id"))
         val approx = defs.find(_.name == "ss02_ann_ivf").get.fn(s, d)
@@ -134,8 +139,13 @@ object Similarity {
           .groupBy("qid")
           .agg((count(col("a_vec")).cast("double") / count(lit(1)))
             .as("recall_at_10"))
-          .orderBy("qid")
+          .agg(count(lit(1)).as("n_queries"),
+            lit(floor).as("recall_floor"),
+            (min(col("recall_at_10")) >= floor).as("floor_met"))
       },
-      None)
+      Some(s"""SELECT count(*) AS n_queries,
+              |       CAST(0.5 AS DOUBLE) AS recall_floor,
+              |       true AS floor_met
+              |FROM embeddings WHERE vec_id < $NQ""".stripMargin))
   )
 }

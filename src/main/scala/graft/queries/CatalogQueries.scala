@@ -500,6 +500,43 @@ object CatalogQueries {
              |SELECT lang, coalesce(source, 'legacy') AS src,
              |       count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
              |FROM t WHERE n_chars > 400
-             |GROUP BY lang, source ORDER BY lang, src""".stripMargin))
+             |GROUP BY lang, source ORDER BY lang, src""".stripMargin)),
+
+    QueryDef(
+      "c19_manifest_commits",
+      (s, d) => {
+        // Manifest-segment snapshots driven end-to-end (the inline
+        // threshold is pinned low so every commit here exercises the
+        // manifest path): three appends each add a delta segment and
+        // reuse the parent's, the DELETE rewrites only segments whose
+        // files contain matching rows, and the final aggregate reads
+        // the inventory across inline entries + segments. Same data
+        // semantics as plain commits — the oracle can't tell the
+        // difference, which is the point.
+        ensureCatalog(s, "gck")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gck.ns1")
+        s.sql("DROP TABLE IF EXISTS gck.ns1.li")
+        s.sql("""CREATE TABLE gck.ns1.li (
+                   l_orderkey BIGINT, l_quantity DOUBLE,
+                   l_extendedprice DOUBLE, l_returnflag STRING)
+                 TBLPROPERTIES ('graft.manifest.inline-max'='2')""")
+        (0 until 3).foreach { m =>
+          s.sql(s"""INSERT INTO gck.ns1.li
+                    SELECT l_orderkey, l_quantity, l_extendedprice, l_returnflag
+                    FROM parquet.`$d/lineitem.parquet`
+                    WHERE l_orderkey % 3 = $m""")
+        }
+        s.sql("DELETE FROM gck.ns1.li WHERE l_quantity < 5")
+        s.sql("""SELECT l_returnflag, count(*) AS n,
+                        round(sum(l_extendedprice), 2) AS total,
+                        round(min(l_quantity), 2) AS min_qty
+                 FROM gck.ns1.li
+                 GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |       round(sum(l_extendedprice), 2) AS total,
+             |       round(min(l_quantity), 2) AS min_qty
+             |FROM lineitem WHERE l_quantity >= 5
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }

@@ -537,6 +537,35 @@ object CatalogQueries {
              |       round(sum(l_extendedprice), 2) AS total,
              |       round(min(l_quantity), 2) AS min_qty
              |FROM lineitem WHERE l_quantity >= 5
-             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
+      "c20_call_compact",
+      (s, d) => {
+        // Maintenance through the SQL surface: CALL
+        // <catalog>.system.compact_table bin-packs the table's files
+        // (DSv2 stored procedures — Spark 4 ships the ProcedureCatalog
+        // API, the connector supplies the procedures). Content must be
+        // byte-identical before/after: the oracle reads the raw
+        // inputs, so any compaction data loss fails the compare.
+        ensureCatalog(s, "gcl")
+        provision(s, "gcl", d, "supplier", "supplier")
+        s.sql(s"""INSERT INTO gcl.ns1.supplier
+                  SELECT * FROM parquet.`$d/supplier.parquet`
+                  WHERE s_suppkey % 2 = 0""")
+        s.sql("CALL gcl.system.compact_table('ns1', 'supplier')")
+        s.sql("""SELECT s_nationkey, count(*) AS n,
+                        round(sum(s_acctbal), 2) AS bal
+                 FROM gcl.ns1.supplier
+                 GROUP BY s_nationkey ORDER BY s_nationkey""")
+      },
+      Some("""WITH t AS (
+             |  SELECT s_nationkey, s_acctbal FROM supplier
+             |  UNION ALL
+             |  SELECT s_nationkey, s_acctbal FROM supplier
+             |  WHERE s_suppkey % 2 = 0)
+             |SELECT s_nationkey, count(*) AS n,
+             |       round(sum(s_acctbal), 2) AS bal
+             |FROM t GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
   )
 }

@@ -36,7 +36,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * OlympiaIcebergCatalog.java:639-673). No table caching — a cached
   * table would bypass snapshot resolution (SURVEY §7.5 risk register).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
+    with ProcedureCatalog {
+
+  // ---------------- stored procedures (CALL <cat>.system.<proc>) ----------------
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(GraftProcedures.Namespace))
+      GraftProcedures.names
+        .map(Identifier.of(GraftProcedures.Namespace, _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident)
 
   private var catalogName: String = _
   private[graft] var storage: StorageOps = _

@@ -1,0 +1,142 @@
+package graft.spark
+
+import java.util.{Collections, Iterator => JIterator}
+
+import graft.maintain.Maintenance
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Maintenance jobs as DSv2 stored procedures —
+  * `CALL <catalog>.system.<proc>(...)` (the operational surface
+  * Iceberg users drive with CALL; Spark 4 ships the ProcedureCatalog
+  * API but no built-in procedures — the connector supplies them).
+  *
+  * Each procedure wraps the corresponding [[Maintenance]] job and
+  * returns its summary as a one-shot [[LocalScan]] result set.
+  */
+object GraftProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  val names: Seq[String] = Seq(
+    "compact_table", "expire_snapshots", "remove_orphan_files",
+    "expire_catalog_versions", "import_files")
+
+  def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Namespace),
+      s"no such procedure namespace: ${ident.namespace().mkString(".")}")
+    ident.name() match {
+      case "compact_table" => CompactTable(cat)
+      case "expire_snapshots" => ExpireSnapshots(cat)
+      case "remove_orphan_files" => RemoveOrphanFiles(cat)
+      case "expire_catalog_versions" => ExpireCatalogVersions(cat)
+      case "import_files" => ImportFiles(cat)
+      case other =>
+        throw new IllegalArgumentException(s"no such procedure: $other")
+    }
+  }
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private def inDefault(name: String, dt: DataType,
+      default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  /** One-row (or few-row) result set as a Scan iterator. */
+  private def result(schema: StructType, out: Seq[InternalRow])
+      : JIterator[Scan] = {
+    val scan: Scan = new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = out.toArray
+    }
+    Collections.singletonList(scan).iterator()
+  }
+
+  private abstract class GraftProcedure(val name: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def description(): String = s"graft $name"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+  }
+
+  private case class CompactTable(cat: GraftCatalog)
+      extends GraftProcedure("compact_table") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("namespace", StringType), in("table", StringType),
+      inDefault("target_files", IntegerType, "1"))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val r = Maintenance.compactDataFiles(
+        org.apache.spark.sql.SparkSession.active, cat,
+        Identifier.of(Array(input.getString(0)), input.getString(1)),
+        targetFiles = input.getInt(2))
+      result(
+        StructType(Seq(StructField("files_before", IntegerType, false),
+          StructField("files_after", IntegerType, false))),
+        Seq(InternalRow(r.filesBefore, r.filesAfter)))
+    }
+  }
+
+  private case class ExpireSnapshots(cat: GraftCatalog)
+      extends GraftProcedure("expire_snapshots") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("namespace", StringType), in("table", StringType),
+      in("keep_last", IntegerType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val n = Maintenance.expireSnapshots(cat,
+        Identifier.of(Array(input.getString(0)), input.getString(1)),
+        keepLast = input.getInt(2))
+      result(
+        StructType(Seq(StructField("expired_snapshots", IntegerType, false))),
+        Seq(InternalRow(n)))
+    }
+  }
+
+  private case class RemoveOrphanFiles(cat: GraftCatalog)
+      extends GraftProcedure("remove_orphan_files") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("namespace", StringType), in("table", StringType),
+      inDefault("dry_run", BooleanType, "false"))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val removed = Maintenance.removeOrphanFiles(cat,
+        Identifier.of(Array(input.getString(0)), input.getString(1)),
+        dryRun = input.getBoolean(2))
+      result(
+        StructType(Seq(StructField("path", StringType, false))),
+        removed.map(p => InternalRow(UTF8String.fromString(p))))
+    }
+  }
+
+  private case class ExpireCatalogVersions(cat: GraftCatalog)
+      extends GraftProcedure("expire_catalog_versions") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("keep_last", IntegerType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val n = Maintenance.expireCatalogVersions(cat, input.getInt(0))
+      result(
+        StructType(Seq(StructField("expired_versions", IntegerType, false))),
+        Seq(InternalRow(n)))
+    }
+  }
+
+  private case class ImportFiles(cat: GraftCatalog)
+      extends GraftProcedure("import_files") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("namespace", StringType), in("table", StringType),
+      in("paths", ArrayType(StringType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val arr = input.getArray(2)
+      val paths = (0 until arr.numElements()).map(i =>
+        arr.getUTF8String(i).toString)
+      val n = Maintenance.importFiles(cat,
+        Identifier.of(Array(input.getString(0)), input.getString(1)), paths)
+      result(
+        StructType(Seq(StructField("imported_files", IntegerType, false))),
+        Seq(InternalRow(n)))
+    }
+  }
+}

@@ -26,7 +26,12 @@ object Graft {
   /** Write CatalogDef + empty root v0 (Olympia.java:53-63). */
   def createCatalog(storage: StorageOps, cd: CatalogDef): Unit = {
     val defPath = FileLocations.newCatalogDefPath()
-    storage.writeAtomic(defPath, Json.write(cd))
+    // new catalogs stamp the CURRENT layout version (a caller-built
+    // CatalogDef() carries the untagged sentinel)
+    val stamped =
+      if (cd.formatVersion == 0) cd.copy(formatVersion = CatalogDef.FormatVersion)
+      else cd
+    storage.writeAtomic(defPath, Json.write(stamped))
     TreeOps.createEmptyRoot(storage, defPath)
   }
 

@@ -6,11 +6,13 @@ package graft.objects
   * resolvable offline (SURVEY.md §7.1).
   */
 final case class CatalogDef(
-    // self-describing encoding tag (docs/FORMAT_COMPAT.md): version 1
-    // is the round-1 JSON layout; files written before the tag existed
-    // deserialize with this default, which is correct because the
-    // layout is unchanged — bump ONLY on incompatible layout changes
-    formatVersion: Int = CatalogDef.FormatVersion,
+    // self-describing encoding tag (docs/FORMAT_COMPAT.md). The
+    // deserialization default is the 0 SENTINEL — a def file written
+    // before the tag existed means layout 1, NOT the current version
+    // (Graft.catalogDef maps it); createCatalog stamps the current
+    // version explicitly. Bump ONLY on layouts a v-1 reader would
+    // misread.
+    formatVersion: Int = 0,
     // B-tree fan-out (reference ObjectDefinitions.java:35)
     order: Int = 128,
     namespaceNameMaxBytes: Int = 100,
@@ -23,8 +25,13 @@ final case class CatalogDef(
     properties: Map[String, String] = Map.empty)
 
 object CatalogDef {
-  /** Current JSON object-def layout version (docs/FORMAT_COMPAT.md). */
-  val FormatVersion = 1
+  /** Current JSON object-def layout version (docs/FORMAT_COMPAT.md).
+    * v2 = manifest-segment snapshots: table metadata may externalize
+    * its file inventory into manifest objects — a v1 reader would
+    * silently see only the inline entries, so v2 catalogs must be
+    * refused by v1 builds rather than misread.
+    */
+  val FormatVersion = 2
 }
 
 object IsolationLevel {

@@ -440,6 +440,45 @@ object Dedup {
               .select(count(lit(1)).as("n_extra")))
       },
       // the invariant is mathematical: the oracle is the constant row
-      Some("SELECT CAST(0 AS BIGINT) AS n_missed, CAST(0 AS BIGINT) AS n_extra"))
+      Some("SELECT CAST(0 AS BIGINT) AS n_missed, CAST(0 AS BIGINT) AS n_extra")),
+
+    QueryDef(
+      "dd09_hyperplane_recall",
+      (s, d) => {
+        // Graded recall verdict for dd06's occupancy-bounded
+        // hyperplane LSH against dd05's exact pairwise truth. The
+        // plane matrix is deterministic (fixed seed), so recall is a
+        // fixed number per dataset — observed ~0.33 at this
+        // similarity regime (cosine ~0.4 → per-bit agreement ~0.63
+        // over 16-bit bands); the 0.15 floor is the same one
+        // DedupRecallSpec enforces, with margin. Precision needs no
+        // floor: candidates are exact-cosine verified, so the subset
+        // check is part of the verdict.
+        val floor = 0.15
+        val exact = defs.find(_.name == "dd05_embedding_dup").get.fn(s, d)
+          .select(col("vec_a"), col("vec_b"))
+        val lsh = defs.find(_.name == "dd06_embedding_lsh").get.fn(s, d)
+          .select(col("vec_a"), col("vec_b"))
+        val nExact = exact.agg(count(lit(1)).as("n_exact_pairs"))
+        val nHit = lsh.join(exact, Seq("vec_a", "vec_b"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        val nFalse = lsh.join(exact, Seq("vec_a", "vec_b"), "left_anti")
+          .agg(count(lit(1)).as("n_false_positives"))
+        nExact.crossJoin(nHit).crossJoin(nFalse)
+          .select(col("n_exact_pairs"),
+            lit(floor).as("recall_floor"),
+            (col("hits").cast("double") / col("n_exact_pairs") >= floor)
+              .as("floor_met"),
+            col("n_false_positives"))
+      },
+      Some("""WITH t AS (
+             |  SELECT count(*) AS n FROM (
+             |    SELECT a.vec_id, b.vec_id FROM embeddings a
+             |    JOIN embeddings b ON a.vec_id < b.vec_id
+             |    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+             |                b.embedding::DOUBLE[]), 4) >= 0.35))
+             |SELECT n AS n_exact_pairs, CAST(0.15 AS DOUBLE) AS recall_floor,
+             |       true AS floor_met, CAST(0 AS BIGINT) AS n_false_positives
+             |FROM t""".stripMargin))
   )
 }

@@ -128,6 +128,29 @@ object Multimodal {
           StructField("mean_byte", DoubleType)))))
         out.orderBy("doc_id", "frame_idx")
       },
-      None)
+      None),
+
+    QueryDef(
+      "mm04_frame_inventory",
+      (s, d) => {
+        // Graded audit of mm03's frame plumbing: per-document sampled
+        // frame count and last sampled index must match closed-form
+        // arithmetic the oracle computes from the payload length
+        // (64-byte frames, stride 4; the synthetic corpus is pure
+        // ASCII, so DuckDB's length(text) IS the byte length). Any
+        // off-by-one in the slicing/striding — the classic decoder
+        // integration bug — fails the compare per document.
+        import org.apache.spark.sql.functions.{count, max}
+        defs.find(_.name == "mm03_frame_sample").get.fn(s, d)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sampled"),
+            max(col("frame_idx")).as("last_idx"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |       (length(text) // 64 + 3) // 4 AS n_sampled,
+             |       CAST(((length(text) // 64 - 1) // 4) * 4 AS INT) AS last_idx
+             |FROM documents WHERE length(text) >= 64
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -24,7 +24,7 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq(
     "compact_table", "expire_snapshots", "remove_orphan_files",
-    "expire_catalog_versions", "import_files")
+    "expire_catalog_versions", "import_files", "rollback_catalog")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
@@ -35,6 +35,7 @@ object GraftProcedures {
       case "remove_orphan_files" => RemoveOrphanFiles(cat)
       case "expire_catalog_versions" => ExpireCatalogVersions(cat)
       case "import_files" => ImportFiles(cat)
+      case "rollback_catalog" => RollbackCatalog(cat)
       case other =>
         throw new IllegalArgumentException(s"no such procedure: $other")
     }
@@ -120,6 +121,21 @@ object GraftProcedures {
       result(
         StructType(Seq(StructField("expired_versions", IntegerType, false))),
         Seq(InternalRow(n)))
+    }
+  }
+
+  private case class RollbackCatalog(cat: GraftCatalog)
+      extends GraftProcedure("rollback_catalog") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("version", LongType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val target = input.getLong(0)
+      val root = graft.catalog.Graft.rollbackTo(cat.storage, target)
+      try result(
+        StructType(Seq(StructField("new_version", LongType, false),
+          StructField("restored_version", LongType, false))),
+        Seq(InternalRow(root.version, target)))
+      finally root.close()
     }
   }
 

@@ -18,7 +18,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * through executors would only add overhead.
   */
 object MetadataTables {
-  val Suffixes: Seq[String] = Seq("$snapshots", "$files", "$partitions")
+  val Suffixes: Seq[String] =
+    Seq("$snapshots", "$files", "$partitions", "$manifests")
 
   def forSuffix(baseName: String, suffix: String, meta: TableMetadata,
       partCols: Seq[String], storage: graft.storage.StorageOps): Table =
@@ -26,6 +27,7 @@ object MetadataTables {
       case "$snapshots" => new SnapshotsTable(baseName, meta)
       case "$files" => new FilesTable(baseName, meta, storage)
       case "$partitions" => new PartitionsTable(baseName, meta, partCols, storage)
+      case "$manifests" => new ManifestsTable(baseName, meta, storage)
     }
 
   /** `<catalog>.sys.objects` — every object in the catalog at its
@@ -95,6 +97,35 @@ private class FilesTable(baseName: String, meta: TableMetadata,
     meta.currentSnapshot.toSeq.flatMap(s =>
       graft.format.Manifests.filesOf(storage, s).map(f =>
         InternalRow(UTF8String.fromString(f.path), f.sizeBytes, s.id)))
+}
+
+/** `<table>$manifests` — the current snapshot's inventory segments:
+  * the inline entry block (key `<inline>`) plus one row per manifest
+  * object, with per-segment file/row/byte counts — the view an
+  * operator uses to see segment reuse and decide compaction.
+  */
+private class ManifestsTable(baseName: String, meta: TableMetadata,
+    storage: graft.storage.StorageOps)
+    extends LocalMetadataTable(s"$baseName$$manifests") {
+  override def schema(): StructType = StructType(Seq(
+    StructField("manifest", StringType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false)))
+
+  override def rows: Seq[InternalRow] =
+    meta.currentSnapshot.toSeq.flatMap { s =>
+      val inline =
+        if (s.files.isEmpty) Seq.empty
+        else Seq(InternalRow(UTF8String.fromString("<inline>"),
+          s.files.size, s.files.map(_.rowCount).sum,
+          s.files.map(_.sizeBytes).sum))
+      inline ++ s.manifests.map { key =>
+        val fs = graft.format.Manifests.read(storage, key)
+        InternalRow(UTF8String.fromString(key), fs.size,
+          fs.map(_.rowCount).sum, fs.map(_.sizeBytes).sum)
+      }
+    }
 }
 
 /** `<table>$partitions` — per-partition file/row/byte counts from the

@@ -92,6 +92,16 @@ class ManifestSpec extends AnyFunSuite {
     assert(n == 5)
   }
 
+  test("$manifests shows the segment inventory") {
+    val rows = spark.sql(
+      "SELECT manifest, n_files FROM mf.ns.`t$manifests` ORDER BY manifest")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(rows.count(_._1 == "<inline>") == 1)
+    assert(rows.find(_._1 == "<inline>").get._2 == 4)
+    assert(rows.count(_._1 != "<inline>") == 2)
+    assert(rows.map(_._2).sum == 6)
+  }
+
   test("$files and $partitions resolve segments; $snapshots uses totals") {
     val files = spark.sql("SELECT count(*) FROM mf.ns.`t$files`")
       .collect()(0).getLong(0)

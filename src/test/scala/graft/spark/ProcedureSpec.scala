@@ -87,6 +87,17 @@ class ProcedureSpec extends AnyFunSuite {
     assert(spark.table("pr.ns.t").count() == 6)
   }
 
+  test("rollback_catalog restores an earlier catalog version") {
+    spark.sql("CREATE TABLE pr.ns.rb (k BIGINT)")
+    spark.sql("INSERT INTO pr.ns.rb VALUES (1)")
+    val v = graft.tree.TreeOps.findLatestRoot(cat.storage).get.version
+    spark.sql("INSERT INTO pr.ns.rb VALUES (2)")
+    assert(spark.table("pr.ns.rb").count() == 2)
+    val row = spark.sql(s"CALL pr.system.rollback_catalog($v)").collect()(0)
+    assert(row.getLong(1) == v && row.getLong(0) > v)
+    assert(spark.table("pr.ns.rb").count() == 1)
+  }
+
   test("procedures are listable") {
     import org.apache.spark.sql.connector.catalog.Identifier
     val ids = cat.listProcedures(Array("system")).map(_.name()).toSet

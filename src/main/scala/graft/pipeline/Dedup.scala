@@ -467,8 +467,10 @@ object Dedup {
         nExact.crossJoin(nHit).crossJoin(nFalse)
           .select(col("n_exact_pairs"),
             lit(floor).as("recall_floor"),
-            (col("hits").cast("double") / col("n_exact_pairs") >= floor)
-              .as("floor_met"),
+            // empty truth set (tiny SF) → vacuously met, not NULL
+            coalesce(
+              col("hits").cast("double") / col("n_exact_pairs") >= floor,
+              lit(true)).as("floor_met"),
             col("n_false_positives"))
       },
       Some("""WITH t AS (

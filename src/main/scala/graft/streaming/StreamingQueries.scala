@@ -192,7 +192,55 @@ object StreamingQueries {
             round(avg("n_events"), 4).as("avg_events_per_session"),
             max("n_events").as("max_session_len"))
       },
-      Some(SessionOracle))
+      Some(SessionOracle)),
+
+    QueryDef(
+      "st05_stream_ingest",
+      (s, d) => {
+        // Streaming INGESTION into a graft table: file stream →
+        // foreachBatch, each micro-batch an atomic snapshot commit
+        // through the same DSv2 write path as batch appends (on a real
+        // deployment the micro-batch cadence gives a commit-per-batch
+        // history that expire_snapshots trims). The oracle is the batch
+        // view of the same input — streamed-in content must be
+        // indistinguishable from a batch load.
+        if (s.conf.getOption("spark.sql.catalog.gst").isEmpty) {
+          s.conf.set("spark.sql.catalog.gst",
+            classOf[graft.spark.GraftCatalog].getName)
+          s.conf.set("spark.sql.catalog.gst.warehouse",
+            java.nio.file.Files.createTempDirectory("graft-gst").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gst.ns1")
+        s.sql("DROP TABLE IF EXISTS gst.ns1.events_in")
+        s.sql("""CREATE TABLE gst.ns1.events_in (
+                   event_id BIGINT, user_id BIGINT, event_type STRING,
+                   value DOUBLE)""")
+        val checkpoint =
+          java.nio.file.Files.createTempDirectory("graft-st05").toString
+        val q = s.readStream
+          .schema(eventsSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .select("event_id", "user_id", "event_type", "value")
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) => batch.writeTo("gst.ns1.events_in").append()
+          }
+          .option("checkpointLocation", checkpoint)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.sql("""SELECT event_type, count(*) AS n,
+                        count(DISTINCT user_id) AS n_users,
+                        round(sum(value), 2) AS total
+                 FROM gst.ns1.events_in
+                 GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |       count(DISTINCT user_id) AS n_users,
+             |       round(sum(value), 2) AS total
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 
 }

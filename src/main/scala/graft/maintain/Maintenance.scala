@@ -94,8 +94,10 @@ object Maintenance {
     expired
   }
 
-  /** Data files under the table's directory that no retained snapshot
-    * references. Returns the removed (or, with dryRun, removable)
+  /** Data files under the table's directory — and manifest segments
+    * under its manifests dir — that no retained snapshot references
+    * (a commit that lost its root race leaves both: the replay writes
+    * fresh ones). Returns the removed (or, with dryRun, removable)
     * relative paths.
     */
   def removeOrphanFiles(cat: GraftCatalog, ident: Identifier,
@@ -109,7 +111,12 @@ object Maintenance {
       .flatMap(graft.format.Manifests.filesOf(storage, _)).map(_.path).toSet
     val dataDir = FileLocations.tableDataDir(ns, ident.name())
     val onDisk = listRecursive(storage, dataDir).filter(_.endsWith(".parquet"))
-    val orphans = onDisk.filterNot(referenced)
+    val refManifests = meta.snapshots.flatMap(_.manifests).toSet
+    val manifestsOnDisk = listRecursive(storage,
+      GraftCatalog.tableManifestDir(ns, ident.name()))
+      .filter(_.endsWith(".manifest.json"))
+    val orphans = onDisk.filterNot(referenced) ++
+      manifestsOnDisk.filterNot(refManifests)
     if (!dryRun && orphans.nonEmpty) storage.deleteBatch(orphans)
     orphans
   }

@@ -151,6 +151,22 @@ class ManifestSpec extends AnyFunSuite {
     assert(spark.table("mf.ns.m").count() == Manifests.SegmentsMax + 2)
   }
 
+  test("orphaned segments from lost commit races are collected") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val live = meta("m").snapshots.flatMap(_.manifests).toSet
+    assert(live.nonEmpty)
+    // plant a stray segment, as a commit that lost its root race and
+    // replayed would leave behind
+    val stray = Manifests.write(cat.storage, "data/ns/m/manifests",
+      Seq(DataFileEntry("data/ns/m/files/ghost.parquet", 1, 1)))
+    val removed = graft.maintain.Maintenance.removeOrphanFiles(
+      cat, Identifier.of(Array("ns"), "m"))
+    assert(removed.contains(stray))
+    assert(!cat.storage.exists(stray))
+    live.foreach(k => assert(cat.storage.exists(k), s"live segment deleted: $k"))
+    assert(spark.table("mf.ns.m").count() == Manifests.SegmentsMax + 2)
+  }
+
   test("legacy inline-only documents (no manifest fields) still read") {
     val legacyJson =
       """{"schemaJson":"{\"type\":\"struct\",\"fields\":[]}",

@@ -52,6 +52,23 @@ final case class Snapshot(
   */
 final case class ManifestDoc(files: Seq[DataFileEntry])
 
+/** Driver-cheap pointer to one spilled snapshot-log segment: id and
+  * timestamp bounds let version/time lookups open exactly one segment
+  * instead of the whole history.
+  */
+final case class SnapshotLogRef(
+    key: String,
+    firstId: Long,
+    lastId: Long,
+    firstTs: Long,
+    lastTs: Long,
+    count: Long)
+
+/** One spilled snapshot-log segment: a contiguous, ordered run of
+  * snapshots older than the metadata document's inline window.
+  */
+final case class SnapshotLogDoc(snapshots: Seq[Snapshot])
+
 /** How a commit changes the file inventory — the edit, not the result
   * list, so the manifest layer can reuse untouched segments.
   */
@@ -69,9 +86,32 @@ final case class TableMetadata(
     schemaJson: String,
     currentSnapshotId: Long,
     snapshots: Seq[Snapshot],
-    properties: Map[String, String] = Map.empty) {
+    properties: Map[String, String] = Map.empty,
+    snapshotLog: Seq[SnapshotLogRef] = Seq.empty,
+    // tag name → snapshot id. Long erases under Jackson's scala
+    // module (same as Snapshot.parentId), so pin the value type
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(
+      contentAs = classOf[java.lang.Long])
+    refs: Map[String, Long] = Map.empty) {
 
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.id == currentSnapshotId)
+
+  /** Inline + spilled snapshot count, without opening any segment. */
+  def totalSnapshots: Long = snapshotLog.map(_.count).sum + snapshots.size
+
+  /** Full snapshot history, oldest first (opens every log segment —
+    * history listings and maintenance only; the data path never does).
+    */
+  def allSnapshots(storage: StorageOps): Seq[Snapshot] =
+    snapshotLog.flatMap(r => SnapshotLog.read(storage, r.key)) ++ snapshots
+
+  /** Snapshot by id: inline window first, then the ONE spilled segment
+    * whose id bounds cover it.
+    */
+  def findSnapshot(storage: StorageOps, id: Long): Option[Snapshot] =
+    snapshots.find(_.id == id).orElse(
+      snapshotLog.find(r => r.firstId <= id && id <= r.lastId)
+        .flatMap(r => SnapshotLog.read(storage, r.key).find(_.id == id)))
 
   /** The current snapshot's full inventory (inline + manifests). */
   def currentFiles(storage: StorageOps): Seq[DataFileEntry] =
@@ -80,17 +120,22 @@ final case class TableMetadata(
   /** Append a snapshot produced by `edit`; manifest reuse / rewrite /
     * merge decided by [[Manifests.applyEdit]]. `manifestDir` roots the
     * new segment objects (per-table, sibling of the data dir).
+    * Snapshots beyond the inline window spill to log segments
+    * ([[SnapshotLog.spill]]) so the document stays O(window), not
+    * O(history).
     */
   def withSnapshotEdit(storage: StorageOps, manifestDir: String, op: String,
       edit: FilesEdit,
-      inlineMax: Int = Manifests.InlineMaxDefault): TableMetadata = {
+      inlineMax: Int = Manifests.InlineMaxDefault,
+      snapshotsInlineMax: Int = SnapshotLog.InlineMaxDefault): TableMetadata = {
     val next = Manifests.applyEdit(storage, manifestDir, currentSnapshot, edit,
       inlineMax)
     val id = currentSnapshotId + 1
-    copy(
+    SnapshotLog.spill(storage, manifestDir, copy(
       currentSnapshotId = id,
       snapshots = snapshots :+ next.copy(id = id, parentId = currentSnapshotId,
-        timestampMillis = System.currentTimeMillis(), operation = op))
+        timestampMillis = System.currentTimeMillis(), operation = op)),
+      snapshotsInlineMax)
   }
 }
 
@@ -203,6 +248,52 @@ object Manifests {
     Snapshot(id = -1L, parentId = -1L, timestampMillis = 0L, operation = "",
       files = mInline, manifests = mManifests,
       fileCount = count, rowCount = rows, sizeBytes = bytes)
+  }
+}
+
+/** Snapshot-log spill engine. The metadata document keeps only the
+  * newest [[InlineMaxDefault]] snapshots inline; older ones move into
+  * immutable `.snaplog.json` segments referenced by driver-cheap
+  * [[SnapshotLogRef]]s (~100 bytes per ~16 snapshots vs a full
+  * snapshot's manifest key list) — without this, every commit rewrites
+  * an O(history × segments) document, the round-5 deferred scale flaw.
+  * Whole segments die with expiration; at [[SegmentsMax]] refs the
+  * spill merges all segments into one (amortized O(history / window)
+  * per commit, same policy as [[Manifests]]).
+  */
+object SnapshotLog {
+
+  val InlineMaxDefault = 32
+  val SegmentsMax = 64
+
+  /** Inline window override, table property (tests; unusual loads). */
+  val InlineMaxProp = "graft.snapshot-log.inline-max"
+
+  def read(storage: StorageOps, key: String): Seq[Snapshot] =
+    Json.read(storage.read(key), classOf[SnapshotLogDoc]).snapshots
+
+  def write(storage: StorageOps, dir: String, snaps: Seq[Snapshot]): SnapshotLogRef = {
+    val key = s"$dir/${java.util.UUID.randomUUID()}.snaplog.json"
+    storage.writeAtomic(key, Json.write(SnapshotLogDoc(snaps)))
+    SnapshotLogRef(key, snaps.head.id, snaps.last.id,
+      snaps.head.timestampMillis, snaps.last.timestampMillis, snaps.size.toLong)
+  }
+
+  /** Spill `meta`'s oldest inline snapshots into one new segment when
+    * the inline window overflows; keep the newest half of the window
+    * inline (the current snapshot is always newest, so it never
+    * spills). No-op below the threshold.
+    */
+  def spill(storage: StorageOps, dir: String, meta: TableMetadata,
+      inlineMax: Int = InlineMaxDefault): TableMetadata = {
+    if (meta.snapshots.lengthCompare(inlineMax) <= 0) return meta
+    val keep = math.max(1, inlineMax / 2)
+    val (old, recent) = meta.snapshots.splitAt(meta.snapshots.size - keep)
+    val log = meta.snapshotLog :+ write(storage, dir, old)
+    val bounded =
+      if (log.lengthCompare(SegmentsMax) <= 0) log
+      else Seq(write(storage, dir, log.flatMap(r => read(storage, r.key))))
+    meta.copy(snapshots = recent, snapshotLog = bounded)
   }
 }
 

@@ -67,16 +67,39 @@ object Maintenance {
     val ns = ident.namespace()(0)
     val td = Graft.describeTable(storage, txn, ns, ident.name())
     val meta = TableMetadata.read(storage, td.metadataLocation)
-    val keep = meta.snapshots.sortBy(-_.id).take(keepLast)
-    val expired = meta.snapshots.size - keep.size
+    // whole spilled log segments die without being opened when every
+    // snapshot in them expires (ref bounds say so); only a segment the
+    // cutoff splits gets read
+    val inlineKeep = meta.snapshots.sortBy(-_.id).take(keepLast)
+    val fromLog = math.max(keepLast - inlineKeep.size, 0)
+    val (deadWhole, tailRefs) = {
+      var need = fromLog
+      val dead = Seq.newBuilder[graft.format.SnapshotLogRef]
+      val kept = Seq.newBuilder[graft.format.SnapshotLogRef]
+      meta.snapshotLog.reverse.foreach { r =>
+        if (need > 0) { kept += r; need -= (need min r.count.toInt) }
+        else dead += r
+      }
+      (dead.result(), kept.result().reverse)
+    }
+    val logKeep = tailRefs
+      .flatMap(r => graft.format.SnapshotLog.read(storage, r.key))
+      .sortBy(-_.id).take(fromLog)
+    val keep = (logKeep ++ inlineKeep).sortBy(_.id)
+    val expired = (meta.totalSnapshots - keep.size).toInt
     if (expired == 0) return 0
     // manifest segments referenced ONLY by expired snapshots die with
     // them (segments are shared across snapshots, so live refs win) —
     // deleted only AFTER the expiration commit succeeds
     val keptRefs = keep.flatMap(_.manifests).toSet
-    val deadManifests = meta.snapshots.sortBy(-_.id).drop(keepLast)
-      .flatMap(_.manifests).distinct.filterNot(keptRefs)
-    val meta2 = meta.copy(snapshots = keep.sortBy(_.id))
+    val deadManifests = (meta.allSnapshots(storage).flatMap(_.manifests).distinct
+      .filterNot(keptRefs)) ++
+      (deadWhole ++ tailRefs).map(_.key)
+    val meta2 = graft.format.SnapshotLog.spill(storage,
+      GraftCatalog.tableManifestDir(ns, ident.name()),
+      meta.copy(snapshots = keep, snapshotLog = Seq.empty),
+      td.properties.get(graft.format.SnapshotLog.InlineMaxProp)
+        .map(_.toInt).getOrElse(graft.format.SnapshotLog.InlineMaxDefault))
     val metaPath = FileLocations.tableMetadataPath(ns, ident.name())
     TableMetadata.write(storage, metaPath, meta2)
     val defPath = FileLocations.newTableDefPath(ns, ident.name())
@@ -107,30 +130,22 @@ object Maintenance {
     val ns = ident.namespace()(0)
     val td = Graft.describeTable(storage, txn, ns, ident.name())
     val meta = TableMetadata.read(storage, td.metadataLocation)
-    val referenced = meta.snapshots
+    val history = meta.allSnapshots(storage)
+    val referenced = history
       .flatMap(graft.format.Manifests.filesOf(storage, _)).map(_.path).toSet
     val dataDir = FileLocations.tableDataDir(ns, ident.name())
-    val onDisk = listRecursive(storage, dataDir).filter(_.endsWith(".parquet"))
-    val refManifests = meta.snapshots.flatMap(_.manifests).toSet
-    val manifestsOnDisk = listRecursive(storage,
-      GraftCatalog.tableManifestDir(ns, ident.name()))
-      .filter(_.endsWith(".manifest.json"))
+    val onDisk = storage.listDeep(dataDir).filter(_.endsWith(".parquet"))
+    val refManifests = history.flatMap(_.manifests).toSet
+    val refSnaplogs = meta.snapshotLog.map(_.key).toSet
+    val manifestDirList =
+      storage.listDeep(GraftCatalog.tableManifestDir(ns, ident.name()))
     val orphans = onDisk.filterNot(referenced) ++
-      manifestsOnDisk.filterNot(refManifests)
+      manifestDirList.filter(_.endsWith(".manifest.json"))
+        .filterNot(refManifests) ++
+      manifestDirList.filter(_.endsWith(".snaplog.json"))
+        .filterNot(refSnaplogs)
     if (!dryRun && orphans.nonEmpty) storage.deleteBatch(orphans)
     orphans
-  }
-
-  private def listRecursive(storage: graft.storage.StorageOps,
-      dir: String): Seq[String] = {
-    val root = java.nio.file.Paths.get(storage.absolute(dir))
-    if (!java.nio.file.Files.isDirectory(root)) return Seq.empty
-    val base = java.nio.file.Paths.get(storage.root)
-    val out = Seq.newBuilder[String]
-    java.nio.file.Files.walk(root).forEach { p =>
-      if (java.nio.file.Files.isRegularFile(p)) out += base.relativize(p).toString
-    }
-    out.result()
   }
 
   /** Metadata-only import of existing parquet files into a table — no
@@ -184,9 +199,11 @@ object Maintenance {
         val td = Json.read(storage.read(defPath), classOf[TableDef])
         copy(td.metadataLocation)
         val meta = TableMetadata.read(storage, td.metadataLocation)
-        meta.snapshots.flatMap(_.manifests).distinct.foreach(copy)
+        meta.snapshotLog.map(_.key).foreach(copy)
+        val history = meta.allSnapshots(storage)
+        history.flatMap(_.manifests).distinct.foreach(copy)
         if (copyData) {
-          meta.snapshots
+          history
             .flatMap(graft.format.Manifests.filesOf(storage, _))
             .map(_.path).distinct.foreach(copy)
         }
@@ -238,20 +255,69 @@ object Maintenance {
     out.result()
   }
 
+  /** Name the table's current (or a given historic) snapshot so reads
+    * can pin it with `VERSION AS OF '<name>'` — a durable ref that
+    * survives later commits (Iceberg-tag semantics). Returns the
+    * tagged snapshot id.
+    */
+  def createTag(cat: GraftCatalog, ident: Identifier, name: String,
+      snapshotId: Long = -1L): Long = {
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"tag name must be non-numeric (numeric versions are catalog roots): $name")
+    var tagged = -1L
+    commitMetaEdit(cat, ident.namespace()(0), ident.name(), "create-tag") {
+      (s, _, meta) =>
+        val sid = if (snapshotId >= 0) snapshotId else meta.currentSnapshotId
+        require(meta.findSnapshot(s, sid).isDefined,
+          s"no such snapshot to tag: $sid")
+        require(!meta.refs.contains(name), s"tag already exists: $name")
+        tagged = sid
+        meta.copy(refs = meta.refs + (name -> sid))
+    }
+    tagged
+  }
+
+  /** Remove a tag; the snapshot itself stays until expiration. */
+  def dropTag(cat: GraftCatalog, ident: Identifier, name: String): Long = {
+    var dropped = -1L
+    commitMetaEdit(cat, ident.namespace()(0), ident.name(), "drop-tag") {
+      (_, _, meta) =>
+        dropped = meta.refs.getOrElse(name,
+          throw new IllegalArgumentException(s"no such tag: $name"))
+        meta.copy(refs = meta.refs - name)
+    }
+    dropped
+  }
+
   private def commitSnapshot(cat: GraftCatalog, txn: graft.txn.Transaction,
       ns: String, table: String, op: String,
-      edit: graft.format.FilesEdit): Unit = {
+      edit: graft.format.FilesEdit): Unit =
+    commitMetaEdit(cat, ns, table, op, Some(txn)) { (s, td, meta) =>
+      val inlineMax = td.properties.get(graft.format.Manifests.InlineMaxProp)
+        .map(_.toInt).getOrElse(graft.format.Manifests.InlineMaxDefault)
+      val snapsInlineMax = td.properties.get(graft.format.SnapshotLog.InlineMaxProp)
+        .map(_.toInt).getOrElse(graft.format.SnapshotLog.InlineMaxDefault)
+      meta.withSnapshotEdit(s, GraftCatalog.tableManifestDir(ns, table), op,
+        edit, inlineMax, snapsInlineMax)
+    }
+
+  /** Commit one table-metadata transformation through the optimistic
+    * catalog transaction (rebase replays re-apply `f` on the winner
+    * root, same as every other commit).
+    */
+  private def commitMetaEdit(cat: GraftCatalog, ns: String, table: String,
+      op: String, existingTxn: Option[graft.txn.Transaction] = None)(
+      f: (graft.storage.StorageOps, TableDef, TableMetadata) => TableMetadata)
+      : Unit = {
     val storage = cat.storage
+    val txn = existingTxn.getOrElse(Graft.beginTransaction(storage))
     def apply(s: graft.storage.StorageOps, root: graft.tree.TreeRoot): Unit = {
       val cd = Graft.catalogDef(s, root)
       val key = ObjectKeys.tableKey(ns, table, cd)
       val defPath = TreeOps.searchValue(s, root, key).get
       val td = Json.read(s.read(defPath), classOf[TableDef])
       val meta = TableMetadata.read(s, td.metadataLocation)
-      val inlineMax = td.properties.get(graft.format.Manifests.InlineMaxProp)
-        .map(_.toInt).getOrElse(graft.format.Manifests.InlineMaxDefault)
-      val meta2 = meta.withSnapshotEdit(s,
-        GraftCatalog.tableManifestDir(ns, table), op, edit, inlineMax)
+      val meta2 = f(s, td, meta)
       val metaPath = FileLocations.tableMetadataPath(ns, table)
       TableMetadata.write(s, metaPath, meta2)
       val defPath2 = FileLocations.newTableDefPath(ns, table)

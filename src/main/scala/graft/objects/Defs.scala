@@ -30,8 +30,12 @@ object CatalogDef {
     * its file inventory into manifest objects — a v1 reader would
     * silently see only the inline entries, so v2 catalogs must be
     * refused by v1 builds rather than misread.
+    * v3 = snapshot-log segments + refs: table metadata may spill old
+    * snapshots into snaplog objects (a v2 maintenance job would treat
+    * their files as orphans and DELETE them) and may carry named
+    * snapshot refs (tags).
     */
-  val FormatVersion = 2
+  val FormatVersion = 3
 }
 
 object IsolationLevel {

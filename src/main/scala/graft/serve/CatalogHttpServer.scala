@@ -162,7 +162,11 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0) {
   private def replyLoadTable(ex: HttpExchange, ns: String, t: String): Unit =
     withReadTxn { txn =>
       val td = Graft.describeTable(storage, txn, ns, t)
-      val meta = TableMetadata.read(storage, td.metadataLocation)
+      val raw = TableMetadata.read(storage, td.metadataLocation)
+      // REST metadata carries the FULL snapshot history: hydrate any
+      // spilled snapshot-log segments back inline for serialization
+      val meta = raw.copy(snapshots = raw.allSnapshots(storage),
+        snapshotLog = Seq.empty)
       reply(ex, 200, IcebergRest.loadTableResult(td, meta,
         storage.absolute(td.metadataLocation),
         storage.absolute(FileLocations.tableDataDir(ns, t))))

@@ -208,7 +208,12 @@ object IcebergRest {
       e.put("timestamp-ms", s.timestampMillis)
     }
     m.putArray("metadata-log")
-    m.putObject("refs")
+    val refs = m.putObject("refs")
+    meta.refs.foreach { case (name, sid) =>
+      val r = refs.putObject(name)
+      r.put("snapshot-id", sid)
+      r.put("type", "tag")
+    }
     m
   }
 

@@ -294,10 +294,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     new GraftTable(this, ident, td, meta, txn, storage)
   }
 
-  /** Catalog time travel: `VERSION AS OF v` resolves the table against
-    * root version v (TreeOperations.java:373-395 semantics).
+  /** Time travel: numeric `VERSION AS OF v` resolves the table against
+    * CATALOG root version v (TreeOperations.java:373-395 semantics); a
+    * non-numeric version names a table-level snapshot TAG
+    * (`Maintenance.createTag`), pinning the tagged snapshot — found
+    * through the snapshot log even after it spills out of the inline
+    * window.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
+    if (!version.matches("-?\\d+")) return inTxn { txn =>
+      val ns = ns1(ident.namespace())
+      val td =
+        try Graft.describeTable(storage, txn, ns, ident.name())
+        catch { case _: NoSuchElementException => throw new NoSuchTableException(ident) }
+      val meta = TableMetadata.read(storage, td.metadataLocation)
+      val sid = meta.refs.getOrElse(version,
+        throw new IllegalArgumentException(
+          s"no such tag on ${ident.name()}: $version"))
+      val snap = meta.findSnapshot(storage, sid).getOrElse(
+        throw new IllegalStateException(s"tag $version names expired snapshot $sid"))
+      new GraftTable(this, ident, td,
+        meta.copy(currentSnapshotId = sid, snapshots = Seq(snap),
+          snapshotLog = Seq.empty), txn, storage)
+    }
     val latest = TreeOps.findLatestRoot(storage).get
     val root = TreeOps.findRootForVersion(storage, latest, version.toLong)
     loadAtRoot(ident, root)
@@ -478,9 +497,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           throw new UnsupportedOperationException(s"table change $other")
       }
       val metaPath = FileLocations.tableMetadataPath(ns, ident.name())
-      TableMetadata.write(storage, metaPath,
-        TableMetadata(schema.json, meta.currentSnapshotId, meta.snapshots,
-          meta.properties))
+      TableMetadata.write(storage, metaPath, meta.copy(schemaJson = schema.json))
       Graft.alterTable(storage, txn,
         td.copy(metadataLocation = metaPath,
           previousMetadataLocation = Some(td.metadataLocation),
@@ -694,8 +711,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val meta = TableMetadata.read(s, td.metadataLocation)
     val inlineMax = td.properties.get(graft.format.Manifests.InlineMaxProp)
       .map(_.toInt).getOrElse(graft.format.Manifests.InlineMaxDefault)
+    val snapsInlineMax = td.properties.get(graft.format.SnapshotLog.InlineMaxProp)
+      .map(_.toInt).getOrElse(graft.format.SnapshotLog.InlineMaxDefault)
     val meta2 = meta.withSnapshotEdit(s,
-      GraftCatalog.tableManifestDir(ns, t), op, edit, inlineMax)
+      GraftCatalog.tableManifestDir(ns, t), op, edit, inlineMax, snapsInlineMax)
     val metaPath = FileLocations.tableMetadataPath(ns, t)
     TableMetadata.write(s, metaPath, meta2)
     val td2 = td.copy(metadataLocation = metaPath,

@@ -24,7 +24,8 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq(
     "compact_table", "expire_snapshots", "remove_orphan_files",
-    "expire_catalog_versions", "import_files", "rollback_catalog")
+    "expire_catalog_versions", "import_files", "rollback_catalog",
+    "create_tag", "drop_tag")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
@@ -36,6 +37,8 @@ object GraftProcedures {
       case "expire_catalog_versions" => ExpireCatalogVersions(cat)
       case "import_files" => ImportFiles(cat)
       case "rollback_catalog" => RollbackCatalog(cat)
+      case "create_tag" => CreateTag(cat)
+      case "drop_tag" => DropTag(cat)
       case other =>
         throw new IllegalArgumentException(s"no such procedure: $other")
     }
@@ -136,6 +139,40 @@ object GraftProcedures {
           StructField("restored_version", LongType, false))),
         Seq(InternalRow(root.version, target)))
       finally root.close()
+    }
+  }
+
+  private case class CreateTag(cat: GraftCatalog)
+      extends GraftProcedure("create_tag") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("namespace", StringType), in("table", StringType),
+      in("tag", StringType),
+      inDefault("snapshot_id", LongType, "-1")) // -1 = current snapshot
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val tag = input.getString(2)
+      val sid = Maintenance.createTag(cat,
+        Identifier.of(Array(input.getString(0)), input.getString(1)),
+        tag, input.getLong(3))
+      result(
+        StructType(Seq(StructField("tag", StringType, false),
+          StructField("snapshot_id", LongType, false))),
+        Seq(InternalRow(UTF8String.fromString(tag), sid)))
+    }
+  }
+
+  private case class DropTag(cat: GraftCatalog)
+      extends GraftProcedure("drop_tag") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("namespace", StringType), in("table", StringType),
+      in("tag", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val tag = input.getString(2)
+      val sid = Maintenance.dropTag(cat,
+        Identifier.of(Array(input.getString(0)), input.getString(1)), tag)
+      result(
+        StructType(Seq(StructField("tag", StringType, false),
+          StructField("snapshot_id", LongType, false))),
+        Seq(InternalRow(UTF8String.fromString(tag), sid)))
     }
   }
 

@@ -24,7 +24,7 @@ object MetadataTables {
   def forSuffix(baseName: String, suffix: String, meta: TableMetadata,
       partCols: Seq[String], storage: graft.storage.StorageOps): Table =
     suffix match {
-      case "$snapshots" => new SnapshotsTable(baseName, meta)
+      case "$snapshots" => new SnapshotsTable(baseName, meta, storage)
       case "$files" => new FilesTable(baseName, meta, storage)
       case "$partitions" => new PartitionsTable(baseName, meta, partCols, storage)
       case "$manifests" => new ManifestsTable(baseName, meta, storage)
@@ -66,7 +66,8 @@ private abstract class LocalMetadataTable(tableName: String) extends Table
     }
 }
 
-private class SnapshotsTable(baseName: String, meta: TableMetadata)
+private class SnapshotsTable(baseName: String, meta: TableMetadata,
+    storage: graft.storage.StorageOps)
     extends LocalMetadataTable(s"$baseName$$snapshots") {
   override def schema(): StructType = StructType(Seq(
     StructField("snapshot_id", LongType, nullable = false),
@@ -76,9 +77,10 @@ private class SnapshotsTable(baseName: String, meta: TableMetadata)
     StructField("n_files", IntegerType, nullable = false),
     StructField("is_current", BooleanType, nullable = false)))
 
-  override def rows: Seq[InternalRow] = meta.snapshots.map { s =>
-    // summary totals, NOT manifest resolution: listing a million-file
-    // table's history stays one metadata read
+  // history listing resolves spilled snapshot-log segments (bounded
+  // by expiration), but summary totals, NOT manifests: listing a
+  // million-file table's history never opens an inventory
+  override def rows: Seq[InternalRow] = meta.allSnapshots(storage).map { s =>
     InternalRow(s.id, if (s.parentId >= 0) Long.box(s.parentId) else null,
       s.timestampMillis, UTF8String.fromString(s.operation), s.totalFiles.toInt,
       s.id == meta.currentSnapshotId)

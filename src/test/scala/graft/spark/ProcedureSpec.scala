@@ -98,6 +98,37 @@ class ProcedureSpec extends AnyFunSuite {
     assert(spark.table("pr.ns.rb").count() == 1)
   }
 
+  test("create_tag pins a snapshot readable as VERSION AS OF '<tag>'") {
+    spark.sql("CREATE TABLE pr.ns.tg (k BIGINT)")
+    spark.sql("INSERT INTO pr.ns.tg VALUES (1), (2)")
+    val row = spark.sql("CALL pr.system.create_tag('ns', 'tg', 'first')")
+      .collect()(0)
+    assert(row.getString(0) == "first")
+    spark.sql("INSERT INTO pr.ns.tg VALUES (3)")
+    assert(spark.table("pr.ns.tg").count() == 3)
+    assert(spark.sql("SELECT count(*) FROM pr.ns.tg VERSION AS OF 'first'")
+      .collect()(0).getLong(0) == 2)
+    // the tag survives history the snapshot-log spills: many more
+    // commits on a tight inline window, then read the tag again
+    spark.sql("""ALTER TABLE pr.ns.tg
+      SET TBLPROPERTIES ('graft.snapshot-log.inline-max'='2')""")
+    (4 to 12).foreach(i => spark.sql(s"INSERT INTO pr.ns.tg VALUES ($i)"))
+    assert(spark.sql("SELECT count(*) FROM pr.ns.tg VERSION AS OF 'first'")
+      .collect()(0).getLong(0) == 2,
+      "tagged snapshot must resolve through spilled snapshot-log segments")
+    // unknown tags are refused, not misread
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM pr.ns.tg VERSION AS OF 'ghost'").collect()
+    }
+    assert(e.getMessage.contains("no such tag"))
+    val dropped = spark.sql("CALL pr.system.drop_tag('ns', 'tg', 'first')")
+      .collect()(0)
+    assert(dropped.getString(0) == "first")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM pr.ns.tg VERSION AS OF 'first'").collect()
+    }
+  }
+
   test("procedures are listable") {
     import org.apache.spark.sql.connector.catalog.Identifier
     val ids = cat.listProcedures(Array("system")).map(_.name()).toSet

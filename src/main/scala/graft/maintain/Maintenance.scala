@@ -27,17 +27,32 @@ object Maintenance {
     * distributed read→repartition→write; only the commit is
     * driver-side. Readers are unaffected: old snapshots still
     * reference the old files until expiration.
+    *
+    * With `sortBy` (or the table's `graft.write.sort-by` property)
+    * the rewrite RANGE-clusters rows on the sort key, so output files
+    * carry disjoint min/max ranges and snapshot-stats pruning
+    * eliminates whole files on selective filters — the
+    * rewrite-for-locality half of data layout maintenance at 100 TB
+    * (the bin-packing half fixes file count; this fixes overlap).
     */
   def compactDataFiles(spark: SparkSession, cat: GraftCatalog, ident: Identifier,
-      targetFiles: Int = 1): CompactionResult = {
+      targetFiles: Int = 1, sortBy: Seq[String] = Seq.empty): CompactionResult = {
     val storage = cat.storage
     val txn = Graft.beginTransaction(storage)
     val ns = ident.namespace()(0)
     val td = Graft.describeTable(storage, txn, ns, ident.name())
+    val sortCols =
+      if (sortBy.nonEmpty) sortBy
+      else td.properties.get(graft.spark.GraftCatalog.SortColsProp)
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq.empty)
     val meta = TableMetadata.read(storage, td.metadataLocation)
     val current = meta.currentFiles(storage)
     val before = current.size
-    if (before <= targetFiles) return CompactionResult(before, before)
+    // a sorted rewrite is worth doing even at the target file count —
+    // its point is range disjointness, not bin-packing
+    if (before <= targetFiles && sortCols.isEmpty)
+      return CompactionResult(before, before)
     // basePath + declared schema restore Hive-partition columns for
     // partitioned tables (their files don't carry those columns)
     val dataRoot = storage.absolute(FileLocations.tableDataDir(ns, ident.name()))
@@ -49,7 +64,15 @@ object Maintenance {
       .map(_.split(',').toSeq).getOrElse(Seq.empty)
     // one file per partition value IS the compaction for partitioned
     // tables; non-partitioned tables coalesce to targetFiles
-    val compacted = if (partCols.isEmpty) df.repartition(targetFiles) else df
+    import org.apache.spark.sql.functions.col
+    val compacted =
+      if (partCols.isEmpty && sortCols.isEmpty) df.repartition(targetFiles)
+      else if (partCols.isEmpty)
+        df.repartitionByRange(targetFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else if (sortCols.isEmpty) df
+      else df.repartition(partCols.map(col): _*)
+        .sortWithinPartitions((partCols ++ sortCols).map(col): _*)
     val newFiles = graft.spark.GraftCatalog.commitDataFiles(
       compacted, partCols, storage, ns, ident.name())
     commitSnapshot(cat, txn, ns, ident.name(), "compact",

@@ -31,15 +31,23 @@ class GraftAppendWrite(
     overwrite: Boolean) extends Write with RequiresDistributionAndOrdering {
 
   private val partCols = table.partitionColumnNames
+  private val sortCols = table.sortColumnNames
 
   override def requiredDistribution(): Distribution =
-    if (partCols.isEmpty) Distributions.unspecified()
-    else Distributions.clustered(
-      partCols.map(c => Expressions.identity(c)
-        : org.apache.spark.sql.connector.expressions.Expression).toArray)
+    if (partCols.nonEmpty)
+      Distributions.clustered(
+        partCols.map(c => Expressions.identity(c)
+          : org.apache.spark.sql.connector.expressions.Expression).toArray)
+    else if (sortCols.nonEmpty)
+      // `graft.write.sort-by` without partitioning: a RANGE shuffle on
+      // the sort key, so each writer task — hence each file — covers a
+      // disjoint value range and snapshot-stats pruning bites
+      Distributions.ordered(sortCols.map(c =>
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray)
+    else Distributions.unspecified()
 
   override def requiredOrdering(): Array[VSortOrder] =
-    partCols.map(c =>
+    (partCols ++ sortCols.filterNot(partCols.contains)).map(c =>
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
 
   override def toBatch: BatchWrite =

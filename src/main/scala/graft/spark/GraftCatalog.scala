@@ -830,6 +830,13 @@ object GraftCatalog {
   /** TableDef property holding comma-separated partition column names. */
   val PartitionColsProp = "graft.partition-columns"
 
+  /** TableDef property: comma-separated sort columns. Appends declare
+    * an ORDERED (range) write distribution on them, and compaction
+    * range-clusters on them — files land with disjoint min/max ranges
+    * so snapshot-stats pruning eliminates whole files.
+    */
+  val SortColsProp = "graft.write.sort-by"
+
   /** TableDef property: comma-separated dotted PHYSICAL paths of every
     * column ever dropped — a later ADD under a dropped name gets a
     * fresh physical name so old file data cannot resurrect.

@@ -72,12 +72,15 @@ object GraftProcedures {
       extends GraftProcedure("compact_table") {
     override def parameters(): Array[ProcedureParameter] = Array(
       in("namespace", StringType), in("table", StringType),
-      inDefault("target_files", IntegerType, "1"))
+      inDefault("target_files", IntegerType, "1"),
+      inDefault("sort_by", StringType, "''")) // comma-separated columns
     override def call(input: InternalRow): JIterator[Scan] = {
+      val sortBy = input.getString(3).split(',').toSeq
+        .map(_.trim).filter(_.nonEmpty)
       val r = Maintenance.compactDataFiles(
         org.apache.spark.sql.SparkSession.active, cat,
         Identifier.of(Array(input.getString(0)), input.getString(1)),
-        targetFiles = input.getInt(2))
+        targetFiles = input.getInt(2), sortBy = sortBy)
       result(
         StructType(Seq(StructField("files_before", IntegerType, false),
           StructField("files_after", IntegerType, false))),

@@ -77,8 +77,51 @@ class GraftTable(
     tableDef.properties.get(GraftCatalog.PartitionColsProp)
       .map(_.split(',').toSeq).getOrElse(Seq.empty)
 
+  private[spark] def sortColumnNames: Seq[String] =
+    tableDef.properties.get(GraftCatalog.SortColsProp)
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+
   private[spark] def currentFileTuples: Seq[(String, DataFileEntry)] =
     meta.currentFiles(storage).map(f => (storage.absolute(f.path), f))
+
+  /** Incremental read: the files appended in `(start, end]` — the
+    * reprocess-only-new-data scan of a training pipeline. Only valid
+    * over additive snapshots; a rewrite in the range is refused (use
+    * [[TableChanges.between]] for row-level CDC across rewrites)
+    * because serving rewritten files as "new data" would silently
+    * duplicate rows.
+    */
+  private def incrementalFileTuples(options: CaseInsensitiveStringMap)
+      : Seq[(String, DataFileEntry)] = {
+    val startId = options.get(GraftTable.StartSnapshotOption).toLong
+    val endId = Option(options.get(GraftTable.EndSnapshotOption))
+      .map(_.toLong).getOrElse(meta.currentSnapshotId)
+    require(endId <= meta.currentSnapshotId,
+      s"end-snapshot-id $endId is newer than current ${meta.currentSnapshotId}")
+    val nonAdditive = meta.allSnapshots(storage)
+      .filter(s => s.id > startId && s.id <= endId)
+      .filterNot(s => GraftTable.AdditiveOps(s.operation))
+    if (nonAdditive.nonEmpty) throw new UnsupportedOperationException(
+      s"incremental read range ($startId, $endId] of ${name()} contains " +
+        s"non-additive snapshot ${nonAdditive.head.id} " +
+        s"(${nonAdditive.head.operation}); use TableChanges.between for " +
+        "row-level change capture across rewrites")
+    def paths(id: Long): Set[String] =
+      if (id < 0) Set.empty
+      else graft.format.Manifests.filesOf(storage,
+        meta.findSnapshot(storage, id).getOrElse(
+          throw new IllegalArgumentException(
+            s"no such snapshot on ${name()}: $id (expired?)"))).map(_.path).toSet
+    val startPaths = paths(startId)
+    if (endId < 0) return Seq.empty
+    graft.format.Manifests.filesOf(storage,
+      meta.findSnapshot(storage, endId).getOrElse(
+        throw new IllegalArgumentException(
+          s"no such snapshot on ${name()}: $endId (expired?)")))
+      .filterNot(f => startPaths(f.path))
+      .map(f => (storage.absolute(f.path), f))
+  }
 
   private[spark] def dataRootAbs: String = storage.absolute(
     graft.objects.FileLocations.tableDataDir(tableDef.namespaceName, tableDef.name))
@@ -112,7 +155,10 @@ class GraftTable(
   // ---------------- read ----------------
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val files = currentFileTuples
+    val files =
+      if (options.containsKey(GraftTable.StartSnapshotOption))
+        incrementalFileTuples(options)
+      else currentFileTuples
     if (files.isEmpty) {
       // empty snapshot: serve an empty scan with the declared schema
       txn.record(Action(ActionType.TableSelect, catalog.tableKey(tableDef)))
@@ -172,6 +218,15 @@ class GraftTable(
 }
 
 object GraftTable {
+  /** Incremental-read options (Iceberg option names): start is
+    * EXCLUSIVE, end INCLUSIVE and defaults to the current snapshot.
+    */
+  val StartSnapshotOption = "start-snapshot-id"
+  val EndSnapshotOption = "end-snapshot-id"
+
+  /** Snapshot operations whose file delta IS a row delta. */
+  val AdditiveOps: Set[String] = Set("append", "import")
+
   /** Commits with more fresh files than this fan footer reads out as a
     * Spark job; below it, driver-side reads skip the job overhead.
     */

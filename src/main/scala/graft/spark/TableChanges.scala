@@ -1,0 +1,76 @@
+package graft.spark
+
+import graft.catalog.Graft
+import graft.format.{Manifests, TableMetadata}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Row-level change capture between two table snapshots, computed from
+  * the snapshots' file-inventory diff — no change journal is written
+  * on the commit path (commits stay O(delta)); the diff is derived on
+  * demand, the way Iceberg's changelog scan derives changes from
+  * manifests.
+  *
+  * Cost model at 100 TB: the diff touches only files ADDED or REMOVED
+  * in the range — a copy-on-write UPDATE that rewrote 10 files makes
+  * this a 20-file job, never a table scan. For an append-only range
+  * the removed set is empty and the result is a plain scan of the new
+  * files (no shuffle at all); only genuine rewrites pay the exceptAll
+  * shuffle, and only over the rewritten files' rows (unchanged rows in
+  * rewritten files cancel multiset-wise, surfacing exactly the
+  * modified rows).
+  */
+object TableChanges {
+
+  val ChangeTypeColumn = "_change_type"
+
+  /** Changed rows in `(startSnapshotId, endSnapshotId]` of `ns.table`:
+    * the table's columns plus [[ChangeTypeColumn]] (`insert` /
+    * `delete`; an update surfaces as delete(old) + insert(new)).
+    * `startSnapshotId = -1` means "since table creation";
+    * `endSnapshotId = -1` means "through the current snapshot".
+    */
+  def between(spark: SparkSession, cat: GraftCatalog, ident: Identifier,
+      startSnapshotId: Long = -1L, endSnapshotId: Long = -1L): DataFrame = {
+    val storage = cat.storage
+    val ns = ident.namespace()(0)
+    val txn = Graft.beginTransaction(storage)
+    val (meta, dataRoot) =
+      try {
+        val td = Graft.describeTable(storage, txn, ns, ident.name())
+        (TableMetadata.read(storage, td.metadataLocation),
+          storage.absolute(
+            graft.objects.FileLocations.tableDataDir(ns, ident.name())))
+      } finally txn.close()
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val endId =
+      if (endSnapshotId >= 0) endSnapshotId else meta.currentSnapshotId
+    def inventory(id: Long): Map[String, graft.format.DataFileEntry] =
+      if (id < 0) Map.empty
+      else Manifests.filesOf(storage,
+        meta.findSnapshot(storage, id).getOrElse(throw new IllegalArgumentException(
+          s"no such snapshot on ${ident.name()}: $id (expired?)")))
+        .map(f => f.path -> f).toMap
+    val startInv = inventory(startSnapshotId)
+    val endInv = inventory(endId)
+    val added = (endInv -- startInv.keySet).values.toSeq
+    val removed = (startInv -- endInv.keySet).values.toSeq
+    def scan(files: Seq[graft.format.DataFileEntry]): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).option("basePath", dataRoot)
+        .parquet(files.map(f => storage.absolute(f.path)): _*)
+    val inserts = scan(added)
+    val deletes = scan(removed)
+    if (removed.isEmpty)
+      // append-only range: the new files ARE the inserts — no shuffle
+      inserts.withColumn(ChangeTypeColumn, lit("insert"))
+    else
+      inserts.exceptAll(deletes).withColumn(ChangeTypeColumn, lit("insert"))
+        .unionAll(
+          deletes.exceptAll(inserts).withColumn(ChangeTypeColumn, lit("delete")))
+  }
+}

@@ -33,7 +33,8 @@ class GraftScanBuilder(
     files: Seq[(String, DataFileEntry)], // (absolute path, entry)
     baseDir: String, // table data root — basePath for partition discovery
     onBuild: (Seq[String], Seq[Expression]) => Unit,
-    partCols: Seq[String] = Seq.empty)
+    partCols: Seq[String] = Seq.empty,
+    streamCtx: Option[GraftStreamCtx] = None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters {
@@ -52,7 +53,13 @@ class GraftScanBuilder(
 
   override def pushedFilters(): Array[Predicate] = innerPushed
 
-  override def build(): Scan = {
+  /** Delegated parquet scan over `scanFiles`, under the CURRENT
+    * pushdown state (stats pruning, physical-name mapping, `_file`
+    * tagging). Batch `build()` calls this once over the snapshot's
+    * files; the streaming source calls it per micro-batch over each
+    * batch's appended files.
+    */
+  private[spark] def scanOver(scanFiles: Seq[(String, DataFileEntry)]): Scan = {
     // renamed columns: data files, footer stats, and conflict keys all
     // speak PHYSICAL names; the delegate scans physical, the wrapper
     // re-labels the result schema logical (purely positional)
@@ -60,14 +67,13 @@ class GraftScanBuilder(
     val physSchema = ColumnMapping.toPhysical(schema)
     val physFilters =
       dataFilters.map(ColumnMapping.toPhysicalExpr(_, renames))
-    val kept = files.filter { case (_, f) =>
+    val kept = scanFiles.filter { case (_, f) =>
       physFilters.forall(expr => FilePruning.mayMatch(expr, f, physSchema))
     }
     // `_file` metadata column: delegate reads the data columns, the
     // wrapper appends the per-row file path (single-file partitions)
     val (dataRequired, hasFile) = GraftMetadataColumns.split(requiredSchema)
     val physRequired = ColumnMapping.toPhysicalRequired(dataRequired, schema)
-    onBuild(physRequired.fieldNames.toSeq, physFilters)
     if (kept.isEmpty) return new EmptyScanBuilder(requiredSchema).build()
     // basePath lets Spark's file index parse Hive-style col=value
     // directory levels back into (typed) partition columns — files
@@ -94,21 +100,37 @@ class GraftScanBuilder(
       case _ => ()
     }
     val built = inner.build()
-    val scan =
-      if (hasFile)
-        new FileTaggedScan(built,
-          StructType(dataRequired.fields :+ org.apache.spark.sql.types.StructField(
-            GraftMetadataColumns.FileName, StringType, nullable = false)))
-      else if (!ColumnMapping.hasRenames(schema)) built
-      else new RelabeledScan(built, dataRequired)
+    if (hasFile)
+      new FileTaggedScan(built,
+        StructType(dataRequired.fields :+ org.apache.spark.sql.types.StructField(
+          GraftMetadataColumns.FileName, StringType, nullable = false)))
+    else if (!ColumnMapping.hasRenames(schema)) built
+    else new RelabeledScan(built, dataRequired)
+  }
+
+  override def build(): Scan = {
+    val renames = ColumnMapping.renames(schema)
+    val physFilters =
+      dataFilters.map(ColumnMapping.toPhysicalExpr(_, renames))
+    val (dataRequired, hasFile) = GraftMetadataColumns.split(requiredSchema)
+    val physRequired = ColumnMapping.toPhysicalRequired(dataRequired, schema)
+    onBuild(physRequired.fieldNames.toSeq, physFilters)
+    val scan = scanOver(files)
     // storage-partitioned joins: report each Hive-partition value as a
     // key-grouped storage partition so joins/aggregates clustered on
     // the partition columns skip their shuffle entirely
     if (partCols.nonEmpty && !hasFile &&
         spark.sessionState.conf.v2BucketingEnabled &&
         partCols.forall(c => dataRequired.fieldNames.contains(c)))
+      // the SPJ batch path; streaming a key-grouped scan is refused by
+      // Spark's default toMicroBatchStream (stream unpartitioned reads)
       KeyGroupedScan.tryWrap(scan, partCols, schema).getOrElse(scan)
-    else scan
+    else streamCtx match {
+      case Some(ctx) =>
+        new StreamCapableScan(scan,
+          () => new GraftMicroBatchStream(ctx, scanOver, scan.readSchema()))
+      case None => scan
+    }
   }
 }
 

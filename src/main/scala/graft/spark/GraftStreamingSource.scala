@@ -1,0 +1,105 @@
+package graft.spark
+
+import graft.format.{DataFileEntry, Manifests, TableMetadata}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+
+/** A graft table as a Structured Streaming SOURCE: the snapshot
+  * lineage IS the changelog, so stream offsets are snapshot ids and a
+  * micro-batch is exactly the files appended in `(start, end]` — no
+  * journal, no file-listing polls (the file-stream source's per-batch
+  * directory LIST is what this replaces at 100 TB; here discovery is
+  * one metadata-document read per trigger).
+  *
+  * Non-additive snapshots (overwrite / delete / update / merge /
+  * compact) in a batch range fail the stream rather than silently
+  * re-emitting rewritten rows; downstreams that need rewrites use
+  * [[TableChanges.between]] on the failed range and restart from its
+  * end offset.
+  */
+final case class SnapshotOffset(id: Long) extends Offset {
+  override def json: String = id.toString
+}
+
+/** Re-resolves the table's CURRENT metadata each trigger (the GraftTable
+  * instance pins the load-time snapshot; a stream must see commits that
+  * happen while it runs).
+  */
+private[spark] final class GraftStreamCtx(
+    val tableName: String,
+    val freshMeta: () => TableMetadata,
+    val storage: graft.storage.StorageOps)
+
+private[spark] class GraftMicroBatchStream(
+    ctx: GraftStreamCtx,
+    scanOver: Seq[(String, DataFileEntry)] => Scan,
+    readSchema: StructType) extends MicroBatchStream {
+
+  // the scan planned for the current batch's files; planInputPartitions
+  // and createReaderFactory are driver-side, per-batch, in order
+  @volatile private var lastScan: Option[Scan] = None
+
+  override def initialOffset(): Offset = SnapshotOffset(-1L)
+
+  override def latestOffset(): Offset =
+    SnapshotOffset(ctx.freshMeta().currentSnapshotId)
+
+  override def deserializeOffset(json: String): Offset =
+    SnapshotOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val startId = start.asInstanceOf[SnapshotOffset].id
+    val endId = end.asInstanceOf[SnapshotOffset].id
+    if (endId <= startId) { lastScan = None; return Array.empty }
+    val meta = ctx.freshMeta()
+    val nonAdditive = meta.allSnapshots(ctx.storage)
+      .filter(s => s.id > startId && s.id <= endId)
+      .filterNot(s => GraftTable.AdditiveOps(s.operation))
+    if (nonAdditive.nonEmpty) throw new UnsupportedOperationException(
+      s"stream over ${ctx.tableName} hit non-additive snapshot " +
+        s"${nonAdditive.head.id} (${nonAdditive.head.operation}) in " +
+        s"($startId, $endId]; re-derive with TableChanges.between and restart " +
+        "from the end offset")
+    def paths(id: Long): Set[String] =
+      if (id < 0) Set.empty
+      else Manifests.filesOf(ctx.storage,
+        meta.findSnapshot(ctx.storage, id).getOrElse(
+          throw new IllegalStateException(
+            s"stream offset $id of ${ctx.tableName} expired before processing; " +
+              "retain snapshots at least as long as downstream lag"))).map(_.path).toSet
+    val startPaths = paths(startId)
+    val added = Manifests.filesOf(ctx.storage,
+      meta.findSnapshot(ctx.storage, endId).getOrElse(
+        throw new IllegalStateException(
+          s"stream end offset $endId of ${ctx.tableName} not found")))
+      .filterNot(f => startPaths(f.path))
+      .map(f => (ctx.storage.absolute(f.path), f))
+    val scan = scanOver(added)
+    lastScan = Some(scan)
+    scan.toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    lastScan.getOrElse(scanOver(Seq.empty)).toBatch.createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftMicroBatchStream(${ctx.tableName})"
+}
+
+/** Scan wrapper adding micro-batch streaming to the batch scan the
+  * builder produced (same pushdown state, per-batch file sets).
+  */
+private[spark] class StreamCapableScan(
+    delegate: Scan,
+    mkStream: () => GraftMicroBatchStream) extends Scan {
+  override def readSchema(): StructType = delegate.readSchema()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    delegate.toBatch
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    mkStream()
+  override def description(): String = s"Streamable(${delegate.description()})"
+}

@@ -64,7 +64,8 @@ class GraftTable(
     tableDef.properties.asJava
 
   override def capabilities(): JSet[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   // -------- accessors for the row-level-operation machinery --------
@@ -159,24 +160,24 @@ class GraftTable(
       if (options.containsKey(GraftTable.StartSnapshotOption))
         incrementalFileTuples(options)
       else currentFileTuples
-    if (files.isEmpty) {
-      // empty snapshot: serve an empty scan with the declared schema
-      txn.record(Action(ActionType.TableSelect, catalog.tableKey(tableDef)))
-      new EmptyScanBuilder(schema)
-    } else {
-      val baseDir = storage.absolute(
-        graft.objects.FileLocations.tableDataDir(
-          tableDef.namespaceName, tableDef.name))
-      new GraftScanBuilder(spark, name(), options, schema, files, baseDir,
-        onBuild = (columns, filters) =>
-          // projection + pushed predicates captured as the txn's read
-          // set (reference TableSelectDef, actions.proto:94-97)
-          txn.record(Action(ActionType.TableSelect, catalog.tableKey(tableDef),
-            Map("columns" -> columns.mkString(","),
-              "filters" -> filters.map(_.sql).mkString(" AND ")) ++
-              ReadIntervals.fromFilters(filters))),
-        partCols = partitionColumnNames)
-    }
+    val baseDir = storage.absolute(
+      graft.objects.FileLocations.tableDataDir(
+        tableDef.namespaceName, tableDef.name))
+    // streaming reads re-resolve the CURRENT snapshot each trigger;
+    // the batch path keeps this load's pinned file list (an empty
+    // pinned list still streams — commits may arrive later)
+    val streamCtx = new GraftStreamCtx(name(),
+      () => catalog.loadTable(ident).asInstanceOf[GraftTable].meta, storage)
+    new GraftScanBuilder(spark, name(), options, schema, files, baseDir,
+      onBuild = (columns, filters) =>
+        // projection + pushed predicates captured as the txn's read
+        // set (reference TableSelectDef, actions.proto:94-97)
+        txn.record(Action(ActionType.TableSelect, catalog.tableKey(tableDef),
+          Map("columns" -> columns.mkString(","),
+            "filters" -> filters.map(_.sql).mkString(" AND ")) ++
+            ReadIntervals.fromFilters(filters))),
+      partCols = partitionColumnNames,
+      streamCtx = Some(streamCtx))
   }
 
   // ---------------- delete (SQL `DELETE FROM`) ----------------

@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MetadataTables {
   val Suffixes: Seq[String] =
-    Seq("$snapshots", "$files", "$partitions", "$manifests")
+    Seq("$snapshots", "$files", "$partitions", "$manifests", "$refs")
 
   def forSuffix(baseName: String, suffix: String, meta: TableMetadata,
       partCols: Seq[String], storage: graft.storage.StorageOps): Table =
@@ -28,6 +28,7 @@ object MetadataTables {
       case "$files" => new FilesTable(baseName, meta, storage)
       case "$partitions" => new PartitionsTable(baseName, meta, partCols, storage)
       case "$manifests" => new ManifestsTable(baseName, meta, storage)
+      case "$refs" => new RefsTable(baseName, meta)
     }
 
   /** `<catalog>.sys.objects` — every object in the catalog at its
@@ -127,6 +128,23 @@ private class ManifestsTable(baseName: String, meta: TableMetadata,
         InternalRow(UTF8String.fromString(key), fs.size,
           fs.map(_.rowCount).sum, fs.map(_.sizeBytes).sum)
       }
+    }
+}
+
+/** `<table>$refs` — named snapshot refs (tags): the operator view of
+  * what `VERSION AS OF '<name>'` resolves to.
+  */
+private class RefsTable(baseName: String, meta: TableMetadata)
+    extends LocalMetadataTable(s"$baseName$$refs") {
+  override def schema(): StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("type", StringType, nullable = false)))
+
+  override def rows: Seq[InternalRow] =
+    meta.refs.toSeq.sortBy(_._1).map { case (name, sid) =>
+      InternalRow(UTF8String.fromString(name), sid,
+        UTF8String.fromString("tag"))
     }
 }
 

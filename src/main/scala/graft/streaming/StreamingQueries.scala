@@ -240,7 +240,56 @@ object StreamingQueries {
       Some("""SELECT event_type, count(*) AS n,
              |       count(DISTINCT user_id) AS n_users,
              |       round(sum(value), 2) AS total
-             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "st06_stream_table_source",
+      (s, d) => {
+        // A graft table as a streaming SOURCE: stream offsets are
+        // snapshot ids, so each trigger discovers new commits from ONE
+        // metadata-document read (no directory listing), and a
+        // micro-batch reads exactly the appended files. Three commits
+        // land across two triggers; the streamed union must equal the
+        // batch view of all three slices.
+        if (s.conf.getOption("spark.sql.catalog.gsr").isEmpty) {
+          s.conf.set("spark.sql.catalog.gsr",
+            classOf[graft.spark.GraftCatalog].getName)
+          s.conf.set("spark.sql.catalog.gsr.warehouse",
+            java.nio.file.Files.createTempDirectory("graft-gsr").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gsr.ns1")
+        s.sql("DROP TABLE IF EXISTS gsr.ns1.ord_src")
+        s.sql("""CREATE TABLE gsr.ns1.ord_src (
+                   o_orderkey BIGINT, o_orderpriority STRING,
+                   o_totalprice DOUBLE)""")
+        def slice(m: Int): Unit =
+          s.sql(s"""INSERT INTO gsr.ns1.ord_src
+                    SELECT o_orderkey, o_orderpriority, o_totalprice
+                    FROM parquet.`$d/orders.parquet`
+                    WHERE o_orderkey % 3 = $m""")
+        slice(0)
+        val sink = s"st06_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val checkpoint =
+          java.nio.file.Files.createTempDirectory("graft-st06").toString
+        val q = s.readStream.table("gsr.ns1.ord_src")
+          .writeStream
+          .format("memory").queryName(sink)
+          .option("checkpointLocation", checkpoint)
+          .start()
+        try {
+          q.processAllAvailable()
+          slice(1); slice(2)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(sink)
+          .groupBy("o_orderpriority")
+          .agg(count("*").as("n"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |       round(sum(o_totalprice), 2) AS total
+             |FROM orders
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 
 }

@@ -104,6 +104,9 @@ class ProcedureSpec extends AnyFunSuite {
     val row = spark.sql("CALL pr.system.create_tag('ns', 'tg', 'first')")
       .collect()(0)
     assert(row.getString(0) == "first")
+    val refs = spark.sql("SELECT name, snapshot_id, type FROM pr.ns.`tg$refs`")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(refs == Seq(("first", 0L, "tag")))
     spark.sql("INSERT INTO pr.ns.tg VALUES (3)")
     assert(spark.table("pr.ns.tg").count() == 3)
     assert(spark.sql("SELECT count(*) FROM pr.ns.tg VERSION AS OF 'first'")

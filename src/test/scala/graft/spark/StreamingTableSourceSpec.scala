@@ -1,0 +1,91 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** readStream FROM a graft table: stream offsets are snapshot ids,
+  * each trigger discovers new commits from one metadata read, and
+  * non-additive history fails the stream instead of re-emitting
+  * rewritten rows.
+  */
+class StreamingTableSourceSpec extends AnyFunSuite {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-sts").toString
+
+  lazy val spark: SparkSession = graft.Verify.sessionBuilder("4")
+    .config("spark.sql.extensions", classOf[GraftSparkExtensions].getName)
+    .config("spark.sql.catalog.stc", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.stc.warehouse", warehouse)
+    .getOrCreate()
+
+  test("a graft table streams commits as micro-batches") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stc.ns")
+    spark.sql("CREATE TABLE stc.ns.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO stc.ns.t VALUES (1, 'a'), (2, 'b')")
+    val checkpoint = Files.createTempDirectory("graft-sts-cp").toString
+    val q = spark.readStream.table("stc.ns.t")
+      .writeStream
+      .format("memory").queryName("sts_sink")
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sts_sink").count() == 2,
+        "the initial batch carries the table's current content")
+      spark.sql("INSERT INTO stc.ns.t VALUES (3, 'c')")
+      spark.sql("INSERT INTO stc.ns.t VALUES (4, 'd')")
+      q.processAllAvailable()
+      assert(spark.table("sts_sink").count() == 4,
+        "later commits arrive incrementally")
+      assert(spark.table("sts_sink").select("k").collect().map(_.getLong(0))
+        .sorted.toSeq == Seq(1L, 2L, 3L, 4L), "each row exactly once")
+    } finally q.stop()
+  }
+
+  test("a rewrite in the stream range fails the stream, not the data") {
+    spark.sql("CREATE TABLE stc.ns.r (k BIGINT)")
+    spark.sql("INSERT INTO stc.ns.r VALUES (1), (2)")
+    val checkpoint = Files.createTempDirectory("graft-sts-cp2").toString
+    val q = spark.readStream.table("stc.ns.r")
+      .writeStream
+      .format("memory").queryName("sts_sink2")
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sts_sink2").count() == 2)
+      spark.sql("DELETE FROM stc.ns.r WHERE k = 1")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("non-additive") ||
+        Option(e.getCause).exists(_.getMessage.contains("non-additive")))
+    } finally q.stop()
+  }
+
+  test("restart resumes from the checkpointed snapshot offset") {
+    spark.sql("CREATE TABLE stc.ns.c (k BIGINT)")
+    spark.sql("INSERT INTO stc.ns.c VALUES (1)")
+    val checkpoint = Files.createTempDirectory("graft-sts-cp3").toString
+    val outDir = Files.createTempDirectory("graft-sts-out").toString
+    def run(): Unit = {
+      val q = spark.readStream.table("stc.ns.c")
+        .writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(spark.read.parquet(outDir).count() == 1)
+    spark.sql("INSERT INTO stc.ns.c VALUES (2)")
+    run()
+    // exactly-once across the restart: k=1 must NOT be re-delivered —
+    // proof the start offset came from the checkpoint, not initialOffset
+    val got = spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L),
+      s"restart must resume past snapshot 0, got rows $got")
+  }
+}

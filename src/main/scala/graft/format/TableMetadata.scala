@@ -260,6 +260,13 @@ object Manifests {
   * Whole segments die with expiration; at [[SegmentsMax]] refs the
   * spill merges all segments into one (amortized O(history / window)
   * per commit, same policy as [[Manifests]]).
+  *
+  * Reference analog: the catalog tree bounds ITS version history with
+  * the `vn/oldest` horizon (docs/format.md:209-216) but delegates
+  * table history to Iceberg metadata, which carries the same
+  * unbounded-snapshot-list flaw this fixes; tags (`refs`) mirror
+  * Iceberg's named refs, which the reference inherits through its
+  * Iceberg bridge (docs/iceberg.md).
   */
 object SnapshotLog {
 

@@ -127,8 +127,12 @@ class GraftScanBuilder(
       KeyGroupedScan.tryWrap(scan, partCols, schema).getOrElse(scan)
     else streamCtx match {
       case Some(ctx) =>
+        val maxSnaps =
+          Option(options.get(GraftTable.MaxSnapshotsPerTriggerOption))
+            .map(_.toLong)
         new StreamCapableScan(scan,
-          () => new GraftMicroBatchStream(ctx, scanOver, scan.readSchema()))
+          () => new GraftMicroBatchStream(ctx, scanOver, scan.readSchema(),
+            maxSnaps))
       case None => scan
     }
   }

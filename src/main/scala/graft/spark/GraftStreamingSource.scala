@@ -2,7 +2,7 @@ package graft.spark
 
 import graft.format.{DataFileEntry, Manifests, TableMetadata}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 
 /** A graft table as a Structured Streaming SOURCE: the snapshot
@@ -17,6 +17,11 @@ import org.apache.spark.sql.types.StructType
   * re-emitting rewritten rows; downstreams that need rewrites use
   * [[TableChanges.between]] on the failed range and restart from its
   * end offset.
+  *
+  * Capability addition beyond the reference (its streaming story is
+  * ingest-only, docs/spark.md): the snapshot-commit protocol this
+  * rides is the same one batch writes use (docs/format.md:250-265
+  * versioned-commit semantics).
   */
 final case class SnapshotOffset(id: Long) extends Offset {
   override def json: String = id.toString
@@ -34,7 +39,9 @@ private[spark] final class GraftStreamCtx(
 private[spark] class GraftMicroBatchStream(
     ctx: GraftStreamCtx,
     scanOver: Seq[(String, DataFileEntry)] => Scan,
-    readSchema: StructType) extends MicroBatchStream {
+    readSchema: StructType,
+    maxSnapshotsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   // the scan planned for the current batch's files; planInputPartitions
   // and createReaderFactory are driver-side, per-batch, in order
@@ -44,6 +51,21 @@ private[spark] class GraftMicroBatchStream(
 
   override def latestOffset(): Offset =
     SnapshotOffset(ctx.freshMeta().currentSnapshotId)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission control: cap a micro-batch at N snapshots
+    * (`max-snapshots-per-trigger` read option), so a stream starting
+    * against a long-lived table catches up in bounded batches instead
+    * of one table-sized batch. The generic ReadLimit hints don't map
+    * to snapshot granularity and are ignored.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = ctx.freshMeta().currentSnapshotId
+    val s = start.asInstanceOf[SnapshotOffset].id
+    SnapshotOffset(
+      maxSnapshotsPerTrigger.map(n => math.min(cur, s + n)).getOrElse(cur))
+  }
 
   override def deserializeOffset(json: String): Offset =
     SnapshotOffset(json.toLong)

@@ -225,6 +225,9 @@ object GraftTable {
   val StartSnapshotOption = "start-snapshot-id"
   val EndSnapshotOption = "end-snapshot-id"
 
+  /** Streaming read option: cap each micro-batch at N snapshots. */
+  val MaxSnapshotsPerTriggerOption = "max-snapshots-per-trigger"
+
   /** Snapshot operations whose file delta IS a row delta. */
   val AdditiveOps: Set[String] = Set("append", "import")
 

@@ -65,6 +65,24 @@ class StreamingTableSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("max-snapshots-per-trigger caps catch-up batch size") {
+    spark.sql("CREATE TABLE stc.ns.m (k BIGINT)")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO stc.ns.m VALUES ($i)"))
+    val checkpoint = Files.createTempDirectory("graft-sts-cp4").toString
+    val q = spark.readStream
+      .option("max-snapshots-per-trigger", "1")
+      .table("stc.ns.m")
+      .writeStream.format("memory").queryName("sts_sink4")
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sts_sink4").count() == 3, "catch-up is complete")
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 3, s"1-snapshot batches expected, saw $batches")
+    } finally q.stop()
+  }
+
   test("restart resumes from the checkpointed snapshot offset") {
     spark.sql("CREATE TABLE stc.ns.c (k BIGINT)")
     spark.sql("INSERT INTO stc.ns.c VALUES (1)")

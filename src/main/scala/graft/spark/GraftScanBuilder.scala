@@ -116,25 +116,23 @@ class GraftScanBuilder(
     val physRequired = ColumnMapping.toPhysicalRequired(dataRequired, schema)
     onBuild(physRequired.fieldNames.toSeq, physFilters)
     val scan = scanOver(files)
+    val mkStream = streamCtx.map { ctx =>
+      val maxSnaps =
+        Option(options.get(GraftTable.MaxSnapshotsPerTriggerOption))
+          .map(_.toLong)
+      () => new GraftMicroBatchStream(ctx, scanOver, scan.readSchema(),
+        maxSnaps): org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    }
     // storage-partitioned joins: report each Hive-partition value as a
     // key-grouped storage partition so joins/aggregates clustered on
-    // the partition columns skip their shuffle entirely
+    // the partition columns skip their shuffle entirely (batch); the
+    // stream hook rides along so partitioned tables stream too
     if (partCols.nonEmpty && !hasFile &&
         spark.sessionState.conf.v2BucketingEnabled &&
         partCols.forall(c => dataRequired.fieldNames.contains(c)))
-      // the SPJ batch path; streaming a key-grouped scan is refused by
-      // Spark's default toMicroBatchStream (stream unpartitioned reads)
-      KeyGroupedScan.tryWrap(scan, partCols, schema).getOrElse(scan)
-    else streamCtx match {
-      case Some(ctx) =>
-        val maxSnaps =
-          Option(options.get(GraftTable.MaxSnapshotsPerTriggerOption))
-            .map(_.toLong)
-        new StreamCapableScan(scan,
-          () => new GraftMicroBatchStream(ctx, scanOver, scan.readSchema(),
-            maxSnaps))
-      case None => scan
-    }
+      KeyGroupedScan.tryWrap(scan, partCols, schema, mkStream)
+        .getOrElse(StreamCapableScan.wrap(scan, mkStream))
+    else StreamCapableScan.wrap(scan, mkStream)
   }
 }
 
@@ -148,11 +146,18 @@ class GraftScanBuilder(
 class KeyGroupedScan(
     delegate: Scan,
     partCols: Seq[String],
-    partitions: Array[org.apache.spark.sql.connector.read.InputPartition])
+    partitions: Array[org.apache.spark.sql.connector.read.InputPartition],
+    mkStream: Option[() =>
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   override def readSchema(): StructType = delegate.readSchema()
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    mkStream.map(_.apply())
+      .getOrElse(super.toMicroBatchStream(checkpointLocation))
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
@@ -182,11 +187,14 @@ object KeyGroupedScan {
     * callers keep the plain scan, losing only the optimization.
     */
   def tryWrap(delegate: Scan, partCols: Seq[String],
-      schema: StructType): Option[Scan] = {
+      schema: StructType,
+      mkStream: Option[() =>
+        org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
+      : Option[Scan] = {
     val partTypes = partCols.map(c => schema(c).dataType)
     org.apache.spark.sql.graft.SparkInternals
       .keyGroupedPartitions(delegate.toBatch, partTypes)
-      .map(parts => new KeyGroupedScan(delegate, partCols, parts))
+      .map(parts => new KeyGroupedScan(delegate, partCols, parts, mkStream))
   }
 }
 

@@ -117,11 +117,17 @@ private[spark] class GraftMicroBatchStream(
   */
 private[spark] class StreamCapableScan(
     delegate: Scan,
-    mkStream: () => GraftMicroBatchStream) extends Scan {
+    mkStream: () => MicroBatchStream) extends Scan {
   override def readSchema(): StructType = delegate.readSchema()
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     delegate.toBatch
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     mkStream()
   override def description(): String = s"Streamable(${delegate.description()})"
+}
+
+private[spark] object StreamCapableScan {
+  /** Identity when no stream context (time-travel and dtxn loads). */
+  def wrap(delegate: Scan, mkStream: Option[() => MicroBatchStream]): Scan =
+    mkStream.map(new StreamCapableScan(delegate, _)).getOrElse(delegate)
 }

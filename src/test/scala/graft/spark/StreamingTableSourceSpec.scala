@@ -65,6 +65,24 @@ class StreamingTableSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("partitioned tables stream too (key-grouped batch path intact)") {
+    spark.sql("""CREATE TABLE stc.ns.p (k BIGINT, region STRING)
+      PARTITIONED BY (region)""")
+    spark.sql("INSERT INTO stc.ns.p VALUES (1, 'asia'), (2, 'emea')")
+    val checkpoint = Files.createTempDirectory("graft-sts-cp5").toString
+    val q = spark.readStream.table("stc.ns.p")
+      .writeStream.format("memory").queryName("sts_sink5")
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sts_sink5").count() == 2)
+      spark.sql("INSERT INTO stc.ns.p VALUES (3, 'asia')")
+      q.processAllAvailable()
+      assert(spark.table("sts_sink5").count() == 3)
+    } finally q.stop()
+  }
+
   test("max-snapshots-per-trigger caps catch-up batch size") {
     spark.sql("CREATE TABLE stc.ns.m (k BIGINT)")
     (1 to 3).foreach(i => spark.sql(s"INSERT INTO stc.ns.m VALUES ($i)"))

@@ -64,12 +64,20 @@ private[spark] object GraftMetadataColumns {
 }
 
 /** Scan wrapper appending the per-row `_file` column (last). */
-private[spark] class FileTaggedScan(delegate: Scan, outSchema: StructType)
-    extends Scan {
+private[spark] class FileTaggedScan(val delegate: Scan, outSchema: StructType)
+    extends Scan with DelegatedStatistics {
+  override protected def statsDelegate: Scan = delegate
   override def readSchema(): StructType = outSchema
   override def toBatch: Batch =
     SparkInternals.fileTaggedBatch(delegate.toBatch, outSchema.length - 1)
   override def description(): String = s"FileTagged(${delegate.description()})"
+  // structural equality for exchange/subquery reuse across plannings
+  override def equals(other: Any): Boolean = other match {
+    case f: FileTaggedScan =>
+      delegate == f.delegate && readSchema() == f.readSchema()
+    case _ => false
+  }
+  override def hashCode(): Int = (delegate, readSchema()).hashCode()
 }
 
 /** A Batch with no partitions (statically pruned to nothing). */

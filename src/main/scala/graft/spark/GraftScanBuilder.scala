@@ -116,6 +116,14 @@ class GraftScanBuilder(
     val physRequired = ColumnMapping.toPhysicalRequired(dataRequired, schema)
     onBuild(physRequired.fieldNames.toSeq, physFilters)
     val scan = scanOver(files)
+    // structural identity of THIS scan: exchange/subquery reuse (which
+    // dynamic pruning depends on) compares the outermost Scan of two
+    // independent plannings of the same query fragment — the delegated
+    // parquet scans are distinct objects, so identity must come from
+    // what is read, not from which instance reads it
+    val fp = ScanFingerprint(tableName, files.map(_._1),
+      physRequired.fieldNames.toSeq,
+      physFilters.map(ScanFingerprint.canonical), hasFile)
     val mkStream = streamCtx.map { ctx =>
       val maxSnaps =
         Option(options.get(GraftTable.MaxSnapshotsPerTriggerOption))
@@ -127,13 +135,75 @@ class GraftScanBuilder(
     // key-grouped storage partition so joins/aggregates clustered on
     // the partition columns skip their shuffle entirely (batch); the
     // stream hook rides along so partitioned tables stream too
-    if (partCols.nonEmpty && !hasFile &&
-        spark.sessionState.conf.v2BucketingEnabled &&
-        partCols.forall(c => dataRequired.fieldNames.contains(c)))
-      KeyGroupedScan.tryWrap(scan, partCols, schema, mkStream)
-        .getOrElse(StreamCapableScan.wrap(scan, mkStream))
-    else StreamCapableScan.wrap(scan, mkStream)
+    val keyGrouped =
+      if (partCols.nonEmpty && !hasFile &&
+          spark.sessionState.conf.v2BucketingEnabled &&
+          partCols.forall(c => dataRequired.fieldNames.contains(c)))
+        KeyGroupedScan.tryWrap(scan, partCols, schema, fp, mkStream)
+      else None
+    // runtime (DPP-style) file pruning: a join's dynamic predicate
+    // re-prunes the snapshot file list against per-file stats at
+    // execution — with sort-clustered layout a star join scans only
+    // the fact files whose ranges cover the joined keys
+    keyGrouped.getOrElse(new RuntimeFilteredScan(
+      StreamCapableScan.wrap(scan, mkStream),
+      // only columns the scan actually OUTPUTS can carry a runtime
+      // predicate (Spark resolves filterAttributes against the
+      // relation output)
+      RuntimeFilteredScan.prunableColumns(dataRequired),
+      fp,
+      extra => {
+        val physExtra = extra.map(ColumnMapping.toPhysicalExpr(_, renames))
+        val physSchema = ColumnMapping.toPhysical(schema)
+        scanOver(files.filter { case (_, f) =>
+          physExtra.forall(FilePruning.mayMatch(_, f, physSchema))
+        })
+      }))
   }
+}
+
+/** Forwards the delegated parquet scan's size/row estimates through a
+  * graft wrapper. Without this every wrapped scan reports UNKNOWN size,
+  * Spark assumes worst-case, and a KB-sized dimension never
+  * auto-broadcasts — at 100 TB that turns star joins into full
+  * shuffles and starves dynamic partition pruning (which only fires
+  * against a reusable broadcast).
+  */
+private[spark] trait DelegatedStatistics
+    extends org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  protected def statsDelegate: Scan
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    statsDelegate match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
+    }
+}
+
+/** Value identity of a graft scan: the table, the snapshot's file
+  * list, the pushed column set, and the pushed filters (attributes
+  * canonicalized — exprIds differ across plannings). Two scans with
+  * equal fingerprints read the same bytes and return the same rows,
+  * which is exactly the contract exchange reuse needs.
+  */
+private[spark] case class ScanFingerprint(
+    table: String,
+    files: Seq[String],
+    readCols: Seq[String],
+    filters: Seq[String],
+    hasFile: Boolean)
+
+private[spark] object ScanFingerprint {
+  def canonical(e: Expression): String =
+    e.transform {
+      case a: Attribute => UnresolvedAttribute(Seq(a.name))
+    }.toString
 }
 
 /** Scan reporting [[KeyGroupedPartitioning]] over the table's
@@ -144,13 +214,22 @@ class GraftScanBuilder(
   * `spark.sql.sources.v2.bucketing.enabled`).
   */
 class KeyGroupedScan(
-    delegate: Scan,
-    partCols: Seq[String],
+    val delegate: Scan,
+    val partCols: Seq[String],
     partitions: Array[org.apache.spark.sql.connector.read.InputPartition],
+    partTypes: Seq[DataType] = Seq.empty,
+    val fingerprint: Option[ScanFingerprint] = None,
     mkStream: Option[() =>
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
   extends Scan
-  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with DelegatedStatistics {
+
+  override protected def statsDelegate: Scan = delegate
+
+  // runtime (DPP-style) group filtering may drop groups at execution
+  @volatile private var parts = partitions
 
   override def readSchema(): StructType = delegate.readSchema()
 
@@ -159,18 +238,67 @@ class KeyGroupedScan(
     mkStream.map(_.apply())
       .getOrElse(super.toMicroBatchStream(checkpointLocation))
 
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    partCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
+
+  /** Dynamic partition pruning, storage-partitioned form: evaluate the
+    * runtime predicate against each group's partition KEY and drop
+    * whole groups — the fact side of a star join reads only the
+    * partitions the filtered dimension actually joins to.
+    */
+  override def filter(predicates: Array[Predicate]): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute => UA}
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BasePredicate, Predicate => CPred}
+    if (partTypes.isEmpty) return
+    val attrs = partCols.zip(partTypes).map { case (c, t) =>
+      AttributeReference(c, t)() }
+    val byName = attrs.map(a => a.name -> a).toMap
+    val resolved = predicates.toSeq
+      .flatMap(PredicateToExpression.translate)
+      .flatMap { e =>
+        val r = e.transform {
+          case u: UA if byName.contains(u.nameParts.last) =>
+            byName(u.nameParts.last)
+        }
+        // a predicate naming anything but partition columns can't be
+        // evaluated on the key — keep all groups (conservative)
+        if (r.exists(_.isInstanceOf[UA])) None else Some(r)
+      }
+    if (resolved.isEmpty) return
+    val pred: BasePredicate = CPred.create(
+      resolved.reduce(org.apache.spark.sql.catalyst.expressions.And(_, _)),
+      attrs)
+    parts = parts.filter {
+      case k: org.apache.spark.sql.graft.KeyedFilePartition =>
+        pred.eval(k.partitionKey())
+      case _ => true
+    }
+  }
+
+  // STRUCTURAL equality (runtime-filter state excluded): broadcast and
+  // subquery reuse — which dynamic pruning depends on — compare the
+  // outermost Scan of independently-planned fragments
+  override def equals(other: Any): Boolean = other match {
+    case k: KeyGroupedScan => fingerprint.isDefined &&
+      fingerprint == k.fingerprint && partCols == k.partCols
+    case _ => false
+  }
+  override def hashCode(): Int = (fingerprint, partCols).hashCode()
+
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
       partCols.map(c =>
         org.apache.spark.sql.connector.expressions.Expressions.identity(c)
           : org.apache.spark.sql.connector.expressions.Expression).toArray,
-      partitions.length)
+      parts.length)
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     new org.apache.spark.sql.connector.read.Batch {
       override def planInputPartitions()
-          : Array[org.apache.spark.sql.connector.read.InputPartition] = partitions
+          : Array[org.apache.spark.sql.connector.read.InputPartition] = parts
       override def createReaderFactory()
           : org.apache.spark.sql.connector.read.PartitionReaderFactory =
         org.apache.spark.sql.graft.SparkInternals.keyUnwrappingFactory(
@@ -178,7 +306,7 @@ class KeyGroupedScan(
     }
 
   override def description(): String =
-    s"KeyGrouped(${partCols.mkString(",")}, groups=${partitions.length}, " +
+    s"KeyGrouped(${partCols.mkString(",")}, groups=${parts.length}, " +
       s"${delegate.description()})"
 }
 
@@ -188,26 +316,101 @@ object KeyGroupedScan {
     */
   def tryWrap(delegate: Scan, partCols: Seq[String],
       schema: StructType,
+      fingerprint: ScanFingerprint = null,
       mkStream: Option[() =>
         org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
       : Option[Scan] = {
     val partTypes = partCols.map(c => schema(c).dataType)
     org.apache.spark.sql.graft.SparkInternals
       .keyGroupedPartitions(delegate.toBatch, partTypes)
-      .map(parts => new KeyGroupedScan(delegate, partCols, parts, mkStream))
+      .map(ps => new KeyGroupedScan(delegate, partCols, ps, partTypes,
+        Option(fingerprint), mkStream))
   }
+}
+
+/** Runtime (DPP-style) FILE pruning for non-key-grouped scans: a
+  * join's dynamic predicate (typically `col IN (joined keys)`) arrives
+  * at execution via [[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]]
+  * and the file list is re-pruned against per-file min/max before any
+  * file is opened. With sort-clustered layout
+  * (`graft.write.sort-by`) the joined keys cover few files' ranges, so
+  * a star join against an unpartitioned fact scans a sliver of it —
+  * dynamic file pruning, the unpartitioned sibling of DPP.
+  */
+private[spark] class RuntimeFilteredScan(
+    val initial: Scan,
+    val attrs: Seq[String],
+    val fingerprint: ScanFingerprint,
+    rebuild: Seq[Expression] => Scan) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with DelegatedStatistics {
+
+  @volatile private var current: Scan = initial
+
+  override protected def statsDelegate: Scan = current
+
+  override def readSchema(): StructType = initial.readSchema()
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    current.toBatch
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    initial.toMicroBatchStream(checkpointLocation)
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    attrs.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val exprs = predicates.toSeq.flatMap(PredicateToExpression.translate)
+    if (exprs.nonEmpty) current = rebuild(exprs)
+  }
+
+  override def description(): String =
+    s"RuntimeFilterable(${initial.description()})"
+
+  // STRUCTURAL equality (runtime-filter state excluded): broadcast
+  // reuse — which DPP depends on — compares canonicalized plans, and
+  // two plannings of the same query build two wrapper instances
+  override def equals(other: Any): Boolean = other match {
+    case r: RuntimeFilteredScan =>
+      fingerprint == r.fingerprint && attrs == r.attrs
+    case _ => false
+  }
+  override def hashCode(): Int = (fingerprint, attrs).hashCode()
+}
+
+private[spark] object RuntimeFilteredScan {
+  /** Columns whose per-file stats [[FilePruning]] can reason about —
+    * the only ones worth advertising for runtime filtering.
+    */
+  private val prunableTypes: Set[DataType] = Set(
+    LongType, IntegerType, ShortType, ByteType, DoubleType, FloatType,
+    StringType, DateType, TimestampType, TimestampNTZType)
+
+  def prunableColumns(schema: StructType): Seq[String] =
+    schema.fields.filter(f => prunableTypes(f.dataType)).map(_.name).toSeq
 }
 
 /** Scan wrapper reporting LOGICAL column names over a delegate that
   * read under physical ones — rows are positional, so re-labeling the
   * schema is the whole job (rename-safe reads, [[ColumnMapping]]).
   */
-private[spark] class RelabeledScan(delegate: Scan, outSchema: StructType)
-    extends Scan {
+private[spark] class RelabeledScan(val delegate: Scan, outSchema: StructType)
+    extends Scan with DelegatedStatistics {
+  override protected def statsDelegate: Scan = delegate
   override def readSchema(): StructType = outSchema
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     delegate.toBatch
   override def description(): String = s"Relabeled(${delegate.description()})"
+  override def equals(other: Any): Boolean = other match {
+    case r: RelabeledScan =>
+      delegate == r.delegate && readSchema() == r.readSchema()
+    case _ => false
+  }
+  override def hashCode(): Int = (delegate, readSchema()).hashCode()
 }
 
 /** Min/max interval analysis of Catalyst predicates against one file's

@@ -116,14 +116,23 @@ private[spark] class GraftMicroBatchStream(
   * builder produced (same pushdown state, per-batch file sets).
   */
 private[spark] class StreamCapableScan(
-    delegate: Scan,
-    mkStream: () => MicroBatchStream) extends Scan {
+    val delegate: Scan,
+    mkStream: () => MicroBatchStream) extends Scan
+    with DelegatedStatistics {
+  override protected def statsDelegate: Scan = delegate
   override def readSchema(): StructType = delegate.readSchema()
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     delegate.toBatch
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     mkStream()
   override def description(): String = s"Streamable(${delegate.description()})"
+
+  // structural equality for broadcast/exchange reuse across plannings
+  override def equals(other: Any): Boolean = other match {
+    case s: StreamCapableScan => delegate == s.delegate
+    case _ => false
+  }
+  override def hashCode(): Int = delegate.hashCode()
 }
 
 private[spark] object StreamCapableScan {

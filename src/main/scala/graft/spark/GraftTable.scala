@@ -327,8 +327,17 @@ object GraftTable {
 /** Scan of an empty table: zero partitions, declared schema. */
 private[spark] class EmptyScanBuilder(schema: StructType) extends ScanBuilder {
   override def build(): org.apache.spark.sql.connector.read.Scan =
-    new org.apache.spark.sql.connector.read.Scan {
+    new org.apache.spark.sql.connector.read.Scan
+        with org.apache.spark.sql.connector.read.SupportsReportStatistics {
       override def readSchema(): StructType = schema
+      override def estimateStatistics()
+          : org.apache.spark.sql.connector.read.Statistics =
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong =
+            java.util.OptionalLong.of(0L)
+          override def numRows(): java.util.OptionalLong =
+            java.util.OptionalLong.of(0L)
+        }
       override def toBatch: org.apache.spark.sql.connector.read.Batch =
         new org.apache.spark.sql.connector.read.Batch {
           override def planInputPartitions()

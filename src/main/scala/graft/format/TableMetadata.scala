@@ -13,7 +13,13 @@ final case class DataFileEntry(
     rowCount: Long,
     sizeBytes: Long,
     minValues: Map[String, String] = Map.empty,
-    maxValues: Map[String, String] = Map.empty)
+    maxValues: Map[String, String] = Map.empty,
+    // data sequence number: the commit sequence that ADDED this file.
+    // A merge-on-read delete predicate applies only to files with
+    // seq <= the predicate's seq — rows appended after the delete are
+    // never retro-deleted. Pre-feature entries default to 0 (every
+    // predicate applies — they existed first).
+    seq: Long = 0L)
 
 /** An immutable table version: file inventory + provenance. Replaces
   * the reference's `iceberg_metadata_location` indirection
@@ -38,13 +44,30 @@ final case class Snapshot(
     manifests: Seq[String] = Seq.empty,
     fileCount: Long = -1L, // -1 = legacy doc: totals derive from files
     rowCount: Long = -1L,
-    sizeBytes: Long = -1L) {
+    sizeBytes: Long = -1L,
+    // commit sequence number (monotone; survives snapshot expiration,
+    // unlike ids only insofar as both grow — kept separate so delete
+    // predicates bind to a stable ordering)
+    seq: Long = 0L,
+    // merge-on-read: the FULL list of delete predicates still pending
+    // at this snapshot. Reads apply each predicate (as NOT-TRUE) to
+    // files with entry.seq <= predicate.seq; a rewrite re-sequences the
+    // rows it carries, and an overwrite/compaction clears the list.
+    deletes: Seq[DeletePredicate] = Seq.empty) {
 
   def totalFiles: Long = if (fileCount >= 0) fileCount else files.size.toLong
   def totalRows: Long = if (fileCount >= 0) rowCount else files.map(_.rowCount).sum
   def totalBytes: Long =
     if (fileCount >= 0) sizeBytes else files.map(_.sizeBytes).sum
 }
+
+/** One pending merge-on-read delete: rows where `sql` (PHYSICAL column
+  * names — stable across renames) evaluates TRUE are logically deleted
+  * from every data file whose entry.seq <= this.seq. Committed by a
+  * mor-mode DELETE as pure metadata; materialized (and removed) by the
+  * next rewrite of the covered files.
+  */
+final case class DeletePredicate(seq: Long, sql: String)
 
 /** One manifest segment: a plain entry list (JSON object for format
   * headroom). Segments are immutable and content-addressed by UUID
@@ -77,6 +100,10 @@ final case class AppendFiles(add: Seq[DataFileEntry]) extends FilesEdit
 final case class OverwriteFiles(all: Seq[DataFileEntry]) extends FilesEdit
 final case class ReplaceFiles(remove: Set[String], add: Seq[DataFileEntry])
   extends FilesEdit
+/** Merge-on-read DELETE: inventory untouched, one predicate added
+  * (sequence stamped by [[TableMetadata.withSnapshotEdit]]).
+  */
+final case class AddDeletePredicate(sql: String) extends FilesEdit
 
 /** Table metadata document, stored at TableDef.metadataLocation; every
   * commit writes a new document (copy-on-write, like Iceberg metadata
@@ -128,13 +155,30 @@ final case class TableMetadata(
       edit: FilesEdit,
       inlineMax: Int = Manifests.InlineMaxDefault,
       snapshotsInlineMax: Int = SnapshotLog.InlineMaxDefault): TableMetadata = {
-    val next = Manifests.applyEdit(storage, manifestDir, currentSnapshot, edit,
-      inlineMax)
+    val seq = currentSnapshot.map(_.seq + 1).getOrElse(1L)
+    // new files carry the commit's sequence so later delete predicates
+    // (which bind to a sequence) never apply to them retroactively
+    val stamped = edit match {
+      case AppendFiles(add) => AppendFiles(add.map(_.copy(seq = seq)))
+      case OverwriteFiles(all) => OverwriteFiles(all.map(_.copy(seq = seq)))
+      case ReplaceFiles(rm, add) => ReplaceFiles(rm, add.map(_.copy(seq = seq)))
+      case e: AddDeletePredicate => e
+    }
+    val parentDeletes = currentSnapshot.map(_.deletes).getOrElse(Seq.empty)
+    val deletes = stamped match {
+      case AddDeletePredicate(sql) => parentDeletes :+ DeletePredicate(seq, sql)
+      // the whole inventory is replaced — nothing left to apply to
+      case OverwriteFiles(_) => Seq.empty
+      case _ => parentDeletes
+    }
+    val next = Manifests.applyEdit(storage, manifestDir, currentSnapshot,
+      stamped, inlineMax)
     val id = currentSnapshotId + 1
     SnapshotLog.spill(storage, manifestDir, copy(
       currentSnapshotId = id,
       snapshots = snapshots :+ next.copy(id = id, parentId = currentSnapshotId,
-        timestampMillis = System.currentTimeMillis(), operation = op)),
+        timestampMillis = System.currentTimeMillis(), operation = op,
+        seq = seq, deletes = deletes)),
       snapshotsInlineMax)
   }
 }
@@ -198,6 +242,10 @@ object Manifests {
       case None => (0L, 0L, 0L)
     }
     val (inline, manifests, count, rows, bytes) = edit match {
+      case AddDeletePredicate(_) =>
+        // metadata-only: parent inventory (inline AND segment keys)
+        // carries over verbatim — the commit writes no data objects
+        (pInline, pManifests, pCount, pRows, pBytes)
       case OverwriteFiles(all) =>
         val (c, r, b) = totals(all)
         if (all.lengthCompare(inlineMax) <= 0) (all, Seq.empty[String], c, r, b)

@@ -49,17 +49,23 @@ object Maintenance {
     val meta = TableMetadata.read(storage, td.metadataLocation)
     val current = meta.currentFiles(storage)
     val before = current.size
+    val pendingDeletes =
+      meta.currentSnapshot.map(_.deletes).getOrElse(Seq.empty)
     // a sorted rewrite is worth doing even at the target file count —
-    // its point is range disjointness, not bin-packing
-    if (before <= targetFiles && sortCols.isEmpty)
+    // its point is range disjointness, not bin-packing; pending
+    // merge-on-read deletes also force the rewrite (compaction is
+    // where they materialize and clear)
+    if (before <= targetFiles && sortCols.isEmpty && pendingDeletes.isEmpty)
       return CompactionResult(before, before)
     // basePath + declared schema restore Hive-partition columns for
-    // partitioned tables (their files don't carry those columns)
+    // partitioned tables (their files don't carry those columns);
+    // pending mor deletes are applied at read, so the rewrite
+    // materializes them and the overwrite commit clears the list
     val dataRoot = storage.absolute(FileLocations.tableDataDir(ns, ident.name()))
     val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val df = spark.read.schema(schema).option("basePath", dataRoot)
-      .parquet(current.map(f => storage.absolute(f.path)): _*)
+    val df = graft.spark.MorDeletes.readEntries(spark, schema, Some(dataRoot),
+      current.map(f => (storage.absolute(f.path), f)), pendingDeletes)
     val partCols = td.properties.get(graft.spark.GraftCatalog.PartitionColsProp)
       .map(_.split(',').toSeq).getOrElse(Seq.empty)
     // one file per partition value IS the compaction for partitioned
@@ -183,10 +189,12 @@ object Maintenance {
     val txn = Graft.beginTransaction(storage)
     val ns = ident.namespace()(0)
     val entries = relPaths.map { rel =>
-      val abs = storage.absolute(rel)
-      val stats = graft.format.ParquetStats.read(abs)
-      DataFileEntry(rel, stats.rowCount,
-        java.nio.file.Files.size(java.nio.file.Paths.get(abs)),
+      // size + footer exclusively through StorageOps — against a real
+      // bucket the footer read goes via a local read handle, never a
+      // filesystem path assumption
+      val stats = graft.format.ParquetStats.read(
+        storage.prepareToReadLocal(rel).toString)
+      DataFileEntry(rel, stats.rowCount, storage.sizeOf(rel),
         stats.minValues, stats.maxValues)
     }
     commitSnapshot(cat, txn, ns, ident.name(), "import",

@@ -34,8 +34,12 @@ object CatalogDef {
     * snapshots into snaplog objects (a v2 maintenance job would treat
     * their files as orphans and DELETE them) and may carry named
     * snapshot refs (tags).
+    * v4 = merge-on-read delete predicates: a snapshot may carry
+    * pending `deletes` that every read must apply — a v3 reader would
+    * silently return logically-deleted rows, so v4 catalogs must be
+    * refused by v3 builds rather than misread.
     */
-  val FormatVersion = 3
+  val FormatVersion = 4
 }
 
 object IsolationLevel {

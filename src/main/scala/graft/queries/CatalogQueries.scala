@@ -729,6 +729,81 @@ object CatalogQueries {
       },
       Some("""SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS total,
              |       round(min(l_quantity), 2) AS min_qty
-             |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 5000""".stripMargin))
+             |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 5000""".stripMargin)),
+
+    QueryDef(
+      "c26_runtime_pruned_join",
+      (s, d) => {
+        // Runtime (dynamic) partition pruning: the fact table is
+        // partitioned on the join key and the dimension filter is only
+        // known at execution — the joined keys reach the fact scan as a
+        // runtime predicate and whole partition groups drop before any
+        // file opens (RuntimeFilterSpec asserts the pruning; this
+        // grades that the pruned result is right).
+        ensureCatalog(s, "gcr")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcr.ns1")
+        s.sql("DROP TABLE IF EXISTS gcr.ns1.fact")
+        s.sql("DROP TABLE IF EXISTS gcr.ns1.dim")
+        s.sql("""CREATE TABLE gcr.ns1.fact (
+                   o_orderkey BIGINT, o_totalprice DOUBLE, prio STRING)
+                 PARTITIONED BY (prio)""")
+        s.sql(s"""INSERT INTO gcr.ns1.fact
+                  SELECT o_orderkey, o_totalprice, o_orderpriority
+                  FROM parquet.`$d/orders.parquet`""")
+        s.sql("CREATE TABLE gcr.ns1.dim (prio STRING, tier STRING)")
+        s.sql("""INSERT INTO gcr.ns1.dim VALUES
+                  ('1-URGENT', 'hot'), ('2-HIGH', 'hot'), ('3-MEDIUM', 'warm'),
+                  ('4-NOT SPECIFIED', 'cold'), ('5-LOW', 'cold')""")
+        s.sql("""SELECT d.prio, count(*) AS n,
+                        round(sum(f.o_totalprice), 2) AS total
+                 FROM gcr.ns1.fact f JOIN gcr.ns1.dim d ON f.prio = d.prio
+                 WHERE d.tier = 'hot'
+                 GROUP BY d.prio ORDER BY d.prio""")
+      },
+      Some("""SELECT o_orderpriority AS prio, count(*) AS n,
+             |       round(sum(o_totalprice), 2) AS total
+             |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |GROUP BY o_orderpriority ORDER BY prio""".stripMargin)),
+
+    QueryDef(
+      "c27_mor_delete",
+      (s, d) => {
+        // Merge-on-read DELETE: both deletes commit PREDICATES (no file
+        // rewrite — MorDeleteSpec asserts the inventory is untouched);
+        // reads apply them as residuals. The append between the two
+        // deletes pins the sequencing semantics: rows added AFTER a
+        // delete survive it even when they match its predicate.
+        ensureCatalog(s, "gcm")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcm.ns1")
+        s.sql("DROP TABLE IF EXISTS gcm.ns1.li")
+        s.sql("""CREATE TABLE gcm.ns1.li (
+                   l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING)
+                 TBLPROPERTIES ('graft.delete.mode' = 'merge-on-read')""")
+        s.sql(s"""INSERT INTO gcm.ns1.li
+                  SELECT l_orderkey, l_quantity, l_returnflag
+                  FROM parquet.`$d/lineitem.parquet`""")
+        s.sql("DELETE FROM gcm.ns1.li WHERE l_quantity < 5")
+        s.sql(s"""INSERT INTO gcm.ns1.li
+                  SELECT l_orderkey + 10000000, l_quantity, l_returnflag
+                  FROM parquet.`$d/lineitem.parquet` WHERE l_orderkey % 7 = 0""")
+        s.sql("""DELETE FROM gcm.ns1.li
+                 WHERE l_returnflag = 'R' AND l_orderkey < 1000000""")
+        s.sql("""SELECT l_returnflag, count(*) AS n,
+                        round(sum(l_quantity), 2) AS qty
+                 FROM gcm.ns1.li
+                 GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""WITH b1 AS (
+             |  SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+             |  WHERE NOT (l_quantity < 5)),
+             |b2 AS (
+             |  SELECT l_orderkey + 10000000 AS l_orderkey, l_quantity,
+             |         l_returnflag
+             |  FROM lineitem WHERE l_orderkey % 7 = 0),
+             |kept AS (
+             |  SELECT * FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+             |  WHERE NOT (l_returnflag = 'R' AND l_orderkey < 1000000))
+             |SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+             |FROM kept GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }

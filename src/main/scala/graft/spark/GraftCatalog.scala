@@ -585,6 +585,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       "delete", ActionType.TableDelete)
   }
 
+  /** Merge-on-read DELETE: commit the PREDICATE (physical names —
+    * stable across renames), rewrite nothing. Reads apply it as a
+    * residual until a rewrite/compaction materializes it. At 100 TB a
+    * sparse delete is one small metadata commit instead of a terabyte
+    * rewrite. `exprs` must be the COMPLETE translated conjunct set —
+    * a partial predicate would delete too much.
+    */
+  private[spark] def morDelete(ident: Identifier,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit = {
+    require(exprs.nonEmpty, "merge-on-read delete needs a predicate")
+    val ns = ns1(ident.namespace())
+    val t = ident.name()
+    val schema = inTxn { txn =>
+      val td = Graft.describeTable(storage, txn, ns, t)
+      DataType.fromJson(TableMetadata.read(storage, td.metadataLocation)
+        .schemaJson).asInstanceOf[StructType]
+    }
+    val renames = ColumnMapping.renames(schema)
+    val cond = exprs.reduce(
+      org.apache.spark.sql.catalyst.expressions.And(_, _))
+    val sql = ColumnMapping.toPhysicalExpr(cond, renames).sql
+    inTxn { txn =>
+      applyFilesCommit(storage, txn.runningRoot, ns, t, "delete",
+        graft.format.AddDeletePredicate(sql))
+      txn.replays += ((s, r) => applyFilesCommit(s, r, ns, t, "delete",
+        graft.format.AddDeletePredicate(sql)))
+      val cd = Graft.catalogDef(storage, txn.runningRoot)
+      txn.record(Action(ActionType.TableDelete,
+        ObjectKeys.tableKey(ns, t, cd), Map("predicate" -> sql)))
+    }
+  }
+
   /** Shared engine of DELETE/UPDATE: split the snapshot's files into
     * touched (stats overlap the predicate) and untouched, rewrite only
     * the touched rows through `rewrite`, commit untouched ++ rewritten
@@ -617,12 +649,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         physPrune.forall(e => FilePruning.mayMatch(e, f, physSchema)))
     if (touched.isEmpty) return // provably no matching rows anywhere
     val dataRoot = storage.absolute(FileLocations.tableDataDir(ns, t))
-    val paths = touched.map(f => storage.absolute(f.path))
-    val reader0 = spark.read.schema(physSchema)
-    val reader =
-      if (paths.forall(_.startsWith(dataRoot))) reader0.option("basePath", dataRoot)
-      else reader0
-    val logicalDf = renames.foldLeft(reader.parquet(paths: _*)) {
+    val tuples = touched.map(f => (storage.absolute(f.path), f))
+    val basePath =
+      if (tuples.forall(_._1.startsWith(dataRoot))) Some(dataRoot) else None
+    // pending merge-on-read deletes are applied at READ time so a
+    // rewrite can never resurrect logically-deleted rows (the rewrite's
+    // output files re-sequence; old predicates stop applying to them)
+    val pendingDeletes = meta.currentSnapshot.map(_.deletes).getOrElse(Seq.empty)
+    val physDf = MorDeletes.readEntries(spark, physSchema, basePath, tuples,
+      pendingDeletes)
+    val logicalDf = renames.foldLeft(physDf) {
       case (df, (logical, physical)) => df.withColumnRenamed(physical, logical)
     }
     val out = rewrite(logicalDf)
@@ -842,6 +878,13 @@ object GraftCatalog {
     * fresh physical name so old file data cannot resurrect.
     */
   val DroppedFieldsProp = "graft.dropped-fields"
+
+  /** TableDef property selecting DELETE strategy: `copy-on-write`
+    * (default — rewrite touched files) or `merge-on-read` (commit the
+    * predicate; reads apply it until compaction materializes).
+    */
+  val DeleteModeProp = "graft.delete.mode"
+  val DeleteModeMergeOnRead = "merge-on-read"
 
   /** Manifest segments live beside (not under) the data dir, so data
     * file listings and orphan scans never see them.

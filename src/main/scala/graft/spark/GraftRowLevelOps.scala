@@ -256,27 +256,61 @@ class GraftCowScan(
     if (kept.isEmpty) return EmptyBatch
     val spark = org.apache.spark.sql.SparkSession.active
       .asInstanceOf[ClassicSession]
-    val opts = {
-      val baseDir = table.dataRootAbs
-      if (kept.forall(_._1.startsWith(baseDir))) {
-        val m = new java.util.HashMap[String, String](options)
-        m.put("basePath", baseDir)
-        new CaseInsensitiveStringMap(m)
-      } else options
-    }
+    val physSchema = ColumnMapping.toPhysical(table.schema)
     // delegate reads under PHYSICAL names; readSchema() stays logical
     // and rows are positional (rename-safe reads, ColumnMapping)
     val physRequired = ColumnMapping.toPhysicalRequired(dataRequired, table.schema)
-    val inner = ParquetTable(table.name(), spark, opts, kept.map(_._1),
-      Some(ColumnMapping.toPhysical(table.schema)), classOf[ParquetFileFormat])
-      .newScanBuilder(opts)
-    inner match {
-      case p: SupportsPushDownRequiredColumns => p.pruneColumns(physRequired)
-      case _ => ()
+
+    def groupBatch(files: Seq[(String, DataFileEntry)],
+        readPhys: StructType): Batch = {
+      val opts = {
+        val baseDir = table.dataRootAbs
+        if (files.forall(_._1.startsWith(baseDir))) {
+          val m = new java.util.HashMap[String, String](options)
+          m.put("basePath", baseDir)
+          new CaseInsensitiveStringMap(m)
+        } else options
+      }
+      val inner = ParquetTable(table.name(), spark, opts, files.map(_._1),
+        Some(physSchema), classOf[ParquetFileFormat])
+        .newScanBuilder(opts)
+      inner match {
+        case p: SupportsPushDownRequiredColumns => p.pruneColumns(readPhys)
+        case _ => ()
+      }
+      // NO filter pushdown: every row of a kept file must be returned
+      inner.build().toBatch
     }
-    // NO filter pushdown: every row of a kept file must be returned
-    val b = inner.build().toBatch
-    if (hasFile) SparkInternals.fileTaggedBatch(b, dataRequired.length) else b
+
+    def tagged(b: Batch): Batch =
+      if (hasFile) SparkInternals.fileTaggedBatch(b, dataRequired.length) else b
+
+    // pending merge-on-read deletes apply at READ so the group rewrite
+    // can never resurrect logically-deleted rows (UPDATE/MERGE rewrite
+    // whole files; without the residual, deleted rows would ride along).
+    // `_file` tagging wraps each sub-batch BEFORE concatenation — it
+    // needs the delegate's FilePartitions.
+    val groups = MorDeletes.groups(kept, table.pendingDeletes)
+    if (!groups.exists(g => g._1.nonEmpty && g._2.nonEmpty))
+      tagged(groupBatch(kept, physRequired))
+    else SparkInternals.concatBatches(
+      groups.filter(_._2.nonEmpty).map { case (preds, es) =>
+        if (preds.isEmpty) tagged(groupBatch(es, physRequired))
+        else {
+          val extra = MorDeletes.referencedColumns(spark, preds)
+            .filterNot(physRequired.fieldNames.contains)
+            .filter(physSchema.fieldNames.contains)
+          val readPhys = StructType(
+            physRequired.fields ++ extra.map(physSchema(_)))
+          tagged(SparkInternals.filteredProjectedBatch(
+            groupBatch(es, readPhys),
+            MorDeletes.keepExpr(spark, preds,
+              readPhys.fields.toIndexedSeq.map(f =>
+                org.apache.spark.sql.catalyst.expressions.AttributeReference(
+                  f.name, f.dataType, f.nullable)())),
+            readPhys, physRequired.length))
+        }
+      })
   }
 
   override def toBatch: Batch = new Batch {

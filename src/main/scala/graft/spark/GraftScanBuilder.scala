@@ -34,7 +34,8 @@ class GraftScanBuilder(
     baseDir: String, // table data root — basePath for partition discovery
     onBuild: (Seq[String], Seq[Expression]) => Unit,
     partCols: Seq[String] = Seq.empty,
-    streamCtx: Option[GraftStreamCtx] = None)
+    streamCtx: Option[GraftStreamCtx] = None,
+    deletes: Seq[graft.format.DeletePredicate] = Seq.empty)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters {
@@ -75,35 +76,78 @@ class GraftScanBuilder(
     val (dataRequired, hasFile) = GraftMetadataColumns.split(requiredSchema)
     val physRequired = ColumnMapping.toPhysicalRequired(dataRequired, schema)
     if (kept.isEmpty) return new EmptyScanBuilder(requiredSchema).build()
-    // basePath lets Spark's file index parse Hive-style col=value
-    // directory levels back into (typed) partition columns — files
-    // written with partitionBy don't carry those columns themselves.
-    // Metadata-only IMPORTED files can live outside the table data
-    // dir; basePath must then be omitted (they're flat by contract).
-    val opts =
-      if (kept.forall(_._1.startsWith(baseDir))) {
-        val optMap = new java.util.HashMap[String, String](options)
-        optMap.put("basePath", baseDir)
-        new CaseInsensitiveStringMap(optMap)
-      } else options
-    val inner = ParquetTable(tableName, spark, opts, kept.map(_._1),
-      Some(physSchema), classOf[ParquetFileFormat])
-      .newScanBuilder(opts)
-    inner match {
-      case p: SupportsPushDownRequiredColumns => p.pruneColumns(physRequired)
-      case _ => ()
+
+    def delegateScan(scanKept: Seq[(String, DataFileEntry)],
+        readPhys: StructType): Scan = {
+      // basePath lets Spark's file index parse Hive-style col=value
+      // directory levels back into (typed) partition columns — files
+      // written with partitionBy don't carry those columns themselves.
+      // Metadata-only IMPORTED files can live outside the table data
+      // dir; basePath must then be omitted (they're flat by contract).
+      val opts =
+        if (scanKept.forall(_._1.startsWith(baseDir))) {
+          val optMap = new java.util.HashMap[String, String](options)
+          optMap.put("basePath", baseDir)
+          new CaseInsensitiveStringMap(optMap)
+        } else options
+      val inner = ParquetTable(tableName, spark, opts, scanKept.map(_._1),
+        Some(physSchema), classOf[ParquetFileFormat])
+        .newScanBuilder(opts)
+      inner match {
+        case p: SupportsPushDownRequiredColumns => p.pruneColumns(readPhys)
+        case _ => ()
+      }
+      inner match {
+        case p: SupportsPushDownCatalystFilters =>
+          p.pushFilters(physFilters)
+          innerPushed = p.pushedFilters
+        case _ => ()
+      }
+      inner.build()
     }
-    inner match {
-      case p: SupportsPushDownCatalystFilters =>
-        p.pushFilters(physFilters)
-        innerPushed = p.pushedFilters
-      case _ => ()
+
+    val fileField = org.apache.spark.sql.types.StructField(
+      GraftMetadataColumns.FileName, StringType, nullable = false)
+
+    // merge-on-read residuals: files with pending delete predicates
+    // read through a row-exact filter; untouched files (and everything
+    // appended after the newest delete) keep the plain vectorized path
+    val delGroups = MorDeletes.groups(kept, deletes)
+    if (delGroups.exists(g => g._1.nonEmpty && g._2.nonEmpty)) {
+      val batches = delGroups.filter(_._2.nonEmpty).map { case (preds, es) =>
+        val b =
+          if (preds.isEmpty) delegateScan(es, physRequired).toBatch
+          else {
+            // predicate columns the projection pruned must still be
+            // READ (then dropped after filtering)
+            val extra = MorDeletes.referencedColumns(spark, preds)
+              .filterNot(physRequired.fieldNames.contains)
+              .filter(physSchema.fieldNames.contains)
+            val readPhys = StructType(
+              physRequired.fields ++ extra.map(physSchema(_)))
+            org.apache.spark.sql.graft.SparkInternals.filteredProjectedBatch(
+              delegateScan(es, readPhys).toBatch,
+              MorDeletes.keepExpr(spark, preds,
+                readPhys.fields.toIndexedSeq.map(f =>
+                  org.apache.spark.sql.catalyst.expressions.AttributeReference(
+                    f.name, f.dataType, f.nullable)())),
+              readPhys, physRequired.length)
+          }
+        if (hasFile)
+          org.apache.spark.sql.graft.SparkInternals
+            .fileTaggedBatch(b, dataRequired.length)
+        else b
+      }
+      val outSchema =
+        if (hasFile) StructType(dataRequired.fields :+ fileField)
+        else dataRequired
+      return new MorScan(outSchema,
+        org.apache.spark.sql.graft.SparkInternals.concatBatches(batches))
     }
-    val built = inner.build()
+
+    val built = delegateScan(kept, physRequired)
     if (hasFile)
-      new FileTaggedScan(built,
-        StructType(dataRequired.fields :+ org.apache.spark.sql.types.StructField(
-          GraftMetadataColumns.FileName, StringType, nullable = false)))
+      new FileTaggedScan(built, StructType(dataRequired.fields :+ fileField))
     else if (!ColumnMapping.hasRenames(schema)) built
     else new RelabeledScan(built, dataRequired)
   }
@@ -124,6 +168,15 @@ class GraftScanBuilder(
     val fp = ScanFingerprint(tableName, files.map(_._1),
       physRequired.fieldNames.toSeq,
       physFilters.map(ScanFingerprint.canonical), hasFile)
+    // the snapshot knows this scan's EXACT row/byte totals (commit-time
+    // footer stats over the statically-pruned file list) — report them
+    // instead of the delegate's estimate so join planning (broadcast
+    // thresholds, DPP benefit) runs on truth, not listing-derived guesses
+    val physSchemaForStats = ColumnMapping.toPhysical(schema)
+    val keptForStats = files.map(_._2).filter(f =>
+      physFilters.forall(e => FilePruning.mayMatch(e, f, physSchemaForStats)))
+    val exact = Some(ExactScanStats(
+      keptForStats.map(_.rowCount).sum, keptForStats.map(_.sizeBytes).sum))
     val mkStream = streamCtx.map { ctx =>
       val maxSnaps =
         Option(options.get(GraftTable.MaxSnapshotsPerTriggerOption))
@@ -136,10 +189,13 @@ class GraftScanBuilder(
     // the partition columns skip their shuffle entirely (batch); the
     // stream hook rides along so partitioned tables stream too
     val keyGrouped =
+      // pending-delete residuals read through per-group batches whose
+      // partitions aren't key-attributable — SPJ resumes at compaction
       if (partCols.nonEmpty && !hasFile &&
+          !MorDeletes.pending(deletes, files.map(_._2)) &&
           spark.sessionState.conf.v2BucketingEnabled &&
           partCols.forall(c => dataRequired.fieldNames.contains(c)))
-        KeyGroupedScan.tryWrap(scan, partCols, schema, fp, mkStream)
+        KeyGroupedScan.tryWrap(scan, partCols, schema, fp, mkStream, exact)
       else None
     // runtime (DPP-style) file pruning: a join's dynamic predicate
     // re-prunes the snapshot file list against per-file stats at
@@ -152,6 +208,7 @@ class GraftScanBuilder(
       // relation output)
       RuntimeFilteredScan.prunableColumns(dataRequired),
       fp,
+      exact,
       extra => {
         val physExtra = extra.map(ColumnMapping.toPhysicalExpr(_, renames))
         val physSchema = ColumnMapping.toPhysical(schema)
@@ -172,19 +229,34 @@ class GraftScanBuilder(
 private[spark] trait DelegatedStatistics
     extends org.apache.spark.sql.connector.read.SupportsReportStatistics {
   protected def statsDelegate: Scan
+  /** When set, the snapshot's commit-time totals win over the
+    * delegate's estimate.
+    */
+  protected def exactStats: Option[ExactScanStats] = None
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
-    statsDelegate match {
-      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-        s.estimateStatistics()
-      case _ => new org.apache.spark.sql.connector.read.Statistics {
-        override def sizeInBytes(): java.util.OptionalLong =
-          java.util.OptionalLong.empty()
-        override def numRows(): java.util.OptionalLong =
-          java.util.OptionalLong.empty()
-      }
-    }
+    exactStats.map(e => new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(e.bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(e.rows)
+    }: org.apache.spark.sql.connector.read.Statistics).getOrElse(
+      statsDelegate match {
+        case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+          s.estimateStatistics()
+        case _ => new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong =
+            java.util.OptionalLong.empty()
+          override def numRows(): java.util.OptionalLong =
+            java.util.OptionalLong.empty()
+        }
+      })
 }
+
+/** Exact totals for a scan, summed from the snapshot's per-file
+  * commit-time stats over the statically-pruned file list.
+  */
+private[spark] case class ExactScanStats(rows: Long, bytes: Long)
 
 /** Value identity of a graft scan: the table, the snapshot's file
   * list, the pushed column set, and the pushed filters (attributes
@@ -220,13 +292,15 @@ class KeyGroupedScan(
     partTypes: Seq[DataType] = Seq.empty,
     val fingerprint: Option[ScanFingerprint] = None,
     mkStream: Option[() =>
-      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None,
+    exact: Option[ExactScanStats] = None)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with DelegatedStatistics {
 
   override protected def statsDelegate: Scan = delegate
+  override protected def exactStats: Option[ExactScanStats] = exact
 
   // runtime (DPP-style) group filtering may drop groups at execution
   @volatile private var parts = partitions
@@ -318,13 +392,14 @@ object KeyGroupedScan {
       schema: StructType,
       fingerprint: ScanFingerprint = null,
       mkStream: Option[() =>
-        org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
+        org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None,
+      exact: Option[ExactScanStats] = None)
       : Option[Scan] = {
     val partTypes = partCols.map(c => schema(c).dataType)
     org.apache.spark.sql.graft.SparkInternals
       .keyGroupedPartitions(delegate.toBatch, partTypes)
       .map(ps => new KeyGroupedScan(delegate, partCols, ps, partTypes,
-        Option(fingerprint), mkStream))
+        Option(fingerprint), mkStream, exact))
   }
 }
 
@@ -341,6 +416,7 @@ private[spark] class RuntimeFilteredScan(
     val initial: Scan,
     val attrs: Seq[String],
     val fingerprint: ScanFingerprint,
+    exact: Option[ExactScanStats],
     rebuild: Seq[Expression] => Scan) extends Scan
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with DelegatedStatistics {
@@ -348,6 +424,8 @@ private[spark] class RuntimeFilteredScan(
   @volatile private var current: Scan = initial
 
   override protected def statsDelegate: Scan = current
+  // planning reads stats before execution-time rebuilds can happen
+  override protected def exactStats: Option[ExactScanStats] = exact
 
   override def readSchema(): StructType = initial.readSchema()
 
@@ -392,6 +470,21 @@ private[spark] object RuntimeFilteredScan {
 
   def prunableColumns(schema: StructType): Seq[String] =
     schema.fields.filter(f => prunableTypes(f.dataType)).map(_.name).toSeq
+}
+
+/** Scan of a table with PENDING merge-on-read deletes: per-group
+  * delegated parquet batches (each with its row-exact residual filter)
+  * concatenated into one batch. Output schema is logical — rows are
+  * positional (rename-safe, [[ColumnMapping]]). Group count ≤ distinct
+  * delete epochs + 1, so the concat stays tiny; a rewrite or
+  * compaction returns the table to the single vectorized scan.
+  */
+private[spark] class MorScan(
+    outSchema: StructType,
+    batch: org.apache.spark.sql.connector.read.Batch) extends Scan {
+  override def readSchema(): StructType = outSchema
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = batch
+  override def description(): String = s"MorResidual(${outSchema.fieldNames.mkString(",")})"
 }
 
 /** Scan wrapper reporting LOGICAL column names over a delegate that

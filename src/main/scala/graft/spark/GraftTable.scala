@@ -86,6 +86,13 @@ class GraftTable(
   private[spark] def currentFileTuples: Seq[(String, DataFileEntry)] =
     meta.currentFiles(storage).map(f => (storage.absolute(f.path), f))
 
+  /** Merge-on-read delete predicates pending at THIS table's pinned
+    * snapshot (time travel included — the pinned snapshot carries its
+    * own list).
+    */
+  private[spark] def pendingDeletes: Seq[graft.format.DeletePredicate] =
+    meta.currentSnapshot.map(_.deletes).getOrElse(Seq.empty)
+
   /** Incremental read: the files appended in `(start, end]` — the
     * reprocess-only-new-data scan of a training pipeline. Only valid
     * over additive snapshots; a rewrite in the range is refused (use
@@ -177,7 +184,8 @@ class GraftTable(
             "filters" -> filters.map(_.sql).mkString(" AND ")) ++
             ReadIntervals.fromFilters(filters))),
       partCols = partitionColumnNames,
-      streamCtx = Some(streamCtx))
+      streamCtx = Some(streamCtx),
+      deletes = pendingDeletes)
   }
 
   // ---------------- delete (SQL `DELETE FROM`) ----------------
@@ -202,7 +210,16 @@ class GraftTable(
     // rest just mean fewer files are provably untouched
     val pruneExprs = predicates.toIndexedSeq
       .flatMap(PredicateToExpression.translate)
-    catalog.deleteWhere(spark, ident, cond, pruneExprs)
+    // merge-on-read: commit the predicate, rewrite nothing. Requires
+    // the COMPLETE conjunct set in catalyst form (a partial predicate
+    // would delete too much) — otherwise fall back to copy-on-write,
+    // which is always correct.
+    if (tableDef.properties.get(GraftCatalog.DeleteModeProp)
+          .contains(GraftCatalog.DeleteModeMergeOnRead) &&
+        pruneExprs.length == predicates.length)
+      catalog.morDelete(ident, pruneExprs)
+    else
+      catalog.deleteWhere(spark, ident, cond, pruneExprs)
   }
 
   // ---------------- write ----------------

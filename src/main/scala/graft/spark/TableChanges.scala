@@ -65,12 +65,39 @@ object TableChanges {
         .parquet(files.map(f => storage.absolute(f.path)): _*)
     val inserts = scan(added)
     val deletes = scan(removed)
-    if (removed.isEmpty)
-      // append-only range: the new files ARE the inserts — no shuffle
-      inserts.withColumn(ChangeTypeColumn, lit("insert"))
-    else
-      inserts.exceptAll(deletes).withColumn(ChangeTypeColumn, lit("insert"))
-        .unionAll(
-          deletes.exceptAll(inserts).withColumn(ChangeTypeColumn, lit("delete")))
+    // merge-on-read deletes are file-invisible (the commit only adds a
+    // predicate) — surface their rows by scanning the PARENT inventory
+    // for predicate matches, with the parent's own residuals applied
+    // (a row two stacked deletes both match is emitted once, by the
+    // first)
+    val morDeleted: Option[DataFrame] = {
+      val rangeSnaps = meta.allSnapshots(storage)
+        .filter(s => s.id > startSnapshotId && s.id <= endId)
+      val dfs = rangeSnaps.flatMap { s =>
+        meta.findSnapshot(storage, s.parentId).toSeq.flatMap { parent =>
+          val prior = parent.deletes.toSet
+          s.deletes.filterNot(prior).map { pred =>
+            val parentFiles = Manifests.filesOf(storage, parent)
+              .map(f => (storage.absolute(f.path), f))
+            MorDeletes.readEntries(spark, schema, Some(dataRoot),
+              parentFiles, parent.deletes)
+              .filter(org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.expr(pred.sql), lit(false)))
+          }
+        }
+      }
+      dfs.reduceOption(_ unionAll _)
+    }
+    val base =
+      if (removed.isEmpty)
+        // append-only range: the new files ARE the inserts — no shuffle
+        inserts.withColumn(ChangeTypeColumn, lit("insert"))
+      else
+        inserts.exceptAll(deletes).withColumn(ChangeTypeColumn, lit("insert"))
+          .unionAll(
+            deletes.exceptAll(inserts).withColumn(ChangeTypeColumn, lit("delete")))
+    morDeleted.map(d =>
+      base.unionAll(d.withColumn(ChangeTypeColumn, lit("delete"))))
+      .getOrElse(base)
   }
 }

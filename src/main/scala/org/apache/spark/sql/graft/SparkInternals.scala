@@ -7,7 +7,7 @@ import org.apache.hadoop.mapreduce.lib.output.FileOutputFormat
 import org.apache.spark.internal.io.FileCommitProtocol
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, JoinedRow}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, JoinedRow}
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.connector.write.BatchWrite
@@ -166,6 +166,108 @@ object SparkInternals {
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new FileTaggedReaderFactory(delegate.createReaderFactory(), tagOrdinal)
+  }
+
+  /** Row-exact residual filtering over a delegated batch: every row is
+    * tested against `cond` (bound to `inputSchema`'s attributes) and
+    * survivors are projected to the first `keepN` columns. This is the
+    * merge-on-read delete read path — parquet's own pushdown is
+    * row-group granular, so exactness must come from here. Reads are
+    * row-based on purpose; only files with PENDING deletes pay this,
+    * and a rewrite/compaction returns them to the vectorized path.
+    */
+  def filteredProjectedBatch(delegate: Batch, cond: Expression,
+      inputSchema: StructType, keepN: Int): Batch = {
+    val attrs = inputSchema.fields.toIndexedSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+    val bound = cond.transform {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        attrs.find(_.name == u.nameParts.last).getOrElse(
+          throw new IllegalArgumentException(
+            s"unknown column in residual predicate: ${u.nameParts.mkString(".")}"))
+      case a: AttributeReference =>
+        attrs.find(_.name == a.name).getOrElse(a)
+    }
+    new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        delegate.planInputPartitions()
+      override def createReaderFactory(): PartitionReaderFactory =
+        new RowFilteredReaderFactory(delegate.createReaderFactory(), bound,
+          attrs, keepN)
+    }
+  }
+
+  /** Concatenate several batches into one: partitions are tagged with
+    * their source batch and the factory dispatches per partition. Used
+    * when one logical scan needs per-file-group reader behavior (e.g.
+    * distinct pending-delete residuals per group).
+    */
+  def concatBatches(batches: Seq[Batch]): Batch = new Batch {
+    private lazy val planned: Array[InputPartition] =
+      batches.zipWithIndex.flatMap { case (b, i) =>
+        b.planInputPartitions().map(p => TaggedPartition(i, p): InputPartition)
+      }.toArray
+    override def planInputPartitions(): Array[InputPartition] = planned
+    override def createReaderFactory(): PartitionReaderFactory =
+      new DispatchingReaderFactory(
+        batches.map(_.createReaderFactory()).toArray)
+  }
+}
+
+/** A partition carrying the index of the sub-batch it came from. */
+case class TaggedPartition(idx: Int, inner: InputPartition)
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+private class DispatchingReaderFactory(factories: Array[PartitionReaderFactory])
+    extends PartitionReaderFactory {
+  // uniformly row-based: Spark refuses a scan mixing columnar and
+  // row partitions, and at least one sub-batch here is a row-exact
+  // residual filter (delegated parquet factories serve row readers
+  // regardless of their columnar support)
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val t = p.asInstanceOf[TaggedPartition]
+    factories(t.idx).createReader(t.inner)
+  }
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val t = p.asInstanceOf[TaggedPartition]
+    factories(t.idx).createColumnarReader(t.inner)
+  }
+}
+
+/** Filters rows by a bound predicate and projects survivors to the
+  * first `keepN` attributes (predicate-only columns are read but not
+  * returned).
+  */
+private class RowFilteredReaderFactory(
+    delegate: PartitionReaderFactory,
+    cond: Expression,
+    attrs: IndexedSeq[AttributeReference],
+    keepN: Int) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val inner = delegate.createReader(p)
+    val pred = org.apache.spark.sql.catalyst.expressions.Predicate
+      .create(cond, attrs)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(attrs.take(keepN), attrs)
+    new PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val r = inner.get()
+          if (pred.eval(r)) { row = r; return true }
+        }
+        false
+      }
+      override def get(): InternalRow = proj(row)
+      override def close(): Unit = inner.close()
+    }
   }
 }
 

@@ -1,0 +1,109 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Merge-on-read DELETE: with `graft.delete.mode = merge-on-read` a
+  * translatable DELETE commits a delete PREDICATE instead of rewriting
+  * files — the snapshot's file inventory is untouched, reads apply the
+  * residual exactly, and compaction materializes it later. At 100 TB a
+  * sparse delete on a huge table writes one small metadata object
+  * instead of rewriting terabytes (copy-on-write's write
+  * amplification).
+  */
+class MorDeleteSpec extends AnyFunSuite {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-mor").toString
+
+  lazy val spark: SparkSession = graft.Verify.sessionBuilder("4")
+    .config("spark.sql.extensions", classOf[GraftSparkExtensions].getName)
+    .config("spark.sql.catalog.mor", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.mor.warehouse", warehouse)
+    .getOrCreate()
+
+  private def files(t: String): Seq[String] =
+    spark.sql(s"SELECT path FROM mor.ns.`$t$$files`")
+      .collect().map(_.getString(0)).toSeq
+
+  test("mor delete commits a predicate, not a rewrite") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mor.ns")
+    spark.sql("""CREATE TABLE mor.ns.t (k BIGINT, v STRING)
+      TBLPROPERTIES ('graft.delete.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO mor.ns.t SELECT id, concat('v', id) FROM range(0, 100, 1, 2)")
+    spark.sql("CALL mor.system.create_tag('ns', 't', 'pre_delete')")
+    val before = files("t")
+    spark.sql("DELETE FROM mor.ns.t WHERE k < 10")
+    assert(files("t") == before, "a mor delete must not touch the file inventory")
+    assert(spark.sql("SELECT count(*) FROM mor.ns.t").head.getLong(0) == 90)
+    assert(spark.sql("SELECT min(k) FROM mor.ns.t").head.getLong(0) == 10)
+  }
+
+  test("appends after a mor delete are not retro-deleted") {
+    spark.sql("INSERT INTO mor.ns.t VALUES (5, 'resurrected-on-purpose')")
+    assert(spark.sql("SELECT count(*) FROM mor.ns.t WHERE k = 5").head.getLong(0) == 1,
+      "a row appended AFTER the delete must be visible even though it matches")
+    assert(spark.sql("SELECT count(*) FROM mor.ns.t").head.getLong(0) == 91)
+  }
+
+  test("row-level rewrites do not resurrect mor-deleted rows") {
+    spark.sql("UPDATE mor.ns.t SET v = 'touched' WHERE k >= 90")
+    assert(spark.sql("SELECT count(*) FROM mor.ns.t").head.getLong(0) == 91)
+    assert(spark.sql("SELECT count(*) FROM mor.ns.t WHERE k < 10").head.getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM mor.ns.t WHERE v = 'touched'")
+      .head.getLong(0) == 10)
+  }
+
+  test("stacked mor deletes compose") {
+    spark.sql("DELETE FROM mor.ns.t WHERE k >= 95")
+    assert(spark.sql("SELECT count(*) FROM mor.ns.t").head.getLong(0) == 86)
+  }
+
+  test("time travel sees pre-delete rows") {
+    assert(spark.sql(
+      "SELECT count(*) FROM mor.ns.t VERSION AS OF 'pre_delete'")
+      .head.getLong(0) == 100)
+  }
+
+  test("compaction materializes pending deletes and clears them") {
+    spark.sql(
+      "CALL mor.system.compact_table(namespace => 'ns', `table` => 't')")
+    assert(spark.sql("SELECT count(*) FROM mor.ns.t").head.getLong(0) == 86)
+    assert(spark.sql("SELECT count(*) FROM mor.ns.t WHERE k = 5").head.getLong(0) == 1)
+    // after materialization the residual list is empty: deleting rows
+    // appended later works through a fresh predicate (regression guard
+    // on sequence bookkeeping across compaction)
+    spark.sql("DELETE FROM mor.ns.t WHERE k = 5")
+    assert(spark.sql("SELECT count(*) FROM mor.ns.t").head.getLong(0) == 85)
+  }
+
+  test("CDC surfaces mor-deleted rows from the file-invisible commit") {
+    spark.sql("""CREATE TABLE mor.ns.cdc (k BIGINT, v STRING)
+      TBLPROPERTIES ('graft.delete.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO mor.ns.cdc SELECT id, concat('v', id) FROM range(0, 50, 1, 1)")
+    val start = spark.sql(
+      "SELECT max(snapshot_id) FROM mor.ns.`cdc$snapshots`")
+      .head.getLong(0)
+    spark.sql("DELETE FROM mor.ns.cdc WHERE k >= 40")
+    val cat = spark.sessionState.catalogManager.catalog("mor")
+      .asInstanceOf[GraftCatalog]
+    val changes = TableChanges.between(spark, cat,
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("ns"), "cdc"),
+      startSnapshotId = start)
+    val rows = changes.collect()
+    assert(rows.length == 10, s"10 logically-deleted rows, got ${rows.length}")
+    assert(rows.forall(_.getString(2) == "delete"))
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (40L until 50L))
+  }
+
+  test("null predicate semantics: rows where the condition is NULL survive") {
+    spark.sql("""CREATE TABLE mor.ns.nulls (k BIGINT, s STRING)
+      TBLPROPERTIES ('graft.delete.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO mor.ns.nulls VALUES (1, 'a'), (2, NULL), (3, 'b')")
+    spark.sql("DELETE FROM mor.ns.nulls WHERE s = 'a'")
+    // s = 'a' is NULL for row 2 → NOT deleted (SQL DELETE removes only
+    // rows where the condition is TRUE)
+    assert(spark.sql("SELECT count(*) FROM mor.ns.nulls").head.getLong(0) == 2)
+  }
+}

@@ -804,6 +804,42 @@ object CatalogQueries {
              |  SELECT * FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
              |  WHERE NOT (l_returnflag = 'R' AND l_orderkey < 1000000))
              |SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
-             |FROM kept GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |FROM kept GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
+      "c28_metadata_agg",
+      (s, d) => {
+        // Unfiltered COUNT(*)/MIN/MAX answered from the snapshot's
+        // commit-time stats — the plan is a one-row MetadataAggregate
+        // scan, zero data files opened (MetaAggSpec asserts the plan;
+        // this grades the VALUES against DuckDB recomputing them the
+        // hard way).
+        ensureCatalog(s, "gca")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gca.ns1")
+        s.sql("DROP TABLE IF EXISTS gca.ns1.li")
+        s.sql("""CREATE TABLE gca.ns1.li (
+                   l_orderkey BIGINT, l_quantity DOUBLE, l_shipdate DATE,
+                   l_returnflag STRING)""")
+        (0 until 4).foreach { m =>
+          s.sql(s"""INSERT INTO gca.ns1.li
+                    SELECT l_orderkey, l_quantity, l_shipdate, l_returnflag
+                    FROM parquet.`$d/lineitem.parquet`
+                    WHERE l_orderkey % 4 = $m""")
+        }
+        s.sql("""SELECT count(*) AS n, min(l_orderkey) AS min_key,
+                        max(l_orderkey) AS max_key,
+                        min(l_shipdate) AS first_ship,
+                        max(l_shipdate) AS last_ship,
+                        min(l_quantity) AS min_qty,
+                        max(l_returnflag) AS max_flag
+                 FROM gca.ns1.li""")
+      },
+      Some("""SELECT count(*) AS n, min(l_orderkey) AS min_key,
+             |       max(l_orderkey) AS max_key,
+             |       min(l_shipdate) AS first_ship,
+             |       max(l_shipdate) AS last_ship,
+             |       min(l_quantity) AS min_qty,
+             |       max(l_returnflag) AS max_flag
+             |FROM lineitem""".stripMargin))
   )
 }

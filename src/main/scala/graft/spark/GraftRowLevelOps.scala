@@ -271,9 +271,11 @@ class GraftCowScan(
           new CaseInsensitiveStringMap(m)
         } else options
       }
-      val inner = ParquetTable(table.name(), spark, opts, files.map(_._1),
-        Some(physSchema), classOf[ParquetFileFormat])
-        .newScanBuilder(opts)
+      // the delegated index is served from snapshot stats — no
+      // per-file filesystem calls at scan construction
+      val inner = SparkInternals.parquetScanBuilder(spark,
+        files.map { case (abs, f) => (abs, f.sizeBytes) },
+        physSchema, table.partitionColumnNames, opts)
       inner match {
         case p: SupportsPushDownRequiredColumns => p.pruneColumns(readPhys)
         case _ => ()

@@ -38,11 +38,80 @@ class GraftScanBuilder(
     deletes: Seq[graft.format.DeletePredicate] = Seq.empty)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
-  with SupportsPushDownCatalystFilters {
+  with SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = schema
   private var dataFilters: Seq[Expression] = Seq.empty
   private var innerPushed: Array[Predicate] = Array.empty
+  private var metaAgg: Option[(StructType, Seq[Any])] = None
+
+  /** COUNT(*)/MIN/MAX with no filters, no grouping, and no pending
+    * merge-on-read deletes are answered from the snapshot's own
+    * commit-time stats — O(1) metadata reads instead of scanning (even
+    * parquet's footer-level aggregate pushdown reads every footer;
+    * at 100 TB that's 10⁵ object reads for a COUNT(*)).
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = answerFromStats(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    metaAgg = answerFromStats(agg)
+    metaAgg.isDefined
+  }
+
+  private def answerFromStats(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (dataFilters.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    if (MorDeletes.pending(deletes, files.map(_._2))) return None
+    val renames = ColumnMapping.renames(schema)
+    val entries = files.map(_._2)
+
+    def col(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[(String, String, DataType)] = e match {
+      case n: NamedReference if n.fieldNames().length == 1 =>
+        val logical = n.fieldNames()(0)
+        schema.fields.find(_.name == logical)
+          .map(f => (logical, renames.getOrElse(logical, logical), f.dataType))
+      case _ => None
+    }
+    // every file must carry the stat; parse to Catalyst internal form
+    def reduceStat(statOf: DataFileEntry => Map[String, String],
+        phys: String, dt: DataType, takeMin: Boolean): Option[Any] = {
+      if (entries.isEmpty) return Some(null)
+      val parsed = entries.map(f =>
+        statOf(f).get(phys).flatMap(StatValues.internal(_, dt)))
+      if (parsed.exists(_.isEmpty)) None
+      else Some(parsed.flatten.reduce((a, b) =>
+        if ((StatValues.compare(a, b, dt) <= 0) == takeMin) a else b))
+    }
+
+    val out = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        if (entries.exists(_.rowCount < 0)) None
+        else Some((org.apache.spark.sql.types.StructField("count(*)",
+          LongType, nullable = false), entries.map(_.rowCount).sum: Any))
+      case m: Min =>
+        col(m.column()).flatMap { case (logical, phys, dt) =>
+          reduceStat(_.minValues, phys, dt, takeMin = true).map(v =>
+            (org.apache.spark.sql.types.StructField(s"min($logical)", dt), v))
+        }
+      case m: Max =>
+        col(m.column()).flatMap { case (logical, phys, dt) =>
+          reduceStat(_.maxValues, phys, dt, takeMin = false).map(v =>
+            (org.apache.spark.sql.types.StructField(s"max($logical)", dt), v))
+        }
+      case _ => None
+    }
+    if (out.exists(_.isEmpty)) None
+    else Some((StructType(out.flatten.map(_._1)), out.flatten.map(_._2)))
+  }
 
   override def pruneColumns(required: StructType): Unit =
     requiredSchema = required
@@ -90,9 +159,11 @@ class GraftScanBuilder(
           optMap.put("basePath", baseDir)
           new CaseInsensitiveStringMap(optMap)
         } else options
-      val inner = ParquetTable(tableName, spark, opts, scanKept.map(_._1),
-        Some(physSchema), classOf[ParquetFileFormat])
-        .newScanBuilder(opts)
+      // the snapshot already knows every file's exact size — the
+      // delegated index is served from it, zero per-file FS calls
+      val inner = org.apache.spark.sql.graft.SparkInternals.parquetScanBuilder(
+        spark, scanKept.map { case (abs, f) => (abs, f.sizeBytes) },
+        physSchema, partCols, opts)
       inner match {
         case p: SupportsPushDownRequiredColumns => p.pruneColumns(readPhys)
         case _ => ()
@@ -153,6 +224,12 @@ class GraftScanBuilder(
   }
 
   override def build(): Scan = {
+    metaAgg.foreach { case (outSchema, values) =>
+      // the aggregate is answered from the snapshot document — record a
+      // conservative whole-table read in the txn's read set
+      onBuild(ColumnMapping.toPhysical(schema).fieldNames.toSeq, Seq.empty)
+      return new MetaAggScan(outSchema, values)
+    }
     val renames = ColumnMapping.renames(schema)
     val physFilters =
       dataFilters.map(ColumnMapping.toPhysicalExpr(_, renames))
@@ -470,6 +547,80 @@ private[spark] object RuntimeFilteredScan {
 
   def prunableColumns(schema: StructType): Seq[String] =
     schema.fields.filter(f => prunableTypes(f.dataType)).map(_.name).toSeq
+}
+
+/** Typed decode/compare of commit-time stat strings (the encoding
+  * [[graft.format.ParquetStats]] writes: numbers via `toString`,
+  * strings verbatim).
+  */
+private[spark] object StatValues {
+  def internal(s: String, dt: DataType): Option[Any] = try dt match {
+    case LongType | TimestampType | TimestampNTZType => Some(s.toLong)
+    case IntegerType | DateType => Some(s.toInt)
+    case ShortType => Some(s.toShort)
+    case ByteType => Some(s.toByte)
+    case DoubleType => Some(s.toDouble)
+    case FloatType => Some(s.toFloat)
+    case StringType => Some(UTF8String.fromString(s))
+    case BooleanType => Some(s.toBoolean)
+    case _ => None
+  } catch { case _: NumberFormatException => None }
+
+  def compare(a: Any, b: Any, dt: DataType): Int = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case IntegerType | DateType =>
+      Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case ShortType => java.lang.Short.compare(a.asInstanceOf[Short], b.asInstanceOf[Short])
+    case ByteType => java.lang.Byte.compare(a.asInstanceOf[Byte], b.asInstanceOf[Byte])
+    case DoubleType => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case FloatType => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+    case StringType =>
+      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    case BooleanType =>
+      java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+    case _ => throw new IllegalArgumentException(s"incomparable type $dt")
+  }
+}
+
+/** A fully-pushed aggregate answered from snapshot metadata: one
+  * partition, one row, zero data files opened.
+  */
+private[spark] class MetaAggScan(outSchema: StructType, values: Seq[Any])
+    extends Scan {
+  override def readSchema(): StructType = outSchema
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    new org.apache.spark.sql.connector.read.Batch {
+      override def planInputPartitions()
+          : Array[org.apache.spark.sql.connector.read.InputPartition] =
+        Array(MetaAggPartition(values.toArray))
+      override def createReaderFactory()
+          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        new MetaAggReaderFactory
+    }
+  override def description(): String =
+    s"MetadataAggregate(${outSchema.fieldNames.mkString(",")})"
+}
+
+private[spark] case class MetaAggPartition(values: Array[Any])
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+private[spark] class MetaAggReaderFactory
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(
+      p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      p.asInstanceOf[MetaAggPartition].values)
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private var served = false
+      override def next(): Boolean = { val r = !served; served = true; r }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** Scan of a table with PENDING merge-on-read deletes: per-group

@@ -197,6 +197,53 @@ object SparkInternals {
     }
   }
 
+  /** A parquet DSv2 scan builder whose file index is served ENTIRELY
+    * from the snapshot's commit-time stats — no existence checks, no
+    * listing, no per-file HEAD requests. `ParquetTable`'s own path
+    * (`DataSource.checkAndGlobPathIfNecessary` + `InMemoryFileIndex`
+    * listing) costs O(files) filesystem calls per scan construction;
+    * at 100 TB against an object store that is the planning
+    * bottleneck. Safe because graft data files are immutable-by-name
+    * (UUID names) — a manifest-recorded (path, size) can never go
+    * stale. Partition-column parsing (`basePath` in `options`) and
+    * schema handling match `FileTable`: `schema` is the full physical
+    * schema, data schema excludes the Hive-partition columns.
+    */
+  def parquetScanBuilder(
+      spark: SparkSession,
+      files: Seq[(String, Long)], // (absolute path, exact size)
+      physSchema: StructType,
+      partCols: Seq[String],
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    import scala.jdk.CollectionConverters._
+    // the index consults its cache under QUALIFIED paths (scheme +
+    // authority); qualification is string work on the driver, no I/O
+    val hadoopConf = spark.sessionState
+      .newHadoopConfWithOptions(options.asCaseSensitiveMap.asScala.toMap)
+    val statuses = files.map { case (abs, size) =>
+      val raw = new Path(abs)
+      val p = raw.getFileSystem(hadoopConf).makeQualified(raw)
+      p -> Array(new org.apache.hadoop.fs.FileStatus(
+        size, false, 1, 128L << 20, 0L, p))
+    }.toMap
+    val cache = new org.apache.spark.sql.execution.datasources.FileStatusCache {
+      override def getLeafFiles(path: Path)
+          : Option[Array[org.apache.hadoop.fs.FileStatus]] = statuses.get(path)
+      override def putLeafFiles(path: Path,
+          leafFiles: Array[org.apache.hadoop.fs.FileStatus]): Unit = ()
+      override def invalidateAll(): Unit = ()
+    }
+    val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+      spark, statuses.keys.toIndexedSeq,
+      options.asCaseSensitiveMap.asScala.toMap, Some(physSchema), cache,
+      None, None)
+    val dataSchema = StructType(
+      physSchema.fields.filterNot(f => partCols.contains(f.name)))
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+      spark, index, physSchema, dataSchema, options)
+  }
+
   /** Concatenate several batches into one: partitions are tagged with
     * their source batch and the factory dispatches per partition. Used
     * when one logical scan needs per-file-group reader behavior (e.g.

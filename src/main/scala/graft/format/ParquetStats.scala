@@ -21,7 +21,8 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 object ParquetStats {
 
   final case class FileStats(rowCount: Long,
-      minValues: Map[String, String], maxValues: Map[String, String])
+      minValues: Map[String, String], maxValues: Map[String, String],
+      nullCounts: Map[String, Long] = Map.empty)
 
   def read(absolutePath: String): FileStats = {
     val in = HadoopInputFile.fromPath(new Path(absolutePath), new Configuration())
@@ -35,11 +36,22 @@ object ParquetStats {
       // a later block with stats must not re-insert it, or file-level
       // min/max would under-cover the stats-less block
       val poisoned = scala.collection.mutable.Set.empty[String]
+      // null counts track separately: an ALL-NULL block has no min/max
+      // but its null count is still known
+      val nulls = scala.collection.mutable.Map.empty[String, Long]
+      val nullsPoisoned = scala.collection.mutable.Set.empty[String]
       for (block <- blocks; col <- block.getColumns.asScala) {
         // top-level columns only (nested stats are not prunable here)
         if (col.getPath.size() == 1) {
           val name = col.getPath.toDotString
           val stats = col.getStatistics
+          if (stats != null && !nullsPoisoned(name) && stats.isNumNullsSet &&
+              stats.getNumNulls >= 0)
+            nulls(name) = nulls.getOrElse(name, 0L) + stats.getNumNulls
+          else {
+            nullsPoisoned += name
+            nulls.remove(name)
+          }
           if (poisoned(name)) ()
           else if (stats != null && stats.hasNonNullValue) {
             val tpe = col.getPrimitiveType.getPrimitiveTypeName
@@ -58,7 +70,7 @@ object ParquetStats {
           }
         }
       }
-      FileStats(rowCount, mins.toMap, maxs.toMap)
+      FileStats(rowCount, mins.toMap, maxs.toMap, nulls.toMap)
     } finally reader.close()
   }
 

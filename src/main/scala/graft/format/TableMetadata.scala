@@ -14,6 +14,12 @@ final case class DataFileEntry(
     sizeBytes: Long,
     minValues: Map[String, String] = Map.empty,
     maxValues: Map[String, String] = Map.empty,
+    // per-column null counts (absent = unknown): IS [NOT] NULL file
+    // pruning and metadata-answered COUNT(col). Long erases under
+    // Jackson's scala module (same as TableMetadata.refs) — pin it
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(
+      contentAs = classOf[java.lang.Long])
+    nullCounts: Map[String, Long] = Map.empty,
     // data sequence number: the commit sequence that ADDED this file.
     // A merge-on-read delete predicate applies only to files with
     // seq <= the predicate's seq — rows appended after the delete are

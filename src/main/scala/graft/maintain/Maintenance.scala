@@ -195,7 +195,7 @@ object Maintenance {
       val stats = graft.format.ParquetStats.read(
         storage.prepareToReadLocal(rel).toString)
       DataFileEntry(rel, stats.rowCount, storage.sizeOf(rel),
-        stats.minValues, stats.maxValues)
+        stats.minValues, stats.maxValues, stats.nullCounts)
     }
     commitSnapshot(cat, txn, ns, ident.name(), "import",
       graft.format.AppendFiles(entries))

@@ -826,7 +826,8 @@ object CatalogQueries {
                     FROM parquet.`$d/lineitem.parquet`
                     WHERE l_orderkey % 4 = $m""")
         }
-        s.sql("""SELECT count(*) AS n, min(l_orderkey) AS min_key,
+        s.sql("""SELECT count(*) AS n, count(l_quantity) AS n_qty,
+                        min(l_orderkey) AS min_key,
                         max(l_orderkey) AS max_key,
                         min(l_shipdate) AS first_ship,
                         max(l_shipdate) AS last_ship,
@@ -834,12 +835,39 @@ object CatalogQueries {
                         max(l_returnflag) AS max_flag
                  FROM gca.ns1.li""")
       },
-      Some("""SELECT count(*) AS n, min(l_orderkey) AS min_key,
+      Some("""SELECT count(*) AS n, count(l_quantity) AS n_qty,
+             |       min(l_orderkey) AS min_key,
              |       max(l_orderkey) AS max_key,
              |       min(l_shipdate) AS first_ship,
              |       max(l_shipdate) AS last_ship,
              |       min(l_quantity) AS min_qty,
              |       max(l_returnflag) AS max_flag
-             |FROM lineitem""".stripMargin))
+             |FROM lineitem""".stripMargin)),
+
+    QueryDef(
+      "c29_topn_pushdown",
+      (s, d) => {
+        // ORDER BY … LIMIT over a sort-clustered table: the snapshot's
+        // min/max + null counts bound which files can hold the top
+        // rows, so the scan plans a range-covering file subset
+        // (LimitPushdownSpec asserts the file counts; this grades the
+        // ANSWER — Spark's own sort+limit still runs above, so the
+        // bound can only affect I/O).
+        ensureCatalog(s, "gcn")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcn.ns1")
+        s.sql("DROP TABLE IF EXISTS gcn.ns1.ord")
+        s.sql("""CREATE TABLE gcn.ns1.ord (
+                   o_orderkey BIGINT, o_totalprice DOUBLE, o_orderdate DATE)""")
+        (0 until 3).foreach { m =>
+          s.sql(s"""INSERT INTO gcn.ns1.ord
+                    SELECT o_orderkey, o_totalprice, o_orderdate
+                    FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 3 = $m""")
+        }
+        s.sql("CALL gcn.system.compact_table('ns1', 'ord', 8, 'o_orderkey')")
+        s.sql("""SELECT o_orderkey, round(o_totalprice, 2) AS price
+                 FROM gcn.ns1.ord ORDER BY o_orderkey LIMIT 100""")
+      },
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price
+             |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin))
   )
 }

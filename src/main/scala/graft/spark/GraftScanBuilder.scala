@@ -2,7 +2,7 @@ package graft.spark
 
 import graft.format.DataFileEntry
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
@@ -39,12 +39,90 @@ class GraftScanBuilder(
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
-  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+  with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var requiredSchema: StructType = schema
   private var dataFilters: Seq[Expression] = Seq.empty
   private var innerPushed: Array[Predicate] = Array.empty
   private var metaAgg: Option[(StructType, Seq[Any])] = None
+  private var fileSubset: Option[Seq[(String, DataFileEntry)]] = None
+
+  // ---- LIMIT / ORDER BY … LIMIT file pruning from snapshot stats ----
+  //
+  // Partial pushdown only (isPartiallyPushed = true): the scan returns
+  // a file-subset SUPERSET of the needed rows and Spark's own
+  // limit/sort still runs above — so correctness never depends on the
+  // subset choice, only I/O does. At 100 TB, `LIMIT 100` reads one
+  // file instead of the table, and on a sort-clustered table
+  // `ORDER BY k LIMIT n` reads only the files whose [min,max] can hold
+  // the top rows.
+
+  private def statsPushable: Boolean =
+    dataFilters.isEmpty && !MorDeletes.pending(deletes, files.map(_._2)) &&
+      files.forall(_._2.rowCount >= 0)
+
+  override def isPartiallyPushed(): Boolean = true
+
+  override def pushLimit(n: Int): Boolean = {
+    if (!statsPushable) return false
+    var acc = 0L
+    val prefix = files.span { f =>
+      val need = acc < n
+      acc += f._2.rowCount
+      need
+    } match { case (take, _) => take }
+    if (prefix.length >= files.length) return false // nothing to save
+    fileSubset = Some(prefix)
+    true
+  }
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    if (!statsPushable || orders.length != 1) return false
+    val order = orders(0)
+    val logical = order.expression() match {
+      case r: NamedReference if r.fieldNames().length == 1 => r.fieldNames()(0)
+      case _ => return false
+    }
+    val field = schema.fields.find(_.name == logical).getOrElse(return false)
+    val phys = ColumnMapping.renames(schema).getOrElse(logical, logical)
+    val asc = order.direction() == SortDirection.ASCENDING
+    // nulls sort outside the stat ranges and can hide in any file — a
+    // single (or unknown) null disqualifies the file-subset bound
+    if (!files.forall(_._2.nullCounts.get(phys).contains(0L))) return false
+    val parsed = files.map { case (abs, f) =>
+      for {
+        mn <- f.minValues.get(phys).flatMap(StatValues.internal(_, field.dataType))
+        mx <- f.maxValues.get(phys).flatMap(StatValues.internal(_, field.dataType))
+      } yield ((abs, f), mn, mx)
+    }
+    if (parsed.exists(_.isEmpty)) return false
+    val triples = parsed.flatten
+    def cmp(a: Any, b: Any) = StatValues.compare(a, b, field.dataType)
+    // ascending: choose files by smallest MAX until ≥ n rows are
+    // guaranteed ≤ bound, then keep every file whose MIN ≤ bound
+    // (descending is the mirror image)
+    val byEdge =
+      if (asc) triples.sortWith((a, b) => cmp(a._3, b._3) < 0)
+      else triples.sortWith((a, b) => cmp(a._2, b._2) > 0)
+    var acc = 0L
+    val chosen = byEdge.span { t =>
+      val need = acc < n
+      acc += t._1._2.rowCount
+      need
+    } match { case (take, _) => take }
+    if (acc < n || chosen.isEmpty) return false // can't bound the top-n
+    val bound = if (asc) chosen.last._3 else chosen.last._2
+    val kept = triples.filter(t =>
+      if (asc) cmp(t._2, bound) <= 0 else cmp(t._3, bound) >= 0)
+    if (kept.length >= files.length) return false // nothing to save
+    fileSubset = Some(kept.map(_._1))
+    true
+  }
 
   /** COUNT(*)/MIN/MAX with no filters, no grouping, and no pending
     * merge-on-read deletes are answered from the snapshot's own
@@ -97,6 +175,16 @@ class GraftScanBuilder(
         if (entries.exists(_.rowCount < 0)) None
         else Some((org.apache.spark.sql.types.StructField("count(*)",
           LongType, nullable = false), entries.map(_.rowCount).sum: Any))
+      case c: org.apache.spark.sql.connector.expressions.aggregate.Count
+          if !c.isDistinct =>
+        // COUNT(col) = Σ (rows − nulls); needs a null count in EVERY file
+        col(c.column()).flatMap { case (logical, phys, _) =>
+          if (entries.exists(f =>
+              f.rowCount < 0 || !f.nullCounts.contains(phys))) None
+          else Some((org.apache.spark.sql.types.StructField(s"count($logical)",
+            LongType, nullable = false),
+            entries.map(f => f.rowCount - f.nullCounts(phys)).sum: Any))
+        }
       case m: Min =>
         col(m.column()).flatMap { case (logical, phys, dt) =>
           reduceStat(_.minValues, phys, dt, takeMin = true).map(v =>
@@ -230,19 +318,22 @@ class GraftScanBuilder(
       onBuild(ColumnMapping.toPhysical(schema).fieldNames.toSeq, Seq.empty)
       return new MetaAggScan(outSchema, values)
     }
+    // LIMIT/TopN pushdown may have bounded the file list (superset of
+    // the needed rows; Spark's own limit/sort still runs above)
+    val effFiles = fileSubset.getOrElse(files)
     val renames = ColumnMapping.renames(schema)
     val physFilters =
       dataFilters.map(ColumnMapping.toPhysicalExpr(_, renames))
     val (dataRequired, hasFile) = GraftMetadataColumns.split(requiredSchema)
     val physRequired = ColumnMapping.toPhysicalRequired(dataRequired, schema)
     onBuild(physRequired.fieldNames.toSeq, physFilters)
-    val scan = scanOver(files)
+    val scan = scanOver(effFiles)
     // structural identity of THIS scan: exchange/subquery reuse (which
     // dynamic pruning depends on) compares the outermost Scan of two
     // independent plannings of the same query fragment — the delegated
     // parquet scans are distinct objects, so identity must come from
     // what is read, not from which instance reads it
-    val fp = ScanFingerprint(tableName, files.map(_._1),
+    val fp = ScanFingerprint(tableName, effFiles.map(_._1),
       physRequired.fieldNames.toSeq,
       physFilters.map(ScanFingerprint.canonical), hasFile)
     // the snapshot knows this scan's EXACT row/byte totals (commit-time
@@ -250,7 +341,7 @@ class GraftScanBuilder(
     // instead of the delegate's estimate so join planning (broadcast
     // thresholds, DPP benefit) runs on truth, not listing-derived guesses
     val physSchemaForStats = ColumnMapping.toPhysical(schema)
-    val keptForStats = files.map(_._2).filter(f =>
+    val keptForStats = effFiles.map(_._2).filter(f =>
       physFilters.forall(e => FilePruning.mayMatch(e, f, physSchemaForStats)))
     val exact = Some(ExactScanStats(
       keptForStats.map(_.rowCount).sum, keptForStats.map(_.sizeBytes).sum))
@@ -289,7 +380,7 @@ class GraftScanBuilder(
       extra => {
         val physExtra = extra.map(ColumnMapping.toPhysicalExpr(_, renames))
         val physSchema = ColumnMapping.toPhysical(schema)
-        scanOver(files.filter { case (_, f) =>
+        scanOver(effFiles.filter { case (_, f) =>
           physExtra.forall(FilePruning.mayMatch(_, f, physSchema))
         })
       }))
@@ -700,6 +791,11 @@ object FilePruning {
         compareMax(a, v, file, schema).forall(_ >= 0)
       case In(AttrName(a), values) if values.forall(_.isInstanceOf[Literal]) =>
         values.exists(l => within(a, l.asInstanceOf[Literal].value, file, schema))
+      // null-count pruning (absent count = unknown → keep)
+      case IsNull(AttrName(a)) =>
+        file.nullCounts.get(a).forall(_ > 0)
+      case IsNotNull(AttrName(a)) =>
+        file.nullCounts.get(a).forall(_ < file.rowCount)
       case _ => true // unknown shape: keep the file
     }
 

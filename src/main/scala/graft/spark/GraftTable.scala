@@ -308,18 +308,26 @@ object GraftTable {
     val (stats, size) = harvested
     val base = if (baseRel.endsWith("/")) baseRel else baseRel + "/"
     require(key.startsWith(base), s"data file $key outside commit base $base")
-    val partVals = key.drop(base.length).split('/').dropRight(1).toSeq
+    val allPartVals = key.drop(base.length).split('/').dropRight(1).toSeq
       .filter(_.contains('='))
       .map { seg =>
         val i = seg.indexOf('=')
         seg.take(i) -> unescapePathValue(seg.drop(i + 1))
       }
+    val partVals = allPartVals
       .filter(_._2 != "__HIVE_DEFAULT_PARTITION__")
       .toMap
+    // a partition value IS the column for every row of the file: a
+    // concrete value means zero nulls, the null-partition means
+    // all-null
+    val partNulls = allPartVals.map { case (c, v) =>
+      c -> (if (v == "__HIVE_DEFAULT_PARTITION__") stats.rowCount else 0L)
+    }.toMap
     DataFileEntry(key, rowCount = stats.rowCount,
       sizeBytes = size,
       minValues = stats.minValues ++ partVals,
-      maxValues = stats.maxValues ++ partVals)
+      maxValues = stats.maxValues ++ partVals,
+      nullCounts = stats.nullCounts ++ partNulls)
   }
 
   /** Undo Spark's %xx path escaping of partition values. */

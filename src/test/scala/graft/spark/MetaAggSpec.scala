@@ -75,6 +75,23 @@ class MetaAggSpec extends AnyFunSuite {
       .head.getLong(0) == 90)
   }
 
+  test("count(col) uses harvested null counts") {
+    spark.sql("CREATE TABLE magg.ns.n (k BIGINT, v STRING)")
+    spark.sql("""INSERT INTO magg.ns.n VALUES
+      (1, 'a'), (2, NULL), (3, 'c'), (4, NULL)""")
+    spark.sql("INSERT INTO magg.ns.n VALUES (5, NULL), (6, 'f')")
+    val r = spark.sql("SELECT count(*), count(v), count(k) FROM magg.ns.n")
+    val row = r.collect()(0)
+    assert(row.getLong(0) == 6 && row.getLong(1) == 3 && row.getLong(2) == 6)
+    assert(r.queryExecution.executedPlan.toString.contains("MetadataAggregate"),
+      "count(col) must be served from null-count stats")
+    // DISTINCT cannot come from stats
+    assert(!{
+      val d = spark.sql("SELECT count(DISTINCT v) FROM magg.ns.n")
+      d.collect(); d.queryExecution.executedPlan.toString
+    }.contains("MetadataAggregate"))
+  }
+
   test("empty table aggregates") {
     spark.sql("CREATE TABLE magg.ns.e (k BIGINT)")
     val r = spark.sql("SELECT count(*), min(k) FROM magg.ns.e").collect()(0)

@@ -106,10 +106,16 @@ final case class AppendFiles(add: Seq[DataFileEntry]) extends FilesEdit
 final case class OverwriteFiles(all: Seq[DataFileEntry]) extends FilesEdit
 final case class ReplaceFiles(remove: Set[String], add: Seq[DataFileEntry])
   extends FilesEdit
-/** Merge-on-read DELETE: inventory untouched, one predicate added
-  * (sequence stamped by [[TableMetadata.withSnapshotEdit]]).
+/** Merge-on-read DELETE: inventory untouched, one predicate added.
+  * `atSeq` is the commit sequence the delete OBSERVED — on a lost
+  * commit race the edit replays on the winner's tree, and binding the
+  * predicate to the observed sequence keeps the racing append's files
+  * out of its scope (the same outcome a copy-on-write delete's replay
+  * gives: files it never scanned survive). -1 = stamp with the commit's
+  * own sequence.
   */
-final case class AddDeletePredicate(sql: String) extends FilesEdit
+final case class AddDeletePredicate(sql: String, atSeq: Long = -1L)
+  extends FilesEdit
 
 /** Table metadata document, stored at TableDef.metadataLocation; every
   * commit writes a new document (copy-on-write, like Iceberg metadata
@@ -172,7 +178,8 @@ final case class TableMetadata(
     }
     val parentDeletes = currentSnapshot.map(_.deletes).getOrElse(Seq.empty)
     val deletes = stamped match {
-      case AddDeletePredicate(sql) => parentDeletes :+ DeletePredicate(seq, sql)
+      case AddDeletePredicate(sql, atSeq) =>
+        parentDeletes :+ DeletePredicate(if (atSeq >= 0) atSeq else seq, sql)
       // the whole inventory is replaced — nothing left to apply to
       case OverwriteFiles(_) => Seq.empty
       case _ => parentDeletes
@@ -248,7 +255,7 @@ object Manifests {
       case None => (0L, 0L, 0L)
     }
     val (inline, manifests, count, rows, bytes) = edit match {
-      case AddDeletePredicate(_) =>
+      case AddDeletePredicate(_, _) =>
         // metadata-only: parent inventory (inline AND segment keys)
         // carries over verbatim — the commit writes no data objects
         (pInline, pManifests, pCount, pRows, pBytes)

@@ -597,20 +597,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     require(exprs.nonEmpty, "merge-on-read delete needs a predicate")
     val ns = ns1(ident.namespace())
     val t = ident.name()
-    val schema = inTxn { txn =>
-      val td = Graft.describeTable(storage, txn, ns, t)
-      DataType.fromJson(TableMetadata.read(storage, td.metadataLocation)
-        .schemaJson).asInstanceOf[StructType]
-    }
-    val renames = ColumnMapping.renames(schema)
-    val cond = exprs.reduce(
-      org.apache.spark.sql.catalyst.expressions.And(_, _))
-    val sql = ColumnMapping.toPhysicalExpr(cond, renames).sql
     inTxn { txn =>
-      applyFilesCommit(storage, txn.runningRoot, ns, t, "delete",
-        graft.format.AddDeletePredicate(sql))
-      txn.replays += ((s, r) => applyFilesCommit(s, r, ns, t, "delete",
-        graft.format.AddDeletePredicate(sql)))
+      val td = Graft.describeTable(storage, txn, ns, t)
+      val meta = TableMetadata.read(storage, td.metadataLocation)
+      val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+      val renames = ColumnMapping.renames(schema)
+      val cond = exprs.reduce(
+        org.apache.spark.sql.catalyst.expressions.And(_, _))
+      val sql = ColumnMapping.toPhysicalExpr(cond, renames).sql
+      // bind to the OBSERVED sequence: if this commit loses a race and
+      // replays on the winner's tree, the racing append's files stay
+      // out of the predicate's scope (same replay semantics as the
+      // copy-on-write path, which only swaps the files it scanned)
+      val atSeq = meta.currentSnapshot.map(_.seq).getOrElse(0L)
+      val edit = graft.format.AddDeletePredicate(sql, atSeq)
+      applyFilesCommit(storage, txn.runningRoot, ns, t, "delete", edit)
+      txn.replays += ((s, r) => applyFilesCommit(s, r, ns, t, "delete", edit))
       val cd = Graft.catalogDef(storage, txn.runningRoot)
       txn.record(Action(ActionType.TableDelete,
         ObjectKeys.tableKey(ns, t, cd), Map("predicate" -> sql)))

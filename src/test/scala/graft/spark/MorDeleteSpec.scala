@@ -97,6 +97,34 @@ class MorDeleteSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).sorted.toSeq == (40L until 50L))
   }
 
+  test("a replayed delete does not cover a racing append's files") {
+    // format-level pin of the rebase semantics: the delete OBSERVED
+    // sequence 1; replaying it after a racing append (sequence 2) must
+    // scope the predicate to the observed files only — the same
+    // outcome a copy-on-write delete's replay gives
+    import graft.format._
+    val dir = Files.createTempDirectory("graft-mor-race").toString
+    val storage = new graft.storage.LocalStorageOps(dir)
+    val m1 = TableMetadata.empty("{}").withSnapshotEdit(storage, "m", "append",
+      AppendFiles(Seq(DataFileEntry("a.parquet", 10, 100))))
+    val observed = m1.currentSnapshot.get.seq
+    // the race winner commits another append...
+    val m2 = m1.withSnapshotEdit(storage, "m", "append",
+      AppendFiles(Seq(DataFileEntry("b.parquet", 10, 100))))
+    // ...then the delete replays on the winner's tree
+    val m3 = m2.withSnapshotEdit(storage, "m", "delete",
+      AddDeletePredicate("(k < 5)", atSeq = observed))
+    val deletes = m3.currentSnapshot.get.deletes
+    assert(deletes.map(_.seq) == Seq(observed))
+    val files = m3.currentFiles(storage)
+    val aSeq = files.find(_.path == "a.parquet").get.seq
+    val bSeq = files.find(_.path == "b.parquet").get.seq
+    assert(MorDeletes.applicable(deletes, aSeq).nonEmpty,
+      "the observed file is covered")
+    assert(MorDeletes.applicable(deletes, bSeq).isEmpty,
+      "the racing append's file is NOT covered")
+  }
+
   test("null predicate semantics: rows where the condition is NULL survive") {
     spark.sql("""CREATE TABLE mor.ns.nulls (k BIGINT, s STRING)
       TBLPROPERTIES ('graft.delete.mode' = 'merge-on-read')""")

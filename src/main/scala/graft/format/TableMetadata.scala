@@ -131,7 +131,15 @@ final case class TableMetadata(
     // module (same as Snapshot.parentId), so pin the value type
     @com.fasterxml.jackson.databind.annotation.JsonDeserialize(
       contentAs = classOf[java.lang.Long])
-    refs: Map[String, Long] = Map.empty) {
+    refs: Map[String, Long] = Map.empty,
+    // branch name → HEAD snapshot id. A branch is a movable ref with
+    // its own commit lineage off some main snapshot: writes through
+    // `<table>$branch_<name>` advance it while the main table stays
+    // untouched (write-audit-publish staging); `fast_forward`
+    // publishes it onto main when main is an ancestor of the head.
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(
+      contentAs = classOf[java.lang.Long])
+    branches: Map[String, Long] = Map.empty) {
 
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.id == currentSnapshotId)
 
@@ -166,8 +174,24 @@ final case class TableMetadata(
   def withSnapshotEdit(storage: StorageOps, manifestDir: String, op: String,
       edit: FilesEdit,
       inlineMax: Int = Manifests.InlineMaxDefault,
-      snapshotsInlineMax: Int = SnapshotLog.InlineMaxDefault): TableMetadata = {
-    val seq = currentSnapshot.map(_.seq + 1).getOrElse(1L)
+      snapshotsInlineMax: Int = SnapshotLog.InlineMaxDefault,
+      branch: Option[String] = None): TableMetadata = {
+    // base of the commit: the branch head when writing to a branch,
+    // the main snapshot otherwise (resolved through the snapshot log —
+    // a busy branch can push the main head out of the inline window)
+    val baseId = branch match {
+      case Some(b) => branches.getOrElse(b,
+        throw new IllegalArgumentException(s"no such branch: $b"))
+      case None => currentSnapshotId
+    }
+    val parent = if (baseId < 0) None else Some(
+      findSnapshot(storage, baseId).getOrElse(throw new IllegalStateException(
+        s"base snapshot $baseId missing (expired?)")))
+    // ids and sequences are GLOBAL across main + branches (a branch
+    // commit and a main commit must never share either)
+    val id = (Seq(currentSnapshotId) ++ snapshots.map(_.id) ++
+      snapshotLog.map(_.lastId) ++ branches.values).max + 1
+    val seq = (0L +: (parent.map(_.seq).toSeq ++ snapshots.map(_.seq))).max + 1
     // new files carry the commit's sequence so later delete predicates
     // (which bind to a sequence) never apply to them retroactively
     val stamped = edit match {
@@ -176,7 +200,7 @@ final case class TableMetadata(
       case ReplaceFiles(rm, add) => ReplaceFiles(rm, add.map(_.copy(seq = seq)))
       case e: AddDeletePredicate => e
     }
-    val parentDeletes = currentSnapshot.map(_.deletes).getOrElse(Seq.empty)
+    val parentDeletes = parent.map(_.deletes).getOrElse(Seq.empty)
     val deletes = stamped match {
       case AddDeletePredicate(sql, atSeq) =>
         parentDeletes :+ DeletePredicate(if (atSeq >= 0) atSeq else seq, sql)
@@ -184,15 +208,17 @@ final case class TableMetadata(
       case OverwriteFiles(_) => Seq.empty
       case _ => parentDeletes
     }
-    val next = Manifests.applyEdit(storage, manifestDir, currentSnapshot,
+    val next = Manifests.applyEdit(storage, manifestDir, parent,
       stamped, inlineMax)
-    val id = currentSnapshotId + 1
-    SnapshotLog.spill(storage, manifestDir, copy(
-      currentSnapshotId = id,
-      snapshots = snapshots :+ next.copy(id = id, parentId = currentSnapshotId,
-        timestampMillis = System.currentTimeMillis(), operation = op,
-        seq = seq, deletes = deletes)),
-      snapshotsInlineMax)
+    val child = next.copy(id = id, parentId = baseId,
+      timestampMillis = System.currentTimeMillis(), operation = op,
+      seq = seq, deletes = deletes)
+    val updated = branch match {
+      case Some(b) => copy(snapshots = snapshots :+ child,
+        branches = branches + (b -> id))
+      case None => copy(currentSnapshotId = id, snapshots = snapshots :+ child)
+    }
+    SnapshotLog.spill(storage, manifestDir, updated, snapshotsInlineMax)
   }
 }
 

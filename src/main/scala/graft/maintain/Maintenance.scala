@@ -114,7 +114,17 @@ object Maintenance {
     val logKeep = tailRefs
       .flatMap(r => graft.format.SnapshotLog.read(storage, r.key))
       .sortBy(-_.id).take(fromLog)
-    val keep = (logKeep ++ inlineKeep).sortBy(_.id)
+    val windowKeep = (logKeep ++ inlineKeep).sortBy(_.id)
+    // snapshots pinned by a named ref (tag) survive expiration however
+    // old they are — a tag that silently stopped resolving would be a
+    // broken promise, not a retention policy. Pinned snapshots are
+    // lifted out of their (possibly dying) log segments into the kept
+    // list, and their manifest segments stay live through keptRefs.
+    val keptIds = windowKeep.map(_.id).toSet
+    val pinned = (meta.refs.values ++ meta.branches.values).toSeq.distinct.sorted
+      .filterNot(keptIds)
+      .flatMap(id => meta.findSnapshot(storage, id))
+    val keep = (pinned ++ windowKeep).sortBy(_.id)
     val expired = (meta.totalSnapshots - keep.size).toInt
     if (expired == 0) return 0
     // manifest segments referenced ONLY by expired snapshots die with
@@ -318,6 +328,71 @@ object Maintenance {
         meta.copy(refs = meta.refs - name)
     }
     dropped
+  }
+
+  /** Create a BRANCH: a movable ref starting at `snapshotId` (default
+    * current). Writes through `<table>$branch_<name>` advance it; main
+    * is untouched until `fastForward` publishes it — the
+    * write-audit-publish staging workflow as first-class refs.
+    */
+  def createBranch(cat: GraftCatalog, ident: Identifier, name: String,
+      snapshotId: Long = -1L): Long = {
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"branch name must be non-numeric: $name")
+    var head = -1L
+    commitMetaEdit(cat, ident.namespace()(0), ident.name(), "create-branch") {
+      (s, _, meta) =>
+        val sid = if (snapshotId >= 0) snapshotId else meta.currentSnapshotId
+        require(meta.findSnapshot(s, sid).isDefined,
+          s"no such snapshot to branch from: $sid")
+        require(!meta.branches.contains(name) && !meta.refs.contains(name),
+          s"ref already exists: $name")
+        head = sid
+        meta.copy(branches = meta.branches + (name -> sid))
+    }
+    head
+  }
+
+  /** Remove a branch; its unpublished snapshots expire like any
+    * others once unreferenced.
+    */
+  def dropBranch(cat: GraftCatalog, ident: Identifier, name: String): Long = {
+    var dropped = -1L
+    commitMetaEdit(cat, ident.namespace()(0), ident.name(), "drop-branch") {
+      (_, _, meta) =>
+        dropped = meta.branches.getOrElse(name,
+          throw new IllegalArgumentException(s"no such branch: $name"))
+        meta.copy(branches = meta.branches - name)
+    }
+    dropped
+  }
+
+  /** Publish a branch: main fast-forwards to the branch head, which
+    * requires main to be an ANCESTOR of it (the branch saw everything
+    * main has). Divergence is refused — rebase the branch (re-stage)
+    * instead; there is no implicit merge.
+    */
+  def fastForward(cat: GraftCatalog, ident: Identifier, name: String)
+      : (Long, Long) = {
+    var result = (-1L, -1L)
+    commitMetaEdit(cat, ident.namespace()(0), ident.name(), "fast-forward") {
+      (s, _, meta) =>
+        val head = meta.branches.getOrElse(name,
+          throw new IllegalArgumentException(s"no such branch: $name"))
+        // walk the parent chain head → main
+        var cur = head
+        var found = cur == meta.currentSnapshotId
+        while (!found && cur >= 0) {
+          cur = meta.findSnapshot(s, cur).map(_.parentId).getOrElse(-1L)
+          found = cur == meta.currentSnapshotId
+        }
+        require(found || meta.currentSnapshotId < 0,
+          s"main has diverged from branch $name: fast-forward impossible " +
+            s"(main=${meta.currentSnapshotId}, head=$head)")
+        result = (meta.currentSnapshotId, head)
+        meta.copy(currentSnapshotId = head)
+    }
+    result
   }
 
   private def commitSnapshot(cat: GraftCatalog, txn: graft.txn.Transaction,

@@ -868,6 +868,47 @@ object CatalogQueries {
                  FROM gcn.ns1.ord ORDER BY o_orderkey LIMIT 100""")
       },
       Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price
-             |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin))
+             |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin)),
+
+    QueryDef(
+      "c30_branch_wap",
+      (s, d) => {
+        // Write-audit-publish through BRANCH refs: stage two appends on
+        // an audit branch (main provably untouched in between — the
+        // mid-flight count feeds the result), then fast-forward main
+        // onto the audited head. The oracle reconstructs base, staged,
+        // and published counts from the raw input.
+        ensureCatalog(s, "gcb")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcb.ns1")
+        s.sql("DROP TABLE IF EXISTS gcb.ns1.cust")
+        s.sql("""CREATE TABLE gcb.ns1.cust (
+                   c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING)""")
+        s.sql(s"""INSERT INTO gcb.ns1.cust
+                  SELECT c_custkey, c_acctbal, c_mktsegment
+                  FROM parquet.`$d/customer.parquet` WHERE c_custkey % 2 = 0""")
+        s.sql("CALL gcb.system.create_branch('ns1', 'cust', 'audit')")
+        s.sql(s"""INSERT INTO gcb.ns1.`cust$$branch_audit`
+                  SELECT c_custkey, c_acctbal, c_mktsegment
+                  FROM parquet.`$d/customer.parquet` WHERE c_custkey % 2 = 1""")
+        val mainDuringStaging =
+          s.sql("SELECT count(*) FROM gcb.ns1.cust").head.getLong(0)
+        val branchDuringStaging =
+          s.sql("SELECT count(*) FROM gcb.ns1.`cust$branch_audit`")
+            .head.getLong(0)
+        s.sql("CALL gcb.system.fast_forward('ns1', 'cust', 'audit')")
+        s.sql(s"""SELECT c_mktsegment, count(*) AS n,
+                         round(sum(c_acctbal), 2) AS bal,
+                         $mainDuringStaging AS main_while_staged,
+                         $branchDuringStaging AS branch_while_staged
+                  FROM gcb.ns1.cust
+                  GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |       round(sum(c_acctbal), 2) AS bal,
+             |       (SELECT count(*) FROM customer WHERE c_custkey % 2 = 0)
+             |         AS main_while_staged,
+             |       (SELECT count(*) FROM customer) AS branch_while_staged
+             |FROM customer
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }

@@ -229,6 +229,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       Graft.tableExists(storage, txn, ident.namespace()(0), ident.name()))
 
   override def loadTable(ident: Identifier): Table = {
+    // branch view: <table>$branch_<name> — reads pin the branch head
+    // (materialized inline, tag-style), writes advance the branch ref
+    GraftCatalog.splitBranch(ident.name()) match {
+      case (base, Some(bname)) => return inTxn { txn =>
+        val td =
+          try Graft.describeTable(storage, txn, ns1(ident.namespace()), base)
+          catch { case _: NoSuchElementException =>
+            throw new NoSuchTableException(ident)
+          }
+        val meta = TableMetadata.read(storage, td.metadataLocation)
+        val head = meta.branches.getOrElse(bname,
+          throw new NoSuchTableException(ident))
+        val snap = meta.findSnapshot(storage, head).getOrElse(
+          throw new IllegalStateException(
+            s"branch $bname names expired snapshot $head"))
+        new GraftTable(this, ident, td,
+          meta.copy(currentSnapshotId = head, snapshots = Seq(snap),
+            snapshotLog = Seq.empty), txn, storage)
+      }
+      case _ => ()
+    }
     // metadata tables: <table>$snapshots / <table>$files (reference
     // surfaces Iceberg metadata tables the same way,
     // OlympiaIcebergCatalog.java:360-367)
@@ -308,9 +329,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         try Graft.describeTable(storage, txn, ns, ident.name())
         catch { case _: NoSuchElementException => throw new NoSuchTableException(ident) }
       val meta = TableMetadata.read(storage, td.metadataLocation)
-      val sid = meta.refs.getOrElse(version,
+      val sid = meta.refs.getOrElse(version, meta.branches.getOrElse(version,
         throw new IllegalArgumentException(
-          s"no such tag on ${ident.name()}: $version"))
+          s"no such tag or branch on ${ident.name()}: $version")))
       val snap = meta.findSnapshot(storage, sid).getOrElse(
         throw new IllegalStateException(s"tag $version names expired snapshot $sid"))
       new GraftTable(this, ident, td,
@@ -552,11 +573,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       return
     }
     val ns = ns1(ident.namespace())
-    val t = ident.name()
+    // `t$branch_x` writes advance the branch ref; main stays untouched
+    val (t, branch) = GraftCatalog.splitBranch(ident.name())
     val op = if (overwrite) "overwrite" else "append"
     inTxn { txn =>
-      applyTableCommit(storage, txn.runningRoot, ns, t, op, newFiles, overwrite)
-      txn.replays += ((s, r) => applyTableCommit(s, r, ns, t, op, newFiles, overwrite))
+      applyTableCommit(storage, txn.runningRoot, ns, t, op, newFiles,
+        overwrite, branch)
+      txn.replays += ((s, r) => applyTableCommit(s, r, ns, t, op, newFiles,
+        overwrite, branch))
       val cd = Graft.catalogDef(storage, txn.runningRoot)
       txn.record(Action(
         if (overwrite) ActionType.TableUpdate else ActionType.TableInsert,
@@ -724,10 +748,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     */
   private def applyTableCommit(s: StorageOps, root: TreeRoot, ns: String,
       t: String, op: String, newFiles: Seq[graft.format.DataFileEntry],
-      overwrite: Boolean): Unit =
+      overwrite: Boolean, branch: Option[String] = None): Unit =
     applyFilesCommit(s, root, ns, t, op,
       if (overwrite) graft.format.OverwriteFiles(newFiles)
-      else graft.format.AppendFiles(newFiles))
+      else graft.format.AppendFiles(newFiles), branch)
 
   /** Row-level replace against a running root: on a rebase replay the
     * replaced paths are removed from WHATEVER the winner committed —
@@ -740,7 +764,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       graft.format.ReplaceFiles(replaced, newFiles))
 
   private def applyFilesCommit(s: StorageOps, root: TreeRoot, ns: String,
-      t: String, op: String, edit: graft.format.FilesEdit): Unit = {
+      t: String, op: String, edit: graft.format.FilesEdit,
+      branch: Option[String] = None): Unit = {
     val cd = Graft.catalogDef(s, root)
     val key = ObjectKeys.tableKey(ns, t, cd)
     val defPath = TreeOps.searchValue(s, root, key).getOrElse(
@@ -752,7 +777,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val snapsInlineMax = td.properties.get(graft.format.SnapshotLog.InlineMaxProp)
       .map(_.toInt).getOrElse(graft.format.SnapshotLog.InlineMaxDefault)
     val meta2 = meta.withSnapshotEdit(s,
-      GraftCatalog.tableManifestDir(ns, t), op, edit, inlineMax, snapsInlineMax)
+      GraftCatalog.tableManifestDir(ns, t), op, edit, inlineMax, snapsInlineMax,
+      branch)
     val metaPath = FileLocations.tableMetadataPath(ns, t)
     TableMetadata.write(s, metaPath, meta2)
     val td2 = td.copy(metadataLocation = metaPath,
@@ -887,6 +913,19 @@ object GraftCatalog {
     */
   val DeleteModeProp = "graft.delete.mode"
   val DeleteModeMergeOnRead = "merge-on-read"
+
+  /** Identifier infix routing reads AND writes to a branch:
+    * `<table>$branch_<name>` loads a table pinned to the branch head
+    * whose commits advance the branch ref instead of main.
+    */
+  val BranchInfix = "$branch_"
+
+  /** `t$branch_x` → (t, Some(x)); plain names pass through. */
+  def splitBranch(name: String): (String, Option[String]) = {
+    val i = name.indexOf(BranchInfix)
+    if (i <= 0) (name, None)
+    else (name.take(i), Some(name.drop(i + BranchInfix.length)))
+  }
 
   /** Manifest segments live beside (not under) the data dir, so data
     * file listings and orphan scans never see them.

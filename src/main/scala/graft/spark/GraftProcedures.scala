@@ -25,7 +25,8 @@ object GraftProcedures {
   val names: Seq[String] = Seq(
     "compact_table", "expire_snapshots", "remove_orphan_files",
     "expire_catalog_versions", "import_files", "rollback_catalog",
-    "create_tag", "drop_tag")
+    "create_tag", "drop_tag",
+    "create_branch", "drop_branch", "fast_forward")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
@@ -39,6 +40,9 @@ object GraftProcedures {
       case "rollback_catalog" => RollbackCatalog(cat)
       case "create_tag" => CreateTag(cat)
       case "drop_tag" => DropTag(cat)
+      case "create_branch" => CreateBranch(cat)
+      case "drop_branch" => DropBranch(cat)
+      case "fast_forward" => FastForward(cat)
       case other =>
         throw new IllegalArgumentException(s"no such procedure: $other")
     }
@@ -160,6 +164,56 @@ object GraftProcedures {
         StructType(Seq(StructField("tag", StringType, false),
           StructField("snapshot_id", LongType, false))),
         Seq(InternalRow(UTF8String.fromString(tag), sid)))
+    }
+  }
+
+  private case class CreateBranch(cat: GraftCatalog)
+      extends GraftProcedure("create_branch") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("namespace", StringType), in("table", StringType),
+      in("branch", StringType),
+      inDefault("snapshot_id", LongType, "-1")) // -1 = current snapshot
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val branch = input.getString(2)
+      val head = Maintenance.createBranch(cat,
+        Identifier.of(Array(input.getString(0)), input.getString(1)),
+        branch, input.getLong(3))
+      result(
+        StructType(Seq(StructField("branch", StringType, false),
+          StructField("head_snapshot_id", LongType, false))),
+        Seq(InternalRow(UTF8String.fromString(branch), head)))
+    }
+  }
+
+  private case class DropBranch(cat: GraftCatalog)
+      extends GraftProcedure("drop_branch") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("namespace", StringType), in("table", StringType),
+      in("branch", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val branch = input.getString(2)
+      val head = Maintenance.dropBranch(cat,
+        Identifier.of(Array(input.getString(0)), input.getString(1)), branch)
+      result(
+        StructType(Seq(StructField("branch", StringType, false),
+          StructField("head_snapshot_id", LongType, false))),
+        Seq(InternalRow(UTF8String.fromString(branch), head)))
+    }
+  }
+
+  private case class FastForward(cat: GraftCatalog)
+      extends GraftProcedure("fast_forward") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("namespace", StringType), in("table", StringType),
+      in("branch", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val branch = input.getString(2)
+      val (prev, head) = Maintenance.fastForward(cat,
+        Identifier.of(Array(input.getString(0)), input.getString(1)), branch)
+      result(
+        StructType(Seq(StructField("previous_snapshot_id", LongType, false),
+          StructField("current_snapshot_id", LongType, false))),
+        Seq(InternalRow(prev, head)))
     }
   }
 

@@ -301,7 +301,9 @@ class GraftScanBuilder(
         if (hasFile) StructType(dataRequired.fields :+ fileField)
         else dataRequired
       return new MorScan(outSchema,
-        org.apache.spark.sql.graft.SparkInternals.concatBatches(batches))
+        org.apache.spark.sql.graft.SparkInternals.concatBatches(batches),
+        ExactScanStats(kept.map(_._2.rowCount).sum,
+          kept.map(_._2.sizeBytes).sum))
     }
 
     val built = delegateScan(kept, physRequired)
@@ -723,9 +725,21 @@ private[spark] class MetaAggReaderFactory
   */
 private[spark] class MorScan(
     outSchema: StructType,
-    batch: org.apache.spark.sql.connector.read.Batch) extends Scan {
+    batch: org.apache.spark.sql.connector.read.Batch,
+    stats: ExactScanStats) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = outSchema
   override def toBatch: org.apache.spark.sql.connector.read.Batch = batch
+  // pre-residual totals: an UPPER bound (join planning degrades
+  // gracefully — a broadcastable side stays broadcastable)
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(stats.bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(stats.rows)
+    }
   override def description(): String = s"MorResidual(${outSchema.fieldNames.mkString(",")})"
 }
 

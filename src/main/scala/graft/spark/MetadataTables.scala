@@ -142,10 +142,12 @@ private class RefsTable(baseName: String, meta: TableMetadata)
     StructField("type", StringType, nullable = false)))
 
   override def rows: Seq[InternalRow] =
-    meta.refs.toSeq.sortBy(_._1).map { case (name, sid) =>
-      InternalRow(UTF8String.fromString(name), sid,
-        UTF8String.fromString("tag"))
-    }
+    (meta.refs.toSeq.map { case (name, sid) => (name, sid, "tag") } ++
+      meta.branches.toSeq.map { case (name, sid) => (name, sid, "branch") })
+      .sortBy(r => (r._3, r._1)).map { case (name, sid, kind) =>
+        InternalRow(UTF8String.fromString(name), sid,
+          UTF8String.fromString(kind))
+      }
 }
 
 /** `<table>$partitions` — per-partition file/row/byte counts from the

@@ -58,6 +58,27 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.table("mcat.ns1.e").collect().map(_.getLong(0)).sameElements(Array(9L)))
   }
 
+  test("expiration keeps snapshots pinned by tags") {
+    spark.sql("""CREATE TABLE mcat.ns1.tg (k BIGINT)
+      TBLPROPERTIES ('graft.snapshot-log.inline-max'='2')""")
+    spark.sql("INSERT INTO mcat.ns1.tg VALUES (1)")
+    val ident = Identifier.of(Array("ns1"), "tg")
+    // tag the FIRST snapshot, then bury it under enough history that
+    // the retention window (and even its spilled log segment) drops it
+    Maintenance.createTag(cat, ident, "first")
+    (0 until 6).foreach(i => spark.sql(s"INSERT INTO mcat.ns1.tg VALUES ($i + 10)"))
+    val expired = Maintenance.expireSnapshots(cat, ident, keepLast = 2)
+    assert(expired > 0)
+    assert(spark.sql("SELECT k FROM mcat.ns1.tg VERSION AS OF 'first'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "a tagged snapshot must survive expiration")
+    // orphan cleanup must also keep the pinned snapshot's files
+    Maintenance.removeOrphanFiles(cat, ident)
+    assert(spark.sql("SELECT k FROM mcat.ns1.tg VERSION AS OF 'first'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.table("mcat.ns1.tg").count() == 7)
+  }
+
   test("metadata-only import of pre-existing parquet files") {
     // files written OUTSIDE the catalog's commit path
     val ext = "external/imported"

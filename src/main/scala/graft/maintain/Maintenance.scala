@@ -66,21 +66,22 @@ object Maintenance {
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val df = graft.spark.MorDeletes.readEntries(spark, schema, Some(dataRoot),
       current.map(f => (storage.absolute(f.path), f)), pendingDeletes)
-    val partCols = td.properties.get(graft.spark.GraftCatalog.PartitionColsProp)
-      .map(_.split(',').toSeq).getOrElse(Seq.empty)
+    val spec = graft.spark.GraftCatalog.specOf(td.properties)
+    val identCols = spec.filter(_.isIdentity).map(_.col)
     // one file per partition value IS the compaction for partitioned
     // tables; non-partitioned tables coalesce to targetFiles
+    // (commitDataFiles re-derives hidden transform dirs itself)
     import org.apache.spark.sql.functions.col
     val compacted =
-      if (partCols.isEmpty && sortCols.isEmpty) df.repartition(targetFiles)
-      else if (partCols.isEmpty)
+      if (spec.isEmpty && sortCols.isEmpty) df.repartition(targetFiles)
+      else if (spec.isEmpty)
         df.repartitionByRange(targetFiles, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
-      else if (sortCols.isEmpty) df
-      else df.repartition(partCols.map(col): _*)
-        .sortWithinPartitions((partCols ++ sortCols).map(col): _*)
+      else if (sortCols.isEmpty || identCols.isEmpty) df
+      else df.repartition(identCols.map(col): _*)
+        .sortWithinPartitions((identCols ++ sortCols).map(col): _*)
     val newFiles = graft.spark.GraftCatalog.commitDataFiles(
-      compacted, partCols, storage, ns, ident.name())
+      compacted, spec, storage, ns, ident.name())
     commitSnapshot(cat, txn, ns, ident.name(), "compact",
       graft.format.OverwriteFiles(newFiles))
     CompactionResult(before, newFiles.size)

@@ -909,6 +909,76 @@ object CatalogQueries {
              |         AS main_while_staged,
              |       (SELECT count(*) FROM customer) AS branch_while_staged
              |FROM customer
-             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    QueryDef(
+      "c31_hidden_partitioning",
+      (s, d) => {
+        // Hidden partitioning (days(ts) × bucket(8, user_id)): the
+        // table schema never shows the partition values; the day-range
+        // predicate prunes day directories and the user filter prunes
+        // to one bucket through the transform mapping
+        // (TransformPartitionSpec asserts the planned-file counts; this
+        // grades the ANSWER).
+        ensureCatalog(s, "gcp")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcp.ns1")
+        s.sql("DROP TABLE IF EXISTS gcp.ns1.ev")
+        // events.ts arrives as raw nanos (nanosAsLong) — surface as a
+        // real timestamp for calendar partitioning
+        val src = s.read.parquet(s"$d/events.parquet")
+          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        src.limit(0).writeTo("gcp.ns1.ev")
+          .partitionedBy(days(col("ts")), bucket(8, col("user_id")))
+          .create()
+        src.writeTo("gcp.ns1.ev").append()
+        s.sql("""SELECT event_type, count(*) AS n,
+                        round(sum(value), 2) AS total
+                 FROM gcp.ns1.ev
+                 WHERE ts >= timestamp'2024-01-08 00:00:00'
+                   AND ts < timestamp'2024-01-09 00:00:00'
+                 GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+             |FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+             |  AND ts < TIMESTAMP '2024-01-09 00:00:00'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "c32_bucket_spj",
+      (s, d) => {
+        // Co-bucketed storage-partitioned join: both tables lay out as
+        // bucket(8, orderkey) through the catalog's V2 bucket function,
+        // so the join plans with NO shuffle on either side — each task
+        // reads one bucket of each table (TransformPartitionSpec
+        // asserts the shuffle-free plan; this grades the ANSWER).
+        ensureCatalog(s, "gcj")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcj.ns1")
+        s.sql("DROP TABLE IF EXISTS gcj.ns1.ord")
+        s.sql("DROP TABLE IF EXISTS gcj.ns1.li")
+        val ord = s.read.parquet(s"$d/orders.parquet")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        ord.limit(0).writeTo("gcj.ns1.ord")
+          .partitionedBy(bucket(8, col("o_orderkey"))).create()
+        ord.writeTo("gcj.ns1.ord").append()
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+        li.limit(0).writeTo("gcj.ns1.li")
+          .partitionedBy(bucket(8, col("l_orderkey"))).create()
+        li.writeTo("gcj.ns1.li").append()
+        s.sql("""SELECT l.l_returnflag, count(*) AS n,
+                        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                          AS revenue
+                 FROM gcj.ns1.li l JOIN gcj.ns1.ord o
+                   ON l.l_orderkey = o.o_orderkey
+                 WHERE o.o_orderstatus = 'F'
+                 GROUP BY l.l_returnflag ORDER BY l.l_returnflag""")
+      },
+      Some("""SELECT l.l_returnflag, count(*) AS n,
+             |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+             |         AS revenue
+             |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |WHERE o.o_orderstatus = 'F'
+             |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin))
   )
 }

@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.distributions.{Distribution, Distributions
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => VSortOrder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriterCommitMessage}
 import org.apache.spark.sql.graft.SparkInternals
+import org.apache.spark.sql.types.StructType
 
 /** Native DSv2 append/overwrite (reference analog:
   * OlympiaIcebergMergeAppend.java:36-68 — but as a first-class
@@ -30,13 +31,17 @@ class GraftAppendWrite(
     info: LogicalWriteInfo,
     overwrite: Boolean) extends Write with RequiresDistributionAndOrdering {
 
-  private val partCols = table.partitionColumnNames
+  private val spec = table.partitionSpec
   private val sortCols = table.sortColumnNames
 
   override def requiredDistribution(): Distribution =
-    if (partCols.nonEmpty)
+    if (spec.nonEmpty)
+      // clustered on the partition TRANSFORMS (identity columns and
+      // bucket/time transforms alike — derived ones resolve through
+      // the catalog's V2 functions, [[GraftFunctionCatalog]]), so the
+      // dynamic-partition writer sees one value run per task
       Distributions.clustered(
-        partCols.map(c => Expressions.identity(c)
+        spec.map(_.toTransform
           : org.apache.spark.sql.connector.expressions.Expression).toArray)
     else if (sortCols.nonEmpty)
       // `graft.write.sort-by` without partitioning: a RANGE shuffle on
@@ -46,15 +51,40 @@ class GraftAppendWrite(
         Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray)
     else Distributions.unspecified()
 
-  override def requiredOrdering(): Array[VSortOrder] =
-    (partCols ++ sortCols.filterNot(partCols.contains)).map(c =>
-      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+  override def requiredOrdering(): Array[VSortOrder] = {
+    val specOrders = spec.map(f =>
+      Expressions.sort(f.toTransform, SortDirection.ASCENDING))
+    val sortOrders = sortCols
+      .filterNot(c => spec.exists(f => f.isIdentity && f.col == c))
+      .map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+    (specOrders ++ sortOrders).toArray
+  }
 
   override def toBatch: BatchWrite =
     new GraftAppendBatchWrite(catalog, table, info, overwrite)
 
   override def description(): String =
     s"GraftAppendWrite(${table.name()}, ${if (overwrite) "overwrite" else "append"})"
+}
+
+/** Shared write-path plumbing for hidden partition transforms. */
+private[spark] object GraftWriteSupport {
+  /** Extend a parquet writer factory so each row derives its hidden
+    * transform directory columns (`gp_*`) on the executor; identity-
+    * only specs pass the factory through untouched.
+    */
+  def deriving(delegate: DataWriterFactory, physSchema: StructType,
+      spec: Seq[PartitionField]): DataWriterFactory = {
+    val derived = spec.filterNot(_.isIdentity)
+    if (derived.isEmpty) return delegate
+    SparkInternals.derivingWriterFactory(delegate, physSchema, attrs =>
+      derived.map { f =>
+        val a = attrs.find(_.name == f.col).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition source ${f.col} missing from write schema"))
+        f.expr(a, a.dataType)
+      })
+  }
 }
 
 class GraftAppendBatchWrite(
@@ -64,7 +94,8 @@ class GraftAppendBatchWrite(
     overwrite: Boolean) extends BatchWrite {
 
   private val storage: StorageOps = table.storageOps
-  private val partCols = table.partitionColumnNames
+  private val spec = table.partitionSpec
+  private val partCols = PartitionTransforms.dirNames(spec)
   private val commitId = UUID.randomUUID().toString
   private val dataDir =
     FileLocations.tableDataDir(table.namespaceName, table.tableName)
@@ -72,18 +103,21 @@ class GraftAppendBatchWrite(
     if (partCols.isEmpty) s"$dataDir/$commitId"
     else s"$dataDir/.staging-$commitId"
 
-  private lazy val delegate: BatchWrite = {
-    // data files always carry PHYSICAL column names (rename-safe
-    // writes, ColumnMapping) — rows are positional, so re-labeling the
-    // write schema is the whole job
-    val physSchema = ColumnMapping.toPhysicalRequired(info.schema(), table.schema)
+  // data files always carry PHYSICAL column names (rename-safe
+  // writes, ColumnMapping) — rows are positional, so re-labeling the
+  // write schema is the whole job
+  private val physSchema =
+    ColumnMapping.toPhysicalRequired(info.schema(), table.schema)
+
+  private lazy val delegate: BatchWrite =
     SparkInternals.parquetBatchWrite(
       org.apache.spark.sql.SparkSession.active.asInstanceOf[ClassicSession],
-      physSchema, partCols, storage.absolute(stagingRel), info.queryId())
-  }
+      PartitionTransforms.extendSchema(physSchema, spec), partCols,
+      storage.absolute(stagingRel), info.queryId())
 
   override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
-    delegate.createBatchWriterFactory(pi)
+    GraftWriteSupport.deriving(delegate.createBatchWriterFactory(pi),
+      physSchema, spec)
 
   override def useCommitCoordinator(): Boolean = delegate.useCommitCoordinator()
 

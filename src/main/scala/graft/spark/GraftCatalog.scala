@@ -37,7 +37,29 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * table would bypass snapshot resolution (SURVEY §7.5 risk register).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
+
+  // ---------------- V2 functions ----------------
+  //
+  // Partition-transform functions resolve under the EMPTY namespace
+  // (where Spark's transform resolution looks) and under `system`
+  // (where users call them: SELECT cat.system.bucket(16, k)).
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftFunctionCatalog.TransformNames
+        .map(Identifier.of(namespace, _)).toArray
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    if (ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")))
+      GraftFunctionCatalog.load(ident.name()).getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
+    else
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+  }
 
   // ---------------- stored procedures (CALL <cat>.system.<proc>) ----------------
 
@@ -262,8 +284,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
             throw new NoSuchTableException(ident)
           }
         (TableMetadata.read(storage, td.metadataLocation),
-          td.properties.get(GraftCatalog.PartitionColsProp)
-            .map(_.split(',').toSeq).getOrElse(Seq.empty))
+          PartitionTransforms.dirNames(GraftCatalog.specOf(td.properties)))
       }
       return MetadataTables.forSuffix(s"$catalogName.${ns1(ident.namespace())}.$base",
         suffix, meta, partCols, storage)
@@ -375,16 +396,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
-    // identity partitioning = partition-clustered files: writes
-    // repartition by these columns so each file covers few partition
-    // values and the per-file min/max stats make partition pruning
-    // exact. (Hive-style directory layout is unnecessary — pruning
-    // happens on snapshot stats, not paths.)
-    val partCols = partitions.map { t =>
-      require(t.name() == "identity" && t.references().length == 1,
-        s"only identity partitioning is supported, got $t")
-      t.references()(0).fieldNames().mkString(".")
+    // identity partitioning = partition-clustered files (stats make
+    // pruning exact); derived transforms (bucket/truncate/years/months/
+    // days/hours) add HIDDEN Hive directory columns — the table schema
+    // never carries them, reads prune by rewriting source-column
+    // predicates ([[PartitionTransforms]])
+    val spec = PartitionTransforms.fromTransforms(partitions.toSeq)
+    spec.foreach { f =>
+      require(schema.fieldNames.contains(f.col),
+        s"partition source column ${f.col} not in table schema")
+      require(!f.isIdentity || f.col.nonEmpty, s"bad field $f")
     }
+    require(!schema.fieldNames.exists(_.startsWith("gp_")),
+      "column names starting with gp_ are reserved for hidden partitioning")
+    val partCols = spec.filter(_.isIdentity).map(_.col)
     val ns = ns1(ident.namespace())
     // Hive convention: partition columns go LAST in the stored schema.
     // This also makes the relation's column order equal the file
@@ -404,6 +429,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       val props = properties.asScala.toMap ++
         (if (partCols.nonEmpty)
           Map(GraftCatalog.PartitionColsProp -> partCols.mkString(","))
+        else Map.empty) ++
+        (if (spec.exists(!_.isIdentity))
+          Map(GraftCatalog.PartitionSpecProp -> PartitionTransforms.render(spec))
         else Map.empty)
       Graft.createTable(storage, txn, TableDef(
         ident.name(), ns, metadataLocation = metaPath, properties = props))
@@ -471,10 +499,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           require(!parent.fieldNames.contains(to),
             s"rename target already exists: $to")
           if (path.length == 1) {
-            val partCols = props.get(GraftCatalog.PartitionColsProp)
-              .map(_.split(',').toSet).getOrElse(Set.empty[String])
-            require(!partCols.contains(path.head),
-              s"cannot rename partition column ${path.head} " +
+            val partSources = GraftCatalog.specOf(props).map(_.col).toSet
+            require(!partSources.contains(path.head),
+              s"cannot rename partition source column ${path.head} " +
                 "(directory layout is the storage)")
           }
           schema = SchemaEvolution.updateAt(schema, path, {
@@ -655,12 +682,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       op: String, actionType: String): Unit = {
     val ns = ns1(ident.namespace())
     val t = ident.name()
-    val (meta, partCols, schema) = inTxn { txn =>
+    val (meta, spec, schema) = inTxn { txn =>
       val td = Graft.describeTable(storage, txn, ns, t)
       val m = TableMetadata.read(storage, td.metadataLocation)
-      (m,
-        td.properties.get(GraftCatalog.PartitionColsProp)
-          .map(_.split(',').toSeq).getOrElse(Seq.empty),
+      (m, GraftCatalog.specOf(td.properties),
         DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
     }
     // files + their stats speak PHYSICAL names; the rewrite fn speaks
@@ -692,7 +717,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     // (and, past the inline threshold, untouched manifest SEGMENTS)
     // carry over verbatim, and a racing append's files survive rebase
     val replaced = touched.map(_.path).toSet
-    val newFiles = GraftCatalog.commitDataFiles(out, partCols, storage, ns, t,
+    val newFiles = GraftCatalog.commitDataFiles(out, spec, storage, ns, t,
       Some(schema))
     inTxn { txn =>
       applyReplaceCommit(storage, txn.runningRoot, ns, t, op, replaced, newFiles)
@@ -894,6 +919,20 @@ object GraftCatalog {
   /** TableDef property holding comma-separated partition column names. */
   val PartitionColsProp = "graft.partition-columns"
 
+  /** TableDef property holding the FULL partition spec when any field
+    * is a derived transform (`bucket(16,k);days(ts)` — see
+    * [[PartitionTransforms]]). Identity-only tables keep using
+    * [[PartitionColsProp]] alone.
+    */
+  val PartitionSpecProp = "graft.partition-spec"
+
+  /** The table's partition spec from its properties (either prop). */
+  def specOf(props: Map[String, String]): Seq[PartitionField] =
+    props.get(PartitionSpecProp).map(PartitionTransforms.parse).getOrElse(
+      props.get(PartitionColsProp).map(_.split(',').toSeq
+        .map(PartitionField(PartitionTransforms.Identity, _)))
+        .getOrElse(Seq.empty))
+
   /** TableDef property: comma-separated sort columns. Appends declare
     * an ORDERED (range) write distribution on them, and compaction
     * range-clusters on them — files land with disjoint min/max ranges
@@ -949,22 +988,31 @@ object GraftCatalog {
     * unaffected because snapshots reference exact file lists.
     */
   private[graft] def commitDataFiles(data0: org.apache.spark.sql.DataFrame,
-      partCols: Seq[String], storage: StorageOps, ns: String, t: String,
+      spec: Seq[PartitionField], storage: StorageOps, ns: String, t: String,
       tableSchema: Option[StructType] = None)
       : Seq[graft.format.DataFileEntry] = {
     // data files always carry PHYSICAL column names, so files written
     // before and after a RENAME COLUMN stay byte-compatible
     // (ColumnMapping; rename is metadata-only)
-    val data = tableSchema.fold(data0)(ColumnMapping.toPhysicalDf(data0, _))
+    val phys = tableSchema.fold(data0)(ColumnMapping.toPhysicalDf(data0, _))
+    // derived transforms write their hidden directory column (dropped
+    // again by partitionBy — the VALUE lives in the path, never the file)
+    val data = spec.filterNot(_.isIdentity).foldLeft(phys) { (df, f) =>
+      val srcType = df.schema(f.col).dataType
+      df.withColumn(f.dirName, org.apache.spark.sql.graft.SparkInternals
+        .column(f.expr(org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute(Seq(f.col)), srcType)))
+    }
+    val dirCols = PartitionTransforms.dirNames(spec)
     val dataDir = FileLocations.tableDataDir(ns, t)
     val commitId = UUID.randomUUID().toString
     val stagingAbs =
-      if (partCols.isEmpty) storage.absolute(s"$dataDir/$commitId")
+      if (dirCols.isEmpty) storage.absolute(s"$dataDir/$commitId")
       else storage.absolute(s"$dataDir/.staging-$commitId")
-    if (partCols.isEmpty) data.write.parquet(stagingAbs)
-    else data.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
-      .write.partitionBy(partCols: _*).parquet(stagingAbs)
-    finalizeCommitDir(storage, ns, t, commitId, partCols)
+    if (dirCols.isEmpty) data.write.parquet(stagingAbs)
+    else data.repartition(dirCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.partitionBy(dirCols: _*).parquet(stagingAbs)
+    finalizeCommitDir(storage, ns, t, commitId, dirCols)
   }
 
   /** Turn a finished parquet job under the commit's staging location

@@ -272,10 +272,13 @@ class GraftCowScan(
         } else options
       }
       // the delegated index is served from snapshot stats — no
-      // per-file filesystem calls at scan construction
+      // per-file filesystem calls at scan construction (the schema
+      // carries the hidden transform dir columns so path parsing
+      // types them; never projected — readPhys excludes them)
       val inner = SparkInternals.parquetScanBuilder(spark,
         files.map { case (abs, f) => (abs, f.sizeBytes) },
-        physSchema, table.partitionColumnNames, opts)
+        PartitionTransforms.extendSchema(physSchema, table.partitionSpec),
+        table.partitionDirNames, opts)
       inner match {
         case p: SupportsPushDownRequiredColumns => p.pruneColumns(readPhys)
         case _ => ()
@@ -338,17 +341,17 @@ class GraftCowWrite(
     op: GraftRowLevelOperation,
     info: LogicalWriteInfo) extends Write with RequiresDistributionAndOrdering {
 
-  private val partCols = table.partitionColumnNames
+  private val spec = table.partitionSpec
 
   override def requiredDistribution(): Distribution =
-    if (partCols.isEmpty) Distributions.unspecified()
+    if (spec.isEmpty) Distributions.unspecified()
     else Distributions.clustered(
-      partCols.map(c => Expressions.identity(c)
+      spec.map(_.toTransform
         : org.apache.spark.sql.connector.expressions.Expression).toArray)
 
   override def requiredOrdering(): Array[VSortOrder] =
-    partCols.map(c =>
-      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+    spec.map(f =>
+      Expressions.sort(f.toTransform, SortDirection.ASCENDING)).toArray
 
   override def toBatch: BatchWrite =
     new GraftCowBatchWrite(catalog, table, op, info)
@@ -364,7 +367,8 @@ class GraftCowBatchWrite(
     info: LogicalWriteInfo) extends BatchWrite {
 
   private val storage: StorageOps = table.storageOps
-  private val partCols = table.partitionColumnNames
+  private val spec = table.partitionSpec
+  private val partCols = PartitionTransforms.dirNames(spec)
   private val commitId = UUID.randomUUID().toString
   private val dataDir =
     FileLocations.tableDataDir(table.namespaceName, table.tableName)
@@ -372,18 +376,21 @@ class GraftCowBatchWrite(
     if (partCols.isEmpty) s"$dataDir/$commitId"
     else s"$dataDir/.staging-$commitId"
 
-  private lazy val delegate: BatchWrite = {
-    // data files always carry PHYSICAL column names (rename-safe
-    // writes, ColumnMapping) — rows are positional, so re-labeling the
-    // write schema is the whole job
-    val physSchema = ColumnMapping.toPhysicalRequired(info.schema(), table.schema)
+  // data files always carry PHYSICAL column names (rename-safe
+  // writes, ColumnMapping) — rows are positional, so re-labeling the
+  // write schema is the whole job
+  private val physSchema =
+    ColumnMapping.toPhysicalRequired(info.schema(), table.schema)
+
+  private lazy val delegate: BatchWrite =
     SparkInternals.parquetBatchWrite(
       org.apache.spark.sql.SparkSession.active.asInstanceOf[ClassicSession],
-      physSchema, partCols, storage.absolute(stagingRel), info.queryId())
-  }
+      PartitionTransforms.extendSchema(physSchema, spec), partCols,
+      storage.absolute(stagingRel), info.queryId())
 
   override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
-    delegate.createBatchWriterFactory(pi)
+    GraftWriteSupport.deriving(delegate.createBatchWriterFactory(pi),
+      physSchema, spec)
 
   override def useCommitCoordinator(): Boolean = delegate.useCommitCoordinator()
 

@@ -33,7 +33,7 @@ class GraftScanBuilder(
     files: Seq[(String, DataFileEntry)], // (absolute path, entry)
     baseDir: String, // table data root — basePath for partition discovery
     onBuild: (Seq[String], Seq[Expression]) => Unit,
-    partCols: Seq[String] = Seq.empty,
+    spec: Seq[PartitionField] = Seq.empty,
     streamCtx: Option[GraftStreamCtx] = None,
     deletes: Seq[graft.format.DeletePredicate] = Seq.empty)
   extends ScanBuilder
@@ -48,6 +48,28 @@ class GraftScanBuilder(
   private var innerPushed: Array[Predicate] = Array.empty
   private var metaAgg: Option[(StructType, Seq[Any])] = None
   private var fileSubset: Option[Seq[(String, DataFileEntry)]] = None
+
+  /** Hive directory columns the layout uses (identity sources plus
+    * hidden `gp_*` transform columns).
+    */
+  private val partCols: Seq[String] = PartitionTransforms.dirNames(spec)
+
+  /** Prune `files` by the pushed filters: directly against per-file
+    * source-column stats, AND through the partition transforms — a
+    * predicate on a bucketed/time-partitioned SOURCE column maps to a
+    * predicate on the hidden directory value ([[PartitionTransforms]]).
+    */
+  private def statsKept(scanFiles: Seq[(String, DataFileEntry)],
+      physFilters: Seq[Expression], physSchema: StructType)
+      : Seq[(String, DataFileEntry)] = {
+    val prunable = physFilters ++
+      PartitionTransforms.derivedPredicates(physFilters, spec)
+    if (prunable.isEmpty) return scanFiles
+    val extSchema = PartitionTransforms.extendSchema(physSchema, spec)
+    scanFiles.filter { case (_, f) =>
+      prunable.forall(expr => FilePruning.mayMatch(expr, f, extSchema))
+    }
+  }
 
   // ---- LIMIT / ORDER BY … LIMIT file pruning from snapshot stats ----
   //
@@ -225,9 +247,7 @@ class GraftScanBuilder(
     val physSchema = ColumnMapping.toPhysical(schema)
     val physFilters =
       dataFilters.map(ColumnMapping.toPhysicalExpr(_, renames))
-    val kept = scanFiles.filter { case (_, f) =>
-      physFilters.forall(expr => FilePruning.mayMatch(expr, f, physSchema))
-    }
+    val kept = statsKept(scanFiles, physFilters, physSchema)
     // `_file` metadata column: delegate reads the data columns, the
     // wrapper appends the per-row file path (single-file partitions)
     val (dataRequired, hasFile) = GraftMetadataColumns.split(requiredSchema)
@@ -248,10 +268,13 @@ class GraftScanBuilder(
           new CaseInsensitiveStringMap(optMap)
         } else options
       // the snapshot already knows every file's exact size — the
-      // delegated index is served from it, zero per-file FS calls
+      // delegated index is served from it, zero per-file FS calls.
+      // The delegate's schema carries the hidden transform directory
+      // columns (typed — path parsing must not mis-infer them); they
+      // are never in requiredSchema, so they are pruned straight out.
       val inner = org.apache.spark.sql.graft.SparkInternals.parquetScanBuilder(
         spark, scanKept.map { case (abs, f) => (abs, f.sizeBytes) },
-        physSchema, partCols, opts)
+        PartitionTransforms.extendSchema(physSchema, spec), partCols, opts)
       inner match {
         case p: SupportsPushDownRequiredColumns => p.pruneColumns(readPhys)
         case _ => ()
@@ -343,8 +366,8 @@ class GraftScanBuilder(
     // instead of the delegate's estimate so join planning (broadcast
     // thresholds, DPP benefit) runs on truth, not listing-derived guesses
     val physSchemaForStats = ColumnMapping.toPhysical(schema)
-    val keptForStats = effFiles.map(_._2).filter(f =>
-      physFilters.forall(e => FilePruning.mayMatch(e, f, physSchemaForStats)))
+    val keptForStats =
+      statsKept(effFiles, physFilters, physSchemaForStats).map(_._2)
     val exact = Some(ExactScanStats(
       keptForStats.map(_.rowCount).sum, keptForStats.map(_.sizeBytes).sum))
     val mkStream = streamCtx.map { ctx =>
@@ -360,12 +383,17 @@ class GraftScanBuilder(
     // stream hook rides along so partitioned tables stream too
     val keyGrouped =
       // pending-delete residuals read through per-group batches whose
-      // partitions aren't key-attributable — SPJ resumes at compaction
-      if (partCols.nonEmpty && !hasFile &&
+      // partitions aren't key-attributable — SPJ resumes at compaction.
+      // Transform specs (bucket/days/…) report their transform as the
+      // partitioning; Spark resolves it through the catalog's V2
+      // functions ([[GraftFunctionCatalog]]) — co-bucketed joins then
+      // plan shuffle-free, the join-layout story at 100 TB.
+      if (spec.nonEmpty && !hasFile &&
           !MorDeletes.pending(deletes, files.map(_._2)) &&
           spark.sessionState.conf.v2BucketingEnabled &&
-          partCols.forall(c => dataRequired.fieldNames.contains(c)))
-        KeyGroupedScan.tryWrap(scan, partCols, schema, fp, mkStream, exact)
+          spec.forall(f => dataRequired.fieldNames.contains(f.col)))
+        KeyGroupedScan.tryWrap(scan, spec, schema, effFiles, fp, mkStream,
+          exact)
       else None
     // runtime (DPP-style) file pruning: a join's dynamic predicate
     // re-prunes the snapshot file list against per-file stats at
@@ -380,11 +408,11 @@ class GraftScanBuilder(
       fp,
       exact,
       extra => {
+        // runtime join keys prune through the transforms too: an IN
+        // list on a bucketed key keeps only the buckets it hashes to
         val physExtra = extra.map(ColumnMapping.toPhysicalExpr(_, renames))
         val physSchema = ColumnMapping.toPhysical(schema)
-        scanOver(effFiles.filter { case (_, f) =>
-          physExtra.forall(FilePruning.mayMatch(_, f, physSchema))
-        })
+        scanOver(statsKept(effFiles, physExtra, physSchema))
       }))
   }
 }
@@ -457,7 +485,7 @@ private[spark] object ScanFingerprint {
   */
 class KeyGroupedScan(
     val delegate: Scan,
-    val partCols: Seq[String],
+    val spec: Seq[PartitionField],
     partitions: Array[org.apache.spark.sql.connector.read.InputPartition],
     partTypes: Seq[DataType] = Seq.empty,
     val fingerprint: Option[ScanFingerprint] = None,
@@ -468,6 +496,8 @@ class KeyGroupedScan(
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with DelegatedStatistics {
+
+  private val partCols: Seq[String] = PartitionTransforms.dirNames(spec)
 
   override protected def statsDelegate: Scan = delegate
   override protected def exactStats: Option[ExactScanStats] = exact
@@ -484,32 +514,37 @@ class KeyGroupedScan(
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    partCols.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
+    spec.map(f =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(f.col))
+      .toArray
 
   /** Dynamic partition pruning, storage-partitioned form: evaluate the
     * runtime predicate against each group's partition KEY and drop
     * whole groups — the fact side of a star join reads only the
-    * partitions the filtered dimension actually joins to.
+    * partitions the filtered dimension actually joins to. Predicates
+    * arrive on SOURCE columns; identity keys evaluate them directly,
+    * derived keys through the transform mapping (equality/IN through
+    * bucket — the join-key case).
     */
   override def filter(predicates: Array[Predicate]): Unit = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute => UA}
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BasePredicate, Predicate => CPred}
     if (partTypes.isEmpty) return
-    val attrs = partCols.zip(partTypes).map { case (c, t) =>
-      AttributeReference(c, t)() }
+    val attrs = spec.zip(partTypes).map { case (f, t) =>
+      AttributeReference(f.dirName, t)() }
     val byName = attrs.map(a => a.name -> a).toMap
-    val resolved = predicates.toSeq
-      .flatMap(PredicateToExpression.translate)
-      .flatMap { e =>
-        val r = e.transform {
-          case u: UA if byName.contains(u.nameParts.last) =>
-            byName(u.nameParts.last)
-        }
-        // a predicate naming anything but partition columns can't be
-        // evaluated on the key — keep all groups (conservative)
-        if (r.exists(_.isInstanceOf[UA])) None else Some(r)
+    def resolve(e: Expression): Option[Expression] = {
+      val r = e.transform {
+        case u: UA if byName.contains(u.nameParts.last) =>
+          byName(u.nameParts.last)
       }
+      // a predicate naming anything but partition-key columns can't
+      // be evaluated on the key — keep all groups (conservative)
+      if (r.exists(_.isInstanceOf[UA])) None else Some(r)
+    }
+    val translated = predicates.toSeq.flatMap(PredicateToExpression.translate)
+    val resolved = translated.flatMap(resolve) ++
+      PartitionTransforms.derivedPredicates(translated, spec).flatMap(resolve)
     if (resolved.isEmpty) return
     val pred: BasePredicate = CPred.create(
       resolved.reduce(org.apache.spark.sql.catalyst.expressions.And(_, _)),
@@ -526,17 +561,16 @@ class KeyGroupedScan(
   // outermost Scan of independently-planned fragments
   override def equals(other: Any): Boolean = other match {
     case k: KeyGroupedScan => fingerprint.isDefined &&
-      fingerprint == k.fingerprint && partCols == k.partCols
+      fingerprint == k.fingerprint && spec == k.spec
     case _ => false
   }
-  override def hashCode(): Int = (fingerprint, partCols).hashCode()
+  override def hashCode(): Int = (fingerprint, spec).hashCode()
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-      partCols.map(c =>
-        org.apache.spark.sql.connector.expressions.Expressions.identity(c)
-          : org.apache.spark.sql.connector.expressions.Expression).toArray,
+      spec.map(_.toTransform
+        : org.apache.spark.sql.connector.expressions.Expression).toArray,
       parts.length)
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
@@ -550,25 +584,45 @@ class KeyGroupedScan(
     }
 
   override def description(): String =
-    s"KeyGrouped(${partCols.mkString(",")}, groups=${parts.length}, " +
-      s"${delegate.description()})"
+    s"KeyGrouped(${spec.map(_.render).mkString(",")}, " +
+      s"groups=${parts.length}, ${delegate.description()})"
 }
 
 object KeyGroupedScan {
   /** None when any file lacks partition values (imported/flat files) —
-    * callers keep the plain scan, losing only the optimization.
+    * callers keep the plain scan, losing only the optimization. Keys
+    * are served from the SNAPSHOT's per-file partition values
+    * (`fileEntry` folds Hive dir values into the stats), so hidden
+    * transform columns key their groups without ever being read.
     */
-  def tryWrap(delegate: Scan, partCols: Seq[String],
+  def tryWrap(delegate: Scan, spec: Seq[PartitionField],
       schema: StructType,
+      files: Seq[(String, graft.format.DataFileEntry)],
       fingerprint: ScanFingerprint = null,
       mkStream: Option[() =>
         org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None,
       exact: Option[ExactScanStats] = None)
       : Option[Scan] = {
-    val partTypes = partCols.map(c => schema(c).dataType)
+    val partTypes = spec.map(f => f.dirType(schema(f.col).dataType))
+    val byPath = files.map { case (abs, e) =>
+      new org.apache.hadoop.fs.Path(abs).toUri.getPath -> e
+    }.toMap
+    def keyOf(path: String): Option[Seq[Any]] =
+      byPath.get(path).flatMap { e =>
+        val vals = spec.zip(partTypes).map { case (f, t) =>
+          e.minValues.get(f.dirName) match {
+            case Some(s) => StatValues.internal(s, t)
+            // the null-partition dir: all rows null ⇒ key value null
+            case None if e.nullCounts.get(f.dirName).contains(e.rowCount) =>
+              Some(null)
+            case None => None
+          }
+        }
+        if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
+      }
     org.apache.spark.sql.graft.SparkInternals
-      .keyGroupedPartitions(delegate.toBatch, partTypes)
-      .map(ps => new KeyGroupedScan(delegate, partCols, ps, partTypes,
+      .keyGroupedPartitions(delegate.toBatch, keyOf)
+      .map(ps => new KeyGroupedScan(delegate, spec, ps, partTypes,
         Option(fingerprint), mkStream, exact))
   }
 }

@@ -54,11 +54,7 @@ class GraftTable(
     DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
 
   override def partitioning(): Array[Transform] =
-    tableDef.properties.get(GraftCatalog.PartitionColsProp)
-      .map(_.split(',').map(c =>
-        org.apache.spark.sql.connector.expressions.Expressions.identity(c)
-          .asInstanceOf[Transform]))
-      .getOrElse(Array.empty)
+    partitionSpec.map(_.toTransform).toArray
 
   override def properties(): java.util.Map[String, String] =
     tableDef.properties.asJava
@@ -77,6 +73,16 @@ class GraftTable(
   private[spark] def partitionColumnNames: Seq[String] =
     tableDef.properties.get(GraftCatalog.PartitionColsProp)
       .map(_.split(',').toSeq).getOrElse(Seq.empty)
+
+  /** Full partition spec — identity fields plus hidden derived
+    * transforms ([[PartitionTransforms]]).
+    */
+  private[graft] def partitionSpec: Seq[PartitionField] =
+    GraftCatalog.specOf(tableDef.properties)
+
+  /** Hive directory column names the data layout actually uses. */
+  private[spark] def partitionDirNames: Seq[String] =
+    PartitionTransforms.dirNames(partitionSpec)
 
   private[spark] def sortColumnNames: Seq[String] =
     tableDef.properties.get(GraftCatalog.SortColsProp)
@@ -183,7 +189,7 @@ class GraftTable(
           Map("columns" -> columns.mkString(","),
             "filters" -> filters.map(_.sql).mkString(" AND ")) ++
             ReadIntervals.fromFilters(filters))),
-      partCols = partitionColumnNames,
+      spec = partitionSpec,
       streamCtx = Some(streamCtx),
       deletes = pendingDeletes)
   }

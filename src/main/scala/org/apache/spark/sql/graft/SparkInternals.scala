@@ -27,6 +27,12 @@ import org.apache.spark.util.SerializableConfiguration
   */
 object SparkInternals {
 
+  /** A user-facing [[org.apache.spark.sql.Column]] over a raw Catalyst
+    * expression (the classic-session bridge is `private[sql]`).
+    */
+  def column(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
   /** A real DSv2 [[BatchWrite]] producing parquet under `outDir` —
     * exactly the files `DataFrame.write.parquet` would produce, but
     * drivable from a connector write path (ReplaceData has no V1
@@ -78,6 +84,23 @@ object SparkInternals {
     new FileBatchWrite(job, description, committer)
   }
 
+  /** Wrap a [[org.apache.spark.sql.connector.write.DataWriterFactory]]
+    * so every incoming row (laid out as `input`) is extended with
+    * `extraOf(attrs)` computed columns before the delegate writes it —
+    * how hidden partition-transform directory columns are derived
+    * on the EXECUTOR, row-by-row through codegen'd projection, without
+    * the logical plan ever seeing them.
+    */
+  def derivingWriterFactory(
+      delegate: org.apache.spark.sql.connector.write.DataWriterFactory,
+      input: StructType,
+      extraOf: Seq[AttributeReference] => Seq[Expression])
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    val attrs = DataTypeUtils.toAttributes(input)
+    val extra = extraOf(attrs)
+    new DerivingWriterFactory(delegate, attrs, extra)
+  }
+
   /** Normalized filesystem path of a one-file [[FilePartition]]. */
   def partitionFilePath(p: InputPartition): String = p match {
     case fp: FilePartition =>
@@ -88,14 +111,19 @@ object SparkInternals {
   }
 
   /** Regroup a delegated parquet [[Batch]]'s input partitions by
-    * Hive-partition value: one [[InputPartition]] per distinct value
+    * partition-key value: one [[InputPartition]] per distinct value
     * tuple, each reporting its key ([[HasPartitionKey]]) — the physical
-    * half of storage-partitioned joins. Returns None when any file
-    * lacks the expected partition-value arity (pre-partitioning or
-    * imported files), so callers fall back to the plain scan.
+    * half of storage-partitioned joins. Keys come from `keyOf`
+    * (normalized file path → key values), i.e. from the SNAPSHOT's own
+    * per-file partition values — not from the delegate's
+    * `PartitionedFile.partitionValues`, which Spark projects down to
+    * the REQUIRED partition columns (hidden transform columns are
+    * never required, so their values would be gone). Returns None when
+    * any file can't be keyed (pre-partitioning or imported files), so
+    * callers fall back to the plain scan.
     */
   def keyGroupedPartitions(delegate: Batch,
-      partTypes: Seq[org.apache.spark.sql.types.DataType])
+      keyOf: String => Option[Seq[Any]])
       : Option[Array[InputPartition]] = {
     val files = Array.newBuilder[org.apache.spark.sql.execution.datasources.PartitionedFile]
     delegate.planInputPartitions().foreach {
@@ -103,22 +131,19 @@ object SparkInternals {
       case _ => return None
     }
     val all = files.result()
-    if (all.exists(_.partitionValues.numFields != partTypes.length)) return None
-    // group by VALUE-equal keys (InternalRow has no value equality;
-    // extracted values — UTF8String, boxed primitives — do)
+    // group by VALUE-equal keys (UTF8String / boxed primitives)
     val groups = scala.collection.mutable.LinkedHashMap
-      .empty[Seq[Any], (InternalRow, scala.collection.mutable.ArrayBuffer[
-        org.apache.spark.sql.execution.datasources.PartitionedFile])]
+      .empty[Seq[Any], scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.execution.datasources.PartitionedFile]]
     all.foreach { f =>
-      val k = partTypes.zipWithIndex.map { case (t, i) =>
-        f.partitionValues.get(i, t)
-      }
-      groups.getOrElseUpdate(k,
-        (f.partitionValues.copy(), scala.collection.mutable.ArrayBuffer()))
-        ._2 += f
+      val k = keyOf(f.toPath.toUri.getPath).getOrElse(return None)
+      groups.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer()) += f
     }
-    Some(groups.values.zipWithIndex.map { case ((key, fs), i) =>
-      KeyedFilePartition(key, FilePartition(i, fs.toArray)): InputPartition
+    Some(groups.toSeq.zipWithIndex.map { case ((key, fs), i) =>
+      KeyedFilePartition(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          key.toArray),
+        FilePartition(i, fs.toArray)): InputPartition
     }.toArray)
   }
 
@@ -258,6 +283,26 @@ object SparkInternals {
     override def createReaderFactory(): PartitionReaderFactory =
       new DispatchingReaderFactory(
         batches.map(_.createReaderFactory()).toArray)
+  }
+}
+
+private class DerivingWriterFactory(
+    delegate: org.apache.spark.sql.connector.write.DataWriterFactory,
+    attrs: Seq[AttributeReference],
+    extra: Seq[Expression])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
+    val inner = delegate.createWriter(partitionId, taskId)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(attrs ++ extra, attrs)
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      override def write(r: InternalRow): Unit = inner.write(proj(r))
+      override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+        inner.commit()
+      override def abort(): Unit = inner.abort()
+      override def close(): Unit = inner.close()
+    }
   }
 }
 

@@ -68,12 +68,30 @@ object Maintenance {
       current.map(f => (storage.absolute(f.path), f)), pendingDeletes)
     val spec = graft.spark.GraftCatalog.specOf(td.properties)
     val identCols = spec.filter(_.isIdentity).map(_.col)
+    // `sort_by => 'zorder(a,b,…)'` range-clusters on the interleaved
+    // z-order key: output files get tight [min,max] in EVERY listed
+    // column, so later filters on ANY of them prune files — the
+    // multi-dimensional sibling of the single-column sorted rewrite
+    val zorderCols = sortCols match {
+      case Seq(graft.spark.GraftCatalog.ZOrderSortBy(inner)) =>
+        inner.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      case _ => Seq.empty
+    }
     // one file per partition value IS the compaction for partitioned
     // tables; non-partitioned tables coalesce to targetFiles
     // (commitDataFiles re-derives hidden transform dirs itself)
     import org.apache.spark.sql.functions.col
     val compacted =
-      if (spec.isEmpty && sortCols.isEmpty) df.repartition(targetFiles)
+      if (zorderCols.nonEmpty && spec.isEmpty) {
+        val zkey = org.apache.spark.sql.graft.SparkInternals.column(
+          graft.functions.ZOrderKey(zorderCols.map(c =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(c)))))
+        df.withColumn("__zkey", zkey)
+          .repartitionByRange(targetFiles, col("__zkey"))
+          .sortWithinPartitions("__zkey")
+          .drop("__zkey")
+      }
+      else if (spec.isEmpty && sortCols.isEmpty) df.repartition(targetFiles)
       else if (spec.isEmpty)
         df.repartitionByRange(targetFiles, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)

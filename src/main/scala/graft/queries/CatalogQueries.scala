@@ -979,6 +979,38 @@ object CatalogQueries {
              |         AS revenue
              |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
              |WHERE o.o_orderstatus = 'F'
-             |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin))
+             |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin)),
+
+    QueryDef(
+      "c33_zorder_rewrite",
+      (s, d) => {
+        // Z-order rewrite: compact with sort_by => 'zorder(a,b)' range-
+        // clusters on the interleaved Morton key, so files get tight
+        // [min,max] in BOTH columns and a later filter on EITHER one
+        // prunes files (ZOrderSpec asserts the planned-file counts;
+        // this grades that the rewrite loses nothing and the pruned
+        // scan still answers exactly).
+        ensureCatalog(s, "gcz")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcz.ns1")
+        s.sql("DROP TABLE IF EXISTS gcz.ns1.li")
+        s.sql("""CREATE TABLE gcz.ns1.li (
+                   l_orderkey BIGINT, l_partkey BIGINT, l_extendedprice DOUBLE)""")
+        (0 until 3).foreach { m =>
+          s.sql(s"""INSERT INTO gcz.ns1.li
+                    SELECT l_orderkey, l_partkey, l_extendedprice
+                    FROM parquet.`$d/lineitem.parquet`
+                    WHERE l_orderkey % 3 = $m""")
+        }
+        s.sql("CALL gcz.system.compact_table('ns1', 'li', 16, " +
+          "'zorder(l_orderkey,l_partkey)')")
+        s.sql("""SELECT count(*) AS n_part,
+                        round(sum(l_extendedprice), 2) AS total_part,
+                        (SELECT count(*) FROM gcz.ns1.li) AS n_all
+                 FROM gcz.ns1.li WHERE l_partkey < 200""")
+      },
+      Some("""SELECT count(*) AS n_part,
+             |       round(sum(l_extendedprice), 2) AS total_part,
+             |       (SELECT count(*) FROM lineitem) AS n_all
+             |FROM lineitem WHERE l_partkey < 200""".stripMargin))
   )
 }

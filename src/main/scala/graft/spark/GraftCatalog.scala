@@ -953,6 +953,9 @@ object GraftCatalog {
   val DeleteModeProp = "graft.delete.mode"
   val DeleteModeMergeOnRead = "merge-on-read"
 
+  /** `sort_by => 'zorder(a,b)'` marker accepted by compact_table. */
+  val ZOrderSortBy = """(?i)zorder\(([^)]*)\)""".r
+
   /** Identifier infix routing reads AND writes to a branch:
     * `<table>$branch_<name>` loads a table pinned to the branch head
     * whose commits advance the branch ref instead of main.

@@ -79,8 +79,11 @@ object GraftProcedures {
       inDefault("target_files", IntegerType, "1"),
       inDefault("sort_by", StringType, "''")) // comma-separated columns
     override def call(input: InternalRow): JIterator[Scan] = {
-      val sortBy = input.getString(3).split(',').toSeq
-        .map(_.trim).filter(_.nonEmpty)
+      val raw = input.getString(3).trim
+      // 'zorder(a,b)' is ONE sort spec — don't split its commas
+      val sortBy =
+        if (GraftCatalog.ZOrderSortBy.pattern.matcher(raw).matches()) Seq(raw)
+        else raw.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
       val r = Maintenance.compactDataFiles(
         org.apache.spark.sql.SparkSession.active, cat,
         Identifier.of(Array(input.getString(0)), input.getString(1)),

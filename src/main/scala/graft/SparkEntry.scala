@@ -17,6 +17,7 @@ object SparkEntry {
       graft.queries.OperatorQueries.defs ++
       graft.queries.CatalogQueries.defs ++
       graft.pipeline.TextAnalysis.defs ++
+      graft.pipeline.Sampling.defs ++
       graft.pipeline.Dedup.defs ++
       graft.pipeline.Similarity.defs ++
       graft.pipeline.Multimodal.defs ++

@@ -42,8 +42,15 @@ case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHash64 {
+  /** Shared core (also served as a catalog SQL function). */
+  def compute(text: String): Long = {
     val acc = new Array[Int](64)
     var start = 0
     val len = text.length
@@ -67,8 +74,6 @@ case class SimHash64(child: Expression)
     while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
     out
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** fingerprint64(text) — winnowing document fingerprint (Schleimer et
@@ -79,13 +84,20 @@ case class SimHash64(child: Expression)
   */
 case class Fingerprint64(child: Expression)
     extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    Fingerprint64.compute(input.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Fingerprint64 {
   private final val K = 8 // gram size
   private final val W = 16 // winnow window
 
-  override def dataType: DataType = LongType
-
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** Shared core (also served as a catalog SQL function). */
+  def compute(s: String): Long = {
     if (s.length < K) return Fnv64.hashString(s)
     val n = s.length - K + 1
     val grams = new Array[Long](n)
@@ -109,8 +121,6 @@ case class Fingerprint64(child: Expression)
     }
     out
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** minhash_sigs(text, k) — k-element MinHash signature over word

@@ -121,6 +121,81 @@ object TextAnalysis {
       None), // native winnowing fingerprint — not DuckDB-expressible
 
     QueryDef(
+      "ta06_normalize",
+      (s, d) =>
+        // Text normalization for training corpora: redact URLs and
+        // emails, collapse whitespace, lowercase — per-row regexp
+        // chain, scan-local, whole-stage codegen (no UDF).
+        table(s, d, "documents")
+          .withColumn("norm",
+            lower(regexp_replace(regexp_replace(regexp_replace(
+              col("text"),
+              "https?://[^\\s]+", "<url>"),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<email>"),
+              "\\s+", " ")))
+          .select(
+            col("doc_id"),
+            length(col("norm")).as("norm_len"),
+            (length(col("norm"))
+              - length(regexp_replace(col("norm"), "<url>", "")))
+              .divide(5).cast("int").as("n_urls"),
+            substring(col("norm"), 1, 40).as("norm_prefix"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, length(norm) AS norm_len,
+             |       CAST((length(norm) - length(replace(norm, '<url>', ''))) / 5 AS INT) AS n_urls,
+             |       substr(norm, 1, 40) AS norm_prefix
+             |FROM (
+             |  SELECT doc_id,
+             |         lower(regexp_replace(regexp_replace(regexp_replace(text,
+             |           'https?://[^\s]+', '<url>', 'g'),
+             |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<email>', 'g'),
+             |           '\s+', ' ', 'g')) AS norm
+             |  FROM documents
+             |) ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "ta07_c4_filters",
+      (s, d) =>
+        // C4-style quality gating: token-count window, mean token
+        // length bound, no braces (code leak-in), bounded repetition
+        // (type/token ratio) — the keep/drop decision per document
+        // plus corpus-level acceptance counts. All per-row predicates;
+        // the filter rides the scan at any corpus size.
+        table(s, d, "documents")
+          .withColumn("toks", split(trim(col("text")), "\\s+"))
+          .withColumn("n_tok", size(col("toks")))
+          .withColumn("ttr",
+            size(array_distinct(col("toks"))).cast("double") / col("n_tok"))
+          .withColumn("avg_len",
+            length(regexp_replace(col("text"), "\\s+", "")).cast("double")
+              / col("n_tok"))
+          .withColumn("keep",
+            col("n_tok").between(20, 2000) &&
+              col("avg_len") < lit(12.0) &&
+              !col("text").contains("{") &&
+              col("ttr") > lit(0.2))
+          .groupBy("lang", "keep")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+          .orderBy("lang", "keep"),
+      Some("""SELECT lang, keep, count(*) AS n_docs, sum(n_tok) AS n_tokens
+             |FROM (
+             |  SELECT lang, n_tok,
+             |         (n_tok BETWEEN 20 AND 2000)
+             |           AND avg_len < 12.0
+             |           AND NOT contains(text, '{')
+             |           AND ttr > 0.2 AS keep
+             |  FROM (
+             |    SELECT lang, text,
+             |           len(string_split_regex(trim(text), '\s+')) AS n_tok,
+             |           len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE
+             |             / len(string_split_regex(trim(text), '\s+')) AS ttr,
+             |           length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+             |             / len(string_split_regex(trim(text), '\s+')) AS avg_len
+             |    FROM documents)
+             |)
+             |GROUP BY lang, keep ORDER BY lang, keep""".stripMargin)),
+
+    QueryDef(
       "ta05_langid_trigram",
       (s, d) => {
         // character-trigram profile language ID (Cavnar–Trenkle-style)

@@ -1011,6 +1011,25 @@ object CatalogQueries {
       Some("""SELECT count(*) AS n_part,
              |       round(sum(l_extendedprice), 2) AS total_part,
              |       (SELECT count(*) FROM lineitem) AS n_all
-             |FROM lineitem WHERE l_partkey < 200""".stripMargin))
+             |FROM lineitem WHERE l_partkey < 200""".stripMargin)),
+
+    QueryDef(
+      "c34_sql_functions",
+      (s, d) => {
+        // Catalog V2 SQL functions: the pipeline's per-row text
+        // primitives and the partition transforms are callable from
+        // plain SQL through the catalog (`cat.system.fn(...)`) — no
+        // library import, no UDF registration, codegen-compatible
+        // ScalarFunction dispatch.
+        ensureCatalog(s, "gcf")
+        s.sql(s"""SELECT doc_id,
+                         gcf.system.token_count(text) AS n_tok,
+                         gcf.system.truncate(3, lang) AS lang3
+                  FROM parquet.`$d/documents.parquet` ORDER BY doc_id""")
+      },
+      Some("""SELECT doc_id,
+             |       len(string_split_regex(trim(text), '\s+')) AS n_tok,
+             |       substr(lang, 1, 3) AS lang3
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

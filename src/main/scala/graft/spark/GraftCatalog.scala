@@ -47,7 +47,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
-      GraftFunctionCatalog.TransformNames
+      (GraftFunctionCatalog.TransformNames ++ GraftFunctionCatalog.TextNames)
         .map(Identifier.of(namespace, _)).toArray
     else if (namespaceExists(namespace)) Array.empty
     else throw new NoSuchNamespaceException(namespace)

@@ -26,12 +26,50 @@ object GraftFunctionCatalog {
   val TransformNames: Seq[String] =
     Seq("bucket", "truncate", "years", "months", "days", "hours")
 
+  /** Text-analysis scalars exposed to SQL:
+    * `SELECT cat.system.token_count(text)` — the pipeline's per-row
+    * primitives callable from any query without importing the library.
+    */
+  val TextNames: Seq[String] = Seq("token_count", "simhash64", "fingerprint64")
+
   def load(name: String): Option[UnboundFunction] = name.toLowerCase match {
     case "bucket" => Some(new UnboundTransform("bucket", hasArg = true))
     case "truncate" => Some(new UnboundTransform("truncate", hasArg = true))
     case "years" | "months" | "days" | "hours" =>
       Some(new UnboundTransform(name.toLowerCase, hasArg = false))
+    case "token_count" =>
+      Some(textFn("token_count", IntegerType, s =>
+        Int.box(s.trim.split("\\s+").length)))
+    case "simhash64" =>
+      Some(textFn("simhash64", LongType, s =>
+        Long.box(graft.functions.SimHash64.compute(s))))
+    case "fingerprint64" =>
+      Some(textFn("fingerprint64", LongType, s =>
+        Long.box(graft.functions.Fingerprint64.compute(s))))
     case _ => None
+  }
+
+  /** One-string-argument scalar over a shared core. */
+  private def textFn(fname: String, out: DataType,
+      f: String => Any): UnboundFunction = new UnboundFunction {
+    override def name(): String = fname
+    override def description(): String = s"graft text function $fname"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1 &&
+        (inputType.fields(0).dataType == StringType ||
+          inputType.fields(0).dataType == NullType), // NULL literal arg
+        s"$fname expects one string argument, got $inputType")
+      new ScalarFunction[Any] {
+        override def inputTypes(): Array[DataType] = Array(StringType)
+        override def resultType(): DataType = out
+        override def name(): String = fname
+        override def canonicalName(): String = s"graft.$fname(string)"
+        override def isResultNullable: Boolean = true
+        override def isDeterministic: Boolean = true
+        override def produceResult(row: InternalRow): Any =
+          if (row.isNullAt(0)) null else f(row.getUTF8String(0).toString)
+      }
+    }
   }
 
   private val TimeTypes: Set[DataType] =

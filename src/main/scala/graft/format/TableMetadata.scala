@@ -59,7 +59,12 @@ final case class Snapshot(
     // at this snapshot. Reads apply each predicate (as NOT-TRUE) to
     // files with entry.seq <= predicate.seq; a rewrite re-sequences the
     // rows it carries, and an overwrite/compaction clears the list.
-    deletes: Seq[DeletePredicate] = Seq.empty) {
+    deletes: Seq[DeletePredicate] = Seq.empty,
+    // merge-on-read row-level deltas: position-delete objects still
+    // pending at this snapshot (see [[PosDeleteFile]]). A rewrite of
+    // the covered data files prunes entries whose references are gone;
+    // an overwrite clears the list.
+    posDeletes: Seq[PosDeleteFile] = Seq.empty) {
 
   def totalFiles: Long = if (fileCount >= 0) fileCount else files.size.toLong
   def totalRows: Long = if (fileCount >= 0) rowCount else files.map(_.rowCount).sum
@@ -74,6 +79,24 @@ final case class Snapshot(
   * next rewrite of the covered files.
   */
 final case class DeletePredicate(seq: Long, sql: String)
+
+/** One position-delete file (merge-on-read UPDATE/MERGE): a parquet
+  * object of `(file STRING, pos BIGINT)` rows naming exact rows of
+  * exact data files as logically deleted. Unlike [[DeletePredicate]],
+  * scoping is by PATH, not sequence — a rewritten file gets a new path,
+  * so stale references simply never match. `dataFiles` indexes which
+  * data files the object references (storage-relative, matching
+  * [[DataFileEntry.path]]) so scans attach only the relevant delete
+  * objects to each file's read and [[FilesEdit]] replays can prune
+  * fully-covered entries. At 100 TB a 10-row UPDATE commits a few-KB
+  * delete object instead of rewriting gigabyte data files.
+  */
+final case class PosDeleteFile(
+    path: String,
+    rowCount: Long,
+    sizeBytes: Long,
+    dataFiles: Seq[String],
+    seq: Long = 0L)
 
 /** One manifest segment: a plain entry list (JSON object for format
   * headroom). Segments are immutable and content-addressed by UUID
@@ -116,6 +139,16 @@ final case class ReplaceFiles(remove: Set[String], add: Seq[DataFileEntry])
   */
 final case class AddDeletePredicate(sql: String, atSeq: Long = -1L)
   extends FilesEdit
+/** Merge-on-read UPDATE/MERGE (a position delta): new data files join
+  * the inventory, position-delete objects join the pending list, and
+  * every existing data file stays exactly where it is. The commit
+  * VALIDATES that each referenced data file is still present — a
+  * concurrent compaction/overwrite that rewrote a referenced file
+  * invalidates the positions, so the replay must fail loudly rather
+  * than silently dropping the delete.
+  */
+final case class AddRowDeltas(add: Seq[DataFileEntry],
+    posDeletes: Seq[PosDeleteFile]) extends FilesEdit
 
 /** Table metadata document, stored at TableDef.metadataLocation; every
   * commit writes a new document (copy-on-write, like Iceberg metadata
@@ -199,6 +232,8 @@ final case class TableMetadata(
       case OverwriteFiles(all) => OverwriteFiles(all.map(_.copy(seq = seq)))
       case ReplaceFiles(rm, add) => ReplaceFiles(rm, add.map(_.copy(seq = seq)))
       case e: AddDeletePredicate => e
+      case AddRowDeltas(add, dels) => AddRowDeltas(add.map(_.copy(seq = seq)),
+        dels.map(_.copy(seq = seq)))
     }
     val parentDeletes = parent.map(_.deletes).getOrElse(Seq.empty)
     val deletes = stamped match {
@@ -208,11 +243,33 @@ final case class TableMetadata(
       case OverwriteFiles(_) => Seq.empty
       case _ => parentDeletes
     }
+    val parentPos = parent.map(_.posDeletes).getOrElse(Seq.empty)
+    val posDeletes = stamped match {
+      case AddRowDeltas(_, dels) =>
+        // positions bind to exact files: a concurrently-rewritten
+        // reference means the delete no longer names real rows — the
+        // replay must fail, not drift
+        val present = parent.map(Manifests.filesOf(storage, _))
+          .getOrElse(Seq.empty).map(_.path).toSet
+        val missing = dels.flatMap(_.dataFiles).distinct.filterNot(present)
+        if (missing.nonEmpty) throw new IllegalStateException(
+          "row-delta commit references data files no longer in the " +
+            s"table (concurrently rewritten?): ${missing.mkString(", ")}")
+        parentPos ++ dels
+      case OverwriteFiles(_) => Seq.empty
+      case ReplaceFiles(rm, _) =>
+        // drop references to rewritten paths; entries with nothing
+        // left to reference leave the pending list (their object is
+        // garbage once no live snapshot carries them)
+        parentPos.map(p => p.copy(dataFiles = p.dataFiles.filterNot(rm)))
+          .filter(_.dataFiles.nonEmpty)
+      case _ => parentPos
+    }
     val next = Manifests.applyEdit(storage, manifestDir, parent,
       stamped, inlineMax)
     val child = next.copy(id = id, parentId = baseId,
       timestampMillis = System.currentTimeMillis(), operation = op,
-      seq = seq, deletes = deletes)
+      seq = seq, deletes = deletes, posDeletes = posDeletes)
     val updated = branch match {
       case Some(b) => copy(snapshots = snapshots :+ child,
         branches = branches + (b -> id))
@@ -285,6 +342,17 @@ object Manifests {
         // metadata-only: parent inventory (inline AND segment keys)
         // carries over verbatim — the commit writes no data objects
         (pInline, pManifests, pCount, pRows, pBytes)
+      case AddRowDeltas(add, _) =>
+        // inventory-wise a row delta IS an append (the delete objects
+        // live in the snapshot's pending list, not the inventory)
+        val (ac, ar, ab) = totals(add)
+        if (pManifests.isEmpty && pCount + ac <= inlineMax)
+          (pInline ++ add, Seq.empty[String], pCount + ac, pRows + ar, pBytes + ab)
+        else if (add.isEmpty)
+          (pInline, pManifests, pCount, pRows, pBytes)
+        else
+          (pInline, pManifests :+ write(storage, manifestDir, add),
+            pCount + ac, pRows + ar, pBytes + ab)
       case OverwriteFiles(all) =>
         val (c, r, b) = totals(all)
         if (all.lengthCompare(inlineMax) <= 0) (all, Seq.empty[String], c, r, b)

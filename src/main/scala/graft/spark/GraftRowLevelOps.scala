@@ -44,6 +44,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 private[spark] object GraftMetadataColumns {
   val FileName = "_file"
+  val PosName = "_pos"
 
   val FileColumn: MetadataColumn = new MetadataColumn {
     override def name(): String = FileName
@@ -52,10 +53,26 @@ private[spark] object GraftMetadataColumns {
     override def comment(): String = "path of the data file holding the row"
   }
 
-  /** Drop `_file` from a requested schema; true when it was present. */
-  def split(required: StructType): (StructType, Boolean) = {
+  /** Row position within the data file (parquet row index — filled by
+    * the reader from row-group metadata, exact under pushdown). With
+    * `_file` it forms the stable row id position deltas bind to.
+    */
+  val PosColumn: MetadataColumn = new MetadataColumn {
+    override def name(): String = PosName
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def isNullable(): Boolean = false
+    override def comment(): String = "row position within the data file"
+  }
+
+  /** Drop `_file`/`_pos` from a requested schema; flags say which were
+    * present. Output column order contract: data ++ [_pos] ++ [_file].
+    */
+  def split(required: StructType): (StructType, Boolean, Boolean) = {
     val hasFile = required.fieldNames.contains(FileName)
-    (StructType(required.filterNot(_.name == FileName)), hasFile)
+    val hasPos = required.fieldNames.contains(PosName)
+    (StructType(required.filterNot(f =>
+      f.name == FileName || f.name == PosName)), hasFile, hasPos)
   }
 
   /** Normalize an absolute path the way a PartitionedFile renders it. */
@@ -252,7 +269,8 @@ class GraftCowScan(
   }
 
   private def buildDelegate(): Batch = {
-    val (dataRequired, hasFile) = GraftMetadataColumns.split(requiredSchema)
+    val (dataRequired, hasFile, hasPos) =
+      GraftMetadataColumns.split(requiredSchema)
     if (kept.isEmpty) return EmptyBatch
     val spark = org.apache.spark.sql.SparkSession.active
       .asInstanceOf[ClassicSession]
@@ -287,35 +305,22 @@ class GraftCowScan(
       inner.build().toBatch
     }
 
-    def tagged(b: Batch): Batch =
-      if (hasFile) SparkInternals.fileTaggedBatch(b, dataRequired.length) else b
-
-    // pending merge-on-read deletes apply at READ so the group rewrite
-    // can never resurrect logically-deleted rows (UPDATE/MERGE rewrite
-    // whole files; without the residual, deleted rows would ride along).
-    // `_file` tagging wraps each sub-batch BEFORE concatenation — it
-    // needs the delegate's FilePartitions.
-    val groups = MorDeletes.groups(kept, table.pendingDeletes)
-    if (!groups.exists(g => g._1.nonEmpty && g._2.nonEmpty))
-      tagged(groupBatch(kept, physRequired))
-    else SparkInternals.concatBatches(
-      groups.filter(_._2.nonEmpty).map { case (preds, es) =>
-        if (preds.isEmpty) tagged(groupBatch(es, physRequired))
-        else {
-          val extra = MorDeletes.referencedColumns(spark, preds)
-            .filterNot(physRequired.fieldNames.contains)
-            .filter(physSchema.fieldNames.contains)
-          val readPhys = StructType(
-            physRequired.fields ++ extra.map(physSchema(_)))
-          tagged(SparkInternals.filteredProjectedBatch(
-            groupBatch(es, readPhys),
-            MorDeletes.keepExpr(spark, preds,
-              readPhys.fields.toIndexedSeq.map(f =>
-                org.apache.spark.sql.catalyst.expressions.AttributeReference(
-                  f.name, f.dataType, f.nullable)())),
-            readPhys, physRequired.length))
-        }
+    // pending merge-on-read deletes (predicates AND position deletes)
+    // apply at READ so the group rewrite can never resurrect
+    // logically-deleted rows (UPDATE/MERGE rewrite whole files; without
+    // the residual, deleted rows would ride along). Shared assembly
+    // with the table scan path: [[MorDeletes.morBatches]].
+    val posByNorm = MorDeletes.posIndex(kept, table.pendingPosDeletes)
+    val batches = MorDeletes.morBatches(spark, kept, table.pendingDeletes,
+      posByNorm, physSchema, physRequired, hasFile, hasPos,
+      (es, readPhys) => new Scan {
+        override def readSchema(): StructType = readPhys
+        override def toBatch: Batch = groupBatch(es, readPhys)
       })
+    batches match {
+      case Seq(one) => one
+      case many => SparkInternals.concatBatches(many)
+    }
   }
 
   override def toBatch: Batch = new Batch {

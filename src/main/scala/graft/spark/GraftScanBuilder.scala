@@ -35,7 +35,8 @@ class GraftScanBuilder(
     onBuild: (Seq[String], Seq[Expression]) => Unit,
     spec: Seq[PartitionField] = Seq.empty,
     streamCtx: Option[GraftStreamCtx] = None,
-    deletes: Seq[graft.format.DeletePredicate] = Seq.empty)
+    deletes: Seq[graft.format.DeletePredicate] = Seq.empty,
+    posDeletes: Seq[(String, graft.format.PosDeleteFile)] = Seq.empty)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
@@ -83,7 +84,7 @@ class GraftScanBuilder(
 
   private def statsPushable: Boolean =
     dataFilters.isEmpty && !MorDeletes.pending(deletes, files.map(_._2)) &&
-      files.forall(_._2.rowCount >= 0)
+      posDeletes.isEmpty && files.forall(_._2.rowCount >= 0)
 
   override def isPartiallyPushed(): Boolean = true
 
@@ -170,6 +171,8 @@ class GraftScanBuilder(
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (dataFilters.nonEmpty || agg.groupByExpressions.nonEmpty) return None
     if (MorDeletes.pending(deletes, files.map(_._2))) return None
+    // position deletes make the commit-time counts an overcount
+    if (posDeletes.nonEmpty) return None
     val renames = ColumnMapping.renames(schema)
     val entries = files.map(_._2)
 
@@ -248,9 +251,11 @@ class GraftScanBuilder(
     val physFilters =
       dataFilters.map(ColumnMapping.toPhysicalExpr(_, renames))
     val kept = statsKept(scanFiles, physFilters, physSchema)
-    // `_file` metadata column: delegate reads the data columns, the
-    // wrapper appends the per-row file path (single-file partitions)
-    val (dataRequired, hasFile) = GraftMetadataColumns.split(requiredSchema)
+    // `_file`/`_pos` metadata columns: delegate reads the data columns
+    // (plus the parquet row index when `_pos` is needed), the wrappers
+    // append the per-row file path (single-file partitions)
+    val (dataRequired, hasFile, hasPos) =
+      GraftMetadataColumns.split(requiredSchema)
     val physRequired = ColumnMapping.toPhysicalRequired(dataRequired, schema)
     if (kept.isEmpty) return new EmptyScanBuilder(requiredSchema).build()
 
@@ -290,39 +295,23 @@ class GraftScanBuilder(
 
     val fileField = org.apache.spark.sql.types.StructField(
       GraftMetadataColumns.FileName, StringType, nullable = false)
+    val posField = org.apache.spark.sql.types.StructField(
+      GraftMetadataColumns.PosName, LongType, nullable = false)
 
-    // merge-on-read residuals: files with pending delete predicates
-    // read through a row-exact filter; untouched files (and everything
-    // appended after the newest delete) keep the plain vectorized path
-    val delGroups = MorDeletes.groups(kept, deletes)
-    if (delGroups.exists(g => g._1.nonEmpty && g._2.nonEmpty)) {
-      val batches = delGroups.filter(_._2.nonEmpty).map { case (preds, es) =>
-        val b =
-          if (preds.isEmpty) delegateScan(es, physRequired).toBatch
-          else {
-            // predicate columns the projection pruned must still be
-            // READ (then dropped after filtering)
-            val extra = MorDeletes.referencedColumns(spark, preds)
-              .filterNot(physRequired.fieldNames.contains)
-              .filter(physSchema.fieldNames.contains)
-            val readPhys = StructType(
-              physRequired.fields ++ extra.map(physSchema(_)))
-            org.apache.spark.sql.graft.SparkInternals.filteredProjectedBatch(
-              delegateScan(es, readPhys).toBatch,
-              MorDeletes.keepExpr(spark, preds,
-                readPhys.fields.toIndexedSeq.map(f =>
-                  org.apache.spark.sql.catalyst.expressions.AttributeReference(
-                    f.name, f.dataType, f.nullable)())),
-              readPhys, physRequired.length)
-          }
-        if (hasFile)
-          org.apache.spark.sql.graft.SparkInternals
-            .fileTaggedBatch(b, dataRequired.length)
-        else b
-      }
-      val outSchema =
-        if (hasFile) StructType(dataRequired.fields :+ fileField)
-        else dataRequired
+    // merge-on-read residuals: files with pending delete predicates or
+    // position deletes read through row-exact filters; untouched files
+    // (and everything appended after the newest delete) keep the plain
+    // vectorized path. `_pos` also routes here — it rides the same
+    // row-index plumbing.
+    val posByNorm = MorDeletes.posIndex(kept, posDeletes)
+    if (MorDeletes.pending(deletes, kept.map(_._2)) || posByNorm.nonEmpty ||
+        hasPos) {
+      val batches = MorDeletes.morBatches(spark, kept, deletes, posByNorm,
+        physSchema, physRequired, hasFile, hasPos, delegateScan)
+      val outSchema = StructType(dataRequired.fields ++
+        (if (hasPos) Seq(posField) else Nil) ++
+        (if (hasFile) Seq(fileField) else Nil))
+      // pre-residual totals: an UPPER bound (see MorScan)
       return new MorScan(outSchema,
         org.apache.spark.sql.graft.SparkInternals.concatBatches(batches),
         ExactScanStats(kept.map(_._2.rowCount).sum,
@@ -349,7 +338,8 @@ class GraftScanBuilder(
     val renames = ColumnMapping.renames(schema)
     val physFilters =
       dataFilters.map(ColumnMapping.toPhysicalExpr(_, renames))
-    val (dataRequired, hasFile) = GraftMetadataColumns.split(requiredSchema)
+    val (dataRequired, hasFile, hasPos) =
+      GraftMetadataColumns.split(requiredSchema)
     val physRequired = ColumnMapping.toPhysicalRequired(dataRequired, schema)
     onBuild(physRequired.fieldNames.toSeq, physFilters)
     val scan = scanOver(effFiles)
@@ -360,7 +350,7 @@ class GraftScanBuilder(
     // what is read, not from which instance reads it
     val fp = ScanFingerprint(tableName, effFiles.map(_._1),
       physRequired.fieldNames.toSeq,
-      physFilters.map(ScanFingerprint.canonical), hasFile)
+      physFilters.map(ScanFingerprint.canonical), hasFile, hasPos)
     // the snapshot knows this scan's EXACT row/byte totals (commit-time
     // footer stats over the statically-pruned file list) — report them
     // instead of the delegate's estimate so join planning (broadcast
@@ -388,7 +378,7 @@ class GraftScanBuilder(
       // partitioning; Spark resolves it through the catalog's V2
       // functions ([[GraftFunctionCatalog]]) — co-bucketed joins then
       // plan shuffle-free, the join-layout story at 100 TB.
-      if (spec.nonEmpty && !hasFile &&
+      if (spec.nonEmpty && !hasFile && !hasPos && posDeletes.isEmpty &&
           !MorDeletes.pending(deletes, files.map(_._2)) &&
           spark.sessionState.conf.v2BucketingEnabled &&
           spec.forall(f => dataRequired.fieldNames.contains(f.col)))
@@ -467,7 +457,8 @@ private[spark] case class ScanFingerprint(
     files: Seq[String],
     readCols: Seq[String],
     filters: Seq[String],
-    hasFile: Boolean)
+    hasFile: Boolean,
+    hasPos: Boolean = false)
 
 private[spark] object ScanFingerprint {
   def canonical(e: Expression): String =

@@ -99,6 +99,14 @@ class GraftTable(
   private[spark] def pendingDeletes: Seq[graft.format.DeletePredicate] =
     meta.currentSnapshot.map(_.deletes).getOrElse(Seq.empty)
 
+  /** Position-delete objects pending at this table's pinned snapshot,
+    * absolutized for the scan: (abs delete object path, entry).
+    */
+  private[spark] def pendingPosDeletes
+      : Seq[(String, graft.format.PosDeleteFile)] =
+    meta.currentSnapshot.map(_.posDeletes).getOrElse(Seq.empty)
+      .map(p => (storage.absolute(p.path), p))
+
   /** Incremental read: the files appended in `(start, end]` — the
     * reprocess-only-new-data scan of a training pipeline. Only valid
     * over additive snapshots; a rewrite in the range is refused (use
@@ -159,7 +167,7 @@ class GraftTable(
   // -------- metadata columns / row-level operations --------
 
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(GraftMetadataColumns.FileColumn)
+    Array(GraftMetadataColumns.FileColumn, GraftMetadataColumns.PosColumn)
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
@@ -191,7 +199,8 @@ class GraftTable(
             ReadIntervals.fromFilters(filters))),
       spec = partitionSpec,
       streamCtx = Some(streamCtx),
-      deletes = pendingDeletes)
+      deletes = pendingDeletes,
+      posDeletes = pendingPosDeletes)
   }
 
   // ---------------- delete (SQL `DELETE FROM`) ----------------

@@ -74,6 +74,99 @@ private[graft] object MorDeletes {
   def keepColumn(preds: Seq[DeletePredicate]): Column =
     preds.map(p => not(coalesce(expr(p.sql), lit(false)))).reduce(_ && _)
 
+  /** Assemble the full merge-on-read read plan over `kept` files as
+    * concatenable [[Batch]]es — the ONE place the two scan paths (the
+    * table scan and the copy-on-write row-level scan) build their
+    * delete-aware reads, so predicate deletes and position deletes can
+    * never drift apart between them.
+    *
+    * Grouping: files first split by applicable predicate epoch
+    * ([[groups]]), then by position-delete coverage — an uncovered
+    * file with no predicates keeps the plain (columnar-capable)
+    * delegate read and never pays for the row-index column unless
+    * `_pos` itself was requested.
+    *
+    * Row layout contract: delegate rows are `physRequired ++ [rix if
+    * needed] ++ [predicate-only extras]`; predicate residuals project
+    * extras away, position filtering projects rix away unless `hasPos`
+    * (rix then IS the `_pos` output), `_file` tags last. Output rows
+    * are `data ++ [_pos] ++ [_file]`.
+    */
+  def morBatches(
+      spark: SparkSession,
+      kept: Seq[(String, DataFileEntry)],
+      deletes: Seq[DeletePredicate],
+      posByNorm: Map[String, Seq[String]],
+      physSchema: org.apache.spark.sql.types.StructType,
+      physRequired: org.apache.spark.sql.types.StructType,
+      hasFile: Boolean,
+      hasPos: Boolean,
+      delegateScan: (Seq[(String, DataFileEntry)],
+        org.apache.spark.sql.types.StructType) =>
+        org.apache.spark.sql.connector.read.Scan)
+      : Seq[org.apache.spark.sql.connector.read.Batch] = {
+    import org.apache.spark.sql.graft.SparkInternals
+    import org.apache.spark.sql.types.StructType
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val fileTagOrdinal = physRequired.length + (if (hasPos) 1 else 0)
+    groups(kept, deletes).filter(_._2.nonEmpty).flatMap { case (preds, esAll) =>
+      val (covered, uncovered) = esAll.partition(e =>
+        posByNorm.contains(GraftMetadataColumns.norm(e._1)))
+      Seq((covered, true), (uncovered, false))
+        .filter(_._1.nonEmpty).map { case (es, cov) =>
+          val needRix = hasPos || cov
+          val dataPhys =
+            if (needRix) StructType(physRequired.fields :+
+              SparkInternals.rowIndexField)
+            else physRequired
+          val base =
+            if (preds.isEmpty) delegateScan(es, dataPhys).toBatch
+            else {
+              // predicate columns the projection pruned must still be
+              // READ (then dropped after filtering)
+              val extra = referencedColumns(spark, preds)
+                .filterNot(dataPhys.fieldNames.contains)
+                .filter(physSchema.fieldNames.contains)
+              val readPhys = StructType(
+                dataPhys.fields ++ extra.map(physSchema(_)))
+              SparkInternals.filteredProjectedBatch(
+                delegateScan(es, readPhys).toBatch,
+                keepExpr(spark, preds,
+                  readPhys.fields.toIndexedSeq.map(f =>
+                    org.apache.spark.sql.catalyst.expressions
+                      .AttributeReference(f.name, f.dataType, f.nullable)())),
+                readPhys, dataPhys.length)
+            }
+          val posed =
+            if (cov) SparkInternals.posDeleteFilteredBatch(base,
+              p => posByNorm.getOrElse(p, Seq.empty), conf, dataPhys,
+              physRequired.length,
+              if (hasPos) dataPhys.length else physRequired.length)
+            else base
+          if (hasFile) SparkInternals.fileTaggedBatch(posed, fileTagOrdinal)
+          else posed
+        }
+    }
+  }
+
+  /** Index pending position deletes against the files a scan keeps:
+    * data-file path AS THE `_file` COLUMN RENDERS IT (URI path of the
+    * absolute location) → the ABS paths of the delete objects
+    * referencing it.
+    */
+  def posIndex(kept: Seq[(String, DataFileEntry)],
+      posDeletes: Seq[(String, graft.format.PosDeleteFile)])
+      : Map[String, Seq[String]] = {
+    if (posDeletes.isEmpty) return Map.empty
+    val byRel = posDeletes.flatMap { case (abs, p) =>
+      p.dataFiles.map(_ -> abs)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    kept.flatMap { case (abs, e) =>
+      byRel.get(e.path).map(GraftMetadataColumns.norm(abs) -> _)
+    }.toMap
+  }
+
   /** Read `entries` (absolute path, entry) as ONE DataFrame under
     * `physSchema`, with every applicable pending delete applied — the
     * read every rewrite path (copy-on-write row ops, compaction) must

@@ -222,6 +222,65 @@ object SparkInternals {
     }
   }
 
+  /** The data-schema field name Spark's parquet readers (vectorized
+    * and row-based alike) recognize as the generated row-index column:
+    * a LongType field with this name is filled with each row's
+    * position within its file — correct even under predicate pushdown
+    * and row-group skipping, because positions derive from row-group
+    * metadata, not from counting returned rows. This is the same
+    * mechanism `_metadata.row_index` lowers to in Spark's v1 file
+    * source path.
+    */
+  val RowIndexColumn = "_tmp_metadata_row_index"
+
+  /** NULLABLE on purpose: the parquet readers treat a non-nullable
+    * absent column as an error; a nullable one with this name is
+    * row-index-generated instead.
+    */
+  def rowIndexField: org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.types.StructField(RowIndexColumn,
+      org.apache.spark.sql.types.LongType)
+
+  /** Apply position deletes to a delegated batch: partitions are
+    * regrouped one-file-per-partition, each covered file's partition
+    * carries the ABS paths of the delete objects referencing it, and
+    * the executor-side reader loads that file's deleted-position set
+    * ([[graft.format.PosDeleteFiles.positionsFor]]) and drops matching
+    * rows by the row-index column at `rixOrdinal`. Survivors project
+    * to the first `keepN` columns (dropping the row-index column when
+    * `_pos` wasn't itself requested). Delete sets load WHERE the data
+    * file is read — a 1000-executor scan never routes positions
+    * through the driver.
+    */
+  def posDeleteFilteredBatch(delegate: Batch,
+      deletesFor: String => Seq[String],
+      conf: SerializableConfiguration,
+      inputSchema: StructType,
+      rixOrdinal: Int,
+      keepN: Int): Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val out = Array.newBuilder[InputPartition]
+      var i = 0
+      delegate.planInputPartitions().foreach {
+        case fp: FilePartition =>
+          fp.files.groupBy(_.filePath).values.foreach { splits =>
+            val single = FilePartition(i, splits)
+            val path = partitionFilePath(single)
+            val dels = deletesFor(path)
+            out += (if (dels.isEmpty) single
+              else PosDeletePartition(single, path, dels.toArray))
+            i += 1
+          }
+        case other =>
+          throw new IllegalStateException(s"expected FilePartition, got $other")
+      }
+      out.result()
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PosDeleteReaderFactory(delegate.createReaderFactory(), conf,
+        inputSchema, rixOrdinal, keepN)
+  }
+
   /** A parquet DSv2 scan builder whose file index is served ENTIRELY
     * from the snapshot's commit-time stats — no existence checks, no
     * listing, no per-file HEAD requests. `ParquetTable`'s own path
@@ -358,6 +417,59 @@ private class RowFilteredReaderFactory(
         false
       }
       override def get(): InternalRow = proj(row)
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
+/** One covered file's partition in a position-delete read: the single
+  * data file plus the delete objects that reference it.
+  */
+case class PosDeletePartition(inner: FilePartition, dataFile: String,
+    deleteFiles: Array[String]) extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Drops rows whose row-index is in the partition's deleted-position
+  * set; uncovered partitions pass through (minus the projection).
+  * Row-based on purpose: only files with PENDING position deletes pay
+  * this, and a rewrite/compaction returns them to the vectorized path.
+  */
+private class PosDeleteReaderFactory(
+    delegate: PartitionReaderFactory,
+    conf: SerializableConfiguration,
+    inputSchema: StructType,
+    rixOrdinal: Int,
+    keepN: Int) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val (inner, dels) = p match {
+      case pd: PosDeletePartition =>
+        (delegate.createReader(pd.inner),
+          graft.format.PosDeleteFiles.positionsFor(
+            pd.deleteFiles.toSeq, pd.dataFile, conf.value))
+      case other => (delegate.createReader(other), null)
+    }
+    val attrs = inputSchema.fields.toIndexedSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+    val proj =
+      if (keepN == attrs.length) null
+      else org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(attrs.take(keepN), attrs)
+    new PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val r = inner.get()
+          if (dels == null || !dels.contains(r.getLong(rixOrdinal))) {
+            row = r; return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = if (proj == null) row else proj(row)
       override def close(): Unit = inner.close()
     }
   }

@@ -767,6 +767,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     }
   }
 
+  /** Commit a POSITION DELTA (merge-on-read UPDATE/MERGE): new data
+    * files append, position-delete objects join the pending list, no
+    * existing file moves. Replay safety comes from the edit itself —
+    * [[graft.format.TableMetadata.withSnapshotEdit]] validates every
+    * referenced data file still exists on the (possibly rebased) tree,
+    * so a racing compaction that rewrote a referenced file fails this
+    * commit loudly instead of letting stale positions drift.
+    */
+  private[spark] def commitRowDelta(ident: Identifier,
+      newFiles: Seq[graft.format.DataFileEntry],
+      posDeletes: Seq[graft.format.PosDeleteFile], op: String): Unit = {
+    val ns = ns1(ident.namespace())
+    val (t, branch) = GraftCatalog.splitBranch(ident.name())
+    val edit = graft.format.AddRowDeltas(newFiles, posDeletes)
+    inTxn { txn =>
+      applyFilesCommit(storage, txn.runningRoot, ns, t, op, edit, branch)
+      txn.replays += ((s, r) => applyFilesCommit(s, r, ns, t, op, edit, branch))
+      val cd = Graft.catalogDef(storage, txn.runningRoot)
+      txn.record(Action(ActionType.TableUpdate,
+        ObjectKeys.tableKey(ns, t, cd),
+        Map("files" -> newFiles.map(_.path).mkString(","),
+          "deleteFiles" -> posDeletes.map(_.path).mkString(",")) ++
+          graft.format.StatsRanges.args(newFiles)))
+    }
+  }
+
   /** Apply one table snapshot commit against a running root — re-reads
     * the table def FROM THAT ROOT so replays merge with whatever the
     * winner committed.
@@ -952,6 +978,13 @@ object GraftCatalog {
     */
   val DeleteModeProp = "graft.delete.mode"
   val DeleteModeMergeOnRead = "merge-on-read"
+
+  /** Same choice for UPDATE / MERGE: `merge-on-read` plans them as
+    * POSITION DELTAS ([[GraftPositionDeltaOperation]]) — new rows plus
+    * small (file, pos) delete objects, no data-file rewrite.
+    */
+  val UpdateModeProp = "graft.update.mode"
+  val MergeModeProp = "graft.merge.mode"
 
   /** `sort_by => 'zorder(a,b)'` marker accepted by compact_table. */
   val ZOrderSortBy = """(?i)zorder\(([^)]*)\)""".r

@@ -109,8 +109,19 @@ class GraftRowLevelOperationBuilder(
     catalog: GraftCatalog,
     table: GraftTable,
     info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
-  override def build(): RowLevelOperation =
-    new GraftRowLevelOperation(catalog, table, info.command())
+  override def build(): RowLevelOperation = {
+    import RowLevelOperation.Command._
+    val props = table.tableDef.properties
+    val mor = info.command() match {
+      case UPDATE => props.get(GraftCatalog.UpdateModeProp)
+        .contains(GraftCatalog.DeleteModeMergeOnRead)
+      case MERGE => props.get(GraftCatalog.MergeModeProp)
+        .contains(GraftCatalog.DeleteModeMergeOnRead)
+      case _ => false // DELETE: predicate deletes (morDelete) are cheaper
+    }
+    if (mor) new GraftPositionDeltaOperation(catalog, table, info.command())
+    else new GraftRowLevelOperation(catalog, table, info.command())
+  }
 }
 
 /** One DELETE/UPDATE/MERGE execution: Spark calls `newScanBuilder` for

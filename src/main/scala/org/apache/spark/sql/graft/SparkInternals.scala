@@ -106,6 +106,7 @@ object SparkInternals {
     case fp: FilePartition =>
       require(fp.files.length == 1, s"expected a single-file partition: $fp")
       fp.files.head.toPath.toUri.getPath
+    case pd: PosDeletePartition => pd.dataFile
     case other =>
       throw new IllegalStateException(s"expected FilePartition, got $other")
   }
@@ -184,6 +185,7 @@ object SparkInternals {
             out += FilePartition(i, splits)
             i += 1
           }
+        case pd: PosDeletePartition => out += pd // already single-file
         case other =>
           throw new IllegalStateException(s"expected FilePartition, got $other")
       }

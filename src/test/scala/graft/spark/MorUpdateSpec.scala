@@ -46,4 +46,68 @@ class MorUpdateSpec extends AnyFunSuite {
     assert(filtered.length == 10)
     filtered.foreach { case (k, p) => assert(byK(k) == p, s"k=$k") }
   }
+
+  test("mor UPDATE commits a position delta, not a rewrite") {
+    spark.sql("""CREATE TABLE mu.ns.t (k BIGINT, v STRING, amt DOUBLE)
+      TBLPROPERTIES ('graft.update.mode' = 'merge-on-read',
+                     'graft.merge.mode' = 'merge-on-read')""")
+    spark.sql("""INSERT INTO mu.ns.t
+      SELECT id, concat('v', id), CAST(id AS DOUBLE) FROM range(0, 1000, 1, 4)""")
+    val before = files("t")
+    spark.sql("UPDATE mu.ns.t SET v = 'touched', amt = amt * 2 WHERE k % 100 = 7")
+    assert(files("t").toSet.intersect(before.toSet) == before.toSet,
+      "a mor update must keep every pre-existing data file in the snapshot")
+    assert(spark.sql("SELECT count(*) FROM mu.ns.t").head.getLong(0) == 1000)
+    assert(spark.sql("SELECT count(*) FROM mu.ns.t WHERE v = 'touched'")
+      .head.getLong(0) == 10)
+    assert(spark.sql("SELECT sum(amt) FROM mu.ns.t WHERE v = 'touched'")
+      .head.getDouble(0) == (0 until 1000).filter(_ % 100 == 7).map(_ * 2.0).sum)
+    // untouched rows unchanged
+    assert(spark.sql("SELECT sum(amt) FROM mu.ns.t").head.getDouble(0) ==
+      (0 until 1000).map(i => if (i % 100 == 7) i * 2.0 else i.toDouble).sum)
+  }
+
+  test("mor MERGE upserts through a position delta") {
+    spark.sql("""CREATE OR REPLACE TEMP VIEW src AS
+      SELECT id AS k, concat('new', id) AS v, CAST(-1 AS DOUBLE) AS amt
+      FROM range(990, 1010)""")
+    val before = files("t")
+    spark.sql("""MERGE INTO mu.ns.t AS tgt USING src
+      ON tgt.k = src.k
+      WHEN MATCHED THEN UPDATE SET v = src.v, amt = src.amt
+      WHEN NOT MATCHED THEN INSERT (k, v, amt) VALUES (src.k, src.v, src.amt)""")
+    assert(files("t").toSet.intersect(before.toSet) == before.toSet,
+      "a mor merge must keep every pre-existing data file in the snapshot")
+    assert(spark.sql("SELECT count(*) FROM mu.ns.t").head.getLong(0) == 1010)
+    assert(spark.sql("SELECT count(*) FROM mu.ns.t WHERE v LIKE 'new%'")
+      .head.getLong(0) == 20)
+    assert(spark.sql("SELECT sum(amt) FROM mu.ns.t WHERE k >= 990")
+      .head.getDouble(0) == -20.0)
+  }
+
+  test("mor MERGE delete clause deletes by position") {
+    spark.sql("""CREATE OR REPLACE TEMP VIEW victims AS
+      SELECT id AS k FROM range(0, 1000, 250)""")
+    spark.sql("""MERGE INTO mu.ns.t AS tgt USING victims
+      ON tgt.k = victims.k
+      WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT count(*) FROM mu.ns.t").head.getLong(0) == 1006)
+    assert(spark.sql("SELECT count(*) FROM mu.ns.t WHERE k IN (0, 250, 500, 750)")
+      .head.getLong(0) == 0)
+  }
+
+  test("stacked deltas compose and time travel sees through them") {
+    spark.sql("CALL mu.system.create_tag('ns', 't', 'pre_second_update')")
+    // a second delta UPDATE hits rows living in files that already
+    // carry pending position deletes — the delete sets must union
+    spark.sql("UPDATE mu.ns.t SET v = 'again' WHERE v = 'touched'")
+    assert(spark.sql("SELECT count(*) FROM mu.ns.t WHERE v = 'again'")
+      .head.getLong(0) == 10)
+    assert(spark.sql("SELECT count(*) FROM mu.ns.t WHERE v = 'touched'")
+      .head.getLong(0) == 0)
+    assert(spark.sql("SELECT count(*) FROM mu.ns.t").head.getLong(0) == 1006)
+    assert(spark.sql(
+      "SELECT count(*) FROM mu.ns.t VERSION AS OF 'pre_second_update' WHERE v = 'touched'")
+      .head.getLong(0) == 10)
+  }
 }

@@ -51,11 +51,15 @@ object Maintenance {
     val before = current.size
     val pendingDeletes =
       meta.currentSnapshot.map(_.deletes).getOrElse(Seq.empty)
+    val pendingPosDeletes =
+      meta.currentSnapshot.map(_.posDeletes).getOrElse(Seq.empty)
     // a sorted rewrite is worth doing even at the target file count —
     // its point is range disjointness, not bin-packing; pending
-    // merge-on-read deletes also force the rewrite (compaction is
-    // where they materialize and clear)
-    if (before <= targetFiles && sortCols.isEmpty && pendingDeletes.isEmpty)
+    // merge-on-read deletes (predicates AND position deltas) also
+    // force the rewrite (compaction is where they materialize and
+    // clear)
+    if (before <= targetFiles && sortCols.isEmpty && pendingDeletes.isEmpty &&
+        pendingPosDeletes.isEmpty)
       return CompactionResult(before, before)
     // basePath + declared schema restore Hive-partition columns for
     // partitioned tables (their files don't carry those columns);
@@ -65,7 +69,8 @@ object Maintenance {
     val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val df = graft.spark.MorDeletes.readEntries(spark, schema, Some(dataRoot),
-      current.map(f => (storage.absolute(f.path), f)), pendingDeletes)
+      current.map(f => (storage.absolute(f.path), f)), pendingDeletes,
+      pendingPosDeletes.map(p => storage.absolute(p.path)))
     val spec = graft.spark.GraftCatalog.specOf(td.properties)
     val identCols = spec.filter(_.isIdentity).map(_.col)
     // `sort_by => 'zorder(a,b,…)'` range-clusters on the interleaved
@@ -189,8 +194,11 @@ object Maintenance {
     val td = Graft.describeTable(storage, txn, ns, ident.name())
     val meta = TableMetadata.read(storage, td.metadataLocation)
     val history = meta.allSnapshots(storage)
+    // position-delete objects are .parquet under the data dir too —
+    // pending ones are LIVE references, not orphans
     val referenced = history
-      .flatMap(graft.format.Manifests.filesOf(storage, _)).map(_.path).toSet
+      .flatMap(graft.format.Manifests.filesOf(storage, _)).map(_.path).toSet ++
+      history.flatMap(_.posDeletes).map(_.path).toSet
     val dataDir = FileLocations.tableDataDir(ns, ident.name())
     val onDisk = storage.listDeep(dataDir).filter(_.endsWith(".parquet"))
     val refManifests = history.flatMap(_.manifests).toSet

@@ -1030,6 +1030,65 @@ object CatalogQueries {
       Some("""SELECT doc_id,
              |       len(string_split_regex(trim(text), '\s+')) AS n_tok,
              |       substr(lang, 1, 3) AS lang3
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "c35_mor_update_delta",
+      (s, d) => {
+        // Merge-on-read UPDATE + MERGE as POSITION DELTAS on a
+        // partitioned table: both statements commit replacement rows +
+        // (file, pos) delete objects — zero data files rewritten
+        // (MorUpdateSpec asserts the inventory; this grades the VALUES
+        // read back through the delta-applying scan, partition columns
+        // included).
+        ensureCatalog(s, "gcu")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcu.ns1")
+        s.sql("DROP TABLE IF EXISTS gcu.ns1.ord")
+        s.sql("""CREATE TABLE gcu.ns1.ord (
+                   o_orderkey BIGINT, o_orderstatus STRING,
+                   o_totalprice DOUBLE)
+                 PARTITIONED BY (o_orderstatus)
+                 TBLPROPERTIES ('graft.update.mode' = 'merge-on-read',
+                                'graft.merge.mode' = 'merge-on-read')""")
+        s.sql(s"""INSERT INTO gcu.ns1.ord (o_orderkey, o_orderstatus,
+                                           o_totalprice)
+                  SELECT o_orderkey, o_orderstatus, o_totalprice
+                  FROM parquet.`$d/orders.parquet`""")
+        s.sql("""UPDATE gcu.ns1.ord SET o_totalprice = o_totalprice * 1.1
+                 WHERE o_orderkey % 10 = 3""")
+        s.sql(s"""MERGE INTO gcu.ns1.ord t
+                  USING (
+                    SELECT o_orderkey, o_orderstatus, o_totalprice
+                    FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 7 = 0
+                    UNION ALL
+                    SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice
+                    FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 13 = 0
+                  ) src
+                  ON t.o_orderkey = src.o_orderkey
+                  WHEN MATCHED THEN UPDATE SET o_totalprice = -1.0
+                  WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus,
+                    o_totalprice)
+                    VALUES (src.o_orderkey, src.o_orderstatus,
+                      src.o_totalprice)""")
+        s.sql("""SELECT o_orderstatus AS status, count(*) AS n,
+                        round(sum(o_totalprice), 2) AS total
+                 FROM gcu.ns1.ord GROUP BY o_orderstatus ORDER BY status""")
+      },
+      Some("""WITH after_upd AS (
+             |  SELECT o_orderkey, o_orderstatus,
+             |         CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 1.1
+             |              ELSE o_totalprice END AS price
+             |  FROM orders),
+             |after_merge AS (
+             |  SELECT o_orderkey, o_orderstatus,
+             |         CASE WHEN o_orderkey % 7 = 0 THEN -1.0
+             |              ELSE price END AS price
+             |  FROM after_upd
+             |  UNION ALL
+             |  SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice
+             |  FROM orders WHERE o_orderkey % 13 = 0)
+             |SELECT o_orderstatus AS status, count(*) AS n,
+             |       round(sum(price), 2) AS total
+             |FROM after_merge GROUP BY o_orderstatus ORDER BY status""".stripMargin))
   )
 }

@@ -707,8 +707,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     // rewrite can never resurrect logically-deleted rows (the rewrite's
     // output files re-sequence; old predicates stop applying to them)
     val pendingDeletes = meta.currentSnapshot.map(_.deletes).getOrElse(Seq.empty)
+    val touchedPaths = touched.map(_.path).toSet
+    val posDeleteAbs = meta.currentSnapshot.map(_.posDeletes)
+      .getOrElse(Seq.empty)
+      .filter(_.dataFiles.exists(touchedPaths))
+      .map(p => storage.absolute(p.path))
     val physDf = MorDeletes.readEntries(spark, physSchema, basePath, tuples,
-      pendingDeletes)
+      pendingDeletes, posDeleteAbs)
     val logicalDf = renames.foldLeft(physDf) {
       case (df, (logical, physical)) => df.withColumnRenamed(physical, logical)
     }

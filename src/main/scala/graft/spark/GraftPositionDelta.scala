@@ -67,9 +67,10 @@ class GraftPositionDeltaOperation(
   * (partition transforms, _file): every delete aimed at one data file
   * lands in ONE task (one delete object per file's worth of deletes,
   * not one per task × file), and replacement/insert rows co-cluster by
-  * target partition for the dynamic-partition data writer. Ordering
-  * (_file, _pos) keeps each delete object sorted for run-length-
-  * friendly encoding.
+  * target partition for the dynamic-partition data writer. Ordering is
+  * partition transforms FIRST — the dynamic-partition writer opens one
+  * file per partition-value run and a revisited value is a collision —
+  * then (_file, _pos) so delete rows stay near-sorted per file.
   */
 class GraftDeltaWrite(
     catalog: GraftCatalog,
@@ -87,11 +88,12 @@ class GraftDeltaWrite(
           : org.apache.spark.sql.connector.expressions.Expression)).toArray)
 
   override def requiredOrdering(): Array[VSortOrder] =
-    Array(
-      Expressions.sort(Expressions.column(GraftMetadataColumns.FileName),
-        SortDirection.ASCENDING),
-      Expressions.sort(Expressions.column(GraftMetadataColumns.PosName),
-        SortDirection.ASCENDING))
+    (spec.map(f => Expressions.sort(f.toTransform, SortDirection.ASCENDING)) ++
+      Seq(
+        Expressions.sort(Expressions.column(GraftMetadataColumns.FileName),
+          SortDirection.ASCENDING),
+        Expressions.sort(Expressions.column(GraftMetadataColumns.PosName),
+          SortDirection.ASCENDING))).toArray
 
   override def toBatch: DeltaBatchWrite =
     new GraftDeltaBatchWrite(catalog, table, cmd, info)

@@ -323,7 +323,8 @@ class GraftCowScan(
     // with the table scan path: [[MorDeletes.morBatches]].
     val posByNorm = MorDeletes.posIndex(kept, table.pendingPosDeletes)
     val batches = MorDeletes.morBatches(spark, kept, table.pendingDeletes,
-      posByNorm, physSchema, physRequired, hasFile, hasPos,
+      posByNorm, physSchema, physRequired, table.partitionDirNames, hasFile,
+      hasPos,
       (es, readPhys) => new Scan {
         override def readSchema(): StructType = readPhys
         override def toBatch: Batch = groupBatch(es, readPhys)

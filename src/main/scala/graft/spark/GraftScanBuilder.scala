@@ -307,7 +307,7 @@ class GraftScanBuilder(
     if (MorDeletes.pending(deletes, kept.map(_._2)) || posByNorm.nonEmpty ||
         hasPos) {
       val batches = MorDeletes.morBatches(spark, kept, deletes, posByNorm,
-        physSchema, physRequired, hasFile, hasPos, delegateScan)
+        physSchema, physRequired, partCols, hasFile, hasPos, delegateScan)
       val outSchema = StructType(dataRequired.fields ++
         (if (hasPos) Seq(posField) else Nil) ++
         (if (hasFile) Seq(fileField) else Nil))

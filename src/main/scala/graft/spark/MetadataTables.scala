@@ -19,7 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MetadataTables {
   val Suffixes: Seq[String] =
-    Seq("$snapshots", "$files", "$partitions", "$manifests", "$refs")
+    Seq("$snapshots", "$files", "$partitions", "$manifests", "$refs",
+      "$deletes")
 
   def forSuffix(baseName: String, suffix: String, meta: TableMetadata,
       partCols: Seq[String], storage: graft.storage.StorageOps): Table =
@@ -29,6 +30,7 @@ object MetadataTables {
       case "$partitions" => new PartitionsTable(baseName, meta, partCols, storage)
       case "$manifests" => new ManifestsTable(baseName, meta, storage)
       case "$refs" => new RefsTable(baseName, meta)
+      case "$deletes" => new DeletesTable(baseName, meta)
     }
 
   /** `<catalog>.sys.objects` — every object in the catalog at its
@@ -148,6 +150,33 @@ private class RefsTable(baseName: String, meta: TableMetadata)
         InternalRow(UTF8String.fromString(name), sid,
           UTF8String.fromString(kind))
       }
+}
+
+/** `<table>$deletes` — merge-on-read deletes pending at the current
+  * snapshot: predicate deletes (one row each, `detail` = the SQL) and
+  * position-delete objects (`detail` = the object path, with row count
+  * and how many data files it references) — the operator view that
+  * says "this table is carrying N deltas; compact it".
+  */
+private class DeletesTable(baseName: String, meta: TableMetadata)
+    extends LocalMetadataTable(s"$baseName$$deletes") {
+  override def schema(): StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("detail", StringType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_data_files", LongType, nullable = false)))
+
+  override def rows: Seq[InternalRow] =
+    meta.currentSnapshot.toSeq.flatMap { s =>
+      s.deletes.map(p =>
+        InternalRow(UTF8String.fromString("predicate"),
+          UTF8String.fromString(p.sql), p.seq, -1L, -1L)) ++
+        s.posDeletes.map(p =>
+          InternalRow(UTF8String.fromString("position"),
+            UTF8String.fromString(p.path), p.seq, p.rowCount,
+            p.dataFiles.size.toLong))
+    }
 }
 
 /** `<table>$partitions` — per-partition file/row/byte counts from the

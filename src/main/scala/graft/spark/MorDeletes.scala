@@ -99,6 +99,7 @@ private[graft] object MorDeletes {
       posByNorm: Map[String, Seq[String]],
       physSchema: org.apache.spark.sql.types.StructType,
       physRequired: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String],
       hasFile: Boolean,
       hasPos: Boolean,
       delegateScan: (Seq[(String, DataFileEntry)],
@@ -110,6 +111,20 @@ private[graft] object MorDeletes {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val fileTagOrdinal = physRequired.length + (if (hasPos) 1 else 0)
+    // the delegated parquet scan returns requested data fields in
+    // request order but Hive-partition fields LAST (in spec order);
+    // everything below works per-ordinal over the REQUEST order, so
+    // mismatching delegate rows are reordered right above the delegate
+    val partSet = partCols.toSet
+    def naturalOf(req: StructType): StructType = StructType(
+      req.fields.filterNot(f => partSet(f.name)) ++
+        partCols.flatMap(c => req.fields.find(_.name == c)))
+    def delegateBatch(es: Seq[(String, DataFileEntry)], req: StructType)
+        : org.apache.spark.sql.connector.read.Batch = {
+      val b = delegateScan(es, req).toBatch
+      val nat = naturalOf(req)
+      if (nat == req) b else SparkInternals.reorderedBatch(b, nat, req)
+    }
     groups(kept, deletes).filter(_._2.nonEmpty).flatMap { case (preds, esAll) =>
       val (covered, uncovered) = esAll.partition(e =>
         posByNorm.contains(GraftMetadataColumns.norm(e._1)))
@@ -121,7 +136,7 @@ private[graft] object MorDeletes {
               SparkInternals.rowIndexField)
             else physRequired
           val base =
-            if (preds.isEmpty) delegateScan(es, dataPhys).toBatch
+            if (preds.isEmpty) delegateBatch(es, dataPhys)
             else {
               // predicate columns the projection pruned must still be
               // READ (then dropped after filtering)
@@ -131,7 +146,7 @@ private[graft] object MorDeletes {
               val readPhys = StructType(
                 dataPhys.fields ++ extra.map(physSchema(_)))
               SparkInternals.filteredProjectedBatch(
-                delegateScan(es, readPhys).toBatch,
+                delegateBatch(es, readPhys),
                 keepExpr(spark, preds,
                   readPhys.fields.toIndexedSeq.map(f =>
                     org.apache.spark.sql.catalyst.expressions
@@ -167,27 +182,83 @@ private[graft] object MorDeletes {
     }.toMap
   }
 
+  /** Helper column names for the (file, pos) row id in DataFrame-level
+    * reads (v1 path, `_metadata`): unlikely to collide with user
+    * columns; dropped before the result leaves this object unless the
+    * caller asked to keep them.
+    */
+  val GFile = "_graft_file"
+  val GPos = "_graft_pos"
+
+  /** `_metadata.file_path` (scheme-qualified URI) → the URI *path*,
+    * exactly as the `_file` column / [[SparkInternals.partitionFilePath]]
+    * render it — so DataFrame-level joins against position-delete
+    * objects match on identical strings.
+    */
+  def normFilePathColumn: Column = {
+    import org.apache.spark.sql.functions.regexp_replace
+    regexp_replace(
+      regexp_replace(org.apache.spark.sql.functions.col("_metadata.file_path"),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:", "")
+  }
+
   /** Read `entries` (absolute path, entry) as ONE DataFrame under
-    * `physSchema`, with every applicable pending delete applied — the
-    * read every rewrite path (copy-on-write row ops, compaction) must
+    * `physSchema`, with every applicable pending delete applied —
+    * predicate deletes as residual filters, position deletes
+    * (`posDeleteAbs`: the delete objects' absolute paths) as a
+    * distributed anti-join on `(file, row_index)`. This is the read
+    * every rewrite path (copy-on-write row ops, compaction, CDC) must
     * use so logically-deleted rows never resurrect through a rewrite.
+    * With `exposePos` the result keeps [[GFile]]/[[GPos] ]columns for
+    * callers that need the row id (CDC joins).
     */
   def readEntries(spark: SparkSession,
       physSchema: org.apache.spark.sql.types.StructType,
       basePath: Option[String],
       entries: Seq[(String, DataFileEntry)],
-      deletes: Seq[DeletePredicate]): DataFrame = {
+      deletes: Seq[DeletePredicate],
+      posDeleteAbs: Seq[String] = Seq.empty,
+      exposePos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val needPos = posDeleteAbs.nonEmpty || exposePos
     def read(paths: Seq[String]): DataFrame = {
       val r0 = spark.read.schema(physSchema)
       val r = basePath.map(b => r0.option("basePath", b)).getOrElse(r0)
-      r.parquet(paths: _*)
+      val df = r.parquet(paths: _*)
+      if (!needPos) df
+      else df.withColumn(GFile, normFilePathColumn)
+        .withColumn(GPos, col("_metadata.row_index"))
     }
-    if (entries.isEmpty)
+    if (entries.isEmpty) {
+      val schema =
+        if (!exposePos) physSchema
+        else org.apache.spark.sql.types.StructType(physSchema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField(GFile,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(GPos,
+            org.apache.spark.sql.types.LongType)))
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physSchema)
-    groups(entries, deletes).map { case (preds, es) =>
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val base = groups(entries, deletes).map { case (preds, es) =>
       val df = read(es.map(_._1))
       if (preds.isEmpty) df else df.filter(keepColumn(preds))
     }.reduce(_ unionAll _)
+    val posApplied =
+      if (posDeleteAbs.isEmpty) base
+      else {
+        // delete objects are tiny next to data files — broadcast them
+        // so the anti-join never shuffles the data side
+        val dels = org.apache.spark.sql.functions.broadcast(
+          spark.read.parquet(posDeleteAbs: _*)
+            .select(col("file"), col("pos")))
+        base.join(dels,
+          base(GFile) === dels("file") && base(GPos) === dels("pos"),
+          "left_anti")
+      }
+    if (exposePos) posApplied
+    else if (needPos) posApplied.drop(GFile, GPos)
+    else posApplied
   }
 }

@@ -76,14 +76,42 @@ object TableChanges {
       val dfs = rangeSnaps.flatMap { s =>
         meta.findSnapshot(storage, s.parentId).toSeq.flatMap { parent =>
           val prior = parent.deletes.toSet
-          s.deletes.filterNot(prior).map { pred =>
+          val predDfs = s.deletes.filterNot(prior).map { pred =>
             val parentFiles = Manifests.filesOf(storage, parent)
               .map(f => (storage.absolute(f.path), f))
             MorDeletes.readEntries(spark, schema, Some(dataRoot),
-              parentFiles, parent.deletes)
+              parentFiles, parent.deletes,
+              parent.posDeletes.map(p => storage.absolute(p.path)))
               .filter(org.apache.spark.sql.functions.coalesce(
                 org.apache.spark.sql.functions.expr(pred.sql), lit(false)))
           }
+          // position deltas: rows a NEW delete object names are the
+          // range's deletes — read only the referenced parent files
+          // (with the parent's own residuals applied so an already-
+          // deleted row is never re-emitted) and semi-join on the
+          // (file, pos) row id
+          val priorPos = parent.posDeletes.map(_.path).toSet
+          val newPos = s.posDeletes.filterNot(p => priorPos(p.path))
+          val posDfs =
+            if (newPos.isEmpty) Seq.empty
+            else {
+              val refRel = newPos.flatMap(_.dataFiles).toSet
+              val parentFiles = Manifests.filesOf(storage, parent)
+                .filter(f => refRel(f.path))
+                .map(f => (storage.absolute(f.path), f))
+              val survivors = MorDeletes.readEntries(spark, schema,
+                Some(dataRoot), parentFiles, parent.deletes,
+                parent.posDeletes.map(p => storage.absolute(p.path)),
+                exposePos = true)
+              val dels = org.apache.spark.sql.functions.broadcast(
+                spark.read.parquet(newPos.map(p =>
+                  storage.absolute(p.path)): _*))
+              Seq(survivors.join(dels,
+                survivors(MorDeletes.GFile) === dels("file") &&
+                  survivors(MorDeletes.GPos) === dels("pos"), "left_semi")
+                .drop(MorDeletes.GFile, MorDeletes.GPos))
+            }
+          predDfs ++ posDfs
         }
       }
       dfs.reduceOption(_ unionAll _)

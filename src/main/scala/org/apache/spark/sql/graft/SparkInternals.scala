@@ -195,6 +195,29 @@ object SparkInternals {
       new FileTaggedReaderFactory(delegate.createReaderFactory(), tagOrdinal)
   }
 
+  /** Project delegate rows from `actual` layout to `wanted` — the same
+    * field set in a different order. A delegated parquet scan returns
+    * requested DATA fields in request order but moves Hive-partition
+    * fields to the END ([[org.apache.spark.sql.execution.datasources.v2.FileScan]]
+    * `readSchema = readDataSchema ++ readPartitionSchema`); merge-on-read
+    * wrappers do per-ordinal row work, so the delegate's rows are
+    * restored to the requested order here first. Row-based — the
+    * merge-on-read path is row-based throughout.
+    */
+  def reorderedBatch(delegate: Batch, actual: StructType,
+      wanted: StructType): Batch = {
+    val attrs = DataTypeUtils.toAttributes(actual)
+    val byName = attrs.map(a => a.name -> a).toMap
+    val outAttrs = wanted.fields.toIndexedSeq.map(f => byName(f.name))
+    new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        delegate.planInputPartitions()
+      override def createReaderFactory(): PartitionReaderFactory =
+        new ReorderingReaderFactory(delegate.createReaderFactory(), attrs,
+          outAttrs)
+    }
+  }
+
   /** Row-exact residual filtering over a delegated batch: every row is
     * tested against `cond` (bound to `inputSchema`'s attributes) and
     * survivors are projected to the first `keepN` columns. This is the
@@ -472,6 +495,29 @@ private class PosDeleteReaderFactory(
         false
       }
       override def get(): InternalRow = if (proj == null) row else proj(row)
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
+/** Projects every row of the delegate to `outAttrs` (a permutation of
+  * `attrs`). Partitions pass through untouched — only the reader is
+  * wrapped, so file-granular wrappers above still see FilePartitions.
+  */
+private class ReorderingReaderFactory(
+    delegate: PartitionReaderFactory,
+    attrs: Seq[AttributeReference],
+    outAttrs: Seq[AttributeReference]) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val inner = delegate.createReader(p)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(outAttrs, attrs)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = proj(inner.get())
       override def close(): Unit = inner.close()
     }
   }

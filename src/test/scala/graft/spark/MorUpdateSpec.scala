@@ -110,4 +110,81 @@ class MorUpdateSpec extends AnyFunSuite {
       "SELECT count(*) FROM mu.ns.t VERSION AS OF 'pre_second_update' WHERE v = 'touched'")
       .head.getLong(0) == 10)
   }
+
+  test("$deletes metadata table lists pending position deltas") {
+    val dels = spark.sql("SELECT kind, n_rows FROM mu.ns.`t$deletes`")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(dels.nonEmpty && dels.forall(_._1 == "position"))
+    // deltas so far: update(10) + merge-update(10) + merge-delete(4)
+    // + second update(10)
+    assert(dels.map(_._2).sum == 34, s"got ${dels.toSeq}")
+  }
+
+  test("CDC surfaces a position delta as delete(old) + insert(new)") {
+    val cat = spark.sessionState.catalogManager.catalog("mu")
+      .asInstanceOf[GraftCatalog]
+    val before = spark.sql("SELECT max(snapshot_id) FROM mu.ns.`t$snapshots`")
+      .head.getLong(0)
+    spark.sql("UPDATE mu.ns.t SET amt = 123.0 WHERE k = 501")
+    val changes = TableChanges.between(spark, cat,
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("ns"), "t"),
+      startSnapshotId = before)
+      .select("_change_type", "k", "amt")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(changes.toSet == Set(("delete", 501L, 501.0),
+      ("insert", 501L, 123.0)), s"got ${changes.toSeq}")
+  }
+
+  test("copy-on-write DELETE does not resurrect delta-deleted rows") {
+    // delete.mode is default (copy-on-write): the selective rewrite
+    // reads files carrying pending position deletes — survivors only
+    spark.sql("DELETE FROM mu.ns.t WHERE k < 100")
+    // pre-delete state: 1006 rows; k<100 held 100 original rows minus
+    // the delta-deleted k=0 → 99 removed
+    assert(spark.sql("SELECT count(*) FROM mu.ns.t").head.getLong(0) == 907)
+    assert(spark.sql("SELECT count(*) FROM mu.ns.t WHERE v = 'again'")
+      .head.getLong(0) == 9, "k=7 left with the rewrite")
+  }
+
+  test("orphan cleanup keeps pending delete objects") {
+    val removed = spark.sql(
+      "CALL mu.system.remove_orphan_files(namespace => 'ns', `table` => 't')")
+      .collect().map(_.getString(0))
+    assert(!removed.exists(_.contains("/deletes/")),
+      s"live delete objects removed: ${removed.filter(_.contains("/deletes/")).toSeq}")
+    assert(spark.sql("SELECT count(*) FROM mu.ns.t").head.getLong(0) == 907)
+  }
+
+  test("compaction materializes position deltas and clears them") {
+    assert(spark.sql("SELECT count(*) FROM mu.ns.`t$deletes`")
+      .head.getLong(0) > 0)
+    spark.sql("CALL mu.system.compact_table(namespace => 'ns', `table` => 't')")
+    assert(spark.sql("SELECT count(*) FROM mu.ns.`t$deletes`")
+      .head.getLong(0) == 0, "compaction must clear the pending delta list")
+    assert(spark.sql("SELECT count(*) FROM mu.ns.t").head.getLong(0) == 907)
+    assert(spark.sql("SELECT count(*) FROM mu.ns.t WHERE v = 'again'")
+      .head.getLong(0) == 9)
+    assert(spark.sql("SELECT sum(amt) FROM mu.ns.t WHERE k = 501")
+      .head.getDouble(0) == 123.0)
+  }
+
+  test("partitioned table: position deltas respect hidden partitioning") {
+    spark.sql("""CREATE TABLE mu.ns.pt (k BIGINT, region STRING, amt DOUBLE)
+      PARTITIONED BY (region)
+      TBLPROPERTIES ('graft.update.mode' = 'merge-on-read')""")
+    spark.sql("""INSERT INTO mu.ns.pt (k, region, amt)
+      SELECT id, CASE WHEN id % 2 = 0 THEN 'east' ELSE 'west' END,
+             CAST(id AS DOUBLE)
+      FROM range(0, 400, 1, 4)""")
+    val before = files("pt")
+    spark.sql("UPDATE mu.ns.pt SET amt = -1.0 WHERE k % 50 = 3")
+    assert(files("pt").toSet.intersect(before.toSet) == before.toSet)
+    assert(spark.sql("SELECT count(*) FROM mu.ns.pt WHERE amt = -1.0")
+      .head.getLong(0) == 8)
+    assert(spark.sql("SELECT count(*) FROM mu.ns.pt").head.getLong(0) == 400)
+    // partition pruning still serves correct data under deltas
+    assert(spark.sql(
+      "SELECT count(*) FROM mu.ns.pt WHERE region = 'west' AND amt = -1.0")
+      .head.getLong(0) == 8, "k%50=3 is always odd → west")
+  }
 }

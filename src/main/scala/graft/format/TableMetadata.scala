@@ -149,6 +149,16 @@ final case class AddDeletePredicate(sql: String, atSeq: Long = -1L)
   */
 final case class AddRowDeltas(add: Seq[DataFileEntry],
     posDeletes: Seq[PosDeleteFile]) extends FilesEdit
+/** Delete-object maintenance (minor compaction): pending position-
+  * delete objects in `remove` leave the list, coalesced replacements in
+  * `add` join it — the data-file inventory is untouched. Logical table
+  * content MUST be identical before and after (the rewrite only drops
+  * dead-file references and merges objects); the commit validates
+  * `add`'s references like [[AddRowDeltas]] so a racing data-file
+  * rewrite fails this commit loudly.
+  */
+final case class RewritePosDeletes(remove: Set[String],
+    add: Seq[PosDeleteFile]) extends FilesEdit
 
 /** Table metadata document, stored at TableDef.metadataLocation; every
   * commit writes a new document (copy-on-write, like Iceberg metadata
@@ -234,6 +244,12 @@ final case class TableMetadata(
       case e: AddDeletePredicate => e
       case AddRowDeltas(add, dels) => AddRowDeltas(add.map(_.copy(seq = seq)),
         dels.map(_.copy(seq = seq)))
+      // rewritten delete objects keep their ORIGINAL sequence floor:
+      // the coalesced object carries positions first committed at
+      // earlier sequences, and nothing reads PosDeleteFile.seq for
+      // scoping (scoping is by path), so the max source seq documents
+      // provenance without changing semantics
+      case e: RewritePosDeletes => e
     }
     val parentDeletes = parent.map(_.deletes).getOrElse(Seq.empty)
     val deletes = stamped match {
@@ -263,6 +279,17 @@ final case class TableMetadata(
         // garbage once no live snapshot carries them)
         parentPos.map(p => p.copy(dataFiles = p.dataFiles.filterNot(rm)))
           .filter(_.dataFiles.nonEmpty)
+      case RewritePosDeletes(rm, add) =>
+        // same reference validation as AddRowDeltas: after a rebase the
+        // coalesced object may name rows of files a racing commit
+        // rewrote — fail loudly, the job just re-runs
+        val present = parent.map(Manifests.filesOf(storage, _))
+          .getOrElse(Seq.empty).map(_.path).toSet
+        val missing = add.flatMap(_.dataFiles).distinct.filterNot(present)
+        if (missing.nonEmpty) throw new IllegalStateException(
+          "position-delete rewrite references data files no longer in " +
+            s"the table (concurrently rewritten?): ${missing.mkString(", ")}")
+        parentPos.filterNot(p => rm(p.path)) ++ add
       case _ => parentPos
     }
     val next = Manifests.applyEdit(storage, manifestDir, parent,
@@ -338,9 +365,10 @@ object Manifests {
       case None => (0L, 0L, 0L)
     }
     val (inline, manifests, count, rows, bytes) = edit match {
-      case AddDeletePredicate(_, _) =>
-        // metadata-only: parent inventory (inline AND segment keys)
-        // carries over verbatim — the commit writes no data objects
+      case AddDeletePredicate(_, _) | RewritePosDeletes(_, _) =>
+        // metadata-only for the INVENTORY: parent inline entries and
+        // segment keys carry over verbatim — the commit writes no data
+        // files (delete objects live in the snapshot's pending list)
         (pInline, pManifests, pCount, pRows, pBytes)
       case AddRowDeltas(add, _) =>
         // inventory-wise a row delta IS an append (the delete objects

@@ -110,6 +110,93 @@ object Maintenance {
     CompactionResult(before, newFiles.size)
   }
 
+  final case class RewriteDeletesResult(objectsBefore: Int, objectsAfter: Int,
+      rowsBefore: Long, rowsAfter: Long)
+
+  /** Minor-compact a table's pending position-delete objects: read
+    * every pending object, drop rows naming data files no longer in
+    * the inventory, dedupe, and coalesce into `targetObjects` sorted
+    * objects — WITHOUT touching any data file. The commit swaps the
+    * pending list atomically; logical content is provably unchanged
+    * (only dead references and duplicates leave).
+    *
+    * This is the between-compactions maintenance for update-heavy
+    * merge-on-read tables at 100 TB: a delta per commit accretes many
+    * small objects whose per-read attach cost grows linearly; this
+    * folds them to O(targetObjects) while full compaction (which
+    * materializes the deltas into data files) stays a rarer, far more
+    * expensive event.
+    */
+  def rewritePositionDeletes(spark: SparkSession, cat: GraftCatalog,
+      ident: Identifier, targetObjects: Int = 1): RewriteDeletesResult = {
+    val storage = cat.storage
+    val txn = Graft.beginTransaction(storage)
+    val ns = ident.namespace()(0)
+    val td = Graft.describeTable(storage, txn, ns, ident.name())
+    val meta = TableMetadata.read(storage, td.metadataLocation)
+    val pending = meta.currentSnapshot.map(_.posDeletes).getOrElse(Seq.empty)
+    val rowsBefore = pending.map(_.rowCount).sum
+    if (pending.size <= targetObjects) {
+      txn.close()
+      return RewriteDeletesResult(pending.size, pending.size,
+        rowsBefore, rowsBefore)
+    }
+    val current = meta.currentFiles(storage)
+    // delete rows carry the data file as the `_file` column renders it
+    // (URI path of the absolute location); entry paths are storage-
+    // relative — keep both directions of the mapping
+    val normToRel = current.map(f =>
+      graft.spark.GraftMetadataColumns.norm(storage.absolute(f.path)) -> f.path)
+      .toMap
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val live = normToRel.keys.toSeq.toDF("file")
+    // the inventory side is driver-resident metadata (same scale
+    // assumption as every commit path); the delete rows are the big
+    // side and never leave the executors
+    val dels = spark.read.parquet(pending.map(p =>
+      storage.absolute(p.path)): _*)
+      .select(col("file"), col("pos")).distinct()
+      .join(live, Seq("file"), "left_semi")
+    val outDirRel = s"${FileLocations.tableDataDir(ns, ident.name())}/deletes/" +
+      java.util.UUID.randomUUID().toString
+    val outDirAbs = storage.absolute(outDirRel)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    // range-partition by (file, pos): each output object covers a
+    // contiguous file range, so a scan attaches at most a couple of
+    // objects per data file
+    val written: Seq[(String, Long, Seq[String])] = dels
+      .repartitionByRange(targetObjects, col("file"), col("pos"))
+      .sortWithinPartitions("file", "pos")
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          // attempt id in the name: a retried/speculative task must
+          // never collide with its sibling's object (losers become
+          // unreferenced orphans, swept by removeOrphanFiles)
+          val tc = org.apache.spark.TaskContext.get()
+          val name = f"del-rw-${tc.partitionId()}%05d-${tc.taskAttemptId()}.parquet"
+          val w = new graft.format.PosDeleteFiles.Writer(
+            s"$outDirAbs/$name", conf.value)
+          it.foreach(r => w.add(r.getString(0), r.getLong(1)))
+          val (refs, rows) = w.close()
+          Iterator((name, rows, refs))
+        }
+      }.collect().toSeq
+    val entries = written.map { case (name, rows, refs) =>
+      val rel = s"$outDirRel/$name"
+      graft.format.PosDeleteFile(rel, rows, storage.sizeOf(rel),
+        refs.map(n => normToRel.getOrElse(n, throw new IllegalStateException(
+          s"rewritten delete object references unknown data file: $n"))),
+        seq = pending.map(_.seq).max)
+    }
+    commitSnapshot(cat, txn, ns, ident.name(), "rewrite-deletes",
+      graft.format.RewritePosDeletes(pending.map(_.path).toSet, entries))
+    RewriteDeletesResult(pending.size, entries.size,
+      rowsBefore, entries.map(_.rowCount).sum)
+  }
+
   /** Drop all but the newest `keepLast` snapshots from the table's
     * metadata. Data files referenced only by expired snapshots become
     * orphans — removable by [[removeOrphanFiles]].

@@ -1089,6 +1089,45 @@ object CatalogQueries {
              |  FROM orders WHERE o_orderkey % 13 = 0)
              |SELECT o_orderstatus AS status, count(*) AS n,
              |       round(sum(price), 2) AS total
-             |FROM after_merge GROUP BY o_orderstatus ORDER BY status""".stripMargin))
+             |FROM after_merge GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
+
+    QueryDef(
+      "c36_rewrite_position_deletes",
+      (s, d) => {
+        // Delete-object minor compaction: stacked merge-on-read updates
+        // accrete many small position-delete objects; CALL
+        // rewrite_position_deletes folds them into ONE sorted object
+        // without touching data files. The result reads the table
+        // through the coalesced object (plus the object count before/
+        // after as proof the fold happened) — values must equal DuckDB
+        // replaying the updates directly.
+        ensureCatalog(s, "gcw")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcw.ns1")
+        s.sql("DROP TABLE IF EXISTS gcw.ns1.cust")
+        s.sql("""CREATE TABLE gcw.ns1.cust (
+                   c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING)
+                 TBLPROPERTIES ('graft.update.mode' = 'merge-on-read')""")
+        s.sql(s"""INSERT INTO gcw.ns1.cust
+                  SELECT c_custkey, c_acctbal, c_mktsegment
+                  FROM parquet.`$d/customer.parquet`""")
+        (0 until 3).foreach { i =>
+          s.sql(s"""UPDATE gcw.ns1.cust SET c_acctbal = c_acctbal + ${i + 1}
+                    WHERE c_custkey % 3 = $i""")
+        }
+        val objectsBefore = s.sql(
+          "SELECT count(*) FROM gcw.ns1.`cust$deletes`").head.getLong(0)
+        val r = s.sql(
+          "CALL gcw.system.rewrite_position_deletes('ns1', 'cust')")
+          .collect().head
+        s.sql(s"""SELECT c_mktsegment AS seg, count(*) AS n,
+                         round(sum(c_acctbal), 2) AS bal,
+                         $objectsBefore >= 3 AS folded_many,
+                         ${r.getInt(1)} AS objects_after
+                  FROM gcw.ns1.cust GROUP BY c_mktsegment ORDER BY seg""")
+      },
+      Some("""SELECT c_mktsegment AS seg, count(*) AS n,
+             |       round(sum(c_acctbal + 1 + (c_custkey % 3)), 2) AS bal,
+             |       true AS folded_many, 1 AS objects_after
+             |FROM customer GROUP BY c_mktsegment ORDER BY seg""".stripMargin))
   )
 }

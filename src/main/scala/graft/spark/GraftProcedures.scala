@@ -33,6 +33,7 @@ object GraftProcedures {
       s"no such procedure namespace: ${ident.namespace().mkString(".")}")
     ident.name() match {
       case "compact_table" => CompactTable(cat)
+      case "rewrite_position_deletes" => RewritePositionDeletes(cat)
       case "expire_snapshots" => ExpireSnapshots(cat)
       case "remove_orphan_files" => RemoveOrphanFiles(cat)
       case "expire_catalog_versions" => ExpireCatalogVersions(cat)
@@ -92,6 +93,27 @@ object GraftProcedures {
         StructType(Seq(StructField("files_before", IntegerType, false),
           StructField("files_after", IntegerType, false))),
         Seq(InternalRow(r.filesBefore, r.filesAfter)))
+    }
+  }
+
+  private case class RewritePositionDeletes(cat: GraftCatalog)
+      extends GraftProcedure("rewrite_position_deletes") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("namespace", StringType), in("table", StringType),
+      inDefault("target_objects", IntegerType, "1"))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val r = Maintenance.rewritePositionDeletes(
+        org.apache.spark.sql.SparkSession.active, cat,
+        Identifier.of(Array(input.getString(0)), input.getString(1)),
+        targetObjects = input.getInt(2))
+      result(
+        StructType(Seq(
+          StructField("objects_before", IntegerType, false),
+          StructField("objects_after", IntegerType, false),
+          StructField("rows_before", LongType, false),
+          StructField("rows_after", LongType, false))),
+        Seq(InternalRow(r.objectsBefore, r.objectsAfter,
+          r.rowsBefore, r.rowsAfter)))
     }
   }
 

@@ -42,7 +42,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * connector (OlympiaIcebergTable.java:24-40) — this IS that
   * delegation, expressed through Spark's row-level-operation API.
   */
-private[spark] object GraftMetadataColumns {
+private[graft] object GraftMetadataColumns {
   val FileName = "_file"
   val PosName = "_pos"
 

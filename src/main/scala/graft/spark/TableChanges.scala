@@ -91,7 +91,14 @@ object TableChanges {
           // deleted row is never re-emitted) and semi-join on the
           // (file, pos) row id
           val priorPos = parent.posDeletes.map(_.path).toSet
-          val newPos = s.posDeletes.filterNot(p => priorPos(p.path))
+          // a delete-object rewrite (minor compaction) re-commits the
+          // SAME logical deletes under new paths — correct even without
+          // this guard (the parent's residuals exclude every position
+          // the rewritten objects name, so the semi-join is empty), but
+          // skipping it avoids reading the referenced files at all
+          val newPos =
+            if (s.operation == "rewrite-deletes") Seq.empty
+            else s.posDeletes.filterNot(p => priorPos(p.path))
           val posDfs =
             if (newPos.isEmpty) Seq.empty
             else {

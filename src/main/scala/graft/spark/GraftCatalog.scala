@@ -272,6 +272,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       }
       case _ => ()
     }
+    // <table>$changes: the row-level change feed as a batch +
+    // micro-batch-streamable DSv2 table (snapshot lineage as changelog)
+    if (ident.name().endsWith("$changes")) {
+      val base = ident.name().dropRight("$changes".length)
+      val ns = ns1(ident.namespace())
+      val baseIdent = Identifier.of(ident.namespace(), base)
+      val (td, meta) = inTxn { txn =>
+        val td =
+          try Graft.describeTable(storage, txn, ns, base)
+          catch { case _: NoSuchElementException =>
+            throw new NoSuchTableException(ident)
+          }
+        (td, TableMetadata.read(storage, td.metadataLocation))
+      }
+      return new GraftChangesTable(s"$catalogName.$ns.$base", td, meta,
+        () => loadTable(baseIdent).asInstanceOf[GraftTable].meta, storage)
+    }
     // metadata tables: <table>$snapshots / <table>$files (reference
     // surfaces Iceberg metadata tables the same way,
     // OlympiaIcebergCatalog.java:360-367)

@@ -41,16 +41,26 @@ private[spark] class GraftMicroBatchStream(
     scanOver: Seq[(String, DataFileEntry)] => Scan,
     readSchema: StructType,
     maxSnapshotsPerTrigger: Option[Long] = None)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   // the scan planned for the current batch's files; planInputPartitions
   // and createReaderFactory are driver-side, per-batch, in order
   @volatile private var lastScan: Option[Scan] = None
+  // Trigger.AvailableNow: pin the end at start-of-query — without this
+  // Spark treats an admission-controlled source as Trigger.Once and a
+  // bounded catch-up would stop after ONE batch
+  @volatile private var pinnedEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinnedEnd = Some(ctx.freshMeta().currentSnapshotId)
+
+  private def currentEnd: Long =
+    pinnedEnd.getOrElse(ctx.freshMeta().currentSnapshotId)
 
   override def initialOffset(): Offset = SnapshotOffset(-1L)
 
-  override def latestOffset(): Offset =
-    SnapshotOffset(ctx.freshMeta().currentSnapshotId)
+  override def latestOffset(): Offset = SnapshotOffset(currentEnd)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -61,7 +71,7 @@ private[spark] class GraftMicroBatchStream(
     * to snapshot granularity and are ignored.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val cur = ctx.freshMeta().currentSnapshotId
+    val cur = currentEnd
     val s = start.asInstanceOf[SnapshotOffset].id
     SnapshotOffset(
       maxSnapshotsPerTrigger.map(n => math.min(cur, s + n)).getOrElse(cur))

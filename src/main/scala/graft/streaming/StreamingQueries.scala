@@ -289,6 +289,70 @@ object StreamingQueries {
       Some("""SELECT o_orderpriority, count(*) AS n,
              |       round(sum(o_totalprice), 2) AS total
              |FROM orders
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    QueryDef(
+      "st07_stream_changes",
+      (s, d) => {
+        // The CDC feed as a STREAM: `<table>$changes` emits each
+        // commit's row-level changes per micro-batch (append →
+        // inserts; merge-on-read delete → deletes; position-delta
+        // update → delete+insert), bounded to one snapshot per trigger.
+        // The streamed ledger must replay to the same per-priority
+        // totals DuckDB computes from the raw operations.
+        if (s.conf.getOption("spark.sql.catalog.gsc").isEmpty) {
+          s.conf.set("spark.sql.catalog.gsc",
+            classOf[graft.spark.GraftCatalog].getName)
+          s.conf.set("spark.sql.catalog.gsc.warehouse",
+            java.nio.file.Files.createTempDirectory("graft-gsc").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gsc.ns1")
+        s.sql("DROP TABLE IF EXISTS gsc.ns1.ord_cdc")
+        s.sql("""CREATE TABLE gsc.ns1.ord_cdc (
+                   o_orderkey BIGINT, o_orderpriority STRING,
+                   o_totalprice DOUBLE)
+                 TBLPROPERTIES ('graft.update.mode' = 'merge-on-read',
+                                'graft.delete.mode' = 'merge-on-read')""")
+        s.sql(s"""INSERT INTO gsc.ns1.ord_cdc
+                  SELECT o_orderkey, o_orderpriority, o_totalprice
+                  FROM parquet.`$d/orders.parquet`""")
+        // equality predicate: translatable to a V2 filter, so the mor
+        // DELETE commits a predicate (a non-translatable one would fall
+        // back to copy-on-write, which the per-file feed refuses)
+        s.sql("DELETE FROM gsc.ns1.ord_cdc WHERE o_orderpriority = '1-URGENT'")
+        s.sql("""UPDATE gsc.ns1.ord_cdc SET o_totalprice = 0.0
+                 WHERE o_orderkey % 7 = 1""")
+        val sink = s"st07_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val checkpoint =
+          java.nio.file.Files.createTempDirectory("graft-st07").toString
+        val q = s.readStream
+          .option("max-snapshots-per-trigger", "1")
+          .table("gsc.ns1.`ord_cdc$changes`")
+          .writeStream
+          .format("memory").queryName(sink)
+          .option("checkpointLocation", checkpoint)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination(300000) finally q.stop()
+        // replay the ledger: inserts count +1, deletes −1; net rows
+        // and the net totals must equal the operations' direct result
+        s.table(sink)
+          .groupBy("o_orderpriority")
+          .agg(
+            sum(when(col("_change_type") === "insert", 1L).otherwise(-1L))
+              .as("n"),
+            round(sum(when(col("_change_type") === "insert",
+              col("o_totalprice")).otherwise(-col("o_totalprice"))), 2)
+              .as("total"))
+          // the fully-deleted priority nets to zero rows — not a group
+          // in the oracle's direct view
+          .where(col("n") > 0)
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |       round(sum(CASE WHEN o_orderkey % 7 = 1 THEN 0.0
+             |                      ELSE o_totalprice END), 2) AS total
+             |FROM orders WHERE o_orderpriority <> '1-URGENT'
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 

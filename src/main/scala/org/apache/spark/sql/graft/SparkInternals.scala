@@ -306,6 +306,81 @@ object SparkInternals {
         inputSchema, rixOrdinal, keepN)
   }
 
+  /** Change-capture read of one snapshot's DELETED rows over the
+    * PARENT's files: a row is emitted iff it (a) survived the parent's
+    * own residuals — `cond` (parent predicate keep AND optionally the
+    * new delete predicate) evaluates true and its row-index is in none
+    * of the parent's pending delete sets (`parentDelsFor`) — and (b) is
+    * actually deleted by THIS snapshot: when `newDelsFor` yields
+    * objects for the file, the row-index must be in their union
+    * (position-delta CDC); with no new objects the new predicate inside
+    * `cond` is the deletion test (predicate-delete CDC). Survivors
+    * project to the first `keepN` columns. Partitions are single-file;
+    * delete sets load where the file is read.
+    */
+  def cdcDeleteBatch(delegate: Batch,
+      cond: Expression,
+      parentDelsFor: String => Seq[String],
+      newDelsFor: String => Seq[String],
+      conf: SerializableConfiguration,
+      inputSchema: StructType,
+      rixOrdinal: Int,
+      keepN: Int,
+      requireNewDels: Boolean): Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val out = Array.newBuilder[InputPartition]
+      var i = 0
+      delegate.planInputPartitions().foreach {
+        case fp: FilePartition =>
+          fp.files.groupBy(_.filePath).values.foreach { splits =>
+            val single = FilePartition(i, splits)
+            val path = partitionFilePath(single)
+            val newDels = newDelsFor(path)
+            // position-delta CDC: a referenced-file list can overshoot
+            // (other groups' files); a file no new object names emits
+            // nothing — skip it at planning
+            if (!requireNewDels || newDels.nonEmpty) {
+              out += CdcPartition(single, path,
+                parentDelsFor(path).toArray, newDels.toArray)
+              i += 1
+            }
+          }
+        case other =>
+          throw new IllegalStateException(s"expected FilePartition, got $other")
+      }
+      out.result()
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new CdcDeleteReaderFactory(delegate.createReaderFactory(), cond, conf,
+        inputSchema, rixOrdinal, keepN)
+  }
+
+  /** Append constant columns (e.g. `_change_type`, the commit snapshot
+    * id) to every row of the delegate. Row-based.
+    */
+  def constantTaggedBatch(delegate: Batch, values: Seq[Any]): Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      delegate.planInputPartitions()
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val inner = delegate.createReaderFactory()
+      val tagVals = values.toArray
+      new PartitionReaderFactory {
+        override def supportColumnarReads(p: InputPartition): Boolean = false
+        override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+          val tag = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(tagVals)
+          val r = inner.createReader(p)
+          new PartitionReader[InternalRow] {
+            private val joined = new JoinedRow
+            override def next(): Boolean = r.next()
+            override def get(): InternalRow = joined(r.get(), tag)
+            override def close(): Unit = r.close()
+          }
+        }
+      }
+    }
+  }
+
   /** A parquet DSv2 scan builder whose file index is served ENTIRELY
     * from the snapshot's commit-time stats — no existence checks, no
     * listing, no per-file HEAD requests. `ParquetTable`'s own path
@@ -438,6 +513,74 @@ private class RowFilteredReaderFactory(
         while (inner.next()) {
           val r = inner.get()
           if (pred.eval(r)) { row = r; return true }
+        }
+        false
+      }
+      override def get(): InternalRow = proj(row)
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
+/** One file's partition in a change-capture delete read: the data file
+  * plus the PARENT's delete objects referencing it (rows already gone
+  * before the change) and the NEW snapshot's objects (the rows being
+  * deleted — what CDC emits).
+  */
+case class CdcPartition(inner: FilePartition, dataFile: String,
+    parentDels: Array[String], newDels: Array[String]) extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Emits exactly the rows [[SparkInternals.cdcDeleteBatch]] specifies. */
+private class CdcDeleteReaderFactory(
+    delegate: PartitionReaderFactory,
+    cond: Expression,
+    conf: SerializableConfiguration,
+    inputSchema: StructType,
+    rixOrdinal: Int,
+    keepN: Int) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[CdcPartition]
+    val inner = delegate.createReader(cp.inner)
+    val parentSet =
+      if (cp.parentDels.isEmpty) null
+      else graft.format.PosDeleteFiles.positionsFor(
+        cp.parentDels.toSeq, cp.dataFile, conf.value)
+    val newSet =
+      if (cp.newDels.isEmpty) null
+      else graft.format.PosDeleteFiles.positionsFor(
+        cp.newDels.toSeq, cp.dataFile, conf.value)
+    val attrs = inputSchema.fields.toIndexedSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+    // cond was authored against caller-side attributes (serialized by
+    // value) — rebind by NAME to this reader's attrs before binding by
+    // ordinal
+    val bound = cond.transform {
+      case a: AttributeReference => attrs.find(_.name == a.name).getOrElse(a)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        attrs.find(_.name == u.nameParts.last).getOrElse(
+          throw new IllegalArgumentException(
+            s"unknown column in change predicate: ${u.nameParts.mkString(".")}"))
+    }
+    val pred = org.apache.spark.sql.catalyst.expressions.Predicate
+      .create(bound, attrs)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(attrs.take(keepN), attrs)
+    new PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val r = inner.get()
+          val rix = r.getLong(rixOrdinal)
+          if (pred.eval(r) &&
+              (parentSet == null || !parentSet.contains(rix)) &&
+              (newSet == null || newSet.contains(rix))) {
+            row = r; return true
+          }
         }
         false
       }

@@ -1128,6 +1128,45 @@ object CatalogQueries {
       Some("""SELECT c_mktsegment AS seg, count(*) AS n,
              |       round(sum(c_acctbal + 1 + (c_custkey % 3)), 2) AS bal,
              |       true AS folded_many, 1 AS objects_after
-             |FROM customer GROUP BY c_mktsegment ORDER BY seg""".stripMargin))
+             |FROM customer GROUP BY c_mktsegment ORDER BY seg""".stripMargin)),
+
+    QueryDef(
+      "c37_partition_evolution",
+      (s, d) => {
+        // Partition-spec EVOLUTION: the table starts flat, evolves to
+        // identity(o_orderpriority) + bucket(4, o_custkey) — one
+        // metadata commit, zero data movement — and later slices land
+        // under the evolved layout while the first epoch's files stay
+        // put. The graded read spans both epochs with a filter that
+        // partition-prunes only the new one; values must equal DuckDB
+        // over the raw input (partitioning must never change WHAT a
+        // query returns, only what it reads).
+        ensureCatalog(s, "gcv")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcv.ns1")
+        s.sql("DROP TABLE IF EXISTS gcv.ns1.ord")
+        s.sql("""CREATE TABLE gcv.ns1.ord (
+                   o_orderkey BIGINT, o_custkey BIGINT,
+                   o_orderpriority STRING, o_totalprice DOUBLE)""")
+        s.sql(s"""INSERT INTO gcv.ns1.ord
+                  SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+                  FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 0""")
+        s.sql("ALTER TABLE gcv.ns1.ord ADD PARTITION FIELD o_orderpriority")
+        s.sql("ALTER TABLE gcv.ns1.ord ADD PARTITION FIELD bucket(4, o_custkey)")
+        s.sql(s"""INSERT INTO gcv.ns1.ord (o_orderkey, o_custkey,
+                                           o_orderpriority, o_totalprice)
+                  SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+                  FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 1""")
+        s.sql("""SELECT o_orderpriority AS prio, count(*) AS n,
+                        round(sum(o_totalprice), 2) AS total,
+                        count(DISTINCT o_custkey) AS n_cust
+                 FROM gcv.ns1.ord
+                 WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+                 GROUP BY o_orderpriority ORDER BY prio""")
+      },
+      Some("""SELECT o_orderpriority AS prio, count(*) AS n,
+             |       round(sum(o_totalprice), 2) AS total,
+             |       count(DISTINCT o_custkey) AS n_cust
+             |FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+             |GROUP BY o_orderpriority ORDER BY prio""".stripMargin))
   )
 }

@@ -572,6 +572,55 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     loadTable(ident)
   }
 
+  /** Partition-spec EVOLUTION: add or drop one partition field —
+    * metadata-only (one property commit, zero data movement). New
+    * writes lay out under the evolved spec; existing files keep their
+    * epoch's directory layout and scans read each epoch under its own
+    * spec (layouts are self-describing — [[PartitionField.dirName]] is
+    * arg-qualified). Compaction migrates everything to the current
+    * spec. The table SCHEMA never changes: identity sources are
+    * ordinary columns whether or not they currently drive layout.
+    */
+  private[graft] def evolvePartitionSpec(ident: Identifier, add: Boolean,
+      field: PartitionField): Unit = {
+    val ns = ns1(ident.namespace())
+    inTxn { txn =>
+      val td = Graft.describeTable(storage, txn, ns, ident.name())
+      val meta = TableMetadata.read(storage, td.metadataLocation)
+      val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+      // user-facing column name → physical (rename-safe, like the spec
+      // recorded at CREATE)
+      val physField = field.copy(col = schema.fields.find(_.name == field.col)
+        .map(ColumnMapping.physicalName)
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition source column ${field.col} not in table schema")))
+      if (!physField.isIdentity) // typing must be valid for the source
+        physField.dirType(ColumnMapping.toPhysical(schema)(physField.col).dataType)
+      val cur = GraftCatalog.specOf(td.properties)
+      val next =
+        if (add) {
+          require(!cur.exists(_.dirName == physField.dirName),
+            s"partition field already present: ${field.render}")
+          cur :+ physField
+        } else {
+          require(cur.exists(_.dirName == physField.dirName),
+            s"no such partition field: ${field.render}")
+          cur.filterNot(_.dirName == physField.dirName)
+        }
+      val identCols = next.filter(_.isIdentity).map(_.col)
+      val props = td.properties -
+        GraftCatalog.PartitionColsProp - GraftCatalog.PartitionSpecProp ++
+        (if (identCols.nonEmpty)
+          Map(GraftCatalog.PartitionColsProp -> identCols.mkString(","))
+        else Map.empty) ++
+        (if (next.exists(!_.isIdentity))
+          Map(GraftCatalog.PartitionSpecProp -> PartitionTransforms.render(next))
+        else Map.empty)
+      Graft.alterTable(storage, txn, td.copy(properties = props),
+        ActionType.AlterTable)
+    }
+  }
+
   override def dropTable(ident: Identifier): Boolean =
     try inTxn { txn =>
       Graft.dropTable(storage, txn, ns1(ident.namespace()), ident.name()); true

@@ -290,7 +290,8 @@ class GraftCowScan(
     // and rows are positional (rename-safe reads, ColumnMapping)
     val physRequired = ColumnMapping.toPhysicalRequired(dataRequired, table.schema)
 
-    def groupBatch(files: Seq[(String, DataFileEntry)],
+    def groupBatch(gSpec: Seq[PartitionField], gPartCols: Seq[String])(
+        files: Seq[(String, DataFileEntry)],
         readPhys: StructType): Batch = {
       val opts = {
         val baseDir = table.dataRootAbs
@@ -306,8 +307,7 @@ class GraftCowScan(
       // types them; never projected — readPhys excludes them)
       val inner = SparkInternals.parquetScanBuilder(spark,
         files.map { case (abs, f) => (abs, f.sizeBytes) },
-        PartitionTransforms.extendSchema(physSchema, table.partitionSpec),
-        table.partitionDirNames, opts)
+        PartitionTransforms.extendSchema(physSchema, gSpec), gPartCols, opts)
       inner match {
         case p: SupportsPushDownRequiredColumns => p.pruneColumns(readPhys)
         case _ => ()
@@ -320,15 +320,24 @@ class GraftCowScan(
     // apply at READ so the group rewrite can never resurrect
     // logically-deleted rows (UPDATE/MERGE rewrite whole files; without
     // the residual, deleted rows would ride along). Shared assembly
-    // with the table scan path: [[MorDeletes.morBatches]].
-    val posByNorm = MorDeletes.posIndex(kept, table.pendingPosDeletes)
-    val batches = MorDeletes.morBatches(spark, kept, table.pendingDeletes,
-      posByNorm, physSchema, physRequired, table.partitionDirNames, hasFile,
-      hasPos,
-      (es, readPhys) => new Scan {
-        override def readSchema(): StructType = readPhys
-        override def toBatch: Batch = groupBatch(es, readPhys)
-      })
+    // with the table scan path: [[MorDeletes.morBatches]]. Files group
+    // by their directory LAYOUT first (partition-spec evolution: each
+    // epoch reads under its own spec — and the rewrite then writes the
+    // CURRENT spec, so row-level ops migrate files forward).
+    val batches = kept
+      .groupBy(t => PartitionTransforms.layoutOf(t._1, table.dataRootAbs))
+      .toSeq.sortBy(_._1.mkString(","))
+      .flatMap { case (layout, gFiles) =>
+        val gSpec = PartitionTransforms.specForLayout(layout, physSchema)
+        val gPartCols = PartitionTransforms.dirNames(gSpec)
+        MorDeletes.morBatches(spark, gFiles, table.pendingDeletes,
+          MorDeletes.posIndex(gFiles, table.pendingPosDeletes), physSchema,
+          physRequired, gPartCols, hasFile, hasPos,
+          (es, readPhys) => new Scan {
+            override def readSchema(): StructType = readPhys
+            override def toBatch: Batch = groupBatch(gSpec, gPartCols)(es, readPhys)
+          })
+      }
     batches match {
       case Seq(one) => one
       case many => SparkInternals.concatBatches(many)

@@ -259,7 +259,8 @@ class GraftScanBuilder(
     val physRequired = ColumnMapping.toPhysicalRequired(dataRequired, schema)
     if (kept.isEmpty) return new EmptyScanBuilder(requiredSchema).build()
 
-    def delegateScan(scanKept: Seq[(String, DataFileEntry)],
+    def delegateScanFor(gSpec: Seq[PartitionField], gPartCols: Seq[String])(
+        scanKept: Seq[(String, DataFileEntry)],
         readPhys: StructType): Scan = {
       // basePath lets Spark's file index parse Hive-style col=value
       // directory levels back into (typed) partition columns — files
@@ -279,7 +280,7 @@ class GraftScanBuilder(
       // are never in requiredSchema, so they are pruned straight out.
       val inner = org.apache.spark.sql.graft.SparkInternals.parquetScanBuilder(
         spark, scanKept.map { case (abs, f) => (abs, f.sizeBytes) },
-        PartitionTransforms.extendSchema(physSchema, spec), partCols, opts)
+        PartitionTransforms.extendSchema(physSchema, gSpec), gPartCols, opts)
       inner match {
         case p: SupportsPushDownRequiredColumns => p.pruneColumns(readPhys)
         case _ => ()
@@ -292,11 +293,50 @@ class GraftScanBuilder(
       }
       inner.build()
     }
+    def delegateScan(scanKept: Seq[(String, DataFileEntry)],
+        readPhys: StructType): Scan =
+      delegateScanFor(spec, partCols)(scanKept, readPhys)
 
     val fileField = org.apache.spark.sql.types.StructField(
       GraftMetadataColumns.FileName, StringType, nullable = false)
     val posField = org.apache.spark.sql.types.StructField(
       GraftMetadataColumns.PosName, LongType, nullable = false)
+
+    // PARTITION-SPEC EVOLUTION: each epoch's files carry their own
+    // directory layout (the layout encodes the full spec — arg-
+    // qualified dir names). A uniform table (the overwhelmingly common
+    // case) keeps the single vectorized delegate below; a table read
+    // across epochs groups files by layout and reads each group under
+    // ITS epoch's spec — per-epoch derived-predicate pruning included.
+    // Mixed-epoch reads are row-based (concat); compaction rewrites
+    // everything to the current spec and restores the fast path.
+    val layouts = kept.groupBy(t => PartitionTransforms.layoutOf(t._1, baseDir))
+    if (layouts.keySet.exists(_ != partCols)) {
+      val batches = layouts.toSeq.sortBy(_._1.mkString(","))
+        .flatMap { case (layout, gFiles) =>
+          val gSpec = PartitionTransforms.specForLayout(layout, physSchema)
+          val gPartCols = PartitionTransforms.dirNames(gSpec)
+          // this epoch's own transform pruning (exact args from the
+          // layout) — the caller's statsKept only knew the current spec
+          val gDerived = PartitionTransforms.derivedPredicates(physFilters, gSpec)
+          val gExt = PartitionTransforms.extendSchema(physSchema, gSpec)
+          val gKept = gFiles.filter { case (_, f) =>
+            gDerived.forall(e => FilePruning.mayMatch(e, f, gExt)) }
+          if (gKept.isEmpty) Seq.empty
+          else MorDeletes.morBatches(spark, gKept, deletes,
+            MorDeletes.posIndex(gKept, posDeletes), physSchema, physRequired,
+            gPartCols, hasFile, hasPos,
+            delegateScanFor(gSpec, gPartCols))
+        }
+      val outSchema = StructType(dataRequired.fields ++
+        (if (hasPos) Seq(posField) else Nil) ++
+        (if (hasFile) Seq(fileField) else Nil))
+      if (batches.isEmpty) return new EmptyScanBuilder(outSchema).build()
+      return new MorScan(outSchema,
+        org.apache.spark.sql.graft.SparkInternals.concatBatches(batches),
+        ExactScanStats(kept.map(_._2.rowCount).sum,
+          kept.map(_._2.sizeBytes).sum))
+    }
 
     // merge-on-read residuals: files with pending delete predicates or
     // position deletes read through row-exact filters; untouched files

@@ -64,6 +64,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     ("""(?is)^\s*ALTER\s+VIEW\s+([\w.`]+)\s+UNSET\s+""" +
       """TBLPROPERTIES\s*(IF\s+EXISTS\s+)?\(\s*([^)]*?)\s*\)\s*;?\s*$""").r
 
+  // ALTER TABLE t ADD|DROP PARTITION FIELD <field> — partition-spec
+  // evolution (Iceberg-style DDL; vanilla Spark has no syntax for it)
+  private val alterPartitionFieldRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+(ADD|DROP)\s+""" +
+      """PARTITION\s+FIELD\s+(.+?)\s*;?\s*$""").r
+
   private val propRe = """'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'""".r
   private val propKeyRe = """'((?:[^']|'')*)'""".r
   private val colItemRe =
@@ -176,6 +182,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           DropGraftViewCommand(cat, ns, name, ifExists != null)
         case _ => delegate.parsePlan(sqlText)
       }
+    case alterPartitionFieldRe(ident, verb, field) =>
+      val parts = delegate.parseMultipartIdentifier(ident.replace("`", ""))
+      graftCatalogFor(parts) match {
+        case Some((cat, Seq(ns, name))) =>
+          EvolvePartitionSpecCommand(cat, ns, name,
+            add = verb.equalsIgnoreCase("ADD"),
+            EvolvePartitionSpecCommand.parseField(field))
+        case _ => delegate.parsePlan(sqlText)
+      }
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -212,6 +227,47 @@ case class TransactionCommand(verb: String) extends LeafRunnableCommand {
       case "ROLLBACK" => cat.rollbackTransaction()
     }
     Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ADD|DROP PARTITION FIELD <field>` — partition-spec
+  * evolution: one metadata commit, no data movement; scans serve every
+  * epoch's files under that epoch's layout.
+  */
+case class EvolvePartitionSpecCommand(catalogName: String, ns: String,
+    name: String, add: Boolean, field: PartitionField)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = session.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftCatalog]
+    cat.evolvePartitionSpec(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), name),
+      add, field)
+    cat.invalidateTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), name))
+    Seq.empty
+  }
+}
+
+object EvolvePartitionSpecCommand {
+  /** `days(ts)` / `bucket(8, k)` / `truncate(3, s)` / bare `col`
+    * (identity) / `identity(col)`; singular time kinds accepted.
+    */
+  def parseField(raw: String): PartitionField = {
+    val s = raw.trim.replace("`", "")
+    val normalized = s.toLowerCase(java.util.Locale.ROOT) match {
+      case t if t.matches("""\w+""") => s"identity($s)"
+      case _ => s
+        .replaceAll("(?i)^year\\(", "years(")
+        .replaceAll("(?i)^month\\(", "months(")
+        .replaceAll("(?i)^day\\(", "days(")
+        .replaceAll("(?i)^hour\\(", "hours(")
+    }
+    PartitionTransforms.parse(normalized) match {
+      case Seq(one) => one
+      case other => throw new IllegalArgumentException(
+        s"expected ONE partition field, got: $raw ($other)")
+    }
   }
 }
 

@@ -222,14 +222,28 @@ private[graft] object MorDeletes {
       exposePos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     val needPos = posDeleteAbs.nonEmpty || exposePos
-    def read(paths: Seq[String]): DataFrame = {
-      val r0 = spark.read.schema(physSchema)
-      val r = basePath.map(b => r0.option("basePath", b)).getOrElse(r0)
-      val df = r.parquet(paths: _*)
-      if (!needPos) df
-      else df.withColumn(GFile, normFilePathColumn)
-        .withColumn(GPos, col("_metadata.row_index"))
-    }
+    // partition-spec evolution: files of different epochs have
+    // different directory layouts — ONE read across them would trip
+    // Spark's partition discovery, so each layout reads separately and
+    // the unions are positional under the same physSchema
+    def read(paths: Seq[String]): DataFrame =
+      paths.groupBy(p => basePath
+          .map(PartitionTransforms.layoutOf(p, _)).getOrElse(Seq.empty))
+        .toSeq.sortBy(_._1.mkString(","))
+        .map { case (_, ps) =>
+          val r0 = spark.read.schema(physSchema)
+          val r = basePath.map(b => r0.option("basePath", b)).getOrElse(r0)
+          val raw = r.parquet(ps: _*)
+          val df =
+            if (!needPos) raw
+            else raw.withColumn(GFile, normFilePathColumn)
+              .withColumn(GPos, col("_metadata.row_index"))
+          // partition columns surface LAST per group regardless of the
+          // requested order — re-select by name so the cross-epoch
+          // union is positionally aligned
+          df.select((physSchema.fieldNames.toSeq ++
+            (if (needPos) Seq(GFile, GPos) else Nil)).map(col): _*)
+        }.reduce(_ unionAll _)
     if (entries.isEmpty) {
       val schema =
         if (!exposePos) physSchema

@@ -35,9 +35,17 @@ final case class PartitionField(kind: String, col: String, arg: Int = 0) {
 
   /** Hive directory column this field writes/reads. Identity uses the
     * (physical) column itself; derived transforms use a reserved
-    * `gp_` name that is never part of the table schema.
+    * `gp_` name that is never part of the table schema. The name is
+    * ARG-QUALIFIED (`gp_bucket8_k`, `gp_truncate3_name`) so a file's
+    * directory layout encodes its full transform — partition-spec
+    * EVOLUTION can reconstruct any epoch's spec from paths alone, and
+    * two epochs bucketing the same column differently never collide in
+    * per-file stats.
     */
-  def dirName: String = if (isIdentity) col else s"gp_${kind}_$col"
+  def dirName: String =
+    if (isIdentity) col
+    else if (arg != 0) s"gp_$kind${arg}_$col"
+    else s"gp_${kind}_$col"
 
   /** Value type of the derived directory column. */
   def dirType(srcType: DataType): DataType = kind match {
@@ -178,6 +186,45 @@ object PartitionTransforms {
     }
 
   def dirNames(spec: Seq[PartitionField]): Seq[String] = spec.map(_.dirName)
+
+  private val DirNameRe =
+    """gp_(bucket|truncate|years|months|days|hours)(\d*)_(.+)""".r
+
+  /** Reconstruct the partition field a directory-column name encodes
+    * (arg-qualified names carry the full transform); a plain schema
+    * column name is identity partitioning. None for foreign dirs.
+    */
+  def fieldForDirName(name: String, schema: StructType): Option[PartitionField] =
+    name match {
+      case DirNameRe(kind, arg, col) =>
+        Some(PartitionField(kind, col, if (arg.isEmpty) 0 else arg.toInt))
+      case _ if schema.fieldNames.contains(name) =>
+        Some(PartitionField(Identity, name))
+      case _ => None
+    }
+
+  /** A data file's directory LAYOUT: the Hive `col=value` segment
+    * names between the table data dir and the file, in order. Under
+    * partition-spec evolution each epoch's files carry their own
+    * layout — grouping a scan by layout is what lets one table serve
+    * files written under different specs. Files outside the data dir
+    * (metadata-only imports) are flat by contract.
+    */
+  def layoutOf(path: String, dataDir: String): Seq[String] = {
+    val base = if (dataDir.endsWith("/")) dataDir else dataDir + "/"
+    if (!path.startsWith(base)) return Seq.empty
+    path.drop(base.length).split('/').dropRight(1).toSeq
+      .filter(_.contains('='))
+      .map(s => s.take(s.indexOf('=')))
+  }
+
+  /** The spec one layout encodes, for reading that epoch's files
+    * (schema extension typing + per-epoch derived-predicate pruning —
+    * args reconstruct exactly, so bucket/truncate literals map
+    * correctly for every epoch).
+    */
+  def specForLayout(layout: Seq[String], schema: StructType): Seq[PartitionField] =
+    layout.flatMap(fieldForDirName(_, schema))
 
   def derivedFields(spec: Seq[PartitionField], schema: StructType): Seq[StructField] =
     spec.filterNot(_.isIdentity).map { f =>

@@ -1167,6 +1167,51 @@ object CatalogQueries {
              |       round(sum(o_totalprice), 2) AS total,
              |       count(DISTINCT o_custkey) AS n_cust
              |FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
-             |GROUP BY o_orderpriority ORDER BY prio""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY prio""".stripMargin)),
+
+    QueryDef(
+      "c38_merge_schema_evolution",
+      (s, d) => {
+        // MERGE … WITH SCHEMA EVOLUTION: the source carries a column
+        // the target lacks; Spark's analyzer (AUTOMATIC_SCHEMA_EVOLUTION
+        // capability) adds it through the catalog's metadata-only
+        // alterTable before planning — untouched rows read it as NULL,
+        // merged rows carry the source value.
+        ensureCatalog(s, "gce")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gce.ns1")
+        s.sql("DROP TABLE IF EXISTS gce.ns1.cust")
+        s.sql("""CREATE TABLE gce.ns1.cust (
+                   c_custkey BIGINT, c_mktsegment STRING)""")
+        s.sql(s"""INSERT INTO gce.ns1.cust
+                  SELECT c_custkey, c_mktsegment
+                  FROM parquet.`$d/customer.parquet`""")
+        s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO gce.ns1.cust t
+                  USING (
+                    SELECT c_custkey, c_mktsegment, c_acctbal
+                    FROM parquet.`$d/customer.parquet`
+                    WHERE c_custkey % 4 = 0
+                    UNION ALL
+                    SELECT c_custkey + 50000000, c_mktsegment, c_acctbal
+                    FROM parquet.`$d/customer.parquet`
+                    WHERE c_custkey % 9 = 0
+                  ) src
+                  ON t.c_custkey = src.c_custkey
+                  WHEN MATCHED THEN UPDATE SET *
+                  WHEN NOT MATCHED THEN INSERT *""")
+        s.sql("""SELECT c_mktsegment AS seg, count(*) AS n,
+                        count(c_acctbal) AS n_bal,
+                        round(sum(c_acctbal), 2) AS bal
+                 FROM gce.ns1.cust GROUP BY c_mktsegment ORDER BY seg""")
+      },
+      Some("""WITH merged AS (
+             |  SELECT c_custkey, c_mktsegment,
+             |         CASE WHEN c_custkey % 4 = 0 THEN c_acctbal END AS bal
+             |  FROM customer
+             |  UNION ALL
+             |  SELECT c_custkey + 50000000, c_mktsegment, c_acctbal
+             |  FROM customer WHERE c_custkey % 9 = 0)
+             |SELECT c_mktsegment AS seg, count(*) AS n,
+             |       count(bal) AS n_bal, round(sum(bal), 2) AS bal
+             |FROM merged GROUP BY c_mktsegment ORDER BY seg""".stripMargin))
   )
 }

@@ -62,7 +62,11 @@ class GraftTable(
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      // MERGE … WITH SCHEMA EVOLUTION: Spark's analyzer computes the
+      // source-minus-target delta and applies it through alterTable
+      // (metadata-only adds; old files read new columns as null)
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   // -------- accessors for the row-level-operation machinery --------
 

@@ -198,20 +198,41 @@ object Maintenance {
   }
 
   /** Drop all but the newest `keepLast` snapshots from the table's
-    * metadata. Data files referenced only by expired snapshots become
+    * metadata. With `olderThanMillis >= 0`, additionally RETAIN every
+    * snapshot at or after that timestamp (Iceberg's
+    * `older_than`/`retain_last` shape: age is the policy, keepLast the
+    * floor). Data files referenced only by expired snapshots become
     * orphans — removable by [[removeOrphanFiles]].
     */
-  def expireSnapshots(cat: GraftCatalog, ident: Identifier, keepLast: Int): Int = {
+  def expireSnapshots(cat: GraftCatalog, ident: Identifier, keepLast: Int,
+      olderThanMillis: Long = -1L): Int = {
     val storage = cat.storage
     val txn = Graft.beginTransaction(storage)
     val ns = ident.namespace()(0)
     val td = Graft.describeTable(storage, txn, ns, ident.name())
-    val meta = TableMetadata.read(storage, td.metadataLocation)
+    val meta0 = TableMetadata.read(storage, td.metadataLocation)
+    // commit timestamps are monotone with ids, so "at/after the
+    // cutoff" is a suffix — age-retention folds into a larger keepLast.
+    // Segment refs carry ts bounds: only a cutoff-straddling segment
+    // is opened to count.
+    val meta = meta0
+    val keepLastEff =
+      if (olderThanMillis < 0) keepLast
+      else {
+        val inlineN = meta.snapshots.count(_.timestampMillis >= olderThanMillis)
+        val logN = meta.snapshotLog.map { r =>
+          if (r.firstTs >= olderThanMillis) r.count
+          else if (r.lastTs < olderThanMillis) 0L
+          else graft.format.SnapshotLog.read(storage, r.key)
+            .count(_.timestampMillis >= olderThanMillis).toLong
+        }.sum
+        math.max(keepLast.toLong, inlineN + logN).min(Int.MaxValue).toInt
+      }
     // whole spilled log segments die without being opened when every
     // snapshot in them expires (ref bounds say so); only a segment the
     // cutoff splits gets read
-    val inlineKeep = meta.snapshots.sortBy(-_.id).take(keepLast)
-    val fromLog = math.max(keepLast - inlineKeep.size, 0)
+    val inlineKeep = meta.snapshots.sortBy(-_.id).take(keepLastEff)
+    val fromLog = math.max(keepLastEff - inlineKeep.size, 0)
     val (deadWhole, tailRefs) = {
       var need = fromLog
       val dead = Seq.newBuilder[graft.format.SnapshotLogRef]
@@ -430,6 +451,32 @@ object Maintenance {
         meta.copy(refs = meta.refs + (name -> sid))
     }
     tagged
+  }
+
+  /** Roll a table back to an earlier snapshot by COMMITTING a new
+    * snapshot that restores the target's inventory (and clears pending
+    * deletes — the target state IS the truth). History stays linear:
+    * the rolled-back-over snapshots remain readable by id/tag until
+    * expiration, nothing is deleted, and a second rollback can undo
+    * the first. The metadata-only operator mistake-eraser: fat-finger
+    * DELETE at 100 TB, one O(metadata) commit to recover.
+    */
+  def rollbackToSnapshot(cat: GraftCatalog, ident: Identifier,
+      snapshotId: Long): Long = {
+    val storage = cat.storage
+    val txn = Graft.beginTransaction(storage)
+    val ns = ident.namespace()(0)
+    val td = Graft.describeTable(storage, txn, ns, ident.name())
+    val meta = TableMetadata.read(storage, td.metadataLocation)
+    val target = meta.findSnapshot(storage, snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such snapshot to roll back to: $snapshotId (expired?)"))
+    // snapshots are immutable — the target inventory can't change under
+    // a commit race, so the OverwriteFiles edit replays safely
+    commitSnapshot(cat, txn, ns, ident.name(), "rollback",
+      graft.format.OverwriteFiles(
+        graft.format.Manifests.filesOf(storage, target)))
+    target.id
   }
 
   /** Remove a tag; the snapshot itself stays until expiration. */

@@ -1212,6 +1212,37 @@ object CatalogQueries {
              |  FROM customer WHERE c_custkey % 9 = 0)
              |SELECT c_mktsegment AS seg, count(*) AS n,
              |       count(bal) AS n_bal, round(sum(bal), 2) AS bal
-             |FROM merged GROUP BY c_mktsegment ORDER BY seg""".stripMargin))
+             |FROM merged GROUP BY c_mktsegment ORDER BY seg""".stripMargin)),
+
+    QueryDef(
+      "c39_default_values",
+      (s, d) => {
+        // Column DEFAULTs: INSERTs omitting the column get
+        // CURRENT_DEFAULT from the analyzer; ADD COLUMN … DEFAULT is
+        // metadata-only and rows written BEFORE the column read
+        // EXISTS_DEFAULT (parquet readers fill the missing field) —
+        // then SET DEFAULT changes future inserts without
+        // reinterpreting old rows.
+        ensureCatalog(s, "gcd")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcd.ns1")
+        s.sql("DROP TABLE IF EXISTS gcd.ns1.part")
+        s.sql("""CREATE TABLE gcd.ns1.part (
+                   p_partkey BIGINT, p_brand STRING,
+                   grade STRING DEFAULT 'standard')""")
+        s.sql(s"""INSERT INTO gcd.ns1.part (p_partkey, p_brand)
+                  SELECT p_partkey, p_brand FROM parquet.`$d/part.parquet`
+                  WHERE p_partkey % 2 = 0""")
+        s.sql("ALTER TABLE gcd.ns1.part ADD COLUMN units INT DEFAULT 10")
+        s.sql("ALTER TABLE gcd.ns1.part ALTER COLUMN grade SET DEFAULT 'express'")
+        s.sql(s"""INSERT INTO gcd.ns1.part (p_partkey, p_brand)
+                  SELECT p_partkey, p_brand FROM parquet.`$d/part.parquet`
+                  WHERE p_partkey % 2 = 1""")
+        s.sql("""SELECT grade, count(*) AS n, sum(units) AS total_units
+                 FROM gcd.ns1.part GROUP BY grade ORDER BY grade""")
+      },
+      Some("""SELECT CASE WHEN p_partkey % 2 = 0 THEN 'standard'
+             |            ELSE 'express' END AS grade,
+             |       count(*) AS n, 10 * count(*) AS total_units
+             |FROM part GROUP BY 1 ORDER BY grade""".stripMargin))
   )
 }

@@ -39,6 +39,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     with ProcedureCatalog with FunctionCatalog {
 
+  /** Column DEFAULT values: Spark encodes `DEFAULT <expr>` into field
+    * metadata (CURRENT_DEFAULT for future INSERTs — applied by the
+    * analyzer; EXISTS_DEFAULT for rows that predate the column —
+    * applied by the parquet readers to files missing the field), so a
+    * metadata-only ADD COLUMN with a default never rewrites data.
+    */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.Set.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   // ---------------- V2 functions ----------------
   //
   // Partition-transform functions resolve under the EMPTY namespace
@@ -403,12 +414,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     } finally txn.close() // table carries materialized meta; tree not needed
   }
 
+  /** The modern create API: converting to the legacy StructType
+    * variant must keep column COMMENTs and DEFAULTs — defaults encode
+    * into field metadata (CURRENT_DEFAULT for the analyzer's INSERT
+    * fill; EXISTS_DEFAULT for readers of files that predate the
+    * column) before delegating.
+    */
   override def createTable(ident: Identifier, columns: Array[V2Column],
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
-    val schema = StructType(columns.map { c =>
-      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())
-    })
-    createTable(ident, schema, partitions, properties)
+    val fields = columns.map { c =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      Option(c.metadataInJSON()).foreach(j =>
+        mb.withMetadata(org.apache.spark.sql.types.Metadata.fromJson(j)))
+      Option(c.comment()).foreach(mb.putString("comment", _))
+      Option(c.defaultValue()).foreach { d =>
+        mb.putString("CURRENT_DEFAULT", d.getSql)
+        mb.putString("EXISTS_DEFAULT", d.getSql)
+      }
+      StructField(c.name(), c.dataType(), c.nullable(), mb.build())
+    }
+    createTable(ident, StructType(fields), partitions, properties)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -479,14 +504,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
             :+ path.last).mkString(".")
           val dropped = props.get(GraftCatalog.DroppedFieldsProp)
             .map(_.split(',').toSet).getOrElse(Set.empty[String])
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          if (dropped.contains(physTarget))
+            mb.putString(ColumnMapping.PhysKey,
+              s"${path.last}_${UUID.randomUUID().toString.take(8)}")
+          // DEFAULT <expr>: CURRENT_DEFAULT governs future INSERTs
+          // (analyzer-applied), EXISTS_DEFAULT is what pre-existing
+          // rows read (parquet readers fill missing fields with it) —
+          // the add stays metadata-only
+          Option(add.defaultValue()).foreach { d =>
+            mb.putString("CURRENT_DEFAULT", d.getSql)
+            mb.putString("EXISTS_DEFAULT", d.getSql)
+          }
           val newField =
-            if (!dropped.contains(physTarget))
-              StructField(path.last, add.dataType(), add.isNullable)
-            else StructField(path.last, add.dataType(), add.isNullable,
-              new org.apache.spark.sql.types.MetadataBuilder()
-                .putString(ColumnMapping.PhysKey,
-                  s"${path.last}_${UUID.randomUUID().toString.take(8)}")
-                .build())
+            StructField(path.last, add.dataType(), add.isNullable, mb.build())
           schema = SchemaEvolution.updateAt(schema, path, {
             case None => Some(newField)
             case Some(_) => throw new IllegalArgumentException(
@@ -551,6 +582,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
             case Some(f) => Some(f.copy(nullable = true))
             case None => throw new IllegalArgumentException(
               s"no such column: ${un.fieldNames().mkString(".")}")
+          })
+        case ud: TableChange.UpdateColumnDefaultValue =>
+          // changes FUTURE inserts only: EXISTS_DEFAULT stays what it
+          // was when the column appeared, so already-written rows keep
+          // reading their original default
+          schema = SchemaEvolution.updateAt(schema, ud.fieldNames().toSeq, {
+            case Some(f) =>
+              val mb = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+              val sql = Option(ud.newCurrentDefault()).map(_.getSql)
+                .getOrElse(ud.newDefaultValue())
+              if (sql == null || sql.isEmpty) mb.remove("CURRENT_DEFAULT")
+              else mb.putString("CURRENT_DEFAULT", sql)
+              Some(f.copy(metadata = mb.build()))
+            case None => throw new IllegalArgumentException(
+              s"no such column: ${ud.fieldNames().mkString(".")}")
           })
         case uc: TableChange.UpdateColumnComment =>
           schema = SchemaEvolution.updateAt(schema, uc.fieldNames().toSeq, {

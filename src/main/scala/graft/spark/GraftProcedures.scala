@@ -44,6 +44,7 @@ object GraftProcedures {
       case "create_branch" => CreateBranch(cat)
       case "drop_branch" => DropBranch(cat)
       case "fast_forward" => FastForward(cat)
+      case "rollback_to_snapshot" => RollbackToSnapshot(cat)
       case other =>
         throw new IllegalArgumentException(s"no such procedure: $other")
     }
@@ -121,11 +122,14 @@ object GraftProcedures {
       extends GraftProcedure("expire_snapshots") {
     override def parameters(): Array[ProcedureParameter] = Array(
       in("namespace", StringType), in("table", StringType),
-      in("keep_last", IntegerType))
+      in("keep_last", IntegerType),
+      // epoch millis; -1 = no age policy (keep_last is then the rule,
+      // otherwise the floor under the age policy)
+      inDefault("older_than", LongType, "-1"))
     override def call(input: InternalRow): JIterator[Scan] = {
       val n = Maintenance.expireSnapshots(cat,
         Identifier.of(Array(input.getString(0)), input.getString(1)),
-        keepLast = input.getInt(2))
+        keepLast = input.getInt(2), olderThanMillis = input.getLong(3))
       result(
         StructType(Seq(StructField("expired_snapshots", IntegerType, false))),
         Seq(InternalRow(n)))
@@ -171,6 +175,21 @@ object GraftProcedures {
           StructField("restored_version", LongType, false))),
         Seq(InternalRow(root.version, target)))
       finally root.close()
+    }
+  }
+
+  private case class RollbackToSnapshot(cat: GraftCatalog)
+      extends GraftProcedure("rollback_to_snapshot") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("namespace", StringType), in("table", StringType),
+      in("snapshot_id", LongType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val restored = Maintenance.rollbackToSnapshot(cat,
+        Identifier.of(Array(input.getString(0)), input.getString(1)),
+        input.getLong(2))
+      result(
+        StructType(Seq(StructField("restored_snapshot_id", LongType, false))),
+        Seq(InternalRow(restored)))
     }
   }
 

@@ -79,6 +79,49 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.table("mcat.ns1.tg").count() == 7)
   }
 
+  test("rollback_to_snapshot restores an earlier state, history stays") {
+    spark.sql("CREATE TABLE mcat.ns1.rb (k BIGINT)")
+    spark.sql("INSERT INTO mcat.ns1.rb VALUES (1), (2)")
+    val ident = Identifier.of(Array("ns1"), "rb")
+    val goodSnap = {
+      val txn = graft.catalog.Graft.beginTransaction(cat.storage)
+      val td = graft.catalog.Graft.describeTable(cat.storage, txn, "ns1", "rb")
+      graft.format.TableMetadata.read(cat.storage, td.metadataLocation)
+        .currentSnapshotId
+    }
+    spark.sql("INSERT OVERWRITE mcat.ns1.rb VALUES (999)") // the mistake
+    assert(spark.table("mcat.ns1.rb").count() == 1)
+    val restored = Maintenance.rollbackToSnapshot(cat, ident, goodSnap)
+    assert(restored == goodSnap)
+    assert(spark.table("mcat.ns1.rb").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L)))
+    // linear history: the mistake snapshot is still there (id order),
+    // and a rollback of the rollback re-restores it
+    val mistakes = spark.sql(
+      "SELECT snapshot_id FROM mcat.ns1.`rb$snapshots` ORDER BY snapshot_id")
+      .collect().map(_.getLong(0))
+    assert(mistakes.length == 3,
+      s"append, overwrite, rollback: ${mistakes.toSeq}")
+    Maintenance.rollbackToSnapshot(cat, ident, mistakes(1))
+    assert(spark.table("mcat.ns1.rb").collect().map(_.getLong(0))
+      .sameElements(Array(999L)))
+  }
+
+  test("expire_snapshots older_than keeps everything newer than cutoff") {
+    spark.sql("CREATE TABLE mcat.ns1.ag (k BIGINT)")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO mcat.ns1.ag VALUES ($i)"))
+    val ident = Identifier.of(Array("ns1"), "ag")
+    // cutoff before every commit: nothing expires even with keep_last 1
+    val expired0 = Maintenance.expireSnapshots(cat, ident, keepLast = 1,
+      olderThanMillis = System.currentTimeMillis() - 3600_000L)
+    assert(expired0 == 0)
+    // cutoff after every commit: age policy expires down to the floor
+    val expired1 = Maintenance.expireSnapshots(cat, ident, keepLast = 2,
+      olderThanMillis = System.currentTimeMillis() + 1000L)
+    assert(expired1 == 1)
+    assert(spark.table("mcat.ns1.ag").count() == 3)
+  }
+
   test("metadata-only import of pre-existing parquet files") {
     // files written OUTSIDE the catalog's commit path
     val ext = "external/imported"

@@ -64,7 +64,12 @@ final case class Snapshot(
     // pending at this snapshot (see [[PosDeleteFile]]). A rewrite of
     // the covered data files prunes entries whose references are gone;
     // an overwrite clears the list.
-    posDeletes: Seq[PosDeleteFile] = Seq.empty) {
+    posDeletes: Seq[PosDeleteFile] = Seq.empty,
+    // streaming-upsert equality deletes still pending at this snapshot
+    // (see [[EqDeleteFile]]): each applies to data files with
+    // entry.seq < its seq. An overwrite or whole-table rewrite clears
+    // the list (the rewrite read applied them).
+    eqDeletes: Seq[EqDeleteFile] = Seq.empty) {
 
   def totalFiles: Long = if (fileCount >= 0) fileCount else files.size.toLong
   def totalRows: Long = if (fileCount >= 0) rowCount else files.map(_.rowCount).sum
@@ -96,6 +101,22 @@ final case class PosDeleteFile(
     rowCount: Long,
     sizeBytes: Long,
     dataFiles: Seq[String],
+    seq: Long = 0L)
+
+/** One equality-delete object (streaming upsert): a parquet object of
+  * the upsert batch's DISTINCT key tuples under the physical key
+  * column names in `cols`. Applies by SEQUENCE, strictly: rows of any
+  * data file with `entry.seq < seq` whose key tuple matches are
+  * logically deleted — the batch that carried the object never deletes
+  * its own rows, and files appended later are out of scope by
+  * construction. At 100 TB a streaming upsert epoch commits one
+  * small key object instead of joining against the table.
+  */
+final case class EqDeleteFile(
+    path: String,
+    rowCount: Long,
+    sizeBytes: Long,
+    cols: Seq[String],
     seq: Long = 0L)
 
 /** One manifest segment: a plain entry list (JSON object for format
@@ -149,6 +170,16 @@ final case class AddDeletePredicate(sql: String, atSeq: Long = -1L)
   */
 final case class AddRowDeltas(add: Seq[DataFileEntry],
     posDeletes: Seq[PosDeleteFile]) extends FilesEdit
+/** Streaming UPSERT epoch (merge-on-read): new data files join the
+  * inventory AND an equality-delete object of the batch's key tuples
+  * joins the pending list — rows with those keys in strictly-older
+  * files are logically replaced, nothing is rewritten. Unlike
+  * [[AddRowDeltas]] there is nothing to validate against the parent:
+  * equality deletes bind by sequence, so a concurrently-rewritten file
+  * simply leaves their scope (its rewrite already applied them).
+  */
+final case class AddUpsert(add: Seq[DataFileEntry],
+    eqDeletes: Seq[EqDeleteFile]) extends FilesEdit
 /** Delete-object maintenance (minor compaction): pending position-
   * delete objects in `remove` leave the list, coalesced replacements in
   * `add` join it — the data-file inventory is untouched. Logical table
@@ -244,6 +275,11 @@ final case class TableMetadata(
       case e: AddDeletePredicate => e
       case AddRowDeltas(add, dels) => AddRowDeltas(add.map(_.copy(seq = seq)),
         dels.map(_.copy(seq = seq)))
+      // data files and the key object share the commit's sequence —
+      // applicability is STRICT (entry.seq < delete.seq), so the
+      // epoch's own rows survive while all older matches die
+      case AddUpsert(add, eqs) => AddUpsert(add.map(_.copy(seq = seq)),
+        eqs.map(_.copy(seq = seq)))
       // rewritten delete objects keep their ORIGINAL sequence floor:
       // the coalesced object carries positions first committed at
       // earlier sequences, and nothing reads PosDeleteFile.seq for
@@ -292,11 +328,25 @@ final case class TableMetadata(
         parentPos.filterNot(p => rm(p.path)) ++ add
       case _ => parentPos
     }
+    val parentEq = parent.map(_.eqDeletes).getOrElse(Seq.empty)
+    val eqDeletes = stamped match {
+      case AddUpsert(_, eqs) => parentEq ++ eqs
+      case OverwriteFiles(_) => Seq.empty
+      case ReplaceFiles(rm, _) =>
+        // a WHOLE-table rewrite (compaction) read with the equality
+        // deletes applied and re-sequenced every row it kept — nothing
+        // is left in their scope. A partial rewrite keeps the list:
+        // untouched files still carry their original sequence.
+        if (parent.exists(p => rm.size.toLong >= p.totalFiles)) Seq.empty
+        else parentEq
+      case _ => parentEq
+    }
     val next = Manifests.applyEdit(storage, manifestDir, parent,
       stamped, inlineMax)
     val child = next.copy(id = id, parentId = baseId,
       timestampMillis = System.currentTimeMillis(), operation = op,
-      seq = seq, deletes = deletes, posDeletes = posDeletes)
+      seq = seq, deletes = deletes, posDeletes = posDeletes,
+      eqDeletes = eqDeletes)
     val updated = branch match {
       case Some(b) => copy(snapshots = snapshots :+ child,
         branches = branches + (b -> id))
@@ -373,6 +423,16 @@ object Manifests {
       case AddRowDeltas(add, _) =>
         // inventory-wise a row delta IS an append (the delete objects
         // live in the snapshot's pending list, not the inventory)
+        val (ac, ar, ab) = totals(add)
+        if (pManifests.isEmpty && pCount + ac <= inlineMax)
+          (pInline ++ add, Seq.empty[String], pCount + ac, pRows + ar, pBytes + ab)
+        else if (add.isEmpty)
+          (pInline, pManifests, pCount, pRows, pBytes)
+        else
+          (pInline, pManifests :+ write(storage, manifestDir, add),
+            pCount + ac, pRows + ar, pBytes + ab)
+      case AddUpsert(add, _) =>
+        // same shape: the upsert's key object rides the pending list
         val (ac, ar, ab) = totals(add)
         if (pManifests.isEmpty && pCount + ac <= inlineMax)
           (pInline ++ add, Seq.empty[String], pCount + ac, pRows + ar, pBytes + ab)

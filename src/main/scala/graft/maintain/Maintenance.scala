@@ -53,13 +53,15 @@ object Maintenance {
       meta.currentSnapshot.map(_.deletes).getOrElse(Seq.empty)
     val pendingPosDeletes =
       meta.currentSnapshot.map(_.posDeletes).getOrElse(Seq.empty)
+    val pendingEqDeletes =
+      meta.currentSnapshot.map(_.eqDeletes).getOrElse(Seq.empty)
     // a sorted rewrite is worth doing even at the target file count —
     // its point is range disjointness, not bin-packing; pending
     // merge-on-read deletes (predicates AND position deltas) also
     // force the rewrite (compaction is where they materialize and
     // clear)
     if (before <= targetFiles && sortCols.isEmpty && pendingDeletes.isEmpty &&
-        pendingPosDeletes.isEmpty)
+        pendingPosDeletes.isEmpty && pendingEqDeletes.isEmpty)
       return CompactionResult(before, before)
     // basePath + declared schema restore Hive-partition columns for
     // partitioned tables (their files don't carry those columns);
@@ -70,7 +72,8 @@ object Maintenance {
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val df = graft.spark.MorDeletes.readEntries(spark, schema, Some(dataRoot),
       current.map(f => (storage.absolute(f.path), f)), pendingDeletes,
-      pendingPosDeletes.map(p => storage.absolute(p.path)))
+      pendingPosDeletes.map(p => storage.absolute(p.path)),
+      eqDeletes = pendingEqDeletes.map(p => (storage.absolute(p.path), p)))
     val spec = graft.spark.GraftCatalog.specOf(td.properties)
     val identCols = spec.filter(_.isIdentity).map(_.col)
     // `sort_by => 'zorder(a,b,…)'` range-clusters on the interleaved
@@ -477,6 +480,52 @@ object Maintenance {
       graft.format.OverwriteFiles(
         graft.format.Manifests.filesOf(storage, target)))
     target.id
+  }
+
+  /** Cherry-pick ONE snapshot's delta onto the current main head — the
+    * write-audit-publish completion for a DIVERGED branch, where
+    * `fastForward` refuses: the audited commit applies without taking
+    * the rest of the branch. Additive snapshots only (append / import /
+    * streaming upsert): their delta is the added files (plus, for an
+    * upsert, its equality-delete object — re-sequenced on commit, so
+    * it replaces keys across ALL files now older than the pick, exactly
+    * upsert semantics). Rewrites (overwrite/delete/compact) don't
+    * cherry-pick — their delta is entangled with the inventory they
+    * observed.
+    */
+  def cherryPickSnapshot(cat: GraftCatalog, ident: Identifier,
+      snapshotId: Long): Long = {
+    val storage = cat.storage
+    val txn = Graft.beginTransaction(storage)
+    val ns = ident.namespace()(0)
+    val td = Graft.describeTable(storage, txn, ns, ident.name())
+    val meta = TableMetadata.read(storage, td.metadataLocation)
+    val target = meta.findSnapshot(storage, snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such snapshot to cherry-pick: $snapshotId (expired?)"))
+    val additive = Set("append", "import", "upsert")
+    require(additive(target.operation),
+      s"cherry-pick supports additive snapshots only (append/import/" +
+        s"upsert); snapshot $snapshotId is a ${target.operation}")
+    val parentFiles = meta.findSnapshot(storage, target.parentId)
+      .map(p => graft.format.Manifests.filesOf(storage, p).map(_.path).toSet)
+      .getOrElse(Set.empty[String])
+    val added = graft.format.Manifests.filesOf(storage, target)
+      .filterNot(f => parentFiles(f.path))
+    val present = meta.currentFiles(storage).map(_.path).toSet
+    val dup = added.map(_.path).filter(present)
+    require(dup.isEmpty,
+      "cherry-pick target's files are already in the current state " +
+        s"(picked twice, or already fast-forwarded?): ${dup.take(3).mkString(", ")}")
+    val parentEq = meta.findSnapshot(storage, target.parentId)
+      .map(_.eqDeletes.map(_.path).toSet).getOrElse(Set.empty[String])
+    val newEq = target.eqDeletes.filterNot(e => parentEq(e.path))
+    val edit =
+      if (newEq.isEmpty) graft.format.AppendFiles(added)
+      else graft.format.AddUpsert(added, newEq)
+    commitSnapshot(cat, txn, ns, ident.name(),
+      if (newEq.isEmpty) "cherrypick" else "upsert", edit)
+    snapshotId
   }
 
   /** Remove a tag; the snapshot itself stays until expiration. */

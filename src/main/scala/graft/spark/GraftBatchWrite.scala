@@ -63,6 +63,10 @@ class GraftAppendWrite(
   override def toBatch: BatchWrite =
     new GraftAppendBatchWrite(catalog, table, info, overwrite)
 
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new GraftStreamingWrite(catalog, table, info, overwrite)
+
   override def description(): String =
     s"GraftAppendWrite(${table.name()}, ${if (overwrite) "overwrite" else "append"})"
 }
@@ -85,6 +89,157 @@ private[spark] object GraftWriteSupport {
         f.expr(a, a.dataType)
       })
   }
+}
+
+/** Native micro-batch streaming sink. Two modes:
+  *
+  *  - **append** (default): each epoch's rows stage through the same
+  *    parquet BatchWrite as batch appends and commit as one snapshot —
+  *    the commit-per-trigger history `expire_snapshots` trims.
+  *  - **upsert** (`graft.write.upsert-keys` table property, or the
+  *    `upsert-keys` writeStream option): each epoch ALSO commits an
+  *    equality-delete object of the batch's distinct key tuples
+  *    ([[graft.format.EqDeleteFile]]) — rows with those keys in
+  *    strictly-older files are logically replaced. A CDC/keyed stream
+  *    materializes as "latest row per key" without rewriting a single
+  *    data file: at 100 TB an upsert epoch is O(batch), never O(table).
+  *
+  * Epoch idempotence: each commit records the epoch id in the table
+  * metadata properties under the write's query id; a replayed epoch
+  * (task retry after a committed-but-unacknowledged batch) commits
+  * nothing. `createStreamingWriterFactory` is called once per trigger
+  * (Spark wraps this write in a fresh MicroBatchWrite per batch), so
+  * per-epoch staging state lives between that call and `commit`.
+  */
+class GraftStreamingWrite(
+    catalog: GraftCatalog,
+    table: GraftTable,
+    info: LogicalWriteInfo,
+    overwrite: Boolean)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val spec = table.partitionSpec
+  private val partCols = PartitionTransforms.dirNames(spec)
+  private val dataDir =
+    FileLocations.tableDataDir(table.namespaceName, table.tableName)
+  private val storage: StorageOps = table.storageOps
+
+  /** LOGICAL upsert key columns (option wins over table property). */
+  private val upsertKeys: Seq[String] =
+    Option(info.options.get(GraftStreamingWrite.UpsertKeysOption))
+      .orElse(Option(table.properties()
+        .get(GraftCatalog.UpsertKeysProp)))
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+
+  // fail fast, driver-side, before any task runs
+  upsertKeys.foreach { k =>
+    val f = table.schema.fields.find(_.name == k).getOrElse(
+      throw new IllegalArgumentException(
+        s"upsert key column $k not in ${table.name()}'s schema"))
+    graft.format.EqDeleteFiles.requireSupported(k, f.dataType)
+  }
+
+  /** PHYSICAL names of the key columns (rename-safe, like data files). */
+  private val physKeys: Seq[String] = {
+    val renames = ColumnMapping.renames(table.schema)
+    upsertKeys.map(k => renames.getOrElse(k, k))
+  }
+
+  private case class EpochState(commitId: String, stagingRel: String,
+      delegate: BatchWrite)
+  @volatile private var current: EpochState = _
+
+  /** The parquet delegate runs Spark's file commit protocol, which
+    * coordinates task commits itself — double-asking the
+    * OutputCommitCoordinator denies the task's own commit.
+    */
+  override def useCommitCoordinator(): Boolean = false
+
+  override def createStreamingWriterFactory(pi: PhysicalWriteInfo)
+      : StreamingDataWriterFactory = {
+    val commitId = UUID.randomUUID().toString
+    val stagingRel =
+      if (partCols.isEmpty) s"$dataDir/$commitId"
+      else s"$dataDir/.staging-$commitId"
+    val physSchema =
+      ColumnMapping.toPhysicalRequired(info.schema(), table.schema)
+    val delegate = SparkInternals.parquetBatchWrite(
+      org.apache.spark.sql.SparkSession.active.asInstanceOf[ClassicSession],
+      PartitionTransforms.extendSchema(physSchema, spec), partCols,
+      storage.absolute(stagingRel), info.queryId())
+    current = EpochState(commitId, stagingRel, delegate)
+    val batchFactory = GraftWriteSupport.deriving(
+      delegate.createBatchWriterFactory(pi), physSchema, spec)
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+          : org.apache.spark.sql.connector.write.DataWriter[
+            org.apache.spark.sql.catalyst.InternalRow] =
+        batchFactory.createWriter(partitionId, taskId)
+    }
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val st = current
+    require(st != null, "streaming commit without a writer factory")
+    current = null
+    st.delegate.commit(messages)
+    val newFiles = GraftCatalog.finalizeCommitDir(
+      storage, table.namespaceName, table.tableName, st.commitId, partCols)
+    val eqDeletes =
+      if (upsertKeys.isEmpty || newFiles.isEmpty) Seq.empty
+      else Seq(writeEqDeleteObject(st.commitId, newFiles))
+    catalog.commitStreamEpoch(table.ident, newFiles, eqDeletes, overwrite,
+      epochKey = (info.queryId(), epochId))
+  }
+
+  /** One equality-delete object: the DISTINCT key tuples of the files
+    * this epoch just committed, written as plain parquet by a small
+    * Spark job over ONLY those files (a partitioned table reads them
+    * with `basePath` so partition-column keys resolve from the
+    * directory layout).
+    */
+  private def writeEqDeleteObject(
+      commitId: String,
+      newFiles: Seq[graft.format.DataFileEntry])
+      : graft.format.EqDeleteFile = {
+    import org.apache.spark.sql.functions.col
+    val spark = org.apache.spark.sql.SparkSession.active
+    val abs = newFiles.map(f => storage.absolute(f.path))
+    val r0 = spark.read
+    val r = if (partCols.isEmpty) r0
+      else r0.option("basePath", storage.absolute(dataDir))
+    val keys = r.parquet(abs: _*).select(physKeys.map(col): _*).distinct()
+    val stageRel = s"$dataDir/.eqstage-$commitId"
+    keys.coalesce(1).write.mode("overwrite")
+      .parquet(storage.absolute(stageRel))
+    val parts = storage.listDeep(stageRel).filter(_.endsWith(".parquet"))
+    require(parts.nonEmpty, "equality-delete write produced no file")
+    val target = s"$dataDir/$commitId-eqdelete.parquet"
+    storage.move(parts.head, target)
+    storage.deleteTree(stageRel)
+    val stats = graft.format.ParquetStats.read(storage.absolute(target))
+    graft.format.EqDeleteFile(target, stats.rowCount,
+      storage.sizeOf(target), physKeys)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val st = current
+    current = null
+    if (st != null) {
+      try st.delegate.abort(messages)
+      finally storage.deleteTree(st.stagingRel)
+    }
+  }
+}
+
+object GraftStreamingWrite {
+  /** writeStream option naming the upsert key columns. */
+  val UpsertKeysOption = "upsert-keys"
 }
 
 class GraftAppendBatchWrite(

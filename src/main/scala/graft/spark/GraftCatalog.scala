@@ -825,8 +825,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       .getOrElse(Seq.empty)
       .filter(_.dataFiles.exists(touchedPaths))
       .map(p => storage.absolute(p.path))
+    val pendingEq = meta.currentSnapshot.map(_.eqDeletes).getOrElse(Seq.empty)
+      .map(p => (storage.absolute(p.path), p))
     val physDf = MorDeletes.readEntries(spark, physSchema, basePath, tuples,
-      pendingDeletes, posDeleteAbs)
+      pendingDeletes, posDeleteAbs, eqDeletes = pendingEq)
     val logicalDf = renames.foldLeft(physDf) {
       case (df, (logical, physical)) => df.withColumnRenamed(physical, logical)
     }
@@ -911,6 +913,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     }
   }
 
+  /** Streaming micro-batch commit ([[GraftStreamingWrite]]): one epoch
+    * as one snapshot — an upsert epoch carries the equality-delete
+    * object alongside its data files. Idempotent per (queryId, epoch):
+    * the committed epoch id rides the metadata properties, and a
+    * replayed epoch (or a rebase replay of one that already won
+    * through a racing path) commits nothing.
+    */
+  private[spark] def commitStreamEpoch(ident: Identifier,
+      newFiles: Seq[graft.format.DataFileEntry],
+      eqDeletes: Seq[graft.format.EqDeleteFile],
+      overwrite: Boolean,
+      epochKey: (String, Long)): Unit = {
+    val ns = ns1(ident.namespace())
+    val (t, branch) = GraftCatalog.splitBranch(ident.name())
+    val edit =
+      if (eqDeletes.nonEmpty) graft.format.AddUpsert(newFiles, eqDeletes)
+      else if (overwrite) graft.format.OverwriteFiles(newFiles)
+      else graft.format.AppendFiles(newFiles)
+    val op = if (eqDeletes.nonEmpty) "upsert"
+      else if (overwrite) "overwrite" else "append"
+    inTxn { txn =>
+      applyFilesCommit(storage, txn.runningRoot, ns, t, op, edit, branch,
+        Some(epochKey))
+      txn.replays += ((s, r) => applyFilesCommit(s, r, ns, t, op, edit,
+        branch, Some(epochKey)))
+      val cd = Graft.catalogDef(storage, txn.runningRoot)
+      txn.record(Action(
+        if (eqDeletes.nonEmpty || overwrite) ActionType.TableUpdate
+        else ActionType.TableInsert,
+        ObjectKeys.tableKey(ns, t, cd),
+        Map("files" -> newFiles.map(_.path).mkString(","),
+          "epoch" -> s"${epochKey._1}:${epochKey._2}") ++
+          graft.format.StatsRanges.args(newFiles))
+      )
+    }
+  }
+
   /** Apply one table snapshot commit against a running root — re-reads
     * the table def FROM THAT ROOT so replays merge with whatever the
     * winner committed.
@@ -934,20 +973,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
 
   private def applyFilesCommit(s: StorageOps, root: TreeRoot, ns: String,
       t: String, op: String, edit: graft.format.FilesEdit,
-      branch: Option[String] = None): Unit = {
+      branch: Option[String] = None,
+      epochKey: Option[(String, Long)] = None): Unit = {
     val cd = Graft.catalogDef(s, root)
     val key = ObjectKeys.tableKey(ns, t, cd)
     val defPath = TreeOps.searchValue(s, root, key).getOrElse(
       throw new NoSuchTableException(Identifier.of(Array(ns), t)))
     val td = Json.read(s.read(defPath), classOf[TableDef])
     val meta = TableMetadata.read(s, td.metadataLocation)
+    // streaming epoch idempotence: a (queryId, epoch) at or below the
+    // recorded watermark already committed — replaying it would
+    // double-apply the batch
+    val alreadyCommitted = epochKey.exists { case (q, e) =>
+      meta.properties.get(GraftCatalog.streamEpochProp(q)).exists(_.toLong >= e)
+    }
+    if (alreadyCommitted) return
     val inlineMax = td.properties.get(graft.format.Manifests.InlineMaxProp)
       .map(_.toInt).getOrElse(graft.format.Manifests.InlineMaxDefault)
     val snapsInlineMax = td.properties.get(graft.format.SnapshotLog.InlineMaxProp)
       .map(_.toInt).getOrElse(graft.format.SnapshotLog.InlineMaxDefault)
-    val meta2 = meta.withSnapshotEdit(s,
+    val meta2a = meta.withSnapshotEdit(s,
       GraftCatalog.tableManifestDir(ns, t), op, edit, inlineMax, snapsInlineMax,
       branch)
+    val meta2 = epochKey match {
+      case Some((q, e)) => meta2a.copy(properties =
+        meta2a.properties + (GraftCatalog.streamEpochProp(q) -> e.toString))
+      case None => meta2a
+    }
     val metaPath = FileLocations.tableMetadataPath(ns, t)
     TableMetadata.write(s, metaPath, meta2)
     val td2 = td.copy(metadataLocation = metaPath,
@@ -1089,6 +1141,20 @@ object GraftCatalog {
     * fresh physical name so old file data cannot resurrect.
     */
   val DroppedFieldsProp = "graft.dropped-fields"
+
+  /** Metadata property recording the newest committed streaming epoch
+    * for one writeStream query (idempotent micro-batch commits).
+    */
+  def streamEpochProp(queryId: String): String =
+    s"graft.streaming.epoch.$queryId"
+
+  /** TableDef property: comma-separated LOGICAL key columns for
+    * streaming upserts — writeStream to the table commits each epoch
+    * as data files + an equality-delete object on these keys
+    * ([[GraftStreamingWrite]]). The `upsert-keys` writeStream option
+    * overrides per query.
+    */
+  val UpsertKeysProp = "graft.write.upsert-keys"
 
   /** TableDef property selecting DELETE strategy: `copy-on-write`
     * (default — rewrite touched files) or `merge-on-read` (commit the

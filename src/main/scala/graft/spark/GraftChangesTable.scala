@@ -117,6 +117,29 @@ private[spark] object GraftChanges {
       org.apache.spark.sql.catalyst.expressions
         .AttributeReference(f.name, f.dataType, f.nullable)())
 
+    // parent equality deletes (streaming upserts): a row the PARENT
+    // already replaced must never re-surface as this snapshot's delete
+    val parentEqList = parent.map(_.eqDeletes).getOrElse(Seq.empty)
+    def eqSpec(d: graft.format.EqDeleteFile): SparkInternals.EqDeleteSpec =
+      SparkInternals.EqDeleteSpec(storage.absolute(d.path), d.cols,
+        d.cols.map(c => physSchema.fieldIndex(c)).toArray,
+        d.cols.map(c => physSchema(c).dataType).toArray)
+    /** Sub-group `es` by applicable parent-eq set; build each group's
+      * batch (rows already projected to physSchema), anti-filtering
+      * parent-eq-deleted rows out.
+      */
+    def withParentEq(es: Seq[(String, DataFileEntry)])(
+        mk: Seq[(String, DataFileEntry)] => Batch): Seq[Batch] =
+      es.groupBy(e =>
+          MorDeletes.applicableEq(parentEqList, e._2.seq).map(_.path))
+        .toSeq.sortBy(_._1.length).map { case (pePaths, g) =>
+          val b = mk(g)
+          if (pePaths.isEmpty) b
+          else SparkInternals.eqDeleteFilteredBatch(b,
+            pePaths.map(pp => eqSpec(parentEqList.find(_.path == pp).get)),
+            conf, physSchema, physSchema.length)
+        }
+
     // merge-on-read predicate DELETE: new predicates vs the parent
     val parentPreds = parent.map(_.deletes).getOrElse(Seq.empty)
     val priorSet = parentPreds.toSet
@@ -124,7 +147,7 @@ private[spark] object GraftChanges {
       MorDeletes.groups(
         parentTuples.filter(t =>
           MorDeletes.applicable(Seq(pred), t._2.seq).nonEmpty),
-        parentPreds).filter(_._2.nonEmpty).map { case (priorApplicable, es) =>
+        parentPreds).filter(_._2.nonEmpty).flatMap { case (priorApplicable, esP) =>
         val attrs = attrsOf(rixSchema)
         val byName = attrs.map(a => a.name -> a).toMap
         val newPredExpr = org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
@@ -138,12 +161,14 @@ private[spark] object GraftChanges {
           if (priorApplicable.isEmpty) newPredExpr
           else org.apache.spark.sql.catalyst.expressions.And(
             MorDeletes.keepExpr(spark, priorApplicable, attrs), newPredExpr)
-        tag(SparkInternals.cdcDeleteBatch(
-          delegate(es, rixSchema), cond,
-          p => parentPosIdx.getOrElse(p, Seq.empty),
-          _ => Seq.empty, conf, rixSchema,
-          rixOrdinal = physSchema.length, keepN = physSchema.length,
-          requireNewDels = false), "delete")
+        withParentEq(esP) { es =>
+          SparkInternals.cdcDeleteBatch(
+            delegate(es, rixSchema), cond,
+            p => parentPosIdx.getOrElse(p, Seq.empty),
+            _ => Seq.empty, conf, rixSchema,
+            rixOrdinal = physSchema.length, keepN = physSchema.length,
+            requireNewDels = false)
+        }.map(tag(_, "delete"))
       }
     }
 
@@ -159,22 +184,52 @@ private[spark] object GraftChanges {
         val newIdx = MorDeletes.posIndex(refTuples,
           newPos.map(p => (storage.absolute(p.path), p)))
         MorDeletes.groups(refTuples, parentPreds)
-          .filter(_._2.nonEmpty).map { case (priorApplicable, es) =>
+          .filter(_._2.nonEmpty).flatMap { case (priorApplicable, esP) =>
             val attrs = attrsOf(rixSchema)
             val cond =
               if (priorApplicable.isEmpty)
                 org.apache.spark.sql.catalyst.expressions.Literal(true)
               else MorDeletes.keepExpr(spark, priorApplicable, attrs)
-            tag(SparkInternals.cdcDeleteBatch(
-              delegate(es, rixSchema), cond,
-              p => parentPosIdx.getOrElse(p, Seq.empty),
-              p => newIdx.getOrElse(p, Seq.empty), conf, rixSchema,
-              rixOrdinal = physSchema.length, keepN = physSchema.length,
-              requireNewDels = true), "delete")
+            withParentEq(esP) { es =>
+              SparkInternals.cdcDeleteBatch(
+                delegate(es, rixSchema), cond,
+                p => parentPosIdx.getOrElse(p, Seq.empty),
+                p => newIdx.getOrElse(p, Seq.empty), conf, rixSchema,
+                rixOrdinal = physSchema.length, keepN = physSchema.length,
+                requireNewDels = true)
+            }.map(tag(_, "delete"))
           }
       }
 
-    inserts ++ predDeletes ++ posDeletes
+    // streaming upserts: rows of strictly-older files whose key tuple
+    // is in a NEW equality-delete object are this snapshot's deletes —
+    // parent survivors (parent predicates, position AND equality
+    // residuals applied) semi-filtered by the new object's key set
+    val priorEqPaths = parentEqList.map(_.path).toSet
+    val eqDeletes = s.eqDeletes.filterNot(p => priorEqPaths(p.path))
+      .flatMap { d =>
+        val reach = parentTuples.filter(_._2.seq < d.seq)
+        MorDeletes.groups(reach, parentPreds)
+          .filter(_._2.nonEmpty).flatMap { case (priorApplicable, esP) =>
+            val attrs = attrsOf(rixSchema)
+            val cond =
+              if (priorApplicable.isEmpty)
+                org.apache.spark.sql.catalyst.expressions.Literal(true)
+              else MorDeletes.keepExpr(spark, priorApplicable, attrs)
+            withParentEq(esP) { es =>
+              SparkInternals.cdcDeleteBatch(
+                delegate(es, rixSchema), cond,
+                p => parentPosIdx.getOrElse(p, Seq.empty),
+                _ => Seq.empty, conf, rixSchema,
+                rixOrdinal = physSchema.length, keepN = physSchema.length,
+                requireNewDels = false)
+            }.map(b => tag(SparkInternals.eqDeleteFilteredBatch(b,
+              Seq(eqSpec(d)), conf, physSchema, physSchema.length,
+              keepMatches = true), "delete"))
+          }
+      }
+
+    inserts ++ predDeletes ++ posDeletes ++ eqDeletes
   }
 
   /** Concatenated, tagged change batches for `(startId, endId]`. */

@@ -45,6 +45,7 @@ object GraftProcedures {
       case "drop_branch" => DropBranch(cat)
       case "fast_forward" => FastForward(cat)
       case "rollback_to_snapshot" => RollbackToSnapshot(cat)
+      case "cherrypick_snapshot" => CherryPickSnapshot(cat)
       case other =>
         throw new IllegalArgumentException(s"no such procedure: $other")
     }
@@ -190,6 +191,21 @@ object GraftProcedures {
       result(
         StructType(Seq(StructField("restored_snapshot_id", LongType, false))),
         Seq(InternalRow(restored)))
+    }
+  }
+
+  private case class CherryPickSnapshot(cat: GraftCatalog)
+      extends GraftProcedure("cherrypick_snapshot") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("namespace", StringType), in("table", StringType),
+      in("snapshot_id", LongType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val picked = Maintenance.cherryPickSnapshot(cat,
+        Identifier.of(Array(input.getString(0)), input.getString(1)),
+        input.getLong(2))
+      result(
+        StructType(Seq(StructField("picked_snapshot_id", LongType, false))),
+        Seq(InternalRow(picked)))
     }
   }
 

@@ -324,19 +324,28 @@ class GraftCowScan(
     // by their directory LAYOUT first (partition-spec evolution: each
     // epoch reads under its own spec — and the rewrite then writes the
     // CURRENT spec, so row-level ops migrate files forward).
-    val batches = kept
+    // group skeleton derives from the FULL candidate set (kept0):
+    // Spark may build the reader factory BEFORE runtime group
+    // filtering narrows `kept` and pair it with partitions planned
+    // AFTER — a stable group list keeps that pairing correct
+    // (narrowed-away groups hold their slot as empty batches).
+    val keptNow = kept.map(_._1).toSet
+    val batches = kept0
       .groupBy(t => PartitionTransforms.layoutOf(t._1, table.dataRootAbs))
       .toSeq.sortBy(_._1.mkString(","))
-      .flatMap { case (layout, gFiles) =>
+      .flatMap { case (layout, gAll) =>
         val gSpec = PartitionTransforms.specForLayout(layout, physSchema)
         val gPartCols = PartitionTransforms.dirNames(gSpec)
-        MorDeletes.morBatches(spark, gFiles, table.pendingDeletes,
-          MorDeletes.posIndex(gFiles, table.pendingPosDeletes), physSchema,
+        MorDeletes.morBatches(spark, gAll.filter(t => keptNow(t._1)),
+          table.pendingDeletes,
+          MorDeletes.posIndex(gAll, table.pendingPosDeletes),
+          table.pendingEqDeletes, physSchema,
           physRequired, gPartCols, hasFile, hasPos,
           (es, readPhys) => new Scan {
             override def readSchema(): StructType = readPhys
             override def toBatch: Batch = groupBatch(gSpec, gPartCols)(es, readPhys)
-          })
+          },
+          structureFrom = Some(gAll))
       }
     batches match {
       case Seq(one) => one
@@ -344,11 +353,23 @@ class GraftCowScan(
     }
   }
 
+  // the partitions and the reader factory MUST come from the same
+  // build: runtime group filtering can land between the two calls, and
+  // a rebuild may change the GROUP structure (delete-epoch batches), so
+  // pairing a fresh factory with stale partitions would dispatch rows
+  // to the wrong group reader. planInputPartitions pins the build it
+  // planned; createReaderFactory reuses it.
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      delegateBatch().planInputPartitions()
-    override def createReaderFactory(): PartitionReaderFactory =
-      delegateBatch().createReaderFactory()
+    @volatile private var resolved: Batch = _
+    override def planInputPartitions(): Array[InputPartition] = {
+      val b = delegateBatch()
+      resolved = b
+      b.planInputPartitions()
+    }
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val b = resolved
+      (if (b != null) b else delegateBatch()).createReaderFactory()
+    }
   }
 
   override def description(): String =

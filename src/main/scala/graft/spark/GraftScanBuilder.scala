@@ -36,7 +36,8 @@ class GraftScanBuilder(
     spec: Seq[PartitionField] = Seq.empty,
     streamCtx: Option[GraftStreamCtx] = None,
     deletes: Seq[graft.format.DeletePredicate] = Seq.empty,
-    posDeletes: Seq[(String, graft.format.PosDeleteFile)] = Seq.empty)
+    posDeletes: Seq[(String, graft.format.PosDeleteFile)] = Seq.empty,
+    eqDeletes: Seq[(String, graft.format.EqDeleteFile)] = Seq.empty)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
@@ -84,7 +85,8 @@ class GraftScanBuilder(
 
   private def statsPushable: Boolean =
     dataFilters.isEmpty && !MorDeletes.pending(deletes, files.map(_._2)) &&
-      posDeletes.isEmpty && files.forall(_._2.rowCount >= 0)
+      posDeletes.isEmpty && eqDeletes.isEmpty &&
+      files.forall(_._2.rowCount >= 0)
 
   override def isPartiallyPushed(): Boolean = true
 
@@ -171,8 +173,8 @@ class GraftScanBuilder(
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (dataFilters.nonEmpty || agg.groupByExpressions.nonEmpty) return None
     if (MorDeletes.pending(deletes, files.map(_._2))) return None
-    // position deletes make the commit-time counts an overcount
-    if (posDeletes.nonEmpty) return None
+    // position/equality deletes make the commit-time counts an overcount
+    if (posDeletes.nonEmpty || eqDeletes.nonEmpty) return None
     val renames = ColumnMapping.renames(schema)
     val entries = files.map(_._2)
 
@@ -324,7 +326,8 @@ class GraftScanBuilder(
             gDerived.forall(e => FilePruning.mayMatch(e, f, gExt)) }
           if (gKept.isEmpty) Seq.empty
           else MorDeletes.morBatches(spark, gKept, deletes,
-            MorDeletes.posIndex(gKept, posDeletes), physSchema, physRequired,
+            MorDeletes.posIndex(gKept, posDeletes), eqDeletes,
+            physSchema, physRequired,
             gPartCols, hasFile, hasPos,
             delegateScanFor(gSpec, gPartCols))
         }
@@ -344,10 +347,13 @@ class GraftScanBuilder(
     // vectorized path. `_pos` also routes here — it rides the same
     // row-index plumbing.
     val posByNorm = MorDeletes.posIndex(kept, posDeletes)
+    val eqPending = kept.exists(e =>
+      MorDeletes.applicableEq(eqDeletes.map(_._2), e._2.seq).nonEmpty)
     if (MorDeletes.pending(deletes, kept.map(_._2)) || posByNorm.nonEmpty ||
-        hasPos) {
+        eqPending || hasPos) {
       val batches = MorDeletes.morBatches(spark, kept, deletes, posByNorm,
-        physSchema, physRequired, partCols, hasFile, hasPos, delegateScan)
+        eqDeletes, physSchema, physRequired, partCols, hasFile, hasPos,
+        delegateScan)
       val outSchema = StructType(dataRequired.fields ++
         (if (hasPos) Seq(posField) else Nil) ++
         (if (hasFile) Seq(fileField) else Nil))
@@ -419,6 +425,7 @@ class GraftScanBuilder(
       // functions ([[GraftFunctionCatalog]]) — co-bucketed joins then
       // plan shuffle-free, the join-layout story at 100 TB.
       if (spec.nonEmpty && !hasFile && !hasPos && posDeletes.isEmpty &&
+          eqDeletes.isEmpty &&
           !MorDeletes.pending(deletes, files.map(_._2)) &&
           spark.sessionState.conf.v2BucketingEnabled &&
           spec.forall(f => dataRequired.fieldNames.contains(f.col)))

@@ -61,7 +61,7 @@ class GraftTable(
 
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       // MERGE … WITH SCHEMA EVOLUTION: Spark's analyzer computes the
       // source-minus-target delta and applies it through alterTable
@@ -109,6 +109,14 @@ class GraftTable(
   private[spark] def pendingPosDeletes
       : Seq[(String, graft.format.PosDeleteFile)] =
     meta.currentSnapshot.map(_.posDeletes).getOrElse(Seq.empty)
+      .map(p => (storage.absolute(p.path), p))
+
+  /** Equality-delete objects (streaming upserts) pending at this
+    * table's pinned snapshot, absolutized for the scan.
+    */
+  private[spark] def pendingEqDeletes
+      : Seq[(String, graft.format.EqDeleteFile)] =
+    meta.currentSnapshot.map(_.eqDeletes).getOrElse(Seq.empty)
       .map(p => (storage.absolute(p.path), p))
 
   /** Incremental read: the files appended in `(start, end]` — the
@@ -204,7 +212,8 @@ class GraftTable(
       spec = partitionSpec,
       streamCtx = Some(streamCtx),
       deletes = pendingDeletes,
-      posDeletes = pendingPosDeletes)
+      posDeletes = pendingPosDeletes,
+      eqDeletes = pendingEqDeletes)
   }
 
   // ---------------- delete (SQL `DELETE FROM`) ----------------
@@ -264,8 +273,10 @@ object GraftTable {
   /** Streaming read option: cap each micro-batch at N snapshots. */
   val MaxSnapshotsPerTriggerOption = "max-snapshots-per-trigger"
 
-  /** Snapshot operations whose file delta IS a row delta. */
-  val AdditiveOps: Set[String] = Set("append", "import")
+  /** Snapshot operations whose file delta IS a row delta. (An upsert
+    * is NOT additive: its file delta omits the logical deletes.)
+    */
+  val AdditiveOps: Set[String] = Set("append", "import", "cherrypick")
 
   /** Commits with more fresh files than this fan footer reads out as a
     * Spark job; below it, driver-side reads skip the job overhead.

@@ -19,13 +19,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MetadataTables {
   val Suffixes: Seq[String] =
-    Seq("$snapshots", "$files", "$partitions", "$manifests", "$refs",
+    Seq("$snapshots", "$history", "$files", "$partitions", "$manifests", "$refs",
       "$deletes")
 
   def forSuffix(baseName: String, suffix: String, meta: TableMetadata,
       partCols: Seq[String], storage: graft.storage.StorageOps): Table =
     suffix match {
       case "$snapshots" => new SnapshotsTable(baseName, meta, storage)
+      case "$history" => new HistoryTable(baseName, meta, storage)
       case "$files" => new FilesTable(baseName, meta, storage)
       case "$partitions" => new PartitionsTable(baseName, meta, partCols, storage)
       case "$manifests" => new ManifestsTable(baseName, meta, storage)
@@ -87,6 +88,35 @@ private class SnapshotsTable(baseName: String, meta: TableMetadata,
     InternalRow(s.id, if (s.parentId >= 0) Long.box(s.parentId) else null,
       s.timestampMillis, UTF8String.fromString(s.operation), s.totalFiles.toInt,
       s.id == meta.currentSnapshotId)
+  }
+}
+
+/** `<table>$history` — the main lineage: when each snapshot became
+  * current and whether it is an ancestor of the CURRENT state. A
+  * rollback makes the rolled-over snapshots non-ancestors (their rows
+  * stay — the history is linear and append-only); branch-only commits
+  * are non-ancestors until fast-forwarded.
+  */
+private class HistoryTable(baseName: String, meta: TableMetadata,
+    storage: graft.storage.StorageOps)
+    extends LocalMetadataTable(s"$baseName$$history") {
+  override def schema(): StructType = StructType(Seq(
+    StructField("made_current_at_millis", LongType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("parent_id", LongType, nullable = true),
+    StructField("is_current_ancestor", BooleanType, nullable = false)))
+
+  override def rows: Seq[InternalRow] = {
+    val all = meta.allSnapshots(storage)
+    val byId = all.map(s => s.id -> s).toMap
+    val ancestors = Iterator.iterate(meta.currentSnapshotId)(id =>
+        byId.get(id).map(_.parentId).getOrElse(-1L))
+      .takeWhile(_ >= 0).toSet
+    all.map { s =>
+      InternalRow(s.timestampMillis, s.id,
+        if (s.parentId >= 0) Long.box(s.parentId) else null,
+        ancestors.contains(s.id))
+    }
   }
 }
 
@@ -175,7 +205,13 @@ private class DeletesTable(baseName: String, meta: TableMetadata)
         s.posDeletes.map(p =>
           InternalRow(UTF8String.fromString("position"),
             UTF8String.fromString(p.path), p.seq, p.rowCount,
-            p.dataFiles.size.toLong))
+            p.dataFiles.size.toLong)) ++
+        // streaming-upsert equality deletes: detail = object path with
+        // its key columns; applies to every file with seq < this seq
+        s.eqDeletes.map(p =>
+          InternalRow(UTF8String.fromString("equality"),
+            UTF8String.fromString(s"${p.path} (${p.cols.mkString(",")})"),
+            p.seq, p.rowCount, -1L))
     }
 }
 

@@ -1,6 +1,6 @@
 package graft.spark
 
-import graft.format.{DataFileEntry, DeletePredicate}
+import graft.format.{DataFileEntry, DeletePredicate, EqDeleteFile}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Coalesce, Expression, Literal, Not}
@@ -26,6 +26,13 @@ private[graft] object MorDeletes {
   def applicable(deletes: Seq[DeletePredicate], fileSeq: Long)
       : Seq[DeletePredicate] =
     deletes.filter(_.seq >= fileSeq)
+
+  /** Equality deletes that apply to a file added at `fileSeq` —
+    * STRICTLY newer only (an upsert epoch never deletes its own rows).
+    */
+  def applicableEq(eqDeletes: Seq[EqDeleteFile], fileSeq: Long)
+      : Seq[EqDeleteFile] =
+    eqDeletes.filter(_.seq > fileSeq)
 
   /** Does any pending predicate bite any of these files? */
   def pending(deletes: Seq[DeletePredicate],
@@ -97,6 +104,7 @@ private[graft] object MorDeletes {
       kept: Seq[(String, DataFileEntry)],
       deletes: Seq[DeletePredicate],
       posByNorm: Map[String, Seq[String]],
+      eqDeletes: Seq[(String, EqDeleteFile)],
       physSchema: org.apache.spark.sql.types.StructType,
       physRequired: org.apache.spark.sql.types.StructType,
       partCols: Seq[String],
@@ -104,12 +112,20 @@ private[graft] object MorDeletes {
       hasPos: Boolean,
       delegateScan: (Seq[(String, DataFileEntry)],
         org.apache.spark.sql.types.StructType) =>
-        org.apache.spark.sql.connector.read.Scan)
+        org.apache.spark.sql.connector.read.Scan,
+      // group SKELETON source: when runtime filtering can narrow
+      // `kept` between builds, pass the FULL candidate set here so
+      // every build yields the same group list (narrowed-away groups
+      // become empty placeholder batches) — a reader factory built
+      // from one build then dispatches partitions of another correctly
+      structureFrom: Option[Seq[(String, DataFileEntry)]] = None)
       : Seq[org.apache.spark.sql.connector.read.Batch] = {
     import org.apache.spark.sql.graft.SparkInternals
     import org.apache.spark.sql.types.StructType
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
+    val structural = structureFrom.getOrElse(kept)
+    val keptAbs = kept.map(_._1).toSet
     val fileTagOrdinal = physRequired.length + (if (hasPos) 1 else 0)
     // the delegated parquet scan returns requested data fields in
     // request order but Hive-partition fields LAST (in spec order);
@@ -125,42 +141,88 @@ private[graft] object MorDeletes {
       val nat = naturalOf(req)
       if (nat == req) b else SparkInternals.reorderedBatch(b, nat, req)
     }
-    groups(kept, deletes).filter(_._2.nonEmpty).flatMap { case (preds, esAll) =>
-      val (covered, uncovered) = esAll.partition(e =>
-        posByNorm.contains(GraftMetadataColumns.norm(e._1)))
-      Seq((covered, true), (uncovered, false))
-        .filter(_._1.nonEmpty).map { case (es, cov) =>
-          val needRix = hasPos || cov
-          val dataPhys =
-            if (needRix) StructType(physRequired.fields :+
-              SparkInternals.rowIndexField)
-            else physRequired
-          val base =
-            if (preds.isEmpty) delegateBatch(es, dataPhys)
-            else {
-              // predicate columns the projection pruned must still be
-              // READ (then dropped after filtering)
-              val extra = referencedColumns(spark, preds)
+    // files group by (predicate epoch × applicable equality-delete
+    // set) — group count is bounded by distinct delete epochs, never
+    // by file count; the no-delete group keeps the plain columnar read.
+    // Grouping runs over `structural` so the group LIST is identical
+    // across rebuilds; each group then reads only its currently-kept
+    // files (empty after narrowing → placeholder with no partitions).
+    def buildGroup(es: Seq[(String, DataFileEntry)], cov: Boolean,
+        preds: Seq[DeletePredicate],
+        eqs: Seq[(String, EqDeleteFile)])
+        : org.apache.spark.sql.connector.read.Batch = {
+              val needRix = hasPos || cov
+              val dataPhys =
+                if (needRix) StructType(physRequired.fields :+
+                  SparkInternals.rowIndexField)
+                else physRequired
+              // equality-key columns the projection pruned must still
+              // be read (dropped again right after the eq filter); rix
+              // stays inside dataPhys so the position stage's ordinal
+              // is unaffected
+              val eqExtra = eqs.flatMap(_._2.cols).distinct
                 .filterNot(dataPhys.fieldNames.contains)
                 .filter(physSchema.fieldNames.contains)
-              val readPhys = StructType(
-                dataPhys.fields ++ extra.map(physSchema(_)))
-              SparkInternals.filteredProjectedBatch(
-                delegateBatch(es, readPhys),
-                keepExpr(spark, preds,
-                  readPhys.fields.toIndexedSeq.map(f =>
-                    org.apache.spark.sql.catalyst.expressions
-                      .AttributeReference(f.name, f.dataType, f.nullable)())),
-                readPhys, dataPhys.length)
+              val dataEq = StructType(
+                dataPhys.fields ++ eqExtra.map(physSchema(_)))
+              val base =
+                if (preds.isEmpty) delegateBatch(es, dataEq)
+                else {
+                  // predicate columns the projection pruned must still be
+                  // READ (then dropped after filtering)
+                  val extra = referencedColumns(spark, preds)
+                    .filterNot(dataEq.fieldNames.contains)
+                    .filter(physSchema.fieldNames.contains)
+                  val readPhys = StructType(
+                    dataEq.fields ++ extra.map(physSchema(_)))
+                  SparkInternals.filteredProjectedBatch(
+                    delegateBatch(es, readPhys),
+                    keepExpr(spark, preds,
+                      readPhys.fields.toIndexedSeq.map(f =>
+                        org.apache.spark.sql.catalyst.expressions
+                          .AttributeReference(f.name, f.dataType, f.nullable)())),
+                    readPhys, dataEq.length)
+                }
+              val eqed =
+                if (eqs.isEmpty) base
+                else SparkInternals.eqDeleteFilteredBatch(base,
+                  eqs.map { case (abs, d) =>
+                    val ords = d.cols.map(c => dataEq.fieldIndex(c)).toArray
+                    val types = d.cols.map(c => dataEq(c).dataType).toArray
+                    SparkInternals.EqDeleteSpec(abs, d.cols, ords, types)
+                  }, conf, dataEq, dataPhys.length)
+              val posed =
+                if (cov) SparkInternals.posDeleteFilteredBatch(eqed,
+                  p => posByNorm.getOrElse(p, Seq.empty), conf, dataPhys,
+                  physRequired.length,
+                  if (hasPos) dataPhys.length else physRequired.length)
+                else eqed
+              if (hasFile) SparkInternals.fileTaggedBatch(posed, fileTagOrdinal)
+              else posed
+    }
+
+    // files group by (predicate epoch × applicable equality-delete
+    // set × position-delete coverage) — group count is bounded by
+    // distinct delete epochs, never by file count; the no-delete group
+    // keeps the plain columnar read. Grouping runs over `structural`
+    // so the group LIST is identical across rebuilds; each group then
+    // reads only its currently-kept files (a group runtime filtering
+    // narrowed away keeps its slot as an empty placeholder, so a
+    // reader factory from one build dispatches another build's
+    // partitions correctly).
+    groups(structural, deletes).filter(_._2.nonEmpty).flatMap { case (preds, esPred) =>
+      esPred.groupBy(e => applicableEq(eqDeletes.map(_._2), e._2.seq)
+          .map(_.path)).toSeq.sortBy(_._1.length)
+        .flatMap { case (eqPaths, esAll) =>
+          val eqs = eqPaths.map(p => eqDeletes.find(_._2.path == p).get)
+          val (covered, uncovered) = esAll.partition(e =>
+            posByNorm.contains(GraftMetadataColumns.norm(e._1)))
+          Seq((covered, true), (uncovered, false))
+            .filter(_._1.nonEmpty).map { case (esStructural, cov) =>
+              val es = esStructural.filter(e => keptAbs(e._1))
+              if (es.isEmpty) EmptyBatch
+              else buildGroup(es, cov, preds, eqs)
             }
-          val posed =
-            if (cov) SparkInternals.posDeleteFilteredBatch(base,
-              p => posByNorm.getOrElse(p, Seq.empty), conf, dataPhys,
-              physRequired.length,
-              if (hasPos) dataPhys.length else physRequired.length)
-            else base
-          if (hasFile) SparkInternals.fileTaggedBatch(posed, fileTagOrdinal)
-          else posed
         }
     }
   }
@@ -219,7 +281,8 @@ private[graft] object MorDeletes {
       entries: Seq[(String, DataFileEntry)],
       deletes: Seq[DeletePredicate],
       posDeleteAbs: Seq[String] = Seq.empty,
-      exposePos: Boolean = false): DataFrame = {
+      exposePos: Boolean = false,
+      eqDeletes: Seq[(String, EqDeleteFile)] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.functions.col
     val needPos = posDeleteAbs.nonEmpty || exposePos
     // partition-spec evolution: files of different epochs have
@@ -255,9 +318,28 @@ private[graft] object MorDeletes {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    val base = groups(entries, deletes).map { case (preds, es) =>
-      val df = read(es.map(_._1))
-      if (preds.isEmpty) df else df.filter(keepColumn(preds))
+    // equality deletes bind by sequence like predicates do: sub-group
+    // each predicate epoch by applicable eq set, anti-join each
+    // sub-group against the (broadcast) key objects — null-safe
+    // equality, so a null key component matches a null key
+    def applyEq(df: DataFrame, eqs: Seq[(String, EqDeleteFile)]): DataFrame =
+      eqs.groupBy(_._2.cols).foldLeft(df) { case (d, (cols, objs)) =>
+        val keys = org.apache.spark.sql.functions.broadcast(
+          spark.read.parquet(objs.map(_._1): _*)
+            .select(cols.map(col): _*)
+            .toDF(cols.map("__eqk_" + _): _*))
+        d.join(keys,
+          cols.map(c => d(c) <=> keys("__eqk_" + c)).reduce(_ && _),
+          "left_anti")
+      }
+    val base = groups(entries, deletes).flatMap { case (preds, esPred) =>
+      esPred.groupBy(e =>
+          applicableEq(eqDeletes.map(_._2), e._2.seq).map(_.path))
+        .toSeq.sortBy(_._1.length).map { case (eqPaths, es) =>
+          val df0 = read(es.map(_._1))
+          val df = if (preds.isEmpty) df0 else df0.filter(keepColumn(preds))
+          applyEq(df, eqPaths.map(p => eqDeletes.find(_._2.path == p).get))
+        }
     }.reduce(_ unionAll _)
     val posApplied =
       if (posDeleteAbs.isEmpty) base

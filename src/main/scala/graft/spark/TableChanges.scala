@@ -76,12 +76,15 @@ object TableChanges {
       val dfs = rangeSnaps.flatMap { s =>
         meta.findSnapshot(storage, s.parentId).toSeq.flatMap { parent =>
           val prior = parent.deletes.toSet
+          val parentEq = parent.eqDeletes.map(p =>
+            (storage.absolute(p.path), p))
           val predDfs = s.deletes.filterNot(prior).map { pred =>
             val parentFiles = Manifests.filesOf(storage, parent)
               .map(f => (storage.absolute(f.path), f))
             MorDeletes.readEntries(spark, schema, Some(dataRoot),
               parentFiles, parent.deletes,
-              parent.posDeletes.map(p => storage.absolute(p.path)))
+              parent.posDeletes.map(p => storage.absolute(p.path)),
+              eqDeletes = parentEq)
               .filter(org.apache.spark.sql.functions.coalesce(
                 org.apache.spark.sql.functions.expr(pred.sql), lit(false)))
           }
@@ -109,7 +112,7 @@ object TableChanges {
               val survivors = MorDeletes.readEntries(spark, schema,
                 Some(dataRoot), parentFiles, parent.deletes,
                 parent.posDeletes.map(p => storage.absolute(p.path)),
-                exposePos = true)
+                exposePos = true, eqDeletes = parentEq)
               val dels = org.apache.spark.sql.functions.broadcast(
                 spark.read.parquet(newPos.map(p =>
                   storage.absolute(p.path)): _*))
@@ -118,7 +121,32 @@ object TableChanges {
                   survivors(MorDeletes.GPos) === dels("pos"), "left_semi")
                 .drop(MorDeletes.GFile, MorDeletes.GPos))
             }
-          predDfs ++ posDfs
+          // streaming upserts: rows of strictly-older parent files
+          // whose key tuple is in a NEW equality-delete object are the
+          // range's deletes — read only files the delete can reach
+          // (entry.seq < delete.seq), with the parent's own residuals
+          // applied, then null-safe semi-join on the key columns
+          val priorEq = parent.eqDeletes.map(_.path).toSet
+          val newEq = s.eqDeletes.filterNot(p => priorEq(p.path))
+          val eqDfs = newEq.map { d =>
+            import org.apache.spark.sql.functions.{broadcast, col}
+            val parentFiles = Manifests.filesOf(storage, parent)
+              .filter(_.seq < d.seq)
+              .map(f => (storage.absolute(f.path), f))
+            val survivors = MorDeletes.readEntries(spark, schema,
+              Some(dataRoot), parentFiles, parent.deletes,
+              parent.posDeletes.map(p => storage.absolute(p.path)),
+              eqDeletes = parentEq)
+            val keys = broadcast(
+              spark.read.parquet(storage.absolute(d.path))
+                .select(d.cols.map(col): _*)
+                .toDF(d.cols.map("__eqk_" + _): _*))
+            survivors.join(keys,
+              d.cols.map(c => survivors(c) <=> keys("__eqk_" + c))
+                .reduce(_ && _),
+              "left_semi")
+          }
+          predDfs ++ posDfs ++ eqDfs
         }
       }
       dfs.reduceOption(_ unionAll _)

@@ -353,7 +353,63 @@ object StreamingQueries {
              |       round(sum(CASE WHEN o_orderkey % 7 = 1 THEN 0.0
              |                      ELSE o_totalprice END), 2) AS total
              |FROM orders WHERE o_orderpriority <> '1-URGENT'
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    QueryDef(
+      "st08_stream_upsert",
+      (s, d) => {
+        // Native streaming UPSERT sink: writeStream into a graft table
+        // whose `graft.write.upsert-keys` property names key columns.
+        // Each micro-batch commits data files + an equality-delete
+        // object of the batch's keys — rows with those keys in
+        // strictly-older files are logically replaced, nothing is
+        // rewritten. Three keyed epochs stream from a graft source
+        // table (snapshot-sliced batches: deterministic epochs); the
+        // oracle is "latest version per key" computed directly.
+        if (s.conf.getOption("spark.sql.catalog.gup").isEmpty) {
+          s.conf.set("spark.sql.catalog.gup",
+            classOf[graft.spark.GraftCatalog].getName)
+          s.conf.set("spark.sql.catalog.gup.warehouse",
+            java.nio.file.Files.createTempDirectory("graft-gup").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gup.ns1")
+        s.sql("DROP TABLE IF EXISTS gup.ns1.cust_src")
+        s.sql("DROP TABLE IF EXISTS gup.ns1.cust_state")
+        s.sql("""CREATE TABLE gup.ns1.cust_src (
+                   k BIGINT, seg STRING, bal DOUBLE, ver INT)""")
+        s.sql("""CREATE TABLE gup.ns1.cust_state (
+                   k BIGINT, seg STRING, bal DOUBLE, ver INT)
+                 TBLPROPERTIES ('graft.write.upsert-keys' = 'k')""")
+        def slice(mod: Int, ver: Int): Unit =
+          s.sql(s"""INSERT INTO gup.ns1.cust_src
+                    SELECT c_custkey, c_mktsegment,
+                           round(c_acctbal, 2) + ${100 * ver}, $ver
+                    FROM parquet.`$d/customer.parquet`
+                    WHERE c_custkey % $mod = 0""")
+        slice(1, 0) // every key, version 0
+        val checkpoint =
+          java.nio.file.Files.createTempDirectory("graft-st08").toString
+        val q = s.readStream.table("gup.ns1.cust_src")
+          .writeStream
+          .option("checkpointLocation", checkpoint)
+          .toTable("gup.ns1.cust_state")
+        try {
+          q.processAllAvailable() // epoch 0
+          slice(2, 1); q.processAllAvailable() // epoch 1: even keys
+          slice(4, 2); q.processAllAvailable() // epoch 2: keys % 4 = 0
+        } finally q.stop()
+        s.sql("""SELECT ver, count(*) AS n, round(sum(bal), 2) AS total
+                 FROM gup.ns1.cust_state GROUP BY ver ORDER BY ver""")
+      },
+      Some("""WITH latest AS (
+             |  SELECT CASE WHEN c_custkey % 4 = 0 THEN 2
+             |              WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS ver,
+             |         round(c_acctbal, 2) +
+             |           100 * (CASE WHEN c_custkey % 4 = 0 THEN 2
+             |                       WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS bal
+             |  FROM customer)
+             |SELECT ver, count(*) AS n, round(sum(bal), 2) AS total
+             |FROM latest GROUP BY ver ORDER BY ver""".stripMargin))
   )
 
 }

@@ -266,6 +266,36 @@ object SparkInternals {
     org.apache.spark.sql.types.StructField(RowIndexColumn,
       org.apache.spark.sql.types.LongType)
 
+  /** One equality-delete object as the scan applies it: absolute
+    * object path, its key column names, and where those columns sit in
+    * the read schema (`ordinals`/`types` resolved driver-side so the
+    * executor reader is pure ordinal work).
+    */
+  case class EqDeleteSpec(abs: String, cols: Seq[String],
+      ordinals: Array[Int],
+      types: Array[org.apache.spark.sql.types.DataType])
+
+  /** Apply equality deletes to a delegated batch: every reader in the
+    * group loads the objects' key sets executor-side
+    * ([[graft.format.EqDeleteFiles.keySet]], soft-cached per JVM) and
+    * drops rows whose key tuple matches any of them; survivors project
+    * to the first `keepN` columns (dropping key columns that were read
+    * only for the filter). Partitions pass through untouched so
+    * file-granular wrappers above still see FilePartitions.
+    */
+  def eqDeleteFilteredBatch(delegate: Batch,
+      specs: Seq[EqDeleteSpec],
+      conf: SerializableConfiguration,
+      inputSchema: StructType,
+      keepN: Int,
+      keepMatches: Boolean = false): Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      delegate.planInputPartitions()
+    override def createReaderFactory(): PartitionReaderFactory =
+      new EqDeleteReaderFactory(delegate.createReaderFactory(), specs.toArray,
+        conf, inputSchema, keepN, keepMatches)
+  }
+
   /** Apply position deletes to a delegated batch: partitions are
     * regrouped one-file-per-partition, each covered file's partition
     * carries the ABS paths of the delete objects referencing it, and
@@ -634,6 +664,58 @@ private class PosDeleteReaderFactory(
           if (dels == null || !dels.contains(r.getLong(rixOrdinal))) {
             row = r; return true
           }
+        }
+        false
+      }
+      override def get(): InternalRow = if (proj == null) row else proj(row)
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
+/** Drops rows whose key tuple is in any of the partition's equality-
+  * delete sets. Row-based on purpose (same trade as position deletes):
+  * only files with PENDING equality deletes pay this, and a
+  * rewrite/compaction returns them to the vectorized path.
+  */
+private class EqDeleteReaderFactory(
+    delegate: PartitionReaderFactory,
+    specs: Array[SparkInternals.EqDeleteSpec],
+    conf: SerializableConfiguration,
+    inputSchema: StructType,
+    keepN: Int,
+    // false: drop matching rows (the scan's anti filter); true: emit
+    // ONLY matching rows (the CDC semi filter — "which rows died")
+    keepMatches: Boolean = false) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val inner = delegate.createReader(p)
+    // loaded at reader creation (executor-side); the per-JVM soft cache
+    // in EqDeleteFiles makes this one parquet read per executor, not
+    // per task
+    val sets = specs.map(s => graft.format.EqDeleteFiles.keySet(
+      s.abs, s.cols, s.types.toSeq, conf.value))
+    val attrs = inputSchema.fields.toIndexedSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+    val proj =
+      if (keepN == attrs.length) null
+      else org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(attrs.take(keepN), attrs)
+    new PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val r = inner.get()
+          var hit = false
+          var i = 0
+          while (!hit && i < specs.length) {
+            hit = sets(i).contains(graft.format.EqDeleteFiles.rowKey(
+              r, specs(i).ordinals, specs(i).types))
+            i += 1
+          }
+          if (hit == keepMatches) { row = r; return true }
         }
         false
       }

@@ -122,6 +122,36 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.table("mcat.ns1.ag").count() == 3)
   }
 
+  test("cherry-pick publishes one branch commit onto a diverged main") {
+    spark.sql("CREATE TABLE mcat.ns1.cp (k BIGINT)")
+    spark.sql("INSERT INTO mcat.ns1.cp VALUES (1)")
+    val ident = Identifier.of(Array("ns1"), "cp")
+    Maintenance.createBranch(cat, ident, "audit")
+    spark.sql("INSERT INTO mcat.ns1.`cp$branch_audit` VALUES (100)")
+    // main diverges — fast_forward would refuse; cherry-pick applies
+    // just the audited commit
+    spark.sql("INSERT INTO mcat.ns1.cp VALUES (2)")
+    val branchHead = {
+      val txn = graft.catalog.Graft.beginTransaction(cat.storage)
+      val td = graft.catalog.Graft.describeTable(cat.storage, txn, "ns1", "cp")
+      graft.format.TableMetadata.read(cat.storage, td.metadataLocation)
+        .branches("audit")
+    }
+    Maintenance.cherryPickSnapshot(cat, ident, branchHead)
+    assert(spark.table("mcat.ns1.cp").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 100L)))
+    // picking the same snapshot twice must refuse (files already live)
+    assertThrows[IllegalArgumentException](
+      Maintenance.cherryPickSnapshot(cat, ident, branchHead))
+    // $history: the branch commit is not a main ancestor
+    val hist = spark.sql(
+      """SELECT snapshot_id, is_current_ancestor FROM mcat.ns1.`cp$history`
+         ORDER BY snapshot_id""").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(!hist(branchHead), "branch-only commit is not a main ancestor")
+    assert(hist.count(_._2) == 3, "two main appends + the cherry-pick")
+  }
+
   test("metadata-only import of pre-existing parquet files") {
     // files written OUTSIDE the catalog's commit path
     val ext = "external/imported"

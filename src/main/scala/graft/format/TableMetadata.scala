@@ -188,6 +188,14 @@ final case class AddUpsert(add: Seq[DataFileEntry],
   * `add`'s references like [[AddRowDeltas]] so a racing data-file
   * rewrite fails this commit loudly.
   */
+/** Re-segment the snapshot's manifest list: full inventory, sorted by
+  * path, re-chunked into `chunk`-entry segments — a metadata-only
+  * commit (no data files move). Heals the many-small-deltas shape a
+  * long append history leaves and restores path-clustered segments so
+  * partial rewrites touch few chunks.
+  */
+final case class RewriteManifests(chunk: Int) extends FilesEdit
+
 final case class RewritePosDeletes(remove: Set[String],
     add: Seq[PosDeleteFile]) extends FilesEdit
 
@@ -286,6 +294,8 @@ final case class TableMetadata(
       // scoping (scoping is by path), so the max source seq documents
       // provenance without changing semantics
       case e: RewritePosDeletes => e
+      // metadata relayout: entries keep their own seqs verbatim
+      case e: RewriteManifests => e
     }
     val parentDeletes = parent.map(_.deletes).getOrElse(Seq.empty)
     val deletes = stamped match {
@@ -386,6 +396,11 @@ object Manifests {
   val SegmentsMax = 64
   val InlineMaxProp = "graft.manifest.inline-max"
 
+  /** Entries per segment when merging/re-chunking (~4k entries is a
+    * few hundred KB of JSON — bounded object size at any table size).
+    */
+  val MergeChunk = 4096
+
   def read(storage: StorageOps, key: String): Seq[DataFileEntry] =
     Json.read(storage.read(key), classOf[ManifestDoc]).files
 
@@ -455,6 +470,18 @@ object Manifests {
         else
           (pInline, pManifests :+ write(storage, manifestDir, add),
             pCount + ac, pRows + ar, pBytes + ab)
+      case RewriteManifests(chunk) =>
+        // full inventory, path-sorted, re-chunked: many small delta
+        // segments (one per append) become few bounded ones, and
+        // path clustering means later partial rewrites touch few
+        val all = (pInline ++ pManifests.flatMap(read(storage, _)))
+          .sortBy(_.path)
+        if (all.lengthCompare(inlineMax) <= 0)
+          (all, Seq.empty[String], pCount, pRows, pBytes)
+        else
+          (Seq.empty[DataFileEntry],
+            all.grouped(chunk).map(write(storage, manifestDir, _)).toSeq,
+            pCount, pRows, pBytes)
       case ReplaceFiles(remove, add) =>
         val keptInline = pInline.filterNot(f => remove(f.path))
         var removedEntries = pInline.filter(f => remove(f.path))
@@ -481,12 +508,18 @@ object Manifests {
         else (keptInline, keptManifests :+ write(storage, manifestDir, add),
           c, r, b)
     }
-    // segment-count bound: merge everything into ONE manifest
+    // segment-count bound: merge into SIZE-BOUNDED chunks (one
+    // monolithic manifest would grow with the table — at 100 TB a
+    // million-entry JSON object — and every partial rewrite would
+    // rewrite it wholesale; path-sorted chunks keep each object small
+    // and later ReplaceFiles touching few of them)
     val (mInline, mManifests) =
       if (manifests.lengthCompare(SegmentsMax) <= 0) (inline, manifests)
       else {
-        val all = inline ++ manifests.flatMap(read(storage, _))
-        (Seq.empty[DataFileEntry], Seq(write(storage, manifestDir, all)))
+        val all = (inline ++ manifests.flatMap(read(storage, _)))
+          .sortBy(_.path)
+        (Seq.empty[DataFileEntry],
+          all.grouped(MergeChunk).map(write(storage, manifestDir, _)).toSeq)
       }
     Snapshot(id = -1L, parentId = -1L, timestampMillis = 0L, operation = "",
       files = mInline, manifests = mManifests,

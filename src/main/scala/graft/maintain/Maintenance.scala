@@ -305,11 +305,13 @@ object Maintenance {
     val td = Graft.describeTable(storage, txn, ns, ident.name())
     val meta = TableMetadata.read(storage, td.metadataLocation)
     val history = meta.allSnapshots(storage)
-    // position-delete objects are .parquet under the data dir too —
-    // pending ones are LIVE references, not orphans
+    // position- and equality-delete objects are .parquet under the
+    // data dir too — ones pending at any retained snapshot are LIVE
+    // references, not orphans
     val referenced = history
       .flatMap(graft.format.Manifests.filesOf(storage, _)).map(_.path).toSet ++
-      history.flatMap(_.posDeletes).map(_.path).toSet
+      history.flatMap(_.posDeletes).map(_.path).toSet ++
+      history.flatMap(_.eqDeletes).map(_.path).toSet
     val dataDir = FileLocations.tableDataDir(ns, ident.name())
     val onDisk = storage.listDeep(dataDir).filter(_.endsWith(".parquet"))
     val refManifests = history.flatMap(_.manifests).toSet
@@ -526,6 +528,101 @@ object Maintenance {
     commitSnapshot(cat, txn, ns, ident.name(),
       if (newEq.isEmpty) "cherrypick" else "upsert", edit)
     snapshotId
+  }
+
+  /** Re-segment the current snapshot's manifest list: full inventory,
+    * path-sorted, chunked into `chunk`-entry segments — one
+    * metadata-only commit, zero data movement. Heals the
+    * one-delta-per-append shape of a long commit history (bounded
+    * object count for scan planning) and restores path clustering so
+    * partition-targeted rewrites touch few segments. Returns the
+    * segment count after.
+    */
+  def rewriteManifests(cat: GraftCatalog, ident: Identifier,
+      chunk: Int = graft.format.Manifests.MergeChunk): Long = {
+    require(chunk > 0, s"chunk must be positive: $chunk")
+    val storage = cat.storage
+    val txn = Graft.beginTransaction(storage)
+    val ns = ident.namespace()(0)
+    commitSnapshot(cat, txn, ns, ident.name(), "rewrite-manifests",
+      graft.format.RewriteManifests(chunk))
+    val td2 = Graft.describeTable(storage,
+      Graft.beginTransaction(storage), ns, ident.name())
+    TableMetadata.read(storage, td2.metadataLocation)
+      .currentSnapshot.map(_.manifests.size.toLong).getOrElse(0L)
+  }
+
+  /** Zero-copy FORK: create `dest` as an independent table whose
+    * initial snapshot references `source`'s current data files — no
+    * data moves (at 100 TB the fork is an O(metadata) commit). The
+    * source's pending merge-on-read state (predicate, position, and
+    * equality deletes) is carried verbatim, entry sequences included,
+    * so the fork reads byte-identical to the source at fork time;
+    * manifest OBJECTS are copied into the fork's own manifest dir
+    * (metadata-sized) so each table owns its metadata outright, while
+    * data/delete objects stay shared. Writes to either table never
+    * touch the other (fresh commits land in each table's own data
+    * dir), and the fork's orphan scan only walks its own data dir so
+    * shared files are out of its reach by construction. One caveat,
+    * same as Iceberg's `snapshot` procedure: maintenance on the
+    * SOURCE that deletes expired data files cannot see fork
+    * references — expire+remove_orphans on the source can break a
+    * long-lived fork. Returns the file count referenced.
+    */
+  def snapshotTable(cat: GraftCatalog, source: Identifier,
+      dest: Identifier): Long = {
+    val storage = cat.storage
+    val txn = Graft.beginTransaction(storage)
+    val srcNs = source.namespace()(0)
+    val dstNs = dest.namespace()(0)
+    val td = Graft.describeTable(storage, txn, srcNs, source.name())
+    val meta = TableMetadata.read(storage, td.metadataLocation)
+    val now = System.currentTimeMillis()
+    val snap0 = meta.currentSnapshot.map { s =>
+      val destDir = GraftCatalog.tableManifestDir(dstNs, dest.name())
+      val remapped = s.manifests.map { m =>
+        val key = s"$destDir/${java.util.UUID.randomUUID()}.manifest.json"
+        storage.overwrite(key, storage.read(m))
+        key
+      }
+      s.copy(id = 1L, parentId = -1L, timestampMillis = now,
+        operation = "snapshot", manifests = remapped)
+    }
+    val props = td.properties +
+      ("graft.snapshot-source" -> s"$srcNs.${source.name()}")
+    val destMeta = TableMetadata(
+      schemaJson = meta.schemaJson,
+      currentSnapshotId = snap0.map(_.id).getOrElse(-1L),
+      snapshots = snap0.toSeq,
+      properties = props)
+    val metaPath = FileLocations.tableMetadataPath(dstNs, dest.name())
+    TableMetadata.write(storage, metaPath, destMeta)
+    Graft.createTable(storage, txn, graft.objects.TableDef(dest.name(),
+      dstNs, metadataLocation = metaPath, properties = props))
+    Graft.commitTransaction(storage, txn)
+    snap0.map(_.totalFiles).getOrElse(0L)
+  }
+
+  /** Register an EXISTING metadata document as a catalog table — the
+    * disaster-recovery / hand-off path (a metadata doc from an export,
+    * a dropped table whose objects survive, a doc shipped from another
+    * catalog on the same storage). No objects are copied or rewritten:
+    * the def simply points at the document, whose property mirror
+    * (written by create/alter since it exists) reconstructs the
+    * partition spec and table properties. Returns the snapshot count
+    * now reachable.
+    */
+  def registerTable(cat: GraftCatalog, ident: Identifier,
+      metadataLocation: String): Long = {
+    val storage = cat.storage
+    // read validates the document before anything is committed
+    val meta = TableMetadata.read(storage, metadataLocation)
+    val txn = Graft.beginTransaction(storage)
+    Graft.createTable(storage, txn, graft.objects.TableDef(ident.name(),
+      ident.namespace()(0), metadataLocation = metadataLocation,
+      properties = meta.properties))
+    Graft.commitTransaction(storage, txn)
+    meta.totalSnapshots
   }
 
   /** Remove a tag; the snapshot itself stays until expiration. */

@@ -1243,6 +1243,58 @@ object CatalogQueries {
       Some("""SELECT CASE WHEN p_partkey % 2 = 0 THEN 'standard'
              |            ELSE 'express' END AS grade,
              |       count(*) AS n, 10 * count(*) AS total_units
-             |FROM part GROUP BY 1 ORDER BY grade""".stripMargin))
+             |FROM part GROUP BY 1 ORDER BY grade""".stripMargin)),
+
+    QueryDef(
+      "c40_snapshot_table",
+      (s, d) => {
+        // Zero-copy fork: CALL system.snapshot_table creates an
+        // independent table referencing the source's current files —
+        // an O(metadata) commit, no data copied (at 100 TB that is the
+        // difference between a fork and a day-long copy job). Writes
+        // then diverge; the fork's scan resolves Hive partition values
+        // across BOTH layout roots (shared source files + its own
+        // fresh commits).
+        ensureCatalog(s, "gcf")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcf.ns1")
+        s.sql("DROP TABLE IF EXISTS gcf.ns1.cust")
+        s.sql("DROP TABLE IF EXISTS gcf.ns1.cust_fork")
+        s.sql("""CREATE TABLE gcf.ns1.cust (
+                   c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING)
+                 PARTITIONED BY (c_mktsegment)""")
+        s.sql(s"""INSERT INTO gcf.ns1.cust
+                  SELECT c_custkey, c_acctbal, c_mktsegment
+                  FROM parquet.`$d/customer.parquet`""")
+        s.sql(
+          "CALL gcf.system.snapshot_table('ns1', 'cust', 'ns1', 'cust_fork')")
+        // diverge: the fork drops one segment (metadata-only unreference
+        // of SHARED files — the source must keep seeing them) and gains
+        // a synthetic one; the source stays untouched
+        s.sql("DELETE FROM gcf.ns1.cust_fork WHERE c_mktsegment = 'BUILDING'")
+        s.sql(s"""INSERT INTO gcf.ns1.cust_fork
+                  SELECT c_custkey + 1000000, c_acctbal, 'SYNTH'
+                  FROM parquet.`$d/customer.parquet`
+                  WHERE c_custkey % 10 = 0""")
+        s.sql("""SELECT side, c_mktsegment, count(*) AS n,
+                        round(sum(c_acctbal), 2) AS bal
+                 FROM (SELECT 'src' AS side, c_mktsegment, c_acctbal
+                       FROM gcf.ns1.cust
+                       UNION ALL
+                       SELECT 'fork' AS side, c_mktsegment, c_acctbal
+                       FROM gcf.ns1.cust_fork)
+                 GROUP BY side, c_mktsegment ORDER BY side, c_mktsegment""")
+      },
+      Some("""WITH t AS (
+             |  SELECT 'src' AS side, c_mktsegment, c_acctbal FROM customer
+             |  UNION ALL
+             |  SELECT 'fork' AS side, c_mktsegment, c_acctbal FROM customer
+             |  WHERE c_mktsegment <> 'BUILDING'
+             |  UNION ALL
+             |  SELECT 'fork' AS side, 'SYNTH' AS c_mktsegment, c_acctbal
+             |  FROM customer WHERE c_custkey % 10 = 0)
+             |SELECT side, c_mktsegment, count(*) AS n,
+             |       round(sum(c_acctbal), 2) AS bal
+             |FROM t GROUP BY side, c_mktsegment
+             |ORDER BY side, c_mktsegment""".stripMargin))
   )
 }

@@ -467,7 +467,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       }
     inTxn { txn =>
       val metaPath = FileLocations.tableMetadataPath(ns, ident.name())
-      TableMetadata.write(storage, metaPath, TableMetadata.empty(storedSchema.json))
       val props = properties.asScala.toMap ++
         (if (partCols.nonEmpty)
           Map(GraftCatalog.PartitionColsProp -> partCols.mkString(","))
@@ -475,6 +474,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         (if (spec.exists(!_.isIdentity))
           Map(GraftCatalog.PartitionSpecProp -> PartitionTransforms.render(spec))
         else Map.empty)
+      // def properties MIRROR into the metadata document so it is
+      // self-contained: register_table can reconstruct a TableDef
+      // (partition spec included) from the document alone
+      TableMetadata.write(storage, metaPath,
+        TableMetadata.empty(storedSchema.json).copy(properties = props))
       Graft.createTable(storage, txn, TableDef(
         ident.name(), ns, metadataLocation = metaPath, properties = props))
     }
@@ -609,7 +613,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           throw new UnsupportedOperationException(s"table change $other")
       }
       val metaPath = FileLocations.tableMetadataPath(ns, ident.name())
-      TableMetadata.write(storage, metaPath, meta.copy(schemaJson = schema.json))
+      TableMetadata.write(storage, metaPath,
+        meta.copy(schemaJson = schema.json, properties = props))
       Graft.alterTable(storage, txn,
         td.copy(metadataLocation = metaPath,
           previousMetadataLocation = Some(td.metadataLocation),
@@ -663,7 +668,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         (if (next.exists(!_.isIdentity))
           Map(GraftCatalog.PartitionSpecProp -> PartitionTransforms.render(next))
         else Map.empty)
-      Graft.alterTable(storage, txn, td.copy(properties = props),
+      // keep the metadata document's property mirror current (see
+      // createTable: register_table reconstructs the def from it)
+      val metaPath = FileLocations.tableMetadataPath(ns, ident.name())
+      TableMetadata.write(storage, metaPath, meta.copy(properties = props))
+      Graft.alterTable(storage, txn,
+        td.copy(metadataLocation = metaPath,
+          previousMetadataLocation = Some(td.metadataLocation),
+          properties = props),
         ActionType.AlterTable)
     }
   }
@@ -742,11 +754,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, ident: Identifier,
       condition: org.apache.spark.sql.Column,
       pruneExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-        Seq.empty): Unit = {
+        Seq.empty,
+      complete: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
+    // with the COMPLETE conjunct set, wholly-covered files (stats
+    // prove every row matches) drop from metadata without being read
     selectiveRewrite(spark, ident, pruneExprs,
       df => df.filter(not(coalesce(condition, lit(false)))),
-      "delete", ActionType.TableDelete)
+      "delete", ActionType.TableDelete,
+      wholeFileExprs = if (complete) pruneExprs else Seq.empty)
   }
 
   /** Merge-on-read DELETE: commit the PREDICATE (physical names —
@@ -792,7 +808,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       ident: Identifier,
       pruneExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       rewrite: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-      op: String, actionType: String): Unit = {
+      op: String, actionType: String,
+      // the COMPLETE conjunct set of a DELETE (empty = not a delete /
+      // set incomplete): files whose stats prove EVERY row matches
+      // drop from metadata without being read
+      wholeFileExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+        Seq.empty): Unit = {
     val ns = ns1(ident.namespace())
     val t = ident.name()
     val (meta, spec, schema) = inTxn { txn =>
@@ -812,33 +833,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       else current.filter(f =>
         physPrune.forall(e => FilePruning.mayMatch(e, f, physSchema)))
     if (touched.isEmpty) return // provably no matching rows anywhere
+    // partition-aligned (and other stats-entailed) DELETEs: a wholly-
+    // covered file contributes no surviving rows — drop it unread. At
+    // 100 TB, DELETE WHERE part = X is then a pure metadata commit.
+    val partial =
+      if (wholeFileExprs.isEmpty) touched
+      else {
+        val conj = wholeFileExprs
+          .map(ColumnMapping.toPhysicalExpr(_, renames))
+          .reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
+        touched.filterNot(f =>
+          FilePruning.mustMatchAll(conj, f, physSchema))
+      }
     val dataRoot = storage.absolute(FileLocations.tableDataDir(ns, t))
-    val tuples = touched.map(f => (storage.absolute(f.path), f))
+    val tuples = partial.map(f => (storage.absolute(f.path), f))
     val basePath =
       if (tuples.forall(_._1.startsWith(dataRoot))) Some(dataRoot) else None
     // pending merge-on-read deletes are applied at READ time so a
     // rewrite can never resurrect logically-deleted rows (the rewrite's
     // output files re-sequence; old predicates stop applying to them)
     val pendingDeletes = meta.currentSnapshot.map(_.deletes).getOrElse(Seq.empty)
-    val touchedPaths = touched.map(_.path).toSet
+    val partialPaths = partial.map(_.path).toSet
     val posDeleteAbs = meta.currentSnapshot.map(_.posDeletes)
       .getOrElse(Seq.empty)
-      .filter(_.dataFiles.exists(touchedPaths))
+      .filter(_.dataFiles.exists(partialPaths))
       .map(p => storage.absolute(p.path))
     val pendingEq = meta.currentSnapshot.map(_.eqDeletes).getOrElse(Seq.empty)
       .map(p => (storage.absolute(p.path), p))
-    val physDf = MorDeletes.readEntries(spark, physSchema, basePath, tuples,
-      pendingDeletes, posDeleteAbs, eqDeletes = pendingEq)
-    val logicalDf = renames.foldLeft(physDf) {
-      case (df, (logical, physical)) => df.withColumnRenamed(physical, logical)
-    }
-    val out = rewrite(logicalDf)
     // commit as a REPLACE of only the touched files: untouched files
     // (and, past the inline threshold, untouched manifest SEGMENTS)
-    // carry over verbatim, and a racing append's files survive rebase
+    // carry over verbatim, and a racing append's files survive rebase.
+    // Wholly-dropped files are in `replaced` but were never read.
     val replaced = touched.map(_.path).toSet
-    val newFiles = GraftCatalog.commitDataFiles(out, spec, storage, ns, t,
-      Some(schema))
+    val newFiles =
+      if (partial.isEmpty) Seq.empty // metadata-only delete: no job
+      else {
+        val physDf = MorDeletes.readEntries(spark, physSchema, basePath,
+          tuples, pendingDeletes, posDeleteAbs, eqDeletes = pendingEq)
+        val logicalDf = renames.foldLeft(physDf) {
+          case (df, (logical, physical)) =>
+            df.withColumnRenamed(physical, logical)
+        }
+        GraftCatalog.commitDataFiles(rewrite(logicalDf), spec, storage, ns, t,
+          Some(schema))
+      }
     inTxn { txn =>
       applyReplaceCommit(storage, txn.runningRoot, ns, t, op, replaced, newFiles)
       txn.replays += ((s, r) =>

@@ -46,6 +46,9 @@ object GraftProcedures {
       case "fast_forward" => FastForward(cat)
       case "rollback_to_snapshot" => RollbackToSnapshot(cat)
       case "cherrypick_snapshot" => CherryPickSnapshot(cat)
+      case "snapshot_table" => SnapshotTable(cat)
+      case "rewrite_manifests" => RewriteManifests(cat)
+      case "register_table" => RegisterTable(cat)
       case other =>
         throw new IllegalArgumentException(s"no such procedure: $other")
     }
@@ -206,6 +209,52 @@ object GraftProcedures {
       result(
         StructType(Seq(StructField("picked_snapshot_id", LongType, false))),
         Seq(InternalRow(picked)))
+    }
+  }
+
+  private case class SnapshotTable(cat: GraftCatalog)
+      extends GraftProcedure("snapshot_table") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("source_namespace", StringType), in("source_table", StringType),
+      in("dest_namespace", StringType), in("dest_table", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val files = Maintenance.snapshotTable(cat,
+        Identifier.of(Array(input.getString(0)), input.getString(1)),
+        Identifier.of(Array(input.getString(2)), input.getString(3)))
+      result(
+        StructType(Seq(StructField("files_referenced", LongType, false))),
+        Seq(InternalRow(files)))
+    }
+  }
+
+  private case class RewriteManifests(cat: GraftCatalog)
+      extends GraftProcedure("rewrite_manifests") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("namespace", StringType), in("table", StringType),
+      inDefault("chunk", LongType,
+        graft.format.Manifests.MergeChunk.toString))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val segments = Maintenance.rewriteManifests(cat,
+        Identifier.of(Array(input.getString(0)), input.getString(1)),
+        input.getLong(2).toInt)
+      result(
+        StructType(Seq(StructField("segments", LongType, false))),
+        Seq(InternalRow(segments)))
+    }
+  }
+
+  private case class RegisterTable(cat: GraftCatalog)
+      extends GraftProcedure("register_table") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("namespace", StringType), in("table", StringType),
+      in("metadata_location", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val snaps = Maintenance.registerTable(cat,
+        Identifier.of(Array(input.getString(0)), input.getString(1)),
+        input.getString(2))
+      result(
+        StructType(Seq(StructField("snapshots", LongType, false))),
+        Seq(InternalRow(snaps)))
     }
   }
 

@@ -301,13 +301,23 @@ class GraftCowScan(
           new CaseInsensitiveStringMap(m)
         } else options
       }
+      // partition values resolve against each file's OWN layout root
+      // (shared files of a zero-copy fork live under the SOURCE's data
+      // dir — a single basePath would null their partition columns and
+      // silently corrupt the rewrite)
+      val roots = files.map(e => GraftScanBuilder.dataRootOf(e._1))
+      val partRoots =
+        if (gPartCols.nonEmpty && roots.forall(_.isDefined))
+          Some(roots.flatten.distinct)
+        else None
       // the delegated index is served from snapshot stats — no
       // per-file filesystem calls at scan construction (the schema
       // carries the hidden transform dir columns so path parsing
       // types them; never projected — readPhys excludes them)
       val inner = SparkInternals.parquetScanBuilder(spark,
         files.map { case (abs, f) => (abs, f.sizeBytes) },
-        PartitionTransforms.extendSchema(physSchema, gSpec), gPartCols, opts)
+        PartitionTransforms.extendSchema(physSchema, gSpec), gPartCols, opts,
+        partRoots)
       inner match {
         case p: SupportsPushDownRequiredColumns => p.pruneColumns(readPhys)
         case _ => ()

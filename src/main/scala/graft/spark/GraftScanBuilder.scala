@@ -264,11 +264,20 @@ class GraftScanBuilder(
     def delegateScanFor(gSpec: Seq[PartitionField], gPartCols: Seq[String])(
         scanKept: Seq[(String, DataFileEntry)],
         readPhys: StructType): Scan = {
-      // basePath lets Spark's file index parse Hive-style col=value
-      // directory levels back into (typed) partition columns — files
-      // written with partitionBy don't carry those columns themselves.
-      // Metadata-only IMPORTED files can live outside the table data
-      // dir; basePath must then be omitted (they're flat by contract).
+      // Hive-style col=value directory levels parse back into (typed)
+      // partition columns — files written with partitionBy don't carry
+      // those columns themselves. Each file's layout root is derived
+      // from its OWN path (the `/files` dir the partition levels hang
+      // off), so shared files of a zero-copy fork or a registered
+      // table resolve against THEIR root while fresh local commits
+      // resolve against this table's — several roots in one scan.
+      // Metadata-only IMPORTED files can live outside any layout root;
+      // partition parsing is then omitted (they're flat by contract).
+      val roots = scanKept.map(e => GraftScanBuilder.dataRootOf(e._1))
+      val partRoots =
+        if (gPartCols.nonEmpty && roots.forall(_.isDefined))
+          Some(roots.flatten.distinct)
+        else None
       val opts =
         if (scanKept.forall(_._1.startsWith(baseDir))) {
           val optMap = new java.util.HashMap[String, String](options)
@@ -282,7 +291,8 @@ class GraftScanBuilder(
       // are never in requiredSchema, so they are pruned straight out.
       val inner = org.apache.spark.sql.graft.SparkInternals.parquetScanBuilder(
         spark, scanKept.map { case (abs, f) => (abs, f.sizeBytes) },
-        PartitionTransforms.extendSchema(physSchema, gSpec), gPartCols, opts)
+        PartitionTransforms.extendSchema(physSchema, gSpec), gPartCols, opts,
+        partRoots)
       inner match {
         case p: SupportsPushDownRequiredColumns => p.pruneColumns(readPhys)
         case _ => ()
@@ -506,6 +516,22 @@ private[spark] case class ScanFingerprint(
     filters: Seq[String],
     hasFile: Boolean,
     hasPos: Boolean = false)
+
+private[spark] object GraftScanBuilder {
+  /** A data file's partition-layout root: the deepest `/files` dir in
+    * its path from which every level down to the file itself is a
+    * Hive `col=value` directory. None for files outside any graft
+    * data dir (flat metadata-only imports).
+    */
+  def dataRootOf(abs: String): Option[String] = {
+    val segs = abs.split('/')
+    val fileIdx = segs.length - 1
+    (fileIdx - 1 to 0 by -1)
+      .find(j => segs(j) == "files" &&
+        (j + 1 until fileIdx).forall(k => segs(k).contains('=')))
+      .map(j => segs.take(j + 1).mkString("/"))
+  }
+}
 
 private[spark] object ScanFingerprint {
   def canonical(e: Expression): String =
@@ -904,6 +930,54 @@ object FilePruning {
         file.nullCounts.get(a).forall(_ < file.rowCount)
       case _ => true // unknown shape: keep the file
     }
+
+  /** Does the file's EVERY row provably satisfy `expr`? Conservative —
+    * false whenever stats can't prove it (absent stats, unknown null
+    * counts, unhandled shapes). The DELETE fast path: a wholly-covered
+    * file drops from metadata without being read, so a
+    * partition-aligned DELETE at 100 TB is a pure metadata commit
+    * (identity-partitioned files pin the partition column to one value
+    * with min = max).
+    */
+  def mustMatchAll(expr: Expression, file: DataFileEntry,
+      schema: StructType): Boolean = {
+    def noNulls(a: String): Boolean =
+      file.nullCounts.get(a).contains(0L)
+    def pinnedTo(a: String, v: Any): Boolean =
+      compareMin(a, v, file, schema).contains(0) &&
+        compareMax(a, v, file, schema).contains(0)
+    expr match {
+      case And(l, r) =>
+        mustMatchAll(l, file, schema) && mustMatchAll(r, file, schema)
+      case Or(l, r) =>
+        mustMatchAll(l, file, schema) || mustMatchAll(r, file, schema)
+      case EqualTo(AttrName(a), Literal(v, _)) => noNulls(a) && pinnedTo(a, v)
+      case EqualTo(Literal(v, _), AttrName(a)) => noNulls(a) && pinnedTo(a, v)
+      case In(AttrName(a), values) if values.forall(_.isInstanceOf[Literal]) =>
+        noNulls(a) &&
+          values.exists(l => pinnedTo(a, l.asInstanceOf[Literal].value))
+      case GreaterThan(AttrName(a), Literal(v, _)) =>
+        noNulls(a) && compareMin(a, v, file, schema).exists(_ > 0)
+      case GreaterThanOrEqual(AttrName(a), Literal(v, _)) =>
+        noNulls(a) && compareMin(a, v, file, schema).exists(_ >= 0)
+      case LessThan(AttrName(a), Literal(v, _)) =>
+        noNulls(a) && compareMax(a, v, file, schema).exists(_ < 0)
+      case LessThanOrEqual(AttrName(a), Literal(v, _)) =>
+        noNulls(a) && compareMax(a, v, file, schema).exists(_ <= 0)
+      case GreaterThan(Literal(v, _), AttrName(a)) =>
+        noNulls(a) && compareMax(a, v, file, schema).exists(_ < 0)
+      case GreaterThanOrEqual(Literal(v, _), AttrName(a)) =>
+        noNulls(a) && compareMax(a, v, file, schema).exists(_ <= 0)
+      case LessThan(Literal(v, _), AttrName(a)) =>
+        noNulls(a) && compareMin(a, v, file, schema).exists(_ > 0)
+      case LessThanOrEqual(Literal(v, _), AttrName(a)) =>
+        noNulls(a) && compareMin(a, v, file, schema).exists(_ >= 0)
+      case IsNull(AttrName(a)) =>
+        file.nullCounts.get(a).contains(file.rowCount)
+      case IsNotNull(AttrName(a)) => noNulls(a)
+      case _ => false
+    }
+  }
 
   /** cmp(file.max(attr), v): None = no stats (keep). */
   private def compareMax(a: String, v: Any, f: DataFileEntry,

@@ -247,7 +247,8 @@ class GraftTable(
         pruneExprs.length == predicates.length)
       catalog.morDelete(ident, pruneExprs)
     else
-      catalog.deleteWhere(spark, ident, cond, pruneExprs)
+      catalog.deleteWhere(spark, ident, cond, pruneExprs,
+        complete = pruneExprs.length == predicates.length)
   }
 
   // ---------------- write ----------------

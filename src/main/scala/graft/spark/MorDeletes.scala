@@ -288,14 +288,27 @@ private[graft] object MorDeletes {
     // partition-spec evolution: files of different epochs have
     // different directory layouts — ONE read across them would trip
     // Spark's partition discovery, so each layout reads separately and
-    // the unions are positional under the same physSchema
+    // the unions are positional under the same physSchema. Files of a
+    // zero-copy fork / registered table live under ANOTHER table's
+    // data dir: each file's partition values must resolve against its
+    // OWN layout root, so grouping (and the basePath option) is
+    // per-root — a single caller-supplied base would null the
+    // partition columns of foreign-root files, and a rewrite reading
+    // them would persist the nulls.
+    def rootOf(p: String): Option[String] = basePath
+      .filter(b => p.startsWith(if (b.endsWith("/")) b else b + "/"))
+      .orElse(GraftScanBuilder.dataRootOf(p))
     def read(paths: Seq[String]): DataFrame =
-      paths.groupBy(p => basePath
-          .map(PartitionTransforms.layoutOf(p, _)).getOrElse(Seq.empty))
-        .toSeq.sortBy(_._1.mkString(","))
-        .map { case (_, ps) =>
+      paths.groupBy { p =>
+        val root = rootOf(p)
+        (root, root.map(PartitionTransforms.layoutOf(p, _))
+          .getOrElse(Seq.empty))
+      }
+        .toSeq.sortBy { case ((root, layout), _) =>
+          root.getOrElse("") + "|" + layout.mkString(",") }
+        .map { case ((root, _), ps) =>
           val r0 = spark.read.schema(physSchema)
-          val r = basePath.map(b => r0.option("basePath", b)).getOrElse(r0)
+          val r = root.map(b => r0.option("basePath", b)).getOrElse(r0)
           val raw = r.parquet(ps: _*)
           val df =
             if (!needPos) raw

@@ -212,10 +212,19 @@ object PartitionTransforms {
     */
   def layoutOf(path: String, dataDir: String): Seq[String] = {
     val base = if (dataDir.endsWith("/")) dataDir else dataDir + "/"
-    if (!path.startsWith(base)) return Seq.empty
-    path.drop(base.length).split('/').dropRight(1).toSeq
-      .filter(_.contains('='))
-      .map(s => s.take(s.indexOf('=')))
+    // a file outside this table's data dir still encodes its layout
+    // under its OWN root (a zero-copy fork or registered table reading
+    // another table's files); flat metadata-only imports have no root
+    val effective =
+      if (path.startsWith(base)) Some(base)
+      else GraftScanBuilder.dataRootOf(path).map(_ + "/")
+    effective match {
+      case None => Seq.empty
+      case Some(root) =>
+        path.drop(root.length).split('/').dropRight(1).toSeq
+          .filter(_.contains('='))
+          .map(s => s.take(s.indexOf('=')))
+    }
   }
 
   /** The spec one layout encodes, for reading that epoch's files

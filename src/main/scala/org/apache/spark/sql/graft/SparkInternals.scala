@@ -428,16 +428,26 @@ object SparkInternals {
       files: Seq[(String, Long)], // (absolute path, exact size)
       physSchema: StructType,
       partCols: Seq[String],
-      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
+      // per-file partition-layout roots (the dir whose CHILDREN are the
+      // Hive `col=value` levels). When every file has one, the
+      // partition spec is parsed against this set — files from SEVERAL
+      // roots (a zero-copy fork or registered table reading another
+      // table's dir alongside its own fresh commits) resolve partition
+      // values correctly, which a single `basePath` option cannot do.
+      partRoots: Option[Seq[String]] = None)
       : org.apache.spark.sql.connector.read.ScanBuilder = {
     import scala.jdk.CollectionConverters._
     // the index consults its cache under QUALIFIED paths (scheme +
     // authority); qualification is string work on the driver, no I/O
     val hadoopConf = spark.sessionState
       .newHadoopConfWithOptions(options.asCaseSensitiveMap.asScala.toMap)
-    val statuses = files.map { case (abs, size) =>
+    def qualify(abs: String): Path = {
       val raw = new Path(abs)
-      val p = raw.getFileSystem(hadoopConf).makeQualified(raw)
+      raw.getFileSystem(hadoopConf).makeQualified(raw)
+    }
+    val statuses = files.map { case (abs, size) =>
+      val p = qualify(abs)
       p -> Array(new org.apache.hadoop.fs.FileStatus(
         size, false, 1, 128L << 20, 0L, p))
     }.toMap
@@ -448,10 +458,32 @@ object SparkInternals {
           leafFiles: Array[org.apache.hadoop.fs.FileStatus]): Unit = ()
       override def invalidateAll(): Unit = ()
     }
+    // explicit partition spec from the snapshot's own layout knowledge:
+    // no directory inference, no single-base-path assumption
+    val partSpec = partRoots.filter(_ => partCols.nonEmpty).map { roots =>
+      val partSchema = StructType(
+        partCols.map(c => physSchema(physSchema.fieldIndex(c))))
+      val leafDirs = statuses.keys.map(_.getParent).toSet.toIndexedSeq
+      val tz = spark.sessionState.conf.sessionLocalTimeZone
+      // one parse PER root (Spark's parser rejects several base dirs
+      // in one call as "conflicting structures"), merged after — the
+      // column set is pinned by partSchema so the merge is sound
+      val qRoots = roots.map(qualify)
+      val byRoot = leafDirs.groupBy(d => qRoots.find(r =>
+        d.toString == r.toString || d.toString.startsWith(r.toString + "/"))
+        .getOrElse(throw new IllegalStateException(
+          s"data file dir $d under none of the layout roots $qRoots")))
+      val parsed = byRoot.toSeq.map { case (root, dirs) =>
+        org.apache.spark.sql.execution.datasources.GraftPartitioning
+          .parse(dirs, Set(root), partSchema, tz)
+      }
+      org.apache.spark.sql.execution.datasources.PartitionSpec(
+        parsed.head.partitionColumns, parsed.flatMap(_.partitions))
+    }
     val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
       spark, statuses.keys.toIndexedSeq,
       options.asCaseSensitiveMap.asScala.toMap, Some(physSchema), cache,
-      None, None)
+      partSpec, None)
     val dataSchema = StructType(
       physSchema.fields.filterNot(f => partCols.contains(f.name)))
     org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(

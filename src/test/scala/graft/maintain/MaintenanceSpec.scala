@@ -189,6 +189,44 @@ class MaintenanceSpec extends AnyFunSuite {
       .sameElements(Array(7L, 8L)))
   }
 
+  test("rewrite_manifests re-chunks the inventory, content untouched") {
+    spark.sql("""CREATE TABLE mcat.ns1.rm (k BIGINT)
+                 TBLPROPERTIES ('graft.manifest.inline-max' = '2')""")
+    // 8 appends past the inline threshold: one delta segment each
+    (1 to 8).foreach(i => spark.sql(
+      s"INSERT INTO mcat.ns1.rm SELECT id + ${i * 10} FROM range(2)"))
+    val ident = Identifier.of(Array("ns1"), "rm")
+    def meta() = {
+      val txn = graft.catalog.Graft.beginTransaction(cat.storage)
+      val td = graft.catalog.Graft.describeTable(cat.storage, txn, "ns1", "rm")
+      graft.format.TableMetadata.read(cat.storage, td.metadataLocation)
+    }
+    val before = meta().currentSnapshot.get
+    assert(before.manifests.size >= 6, s"expected many delta segments, " +
+      s"got ${before.manifests.size}")
+    val sumBefore = spark.table("mcat.ns1.rm").groupBy().sum("k")
+      .collect()(0).getLong(0)
+    val segments = spark.sql(
+      "CALL mcat.system.rewrite_manifests('ns1', 'rm', 6)")
+      .collect()(0).getLong(0)
+    val after = meta().currentSnapshot.get
+    assert(segments == after.manifests.size.toLong)
+    val expected = ((before.totalFiles + 5) / 6).toInt // ceil(files / 6)
+    assert(after.manifests.size == expected,
+      s"expected $expected chunks for ${before.totalFiles} entries, " +
+        s"got ${after.manifests.size}")
+    assert(after.manifests.size < before.manifests.size)
+    assert(after.totalFiles == before.totalFiles &&
+      after.totalRows == before.totalRows)
+    assert(spark.table("mcat.ns1.rm").groupBy().sum("k")
+      .collect()(0).getLong(0) == sumBefore)
+    // old segments stay referenced by history until expiration — the
+    // orphan scan must not claim them while snapshots can read them
+    val orphans = Maintenance.removeOrphanFiles(cat, ident, dryRun = true)
+    assert(!orphans.exists(o => before.manifests.contains(o)),
+      s"live historical segments claimed as orphans: $orphans")
+  }
+
   test("catalog survives history expiration with a stale latest hint") {
     val before = graft.tree.TreeOps.findLatestRoot(cat.storage).get.version
     Maintenance.expireCatalogVersions(cat, keepLast = 2)

@@ -95,6 +95,18 @@ class StreamingUpsertSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, "x"), (2L, "b1"), (3L, "c"), (4L, "d2")))
   }
 
+  test("orphan cleanup never claims pending equality-delete objects") {
+    val snap = meta().currentSnapshot.get
+    assert(snap.eqDeletes.nonEmpty, "precondition: deletes still pending")
+    val removable = graft.maintain.Maintenance.removeOrphanFiles(catalog(),
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("ns"), "state"), dryRun = true)
+    assert(!removable.exists(_.endsWith("-eqdelete.parquet")),
+      s"live equality-delete objects listed as orphans: $removable")
+    // and reads still see the merged state afterwards
+    assert(spark.table("gsu.ns.state").count() == 4)
+  }
+
   test("compaction materializes equality deletes and clears the list") {
     graft.maintain.Maintenance.compactDataFiles(spark, catalog(),
       org.apache.spark.sql.connector.catalog.Identifier.of(

@@ -31,7 +31,7 @@ object Sampling {
             sum(length(col("text"))).as("sampled_chars"))
           .orderBy("lang"),
       Some("""SELECT lang, count(*) AS n_sampled,
-             |       sum(length(text)) AS sampled_chars
+             |       CAST(sum(length(text)) AS BIGINT) AS sampled_chars
              |FROM documents
              |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
              |GROUP BY lang ORDER BY lang""".stripMargin)),
@@ -56,7 +56,7 @@ object Sampling {
           .orderBy("lang", "seq_id")
       },
       Some("""SELECT lang, seq_id, count(*) AS n_docs,
-             |       sum(n_tok) AS seq_tokens
+             |       CAST(sum(n_tok) AS BIGINT) AS seq_tokens
              |FROM (
              |  SELECT lang, doc_id, n_tok,
              |         CAST(floor((sum(n_tok) OVER (PARTITION BY lang

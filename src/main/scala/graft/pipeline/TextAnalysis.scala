@@ -177,7 +177,8 @@ object TextAnalysis {
           .groupBy("lang", "keep")
           .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
           .orderBy("lang", "keep"),
-      Some("""SELECT lang, keep, count(*) AS n_docs, sum(n_tok) AS n_tokens
+      Some("""SELECT lang, keep, count(*) AS n_docs,
+             |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
              |FROM (
              |  SELECT lang, n_tok,
              |         (n_tok BETWEEN 20 AND 2000)

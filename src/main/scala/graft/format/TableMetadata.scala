@@ -196,6 +196,20 @@ final case class AddUpsert(add: Seq[DataFileEntry],
   */
 final case class RewriteManifests(chunk: Int) extends FilesEdit
 
+/** Rollback: restore a historic snapshot's ENTIRE state — inventory
+  * AND pending merge-on-read state (delete predicates, position
+  * deltas, equality deletes) — verbatim, original sequences included.
+  * Unlike [[OverwriteFiles]] nothing is re-stamped: the restored
+  * deletes scope by sequence (predicate: entry.seq <= del.seq; eq:
+  * entry.seq < del.seq), so re-stamping the restored entries with the
+  * rollback commit's own sequence would push every file out of scope
+  * and silently resurrect logically-deleted rows.
+  */
+final case class RestoreSnapshot(all: Seq[DataFileEntry],
+    deletes: Seq[DeletePredicate],
+    posDeletes: Seq[PosDeleteFile],
+    eqDeletes: Seq[EqDeleteFile]) extends FilesEdit
+
 final case class RewritePosDeletes(remove: Set[String],
     add: Seq[PosDeleteFile]) extends FilesEdit
 
@@ -296,6 +310,8 @@ final case class TableMetadata(
       case e: RewritePosDeletes => e
       // metadata relayout: entries keep their own seqs verbatim
       case e: RewriteManifests => e
+      // rollback: the restored state is the truth, sequences included
+      case e: RestoreSnapshot => e
     }
     val parentDeletes = parent.map(_.deletes).getOrElse(Seq.empty)
     val deletes = stamped match {
@@ -303,6 +319,7 @@ final case class TableMetadata(
         parentDeletes :+ DeletePredicate(if (atSeq >= 0) atSeq else seq, sql)
       // the whole inventory is replaced — nothing left to apply to
       case OverwriteFiles(_) => Seq.empty
+      case RestoreSnapshot(_, d, _, _) => d
       case _ => parentDeletes
     }
     val parentPos = parent.map(_.posDeletes).getOrElse(Seq.empty)
@@ -336,6 +353,9 @@ final case class TableMetadata(
           "position-delete rewrite references data files no longer in " +
             s"the table (concurrently rewritten?): ${missing.mkString(", ")}")
         parentPos.filterNot(p => rm(p.path)) ++ add
+      // no reference validation needed: the restored positions name
+      // files of the SAME restored inventory, present by construction
+      case RestoreSnapshot(_, _, p, _) => p
       case _ => parentPos
     }
     val parentEq = parent.map(_.eqDeletes).getOrElse(Seq.empty)
@@ -349,6 +369,7 @@ final case class TableMetadata(
         // untouched files still carry their original sequence.
         if (parent.exists(p => rm.size.toLong >= p.totalFiles)) Seq.empty
         else parentEq
+      case RestoreSnapshot(_, _, _, e) => e
       case _ => parentEq
     }
     val next = Manifests.applyEdit(storage, manifestDir, parent,
@@ -457,6 +478,13 @@ object Manifests {
           (pInline, pManifests :+ write(storage, manifestDir, add),
             pCount + ac, pRows + ar, pBytes + ab)
       case OverwriteFiles(all) =>
+        val (c, r, b) = totals(all)
+        if (all.lengthCompare(inlineMax) <= 0) (all, Seq.empty[String], c, r, b)
+        else (Seq.empty[DataFileEntry], Seq(write(storage, manifestDir, all)),
+          c, r, b)
+      case RestoreSnapshot(all, _, _, _) =>
+        // inventory-wise a restore IS an overwrite (delete state rides
+        // the snapshot's pending lists, handled by the caller)
         val (c, r, b) = totals(all)
         if (all.lengthCompare(inlineMax) <= 0) (all, Seq.empty[String], c, r, b)
         else (Seq.empty[DataFileEntry], Seq(write(storage, manifestDir, all)),

@@ -459,12 +459,16 @@ object Maintenance {
   }
 
   /** Roll a table back to an earlier snapshot by COMMITTING a new
-    * snapshot that restores the target's inventory (and clears pending
-    * deletes — the target state IS the truth). History stays linear:
-    * the rolled-back-over snapshots remain readable by id/tag until
-    * expiration, nothing is deleted, and a second rollback can undo
-    * the first. The metadata-only operator mistake-eraser: fat-finger
-    * DELETE at 100 TB, one O(metadata) commit to recover.
+    * snapshot that restores the target's ENTIRE state — inventory AND
+    * pending merge-on-read state (delete predicates, position deltas,
+    * equality deletes), original sequences included, so a target that
+    * carried unmaterialized deletes reads byte-identical after the
+    * rollback (nothing is resurrected, nothing duplicated). History
+    * stays linear: the rolled-back-over snapshots remain readable by
+    * id/tag until expiration, nothing is deleted, and a second
+    * rollback can undo the first. The metadata-only operator
+    * mistake-eraser: fat-finger DELETE at 100 TB, one O(metadata)
+    * commit to recover.
     */
   def rollbackToSnapshot(cat: GraftCatalog, ident: Identifier,
       snapshotId: Long): Long = {
@@ -476,11 +480,12 @@ object Maintenance {
     val target = meta.findSnapshot(storage, snapshotId).getOrElse(
       throw new IllegalArgumentException(
         s"no such snapshot to roll back to: $snapshotId (expired?)"))
-    // snapshots are immutable — the target inventory can't change under
-    // a commit race, so the OverwriteFiles edit replays safely
+    // snapshots are immutable — the target state can't change under a
+    // commit race, so the RestoreSnapshot edit replays safely
     commitSnapshot(cat, txn, ns, ident.name(), "rollback",
-      graft.format.OverwriteFiles(
-        graft.format.Manifests.filesOf(storage, target)))
+      graft.format.RestoreSnapshot(
+        graft.format.Manifests.filesOf(storage, target),
+        target.deletes, target.posDeletes, target.eqDeletes))
     target.id
   }
 

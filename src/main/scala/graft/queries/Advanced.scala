@@ -18,8 +18,8 @@ object Advanced {
       (s, d) => {
         // gaps-and-islands: a new session starts after >30 min idle;
         // count sessions + avg session length per event_type.
-        val ev = table(s, d, "events")
-          .withColumn("ts_us", expr("ts div 1000"))
+        val ev0 = table(s, d, "events")
+        val ev = ev0.withColumn("ts_us", QueryDef.tsUs(ev0, "ts"))
         val w = Window.partitionBy("user_id").orderBy("ts_us")
         val sessions = ev
           .withColumn("prev_us", lag("ts_us", 1).over(w))

@@ -923,10 +923,11 @@ object CatalogQueries {
         ensureCatalog(s, "gcp")
         s.sql("CREATE NAMESPACE IF NOT EXISTS gcp.ns1")
         s.sql("DROP TABLE IF EXISTS gcp.ns1.ev")
-        // events.ts arrives as raw nanos (nanosAsLong) — surface as a
-        // real timestamp for calendar partitioning
-        val src = s.read.parquet(s"$d/events.parquet")
-          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // events.ts normalized to a real (UTC) timestamp for calendar
+        // partitioning, whatever physical type the driver generated
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val src = raw
+          .withColumn("ts", timestamp_micros(graft.QueryDef.tsUs(raw, "ts")))
         src.limit(0).writeTo("gcp.ns1.ev")
           .partitionedBy(days(col("ts")), bucket(8, col("user_id")))
           .create()

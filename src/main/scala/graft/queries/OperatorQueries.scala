@@ -15,19 +15,21 @@ object OperatorQueries {
     QueryDef(
       "q31_asof_join",
       (s, d) => {
-        // for each purchase, the most recent prior click by that user
-        val ev = table(s, d, "events")
+        // for each purchase, the most recent prior click by that user;
+        // ts normalized to epoch-micros longs up front (AsOfJoin's
+        // two-cursor merge compares raw longs)
+        val ev0 = table(s, d, "events")
+        val ev = ev0.withColumn("ts_us", QueryDef.tsUs(ev0, "ts"))
         val purchases = ev.filter(col("event_type") === "purchase")
-          .select("event_id", "user_id", "ts")
+          .select("event_id", "user_id", "ts_us")
         val clicks = ev.filter(col("event_type") === "click")
-          .select(col("user_id"), col("ts"),
-            col("ts").as("click_ts"), col("value").as("click_value"))
-        AsOfJoin.join(purchases, clicks, keyCol = "user_id", tsCol = "ts",
-            valueCols = Seq("click_ts", "click_value"))
+          .select(col("user_id"), col("ts_us"),
+            col("ts_us").as("click_ts_us"), col("value").as("click_value"))
+        AsOfJoin.join(purchases, clicks, keyCol = "user_id", tsCol = "ts_us",
+            valueCols = Seq("click_ts_us", "click_value"))
           .select(
-            col("event_id"), col("user_id"),
-            expr("ts div 1000").as("ts_us"),
-            expr("click_ts div 1000").as("click_ts_us"),
+            col("event_id"), col("user_id"), col("ts_us"),
+            col("click_ts_us"),
             round(col("click_value"), 2).as("click_value"))
           .orderBy("event_id")
       },

@@ -277,10 +277,13 @@ object Relational {
     QueryDef(
       "q22_events_sessionize",
       (s, d) => {
-        // events.ts is parquet TIMESTAMP(NANOS) → read as long nanos
-        // (spark.sql.legacy.parquet.nanosAsLong); hourly tumbling agg.
-        table(s, d, "events")
-          .withColumn("hour_us", expr("(ts div 1000) div 3600000000 * 3600000000"))
+        // events.ts normalized to epoch-micros (type-robust — the
+        // driver has generated both TIMESTAMP(NANOS) and MICROS);
+        // hourly tumbling agg.
+        val ev = table(s, d, "events")
+        ev
+          .withColumn("ts_us", QueryDef.tsUs(ev, "ts"))
+          .withColumn("hour_us", expr("ts_us div 3600000000 * 3600000000"))
           .groupBy("hour_us", "event_type")
           .agg(count(lit(1)).as("n_events"),
             round(sum("value"), 2).as("total_value"),

@@ -12,19 +12,35 @@ import org.apache.spark.sql.types._
   * DuckDB oracle is the equivalent batch aggregation, so the check
   * proves the streaming pipeline computes the same answer as batch.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS) — sessions set
-  * `spark.sql.legacy.parquet.nanosAsLong=true`, so it arrives as a
-  * LongType of epoch-nanos and is converted with integer division.
+  * `events.ts` has been generated as both parquet TIMESTAMP(NANOS)
+  * (surfacing as LongType epoch-nanos under
+  * `spark.sql.legacy.parquet.nanosAsLong`) and TIMESTAMP(MICROS)
+  * (surfacing as timestamp_ntz). A streaming file source needs an
+  * explicit schema, so [[eventsTs]] probes the file's footer with a
+  * batch read (one metadata access) and returns the matching schema
+  * plus the normalizing epoch-micros expression.
   */
 object StreamingQueries {
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // epoch nanos (nanosAsLong)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  import org.apache.spark.sql.{Column, SparkSession}
+
+  /** (streaming schema matching the file, epoch-micros-of-ts column). */
+  private def eventsTs(s: SparkSession, d: String): (StructType, Column) = {
+    val tsType = s.read.option("pathGlobFilter", "events.parquet")
+      .parquet(d).schema("ts").dataType
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val tsUs = tsType match {
+      case LongType => expr("ts div 1000") // epoch nanos
+      case _ => unix_micros(col("ts").cast(TimestampType))
+    }
+    (schema, tsUs)
+  }
 
 
   /** Shared oracle for all three sessionization implementations:
@@ -57,11 +73,12 @@ object StreamingQueries {
       "st01_stream_hourly",
       (s, d) => {
         val sink = s"st01_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val (schema, tsUs) = eventsTs(s, d)
         val stream = s.readStream
-          .schema(eventsSchema)
+          .schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(d)
-          .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("event_ts", timestamp_micros(tsUs))
           .withWatermark("event_ts", "1 hour")
           .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n_events"),
@@ -95,11 +112,12 @@ object StreamingQueries {
         // The deduped stream lands in the sink, then a batch
         // aggregate over it must equal batch COUNT(DISTINCT).
         val sink = s"st04_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val (schema, tsUs) = eventsTs(s, d)
         val q = s.readStream
-          .schema(eventsSchema)
+          .schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(d)
-          .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("event_ts", timestamp_micros(tsUs))
           .withWatermark("event_ts", "1 hour")
           .dropDuplicates("user_id", "event_type")
           .writeStream
@@ -128,11 +146,12 @@ object StreamingQueries {
         import s.implicits._
         val sink = s"st02_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         val gapUs = 1800000000L
+        val (schema, tsUs) = eventsTs(s, d)
         val parsed = s.readStream
-          .schema(eventsSchema)
+          .schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(d)
-          .selectExpr("user_id", "ts div 1000 AS ts_us")
+          .select(col("user_id"), tsUs.as("ts_us"))
           .as[(Long, Long)]
         val sessions = parsed
           .groupByKey(_._1)
@@ -180,9 +199,9 @@ object StreamingQueries {
         // aggregation) — third implementation of the same semantics;
         // must agree with the window-function batch (q23) and the
         // flatMapGroupsWithState (st02) versions.
-        val ev = s.read
-          .parquet(s"$d/events.parquet")
-          .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+        val ev0 = s.read.parquet(s"$d/events.parquet")
+        val ev = ev0
+          .withColumn("event_ts", timestamp_micros(graft.QueryDef.tsUs(ev0, "ts")))
         val perSession = ev
           .groupBy(col("user_id"), session_window(col("event_ts"), "30 minutes"))
           .agg(count(lit(1)).as("n_events"))
@@ -217,8 +236,9 @@ object StreamingQueries {
                    value DOUBLE)""")
         val checkpoint =
           java.nio.file.Files.createTempDirectory("graft-st05").toString
+        val (schema, _) = eventsTs(s, d)
         val q = s.readStream
-          .schema(eventsSchema)
+          .schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(d)
           .select("event_id", "user_id", "event_type", "value")

@@ -204,11 +204,14 @@ final case class RewriteManifests(chunk: Int) extends FilesEdit
   * entry.seq < del.seq), so re-stamping the restored entries with the
   * rollback commit's own sequence would push every file out of scope
   * and silently resurrect logically-deleted rows.
+  *
+  * Carries the TARGET snapshot, so the child reuses its inline entries
+  * and manifest-segment keys verbatim: rollback is an O(1) metadata
+  * commit at any table size (segments are immutable and shared —
+  * expiration already ref-counts shared keys), never an O(table)
+  * inventory rewrite.
   */
-final case class RestoreSnapshot(all: Seq[DataFileEntry],
-    deletes: Seq[DeletePredicate],
-    posDeletes: Seq[PosDeleteFile],
-    eqDeletes: Seq[EqDeleteFile]) extends FilesEdit
+final case class RestoreSnapshot(target: Snapshot) extends FilesEdit
 
 final case class RewritePosDeletes(remove: Set[String],
     add: Seq[PosDeleteFile]) extends FilesEdit
@@ -319,7 +322,7 @@ final case class TableMetadata(
         parentDeletes :+ DeletePredicate(if (atSeq >= 0) atSeq else seq, sql)
       // the whole inventory is replaced — nothing left to apply to
       case OverwriteFiles(_) => Seq.empty
-      case RestoreSnapshot(_, d, _, _) => d
+      case RestoreSnapshot(t) => t.deletes
       case _ => parentDeletes
     }
     val parentPos = parent.map(_.posDeletes).getOrElse(Seq.empty)
@@ -355,7 +358,7 @@ final case class TableMetadata(
         parentPos.filterNot(p => rm(p.path)) ++ add
       // no reference validation needed: the restored positions name
       // files of the SAME restored inventory, present by construction
-      case RestoreSnapshot(_, _, p, _) => p
+      case RestoreSnapshot(t) => t.posDeletes
       case _ => parentPos
     }
     val parentEq = parent.map(_.eqDeletes).getOrElse(Seq.empty)
@@ -369,7 +372,7 @@ final case class TableMetadata(
         // untouched files still carry their original sequence.
         if (parent.exists(p => rm.size.toLong >= p.totalFiles)) Seq.empty
         else parentEq
-      case RestoreSnapshot(_, _, _, e) => e
+      case RestoreSnapshot(t) => t.eqDeletes
       case _ => parentEq
     }
     val next = Manifests.applyEdit(storage, manifestDir, parent,
@@ -482,13 +485,12 @@ object Manifests {
         if (all.lengthCompare(inlineMax) <= 0) (all, Seq.empty[String], c, r, b)
         else (Seq.empty[DataFileEntry], Seq(write(storage, manifestDir, all)),
           c, r, b)
-      case RestoreSnapshot(all, _, _, _) =>
-        // inventory-wise a restore IS an overwrite (delete state rides
-        // the snapshot's pending lists, handled by the caller)
-        val (c, r, b) = totals(all)
-        if (all.lengthCompare(inlineMax) <= 0) (all, Seq.empty[String], c, r, b)
-        else (Seq.empty[DataFileEntry], Seq(write(storage, manifestDir, all)),
-          c, r, b)
+      case RestoreSnapshot(t) =>
+        // the target's inline entries and segment keys carry over
+        // VERBATIM — zero manifest writes, O(1) metadata at any table
+        // size (the target's segments are immutable; expiration
+        // ref-counts keys shared across snapshots)
+        (t.files, t.manifests, t.totalFiles, t.totalRows, t.totalBytes)
       case AppendFiles(add) =>
         val (ac, ar, ab) = totals(add)
         if (pManifests.isEmpty && pCount + ac <= inlineMax)

@@ -481,11 +481,11 @@ object Maintenance {
       throw new IllegalArgumentException(
         s"no such snapshot to roll back to: $snapshotId (expired?)"))
     // snapshots are immutable — the target state can't change under a
-    // commit race, so the RestoreSnapshot edit replays safely
+    // commit race, so the RestoreSnapshot edit replays safely; the
+    // edit reuses the target's manifest segments verbatim (O(1)
+    // metadata — no inventory flatten, no manifest writes)
     commitSnapshot(cat, txn, ns, ident.name(), "rollback",
-      graft.format.RestoreSnapshot(
-        graft.format.Manifests.filesOf(storage, target),
-        target.deletes, target.posDeletes, target.eqDeletes))
+      graft.format.RestoreSnapshot(target))
     target.id
   }
 

@@ -74,6 +74,14 @@ private[spark] object GraftChanges {
     val entries = Manifests.filesOf(storage, s)
     val sPaths = entries.map(_.path).toSet
     val removed = parentPaths.diff(sPaths)
+    // a rollback restores a historic snapshot's ENTIRE state (possibly
+    // pending merge-on-read deletes) — not derivable per-file even when
+    // its file diff is add-only or empty (an un-delete restores rows
+    // without touching a single file)
+    if (s.operation == "rollback") throw new UnsupportedOperationException(
+      s"change feed of $tableName hit rollback snapshot ${s.id}, which " +
+        "restores historic state; derive that range logically with " +
+        "TableChanges.between and resume past it")
     if (removed.nonEmpty) throw new UnsupportedOperationException(
       s"change feed of $tableName hit snapshot ${s.id} (${s.operation}) " +
         "that rewrote or removed data files; derive that range with " +

@@ -63,6 +63,39 @@ object TableChanges {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).option("basePath", dataRoot)
         .parquet(files.map(f => storage.absolute(f.path)): _*)
+    // A rollback RESTORES a historic snapshot's entire state — possibly
+    // including pending merge-on-read deletes. The file-diff derivation
+    // below is wrong across one: restored files scanned raw would emit
+    // logically-deleted rows as inserts, and an un-delete rollback (the
+    // restored delete list a subset of the parent's) has no file diff
+    // at all. Ranges containing a rollback therefore diff the two
+    // ENDPOINT snapshots logically, each read with its own residuals
+    // applied — a 2-snapshot scan, the honest net-change answer.
+    val rangeSnaps = meta.allSnapshots(storage)
+      .filter(s => s.id > startSnapshotId && s.id <= endId)
+    if (rangeSnaps.exists(_.operation == "rollback")) {
+      def liveRows(id: Long): DataFrame =
+        if (id < 0)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else {
+          val snap = meta.findSnapshot(storage, id).getOrElse(
+            throw new IllegalArgumentException(
+              s"no such snapshot on ${ident.name()}: $id (expired?)"))
+          MorDeletes.readEntries(spark, schema, Some(dataRoot),
+            Manifests.filesOf(storage, snap)
+              .map(f => (storage.absolute(f.path), f)),
+            snap.deletes,
+            snap.posDeletes.map(p => storage.absolute(p.path)),
+            eqDeletes = snap.eqDeletes.map(p => (storage.absolute(p.path), p)))
+        }
+      val startLive = liveRows(startSnapshotId)
+      val endLive = liveRows(endId)
+      return endLive.exceptAll(startLive)
+        .withColumn(ChangeTypeColumn, lit("insert"))
+        .unionAll(startLive.exceptAll(endLive)
+          .withColumn(ChangeTypeColumn, lit("delete")))
+    }
     val inserts = scan(added)
     val deletes = scan(removed)
     // merge-on-read deletes are file-invisible (the commit only adds a
@@ -71,8 +104,6 @@ object TableChanges {
     // (a row two stacked deletes both match is emitted once, by the
     // first)
     val morDeleted: Option[DataFrame] = {
-      val rangeSnaps = meta.allSnapshots(storage)
-        .filter(s => s.id > startSnapshotId && s.id <= endId)
       val dfs = rangeSnaps.flatMap { s =>
         meta.findSnapshot(storage, s.parentId).toSeq.flatMap { parent =>
           val prior = parent.deletes.toSet

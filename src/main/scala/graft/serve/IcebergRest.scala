@@ -13,12 +13,13 @@ import org.apache.spark.sql.types._
   * string ARRAYS, tables load as `{"metadata-location", "metadata",
   * "config"}`, schemas carry assigned field IDs at every depth.
   *
-  * graft's native snapshot log replaces Iceberg's manifest tree, so
-  * `manifest-list` is served empty — external engines get full
-  * METADATA interop (discovery, schemas, snapshot history,
-  * properties); the data plane rides engines that speak graft
-  * natively. That matches the reference scope: its REST server also
-  * serves metadata only, data files ride the engine.
+  * graft's native snapshot log replaces Iceberg's manifest tree
+  * internally; for interop the facade derives REAL avro manifest
+  * lists/manifests per snapshot ([[IcebergManifests]]) so external
+  * engines plan the actual file inventory. Tables with pending
+  * merge-on-read deletes are REFUSED at load (HTTP 400) — this format
+  * cannot represent them, and serving the raw inventory would
+  * resurrect deleted rows in the external engine's results.
   */
 object IcebergRest {
 
@@ -142,9 +143,18 @@ object IcebergRest {
 
   // ---- LoadTableResult ----
 
-  /** Iceberg v2 table-metadata JSON from graft's snapshot log. */
+  /** Iceberg v2 table-metadata JSON from graft's snapshot log.
+    *
+    * `manifestLists` maps snapshot id → absolute path of a REAL avro
+    * manifest list ([[IcebergManifests.ensure]]); snapshots without
+    * one (pending merge-on-read state — unrepresentable) are omitted
+    * from the served history rather than served with an empty
+    * inventory an external engine would silently misread as an empty
+    * table.
+    */
   def tableMetadataJson(td: TableDef, meta: TableMetadata,
-      metadataLocation: String, dataLocation: String): ObjectNode = {
+      metadataLocation: String, dataLocation: String,
+      manifestLists: Map[Long, String] = Map.empty): ObjectNode = {
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     val (schemaNode, lastColId) = toIcebergSchema(schema)
     val m = mapper.createObjectNode()
@@ -153,7 +163,8 @@ object IcebergRest {
       java.util.UUID.nameUUIDFromBytes(
         s"${td.namespaceName}.${td.name}".getBytes("UTF-8")).toString)
     m.put("location", dataLocation)
-    m.put("last-sequence-number", meta.snapshots.size.toLong)
+    m.put("last-sequence-number",
+      meta.snapshots.map(_.seq).maxOption.getOrElse(0L))
     m.put("last-updated-ms",
       meta.snapshots.lastOption.map(_.timestampMillis)
         .getOrElse(System.currentTimeMillis()))
@@ -185,12 +196,17 @@ object IcebergRest {
     val props = m.putObject("properties")
     td.properties.foreach { case (k, v) => props.put(k, v) }
     m.put("current-snapshot-id", meta.currentSnapshotId)
+    // only snapshots with a real manifest list are representable;
+    // serving the rest would hand external engines an inventory of
+    // zero files with no error
+    val servable = meta.snapshots.filter(s => manifestLists.contains(s.id))
     val snaps = m.putArray("snapshots")
-    meta.snapshots.foreach { s =>
+    servable.foreach { s =>
       val sn = snaps.addObject()
       sn.put("snapshot-id", s.id)
-      if (s.parentId >= 0) sn.put("parent-snapshot-id", s.parentId)
-      sn.put("sequence-number", s.id)
+      if (s.parentId >= 0 && servable.exists(_.id == s.parentId))
+        sn.put("parent-snapshot-id", s.parentId)
+      sn.put("sequence-number", s.seq)
       sn.put("timestamp-ms", s.timestampMillis)
       val sum = sn.putObject("summary")
       sum.put("operation", icebergOp(s.operation))
@@ -198,21 +214,21 @@ object IcebergRest {
       sum.put("total-records", s.totalRows.toString)
       sum.put("total-files-size", s.totalBytes.toString)
       sn.put("schema-id", 0)
-      // graft's snapshot log IS the file inventory; no avro manifests
-      sn.put("manifest-list", "")
+      sn.put("manifest-list", manifestLists(s.id))
     }
     val log = m.putArray("snapshot-log")
-    meta.snapshots.foreach { s =>
+    servable.foreach { s =>
       val e = log.addObject()
       e.put("snapshot-id", s.id)
       e.put("timestamp-ms", s.timestampMillis)
     }
     m.putArray("metadata-log")
     val refs = m.putObject("refs")
-    meta.refs.foreach { case (name, sid) =>
-      val r = refs.putObject(name)
-      r.put("snapshot-id", sid)
-      r.put("type", "tag")
+    meta.refs.filter(r => manifestLists.contains(r._2)).foreach {
+      case (name, sid) =>
+        val r = refs.putObject(name)
+        r.put("snapshot-id", sid)
+        r.put("type", "tag")
     }
     m
   }
@@ -235,11 +251,13 @@ object IcebergRest {
   }
 
   def loadTableResult(td: TableDef, meta: TableMetadata,
-      metadataLocation: String, dataLocation: String): String = {
+      metadataLocation: String, dataLocation: String,
+      manifestLists: Map[Long, String] = Map.empty): String = {
     val r = mapper.createObjectNode()
     r.put("metadata-location", metadataLocation)
     r.set("metadata",
-      tableMetadataJson(td, meta, metadataLocation, dataLocation))
+      tableMetadataJson(td, meta, metadataLocation, dataLocation,
+        manifestLists))
     r.putObject("config")
     r.toString
   }

@@ -162,6 +162,119 @@ class IcebergRestSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("loads serve real avro manifests; pending-MoR tables are refused") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.dp")
+    spark.sql("""CREATE TABLE ir.dp.cow (k BIGINT, region STRING)
+                 PARTITIONED BY (region)""")
+    spark.sql("INSERT INTO ir.dp.cow VALUES (1, 'eu'), (2, 'us')")
+    spark.sql("INSERT INTO ir.dp.cow VALUES (3, 'eu')")
+    val (server, port) = startServer()
+    try {
+      val base = "/v1/iceberg"
+      val (c, load) = send(port, "GET", s"$base/namespaces/dp/tables/cow")
+      assert(c == 200, load)
+      val md = Json.mapper.readTree(load).get("metadata")
+      val snaps = md.get("snapshots")
+      assert(snaps.size() == 2)
+      // every served snapshot points at a real, existing manifest list
+      (0 until snaps.size()).foreach { i =>
+        val ml = snaps.get(i).get("manifest-list").asText()
+        assert(ml.nonEmpty && new java.io.File(ml).isFile, ml)
+      }
+      // walk the CURRENT snapshot's manifest tree back with plain avro
+      // — an external engine's planning path: manifest list → manifests
+      // → data files
+      val currentId = md.get("current-snapshot-id").asLong()
+      val ml = (0 until snaps.size()).map(snaps.get)
+        .find(_.get("snapshot-id").asLong() == currentId).get
+        .get("manifest-list").asText()
+      val manifests = readAvro(ml)
+      assert(manifests.nonEmpty)
+      var totalRows = 0L
+      val regions = scala.collection.mutable.ArrayBuffer.empty[String]
+      manifests.foreach { m =>
+        val path = m.get("manifest_path").toString
+        assert(new java.io.File(path).length() ==
+          m.get("manifest_length").asInstanceOf[Long])
+        readAvro(path).foreach { e =>
+          val df = e.get("data_file")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          val fp = df.get("file_path").toString
+          assert(new java.io.File(fp).isFile, s"planned file missing: $fp")
+          totalRows += df.get("record_count").asInstanceOf[Long]
+          val part = df.get("partition")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          regions += Option(part.get("region")).map(_.toString).orNull
+        }
+      }
+      assert(totalRows == 3, "planned inventory covers every live row")
+      assert(regions.forall(_ != null) && regions.toSet == Set("eu", "us"),
+        s"identity partition values served: $regions")
+
+      // a manifest-segmented table (inventory past inline-max) reuses
+      // graft's immutable segments 1:1; a second load writes nothing new
+      spark.sql("""CREATE TABLE ir.dp.seg (k BIGINT)
+                   TBLPROPERTIES ('graft.manifest.inline-max' = '2')""")
+      (1 to 3).foreach(i =>
+        spark.sql(s"INSERT INTO ir.dp.seg VALUES ($i), (${i + 10})"))
+      val (c1, load1) = send(port, "GET", s"$base/namespaces/dp/tables/seg")
+      assert(c1 == 200)
+      val icebergDir = new java.io.File(s"$warehouse/data/dp/seg/meta/iceberg")
+      val afterFirst = icebergDir.list().sorted.toSeq
+      val (c2, load2) = send(port, "GET", s"$base/namespaces/dp/tables/seg")
+      assert(c2 == 200 && load1 == load2)
+      assert(icebergDir.list().sorted.toSeq == afterFirst,
+        "reload writes no new objects — manifests are immutable & cached")
+
+      // a pending merge-on-read delete makes the table unservable: the
+      // load is refused loudly instead of resurrecting deleted rows in
+      // an external engine
+      spark.sql("""CREATE TABLE ir.dp.mor (k BIGINT)
+                   TBLPROPERTIES ('graft.delete.mode' = 'merge-on-read')""")
+      spark.sql("INSERT INTO ir.dp.mor SELECT id FROM range(10)")
+      spark.sql("DELETE FROM ir.dp.mor WHERE k >= 5")
+      val (cm, err) = send(port, "GET", s"$base/namespaces/dp/tables/mor")
+      assert(cm == 400, err)
+      assert(err.contains("merge-on-read"), err)
+      // compaction materializes the deletes: the load works again and
+      // the unrepresentable middle snapshot is omitted from history
+      graft.maintain.Maintenance.compactDataFiles(spark,
+        spark.sessionState.catalogManager.catalog("ir")
+          .asInstanceOf[GraftCatalog],
+        org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("dp"), "mor"), targetFiles = 1)
+      val (cr, load3) = send(port, "GET", s"$base/namespaces/dp/tables/mor")
+      assert(cr == 200, load3)
+      val md3 = Json.mapper.readTree(load3).get("metadata")
+      val snaps3 = md3.get("snapshots")
+      val servedIds = (0 until snaps3.size()).map(snaps3.get(_)
+        .get("snapshot-id").asLong())
+      assert(servedIds.contains(md3.get("current-snapshot-id").asLong()))
+      assert(snaps3.size() == 2,
+        s"append + compact served, mor-delete snapshot omitted: $servedIds")
+      val mlCur = (0 until snaps3.size()).map(snaps3.get)
+        .find(_.get("snapshot-id").asLong() ==
+          md3.get("current-snapshot-id").asLong()).get
+        .get("manifest-list").asText()
+      val curRows = readAvro(mlCur).flatMap(m =>
+        readAvro(m.get("manifest_path").toString)).map(_.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("record_count").asInstanceOf[Long]).sum
+      assert(curRows == 5, "post-compaction inventory reflects the deletes")
+    } finally server.stop()
+  }
+
+  private def readAvro(path: String): Seq[org.apache.avro.generic.GenericRecord] = {
+    val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      new java.io.File(path),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.avro.generic.GenericRecord]
+      while (r.hasNext) out += r.next()
+      out.toSeq
+    } finally r.close()
+  }
+
   private def collectIds(node: com.fasterxml.jackson.databind.JsonNode): Seq[Int] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     def walk(n: com.fasterxml.jackson.databind.JsonNode): Unit = {

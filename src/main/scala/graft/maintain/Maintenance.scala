@@ -40,21 +40,27 @@ object Maintenance {
     val storage = cat.storage
     val txn = Graft.beginTransaction(storage)
     val ns = ident.namespace()(0)
-    val td = Graft.describeTable(storage, txn, ns, ident.name())
+    // `t$branch_x` compacts the BRANCH: reads its head state,
+    // overwrites its inventory, advances its ref — main untouched
+    // (write-audit-publish needs audited FIXES compacted in place)
+    val (t, branch) = graft.spark.GraftCatalog.splitBranch(ident.name())
+    val td = Graft.describeTable(storage, txn, ns, t)
     val sortCols =
       if (sortBy.nonEmpty) sortBy
       else td.properties.get(graft.spark.GraftCatalog.SortColsProp)
         .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(Seq.empty)
     val meta = TableMetadata.read(storage, td.metadataLocation)
-    val current = meta.currentFiles(storage)
+    val headSnap = meta.headSnapshot(storage, branch)
+    val current = headSnap
+      .map(graft.format.Manifests.filesOf(storage, _)).getOrElse(Seq.empty)
     val before = current.size
     val pendingDeletes =
-      meta.currentSnapshot.map(_.deletes).getOrElse(Seq.empty)
+      headSnap.map(_.deletes).getOrElse(Seq.empty)
     val pendingPosDeletes =
-      meta.currentSnapshot.map(_.posDeletes).getOrElse(Seq.empty)
+      headSnap.map(_.posDeletes).getOrElse(Seq.empty)
     val pendingEqDeletes =
-      meta.currentSnapshot.map(_.eqDeletes).getOrElse(Seq.empty)
+      headSnap.map(_.eqDeletes).getOrElse(Seq.empty)
     // a sorted rewrite is worth doing even at the target file count —
     // its point is range disjointness, not bin-packing; pending
     // merge-on-read deletes (predicates AND position deltas) also
@@ -67,13 +73,14 @@ object Maintenance {
     // partitioned tables (their files don't carry those columns);
     // pending mor deletes are applied at read, so the rewrite
     // materializes them and the overwrite commit clears the list
-    val dataRoot = storage.absolute(FileLocations.tableDataDir(ns, ident.name()))
+    val dataRoot = storage.absolute(FileLocations.tableDataDir(ns, t))
     val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val df = graft.spark.MorDeletes.readEntries(spark, schema, Some(dataRoot),
       current.map(f => (storage.absolute(f.path), f)), pendingDeletes,
       pendingPosDeletes.map(p => storage.absolute(p.path)),
-      eqDeletes = pendingEqDeletes.map(p => (storage.absolute(p.path), p)))
+      eqDeletes = pendingEqDeletes.map(p => (storage.absolute(p.path), p)),
+      posDeleteBytes = pendingPosDeletes.map(_.sizeBytes).sum)
     val spec = graft.spark.GraftCatalog.specOf(td.properties)
     val identCols = spec.filter(_.isIdentity).map(_.col)
     // `sort_by => 'zorder(a,b,…)'` range-clusters on the interleaved
@@ -107,9 +114,9 @@ object Maintenance {
       else df.repartition(identCols.map(col): _*)
         .sortWithinPartitions((identCols ++ sortCols).map(col): _*)
     val newFiles = graft.spark.GraftCatalog.commitDataFiles(
-      compacted, spec, storage, ns, ident.name())
-    commitSnapshot(cat, txn, ns, ident.name(), "compact",
-      graft.format.OverwriteFiles(newFiles))
+      compacted, spec, storage, ns, t)
+    commitSnapshot(cat, txn, ns, t, "compact",
+      graft.format.OverwriteFiles(newFiles), branch)
     CompactionResult(before, newFiles.size)
   }
 
@@ -291,6 +298,14 @@ object Maintenance {
     expired
   }
 
+  /** Above this many live files the data-dir orphan scan runs as a
+    * Spark job (prefix-parallel LIST + shuffle anti-join) instead of
+    * a driver-side recursive listing + in-memory set difference. At
+    * 100 TB (10⁶–10⁷ objects) the driver never holds the file
+    * inventory; it holds one first-level prefix list.
+    */
+  val OrphanScanDriverMax = 4096L
+
   /** Data files under the table's directory — and manifest segments
     * under its manifests dir — that no retained snapshot references
     * (a commit that lost its root race leaves both: the replay writes
@@ -298,27 +313,65 @@ object Maintenance {
     * relative paths.
     */
   def removeOrphanFiles(cat: GraftCatalog, ident: Identifier,
-      dryRun: Boolean = false): Seq[String] = {
+      dryRun: Boolean = false,
+      distributeOver: Long = OrphanScanDriverMax): Seq[String] = {
     val storage = cat.storage
     val txn = Graft.beginTransaction(storage)
     val ns = ident.namespace()(0)
     val td = Graft.describeTable(storage, txn, ns, ident.name())
     val meta = TableMetadata.read(storage, td.metadataLocation)
     val history = meta.allSnapshots(storage)
+    val dataDir = FileLocations.tableDataDir(ns, ident.name())
     // position- and equality-delete objects are .parquet under the
     // data dir too — ones pending at any retained snapshot are LIVE
-    // references, not orphans
-    val referenced = history
-      .flatMap(graft.format.Manifests.filesOf(storage, _)).map(_.path).toSet ++
-      history.flatMap(_.posDeletes).map(_.path).toSet ++
-      history.flatMap(_.eqDeletes).map(_.path).toSet
-    val dataDir = FileLocations.tableDataDir(ns, ident.name())
-    val onDisk = storage.listDeep(dataDir).filter(_.endsWith(".parquet"))
-    val refManifests = history.flatMap(_.manifests).toSet
+    // references, not orphans. Inline entries and pending-delete lists
+    // are driver-small by construction; only segment manifests and the
+    // recursive data listing grow with the table.
+    val inlineRef = history.flatMap(_.files).map(_.path) ++
+      history.flatMap(_.posDeletes).map(_.path) ++
+      history.flatMap(_.eqDeletes).map(_.path)
+    val segKeys = history.flatMap(_.manifests).distinct
+    val sconf = storage.reopenConf
+    val spark = org.apache.spark.sql.SparkSession.getActiveSession
+      .filter(_ => sconf.reopenable)
+      .filter(_ =>
+        history.map(_.totalFiles).maxOption.getOrElse(0L) > distributeOver)
+    val orphanData: Seq[String] = spark match {
+      case Some(s) =>
+        // prefix-parallel scan: the driver lists ONE directory level,
+        // executors list their prefixes and read their manifest
+        // segments, and the set difference is a shuffle anti-join —
+        // no task (and no driver) ever holds the full inventory
+        val sc = s.sparkContext
+        val prefixes = storage.listCommonPrefixes(dataDir)
+        val par = math.max(1, math.min(
+          math.max(prefixes.size, segKeys.size), sc.defaultParallelism * 2))
+        val topLevel = storage.listPrefix(dataDir) // files at the root
+        val onDisk = sc.parallelize(prefixes, par).mapPartitions { it =>
+          val st = sconf.create()
+          it.flatMap(p => st.listDeep(p).filter(_.endsWith(".parquet")))
+        } ++ sc.parallelize(topLevel.filter(_.endsWith(".parquet")),
+          math.max(1, math.min(topLevel.size, par)))
+        val live = (if (segKeys.isEmpty) sc.emptyRDD[String]
+          else sc.parallelize(segKeys, math.min(segKeys.size, par))
+            .mapPartitions { it =>
+              val st = sconf.create()
+              it.flatMap(k => graft.format.Manifests.read(st, k).map(_.path))
+            }) ++ sc.parallelize(inlineRef.distinct,
+            math.max(1, math.min(math.max(inlineRef.size, 1), par)))
+        onDisk.subtract(live).collect().toSeq.sorted
+      case None =>
+        val referenced = inlineRef.toSet ++
+          segKeys.flatMap(graft.format.Manifests.read(storage, _))
+            .map(_.path)
+        storage.listDeep(dataDir).filter(_.endsWith(".parquet"))
+          .filterNot(referenced)
+    }
+    val refManifests = segKeys.toSet
     val refSnaplogs = meta.snapshotLog.map(_.key).toSet
     val manifestDirList =
       storage.listDeep(GraftCatalog.tableManifestDir(ns, ident.name()))
-    val orphans = onDisk.filterNot(referenced) ++
+    val orphans = orphanData ++
       manifestDirList.filter(_.endsWith(".manifest.json"))
         .filterNot(refManifests) ++
       manifestDirList.filter(_.endsWith(".snaplog.json"))
@@ -709,14 +762,15 @@ object Maintenance {
 
   private def commitSnapshot(cat: GraftCatalog, txn: graft.txn.Transaction,
       ns: String, table: String, op: String,
-      edit: graft.format.FilesEdit): Unit =
+      edit: graft.format.FilesEdit,
+      branch: Option[String] = None): Unit =
     commitMetaEdit(cat, ns, table, op, Some(txn)) { (s, td, meta) =>
       val inlineMax = td.properties.get(graft.format.Manifests.InlineMaxProp)
         .map(_.toInt).getOrElse(graft.format.Manifests.InlineMaxDefault)
       val snapsInlineMax = td.properties.get(graft.format.SnapshotLog.InlineMaxProp)
         .map(_.toInt).getOrElse(graft.format.SnapshotLog.InlineMaxDefault)
       meta.withSnapshotEdit(s, GraftCatalog.tableManifestDir(ns, table), op,
-        edit, inlineMax, snapsInlineMax)
+        edit, inlineMax, snapsInlineMax, branch)
     }
 
   /** Commit one table-metadata transformation through the optimistic

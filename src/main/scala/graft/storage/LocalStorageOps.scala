@@ -85,6 +85,17 @@ class LocalStorageOps(val root: String) extends StorageOps {
     }
   }
 
+  override def listCommonPrefixes(prefix: String): Seq[String] = {
+    val dir = p(prefix)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Using.resource(Files.list(dir)) { stream =>
+      stream.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(f => rootPath.relativize(f).toString)
+        .toSeq.sorted
+    }
+  }
+
   override def move(srcRel: String, dstRel: String): Unit = {
     val dst = p(dstRel)
     Files.createDirectories(dst.getParent)

@@ -176,6 +176,20 @@ class DirectoryObjectStoreClient(val backingDir: String) extends ObjectStoreClie
     }
   }
 
+  /** One-level subdirectory listing (the delimiter LIST's common
+    * prefixes, answered natively by the filesystem).
+    */
+  def listDirectories(prefix: String): Seq[String] = {
+    val d = p(prefix)
+    if (!Files.isDirectory(d)) Seq.empty
+    else Using.resource(Files.list(d)) { stream =>
+      stream.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(f => dir.relativize(f).toString)
+        .toSeq.sorted
+    }
+  }
+
   override def listDeep(prefix: String): Seq[String] = {
     val d = p(prefix)
     if (!Files.isDirectory(d)) Seq.empty
@@ -276,6 +290,15 @@ class ObjectStoreOps(val client: ObjectStoreClient) extends StorageOps {
     val p = if (prefix.endsWith("/")) prefix else prefix + "/"
     client.listDeep(p)
   }
+
+  override def listCommonPrefixes(prefix: String): Seq[String] =
+    client match {
+      // a directory store answers the delimiter LIST natively — one
+      // readdir instead of a recursive walk
+      case d: DirectoryObjectStoreClient =>
+        d.listDirectories(if (prefix.endsWith("/")) prefix else prefix + "/")
+      case _ => super.listCommonPrefixes(prefix)
+    }
 
   override def move(srcRel: String, dstRel: String): Unit = {
     client.copy(srcRel, dstRel)

@@ -39,6 +39,23 @@ trait StorageOps {
     */
   def reopenConf: StorageConf
 
+  /** One-level "directory" listing under `prefix` — the common
+    * prefixes an S3 LIST with `delimiter=/` would return (relative,
+    * no trailing slash). Drives prefix-parallel fan-out (distributed
+    * orphan scans) without a full recursive listing on the driver.
+    * Backends override with a native delimiter listing; this default
+    * derives from `listDeep` for stores that have nothing better.
+    */
+  def listCommonPrefixes(prefix: String): Seq[String] = {
+    val p = if (prefix.isEmpty || prefix.endsWith("/")) prefix
+      else prefix + "/"
+    listDeep(prefix).flatMap { k =>
+      val rest = k.drop(p.length)
+      val i = rest.indexOf('/')
+      if (i < 0) None else Some(p + rest.substring(0, i))
+    }.distinct.sorted
+  }
+
   /** Create-if-absent; throws [[AtomicSealFailureException]] when the
     * target already exists. MUST be atomic: concurrent writers see
     * exactly one winner.

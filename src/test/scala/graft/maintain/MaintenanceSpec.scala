@@ -248,4 +248,45 @@ class MaintenanceSpec extends AnyFunSuite {
     // full current state still readable
     assert(spark.table("mcat.ns1.h").count() == 3)
   }
+
+  test("orphan scan distributes by prefix: Spark job, not a driver walk") {
+    spark.sql("""CREATE TABLE mcat.ns1.od (k BIGINT, region STRING)
+                 PARTITIONED BY (region)""")
+    spark.sql("INSERT INTO mcat.ns1.od VALUES " +
+      "(1, 'r1'), (2, 'r2'), (3, 'r3'), (4, 'r4')")
+    val ident = Identifier.of(Array("ns1"), "od")
+    // plant orphans across several prefixes — including one whose
+    // entire directory no retained snapshot ever referenced
+    val dataDir = "data/ns1/od/files"
+    cat.storage.writeAtomic(s"$dataDir/region=r1/orphan-a.parquet",
+      Array[Byte](1, 2, 3))
+    cat.storage.writeAtomic(s"$dataDir/region=zz/orphan-b.parquet",
+      Array[Byte](4, 5, 6))
+    cat.storage.writeAtomic(s"$dataDir/orphan-top.parquet",
+      Array[Byte](7))
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // distributeOver = 0 forces the prefix-parallel path at any size
+      val removed = Maintenance.removeOrphanFiles(cat, ident,
+        distributeOver = 0L)
+      val removedData = removed.filter(_.endsWith(".parquet"))
+      assert(removedData.toSet == Set(
+        s"$dataDir/region=r1/orphan-a.parquet",
+        s"$dataDir/region=zz/orphan-b.parquet",
+        s"$dataDir/orphan-top.parquet"), s"removed: $removedData")
+      // the anti-join ran as Spark work (listener bus is async — poll)
+      val deadline = System.currentTimeMillis() + 10000
+      while (jobs == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(jobs > 0, "expected a listener-observed Spark job")
+      // every live row survives the cleanup
+      assert(spark.table("mcat.ns1.od").count() == 4)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

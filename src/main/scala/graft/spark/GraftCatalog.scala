@@ -776,7 +776,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit = {
     require(exprs.nonEmpty, "merge-on-read delete needs a predicate")
     val ns = ns1(ident.namespace())
-    val t = ident.name()
+    val (t, branch) = GraftCatalog.splitBranch(ident.name())
     inTxn { txn =>
       val td = Graft.describeTable(storage, txn, ns, t)
       val meta = TableMetadata.read(storage, td.metadataLocation)
@@ -785,14 +785,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       val cond = exprs.reduce(
         org.apache.spark.sql.catalyst.expressions.And(_, _))
       val sql = ColumnMapping.toPhysicalExpr(cond, renames).sql
-      // bind to the OBSERVED sequence: if this commit loses a race and
+      // bind to the OBSERVED sequence (of the branch head when
+      // deleting on a branch): if this commit loses a race and
       // replays on the winner's tree, the racing append's files stay
       // out of the predicate's scope (same replay semantics as the
       // copy-on-write path, which only swaps the files it scanned)
-      val atSeq = meta.currentSnapshot.map(_.seq).getOrElse(0L)
+      val atSeq = meta.headSnapshot(storage, branch).map(_.seq).getOrElse(0L)
       val edit = graft.format.AddDeletePredicate(sql, atSeq)
-      applyFilesCommit(storage, txn.runningRoot, ns, t, "delete", edit)
-      txn.replays += ((s, r) => applyFilesCommit(s, r, ns, t, "delete", edit))
+      applyFilesCommit(storage, txn.runningRoot, ns, t, "delete", edit, branch)
+      txn.replays += ((s, r) =>
+        applyFilesCommit(s, r, ns, t, "delete", edit, branch))
       val cd = Graft.catalogDef(storage, txn.runningRoot)
       txn.record(Action(ActionType.TableDelete,
         ObjectKeys.tableKey(ns, t, cd), Map("predicate" -> sql)))
@@ -815,7 +817,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       wholeFileExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
         Seq.empty): Unit = {
     val ns = ns1(ident.namespace())
-    val t = ident.name()
+    val (t, branch) = GraftCatalog.splitBranch(ident.name())
     val (meta, spec, schema) = inTxn { txn =>
       val td = Graft.describeTable(storage, txn, ns, t)
       val m = TableMetadata.read(storage, td.metadataLocation)
@@ -827,7 +829,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val renames = ColumnMapping.renames(schema)
     val physSchema = ColumnMapping.toPhysical(schema)
     val physPrune = pruneExprs.map(ColumnMapping.toPhysicalExpr(_, renames))
-    val current = meta.currentFiles(storage)
+    // branch targets read (and later replace) the BRANCH head's state
+    val headSnap = meta.headSnapshot(storage, branch)
+    val current = headSnap
+      .map(graft.format.Manifests.filesOf(storage, _)).getOrElse(Seq.empty)
     val touched =
       if (physPrune.isEmpty) current
       else current.filter(f =>
@@ -852,13 +857,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     // pending merge-on-read deletes are applied at READ time so a
     // rewrite can never resurrect logically-deleted rows (the rewrite's
     // output files re-sequence; old predicates stop applying to them)
-    val pendingDeletes = meta.currentSnapshot.map(_.deletes).getOrElse(Seq.empty)
+    val pendingDeletes = headSnap.map(_.deletes).getOrElse(Seq.empty)
     val partialPaths = partial.map(_.path).toSet
-    val posDeleteAbs = meta.currentSnapshot.map(_.posDeletes)
+    val applicablePos = headSnap.map(_.posDeletes)
       .getOrElse(Seq.empty)
       .filter(_.dataFiles.exists(partialPaths))
-      .map(p => storage.absolute(p.path))
-    val pendingEq = meta.currentSnapshot.map(_.eqDeletes).getOrElse(Seq.empty)
+    val posDeleteAbs = applicablePos.map(p => storage.absolute(p.path))
+    val posDeleteBytes = applicablePos.map(_.sizeBytes).sum
+    val pendingEq = headSnap.map(_.eqDeletes).getOrElse(Seq.empty)
       .map(p => (storage.absolute(p.path), p))
     // commit as a REPLACE of only the touched files: untouched files
     // (and, past the inline threshold, untouched manifest SEGMENTS)
@@ -869,7 +875,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       if (partial.isEmpty) Seq.empty // metadata-only delete: no job
       else {
         val physDf = MorDeletes.readEntries(spark, physSchema, basePath,
-          tuples, pendingDeletes, posDeleteAbs, eqDeletes = pendingEq)
+          tuples, pendingDeletes, posDeleteAbs, eqDeletes = pendingEq,
+          posDeleteBytes = posDeleteBytes)
         val logicalDf = renames.foldLeft(physDf) {
           case (df, (logical, physical)) =>
             df.withColumnRenamed(physical, logical)
@@ -878,9 +885,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           Some(schema))
       }
     inTxn { txn =>
-      applyReplaceCommit(storage, txn.runningRoot, ns, t, op, replaced, newFiles)
+      applyReplaceCommit(storage, txn.runningRoot, ns, t, op, replaced,
+        newFiles, branch)
       txn.replays += ((s, r) =>
-        applyReplaceCommit(s, r, ns, t, op, replaced, newFiles))
+        applyReplaceCommit(s, r, ns, t, op, replaced, newFiles, branch))
       val cd = Graft.catalogDef(storage, txn.runningRoot)
       txn.record(Action(actionType, ObjectKeys.tableKey(ns, t, cd), Map.empty))
     }
@@ -913,11 +921,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       return
     }
     val ns = ns1(ident.namespace())
-    val t = ident.name()
+    // `t$branch_x` row-level rewrites replace files ON THE BRANCH: the
+    // scan already read the branch-pinned state, the commit advances
+    // the branch ref and leaves main untouched
+    val (t, branch) = GraftCatalog.splitBranch(ident.name())
     inTxn { txn =>
-      applyReplaceCommit(storage, txn.runningRoot, ns, t, op, replaced, newFiles)
+      applyReplaceCommit(storage, txn.runningRoot, ns, t, op, replaced,
+        newFiles, branch)
       txn.replays += ((s, r) =>
-        applyReplaceCommit(s, r, ns, t, op, replaced, newFiles))
+        applyReplaceCommit(s, r, ns, t, op, replaced, newFiles, branch))
       val cd = Graft.catalogDef(storage, txn.runningRoot)
       txn.record(Action(actionType, ObjectKeys.tableKey(ns, t, cd),
         Map("files" -> newFiles.map(_.path).mkString(",")) ++
@@ -1005,9 +1017,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     */
   private def applyReplaceCommit(s: StorageOps, root: TreeRoot, ns: String,
       t: String, op: String, replaced: Set[String],
-      newFiles: Seq[graft.format.DataFileEntry]): Unit =
+      newFiles: Seq[graft.format.DataFileEntry],
+      branch: Option[String] = None): Unit =
     applyFilesCommit(s, root, ns, t, op,
-      graft.format.ReplaceFiles(replaced, newFiles))
+      graft.format.ReplaceFiles(replaced, newFiles), branch)
 
   private def applyFilesCommit(s: StorageOps, root: TreeRoot, ns: String,
       t: String, op: String, edit: graft.format.FilesEdit,

@@ -275,6 +275,23 @@ private[graft] object MorDeletes {
     * With `exposePos` the result keeps [[GFile]]/[[GPos] ]columns for
     * callers that need the row id (CDC joins).
     */
+  /** Broadcast a delete-object frame only while its aggregate size is
+    * comfortably bounded; past the threshold leave the strategy to the
+    * planner (shuffle anti-join). A long-running upsert stream can
+    * accumulate key objects past driver/broadcast limits before
+    * compaction — an unconditional broadcast hint would then OOM the
+    * driver on a path whose whole point is to avoid rewrites.
+    */
+  val BroadcastBytesMax: Long = 64L << 20
+  val BroadcastBytesMaxConf = "graft.mor.broadcast-bytes-max"
+
+  def maybeBroadcast(df: DataFrame, totalBytes: Long): DataFrame = {
+    val max = df.sparkSession.conf.getOption(BroadcastBytesMaxConf)
+      .map(_.toLong).getOrElse(BroadcastBytesMax)
+    if (totalBytes <= max) org.apache.spark.sql.functions.broadcast(df)
+    else df
+  }
+
   def readEntries(spark: SparkSession,
       physSchema: org.apache.spark.sql.types.StructType,
       basePath: Option[String],
@@ -282,7 +299,8 @@ private[graft] object MorDeletes {
       deletes: Seq[DeletePredicate],
       posDeleteAbs: Seq[String] = Seq.empty,
       exposePos: Boolean = false,
-      eqDeletes: Seq[(String, EqDeleteFile)] = Seq.empty): DataFrame = {
+      eqDeletes: Seq[(String, EqDeleteFile)] = Seq.empty,
+      posDeleteBytes: Long = 0L): DataFrame = {
     import org.apache.spark.sql.functions.col
     val needPos = posDeleteAbs.nonEmpty || exposePos
     // partition-spec evolution: files of different epochs have
@@ -337,10 +355,11 @@ private[graft] object MorDeletes {
     // equality, so a null key component matches a null key
     def applyEq(df: DataFrame, eqs: Seq[(String, EqDeleteFile)]): DataFrame =
       eqs.groupBy(_._2.cols).foldLeft(df) { case (d, (cols, objs)) =>
-        val keys = org.apache.spark.sql.functions.broadcast(
+        val keys = maybeBroadcast(
           spark.read.parquet(objs.map(_._1): _*)
             .select(cols.map(col): _*)
-            .toDF(cols.map("__eqk_" + _): _*))
+            .toDF(cols.map("__eqk_" + _): _*),
+          objs.map(_._2.sizeBytes).sum)
         d.join(keys,
           cols.map(c => d(c) <=> keys("__eqk_" + c)).reduce(_ && _),
           "left_anti")
@@ -357,11 +376,13 @@ private[graft] object MorDeletes {
     val posApplied =
       if (posDeleteAbs.isEmpty) base
       else {
-        // delete objects are tiny next to data files — broadcast them
-        // so the anti-join never shuffles the data side
-        val dels = org.apache.spark.sql.functions.broadcast(
+        // delete objects are usually tiny next to data files —
+        // broadcast them so the anti-join never shuffles the data
+        // side; bounded so an accumulation of deltas can't OOM the
+        // driver (callers pass the aggregate size; 0 = trusted-small)
+        val dels = maybeBroadcast(
           spark.read.parquet(posDeleteAbs: _*)
-            .select(col("file"), col("pos")))
+            .select(col("file"), col("pos")), posDeleteBytes)
         base.join(dels,
           base(GFile) === dels("file") && base(GPos) === dels("pos"),
           "left_anti")

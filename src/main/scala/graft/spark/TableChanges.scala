@@ -144,9 +144,10 @@ object TableChanges {
                 Some(dataRoot), parentFiles, parent.deletes,
                 parent.posDeletes.map(p => storage.absolute(p.path)),
                 exposePos = true, eqDeletes = parentEq)
-              val dels = org.apache.spark.sql.functions.broadcast(
+              val dels = MorDeletes.maybeBroadcast(
                 spark.read.parquet(newPos.map(p =>
-                  storage.absolute(p.path)): _*))
+                  storage.absolute(p.path)): _*),
+                newPos.map(_.sizeBytes).sum)
               Seq(survivors.join(dels,
                 survivors(MorDeletes.GFile) === dels("file") &&
                   survivors(MorDeletes.GPos) === dels("pos"), "left_semi")
@@ -160,7 +161,7 @@ object TableChanges {
           val priorEq = parent.eqDeletes.map(_.path).toSet
           val newEq = s.eqDeletes.filterNot(p => priorEq(p.path))
           val eqDfs = newEq.map { d =>
-            import org.apache.spark.sql.functions.{broadcast, col}
+            import org.apache.spark.sql.functions.col
             val parentFiles = Manifests.filesOf(storage, parent)
               .filter(_.seq < d.seq)
               .map(f => (storage.absolute(f.path), f))
@@ -168,10 +169,10 @@ object TableChanges {
               Some(dataRoot), parentFiles, parent.deletes,
               parent.posDeletes.map(p => storage.absolute(p.path)),
               eqDeletes = parentEq)
-            val keys = broadcast(
+            val keys = MorDeletes.maybeBroadcast(
               spark.read.parquet(storage.absolute(d.path))
                 .select(d.cols.map(col): _*)
-                .toDF(d.cols.map("__eqk_" + _): _*))
+                .toDF(d.cols.map("__eqk_" + _): _*), d.sizeBytes)
             survivors.join(keys,
               d.cols.map(c => survivors(c) <=> keys("__eqk_" + c))
                 .reduce(_ && _),

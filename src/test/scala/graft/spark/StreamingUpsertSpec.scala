@@ -139,6 +139,69 @@ class StreamingUpsertSpec extends AnyFunSuite {
     assert(ops.toSeq == Seq("append", "append"))
   }
 
+  test("oversized key sets skip the broadcast hint, results identical") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsu.ns")
+    spark.sql("""CREATE TABLE gsu.ns.big (k BIGINT, v STRING)
+                 TBLPROPERTIES ('graft.write.upsert-keys' = 'k')""")
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ups-ck3").toString)
+      .toTable("gsu.ns.big")
+    in.addData((1 to 500).map(i => (i.toLong, s"v$i")): _*)
+    q.processAllAvailable()
+    in.addData((1 to 250).map(i => (i.toLong, s"w$i")): _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = spark.table("gsu.ns.big").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(expected.size == 500 && expected.take(2) ==
+      Seq((1L, "w1"), (2L, "w2")))
+    // drive the REWRITE-path read (readEntries — what compaction and
+    // copy-on-write row ops consume) with the key set forced past the
+    // broadcast bound: the anti-join must plan WITHOUT a broadcast
+    // exchange and return identical rows
+    val cat = catalog()
+    val storage = cat.storage
+    val txn = graft.catalog.Graft.beginTransaction(storage)
+    val snap = try {
+      val td = graft.catalog.Graft.describeTable(storage, txn, "ns", "big")
+      graft.format.TableMetadata.read(storage, td.metadataLocation)
+        .currentSnapshot.get
+    } finally txn.close()
+    assert(snap.eqDeletes.nonEmpty)
+    val schema = spark.table("gsu.ns.big").schema
+    def rewriteRead() = MorDeletes.readEntries(spark, schema,
+      Some(storage.absolute("data/ns/big/files")),
+      graft.format.Manifests.filesOf(storage, snap)
+        .map(f => (storage.absolute(f.path), f)),
+      snap.deletes,
+      snap.posDeletes.map(p => storage.absolute(p.path)),
+      eqDeletes = snap.eqDeletes.map(p => (storage.absolute(p.path), p)))
+    // default bound: the tiny key object broadcasts
+    assert(rewriteRead().queryExecution.executedPlan.toString
+      .contains("BroadcastExchange"))
+    // disabling auto-broadcast isolates the HINT: a hinted join
+    // broadcasts regardless of the threshold, so a shuffle plan here
+    // proves the hint is really gone past the bound
+    spark.conf.set(MorDeletes.BroadcastBytesMaxConf, "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = rewriteRead()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"oversized key set still broadcast:\n$plan")
+      val rows = df.orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == expected, "non-broadcast anti-join changed the result")
+    } finally {
+      spark.conf.unset(MorDeletes.BroadcastBytesMaxConf)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   private def catalog(): GraftCatalog =
     spark.sessionState.catalogManager.catalog("gsu").asInstanceOf[GraftCatalog]
 

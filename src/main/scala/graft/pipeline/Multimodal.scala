@@ -90,7 +90,32 @@ object Multimodal {
         }(org.apache.spark.sql.Encoders.row(featureSchema))
         out.withColumn("mean_byte", round(col("mean_byte"), 4)).orderBy("doc_id")
       },
-      None), // decoder is a stub — verified structurally + rows-only
+      // the stand-in decoder computes plain byte statistics, which ARE
+      // DuckDB-expressible (hex-decode the payload, fold the bytes) —
+      // so the whole mapPartitions extraction pipeline grades against
+      // a real oracle instead of a rows-only check
+      Some("""WITH h AS (
+             |  SELECT doc_id, hex(encode(text)) AS hx,
+             |         octet_length(encode(text)) AS n
+             |  FROM documents
+             |), b AS (
+             |  SELECT doc_id, n,
+             |    list_transform(range(0, CAST(n AS INT)),
+             |      i -> (strpos('0123456789ABCDEF', substr(hx, i*2+1, 1)) - 1) * 16
+             |         + (strpos('0123456789ABCDEF', substr(hx, i*2+2, 1)) - 1)) AS bytes
+             |  FROM h
+             |)
+             |SELECT doc_id,
+             |       CASE doc_id % 3 WHEN 0 THEN 'image'
+             |                       WHEN 1 THEN 'audio'
+             |                       ELSE 'video' END AS media_kind,
+             |       CAST(n AS BIGINT) AS n_bytes,
+             |       round(CASE WHEN n = 0 THEN 0.0
+             |                  ELSE list_aggregate(bytes, 'sum') / CAST(n AS DOUBLE)
+             |             END, 4) AS mean_byte,
+             |       CAST(CASE WHEN n = 0 THEN 0
+             |                 ELSE list_aggregate(bytes, 'max') END AS INT) AS max_byte
+             |FROM b ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
       "mm03_frame_sample",

@@ -118,7 +118,39 @@ object TextAnalysis {
             GraftFunctions.simhash64(col("text")).as("simhash"))
           .orderBy("doc_id")
       },
-      None), // native winnowing fingerprint — not DuckDB-expressible
+      None), // native winnowing fingerprint — not DuckDB-expressible;
+             // graded by the ta08 gate below (dd08 pattern)
+
+    QueryDef(
+      "ta08_fingerprint_gate",
+      (s, d) => {
+        // Closed-form grade for the native winnowing fingerprint (the
+        // dd08/mm04 pattern for ops DuckDB can't recompute): the
+        // fingerprint must be a FUNCTION of the text (equal texts ⇒
+        // equal fingerprints — a nondeterministic or row-dependent
+        // implementation fails) and DISCRIMINATIVE (≥95% of distinct
+        // texts get distinct fingerprints — a degenerate
+        // constant-output implementation fails). The floor is NOT
+        // 100%: the corpus plants near-duplicate documents (the dedup
+        // family's ground truth, ~2% of rows at every sf), and
+        // winnowing collides on those by design — equal fingerprints ⇒
+        // high content overlap. The oracle states the expected
+        // verdicts in closed form.
+        GraftFunctions.register(s)
+        val fp = table(s, d, "documents")
+          .select(col("text"),
+            GraftFunctions.fingerprint64(col("text")).as("fp"))
+        fp.agg(
+          countDistinct(col("text")).as("n_texts"),
+          (countDistinct(col("text"), col("fp")) ===
+            countDistinct(col("text"))).as("deterministic"),
+          (countDistinct(col("fp")).cast("double") >=
+            countDistinct(col("text")).cast("double") * 0.95)
+            .as("discriminative"))
+      },
+      Some("""SELECT count(DISTINCT text) AS n_texts,
+             |       true AS deterministic, true AS discriminative
+             |FROM documents""".stripMargin)),
 
     QueryDef(
       "ta06_normalize",

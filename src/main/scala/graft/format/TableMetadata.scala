@@ -263,6 +263,27 @@ final case class TableMetadata(
   def currentFiles(storage: StorageOps): Seq[DataFileEntry] =
     currentSnapshot.map(Manifests.filesOf(storage, _)).getOrElse(Seq.empty)
 
+  /** Head snapshot of a write target: the branch head when writing to
+    * a branch, the main snapshot otherwise — resolved through the
+    * snapshot log, since a busy branch (or main) can push the other's
+    * head out of the inline window. Row-level ops and compaction read
+    * their base state through THIS so a `<t>$branch_<name>` target
+    * sees the branch's files and pending merge-on-read state, never
+    * main's.
+    */
+  def headSnapshot(storage: StorageOps, branch: Option[String])
+      : Option[Snapshot] = branch match {
+    case Some(b) =>
+      val id = branches.getOrElse(b,
+        throw new IllegalArgumentException(s"no such branch: $b"))
+      Some(findSnapshot(storage, id).getOrElse(
+        throw new IllegalStateException(
+          s"branch $b names expired snapshot $id")))
+    case None =>
+      if (currentSnapshotId < 0) None
+      else findSnapshot(storage, currentSnapshotId)
+  }
+
   /** Append a snapshot produced by `edit`; manifest reuse / rewrite /
     * merge decided by [[Manifests.applyEdit]]. `manifestDir` roots the
     * new segment objects (per-table, sibling of the data dir).

@@ -912,6 +912,57 @@ object CatalogQueries {
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
     QueryDef(
+      "c41_branch_fix_publish",
+      (s, d) => {
+        // Write-audit-publish with audited FIXES (extends c30): stage
+        // the odd customers on a branch, the audit flags AUTOMOBILE
+        // rows as bad — a merge-on-read DELETE and a copy-on-write
+        // UPDATE repair them ON THE BRANCH, the branch is compacted in
+        // place, then fast_forward publishes. Main's count mid-audit
+        // proves the fixes stayed on the branch; the oracle
+        // reconstructs the published state from the raw input.
+        ensureCatalog(s, "gcf")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcf.ns1")
+        s.sql("DROP TABLE IF EXISTS gcf.ns1.cust")
+        s.sql("""CREATE TABLE gcf.ns1.cust (
+                   c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING)
+                 TBLPROPERTIES ('graft.delete.mode' = 'merge-on-read')""")
+        s.sql(s"""INSERT INTO gcf.ns1.cust
+                  SELECT c_custkey, c_acctbal, c_mktsegment
+                  FROM parquet.`$d/customer.parquet` WHERE c_custkey % 2 = 0""")
+        s.sql("CALL gcf.system.create_branch('ns1', 'cust', 'audit')")
+        s.sql(s"""INSERT INTO gcf.ns1.`cust$$branch_audit`
+                  SELECT c_custkey, c_acctbal, c_mktsegment
+                  FROM parquet.`$d/customer.parquet` WHERE c_custkey % 2 = 1""")
+        // audited fixes, all on the branch
+        s.sql("""DELETE FROM gcf.ns1.`cust$branch_audit`
+                 WHERE c_mktsegment = 'AUTOMOBILE'""")
+        s.sql("""UPDATE gcf.ns1.`cust$branch_audit`
+                 SET c_acctbal = 0.0 WHERE c_acctbal < 0""")
+        val mainDuringAudit =
+          s.sql("SELECT count(*) FROM gcf.ns1.cust").head.getLong(0)
+        val cat = s.sessionState.catalogManager.catalog("gcf")
+          .asInstanceOf[graft.spark.GraftCatalog]
+        graft.maintain.Maintenance.compactDataFiles(s, cat,
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            Array("ns1"), "cust$branch_audit"), targetFiles = 1)
+        s.sql("CALL gcf.system.fast_forward('ns1', 'cust', 'audit')")
+        s.sql(s"""SELECT c_mktsegment, count(*) AS n,
+                         round(sum(c_acctbal), 2) AS bal,
+                         $mainDuringAudit AS main_while_audited
+                  FROM gcf.ns1.cust
+                  GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |       round(sum(CASE WHEN c_acctbal < 0 THEN 0.0
+             |                      ELSE c_acctbal END), 2) AS bal,
+             |       (SELECT count(*) FROM customer WHERE c_custkey % 2 = 0)
+             |         AS main_while_audited
+             |FROM customer
+             |WHERE c_mktsegment <> 'AUTOMOBILE'
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    QueryDef(
       "c31_hidden_partitioning",
       (s, d) => {
         // Hidden partitioning (days(ts) × bucket(8, user_id)): the

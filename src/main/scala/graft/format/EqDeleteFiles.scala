@@ -117,6 +117,82 @@ object EqDeleteFiles {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     String, java.lang.ref.SoftReference[java.util.HashSet[Seq[Any]]]]()
 
+  /** Streaming writer of one equality-delete object from key-tuple
+    * [[org.apache.spark.sql.catalyst.InternalRow]]s (field i = key
+    * column i, in `cols` order). Executor-side parquet-mr, same
+    * pattern as [[PosDeleteFiles.Writer]]; the schema annotates
+    * strings UTF8 and dates DATE so Spark's own reader (the rewrite
+    * path reads these objects as a DataFrame) sees the native types.
+    * Not thread-safe.
+    */
+  final class Writer(abs: String, cols: Seq[String], types: Seq[DataType],
+      conf: Configuration) {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types => PTypes}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    cols.zip(types).foreach { case (c, t) => requireSupported(c, t) }
+    private val schema: org.apache.parquet.schema.MessageType = {
+      val b = PTypes.buildMessage()
+      cols.zip(types).foreach { case (c, t) =>
+        t match {
+          case ByteType | ShortType | IntegerType =>
+            b.addField(PTypes.optional(PrimitiveTypeName.INT32).named(c))
+          case DateType =>
+            b.addField(PTypes.optional(PrimitiveTypeName.INT32)
+              .as(LogicalTypeAnnotation.dateType()).named(c))
+          case LongType =>
+            b.addField(PTypes.optional(PrimitiveTypeName.INT64).named(c))
+          case BooleanType =>
+            b.addField(PTypes.optional(PrimitiveTypeName.BOOLEAN).named(c))
+          case _ =>
+            b.addField(PTypes.optional(PrimitiveTypeName.BINARY)
+              .as(LogicalTypeAnnotation.stringType()).named(c))
+        }
+      }
+      b.named("eqdelete")
+    }
+    private val factory =
+      new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+    private var rows = 0L
+    private val writer = {
+      val c = new Configuration(conf)
+      org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, c)
+      org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(new Path(abs))
+        .withConf(c)
+        .withType(schema)
+        .withCompressionCodec(
+          org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+        .build()
+    }
+
+    def add(id: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+      val g = factory.newGroup()
+      var i = 0
+      while (i < cols.length) {
+        if (!id.isNullAt(i)) types(i) match {
+          case ByteType => g.append(cols(i), id.getByte(i).toInt)
+          case ShortType => g.append(cols(i), id.getShort(i).toInt)
+          case IntegerType | DateType => g.append(cols(i), id.getInt(i))
+          case LongType => g.append(cols(i), id.getLong(i))
+          case BooleanType => g.append(cols(i), id.getBoolean(i))
+          case _ => g.append(cols(i), id.getUTF8String(i).toString)
+        }
+        i += 1
+      }
+      writer.write(g)
+      rows += 1
+    }
+
+    /** Row count written. */
+    def close(): Long = { writer.close(); rows }
+
+    def abort(): Unit = {
+      try writer.close() catch { case _: Throwable => () }
+      try new Path(abs).getFileSystem(conf).delete(new Path(abs), false)
+      catch { case _: Throwable => () }
+    }
+  }
+
   /** Union key set of several delete objects sharing one column list. */
   def keysFor(deleteAbs: Seq[String], cols: Seq[String],
       types: Seq[DataType], conf: Configuration)

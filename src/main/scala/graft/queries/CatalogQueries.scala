@@ -1144,6 +1144,58 @@ object CatalogQueries {
              |FROM after_merge GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
 
     QueryDef(
+      "c42_merge_eq_delta",
+      (s, d) => {
+        // The SAME merge scenario as c35, committed as EQUALITY
+        // deletes (`graft.merge.mode = 'merge-on-read-eq'`): matched
+        // keys land in a key object, replacement/insert rows append,
+        // no data file is rewritten — the batch edition of the
+        // streaming upsert shape (MorEqMergeSpec asserts the
+        // inventory; this grades the VALUES read back through the
+        // eq-delete-applying scan). Oracle is c35's merge arm.
+        ensureCatalog(s, "gce")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gce.ns1")
+        s.sql("DROP TABLE IF EXISTS gce.ns1.ord")
+        s.sql("""CREATE TABLE gce.ns1.ord (
+                   o_orderkey BIGINT NOT NULL, o_orderstatus STRING,
+                   o_totalprice DOUBLE)
+                 TBLPROPERTIES (
+                   'graft.write.upsert-keys' = 'o_orderkey',
+                   'graft.merge.mode' = 'merge-on-read-eq')""")
+        s.sql(s"""INSERT INTO gce.ns1.ord
+                  SELECT o_orderkey, o_orderstatus, o_totalprice
+                  FROM parquet.`$d/orders.parquet`""")
+        s.sql(s"""MERGE INTO gce.ns1.ord t
+                  USING (
+                    SELECT o_orderkey, o_orderstatus, o_totalprice
+                    FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 7 = 0
+                    UNION ALL
+                    SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice
+                    FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 13 = 0
+                  ) src
+                  ON t.o_orderkey = src.o_orderkey
+                  WHEN MATCHED THEN UPDATE SET o_totalprice = -1.0
+                  WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus,
+                    o_totalprice)
+                    VALUES (src.o_orderkey, src.o_orderstatus,
+                      src.o_totalprice)""")
+        s.sql("""SELECT o_orderstatus AS status, count(*) AS n,
+                        round(sum(o_totalprice), 2) AS total
+                 FROM gce.ns1.ord GROUP BY o_orderstatus ORDER BY status""")
+      },
+      Some("""WITH after_merge AS (
+             |  SELECT o_orderkey, o_orderstatus,
+             |         CASE WHEN o_orderkey % 7 = 0 THEN -1.0
+             |              ELSE o_totalprice END AS price
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice
+             |  FROM orders WHERE o_orderkey % 13 = 0)
+             |SELECT o_orderstatus AS status, count(*) AS n,
+             |       round(sum(price), 2) AS total
+             |FROM after_merge GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
+
+    QueryDef(
       "c36_rewrite_position_deletes",
       (s, d) => {
         // Delete-object minor compaction: stacked merge-on-read updates

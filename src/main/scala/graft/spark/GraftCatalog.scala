@@ -963,6 +963,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     }
   }
 
+  /** Commit a KEY DELTA (equality-delete MERGE): new data files
+    * append, the matched keys' equality-delete objects join the
+    * pending list — strictly-older rows with those keys are logically
+    * replaced, nothing is rewritten (the batch edition of the
+    * streaming upsert commit, same [[graft.format.AddUpsert]] edit and
+    * strict-sequence scoping).
+    */
+  private[spark] def commitKeyDelta(ident: Identifier,
+      newFiles: Seq[graft.format.DataFileEntry],
+      eqDeletes: Seq[graft.format.EqDeleteFile], op: String): Unit = {
+    val ns = ns1(ident.namespace())
+    val (t, branch) = GraftCatalog.splitBranch(ident.name())
+    val edit = graft.format.AddUpsert(newFiles, eqDeletes)
+    inTxn { txn =>
+      applyFilesCommit(storage, txn.runningRoot, ns, t, op, edit, branch)
+      txn.replays += ((s, r) => applyFilesCommit(s, r, ns, t, op, edit, branch))
+      val cd = Graft.catalogDef(storage, txn.runningRoot)
+      txn.record(Action(ActionType.TableUpdate,
+        ObjectKeys.tableKey(ns, t, cd),
+        Map("files" -> newFiles.map(_.path).mkString(","),
+          "deleteFiles" -> eqDeletes.map(_.path).mkString(",")) ++
+          graft.format.StatsRanges.args(newFiles)))
+    }
+  }
+
   /** Streaming micro-batch commit ([[GraftStreamingWrite]]): one epoch
     * as one snapshot — an upsert epoch carries the equality-delete
     * object alongside its data files. Idempotent per (queryId, epoch):
@@ -1220,6 +1245,12 @@ object GraftCatalog {
     */
   val UpdateModeProp = "graft.update.mode"
   val MergeModeProp = "graft.merge.mode"
+
+  /** `graft.merge.mode = 'merge-on-read-eq'`: MERGE commits equality
+    * deletes keyed by `graft.write.upsert-keys` instead of position
+    * deltas — the batch edition of the streaming upsert shape.
+    */
+  val MergeModeMergeOnReadEq = "merge-on-read-eq"
 
   /** `sort_by => 'zorder(a,b)'` marker accepted by compact_table. */
   val ZOrderSortBy = """(?i)zorder\(([^)]*)\)""".r

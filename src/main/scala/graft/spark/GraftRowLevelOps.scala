@@ -112,6 +112,11 @@ class GraftRowLevelOperationBuilder(
   override def build(): RowLevelOperation = {
     import RowLevelOperation.Command._
     val props = table.tableDef.properties
+    // key-equality MERGE as equality deletes: the delta is keys, not
+    // positions — the batch edition of the streaming upsert shape
+    val morEq = info.command() == MERGE &&
+      props.get(GraftCatalog.MergeModeProp)
+        .contains(GraftCatalog.MergeModeMergeOnReadEq)
     val mor = info.command() match {
       case UPDATE => props.get(GraftCatalog.UpdateModeProp)
         .contains(GraftCatalog.DeleteModeMergeOnRead)
@@ -119,7 +124,8 @@ class GraftRowLevelOperationBuilder(
         .contains(GraftCatalog.DeleteModeMergeOnRead)
       case _ => false // DELETE: predicate deletes (morDelete) are cheaper
     }
-    if (mor) new GraftPositionDeltaOperation(catalog, table, info.command())
+    if (morEq) new GraftKeyDeltaOperation(catalog, table, info.command())
+    else if (mor) new GraftPositionDeltaOperation(catalog, table, info.command())
     else new GraftRowLevelOperation(catalog, table, info.command())
   }
 }

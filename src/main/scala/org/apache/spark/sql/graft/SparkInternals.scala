@@ -201,8 +201,8 @@ object SparkInternals {
     * fields to the END ([[org.apache.spark.sql.execution.datasources.v2.FileScan]]
     * `readSchema = readDataSchema ++ readPartitionSchema`); merge-on-read
     * wrappers do per-ordinal row work, so the delegate's rows are
-    * restored to the requested order here first. Row-based — the
-    * merge-on-read path is row-based throughout.
+    * restored to the requested order here first. Columnar-capable: the
+    * reorder is a pure column permutation of the delegate's batches.
     */
   def reorderedBatch(delegate: Batch, actual: StructType,
       wanted: StructType): Batch = {
@@ -501,9 +501,18 @@ object SparkInternals {
         b.planInputPartitions().map(p => TaggedPartition(i, p): InputPartition)
       }.toArray
     override def planInputPartitions(): Array[InputPartition] = planned
-    override def createReaderFactory(): PartitionReaderFactory =
-      new DispatchingReaderFactory(
-        batches.map(_.createReaderFactory()).toArray)
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val fs = batches.map(_.createReaderFactory()).toArray
+      // Spark refuses a scan MIXING columnar and row partitions, so
+      // the combined factory answers uniformly: columnar iff EVERY
+      // planned partition's sub-factory can serve it (one row-only
+      // group — e.g. a $file tag — drops the whole scan to rows)
+      val allColumnar = planned.forall {
+        case t: TaggedPartition => fs(t.idx).supportColumnarReads(t.inner)
+        case _ => false
+      }
+      new DispatchingReaderFactory(fs, allColumnar)
+    }
   }
 }
 
@@ -533,13 +542,12 @@ case class TaggedPartition(idx: Int, inner: InputPartition)
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
-private class DispatchingReaderFactory(factories: Array[PartitionReaderFactory])
-    extends PartitionReaderFactory {
-  // uniformly row-based: Spark refuses a scan mixing columnar and
-  // row partitions, and at least one sub-batch here is a row-exact
-  // residual filter (delegated parquet factories serve row readers
-  // regardless of their columnar support)
-  override def supportColumnarReads(p: InputPartition): Boolean = false
+private class DispatchingReaderFactory(
+    factories: Array[PartitionReaderFactory],
+    // uniform verdict computed over ALL planned partitions by the
+    // caller — Spark refuses a scan mixing columnar and row partitions
+    allColumnar: Boolean) extends PartitionReaderFactory {
+  override def supportColumnarReads(p: InputPartition): Boolean = allColumnar
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val t = p.asInstanceOf[TaggedPartition]
     factories(t.idx).createReader(t.inner)
@@ -561,7 +569,41 @@ private class RowFilteredReaderFactory(
     attrs: IndexedSeq[AttributeReference],
     keepN: Int) extends PartitionReaderFactory {
 
-  override def supportColumnarReads(p: InputPartition): Boolean = false
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    delegate.supportColumnarReads(p)
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val inner = delegate.createColumnarReader(p)
+    val pred = org.apache.spark.sql.catalyst.expressions.Predicate
+      .create(cond, attrs)
+    new PartitionReader[ColumnarBatch] {
+      private var batch: ColumnarBatch = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val b = inner.get()
+          val total = b.numRows()
+          val sel = new Array[Int](total)
+          var n = 0
+          var i = 0
+          while (i < total) {
+            if (pred.eval(b.getRow(i))) { sel(n) = i; n += 1 }
+            i += 1
+          }
+          if (n > 0) {
+            batch =
+              if (n == total) SelectedColumnVector.project(b, keepN)
+              else SelectedColumnVector.select(b,
+                java.util.Arrays.copyOf(sel, n), n, keepN)
+            return true
+          }
+        }
+        false
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = inner.close()
+    }
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val inner = delegate.createReader(p)
@@ -662,8 +704,10 @@ case class PosDeletePartition(inner: FilePartition, dataFile: String,
 
 /** Drops rows whose row-index is in the partition's deleted-position
   * set; uncovered partitions pass through (minus the projection).
-  * Row-based on purpose: only files with PENDING position deletes pay
-  * this, and a rewrite/compaction returns them to the vectorized path.
+  * Files with PENDING position deletes keep the COLUMNAR read when the
+  * delegate offers one — survivors remap through a selection-vector
+  * view ([[SelectedColumnVector]]); a rewrite/compaction returns them
+  * to the plain vectorized path.
   */
 private class PosDeleteReaderFactory(
     delegate: PartitionReaderFactory,
@@ -672,7 +716,55 @@ private class PosDeleteReaderFactory(
     rixOrdinal: Int,
     keepN: Int) extends PartitionReaderFactory {
 
-  override def supportColumnarReads(p: InputPartition): Boolean = false
+  private def innerOf(p: InputPartition): InputPartition = p match {
+    case pd: PosDeletePartition => pd.inner
+    case other => other
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    delegate.supportColumnarReads(innerOf(p))
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val (inner, dels) = p match {
+      case pd: PosDeletePartition =>
+        (delegate.createColumnarReader(pd.inner),
+          graft.format.PosDeleteFiles.positionsFor(
+            pd.deleteFiles.toSeq, pd.dataFile, conf.value))
+      case other => (delegate.createColumnarReader(other), null)
+    }
+    new PartitionReader[ColumnarBatch] {
+      private var batch: ColumnarBatch = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val b = inner.get()
+          if (dels == null) {
+            batch = SelectedColumnVector.project(b, keepN)
+            return true
+          }
+          val total = b.numRows()
+          val rix = b.column(rixOrdinal)
+          val sel = new Array[Int](total)
+          var n = 0
+          var i = 0
+          while (i < total) {
+            if (!dels.contains(rix.getLong(i))) { sel(n) = i; n += 1 }
+            i += 1
+          }
+          if (n > 0) {
+            batch =
+              if (n == total) SelectedColumnVector.project(b, keepN)
+              else SelectedColumnVector.select(b,
+                java.util.Arrays.copyOf(sel, n), n, keepN)
+            return true
+          } // a fully-deleted batch: keep draining the delegate
+        }
+        false
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = inner.close()
+    }
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val (inner, dels) = p match {
@@ -705,10 +797,72 @@ private class PosDeleteReaderFactory(
   }
 }
 
+/** A [[ColumnVector]] view remapping row ids through a selection array
+  * (the surviving row indices of a merge-on-read filter): `get*(i)`
+  * reads `child.get*(sel(i))`. Children wrap lazily with the SAME
+  * selection, so nested structs/arrays resolve correctly. The child
+  * vectors stay owned by the delegate batch — `close()` is a no-op —
+  * and a new view costs one small object per batch, never a copy of
+  * the data.
+  */
+private class SelectedColumnVector(
+    child: ColumnVector,
+    sel: Array[Int]) extends ColumnVector(child.dataType()) {
+  private var kids: Array[ColumnVector] = _
+
+  override def close(): Unit = () // vectors belong to the delegate batch
+  override def hasNull: Boolean = child.hasNull
+  override def numNulls: Int = child.numNulls // upper bound — per-row
+  //                                             isNullAt is authoritative
+  override def isNullAt(i: Int): Boolean = child.isNullAt(sel(i))
+  override def getBoolean(i: Int): Boolean = child.getBoolean(sel(i))
+  override def getByte(i: Int): Byte = child.getByte(sel(i))
+  override def getShort(i: Int): Short = child.getShort(sel(i))
+  override def getInt(i: Int): Int = child.getInt(sel(i))
+  override def getLong(i: Int): Long = child.getLong(sel(i))
+  override def getFloat(i: Int): Float = child.getFloat(sel(i))
+  override def getDouble(i: Int): Double = child.getDouble(sel(i))
+  override def getDecimal(i: Int, p: Int, s: Int)
+      : org.apache.spark.sql.types.Decimal = child.getDecimal(sel(i), p, s)
+  override def getUTF8String(i: Int): UTF8String =
+    child.getUTF8String(sel(i))
+  override def getBinary(i: Int): Array[Byte] = child.getBinary(sel(i))
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    child.getArray(sel(i))
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    child.getMap(sel(i))
+  override def getChild(ordinal: Int): ColumnVector = {
+    if (kids == null) kids = new Array[ColumnVector](ordinal + 1)
+    else if (kids.length <= ordinal)
+      kids = java.util.Arrays.copyOf(kids, ordinal + 1)
+    if (kids(ordinal) == null)
+      kids(ordinal) = new SelectedColumnVector(child.getChild(ordinal), sel)
+    kids(ordinal)
+  }
+}
+
+private object SelectedColumnVector {
+  /** The delegate batch filtered to `sel`'s first `n` rows and
+    * projected to its first `keepN` columns — a zero-copy view.
+    */
+  def select(b: ColumnarBatch, sel: Array[Int], n: Int,
+      keepN: Int): ColumnarBatch =
+    new ColumnarBatch(Array.tabulate[ColumnVector](keepN)(i =>
+      new SelectedColumnVector(b.column(i), sel)), n)
+
+  /** The delegate batch projected to its first `keepN` columns. */
+  def project(b: ColumnarBatch, keepN: Int): ColumnarBatch =
+    if (keepN == b.numCols) b
+    else new ColumnarBatch(Array.tabulate[ColumnVector](keepN)(b.column),
+      b.numRows())
+}
+
 /** Drops rows whose key tuple is in any of the partition's equality-
-  * delete sets. Row-based on purpose (same trade as position deletes):
-  * only files with PENDING equality deletes pay this, and a
-  * rewrite/compaction returns them to the vectorized path.
+  * delete sets. Files with PENDING equality deletes keep the COLUMNAR
+  * read when the delegate offers one: surviving rows remap through a
+  * selection-vector view ([[SelectedColumnVector]]) instead of
+  * dropping to row-at-a-time; compaction still returns them to the
+  * plain vectorized path.
   */
 private class EqDeleteReaderFactory(
     delegate: PartitionReaderFactory,
@@ -720,7 +874,49 @@ private class EqDeleteReaderFactory(
     // ONLY matching rows (the CDC semi filter — "which rows died")
     keepMatches: Boolean = false) extends PartitionReaderFactory {
 
-  override def supportColumnarReads(p: InputPartition): Boolean = false
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    delegate.supportColumnarReads(p)
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val inner = delegate.createColumnarReader(p)
+    val sets = specs.map(s => graft.format.EqDeleteFiles.keySet(
+      s.abs, s.cols, s.types.toSeq, conf.value))
+    new PartitionReader[ColumnarBatch] {
+      private var batch: ColumnarBatch = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val b = inner.get()
+          val total = b.numRows()
+          val sel = new Array[Int](total)
+          var n = 0
+          var i = 0
+          while (i < total) {
+            val r = b.getRow(i)
+            var hit = false
+            var j = 0
+            while (!hit && j < specs.length) {
+              hit = sets(j).contains(graft.format.EqDeleteFiles.rowKey(
+                r, specs(j).ordinals, specs(j).types))
+              j += 1
+            }
+            if (hit == keepMatches) { sel(n) = i; n += 1 }
+            i += 1
+          }
+          if (n > 0) {
+            batch =
+              if (n == total) SelectedColumnVector.project(b, keepN)
+              else SelectedColumnVector.select(b,
+                java.util.Arrays.copyOf(sel, n), n, keepN)
+            return true
+          } // a fully-deleted batch: keep draining the delegate
+        }
+        false
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = inner.close()
+    }
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val inner = delegate.createReader(p)
@@ -766,7 +962,30 @@ private class ReorderingReaderFactory(
     attrs: Seq[AttributeReference],
     outAttrs: Seq[AttributeReference]) extends PartitionReaderFactory {
 
-  override def supportColumnarReads(p: InputPartition): Boolean = false
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    delegate.supportColumnarReads(p)
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val inner = delegate.createColumnarReader(p)
+    // a column permutation needs no row work at all
+    val perm = outAttrs.map(o => attrs.indexWhere(_.exprId == o.exprId))
+      .toArray
+    require(perm.forall(_ >= 0), "reorder target not in delegate output")
+    new PartitionReader[ColumnarBatch] {
+      private var batch: ColumnarBatch = _
+      override def next(): Boolean = {
+        val has = inner.next()
+        if (has) {
+          val b = inner.get()
+          batch = new ColumnarBatch(perm.map(b.column), b.numRows())
+        }
+        has
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = inner.close()
+    }
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val inner = delegate.createReader(p)

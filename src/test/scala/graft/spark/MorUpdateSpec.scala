@@ -187,4 +187,31 @@ class MorUpdateSpec extends AnyFunSuite {
       "SELECT count(*) FROM mu.ns.pt WHERE region = 'west' AND amt = -1.0")
       .head.getLong(0) == 8, "k%50=3 is always odd → west")
   }
+
+  test("reads stay COLUMNAR under pending position deltas") {
+    spark.sql("""CREATE TABLE mu.ns.vec (k BIGINT, v DOUBLE)
+                 TBLPROPERTIES ('graft.update.mode' = 'merge-on-read')""")
+    spark.sql(
+      "INSERT INTO mu.ns.vec SELECT id, CAST(id AS DOUBLE) FROM range(1000)")
+    spark.sql("UPDATE mu.ns.vec SET v = -1.0 WHERE k % 100 = 7")
+    val cat = spark.sessionState.catalogManager.catalog("mu")
+      .asInstanceOf[GraftCatalog]
+    val txn = graft.catalog.Graft.beginTransaction(cat.storage)
+    val pending = try {
+      val td = graft.catalog.Graft.describeTable(cat.storage, txn, "ns", "vec")
+      graft.format.TableMetadata.read(cat.storage, td.metadataLocation)
+        .currentSnapshot.get.posDeletes
+    } finally txn.close()
+    assert(pending.nonEmpty, "precondition: a position delta is pending")
+    val df = spark.table("mu.ns.vec")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"pending deltas dropped the scan to row-at-a-time:\n$plan")
+    // and the columnar read serves delta-exact values
+    assert(df.where(org.apache.spark.sql.functions.col("v") === -1.0)
+      .count() == 10)
+    assert(df.count() == 1000)
+    assert(df.agg(org.apache.spark.sql.functions.sum("k")).head.getLong(0)
+      == (0L until 1000L).sum)
+  }
 }

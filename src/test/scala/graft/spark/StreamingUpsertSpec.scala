@@ -202,6 +202,28 @@ class StreamingUpsertSpec extends AnyFunSuite {
     }
   }
 
+  test("reads stay COLUMNAR under pending equality deletes") {
+    // gsu.ns.big still carries its pending eq-delete objects (the
+    // broadcast-bound test above compacts nothing)
+    val snap = {
+      val cat = catalog()
+      val txn = graft.catalog.Graft.beginTransaction(cat.storage)
+      try {
+        val td = graft.catalog.Graft.describeTable(cat.storage, txn,
+          "ns", "big")
+        graft.format.TableMetadata.read(cat.storage, td.metadataLocation)
+          .currentSnapshot.get
+      } finally txn.close()
+    }
+    assert(snap.eqDeletes.nonEmpty, "precondition: eq deletes pending")
+    val df = spark.table("gsu.ns.big")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"pending eq deletes dropped the scan to row-at-a-time:\n$plan")
+    assert(df.count() == 500)
+    assert(df.where("k = 1").collect().map(_.getString(1)).toSeq == Seq("w1"))
+  }
+
   private def catalog(): GraftCatalog =
     spark.sessionState.catalogManager.catalog("gsu").asInstanceOf[GraftCatalog]
 

@@ -136,14 +136,18 @@ object Multimodal {
             val payload = r.getAs[Array[Byte]](1)
             val nFrames = payload.length / frameBytes
             (0 until nFrames by stride).map { f =>
-              val (n, mean, _) = {
-                val slice = java.util.Arrays.copyOfRange(
-                  payload, f * frameBytes, (f + 1) * frameBytes)
-                var sum = 0L; var max = 0
-                slice.foreach { b => sum += (b & 0xff); max = math.max(max, b & 0xff) }
-                (slice.length.toLong, sum.toDouble / slice.length, max)
-              }
-              Row(id, f, n, math.rint(mean * 10000) / 10000)
+              val slice = java.util.Arrays.copyOfRange(
+                payload, f * frameBytes, (f + 1) * frameBytes)
+              var sum = 0L
+              slice.foreach { b => sum += (b & 0xff) }
+              // HALF_UP to 4dp — the same decimal rounding DuckDB's
+              // round() applies, so the oracle compares exactly
+              // (sum/64 is dyadic: the double is exact on both sides)
+              val mean = new java.math.BigDecimal(sum)
+                .divide(new java.math.BigDecimal(slice.length))
+                .setScale(4, java.math.RoundingMode.HALF_UP)
+                .doubleValue()
+              Row(id, f, slice.length.toLong, mean)
             }
           }
         }(org.apache.spark.sql.Encoders.row(StructType(Seq(
@@ -153,7 +157,25 @@ object Multimodal {
           StructField("mean_byte", DoubleType)))))
         out.orderBy("doc_id", "frame_idx")
       },
-      None),
+      // the fixed-size frame slicing is closed-form over the payload
+      // bytes — hex-decode per frame in DuckDB and fold, so the whole
+      // explode-to-frames pipeline grades against a value oracle
+      Some("""WITH h AS (
+             |  SELECT doc_id, hex(encode(text)) AS hx,
+             |         octet_length(encode(text)) AS n
+             |  FROM documents
+             |), f AS (
+             |  SELECT doc_id, hx, CAST(fi AS INT) AS frame_idx
+             |  FROM h, UNNEST(range(0, CAST(n // 64 AS BIGINT), 4)) AS t(fi)
+             |)
+             |SELECT doc_id, frame_idx, CAST(64 AS BIGINT) AS frame_bytes,
+             |  round(list_aggregate(list_transform(range(0, 64),
+             |    i -> (strpos('0123456789ABCDEF',
+             |            substr(hx, (frame_idx*64 + CAST(i AS INT))*2 + 1, 1)) - 1) * 16
+             |       + (strpos('0123456789ABCDEF',
+             |            substr(hx, (frame_idx*64 + CAST(i AS INT))*2 + 2, 1)) - 1)),
+             |    'sum') / 64.0, 4) AS mean_byte
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin)),
 
     QueryDef(
       "mm04_frame_inventory",

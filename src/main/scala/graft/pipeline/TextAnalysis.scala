@@ -241,6 +241,40 @@ object TextAnalysis {
           .agg(count(lit(1)).as("n_docs"))
           .orderBy("pred")
       },
-      None)
+      None), // distribution over a synthetic English-soup corpus — the
+             // operator itself is graded by the ta09 known-answer gate
+
+    QueryDef(
+      "ta09_langid_gate",
+      (s, d) => {
+        // Known-answer grade for the trigram language ID (the gate
+        // pattern for ops the synthetic corpus cannot validate: the
+        // documents table is English word soup with planted marker
+        // WORDS, so trigram PROFILES are near-chance against its
+        // labels — ta03's marker scorer is the corpus-appropriate
+        // method). Real sentences in each profiled language must
+        // classify correctly; the oracle states the expected
+        // (lang, pred) pairs in closed form.
+        GraftFunctions.register(s)
+        import s.implicits._
+        Seq(
+          ("en", "the history of the kingdom is that the thing was " +
+            "found in the thick of the woods and nothing was the same"),
+          ("de", "ich dachte das ist ein schönes geschenk und die " +
+            "kirche ist nicht schlecht der junge und das mädchen " +
+            "sind durch die schule"),
+          ("fr", "le jour que la dame est dans le parc une femme et " +
+            "le garçon parlent de la pluie et du beau temps dans le " +
+            "quartier"),
+          ("es", "el perro está en la casa y el niño come una manzana " +
+            "con el abuelo porque los dos están contentos en el parque"))
+          .toDF("lang", "sample")
+          .select(col("lang"),
+            GraftFunctions.langIdTrigram(col("sample")).as("pred"))
+          .orderBy("lang")
+      },
+      Some("""SELECT * FROM (VALUES ('de', 'de'), ('en', 'en'),
+             |  ('es', 'es'), ('fr', 'fr')) AS t(lang, pred)
+             |ORDER BY lang""".stripMargin))
   )
 }

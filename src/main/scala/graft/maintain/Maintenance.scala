@@ -371,11 +371,35 @@ object Maintenance {
     val refSnaplogs = meta.snapshotLog.map(_.key).toSet
     val manifestDirList =
       storage.listDeep(GraftCatalog.tableManifestDir(ns, ident.name()))
+    // derived Iceberg-REST avro manifests (serve/IcebergManifests) are
+    // keyed by snapshot id (ml-<id>, m-inline-<id>) or graft segment
+    // basename (m-<uuid>): ones whose source snapshot/segment is gone
+    // are regenerable garbage — without this they accumulate forever
+    // under a table served over REST
+    val retainedIds = history.map(_.id).toSet
+    val segBases = refManifests.map(k =>
+      k.substring(k.lastIndexOf('/') + 1).stripSuffix(".manifest.json"))
+    val derivedOrphans = storage
+      .listDeep(s"data/$ns/${ident.name()}/meta/iceberg")
+      .filter { p =>
+        val base = p.substring(p.lastIndexOf('/') + 1)
+        if (!base.endsWith(".avro")) false
+        else if (base.startsWith("m-inline-"))
+          base.stripPrefix("m-inline-").stripSuffix(".avro")
+            .toLongOption.forall(id => !retainedIds(id))
+        else if (base.startsWith("ml-"))
+          base.stripPrefix("ml-").stripSuffix(".avro")
+            .toLongOption.forall(id => !retainedIds(id))
+        else if (base.startsWith("m-"))
+          !segBases.contains(base.stripPrefix("m-").stripSuffix(".avro"))
+        else false
+      }
     val orphans = orphanData ++
       manifestDirList.filter(_.endsWith(".manifest.json"))
         .filterNot(refManifests) ++
       manifestDirList.filter(_.endsWith(".snaplog.json"))
-        .filterNot(refSnaplogs)
+        .filterNot(refSnaplogs) ++
+      derivedOrphans
     if (!dryRun && orphans.nonEmpty) storage.deleteBatch(orphans)
     orphans
   }

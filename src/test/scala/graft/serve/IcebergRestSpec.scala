@@ -264,6 +264,35 @@ class IcebergRestSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("orphan cleanup prunes derived manifests of expired snapshots") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.gc")
+    spark.sql("CREATE TABLE ir.gc.t (k BIGINT)")
+    spark.sql("INSERT INTO ir.gc.t VALUES (1)")
+    spark.sql("INSERT INTO ir.gc.t VALUES (2)")
+    val (server, port) = startServer()
+    try {
+      assert(send(port, "GET", "/v1/iceberg/namespaces/gc/tables/t")._1 == 200)
+      val dir = new java.io.File(s"$warehouse/data/gc/t/meta/iceberg")
+      assert(dir.list().count(_.startsWith("ml-")) == 2,
+        "both snapshots served a derived manifest list")
+      val cat = spark.sessionState.catalogManager.catalog("ir")
+        .asInstanceOf[GraftCatalog]
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("gc"), "t")
+      graft.maintain.Maintenance.expireSnapshots(cat, ident, keepLast = 1)
+      val removed = graft.maintain.Maintenance.removeOrphanFiles(cat, ident)
+      assert(removed.exists(_.contains("/meta/iceberg/ml-")),
+        s"expired snapshot's derived manifest list removed: $removed")
+      assert(dir.list().count(_.startsWith("ml-")) == 1,
+        "the live snapshot's derived manifest list survives")
+      // the facade still serves the live snapshot after cleanup
+      val (c, body) = send(port, "GET", "/v1/iceberg/namespaces/gc/tables/t")
+      assert(c == 200)
+      assert(Json.mapper.readTree(body).get("metadata")
+        .get("snapshots").size() == 1)
+    } finally server.stop()
+  }
+
   private def readAvro(path: String): Seq[org.apache.avro.generic.GenericRecord] = {
     val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
       new java.io.File(path),

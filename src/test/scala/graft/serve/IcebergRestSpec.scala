@@ -264,6 +264,38 @@ class IcebergRestSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("hidden-partitioned tables load with a full (unpartitioned) inventory") {
+    // transform specs (days/bucket) have no identity partition columns;
+    // the facade serves them as unpartitioned — no pruning for external
+    // engines, but the planned inventory is complete and correct
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.hp")
+    val src = spark.range(100).selectExpr(
+      "id AS k",
+      "timestamp_micros(CAST(1704067200000000 + id * 3600000000 AS BIGINT)) AS ts")
+    src.limit(0).writeTo("ir.hp.ev")
+      .partitionedBy(org.apache.spark.sql.functions.days(
+        org.apache.spark.sql.functions.col("ts")))
+      .create()
+    src.writeTo("ir.hp.ev").append()
+    val (server, port) = startServer()
+    try {
+      val (c, body) = send(port, "GET", "/v1/iceberg/namespaces/hp/tables/ev")
+      assert(c == 200, body)
+      val md = Json.mapper.readTree(body).get("metadata")
+      assert(md.get("partition-specs").get(0).get("fields").size() == 0)
+      val snaps = md.get("snapshots")
+      val ml = (0 until snaps.size()).map(snaps.get)
+        .find(_.get("snapshot-id").asLong() ==
+          md.get("current-snapshot-id").asLong()).get
+        .get("manifest-list").asText()
+      val rows = readAvro(ml).flatMap(m =>
+        readAvro(m.get("manifest_path").toString)).map(_.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("record_count").asInstanceOf[Long]).sum
+      assert(rows == 100, "every row planned despite the hidden transform")
+    } finally server.stop()
+  }
+
   test("orphan cleanup prunes derived manifests of expired snapshots") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.gc")
     spark.sql("CREATE TABLE ir.gc.t (k BIGINT)")

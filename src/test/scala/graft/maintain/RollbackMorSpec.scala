@@ -151,6 +151,29 @@ class RollbackMorSpec extends AnyFunSuite {
     assert(spark.table("rbm.ns.big").count() == 8)
   }
 
+  test("expiring the rollback's source keeps the shared segments alive") {
+    // RestoreSnapshot shares the target's manifest segments verbatim;
+    // expiration ref-counts shared keys, so dropping the TARGET from
+    // history must not delete segments the rollback snapshot reads
+    spark.sql("""CREATE TABLE rbm.ns.shx (k BIGINT)
+                 TBLPROPERTIES ('graft.manifest.inline-max' = '2')""")
+    (1 to 4).foreach(i =>
+      spark.sql(s"INSERT INTO rbm.ns.shx VALUES ($i), (${i + 100})"))
+    val target = meta("shx").currentSnapshot.get
+    assert(target.manifests.nonEmpty)
+    spark.sql("INSERT OVERWRITE rbm.ns.shx VALUES (999)")
+    val ident = Identifier.of(Array("ns"), "shx")
+    Maintenance.rollbackToSnapshot(cat, ident, target.id)
+    // keepLast = 1 expires everything but the rollback snapshot —
+    // including the target whose segments it shares
+    Maintenance.expireSnapshots(cat, ident, keepLast = 1)
+    Maintenance.removeOrphanFiles(cat, ident)
+    assert(meta("shx").currentSnapshot.get.manifests == target.manifests,
+      "the rollback snapshot still references the shared segments")
+    assert(spark.table("rbm.ns.shx").count() == 8,
+      "shared segments survive expiring the snapshot that created them")
+  }
+
   test("CDC across a rollback range diffs the endpoints logically") {
     spark.sql("""CREATE TABLE rbm.ns.cdc (k BIGINT)
                  TBLPROPERTIES ('graft.delete.mode' = 'merge-on-read')""")

@@ -386,7 +386,9 @@ object SparkInternals {
   }
 
   /** Append constant columns (e.g. `_change_type`, the commit snapshot
-    * id) to every row of the delegate. Row-based.
+    * id) to every row of the delegate. Columnar-capable: constants ride
+    * [[ConstantColumnVector]]s, so an append-only change-feed range
+    * (plain file scans + tags — the common CDC read) stays vectorized.
     */
   def constantTaggedBatch(delegate: Batch, values: Seq[Any]): Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
@@ -395,7 +397,8 @@ object SparkInternals {
       val inner = delegate.createReaderFactory()
       val tagVals = values.toArray
       new PartitionReaderFactory {
-        override def supportColumnarReads(p: InputPartition): Boolean = false
+        override def supportColumnarReads(p: InputPartition): Boolean =
+          inner.supportColumnarReads(p)
         override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
           val tag = new org.apache.spark.sql.catalyst.expressions
             .GenericInternalRow(tagVals)
@@ -404,6 +407,38 @@ object SparkInternals {
             private val joined = new JoinedRow
             override def next(): Boolean = r.next()
             override def get(): InternalRow = joined(r.get(), tag)
+            override def close(): Unit = r.close()
+          }
+        }
+        override def createColumnarReader(p: InputPartition)
+            : PartitionReader[ColumnarBatch] = {
+          val r = inner.createColumnarReader(p)
+          new PartitionReader[ColumnarBatch] {
+            private var batch: ColumnarBatch = _
+            override def next(): Boolean = {
+              val has = r.next()
+              if (has) {
+                val b = r.get()
+                val consts = tagVals.map {
+                  case s: UTF8String =>
+                    val v = new ConstantColumnVector(b.numRows(), StringType)
+                    v.setUtf8String(s)
+                    v: ColumnVector
+                  case l: java.lang.Long =>
+                    val v = new ConstantColumnVector(b.numRows(),
+                      org.apache.spark.sql.types.LongType)
+                    v.setLong(l)
+                    v: ColumnVector
+                  case other => throw new IllegalStateException(
+                    s"unsupported constant tag type: $other")
+                }
+                batch = new ColumnarBatch(
+                  Array.tabulate[ColumnVector](b.numCols())(b.column) ++ consts,
+                  b.numRows())
+              }
+              has
+            }
+            override def get(): ColumnarBatch = batch
             override def close(): Unit = r.close()
           }
         }

@@ -371,27 +371,42 @@ object Maintenance {
     val refSnaplogs = meta.snapshotLog.map(_.key).toSet
     val manifestDirList =
       storage.listDeep(GraftCatalog.tableManifestDir(ns, ident.name()))
-    // derived Iceberg-REST avro manifests (serve/IcebergManifests) are
-    // keyed by snapshot id (ml-<id>, m-inline-<id>) or graft segment
-    // basename (m-<uuid>): ones whose source snapshot/segment is gone
-    // are regenerable garbage — without this they accumulate forever
-    // under a table served over REST
+    // derived Iceberg-REST objects (serve/IcebergManifests) are keyed
+    // by snapshot id (ml-<id>, m-inline-<id>, del-<id>), graft segment
+    // basename (m-<uuid>), or source delete-object basename
+    // (pd-<uuid>/ed-<uuid> transcodes): ones whose source
+    // snapshot/segment/object is gone are regenerable garbage —
+    // without this they accumulate forever under a table served over
+    // REST. An UNPARSEABLE basename is retained, never deleted: an
+    // unrecognized or future-format file must not be destroyed by a
+    // cleaner that cannot attribute it.
     val retainedIds = history.map(_.id).toSet
     val segBases = refManifests.map(k =>
       k.substring(k.lastIndexOf('/') + 1).stripSuffix(".manifest.json"))
+    val delObjBases = (history.flatMap(_.posDeletes).map(_.path) ++
+      history.flatMap(_.eqDeletes).map(_.path))
+      .map(k => k.substring(k.lastIndexOf('/') + 1).stripSuffix(".parquet"))
+      .toSet
+    def expiredId(idStr: String): Boolean =
+      idStr.toLongOption.exists(id => !retainedIds(id))
     val derivedOrphans = storage
       .listDeep(s"data/$ns/${ident.name()}/meta/iceberg")
       .filter { p =>
         val base = p.substring(p.lastIndexOf('/') + 1)
-        if (!base.endsWith(".avro")) false
-        else if (base.startsWith("m-inline-"))
-          base.stripPrefix("m-inline-").stripSuffix(".avro")
-            .toLongOption.forall(id => !retainedIds(id))
-        else if (base.startsWith("ml-"))
-          base.stripPrefix("ml-").stripSuffix(".avro")
-            .toLongOption.forall(id => !retainedIds(id))
-        else if (base.startsWith("m-"))
-          !segBases.contains(base.stripPrefix("m-").stripSuffix(".avro"))
+        if (base.endsWith(".avro")) {
+          if (base.startsWith("m-inline-"))
+            expiredId(base.stripPrefix("m-inline-").stripSuffix(".avro"))
+          else if (base.startsWith("ml-"))
+            expiredId(base.stripPrefix("ml-").stripSuffix(".avro"))
+          else if (base.startsWith("del-"))
+            expiredId(base.stripPrefix("del-").stripSuffix(".avro"))
+          else if (base.startsWith("m-"))
+            !segBases.contains(base.stripPrefix("m-").stripSuffix(".avro"))
+          else false
+        } else if (base.endsWith(".parquet") &&
+            (base.startsWith("pd-") || base.startsWith("ed-")))
+          !delObjBases.contains(
+            base.drop(3).stripSuffix(".parquet"))
         else false
       }
     val orphans = orphanData ++

@@ -1196,6 +1196,111 @@ object CatalogQueries {
              |FROM after_merge GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
 
     QueryDef(
+      "c43_iceberg_rest_mor_serve",
+      (s, d) => {
+        // The c42 equality-delete MERGE scenario read back THROUGH THE
+        // ICEBERG REST FACADE, exactly as an external engine would:
+        // load the table over HTTP, walk manifest-list → manifests
+        // (avro), plan data files + v2 delete files (content=2
+        // equality deletes), and reconstruct the row set by anti-
+        // joining delete keys against strictly-older data files —
+        // grading that the SERVED delete plane, not graft's native
+        // scan, reproduces the oracle. (IcebergRestSpec covers the
+        // position-delete plane the same way.)
+        val cat = ensureCatalog(s, "gcs")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcs.ns1")
+        s.sql("DROP TABLE IF EXISTS gcs.ns1.ord")
+        s.sql("""CREATE TABLE gcs.ns1.ord (
+                   o_orderkey BIGINT NOT NULL, o_orderstatus STRING,
+                   o_totalprice DOUBLE)
+                 TBLPROPERTIES (
+                   'graft.write.upsert-keys' = 'o_orderkey',
+                   'graft.merge.mode' = 'merge-on-read-eq')""")
+        s.sql(s"""INSERT INTO gcs.ns1.ord
+                  SELECT o_orderkey, o_orderstatus, o_totalprice
+                  FROM parquet.`$d/orders.parquet`""")
+        s.sql(s"""MERGE INTO gcs.ns1.ord t
+                  USING (
+                    SELECT o_orderkey, o_orderstatus, o_totalprice
+                    FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 7 = 0
+                    UNION ALL
+                    SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice
+                    FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 13 = 0
+                  ) src
+                  ON t.o_orderkey = src.o_orderkey
+                  WHEN MATCHED THEN UPDATE SET o_totalprice = -1.0
+                  WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus,
+                    o_totalprice)
+                    VALUES (src.o_orderkey, src.o_orderstatus,
+                      src.o_totalprice)""")
+        val server = new graft.serve.CatalogHttpServer(cat.storage)
+        val port = server.start()
+        try {
+          val client = java.net.http.HttpClient.newHttpClient()
+          val res = client.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+              s"http://127.0.0.1:$port/v1/iceberg/namespaces/ns1/tables/ord"))
+              .GET().build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(res.statusCode() == 200,
+            s"REST load failed: ${res.statusCode()} ${res.body()}")
+          val md = graft.objects.Json.mapper.readTree(res.body())
+            .get("metadata")
+          val snaps = md.get("snapshots")
+          val ml = (0 until snaps.size()).map(snaps.get)
+            .find(_.get("snapshot-id").asLong() ==
+              md.get("current-snapshot-id").asLong()).get
+            .get("manifest-list").asText()
+          def avro(path: String): Seq[org.apache.avro.generic.GenericRecord] = {
+            val r = new org.apache.avro.file.DataFileReader(
+              new java.io.File(path),
+              new org.apache.avro.generic.GenericDatumReader[
+                org.apache.avro.generic.GenericRecord]())
+            try Iterator.continually(r).takeWhile(_.hasNext)
+              .map(_.next()).toVector
+            finally r.close()
+          }
+          val entries = avro(ml).flatMap(m =>
+            avro(m.get("manifest_path").toString))
+          def filesOf(content: Int): Seq[(String, Long)] = entries.flatMap { e =>
+            val df = e.get("data_file")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            if (df.get("content").asInstanceOf[Int] == content)
+              Some((df.get("file_path").toString,
+                e.get("sequence_number").asInstanceOf[Long]))
+            else None
+          }
+          val data = filesOf(0).map { case (p, seq) =>
+            s.read.parquet(p).select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"), lit(seq).as("_seq"))
+          }.reduce(_ unionByName _)
+          val dels = filesOf(2).map { case (p, seq) =>
+            s.read.parquet(p).select(col("o_orderkey").as("_dk"),
+              lit(seq).as("_dseq"))
+          }.reduce(_ unionByName _)
+          data.join(dels,
+              data("o_orderkey") <=> dels("_dk") &&
+                data("_seq") < dels("_dseq"), "left_anti")
+            .groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n"),
+              round(sum(col("o_totalprice")), 2).as("total"))
+            .select(col("o_orderstatus").as("status"), col("n"), col("total"))
+            .orderBy("status")
+        } finally server.stop()
+      },
+      Some("""WITH after_merge AS (
+             |  SELECT o_orderkey, o_orderstatus,
+             |         CASE WHEN o_orderkey % 7 = 0 THEN -1.0
+             |              ELSE o_totalprice END AS price
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice
+             |  FROM orders WHERE o_orderkey % 13 = 0)
+             |SELECT o_orderstatus AS status, count(*) AS n,
+             |       round(sum(price), 2) AS total
+             |FROM after_merge GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
+
+    QueryDef(
       "c36_rewrite_position_deletes",
       (s, d) => {
         // Delete-object minor compaction: stacked merge-on-read updates

@@ -167,22 +167,26 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0) {
       // spilled snapshot-log segments back inline for serialization
       val meta = raw.copy(snapshots = raw.allSnapshots(storage),
         snapshotLog = Seq.empty)
-      // a current snapshot with pending merge-on-read deletes is not
-      // representable in Iceberg metadata derived here — refuse loudly
-      // instead of serving an inventory whose deleted rows resurrect
-      // in the external engine's results
-      if (meta.currentSnapshot.exists(IcebergManifests.hasPendingDeletes)) {
+      val partCols = td.properties.get("graft.partition-columns")
+        .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+      // pending position/equality deletes serve as REAL v2 delete
+      // manifests; two shapes stay unrepresentable and are refused
+      // loudly instead of resurrecting deleted rows in the external
+      // engine's results: predicate deletes (no Iceberg analog) and
+      // pending deletes on an identity-partitioned table (delete files
+      // would need per-partition splitting for correct partition tuples)
+      if (meta.currentSnapshot.exists(
+          IcebergManifests.unservable(_, partCols.nonEmpty))) {
         reply(ex, 400, IcebergRest.errorResponse(400, "BadRequestException",
-          s"table $ns.$t has pending merge-on-read deletes and cannot be " +
-            "served faithfully over Iceberg REST; run compact_table or " +
+          s"table $ns.$t has pending merge-on-read state that Iceberg v2 " +
+            "metadata cannot represent (predicate deletes, or delete files " +
+            "on an identity-partitioned table); run compact_table or " +
             "rewrite_position_deletes first, or read it through a " +
             "graft-native engine"))
       } else {
         val schema = org.apache.spark.sql.types.DataType
           .fromJson(meta.schemaJson)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
-        val partCols = td.properties.get("graft.partition-columns")
-          .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
         val manifests =
           IcebergManifests.ensure(storage, ns, t, meta, schema, partCols)
         reply(ex, 200, IcebergRest.loadTableResult(td, meta,

@@ -1,0 +1,163 @@
+package graft.serve
+
+import java.nio.file.Files
+
+import graft.format.{DataFileEntry, EqDeleteFile, PosDeleteFile}
+import graft.storage.StorageOps
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport, GroupWriteSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types => PTypes}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.types._
+
+/** Transcodes graft's native delete objects into the EXACT parquet
+  * shapes the PUBLIC Apache Iceberg v2 table spec prescribes for
+  * delete files, so the REST facade can serve pending merge-on-read
+  * state as real delete manifests ([[IcebergManifests]]).
+  *
+  * Position deletes: graft stores `(file STRING, pos BIGINT)` with the
+  * data file's scan-rendered filesystem path
+  * ([[graft.format.PosDeleteFiles]]); Iceberg prescribes columns
+  * `file_path` (reserved field id 2147483546) and `pos` (2147483545)
+  * whose values must match the data files' `file_path` as planned from
+  * the manifests — i.e. `storage.absolute`. The transcode renames the
+  * columns, stamps the reserved ids, and maps each path onto the
+  * absolute form by its storage-relative suffix (the two renderings
+  * coincide on a filesystem backend and differ only in scheme prefix
+  * on object stores).
+  *
+  * Equality deletes: graft already writes the key tuples as native
+  * parquet under the physical column names
+  * ([[graft.format.EqDeleteFiles]]); Iceberg additionally requires
+  * each column to carry the TABLE schema's field id so engines match
+  * deletes to columns by id. The transcode re-writes the same values
+  * with ids attached.
+  *
+  * Both run server-side through plain parquet-mr (delete objects are
+  * KB-scale key/position sets — the data plane's gigabyte parquet is
+  * never rewritten), once per immutable source object.
+  */
+object IcebergDeleteObjects {
+
+  /** Iceberg reserved field ids for position-delete columns. */
+  val FilePathFieldId = 2147483546L.toInt // spec: 2147483546
+  val PosFieldId = 2147483545L.toInt // spec: 2147483545
+
+  private def conf = new Configuration(false)
+
+  /** Writes records through parquet-mr into a temp file, returns its
+    * bytes (delete objects are small; the caller persists them through
+    * storage's atomic create).
+    */
+  private def writeToBytes(schema: MessageType)(
+      emit: (SimpleGroupFactory, Group => Unit) => Unit): Array[Byte] = {
+    val tmp = Files.createTempFile("graft-iceberg-del", ".parquet")
+    Files.delete(tmp) // parquet-mr refuses to overwrite
+    try {
+      val c = conf
+      GroupWriteSupport.setSchema(schema, c)
+      val writer = ExampleParquetWriter.builder(new Path(tmp.toString))
+        .withConf(c)
+        .withType(schema)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+      try emit(new SimpleGroupFactory(schema), writer.write)
+      finally writer.close()
+      Files.readAllBytes(tmp)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  private def readGroups(local: String)(f: Group => Unit): Unit = {
+    val reader = ParquetReader
+      .builder[Group](new GroupReadSupport(), new Path(local))
+      .withConf(conf)
+      .build()
+    try {
+      var g = reader.read()
+      while (g != null) { f(g); g = reader.read() }
+    } finally reader.close()
+  }
+
+  /** Spec-shaped position-delete parquet from one graft delete object. */
+  def transcodePosDelete(storage: StorageOps, pd: PosDeleteFile,
+      dataFiles: Seq[DataFileEntry]): Array[Byte] = {
+    val schema = PTypes.buildMessage()
+      .addField(PTypes.required(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType()).id(FilePathFieldId)
+        .named("file_path"))
+      .addField(PTypes.required(PrimitiveTypeName.INT64)
+        .id(PosFieldId).named("pos"))
+      .named("iceberg_position_delete")
+    // scan-rendered path → manifest-planned absolute path, matched by
+    // the storage-relative suffix (unique: relative paths are rooted
+    // at the catalog prefix)
+    val rels = pd.dataFiles
+    def resolve(rendered: String): String =
+      rels.find(rel => rendered == rel || rendered.endsWith("/" + rel) ||
+          rendered == storage.absolute(rel))
+        .map(storage.absolute)
+        .getOrElse(rendered)
+    val local = storage.prepareToReadLocal(pd.path).toString
+    writeToBytes(schema) { (factory, write) =>
+      readGroups(local) { g =>
+        val out = factory.newGroup()
+        out.append("file_path", resolve(g.getString("file", 0)))
+        out.append("pos", g.getLong("pos", 0))
+        write(out)
+      }
+    }
+  }
+
+  /** Field-id-annotated equality-delete parquet from one graft key
+    * object; `fieldIdOf` maps a physical column name onto the served
+    * Iceberg schema's id (`equality_ids` in the manifest entry lists
+    * the same ids).
+    */
+  def transcodeEqDelete(storage: StorageOps, ed: EqDeleteFile,
+      tableSchema: StructType, fieldIdOf: String => Int): Array[Byte] = {
+    val types = ed.cols.map(c =>
+      tableSchema.fields.find(_.name == c).map(_.dataType).getOrElse(
+        throw new IllegalStateException(
+          s"equality-delete key column $c missing from table schema")))
+    val b = PTypes.buildMessage()
+    ed.cols.zip(types).foreach { case (c, t) =>
+      val id = fieldIdOf(c)
+      t match {
+        case ByteType | ShortType | IntegerType =>
+          b.addField(PTypes.optional(PrimitiveTypeName.INT32).id(id).named(c))
+        case DateType =>
+          b.addField(PTypes.optional(PrimitiveTypeName.INT32)
+            .as(LogicalTypeAnnotation.dateType()).id(id).named(c))
+        case LongType =>
+          b.addField(PTypes.optional(PrimitiveTypeName.INT64).id(id).named(c))
+        case BooleanType =>
+          b.addField(PTypes.optional(PrimitiveTypeName.BOOLEAN).id(id).named(c))
+        case _ =>
+          b.addField(PTypes.optional(PrimitiveTypeName.BINARY)
+            .as(LogicalTypeAnnotation.stringType()).id(id).named(c))
+      }
+    }
+    val schema = b.named("iceberg_equality_delete")
+    val local = storage.prepareToReadLocal(ed.path).toString
+    writeToBytes(schema) { (factory, write) =>
+      readGroups(local) { g =>
+        val out = factory.newGroup()
+        ed.cols.zip(types).foreach { case (c, t) =>
+          if (g.getFieldRepetitionCount(c) > 0) t match {
+            case ByteType | ShortType | IntegerType | DateType =>
+              out.append(c, g.getInteger(c, 0))
+            case LongType => out.append(c, g.getLong(c, 0))
+            case BooleanType => out.append(c, g.getBoolean(c, 0))
+            case _ => out.append(c, g.getString(c, 0))
+          }
+        }
+        write(out)
+      }
+    }
+  }
+}

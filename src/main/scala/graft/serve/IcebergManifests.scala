@@ -3,10 +3,12 @@ package graft.serve
 import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets
 
+import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
-import graft.format.{DataFileEntry, Manifests, Snapshot, TableMetadata}
-import graft.storage.StorageOps
+import graft.format.{DataFileEntry, EqDeleteFile, Manifests, PosDeleteFile,
+  Snapshot, TableMetadata}
+import graft.storage.{AtomicSealFailureException, StorageOps}
 import org.apache.avro.Schema
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
@@ -27,10 +29,28 @@ import org.apache.spark.sql.types._
   * entries. Serving a 10⁵-file table's history therefore writes
   * O(segments + snapshots) bounded objects, not O(snapshots × files).
   *
-  * Tables whose snapshot carries PENDING merge-on-read state (delete
-  * predicates / position deltas / equality deletes) cannot be
-  * represented faithfully in this format — the caller refuses to serve
-  * them rather than letting an external engine resurrect deleted rows.
+  * Pending merge-on-read state serves as REAL v2 delete manifests:
+  * position-delete objects transcode once into spec-shaped parquet
+  * (`file_path`/`pos` with the reserved field ids) and equality-delete
+  * objects into field-id-annotated parquet, then a per-snapshot delete
+  * manifest (`manifest_file.content = 1`) carries entries of
+  * `data_file.content` 1 (position) and 2 (equality, with
+  * `equality_ids`). Sequence numbers map 1:1 — graft scopes equality
+  * deletes exactly like Iceberg (applies to data files with
+  * `data seq < delete seq`), and position deletes match by exact
+  * (path, pos) so their sequence stamp only needs to dominate the
+  * referenced files' (it does by construction: a delta commit's
+  * sequence is later than every file it read). Two pending shapes
+  * remain unservable and are refused upstream: predicate deletes
+  * (no Iceberg analog) and pending deletes on identity-partitioned
+  * tables (delete files would need per-partition splitting to carry
+  * correct partition tuples).
+  *
+  * Lineage: every manifest entry carries the snapshot that actually
+  * ADDED its file (recovered from the entry's commit sequence), with
+  * `status = EXISTING` for entries inherited from ancestor snapshots —
+  * so an external engine's incremental/changelog scan attributes files
+  * to the right commits, not to whichever snapshot first got served.
   */
 object IcebergManifests {
 
@@ -68,14 +88,18 @@ object IcebergManifests {
     Schema.createRecord("r102", null, null, false, fields.asJava)
   }
 
-  private def dataFileSchema(part: Schema): Schema =
+  private def dataFileSchema(part: Schema): Schema = {
+    val eqIds = Schema.createArray(prim(Schema.Type.INT))
+    eqIds.addProp("element-id", 136: Integer)
     Schema.createRecord("r2", null, null, false, Seq(
       fld("content", 134, prim(Schema.Type.INT)),
       fld("file_path", 100, prim(Schema.Type.STRING)),
       fld("file_format", 101, prim(Schema.Type.STRING)),
       fld("partition", 102, part),
       fld("record_count", 103, prim(Schema.Type.LONG)),
-      fld("file_size_in_bytes", 104, prim(Schema.Type.LONG))).asJava)
+      fld("file_size_in_bytes", 104, prim(Schema.Type.LONG)),
+      fld("equality_ids", 135, eqIds, optional = true)).asJava)
+  }
 
   private def manifestEntrySchema(part: Schema): Schema =
     Schema.createRecord("manifest_entry", null, null, false, Seq(
@@ -117,6 +141,21 @@ object IcebergManifests {
     out.toByteArray
   }
 
+  /** Create-if-absent where losing the creation race IS success: every
+    * derived object is written at a deterministic key from immutable
+    * inputs, so two concurrent REST loads (e.g. two server processes
+    * over shared storage) produce byte-equivalent objects and the
+    * loser simply adopts the winner's.
+    */
+  private def ensureObject(storage: StorageOps, rel: String,
+      bytes: => Array[Byte]): Long = {
+    if (!storage.exists(rel)) {
+      try storage.writeAtomic(rel, bytes)
+      catch { case _: AtomicSealFailureException => () }
+    }
+    storage.sizeOf(rel)
+  }
+
   /** Hive-style identity partition value parsed from the file path
     * (`…/col=value/…`), coerced to the column type; None when absent
     * or unparseable (served as an avro null).
@@ -138,21 +177,37 @@ object IcebergManifests {
   }
 
   private final case class WrittenManifest(rel: String, length: Long,
-      files: Int, rows: Long, minSeq: Long, maxSeq: Long)
+      content: Int, addedFiles: Int, existingFiles: Int,
+      addedRows: Long, existingRows: Long, minSeq: Long, maxSeq: Long,
+      addedSnapshotId: Long)
 
   /** Serve-side state for one table load. */
   final case class TableManifests(
-      /** snapshot id → ABSOLUTE manifest-list path (clean snapshots only). */
+      /** snapshot id → ABSOLUTE manifest-list path (servable snapshots only). */
       manifestLists: Map[Long, String])
 
   private def icebergDir(ns: String, table: String): String =
     s"data/$ns/$table/meta/iceberg"
 
-  /** Ensure avro manifests + per-snapshot manifest lists exist for
-    * every snapshot WITHOUT pending merge-on-read state; returns the
-    * absolute manifest-list path per served snapshot. Idempotent:
-    * snapshots and segments are immutable, so every object is written
-    * at a deterministic key at most once and reused afterwards.
+  /** True when the snapshot carries pending merge-on-read state. */
+  def hasPendingDeletes(s: Snapshot): Boolean =
+    s.deletes.nonEmpty || s.posDeletes.nonEmpty || s.eqDeletes.nonEmpty
+
+  /** True when the snapshot's pending state cannot be represented as
+    * Iceberg v2 delete manifests: predicate deletes have no Iceberg
+    * analog, and delete files on an identity-partitioned table would
+    * need per-partition splitting to carry correct partition tuples.
+    */
+  def unservable(s: Snapshot, partitioned: Boolean): Boolean =
+    s.deletes.nonEmpty ||
+      (partitioned && (s.posDeletes.nonEmpty || s.eqDeletes.nonEmpty))
+
+  /** Ensure avro manifests (data + delete) and per-snapshot manifest
+    * lists exist for every servable snapshot; returns the absolute
+    * manifest-list path per served snapshot. Idempotent: snapshots,
+    * segments and delete objects are immutable, so every derived
+    * object is written at a deterministic key at most once and reused
+    * afterwards (creation races collapse in [[ensureObject]]).
     */
   def ensure(storage: StorageOps, ns: String, table: String,
       meta: TableMetadata, schema: StructType,
@@ -173,15 +228,24 @@ object IcebergManifests {
       }
       sb.append("]").toString
     }
-    val manifestMeta = Map(
+    def manifestMeta(content: String) = Map(
       "schema" -> schemaNode.toString,
       "schema-id" -> "0",
       "partition-spec" -> specJson,
       "partition-spec-id" -> "0",
       "format-version" -> "2",
-      "content" -> "data")
+      "content" -> content)
 
-    def entryRecord(f: DataFileEntry, snapId: Long): GenericRecord = {
+    val all = meta.allSnapshots(storage)
+    // commit sequence → the snapshot that committed it: recovers which
+    // snapshot ADDED each file (entries inherited from ancestors serve
+    // as status=EXISTING under the adder's snapshot id)
+    val seqToSnap: Map[Long, Long] = all.map(s => s.seq -> s.id).toMap
+    // first served snapshot referencing each shared manifest object —
+    // deterministic (oldest-first walk), stamps added_snapshot_id
+    val firstServing = mutable.Map.empty[String, Long]
+
+    def entryRecord(f: DataFileEntry, manifestSnapId: Long): GenericRecord = {
       val part = new GenericData.Record(partSchema)
       partCols.foreach { case (name, dt) =>
         part.put(name, partitionValue(f.path, name, dt).orNull)
@@ -193,9 +257,10 @@ object IcebergManifests {
       df.put("partition", part)
       df.put("record_count", f.rowCount)
       df.put("file_size_in_bytes", f.sizeBytes)
+      val adder = seqToSnap.getOrElse(f.seq, manifestSnapId)
       val e = new GenericData.Record(entrySchema)
-      e.put("status", 1) // ADDED, with explicit sequence numbers
-      e.put("snapshot_id", snapId)
+      e.put("status", if (adder == manifestSnapId) 1 else 0) // ADDED / EXISTING
+      e.put("snapshot_id", adder)
       e.put("sequence_number", f.seq)
       e.put("file_sequence_number", f.seq)
       e.put("data_file", df)
@@ -207,17 +272,18 @@ object IcebergManifests {
     // snapshots); inline entries get a per-snapshot manifest
     def ensureManifest(rel: String, entries: Seq[DataFileEntry],
         snapId: Long): WrittenManifest = {
-      val length =
-        if (storage.exists(rel)) storage.sizeOf(rel)
-        else {
-          val bytes = writeAvro(entrySchema,
-            entries.map(entryRecord(_, snapId)), manifestMeta)
-          storage.writeAtomic(rel, bytes)
-          bytes.length.toLong
-        }
-      WrittenManifest(rel, length, entries.size, entries.map(_.rowCount).sum,
+      val owner = firstServing.getOrElseUpdate(rel, snapId)
+      val length = ensureObject(storage, rel,
+        writeAvro(entrySchema, entries.map(entryRecord(_, owner)),
+          manifestMeta("data")))
+      val (added, existing) = entries.partition(f =>
+        seqToSnap.getOrElse(f.seq, owner) == owner)
+      WrittenManifest(rel, length, content = 0,
+        added.size, existing.size,
+        added.map(_.rowCount).sum, existing.map(_.rowCount).sum,
         if (entries.isEmpty) 0L else entries.map(_.seq).min,
-        if (entries.isEmpty) 0L else entries.map(_.seq).max)
+        if (entries.isEmpty) 0L else entries.map(_.seq).max,
+        owner)
     }
 
     def segmentManifestRel(segKey: String): String = {
@@ -226,40 +292,110 @@ object IcebergManifests {
       s"$dir/m-$base.avro"
     }
 
-    val served = meta.allSnapshots(storage).filter(s =>
-      s.deletes.isEmpty && s.posDeletes.isEmpty && s.eqDeletes.isEmpty)
+    def baseOf(rel: String): String =
+      rel.substring(rel.lastIndexOf('/') + 1).stripSuffix(".parquet")
+
+    // ---- pending merge-on-read state → v2 delete manifest ----
+
+    /** Per-snapshot delete manifest: content=1 rows for transcoded
+      * position-delete objects, content=2 rows for equality-delete
+      * objects. The transcoded parquet objects are shared across the
+      * snapshots that carry the same pending entries (deterministic
+      * key per immutable source object); only this small per-snapshot
+      * manifest lists which apply at this snapshot.
+      */
+    def ensureDeleteManifest(s: Snapshot,
+        dataFiles: => Seq[DataFileEntry]): WrittenManifest = {
+      val rel = s"$dir/del-${s.id}.avro"
+      lazy val files = dataFiles
+      val entries = s.posDeletes.map { pd =>
+        val objRel = s"$dir/pd-${baseOf(pd.path)}.parquet"
+        val len = ensureObject(storage, objRel,
+          IcebergDeleteObjects.transcodePosDelete(storage, pd, files))
+        // a delta commit's sequence is later than every file it read,
+        // so stamping the pos-delete entry at pd.seq keeps all its
+        // referenced files in scope (matching is exact (path, pos) —
+        // over-scoping is harmless, under-scoping would drop deletes)
+        (objRel, len, pd.rowCount, pd.seq, 1, Seq.empty[Int])
+      } ++ s.eqDeletes.map { ed =>
+        val objRel = s"$dir/ed-${baseOf(ed.path)}.parquet"
+        val len = ensureObject(storage, objRel,
+          IcebergDeleteObjects.transcodeEqDelete(storage, ed, schema,
+            fieldIdOf(schemaNode, _)))
+        (objRel, len, ed.rowCount, ed.seq,
+          2, ed.cols.map(c => fieldIdOf(schemaNode, c)))
+      }
+      val records = entries.map { case (objRel, len, rows, seq, content, eqIds) =>
+        val df = new GenericData.Record(dfSchema)
+        df.put("content", content)
+        df.put("file_path", storage.absolute(objRel))
+        df.put("file_format", "PARQUET")
+        df.put("partition", new GenericData.Record(partSchema))
+        df.put("record_count", rows)
+        df.put("file_size_in_bytes", len)
+        if (eqIds.nonEmpty)
+          df.put("equality_ids", new GenericData.Array(
+            dfSchema.getField("equality_ids").schema().getTypes.get(1),
+            eqIds.map(Int.box).asJava))
+        val adder = seqToSnap.getOrElse(seq, s.id)
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", if (adder == s.id) 1 else 0)
+        e.put("snapshot_id", adder)
+        e.put("sequence_number", seq)
+        e.put("file_sequence_number", seq)
+        e.put("data_file", df)
+        e
+      }
+      val length = ensureObject(storage, rel,
+        writeAvro(entrySchema, records, manifestMeta("deletes")))
+      val seqs = entries.map(_._4)
+      val (added, existing) = entries.partition(e =>
+        seqToSnap.getOrElse(e._4, s.id) == s.id)
+      WrittenManifest(rel, length, content = 1,
+        added.size, existing.size,
+        added.map(_._3).sum, existing.map(_._3).sum,
+        seqs.min, seqs.max, s.id)
+    }
+
+    val partitioned = partCols.nonEmpty
+    val served = all.filterNot(unservable(_, partitioned))
     val lists = served.map { s =>
       val mlRel = s"$dir/ml-${s.id}.avro"
       if (!storage.exists(mlRel)) {
+        lazy val inventory = Manifests.filesOf(storage, s)
         val manifests =
           (if (s.files.nonEmpty)
             Seq(ensureManifest(s"$dir/m-inline-${s.id}.avro", s.files, s.id))
           else Seq.empty) ++
           s.manifests.map(k =>
             ensureManifest(segmentManifestRel(k),
-              Manifests.read(storage, k), s.id))
+              Manifests.read(storage, k), s.id)) ++
+          (if (s.posDeletes.nonEmpty || s.eqDeletes.nonEmpty)
+            Seq(ensureDeleteManifest(s, inventory))
+          else Seq.empty)
         val records = manifests.map { m =>
           val r = new GenericData.Record(manifestFileSchema)
           r.put("manifest_path", storage.absolute(m.rel))
           r.put("manifest_length", m.length)
           r.put("partition_spec_id", 0)
-          r.put("content", 0) // data
+          r.put("content", m.content)
           r.put("sequence_number", m.maxSeq)
           r.put("min_sequence_number", m.minSeq)
-          r.put("added_snapshot_id", s.id)
-          r.put("added_data_files_count", m.files)
-          r.put("existing_data_files_count", 0)
+          r.put("added_snapshot_id", m.addedSnapshotId)
+          r.put("added_data_files_count", m.addedFiles)
+          r.put("existing_data_files_count", m.existingFiles)
           r.put("deleted_data_files_count", 0)
-          r.put("added_rows_count", m.rows)
-          r.put("existing_rows_count", 0L)
+          r.put("added_rows_count", m.addedRows)
+          r.put("existing_rows_count", m.existingRows)
           r.put("deleted_rows_count", 0L)
           r
         }
-        storage.writeAtomic(mlRel, writeAvro(manifestFileSchema, records,
-          Map("snapshot-id" -> s.id.toString,
-            "parent-snapshot-id" -> s.parentId.toString,
-            "sequence-number" -> s.seq.toString,
-            "format-version" -> "2")))
+        ensureObject(storage, mlRel,
+          writeAvro(manifestFileSchema, records,
+            Map("snapshot-id" -> s.id.toString,
+              "parent-snapshot-id" -> s.parentId.toString,
+              "sequence-number" -> s.seq.toString,
+              "format-version" -> "2")))
       }
       s.id -> storage.absolute(mlRel)
     }
@@ -275,10 +411,4 @@ object IcebergManifests {
     }
     -1
   }
-
-  /** True when the snapshot carries pending merge-on-read state that
-    * Iceberg metadata derived here cannot represent.
-    */
-  def hasPendingDeletes(s: Snapshot): Boolean =
-    s.deletes.nonEmpty || s.posDeletes.nonEmpty || s.eqDeletes.nonEmpty
 }

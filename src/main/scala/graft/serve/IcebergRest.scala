@@ -16,10 +16,11 @@ import org.apache.spark.sql.types._
   * graft's native snapshot log replaces Iceberg's manifest tree
   * internally; for interop the facade derives REAL avro manifest
   * lists/manifests per snapshot ([[IcebergManifests]]) so external
-  * engines plan the actual file inventory. Tables with pending
-  * merge-on-read deletes are REFUSED at load (HTTP 400) — this format
-  * cannot represent them, and serving the raw inventory would
-  * resurrect deleted rows in the external engine's results.
+  * engines plan the actual file inventory, including v2 DELETE
+  * manifests for pending merge-on-read position/equality deletes.
+  * Tables whose pending state Iceberg cannot represent (predicate
+  * deletes; delete files on identity-partitioned tables) are REFUSED
+  * at load (HTTP 400) rather than served with resurrecting rows.
   */
 object IcebergRest {
 

@@ -969,6 +969,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     * replaced, nothing is rewritten (the batch edition of the
     * streaming upsert commit, same [[graft.format.AddUpsert]] edit and
     * strict-sequence scoping).
+    *
+    * Replay safety: unlike a streaming upsert (where replacing the
+    * latest row per key IS the contract), a MERGE's equality deletes
+    * must kill only rows its scan observed. A lost root race replays
+    * the edit on the winner's tree at a fresh sequence — if the winner
+    * (or anyone since the first attempt) committed to THIS table, the
+    * replayed deletes would also swallow those unseen matching-key
+    * rows, so the replay validates the table head is unchanged and
+    * fails loudly for a rerun (the same posture as
+    * [[graft.format.RewritePosDeletes]]'s reference validation;
+    * Iceberg's MERGE conflict validation makes the same call).
     */
   private[spark] def commitKeyDelta(ident: Identifier,
       newFiles: Seq[graft.format.DataFileEntry],
@@ -977,8 +988,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val (t, branch) = GraftCatalog.splitBranch(ident.name())
     val edit = graft.format.AddUpsert(newFiles, eqDeletes)
     inTxn { txn =>
+      val baseSeq = headSeqOf(storage, txn.runningRoot, ns, t, branch)
       applyFilesCommit(storage, txn.runningRoot, ns, t, op, edit, branch)
-      txn.replays += ((s, r) => applyFilesCommit(s, r, ns, t, op, edit, branch))
+      txn.replays += { (s, r) =>
+        val nowSeq = headSeqOf(s, r, ns, t, branch)
+        if (nowSeq != baseSeq) throw new IllegalStateException(
+          s"equality-delete MERGE on $ns.$t lost a race with a concurrent " +
+            s"commit (base seq $baseSeq, now $nowSeq): the merge scan never " +
+            "observed the concurrent rows its deletes would cover — rerun " +
+            "the MERGE")
+        applyFilesCommit(s, r, ns, t, op, edit, branch)
+      }
       val cd = Graft.catalogDef(storage, txn.runningRoot)
       txn.record(Action(ActionType.TableUpdate,
         ObjectKeys.tableKey(ns, t, cd),
@@ -1046,6 +1066,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       branch: Option[String] = None): Unit =
     applyFilesCommit(s, root, ns, t, op,
       graft.format.ReplaceFiles(replaced, newFiles), branch)
+
+  /** Head-snapshot commit sequence of a table (or its branch) as seen
+    * from `root`; -1 for an empty table. One metadata read — used by
+    * replay validations that must detect a concurrent same-table
+    * commit.
+    */
+  private def headSeqOf(s: StorageOps, root: TreeRoot, ns: String,
+      t: String, branch: Option[String]): Long = {
+    val cd = Graft.catalogDef(s, root)
+    val key = ObjectKeys.tableKey(ns, t, cd)
+    val defPath = TreeOps.searchValue(s, root, key).getOrElse(
+      throw new NoSuchTableException(Identifier.of(Array(ns), t)))
+    val td = Json.read(s.read(defPath), classOf[TableDef])
+    val meta = TableMetadata.read(s, td.metadataLocation)
+    meta.headSnapshot(s, branch).map(_.seq).getOrElse(-1L)
+  }
 
   private def applyFilesCommit(s: StorageOps, root: TreeRoot, ns: String,
       t: String, op: String, edit: graft.format.FilesEdit,

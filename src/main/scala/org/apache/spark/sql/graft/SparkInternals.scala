@@ -396,9 +396,16 @@ object SparkInternals {
     override def createReaderFactory(): PartitionReaderFactory = {
       val inner = delegate.createReaderFactory()
       val tagVals = values.toArray
+      // only tag types the columnar reader can render as constant
+      // vectors; anything else (a future tag type) falls back to the
+      // row reader instead of throwing at executor runtime
+      val columnarTags = tagVals.forall {
+        case _: UTF8String | _: java.lang.Long => true
+        case _ => false
+      }
       new PartitionReaderFactory {
         override def supportColumnarReads(p: InputPartition): Boolean =
-          inner.supportColumnarReads(p)
+          columnarTags && inner.supportColumnarReads(p)
         override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
           val tag = new org.apache.spark.sql.catalyst.expressions
             .GenericInternalRow(tagVals)

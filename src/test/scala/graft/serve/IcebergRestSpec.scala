@@ -296,6 +296,133 @@ class IcebergRestSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("pending merge-on-read state serves as real v2 delete manifests") {
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.md")
+
+    // --- equality deletes (streaming-upsert / merge-on-read-eq MERGE) ---
+    spark.sql("""CREATE TABLE ir.md.up (k BIGINT NOT NULL, v STRING)
+                 TBLPROPERTIES ('graft.write.upsert-keys' = 'k',
+                                'graft.merge.mode' = 'merge-on-read-eq')""")
+    spark.sql("INSERT INTO ir.md.up SELECT id, concat('a', id) FROM range(10)")
+    spark.sql("""MERGE INTO ir.md.up t
+                 USING (SELECT id AS k, concat('b', id) AS v FROM range(3, 8)) s
+                 ON t.k = s.k
+                 WHEN MATCHED THEN UPDATE SET v = s.v
+                 WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+
+    // --- position deletes (merge-on-read UPDATE delta) ---
+    spark.sql("""CREATE TABLE ir.md.pd (k BIGINT, v DOUBLE)
+                 TBLPROPERTIES ('graft.update.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO ir.md.pd SELECT id, CAST(id AS DOUBLE) FROM range(20)")
+    spark.sql("UPDATE ir.md.pd SET v = -1.0 WHERE k % 4 = 1")
+
+    val (server, port) = startServer()
+    try {
+      // one walk helper: manifest list → (data entries, delete entries)
+      def walk(table: String): (Seq[(String, Long)],
+          Seq[(String, Long, Int, Seq[Int])]) = {
+        val (c, body) =
+          send(port, "GET", s"/v1/iceberg/namespaces/md/tables/$table")
+        assert(c == 200, body)
+        val md = Json.mapper.readTree(body).get("metadata")
+        val snaps = md.get("snapshots")
+        val ml = (0 until snaps.size()).map(snaps.get)
+          .find(_.get("snapshot-id").asLong() ==
+            md.get("current-snapshot-id").asLong()).get
+          .get("manifest-list").asText()
+        val data = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        val dels = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Int, Seq[Int])]
+        readAvro(ml).foreach { m =>
+          readAvro(m.get("manifest_path").toString).foreach { e =>
+            val df = e.get("data_file")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            val seq = e.get("sequence_number").asInstanceOf[Long]
+            val content = df.get("content").asInstanceOf[Int]
+            val path = df.get("file_path").toString
+            assert(new java.io.File(path).isFile, s"planned file missing: $path")
+            if (content == 0) data += ((path, seq))
+            else {
+              val eqIds = Option(df.get("equality_ids"))
+                .map(_.asInstanceOf[java.util.List[_]].toArray.toSeq
+                  .map(_.toString.toInt))
+                .getOrElse(Seq.empty)
+              dels += ((path, seq, content, eqIds))
+            }
+          }
+        }
+        (data.toSeq, dels.toSeq)
+      }
+
+      // --- equality table: content=2 entries with the key's field id;
+      // an external engine's read (anti-join keys where data seq <
+      // delete seq) reconstructs exactly what graft's own scan serves
+      val (upData, upDels) = walk("up")
+      assert(upDels.nonEmpty && upDels.forall(_._3 == 2), upDels)
+      assert(upDels.forall(_._4 == Seq(1)), // k is field id 1
+        s"equality_ids carry the key field id: $upDels")
+      val upRows = upData.map { case (p, seq) =>
+        spark.read.parquet(p).select(col("k"), col("v"), lit(seq).as("_seq"))
+      }.reduce(_ unionByName _)
+      val upKeys = upDels.map { case (p, seq, _, _) =>
+        spark.read.parquet(p).select(col("k").as("dk"), lit(seq).as("_dseq"))
+      }.reduce(_ unionByName _)
+      val reconstructed = upRows.join(upKeys,
+          upRows("k") <=> upKeys("dk") && upRows("_seq") < upKeys("_dseq"),
+          "left_anti")
+        .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      val native = spark.table("ir.md.up").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(reconstructed.toSeq == native.toSeq,
+        s"served delete plane reconstructs the table: $reconstructed vs $native")
+      assert(native.count(_._2.startsWith("b")) == 5, "merge applied")
+
+      // --- position table: content=1 entries; the transcoded object
+      // carries spec column names and file_paths matching the planned
+      // data files
+      val (pdData, pdDels) = walk("pd")
+      assert(pdDels.nonEmpty && pdDels.forall(_._3 == 1), pdDels)
+      val posObj = spark.read.parquet(pdDels.map(_._1): _*)
+      assert(posObj.columns.toSeq == Seq("file_path", "pos"))
+      val plannedPaths = pdData.map(_._1).toSet
+      val refPaths = posObj.select("file_path").distinct()
+        .collect().map(_.getString(0))
+      assert(refPaths.nonEmpty && refPaths.forall(plannedPaths),
+        s"pos-delete file_paths match planned data files: ${refPaths.toSeq}")
+      val pdRows = spark.read.parquet(pdData.map(_._1): _*)
+        .select(col("k"), col("v"),
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+            .as("_fp"),
+          col("_metadata.row_index").as("_pos"))
+      val pdSurvived = pdRows.join(posObj,
+          pdRows("_fp") === posObj("file_path") &&
+            pdRows("_pos") === posObj("pos"), "left_anti")
+        .select("k", "v").collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+      val pdNative = spark.table("ir.md.pd").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sorted
+      assert(pdSurvived.toSeq == pdNative.toSeq,
+        s"served position deletes reconstruct the table")
+      assert(pdNative.count(_._2 == -1.0) == 5, "update applied")
+
+      // reloads are idempotent: the derived objects are immutable
+      val icebergDir = new java.io.File(s"$warehouse/data/md/up/meta/iceberg")
+      val first = icebergDir.list().sorted.toSeq
+      assert(send(port, "GET", "/v1/iceberg/namespaces/md/tables/up")._1 == 200)
+      assert(icebergDir.list().sorted.toSeq == first)
+
+      // identity-partitioned tables with pending deletes stay refused
+      // (delete files would need per-partition splitting)
+      spark.sql("""CREATE TABLE ir.md.pp (k BIGINT, region STRING)
+                   PARTITIONED BY (region)
+                   TBLPROPERTIES ('graft.update.mode' = 'merge-on-read')""")
+      spark.sql("INSERT INTO ir.md.pp VALUES (1, 'eu'), (2, 'us')")
+      spark.sql("UPDATE ir.md.pp SET k = 9 WHERE k = 1")
+      val (cp, perr) = send(port, "GET", "/v1/iceberg/namespaces/md/tables/pp")
+      assert(cp == 400 && perr.contains("partitioned"), perr)
+    } finally server.stop()
+  }
+
   test("orphan cleanup prunes derived manifests of expired snapshots") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.gc")
     spark.sql("CREATE TABLE ir.gc.t (k BIGINT)")

@@ -297,20 +297,37 @@ object Dedup {
     QueryDef(
       "dd05_embedding_dup",
       (s, d) => {
-        // Oracle baseline: exact pairwise cosine ≥ 0.35. The small side
-        // broadcasts (nested-loop pair generation) — quadratic, kept for
-        // verification; dd06 is the LSH scale path.
+        // Oracle baseline: exact pairwise cosine ≥ 0.35 as a BLOCK
+        // NESTED LOOP — still O(n²) comparisons (that is what "exact
+        // pairwise truth" means; dd06 is the sub-quadratic scale path),
+        // but shaped to scale as far as a truth side can: vectors hash
+        // into B blocks, the B(B+1)/2 block pairs are the EQUI-join
+        // key, so the work lands as bounded-input cells across the
+        // cluster (each task compares ~(n/B)² pairs locally) instead
+        // of one broadcast cartesian whose inner side must fit in
+        // every executor. Each unordered pair lands in exactly one
+        // cell: cross-block pairs in (min-blk, max-blk), same-block
+        // pairs deduped by vec_id order. Replication factor ≈ (B+1)/2
+        // per side — the standard block-nested-loop trade.
         GraftFunctions.register(s)
+        import s.implicits._
+        val B = 8
         val e = table(s, d, "embeddings").select("vec_id", "embedding")
+          .withColumn("blk", pmod(hash(col("vec_id")), lit(B)))
+        val cells = (0 until B).flatMap(i => (i until B).map(j => (i, j)))
+          .toDF("bi", "bj")
+        val a = e.as("a").join(broadcast(cells), col("a.blk") === col("bi"))
         val cos =
           round(GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")), 4)
         // threshold INSIDE the join condition: non-matching pairs are
-        // rejected in the nested-loop inner loop and never materialize
-        // as output rows (only ~0.2% of the n² pairs survive)
-        e.as("a")
-          .join(e.as("b"),
-            col("a.vec_id") < col("b.vec_id") && cos >= 0.35)
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        // rejected in the cell's inner loop and never materialize as
+        // output rows (only ~0.2% of the n² pairs survive)
+        a.join(e.as("b"),
+            col("b.blk") === col("bj") &&
+              (col("bi") < col("bj") || col("a.vec_id") < col("b.vec_id")) &&
+              cos >= 0.35)
+          .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+            greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
             cos.as("cos_sim"))
           .orderBy("vec_a", "vec_b")
       },

@@ -24,17 +24,33 @@ object Similarity {
     QueryDef(
       "ss01_brute_topk",
       (s, d) => {
+        // Exact brute-force baseline: every vector scores against every
+        // query. The query side is broadcast-tiny (NQ rows), so the
+        // scoring pass is a LINEAR broadcast nested loop — the brute
+        // part is inherent to "exact", not a plan accident. The top-k
+        // itself is TWO-PHASE: per-input-partition top-k first
+        // (parallelism = NQ × shuffle partitions), then a global merge
+        // over the ≤ NQ·P·K survivors — a single window partitioned
+        // only by qid would funnel all N·NQ scored rows through NQ
+        // reducers, the real scale ceiling of the naive shape. The
+        // (cos desc, vec_id) order is total, so per-partition top-k
+        // preserves the exact global top-k.
         GraftFunctions.register(s)
         val e = table(s, d, "embeddings").select("vec_id", "embedding")
         val q = e.filter(col("vec_id") < NQ)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        val w = Window.partitionBy("qid")
-          .orderBy(col("cos_sim").desc, col("vec_id"))
-        e.crossJoin(broadcast(q))
-          .filter(col("vec_id") =!= col("qid"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
           .withColumn("cos_sim",
             round(GraftFunctions.cosineSim(col("embedding"), col("qvec")), 4))
-          .withColumn("rank", row_number().over(w))
+          .withColumn("pid", spark_partition_id())
+        val local = Window.partitionBy("qid", "pid")
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        val global = Window.partitionBy("qid")
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        scored
+          .withColumn("lrank", row_number().over(local))
+          .filter(col("lrank") <= K)
+          .withColumn("rank", row_number().over(global))
           .filter(col("rank") <= K)
           .select("qid", "rank", "vec_id", "cos_sim")
           .orderBy("qid", "rank")

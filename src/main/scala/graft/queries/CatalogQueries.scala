@@ -1301,6 +1301,40 @@ object CatalogQueries {
              |FROM after_merge GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
 
     QueryDef(
+      "c44_snapshot_pin",
+      (s, d) => {
+        // Table-level snapshot-id time travel: `VERSION AS OF
+        // 'snap:<id>'` pins the ids `$snapshots` exposes (bare
+        // numerics stay CATALOG root versions — c05's reference
+        // semantics, TreeOperations.java:373-395). Two commits land
+        // disjoint halves; the pinned read must reproduce exactly the
+        // first commit's content.
+        ensureCatalog(s, "gcv")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcv.ns1")
+        s.sql("DROP TABLE IF EXISTS gcv.ns1.ord")
+        s.sql("""CREATE TABLE gcv.ns1.ord (
+                   o_orderkey BIGINT, o_orderstatus STRING,
+                   o_totalprice DOUBLE)""")
+        s.sql(s"""INSERT INTO gcv.ns1.ord
+                  SELECT o_orderkey, o_orderstatus, o_totalprice
+                  FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 0""")
+        s.sql(s"""INSERT INTO gcv.ns1.ord
+                  SELECT o_orderkey, o_orderstatus, o_totalprice
+                  FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 1""")
+        val firstId = s.sql(
+          "SELECT min(snapshot_id) FROM gcv.ns1.`ord$snapshots`")
+          .collect()(0).getLong(0)
+        s.sql(s"""SELECT o_orderstatus AS status, count(*) AS n,
+                         round(sum(o_totalprice), 2) AS total
+                  FROM gcv.ns1.ord VERSION AS OF 'snap:$firstId'
+                  GROUP BY o_orderstatus ORDER BY status""")
+      },
+      Some("""SELECT o_orderstatus AS status, count(*) AS n,
+             |       round(sum(o_totalprice), 2) AS total
+             |FROM orders WHERE o_orderkey % 2 = 0
+             |GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
+
+    QueryDef(
       "c36_rewrite_position_deletes",
       (s, d) => {
         // Delete-object minor compaction: stacked merge-on-read updates

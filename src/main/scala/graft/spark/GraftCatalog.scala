@@ -366,10 +366,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
 
   /** Time travel: numeric `VERSION AS OF v` resolves the table against
     * CATALOG root version v (TreeOperations.java:373-395 semantics); a
-    * non-numeric version names a table-level snapshot TAG
-    * (`Maintenance.createTag`), pinning the tagged snapshot — found
-    * through the snapshot log even after it spills out of the inline
-    * window.
+    * non-numeric version names either a TABLE-LEVEL SNAPSHOT ID in the
+    * unambiguous `'snap:<id>'` form (ids as `$snapshots` exposes them —
+    * kept prefix-distinct because bare numerics already mean catalog
+    * versions, and table snapshot ids are small integers that would
+    * collide) or a table-level snapshot TAG / branch
+    * (`Maintenance.createTag`), pinning that snapshot — found through
+    * the snapshot log even after it spills out of the inline window.
+    * (The REST facade needs no counterpart: it serves the FULL
+    * snapshot history in the table metadata, so external engines pin
+    * snapshots client-side per the Iceberg spec.)
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!version.matches("-?\\d+")) return inTxn { txn =>
@@ -378,11 +384,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         try Graft.describeTable(storage, txn, ns, ident.name())
         catch { case _: NoSuchElementException => throw new NoSuchTableException(ident) }
       val meta = TableMetadata.read(storage, td.metadataLocation)
-      val sid = meta.refs.getOrElse(version, meta.branches.getOrElse(version,
-        throw new IllegalArgumentException(
-          s"no such tag or branch on ${ident.name()}: $version")))
+      val sid =
+        if (version.startsWith("snap:"))
+          version.stripPrefix("snap:").trim.toLongOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"malformed snapshot pin (want snap:<numeric id>): $version"))
+        else meta.refs.getOrElse(version, meta.branches.getOrElse(version,
+          throw new IllegalArgumentException(
+            s"no such tag or branch on ${ident.name()}: $version")))
       val snap = meta.findSnapshot(storage, sid).getOrElse(
-        throw new IllegalStateException(s"tag $version names expired snapshot $sid"))
+        throw new IllegalArgumentException(
+          s"$version names no live snapshot of ${ident.name()} " +
+            s"(id $sid expired or never existed)"))
       new GraftTable(this, ident, td,
         meta.copy(currentSnapshotId = sid, snapshots = Seq(snap),
           snapshotLog = Seq.empty), txn, storage)

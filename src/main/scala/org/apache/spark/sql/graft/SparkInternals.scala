@@ -678,7 +678,11 @@ case class CdcPartition(inner: FilePartition, dataFile: String,
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
-/** Emits exactly the rows [[SparkInternals.cdcDeleteBatch]] specifies. */
+/** Emits exactly the rows [[SparkInternals.cdcDeleteBatch]] specifies.
+  * Columnar-capable: survivors remap through a selection-vector view
+  * ([[SelectedColumnVector]]) like the merge-on-read scan factories,
+  * so deriving deleted rows for a change feed stays vectorized.
+  */
 private class CdcDeleteReaderFactory(
     delegate: PartitionReaderFactory,
     cond: Expression,
@@ -687,35 +691,90 @@ private class CdcDeleteReaderFactory(
     rixOrdinal: Int,
     keepN: Int) extends PartitionReaderFactory {
 
-  override def supportColumnarReads(p: InputPartition): Boolean = false
+  private def innerOf(p: InputPartition): InputPartition = p match {
+    case cp: CdcPartition => cp.inner
+    case other => other
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    delegate.supportColumnarReads(innerOf(p))
+
+  private def deleteSets(cp: CdcPartition)
+      : (java.util.HashSet[java.lang.Long], java.util.HashSet[java.lang.Long]) = (
+    if (cp.parentDels.isEmpty) null
+    else graft.format.PosDeleteFiles.positionsFor(
+      cp.parentDels.toSeq, cp.dataFile, conf.value),
+    if (cp.newDels.isEmpty) null
+    else graft.format.PosDeleteFiles.positionsFor(
+      cp.newDels.toSeq, cp.dataFile, conf.value))
+
+  private def attrs = inputSchema.fields.toIndexedSeq.map(f =>
+    AttributeReference(f.name, f.dataType, f.nullable)())
+
+  /** cond was authored against caller-side attributes (serialized by
+    * value) — rebind by NAME to this reader's attrs before binding by
+    * ordinal.
+    */
+  private def boundPred(as: IndexedSeq[AttributeReference])
+      : org.apache.spark.sql.catalyst.expressions.BasePredicate = {
+    val bound = cond.transform {
+      case a: AttributeReference => as.find(_.name == a.name).getOrElse(a)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        as.find(_.name == u.nameParts.last).getOrElse(
+          throw new IllegalArgumentException(
+            s"unknown column in change predicate: ${u.nameParts.mkString(".")}"))
+    }
+    org.apache.spark.sql.catalyst.expressions.Predicate.create(bound, as)
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val cp = p.asInstanceOf[CdcPartition]
+    val inner = delegate.createColumnarReader(cp.inner)
+    val (parentSet, newSet) = deleteSets(cp)
+    val pred = boundPred(attrs)
+    new PartitionReader[ColumnarBatch] {
+      private var batch: ColumnarBatch = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val b = inner.get()
+          val total = b.numRows()
+          val rixCol = b.column(rixOrdinal)
+          val sel = new Array[Int](total)
+          var n = 0
+          var i = 0
+          while (i < total) {
+            val rix = rixCol.getLong(i)
+            if ((parentSet == null || !parentSet.contains(rix)) &&
+                (newSet == null || newSet.contains(rix)) &&
+                pred.eval(b.getRow(i))) {
+              sel(n) = i; n += 1
+            }
+            i += 1
+          }
+          if (n > 0) {
+            batch =
+              if (n == total) SelectedColumnVector.project(b, keepN)
+              else SelectedColumnVector.select(b,
+                java.util.Arrays.copyOf(sel, n), n, keepN)
+            return true
+          } // nothing deleted in this batch: keep draining the delegate
+        }
+        false
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = inner.close()
+    }
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[CdcPartition]
     val inner = delegate.createReader(cp.inner)
-    val parentSet =
-      if (cp.parentDels.isEmpty) null
-      else graft.format.PosDeleteFiles.positionsFor(
-        cp.parentDels.toSeq, cp.dataFile, conf.value)
-    val newSet =
-      if (cp.newDels.isEmpty) null
-      else graft.format.PosDeleteFiles.positionsFor(
-        cp.newDels.toSeq, cp.dataFile, conf.value)
-    val attrs = inputSchema.fields.toIndexedSeq.map(f =>
-      AttributeReference(f.name, f.dataType, f.nullable)())
-    // cond was authored against caller-side attributes (serialized by
-    // value) — rebind by NAME to this reader's attrs before binding by
-    // ordinal
-    val bound = cond.transform {
-      case a: AttributeReference => attrs.find(_.name == a.name).getOrElse(a)
-      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        attrs.find(_.name == u.nameParts.last).getOrElse(
-          throw new IllegalArgumentException(
-            s"unknown column in change predicate: ${u.nameParts.mkString(".")}"))
-    }
-    val pred = org.apache.spark.sql.catalyst.expressions.Predicate
-      .create(bound, attrs)
+    val (parentSet, newSet) = deleteSets(cp)
+    val as = attrs
+    val pred = boundPred(as)
     val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-      .create(attrs.take(keepN), attrs)
+      .create(as.take(keepN), as)
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
       override def next(): Boolean = {

@@ -70,6 +70,21 @@ class ChangesFeedSpec extends AnyFunSuite {
       ("insert", cs.head._2, 50L, -5.0)), s"got $cs")
   }
 
+  test("delete-derivation reads stay columnar") {
+    // the feed now carries predicate deletes AND position-delta
+    // deletes: deriving the deleted rows must not drop the scan to
+    // row-at-a-time (CdcDeleteReaderFactory serves a selection-vector
+    // view, like the merge-on-read scan path)
+    val df = spark.read.table("cf.ns.`t$changes`")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"delete-bearing change feed dropped to row reads:\n$plan")
+    // and the columnar derivation still emits the exact change rows
+    val cs = changes()
+    assert(cs.count(_._1 == "delete") == 21, // k<20 (dedup'd) + k=50 update
+      s"got ${cs.filter(_._1 == "delete").sortBy(_._3)}")
+  }
+
   test("compaction and delete-object rewrites emit nothing") {
     val before = spark.sql("SELECT max(snapshot_id) FROM cf.ns.`t$snapshots`")
       .head.getLong(0)

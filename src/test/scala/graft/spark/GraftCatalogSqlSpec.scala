@@ -263,6 +263,32 @@ class GraftCatalogSqlSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM cat.ns1.tt VERSION AS OF $v1").count() == 0)
   }
 
+  test("table time travel: VERSION AS OF 'snap:<id>' pins a table snapshot") {
+    spark.sql("CREATE TABLE cat.ns1.sp (k BIGINT)")
+    spark.sql("INSERT INTO cat.ns1.sp VALUES (1)")
+    spark.sql("INSERT INTO cat.ns1.sp VALUES (2), (3)")
+    val ids = spark.sql(
+      "SELECT snapshot_id FROM cat.ns1.`sp$snapshots` ORDER BY snapshot_id")
+      .collect().map(_.getLong(0))
+    assert(ids.length == 2)
+    // the ids $snapshots exposes pin the TABLE's own history — distinct
+    // from bare-numeric catalog-version travel (previous test)
+    assert(spark.sql(
+      s"SELECT count(*) FROM cat.ns1.sp VERSION AS OF 'snap:${ids(0)}'")
+      .collect()(0).getLong(0) == 1)
+    assert(spark.sql(
+      s"SELECT count(*) FROM cat.ns1.sp VERSION AS OF 'snap:${ids(1)}'")
+      .collect()(0).getLong(0) == 3)
+    val bad = intercept[Exception] {
+      spark.sql("SELECT * FROM cat.ns1.sp VERSION AS OF 'snap:zzz'").collect()
+    }
+    assert(bad.getMessage.contains("malformed snapshot pin"), bad.getMessage)
+    val gone = intercept[Exception] {
+      spark.sql("SELECT * FROM cat.ns1.sp VERSION AS OF 'snap:99999'").collect()
+    }
+    assert(gone.getMessage.contains("no live snapshot"), gone.getMessage)
+  }
+
   test("catalog time travel: TIMESTAMP AS OF") {
     spark.sql("CREATE TABLE cat.ns1.tts (k BIGINT)")
     spark.sql("INSERT INTO cat.ns1.tts VALUES (1)")

@@ -89,6 +89,20 @@ object Similarity {
             val n = e.count()
             math.max(4, math.round(math.sqrt(n.toDouble)).toInt)
           }
+        // the centroid matrix is DRIVER-HELD and broadcast into the
+        // assignment expression: nlist × dim × 8 bytes. The cap keeps
+        // that deliberate design honest — at the default 2^17 a
+        // 128-dim index costs ~128 MB on the driver, which covers
+        // ~10^9 vectors at nlist = √N; past that an IVF needs a
+        // joined (not broadcast) assignment, and this operator refuses
+        // loudly rather than OOMing the driver mid-collect.
+        val nlistMax = s.conf.getOption("spark.graft.ann.nlist-max")
+          .map(_.toInt).getOrElse(1 << 17)
+        require(nlist <= nlistMax,
+          s"spark.graft.ann.nlist = $nlist exceeds the driver-held " +
+            s"centroid ceiling $nlistMax (~${nlistMax.toLong * 128 * 8 / (1 << 20)}" +
+            " MB at 128 dims); raise spark.graft.ann.nlist-max only with " +
+            "driver memory to match")
         val nprobe = math.max(4, nlist / 8)
         // deterministic seeding: the nlist lowest vec_ids
         var centroids: Array[(Long, Seq[Double])] =
@@ -122,12 +136,21 @@ object Similarity {
         val queries = e.filter(col("vec_id") < NQ)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
             explode(cells(col("embedding"), nprobe)).as("cell"))
-        val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+        // two-phase top-k like ss01: probed cells still hold
+        // ~nprobe·(N/nlist) candidates per query — per-partition
+        // top-k first so no query funnels through one reducer
+        val local = Window.partitionBy("qid", "pid")
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        val global = Window.partitionBy("qid")
+          .orderBy(col("cos_sim").desc, col("vec_id"))
         assigned.join(broadcast(queries), "cell")
           .filter(col("vec_id") =!= col("qid"))
           .withColumn("cos_sim",
             round(GraftFunctions.cosineSim(col("embedding"), col("qvec")), 4))
-          .withColumn("rank", row_number().over(w))
+          .withColumn("pid", spark_partition_id())
+          .withColumn("lrank", row_number().over(local))
+          .filter(col("lrank") <= K)
+          .withColumn("rank", row_number().over(global))
           .filter(col("rank") <= K)
           .select("qid", "rank", "vec_id", "cos_sim")
           .orderBy("qid", "rank")

@@ -232,37 +232,66 @@ object TreeOps {
       root.previousRootPath.map(MPreviousRoot -> _).toMap ++
       root.rollbackFromRootPath.map(MRollbackFrom -> _).toMap
     // children first (same as a commit), then overwrite the dtxn root
-    root.node.loadedChildren.foreach { case (pivot, child) =>
-      if (child.dirty) {
-        val childPath = writeNode(storage, child, None, Map.empty)
-        pivot match {
-          case None => root.node.leftmostChildPath = Some(childPath)
-          case Some(k) =>
-            val value = root.node.lookup(k).flatMap(_.value)
-            root.node.pending.put(k, TreeRow(k, value, Some(childPath)))
-        }
-      }
-    }
+    writeDirtyChildren(storage, root.node)
     val meta = rootMeta ++ root.node.leftmostChildPath.map(MLeftmost -> _).toMap
     storage.overwrite(path, NodeFile.writeRaw(root.node.mergedRawRows, meta))
     root.node.dirty = false
     root.path = Some(path)
   }
 
+  /** Daemon pool for fanning out non-root node writes. Sized by work,
+    * not fixed: a commit's dirty set is O(depth × branching) and each
+    * task is one storage PUT, so a cached pool never holds idle
+    * threads past a commit burst — and nested subtree recursion can
+    * never deadlock the way a bounded pool's blocked-waiter cycle
+    * could.
+    */
+  private lazy val nodeWritePool =
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-tree-node-write")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Write a node's dirty child SUBTREES — in parallel when there are
+    * several (docs/format.md:262: non-root files carry no ordering
+    * constraint; only the root write is the commit point). Subtrees
+    * are disjoint, so child tasks never share mutable state; the
+    * parent's pivot table is updated here, on the caller's thread,
+    * after each child path materializes.
+    */
+  private def writeDirtyChildren(storage: StorageOps, node: TreeNode): Unit = {
+    val dirty = node.loadedChildren.toSeq.filter(_._2.dirty)
+    if (dirty.isEmpty) return
+    val paths: Seq[(Option[String], String)] =
+      if (dirty.lengthCompare(1) == 0)
+        dirty.map { case (p, c) => (p, writeNode(storage, c, None, Map.empty)) }
+      else {
+        val futs = dirty.map { case (p, c) =>
+          (p, nodeWritePool.submit(new java.util.concurrent.Callable[String] {
+            override def call(): String = writeNode(storage, c, None, Map.empty)
+          }))
+        }
+        futs.map { case (p, f) =>
+          try (p, f.get())
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+      }
+    paths.foreach {
+      case (None, childPath) => node.leftmostChildPath = Some(childPath)
+      case (Some(k), childPath) =>
+        val value = node.lookup(k).flatMap(_.value)
+        node.pending.put(k, TreeRow(k, value, Some(childPath)))
+    }
+  }
+
   private def writeNode(storage: StorageOps, node: TreeNode,
       rootVersion: Option[Long], extraMeta: Map[String, String]): String = {
     // children first
-    node.loadedChildren.foreach { case (pivot, child) =>
-      if (child.dirty) {
-        val childPath = writeNode(storage, child, None, Map.empty)
-        pivot match {
-          case None => node.leftmostChildPath = Some(childPath)
-          case Some(k) =>
-            val value = node.lookup(k).flatMap(_.value)
-            node.pending.put(k, TreeRow(k, value, Some(childPath)))
-        }
-      }
-    }
+    writeDirtyChildren(storage, node)
     val meta = extraMeta ++ node.leftmostChildPath.map(MLeftmost -> _).toMap
     val bytes = NodeFile.writeRaw(node.mergedRawRows, meta)
     val path = rootVersion match {

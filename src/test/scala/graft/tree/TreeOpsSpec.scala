@@ -78,6 +78,33 @@ class TreeOpsSpec extends AnyFunSuite {
     assert(TreeOps.traverse(storage, loaded).map(_.key).toSeq == keys.sorted)
   }
 
+  test("wide dirty fan-out writes children in parallel, root last") {
+    // order 5 over 200 keys → many dirty non-root nodes per commit;
+    // the fan-out path (TreeOps.writeDirtyChildren) writes disjoint
+    // subtrees concurrently and must keep every key reachable with
+    // the right value after reload — the root file is still the last
+    // write (docs/format.md:262: only the root is a commit point)
+    val storage = freshStorage()
+    val root = newRoot(storage)
+    val keys = (0 until 200).map(i => f"key-$i%03d")
+    keys.foreach(k => TreeOps.setValue(storage, root, k, Some(s"v-$k"), 5))
+    TreeOps.writeRoot(storage, root, 1L)
+    val loaded = TreeOps.loadRoot(storage, FileLocations.rootNodePath(1L))
+    keys.foreach(k => assert(
+      TreeOps.searchValue(storage, loaded, k).contains(s"v-$k"), k))
+    assert(TreeOps.traverse(storage, loaded).map(_.key).toSeq == keys.sorted)
+    // a second commit touching a spread of keys re-fans-out and stays
+    // exact
+    val touched = keys.grouped(10).map(_.head).toSeq
+    touched.foreach(k => TreeOps.setValue(storage, loaded, k, Some(s"w-$k"), 5))
+    TreeOps.writeRoot(storage, loaded, 2L)
+    val v2 = TreeOps.loadRoot(storage, FileLocations.rootNodePath(2L))
+    keys.foreach { k =>
+      val want = if (touched.contains(k)) s"w-$k" else s"v-$k"
+      assert(TreeOps.searchValue(storage, v2, k).contains(want), k)
+    }
+  }
+
   test("tombstone delete hides key across serialize") {
     val storage = freshStorage()
     val root = newRoot(storage)

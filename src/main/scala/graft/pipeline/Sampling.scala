@@ -67,6 +67,95 @@ object Sampling {
              |           len(string_split_regex(trim(text), '\s+')) AS n_tok
              |    FROM documents)
              |)
-             |GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin))
+             |GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin)),
+
+    QueryDef(
+      "sp03_stratified_split",
+      (s, d) => {
+        // Deterministic train/val/test assignment: the first hex digit
+        // of md5(doc_id) buckets every document 14/1/1 (87.5% / 6.25%
+        // / 6.25%) — content-stable like sp01, so a re-run (or another
+        // engine) assigns identical splits with zero leakage drift,
+        // and membership is decidable per row with no global state.
+        // Stratification falls out of the hash's uniformity per
+        // language; the aggregation grades the per-stratum counts.
+        val bucket =
+          substring(md5(col("doc_id").cast("string")), 1, 1)
+        table(s, d, "documents")
+          .withColumn("split",
+            when(bucket === "e", lit("val"))
+              .when(bucket === "f", lit("test"))
+              .otherwise(lit("train")))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("n_chars"))
+          .orderBy("lang", "split")
+      },
+      Some("""SELECT lang,
+             |       CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             |         WHEN 'e' THEN 'val' WHEN 'f' THEN 'test'
+             |         ELSE 'train' END AS split,
+             |       count(*) AS n_docs,
+             |       CAST(sum(length(text)) AS BIGINT) AS n_chars
+             |FROM documents
+             |GROUP BY lang, split ORDER BY lang, split""".stripMargin)),
+
+    QueryDef(
+      "sp04_temperature_mix",
+      (s, d) => {
+        // Multilingual temperature sampling (the mC4/XLM-R recipe):
+        // downsample each language toward the smallest one with
+        // keep-rate p_l = (n_min / n_l)^(1-alpha), alpha = 0.3 — big
+        // languages flatten, the smallest keeps everything. Membership
+        // stays content-stable: a doc is kept iff its md5 bucket (two
+        // hex digits, 0..255) falls under p_l·256, so re-runs and
+        // other engines select identical rows (p_l rounds to 4
+        // decimals on both sides — pow() ulp differences can never
+        // flip a 1/256-granular comparison). Per-language counts are
+        // one tiny aggregate joined back broadcast; the corpus scan
+        // never shuffles.
+        val hexVal = (c: org.apache.spark.sql.Column) =>
+          instr(lit("0123456789abcdef"), c) - 1
+        val docs = table(s, d, "documents")
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+          .agg(min("n_l").as("n_min"),
+            collect_list(struct(col("lang"), col("n_l"))).as("ls"))
+          .select(explode(col("ls")).as("e"), col("n_min"))
+          .select(col("e.lang").as("lang"), col("e.n_l").as("n_l"),
+            col("n_min"))
+          .withColumn("p",
+            round(pow(col("n_min").cast("double") / col("n_l"), 0.7), 4))
+        val h = md5(col("doc_id").cast("string"))
+        docs.join(broadcast(counts), "lang")
+          .withColumn("bucket",
+            hexVal(substring(h, 1, 1)) * 16 + hexVal(substring(h, 2, 1)))
+          .filter(col("bucket") < col("p") * 256.0)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            first(col("n_l")).as("n_total"),
+            first(col("p")).as("keep_rate"))
+          .orderBy("lang")
+      },
+      Some("""WITH counts AS (
+             |  SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+             |rates AS (
+             |  SELECT lang, n_l,
+             |         round(pow(CAST((SELECT min(n_l) FROM counts) AS DOUBLE)
+             |                   / n_l, 0.7), 4) AS p
+             |  FROM counts),
+             |kept AS (
+             |  SELECT d.lang,
+             |         (strpos('0123456789abcdef',
+             |            substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             |         + (strpos('0123456789abcdef',
+             |            substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1)
+             |           AS bucket,
+             |         r.p, r.n_l
+             |  FROM documents d JOIN rates r USING (lang))
+             |SELECT lang, count(*) AS n_kept,
+             |       CAST(max(n_l) AS BIGINT) AS n_total,
+             |       max(p) AS keep_rate
+             |FROM kept WHERE bucket < p * 256.0
+             |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

@@ -275,6 +275,91 @@ object TextAnalysis {
       },
       Some("""SELECT * FROM (VALUES ('de', 'de'), ('en', 'en'),
              |  ('es', 'es'), ('fr', 'fr')) AS t(lang, pred)
-             |ORDER BY lang""".stripMargin))
+             |ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      "ta10_top_word_ratio",
+      (s, d) => {
+        // Gopher-class repetition filter: a document whose single most
+        // frequent word exceeds 12% of its tokens is flagged
+        // repetitive. Two hash aggregations — (doc, word) then (doc) —
+        // both with map-side partial aggregation, so the wire carries
+        // per-partition partial counts, never the exploded token
+        // stream; the standard corpus-hygiene pass before training.
+        val words = table(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(split(trim(col("text")), "\\s+")).as("word"))
+        words.groupBy("doc_id", "source", "word")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id", "source")
+          .agg(max("c").as("top"), sum("c").as("tot"))
+          .withColumn("ratio",
+            col("top").cast("double") / col("tot").cast("double"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("ratio") > 0.12, 1L).otherwise(0L))
+              .as("n_repetitive"),
+            round(avg(col("ratio")), 4).as("avg_top_ratio"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |       CAST(sum(CASE WHEN ratio > 0.12 THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_repetitive,
+             |       round(avg(ratio), 4) AS avg_top_ratio
+             |FROM (
+             |  SELECT doc_id, source,
+             |         CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+             |           AS ratio
+             |  FROM (
+             |    SELECT doc_id, source, word, count(*) AS c FROM (
+             |      SELECT doc_id, source,
+             |             unnest(string_split_regex(trim(text), '\s+'))
+             |               AS word
+             |      FROM documents)
+             |    GROUP BY doc_id, source, word)
+             |  GROUP BY doc_id, source)
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      "ta11_decontaminate",
+      (s, d) => {
+        // Benchmark decontamination: flag corpus documents sharing any
+        // word 4-gram with a held-out "benchmark" set (here: doc_id <
+        // 5 stand in for an eval suite). The benchmark's distinct
+        // gram set is BROADCAST — eval suites are tiny against a
+        // 100 TB corpus, so the scan side never shuffles; the corpus
+        // grams stream map-side into the broadcast hash join and only
+        // matches reach the aggregation. The standard leakage check
+        // before training.
+        val w = table(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            split(trim(col("text")), "\\s+").as("ws"))
+        val grams = w.select(col("doc_id"), col("lang"),
+          explode(expr("transform(sequence(1, greatest(size(ws) - 3, 0))," +
+            " i -> concat_ws(' ', slice(ws, i, 4)))")).as("gram"))
+        val bench = grams.filter(col("doc_id") < 5)
+          .select("gram").distinct()
+        grams.filter(col("doc_id") >= 5)
+          .join(broadcast(bench), "gram")
+          .groupBy("lang")
+          .agg(countDistinct("doc_id").as("n_contaminated"),
+            countDistinct("gram").as("n_overlap_grams"))
+          .orderBy("lang")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, lang,
+             |         string_split_regex(trim(text), '\s+') AS ws
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, lang,
+             |         array_to_string(ws[u.i:u.i+3], ' ') AS gram
+             |  FROM w, unnest(range(1, greatest(len(ws) - 3, 0) + 1)) u(i)),
+             |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 5),
+             |dg AS (SELECT doc_id, lang, gram FROM g WHERE doc_id >= 5)
+             |SELECT lang,
+             |       count(DISTINCT doc_id) AS n_contaminated,
+             |       count(DISTINCT gram) AS n_overlap_grams
+             |FROM dg JOIN bg USING (gram)
+             |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

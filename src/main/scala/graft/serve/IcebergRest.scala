@@ -217,8 +217,16 @@ object IcebergRest {
       sn.put("schema-id", 0)
       sn.put("manifest-list", manifestLists(s.id))
     }
+    // snapshot-log is MAIN lineage per the spec (timestamp time travel
+    // follows it): only ancestors of the current snapshot, oldest
+    // first — branch snapshots stay in `snapshots` + `refs`, out of
+    // the log
+    val byId = servable.map(s => s.id -> s).toMap
+    val mainLine = Iterator.iterate(byId.get(meta.currentSnapshotId))(
+      _.flatMap(s => byId.get(s.parentId)))
+      .takeWhile(_.isDefined).flatten.toSeq.reverse
     val log = m.putArray("snapshot-log")
-    servable.foreach { s =>
+    mainLine.foreach { s =>
       val e = log.addObject()
       e.put("snapshot-id", s.id)
       e.put("timestamp-ms", s.timestampMillis)
@@ -230,6 +238,14 @@ object IcebergRest {
         val r = refs.putObject(name)
         r.put("snapshot-id", sid)
         r.put("type", "tag")
+    }
+    // branches are movable refs per the Iceberg spec — external
+    // engines read `<t>` at a branch head via `refs.<name>`
+    meta.branches.filter(b => manifestLists.contains(b._2)).foreach {
+      case (name, sid) =>
+        val r = refs.putObject(name)
+        r.put("snapshot-id", sid)
+        r.put("type", "branch")
     }
     m
   }

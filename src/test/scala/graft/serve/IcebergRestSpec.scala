@@ -411,6 +411,30 @@ class IcebergRestSpec extends AnyFunSuite {
       assert(send(port, "GET", "/v1/iceberg/namespaces/md/tables/up")._1 == 200)
       assert(icebergDir.list().sorted.toSeq == first)
 
+      // branches serve as movable refs (type=branch) with their head
+      // snapshots in `snapshots`; the snapshot-log stays MAIN lineage
+      // only (timestamp time travel follows it per the spec)
+      spark.sql("""CREATE TABLE ir.md.br (k BIGINT)""")
+      spark.sql("INSERT INTO ir.md.br VALUES (1)")
+      spark.sql("CALL ir.system.create_branch('md', 'br', 'audit')")
+      spark.sql("INSERT INTO ir.md.`br$branch_audit` VALUES (2)")
+      spark.sql("INSERT INTO ir.md.br VALUES (3)")
+      val (cb, bbody) = send(port, "GET", "/v1/iceberg/namespaces/md/tables/br")
+      assert(cb == 200, bbody)
+      val bmd = Json.mapper.readTree(bbody).get("metadata")
+      val bref = bmd.get("refs").get("audit")
+      assert(bref != null && bref.get("type").asText() == "branch", bbody)
+      val branchHead = bref.get("snapshot-id").asLong()
+      val served = (0 until bmd.get("snapshots").size())
+        .map(bmd.get("snapshots").get(_).get("snapshot-id").asLong()).toSet
+      assert(served.contains(branchHead), "branch head snapshot served")
+      val logIds = (0 until bmd.get("snapshot-log").size())
+        .map(bmd.get("snapshot-log").get(_).get("snapshot-id").asLong())
+      assert(!logIds.contains(branchHead),
+        s"branch snapshot kept out of the main snapshot-log: $logIds")
+      assert(logIds.contains(bmd.get("current-snapshot-id").asLong()))
+      assert(logIds.sorted == logIds, "log oldest-first")
+
       // identity-partitioned tables with pending deletes stay refused
       // (delete files would need per-partition splitting)
       spark.sql("""CREATE TABLE ir.md.pp (k BIGINT, region STRING)

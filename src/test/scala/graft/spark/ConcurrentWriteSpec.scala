@@ -61,6 +61,55 @@ abstract class ConcurrentWriteContract extends AnyFunSuite {
       s"lost an append in the rebase: ${all.mkString(",")}")
   }
 
+  test("eq-delete MERGE replay refuses a concurrent same-table commit") {
+    // A's equality deletes bind to what its MERGE scan observed; a
+    // replay onto B's newer table state would re-stamp them at a
+    // fresh sequence and swallow B's unseen matching-key rows. The
+    // commit must fail loudly for a rerun — today the conflict matrix
+    // aborts it (TABLE_UPDATE over committed append); commitKeyDelta's
+    // head-seq replay validation backstops any matrix path that would
+    // replay the edit instead
+    spark.sql(s"""CREATE TABLE $catA.ns1.m (k BIGINT NOT NULL, v STRING)
+                  TBLPROPERTIES ('graft.write.upsert-keys' = 'k',
+                                 'graft.merge.mode' = 'merge-on-read-eq')""")
+    spark.sql(
+      s"INSERT INTO $catA.ns1.m SELECT id, concat('a', id) FROM range(5)")
+    cat(catA).beginTransaction()
+    spark.sql(s"""MERGE INTO $catA.ns1.m t
+                  USING (SELECT id AS k, concat('b', id) AS v FROM range(3)) s
+                  ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v""")
+    spark.sql(s"INSERT INTO $catB.ns1.m VALUES (2, 'c')") // B wins
+    val e = intercept[Exception] { cat(catA).commitTransaction() }
+    val msg = String.valueOf(e.getMessage) + String.valueOf(e.getCause)
+    assert(msg.contains("lost a race") || msg.contains("over committed"),
+      s"expected a loud same-table refusal, got: $e")
+    // the winner's commit is intact and A's merge applied nothing
+    val rows = spark.table(s"$catB.ns1.m").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows.count(_._1 == 2L) == 2 && rows.contains((2L, "c")) &&
+      rows.contains((2L, "a2")), s"winner state mangled: $rows")
+    assert(!rows.exists(_._2.startsWith("b")), s"loser's merge leaked: $rows")
+  }
+
+  test("eq-delete MERGE replay proceeds when the race was another table") {
+    spark.sql(s"""CREATE TABLE $catA.ns1.m2 (k BIGINT NOT NULL, v STRING)
+                  TBLPROPERTIES ('graft.write.upsert-keys' = 'k',
+                                 'graft.merge.mode' = 'merge-on-read-eq')""")
+    spark.sql(s"CREATE TABLE $catA.ns1.other (k BIGINT)")
+    spark.sql(
+      s"INSERT INTO $catA.ns1.m2 SELECT id, concat('a', id) FROM range(5)")
+    cat(catA).beginTransaction()
+    spark.sql(s"""MERGE INTO $catA.ns1.m2 t
+                  USING (SELECT id AS k, concat('b', id) AS v FROM range(3)) s
+                  ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v""")
+    spark.sql(s"INSERT INTO $catB.ns1.other VALUES (99)") // B wins elsewhere
+    cat(catA).commitTransaction() // replay validates m2 unchanged → applies
+    val rows = spark.table(s"$catB.ns1.m2").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows == Seq((0L, "b0"), (1L, "b1"), (2L, "b2"), (3L, "a3"),
+      (4L, "a4")), s"merge lost in the cross-table rebase: $rows")
+  }
+
   test("update/update race across sessions aborts the loser") {
     spark.sql(s"CREATE TABLE $catA.ns1.u (k BIGINT)")
     spark.sql(s"INSERT INTO $catA.ns1.u VALUES (1)")

@@ -314,16 +314,22 @@ object Dedup {
         val B = 8
         val e = table(s, d, "embeddings").select("vec_id", "embedding")
           .withColumn("blk", pmod(hash(col("vec_id")), lit(B)))
-        val cells = (0 until B).flatMap(i => (i until B).map(j => (i, j)))
-          .toDF("bi", "bj")
-        val a = e.as("a").join(broadcast(cells), col("a.blk") === col("bi"))
+        val pairs = (0 until B).flatMap(i => (i until B).map(j => (i, j)))
+        // each side replicates to its cells up front so the pair join
+        // keys on the COMPOSITE (bi, bj) — B(B+1)/2 distinct cells of
+        // bounded size, not B single-key groups; AQE can split or
+        // coalesce cells freely
+        val aCells = pairs.toDF("bi", "bj")
+        val bCells = pairs.toDF("bi2", "bj2")
+        val a = e.as("a").join(broadcast(aCells), col("a.blk") === col("bi"))
+        val b = e.as("b").join(broadcast(bCells), col("b.blk") === col("bj2"))
         val cos =
           round(GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")), 4)
         // threshold INSIDE the join condition: non-matching pairs are
         // rejected in the cell's inner loop and never materialize as
         // output rows (only ~0.2% of the n² pairs survive)
-        a.join(e.as("b"),
-            col("b.blk") === col("bj") &&
+        a.join(b,
+            col("bi") === col("bi2") && col("bj") === col("bj2") &&
               (col("bi") < col("bj") || col("a.vec_id") < col("b.vec_id")) &&
               cos >= 0.35)
           .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),

@@ -400,13 +400,19 @@ object Maintenance {
             expiredId(base.stripPrefix("ml-").stripSuffix(".avro"))
           else if (base.startsWith("del-"))
             expiredId(base.stripPrefix("del-").stripSuffix(".avro"))
+          else if (base.startsWith("deq-"))
+            expiredId(base.stripPrefix("deq-").stripSuffix(".avro"))
           else if (base.startsWith("m-"))
             !segBases.contains(base.stripPrefix("m-").stripSuffix(".avro"))
           else false
         } else if (base.endsWith(".parquet") &&
             (base.startsWith("pd-") || base.startsWith("ed-")))
+          // pd- transcodes may carry a per-partition split suffix
+          // (pd-<srcbase>-s<i>): attribute by the SOURCE object's
+          // basename
           !delObjBases.contains(
-            base.drop(3).stripSuffix(".parquet"))
+            base.drop(3).stripSuffix(".parquet")
+              .replaceAll("-s\\d+$", ""))
         else false
       }
     val orphans = orphanData ++

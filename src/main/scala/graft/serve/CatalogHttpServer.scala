@@ -170,19 +170,16 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0) {
       val partCols = td.properties.get("graft.partition-columns")
         .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
       // pending position/equality deletes serve as REAL v2 delete
-      // manifests; two shapes stay unrepresentable and are refused
-      // loudly instead of resurrecting deleted rows in the external
-      // engine's results: predicate deletes (no Iceberg analog) and
-      // pending deletes on an identity-partitioned table (delete files
-      // would need per-partition splitting for correct partition tuples)
+      // manifests (per-partition-split and globally-scoped
+      // respectively); only predicate deletes stay unrepresentable —
+      // refused loudly instead of resurrecting deleted rows in the
+      // external engine's results
       if (meta.currentSnapshot.exists(
           IcebergManifests.unservable(_, partCols.nonEmpty))) {
         reply(ex, 400, IcebergRest.errorResponse(400, "BadRequestException",
-          s"table $ns.$t has pending merge-on-read state that Iceberg v2 " +
-            "metadata cannot represent (predicate deletes, or delete files " +
-            "on an identity-partitioned table); run compact_table or " +
-            "rewrite_position_deletes first, or read it through a " +
-            "graft-native engine"))
+          s"table $ns.$t has pending merge-on-read PREDICATE deletes, " +
+            "which Iceberg v2 metadata cannot represent; run " +
+            "compact_table first, or read it through a graft-native engine"))
       } else {
         val schema = org.apache.spark.sql.types.DataType
           .fromJson(meta.schemaJson)

@@ -179,7 +179,7 @@ object IcebergManifests {
   private final case class WrittenManifest(rel: String, length: Long,
       content: Int, addedFiles: Int, existingFiles: Int,
       addedRows: Long, existingRows: Long, minSeq: Long, maxSeq: Long,
-      addedSnapshotId: Long)
+      addedSnapshotId: Long, specId: Int = 0)
 
   /** Serve-side state for one table load. */
   final case class TableManifests(
@@ -195,12 +195,11 @@ object IcebergManifests {
 
   /** True when the snapshot's pending state cannot be represented as
     * Iceberg v2 delete manifests: predicate deletes have no Iceberg
-    * analog, and delete files on an identity-partitioned table would
-    * need per-partition splitting to carry correct partition tuples.
+    * analog (position/equality deletes serve as real delete files,
+    * per-partition-split and globally-scoped respectively).
     */
   def unservable(s: Snapshot, partitioned: Boolean): Boolean =
-    s.deletes.nonEmpty ||
-      (partitioned && (s.posDeletes.nonEmpty || s.eqDeletes.nonEmpty))
+    s.deletes.nonEmpty
 
   /** Ensure avro manifests (data + delete) and per-snapshot manifest
     * lists exist for every servable snapshot; returns the absolute
@@ -228,13 +227,22 @@ object IcebergManifests {
       }
       sb.append("]").toString
     }
-    def manifestMeta(content: String) = Map(
+    def manifestMeta(content: String, specId: Int = 0) = Map(
       "schema" -> schemaNode.toString,
       "schema-id" -> "0",
-      "partition-spec" -> specJson,
-      "partition-spec-id" -> "0",
+      "partition-spec" -> (if (specId == 0) specJson else "[]"),
+      "partition-spec-id" -> specId.toString,
       "format-version" -> "2",
       "content" -> content)
+    // equality deletes are GLOBAL (they bind by key + sequence, not
+    // partition), so their manifests ride an UNPARTITIONED spec — for
+    // partitioned tables that is the extra spec id 1 the metadata
+    // advertises; Iceberg applies unpartitioned-spec equality deletes
+    // to every partition
+    val eqSpecId = if (partCols.nonEmpty) 1 else 0
+    val emptyPartSchema = partitionSchema(Seq.empty)
+    val eqEntrySchema = manifestEntrySchema(emptyPartSchema)
+    val eqDfSchema = eqEntrySchema.getField("data_file").schema()
 
     val all = meta.allSnapshots(storage)
     // commit sequence → the snapshot that committed it: recovers which
@@ -295,66 +303,106 @@ object IcebergManifests {
     def baseOf(rel: String): String =
       rel.substring(rel.lastIndexOf('/') + 1).stripSuffix(".parquet")
 
-    // ---- pending merge-on-read state → v2 delete manifest ----
+    // ---- pending merge-on-read state → v2 delete manifests ----
 
-    /** Per-snapshot delete manifest: content=1 rows for transcoded
-      * position-delete objects, content=2 rows for equality-delete
-      * objects. The transcoded parquet objects are shared across the
-      * snapshots that carry the same pending entries (deterministic
-      * key per immutable source object); only this small per-snapshot
-      * manifest lists which apply at this snapshot.
+    /** One delete-manifest entry: (object rel, partition values or
+      * None for the unpartitioned spec, rows, length, seq, content,
+      * equality ids).
       */
-    def ensureDeleteManifest(s: Snapshot,
-        dataFiles: => Seq[DataFileEntry]): WrittenManifest = {
-      val rel = s"$dir/del-${s.id}.avro"
-      lazy val files = dataFiles
-      val entries = s.posDeletes.map { pd =>
-        val objRel = s"$dir/pd-${baseOf(pd.path)}.parquet"
-        val len = ensureObject(storage, objRel,
-          IcebergDeleteObjects.transcodePosDelete(storage, pd, files))
-        // a delta commit's sequence is later than every file it read,
-        // so stamping the pos-delete entry at pd.seq keeps all its
-        // referenced files in scope (matching is exact (path, pos) —
-        // over-scoping is harmless, under-scoping would drop deletes)
-        (objRel, len, pd.rowCount, pd.seq, 1, Seq.empty[Int])
-      } ++ s.eqDeletes.map { ed =>
+    def deleteEntryRecord(eSchema: Schema, dSchema: Schema, pSchema: Schema,
+        snapId: Long)(objRel: String, part: Option[Seq[Option[Any]]],
+        rows: Long, len: Long, seq: Long, content: Int,
+        eqIds: Seq[Int]): GenericRecord = {
+      val df = new GenericData.Record(dSchema)
+      df.put("content", content)
+      df.put("file_path", storage.absolute(objRel))
+      df.put("file_format", "PARQUET")
+      val pr = new GenericData.Record(pSchema)
+      part.foreach { tuple =>
+        partCols.zip(tuple).foreach { case ((name, _), v) =>
+          pr.put(name, v.orNull)
+        }
+      }
+      df.put("partition", pr)
+      df.put("record_count", rows)
+      df.put("file_size_in_bytes", len)
+      if (eqIds.nonEmpty)
+        df.put("equality_ids", new GenericData.Array(
+          dSchema.getField("equality_ids").schema().getTypes.get(1),
+          eqIds.map(Int.box).asJava))
+      val adder = seqToSnap.getOrElse(seq, snapId)
+      val e = new GenericData.Record(eSchema)
+      e.put("status", if (adder == snapId) 1 else 0)
+      e.put("snapshot_id", adder)
+      e.put("sequence_number", seq)
+      e.put("file_sequence_number", seq)
+      e.put("data_file", df)
+      e
+    }
+
+    def deleteManifest(rel: String, eSchema: Schema, specId: Int,
+        s: Snapshot, entries: Seq[(GenericRecord, Long, Long)])
+        : WrittenManifest = {
+      val length = ensureObject(storage, rel,
+        writeAvro(eSchema, entries.map(_._1), manifestMeta("deletes", specId)))
+      val (added, existing) = entries.partition(e =>
+        seqToSnap.getOrElse(e._3, s.id) == s.id)
+      WrittenManifest(rel, length, content = 1,
+        added.size, existing.size,
+        added.map(_._2).sum, existing.map(_._2).sum,
+        entries.map(_._3).min, entries.map(_._3).max, s.id, specId)
+    }
+
+    /** Position deletes: per-snapshot manifest under the table's spec.
+      * On a partitioned table each source object transcodes into one
+      * spec-shaped object PER PARTITION it references, each entry
+      * stamped with that partition's tuple. A delta commit's sequence
+      * is later than every file it read, so stamping entries at
+      * pd.seq keeps all referenced files in scope (matching is exact
+      * (path, pos) — over-scoping is harmless).
+      */
+    def ensurePosManifest(s: Snapshot): WrittenManifest = {
+      val mk = deleteEntryRecord(entrySchema, dfSchema, partSchema, s.id) _
+      val entries = s.posDeletes.flatMap { pd =>
+        val base = baseOf(pd.path)
+        if (partCols.isEmpty) {
+          val objRel = s"$dir/pd-$base.parquet"
+          val len = ensureObject(storage, objRel,
+            IcebergDeleteObjects.transcodePosDelete(storage, pd, Seq.empty))
+          Seq((mk(objRel, Some(Seq.empty), pd.rowCount, len, pd.seq, 1,
+            Seq.empty), pd.rowCount, pd.seq))
+        } else {
+          // splitting re-reads the KB-scale source object per load;
+          // the split objects themselves are written at most once
+          val splits =
+            IcebergDeleteObjects.transcodePosDeleteSplits(storage, pd, partCols)
+          splits.map { sp =>
+            val objRel = s"$dir/pd-$base-s${sp.idx}.parquet"
+            val len = ensureObject(storage, objRel, sp.bytes)
+            (mk(objRel, Some(sp.partition), sp.rows, len, pd.seq, 1,
+              Seq.empty), sp.rows, pd.seq)
+          }
+        }
+      }
+      deleteManifest(s"$dir/del-${s.id}.avro", entrySchema, 0, s, entries)
+    }
+
+    /** Equality deletes: per-snapshot manifest under the unpartitioned
+      * spec (global application — they bind by key + strict sequence).
+      */
+    def ensureEqManifest(s: Snapshot): WrittenManifest = {
+      val mk = deleteEntryRecord(eqEntrySchema, eqDfSchema,
+        emptyPartSchema, s.id) _
+      val entries = s.eqDeletes.map { ed =>
         val objRel = s"$dir/ed-${baseOf(ed.path)}.parquet"
         val len = ensureObject(storage, objRel,
           IcebergDeleteObjects.transcodeEqDelete(storage, ed, schema,
             fieldIdOf(schemaNode, _)))
-        (objRel, len, ed.rowCount, ed.seq,
-          2, ed.cols.map(c => fieldIdOf(schemaNode, c)))
+        (mk(objRel, None, ed.rowCount, len, ed.seq, 2,
+          ed.cols.map(c => fieldIdOf(schemaNode, c))), ed.rowCount, ed.seq)
       }
-      val records = entries.map { case (objRel, len, rows, seq, content, eqIds) =>
-        val df = new GenericData.Record(dfSchema)
-        df.put("content", content)
-        df.put("file_path", storage.absolute(objRel))
-        df.put("file_format", "PARQUET")
-        df.put("partition", new GenericData.Record(partSchema))
-        df.put("record_count", rows)
-        df.put("file_size_in_bytes", len)
-        if (eqIds.nonEmpty)
-          df.put("equality_ids", new GenericData.Array(
-            dfSchema.getField("equality_ids").schema().getTypes.get(1),
-            eqIds.map(Int.box).asJava))
-        val adder = seqToSnap.getOrElse(seq, s.id)
-        val e = new GenericData.Record(entrySchema)
-        e.put("status", if (adder == s.id) 1 else 0)
-        e.put("snapshot_id", adder)
-        e.put("sequence_number", seq)
-        e.put("file_sequence_number", seq)
-        e.put("data_file", df)
-        e
-      }
-      val length = ensureObject(storage, rel,
-        writeAvro(entrySchema, records, manifestMeta("deletes")))
-      val seqs = entries.map(_._4)
-      val (added, existing) = entries.partition(e =>
-        seqToSnap.getOrElse(e._4, s.id) == s.id)
-      WrittenManifest(rel, length, content = 1,
-        added.size, existing.size,
-        added.map(_._3).sum, existing.map(_._3).sum,
-        seqs.min, seqs.max, s.id)
+      deleteManifest(s"$dir/deq-${s.id}.avro", eqEntrySchema, eqSpecId, s,
+        entries)
     }
 
     val partitioned = partCols.nonEmpty
@@ -362,7 +410,6 @@ object IcebergManifests {
     val lists = served.map { s =>
       val mlRel = s"$dir/ml-${s.id}.avro"
       if (!storage.exists(mlRel)) {
-        lazy val inventory = Manifests.filesOf(storage, s)
         val manifests =
           (if (s.files.nonEmpty)
             Seq(ensureManifest(s"$dir/m-inline-${s.id}.avro", s.files, s.id))
@@ -370,14 +417,15 @@ object IcebergManifests {
           s.manifests.map(k =>
             ensureManifest(segmentManifestRel(k),
               Manifests.read(storage, k), s.id)) ++
-          (if (s.posDeletes.nonEmpty || s.eqDeletes.nonEmpty)
-            Seq(ensureDeleteManifest(s, inventory))
+          (if (s.posDeletes.nonEmpty) Seq(ensurePosManifest(s))
+          else Seq.empty) ++
+          (if (s.eqDeletes.nonEmpty) Seq(ensureEqManifest(s))
           else Seq.empty)
         val records = manifests.map { m =>
           val r = new GenericData.Record(manifestFileSchema)
           r.put("manifest_path", storage.absolute(m.rel))
           r.put("manifest_length", m.length)
-          r.put("partition_spec_id", 0)
+          r.put("partition_spec_id", m.specId)
           r.put("content", m.content)
           r.put("sequence_number", m.maxSeq)
           r.put("min_sequence_number", m.minSeq)

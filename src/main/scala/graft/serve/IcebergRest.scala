@@ -186,7 +186,17 @@ object IcebergRest {
       f.put("source-id", idx)
       f.put("field-id", 1000 + i)
     }
-    m.putArray("partition-specs").add(spec)
+    val specs = m.putArray("partition-specs")
+    specs.add(spec)
+    if (partCols.nonEmpty) {
+      // spec 1 = unpartitioned: equality-delete manifests ride it so
+      // external engines apply them globally (they bind by key +
+      // sequence, not partition)
+      val unpart = mapper.createObjectNode()
+      unpart.put("spec-id", 1)
+      unpart.putArray("fields")
+      specs.add(unpart)
+    }
     m.put("default-spec-id", 0)
     m.put("last-partition-id", 1000 + math.max(partCols.size - 1, 0))
     m.put("default-sort-order-id", 0)

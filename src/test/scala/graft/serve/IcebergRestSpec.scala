@@ -435,15 +435,97 @@ class IcebergRestSpec extends AnyFunSuite {
       assert(logIds.contains(bmd.get("current-snapshot-id").asLong()))
       assert(logIds.sorted == logIds, "log oldest-first")
 
-      // identity-partitioned tables with pending deletes stay refused
-      // (delete files would need per-partition splitting)
+      // identity-partitioned tables serve their position deletes as
+      // per-partition split objects: each entry carries its
+      // partition's tuple and references only that partition's files
       spark.sql("""CREATE TABLE ir.md.pp (k BIGINT, region STRING)
                    PARTITIONED BY (region)
                    TBLPROPERTIES ('graft.update.mode' = 'merge-on-read')""")
-      spark.sql("INSERT INTO ir.md.pp VALUES (1, 'eu'), (2, 'us')")
-      spark.sql("UPDATE ir.md.pp SET k = 9 WHERE k = 1")
-      val (cp, perr) = send(port, "GET", "/v1/iceberg/namespaces/md/tables/pp")
-      assert(cp == 400 && perr.contains("partitioned"), perr)
+      spark.sql("INSERT INTO ir.md.pp VALUES (1, 'eu'), (2, 'us'), " +
+        "(3, 'eu'), (4, 'us')")
+      spark.sql("UPDATE ir.md.pp SET k = k + 100 WHERE k <= 2")
+      val (cp, pbody) = send(port, "GET", "/v1/iceberg/namespaces/md/tables/pp")
+      assert(cp == 200, pbody)
+      val pmd = Json.mapper.readTree(pbody).get("metadata")
+      // partitioned table advertises the extra unpartitioned spec 1
+      assert(pmd.get("partition-specs").size() == 2, pbody)
+      val psnaps = pmd.get("snapshots")
+      val pml = (0 until psnaps.size()).map(psnaps.get)
+        .find(_.get("snapshot-id").asLong() ==
+          pmd.get("current-snapshot-id").asLong()).get
+        .get("manifest-list").asText()
+      val pdelEntries = readAvro(pml)
+        .filter(_.get("content").asInstanceOf[Int] == 1)
+        .flatMap(m => readAvro(m.get("manifest_path").toString))
+      assert(pdelEntries.nonEmpty)
+      // every delete entry names a single partition and its object
+      // references only files of that partition (region rides the
+      // file path)
+      pdelEntries.foreach { e =>
+        val df = e.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        assert(df.get("content").asInstanceOf[Int] == 1)
+        val region = df.get("partition")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("region")
+        assert(region != null, "split entry carries its partition tuple")
+        val refs = spark.read.parquet(df.get("file_path").toString)
+          .select("file_path").distinct().collect().map(_.getString(0))
+        assert(refs.nonEmpty &&
+          refs.forall(_.contains(s"region=$region")),
+          s"object for partition $region references $refs")
+      }
+      // and the served plane reconstructs the post-update table
+      val ppData = readAvro(pml)
+        .filter(_.get("content").asInstanceOf[Int] == 0)
+        .flatMap(m => readAvro(m.get("manifest_path").toString))
+        .map(_.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("file_path").toString)
+      val ppDels = spark.read.parquet(pdelEntries.map(_.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        .get("file_path").toString): _*)
+      // identity-partition values live in the PATH (the entry's
+      // partition tuple), not the data file — reconstruct on k only
+      val ppRows = spark.read.parquet(ppData: _*)
+        .select(col("k"),
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+            .as("_fp"),
+          col("_metadata.row_index").as("_pos"))
+      val ppSurvived = ppRows.join(ppDels,
+          ppRows("_fp") === ppDels("file_path") &&
+            ppRows("_pos") === ppDels("pos"), "left_anti")
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ppSurvived == spark.table("ir.md.pp").collect()
+        .map(_.getLong(0)).sorted.toSeq, s"got $ppSurvived")
+      assert(ppSurvived == Seq(3L, 4L, 101L, 102L))
+
+      // partitioned equality-delete upserts serve under the
+      // unpartitioned spec (global deletes)
+      spark.sql("""CREATE TABLE ir.md.pe (k BIGINT NOT NULL, region STRING)
+                   PARTITIONED BY (region)
+                   TBLPROPERTIES ('graft.write.upsert-keys' = 'k',
+                                  'graft.merge.mode' = 'merge-on-read-eq')""")
+      spark.sql("INSERT INTO ir.md.pe VALUES (1, 'eu'), (2, 'us')")
+      spark.sql("""MERGE INTO ir.md.pe t
+                   USING (SELECT 2L AS k, 'eu' AS region) s ON t.k = s.k
+                   WHEN MATCHED THEN UPDATE SET region = s.region
+                   WHEN NOT MATCHED THEN INSERT (k, region)
+                     VALUES (s.k, s.region)""")
+      val (ce, ebody) = send(port, "GET", "/v1/iceberg/namespaces/md/tables/pe")
+      assert(ce == 200, ebody)
+      val emd = Json.mapper.readTree(ebody).get("metadata")
+      val esnaps = emd.get("snapshots")
+      val eml = (0 until esnaps.size()).map(esnaps.get)
+        .find(_.get("snapshot-id").asLong() ==
+          emd.get("current-snapshot-id").asLong()).get
+        .get("manifest-list").asText()
+      val delRows = readAvro(eml)
+        .filter(_.get("content").asInstanceOf[Int] == 1)
+      assert(delRows.nonEmpty)
+      assert(delRows.forall(
+        _.get("partition_spec_id").asInstanceOf[Int] == 1),
+        "equality-delete manifest rides the unpartitioned spec")
     } finally server.stop()
   }
 

@@ -504,6 +504,70 @@ object Dedup {
              |                b.embedding::DOUBLE[]), 4) >= 0.35))
              |SELECT n AS n_exact_pairs, CAST(0.15 AS DOUBLE) AS recall_floor,
              |       true AS floor_met, CAST(0 AS BIGINT) AS n_false_positives
-             |FROM t""".stripMargin))
+             |FROM t""".stripMargin)),
+
+    QueryDef(
+      "dd10_span_dedup",
+      (s, d) => {
+        // Cross-document duplicated SPANS (the substring-dedup shape
+        // of Lee et al., "Deduplicating Training Data Makes Language
+        // Models Better"): an 8-token shingle appearing in more than
+        // one document marks a duplicated span; per document the
+        // fraction of shingle positions covered by cross-doc
+        // duplicates is the removal signal. Shingles key on
+        // md5(gram) — fixed-width keys on the wire instead of raw
+        // 8-token strings, portable across engines — and the pipeline
+        // is two hash aggregations plus one semi-join, all map-side
+        // combined; document order never matters, so the shuffle keys
+        // are uniformly hash-distributed at any corpus size.
+        val w = table(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            split(trim(col("text")), "\\s+").as("ws"))
+        val g = w.select(col("doc_id"), col("source"),
+          explode(expr("transform(sequence(1, greatest(size(ws) - 7, 0))," +
+            " i -> md5(concat_ws(' ', slice(ws, i, 8))))")).as("gh"))
+        val dups = g.groupBy("gh")
+          .agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") > 1).select("gh")
+        val perDoc = g.groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_sh"))
+        val dupPos = g.join(dups, "gh")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+        perDoc.join(dupPos, Seq("doc_id"), "left")
+          .withColumn("frac",
+            coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_sh"))
+          .groupBy("source")
+          .agg(sum(when(col("frac") > 0, 1L).otherwise(0L))
+            .as("n_docs_with_dup_span"),
+            round(avg("frac"), 4).as("avg_dup_frac"))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, source,
+             |         string_split_regex(trim(text), '\s+') AS ws
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, source,
+             |         md5(array_to_string(ws[u.i:u.i+7], ' ')) AS gh
+             |  FROM w, unnest(range(1, greatest(len(ws) - 7, 0) + 1)) u(i)),
+             |dups AS (
+             |  SELECT gh FROM (
+             |    SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh)
+             |  WHERE nd > 1),
+             |per_doc AS (
+             |  SELECT doc_id, source, count(*) AS n_sh
+             |  FROM g GROUP BY doc_id, source),
+             |dup_pos AS (
+             |  SELECT doc_id, count(*) AS n_dup
+             |  FROM g JOIN dups USING (gh) GROUP BY doc_id)
+             |SELECT source,
+             |       CAST(sum(CASE WHEN frac > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_docs_with_dup_span,
+             |       round(avg(frac), 4) AS avg_dup_frac
+             |FROM (
+             |  SELECT p.source,
+             |         CAST(coalesce(dp.n_dup, 0) AS DOUBLE) / p.n_sh AS frac
+             |  FROM per_doc p LEFT JOIN dup_pos dp USING (doc_id))
+             |GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -1301,6 +1301,116 @@ object CatalogQueries {
              |FROM after_merge GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
 
     QueryDef(
+      "c45_iceberg_rest_pos_serve",
+      (s, d) => {
+        // The c35 position-delta scenario (partitioned merge-on-read
+        // UPDATE + MERGE) read back THROUGH THE ICEBERG REST FACADE:
+        // the served delete plane carries per-partition-split
+        // position-delete objects; an external engine's read
+        // (anti-join (file_path, pos) against the planned data files,
+        // partition value recovered from the file path) must
+        // reproduce c35's oracle.
+        val cat = ensureCatalog(s, "gcp")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcp.ns1")
+        s.sql("DROP TABLE IF EXISTS gcp.ns1.ord")
+        s.sql("""CREATE TABLE gcp.ns1.ord (
+                   o_orderkey BIGINT, o_orderstatus STRING,
+                   o_totalprice DOUBLE)
+                 PARTITIONED BY (o_orderstatus)
+                 TBLPROPERTIES ('graft.update.mode' = 'merge-on-read',
+                                'graft.merge.mode' = 'merge-on-read')""")
+        s.sql(s"""INSERT INTO gcp.ns1.ord (o_orderkey, o_orderstatus,
+                                           o_totalprice)
+                  SELECT o_orderkey, o_orderstatus, o_totalprice
+                  FROM parquet.`$d/orders.parquet`""")
+        s.sql("""UPDATE gcp.ns1.ord SET o_totalprice = o_totalprice * 1.1
+                 WHERE o_orderkey % 10 = 3""")
+        s.sql(s"""MERGE INTO gcp.ns1.ord t
+                  USING (
+                    SELECT o_orderkey, o_orderstatus, o_totalprice
+                    FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 7 = 0
+                    UNION ALL
+                    SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice
+                    FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 13 = 0
+                  ) src
+                  ON t.o_orderkey = src.o_orderkey
+                  WHEN MATCHED THEN UPDATE SET o_totalprice = -1.0
+                  WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus,
+                    o_totalprice)
+                    VALUES (src.o_orderkey, src.o_orderstatus,
+                      src.o_totalprice)""")
+        val server = new graft.serve.CatalogHttpServer(cat.storage)
+        val port = server.start()
+        try {
+          val client = java.net.http.HttpClient.newHttpClient()
+          val res = client.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+              s"http://127.0.0.1:$port/v1/iceberg/namespaces/ns1/tables/ord"))
+              .GET().build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(res.statusCode() == 200,
+            s"REST load failed: ${res.statusCode()} ${res.body()}")
+          val md = graft.objects.Json.mapper.readTree(res.body())
+            .get("metadata")
+          val snaps = md.get("snapshots")
+          val ml = (0 until snaps.size()).map(snaps.get)
+            .find(_.get("snapshot-id").asLong() ==
+              md.get("current-snapshot-id").asLong()).get
+            .get("manifest-list").asText()
+          def avro(path: String): Seq[org.apache.avro.generic.GenericRecord] = {
+            val r = new org.apache.avro.file.DataFileReader(
+              new java.io.File(path),
+              new org.apache.avro.generic.GenericDatumReader[
+                org.apache.avro.generic.GenericRecord]())
+            try Iterator.continually(r).takeWhile(_.hasNext)
+              .map(_.next()).toVector
+            finally r.close()
+          }
+          val entries = avro(ml).flatMap(m =>
+            avro(m.get("manifest_path").toString))
+          def filesOf(content: Int): Seq[String] = entries.flatMap { e =>
+            val df = e.get("data_file")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            if (df.get("content").asInstanceOf[Int] == content)
+              Some(df.get("file_path").toString)
+            else None
+          }
+          val data = s.read.parquet(filesOf(0): _*)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              regexp_extract(col("_metadata.file_path"),
+                "o_orderstatus=([^/]+)", 1).as("o_orderstatus"),
+              regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+                .as("_fp"),
+              col("_metadata.row_index").as("_pos"))
+          val dels = s.read.parquet(filesOf(1): _*)
+          data.join(dels,
+              data("_fp") === dels("file_path") &&
+                data("_pos") === dels("pos"), "left_anti")
+            .groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n"),
+              round(sum(col("o_totalprice")), 2).as("total"))
+            .select(col("o_orderstatus").as("status"), col("n"), col("total"))
+            .orderBy("status")
+        } finally server.stop()
+      },
+      Some("""WITH after_upd AS (
+             |  SELECT o_orderkey, o_orderstatus,
+             |         CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 1.1
+             |              ELSE o_totalprice END AS price
+             |  FROM orders),
+             |after_merge AS (
+             |  SELECT o_orderkey, o_orderstatus,
+             |         CASE WHEN o_orderkey % 7 = 0 THEN -1.0
+             |              ELSE price END AS price
+             |  FROM after_upd
+             |  UNION ALL
+             |  SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice
+             |  FROM orders WHERE o_orderkey % 13 = 0)
+             |SELECT o_orderstatus AS status, count(*) AS n,
+             |       round(sum(price), 2) AS total
+             |FROM after_merge GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
+
+    QueryDef(
       "c44_snapshot_pin",
       (s, d) => {
         // Table-level snapshot-id time travel: `VERSION AS OF

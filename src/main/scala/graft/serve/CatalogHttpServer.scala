@@ -31,6 +31,12 @@ import graft.txn.Transaction
   *   DELETE /v1/namespaces/{ns}          (RESTRICT)
   *   DELETE /v1/namespaces/{ns}/tables/{t}
   *
+  * Under the Iceberg prefix, POST /namespaces/{ns}/tables/{t} accepts
+  * the spec's CommitTableRequest (append-only subset,
+  * [[IcebergCommits]]): external engines commit data files they wrote
+  * under the table location, racing native writers through the same
+  * optimistic root protocol.
+  *
   * Every request runs in its own transaction against the latest
   * committed root: reads are each a consistent snapshot, writes are
   * single auto-commit transactions decided by the same optimistic
@@ -69,6 +75,9 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0) {
           IcebergRest.errorResponse(404, "NoSuchObjectException", "not found"))
       case _: NoSuchElementException =>
         reply(ex, 404, """{"error":"object not found"}""")
+      case e: IcebergCommits.RequirementFailedException =>
+        reply(ex, 409, IcebergRest.errorResponse(409,
+          "CommitFailedException", String.valueOf(e.getMessage)))
       case e: IllegalArgumentException if iceberg =>
         reply(ex, 400, IcebergRest.errorResponse(400, "BadRequestException",
           String.valueOf(e.getMessage)))
@@ -136,6 +145,13 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0) {
         TableDef(name, ns, metadataLocation = metaPath)))
       replyLoadTable(ex, ns, name)
     case ("GET", List("namespaces", ns, "tables", t)) =>
+      replyLoadTable(ex, ns, t)
+    case ("POST", List("namespaces", ns, "tables", t)) =>
+      // CommitTableRequest (append-only subset): an external engine
+      // lands data files it wrote under the table location through
+      // the SAME optimistic commit path as a native writer
+      IcebergCommits.commit(storage, ns, t,
+        Json.mapper.readTree(requestBody(ex)))
       replyLoadTable(ex, ns, t)
     case ("HEAD", List("namespaces", ns, "tables", t)) =>
       val exists = withReadTxn(txn => Graft.tableExists(storage, txn, ns, t))

@@ -1099,40 +1099,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   private def applyFilesCommit(s: StorageOps, root: TreeRoot, ns: String,
       t: String, op: String, edit: graft.format.FilesEdit,
       branch: Option[String] = None,
-      epochKey: Option[(String, Long)] = None): Unit = {
-    val cd = Graft.catalogDef(s, root)
-    val key = ObjectKeys.tableKey(ns, t, cd)
-    val defPath = TreeOps.searchValue(s, root, key).getOrElse(
-      throw new NoSuchTableException(Identifier.of(Array(ns), t)))
-    val td = Json.read(s.read(defPath), classOf[TableDef])
-    val meta = TableMetadata.read(s, td.metadataLocation)
-    // streaming epoch idempotence: a (queryId, epoch) at or below the
-    // recorded watermark already committed — replaying it would
-    // double-apply the batch
-    val alreadyCommitted = epochKey.exists { case (q, e) =>
-      meta.properties.get(GraftCatalog.streamEpochProp(q)).exists(_.toLong >= e)
-    }
-    if (alreadyCommitted) return
-    val inlineMax = td.properties.get(graft.format.Manifests.InlineMaxProp)
-      .map(_.toInt).getOrElse(graft.format.Manifests.InlineMaxDefault)
-    val snapsInlineMax = td.properties.get(graft.format.SnapshotLog.InlineMaxProp)
-      .map(_.toInt).getOrElse(graft.format.SnapshotLog.InlineMaxDefault)
-    val meta2a = meta.withSnapshotEdit(s,
-      GraftCatalog.tableManifestDir(ns, t), op, edit, inlineMax, snapsInlineMax,
-      branch)
-    val meta2 = epochKey match {
-      case Some((q, e)) => meta2a.copy(properties =
-        meta2a.properties + (GraftCatalog.streamEpochProp(q) -> e.toString))
-      case None => meta2a
-    }
-    val metaPath = FileLocations.tableMetadataPath(ns, t)
-    TableMetadata.write(s, metaPath, meta2)
-    val td2 = td.copy(metadataLocation = metaPath,
-      previousMetadataLocation = Some(td.metadataLocation))
-    val defPath2 = FileLocations.newTableDefPath(ns, t)
-    s.writeAtomic(defPath2, Json.write(td2))
-    TreeOps.setValue(s, root, key, Some(defPath2), cd.order)
-  }
+      epochKey: Option[(String, Long)] = None): Unit =
+    GraftCatalog.applyFilesCommit(s, root, ns, t, op, edit, branch, epochKey)
 
   // ---------------- views ----------------
 
@@ -1272,6 +1240,50 @@ object GraftCatalog {
     */
   def streamEpochProp(queryId: String): String =
     s"graft.streaming.epoch.$queryId"
+
+  /** Apply one table snapshot commit against a running root — re-reads
+    * the table def FROM THAT ROOT so replays merge with whatever a
+    * racing winner committed. Shared by the catalog's write paths and
+    * the REST facade's external-commit endpoint (identical semantics
+    * whichever door a commit arrives through).
+    */
+  private[graft] def applyFilesCommit(s: StorageOps, root: TreeRoot,
+      ns: String, t: String, op: String, edit: graft.format.FilesEdit,
+      branch: Option[String] = None,
+      epochKey: Option[(String, Long)] = None): Unit = {
+    val cd = Graft.catalogDef(s, root)
+    val key = ObjectKeys.tableKey(ns, t, cd)
+    val defPath = TreeOps.searchValue(s, root, key).getOrElse(
+      throw new NoSuchTableException(Identifier.of(Array(ns), t)))
+    val td = Json.read(s.read(defPath), classOf[TableDef])
+    val meta = TableMetadata.read(s, td.metadataLocation)
+    // streaming epoch idempotence: a (queryId, epoch) at or below the
+    // recorded watermark already committed — replaying it would
+    // double-apply the batch
+    val alreadyCommitted = epochKey.exists { case (q, e) =>
+      meta.properties.get(GraftCatalog.streamEpochProp(q)).exists(_.toLong >= e)
+    }
+    if (alreadyCommitted) return
+    val inlineMax = td.properties.get(graft.format.Manifests.InlineMaxProp)
+      .map(_.toInt).getOrElse(graft.format.Manifests.InlineMaxDefault)
+    val snapsInlineMax = td.properties.get(graft.format.SnapshotLog.InlineMaxProp)
+      .map(_.toInt).getOrElse(graft.format.SnapshotLog.InlineMaxDefault)
+    val meta2a = meta.withSnapshotEdit(s,
+      GraftCatalog.tableManifestDir(ns, t), op, edit, inlineMax, snapsInlineMax,
+      branch)
+    val meta2 = epochKey match {
+      case Some((q, e)) => meta2a.copy(properties =
+        meta2a.properties + (GraftCatalog.streamEpochProp(q) -> e.toString))
+      case None => meta2a
+    }
+    val metaPath = FileLocations.tableMetadataPath(ns, t)
+    TableMetadata.write(s, metaPath, meta2)
+    val td2 = td.copy(metadataLocation = metaPath,
+      previousMetadataLocation = Some(td.metadataLocation))
+    val defPath2 = FileLocations.newTableDefPath(ns, t)
+    s.writeAtomic(defPath2, Json.write(td2))
+    TreeOps.setValue(s, root, key, Some(defPath2), cd.order)
+  }
 
   /** TableDef property: comma-separated LOGICAL key columns for
     * streaming upserts — writeStream to the table commits each epoch

@@ -529,6 +529,122 @@ class IcebergRestSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("an external engine commits an append through the REST facade") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.xc")
+    spark.sql("CREATE TABLE ir.xc.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO ir.xc.t VALUES (1, 'native')")
+    val (server, port) = startServer()
+    try {
+      val base = "/v1/iceberg"
+      // the client loads the table first (spec flow: base state +
+      // metadata-location)
+      val (c0, load0) = send(port, "GET", s"$base/namespaces/xc/tables/t")
+      assert(c0 == 200)
+      val md0 = Json.mapper.readTree(load0).get("metadata")
+      val baseSnap = md0.get("current-snapshot-id").asLong()
+      val uuid = md0.get("table-uuid").asText()
+
+      // "external engine": writes its own parquet under the table
+      // location and authors its own avro manifest + manifest list
+      val tableDir = new java.io.File(s"$warehouse/data/xc/t/files/ext")
+      tableDir.mkdirs()
+      spark.range(2).selectExpr("id + 100 AS k", "'rest' AS v")
+        .coalesce(1).write.mode("append").parquet(tableDir.toString)
+      val dataFile = tableDir.listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val entrySchema = new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"manifest_entry","fields":[
+          |{"name":"status","type":"int"},
+          |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          |{"name":"file_path","type":"string"},
+          |{"name":"file_format","type":"string"},
+          |{"name":"record_count","type":"long"},
+          |{"name":"file_size_in_bytes","type":"long"}]}}]}"""
+          .stripMargin.replaceAll("\n", ""))
+      val listSchema = new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"manifest_file","fields":[
+          |{"name":"manifest_path","type":"string"},
+          |{"name":"manifest_length","type":"long"}]}"""
+          .stripMargin.replaceAll("\n", ""))
+      def writeAvro(f: java.io.File, schema: org.apache.avro.Schema,
+          recs: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+        val w = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](schema))
+        w.create(schema, f)
+        recs.foreach(w.append)
+        w.close()
+      }
+      val df = new org.apache.avro.generic.GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      df.put("file_path", dataFile.getAbsolutePath)
+      df.put("file_format", "PARQUET")
+      df.put("record_count", 2L)
+      df.put("file_size_in_bytes", dataFile.length())
+      val entry = new org.apache.avro.generic.GenericData.Record(entrySchema)
+      entry.put("status", 1)
+      entry.put("data_file", df)
+      val mf = new java.io.File(tableDir, "client-m0.avro")
+      writeAvro(mf, entrySchema, Seq(entry))
+      val row = new org.apache.avro.generic.GenericData.Record(listSchema)
+      row.put("manifest_path", mf.getAbsolutePath)
+      row.put("manifest_length", mf.length())
+      val ml = new java.io.File(tableDir, "client-ml0.avro")
+      writeAvro(ml, listSchema, Seq(row))
+
+      def commitBody(basedOn: Long) =
+        s"""{"requirements":[
+           |  {"type":"assert-table-uuid","uuid":"$uuid"},
+           |  {"type":"assert-ref-snapshot-id","ref":"main",
+           |   "snapshot-id":$basedOn}],
+           |"updates":[
+           |  {"action":"add-snapshot","snapshot":{
+           |    "snapshot-id":999,"sequence-number":99,
+           |    "timestamp-ms":1,
+           |    "manifest-list":"${ml.getAbsolutePath}",
+           |    "summary":{"operation":"append"}}},
+           |  {"action":"set-snapshot-ref","ref-name":"main",
+           |   "type":"branch","snapshot-id":999}]}"""
+          .stripMargin.replaceAll("\n", "")
+      val (cc, resp) = send(port, "POST", s"$base/namespaces/xc/tables/t",
+        commitBody(baseSnap))
+      assert(cc == 200, resp)
+      // the response reflects the committed state (graft assigns the
+      // snapshot id, documented delta from the client's proposal)
+      val md1 = Json.mapper.readTree(resp).get("metadata")
+      assert(md1.get("current-snapshot-id").asLong() != baseSnap)
+      // native readers see the externally-committed rows
+      val rows = spark.table("ir.xc.t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(rows == Seq((1L, "native"), (100L, "rest"), (101L, "rest")), rows)
+      // and the table's own history records an append
+      val ops = spark.sql(
+        "SELECT operation FROM ir.xc.`t$snapshots` ORDER BY snapshot_id")
+        .collect().map(_.getString(0)).toSeq
+      assert(ops == Seq("append", "append"), ops)
+
+      // a stale base → 409 CommitFailedException, nothing committed
+      val (c409, err) = send(port, "POST", s"$base/namespaces/xc/tables/t",
+        commitBody(baseSnap))
+      assert(c409 == 409 && err.contains("CommitFailedException"), err)
+      assert(spark.table("ir.xc.t").count() == 3)
+
+      // unsupported actions and out-of-root paths are refused with 400
+      val (c400, e400) = send(port, "POST", s"$base/namespaces/xc/tables/t",
+        s"""{"requirements":[],"updates":[
+           |{"action":"remove-snapshots","snapshot-ids":[1]}]}"""
+          .stripMargin.replaceAll("\n", ""))
+      assert(c400 == 400 && e400.contains("unsupported"), e400)
+      val outOfRoot = commitBody(Json.mapper.readTree(
+        send(port, "GET", s"$base/namespaces/xc/tables/t")._2)
+        .get("metadata").get("current-snapshot-id").asLong())
+        .replace(ml.getAbsolutePath, "/etc/passwd")
+      val (cOut, eOut) = send(port, "POST",
+        s"$base/namespaces/xc/tables/t", outOfRoot)
+      assert(cOut == 400 && eOut.contains("outside the catalog root"), eOut)
+    } finally server.stop()
+  }
+
   test("orphan cleanup prunes derived manifests of expired snapshots") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.gc")
     spark.sql("CREATE TABLE ir.gc.t (k BIGINT)")

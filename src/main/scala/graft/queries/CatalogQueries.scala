@@ -1411,6 +1411,131 @@ object CatalogQueries {
              |FROM after_merge GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
 
     QueryDef(
+      "c46_iceberg_rest_commit",
+      (s, d) => {
+        // External WRITE interop: half of orders lands through a
+        // native INSERT, the other half through the Iceberg REST
+        // commit endpoint — parquet written under the table location,
+        // a client-authored avro manifest list, CommitTableRequest
+        // with assert-ref-snapshot-id. The combined table read back
+        // natively must match the whole-orders oracle: externally
+        // committed files are first-class table state.
+        val cat = ensureCatalog(s, "gcw")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcw.ns1")
+        s.sql("DROP TABLE IF EXISTS gcw.ns1.ord")
+        s.sql("""CREATE TABLE gcw.ns1.ord (
+                   o_orderkey BIGINT, o_orderstatus STRING,
+                   o_totalprice DOUBLE)""")
+        s.sql(s"""INSERT INTO gcw.ns1.ord
+                  SELECT o_orderkey, o_orderstatus, o_totalprice
+                  FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 0""")
+        // "external engine": stage the odd half as parquet under the
+        // table location and author a minimal avro manifest chain
+        val extDir = new java.io.File(
+          cat.storage.absolute("data/ns1/ord/files/ext"))
+        // rerun-safe: a prior invocation's staged files would commit
+        // twice (DROP TABLE leaves data files behind by design)
+        if (extDir.isDirectory) extDir.listFiles().foreach(_.delete())
+        extDir.mkdirs()
+        s.read.parquet(s"$d/orders.parquet")
+          .filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .coalesce(1).write.mode("append").parquet(extDir.toString)
+        val dataFiles = extDir.listFiles()
+          .filter(_.getName.endsWith(".parquet")).toSeq
+        val rowsStaged = s.read.parquet(extDir.toString).count()
+        val entrySchema = new org.apache.avro.Schema.Parser().parse(
+          """{"type":"record","name":"manifest_entry","fields":[
+            |{"name":"status","type":"int"},
+            |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+            |{"name":"file_path","type":"string"},
+            |{"name":"file_format","type":"string"},
+            |{"name":"record_count","type":"long"},
+            |{"name":"file_size_in_bytes","type":"long"}]}}]}"""
+            .stripMargin.replaceAll("\n", ""))
+        val listSchema = new org.apache.avro.Schema.Parser().parse(
+          """{"type":"record","name":"manifest_file","fields":[
+            |{"name":"manifest_path","type":"string"},
+            |{"name":"manifest_length","type":"long"}]}"""
+            .stripMargin.replaceAll("\n", ""))
+        def writeAvro(f: java.io.File, schema: org.apache.avro.Schema,
+            recs: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+          val w = new org.apache.avro.file.DataFileWriter(
+            new org.apache.avro.generic.GenericDatumWriter[
+              org.apache.avro.generic.GenericRecord](schema))
+          w.create(schema, f)
+          recs.foreach(w.append)
+          w.close()
+        }
+        val entries = dataFiles.map { f =>
+          val df = new org.apache.avro.generic.GenericData.Record(
+            entrySchema.getField("data_file").schema())
+          df.put("file_path", f.getAbsolutePath)
+          df.put("file_format", "PARQUET")
+          // per-file counts: one staged file (coalesce(1)); if the
+          // writer split anyway, per-file row counts come from a read
+          df.put("record_count",
+            if (dataFiles.size == 1) rowsStaged
+            else s.read.parquet(f.getAbsolutePath).count())
+          df.put("file_size_in_bytes", f.length())
+          val e = new org.apache.avro.generic.GenericData.Record(entrySchema)
+          e.put("status", 1)
+          e.put("data_file", df)
+          e
+        }
+        val mf = new java.io.File(extDir, "client-m0.avro")
+        writeAvro(mf, entrySchema, entries)
+        val row = new org.apache.avro.generic.GenericData.Record(listSchema)
+        row.put("manifest_path", mf.getAbsolutePath)
+        row.put("manifest_length", mf.length())
+        val ml = new java.io.File(extDir, "client-ml0.avro")
+        writeAvro(ml, listSchema, Seq(row))
+
+        val server = new graft.serve.CatalogHttpServer(cat.storage)
+        val port = server.start()
+        try {
+          val client = java.net.http.HttpClient.newHttpClient()
+          def send(method: String, path: String, body: String = null) = {
+            val b = java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(s"http://127.0.0.1:$port$path"))
+            val req = if (body == null) b.GET()
+              else b.header("Content-Type", "application/json")
+                .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+            client.send(req.build(),
+              java.net.http.HttpResponse.BodyHandlers.ofString())
+          }
+          val load = send("GET", "/v1/iceberg/namespaces/ns1/tables/ord")
+          require(load.statusCode() == 200, load.body())
+          val md = graft.objects.Json.mapper.readTree(load.body())
+            .get("metadata")
+          val body =
+            s"""{"requirements":[
+               |  {"type":"assert-table-uuid",
+               |   "uuid":"${md.get("table-uuid").asText()}"},
+               |  {"type":"assert-ref-snapshot-id","ref":"main",
+               |   "snapshot-id":${md.get("current-snapshot-id").asLong()}}],
+               |"updates":[
+               |  {"action":"add-snapshot","snapshot":{
+               |    "snapshot-id":1,"sequence-number":1,"timestamp-ms":1,
+               |    "manifest-list":"${ml.getAbsolutePath}",
+               |    "summary":{"operation":"append"}}},
+               |  {"action":"set-snapshot-ref","ref-name":"main",
+               |   "type":"branch","snapshot-id":1}]}"""
+              .stripMargin.replaceAll("\n", "")
+          val commit = send("POST", "/v1/iceberg/namespaces/ns1/tables/ord",
+            body)
+          require(commit.statusCode() == 200,
+            s"REST commit failed: ${commit.statusCode()} ${commit.body()}")
+        } finally server.stop()
+        s.sql("""SELECT o_orderstatus AS status, count(*) AS n,
+                        round(sum(o_totalprice), 2) AS total
+                 FROM gcw.ns1.ord GROUP BY o_orderstatus ORDER BY status""")
+      },
+      Some("""SELECT o_orderstatus AS status, count(*) AS n,
+             |       round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
+
+    QueryDef(
       "c44_snapshot_pin",
       (s, d) => {
         // Table-level snapshot-id time travel: `VERSION AS OF

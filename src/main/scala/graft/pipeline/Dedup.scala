@@ -524,8 +524,7 @@ object Dedup {
           .select(col("doc_id"), col("source"),
             split(trim(col("text")), "\\s+").as("ws"))
         val g = w.select(col("doc_id"), col("source"),
-          explode(expr("transform(sequence(1, greatest(size(ws) - 7, 0))," +
-            " i -> md5(concat_ws(' ', slice(ws, i, 8))))")).as("gh"))
+          explode(TextAnalysis.wordGrams("ws", 8, hashed = true)).as("gh"))
         val dups = g.groupBy("gh")
           .agg(countDistinct("doc_id").as("nd"))
           .filter(col("nd") > 1).select("gh")

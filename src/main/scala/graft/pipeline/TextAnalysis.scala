@@ -18,6 +18,23 @@ object TextAnalysis {
   private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
   private val stopwordSqlList = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Word n-gram array over a token-array column (`ws`), optionally
+    * md5-hashed per gram. Guarded for SHORT inputs: Spark's
+    * `sequence(1, 0)` is DESCENDING ([1, 0] — step defaults to -1
+    * when start > stop), so a sub-n-token document must produce an
+    * empty array, never evaluate `slice(ws, 0, n)` (a runtime error).
+    * Shared by the decontamination (ta11) and span-dedup (dd10)
+    * operators; unit-covered against empty/short inputs.
+    */
+  def wordGrams(ws: String, n: Int,
+      hashed: Boolean): org.apache.spark.sql.Column = {
+    val gram = s"concat_ws(' ', slice($ws, i, $n))"
+    expr(s"CASE WHEN size($ws) >= $n THEN " +
+      s"transform(sequence(1, size($ws) - ${n - 1})," +
+      s" i -> ${if (hashed) s"md5($gram)" else gram}) " +
+      "ELSE array() END")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "ta01_token_count",
@@ -335,8 +352,7 @@ object TextAnalysis {
           .select(col("doc_id"), col("lang"),
             split(trim(col("text")), "\\s+").as("ws"))
         val grams = w.select(col("doc_id"), col("lang"),
-          explode(expr("transform(sequence(1, greatest(size(ws) - 3, 0))," +
-            " i -> concat_ws(' ', slice(ws, i, 4)))")).as("gram"))
+          explode(wordGrams("ws", 4, hashed = false)).as("gram"))
         val bench = grams.filter(col("doc_id") < 5)
           .select("gram").distinct()
         grams.filter(col("doc_id") >= 5)

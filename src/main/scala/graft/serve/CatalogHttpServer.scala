@@ -191,7 +191,7 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0) {
       // refused loudly instead of resurrecting deleted rows in the
       // external engine's results
       if (meta.currentSnapshot.exists(
-          IcebergManifests.unservable(_, partCols.nonEmpty))) {
+          IcebergManifests.unservable)) {
         reply(ex, 400, IcebergRest.errorResponse(400, "BadRequestException",
           s"table $ns.$t has pending merge-on-read PREDICATE deletes, " +
             "which Iceberg v2 metadata cannot represent; run " +

@@ -88,15 +88,21 @@ object IcebergCommits {
               throw new RequirementFailedException(
                 s"table uuid changed: ${r.path("uuid").asText()} != $want")
           case "assert-ref-snapshot-id" =>
-            if (r.path("ref").asText() == "main") {
-              val want =
-                if (r.hasNonNull("snapshot-id")) r.get("snapshot-id").asLong()
-                else -1L
-              if (meta.currentSnapshotId != want)
-                throw new RequirementFailedException(
-                  s"main moved: at ${meta.currentSnapshotId}, " +
-                    s"commit based on $want")
-            }
+            val ref = r.path("ref").asText()
+            // `main` = the current snapshot; any other name resolves
+            // through branches then tags — a ref this catalog cannot
+            // resolve makes the guard unprovable, which fails the
+            // commit (same posture as unknown requirement types)
+            val actual: Long =
+              if (ref == "main") meta.currentSnapshotId
+              else meta.branches.getOrElse(ref,
+                meta.refs.getOrElse(ref, -1L))
+            val want =
+              if (r.hasNonNull("snapshot-id")) r.get("snapshot-id").asLong()
+              else -1L
+            if (actual != want)
+              throw new RequirementFailedException(
+                s"ref $ref moved: at $actual, commit based on $want")
           case "" =>
             throw new IllegalArgumentException("requirement without a type")
           case other =>
@@ -133,7 +139,12 @@ object IcebergCommits {
       val root = storage.root.stripSuffix("/") + "/"
       require(abs.startsWith(root),
         s"path outside the catalog root: $abs")
-      abs.substring(root.length)
+      val rel = abs.substring(root.length)
+      // a prefix check alone is defeated by traversal segments: the
+      // resolved path must stay under the root
+      require(!rel.split('/').exists(seg => seg == ".." || seg == "."),
+        s"path outside the catalog root (traversal segment): $abs")
+      rel
     }
     def readAvro(rel: String): Seq[org.apache.avro.generic.GenericRecord] = {
       val local = storage.prepareToReadLocal(rel).toFile

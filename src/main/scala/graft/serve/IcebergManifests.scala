@@ -40,11 +40,12 @@ import org.apache.spark.sql.types._
   * `data seq < delete seq`), and position deletes match by exact
   * (path, pos) so their sequence stamp only needs to dominate the
   * referenced files' (it does by construction: a delta commit's
-  * sequence is later than every file it read). Two pending shapes
-  * remain unservable and are refused upstream: predicate deletes
-  * (no Iceberg analog) and pending deletes on identity-partitioned
-  * tables (delete files would need per-partition splitting to carry
-  * correct partition tuples).
+  * sequence is later than every file it read). On partitioned tables
+  * position-delete objects split per referenced partition (entries
+  * carry the partition tuple) and equality-delete manifests ride an
+  * unpartitioned spec (global application). One pending shape remains
+  * unservable and is refused upstream: predicate deletes (no Iceberg
+  * analog).
   *
   * Lineage: every manifest entry carries the snapshot that actually
   * ADDED its file (recovered from the entry's commit sequence), with
@@ -198,8 +199,7 @@ object IcebergManifests {
     * analog (position/equality deletes serve as real delete files,
     * per-partition-split and globally-scoped respectively).
     */
-  def unservable(s: Snapshot, partitioned: Boolean): Boolean =
-    s.deletes.nonEmpty
+  def unservable(s: Snapshot): Boolean = s.deletes.nonEmpty
 
   /** Ensure avro manifests (data + delete) and per-snapshot manifest
     * lists exist for every servable snapshot; returns the absolute
@@ -249,9 +249,26 @@ object IcebergManifests {
     // snapshot ADDED each file (entries inherited from ancestors serve
     // as status=EXISTING under the adder's snapshot id)
     val seqToSnap: Map[Long, Long] = all.map(s => s.seq -> s.id).toMap
-    // first served snapshot referencing each shared manifest object —
-    // deterministic (oldest-first walk), stamps added_snapshot_id
-    val firstServing = mutable.Map.empty[String, Long]
+    val served = all.filterNot(unservable)
+    def segmentManifestRel(segKey: String): String = {
+      val base = segKey.substring(segKey.lastIndexOf('/') + 1)
+        .stripSuffix(".manifest.json")
+      s"$dir/m-$base.avro"
+    }
+    // owning (first serving) snapshot per shared manifest object —
+    // derived from the FULL snapshot walk, oldest first, so it is the
+    // same on every load regardless of which manifest lists already
+    // exist (a per-load "first missing" rule would re-attribute a
+    // shared segment to whatever snapshot a later load served first)
+    val owners: Map[String, Long] = {
+      val m = mutable.LinkedHashMap.empty[String, Long]
+      served.foreach { s =>
+        if (s.files.nonEmpty)
+          m.getOrElseUpdate(s"$dir/m-inline-${s.id}.avro", s.id)
+        s.manifests.foreach(k => m.getOrElseUpdate(segmentManifestRel(k), s.id))
+      }
+      m.toMap
+    }
 
     def entryRecord(f: DataFileEntry, manifestSnapId: Long): GenericRecord = {
       val part = new GenericData.Record(partSchema)
@@ -280,7 +297,7 @@ object IcebergManifests {
     // snapshots); inline entries get a per-snapshot manifest
     def ensureManifest(rel: String, entries: Seq[DataFileEntry],
         snapId: Long): WrittenManifest = {
-      val owner = firstServing.getOrElseUpdate(rel, snapId)
+      val owner = owners.getOrElse(rel, snapId)
       val length = ensureObject(storage, rel,
         writeAvro(entrySchema, entries.map(entryRecord(_, owner)),
           manifestMeta("data")))
@@ -292,12 +309,6 @@ object IcebergManifests {
         if (entries.isEmpty) 0L else entries.map(_.seq).min,
         if (entries.isEmpty) 0L else entries.map(_.seq).max,
         owner)
-    }
-
-    def segmentManifestRel(segKey: String): String = {
-      val base = segKey.substring(segKey.lastIndexOf('/') + 1)
-        .stripSuffix(".manifest.json")
-      s"$dir/m-$base.avro"
     }
 
     def baseOf(rel: String): String =
@@ -368,7 +379,7 @@ object IcebergManifests {
         if (partCols.isEmpty) {
           val objRel = s"$dir/pd-$base.parquet"
           val len = ensureObject(storage, objRel,
-            IcebergDeleteObjects.transcodePosDelete(storage, pd, Seq.empty))
+            IcebergDeleteObjects.transcodePosDelete(storage, pd))
           Seq((mk(objRel, Some(Seq.empty), pd.rowCount, len, pd.seq, 1,
             Seq.empty), pd.rowCount, pd.seq))
         } else {
@@ -405,8 +416,6 @@ object IcebergManifests {
         entries)
     }
 
-    val partitioned = partCols.nonEmpty
-    val served = all.filterNot(unservable(_, partitioned))
     val lists = served.map { s =>
       val mlRel = s"$dir/ml-${s.id}.avro"
       if (!storage.exists(mlRel)) {

@@ -17,10 +17,11 @@ import org.apache.spark.sql.types._
   * internally; for interop the facade derives REAL avro manifest
   * lists/manifests per snapshot ([[IcebergManifests]]) so external
   * engines plan the actual file inventory, including v2 DELETE
-  * manifests for pending merge-on-read position/equality deletes.
-  * Tables whose pending state Iceberg cannot represent (predicate
-  * deletes; delete files on identity-partitioned tables) are REFUSED
-  * at load (HTTP 400) rather than served with resurrecting rows.
+  * manifests for pending merge-on-read position/equality deletes
+  * (per-partition-split and globally-scoped respectively on
+  * partitioned tables). Only pending PREDICATE deletes — which
+  * Iceberg cannot represent — are REFUSED at load (HTTP 400) rather
+  * than served with resurrecting rows.
   */
 object IcebergRest {
 

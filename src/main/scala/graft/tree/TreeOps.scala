@@ -239,12 +239,14 @@ object TreeOps {
     root.path = Some(path)
   }
 
-  /** Daemon pool for fanning out non-root node writes. Sized by work,
-    * not fixed: a commit's dirty set is O(depth × branching) and each
-    * task is one storage PUT, so a cached pool never holds idle
-    * threads past a commit burst — and nested subtree recursion can
-    * never deadlock the way a bounded pool's blocked-waiter cycle
-    * could.
+  /** Daemon pool for fanning out non-root node writes. The pool
+    * itself is cached (threads die after a commit burst), but LIVE
+    * parallelism is bounded by [[nodeWritePermits]]: a parent blocked
+    * in `get()` would otherwise keep its thread while its whole
+    * subtree fans out, growing live threads toward the dirty-node
+    * count on bulk commits. When no permit is available the caller
+    * writes the child INLINE — always progress, never a
+    * blocked-waiter cycle, at most `permits` extra threads.
     */
   private lazy val nodeWritePool =
     java.util.concurrent.Executors.newCachedThreadPool(r => {
@@ -252,6 +254,7 @@ object TreeOps {
       t.setDaemon(true)
       t
     })
+  private val nodeWritePermits = new java.util.concurrent.Semaphore(32)
 
   /** Write a node's dirty child SUBTREES — in parallel when there are
     * several (docs/format.md:262: non-root files carry no ordering
@@ -268,16 +271,24 @@ object TreeOps {
         dirty.map { case (p, c) => (p, writeNode(storage, c, None, Map.empty)) }
       else {
         val futs = dirty.map { case (p, c) =>
-          (p, nodeWritePool.submit(new java.util.concurrent.Callable[String] {
-            override def call(): String = writeNode(storage, c, None, Map.empty)
-          }))
+          if (nodeWritePermits.tryAcquire())
+            (p, Right(nodeWritePool.submit(
+              new java.util.concurrent.Callable[String] {
+                override def call(): String =
+                  try writeNode(storage, c, None, Map.empty)
+                  finally nodeWritePermits.release()
+              })))
+          else // pool saturated: the caller does this child's work
+            (p, Left(writeNode(storage, c, None, Map.empty)))
         }
-        futs.map { case (p, f) =>
-          try (p, f.get())
-          catch {
-            case e: java.util.concurrent.ExecutionException =>
-              throw e.getCause
-          }
+        futs.map {
+          case (p, Left(path)) => (p, path)
+          case (p, Right(f)) =>
+            try (p, f.get())
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+            }
         }
       }
     paths.foreach {

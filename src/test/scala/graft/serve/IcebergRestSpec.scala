@@ -674,6 +674,58 @@ class IcebergRestSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("orphan cleanup prunes derived delete artifacts with their snapshots") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.gd")
+    spark.sql("""CREATE TABLE ir.gd.t (k BIGINT NOT NULL, v STRING)
+                 TBLPROPERTIES ('graft.write.upsert-keys' = 'k',
+                                'graft.merge.mode' = 'merge-on-read-eq',
+                                'graft.update.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO ir.gd.t SELECT id, concat('a', id) FROM range(8)")
+    spark.sql("UPDATE ir.gd.t SET v = 'upd' WHERE k = 1") // pos delta
+    spark.sql("""MERGE INTO ir.gd.t s USING (SELECT 2L AS k, 'm' AS v) u
+                 ON s.k = u.k WHEN MATCHED THEN UPDATE SET v = u.v""") // eq
+    val (server, port) = startServer()
+    try {
+      assert(send(port, "GET", "/v1/iceberg/namespaces/gd/tables/t")._1 == 200)
+      val dir = new java.io.File(s"$warehouse/data/gd/t/meta/iceberg")
+      def names = dir.list().sorted.toSeq
+      assert(names.exists(_.startsWith("del-")), names)
+      assert(names.exists(_.startsWith("deq-")), names)
+      assert(names.exists(_.startsWith("pd-")), names)
+      assert(names.exists(_.startsWith("ed-")), names)
+      // compaction clears the pending state; expiring the MoR
+      // snapshots makes every derived delete artifact regenerable
+      // garbage — cleanup prunes them, and an unrecognized file is
+      // RETAINED, never destroyed
+      val stranger = new java.io.File(dir, "future-format.bin")
+      java.nio.file.Files.write(stranger.toPath, Array[Byte](1, 2, 3))
+      val badAvro = new java.io.File(dir, "del-notanumber.avro")
+      java.nio.file.Files.write(badAvro.toPath, Array[Byte](1))
+      val cat = spark.sessionState.catalogManager.catalog("ir")
+        .asInstanceOf[GraftCatalog]
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("gd"), "t")
+      graft.maintain.Maintenance.compactDataFiles(spark, cat, ident,
+        targetFiles = 1)
+      graft.maintain.Maintenance.expireSnapshots(cat, ident, keepLast = 1)
+      val removed = graft.maintain.Maintenance.removeOrphanFiles(cat, ident)
+      val after = names
+      assert(!after.exists(_.startsWith("del-") &&
+        after.count(_.startsWith("del-")) > 1), after)
+      Seq("del-", "deq-", "pd-", "ed-").foreach { p =>
+        assert(removed.exists(_.contains(s"/meta/iceberg/$p")),
+          s"expected pruned $p artifacts in $removed")
+      }
+      assert(after.contains("future-format.bin"),
+        "unattributable files survive cleanup")
+      assert(after.contains("del-notanumber.avro"),
+        "unparseable basenames survive cleanup")
+      // the live state still serves
+      assert(send(port, "GET", "/v1/iceberg/namespaces/gd/tables/t")._1 == 200)
+      assert(spark.table("ir.gd.t").count() == 8)
+    } finally server.stop()
+  }
+
   private def readAvro(path: String): Seq[org.apache.avro.generic.GenericRecord] = {
     val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
       new java.io.File(path),

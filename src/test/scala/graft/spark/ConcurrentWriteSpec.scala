@@ -110,6 +110,76 @@ abstract class ConcurrentWriteContract extends AnyFunSuite {
       (4L, "a4")), s"merge lost in the cross-table rebase: $rows")
   }
 
+  test("a REST commit races an open native transaction; both appends land") {
+    // the facade's external-commit endpoint runs the SAME optimistic
+    // commit path as a session — so an HTTP append winning the root
+    // race rebases the native transaction exactly like a second session
+    spark.sql(s"CREATE TABLE $catA.ns1.r (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $catA.ns1.r VALUES (1, 'base')")
+    cat(catA).beginTransaction()
+    spark.sql(s"INSERT INTO $catA.ns1.r VALUES (2, 'native')")
+    // "external engine" commits over HTTP while A's txn is open
+    val storage = cat(catB).storage
+    val ext = new java.io.File(storage.absolute("data/ns1/r/files/ext"))
+    ext.mkdirs()
+    spark.range(1).selectExpr("3L AS k", "'rest' AS v")
+      .coalesce(1).write.mode("append").parquet(ext.toString)
+    val dataFile = ext.listFiles().find(_.getName.endsWith(".parquet")).get
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"}]}}]}"""
+        .stripMargin.replaceAll("\n", ""))
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"}]}"""
+        .stripMargin.replaceAll("\n", ""))
+    def writeAvro(f: java.io.File, schema: org.apache.avro.Schema,
+        recs: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](schema))
+      w.create(schema, f)
+      recs.foreach(w.append)
+      w.close()
+    }
+    val df = new org.apache.avro.generic.GenericData.Record(
+      entrySchema.getField("data_file").schema())
+    df.put("file_path", dataFile.getAbsolutePath)
+    df.put("file_format", "PARQUET")
+    df.put("record_count", 1L)
+    df.put("file_size_in_bytes", dataFile.length())
+    val entry = new org.apache.avro.generic.GenericData.Record(entrySchema)
+    entry.put("status", 1)
+    entry.put("data_file", df)
+    val mf = new java.io.File(ext, "client-m0.avro")
+    writeAvro(mf, entrySchema, Seq(entry))
+    val row = new org.apache.avro.generic.GenericData.Record(listSchema)
+    row.put("manifest_path", mf.getAbsolutePath)
+    row.put("manifest_length", mf.length())
+    val ml = new java.io.File(ext, "client-ml0.avro")
+    writeAvro(ml, listSchema, Seq(row))
+    val body = graft.objects.Json.mapper.readTree(
+      s"""{"requirements":[],"updates":[
+         |{"action":"add-snapshot","snapshot":{
+         |  "manifest-list":"${ml.getAbsolutePath}",
+         |  "summary":{"operation":"append"}}},
+         |{"action":"set-snapshot-ref","ref-name":"main","type":"branch",
+         | "snapshot-id":1}]}""".stripMargin.replaceAll("\n", ""))
+    graft.serve.IcebergCommits.commit(storage, "ns1", "r", body)
+    assert(spark.table(s"$catB.ns1.r").count() == 2, "REST commit landed")
+    // A commits last: loses the root race, append/append rebases
+    cat(catA).commitTransaction()
+    val rows = spark.table(s"$catB.ns1.r").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows == Seq((1L, "base"), (2L, "native"), (3L, "rest")), rows)
+  }
+
   test("update/update race across sessions aborts the loser") {
     spark.sql(s"CREATE TABLE $catA.ns1.u (k BIGINT)")
     spark.sql(s"INSERT INTO $catA.ns1.u VALUES (1)")

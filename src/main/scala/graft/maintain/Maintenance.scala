@@ -372,36 +372,49 @@ object Maintenance {
     val manifestDirList =
       storage.listDeep(GraftCatalog.tableManifestDir(ns, ident.name()))
     // derived Iceberg-REST objects (serve/IcebergManifests) are keyed
-    // by snapshot id (ml-<id>, m-inline-<id>, del-<id>), graft segment
-    // basename (m-<uuid>), or source delete-object basename
+    // by snapshot key (ml-<id>-<hash>, m-inline-<id>-<hash>,
+    // del-<id>-<hash>; bare ml-<id> in the legacy scheme), graft
+    // segment basename (m-<uuid>), or source delete-object basename
     // (pd-<uuid>/ed-<uuid> transcodes): ones whose source
     // snapshot/segment/object is gone are regenerable garbage —
     // without this they accumulate forever under a table served over
     // REST. An UNPARSEABLE basename is retained, never deleted: an
     // unrecognized or future-format file must not be destroyed by a
     // cleaner that cannot attribute it.
-    val retainedIds = history.map(_.id).toSet
+    val liveSnapKeys: Set[String] = history.flatMap(s =>
+      Seq(s.id.toString, graft.serve.IcebergManifests.snapshotKey(s))).toSet
     val segBases = refManifests.map(k =>
       k.substring(k.lastIndexOf('/') + 1).stripSuffix(".manifest.json"))
     val delObjBases = (history.flatMap(_.posDeletes).map(_.path) ++
       history.flatMap(_.eqDeletes).map(_.path))
       .map(k => k.substring(k.lastIndexOf('/') + 1).stripSuffix(".parquet"))
       .toSet
-    def expiredId(idStr: String): Boolean =
-      idStr.toLongOption.exists(id => !retainedIds(id))
+    // garbage iff the basename parses as a snapshot key (`<id>` or
+    // `<id>-<hex8>`) AND no retained snapshot owns it — a retained id
+    // with a foreign hash is a previous table incarnation's artifact
+    def expiredSnapKey(s: String): Boolean = {
+      val idPart = s.takeWhile(_ != '-')
+      val hashPart = if (s.length > idPart.length) s.drop(idPart.length + 1)
+        else ""
+      val parseable = idPart.nonEmpty && idPart.forall(_.isDigit) &&
+        (hashPart.isEmpty ||
+          (hashPart.length == 8 && hashPart.forall(c =>
+            c.isDigit || (c >= 'a' && c <= 'f'))))
+      parseable && !liveSnapKeys(s)
+    }
     val derivedOrphans = storage
       .listDeep(s"data/$ns/${ident.name()}/meta/iceberg")
       .filter { p =>
         val base = p.substring(p.lastIndexOf('/') + 1)
         if (base.endsWith(".avro")) {
           if (base.startsWith("m-inline-"))
-            expiredId(base.stripPrefix("m-inline-").stripSuffix(".avro"))
+            expiredSnapKey(base.stripPrefix("m-inline-").stripSuffix(".avro"))
           else if (base.startsWith("ml-"))
-            expiredId(base.stripPrefix("ml-").stripSuffix(".avro"))
+            expiredSnapKey(base.stripPrefix("ml-").stripSuffix(".avro"))
           else if (base.startsWith("del-"))
-            expiredId(base.stripPrefix("del-").stripSuffix(".avro"))
+            expiredSnapKey(base.stripPrefix("del-").stripSuffix(".avro"))
           else if (base.startsWith("deq-"))
-            expiredId(base.stripPrefix("deq-").stripSuffix(".avro"))
+            expiredSnapKey(base.stripPrefix("deq-").stripSuffix(".avro"))
           else if (base.startsWith("m-"))
             !segBases.contains(base.stripPrefix("m-").stripSuffix(".avro"))
           else false

@@ -1536,6 +1536,159 @@ object CatalogQueries {
              |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
 
     QueryDef(
+      "c47_iceberg_rest_row_delete",
+      (s, d) => {
+        // External ROW-LEVEL write interop: an external engine loads
+        // the table over the Iceberg REST facade, plans its files,
+        // authors a spec-shaped POSITION-DELETE file (file_path/pos)
+        // for the rows it wants gone, and commits it as a
+        // delete-manifest CommitTableRequest. The facade transcodes
+        // the client object into a native position-delete object and
+        // lands it through the same optimistic commit path as a
+        // native MERGE — a native read afterwards must match DuckDB
+        // replaying the delete directly.
+        val cat = ensureCatalog(s, "gcx")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcx.ns1")
+        s.sql("DROP TABLE IF EXISTS gcx.ns1.ord")
+        s.sql("""CREATE TABLE gcx.ns1.ord (
+                   o_orderkey BIGINT, o_orderstatus STRING,
+                   o_totalprice DOUBLE)""")
+        s.sql(s"""INSERT INTO gcx.ns1.ord
+                  SELECT o_orderkey, o_orderstatus, o_totalprice
+                  FROM parquet.`$d/orders.parquet`""")
+        val extDir = new java.io.File(
+          cat.storage.absolute("data/ns1/ord/files/ext"))
+        // rerun-safe: DROP TABLE leaves data files behind by design
+        def rmTree(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmTree)
+          f.delete(); ()
+        }
+        if (extDir.isDirectory) rmTree(extDir)
+        extDir.mkdirs()
+        val server = new graft.serve.CatalogHttpServer(cat.storage)
+        val port = server.start()
+        try {
+          val client = java.net.http.HttpClient.newHttpClient()
+          def send(method: String, path: String, body: String = null) = {
+            val b = java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(s"http://127.0.0.1:$port$path"))
+            val req = if (body == null) b.GET()
+              else b.header("Content-Type", "application/json")
+                .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+            client.send(req.build(),
+              java.net.http.HttpResponse.BodyHandlers.ofString())
+          }
+          val load = send("GET", "/v1/iceberg/namespaces/ns1/tables/ord")
+          require(load.statusCode() == 200, load.body())
+          val md = graft.objects.Json.mapper.readTree(load.body())
+            .get("metadata")
+          val baseSnap = md.get("current-snapshot-id").asLong()
+          val snaps = md.get("snapshots")
+          val mlPath = (0 until snaps.size()).map(snaps.get)
+            .find(_.get("snapshot-id").asLong() == baseSnap).get
+            .get("manifest-list").asText()
+          def avro(path: String): Seq[org.apache.avro.generic.GenericRecord] = {
+            val r = new org.apache.avro.file.DataFileReader(
+              new java.io.File(path),
+              new org.apache.avro.generic.GenericDatumReader[
+                org.apache.avro.generic.GenericRecord]())
+            try Iterator.continually(r).takeWhile(_.hasNext)
+              .map(_.next()).toVector
+            finally r.close()
+          }
+          val planned = avro(mlPath).flatMap(m =>
+            avro(m.get("manifest_path").toString)).map(_.get("data_file")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+              .get("file_path").toString)
+          // the "external engine" computes (file_path, pos) for rows
+          // with o_orderkey % 3 = 0 by scanning the planned files
+          val delDir = new java.io.File(extDir, "posdel")
+          s.read.parquet(planned: _*)
+            .select(col("o_orderkey"),
+              regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+                .as("file_path"),
+              col("_metadata.row_index").as("pos"))
+            .filter(col("o_orderkey") % 3 === 0)
+            .select("file_path", "pos")
+            .coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+          val delFile = delDir.listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val delRows = s.read.parquet(delDir.toString).count()
+          // client-authored delete manifest (content=1) + manifest list
+          val entrySchema = new org.apache.avro.Schema.Parser().parse(
+            """{"type":"record","name":"manifest_entry","fields":[
+              |{"name":"status","type":"int"},
+              |{"name":"data_file","type":{"type":"record","name":"r2",
+              |"fields":[
+              |{"name":"content","type":"int"},
+              |{"name":"file_path","type":"string"},
+              |{"name":"file_format","type":"string"},
+              |{"name":"record_count","type":"long"},
+              |{"name":"file_size_in_bytes","type":"long"}]}}]}"""
+              .stripMargin.replaceAll("\n", ""))
+          val listSchema = new org.apache.avro.Schema.Parser().parse(
+            """{"type":"record","name":"manifest_file","fields":[
+              |{"name":"manifest_path","type":"string"},
+              |{"name":"manifest_length","type":"long"},
+              |{"name":"content","type":"int"}]}"""
+              .stripMargin.replaceAll("\n", ""))
+          def writeAvro(f: java.io.File, schema: org.apache.avro.Schema,
+              recs: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+            val w = new org.apache.avro.file.DataFileWriter(
+              new org.apache.avro.generic.GenericDatumWriter[
+                org.apache.avro.generic.GenericRecord](schema))
+            w.create(schema, f)
+            recs.foreach(w.append)
+            w.close()
+          }
+          val df = new org.apache.avro.generic.GenericData.Record(
+            entrySchema.getField("data_file").schema())
+          df.put("content", 1)
+          df.put("file_path", delFile.getAbsolutePath)
+          df.put("file_format", "PARQUET")
+          df.put("record_count", delRows)
+          df.put("file_size_in_bytes", delFile.length())
+          val e = new org.apache.avro.generic.GenericData.Record(entrySchema)
+          e.put("status", 1)
+          e.put("data_file", df)
+          val mf = new java.io.File(extDir, "client-del-m0.avro")
+          writeAvro(mf, entrySchema, Seq(e))
+          val row = new org.apache.avro.generic.GenericData.Record(listSchema)
+          row.put("manifest_path", mf.getAbsolutePath)
+          row.put("manifest_length", mf.length())
+          row.put("content", 1)
+          val ml = new java.io.File(extDir, "client-del-ml0.avro")
+          writeAvro(ml, listSchema, Seq(row))
+          val body =
+            s"""{"requirements":[
+               |  {"type":"assert-table-uuid",
+               |   "uuid":"${md.get("table-uuid").asText()}"},
+               |  {"type":"assert-ref-snapshot-id","ref":"main",
+               |   "snapshot-id":$baseSnap}],
+               |"updates":[
+               |  {"action":"add-snapshot","snapshot":{
+               |    "snapshot-id":1,"sequence-number":1,"timestamp-ms":1,
+               |    "manifest-list":"${ml.getAbsolutePath}",
+               |    "summary":{"operation":"delete"}}},
+               |  {"action":"set-snapshot-ref","ref-name":"main",
+               |   "type":"branch","snapshot-id":1}]}"""
+              .stripMargin.replaceAll("\n", "")
+          val commit = send("POST", "/v1/iceberg/namespaces/ns1/tables/ord",
+            body)
+          require(commit.statusCode() == 200,
+            s"REST row-delete commit failed: ${commit.statusCode()} " +
+              commit.body())
+        } finally server.stop()
+        s.sql("""SELECT o_orderstatus AS status, count(*) AS n,
+                        round(sum(o_totalprice), 2) AS total
+                 FROM gcx.ns1.ord GROUP BY o_orderstatus ORDER BY status""")
+      },
+      Some("""SELECT o_orderstatus AS status, count(*) AS n,
+             |       round(sum(o_totalprice), 2) AS total
+             |FROM orders WHERE o_orderkey % 3 <> 0
+             |GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
+
+    QueryDef(
       "c44_snapshot_pin",
       (s, d) => {
         // Table-level snapshot-id time travel: `VERSION AS OF

@@ -98,11 +98,17 @@ object IcebergDeleteObjects {
     // the storage-relative suffix (unique: relative paths are rooted
     // at the catalog prefix)
     val rels = pd.dataFiles
+    // an unresolvable reference means the served delete would name a
+    // path no planned data file carries — deleted rows would silently
+    // resurrect in the external engine. Refuse the load instead (the
+    // same loud posture the facade takes for unservable shapes).
     def resolve(rendered: String): String =
       rels.find(rel => rendered == rel || rendered.endsWith("/" + rel) ||
           rendered == storage.absolute(rel))
         .map(storage.absolute)
-        .getOrElse(rendered)
+        .getOrElse(throw new IllegalStateException(
+          s"position-delete object ${pd.path} references $rendered, " +
+            "which resolves to none of its declared data files"))
     val local = storage.prepareToReadLocal(pd.path).toString
     writeToBytes(posDeleteSchema) { (factory, write) =>
       readGroups(local) { g =>
@@ -144,10 +150,14 @@ object IcebergDeleteObjects {
     val local = storage.prepareToReadLocal(pd.path).toString
     readGroups(local) { g =>
       val rendered = g.getString("file", 0)
-      val rel = resolveRel(rendered)
-      rows += ((rel.map(storage.absolute).getOrElse(rendered),
-        g.getLong("pos", 0),
-        rel.map(tupleOf).getOrElse(partCols.map(_ => None))))
+      // same loud posture as [[transcodePosDelete]]: an unresolvable
+      // reference would split under an all-null partition tuple and
+      // never apply in the external engine
+      val rel = resolveRel(rendered).getOrElse(
+        throw new IllegalStateException(
+          s"position-delete object ${pd.path} references $rendered, " +
+            "which resolves to none of its declared data files"))
+      rows += ((storage.absolute(rel), g.getLong("pos", 0), tupleOf(rel)))
     }
     rows.groupBy(_._3).toSeq
       .sortBy(_._1.map(_.map(_.toString).getOrElse("\u0000")).mkString("|"))

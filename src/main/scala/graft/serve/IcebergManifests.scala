@@ -190,6 +190,23 @@ object IcebergManifests {
   private def icebergDir(ns: String, table: String): String =
     s"data/$ns/$table/meta/iceberg"
 
+  /** Deterministic per-snapshot discriminator for derived object keys:
+    * `<id>-<8-hex content hash>`. The id alone is NOT unique over a
+    * table's lifetime — DROP + re-CREATE restarts ids at 0, and a
+    * derived key reused across incarnations would serve the PREVIOUS
+    * table's file inventory as the current one (stale manifest lists
+    * planning files the table no longer holds). The hash is a pure
+    * function of the immutable snapshot document, so concurrent
+    * server processes still derive identical keys and creation races
+    * keep collapsing in [[ensureObject]].
+    */
+  def snapshotKey(s: Snapshot): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(graft.objects.Json.write(s))
+    val hex = digest.take(4).map(b => f"${b & 0xff}%02x").mkString
+    s"${s.id}-$hex"
+  }
+
   /** True when the snapshot carries pending merge-on-read state. */
   def hasPendingDeletes(s: Snapshot): Boolean =
     s.deletes.nonEmpty || s.posDeletes.nonEmpty || s.eqDeletes.nonEmpty
@@ -264,7 +281,7 @@ object IcebergManifests {
       val m = mutable.LinkedHashMap.empty[String, Long]
       served.foreach { s =>
         if (s.files.nonEmpty)
-          m.getOrElseUpdate(s"$dir/m-inline-${s.id}.avro", s.id)
+          m.getOrElseUpdate(s"$dir/m-inline-${snapshotKey(s)}.avro", s.id)
         s.manifests.foreach(k => m.getOrElseUpdate(segmentManifestRel(k), s.id))
       }
       m.toMap
@@ -358,10 +375,13 @@ object IcebergManifests {
         writeAvro(eSchema, entries.map(_._1), manifestMeta("deletes", specId)))
       val (added, existing) = entries.partition(e =>
         seqToSnap.getOrElse(e._3, s.id) == s.id)
+      // a pending object can transcode to zero entries (zero-row
+      // object): same 0L sequence defaults as an empty data manifest
       WrittenManifest(rel, length, content = 1,
         added.size, existing.size,
         added.map(_._2).sum, existing.map(_._2).sum,
-        entries.map(_._3).min, entries.map(_._3).max, s.id, specId)
+        if (entries.isEmpty) 0L else entries.map(_._3).min,
+        if (entries.isEmpty) 0L else entries.map(_._3).max, s.id, specId)
     }
 
     /** Position deletes: per-snapshot manifest under the table's spec.
@@ -395,7 +415,8 @@ object IcebergManifests {
           }
         }
       }
-      deleteManifest(s"$dir/del-${s.id}.avro", entrySchema, 0, s, entries)
+      deleteManifest(s"$dir/del-${snapshotKey(s)}.avro", entrySchema, 0, s,
+        entries)
     }
 
     /** Equality deletes: per-snapshot manifest under the unpartitioned
@@ -412,16 +433,18 @@ object IcebergManifests {
         (mk(objRel, None, ed.rowCount, len, ed.seq, 2,
           ed.cols.map(c => fieldIdOf(schemaNode, c))), ed.rowCount, ed.seq)
       }
-      deleteManifest(s"$dir/deq-${s.id}.avro", eqEntrySchema, eqSpecId, s,
+      deleteManifest(s"$dir/deq-${snapshotKey(s)}.avro", eqEntrySchema,
+        eqSpecId, s,
         entries)
     }
 
     val lists = served.map { s =>
-      val mlRel = s"$dir/ml-${s.id}.avro"
+      val mlRel = s"$dir/ml-${snapshotKey(s)}.avro"
       if (!storage.exists(mlRel)) {
         val manifests =
           (if (s.files.nonEmpty)
-            Seq(ensureManifest(s"$dir/m-inline-${s.id}.avro", s.files, s.id))
+            Seq(ensureManifest(s"$dir/m-inline-${snapshotKey(s)}.avro",
+              s.files, s.id))
           else Seq.empty) ++
           s.manifests.map(k =>
             ensureManifest(segmentManifestRel(k),

@@ -726,6 +726,320 @@ class IcebergRestSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  // ---- external row-level commits (overwrite / delete manifests) ----
+
+  /** Client-side avro authoring shared by the row-level commit tests:
+    * a manifest list whose entries may be data manifests (content 0,
+    * ADDED/DELETED entries) or delete manifests (content 1 with
+    * position/equality delete files).
+    */
+  private object ClientAvro {
+    val entrySchema: org.apache.avro.Schema =
+      new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"manifest_entry","fields":[
+          |{"name":"status","type":"int"},
+          |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          |{"name":"content","type":"int"},
+          |{"name":"file_path","type":"string"},
+          |{"name":"file_format","type":"string"},
+          |{"name":"record_count","type":"long"},
+          |{"name":"file_size_in_bytes","type":"long"},
+          |{"name":"equality_ids","type":["null",
+          |  {"type":"array","items":"int"}],"default":null}]}}]}"""
+          .stripMargin.replaceAll("\n", ""))
+    val listSchema: org.apache.avro.Schema =
+      new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"manifest_file","fields":[
+          |{"name":"manifest_path","type":"string"},
+          |{"name":"manifest_length","type":"long"},
+          |{"name":"content","type":"int"}]}"""
+          .stripMargin.replaceAll("\n", ""))
+
+    def write(f: java.io.File, schema: org.apache.avro.Schema,
+        recs: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](schema))
+      w.create(schema, f)
+      recs.foreach(w.append)
+      w.close()
+    }
+
+    def entry(status: Int, content: Int, path: String, rows: Long,
+        size: Long, eqIds: Seq[Int] = Seq.empty)
+        : org.apache.avro.generic.GenericRecord = {
+      val df = new org.apache.avro.generic.GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      df.put("content", content)
+      df.put("file_path", path)
+      df.put("file_format", "PARQUET")
+      df.put("record_count", rows)
+      df.put("file_size_in_bytes", size)
+      if (eqIds.nonEmpty)
+        df.put("equality_ids", new org.apache.avro.generic.GenericData.Array(
+          entrySchema.getField("data_file").schema()
+            .getField("equality_ids").schema().getTypes.get(1),
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            eqIds.map(Int.box)).asJava))
+      val e = new org.apache.avro.generic.GenericData.Record(entrySchema)
+      e.put("status", status)
+      e.put("data_file", df)
+      e
+    }
+
+    /** One manifest per (content, entries) group → a manifest list. */
+    def manifestList(dir: java.io.File, tag: String,
+        manifests: Seq[(Int, Seq[org.apache.avro.generic.GenericRecord])])
+        : java.io.File = {
+      val rows = manifests.zipWithIndex.map { case ((content, entries), i) =>
+        val mf = new java.io.File(dir, s"client-$tag-m$i.avro")
+        write(mf, entrySchema, entries)
+        val r = new org.apache.avro.generic.GenericData.Record(listSchema)
+        r.put("manifest_path", mf.getAbsolutePath)
+        r.put("manifest_length", mf.length())
+        r.put("content", content)
+        r
+      }
+      val ml = new java.io.File(dir, s"client-$tag-ml.avro")
+      write(ml, listSchema, rows)
+      ml
+    }
+  }
+
+  private def commitBodyFor(uuid: String, basedOn: Long, op: String,
+      ml: java.io.File, assertRef: Boolean = true): String = {
+    val reqs =
+      if (assertRef)
+        s"""[{"type":"assert-table-uuid","uuid":"$uuid"},
+           |{"type":"assert-ref-snapshot-id","ref":"main",
+           | "snapshot-id":$basedOn}]""".stripMargin
+      else s"""[{"type":"assert-table-uuid","uuid":"$uuid"}]"""
+    s"""{"requirements":$reqs,
+       |"updates":[
+       |  {"action":"add-snapshot","snapshot":{
+       |    "snapshot-id":999,"sequence-number":99,"timestamp-ms":1,
+       |    "manifest-list":"${ml.getAbsolutePath}",
+       |    "summary":{"operation":"$op"}}},
+       |  {"action":"set-snapshot-ref","ref-name":"main",
+       |   "type":"branch","snapshot-id":999}]}"""
+      .stripMargin.replaceAll("\n", "")
+  }
+
+  private def loadMeta(port: Int, ns: String, t: String)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    val (c, body) = send(port, "GET", s"/v1/iceberg/namespaces/$ns/tables/$t")
+    assert(c == 200, body)
+    Json.mapper.readTree(body).get("metadata")
+  }
+
+  test("an external engine commits a position-delete (merge-on-read) " +
+      "over REST") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.xp")
+    spark.sql("CREATE TABLE ir.xp.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO ir.xp.t SELECT id, concat('v', id) FROM range(10)")
+    val (server, port) = startServer()
+    try {
+      val md = loadMeta(port, "xp", "t")
+      val uuid = md.get("table-uuid").asText()
+      val baseSnap = md.get("current-snapshot-id").asLong()
+      // the external engine plans the current snapshot's files and
+      // authors a position delete for rows it wants gone (k % 3 == 0):
+      // read each planned file with row positions, exactly as an
+      // Iceberg engine computes (file_path, pos)
+      val snaps = md.get("snapshots")
+      val mlPath = (0 until snaps.size()).map(snaps.get)
+        .find(_.get("snapshot-id").asLong() == baseSnap).get
+        .get("manifest-list").asText()
+      val planned = readAvro(mlPath).flatMap(m =>
+        readAvro(m.get("manifest_path").toString)).map(_.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("file_path").toString)
+      import org.apache.spark.sql.functions._
+      val dels = spark.read.parquet(planned: _*)
+        .select(col("k"),
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+            .as("file_path"),
+          col("_metadata.row_index").as("pos"))
+        .filter(col("k") % 3 === 0)
+        .select("file_path", "pos")
+      val extDir = new java.io.File(s"$warehouse/data/xp/t/files/ext")
+      extDir.mkdirs()
+      val delDir = new java.io.File(extDir, "posdel")
+      dels.coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+      val delFile = delDir.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val delRows = spark.read.parquet(delDir.toString).count()
+      val ml = ClientAvro.manifestList(extDir, "pd", Seq(
+        (1, Seq(ClientAvro.entry(1, 1, delFile.getAbsolutePath, delRows,
+          delFile.length())))))
+      val (cc, resp) = send(port, "POST", "/v1/iceberg/namespaces/xp/tables/t",
+        commitBodyFor(uuid, baseSnap, "delete", ml))
+      assert(cc == 200, resp)
+      // native readers apply the externally-committed deletes
+      val kept = spark.table("ir.xp.t").collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept == (0L until 10L).filter(_ % 3 != 0), kept)
+      // and the served plane round-trips them back out as a delete
+      // manifest (the transcoded native object re-serves)
+      val md2 = loadMeta(port, "xp", "t")
+      val cur2 = md2.get("current-snapshot-id").asLong()
+      val snaps2 = md2.get("snapshots")
+      val ml2 = (0 until snaps2.size()).map(snaps2.get)
+        .find(_.get("snapshot-id").asLong() == cur2).get
+        .get("manifest-list").asText()
+      assert(readAvro(ml2).exists(_.get("content").asInstanceOf[Int] == 1),
+        "committed position deletes re-serve as a delete manifest")
+    } finally server.stop()
+  }
+
+  test("an external engine commits an overwrite (replaced + added files) " +
+      "over REST") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.xo")
+    spark.sql("CREATE TABLE ir.xo.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO ir.xo.t VALUES (1, 'old')")
+    spark.sql("INSERT INTO ir.xo.t VALUES (2, 'keep')")
+    val (server, port) = startServer()
+    try {
+      val md = loadMeta(port, "xo", "t")
+      val uuid = md.get("table-uuid").asText()
+      val baseSnap = md.get("current-snapshot-id").asLong()
+      val snaps = md.get("snapshots")
+      val mlPath = (0 until snaps.size()).map(snaps.get)
+        .find(_.get("snapshot-id").asLong() == baseSnap).get
+        .get("manifest-list").asText()
+      val planned = readAvro(mlPath).flatMap(m =>
+        readAvro(m.get("manifest_path").toString)).map(_.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("file_path").toString)
+      // the engine rewrites the file holding k=1 (copy-on-write):
+      // DELETED entry for the old file, ADDED entry for its replacement
+      val victim = planned.find(p =>
+        spark.read.parquet(p).filter("k = 1").count() > 0).get
+      val extDir = new java.io.File(s"$warehouse/data/xo/t/files/ext")
+      extDir.mkdirs()
+      val newDir = new java.io.File(extDir, "rewrite")
+      spark.sql("SELECT 1L AS k, 'new' AS v").coalesce(1)
+        .write.mode("overwrite").parquet(newDir.toString)
+      val newFile = newDir.listFiles().find(_.getName.endsWith(".parquet")).get
+      val ml = ClientAvro.manifestList(extDir, "ow", Seq(
+        (0, Seq(
+          ClientAvro.entry(2, 0, victim, 1L, 1L),
+          ClientAvro.entry(1, 0, newFile.getAbsolutePath, 1L,
+            newFile.length())))))
+      val (cc, resp) = send(port, "POST", "/v1/iceberg/namespaces/xo/tables/t",
+        commitBodyFor(uuid, baseSnap, "overwrite", ml))
+      assert(cc == 200, resp)
+      val rows = spark.table("ir.xo.t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(rows == Seq((1L, "new"), (2L, "keep")), rows)
+      val ops = spark.sql(
+        "SELECT operation FROM ir.xo.`t$snapshots` ORDER BY snapshot_id")
+        .collect().map(_.getString(0)).toSeq
+      assert(ops.last == "overwrite", ops)
+    } finally server.stop()
+  }
+
+  test("an external equality-delete commit needs the main-ref guard " +
+      "and applies by key") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.xe")
+    spark.sql("CREATE TABLE ir.xe.t (k BIGINT NOT NULL, v STRING)")
+    spark.sql("INSERT INTO ir.xe.t SELECT id, concat('v', id) FROM range(6)")
+    val (server, port) = startServer()
+    try {
+      val md = loadMeta(port, "xe", "t")
+      val uuid = md.get("table-uuid").asText()
+      val baseSnap = md.get("current-snapshot-id").asLong()
+      // field id of k in the served schema
+      val fields = md.get("schemas").get(0).get("fields")
+      val kId = (0 until fields.size()).map(fields.get)
+        .find(_.get("name").asText() == "k").get.get("id").asInt()
+      val extDir = new java.io.File(s"$warehouse/data/xe/t/files/ext")
+      extDir.mkdirs()
+      val delDir = new java.io.File(extDir, "eqdel")
+      spark.sql("SELECT 2L AS k UNION ALL SELECT 4L").coalesce(1)
+        .write.mode("overwrite").parquet(delDir.toString)
+      val delFile = delDir.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val ml = ClientAvro.manifestList(extDir, "eq", Seq(
+        (1, Seq(ClientAvro.entry(1, 2, delFile.getAbsolutePath, 2L,
+          delFile.length(), eqIds = Seq(kId))))))
+      // without assert-ref-snapshot-id the commit is refused: a lost
+      // race would rebase the deletes over rows the client never saw
+      val (cNoGuard, eNoGuard) = send(port, "POST",
+        "/v1/iceberg/namespaces/xe/tables/t",
+        commitBodyFor(uuid, baseSnap, "delete", ml, assertRef = false))
+      assert(cNoGuard == 400 && eNoGuard.contains("assert-ref-snapshot-id"),
+        s"$cNoGuard $eNoGuard")
+      val (cc, resp) = send(port, "POST", "/v1/iceberg/namespaces/xe/tables/t",
+        commitBodyFor(uuid, baseSnap, "delete", ml))
+      assert(cc == 200, resp)
+      val kept = spark.table("ir.xe.t").collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept == Seq(0L, 1L, 3L, 5L), kept)
+    } finally server.stop()
+  }
+
+  test("malformed client manifests and missing files map to 400, not 500") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.xm")
+    spark.sql("CREATE TABLE ir.xm.t (k BIGINT)")
+    spark.sql("INSERT INTO ir.xm.t VALUES (1)")
+    val (server, port) = startServer()
+    try {
+      val md = loadMeta(port, "xm", "t")
+      val uuid = md.get("table-uuid").asText()
+      val baseSnap = md.get("current-snapshot-id").asLong()
+      val extDir = new java.io.File(s"$warehouse/data/xm/t/files/ext")
+      extDir.mkdirs()
+      // (1) an entry whose data_file lacks file_path → 400
+      val noPathEntrySchema = new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"manifest_entry","fields":[
+          |{"name":"status","type":"int"},
+          |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          |{"name":"file_format","type":"string"}]}}]}"""
+          .stripMargin.replaceAll("\n", ""))
+      val df = new org.apache.avro.generic.GenericData.Record(
+        noPathEntrySchema.getField("data_file").schema())
+      df.put("file_format", "PARQUET")
+      val e = new org.apache.avro.generic.GenericData.Record(noPathEntrySchema)
+      e.put("status", 1)
+      e.put("data_file", df)
+      val mf = new java.io.File(extDir, "nopath-m.avro")
+      ClientAvro.write(mf, noPathEntrySchema, Seq(e))
+      val row = new org.apache.avro.generic.GenericData.Record(
+        ClientAvro.listSchema)
+      row.put("manifest_path", mf.getAbsolutePath)
+      row.put("manifest_length", mf.length())
+      row.put("content", 0)
+      val ml1 = new java.io.File(extDir, "nopath-ml.avro")
+      ClientAvro.write(ml1, ClientAvro.listSchema, Seq(row))
+      val (c1, e1) = send(port, "POST", "/v1/iceberg/namespaces/xm/tables/t",
+        commitBodyFor(uuid, baseSnap, "append", ml1))
+      assert(c1 == 400 && e1.contains("missing required field file_path"),
+        s"$c1 $e1")
+      // (2) a commit referencing a data file that does not exist → 400
+      val ghost = s"$warehouse/data/xm/t/files/ext/ghost.parquet"
+      val ml2 = ClientAvro.manifestList(extDir, "ghost", Seq(
+        (0, Seq(ClientAvro.entry(1, 0, ghost, 1L, 1L)))))
+      val (c2, e2) = send(port, "POST", "/v1/iceberg/namespaces/xm/tables/t",
+        commitBodyFor(uuid, baseSnap, "append", ml2))
+      assert(c2 == 400 && e2.contains("does not exist"), s"$c2 $e2")
+      // (3) mixing position- and equality-delete files → 400
+      val pd = new java.io.File(extDir, "pd.parquet")
+      spark.sql("SELECT '/x' AS file_path, 0L AS pos").coalesce(1)
+        .write.mode("overwrite").parquet(pd.toString + ".d")
+      val pdFile = new java.io.File(pd.toString + ".d").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val ml3 = ClientAvro.manifestList(extDir, "mix", Seq(
+        (1, Seq(
+          ClientAvro.entry(1, 1, pdFile.getAbsolutePath, 1L, 1L),
+          ClientAvro.entry(1, 2, pdFile.getAbsolutePath, 1L, 1L,
+            eqIds = Seq(1))))))
+      val (c3, e3) = send(port, "POST", "/v1/iceberg/namespaces/xm/tables/t",
+        commitBodyFor(uuid, baseSnap, "delete", ml3))
+      assert(c3 == 400 && e3.contains("cannot mix"), s"$c3 $e3")
+      // nothing committed by any of the rejected requests
+      assert(spark.table("ir.xm.t").count() == 1)
+    } finally server.stop()
+  }
+
   private def readAvro(path: String): Seq[org.apache.avro.generic.GenericRecord] = {
     val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
       new java.io.File(path),

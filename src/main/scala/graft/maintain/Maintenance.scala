@@ -418,7 +418,15 @@ object Maintenance {
           else if (base.startsWith("m-"))
             !segBases.contains(base.stripPrefix("m-").stripSuffix(".avro"))
           else false
-        } else if (base.endsWith(".parquet") &&
+        } else if (base.endsWith(".parquet") && base.startsWith("pq-"))
+          // materialized predicate deletes are snapshot-keyed
+          expiredSnapKey(base.drop(3).stripSuffix(".parquet"))
+        else if (base.endsWith(".parquet") && base.startsWith("pd-pq-"))
+          // their transcodes attribute through the snapshot key too
+          // (the synthetic source is not a pending delete object)
+          expiredSnapKey(base.drop(6).stripSuffix(".parquet")
+            .replaceAll("-s\\d+$", ""))
+        else if (base.endsWith(".parquet") &&
             (base.startsWith("pd-") || base.startsWith("ed-")))
           // pd- transcodes may carry a per-partition split suffix
           // (pd-<srcbase>-s<i>): attribute by the SOURCE object's

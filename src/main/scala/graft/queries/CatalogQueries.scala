@@ -1689,6 +1689,105 @@ object CatalogQueries {
              |GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
 
     QueryDef(
+      "c48_iceberg_rest_pred_serve",
+      (s, d) => {
+        // Pending merge-on-read PREDICATE deletes read back THROUGH
+        // the Iceberg REST facade: predicate deletes have no Iceberg
+        // analog, so the facade materializes them into served
+        // position-delete objects (one in-scope scan per snapshot,
+        // IcebergDeleteObjects.materializePredicateDeletes). The
+        // scenario pins the sequencing semantics — rows appended
+        // AFTER a delete survive it even when they match its
+        // predicate — and the external reconstruction (anti-join
+        // (file_path, pos) against the planned data files) must match
+        // DuckDB replaying the deletes directly.
+        val cat = ensureCatalog(s, "gcy")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcy.ns1")
+        s.sql("DROP TABLE IF EXISTS gcy.ns1.li")
+        s.sql("""CREATE TABLE gcy.ns1.li (
+                   l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING)
+                 TBLPROPERTIES ('graft.delete.mode' = 'merge-on-read')""")
+        s.sql(s"""INSERT INTO gcy.ns1.li
+                  SELECT l_orderkey, l_quantity, l_returnflag
+                  FROM parquet.`$d/lineitem.parquet`""")
+        s.sql("DELETE FROM gcy.ns1.li WHERE l_orderkey % 5 = 0")
+        // appended after the delete: survives it even though every
+        // shifted key matches the predicate (orig % 10 = 0 implies
+        // +30000000 % 5 = 0)
+        s.sql(s"""INSERT INTO gcy.ns1.li
+                  SELECT l_orderkey + 30000000, l_quantity, l_returnflag
+                  FROM parquet.`$d/lineitem.parquet`
+                  WHERE l_orderkey % 10 = 0""")
+        s.sql("""DELETE FROM gcy.ns1.li
+                 WHERE l_returnflag = 'A' AND l_quantity < 10""")
+        val server = new graft.serve.CatalogHttpServer(cat.storage)
+        val port = server.start()
+        try {
+          val client = java.net.http.HttpClient.newHttpClient()
+          val res = client.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+              s"http://127.0.0.1:$port/v1/iceberg/namespaces/ns1/tables/li"))
+              .GET().build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(res.statusCode() == 200,
+            s"REST load failed: ${res.statusCode()} ${res.body()}")
+          val md = graft.objects.Json.mapper.readTree(res.body())
+            .get("metadata")
+          val snaps = md.get("snapshots")
+          val ml = (0 until snaps.size()).map(snaps.get)
+            .find(_.get("snapshot-id").asLong() ==
+              md.get("current-snapshot-id").asLong()).get
+            .get("manifest-list").asText()
+          def avro(path: String): Seq[org.apache.avro.generic.GenericRecord] = {
+            val r = new org.apache.avro.file.DataFileReader(
+              new java.io.File(path),
+              new org.apache.avro.generic.GenericDatumReader[
+                org.apache.avro.generic.GenericRecord]())
+            try Iterator.continually(r).takeWhile(_.hasNext)
+              .map(_.next()).toVector
+            finally r.close()
+          }
+          val entries = avro(ml).flatMap(m =>
+            avro(m.get("manifest_path").toString))
+          def filesOf(content: Int): Seq[String] = entries.flatMap { e =>
+            val df = e.get("data_file")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            if (df.get("content").asInstanceOf[Int] == content)
+              Some(df.get("file_path").toString)
+            else None
+          }
+          val data = s.read.parquet(filesOf(0): _*)
+            .select(col("l_orderkey"), col("l_quantity"),
+              col("l_returnflag"),
+              regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+                .as("_fp"),
+              col("_metadata.row_index").as("_pos"))
+          val dels = s.read.parquet(filesOf(1): _*)
+          data.join(dels,
+              data("_fp") === dels("file_path") &&
+                data("_pos") === dels("pos"), "left_anti")
+            .groupBy(col("l_returnflag"))
+            .agg(count(lit(1)).as("n"),
+              round(sum(col("l_quantity")), 2).as("qty"))
+            .select(col("l_returnflag").as("flag"), col("n"), col("qty"))
+            .orderBy("flag")
+        } finally server.stop()
+      },
+      Some("""WITH after1 AS (
+             |  SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+             |  WHERE l_orderkey % 5 <> 0
+             |  UNION ALL
+             |  SELECT l_orderkey + 30000000, l_quantity, l_returnflag
+             |  FROM lineitem WHERE l_orderkey % 10 = 0),
+             |after2 AS (
+             |  SELECT * FROM after1
+             |  WHERE NOT coalesce(l_returnflag = 'A' AND l_quantity < 10,
+             |                     FALSE))
+             |SELECT l_returnflag AS flag, count(*) AS n,
+             |       round(sum(l_quantity), 2) AS qty
+             |FROM after2 GROUP BY l_returnflag ORDER BY flag""".stripMargin)),
+
+    QueryDef(
       "c44_snapshot_pin",
       (s, d) => {
         // Table-level snapshot-id time travel: `VERSION AS OF

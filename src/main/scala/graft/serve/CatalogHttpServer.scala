@@ -187,15 +187,17 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0) {
         .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
       // pending position/equality deletes serve as REAL v2 delete
       // manifests (per-partition-split and globally-scoped
-      // respectively); only predicate deletes stay unrepresentable —
-      // refused loudly instead of resurrecting deleted rows in the
-      // external engine's results
+      // respectively); predicate deletes MATERIALIZE into position
+      // deletes when a co-located Spark session can run the in-scope
+      // scan — only a bare metadata server refuses them, loudly,
+      // instead of resurrecting deleted rows in the external engine
       if (meta.currentSnapshot.exists(
           IcebergManifests.unservable)) {
         reply(ex, 400, IcebergRest.errorResponse(400, "BadRequestException",
-          s"table $ns.$t has pending merge-on-read PREDICATE deletes, " +
-            "which Iceberg v2 metadata cannot represent; run " +
-            "compact_table first, or read it through a graft-native engine"))
+          s"table $ns.$t has pending merge-on-read PREDICATE deletes and " +
+            "this server has no co-located Spark session to materialize " +
+            "them; run compact_table first, serve from a Spark-hosted " +
+            "process, or read through a graft-native engine"))
       } else {
         val schema = org.apache.spark.sql.types.DataType
           .fromJson(meta.schemaJson)

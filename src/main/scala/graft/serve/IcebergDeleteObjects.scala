@@ -175,6 +175,62 @@ object IcebergDeleteObjects {
       }
   }
 
+  /** Materialize pending PREDICATE deletes as one native-shaped
+    * position-delete parquet (`file`/`pos`, sorted): Iceberg has no
+    * predicate-delete analog, so the facade scans the in-scope data
+    * files ONCE — a distributed Spark job, each predicate applied only
+    * to the files whose entry sequence it covers — and renders the
+    * deleted row positions. The result then rides the exact same
+    * transcode + per-partition-split machinery as a native
+    * position-delete object. Row volume is the honest cost of the
+    * representation change (a sparse DELETE stays KB-scale; Iceberg
+    * engines materialize their own position deletes the same way).
+    */
+  def materializePredicateDeletes(
+      spark: org.apache.spark.sql.SparkSession, storage: StorageOps,
+      files: Seq[graft.format.DataFileEntry],
+      preds: Seq[graft.format.DeletePredicate]): Array[Byte] = {
+    import org.apache.spark.sql.functions._
+    // group by applicable predicate set: a predicate with sequence S
+    // covers exactly the files with entry.seq <= S
+    val groups = files.map(f => f -> preds.filter(_.seq >= f.seq))
+      .filter(_._2.nonEmpty)
+      .groupBy(_._2).toSeq
+    val dfs = groups.map { case (ps, fs) =>
+      // deleted = ANY applicable predicate TRUE (NULL keeps the row)
+      val deleted = ps.map(p => coalesce(expr(p.sql), lit(false)))
+        .reduce(_ || _)
+      spark.read.parquet(fs.map(f => storage.absolute(f._1.path)): _*)
+        .where(deleted)
+        .select(col("_metadata.file_path").as("file"),
+          col("_metadata.row_index").as("pos"))
+    }
+    writeToBytes(graft.format.PosDeleteFiles.Schema) { (factory, write) =>
+      dfs.reduceOption(_ unionAll _).foreach { df =>
+        // global (file, pos) order via range partitioning; the local
+        // iterator streams one partition at a time instead of
+        // collecting every deleted position at once
+        val it = df.orderBy("file", "pos").toLocalIterator()
+        while (it.hasNext) {
+          val r = it.next()
+          val out = factory.newGroup()
+          out.append("file", r.getString(0))
+          out.append("pos", r.getLong(1))
+          write(out)
+        }
+      }
+    }
+  }
+
+  /** Footer row count of one storage parquet object (no data read). */
+  def parquetRowCount(storage: StorageOps, rel: String): Long = {
+    val local = storage.prepareToReadLocal(rel).toString
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new Path(local), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
   /** Field-id-annotated equality-delete parquet from one graft key
     * object; `fieldIdOf` maps a physical column name onto the served
     * Iceberg schema's id (`equality_ids` in the manifest entry lists

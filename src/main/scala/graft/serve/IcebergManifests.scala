@@ -211,12 +211,25 @@ object IcebergManifests {
   def hasPendingDeletes(s: Snapshot): Boolean =
     s.deletes.nonEmpty || s.posDeletes.nonEmpty || s.eqDeletes.nonEmpty
 
-  /** True when the snapshot's pending state cannot be represented as
-    * Iceberg v2 delete manifests: predicate deletes have no Iceberg
-    * analog (position/equality deletes serve as real delete files,
-    * per-partition-split and globally-scoped respectively).
+  /** A co-located Spark session, when one exists: getActiveSession is
+    * thread-local (HTTP handler threads never have one), so fall back
+    * to the process default.
     */
-  def unservable(s: Snapshot): Boolean = s.deletes.nonEmpty
+  private def colocatedSpark: Option[org.apache.spark.sql.SparkSession] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+
+  /** True when the snapshot's pending state cannot be represented as
+    * Iceberg v2 delete manifests. Position/equality deletes always
+    * serve as real delete files; predicate deletes have no Iceberg
+    * analog but MATERIALIZE into position-delete objects when a
+    * co-located Spark session can run the one in-scope scan the
+    * representation change needs
+    * ([[IcebergDeleteObjects.materializePredicateDeletes]]) — only a
+    * server with no data-plane engine at all still refuses them.
+    */
+  def unservable(s: Snapshot): Boolean =
+    s.deletes.nonEmpty && colocatedSpark.isEmpty
 
   /** Ensure avro manifests (data + delete) and per-snapshot manifest
     * lists exist for every servable snapshot; returns the absolute
@@ -392,9 +405,37 @@ object IcebergManifests {
       * pd.seq keeps all referenced files in scope (matching is exact
       * (path, pos) — over-scoping is harmless).
       */
+    /** Pending PREDICATE deletes materialized as one synthetic
+      * native-shaped position-delete object at a deterministic
+      * per-snapshot key, then served through the standard transcode
+      * below. Stamped at the NEWEST predicate's sequence (position
+      * matching is exact (path, pos); over-scoping is harmless) and
+      * referencing every in-scope data file.
+      */
+    def syntheticPredicateDeletes(s: Snapshot): Option[PosDeleteFile] =
+      if (s.deletes.isEmpty) None
+      else {
+        val spark = colocatedSpark.getOrElse(throw new IllegalStateException(
+          "predicate-delete materialization needs a co-located Spark " +
+            "session (unservable() guards this upstream)"))
+        val rel = s"$dir/pq-${snapshotKey(s)}.parquet"
+        val files = Manifests.filesOf(storage, s)
+        val inScope = files.filter(f => s.deletes.exists(_.seq >= f.seq))
+        if (!storage.exists(rel)) {
+          try storage.writeAtomic(rel,
+            IcebergDeleteObjects.materializePredicateDeletes(spark, storage,
+              files, s.deletes))
+          catch { case _: AtomicSealFailureException => () }
+        }
+        Some(PosDeleteFile(rel,
+          IcebergDeleteObjects.parquetRowCount(storage, rel),
+          storage.sizeOf(rel), inScope.map(_.path),
+          s.deletes.map(_.seq).max))
+      }
+
     def ensurePosManifest(s: Snapshot): WrittenManifest = {
       val mk = deleteEntryRecord(entrySchema, dfSchema, partSchema, s.id) _
-      val entries = s.posDeletes.flatMap { pd =>
+      val entries = (s.posDeletes ++ syntheticPredicateDeletes(s)).flatMap { pd =>
         val base = baseOf(pd.path)
         if (partCols.isEmpty) {
           val objRel = s"$dir/pd-$base.parquet"
@@ -449,7 +490,8 @@ object IcebergManifests {
           s.manifests.map(k =>
             ensureManifest(segmentManifestRel(k),
               Manifests.read(storage, k), s.id)) ++
-          (if (s.posDeletes.nonEmpty) Seq(ensurePosManifest(s))
+          (if (s.posDeletes.nonEmpty || s.deletes.nonEmpty)
+            Seq(ensurePosManifest(s))
           else Seq.empty) ++
           (if (s.eqDeletes.nonEmpty) Seq(ensureEqManifest(s))
           else Seq.empty)

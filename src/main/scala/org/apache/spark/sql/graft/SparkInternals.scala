@@ -222,9 +222,12 @@ object SparkInternals {
     * tested against `cond` (bound to `inputSchema`'s attributes) and
     * survivors are projected to the first `keepN` columns. This is the
     * merge-on-read delete read path — parquet's own pushdown is
-    * row-group granular, so exactness must come from here. Reads are
-    * row-based on purpose; only files with PENDING deletes pay this,
-    * and a rewrite/compaction returns them to the vectorized path.
+    * row-group granular, so exactness must come from here. Columnar
+    * batches stay columnar: [[RowFilteredReaderFactory]] evaluates the
+    * residual per batch and remaps survivors through a
+    * [[SelectedColumnVector]] selection vector; only files with
+    * PENDING deletes pay the evaluation at all, and a
+    * rewrite/compaction removes even that.
     */
   def filteredProjectedBatch(delegate: Batch, cond: Expression,
       inputSchema: StructType, keepN: Int): Batch = {

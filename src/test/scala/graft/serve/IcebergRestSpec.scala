@@ -162,7 +162,7 @@ class IcebergRestSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
-  test("loads serve real avro manifests; pending-MoR tables are refused") {
+  test("loads serve real avro manifests; predicate deletes materialize") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.dp")
     spark.sql("""CREATE TABLE ir.dp.cow (k BIGINT, region STRING)
                  PARTITIONED BY (region)""")
@@ -226,18 +226,48 @@ class IcebergRestSpec extends AnyFunSuite {
       assert(icebergDir.list().sorted.toSeq == afterFirst,
         "reload writes no new objects — manifests are immutable & cached")
 
-      // a pending merge-on-read delete makes the table unservable: the
-      // load is refused loudly instead of resurrecting deleted rows in
-      // an external engine
+      // a pending merge-on-read PREDICATE delete materializes into a
+      // served position-delete manifest (this server is co-located
+      // with a Spark session that runs the one in-scope scan): the
+      // external reconstruction must match the post-delete content
       spark.sql("""CREATE TABLE ir.dp.mor (k BIGINT)
                    TBLPROPERTIES ('graft.delete.mode' = 'merge-on-read')""")
       spark.sql("INSERT INTO ir.dp.mor SELECT id FROM range(10)")
       spark.sql("DELETE FROM ir.dp.mor WHERE k >= 5")
-      val (cm, err) = send(port, "GET", s"$base/namespaces/dp/tables/mor")
-      assert(cm == 400, err)
-      assert(err.contains("merge-on-read"), err)
-      // compaction materializes the deletes: the load works again and
-      // the unrepresentable middle snapshot is omitted from history
+      val (cm, load4) = send(port, "GET", s"$base/namespaces/dp/tables/mor")
+      assert(cm == 200, load4)
+      val md4 = Json.mapper.readTree(load4).get("metadata")
+      val snaps4 = md4.get("snapshots")
+      assert(snaps4.size() == 2,
+        "append + predicate-delete snapshots both serve")
+      val ml4 = (0 until snaps4.size()).map(snaps4.get)
+        .find(_.get("snapshot-id").asLong() ==
+          md4.get("current-snapshot-id").asLong()).get
+        .get("manifest-list").asText()
+      val entries4 = readAvro(ml4).flatMap(m =>
+        readAvro(m.get("manifest_path").toString))
+      def files4(content: Int): Seq[String] = entries4.flatMap { e =>
+        val df = e.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        if (df.get("content").asInstanceOf[Int] == content)
+          Some(df.get("file_path").toString)
+        else None
+      }
+      assert(files4(1).nonEmpty, "materialized position deletes served")
+      import org.apache.spark.sql.functions._
+      val data4 = spark.read.parquet(files4(0): _*)
+        .select(col("k"),
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+            .as("_fp"),
+          col("_metadata.row_index").as("_pos"))
+      val dels4 = spark.read.parquet(files4(1): _*)
+      val kept4 = data4.join(dels4,
+          data4("_fp") === dels4("file_path") &&
+            data4("_pos") === dels4("pos"), "left_anti")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept4 == (0L to 4L), kept4)
+      // compaction materializes the deletes natively: the load keeps
+      // working and all three snapshots serve
       graft.maintain.Maintenance.compactDataFiles(spark,
         spark.sessionState.catalogManager.catalog("ir")
           .asInstanceOf[GraftCatalog],
@@ -250,8 +280,8 @@ class IcebergRestSpec extends AnyFunSuite {
       val servedIds = (0 until snaps3.size()).map(snaps3.get(_)
         .get("snapshot-id").asLong())
       assert(servedIds.contains(md3.get("current-snapshot-id").asLong()))
-      assert(snaps3.size() == 2,
-        s"append + compact served, mor-delete snapshot omitted: $servedIds")
+      assert(snaps3.size() == 3,
+        s"append + mor-delete + compact all served: $servedIds")
       val mlCur = (0 until snaps3.size()).map(snaps3.get)
         .find(_.get("snapshot-id").asLong() ==
           md3.get("current-snapshot-id").asLong()).get

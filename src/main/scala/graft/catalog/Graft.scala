@@ -247,6 +247,54 @@ object Graft {
       .toSeq
   }
 
+  /** One key-interval page of live keys under `prefix`, strictly after
+    * `afterKey`, at most `limit` — O(tree depth + limit) node reads via
+    * [[TreeOps.traverseFrom]], never a full walk. Returns (keys, more).
+    */
+  private def pageKeys(storage: StorageOps, txn: Transaction, prefix: String,
+      afterKey: Option[String], limit: Int): (Seq[String], Boolean) = {
+    require(limit > 0, s"page size must be positive: $limit")
+    // every key carrying the prefix sorts strictly after the bare
+    // prefix itself, so the unanchored first page starts there
+    val page = TreeOps.traverseFrom(storage, txn.runningRoot,
+        afterKey.getOrElse(prefix))
+      .map(_.key).takeWhile(_.startsWith(prefix))
+      .take(limit + 1).toVector
+    (page.take(limit), page.size > limit)
+  }
+
+  /** Paged SHOW NAMESPACES: names strictly after `after`. */
+  def showNamespacesPage(storage: StorageOps, txn: Transaction,
+      after: Option[String], limit: Int): (Seq[String], Boolean) = {
+    txn.record(Action(ActionType.ShowNamespaces, ObjectKeys.NamespacePrefix))
+    val cd = cdOf(storage, txn)
+    val (keys, more) = pageKeys(storage, txn, ObjectKeys.NamespacePrefix,
+      after.map(n => ObjectKeys.namespaceKey(n, cd)), limit)
+    (keys.map(ObjectKeys.namespaceNameFromKey), more)
+  }
+
+  /** Paged SHOW TABLES: names strictly after `after`. */
+  def showTablesPage(storage: StorageOps, txn: Transaction, ns: String,
+      after: Option[String], limit: Int): (Seq[String], Boolean) = {
+    val cd = cdOf(storage, txn)
+    val prefix = ObjectKeys.tableKeyNamespacePrefix(ns, cd)
+    txn.record(Action(ActionType.ShowTables, prefix))
+    val (keys, more) = pageKeys(storage, txn, prefix,
+      after.map(t => ObjectKeys.tableKey(ns, t, cd)), limit)
+    (keys.map(k => ObjectKeys.tableNameFromKey(k, cd)._2), more)
+  }
+
+  /** Paged SHOW VIEWS: names strictly after `after`. */
+  def showViewsPage(storage: StorageOps, txn: Transaction, ns: String,
+      after: Option[String], limit: Int): (Seq[String], Boolean) = {
+    val cd = cdOf(storage, txn)
+    val prefix = ObjectKeys.viewKeyNamespacePrefix(ns, cd)
+    txn.record(Action(ActionType.ShowViews, prefix))
+    val (keys, more) = pageKeys(storage, txn, prefix,
+      after.map(v => ObjectKeys.viewKey(ns, v, cd)), limit)
+    (keys.map(k => ObjectKeys.viewNameFromKey(k, cd)._2), more)
+  }
+
   def namespaceExists(storage: StorageOps, txn: Transaction, ns: String): Boolean = {
     val key = ObjectKeys.namespaceKey(ns, cdOf(storage, txn))
     txn.record(Action(ActionType.NamespaceExists, key))

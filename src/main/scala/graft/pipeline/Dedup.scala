@@ -444,23 +444,39 @@ object Dedup {
         // band, so the banded candidate set must EQUAL the exact
         // pairwise truth — n_missed > 0 means the band split lost
         // recall, n_extra > 0 means the Hamming filter leaked. The
-        // truth side is quadratic BY DESIGN (verification-scale
-        // baseline, like dd05); dd04 itself is the scale path.
+        // truth side is O(n²) comparisons BY DESIGN (that is what
+        // exact pairwise truth means; dd04 itself is the scale path),
+        // but shaped as dd05's BLOCK NESTED LOOP: doc ids hash into B
+        // blocks and the B(B+1)/2 block pairs become the EQUI-join
+        // key, so the comparisons land as bounded-input cells across
+        // the cluster instead of one broadcast cartesian.
         GraftFunctions.register(s)
+        import s.implicits._
+        val B = 8
         val docs = table(s, d, "documents")
           .select(col("doc_id"), GraftFunctions.simhash64(col("text")).as("sim"))
-        val truth = docs.as("a")
-          .join(docs.as("b"),
-            col("a.doc_id") < col("b.doc_id") &&
+          .withColumn("blk", pmod(hash(col("doc_id")), lit(B)))
+        val cellPairs = (0 until B).flatMap(i => (i until B).map(j => (i, j)))
+        val a = docs.as("a").join(broadcast(cellPairs.toDF("bi", "bj")),
+          col("a.blk") === col("bi"))
+        val b = docs.as("b").join(broadcast(cellPairs.toDF("bi2", "bj2")),
+          col("b.blk") === col("bj2"))
+        val truth = a.join(b,
+            col("bi") === col("bi2") && col("bj") === col("bj2") &&
+              (col("bi") < col("bj") || col("a.doc_id") < col("b.doc_id")) &&
               bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= 3)
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
         val banded = defs.find(_.name == "dd04_simhash").get.fn(s, d)
           .select("doc_a", "doc_b")
-        truth.join(banded, Seq("doc_a", "doc_b"), "left_anti")
-          .select(count(lit(1)).as("n_missed"))
-          .crossJoin(
-            banded.join(truth, Seq("doc_a", "doc_b"), "left_anti")
-              .select(count(lit(1)).as("n_extra")))
+        // one full-outer pair join + one aggregate (no scalar
+        // cross-join): a truth pair with no banded partner was missed,
+        // a banded pair with no truth partner leaked
+        truth.withColumn("in_t", lit(1))
+          .join(banded.withColumn("in_b", lit(1)),
+            Seq("doc_a", "doc_b"), "full_outer")
+          .agg(count(when(col("in_b").isNull, 1)).as("n_missed"),
+            count(when(col("in_t").isNull, 1)).as("n_extra"))
       },
       // the invariant is mathematical: the oracle is the constant row
       Some("SELECT CAST(0 AS BIGINT) AS n_missed, CAST(0 AS BIGINT) AS n_extra")),

@@ -32,10 +32,15 @@ import graft.txn.Transaction
   *   DELETE /v1/namespaces/{ns}/tables/{t}
   *
   * Under the Iceberg prefix, POST /namespaces/{ns}/tables/{t} accepts
-  * the spec's CommitTableRequest (append-only subset,
-  * [[IcebergCommits]]): external engines commit data files they wrote
-  * under the table location, racing native writers through the same
-  * optimistic root protocol.
+  * the spec's CommitTableRequest ([[IcebergCommits]]): appends,
+  * overwrites (removed + added files) and row-level delete-manifest
+  * commits (position/equality delete files, transcoded into native
+  * delete objects) — external engines race native writers through the
+  * same optimistic root protocol. Listing endpoints honor the spec's
+  * `pageToken`/`pageSize` query params, each page a strictly-after
+  * key-interval scan of the catalog tree ([[graft.tree.TreeOps
+  * .traverseFrom]]) so one page of a billion-object namespace costs
+  * O(depth + page) node reads, never a driver-side materialization.
   *
   * Every request runs in its own transaction against the latest
   * committed root: reads are each a consistent snapshot, writes are
@@ -95,12 +100,47 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0) {
     * engines discover namespaces/tables/views and read Iceberg-format
     * schemas, snapshot history, and properties over plain HTTP.
     */
+  /** `pageToken`/`pageSize` query params per the Iceberg REST OpenAPI;
+    * (after-name, limit) when the client asked for pagination, None for
+    * the unpaged full listing.
+    */
+  private def paging(ex: HttpExchange): Option[(Option[String], Int)] = {
+    val params = Option(ex.getRequestURI.getRawQuery).toSeq
+      .flatMap(_.split('&').toSeq).flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(
+            java.net.URLDecoder.decode(k, "UTF-8") ->
+              java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }.toMap
+    val token = params.get("pageToken").map(IcebergRest.decodePageToken)
+    val size = params.get("pageSize").map { s =>
+      val n = s.toIntOption.getOrElse(
+        throw new IllegalArgumentException(s"invalid pageSize: $s"))
+      require(n > 0, s"pageSize must be positive: $n")
+      n
+    }
+    if (token.isEmpty && size.isEmpty) None
+    else Some((token, size.getOrElse(DefaultPageSize)))
+  }
+
+  private val DefaultPageSize = 1000
+
   private def handleIceberg(ex: HttpExchange, method: String,
       route: List[String]): Unit = (method, route) match {
     case ("GET", List("namespaces")) =>
       withReadTxn { txn =>
-        reply(ex, 200,
-          IcebergRest.namespacesResponse(Graft.showNamespaces(storage, txn)))
+        paging(ex) match {
+          case Some((after, limit)) =>
+            val (names, more) =
+              Graft.showNamespacesPage(storage, txn, after, limit)
+            reply(ex, 200, IcebergRest.namespacesResponse(names,
+              if (more) names.lastOption.map(IcebergRest.pageToken) else None))
+          case None =>
+            reply(ex, 200, IcebergRest.namespacesResponse(
+              Graft.showNamespaces(storage, txn)))
+        }
       }
     case ("POST", List("namespaces")) =>
       val body = Json.mapper.readTree(requestBody(ex))
@@ -130,8 +170,16 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0) {
       replyEmpty(ex, 204)
     case ("GET", List("namespaces", ns, "tables")) =>
       withReadTxn { txn =>
-        reply(ex, 200,
-          IcebergRest.identifiersResponse(ns, Graft.showTables(storage, txn, ns)))
+        paging(ex) match {
+          case Some((after, limit)) =>
+            val (names, more) =
+              Graft.showTablesPage(storage, txn, ns, after, limit)
+            reply(ex, 200, IcebergRest.identifiersResponse(ns, names,
+              if (more) names.lastOption.map(IcebergRest.pageToken) else None))
+          case None =>
+            reply(ex, 200, IcebergRest.identifiersResponse(ns,
+              Graft.showTables(storage, txn, ns)))
+        }
       }
     case ("POST", List("namespaces", ns, "tables")) =>
       val body = Json.mapper.readTree(requestBody(ex))
@@ -161,8 +209,16 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0) {
       replyEmpty(ex, 204)
     case ("GET", List("namespaces", ns, "views")) =>
       withReadTxn { txn =>
-        reply(ex, 200,
-          IcebergRest.identifiersResponse(ns, Graft.showViews(storage, txn, ns)))
+        paging(ex) match {
+          case Some((after, limit)) =>
+            val (names, more) =
+              Graft.showViewsPage(storage, txn, ns, after, limit)
+            reply(ex, 200, IcebergRest.identifiersResponse(ns, names,
+              if (more) names.lastOption.map(IcebergRest.pageToken) else None))
+          case None =>
+            reply(ex, 200, IcebergRest.identifiersResponse(ns,
+              Graft.showViews(storage, txn, ns)))
+        }
       }
     case ("GET", List("namespaces", ns, "views", v)) =>
       withReadTxn { txn =>

@@ -327,10 +327,12 @@ object IcebergRest {
 
   // ---- small response builders ----
 
-  def namespacesResponse(names: Seq[String]): String = {
+  def namespacesResponse(names: Seq[String],
+      nextPageToken: Option[String] = None): String = {
     val r = mapper.createObjectNode()
     val arr = r.putArray("namespaces")
     names.foreach(n => arr.addArray().add(n))
+    nextPageToken.foreach(r.put("next-page-token", _))
     r.toString
   }
 
@@ -342,7 +344,8 @@ object IcebergRest {
     r.toString
   }
 
-  def identifiersResponse(ns: String, names: Seq[String]): String = {
+  def identifiersResponse(ns: String, names: Seq[String],
+      nextPageToken: Option[String] = None): String = {
     val r = mapper.createObjectNode()
     val arr = r.putArray("identifiers")
     names.foreach { n =>
@@ -350,8 +353,30 @@ object IcebergRest {
       id.putArray("namespace").add(ns)
       id.put("name", n)
     }
+    nextPageToken.foreach(r.put("next-page-token", _))
     r.toString
   }
+
+  // ---- pagination tokens (opaque per the REST OpenAPI spec) ----
+
+  /** Token = url-safe base64 of the last returned NAME: resuming is a
+    * strictly-after key-interval scan, so tokens stay valid across
+    * concurrent commits (each page reads its own latest root; an
+    * object created or dropped between pages appears or disappears
+    * exactly as a fresh listing would show it, never duplicating or
+    * skipping a surviving neighbor).
+    */
+  def pageToken(lastName: String): String =
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
+      lastName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def decodePageToken(token: String): String =
+    try new String(java.util.Base64.getUrlDecoder.decode(token),
+      java.nio.charset.StandardCharsets.UTF_8)
+    catch {
+      case _: Exception =>
+        throw new IllegalArgumentException(s"invalid pageToken: $token")
+    }
 
   def errorResponse(code: Int, errType: String, message: String): String = {
     val r = mapper.createObjectNode()

@@ -395,23 +395,65 @@ object TreeOps {
     * Lazy per node; for billion-object catalogs expose node files as a
     * DataFrame instead (SURVEY §7.5 risk register).
     */
-  def traverse(storage: StorageOps, root: TreeRoot): Iterator[TreeRow] = {
-    def walk(node: TreeNode): Iterator[TreeRow] = {
-      val leftmost = node.leftmostChildPath match {
+  def traverse(storage: StorageOps, root: TreeRoot): Iterator[TreeRow] =
+    walkNode(storage, root.node)
+
+  private def walkNode(storage: StorageOps, node: TreeNode): Iterator[TreeRow] = {
+    val leftmost = node.leftmostChildPath match {
+      case Some(p) if p.nonEmpty =>
+        walkNode(storage, loadChild(storage, node, None, p))
+      case _ => Iterator.empty
+    }
+    leftmost ++ node.mergedRows.iterator.flatMap { r =>
+      val self = if (r.value.isDefined) Iterator.single(r) else Iterator.empty
+      val sub = r.child match {
         case Some(p) if p.nonEmpty =>
-          walk(loadChild(storage, node, None, p))
+          walkNode(storage, loadChild(storage, node, Some(r.key), p))
         case _ => Iterator.empty
       }
-      leftmost ++ node.mergedRows.iterator.flatMap { r =>
+      self ++ sub
+    }
+  }
+
+  /** In-order traversal of live rows with key STRICTLY greater than
+    * `after` — the resumable key-interval scan behind paginated
+    * listings. Only nodes on the resume path (plus whatever the caller
+    * actually consumes of the lazy iterator) are opened: a subtree
+    * whose key interval lies entirely at or below the cut is pruned by
+    * the pivot order, so one page of a billion-object catalog costs
+    * O(depth + page) node reads, never a full walk.
+    */
+  def traverseFrom(storage: StorageOps, root: TreeRoot,
+      after: String): Iterator[TreeRow] = {
+    def walkFrom(node: TreeNode): Iterator[TreeRow] = {
+      val rows = node.mergedRows
+      val idx = rows.indexWhere(_.key > after)
+      val j = if (idx < 0) rows.length else idx
+      // exactly one subtree can straddle the cut: the one immediately
+      // left of the first beyond-cut row (the leftmost child when
+      // every row is beyond it) — resume recursively there; every
+      // subtree right of it is fully beyond the cut and walks whole
+      val straddle: Iterator[TreeRow] =
+        if (j == 0) node.leftmostChildPath match {
+          case Some(p) if p.nonEmpty =>
+            walkFrom(loadChild(storage, node, None, p))
+          case _ => Iterator.empty
+        }
+        else rows(j - 1).child match {
+          case Some(p) if p.nonEmpty =>
+            walkFrom(loadChild(storage, node, Some(rows(j - 1).key), p))
+          case _ => Iterator.empty
+        }
+      straddle ++ rows.iterator.drop(j).flatMap { r =>
         val self = if (r.value.isDefined) Iterator.single(r) else Iterator.empty
         val sub = r.child match {
           case Some(p) if p.nonEmpty =>
-            walk(loadChild(storage, node, Some(r.key), p))
+            walkNode(storage, loadChild(storage, node, Some(r.key), p))
           case _ => Iterator.empty
         }
         self ++ sub
       }
     }
-    walk(root.node)
+    walkFrom(root.node)
   }
 }

@@ -756,6 +756,78 @@ class IcebergRestSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("REST listings page a 10k-table namespace with stable tokens " +
+      "across concurrent commits") {
+    val storage = spark.sessionState.catalogManager.catalog("ir")
+      .asInstanceOf[GraftCatalog].storage
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.pg")
+    // 10k tables in ONE transaction (listing reads only tree keys;
+    // per-table SQL DDL would be 10k commits for no extra coverage)
+    val names = (0 until 10000).map(i => f"t$i%05d")
+    val txn = graft.catalog.Graft.beginTransaction(storage)
+    try {
+      names.foreach { t =>
+        graft.catalog.Graft.createTable(storage, txn,
+          graft.objects.TableDef(t, "pg",
+            metadataLocation = s"def/table/pg-$t-meta.json"))
+      }
+      graft.catalog.Graft.commitTransaction(storage, txn)
+    } finally txn.close()
+    val (server, port) = startServer()
+    try {
+      val base = "/v1/iceberg/namespaces/pg/tables"
+      def page(token: Option[String]): (Seq[String], Option[String]) = {
+        val q = "pageSize=1234" +
+          token.map(t => s"&pageToken=$t").getOrElse("")
+        val (c, body) = send(port, "GET", s"$base?$q")
+        assert(c == 200, body)
+        val node = Json.mapper.readTree(body)
+        val ids = node.get("identifiers")
+        ((0 until ids.size()).map(ids.get(_).get("name").asText()),
+          Option(node.get("next-page-token")).map(_.asText()))
+      }
+      val collected = scala.collection.mutable.ArrayBuffer.empty[String]
+      var (first, tok) = page(None)
+      assert(first.size == 1234 && tok.isDefined)
+      collected ++= first
+      var added = false
+      while (tok.isDefined) {
+        if (!added && collected.size > 5000) {
+          // concurrent commits between pages: drop an ALREADY-LISTED
+          // table and add one sorting after the cursor — tokens stay
+          // valid, every surviving table is listed exactly once
+          val txn2 = graft.catalog.Graft.beginTransaction(storage)
+          try {
+            graft.catalog.Graft.dropTable(storage, txn2, "pg", "t00000")
+            graft.catalog.Graft.createTable(storage, txn2,
+              graft.objects.TableDef("zz_late", "pg",
+                metadataLocation = "def/table/pg-zz_late-meta.json"))
+            graft.catalog.Graft.commitTransaction(storage, txn2)
+          } finally txn2.close()
+          added = true
+        }
+        val (names2, t2) = page(tok)
+        assert(names2.size <= 1234)
+        collected ++= names2
+        tok = t2
+      }
+      // t00000 was served before its drop; zz_late appeared after its
+      // create — both exactly once, nothing skipped or duplicated
+      assert(collected.size == collected.distinct.size, "no duplicates")
+      assert(collected.toSet == names.toSet + "zz_late",
+        "every surviving table listed")
+      // bad inputs map to 400
+      assert(send(port, "GET", s"$base?pageSize=0")._1 == 400)
+      assert(send(port, "GET", s"$base?pageSize=abc")._1 == 400)
+      assert(send(port, "GET", s"$base?pageToken=!!")._1 == 400)
+      // namespaces + views page through the same machinery
+      val (cn, nb) = send(port, "GET", "/v1/iceberg/namespaces?pageSize=2")
+      assert(cn == 200, nb)
+      val nn = Json.mapper.readTree(nb)
+      assert(nn.get("namespaces").size() <= 2)
+    } finally server.stop()
+  }
+
   // ---- external row-level commits (overwrite / delete manifests) ----
 
   /** Client-side avro authoring shared by the row-level commit tests:

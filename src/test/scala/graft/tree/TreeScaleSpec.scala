@@ -55,6 +55,24 @@ class TreeScaleSpec extends AnyFunSuite {
       s"incremental commit rewrote $newNodes nodes — expected ≤ $depthBound (dirty path only)")
     val v2 = TreeOps.findLatestRoot(storage).get
     assert(TreeOps.searchValue(storage, v2, "C===tbl_new").contains("def/new"))
-    assert(TreeOps.traverse(storage, v2).size == n + 1)
+    val fullKeys = TreeOps.traverse(storage, v2).map(_.key).toVector
+    assert(fullKeys.size == n + 1)
+
+    // resumable key-interval scan (pagination primitive): strictly
+    // after any cut, the stream equals the full traversal's tail, and
+    // one page loads only the resume path + consumed leaves — never
+    // the whole tree
+    Seq(f"C===tbl${777}%06d", f"C===tbl${9999}%06d", "C===a", "C===zzz")
+      .foreach { after =>
+        val fresh = TreeOps.findLatestRoot(storage).get
+        val page = TreeOps.traverseFrom(storage, fresh, after)
+          .map(_.key).take(50).toVector
+        assert(page == fullKeys.dropWhile(_ <= after).take(50), s"cut $after")
+        def countLoaded(nd: TreeNode): Int =
+          1 + nd.loadedChildren.values.map(countLoaded).sum
+        assert(countLoaded(fresh.node) <= 8,
+          s"one 50-row page from $after loaded ${countLoaded(fresh.node)} " +
+            "nodes — expected O(depth + page), not a full walk")
+      }
   }
 }

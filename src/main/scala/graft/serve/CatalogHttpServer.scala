@@ -48,7 +48,26 @@ import graft.txn.Transaction
   * root race as in-process writers — two HTTP clients (or an HTTP
   * client racing a Spark session) resolve exactly like two sessions.
   */
-class CatalogHttpServer(storage: StorageOps, port: Int = 0) {
+/** Authorization seam for the HTTP facade — the one class a real
+  * deployment binds (like the `ObjectStoreClient` S3 seam): inspect
+  * the request's bearer token (the OpenAPI `Authorization: Bearer`
+  * header) and throw [[CatalogHttpServer.UnauthorizedException]] to
+  * reject with 401. The default allows everything, matching the
+  * reference's unauthenticated docker-compose deployment.
+  */
+trait RequestAuthorizer {
+  def authorize(method: String, path: String, bearer: Option[String]): Unit
+}
+
+object RequestAuthorizer {
+  object AllowAll extends RequestAuthorizer {
+    override def authorize(method: String, path: String,
+        bearer: Option[String]): Unit = ()
+  }
+}
+
+class CatalogHttpServer(storage: StorageOps, port: Int = 0,
+    authorizer: RequestAuthorizer = RequestAuthorizer.AllowAll) {
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -67,6 +86,10 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0) {
     val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
     val iceberg = parts.take(2) == List("v1", "iceberg")
     try {
+      val bearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .filter(_.regionMatches(true, 0, "Bearer ", 0, 7)).map(_.substring(7))
+      authorizer.authorize(ex.getRequestMethod,
+        ex.getRequestURI.getPath, bearer)
       if (iceberg) handleIceberg(ex, ex.getRequestMethod, parts.drop(2))
       else ex.getRequestMethod match {
         case "GET" => handleGet(ex, parts)
@@ -75,6 +98,10 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0) {
         case _ => reply(ex, 405, """{"error":"unsupported method"}""")
       }
     } catch {
+      case e: CatalogHttpServer.UnauthorizedException =>
+        ex.getResponseHeaders.set("WWW-Authenticate", "Bearer")
+        reply(ex, 401, IcebergRest.errorResponse(401,
+          "NotAuthorizedException", String.valueOf(e.getMessage)))
       case _: NoSuchElementException if iceberg =>
         reply(ex, 404,
           IcebergRest.errorResponse(404, "NoSuchObjectException", "not found"))
@@ -362,6 +389,13 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0) {
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()
   }
+}
+
+object CatalogHttpServer {
+  /** Thrown by a [[RequestAuthorizer]] to reject a request → HTTP 401
+    * with the OpenAPI `NotAuthorizedException` error shape.
+    */
+  final class UnauthorizedException(msg: String) extends RuntimeException(msg)
 }
 
 /** POST /v1/namespaces/{ns}/tables request body. */

@@ -115,4 +115,36 @@ class CatalogHttpServerSpec extends AnyFunSuite {
       assert(get(port, "/v1/namespaces/ns2")._1 == 404)
     } finally server.stop()
   }
+
+  test("a bound RequestAuthorizer gates every route by bearer token") {
+    val storage = spark.sessionState.catalogManager.catalog("hc")
+      .asInstanceOf[GraftCatalog].storage
+    // one-class binding, like the S3 seam: accept a single token
+    val auth = new RequestAuthorizer {
+      override def authorize(method: String, path: String,
+          bearer: Option[String]): Unit =
+        if (!bearer.contains("sesame"))
+          throw new CatalogHttpServer.UnauthorizedException(
+            s"bad or missing bearer token for $method $path")
+    }
+    val server = new CatalogHttpServer(storage, authorizer = auth)
+    val port = server.start()
+    try {
+      def getAuth(path: String, token: Option[String]): (Int, String) = {
+        val b = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port$path"))
+        token.foreach(t => b.header("Authorization", s"Bearer $t"))
+        val res = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+        (res.statusCode(), res.body())
+      }
+      // no token / wrong token → 401 with the OpenAPI error shape, on
+      // both the graft-native and the Iceberg routes
+      val (c1, b1) = getAuth("/v1/namespaces", None)
+      assert(c1 == 401 && b1.contains("NotAuthorizedException"), s"$c1 $b1")
+      assert(getAuth("/v1/iceberg/namespaces", Some("wrong"))._1 == 401)
+      // the right token serves normally
+      assert(getAuth("/v1/namespaces", Some("sesame"))._1 == 200)
+      assert(getAuth("/v1/iceberg/namespaces", Some("sesame"))._1 == 200)
+    } finally server.stop()
+  }
 }

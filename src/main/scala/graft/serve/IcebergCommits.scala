@@ -84,6 +84,8 @@ object IcebergCommits {
     require(updates != null && updates.isArray && updates.size() > 0,
       "commit body needs a non-empty updates array")
     var snapshot: JsonNode = null
+    var propSets = Map.empty[String, String]
+    var propRemovals = Seq.empty[String]
     val it = updates.elements()
     while (it.hasNext) {
       val u = it.next()
@@ -95,20 +97,46 @@ object IcebergCommits {
         case "set-snapshot-ref" =>
           require(u.path("ref-name").asText() == "main",
             "only the main ref can be set through this endpoint")
+        case "set-properties" =>
+          val ups = u.get("updates")
+          require(ups != null && ups.isObject,
+            "set-properties without an updates object")
+          val pit = ups.properties().iterator()
+          while (pit.hasNext) {
+            val e = pit.next()
+            propSets += (e.getKey -> e.getValue.asText())
+          }
+        case "remove-properties" =>
+          val rm = u.get("removals")
+          require(rm != null && rm.isArray,
+            "remove-properties without a removals array")
+          propRemovals ++= (0 until rm.size()).map(rm.get(_).asText())
         case other =>
           throw new IllegalArgumentException(
             s"unsupported commit update action: $other " +
-              "(this endpoint accepts snapshot commits: " +
-              "add-snapshot + set-snapshot-ref)")
+              "(this endpoint accepts add-snapshot + set-snapshot-ref " +
+              "and set-properties / remove-properties)")
       }
     }
-    require(snapshot != null, "commit without an add-snapshot update")
-    val op = snapshot.path("summary").path("operation").asText()
-    require(op == "append" || op == "overwrite" || op == "delete",
+    require(snapshot != null || propSets.nonEmpty || propRemovals.nonEmpty,
+      "commit changes nothing (no add-snapshot or property updates)")
+    // graft-reserved properties configure the engine itself — an
+    // external client rewriting them could silently change write modes
+    propSets.keys.find(_.startsWith("graft.")).foreach(k =>
+      throw new IllegalArgumentException(
+        s"property $k is engine-reserved; set it through a native ALTER"))
+    val op =
+      if (snapshot == null) ""
+      else snapshot.path("summary").path("operation").asText()
+    require(snapshot == null ||
+        op == "append" || op == "overwrite" || op == "delete",
       s"unsupported snapshot operation '$op' " +
         "(accepted: append, overwrite, delete)")
-    val cs = readClientManifests(storage,
-      snapshot.path("manifest-list").asText())
+    val cs =
+      if (snapshot == null)
+        ClientChangeSet(Seq.empty, Set.empty, Seq.empty, Seq.empty)
+      else readClientManifests(storage,
+        snapshot.path("manifest-list").asText())
     // added files must actually exist under the table location — a
     // typo'd path would otherwise commit table state whose planned
     // file 404s on every subsequent scan, native or REST
@@ -165,7 +193,9 @@ object IcebergCommits {
       }
 
       // shape validation BEFORE any transcoding work
-      if (op == "append") {
+      if (snapshot == null) {
+        // pure property commit: nothing to plan
+      } else if (op == "append") {
         require(cs.removes.isEmpty && cs.posObjs.isEmpty && cs.eqObjs.isEmpty,
           "operation=append cannot remove files or add delete files")
         require(cs.adds.nonEmpty, "append snapshot plans zero data files")
@@ -196,23 +226,50 @@ object IcebergCommits {
         transcodeClientEqDelete(storage, o.rel, o.eqIds, schema,
           s"$dataDir/deletes/rest-$restId/e$i.parquet")
       }
-      val edit: FilesEdit =
-        if (op == "append") AppendFiles(cs.adds)
-        else if (posDeletes.nonEmpty) AddRowDeltas(cs.adds, posDeletes)
-        else if (eqDeletes.nonEmpty) AddUpsert(cs.adds, eqDeletes)
-        else ReplaceFiles(cs.removes, cs.adds)
-      applyChecked(storage, txn.runningRoot, ns, t, op, edit)
-      txn.replays += { (s, r) =>
+      /** Merge the property updates into the table def AS SEEN FROM
+        * `root` (first application and rebase replays alike re-read
+        * the def, so a racing alter's unrelated properties survive).
+        */
+      def applyProps(s: StorageOps, root: TreeRoot): Unit =
+        if (propSets.nonEmpty || propRemovals.nonEmpty) {
+          val cd0 = Graft.catalogDef(s, root)
+          val key = ObjectKeys.tableKey(ns, t, cd0)
+          val cur = TreeOps.searchValue(s, root, key).getOrElse(
+            throw new RequirementFailedException(s"table $ns.$t dropped"))
+          val td0 = Json.read(s.read(cur), classOf[TableDef])
+          val nd = td0.copy(
+            properties = td0.properties ++ propSets -- propRemovals)
+          val defPath = graft.objects.FileLocations.newTableDefPath(ns, t)
+          s.writeAtomic(defPath, Json.write(nd))
+          TreeOps.setValue(s, root, key, Some(defPath), cd0.order)
+        }
+      val replayGuard: (StorageOps, TreeRoot) => Unit = (s, r) =>
         assertedMain.foreach { want =>
           val now = currentSnapshotIdOf(s, r, ns, t)
           if (now != want) throw new RequirementFailedException(
             s"ref main moved during commit: at $now, commit based on $want")
         }
-        applyChecked(s, r, ns, t, op, edit)
+      if (snapshot != null) {
+        val edit: FilesEdit =
+          if (op == "append") AppendFiles(cs.adds)
+          else if (posDeletes.nonEmpty) AddRowDeltas(cs.adds, posDeletes)
+          else if (eqDeletes.nonEmpty) AddUpsert(cs.adds, eqDeletes)
+          else ReplaceFiles(cs.removes, cs.adds)
+        applyChecked(storage, txn.runningRoot, ns, t, op, edit)
+        txn.replays += { (s, r) =>
+          replayGuard(s, r)
+          applyChecked(s, r, ns, t, op, edit)
+        }
       }
+      applyProps(storage, txn.runningRoot)
+      if (snapshot == null && (propSets.nonEmpty || propRemovals.nonEmpty))
+        txn.replays += { (s, r) => replayGuard(s, r); applyProps(s, r) }
+      else if (propSets.nonEmpty || propRemovals.nonEmpty)
+        txn.replays += applyProps
       val cd = Graft.catalogDef(storage, txn.runningRoot)
       txn.record(Action(
-        if (op == "append") ActionType.TableInsert else ActionType.TableUpdate,
+        if (snapshot == null || op != "append") ActionType.TableUpdate
+        else ActionType.TableInsert,
         ObjectKeys.tableKey(ns, t, cd),
         Map("files" -> cs.adds.map(_.path).mkString(","))))
       Graft.commitTransaction(storage, txn)

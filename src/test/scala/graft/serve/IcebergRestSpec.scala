@@ -1079,6 +1079,43 @@ class IcebergRestSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("property commits apply over REST; engine-reserved keys refused") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.xr")
+    spark.sql("CREATE TABLE ir.xr.t (k BIGINT)")
+    val (server, port) = startServer()
+    try {
+      def propBody(updates: String) =
+        s"""{"requirements":[],"updates":[$updates]}"""
+      val (c1, b1) = send(port, "POST", "/v1/iceberg/namespaces/xr/tables/t",
+        propBody("""{"action":"set-properties",
+          "updates":{"ext.team":"ext-engine","ext.note":"set over REST"}}"""
+          .replaceAll("\n\\s*", "")))
+      assert(c1 == 200, b1)
+      val props1 = Json.mapper.readTree(b1).get("metadata").get("properties")
+      assert(props1.get("ext.team").asText() == "ext-engine", b1)
+      // native readers see it
+      val shown = spark.sql("SHOW TBLPROPERTIES ir.xr.t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(shown.get("ext.team").contains("ext-engine"), shown)
+      // remove-properties round-trips too
+      val (c2, b2) = send(port, "POST", "/v1/iceberg/namespaces/xr/tables/t",
+        propBody("""{"action":"remove-properties","removals":["ext.note"]}"""))
+      assert(c2 == 200, b2)
+      assert(!Json.mapper.readTree(b2).get("metadata").get("properties")
+        .has("ext.note"), b2)
+      // engine-reserved keys cannot be set from outside
+      val (c3, b3) = send(port, "POST", "/v1/iceberg/namespaces/xr/tables/t",
+        propBody("""{"action":"set-properties",
+          "updates":{"graft.update.mode":"merge-on-read"}}"""
+          .replaceAll("\n\\s*", "")))
+      assert(c3 == 400 && b3.contains("engine-reserved"), s"$c3 $b3")
+      // an empty commit (no snapshot, no properties) is malformed
+      val (c4, b4) = send(port, "POST", "/v1/iceberg/namespaces/xr/tables/t",
+        propBody("""{"action":"set-properties","updates":{}}"""))
+      assert(c4 == 400 && b4.contains("changes nothing"), s"$c4 $b4")
+    } finally server.stop()
+  }
+
   test("malformed client manifests and missing files map to 400, not 500") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.xm")
     spark.sql("CREATE TABLE ir.xm.t (k BIGINT)")

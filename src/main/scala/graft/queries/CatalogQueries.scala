@@ -1710,16 +1710,19 @@ object CatalogQueries {
         s.sql(s"""INSERT INTO gcy.ns1.li
                   SELECT l_orderkey, l_quantity, l_returnflag
                   FROM parquet.`$d/lineitem.parquet`""")
-        s.sql("DELETE FROM gcy.ns1.li WHERE l_orderkey % 5 = 0")
-        // appended after the delete: survives it even though every
-        // shifted key matches the predicate (orig % 10 = 0 implies
-        // +30000000 % 5 = 0)
+        // both predicates are V2-translatable comparisons, so both
+        // commit as MERGE-ON-READ predicates (a non-translatable
+        // predicate would silently fall back to copy-on-write and
+        // leave nothing for the facade to materialize)
+        s.sql("DELETE FROM gcy.ns1.li WHERE l_quantity < 10")
+        // appended after the first delete: survives it even though
+        // many of the appended rows match its predicate
         s.sql(s"""INSERT INTO gcy.ns1.li
                   SELECT l_orderkey + 30000000, l_quantity, l_returnflag
                   FROM parquet.`$d/lineitem.parquet`
                   WHERE l_orderkey % 10 = 0""")
         s.sql("""DELETE FROM gcy.ns1.li
-                 WHERE l_returnflag = 'A' AND l_quantity < 10""")
+                 WHERE l_returnflag = 'A' AND l_quantity < 25""")
         val server = new graft.serve.CatalogHttpServer(cat.storage)
         val port = server.start()
         try {
@@ -1775,13 +1778,13 @@ object CatalogQueries {
       },
       Some("""WITH after1 AS (
              |  SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
-             |  WHERE l_orderkey % 5 <> 0
+             |  WHERE NOT coalesce(l_quantity < 10, FALSE)
              |  UNION ALL
              |  SELECT l_orderkey + 30000000, l_quantity, l_returnflag
              |  FROM lineitem WHERE l_orderkey % 10 = 0),
              |after2 AS (
              |  SELECT * FROM after1
-             |  WHERE NOT coalesce(l_returnflag = 'A' AND l_quantity < 10,
+             |  WHERE NOT coalesce(l_returnflag = 'A' AND l_quantity < 25,
              |                     FALSE))
              |SELECT l_returnflag AS flag, count(*) AS n,
              |       round(sum(l_quantity), 2) AS qty

@@ -236,28 +236,42 @@ object IcebergDeleteObjects {
     * Iceberg schema's id (`equality_ids` in the manifest entry lists
     * the same ids).
     */
+  /** Table field for a native key object's PHYSICAL column name —
+    * renames are metadata-only, so the object's on-file name can
+    * differ from the current logical one; the served delete must
+    * carry the LOGICAL name and id external engines know.
+    */
+  private[serve] def fieldForPhysical(schema: StructType,
+      phys: String): org.apache.spark.sql.types.StructField =
+    schema.fields
+      .find(f => graft.spark.ColumnMapping.physicalName(f) == phys)
+      .orElse(schema.fields.find(_.name == phys))
+      .getOrElse(throw new IllegalStateException(
+        s"equality-delete key column $phys missing from table schema"))
+
   def transcodeEqDelete(storage: StorageOps, ed: EqDeleteFile,
       tableSchema: StructType, fieldIdOf: String => Int): Array[Byte] = {
-    val types = ed.cols.map(c =>
-      tableSchema.fields.find(_.name == c).map(_.dataType).getOrElse(
-        throw new IllegalStateException(
-          s"equality-delete key column $c missing from table schema")))
+    val fields = ed.cols.map(fieldForPhysical(tableSchema, _))
+    val types = fields.map(_.dataType)
     val b = PTypes.buildMessage()
-    ed.cols.zip(types).foreach { case (c, t) =>
-      val id = fieldIdOf(c)
-      t match {
+    fields.foreach { f =>
+      val id = fieldIdOf(f.name)
+      f.dataType match {
         case ByteType | ShortType | IntegerType =>
-          b.addField(PTypes.optional(PrimitiveTypeName.INT32).id(id).named(c))
+          b.addField(PTypes.optional(PrimitiveTypeName.INT32).id(id)
+            .named(f.name))
         case DateType =>
           b.addField(PTypes.optional(PrimitiveTypeName.INT32)
-            .as(LogicalTypeAnnotation.dateType()).id(id).named(c))
+            .as(LogicalTypeAnnotation.dateType()).id(id).named(f.name))
         case LongType =>
-          b.addField(PTypes.optional(PrimitiveTypeName.INT64).id(id).named(c))
+          b.addField(PTypes.optional(PrimitiveTypeName.INT64).id(id)
+            .named(f.name))
         case BooleanType =>
-          b.addField(PTypes.optional(PrimitiveTypeName.BOOLEAN).id(id).named(c))
+          b.addField(PTypes.optional(PrimitiveTypeName.BOOLEAN).id(id)
+            .named(f.name))
         case _ =>
           b.addField(PTypes.optional(PrimitiveTypeName.BINARY)
-            .as(LogicalTypeAnnotation.stringType()).id(id).named(c))
+            .as(LogicalTypeAnnotation.stringType()).id(id).named(f.name))
       }
     }
     val schema = b.named("iceberg_equality_delete")
@@ -265,13 +279,15 @@ object IcebergDeleteObjects {
     writeToBytes(schema) { (factory, write) =>
       readGroups(local) { g =>
         val out = factory.newGroup()
-        ed.cols.zip(types).foreach { case (c, t) =>
-          if (g.getFieldRepetitionCount(c) > 0) t match {
+        // read by the object's PHYSICAL name, emit the LOGICAL one
+        ed.cols.indices.foreach { i =>
+          val c = ed.cols(i)
+          if (g.getFieldRepetitionCount(c) > 0) types(i) match {
             case ByteType | ShortType | IntegerType | DateType =>
-              out.append(c, g.getInteger(c, 0))
-            case LongType => out.append(c, g.getLong(c, 0))
-            case BooleanType => out.append(c, g.getBoolean(c, 0))
-            case _ => out.append(c, g.getString(c, 0))
+              out.append(fields(i).name, g.getInteger(c, 0))
+            case LongType => out.append(fields(i).name, g.getLong(c, 0))
+            case BooleanType => out.append(fields(i).name, g.getBoolean(c, 0))
+            case _ => out.append(fields(i).name, g.getString(c, 0))
           }
         }
         write(out)

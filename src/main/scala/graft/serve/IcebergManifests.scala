@@ -472,7 +472,11 @@ object IcebergManifests {
           IcebergDeleteObjects.transcodeEqDelete(storage, ed, schema,
             fieldIdOf(schemaNode, _)))
         (mk(objRel, None, ed.rowCount, len, ed.seq, 2,
-          ed.cols.map(c => fieldIdOf(schemaNode, c))), ed.rowCount, ed.seq)
+          // cols carry PHYSICAL names (rename-safe objects); the
+          // advertised equality ids are the LOGICAL fields'
+          ed.cols.map(c => fieldIdOf(schemaNode,
+            IcebergDeleteObjects.fieldForPhysical(schema, c).name))),
+          ed.rowCount, ed.seq)
       }
       deleteManifest(s"$dir/deq-${snapshotKey(s)}.avro", eqEntrySchema,
         eqSpecId, s,

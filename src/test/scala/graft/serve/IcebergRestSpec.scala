@@ -1079,6 +1079,97 @@ class IcebergRestSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("a partitioned predicate-delete table serves splits per partition") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.pp")
+    spark.sql("""CREATE TABLE ir.pp.t (k BIGINT, region STRING)
+                 PARTITIONED BY (region)
+                 TBLPROPERTIES ('graft.delete.mode' = 'merge-on-read')""")
+    spark.sql("""INSERT INTO ir.pp.t
+                 SELECT id, CASE WHEN id % 2 = 0 THEN 'eu' ELSE 'us' END
+                 FROM range(20)""")
+    spark.sql("DELETE FROM ir.pp.t WHERE k >= 12")
+    val (server, port) = startServer()
+    try {
+      val md = loadMeta(port, "pp", "t")
+      val snaps = md.get("snapshots")
+      val ml = (0 until snaps.size()).map(snaps.get)
+        .find(_.get("snapshot-id").asLong() ==
+          md.get("current-snapshot-id").asLong()).get
+        .get("manifest-list").asText()
+      val entries = readAvro(ml).flatMap(m =>
+        readAvro(m.get("manifest_path").toString))
+      val delEntries = entries.filter { e =>
+        e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("content").asInstanceOf[Int] == 1
+      }
+      // the materialized predicate deletes split per partition, each
+      // entry stamped with its partition tuple
+      assert(delEntries.size >= 2, s"one split per region: $delEntries")
+      val regions = delEntries.map { e =>
+        val df = e.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        df.get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("region").toString
+      }.toSet
+      assert(regions == Set("eu", "us"), regions)
+      // external reconstruction matches the post-delete content
+      import org.apache.spark.sql.functions._
+      def files(content: Int): Seq[String] = entries.flatMap { e =>
+        val df = e.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        if (df.get("content").asInstanceOf[Int] == content)
+          Some(df.get("file_path").toString)
+        else None
+      }
+      val data = spark.read.parquet(files(0): _*)
+        .select(col("k"),
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+            .as("_fp"),
+          col("_metadata.row_index").as("_pos"))
+      val dels = spark.read.parquet(files(1): _*)
+      val kept = data.join(dels,
+          data("_fp") === dels("file_path") && data("_pos") === dels("pos"),
+          "left_anti")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept == (0L until 12L), kept)
+    } finally server.stop()
+  }
+
+  test("an external equality-delete commit keys through a renamed column") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.xn")
+    spark.sql("CREATE TABLE ir.xn.t (orig_k BIGINT NOT NULL, v STRING)")
+    spark.sql("INSERT INTO ir.xn.t SELECT id, concat('v', id) FROM range(6)")
+    // logical rename is metadata-only: files keep the ORIGINAL
+    // physical column name; the transcode must key the native delete
+    // object by the physical name
+    spark.sql("ALTER TABLE ir.xn.t RENAME COLUMN orig_k TO k")
+    val (server, port) = startServer()
+    try {
+      val md = loadMeta(port, "xn", "t")
+      val uuid = md.get("table-uuid").asText()
+      val baseSnap = md.get("current-snapshot-id").asLong()
+      val fields = md.get("schemas").get(0).get("fields")
+      val kId = (0 until fields.size()).map(fields.get)
+        .find(_.get("name").asText() == "k").get.get("id").asInt()
+      val extDir = new java.io.File(s"$warehouse/data/xn/t/files/ext")
+      extDir.mkdirs()
+      val delDir = new java.io.File(extDir, "eqdel")
+      // the client writes key tuples under the LOGICAL name it sees
+      spark.sql("SELECT 1L AS k UNION ALL SELECT 3L").coalesce(1)
+        .write.mode("overwrite").parquet(delDir.toString)
+      val delFile = delDir.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val ml = ClientAvro.manifestList(extDir, "rn", Seq(
+        (1, Seq(ClientAvro.entry(1, 2, delFile.getAbsolutePath, 2L,
+          delFile.length(), eqIds = Seq(kId))))))
+      val (cc, resp) = send(port, "POST", "/v1/iceberg/namespaces/xn/tables/t",
+        commitBodyFor(uuid, baseSnap, "delete", ml))
+      assert(cc == 200, resp)
+      val kept = spark.table("ir.xn.t").collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept == Seq(0L, 2L, 4L, 5L), kept)
+    } finally server.stop()
+  }
+
   test("property commits apply over REST; engine-reserved keys refused") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.xr")
     spark.sql("CREATE TABLE ir.xr.t (k BIGINT)")

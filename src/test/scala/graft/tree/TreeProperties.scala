@@ -41,6 +41,24 @@ object TreeProperties extends Properties("Tree") {
       lookupsOk && traversalOk
     }
 
+  property("traverseFrom equals the full traversal's strict tail") =
+    forAll(Gen.listOfN(80, opGen), Gen.oneOf(4, 6, 128), keyGen) {
+      (ops, order, cut) =>
+        val storage = new LocalStorageOps(
+          Files.createTempDirectory("graft-prop-from").toString)
+        val root = TreeOps.createEmptyRoot(storage, "def/none.json")
+        ops.foreach { case (k, v) => TreeOps.setValue(storage, root, k, v, order) }
+        TreeOps.writeRoot(storage, root, 1L)
+        val loaded = TreeOps.loadRoot(storage, FileLocations.rootNodePath(1L))
+        val full = TreeOps.traverse(storage, loaded).map(_.key).toSeq
+        // cuts at present keys, absent keys, below-all and above-all
+        Seq(cut, "", "zzzz", full.headOption.getOrElse("x"))
+          .forall { c =>
+            TreeOps.traverseFrom(storage, loaded, c).map(_.key).toSeq ==
+              full.dropWhile(_ <= c)
+          }
+    }
+
   property("floorChildRow equals the materialized floor on mixed nodes") =
     forAll(Gen.listOf(keyGen), Gen.listOf(keyGen), Gen.listOf(keyGen),
         Gen.nonEmptyListOf(keyGen)) { (persistedKeys, stagedKeys, tombKeys, probes) =>

@@ -1791,6 +1791,93 @@ object CatalogQueries {
              |FROM after2 GROUP BY l_returnflag ORDER BY flag""".stripMargin)),
 
     QueryDef(
+      "c49_iceberg_rest_evolve",
+      (s, d) => {
+        // External SCHEMA EVOLUTION over REST: the client loads the
+        // table, renames o_totalprice -> price and adds an optional
+        // discount column by POSTing an add-schema commit; the facade
+        // diffs the schemas by field id and applies through the SAME
+        // rule set as native ALTER TABLE (rename = metadata-only via
+        // ColumnMapping — old files are never rewritten). A native
+        // INSERT then writes the evolved shape and the combined read
+        // must match DuckDB modeling both eras.
+        val cat = ensureCatalog(s, "gcz")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcz.ns1")
+        s.sql("DROP TABLE IF EXISTS gcz.ns1.ord")
+        s.sql("""CREATE TABLE gcz.ns1.ord (
+                   o_orderkey BIGINT, o_orderstatus STRING,
+                   o_totalprice DOUBLE)""")
+        s.sql(s"""INSERT INTO gcz.ns1.ord
+                  SELECT o_orderkey, o_orderstatus, o_totalprice
+                  FROM parquet.`$d/orders.parquet`""")
+        val server = new graft.serve.CatalogHttpServer(cat.storage)
+        val port = server.start()
+        try {
+          val client = java.net.http.HttpClient.newHttpClient()
+          def send(method: String, path: String, body: String = null) = {
+            val b = java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(s"http://127.0.0.1:$port$path"))
+            val req = if (body == null) b.GET()
+              else b.header("Content-Type", "application/json")
+                .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+            client.send(req.build(),
+              java.net.http.HttpResponse.BodyHandlers.ofString())
+          }
+          val load = send("GET", "/v1/iceberg/namespaces/ns1/tables/ord")
+          require(load.statusCode() == 200, load.body())
+          val md = graft.objects.Json.mapper.readTree(load.body())
+            .get("metadata")
+          val schema = md.get("schemas").get(0)
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+          val lastId = md.get("last-column-id").asInt()
+          val fs = schema.get("fields")
+          (0 until fs.size()).map(fs.get)
+            .find(_.get("name").asText() == "o_totalprice").get
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            .put("name", "price")
+          val disc = schema.get("fields")
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+            .addObject()
+          disc.put("id", lastId + 1)
+          disc.put("name", "discount")
+          disc.put("required", false)
+          disc.put("type", "double")
+          val commit = send("POST", "/v1/iceberg/namespaces/ns1/tables/ord",
+            s"""{"requirements":[],"updates":[
+               |{"action":"add-schema","schema":${schema.toString}},
+               |{"action":"set-current-schema-id","schema-id":-1}]}"""
+              .stripMargin.replaceAll("\n", ""))
+          require(commit.statusCode() == 200,
+            s"REST schema commit failed: ${commit.statusCode()} " +
+              commit.body())
+        } finally server.stop()
+        // a native write under the EVOLVED schema; old rows read the
+        // renamed column and a null discount without any file rewrite
+        s.sql(s"""INSERT INTO gcz.ns1.ord
+                  SELECT o_orderkey + 40000000, o_orderstatus,
+                         o_totalprice, 0.1
+                  FROM parquet.`$d/orders.parquet`
+                  WHERE o_orderkey % 11 = 0""")
+        s.sql("""SELECT o_orderstatus AS status, count(*) AS n,
+                        round(sum(price), 2) AS total,
+                        count(discount) AS n_disc
+                 FROM gcz.ns1.ord GROUP BY o_orderstatus ORDER BY status""")
+      },
+      Some("""WITH both_eras AS (
+             |  SELECT o_orderstatus, o_totalprice AS price,
+             |         CAST(NULL AS DOUBLE) AS discount
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT o_orderstatus, o_totalprice, 0.1
+             |  FROM orders WHERE o_orderkey % 11 = 0)
+             |SELECT o_orderstatus AS status, count(*) AS n,
+             |       round(sum(price), 2) AS total,
+             |       count(discount) AS n_disc
+             |FROM both_eras GROUP BY o_orderstatus ORDER BY status"""
+        .stripMargin)),
+
+    QueryDef(
       "c44_snapshot_pin",
       (s, d) => {
         // Table-level snapshot-id time travel: `VERSION AS OF

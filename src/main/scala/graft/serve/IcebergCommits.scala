@@ -84,6 +84,7 @@ object IcebergCommits {
     require(updates != null && updates.isArray && updates.size() > 0,
       "commit body needs a non-empty updates array")
     var snapshot: JsonNode = null
+    var clientSchema: JsonNode = null
     var propSets = Map.empty[String, String]
     var propRemovals = Seq.empty[String]
     val it = updates.elements()
@@ -97,6 +98,17 @@ object IcebergCommits {
         case "set-snapshot-ref" =>
           require(u.path("ref-name").asText() == "main",
             "only the main ref can be set through this endpoint")
+        case "add-schema" =>
+          require(clientSchema == null, "multiple add-schema updates")
+          clientSchema = u.get("schema")
+          require(clientSchema != null, "add-schema without a schema")
+        case "set-current-schema-id" =>
+          // graft derives schema ids (one current schema); the spec's
+          // -1 means "the one just added" — anything else is a pin we
+          // cannot honor
+          val sid = u.path("schema-id").asInt(-1)
+          require(sid == -1,
+            s"set-current-schema-id must be -1 (last added), got $sid")
         case "set-properties" =>
           val ups = u.get("updates")
           require(ups != null && ups.isObject,
@@ -118,8 +130,9 @@ object IcebergCommits {
               "and set-properties / remove-properties)")
       }
     }
-    require(snapshot != null || propSets.nonEmpty || propRemovals.nonEmpty,
-      "commit changes nothing (no add-snapshot or property updates)")
+    require(snapshot != null || clientSchema != null ||
+        propSets.nonEmpty || propRemovals.nonEmpty,
+      "commit changes nothing (no add-snapshot, schema, or property updates)")
     // graft-reserved properties configure the engine itself — an
     // external client rewriting them could silently change write modes
     propSets.keys.find(_.startsWith("graft.")).foreach(k =>
@@ -226,22 +239,53 @@ object IcebergCommits {
         transcodeClientEqDelete(storage, o.rel, o.eqIds, schema,
           s"$dataDir/deletes/rest-$restId/e$i.parquet")
       }
-      /** Merge the property updates into the table def AS SEEN FROM
-        * `root` (first application and rebase replays alike re-read
-        * the def, so a racing alter's unrelated properties survive).
+      // the schema the diff was computed against: a rebase replay must
+      // not diff against a CONCURRENTLY evolved schema — the client's
+      // end state would silently revert the concurrent change
+      val baseSchemaJson = meta.schemaJson
+      /** Merge the property updates and the schema-evolution diff into
+        * the table def AS SEEN FROM `root` (first application and
+        * rebase replays alike re-read the def, so a racing alter's
+        * unrelated properties survive; a racing SCHEMA change fails
+        * the replay with 409).
         */
-      def applyProps(s: StorageOps, root: TreeRoot): Unit =
-        if (propSets.nonEmpty || propRemovals.nonEmpty) {
+      def applyMetaEdits(s: StorageOps, root: TreeRoot): Unit =
+        if (clientSchema != null || propSets.nonEmpty || propRemovals.nonEmpty) {
           val cd0 = Graft.catalogDef(s, root)
           val key = ObjectKeys.tableKey(ns, t, cd0)
           val cur = TreeOps.searchValue(s, root, key).getOrElse(
             throw new RequirementFailedException(s"table $ns.$t dropped"))
           val td0 = Json.read(s.read(cur), classOf[TableDef])
-          val nd = td0.copy(
-            properties = td0.properties ++ propSets -- propRemovals)
-          val defPath = graft.objects.FileLocations.newTableDefPath(ns, t)
-          s.writeAtomic(defPath, Json.write(nd))
-          TreeOps.setValue(s, root, key, Some(defPath), cd0.order)
+          val props0 = td0.properties ++ propSets -- propRemovals
+          var newTd = td0.copy(properties = props0)
+          if (clientSchema != null) {
+            val meta0 = TableMetadata.read(s, td0.metadataLocation)
+            if (meta0.schemaJson != baseSchemaJson)
+              throw new RequirementFailedException(
+                s"schema of $ns.$t changed during the commit; re-load " +
+                  "and retry the evolution")
+            val served = DataType.fromJson(meta0.schemaJson)
+              .asInstanceOf[StructType]
+            val (servedNode, _) = IcebergRest.toIcebergSchema(served)
+            val changes = IcebergSchemaDiff.diff(servedNode, clientSchema)
+            if (changes.nonEmpty) {
+              // the SAME change-application rules as native ALTER
+              val (schema2, props2, _) =
+                graft.spark.TableAlterations(served, props0, changes)
+              val metaPath =
+                graft.objects.FileLocations.tableMetadataPath(ns, t)
+              TableMetadata.write(s, metaPath, meta0.copy(
+                schemaJson = schema2.json, properties = props2))
+              newTd = td0.copy(properties = props2,
+                metadataLocation = metaPath,
+                previousMetadataLocation = Some(td0.metadataLocation))
+            }
+          }
+          if (newTd != td0) {
+            val defPath = graft.objects.FileLocations.newTableDefPath(ns, t)
+            s.writeAtomic(defPath, Json.write(newTd))
+            TreeOps.setValue(s, root, key, Some(defPath), cd0.order)
+          }
         }
       val replayGuard: (StorageOps, TreeRoot) => Unit = (s, r) =>
         assertedMain.foreach { want =>
@@ -261,11 +305,13 @@ object IcebergCommits {
           applyChecked(s, r, ns, t, op, edit)
         }
       }
-      applyProps(storage, txn.runningRoot)
-      if (snapshot == null && (propSets.nonEmpty || propRemovals.nonEmpty))
-        txn.replays += { (s, r) => replayGuard(s, r); applyProps(s, r) }
-      else if (propSets.nonEmpty || propRemovals.nonEmpty)
-        txn.replays += applyProps
+      applyMetaEdits(storage, txn.runningRoot)
+      val hasMetaEdits =
+        clientSchema != null || propSets.nonEmpty || propRemovals.nonEmpty
+      if (hasMetaEdits && snapshot == null)
+        txn.replays += { (s, r) => replayGuard(s, r); applyMetaEdits(s, r) }
+      else if (hasMetaEdits)
+        txn.replays += applyMetaEdits
       val cd = Graft.catalogDef(storage, txn.runningRoot)
       txn.record(Action(
         if (snapshot == null || op != "append") ActionType.TableUpdate

@@ -112,7 +112,7 @@ object IcebergRest {
     StructType(out.toSeq)
   }
 
-  private def fromType(t: JsonNode): DataType =
+  private[serve] def fromType(t: JsonNode): DataType =
     if (t.isTextual) fromPrimitive(t.asText())
     else t.get("type").asText() match {
       case "struct" => fromStruct(t)

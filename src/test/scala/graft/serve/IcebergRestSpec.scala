@@ -1170,6 +1170,83 @@ class IcebergRestSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("schema-evolution commits apply over REST with native semantics") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.xs")
+    spark.sql("""CREATE TABLE ir.xs.t (
+                   k BIGINT NOT NULL, v STRING,
+                   payload STRUCT<a: INT, b: STRING>)""")
+    spark.sql("""INSERT INTO ir.xs.t VALUES
+                 (1, 'x', named_struct('a', 7, 'b', 'p'))""")
+    val (server, port) = startServer()
+    try {
+      val md = loadMeta(port, "xs", "t")
+      // the client evolves the LOADED schema: rename v -> label, add
+      // top-level note, widen payload.a to long, add nested payload.c,
+      // drop payload.b, relax k to optional
+      val schema = md.get("schemas").get(0)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      val lastId = md.get("last-column-id").asInt()
+      def fieldByName(struct: com.fasterxml.jackson.databind.JsonNode,
+          n: String): com.fasterxml.jackson.databind.node.ObjectNode = {
+        val fs = struct.get("fields")
+        (0 until fs.size()).map(fs.get)
+          .find(_.get("name").asText() == n).get
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      }
+      fieldByName(schema, "v").put("name", "label")
+      fieldByName(schema, "k").put("required", false)
+      val payloadType = fieldByName(schema, "payload").get("type")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      fieldByName(payloadType, "a").put("type", "long")
+      // drop payload.b
+      val pf = payloadType.putArray("fields_new")
+      val oldPf = payloadType.get("fields")
+      (0 until oldPf.size()).map(oldPf.get)
+        .filter(_.get("name").asText() != "b").foreach(pf.add)
+      val nested = pf.addObject()
+      nested.put("id", lastId + 1); nested.put("name", "c")
+      nested.put("required", false); nested.put("type", "double")
+      payloadType.set("fields", payloadType.remove("fields_new"))
+      val top = schema.get("fields")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      val note = top.addObject()
+      note.put("id", lastId + 2); note.put("name", "note")
+      note.put("required", false); note.put("type", "string")
+      val body =
+        s"""{"requirements":[],"updates":[
+           |{"action":"add-schema","schema":${schema.toString}},
+           |{"action":"set-current-schema-id","schema-id":-1}]}"""
+          .stripMargin.replaceAll("\n", "")
+      val (cc, resp) = send(port, "POST", "/v1/iceberg/namespaces/xs/tables/t",
+        body)
+      assert(cc == 200, resp)
+      // native DDL surface reflects every change; old rows read the
+      // renamed/widened/added fields correctly (rename is
+      // metadata-only — ColumnMapping keeps the physical name)
+      val row = spark.sql(
+        "SELECT k, label, payload.a, payload.c, note FROM ir.xs.t")
+        .collect().head
+      assert(row.getLong(0) == 1L && row.getString(1) == "x" &&
+        row.getLong(2) == 7L && row.isNullAt(3) && row.isNullAt(4), row)
+      assert(!spark.table("ir.xs.t").schema("payload").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.contains("b"), "payload.b dropped")
+      // new writes use the evolved shape
+      spark.sql("""INSERT INTO ir.xs.t VALUES
+                   (2, 'y', named_struct('a', 8L, 'c', 0.5D), 'n2')""")
+      assert(spark.table("ir.xs.t").count() == 2)
+      // tightening to required is refused
+      val bad = schema.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      fieldByName(bad, "label").put("required", true)
+      val (cb, eb) = send(port, "POST", "/v1/iceberg/namespaces/xs/tables/t",
+        s"""{"requirements":[],"updates":[
+           |{"action":"add-schema","schema":${bad.toString}}]}"""
+          .stripMargin.replaceAll("\n", ""))
+      assert(cb == 400 && eb.contains("tighten"), s"$cb $eb")
+    } finally server.stop()
+  }
+
   test("property commits apply over REST; engine-reserved keys refused") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.xr")
     spark.sql("CREATE TABLE ir.xr.t (k BIGINT)")

@@ -253,7 +253,8 @@ object Graft {
     */
   private def pageKeys(storage: StorageOps, txn: Transaction, prefix: String,
       afterKey: Option[String], limit: Int): (Seq[String], Boolean) = {
-    require(limit > 0, s"page size must be positive: $limit")
+    require(limit > 0 && limit < Int.MaxValue,
+      s"page size out of range: $limit")
     // every key carrying the prefix sorts strictly after the bare
     // prefix itself, so the unanchored first page starts there
     val page = TreeOps.traverseFrom(storage, txn.runningRoot,

@@ -1495,16 +1495,18 @@ object CatalogQueries {
         val port = server.start()
         try {
           val client = java.net.http.HttpClient.newHttpClient()
-          def send(method: String, path: String, body: String = null) = {
-            val b = java.net.http.HttpRequest.newBuilder(
-              java.net.URI.create(s"http://127.0.0.1:$port$path"))
-            val req = if (body == null) b.GET()
-              else b.header("Content-Type", "application/json")
-                .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-            client.send(req.build(),
-              java.net.http.HttpResponse.BodyHandlers.ofString())
-          }
-          val load = send("GET", "/v1/iceberg/namespaces/ns1/tables/ord")
+          def get(path: String) = client.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+              s"http://127.0.0.1:$port$path")).GET().build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          def post(path: String, body: String) = client.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+              s"http://127.0.0.1:$port$path"))
+              .header("Content-Type", "application/json")
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+              .build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          val load = get("/v1/iceberg/namespaces/ns1/tables/ord")
           require(load.statusCode() == 200, load.body())
           val md = graft.objects.Json.mapper.readTree(load.body())
             .get("metadata")
@@ -1522,7 +1524,7 @@ object CatalogQueries {
                |  {"action":"set-snapshot-ref","ref-name":"main",
                |   "type":"branch","snapshot-id":1}]}"""
               .stripMargin.replaceAll("\n", "")
-          val commit = send("POST", "/v1/iceberg/namespaces/ns1/tables/ord",
+          val commit = post("/v1/iceberg/namespaces/ns1/tables/ord",
             body)
           require(commit.statusCode() == 200,
             s"REST commit failed: ${commit.statusCode()} ${commit.body()}")
@@ -1569,16 +1571,18 @@ object CatalogQueries {
         val port = server.start()
         try {
           val client = java.net.http.HttpClient.newHttpClient()
-          def send(method: String, path: String, body: String = null) = {
-            val b = java.net.http.HttpRequest.newBuilder(
-              java.net.URI.create(s"http://127.0.0.1:$port$path"))
-            val req = if (body == null) b.GET()
-              else b.header("Content-Type", "application/json")
-                .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-            client.send(req.build(),
-              java.net.http.HttpResponse.BodyHandlers.ofString())
-          }
-          val load = send("GET", "/v1/iceberg/namespaces/ns1/tables/ord")
+          def get(path: String) = client.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+              s"http://127.0.0.1:$port$path")).GET().build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          def post(path: String, body: String) = client.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+              s"http://127.0.0.1:$port$path"))
+              .header("Content-Type", "application/json")
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+              .build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          val load = get("/v1/iceberg/namespaces/ns1/tables/ord")
           require(load.statusCode() == 200, load.body())
           val md = graft.objects.Json.mapper.readTree(load.body())
             .get("metadata")
@@ -1673,7 +1677,7 @@ object CatalogQueries {
                |  {"action":"set-snapshot-ref","ref-name":"main",
                |   "type":"branch","snapshot-id":1}]}"""
               .stripMargin.replaceAll("\n", "")
-          val commit = send("POST", "/v1/iceberg/namespaces/ns1/tables/ord",
+          val commit = post("/v1/iceberg/namespaces/ns1/tables/ord",
             body)
           require(commit.statusCode() == 200,
             s"REST row-delete commit failed: ${commit.statusCode()} " +
@@ -1814,16 +1818,18 @@ object CatalogQueries {
         val port = server.start()
         try {
           val client = java.net.http.HttpClient.newHttpClient()
-          def send(method: String, path: String, body: String = null) = {
-            val b = java.net.http.HttpRequest.newBuilder(
-              java.net.URI.create(s"http://127.0.0.1:$port$path"))
-            val req = if (body == null) b.GET()
-              else b.header("Content-Type", "application/json")
-                .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-            client.send(req.build(),
-              java.net.http.HttpResponse.BodyHandlers.ofString())
-          }
-          val load = send("GET", "/v1/iceberg/namespaces/ns1/tables/ord")
+          def get(path: String) = client.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+              s"http://127.0.0.1:$port$path")).GET().build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          def post(path: String, body: String) = client.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+              s"http://127.0.0.1:$port$path"))
+              .header("Content-Type", "application/json")
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+              .build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          val load = get("/v1/iceberg/namespaces/ns1/tables/ord")
           require(load.statusCode() == 200, load.body())
           val md = graft.objects.Json.mapper.readTree(load.body())
             .get("metadata")
@@ -1843,7 +1849,7 @@ object CatalogQueries {
           disc.put("name", "discount")
           disc.put("required", false)
           disc.put("type", "double")
-          val commit = send("POST", "/v1/iceberg/namespaces/ns1/tables/ord",
+          val commit = post("/v1/iceberg/namespaces/ns1/tables/ord",
             s"""{"requirements":[],"updates":[
                |{"action":"add-schema","schema":${schema.toString}},
                |{"action":"set-current-schema-id","schema-id":-1}]}"""

@@ -146,13 +146,16 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0,
       val n = s.toIntOption.getOrElse(
         throw new IllegalArgumentException(s"invalid pageSize: $s"))
       require(n > 0, s"pageSize must be positive: $n")
-      n
+      // the spec lets the server return fewer than asked; the cap also
+      // keeps `limit + 1` probes overflow-safe for pageSize=MaxInt
+      math.min(n, MaxPageSize)
     }
     if (token.isEmpty && size.isEmpty) None
     else Some((token, size.getOrElse(DefaultPageSize)))
   }
 
   private val DefaultPageSize = 1000
+  private val MaxPageSize = 100000
 
   private def handleIceberg(ex: HttpExchange, method: String,
       route: List[String]): Unit = (method, route) match {

@@ -134,10 +134,11 @@ object IcebergCommits {
         propSets.nonEmpty || propRemovals.nonEmpty,
       "commit changes nothing (no add-snapshot, schema, or property updates)")
     // graft-reserved properties configure the engine itself — an
-    // external client rewriting them could silently change write modes
-    propSets.keys.find(_.startsWith("graft.")).foreach(k =>
+    // external client rewriting OR removing them could silently change
+    // write modes
+    (propSets.keys ++ propRemovals).find(_.startsWith("graft.")).foreach(k =>
       throw new IllegalArgumentException(
-        s"property $k is engine-reserved; set it through a native ALTER"))
+        s"property $k is engine-reserved; change it through a native ALTER"))
     val op =
       if (snapshot == null) ""
       else snapshot.path("summary").path("operation").asText()
@@ -227,6 +228,17 @@ object IcebergCommits {
         require(cs.eqObjs.isEmpty || assertedMain.isDefined,
           "an equality-delete commit requires an " +
             "assert-ref-snapshot-id requirement on the main ref")
+        // a DELETED entry naming a file the table does not hold would
+        // silently remove NOTHING while the replacement still lands —
+        // duplicate rows on every scan. Stale plans and typos both
+        // surface as a commit conflict, not a quiet 200.
+        if (cs.removes.nonEmpty) {
+          val present = meta.currentFiles(storage).map(_.path).toSet
+          val missing = cs.removes.filterNot(present)
+          if (missing.nonEmpty) throw new RequirementFailedException(
+            "removed data files are not in the table (concurrently " +
+              s"rewritten, or a stale plan): ${missing.mkString(", ")}")
+        }
       }
       val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
       val dataDir = graft.objects.FileLocations.tableDataDir(ns, t)
@@ -400,19 +412,28 @@ object IcebergCommits {
                 Option(opt(df, "file_size_in_bytes")).map(longOf)
                   .getOrElse(storage.sizeOf(rel)))
           }
-        } else if (status == 1) fileContent match {
-          case 1 => posObjs += ClientDeleteObj(rel, Seq.empty)
-          case 2 =>
-            val idsField = opt(df, "equality_ids")
-            require(idsField != null,
-              "equality-delete file without equality_ids")
-            val ids = idsField.asInstanceOf[java.util.List[_]]
-            require(!ids.isEmpty, "equality-delete file with empty equality_ids")
-            val sIds = (0 until ids.size())
-              .map(i => intOf(ids.get(i), -1))
-            eqObjs += ClientDeleteObj(rel, sIds)
-          case other => throw new IllegalArgumentException(
-            s"unknown delete-file content $other (expected 1 or 2)")
+        } else if (status == 1) {
+          // delete files transcode through parquet-mr: a non-parquet
+          // body must map to the endpoint's 400, not a reader 500
+          require(opt(df, "file_format") == null ||
+              String.valueOf(opt(df, "file_format"))
+                .equalsIgnoreCase("PARQUET"),
+            s"unsupported delete file format: ${opt(df, "file_format")}")
+          fileContent match {
+            case 1 => posObjs += ClientDeleteObj(rel, Seq.empty)
+            case 2 =>
+              val idsField = opt(df, "equality_ids")
+              require(idsField != null,
+                "equality-delete file without equality_ids")
+              val ids = idsField.asInstanceOf[java.util.List[_]]
+              require(!ids.isEmpty,
+                "equality-delete file with empty equality_ids")
+              val sIds = (0 until ids.size())
+                .map(i => intOf(ids.get(i), -1))
+              eqObjs += ClientDeleteObj(rel, sIds)
+            case other => throw new IllegalArgumentException(
+              s"unknown delete-file content $other (expected 1 or 2)")
+          }
         } else require(status == 0,
           "removing delete files (status=2 in a delete manifest) is " +
             "not supported through this endpoint")

@@ -43,9 +43,11 @@ import org.apache.spark.sql.types._
   * sequence is later than every file it read). On partitioned tables
   * position-delete objects split per referenced partition (entries
   * carry the partition tuple) and equality-delete manifests ride an
-  * unpartitioned spec (global application). One pending shape remains
-  * unservable and is refused upstream: predicate deletes (no Iceberg
-  * analog).
+  * unpartitioned spec (global application). Predicate deletes have no
+  * Iceberg analog; when a co-located Spark session exists they
+  * MATERIALIZE into position-delete objects (one in-scope scan per
+  * snapshot) and serve the same way — only a bare metadata server
+  * still refuses them upstream.
   *
   * Lineage: every manifest entry carries the snapshot that actually
   * ADDED its file (recovered from the entry's commit sequence), with

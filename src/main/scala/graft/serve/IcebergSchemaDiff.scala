@@ -46,6 +46,13 @@ object IcebergSchemaDiff {
     val clientFields = fields(client)
     val servedById = servedFields.map(f => f.get("id").asInt() -> f).toMap
     val clientIds = clientFields.map(_.get("id").asInt()).toSet
+    // drops FIRST: a drop-and-recreate of the same name (and a rename
+    // onto a dropped name) are legal single-commit evolutions — the
+    // sequential apply must free the name before the add/rename lands
+    servedFields.filterNot(f => clientIds(f.get("id").asInt())).foreach { sf =>
+      out += TableChange.deleteColumn(
+        (path :+ sf.get("name").asText()).toArray, false)
+    }
     clientFields.foreach { cf =>
       val id = cf.get("id").asInt()
       val cName = cf.get("name").asText()
@@ -90,10 +97,6 @@ object IcebergSchemaDiff {
             s"cannot tighten ${fieldPath.mkString(".")} to required " +
               "without a data scan")
       }
-    }
-    servedFields.filterNot(f => clientIds(f.get("id").asInt())).foreach { sf =>
-      out += TableChange.deleteColumn(
-        (path :+ sf.get("name").asText()).toArray, false)
     }
   }
 }

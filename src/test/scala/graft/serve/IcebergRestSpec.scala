@@ -1037,6 +1037,20 @@ class IcebergRestSpec extends AnyFunSuite {
         "SELECT operation FROM ir.xo.`t$snapshots` ORDER BY snapshot_id")
         .collect().map(_.getString(0)).toSeq
       assert(ops.last == "overwrite", ops)
+      // a DELETED entry naming a file the table does not hold is a
+      // conflict (stale plan), not a silent no-op leaving duplicates
+      val md2 = loadMeta(port, "xo", "t")
+      val stale = ClientAvro.manifestList(extDir, "stale", Seq(
+        (0, Seq(
+          ClientAvro.entry(2, 0, victim, 1L, 1L), // already replaced
+          ClientAvro.entry(1, 0, newFile.getAbsolutePath, 1L,
+            newFile.length())))))
+      val (cStale, eStale) = send(port, "POST",
+        "/v1/iceberg/namespaces/xo/tables/t",
+        commitBodyFor(uuid, md2.get("current-snapshot-id").asLong(),
+          "overwrite", stale))
+      assert(cStale == 409 && eStale.contains("not in the table"),
+        s"$cStale $eStale")
     } finally server.stop()
   }
 
@@ -1244,6 +1258,34 @@ class IcebergRestSpec extends AnyFunSuite {
            |{"action":"add-schema","schema":${bad.toString}}]}"""
           .stripMargin.replaceAll("\n", ""))
       assert(cb == 400 && eb.contains("tighten"), s"$cb $eb")
+      // drop-and-recreate of the SAME name in one commit: the drop
+      // must free the name before the add lands (and the fresh
+      // physical name keeps the dropped data from resurrecting)
+      val md2 = loadMeta(port, "xs", "t")
+      val sch2 = md2.get("schemas").get(0)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      val last2 = md2.get("last-column-id").asInt()
+      val top2 = sch2.get("fields")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      val keepIdx = (0 until top2.size())
+        .find(i => top2.get(i).get("name").asText() == "note").get
+      top2.remove(keepIdx)
+      val recreated = top2.addObject()
+      recreated.put("id", last2 + 1); recreated.put("name", "note")
+      recreated.put("required", false); recreated.put("type", "long")
+      val (cr2, er2) = send(port, "POST",
+        "/v1/iceberg/namespaces/xs/tables/t",
+        s"""{"requirements":[],"updates":[
+           |{"action":"add-schema","schema":${sch2.toString}}]}"""
+          .stripMargin.replaceAll("\n", ""))
+      assert(cr2 == 200, s"$cr2 $er2")
+      assert(spark.table("ir.xs.t").schema("note").dataType ==
+        org.apache.spark.sql.types.LongType)
+      // the pre-drop string values must NOT resurrect under the new
+      // long column
+      assert(spark.sql("SELECT note FROM ir.xs.t WHERE note IS NOT NULL")
+        .count() == 0)
     } finally server.stop()
   }
 
@@ -1271,12 +1313,16 @@ class IcebergRestSpec extends AnyFunSuite {
       assert(c2 == 200, b2)
       assert(!Json.mapper.readTree(b2).get("metadata").get("properties")
         .has("ext.note"), b2)
-      // engine-reserved keys cannot be set from outside
+      // engine-reserved keys cannot be set OR removed from outside
       val (c3, b3) = send(port, "POST", "/v1/iceberg/namespaces/xr/tables/t",
         propBody("""{"action":"set-properties",
           "updates":{"graft.update.mode":"merge-on-read"}}"""
           .replaceAll("\n\\s*", "")))
       assert(c3 == 400 && b3.contains("engine-reserved"), s"$c3 $b3")
+      val (c3b, b3b) = send(port, "POST", "/v1/iceberg/namespaces/xr/tables/t",
+        propBody(
+          """{"action":"remove-properties","removals":["graft.delete.mode"]}"""))
+      assert(c3b == 400 && b3b.contains("engine-reserved"), s"$c3b $b3b")
       // an empty commit (no snapshot, no properties) is malformed
       val (c4, b4) = send(port, "POST", "/v1/iceberg/namespaces/xr/tables/t",
         propBody("""{"action":"set-properties","updates":{}}"""))

@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.QueryDef
 import graft.QueryDef.table
 import graft.functions.GraftFunctions
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: token counting,
@@ -376,6 +377,82 @@ object TextAnalysis {
              |       count(DISTINCT doc_id) AS n_contaminated,
              |       count(DISTINCT gram) AS n_overlap_grams
              |FROM dg JOIN bg USING (gram)
-             |GROUP BY lang ORDER BY lang""".stripMargin))
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      "ta12_bigram_heavy_hitters",
+      (s, d) => {
+        // Corpus-statistics heavy hitters: the global top-20 word
+        // bigrams by count — the profile a dataset card reports and a
+        // quality pass watches for template contamination. One hash
+        // aggregation with map-side partial combine over the exploded
+        // bigram stream, then a TakeOrdered top-k (per-partition
+        // heads merged on the driver, never a global sort of the
+        // vocabulary). Shares [[wordGrams]]'s short-input guard.
+        val w = table(s, d, "documents")
+          .select(split(trim(col("text")), "\\s+").as("ws"))
+        w.select(explode(wordGrams("ws", 2, hashed = false)).as("bigram"))
+          .groupBy("bigram")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(20)
+      },
+      Some("""WITH w AS (
+             |  SELECT string_split_regex(trim(text), '\s+') AS ws
+             |  FROM documents),
+             |bg AS (
+             |  SELECT array_to_string(ws[u.i:u.i+1], ' ') AS bigram
+             |  FROM w, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) u(i))
+             |SELECT bigram, count(*) AS n FROM bg
+             |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"""
+        .stripMargin)),
+
+    QueryDef(
+      "ta13_vocab_coverage",
+      (s, d) => {
+        // Zipf coverage per language: the share of all tokens covered
+        // by the top-10 vocabulary — the statistic that sizes a
+        // tokenizer's vocab and flags synthetic/templated corpora
+        // (coverage near 1 with a tiny vocab). Word counts are one
+        // map-side-combined aggregation; the per-language top-k is
+        // TWO-PHASE (per-partition heads, then a merge over ≤ P·k
+        // rows per language) so no language funnels its whole
+        // vocabulary through one reducer.
+        val wc = table(s, d, "documents")
+          .select(col("lang"),
+            explode(split(trim(col("text")), "\\s+")).as("word"))
+          .groupBy("lang", "word")
+          .agg(count(lit(1)).as("c"))
+        val local = Window.partitionBy("lang", "pid")
+          .orderBy(col("c").desc, col("word"))
+        val global = Window.partitionBy("lang")
+          .orderBy(col("c").desc, col("word"))
+        val top = wc
+          .withColumn("pid", spark_partition_id())
+          .withColumn("lr", row_number().over(local))
+          .filter(col("lr") <= 10)
+          .withColumn("r", row_number().over(global))
+          .filter(col("r") <= 10)
+        val totals = wc.groupBy("lang").agg(sum("c").as("total_tokens"))
+        totals.join(top.groupBy("lang").agg(sum("c").as("top_c")), "lang")
+          .select(col("lang"), col("total_tokens"),
+            round(col("top_c").cast("double") /
+              col("total_tokens").cast("double"), 4).as("coverage"))
+          .orderBy("lang")
+      },
+      Some("""WITH words AS (
+             |  SELECT lang, unnest(string_split_regex(trim(text), '\s+'))
+             |           AS word
+             |  FROM documents),
+             |wc AS (SELECT lang, word, count(*) AS c FROM words
+             |       GROUP BY lang, word),
+             |ranked AS (
+             |  SELECT lang, c, row_number() OVER (
+             |    PARTITION BY lang ORDER BY c DESC, word) AS r
+             |  FROM wc)
+             |SELECT lang, CAST(sum(c) AS BIGINT) AS total_tokens,
+             |       round(CAST(sum(CASE WHEN r <= 10 THEN c END) AS DOUBLE)
+             |             / CAST(sum(c) AS DOUBLE), 4) AS coverage
+             |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

@@ -1884,6 +1884,166 @@ object CatalogQueries {
         .stripMargin)),
 
     QueryDef(
+      "c50_iceberg_rest_txn",
+      (s, d) => {
+        // External MULTI-TABLE transaction over REST: two tables each
+        // get half their rows natively; the other halves land through
+        // ONE CommitTransactionRequest (the spec's
+        // POST /transactions/commit), staged into a single native
+        // graft transaction and committed with one root swap — atomic
+        // across tables. A first attempt carrying a stale guard on the
+        // SECOND table must abort BOTH changes, then the correctly
+        // guarded retry commits both. The per-table aggregates must
+        // match DuckDB over the full inputs.
+        val cat = ensureCatalog(s, "gtx")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gtx.ns1")
+        s.sql("DROP TABLE IF EXISTS gtx.ns1.ord")
+        s.sql("DROP TABLE IF EXISTS gtx.ns1.cust")
+        s.sql("CREATE TABLE gtx.ns1.ord (o_orderkey BIGINT, " +
+          "o_totalprice DOUBLE)")
+        s.sql("CREATE TABLE gtx.ns1.cust (c_custkey BIGINT, " +
+          "c_acctbal DOUBLE)")
+        s.sql(s"""INSERT INTO gtx.ns1.ord
+                  SELECT o_orderkey, o_totalprice
+                  FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 0""")
+        s.sql(s"""INSERT INTO gtx.ns1.cust
+                  SELECT c_custkey, c_acctbal
+                  FROM parquet.`$d/customer.parquet` WHERE c_custkey % 2 = 0""")
+        val entrySchema = new org.apache.avro.Schema.Parser().parse(
+          """{"type":"record","name":"manifest_entry","fields":[
+            |{"name":"status","type":"int"},
+            |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+            |{"name":"file_path","type":"string"},
+            |{"name":"file_format","type":"string"},
+            |{"name":"record_count","type":"long"},
+            |{"name":"file_size_in_bytes","type":"long"}]}}]}"""
+            .stripMargin.replaceAll("\n", ""))
+        val listSchema = new org.apache.avro.Schema.Parser().parse(
+          """{"type":"record","name":"manifest_file","fields":[
+            |{"name":"manifest_path","type":"string"},
+            |{"name":"manifest_length","type":"long"}]}"""
+            .stripMargin.replaceAll("\n", ""))
+        def writeAvro(f: java.io.File, schema: org.apache.avro.Schema,
+            recs: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+          val w = new org.apache.avro.file.DataFileWriter(
+            new org.apache.avro.generic.GenericDatumWriter[
+              org.apache.avro.generic.GenericRecord](schema))
+          w.create(schema, f)
+          recs.foreach(w.append)
+          w.close()
+        }
+        // "external engine": stage each odd half under its table
+        // location and author its avro manifest chain
+        def stageExt(table: String,
+            df: org.apache.spark.sql.DataFrame): java.io.File = {
+          val extDir = new java.io.File(
+            cat.storage.absolute(s"data/ns1/$table/files/ext"))
+          // rerun-safe: prior invocations' staged files would double
+          if (extDir.isDirectory) extDir.listFiles().foreach(_.delete())
+          extDir.mkdirs()
+          df.coalesce(1).write.mode("append").parquet(extDir.toString)
+          val rows = s.read.parquet(extDir.toString).count()
+          val entries = extDir.listFiles()
+            .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+              val dfr = new org.apache.avro.generic.GenericData.Record(
+                entrySchema.getField("data_file").schema())
+              dfr.put("file_path", f.getAbsolutePath)
+              dfr.put("file_format", "PARQUET")
+              dfr.put("record_count", rows) // coalesce(1): one file
+              dfr.put("file_size_in_bytes", f.length())
+              val e = new org.apache.avro.generic.GenericData.Record(
+                entrySchema)
+              e.put("status", 1)
+              e.put("data_file", dfr)
+              e
+            }
+          val mf = new java.io.File(extDir, "client-m0.avro")
+          writeAvro(mf, entrySchema, entries)
+          val row = new org.apache.avro.generic.GenericData.Record(listSchema)
+          row.put("manifest_path", mf.getAbsolutePath)
+          row.put("manifest_length", mf.length())
+          val ml = new java.io.File(extDir, "client-ml0.avro")
+          writeAvro(ml, listSchema, Seq(row))
+          ml
+        }
+        val mlOrd = stageExt("ord", s.read.parquet(s"$d/orders.parquet")
+          .filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice"))
+        val mlCust = stageExt("cust", s.read.parquet(s"$d/customer.parquet")
+          .filter(col("c_custkey") % 2 === 1)
+          .select("c_custkey", "c_acctbal"))
+        val server = new graft.serve.CatalogHttpServer(cat.storage)
+        val port = server.start()
+        try {
+          val client = java.net.http.HttpClient.newHttpClient()
+          def get(path: String) = client.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+              s"http://127.0.0.1:$port$path")).GET().build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          def post(path: String, body: String) = client.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+              s"http://127.0.0.1:$port$path"))
+              .header("Content-Type", "application/json")
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+              .build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          def snapOf(table: String): Long = {
+            val load = get(s"/v1/iceberg/namespaces/ns1/tables/$table")
+            require(load.statusCode() == 200, load.body())
+            graft.objects.Json.mapper.readTree(load.body())
+              .get("metadata").get("current-snapshot-id").asLong()
+          }
+          def change(table: String, basedOn: Long,
+              ml: java.io.File): String =
+            s"""{"identifier":{"namespace":["ns1"],"name":"$table"},
+               |"requirements":[
+               |  {"type":"assert-ref-snapshot-id","ref":"main",
+               |   "snapshot-id":$basedOn}],
+               |"updates":[
+               |  {"action":"add-snapshot","snapshot":{
+               |    "snapshot-id":1,"sequence-number":1,"timestamp-ms":1,
+               |    "manifest-list":"${ml.getAbsolutePath}",
+               |    "summary":{"operation":"append"}}},
+               |  {"action":"set-snapshot-ref","ref-name":"main",
+               |   "type":"branch","snapshot-id":1}]}"""
+              .stripMargin.replaceAll("\n", "")
+          val snapOrd = snapOf("ord")
+          val snapCust = snapOf("cust")
+          // stale guard on the SECOND change: the whole transaction
+          // must abort — the first table's change must NOT land
+          val bad = post("/v1/iceberg/transactions/commit",
+            s"""{"table-changes":[${change("ord", snapOrd, mlOrd)},
+               |${change("cust", -12345L, mlCust)}]}""".stripMargin
+              .replaceAll("\n", ""))
+          require(bad.statusCode() == 409,
+            s"stale multi-table txn must 409: ${bad.statusCode()} ${bad.body()}")
+          require(snapOf("ord") == snapOrd,
+            "aborted transaction moved table ord — atomicity broken")
+          // correct guards: both changes land in one root swap
+          val ok = post("/v1/iceberg/transactions/commit",
+            s"""{"table-changes":[${change("ord", snapOrd, mlOrd)},
+               |${change("cust", snapCust, mlCust)}]}""".stripMargin
+              .replaceAll("\n", ""))
+          require(ok.statusCode() == 204,
+            s"REST transaction failed: ${ok.statusCode()} ${ok.body()}")
+        } finally server.stop()
+        s.sql("""SELECT 'cust' AS src, count(*) AS n,
+                        round(sum(c_acctbal), 2) AS total
+                 FROM gtx.ns1.cust
+                 UNION ALL
+                 SELECT 'ord', count(*), round(sum(o_totalprice), 2)
+                 FROM gtx.ns1.ord
+                 ORDER BY src""")
+      },
+      Some("""SELECT 'cust' AS src, count(*) AS n,
+             |       round(sum(c_acctbal), 2) AS total
+             |FROM customer
+             |UNION ALL
+             |SELECT 'ord', count(*), round(sum(o_totalprice), 2)
+             |FROM orders
+             |ORDER BY src""".stripMargin)),
+
+    QueryDef(
       "c44_snapshot_pin",
       (s, d) => {
         // Table-level snapshot-id time travel: `VERSION AS OF

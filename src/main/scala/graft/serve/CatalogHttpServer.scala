@@ -36,7 +36,10 @@ import graft.txn.Transaction
   * overwrites (removed + added files) and row-level delete-manifest
   * commits (position/equality delete files, transcoded into native
   * delete objects) — external engines race native writers through the
-  * same optimistic root protocol. Listing endpoints honor the spec's
+  * same optimistic root protocol. `POST /transactions/commit` takes
+  * the spec's multi-table CommitTransactionRequest and lands every
+  * table change in one native transaction — atomic across tables
+  * ([[IcebergCommits.commitTransaction]]). Listing endpoints honor the spec's
   * `pageToken`/`pageSize` query params, each page a strictly-after
   * key-interval scan of the catalog tree ([[graft.tree.TreeOps
   * .traverseFrom]]) so one page of a billion-object namespace costs
@@ -256,6 +259,13 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0,
         reply(ex, 200, IcebergRest.loadViewResult(vd,
           storage.absolute(s"def/view/$ns-$v"), storage.root))
       }
+    case ("POST", List("transactions", "commit")) =>
+      // CommitTransactionRequest: every table change lands in ONE
+      // native graft transaction — atomic across tables, decided by
+      // the same optimistic root race as in-process writers
+      IcebergCommits.commitTransaction(storage,
+        Json.mapper.readTree(requestBody(ex)))
+      replyEmpty(ex, 204)
     case _ =>
       reply(ex, 404,
         IcebergRest.errorResponse(404, "NoSuchRouteException", "no such route"))

@@ -11,7 +11,7 @@ import graft.objects.{Json, ObjectKeys, TableDef}
 import graft.spark.{ColumnMapping, GraftCatalog}
 import graft.storage.StorageOps
 import graft.tree.{TreeOps, TreeRoot}
-import graft.txn.{Action, ActionType}
+import graft.txn.{Action, ActionType, Transaction}
 import org.apache.spark.sql.types._
 
 /** External COMMITS through the REST facade: the PUBLIC Apache
@@ -79,7 +79,52 @@ object IcebergCommits {
     * requirements.
     */
   def commit(storage: StorageOps, ns: String, t: String,
-      body: JsonNode): Unit = {
+      body: JsonNode): Unit =
+    inOneTxn(storage)(txn => stage(storage, txn, ns, t, body))
+
+  /** The spec's `POST /v1/{prefix}/transactions/commit`
+    * (CommitTransactionRequest: `table-changes`, each a
+    * CommitTableRequest plus its `identifier`). Every change stages
+    * into ONE native graft transaction and the whole set commits with
+    * a single root swap — genuinely atomic across tables, the
+    * native multi-object transaction the reference's catalog protocol
+    * is built around (stock Iceberg REST catalogs typically only
+    * best-effort this). A failed requirement or malformed change in
+    * ANY entry aborts the whole transaction: no table moves.
+    */
+  def commitTransaction(storage: StorageOps, body: JsonNode): Unit = {
+    val changes = body.get("table-changes")
+    require(changes != null && changes.isArray && changes.size() > 0,
+      "transaction body needs a non-empty table-changes array")
+    val parsed = (0 until changes.size()).map { i =>
+      val c = changes.get(i)
+      val ident = c.get("identifier")
+      require(ident != null, s"table change $i lacks an identifier")
+      val nsArr = ident.get("namespace")
+      require(nsArr != null && nsArr.isArray && nsArr.size() == 1,
+        "graft namespaces are single-level")
+      val t = ident.path("name").asText()
+      require(t.nonEmpty, s"table change $i lacks a table name")
+      (nsArr.get(0).asText(), t, c)
+    }
+    inOneTxn(storage)(txn =>
+      parsed.foreach { case (ns, t, c) => stage(storage, txn, ns, t, c) })
+  }
+
+  private def inOneTxn(storage: StorageOps)(f: Transaction => Unit): Unit = {
+    val txn = Graft.beginTransaction(storage)
+    try { f(txn); Graft.commitTransaction(storage, txn); () }
+    finally txn.close()
+  }
+
+  /** Parse, validate, and apply one table change against `txn`'s
+    * running root; later changes in the same transaction observe
+    * earlier ones (the running root advances), and each change's
+    * replay closure re-applies — with its requirement guard — on a
+    * lost root race.
+    */
+  private def stage(storage: StorageOps, txn: Transaction, ns: String,
+      t: String, body: JsonNode): Unit = {
     val updates = body.get("updates")
     require(updates != null && updates.isArray && updates.size() > 0,
       "commit body needs a non-empty updates array")
@@ -159,8 +204,7 @@ object IcebergCommits {
     (cs.posObjs ++ cs.eqObjs).foreach(o => require(storage.exists(o.rel),
       s"committed delete file does not exist: ${o.rel}"))
 
-    val txn = Graft.beginTransaction(storage)
-    try {
+    {
       // requirements check against the transaction's consistent root
       val td = Graft.describeTable(storage, txn, ns, t)
       val meta = TableMetadata.read(storage, td.metadataLocation)
@@ -330,9 +374,8 @@ object IcebergCommits {
         else ActionType.TableInsert,
         ObjectKeys.tableKey(ns, t, cd),
         Map("files" -> cs.adds.map(_.path).mkString(","))))
-      Graft.commitTransaction(storage, txn)
       ()
-    } finally txn.close()
+    }
   }
 
   /** Apply the edit, mapping the edit layer's reference-validation

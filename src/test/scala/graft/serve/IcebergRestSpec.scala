@@ -1421,4 +1421,71 @@ class IcebergRestSpec extends AnyFunSuite {
     walk(node)
     out.toSeq
   }
+
+  test("a multi-table REST transaction commits atomically — all or nothing") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.tx")
+    spark.sql("CREATE TABLE ir.tx.a (k BIGINT, v STRING)")
+    spark.sql("CREATE TABLE ir.tx.b (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO ir.tx.a VALUES (1, 'a1')")
+    spark.sql("INSERT INTO ir.tx.b VALUES (1, 'b1')")
+    val (server, port) = startServer()
+    try {
+      // the "external engine" stages one data file per table
+      def stage(t: String): (java.io.File, java.io.File) = {
+        val extDir = new java.io.File(s"$warehouse/data/tx/$t/files/ext")
+        extDir.mkdirs()
+        val dir = new java.io.File(extDir, "add")
+        spark.sql(s"SELECT CAST(2 AS BIGINT) AS k, 'x2' AS v")
+          .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+        (extDir, dir.listFiles().find(_.getName.endsWith(".parquet")).get)
+      }
+      val (dirA, fA) = stage("a")
+      val (dirB, fB) = stage("b")
+      val mlA = ClientAvro.manifestList(dirA, "txa", Seq(
+        (0, Seq(ClientAvro.entry(1, 0, fA.getAbsolutePath, 1L, fA.length())))))
+      val mlB = ClientAvro.manifestList(dirB, "txb", Seq(
+        (0, Seq(ClientAvro.entry(1, 0, fB.getAbsolutePath, 1L, fB.length())))))
+      def change(t: String, basedOn: Long, ml: java.io.File): String =
+        s"""{"identifier":{"namespace":["tx"],"name":"$t"},
+           |"requirements":[{"type":"assert-ref-snapshot-id","ref":"main",
+           | "snapshot-id":$basedOn}],
+           |"updates":[
+           |  {"action":"add-snapshot","snapshot":{
+           |    "snapshot-id":1,"sequence-number":1,"timestamp-ms":1,
+           |    "manifest-list":"${ml.getAbsolutePath}",
+           |    "summary":{"operation":"append"}}},
+           |  {"action":"set-snapshot-ref","ref-name":"main",
+           |   "type":"branch","snapshot-id":1}]}"""
+          .stripMargin.replaceAll("\n", "")
+      val snapA = loadMeta(port, "tx", "a").get("current-snapshot-id").asLong()
+      val snapB = loadMeta(port, "tx", "b").get("current-snapshot-id").asLong()
+      // a stale guard on table b (staged SECOND) aborts the whole
+      // transaction: table a, staged first, must not move either
+      val (cBad, bodyBad) = send(port, "POST",
+        "/v1/iceberg/transactions/commit",
+        s"""{"table-changes":[${change("a", snapA, mlA)},
+           |${change("b", -12345L, mlB)}]}""".stripMargin
+          .replaceAll("\n", ""))
+      assert(cBad == 409, s"$cBad $bodyBad")
+      assert(spark.table("ir.tx.a").count() == 1,
+        "aborted transaction must not land table a's change")
+      assert(spark.table("ir.tx.b").count() == 1)
+      // correct guards: both changes land in one root swap
+      val (cOk, bodyOk) = send(port, "POST",
+        "/v1/iceberg/transactions/commit",
+        s"""{"table-changes":[${change("a", snapA, mlA)},
+           |${change("b", snapB, mlB)}]}""".stripMargin
+          .replaceAll("\n", ""))
+      assert(cOk == 204, s"$cOk $bodyOk")
+      assert(spark.table("ir.tx.a").orderBy("k").collect()
+        .map(_.getString(1)).toSeq == Seq("a1", "x2"))
+      assert(spark.table("ir.tx.b").orderBy("k").collect()
+        .map(_.getString(1)).toSeq == Seq("b1", "x2"))
+      // malformed change (no identifier) → 400; empty set → 400
+      assert(send(port, "POST", "/v1/iceberg/transactions/commit",
+        """{"table-changes":[{"updates":[]}]}""")._1 == 400)
+      assert(send(port, "POST", "/v1/iceberg/transactions/commit",
+        """{"table-changes":[]}""")._1 == 400)
+    } finally server.stop()
+  }
 }

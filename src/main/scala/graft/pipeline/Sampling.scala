@@ -156,6 +156,41 @@ object Sampling {
              |       CAST(max(n_l) AS BIGINT) AS n_total,
              |       max(p) AS keep_rate
              |FROM kept WHERE bucket < p * 256.0
-             |GROUP BY lang ORDER BY lang""".stripMargin))
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      "sp05_stratified_topk",
+      (s, d) => {
+        // Exactly-k-per-stratum carving (held-out eval sets, human-
+        // review batches): every language contributes its k=20 docs
+        // with the LOWEST md5(doc_id) — content-stable rank, so
+        // re-runs and other engines carve the identical set, unlike
+        // a `LIMIT k` whose rows depend on scan order. The top-k is
+        // TWO-PHASE: per-partition heads first (row_number inside
+        // (lang, partition)), then the global rank runs over ≤ P·k
+        // survivors per language — no language funnels its whole
+        // corpus through one reducer.
+        val k = 20
+        val docs = table(s, d, "documents")
+          .withColumn("h", md5(col("doc_id").cast("string")))
+        val local = Window.partitionBy("lang", "pid")
+          .orderBy(col("h"), col("doc_id"))
+        val global = Window.partitionBy("lang")
+          .orderBy(col("h"), col("doc_id"))
+        docs
+          .withColumn("pid", spark_partition_id())
+          .withColumn("lr", row_number().over(local))
+          .filter(col("lr") <= k)
+          .withColumn("rank", row_number().over(global))
+          .filter(col("rank") <= k)
+          .select(col("lang"), col("doc_id"), col("rank"))
+          .orderBy("lang", "rank")
+      },
+      Some("""SELECT lang, doc_id, CAST(r AS INT) AS rank FROM (
+             |  SELECT lang, doc_id, row_number() OVER (
+             |    PARTITION BY lang
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+             |  FROM documents)
+             |WHERE r <= 20 ORDER BY lang, rank""".stripMargin))
   )
 }

@@ -453,6 +453,48 @@ object TextAnalysis {
              |SELECT lang, CAST(sum(c) AS BIGINT) AS total_tokens,
              |       round(CAST(sum(CASE WHEN r <= 10 THEN c END) AS DOUBLE)
              |             / CAST(sum(c) AS DOUBLE), 4) AS coverage
-             |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      "ta14_unigram_logprob",
+      (s, d) => {
+        // CCNet-style unigram LM scoring: each document's mean
+        // log10-probability under the corpus's own unigram
+        // distribution — the "perplexity filter" signal that ranks
+        // fluent text above word salad and near-empty boilerplate.
+        // Per-doc word counts pre-aggregate BEFORE the frequency join
+        // (each doc contributes each word once), which both shrinks
+        // the join input and defuses stopword skew — the hot "the"
+        // key joins once per document, not once per occurrence. The
+        // vocabulary total is a single scalar aggregate; at 100 TB the
+        // join shuffles on uniformly-hashed words with AQE skew-join
+        // as the backstop.
+        val wdoc = table(s, d, "documents")
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("doc_id", "w")
+          .agg(count(lit(1)).as("k"))
+        val freq = wdoc.groupBy("w").agg(sum("k").as("c"))
+        val total = freq.agg(sum("c")).head.getLong(0).toDouble
+        wdoc.join(freq, "w")
+          .groupBy("doc_id")
+          .agg(sum("k").as("n_words"),
+            round(
+              sum(col("k") * log10(col("c").cast("double") / lit(total))) /
+                sum("k"), 4).as("logprob"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id,
+             |         unnest(string_split_regex(trim(text), '\s+')) AS w
+             |  FROM documents),
+             |w2 AS (SELECT doc_id, w FROM words WHERE length(w) > 0),
+             |freq AS (SELECT w, count(*) AS c FROM w2 GROUP BY w),
+             |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq)
+             |SELECT doc_id, count(*) AS n_words,
+             |       round(avg(log10(CAST(c AS DOUBLE) / n)), 4) AS logprob
+             |FROM w2 JOIN freq USING (w), tot
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -43,6 +43,38 @@ object GraftFunctions {
         val n = exprs(3).eval(null).asInstanceOf[Int]
         NearestCentroids(exprs(0), matrix, ids, n)
       }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_pq_encode", exprs => {
+        PqEncode(exprs(0), decode3d(exprs(1)))
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_pq_adc", exprs => {
+        val qids = exprs(2).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toLongArray()
+        val qnorms = exprs(4).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray()
+        PqAdcCosine(exprs(0), exprs(1), qids, decode3d(exprs(3)), qnorms,
+          decode2d(exprs(5)))
+      }, "built-in")
+  }
+
+  private def decode2d(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Array[Array[Double]] = {
+    val ad = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+  }
+
+  private def decode3d(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Array[Array[Array[Double]]] = {
+    val ad = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Array.tabulate(ad.numElements()) { i =>
+      val inner = ad.getArray(i)
+      Array.tabulate(inner.numElements())(j => inner.getArray(j).toDoubleArray())
+    }
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine_sim", a, b)
@@ -60,4 +92,11 @@ object GraftFunctions {
   def nearestCentroids(v: Column, cents: Seq[Seq[Double]], cids: Seq[Long],
       n: Int): Column =
     call_function("graft_nearest_cells", v, typedlit(cents), typedlit(cids), lit(n))
+  def pqEncode(v: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
+    call_function("graft_pq_encode", v, typedlit(codebook))
+  def pqAdc(code: Column, qid: Column, qids: Seq[Long],
+      dtables: Seq[Seq[Seq[Double]]], qnorms: Seq[Double],
+      cnorm2: Seq[Seq[Double]]): Column =
+    call_function("graft_pq_adc", code, qid, typedlit(qids),
+      typedlit(dtables), typedlit(qnorms), typedlit(cnorm2))
 }

@@ -226,6 +226,125 @@ case class NearestCentroids(child: Expression,
     copy(child = c)
 }
 
+/** pq_encode(v) — product-quantization codes of `v`: the vector
+  * splits into `m` contiguous subvectors and each maps to the id of
+  * its nearest (L2) centroid in that subspace's codebook. Output is
+  * `m` small ints (4-bit cells at ksub = 16) — the 32× memory
+  * compression that lets a 100 TB embedding corpus scan from RAM.
+  * The codebook is a plan-time constant (m × ksub × sub-dim doubles —
+  * KBs), so encoding is a pure map-side expression like
+  * [[NearestCentroids]].
+  */
+case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(codebook.nonEmpty && codebook.forall(_.nonEmpty))
+
+  private val m = codebook.length
+  private val subDim = codebook(0)(0).length
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val getE: (ArrayData, Int) => Double =
+    child.dataType match {
+      case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+      case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+      case other =>
+        throw new IllegalArgumentException(s"expected array<float|double>, got $other")
+    }
+
+  /** Public so generated code can call through the reference object. */
+  def encode(a: ArrayData): ArrayData = {
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cents = codebook(j)
+      val base = j * subDim
+      var best = 0; var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cents.length) {
+        val w = cents(c)
+        var dist = 0.0; var i = 0
+        while (i < subDim) {
+          val diff = getE(a, base + i) - w(i)
+          dist += diff * diff; i += 1
+        }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override def nullSafeEval(v: Any): Any = encode(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqenc", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.encode($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** pq_adc(code, qid) — asymmetric-distance cosine of a PQ code
+  * against query `qid`, via per-query LOOKUP TABLES: the dot product
+  * of query-subvector × centroid is precomputed for every (subspace,
+  * cell), so scoring a candidate costs O(m) table lookups instead of
+  * O(dim) multiplies — the ADC scan that makes a PQ index fast. The
+  * reconstruction norm comes from a codebook-wide `cnorm2` table
+  * (query-independent). Tables are plan-time constants: queries ×
+  * m × ksub doubles, bounded like the IVF centroid matrix.
+  */
+case class PqAdcCosine(left: Expression, right: Expression,
+    qids: Array[Long], dtables: Array[Array[Array[Double]]],
+    qnorms: Array[Double], cnorm2: Array[Array[Double]])
+    extends VectorBinaryExpression {
+  require(qids.length == dtables.length && qids.length == qnorms.length)
+
+  // boxed key/value types: a Scala-primitive map would UNBOX a missing
+  // key's null to 0 and silently score against query 0
+  @transient private lazy val byQid
+      : java.util.HashMap[java.lang.Long, java.lang.Integer] = {
+    val h = new java.util.HashMap[java.lang.Long, java.lang.Integer](
+      qids.length * 2)
+    qids.indices.foreach(i => h.put(qids(i), i))
+    h
+  }
+
+  /** Public so generated code can call through the reference object. */
+  def score(codeAd: ArrayData, qid: Long): Any = {
+    val qi = byQid.get(qid)
+    if (qi == null) return null
+    val dt = dtables(qi.intValue)
+    val m = math.min(codeAd.numElements(), dt.length)
+    var dot = 0.0; var r2 = 0.0; var j = 0
+    while (j < m) {
+      val c = codeAd.getInt(j)
+      dot += dt(j)(c); r2 += cnorm2(j)(c); j += 1
+    }
+    val denom = qnorms(qi) * math.sqrt(r2)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    score(l.asInstanceOf[ArrayData], r.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqadc", this, classOf[PqAdcCosine].getName)
+    nullSafeCodeGen(ctx, ev, (code, qid) => s"""
+      |Object r = $ref.score($code, $qid);
+      |if (r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = ((Double) r).doubleValue(); }
+    """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
 /** dot_product(a, b) — inner product of two numeric arrays. */
 case class DotProduct(left: Expression, right: Expression)
     extends VectorBinaryExpression {

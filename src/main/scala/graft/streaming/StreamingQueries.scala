@@ -429,7 +429,57 @@ object StreamingQueries {
              |                       WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS bal
              |  FROM customer)
              |SELECT ver, count(*) AS n, round(sum(bal), 2) AS total
-             |FROM latest GROUP BY ver ORDER BY ver""".stripMargin))
+             |FROM latest GROUP BY ver ORDER BY ver""".stripMargin)),
+
+    QueryDef(
+      "st09_stream_stream_join",
+      (s, d) => {
+        // Stream-STREAM interval join (attribution): every purchase a
+        // user makes within 30 minutes of their click joins to that
+        // click. Both sides are watermarked and the join condition
+        // bounds event time on both ends, so Spark's state store
+        // retains each side only inside the watermark horizon — state
+        // is bounded by (rate × window), not by stream length, which
+        // is what lets the same query run forever on an unbounded
+        // production stream. The oracle is the equivalent batch
+        // interval self-join: streamed results must equal batch.
+        val sink =
+          s"st09_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val (schema, tsUs) = eventsTs(s, d)
+        def side(tpe: String, p: String) = s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .withColumn("event_ts", timestamp_micros(tsUs))
+          .filter(col("event_type") === tpe)
+          .select(col("user_id").as(s"${p}_user"),
+            col("event_ts").as(s"${p}_ts"),
+            col("value").as(s"${p}_value"))
+          .withWatermark(s"${p}_ts", "1 hour")
+        val joined = side("click", "c").join(side("purchase", "p"),
+          col("p_user") === col("c_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+        val q = joined.writeStream
+          .format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+          .agg(count(lit(1)).as("n_pairs"),
+            count_distinct(col("c_user")).as("n_users"),
+            round(sum("p_value"), 2).as("attributed_value"))
+      },
+      Some("""SELECT count(*) AS n_pairs,
+             |       count(DISTINCT c.user_id) AS n_users,
+             |       round(sum(p.value), 2) AS attributed_value
+             |FROM events c JOIN events p
+             |  ON p.user_id = c.user_id
+             | AND c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND epoch_us(p.ts) >= epoch_us(c.ts)
+             | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000"""
+        .stripMargin))
   )
 
 }

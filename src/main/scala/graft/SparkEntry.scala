@@ -21,6 +21,7 @@ object SparkEntry {
       graft.pipeline.Dedup.defs ++
       graft.pipeline.Similarity.defs ++
       graft.pipeline.Multimodal.defs ++
+      graft.pipeline.Sketches.defs ++
       graft.streaming.StreamingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

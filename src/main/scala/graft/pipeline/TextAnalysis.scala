@@ -495,6 +495,81 @@ object TextAnalysis {
              |SELECT doc_id, count(*) AS n_words,
              |       round(avg(log10(CAST(c AS DOUBLE) / n)), 4) AS logprob
              |FROM w2 JOIN freq USING (w), tot
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "ta15_pii_redact",
+      (s, d) => {
+        // PII scrubbing: regex redaction of emails / phone numbers /
+        // IPv4s into typed placeholder tokens — the pre-training
+        // compliance pass. The driver corpus carries no PII, so each
+        // doc first gets DETERMINISTIC synthetic PII derived from its
+        // doc_id (both engines build the identical augmented text);
+        // redaction then grades real transforms: per-kind match
+        // counts plus the md5 of the redacted text. Scan-local,
+        // whole-stage-codegen regex — no shuffle, no UDF.
+        val email = "[A-Za-z0-9.+_-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\+1-555-[0-9]{4}"
+        val ip = "10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}"
+        val aug = table(s, d, "documents")
+          .withColumn("aug", concat(
+            col("text"),
+            when(col("doc_id") % 2 === 0,
+              concat(lit(" mail user"), col("doc_id").cast("string"),
+                lit("@example.com"))).otherwise(lit("")),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" call +1-555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" host 10.0."),
+                (col("doc_id") % 256).cast("string"), lit("."),
+                expr("(doc_id div 256) % 256").cast("string")))
+              .otherwise(lit(""))))
+        aug
+          .withColumn("red",
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("aug"), email, "<EMAIL>"),
+                phone, "<PHONE>"),
+              ip, "<IP>"))
+          .select(col("doc_id"),
+            regexp_count(col("aug"), lit(email)).as("n_email"),
+            regexp_count(col("aug"), lit(phone)).as("n_phone"),
+            regexp_count(col("aug"), lit(ip)).as("n_ip"),
+            md5(col("red")).as("red_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 2 = 0 THEN ' mail user' ||
+             |      CAST(doc_id AS VARCHAR) || '@example.com'
+             |      ELSE '' END ||
+             |    CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-' ||
+             |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |      ELSE '' END ||
+             |    CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.' ||
+             |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+             |      CAST((doc_id // 256) % 256 AS VARCHAR)
+             |      ELSE '' END AS aug
+             |  FROM documents),
+             |red AS (
+             |  SELECT doc_id, aug,
+             |    regexp_replace(regexp_replace(regexp_replace(aug,
+             |      '[A-Za-z0-9.+_-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |      '<EMAIL>', 'g'),
+             |      '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+             |      '10\.0\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS red
+             |  FROM aug)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(aug,
+             |    '[A-Za-z0-9.+_-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+             |    AS n_email,
+             |  CAST(len(regexp_extract_all(aug,
+             |    '\+1-555-[0-9]{4}')) AS INT) AS n_phone,
+             |  CAST(len(regexp_extract_all(aug,
+             |    '10\.0\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ip,
+             |  md5(red) AS red_md5
+             |FROM red ORDER BY doc_id""".stripMargin))
   )
 }

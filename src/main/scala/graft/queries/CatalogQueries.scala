@@ -2044,6 +2044,78 @@ object CatalogQueries {
              |ORDER BY src""".stripMargin)),
 
     QueryDef(
+      "c51_iceberg_rest_view",
+      (s, d) => {
+        // External VIEW interop: an external engine creates a view
+        // over the Iceberg REST view plane (CreateViewRequest with a
+        // spark-dialect SQL representation), a native session executes
+        // it, then the engine REPLACES the view through the commit
+        // shape (add-view-version + set-current-view-version = -1,
+        // guarded by assert-view-uuid) and the native read must follow
+        // the new definition — matching DuckDB over the raw input.
+        val cat = ensureCatalog(s, "gvw")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gvw.ns1")
+        s.sql("DROP VIEW IF EXISTS gvw.ns1.ordv")
+        s.sql("DROP TABLE IF EXISTS gvw.ns1.ord")
+        s.sql("CREATE TABLE gvw.ns1.ord (o_orderkey BIGINT, " +
+          "o_orderstatus STRING, o_totalprice DOUBLE)")
+        s.sql(s"""INSERT INTO gvw.ns1.ord
+                  SELECT o_orderkey, o_orderstatus, o_totalprice
+                  FROM parquet.`$d/orders.parquet`""")
+        val viewSchema =
+          """{"type":"struct","schema-id":0,"fields":[
+            |{"id":1,"name":"status","required":false,"type":"string"},
+            |{"id":2,"name":"n","required":false,"type":"long"},
+            |{"id":3,"name":"total","required":false,"type":"double"}]}"""
+            .stripMargin.replaceAll("\n", "")
+        def versionJson(vid: Int, where: String) =
+          s"""{"version-id":$vid,"schema-id":-1,"timestamp-ms":$vid,
+             |"summary":{},"default-namespace":["ns1"],
+             |"representations":[{"type":"sql","dialect":"spark",
+             |"sql":"SELECT o_orderstatus AS status, count(*) AS n,
+             | round(sum(o_totalprice), 2) AS total FROM gvw.ns1.ord
+             | $where GROUP BY o_orderstatus"}]}"""
+            .stripMargin.replaceAll("\n", "")
+        val server = new graft.serve.CatalogHttpServer(cat.storage)
+        val port = server.start()
+        try {
+          val client = java.net.http.HttpClient.newHttpClient()
+          def post(path: String, body: String) = client.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+              s"http://127.0.0.1:$port$path"))
+              .header("Content-Type", "application/json")
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+              .build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          val create = post("/v1/iceberg/namespaces/ns1/views",
+            s"""{"name":"ordv","schema":$viewSchema,
+               |"view-version":${versionJson(1, "WHERE o_orderkey % 2 = 0")}}"""
+              .stripMargin.replaceAll("\n", ""))
+          require(create.statusCode() == 200,
+            s"REST view create failed: ${create.statusCode()} ${create.body()}")
+          // the half-table view must execute natively before replace
+          val half = s.sql("SELECT sum(n) FROM gvw.ns1.ordv").head.getLong(0)
+          require(half > 0, "REST-created view returned no rows")
+          val uuid = java.util.UUID.nameUUIDFromBytes(
+            "ns1.ordv".getBytes("UTF-8")).toString
+          val replace = post("/v1/iceberg/namespaces/ns1/views/ordv",
+            s"""{"requirements":[{"type":"assert-view-uuid","uuid":"$uuid"}],
+               |"updates":[
+               |  {"action":"add-view-version",
+               |   "view-version":${versionJson(2, "")}},
+               |  {"action":"set-current-view-version","view-version-id":-1}]}"""
+              .stripMargin.replaceAll("\n", ""))
+          require(replace.statusCode() == 200,
+            s"REST view replace failed: ${replace.statusCode()} ${replace.body()}")
+        } finally server.stop()
+        s.sql("SELECT * FROM gvw.ns1.ordv ORDER BY status")
+      },
+      Some("""SELECT o_orderstatus AS status, count(*) AS n,
+             |       round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY o_orderstatus ORDER BY status"""
+        .stripMargin)),
+
+    QueryDef(
       "c44_snapshot_pin",
       (s, d) => {
         // Table-level snapshot-id time travel: `VERSION AS OF

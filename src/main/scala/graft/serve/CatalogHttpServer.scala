@@ -259,6 +259,40 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0,
         reply(ex, 200, IcebergRest.loadViewResult(vd,
           storage.absolute(s"def/view/$ns-$v"), storage.root))
       }
+    case ("POST", List("namespaces", ns, "views")) =>
+      // CreateViewRequest: the SQL executes natively in Spark sessions
+      val vd = IcebergViews.fromCreateRequest(ns,
+        Json.mapper.readTree(requestBody(ex)))
+      val conflict =
+        try { inWriteTxn(txn => Graft.createView(storage, txn, vd)); None }
+        catch {
+          case e: IllegalArgumentException
+              if String.valueOf(e.getMessage).contains("already exists") =>
+            Some(e) // the spec's view-create conflict is 409, not 400
+        }
+      conflict match {
+        case Some(e) => reply(ex, 409, IcebergRest.errorResponse(409,
+          "AlreadyExistsException", String.valueOf(e.getMessage)))
+        case None => replyLoadView(ex, ns, vd.name)
+      }
+    case ("POST", List("namespaces", ns, "views", v)) =>
+      // UpdateViewRequest (CREATE OR REPLACE subset): the new version
+      // builds over the CURRENT def and lands through the same
+      // optimistic root race as a native REPLACE VIEW
+      val body = Json.mapper.readTree(requestBody(ex))
+      inWriteTxn { txn =>
+        val cur = Graft.describeView(storage, txn, ns, v)
+        Graft.createView(storage, txn,
+          IcebergViews.applyCommit(storage, ns, v, cur, body),
+          replace = true)
+      }
+      replyLoadView(ex, ns, v)
+    case ("HEAD", List("namespaces", ns, "views", v)) =>
+      val exists = withReadTxn(txn => Graft.viewExists(storage, txn, ns, v))
+      replyEmpty(ex, if (exists) 204 else 404)
+    case ("DELETE", List("namespaces", ns, "views", v)) =>
+      inWriteTxn(txn => Graft.dropView(storage, txn, ns, v))
+      replyEmpty(ex, 204)
     case ("POST", List("transactions", "commit")) =>
       // CommitTransactionRequest: every table change lands in ONE
       // native graft transaction — atomic across tables, decided by
@@ -305,6 +339,13 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0,
           storage.absolute(FileLocations.tableDataDir(ns, t)),
           manifests.manifestLists))
       }
+    }
+
+  private def replyLoadView(ex: HttpExchange, ns: String, v: String): Unit =
+    withReadTxn { txn =>
+      val vd = Graft.describeView(storage, txn, ns, v)
+      reply(ex, 200, IcebergRest.loadViewResult(vd,
+        storage.absolute(s"def/view/$ns-$v"), storage.root))
     }
 
   private def replyEmpty(ex: HttpExchange, code: Int): Unit =

@@ -1422,6 +1422,70 @@ class IcebergRestSpec extends AnyFunSuite {
     out.toSeq
   }
 
+  test("views create, replace, and drop over the Iceberg REST view plane") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.vw")
+    spark.sql("CREATE TABLE ir.vw.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO ir.vw.t VALUES (1,'a'), (2,'b'), (3,'c')")
+    val (server, port) = startServer()
+    try {
+      val schemaJson =
+        """{"type":"struct","schema-id":0,"fields":[
+          |{"id":1,"name":"k","required":false,"type":"long"}]}"""
+          .stripMargin.replaceAll("\n", "")
+      def versionJson(vid: Int, sql: String) =
+        s"""{"version-id":$vid,"schema-id":-1,"timestamp-ms":$vid,
+           |"summary":{},"default-namespace":["vw"],
+           |"representations":[{"type":"sql","sql":"$sql",
+           |"dialect":"spark"}]}""".stripMargin.replaceAll("\n", "")
+      val createBody =
+        s"""{"name":"big","schema":$schemaJson,
+           |"view-version":${versionJson(1,
+              "SELECT k FROM ir.vw.t WHERE k >= 2")},
+           |"properties":{"owner":"ext"}}""".stripMargin.replaceAll("\n", "")
+      val (cc, cb) = send(port, "POST", "/v1/iceberg/namespaces/vw/views",
+        createBody)
+      assert(cc == 200, cb)
+      // the REST-created view executes natively
+      assert(spark.sql("SELECT * FROM ir.vw.big ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq == Seq(2L, 3L))
+      // duplicate create is the spec's 409, not a 400
+      assert(send(port, "POST", "/v1/iceberg/namespaces/vw/views",
+        createBody)._1 == 409)
+      assert(send(port, "HEAD", "/v1/iceberg/namespaces/vw/views/big")._1 == 204)
+      // replace through the commit shape, guarded by the view uuid
+      val uuid = java.util.UUID.nameUUIDFromBytes(
+        "vw.big".getBytes("UTF-8")).toString
+      def commitBody(u: String) =
+        s"""{"requirements":[{"type":"assert-view-uuid","uuid":"$u"}],
+           |"updates":[
+           |  {"action":"add-view-version","view-version":${versionJson(2,
+                "SELECT k FROM ir.vw.t WHERE k = 1")}},
+           |  {"action":"set-current-view-version","view-version-id":-1}]}"""
+          .stripMargin.replaceAll("\n", "")
+      assert(send(port, "POST", "/v1/iceberg/namespaces/vw/views/big",
+        commitBody("11111111-1111-1111-1111-111111111111"))._1 == 409)
+      val (rc, rb) = send(port, "POST",
+        "/v1/iceberg/namespaces/vw/views/big", commitBody(uuid))
+      assert(rc == 200, rb)
+      assert(spark.sql("SELECT * FROM ir.vw.big").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L))
+      // several non-spark dialects: the facade refuses to guess
+      val ambiguous =
+        s"""{"requirements":[],"updates":[
+           |  {"action":"add-view-version","view-version":{
+           |    "version-id":3,"schema-id":-1,"timestamp-ms":3,"summary":{},
+           |    "default-namespace":["vw"],"representations":[
+           |      {"type":"sql","sql":"SELECT 1","dialect":"trino"},
+           |      {"type":"sql","sql":"SELECT 2","dialect":"hive"}]}},
+           |  {"action":"set-current-view-version","view-version-id":-1}]}"""
+          .stripMargin.replaceAll("\n", "")
+      assert(send(port, "POST", "/v1/iceberg/namespaces/vw/views/big",
+        ambiguous)._1 == 400)
+      assert(send(port, "DELETE", "/v1/iceberg/namespaces/vw/views/big")._1 == 204)
+      assert(send(port, "HEAD", "/v1/iceberg/namespaces/vw/views/big")._1 == 404)
+    } finally server.stop()
+  }
+
   test("a multi-table REST transaction commits atomically — all or nothing") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.tx")
     spark.sql("CREATE TABLE ir.tx.a (k BIGINT, v STRING)")

@@ -300,6 +300,48 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0,
       IcebergCommits.commitTransaction(storage,
         Json.mapper.readTree(requestBody(ex)))
       replyEmpty(ex, 204)
+    case ("POST", List("tables", "rename")) =>
+      // RenameTableRequest; same-namespace only (the native contract —
+      // graft keys tables under their namespace), cross-namespace
+      // moves are refused with 400, never half-applied
+      val (ns, from, to) = renameArgs(Json.mapper.readTree(requestBody(ex)))
+      conflictAware409(ex)(
+        inWriteTxn(txn => Graft.renameTable(storage, txn, ns, from, to)))
+    case ("POST", List("views", "rename")) =>
+      val (ns, from, to) = renameArgs(Json.mapper.readTree(requestBody(ex)))
+      conflictAware409(ex)(inWriteTxn { txn =>
+        val cur = Graft.describeView(storage, txn, ns, from)
+        Graft.createView(storage, txn, cur.copy(name = to))
+        Graft.dropView(storage, txn, ns, from)
+      })
+    case ("POST", List("namespaces", ns, "properties")) =>
+      // UpdateNamespacePropertiesRequest → {updated, removed, missing}
+      val body = Json.mapper.readTree(requestBody(ex))
+      val updates = Option(body.get("updates")).filter(_.isObject)
+        .map { u =>
+          val it = u.properties().iterator()
+          val m = scala.collection.mutable.Map.empty[String, String]
+          while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asText() }
+          m.toMap
+        }.getOrElse(Map.empty[String, String])
+      val removals = Option(body.get("removals")).filter(_.isArray)
+        .map(r => (0 until r.size()).map(r.get(_).asText())).getOrElse(Seq.empty)
+      var missing = Seq.empty[String]
+      inWriteTxn { txn =>
+        val cur = Graft.describeNamespace(storage, txn, ns)
+        missing = removals.filterNot(cur.properties.contains)
+        Graft.alterNamespace(storage, txn,
+          cur.copy(properties = cur.properties -- removals ++ updates))
+      }
+      val r = Json.mapper.createObjectNode()
+      val up = r.putArray("updated"); updates.keys.foreach(up.add)
+      val rm = r.putArray("removed")
+      removals.filterNot(missing.contains).foreach(rm.add)
+      val ms = r.putArray("missing"); missing.foreach(ms.add)
+      reply(ex, 200, r.toString)
+    case ("POST", List("namespaces", _, "tables", _, "metrics")) =>
+      // report sink per the OpenAPI spec: accept and acknowledge
+      replyEmpty(ex, 204)
     case _ =>
       reply(ex, 404,
         IcebergRest.errorResponse(404, "NoSuchRouteException", "no such route"))
@@ -340,6 +382,47 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0,
           manifests.manifestLists))
       }
     }
+
+  /** Run `f` and reply 204, mapping a name-collision failure onto the
+    * spec's 409 AlreadyExistsException (a plain IllegalArgumentException
+    * would surface as 400, which the spec reserves for malformed
+    * bodies).
+    */
+  private def conflictAware409(ex: HttpExchange)(f: => Unit): Unit = {
+    val conflict =
+      try { f; None }
+      catch {
+        case e: IllegalArgumentException
+            if String.valueOf(e.getMessage).contains("already exists") =>
+          Some(e)
+      }
+    conflict match {
+      case Some(e) => reply(ex, 409, IcebergRest.errorResponse(409,
+        "AlreadyExistsException", String.valueOf(e.getMessage)))
+      case None => replyEmpty(ex, 204)
+    }
+  }
+
+  /** RenameTableRequest `source`/`destination` → (ns, from, to);
+    * malformed or cross-namespace bodies → 400.
+    */
+  private def renameArgs(body: com.fasterxml.jackson.databind.JsonNode)
+      : (String, String, String) = {
+    def ident(field: String): (String, String) = {
+      val n = body.get(field)
+      require(n != null, s"rename needs a $field identifier")
+      val nsArr = n.get("namespace")
+      require(nsArr != null && nsArr.isArray && nsArr.size() == 1,
+        "graft namespaces are single-level")
+      val name = n.path("name").asText()
+      require(name.nonEmpty, s"rename $field lacks a name")
+      (nsArr.get(0).asText(), name)
+    }
+    val (fromNs, from) = ident("source")
+    val (toNs, to) = ident("destination")
+    require(fromNs == toNs, "cross-namespace rename unsupported")
+    (fromNs, from, to)
+  }
 
   private def replyLoadView(ex: HttpExchange, ns: String, v: String): Unit =
     withReadTxn { txn =>

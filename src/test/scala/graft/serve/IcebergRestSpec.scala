@@ -1422,6 +1422,55 @@ class IcebergRestSpec extends AnyFunSuite {
     out.toSeq
   }
 
+  test("rename, namespace properties, and metrics endpoints") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.rn")
+    spark.sql("CREATE TABLE ir.rn.t1 (k BIGINT)")
+    spark.sql("CREATE TABLE ir.rn.taken (k BIGINT)")
+    spark.sql("INSERT INTO ir.rn.t1 VALUES (41), (42)")
+    spark.sql("CREATE VIEW ir.rn.v1 AS SELECT k FROM ir.rn.t1 WHERE k > 41")
+    val (server, port) = startServer()
+    try {
+      def renameBody(kind: String, from: String, to: String) =
+        s"""{"source":{"namespace":["rn"],"name":"$from"},
+           |"destination":{"namespace":["rn"],"name":"$to"}}"""
+          .stripMargin.replaceAll("\n", "")
+      // table rename: content follows the new name
+      assert(send(port, "POST", "/v1/iceberg/tables/rename",
+        renameBody("t", "t1", "t2"))._1 == 204)
+      assert(spark.sql("SELECT sum(k) FROM ir.rn.t2").head.getLong(0) == 83)
+      // destination collision is the spec's 409; missing source 404;
+      // cross-namespace 400
+      assert(send(port, "POST", "/v1/iceberg/tables/rename",
+        renameBody("t", "t2", "taken"))._1 == 409)
+      assert(send(port, "POST", "/v1/iceberg/tables/rename",
+        renameBody("t", "gone", "t9"))._1 == 404)
+      assert(send(port, "POST", "/v1/iceberg/tables/rename",
+        """{"source":{"namespace":["rn"],"name":"t2"},
+          |"destination":{"namespace":["other"],"name":"t2"}}"""
+          .stripMargin.replaceAll("\n", ""))._1 == 400)
+      // view rename (the view body still references t1 → now t2-era
+      // name is t2, so re-point the view first via native REPLACE)
+      spark.sql(
+        "CREATE OR REPLACE VIEW ir.rn.v1 AS SELECT k FROM ir.rn.t2 WHERE k > 41")
+      assert(send(port, "POST", "/v1/iceberg/views/rename",
+        renameBody("v", "v1", "v2"))._1 == 204)
+      assert(spark.sql("SELECT * FROM ir.rn.v2").head.getLong(0) == 42)
+      // namespace property update reports updated/removed/missing
+      val (pc, pb) = send(port, "POST", "/v1/iceberg/namespaces/rn/properties",
+        """{"updates":{"owner":"ext"},"removals":["nope"]}""")
+      assert(pc == 200, pb)
+      val pr = Json.mapper.readTree(pb)
+      assert(pr.get("updated").get(0).asText() == "owner")
+      assert(pr.get("missing").get(0).asText() == "nope")
+      val (gc, gb) = send(port, "GET", "/v1/iceberg/namespaces/rn")
+      assert(gc == 200 && gb.contains("\"owner\":\"ext\""), gb)
+      // metrics reports are acknowledged and discarded
+      assert(send(port, "POST",
+        "/v1/iceberg/namespaces/rn/tables/t2/metrics",
+        """{"report-type":"scan-report"}""")._1 == 204)
+    } finally server.stop()
+  }
+
   test("views create, replace, and drop over the Iceberg REST view plane") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.vw")
     spark.sql("CREATE TABLE ir.vw.t (k BIGINT, v STRING)")

@@ -285,6 +285,36 @@ object Advanced {
                  FROM gm1.ns1.supplier ORDER BY s_suppkey""")
       },
       Some("""SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS bal
-             |FROM supplier ORDER BY s_suppkey""".stripMargin))
+             |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
+    QueryDef(
+      "q37_lateral_topn",
+      (s, d) => {
+        // correlated LATERAL subquery with per-row ORDER BY + LIMIT:
+        // top-3 customers by balance per region. Catalyst decorrelates
+        // the lateral into a ranked join (no per-outer-row re-
+        // execution); the outer side is 5 rows, so the plan is the
+        // ranked customer scan joined to a broadcast region-nation
+        // dim — the shape that scales with the CUSTOMER side only.
+        Seq("region", "nation", "customer").foreach(t =>
+          table(s, d, t).createOrReplaceTempView(s"q37_$t"))
+        s.sql("""
+          SELECT r.r_name AS region, t.c_name, t.bal
+          FROM q37_region r, LATERAL (
+            SELECT c.c_name, round(c.c_acctbal, 2) AS bal
+            FROM q37_customer c
+            JOIN q37_nation n ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+            ORDER BY c.c_acctbal DESC, c.c_name LIMIT 3) t
+          ORDER BY region, bal DESC, c_name""")
+      },
+      Some("""SELECT r.r_name AS region, t.c_name, t.bal
+             |FROM region r, LATERAL (
+             |  SELECT c.c_name, round(c.c_acctbal, 2) AS bal
+             |  FROM customer c
+             |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |  WHERE n.n_regionkey = r.r_regionkey
+             |  ORDER BY c.c_acctbal DESC, c.c_name LIMIT 3) t
+             |ORDER BY region, bal DESC, c_name""".stripMargin))
   )
 }

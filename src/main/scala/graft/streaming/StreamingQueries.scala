@@ -491,6 +491,85 @@ object StreamingQueries {
              | AND c.event_type = 'click' AND p.event_type = 'purchase'
              | AND epoch_us(p.ts) >= epoch_us(c.ts)
              | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000"""
+        .stripMargin)),
+
+    QueryDef(
+      "st10_stream_outer_join",
+      (s, d) => {
+        // LEFT OUTER stream-stream join: a click with no purchase
+        // within 30 minutes emits as a NULL-extended row only when
+        // the WATERMARK passes its join window — state eviction IS
+        // the emission trigger, the subtlety outer streaming joins
+        // add over st09's inner join. Clicks inside the stream's
+        // final watermark horizon (delay + window) are never evicted,
+        // so their outer rows never emit; both the stream and the
+        // batch oracle therefore bound the left side to
+        // ts ≤ cutoff − 2 h. The cutoff derives from the LESSER of
+        // the two sides' max event times — each side's watermark
+        // tracks only its own rows, so the join watermark is
+        // min(max_click, max_purchase) − delay, and a cutoff from the
+        // global max would strand a boundary click un-evicted when
+        // the last click/purchase trails the last event by more than
+        // the margin (observed at sf0.001's sparse tail).
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions",
+          s.conf.getOption("spark.graft.stream.join-partitions")
+            .getOrElse("8"))
+        val sink =
+          s"st10_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val (schema, tsUs) = eventsTs(ss, d)
+        val ev0 = ss.read.option("pathGlobFilter", "events.parquet").parquet(d)
+        val evTs = graft.QueryDef.tsUs(ev0, "ts")
+        val mx = ev0.agg(
+          max(when(col("event_type") === "click", evTs)).as("mc"),
+          max(when(col("event_type") === "purchase", evTs)).as("mp")).head
+        val cutoff = math.min(mx.getLong(0), mx.getLong(1)) - 7200000000L
+        def side(tpe: String, p: String) = ss.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .withColumn("event_ts", timestamp_micros(tsUs))
+          .filter(col("event_type") === tpe)
+          .select(col("user_id").as(s"${p}_user"),
+            col("event_ts").as(s"${p}_ts"),
+            col("value").as(s"${p}_value"))
+          .withWatermark(s"${p}_ts", "1 hour")
+        val clicks = side("click", "c")
+          .filter(col("c_ts") <= timestamp_micros(lit(cutoff)))
+        val joined = clicks.join(side("purchase", "p"),
+          col("p_user") === col("c_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+        val q = joined.writeStream
+          .format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ss.table(sink)
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("p_value")).as("n_matched"),
+            sum(when(col("p_value").isNull, 1L).otherwise(0L))
+              .as("n_unmatched"))
+      },
+      Some("""WITH mx AS (SELECT least(
+             |        max(epoch_us(ts)) FILTER (event_type = 'click'),
+             |        max(epoch_us(ts)) FILTER (event_type = 'purchase'))
+             |        AS m FROM events),
+             |c AS (SELECT user_id, ts FROM events, mx
+             |      WHERE event_type = 'click'
+             |        AND epoch_us(ts) <= m - 7200000000),
+             |p AS (SELECT user_id, ts, value FROM events
+             |      WHERE event_type = 'purchase')
+             |SELECT count(*) AS n_rows,
+             |       count(p.value) AS n_matched,
+             |       CAST(sum(CASE WHEN p.value IS NULL THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_unmatched
+             |FROM c LEFT JOIN p
+             |  ON p.user_id = c.user_id
+             | AND epoch_us(p.ts) >= epoch_us(c.ts)
+             | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000"""
         .stripMargin))
   )
 

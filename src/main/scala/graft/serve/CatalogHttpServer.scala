@@ -238,8 +238,40 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0,
       val exists = withReadTxn(txn => Graft.tableExists(storage, txn, ns, t))
       replyEmpty(ex, if (exists) 204 else 404)
     case ("DELETE", List("namespaces", ns, "tables", t)) =>
+      // `purgeRequested=true` (the spec's drop-with-purge): data and
+      // derived artifacts delete AFTER the drop commits — history and
+      // time travel are gone, which is exactly what purge means. The
+      // default drop keeps files for register/rollback, like native.
+      val purge = Option(ex.getRequestURI.getRawQuery).exists(
+        _.split('&').contains("purgeRequested=true"))
       inWriteTxn(txn => Graft.dropTable(storage, txn, ns, t))
+      // the whole table tree — data files AND metadata documents
+      // (tableDataDir is only the files/ subtree)
+      if (purge) storage.deleteTree(s"data/$ns/$t/")
       replyEmpty(ex, 204)
+    case ("POST", List("namespaces", ns, "register")) =>
+      // RegisterTableRequest: adopt an EXISTING graft-format metadata
+      // document (e.g. written by another warehouse sharing this
+      // storage) as a live table — the cross-process attach the
+      // reference's migration procedures provide natively. Documented
+      // delta: the facade registers graft TableMetadata JSON, not an
+      // Iceberg metadata.json (a format bridge would go here).
+      val body = Json.mapper.readTree(requestBody(ex))
+      val name = body.path("name").asText()
+      require(name.nonEmpty, "register needs a name")
+      val loc = body.path("metadata-location").asText()
+      require(loc.nonEmpty, "register needs a metadata-location")
+      val rel =
+        if (loc.startsWith(storage.root)) loc.stripPrefix(storage.root)
+          .stripPrefix("/")
+        else loc
+      require(storage.exists(rel), s"no metadata document at $loc")
+      // read validates the document before anything is committed
+      val meta = TableMetadata.read(storage, rel)
+      inWriteTxn(txn => Graft.createTable(storage, txn,
+        TableDef(name, ns, metadataLocation = rel,
+          properties = meta.properties)))
+      replyLoadTable(ex, ns, name)
     case ("GET", List("namespaces", ns, "views")) =>
       withReadTxn { txn =>
         paging(ex) match {

@@ -1422,6 +1422,45 @@ class IcebergRestSpec extends AnyFunSuite {
     out.toSeq
   }
 
+  test("register adopts dropped metadata; purge deletes the data tree") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.rg")
+    spark.sql("CREATE TABLE ir.rg.keep (k BIGINT)")
+    spark.sql("INSERT INTO ir.rg.keep VALUES (7), (8)")
+    spark.sql("CREATE TABLE ir.rg.gone (k BIGINT)")
+    spark.sql("INSERT INTO ir.rg.gone VALUES (9)")
+    val storage = spark.sessionState.catalogManager.catalog("ir")
+      .asInstanceOf[GraftCatalog].storage
+    val metaLoc = withCat { txn =>
+      graft.catalog.Graft.describeTable(storage, txn, "rg", "keep")
+        .metadataLocation
+    }
+    val (server, port) = startServer()
+    try {
+      // default drop keeps files: the metadata document must re-attach
+      assert(send(port, "DELETE", "/v1/iceberg/namespaces/rg/tables/keep")._1 == 204)
+      val (rc, rb) = send(port, "POST", "/v1/iceberg/namespaces/rg/register",
+        s"""{"name":"kept2","metadata-location":"$metaLoc"}""")
+      assert(rc == 200, rb)
+      assert(spark.sql("SELECT sum(k) FROM ir.rg.kept2").head.getLong(0) == 15)
+      // a bogus location is 400, nothing committed
+      assert(send(port, "POST", "/v1/iceberg/namespaces/rg/register",
+        """{"name":"x","metadata-location":"meta/none.json"}""")._1 == 400)
+      // purge: the table's data tree is gone afterwards
+      assert(storage.listDeep("data/rg/gone/").nonEmpty)
+      assert(send(port, "DELETE",
+        "/v1/iceberg/namespaces/rg/tables/gone?purgeRequested=true")._1 == 204)
+      assert(storage.listDeep("data/rg/gone/").isEmpty,
+        "purge must delete the data tree")
+    } finally server.stop()
+  }
+
+  private def withCat[T](f: graft.txn.Transaction => T): T = {
+    val storage = spark.sessionState.catalogManager.catalog("ir")
+      .asInstanceOf[GraftCatalog].storage
+    val txn = graft.catalog.Graft.beginTransaction(storage)
+    try f(txn) finally txn.close()
+  }
+
   test("rename, namespace properties, and metrics endpoints") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ir.rn")
     spark.sql("CREATE TABLE ir.rn.t1 (k BIGINT)")

@@ -1638,6 +1638,33 @@ class IcebergRestSpec extends AnyFunSuite {
         """{"table-changes":[{"updates":[]}]}""")._1 == 400)
       assert(send(port, "POST", "/v1/iceberg/transactions/commit",
         """{"table-changes":[]}""")._1 == 400)
+      // two changes to the SAME table stage in order through the
+      // running root: both appends land as two snapshots in one
+      // transaction (an unguarded append has nothing to conflict on)
+      val (c2, b2) = send(port, "POST", "/v1/iceberg/transactions/commit",
+        s"""{"table-changes":[
+           |{"identifier":{"namespace":["tx"],"name":"a"},
+           | "requirements":[],
+           | "updates":[
+           |  {"action":"add-snapshot","snapshot":{
+           |    "snapshot-id":5,"sequence-number":5,"timestamp-ms":5,
+           |    "manifest-list":"${mlA.getAbsolutePath}",
+           |    "summary":{"operation":"append"}}},
+           |  {"action":"set-snapshot-ref","ref-name":"main",
+           |   "type":"branch","snapshot-id":5}]},
+           |{"identifier":{"namespace":["tx"],"name":"a"},
+           | "requirements":[],
+           | "updates":[
+           |  {"action":"add-snapshot","snapshot":{
+           |    "snapshot-id":6,"sequence-number":6,"timestamp-ms":6,
+           |    "manifest-list":"${mlA.getAbsolutePath}",
+           |    "summary":{"operation":"append"}}},
+           |  {"action":"set-snapshot-ref","ref-name":"main",
+           |   "type":"branch","snapshot-id":6}]}]}""".stripMargin
+          .replaceAll("\n", ""))
+      assert(c2 == 204, s"$c2 $b2")
+      // a1 + x2 from before, plus two more staged x2 appends
+      assert(spark.table("ir.tx.a").count() == 4)
     } finally server.stop()
   }
 }

@@ -20,6 +20,94 @@ object Similarity {
   private val K = 10 // neighbors per query
   private val NQ = 5 // query vectors: vec_id < NQ
 
+  private def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
+    r.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case x: Double => x
+      case x => x.asInstanceOf[Number].doubleValue()
+    }.toArray
+
+  /** k-means coarse centroids (hash-spread deterministic seeding,
+    * 3 Lloyd iterations; map-side assignment through
+    * [[GraftFunctions.nearestCentroids]], one small mean shuffle per
+    * iteration). Shared by the IVF (ss02) and IVF-PQ (ss06) paths.
+    */
+  private def trainCentroids(e: org.apache.spark.sql.DataFrame,
+      nlist: Int): Array[(Long, Seq[Double])] = {
+    var centroids: Array[(Long, Seq[Double])] =
+      e.orderBy(pmod(hash(col("vec_id")), lit(1 << 30)), col("vec_id"))
+        .limit(nlist).collect().map(r => (r.getLong(0), vecOf(r).toSeq))
+    def cells(vec: org.apache.spark.sql.Column, n: Int) =
+      GraftFunctions.nearestCentroids(vec,
+        centroids.map(_._2).toSeq, centroids.map(_._1).toSeq, n)
+    for (_ <- 1 to 3) {
+      val means = e
+        .withColumn("cell", element_at(cells(col("embedding"), 1), 1))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), expr("transform(pm, p -> p.m)").as("cvec"))
+        .collect()
+      centroids = means.map(r =>
+        (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    }
+    centroids
+  }
+
+  /** PQ codebook (m subspaces × ksub cells): hash-spread seeds, Lloyd
+    * in every subspace at once — encode map-side, one combined mean
+    * over m × ksub × sub-dim groups. Shared by ss04 and ss06.
+    */
+  private def trainCodebook(e: org.apache.spark.sql.DataFrame,
+      m: Int, ksub: Int, sd: Int): Array[Array[Array[Double]]] = {
+    val seeds = e.orderBy(pmod(hash(col("vec_id")), lit(1 << 30)),
+      col("vec_id")).limit(ksub).collect().map(vecOf)
+    var codebook: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => seeds.map(v => v.slice(j * sd, (j + 1) * sd)))
+    for (_ <- 1 to 3) {
+      val means = e
+        .withColumn("code", GraftFunctions.pqEncode(col("embedding"),
+          codebook.map(_.map(_.toSeq).toSeq).toSeq))
+        .select(posexplode(col("code")).as(Seq("sub", "c")),
+          col("embedding"))
+        .select(col("sub"), col("c"),
+          posexplode(expr(s"slice(embedding, sub * $sd + 1, $sd)"))
+            .as(Seq("pos", "x")))
+        .groupBy("sub", "c", "pos")
+        .agg(avg("x").as("mean"))
+        .collect()
+      val nb = codebook.map(_.map(_.clone)) // empty cells keep seeds
+      means.foreach(r =>
+        nb(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      codebook = nb
+    }
+    codebook
+  }
+
+  /** Per-query ADC lookup tables over `codebook` for the collected
+    * `queries`: (qids, dot tables, query norms, cell squared norms).
+    */
+  private def adcTables(queries: Array[(Long, Array[Double])],
+      codebook: Array[Array[Array[Double]]], m: Int, ksub: Int, sd: Int)
+      : (Seq[Long], Seq[Seq[Seq[Double]]], Seq[Double], Seq[Seq[Double]]) = {
+    val qids: Seq[Long] = queries.map(_._1).toSeq
+    val dtables: Seq[Seq[Seq[Double]]] = queries.toSeq.map { case (_, q) =>
+      (0 until m).map(j => (0 until ksub).map { c =>
+        val w = codebook(j)(c)
+        var acc = 0.0; var i = 0
+        while (i < sd) { acc += q(j * sd + i) * w(i); i += 1 }
+        acc
+      })
+    }
+    val qnorms: Seq[Double] =
+      queries.toSeq.map { case (_, q) => math.sqrt(q.map(x => x * x).sum) }
+    val cnorm2: Seq[Seq[Double]] =
+      codebook.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq
+    (qids, dtables, qnorms, cnorm2)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "ss01_brute_topk",
@@ -112,40 +200,15 @@ object Similarity {
         // embeddings probe far fewer.
         val nprobe = s.conf.getOption("spark.graft.ann.nprobe").map(_.toInt)
           .getOrElse(math.max(4, nlist / 3))
-        // deterministic seeding, HASH-SPREAD: rank ids by their hash
-        // and take the first nlist — a uniform pseudo-random sample of
-        // the id space (a TakeOrdered, not a shuffle). Seeding by the
-        // lowest ids would degenerate when low ids are correlated
-        // (ingestion order = topic order puts every seed in one
-        // region); the hash spread is just as deterministic and keeps
-        // worst-case recall honest on sorted corpora.
-        var centroids: Array[(Long, Seq[Double])] =
-          e.orderBy(pmod(hash(col("vec_id")), lit(1 << 30)), col("vec_id"))
-            .limit(nlist).collect().map { r =>
-            (r.getLong(0), r.getSeq[Any](1).map {
-              case f: Float => f.toDouble
-              case d: Double => d
-              case x => x.asInstanceOf[Number].doubleValue()
-            })
-          }
+        // deterministic seeding, HASH-SPREAD (see [[trainCentroids]]):
+        // seeding by the lowest ids would degenerate when low ids are
+        // correlated (ingestion order = topic order puts every seed
+        // in one region); the hash spread is just as deterministic
+        // and keeps worst-case recall honest on sorted corpora.
+        val centroids = trainCentroids(e, nlist)
         def cells(vec: org.apache.spark.sql.Column, n: Int) =
           GraftFunctions.nearestCentroids(vec,
             centroids.map(_._2).toSeq, centroids.map(_._1).toSeq, n)
-        for (_ <- 1 to 3) {
-          // element-wise mean per cluster: explode positions map-side,
-          // partial-aggregate, one small shuffle of nlist×dim groups
-          val means = e
-            .withColumn("cell", element_at(cells(col("embedding"), 1), 1))
-            .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-            .groupBy("cell", "pos")
-            .agg(avg("x").as("m"))
-            .groupBy("cell")
-            .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-            .select(col("cell"), expr("transform(pm, p -> p.m)").as("cvec"))
-            .collect()
-          centroids = means.map(r =>
-            (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
-        }
         // boundary spill: each vector indexes under its TWO nearest
         // cells (2× index size), so a true neighbor sitting on a cell
         // boundary stays findable even when the query's probe set
@@ -169,10 +232,15 @@ object Similarity {
             round(GraftFunctions.cosineSim(col("embedding"), col("qvec")), 4))
           .withColumn("pid", spark_partition_id())
           .withColumn("lrank", row_number().over(local))
-          .filter(col("lrank") <= K)
           // the dual assignment can surface one (qid, vec) through two
-          // probed cells; dedup BETWEEN the phases, where ≤ P·K rows
-          // per query remain, never on the full candidate set
+          // probed cells; dedup BETWEEN the phases, where ≤ P·2K rows
+          // per query remain, never on the full candidate set. The
+          // local phase must keep 2K, not K: each candidate appears at
+          // most twice, so duplicates eating top-K slots could
+          // otherwise leave < K DISTINCT survivors (observed as 7-9
+          // results per query); with 2K kept, any global-top-K
+          // candidate has < 2K rows above it in its partition
+          .filter(col("lrank") <= 2 * K)
           .dropDuplicates("qid", "vec_id")
           .withColumn("rank", row_number().over(global))
           .filter(col("rank") <= K)
@@ -236,57 +304,18 @@ object Similarity {
         val dim = e.select(size(col("embedding"))).head.getInt(0)
         require(dim % m == 0, s"embedding dim $dim not divisible by m = $m")
         val sd = dim / m
-        def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
-          r.getSeq[Any](1).map {
-            case f: Float => f.toDouble
-            case x: Double => x
-            case x => x.asInstanceOf[Number].doubleValue()
-          }.toArray
-        // hash-spread deterministic seeding (same rationale as ss02):
-        // ksub sample vectors seed every subspace's codebook
-        val seeds = e.orderBy(pmod(hash(col("vec_id")), lit(1 << 30)),
-          col("vec_id")).limit(ksub).collect().map(vecOf)
-        var codebook: Array[Array[Array[Double]]] =
-          Array.tabulate(m)(j => seeds.map(v => v.slice(j * sd, (j + 1) * sd)))
+        // hash-spread deterministic seeding (same rationale as ss02);
+        // Lloyd runs in every subspace AT ONCE ([[trainCodebook]]) —
+        // m × ksub × sd groups cross the wire, never N × dim rows
+        val codebook = trainCodebook(e, m, ksub, sd)
         def cbSeq: Seq[Seq[Seq[Double]]] =
           codebook.map(_.map(_.toSeq).toSeq).toSeq
-        // Lloyd in every subspace AT ONCE: encode map-side, then one
-        // map-side-combined mean over (subspace, cell, position) —
-        // m × ksub × sd groups cross the wire, never N × dim rows
-        for (_ <- 1 to 3) {
-          val means = e
-            .withColumn("code",
-              GraftFunctions.pqEncode(col("embedding"), cbSeq))
-            .select(posexplode(col("code")).as(Seq("sub", "c")),
-              col("embedding"))
-            .select(col("sub"), col("c"),
-              posexplode(expr(s"slice(embedding, sub * $sd + 1, $sd)"))
-                .as(Seq("pos", "x")))
-            .groupBy("sub", "c", "pos")
-            .agg(avg("x").as("mean"))
-            .collect()
-          val nb = codebook.map(_.map(_.clone)) // empty cells keep seeds
-          means.foreach(r =>
-            nb(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
-          codebook = nb
-        }
         // per-query ADC tables, driver-built: qids × m × ksub doubles
         // (the IVF centroid-ceiling argument bounds this identically)
         val queries = e.filter(col("vec_id") < NQ).collect()
           .map(r => (r.getLong(0), vecOf(r)))
-        val qids: Seq[Long] = queries.map(_._1).toSeq
-        val dtables: Seq[Seq[Seq[Double]]] = queries.toSeq.map { case (_, q) =>
-          (0 until m).map(j => (0 until ksub).map { c =>
-            val w = codebook(j)(c)
-            var acc = 0.0; var i = 0
-            while (i < sd) { acc += q(j * sd + i) * w(i); i += 1 }
-            acc
-          })
-        }
-        val qnorms: Seq[Double] =
-          queries.toSeq.map { case (_, q) => math.sqrt(q.map(x => x * x).sum) }
-        val cnorm2: Seq[Seq[Double]] =
-          codebook.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq
+        val (qids, dtables, qnorms, cnorm2) =
+          adcTables(queries, codebook, m, ksub, sd)
         val codes = e
           .withColumn("code", GraftFunctions.pqEncode(col("embedding"), cbSeq))
           .select("vec_id", "code")
@@ -352,6 +381,118 @@ object Similarity {
       },
       Some(s"""SELECT count(*) AS n_queries,
               |       CAST(0.5 AS DOUBLE) AS recall_floor,
+              |       true AS floor_met
+              |FROM embeddings WHERE vec_id < $NQ""".stripMargin)),
+
+    QueryDef(
+      "ss06_ivfpq",
+      (s, d) => {
+        // IVF-PQ — the composition production ANN systems actually
+        // deploy (FAISS's default at scale): coarse cells prune the
+        // corpus to ~nprobe/nlist, PQ codes make the in-cell scan
+        // O(m) table lookups per candidate, and an exact rerank of
+        // the shortlist fixes the final order. At 100 TB: the index
+        // is hash-partitioned by cell and holds 16-byte codes (not
+        // raw vectors); a query touches only its probed cells' code
+        // partitions, and raw vectors are read again for just the
+        // NQ × rerank shortlist. Codes here quantize RAW vectors
+        // (IVF-Flat-PQ) — residual encoding would reuse the same
+        // machinery with per-cell recentred inputs.
+        GraftFunctions.register(s)
+        val e = table(s, d, "embeddings").select("vec_id", "embedding")
+        val m = 16
+        val ksub = 16
+        val rerank = s.conf.getOption("spark.graft.ann.pq-rerank")
+          .map(_.toInt).getOrElse(64)
+        val dim = e.select(size(col("embedding"))).head.getInt(0)
+        require(dim % m == 0, s"embedding dim $dim not divisible by m = $m")
+        val sd = dim / m
+        val nlist = s.conf.getOption("spark.graft.ann.nlist").map(_.toInt)
+          .getOrElse {
+            val n = e.count()
+            math.max(4, math.round(math.sqrt(n.toDouble)).toInt)
+          }
+        val nprobe = s.conf.getOption("spark.graft.ann.nprobe").map(_.toInt)
+          .getOrElse(math.max(4, nlist / 3))
+        val centroids = trainCentroids(e, nlist)
+        def cells(vec: org.apache.spark.sql.Column, n: Int) =
+          GraftFunctions.nearestCentroids(vec,
+            centroids.map(_._2).toSeq, centroids.map(_._1).toSeq, n)
+        val codebook = trainCodebook(e, m, ksub, sd)
+        val cbSeq: Seq[Seq[Seq[Double]]] =
+          codebook.map(_.map(_.toSeq).toSeq).toSeq
+        val queries = e.filter(col("vec_id") < NQ).collect()
+          .map(r => (r.getLong(0), vecOf(r)))
+        val (qids, dtables, qnorms, cnorm2) =
+          adcTables(queries, codebook, m, ksub, sd)
+        // the index rows: (cell, vec_id, code) with ss02's dual-cell
+        // boundary spill; raw vectors stay OUT of the index
+        val assigned = e.select(col("vec_id"),
+          GraftFunctions.pqEncode(col("embedding"), cbSeq).as("code"),
+          explode(cells(col("embedding"), 2)).as("cell"))
+        val probes = e.filter(col("vec_id") < NQ)
+          .select(col("vec_id").as("qid"),
+            explode(cells(col("embedding"), nprobe)).as("cell"))
+        val localA = Window.partitionBy("qid", "pid")
+          .orderBy(col("adc").desc, col("vec_id"))
+        val globalA = Window.partitionBy("qid")
+          .orderBy(col("adc").desc, col("vec_id"))
+        val short = assigned.join(broadcast(probes), "cell")
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("adc", GraftFunctions.pqAdc(col("code"), col("qid"),
+            qids, dtables, qnorms, cnorm2))
+          .withColumn("pid", spark_partition_id())
+          .withColumn("lr", row_number().over(localA))
+          // keep 2×rerank locally: dual assignment duplicates each
+          // candidate at most twice, and duplicates must not eat
+          // shortlist slots before the between-phase dedup (ss02's
+          // underfill fix, same reasoning)
+          .filter(col("lr") <= 2 * rerank)
+          .dropDuplicates("qid", "vec_id")
+          .withColumn("sr", row_number().over(globalA))
+          .filter(col("sr") <= rerank)
+          .select("qid", "vec_id")
+        val qdf = e.filter(col("vec_id") < NQ)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val globalR = Window.partitionBy("qid")
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        e.join(broadcast(short), "vec_id")
+          .join(broadcast(qdf), "qid")
+          .withColumn("cos_sim",
+            round(GraftFunctions.cosineSim(col("embedding"), col("qvec")), 4))
+          .withColumn("rank", row_number().over(globalR))
+          .filter(col("rank") <= K)
+          .select("qid", "rank", "vec_id", "cos_sim")
+          .orderBy("qid", "rank")
+      },
+      None), // approximate: recall measured against ss01, not an oracle
+
+    QueryDef(
+      "ss07_ivfpq_recall",
+      (s, d) => {
+        // recall@10 of the composed IVF-PQ path against the exact
+        // baseline: probing losses (ss03 measures those alone) now
+        // COMPOUND with ADC-shortlist losses (ss05 measures those
+        // alone), so the floor is the composition's honest bound
+        // (observed min 0.6 at sf0.01 / sf0.1 on the near-uniform
+        // worst-case corpus; floor 0.4 leaves FP-ordering margin).
+        val floor = 0.4
+        val exact = defs.find(_.name == "ss01_brute_topk").get.fn(s, d)
+          .select(col("qid"), col("vec_id"))
+        val approx = defs.find(_.name == "ss06_ivfpq").get.fn(s, d)
+          .select(col("qid").as("a_qid"), col("vec_id").as("a_vec"))
+        exact.join(approx,
+            col("qid") === col("a_qid") && col("vec_id") === col("a_vec"),
+            "left_outer")
+          .groupBy("qid")
+          .agg((count(col("a_vec")).cast("double") / count(lit(1)))
+            .as("recall_at_10"))
+          .agg(count(lit(1)).as("n_queries"),
+            lit(floor).as("recall_floor"),
+            (min(col("recall_at_10")) >= floor).as("floor_met"))
+      },
+      Some(s"""SELECT count(*) AS n_queries,
+              |       CAST(0.4 AS DOUBLE) AS recall_floor,
               |       true AS floor_met
               |FROM embeddings WHERE vec_id < $NQ""".stripMargin))
   )

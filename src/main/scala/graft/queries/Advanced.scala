@@ -316,5 +316,92 @@ object Advanced {
              |  WHERE n.n_regionkey = r.r_regionkey
              |  ORDER BY c.c_acctbal DESC, c.c_name LIMIT 3) t
              |ORDER BY region, bal DESC, c_name""".stripMargin))
+    ,
+
+    QueryDef(
+      "q38_funnel",
+      (s, d) => {
+        // Ordered funnel (view → click → purchase): a user advances a
+        // step only with an event STRICTLY AFTER their previous
+        // step's first event — three keyed min-aggregations chained
+        // by user_id joins, each map-side-combined; no window over
+        // the whole event stream, no per-user state. The step counts
+        // union into one tiny result.
+        val ev0 = table(s, d, "events")
+        val ev = ev0.select(col("user_id"), col("event_type"),
+          graft.QueryDef.tsUs(ev0, "ts").as("t"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("t").as("tv"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("t") > col("tv"))
+          .groupBy("user_id").agg(min("t").as("tc"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("t") > col("tc"))
+          .groupBy("user_id").agg(min("t").as("tp"))
+        v.select(lit("1_view").as("step"), col("user_id"))
+          .union(c.select(lit("2_click"), col("user_id")))
+          .union(p.select(lit("3_purchase"), col("user_id")))
+          .groupBy("step").agg(count(lit(1)).as("n_users"))
+          .orderBy("step")
+      },
+      Some("""WITH v AS (SELECT user_id, min(epoch_us(ts)) AS tv
+             |           FROM events WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS tc
+             |      FROM events e JOIN v USING (user_id)
+             |      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.tv
+             |      GROUP BY 1),
+             |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS tp
+             |      FROM events e JOIN c USING (user_id)
+             |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.tc
+             |      GROUP BY 1)
+             |SELECT step, count(*) AS n_users FROM (
+             |  SELECT '1_view' AS step, user_id FROM v
+             |  UNION ALL SELECT '2_click', user_id FROM c
+             |  UNION ALL SELECT '3_purchase', user_id FROM p)
+             |GROUP BY step ORDER BY step""".stripMargin)),
+
+    QueryDef(
+      "q39_retention_cohorts",
+      (s, d) => {
+        // Cohort retention: users cohort by first-seen day; d7
+        // retention = active exactly 7 days later. Day arithmetic on
+        // epoch-microsecond integer division — identical in both
+        // engines, no calendar/timezone surface. Two hash
+        // aggregations and one distinct-activity join, all keyed on
+        // user_id/day — the cohort table is tiny and the join keys
+        // uniform.
+        val ev0 = table(s, d, "events")
+        val ev = ev0
+          .select(col("user_id"), graft.QueryDef.tsUs(ev0, "ts").as("t"))
+          .withColumn("day", expr("t div 86400000000"))
+        val first = ev.groupBy("user_id").agg(min("day").as("d0"))
+        val coh = first.groupBy("d0").agg(count(lit(1)).as("n_users"))
+        val ret = first
+          .join(ev.select("user_id", "day").distinct(), "user_id")
+          .filter(col("day") === col("d0") + 7)
+          .groupBy("d0").agg(count_distinct(col("user_id")).as("n_ret"))
+        coh.join(ret, Seq("d0"), "left_outer")
+          .select(col("d0"), col("n_users"),
+            coalesce(col("n_ret"), lit(0L)).as("n_retained"),
+            round(coalesce(col("n_ret"), lit(0L)).cast("double") /
+              col("n_users"), 4).as("d7_rate"))
+          .orderBy("d0")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+             |  FROM events),
+             |first AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY 1),
+             |coh AS (SELECT d0, count(*) AS n_users FROM first GROUP BY 1),
+             |ret AS (SELECT f.d0, count(DISTINCT f.user_id) AS n_ret
+             |        FROM first f
+             |        JOIN (SELECT DISTINCT user_id, day FROM ev) a
+             |          ON a.user_id = f.user_id AND a.day = f.d0 + 7
+             |        GROUP BY 1)
+             |SELECT c.d0, c.n_users,
+             |       coalesce(r.n_ret, 0) AS n_retained,
+             |       round(CAST(coalesce(r.n_ret, 0) AS DOUBLE) / c.n_users,
+             |             4) AS d7_rate
+             |FROM coh c LEFT JOIN ret r USING (d0) ORDER BY d0"""
+        .stripMargin))
   )
 }

@@ -180,6 +180,88 @@ abstract class ConcurrentWriteContract extends AnyFunSuite {
     assert(rows == Seq((1L, "base"), (2L, "native"), (3L, "rest")), rows)
   }
 
+  test("a multi-table REST transaction races an open native txn; " +
+      "all appends land") {
+    // the transactions endpoint stages into one native transaction, so
+    // losing the root race to a concurrently-committed session rebases
+    // BOTH table changes together — or fails both; never one of two
+    spark.sql(s"CREATE TABLE $catA.ns1.ta (k BIGINT)")
+    spark.sql(s"CREATE TABLE $catA.ns1.tb (k BIGINT)")
+    spark.sql(s"INSERT INTO $catA.ns1.ta VALUES (1)")
+    spark.sql(s"INSERT INTO $catA.ns1.tb VALUES (1)")
+    cat(catA).beginTransaction()
+    spark.sql(s"INSERT INTO $catA.ns1.ta VALUES (2)") // native, still open
+    val storage = cat(catB).storage
+    def stageExt(t: String): java.io.File = {
+      val ext = new java.io.File(storage.absolute(s"data/ns1/$t/files/ext"))
+      ext.mkdirs()
+      spark.sql("SELECT CAST(9 AS BIGINT) AS k")
+        .coalesce(1).write.mode("append").parquet(ext.toString)
+      val dataFile = ext.listFiles().find(_.getName.endsWith(".parquet")).get
+      val entrySchema = new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"manifest_entry","fields":[
+          |{"name":"status","type":"int"},
+          |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          |{"name":"file_path","type":"string"},
+          |{"name":"file_format","type":"string"},
+          |{"name":"record_count","type":"long"},
+          |{"name":"file_size_in_bytes","type":"long"}]}}]}"""
+          .stripMargin.replaceAll("\n", ""))
+      val listSchema = new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"manifest_file","fields":[
+          |{"name":"manifest_path","type":"string"},
+          |{"name":"manifest_length","type":"long"}]}"""
+          .stripMargin.replaceAll("\n", ""))
+      def writeAvro(f: java.io.File, schema: org.apache.avro.Schema,
+          recs: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+        val w = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](schema))
+        w.create(schema, f)
+        recs.foreach(w.append)
+        w.close()
+      }
+      val df = new org.apache.avro.generic.GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      df.put("file_path", dataFile.getAbsolutePath)
+      df.put("file_format", "PARQUET")
+      df.put("record_count", 1L)
+      df.put("file_size_in_bytes", dataFile.length())
+      val entry = new org.apache.avro.generic.GenericData.Record(entrySchema)
+      entry.put("status", 1)
+      entry.put("data_file", df)
+      val mf = new java.io.File(ext, "client-m0.avro")
+      writeAvro(mf, entrySchema, Seq(entry))
+      val row = new org.apache.avro.generic.GenericData.Record(listSchema)
+      row.put("manifest_path", mf.getAbsolutePath)
+      row.put("manifest_length", mf.length())
+      val ml = new java.io.File(ext, "client-ml0.avro")
+      writeAvro(ml, listSchema, Seq(row))
+      ml
+    }
+    val mlA = stageExt("ta")
+    val mlB = stageExt("tb")
+    def change(t: String, ml: java.io.File) =
+      s"""{"identifier":{"namespace":["ns1"],"name":"$t"},
+         |"requirements":[],
+         |"updates":[
+         |{"action":"add-snapshot","snapshot":{
+         |  "manifest-list":"${ml.getAbsolutePath}",
+         |  "summary":{"operation":"append"}}},
+         |{"action":"set-snapshot-ref","ref-name":"main","type":"branch",
+         | "snapshot-id":1}]}""".stripMargin.replaceAll("\n", "")
+    // the REST transaction commits while A's txn is open, then A
+    // commits and rebases over it
+    graft.serve.IcebergCommits.commitTransaction(storage,
+      graft.objects.Json.mapper.readTree(
+        s"""{"table-changes":[${change("ta", mlA)},${change("tb", mlB)}]}"""))
+    cat(catA).commitTransaction()
+    assert(spark.table(s"$catB.ns1.ta").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 9L)), "ta holds base + native + REST")
+    assert(spark.table(s"$catB.ns1.tb").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 9L)), "tb holds base + REST")
+  }
+
   test("update/update race across sessions aborts the loser") {
     spark.sql(s"CREATE TABLE $catA.ns1.u (k BIGINT)")
     spark.sql(s"INSERT INTO $catA.ns1.u VALUES (1)")

@@ -490,6 +490,18 @@ object Graft {
     putKey(storage, txn, key, defPath, cd.order)
     txn.record(Action(
       if (exists) ActionType.ReplaceView else ActionType.CreateView, key))
+    // the view definition READS the objects it references: record a
+    // metadata read per referenced table that exists in this catalog,
+    // so under SERIALIZABLE creating a view over a table conflicts with
+    // a concurrent drop/replace of that table (the reference keeps the
+    // list for exactly this invalidation — objects.proto:71-85)
+    ViewRefs.localTableCoordinates(d.referencedObjectNames,
+        d.namespaceName, d.properties.get("spark.view.currentCatalog"))
+      .foreach { case (rNs, rT) =>
+        val tKey = ObjectKeys.tableKey(rNs, rT, cd)
+        if (TreeOps.searchValue(storage, txn.runningRoot, tKey).isDefined)
+          txn.record(Action(ActionType.DescribeTable, tKey))
+      }
   }
 
   def dropView(storage: StorageOps, txn: Transaction, ns: String, view: String): Unit = {

@@ -18,11 +18,10 @@ import graft.storage.StorageOps
   * it is unambiguous (one representation) — Spark parses ANSI SQL —
   * and refused (400) when several non-spark dialects would force a
   * silent guess. `referencedObjectNames` (the native invalidation
-  * list) cannot be derived without parsing the SQL against a live
-  * session, so REST-created views store an empty list — documented
-  * delta: native CREATE VIEW records referenced objects for
-  * conflict-grade invalidation, REST-created views rely on execution-
-  * time resolution.
+  * list) is derived by parsing the SQL with Catalyst's
+  * session-independent parser ([[graft.objects.ViewRefs]]), same as
+  * native CREATE VIEW — a non-spark dialect Catalyst cannot parse
+  * stores an empty list and relies on execution-time resolution.
   */
 object IcebergViews {
 
@@ -37,7 +36,9 @@ object IcebergViews {
     val schema = IcebergRest.fromIcebergSchema(schemaNode)
     val vv = body.get("view-version")
     require(vv != null, "view create needs a view-version")
-    ViewDef(name, ns, sqlText = sqlOf(vv), schemaJson = schema.json,
+    val sql = sqlOf(vv)
+    ViewDef(name, ns, sqlText = sql, schemaJson = schema.json,
+      referencedObjectNames = graft.objects.ViewRefs.referencedNames(sql),
       properties = propsOf(body.get("properties")))
   }
 
@@ -118,11 +119,15 @@ object IcebergViews {
     require(version != null || schemaNode != null ||
         propSets.nonEmpty || propRemovals.nonEmpty,
       "view commit changes nothing")
+    val newSql = if (version == null) cur.sqlText else sqlOf(version)
     cur.copy(
-      sqlText = if (version == null) cur.sqlText else sqlOf(version),
+      sqlText = newSql,
       schemaJson =
         if (schemaNode == null) cur.schemaJson
         else IcebergRest.fromIcebergSchema(schemaNode).json,
+      referencedObjectNames =
+        if (version == null) cur.referencedObjectNames
+        else graft.objects.ViewRefs.referencedNames(newSql),
       properties = cur.properties ++ propSets -- propRemovals)
   }
 

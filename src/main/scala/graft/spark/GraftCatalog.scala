@@ -1009,7 +1009,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       ident.name(), ns1(ident.namespace()),
       sqlText = info.sql(),
       schemaJson = info.schema().json,
-      referencedObjectNames = Seq.empty,
+      referencedObjectNames = graft.objects.ViewRefs.referencedNames(info.sql()),
       properties = info.properties().asScala.toMap ++ Map(
         "spark.query.columns" -> info.queryColumnNames().mkString(","),
         "spark.view.currentCatalog" -> info.currentCatalog(),
@@ -1023,7 +1023,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       ident.name(), ns1(ident.namespace()),
       sqlText = info.sql(),
       schemaJson = info.schema().json,
-      referencedObjectNames = Seq.empty,
+      referencedObjectNames = graft.objects.ViewRefs.referencedNames(info.sql()),
       properties = info.properties().asScala.toMap ++ Map(
         "spark.query.columns" -> info.queryColumnNames().mkString(","),
         "spark.view.currentCatalog" -> info.currentCatalog(),

@@ -737,8 +737,25 @@ object Maintenance {
     * now reachable.
     */
   def registerTable(cat: GraftCatalog, ident: Identifier,
-      metadataLocation: String): Long = {
+      metadataLocationIn: String): Long = {
     val storage = cat.storage
+    // absolute locations (e.g. export_iceberg's return value) map back
+    // onto storage-relative keys; relative ones pass through
+    val metadataLocation =
+      if (metadataLocationIn.startsWith(storage.root))
+        metadataLocationIn.stripPrefix(storage.root).stripPrefix("/")
+      else metadataLocationIn
+    val doc = storage.read(metadataLocation)
+    if (graft.serve.IcebergStatic.isIcebergMetadata(doc)) {
+      // an ICEBERG metadata.json: adopt its current snapshot's live
+      // files through the static-format bridge (same path as the REST
+      // register endpoint)
+      val txn = Graft.beginTransaction(storage)
+      graft.serve.IcebergStatic.importTable(storage, txn,
+        ident.namespace()(0), ident.name(), metadataLocation)
+      Graft.commitTransaction(storage, txn)
+      return 1L
+    }
     // read validates the document before anything is committed
     val meta = TableMetadata.read(storage, metadataLocation)
     val txn = Graft.beginTransaction(storage)
@@ -747,6 +764,17 @@ object Maintenance {
       properties = meta.properties))
     Graft.commitTransaction(storage, txn)
     meta.totalSnapshots
+  }
+
+  /** Export the table's current state as a static Iceberg table
+    * ([[graft.serve.IcebergStatic.export]]); returns the ABSOLUTE
+    * metadata.json location an external engine (or `register_table`)
+    * can be pointed at.
+    */
+  def exportIceberg(cat: GraftCatalog, ident: Identifier): String = {
+    val rel = graft.serve.IcebergStatic.export(cat.storage,
+      ident.namespace()(0), ident.name())
+    cat.storage.absolute(rel)
   }
 
   /** Remove a tag; the snapshot itself stays until expiration. */

@@ -583,6 +583,117 @@ object Dedup {
              |  SELECT p.source,
              |         CAST(coalesce(dp.n_dup, 0) AS DOUBLE) / p.n_sh AS frac
              |  FROM per_doc p LEFT JOIN dup_pos dp USING (doc_id))
-             |GROUP BY source ORDER BY source""".stripMargin))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      "dd11_semdedup",
+      (s, d) => {
+        // SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — "SemDeDup:
+        // Data-efficient learning at web-scale through semantic
+        // deduplication"): cluster the embedding space with k-means,
+        // then search for near-duplicate pairs ONLY within a cluster.
+        // At 100 TB the pairwise work drops from O(N²) to Σ|cell|²
+        // (≈ N^1.5 at nlist ≈ √N) and the corpus shuffles ONCE on its
+        // cell id. Every candidate is exact-cosine verified, so
+        // precision is exact; clustering only affects recall, graded
+        // by dd12. Output: the DROP decisions — for each vector with
+        // a same-cell smaller-id duplicate at cosine >= 0.35, the
+        // smallest such neighbor is kept as its survivor.
+        semdedupPairs(s, d)
+          .groupBy(col("drop").as("vec_id"))
+          .agg(min("keep").as("survivor"))
+          .orderBy("vec_id")
+      },
+      None),
+
+    QueryDef(
+      "dd12_semdedup_recall",
+      (s, d) => {
+        // Graded recall verdict for dd11's cluster-scoped search
+        // against dd05's exact pairwise truth. Candidates are
+        // exact-cosine verified, so false positives must be ZERO (the
+        // subset check is part of the verdict); recall is what the
+        // clustering costs — the dual-cell spill keeps it high on
+        // this near-uniform corpus (the hardest case: real embedding
+        // spaces cluster, which is the regime SemDeDup assumes).
+        val floor = 0.5
+        val exact = defs.find(_.name == "dd05_embedding_dup").get.fn(s, d)
+          .select(col("vec_a"), col("vec_b"))
+        val sem = semdedupPairs(s, d)
+          .select(col("keep").as("vec_a"), col("drop").as("vec_b"))
+        val nExact = exact.agg(count(lit(1)).as("n_exact_pairs"))
+        val nHit = sem.join(exact, Seq("vec_a", "vec_b"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        val nFalse = sem.join(exact, Seq("vec_a", "vec_b"), "left_anti")
+          .agg(count(lit(1)).as("n_false_positives"))
+        nExact.crossJoin(nHit).crossJoin(nFalse)
+          .select(col("n_exact_pairs"),
+            lit(floor).as("recall_floor"),
+            // empty truth set (tiny SF) → vacuously met, not NULL
+            coalesce(
+              col("hits").cast("double") / col("n_exact_pairs") >= floor,
+              lit(true)).as("floor_met"),
+            col("n_false_positives"))
+      },
+      Some("""WITH t AS (
+             |  SELECT count(*) AS n FROM (
+             |    SELECT a.vec_id, b.vec_id FROM embeddings a
+             |    JOIN embeddings b ON a.vec_id < b.vec_id
+             |    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+             |                b.embedding::DOUBLE[]), 4) >= 0.35))
+             |SELECT n AS n_exact_pairs, CAST(0.5 AS DOUBLE) AS recall_floor,
+             |       true AS floor_met, CAST(0 AS BIGINT) AS n_false_positives
+             |FROM t""".stripMargin))
   )
+
+  /** dd11/dd12's shared candidate machinery: k-means cells (shared IVF
+    * trainer — hash-spread seeds, 3 Lloyd rounds, map-side
+    * assignment), each vector indexed under its TWO nearest cells
+    * (the ss02 boundary spill: a pair split by one cell boundary is
+    * still co-indexed), pairwise within a cell blocked dd05-style so
+    * one hot cell still lands as bounded-input tasks, every pair
+    * exact-cosine verified. Returns distinct (keep = smaller vec_id,
+    * drop = larger, cos_sim) rows.
+    */
+  private def semdedupPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val e = table(s, d, "embeddings").select("vec_id", "embedding")
+    // coarser than ss02's √N: dedup recall depends on co-clustering
+    // the mid-similarity pairs, so cells hold ~4√N vectors — the
+    // Σ|cell|² trade stays ~N^1.5, with a 4× constant bought for
+    // recall (tunable; real clustered corpora can afford √N)
+    val nlist = s.conf.getOption("spark.graft.semdedup.nlist").map(_.toInt)
+      .getOrElse {
+        val n = e.count()
+        math.max(4, math.round(math.sqrt(n.toDouble)).toInt / 4)
+      }
+    val nlistMax = s.conf.getOption("spark.graft.ann.nlist-max")
+      .map(_.toInt).getOrElse(1 << 17)
+    require(nlist <= nlistMax,
+      s"spark.graft.semdedup.nlist = $nlist exceeds the driver-held " +
+        s"centroid ceiling $nlistMax")
+    val centroids = Similarity.trainCentroids(e, nlist)
+    val indexed = e.withColumn("cell",
+      explode(GraftFunctions.nearestCentroids(col("embedding"),
+        centroids.map(_._2).toSeq, centroids.map(_._1).toSeq, 2)))
+    val B = 4
+    val withBlk = indexed.withColumn("blk", pmod(hash(col("vec_id")), lit(B)))
+    val cellPairs = (0 until B).flatMap(i => (i until B).map(j => (i, j)))
+    val a = withBlk.as("a").join(broadcast(cellPairs.toDF("bi", "bj")),
+      col("a.blk") === col("bi"))
+    val b = withBlk.as("b").join(broadcast(cellPairs.toDF("bi2", "bj2")),
+      col("b.blk") === col("bj2"))
+    val cos =
+      round(GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")), 4)
+    a.join(b,
+        col("a.cell") === col("b.cell") &&
+          col("bi") === col("bi2") && col("bj") === col("bj2") &&
+          (col("bi") < col("bj") || col("a.vec_id") < col("b.vec_id")) &&
+          cos >= 0.35)
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("keep"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("drop"),
+        cos.as("cos_sim"))
+      .distinct() // the dual-cell spill can co-index a pair twice
+  }
 }

@@ -32,7 +32,7 @@ object Similarity {
     * [[GraftFunctions.nearestCentroids]], one small mean shuffle per
     * iteration). Shared by the IVF (ss02) and IVF-PQ (ss06) paths.
     */
-  private def trainCentroids(e: org.apache.spark.sql.DataFrame,
+  private[pipeline] def trainCentroids(e: org.apache.spark.sql.DataFrame,
       nlist: Int): Array[(Long, Seq[Double])] = {
     var centroids: Array[(Long, Seq[Double])] =
       e.orderBy(pmod(hash(col("vec_id")), lit(1 << 30)), col("vec_id"))

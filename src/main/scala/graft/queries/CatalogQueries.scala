@@ -2116,6 +2116,55 @@ object CatalogQueries {
         .stripMargin)),
 
     QueryDef(
+      "c52_iceberg_static_bridge",
+      (s, d) => {
+        // Static Iceberg interchange (no REST server needed to READ):
+        // the source table — including a copy-on-write DELETE, so the
+        // export must carry removed files correctly — exports as a
+        // self-contained Iceberg v2 metadata.json via CALL
+        // export_iceberg; the REST register endpoint then ADOPTS that
+        // document as a new table (the spec's RegisterTable contract,
+        // walking the real avro manifest chain). The adopted copy must
+        // reproduce the source's post-delete state against the oracle.
+        val cat = ensureCatalog(s, "gst")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gst.ns1")
+        s.sql("DROP TABLE IF EXISTS gst.ns1.adopted")
+        s.sql("DROP TABLE IF EXISTS gst.ns1.ord")
+        s.sql("""CREATE TABLE gst.ns1.ord (
+                   o_orderkey BIGINT, o_orderstatus STRING,
+                   o_totalprice DOUBLE)""")
+        s.sql(s"""INSERT INTO gst.ns1.ord
+                  SELECT o_orderkey, o_orderstatus, o_totalprice
+                  FROM parquet.`$d/orders.parquet`""")
+        s.sql("DELETE FROM gst.ns1.ord WHERE o_orderkey % 5 = 0")
+        val loc = s.sql("CALL gst.system.export_iceberg(" +
+          "namespace => 'ns1', table => 'ord')").head.getString(0)
+        val server = new graft.serve.CatalogHttpServer(cat.storage)
+        val port = server.start()
+        try {
+          val client = java.net.http.HttpClient.newHttpClient()
+          val res = client.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+              s"http://127.0.0.1:$port/v1/iceberg/namespaces/ns1/register"))
+              .header("Content-Type", "application/json")
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+                s"""{"name":"adopted","metadata-location":"$loc"}"""))
+              .build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(res.statusCode() == 200,
+            s"REST register failed: ${res.statusCode()} ${res.body()}")
+        } finally server.stop()
+        s.sql("""SELECT o_orderstatus AS status, count(*) AS n,
+                 round(sum(o_totalprice), 2) AS total
+                 FROM gst.ns1.adopted GROUP BY o_orderstatus
+                 ORDER BY status""")
+      },
+      Some("""SELECT o_orderstatus AS status, count(*) AS n,
+             |       round(sum(o_totalprice), 2) AS total
+             |FROM orders WHERE o_orderkey % 5 <> 0
+             |GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
+
+    QueryDef(
       "c44_snapshot_pin",
       (s, d) => {
         // Table-level snapshot-id time travel: `VERSION AS OF

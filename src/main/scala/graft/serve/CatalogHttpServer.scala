@@ -250,12 +250,14 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0,
       if (purge) storage.deleteTree(s"data/$ns/$t/")
       replyEmpty(ex, 204)
     case ("POST", List("namespaces", ns, "register")) =>
-      // RegisterTableRequest: adopt an EXISTING graft-format metadata
-      // document (e.g. written by another warehouse sharing this
-      // storage) as a live table — the cross-process attach the
-      // reference's migration procedures provide natively. Documented
-      // delta: the facade registers graft TableMetadata JSON, not an
-      // Iceberg metadata.json (a format bridge would go here).
+      // RegisterTableRequest: adopt an EXISTING metadata document as a
+      // live table — the cross-process attach the reference's
+      // migration procedures provide natively. Two formats are
+      // accepted: graft's own TableMetadata JSON (another warehouse
+      // sharing this storage), and an Iceberg metadata.json (v1/v2),
+      // whose current snapshot's live files are adopted through the
+      // [[IcebergStatic]] bridge — the spec's actual RegisterTable
+      // contract.
       val body = Json.mapper.readTree(requestBody(ex))
       val name = body.path("name").asText()
       require(name.nonEmpty, "register needs a name")
@@ -266,11 +268,17 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0,
           .stripPrefix("/")
         else loc
       require(storage.exists(rel), s"no metadata document at $loc")
-      // read validates the document before anything is committed
-      val meta = TableMetadata.read(storage, rel)
-      inWriteTxn(txn => Graft.createTable(storage, txn,
-        TableDef(name, ns, metadataLocation = rel,
-          properties = meta.properties)))
+      val doc = storage.read(rel)
+      if (IcebergStatic.isIcebergMetadata(doc))
+        inWriteTxn(txn =>
+          IcebergStatic.importTable(storage, txn, ns, name, rel))
+      else {
+        // read validates the document before anything is committed
+        val meta = TableMetadata.read(storage, rel)
+        inWriteTxn(txn => Graft.createTable(storage, txn,
+          TableDef(name, ns, metadataLocation = rel,
+            properties = meta.properties)))
+      }
       replyLoadTable(ex, ns, name)
     case ("GET", List("namespaces", ns, "views")) =>
       withReadTxn { txn =>

@@ -486,7 +486,7 @@ object IcebergCommits {
       eqObjs.result())
   }
 
-  private def toRel(storage: StorageOps, abs: String): String = {
+  private[serve] def toRel(storage: StorageOps, abs: String): String = {
     val root = storage.root.stripSuffix("/") + "/"
     require(abs.startsWith(root),
       s"path outside the catalog root: $abs")
@@ -500,14 +500,14 @@ object IcebergCommits {
 
   // clients author their own schemas: optional fields may be entirely
   // ABSENT, and GenericRecord.get throws on unknown names
-  private def opt(r: org.apache.avro.generic.GenericRecord,
+  private[serve] def opt(r: org.apache.avro.generic.GenericRecord,
       name: String): Any =
     if (r.getSchema.getField(name) == null) null else r.get(name)
 
   /** Null-safe REQUIRED field: a malformed client manifest maps to the
     * endpoint's 400 contract, never a server-side NPE → 500.
     */
-  private def req(r: org.apache.avro.generic.GenericRecord,
+  private[serve] def req(r: org.apache.avro.generic.GenericRecord,
       name: String): Any = {
     val v = opt(r, name)
     if (v == null) throw new IllegalArgumentException(
@@ -516,14 +516,14 @@ object IcebergCommits {
     v
   }
 
-  private def intOf(v: Any, dflt: Int): Int = v match {
+  private[serve] def intOf(v: Any, dflt: Int): Int = v match {
     case null => dflt
     case n: java.lang.Number => n.intValue()
     case other => throw new IllegalArgumentException(
       s"expected an int, got $other")
   }
 
-  private def longOf(v: Any): Long = v match {
+  private[serve] def longOf(v: Any): Long = v match {
     case n: java.lang.Number => n.longValue()
     case other => throw new IllegalArgumentException(
       s"expected a long, got $other")

@@ -49,6 +49,7 @@ object GraftProcedures {
       case "snapshot_table" => SnapshotTable(cat)
       case "rewrite_manifests" => RewriteManifests(cat)
       case "register_table" => RegisterTable(cat)
+      case "export_iceberg" => ExportIceberg(cat)
       case other =>
         throw new IllegalArgumentException(s"no such procedure: $other")
     }
@@ -240,6 +241,20 @@ object GraftProcedures {
       result(
         StructType(Seq(StructField("segments", LongType, false))),
         Seq(InternalRow(segments)))
+    }
+  }
+
+  private case class ExportIceberg(cat: GraftCatalog)
+      extends GraftProcedure("export_iceberg") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("namespace", StringType), in("table", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val loc = Maintenance.exportIceberg(cat,
+        Identifier.of(Array(input.getString(0)), input.getString(1)))
+      result(
+        StructType(Seq(
+          StructField("metadata_location", StringType, false))),
+        Seq(InternalRow(UTF8String.fromString(loc))))
     }
   }
 

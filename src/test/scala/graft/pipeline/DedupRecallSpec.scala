@@ -40,6 +40,26 @@ class DedupRecallSpec extends AnyFunSuite {
       s"LSH recall collapsed: ${lsh.size}/${exact.size}")
   }
 
+  test("semdedup: drop decisions consistent, exact-verified, recall over floor") {
+    val exact = graft.SparkEntry.queries("dd05_embedding_dup")(spark, sf)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val drops = graft.SparkEntry.queries("dd11_semdedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every drop decision names a REAL duplicate pair (survivor < drop
+    // by construction; the pair must exist in the exact truth)
+    drops.foreach { case (dropped, survivor) =>
+      assert(survivor < dropped)
+      assert(exact.contains((survivor, dropped)),
+        s"drop $dropped -> $survivor is not an exact duplicate pair")
+    }
+    // the graded dd12 verdict itself: floor met, zero false positives
+    val row = graft.SparkEntry.queries("dd12_semdedup_recall")(spark, sf)
+      .collect()(0)
+    assert(row.getBoolean(2), s"semdedup recall under floor: $row")
+    assert(row.getLong(3) == 0L, s"false positives: $row")
+  }
+
   test("adaptive buckets: oversized coarse buckets re-bucket on the fine key") {
     import spark.implicits._
     val cap = 50

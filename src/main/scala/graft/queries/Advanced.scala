@@ -402,6 +402,141 @@ object Advanced {
              |       round(CAST(coalesce(r.n_ret, 0) AS DOUBLE) / c.n_users,
              |             4) AS d7_rate
              |FROM coh c LEFT JOIN ret r USING (d0) ORDER BY d0"""
-        .stripMargin))
+        .stripMargin)),
+
+    QueryDef(
+      "q40_tpch_q7",
+      (s, d) => {
+        // TPC-H Q7 (volume shipping): revenue between two nations by
+        // year and direction. Plan shape at 100 TB: lineitem⋈orders is
+        // THE shuffle (both big, keyed on orderkey); supplier/customer
+        // join on dimension keys after their nation filters cut them
+        // to two nations each (AQE broadcasts the survivors); nation
+        // is a 25-row broadcast twice. The nation-pair disjunction
+        // lives in the join condition, not a post-filter, so
+        // non-qualifying pairs never materialize.
+        val n1 = broadcast(table(s, d, "nation")
+          .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+          .filter(col("supp_nation").isin("NATION_1", "NATION_2")))
+        val n2 = broadcast(table(s, d, "nation")
+          .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+          .filter(col("cust_nation").isin("NATION_1", "NATION_2")))
+        val sup = table(s, d, "supplier").join(n1,
+          col("s_nationkey") === col("sk"))
+        val cust = table(s, d, "customer").join(n2,
+          col("c_nationkey") === col("ck"))
+        val li = table(s, d, "lineitem")
+          .filter(col("l_shipdate").between("1995-01-01", "1996-12-31"))
+        li.join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+            2).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+             |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+             |  AND n1.n_name <> n2.n_name
+             |  AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    QueryDef(
+      "q41_tpch_q8",
+      (s, d) => {
+        // TPC-H Q8 (national market share): one nation's share of a
+        // part-type's revenue within a region, by year. The p_type and
+        // region filters prune BEFORE the big join (part survivors
+        // broadcast into lineitem); the share is a conditional-sum
+        // over one aggregated frame — no second pass over the joins.
+        val rk = broadcast(table(s, d, "region")
+          .filter(col("r_name") === "EUROPE").select("r_regionkey"))
+        val custN = broadcast(table(s, d, "nation").join(rk,
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cnk")))
+        val suppN = broadcast(table(s, d, "nation")
+          .select(col("n_nationkey").as("snk"), col("n_name")))
+        val pts = broadcast(table(s, d, "part")
+          .filter(col("p_type") === "STANDARD")
+          .select("p_partkey"))
+        val ord = table(s, d, "orders")
+          .filter(col("o_orderdate").between("1995-01-01", "1996-12-31"))
+        table(s, d, "lineitem")
+          .join(pts, col("l_partkey") === col("p_partkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(custN, col("c_nationkey") === col("cnk"))
+          .join(table(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(suppN, col("s_nationkey") === col("snk"))
+          .withColumn("volume",
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(round(
+            sum(when(col("n_name") === "NATION_3", col("volume"))
+              .otherwise(lit(0.0))) / sum(col("volume")), 4).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+             |       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+             |                      THEN l_extendedprice * (1 - l_discount)
+             |                      ELSE 0 END)
+             |             / sum(l_extendedprice * (1 - l_discount)), 4)
+             |         AS mkt_share
+             |FROM lineitem
+             |JOIN part     ON l_partkey = p_partkey
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |JOIN region   ON n1.n_regionkey = r_regionkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+             |  AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
+      "q42_tpch_q10",
+      (s, d) => {
+        // TPC-H Q10 (returned-item reporting): top-20 customers by
+        // revenue lost to returns in a quarter. lineitem's returnflag
+        // filter and orders' date window both push into the scans; the
+        // top-20 is a TakeOrdered (per-partition heads merged on the
+        // driver), never a global sort.
+        val ord = table(s, d, "orders")
+          .filter(col("o_orderdate").between("1995-10-01", "1995-12-31"))
+        val li = table(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(table(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+            2).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2)
+             |         AS revenue
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate BETWEEN DATE '1995-10-01' AND DATE '1995-12-31'
+             |GROUP BY 1, 2, 3, 4
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
   )
 }

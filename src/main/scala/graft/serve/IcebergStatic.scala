@@ -30,11 +30,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * merge-on-read state included. Import adopts the CURRENT snapshot's
   * live file inventory as a fresh table (one append snapshot, same
   * posture as Iceberg's own snapshot/migrate procedures): history is
-  * the source table's concern, correctness of adopted state is ours —
-  * a current snapshot carrying delete files or a partitioned spec is
-  * refused rather than silently misread (graft plans its own layout
-  * from Hive-style paths; an external non-identity spec has no such
-  * recovery).
+  * the source table's concern, correctness of adopted state is ours.
+  * Identity-partitioned specs are adopted when the file layout is
+  * Hive-style (always true for graft exports), keeping pruning; a
+  * current snapshot carrying delete files, or a non-identity
+  * transform, is refused rather than silently misread (graft plans
+  * partition values from paths — a transform's derived values have no
+  * such recovery).
   */
 object IcebergStatic {
 
@@ -116,10 +118,15 @@ object IcebergStatic {
   /** Import an Iceberg metadata.json (v1 or v2, under the catalog
     * root) as table `ns.name` in `txn`: the current snapshot's live
     * data files become one append snapshot over the document's current
-    * schema. Throws IllegalArgumentException (→ HTTP 400) for shapes
-    * the adoption cannot represent: non-empty partition specs, delete
-    * manifests in the current snapshot, paths outside the catalog
-    * root, or missing data files.
+    * schema. IDENTITY-partitioned specs are adopted when every data
+    * file's path carries Hive-style `col=value` segments for every
+    * partition column (graft's own layout — always true for exported
+    * graft tables); the adopted table keeps the partition columns, so
+    * partition pruning survives the round trip. Throws
+    * IllegalArgumentException (→ HTTP 400) for shapes the adoption
+    * cannot represent: non-identity transforms, non-Hive file layouts,
+    * delete manifests in the current snapshot, paths outside the
+    * catalog root, or missing data files.
     */
   def importTable(storage: StorageOps, txn: Transaction, ns: String,
       name: String, metadataRel: String): Unit = {
@@ -127,7 +134,9 @@ object IcebergStatic {
     val fv = node.path("format-version").asInt(-1)
     require(fv == 1 || fv == 2, s"unsupported format-version $fv")
     val schema = currentSchema(node)
-    requireUnpartitioned(node)
+    val partCols = identityPartitionCols(node)
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition source column $c is not in the table schema"))
     val curId = node.path("current-snapshot-id").asLong(-1L)
     val files = if (curId < 0) Seq.empty else {
       val snap = findSnapshot(node, curId).getOrElse(
@@ -135,12 +144,28 @@ object IcebergStatic {
           s"current-snapshot-id $curId not in snapshots"))
       currentDataFiles(storage, snap)
     }
-    files.foreach(f => require(storage.exists(f.path),
-      s"data file does not exist under the catalog root: ${f.path}"))
+    files.foreach { f =>
+      require(storage.exists(f.path),
+        s"data file does not exist under the catalog root: ${f.path}")
+      // graft plans partition values from the PATH: a file an external
+      // writer laid out non-Hive-style would scan with NULL partition
+      // values — refuse it instead
+      partCols.foreach { c =>
+        val dt = schema(schema.fieldIndex(c)).dataType
+        require(IcebergManifests.partitionValue(f.path, c, dt).isDefined,
+          s"data file ${f.path} lacks a Hive-style $c=<value> path " +
+            "segment; graft derives partition values from the path, so " +
+            "this layout cannot be adopted as partitioned — rewrite it " +
+            "or drop the partition spec")
+      }
+    }
     val metaPath = FileLocations.tableMetadataPath(ns, name)
     TableMetadata.write(storage, metaPath, TableMetadata.empty(schema.json))
+    val props =
+      if (partCols.isEmpty) Map.empty[String, String]
+      else Map(GraftCatalog.PartitionColsProp -> partCols.mkString(","))
     Graft.createTable(storage, txn,
-      TableDef(name, ns, metadataLocation = metaPath))
+      TableDef(name, ns, metadataLocation = metaPath, properties = props))
     if (files.nonEmpty)
       GraftCatalog.applyFilesCommit(storage, txn.runningRoot, ns, name,
         "append", AppendFiles(files))
@@ -167,7 +192,14 @@ object IcebergStatic {
     IcebergRest.fromIcebergSchema(schemaNode)
   }
 
-  private def requireUnpartitioned(node: JsonNode): Unit = {
+  /** The default spec's IDENTITY partition source-column names, in
+    * spec order — resolved through the schema's field ids. Any
+    * non-identity transform (bucket, truncate, days, …) is refused:
+    * graft recovers partition values from Hive-style path segments,
+    * and a transform's derived values are not recoverable from an
+    * external writer's paths.
+    */
+  private def identityPartitionCols(node: JsonNode): Seq[String] = {
     val fields: Option[JsonNode] =
       Option(node.get("partition-specs")).flatMap { specs =>
         val want = node.path("default-spec-id").asInt(0)
@@ -179,10 +211,49 @@ object IcebergStatic {
         }
         Option(hit).map(_.path("fields"))
       }.orElse(Option(node.get("partition-spec")))
-    fields.foreach(f => require(!f.isArray || f.size() == 0,
-      "partitioned tables cannot be imported: graft derives its layout " +
-        "from Hive-style paths, which an external spec does not " +
-        "guarantee — import the compacted/unpartitioned form"))
+    val arr = fields.filter(_.isArray).getOrElse(return Seq.empty)
+    val idToName: Map[Int, String] = {
+      val schemaNode = Option(node.get("schemas"))
+        .map { ss =>
+          val want = node.path("current-schema-id").asInt(0)
+          val it = ss.elements()
+          var hit: JsonNode = null
+          var first: JsonNode = null
+          while (it.hasNext) {
+            val s = it.next()
+            if (first == null) first = s
+            if (s.path("schema-id").asInt(-1) == want) hit = s
+          }
+          if (hit != null) hit else first
+        }
+        .getOrElse(node.get("schema"))
+      val out = Map.newBuilder[Int, String]
+      val it = schemaNode.path("fields").elements()
+      while (it.hasNext) {
+        val f = it.next()
+        out += (f.path("id").asInt(-1) -> f.path("name").asText())
+      }
+      out.result()
+    }
+    (0 until arr.size()).map { i =>
+      val f = arr.get(i)
+      val transform = f.path("transform").asText()
+      require(transform == "identity",
+        s"partition transform '$transform' cannot be imported: graft " +
+          "derives partition values from Hive-style paths, which only " +
+          "identity transforms guarantee — compact or re-spec the " +
+          "source table first")
+      val srcId = f.path("source-id").asInt(-1)
+      idToName.getOrElse(srcId,
+        // v1 documents may omit ids; fall back to the field name,
+        // which for identity transforms equals the source column
+        f.path("name").asText() match {
+          case "" => throw new IllegalArgumentException(
+            s"partition field $i has neither a resolvable source-id " +
+              "nor a name")
+          case n => n
+        })
+    }
   }
 
   private def findSnapshot(node: JsonNode, id: Long): Option[JsonNode] = {

@@ -106,18 +106,47 @@ class IcebergStaticSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 3L)
   }
 
-  test("import refuses partitioned specs") {
+  test("identity-partitioned tables round-trip with pruning intact") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ist.ns4")
     spark.sql("""CREATE TABLE ist.ns4.part (id BIGINT, region STRING)
       PARTITIONED BY (region)""")
-    spark.sql("INSERT INTO ist.ns4.part VALUES (1, 'eu'), (2, 'us')")
+    spark.sql("INSERT INTO ist.ns4.part VALUES (1, 'eu'), (2, 'us'), (3, 'eu')")
     val rel = IcebergStatic.export(storage, "ns4", "part")
+    spark.sql("CALL ist.system.register_table(namespace => 'ns4', " +
+      s"table => 'partcopy', metadata_location => '${storage.absolute(rel)}')")
+    val rows = spark.sql(
+      "SELECT id FROM ist.ns4.partcopy WHERE region = 'eu' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L, 3L))
+    // the adopted def carries the partition columns
+    val txn = graft.catalog.Graft.beginTransaction(storage)
+    try {
+      val td = graft.catalog.Graft.describeTable(storage, txn,
+        "ns4", "partcopy")
+      assert(td.properties.get(
+        graft.spark.GraftCatalog.PartitionColsProp) == Some("region"))
+    } finally txn.close()
+  }
+
+  test("import refuses non-identity partition transforms") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ist.ns4b")
+    val bucketed = """{"format-version":2,
+      "schemas":[{"type":"struct","schema-id":0,"fields":[
+        {"id":1,"name":"id","required":false,"type":"long"}]}],
+      "current-schema-id":0,
+      "partition-specs":[{"spec-id":0,"fields":[
+        {"name":"id_bucket","transform":"bucket[16]","source-id":1,
+         "field-id":1000}]}],
+      "default-spec-id":0,"current-snapshot-id":-1,"snapshots":[]}"""
+    storage.writeAtomic("data/ns4b/bucketed.metadata.json",
+      bucketed.getBytes("UTF-8"))
     val txn = graft.catalog.Graft.beginTransaction(storage)
     try {
       val e = intercept[IllegalArgumentException] {
-        IcebergStatic.importTable(storage, txn, "ns4", "partcopy", rel)
+        IcebergStatic.importTable(storage, txn, "ns4b", "bk",
+          "data/ns4b/bucketed.metadata.json")
       }
-      assert(e.getMessage.contains("partitioned"))
+      assert(e.getMessage.contains("transform"))
     } finally txn.close()
   }
 

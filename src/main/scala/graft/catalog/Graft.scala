@@ -46,6 +46,42 @@ object Graft {
     cd.copy(formatVersion = v)
   }
 
+  /** Commit a catalog-definition change (e.g. recording a named
+    * snapshot export) as a new root version whose `catalog_def`
+    * pointer names a fresh def file — the tree itself is untouched, so
+    * the commit carries no actions and concurrent transactions rebase
+    * over it without conflict. Optimistic: retried on a lost root
+    * race.
+    */
+  def updateCatalogDef(storage: StorageOps, f: CatalogDef => CatalogDef,
+      maxRetries: Int = 10): CatalogDef = {
+    var attempt = 0
+    while (true) {
+      val latest = TreeOps.findLatestRoot(storage).getOrElse(
+        throw new IllegalStateException("catalog does not exist"))
+      try {
+        val cd = catalogDef(storage, latest)
+        val cd2 = f(cd)
+        if (cd2 == cd) return cd
+        val defPath = FileLocations.newCatalogDefPath()
+        storage.writeAtomic(defPath, Json.write(cd2))
+        val node = TreeOps.loadRoot(storage, latest.path.get)
+        val root = new graft.tree.TreeRoot(node.node, latest.version,
+          latest.path, None, defPath, System.currentTimeMillis(), "[]")
+        try {
+          TreeOps.writeRoot(storage, root, latest.version + 1)
+          return cd2
+        } catch {
+          case _: graft.storage.AtomicSealFailureException =>
+            attempt += 1
+            if (attempt > maxRetries) throw new graft.txn
+              .CommitFailedException("catalog-def update: too many retries")
+        }
+      } finally latest.close()
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   // ---------- transactions ----------
 
   /** Snapshot the latest root (Olympia.java:65-84). */

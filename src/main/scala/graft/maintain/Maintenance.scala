@@ -480,7 +480,8 @@ object Maintenance {
     * the export is fully self-contained. Returns files copied.
     */
   def exportSnapshot(cat: GraftCatalog, version: Long,
-      dest: graft.storage.StorageOps, copyData: Boolean = true): Int = {
+      dest: graft.storage.StorageOps, copyData: Boolean = true,
+      name: Option[String] = None): Int = {
     val storage = cat.storage
     val latest = TreeOps.findLatestRoot(storage)
       .getOrElse(throw new IllegalStateException("catalog does not exist"))
@@ -517,6 +518,15 @@ object Maintenance {
     TreeOps.writeRootAt(dest, exportRoot,
       graft.objects.FileLocations.rootNodePath(0L))
     dest.overwrite(graft.objects.FileLocations.LatestVersionHint, "0".getBytes)
+    // a NAMED export is recorded in the source catalog definition
+    // (docs/format.md:305-308); string VERSION AS OF resolves the name
+    // to the exported root — the files stay reachable in the source
+    // (minimal/partial exports rely on this for retention)
+    name.foreach { n =>
+      val rootPath = target.path.get
+      Graft.updateCatalogDef(storage, cd => cd.copy(
+        exportedSnapshots = cd.exportedSnapshots + (n -> rootPath)))
+    }
     copied + 1
   }
 

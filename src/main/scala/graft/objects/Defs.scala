@@ -22,7 +22,14 @@ final case class CatalogDef(
     // transaction defaults (ObjectDefinitions.java:45-48)
     txnIsolationLevel: String = IsolationLevel.Snapshot,
     txnTtlMillis: Long = 3L * 24 * 3600 * 1000,
-    properties: Map[String, String] = Map.empty)
+    properties: Map[String, String] = Map.empty,
+    // named snapshot exports: export name → root node path at export
+    // (docs/format.md:305-308 — "the catalog definition should be
+    // updated to record the name of the export and the root node file
+    // the export is at"); string VERSION AS OF resolves these.
+    // Optional-with-default: a pre-feature reader ignores it, no
+    // format bump needed.
+    exportedSnapshots: Map[String, String] = Map.empty)
 
 object CatalogDef {
   /** Current JSON object-def layout version (docs/FORMAT_COMPAT.md).

@@ -407,20 +407,17 @@ object Advanced {
     QueryDef(
       "q40_tpch_q7",
       (s, d) => {
-        // TPC-H Q7 (volume shipping): revenue between two nations by
-        // year and direction. Plan shape at 100 TB: lineitem⋈orders is
-        // THE shuffle (both big, keyed on orderkey); supplier/customer
-        // join on dimension keys after their nation filters cut them
-        // to two nations each (AQE broadcasts the survivors); nation
-        // is a 25-row broadcast twice. The nation-pair disjunction
-        // lives in the join condition, not a post-filter, so
-        // non-qualifying pairs never materialize.
+        // TPC-H Q7 (volume shipping): cross-nation revenue by year
+        // and direction (all nation pairs — the synthetic nations are
+        // sparse at tiny SF, so the classic two-nation gate would
+        // return empty there; the plan shape is identical). At 100 TB
+        // lineitem⋈orders is THE shuffle (both big, keyed on
+        // orderkey); supplier/customer join on dimension keys and
+        // nation is a 25-row broadcast twice.
         val n1 = broadcast(table(s, d, "nation")
-          .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
-          .filter(col("supp_nation").isin("NATION_1", "NATION_2")))
+          .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation")))
         val n2 = broadcast(table(s, d, "nation")
-          .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
-          .filter(col("cust_nation").isin("NATION_1", "NATION_2")))
+          .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation")))
         val sup = table(s, d, "supplier").join(n1,
           col("s_nationkey") === col("sk"))
         val cust = table(s, d, "customer").join(n2,
@@ -433,22 +430,26 @@ object Advanced {
           .filter(col("supp_nation") =!= col("cust_nation"))
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).as("l_year"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
-            2).as("revenue"))
+          // per-row products quantize to DECIMAL(18,4) BEFORE the sum:
+          // decimal addition is exact and order-independent, so the
+          // aggregate cannot drift a cent between engines the way a
+          // double sum's reduction order can
+          .agg(round(sum((col("l_extendedprice") *
+              (lit(1) - col("l_discount"))).cast("decimal(18,4)")), 2)
+            .cast("double").as("revenue"))
           .orderBy("supp_nation", "cust_nation", "l_year")
       },
       Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              |       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
-             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+             |                      AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
              |FROM lineitem
              |JOIN orders   ON l_orderkey = o_orderkey
              |JOIN supplier ON l_suppkey = s_suppkey
              |JOIN customer ON o_custkey = c_custkey
              |JOIN nation n1 ON s_nationkey = n1.n_nationkey
              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-             |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-             |  AND n2.n_name IN ('NATION_1', 'NATION_2')
-             |  AND n1.n_name <> n2.n_name
+             |WHERE n1.n_name <> n2.n_name
              |  AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
 
@@ -522,13 +523,15 @@ object Advanced {
             col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
             col("n_name"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
-            2).as("revenue"))
+          .agg(round(sum((col("l_extendedprice") *
+              (lit(1) - col("l_discount"))).cast("decimal(18,4)")), 2)
+            .cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("c_custkey"))
           .limit(20)
       },
       Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
-             |       round(sum(l_extendedprice * (1 - l_discount)), 2)
+             |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+             |                      AS DECIMAL(18,4))), 2) AS DOUBLE)
              |         AS revenue
              |FROM lineitem
              |JOIN orders   ON l_orderkey = o_orderkey

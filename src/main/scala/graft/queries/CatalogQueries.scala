@@ -2165,6 +2165,45 @@ object CatalogQueries {
              |GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
 
     QueryDef(
+      "c53_named_export_pin",
+      (s, d) => {
+        // Named catalog snapshot export (docs/format.md:284-326): the
+        // catalog definition records each export's name → root, and a
+        // non-numeric VERSION AS OF resolves the name to the exported
+        // root — "a string that does not resemble a numeric value
+        // should map to a possible exported snapshot". A minimal
+        // export (copy_data => false) replicates only the metadata
+        // tree; the pinned read then runs against the source files,
+        // which retention keeps. The pinned read must reproduce the
+        // pre-export half of orders.
+        val cat = ensureCatalog(s, "gex")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gex.ns1")
+        s.sql("DROP TABLE IF EXISTS gex.ns1.ord")
+        s.sql("""CREATE TABLE gex.ns1.ord (
+                   o_orderkey BIGINT, o_orderstatus STRING,
+                   o_totalprice DOUBLE)""")
+        s.sql(s"""INSERT INTO gex.ns1.ord
+                  SELECT o_orderkey, o_orderstatus, o_totalprice
+                  FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 0""")
+        val v = graft.tree.TreeOps.findLatestRoot(cat.storage).get.version
+        val dest = java.nio.file.Files
+          .createTempDirectory("graft-export-c53").toString
+        s.sql(s"CALL gex.system.export_catalog(version => ${v}L, " +
+          s"dest => '$dest', copy_data => false, name => 'cut1')")
+        s.sql(s"""INSERT INTO gex.ns1.ord
+                  SELECT o_orderkey, o_orderstatus, o_totalprice
+                  FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 1""")
+        s.sql("""SELECT o_orderstatus AS status, count(*) AS n,
+                 round(sum(o_totalprice), 2) AS total
+                 FROM gex.ns1.ord VERSION AS OF 'cut1'
+                 GROUP BY o_orderstatus ORDER BY status""")
+      },
+      Some("""SELECT o_orderstatus AS status, count(*) AS n,
+             |       round(sum(o_totalprice), 2) AS total
+             |FROM orders WHERE o_orderkey % 2 = 0
+             |GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
+
+    QueryDef(
       "c44_snapshot_pin",
       (s, d) => {
         // Table-level snapshot-id time travel: `VERSION AS OF

@@ -293,7 +293,7 @@ object IcebergCommits {
       }
       val eqDeletes = cs.eqObjs.zipWithIndex.map { case (o, i) =>
         transcodeClientEqDelete(storage, o.rel, o.eqIds, schema,
-          s"$dataDir/deletes/rest-$restId/e$i.parquet")
+          meta.properties, s"$dataDir/deletes/rest-$restId/e$i.parquet")
       }
       // the schema the diff was computed against: a rebase replay must
       // not diff against a CONCURRENTLY evolved schema — the client's
@@ -322,7 +322,7 @@ object IcebergCommits {
                   "and retry the evolution")
             val served = DataType.fromJson(meta0.schemaJson)
               .asInstanceOf[StructType]
-            val (servedNode, _) = IcebergRest.toIcebergSchema(served)
+            val (servedNode, _) = IcebergRest.toIcebergSchema(served, td0.properties)
             val changes = IcebergSchemaDiff.diff(servedNode, clientSchema)
             if (changes.nonEmpty) {
               // the SAME change-application rules as native ALTER
@@ -616,10 +616,11 @@ object IcebergCommits {
     */
   private def transcodeClientEqDelete(storage: StorageOps,
       clientRel: String, eqIds: Seq[Int], schema: StructType,
-      outRel: String): EqDeleteFile = {
-    // served field ids are assigned pre-order over the table schema;
-    // only top-level columns can be equality keys
-    val (schemaNode, _) = IcebergRest.toIcebergSchema(schema)
+      tableProps: Map[String, String], outRel: String): EqDeleteFile = {
+    // served field ids resolve through the table's persisted id map
+    // (stable across evolution); only top-level columns can be
+    // equality keys
+    val (schemaNode, _) = IcebergRest.toIcebergSchema(schema, tableProps)
     val idToName = {
       val m = scala.collection.mutable.Map.empty[Int, String]
       val it = schemaNode.get("fields").elements()

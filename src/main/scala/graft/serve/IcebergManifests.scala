@@ -249,7 +249,7 @@ object IcebergManifests {
     val partSchema = partitionSchema(partCols)
     val entrySchema = manifestEntrySchema(partSchema)
     val dfSchema = entrySchema.getField("data_file").schema()
-    val (schemaNode, _) = IcebergRest.toIcebergSchema(schema)
+    val (schemaNode, _) = IcebergRest.toIcebergSchema(schema, meta.properties)
     val specJson = {
       val sb = new StringBuilder("[")
       partCols.zipWithIndex.foreach { case ((name, _), i) =>

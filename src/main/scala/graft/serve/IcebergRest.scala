@@ -32,48 +32,60 @@ object IcebergRest {
   /** Iceberg struct schema with sequential pre-order field IDs; also
     * returns the last assigned id (metadata `last-column-id`).
     */
-  def toIcebergSchema(schema: StructType): (ObjectNode, Int) = {
-    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
-    val node = structNode(schema, counter)
+  def toIcebergSchema(schema: StructType): (ObjectNode, Int) =
+    toIcebergSchema(schema, Map.empty[String, String])
+
+  /** Iceberg struct schema with STABLE field ids: `props` may carry a
+    * persisted `{physical path → id}` map
+    * ([[graft.spark.IcebergFieldIds]], written at every schema
+    * evolution) — ids then survive drops and renames across loads,
+    * the way external engines expect. Without the property the ids
+    * are positional (identical to what the first persisted map would
+    * contain).
+    */
+  def toIcebergSchema(schema: StructType,
+      props: Map[String, String]): (ObjectNode, Int) = {
+    val (ids, last) = graft.spark.IcebergFieldIds.assign(schema, props)
+    val node = structNode(schema, "", ids)
     node.put("schema-id", 0)
-    (node, counter.get())
+    (node, last)
   }
 
-  private def structNode(s: StructType, c: java.util.concurrent.atomic.AtomicInteger): ObjectNode = {
+  private def structNode(s: StructType, prefix: String,
+      ids: Map[String, Int]): ObjectNode = {
     val n = mapper.createObjectNode()
     n.put("type", "struct")
     val fields = n.putArray("fields")
-    // IDs are assigned level-first within a struct (all siblings before
-    // any child), matching how Iceberg's own assignFreshIds walks
-    val assigned = s.fields.map(f => (f, c.incrementAndGet()))
-    assigned.foreach { case (f, id) =>
+    s.fields.foreach { f =>
+      val path = prefix + graft.spark.ColumnMapping.physicalName(f)
       val fn = fields.addObject()
-      fn.put("id", id)
+      fn.put("id", ids(path))
       fn.put("name", f.name)
       fn.put("required", !f.nullable)
-      fn.set("type", typeNode(f.dataType, c))
+      fn.set("type", typeNode(f.dataType, path + ".", ids))
       f.getComment().foreach(fn.put("doc", _))
     }
     n
   }
 
-  private def typeNode(dt: DataType, c: java.util.concurrent.atomic.AtomicInteger): JsonNode =
+  private def typeNode(dt: DataType, prefix: String,
+      ids: Map[String, Int]): JsonNode =
     dt match {
-      case s: StructType => structNode(s, c)
+      case s: StructType => structNode(s, prefix, ids)
       case a: ArrayType =>
         val n = mapper.createObjectNode()
         n.put("type", "list")
-        n.put("element-id", c.incrementAndGet())
-        n.set("element", typeNode(a.elementType, c))
+        n.put("element-id", ids(prefix + "element"))
+        n.set("element", typeNode(a.elementType, prefix + "element.", ids))
         n.put("element-required", !a.containsNull)
         n
       case m: MapType =>
         val n = mapper.createObjectNode()
         n.put("type", "map")
-        n.put("key-id", c.incrementAndGet())
-        n.set("key", typeNode(m.keyType, c))
-        n.put("value-id", c.incrementAndGet())
-        n.set("value", typeNode(m.valueType, c))
+        n.put("key-id", ids(prefix + "key"))
+        n.set("key", typeNode(m.keyType, prefix + "key.", ids))
+        n.put("value-id", ids(prefix + "value"))
+        n.set("value", typeNode(m.valueType, prefix + "value.", ids))
         n.put("value-required", !m.valueContainsNull)
         n
       case other => mapper.getNodeFactory.textNode(primitiveName(other))
@@ -158,7 +170,7 @@ object IcebergRest {
       metadataLocation: String, dataLocation: String,
       manifestLists: Map[Long, String] = Map.empty): ObjectNode = {
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-    val (schemaNode, lastColId) = toIcebergSchema(schema)
+    val (schemaNode, lastColId) = toIcebergSchema(schema, td.properties)
     val m = mapper.createObjectNode()
     m.put("format-version", 2)
     m.put("table-uuid",

@@ -378,6 +378,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     * snapshots client-side per the Iceberg spec.)
     */
   override def loadTable(ident: Identifier, version: String): Table = {
+    if (!version.matches("-?\\d+")) {
+      // a non-numeric version checks NAMED CATALOG EXPORTS first
+      // (docs/format.md:298-299 — "a string that does not resemble a
+      // numeric value should map to a possible exported snapshot"):
+      // catalog-level names outrank table-level tags, mirroring how
+      // bare numerics already mean catalog versions
+      val latest = TreeOps.findLatestRoot(storage).get
+      val exported =
+        try Graft.catalogDef(storage, latest).exportedSnapshots.get(version)
+        finally latest.close()
+      exported.foreach { rootPath =>
+        return loadAtRoot(ident, TreeOps.loadRoot(storage, rootPath))
+      }
+    }
     if (!version.matches("-?\\d+")) return inTxn { txn =>
       val ns = ns1(ident.namespace())
       val td =

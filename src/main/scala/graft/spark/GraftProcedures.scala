@@ -50,6 +50,7 @@ object GraftProcedures {
       case "rewrite_manifests" => RewriteManifests(cat)
       case "register_table" => RegisterTable(cat)
       case "export_iceberg" => ExportIceberg(cat)
+      case "export_catalog" => ExportCatalog(cat)
       case other =>
         throw new IllegalArgumentException(s"no such procedure: $other")
     }
@@ -241,6 +242,31 @@ object GraftProcedures {
       result(
         StructType(Seq(StructField("segments", LongType, false))),
         Seq(InternalRow(segments)))
+    }
+  }
+
+  /** Whole-catalog snapshot export (docs/format.md:284-326): replicate
+    * catalog version `version` into `dest` as a standalone catalog at
+    * v0. `copy_data => false` is a minimal export (metadata tree only
+    * — source retention must keep the shared files). A non-empty
+    * `name` records the export in the source catalog definition, and
+    * `VERSION AS OF '<name>'` then pins tables at the exported root.
+    */
+  private case class ExportCatalog(cat: GraftCatalog)
+      extends GraftProcedure("export_catalog") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("version", LongType), in("dest", StringType),
+      inDefault("copy_data", BooleanType, "true"),
+      inDefault("name", StringType, "''"))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val dest = new graft.storage.LocalStorageOps(input.getString(1))
+      val nm = input.getString(3).trim
+      val copied = Maintenance.exportSnapshot(cat, input.getLong(0), dest,
+        copyData = input.getBoolean(2),
+        name = if (nm.isEmpty) None else Some(nm))
+      result(
+        StructType(Seq(StructField("files_copied", IntegerType, false))),
+        Seq(InternalRow(copied)))
     }
   }
 

@@ -147,6 +147,12 @@ private[graft] object TableAlterations {
       case other =>
         throw new UnsupportedOperationException(s"table change $other")
     }
+    // keep the served Iceberg field ids STABLE across this evolution:
+    // seed from the PRE-change schema (the ids external engines have
+    // been seeing), then re-persist for the evolved one — surviving
+    // physical paths keep their ids, drops retire, adds allocate
+    if (schema != schema0)
+      props = IcebergFieldIds.persist(schema, IcebergFieldIds.seed(schema0, props))
     (schema, props, actionType)
   }
 }

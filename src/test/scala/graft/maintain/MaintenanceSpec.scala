@@ -189,6 +189,32 @@ class MaintenanceSpec extends AnyFunSuite {
       .sameElements(Array(7L, 8L)))
   }
 
+  test("named export records in the catalog def; VERSION AS OF resolves it") {
+    spark.sql("CREATE TABLE mcat.ns1.nexp (k BIGINT)")
+    spark.sql("INSERT INTO mcat.ns1.nexp VALUES (1), (2)")
+    val v = graft.tree.TreeOps.findLatestRoot(cat.storage).get.version
+    val dest = new graft.storage.LocalStorageOps(
+      Files.createTempDirectory("graft-nexp").toString)
+    Maintenance.exportSnapshot(cat, v, dest, copyData = false,
+      name = Some("release-1"))
+    // the name is recorded in the source catalog definition
+    val latest = graft.tree.TreeOps.findLatestRoot(cat.storage).get
+    val cd = graft.catalog.Graft.catalogDef(cat.storage, latest)
+    assert(cd.exportedSnapshots.contains("release-1"))
+    // later commits do not leak into the pinned read
+    spark.sql("INSERT INTO mcat.ns1.nexp VALUES (3)")
+    val pinned = spark.sql(
+      "SELECT k FROM mcat.ns1.nexp VERSION AS OF 'release-1' ORDER BY k")
+      .collect().map(_.getLong(0))
+    assert(pinned.sameElements(Array(1L, 2L)))
+    assert(spark.table("mcat.ns1.nexp").count() == 3)
+    // an unknown string still fails loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM mcat.ns1.nexp VERSION AS OF 'nope'").collect()
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("rewrite_manifests re-chunks the inventory, content untouched") {
     spark.sql("""CREATE TABLE mcat.ns1.rm (k BIGINT)
                  TBLPROPERTIES ('graft.manifest.inline-max' = '2')""")

@@ -570,7 +570,55 @@ object StreamingQueries {
              |  ON p.user_id = c.user_id
              | AND epoch_us(p.ts) >= epoch_us(c.ts)
              | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000"""
-        .stripMargin))
+        .stripMargin)),
+
+    QueryDef(
+      "st11_stream_static_join",
+      (s, d) => {
+        // Stream-STATIC enrichment: each purchase event joins a graft
+        // DIMENSION table (customer → market segment) inside the
+        // micro-batch — the most common production streaming shape
+        // (enrich then aggregate). The static side is a native DSv2
+        // graft-table scan re-planned per batch (catalog metadata
+        // serves the file list) and BROADCASTS into the stream: no
+        // shuffle, and — unlike st09/st10 — no state store at all,
+        // because a stream-static join keeps no streaming state (which
+        // is also why no watermark is needed). Per-segment revenue
+        // must equal the batch join.
+        if (s.conf.getOption("spark.sql.catalog.gsj").isEmpty) {
+          s.conf.set("spark.sql.catalog.gsj",
+            classOf[graft.spark.GraftCatalog].getName)
+          s.conf.set("spark.sql.catalog.gsj.warehouse",
+            java.nio.file.Files.createTempDirectory("graft-gsj").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gsj.ns1")
+        s.sql("DROP TABLE IF EXISTS gsj.ns1.dim")
+        s.sql("CREATE TABLE gsj.ns1.dim (cust BIGINT, segment STRING)")
+        s.sql(s"""INSERT INTO gsj.ns1.dim
+                  SELECT c_custkey, c_mktsegment
+                  FROM parquet.`$d/customer.parquet`""")
+        val (schema, _) = eventsTs(s, d)
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+          .filter(col("event_type") === "purchase")
+        val sink =
+          s"st11_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = stream
+          .join(broadcast(s.table("gsj.ns1.dim")),
+            col("user_id") === col("cust"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(sink).groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_purchases"),
+            round(sum("value"), 2).as("revenue"))
+          .orderBy("segment")
+      },
+      Some("""SELECT c_mktsegment AS segment, count(*) AS n_purchases,
+             |       round(sum(value), 2) AS revenue
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |WHERE e.event_type = 'purchase'
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
 }

@@ -198,6 +198,36 @@ object Multimodal {
              |       (length(text) // 64 + 3) // 4 AS n_sampled,
              |       CAST(((length(text) // 64 - 1) // 4) * 4 AS INT) AS last_idx
              |FROM documents WHERE length(text) >= 64
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "mm05_media_dedup",
+      (s, d) =>
+        // Content-hash dedup over the BINARY payload — the multimodal
+        // first pass (byte-identical images/audio recur constantly in
+        // web corpora, and hashing bytes needs no decoder). One
+        // map-side-combined hash aggregate keyed on the 128-bit
+        // digest; at 100 TB the shuffle carries (hash, id) pairs, not
+        // payloads. Groups with more than one copy report the keeper
+        // (smallest id) — the drop list is everything else in the
+        // group.
+        table(s, d, "documents")
+          .withColumn("media", encode(col("text"), "utf-8"))
+          .groupBy(md5(col("media")).as("content_hash"))
+          .agg(count(lit(1)).as("n_copies"))
+          .agg(count(lit(1)).as("distinct_payloads"),
+            sum("n_copies").as("total_payloads"),
+            sum(when(col("n_copies") > 1, 1L).otherwise(0L))
+              .as("n_dup_groups"),
+            sum(when(col("n_copies") > 1, col("n_copies") - 1)
+              .otherwise(0L)).as("n_dropped")),
+      // utf-8 text bytes stand in for the payload, so DuckDB's md5 of
+      // the string hashes the same byte sequence
+      Some("""SELECT count(*) AS distinct_payloads,
+             |       sum(n) AS total_payloads,
+             |       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+             |       sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_dropped
+             |FROM (SELECT md5(text) AS h, count(*) AS n
+             |      FROM documents GROUP BY 1)""".stripMargin))
   )
 }

@@ -191,6 +191,37 @@ object Sampling {
              |    PARTITION BY lang
              |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
              |  FROM documents)
-             |WHERE r <= 20 ORDER BY lang, rank""".stripMargin))
+             |WHERE r <= 20 ORDER BY lang, rank""".stripMargin)),
+
+    QueryDef(
+      "sp06_epoch_shuffle",
+      (s, d) => {
+        // Deterministic EPOCH SHUFFLE: training runs need a global
+        // permutation of the corpus that (a) differs per epoch, (b) is
+        // identical across engines, re-runs, and partitionings — so a
+        // resumed job continues mid-epoch at the same order. Sort key
+        // = md5(epoch ‖ doc_id): content-stable, uniformly
+        // distributed, so the sort is a balanced range partition at
+        // any scale (no hot ranges, unlike sorting by time or source).
+        // Emitted here: the first 50 positions of epoch 7, the shape a
+        // sharded data loader would read.
+        val epoch = 7
+        table(s, d, "documents")
+          .select(col("doc_id"),
+            md5(concat(lit(epoch.toString), lit(":"),
+              col("doc_id").cast("string"))).as("k"))
+          .orderBy(col("k"), col("doc_id"))
+          .limit(50)
+          .select(row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("k"), col("doc_id"))).as("position"),
+            col("doc_id"))
+      },
+      Some("""SELECT CAST(row_number() OVER (ORDER BY k, doc_id) AS INT)
+             |         AS position, doc_id
+             |FROM (SELECT doc_id,
+             |             md5('7:' || CAST(doc_id AS VARCHAR)) AS k
+             |      FROM documents)
+             |ORDER BY k, doc_id LIMIT 50""".stripMargin))
   )
 }

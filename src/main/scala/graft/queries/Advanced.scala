@@ -540,6 +540,38 @@ object Advanced {
              |WHERE l_returnflag = 'R'
              |  AND o_orderdate BETWEEN DATE '1995-10-01' AND DATE '1995-12-31'
              |GROUP BY 1, 2, 3, 4
-             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    QueryDef(
+      "q43_tpch_q14",
+      (s, d) => {
+        // TPC-H Q14 (promotion effect): the share of a month's revenue
+        // from promo parts. part is the broadcast side of the one big
+        // join; the share is a conditional sum over a single
+        // aggregated frame. Revenue terms quantize to DECIMAL(18,4)
+        // (see q40) so the ratio is bit-identical across engines.
+        val li = table(s, d, "lineitem")
+          .filter(col("l_shipdate").between("1995-09-01", "1995-09-30"))
+        li.join(broadcast(table(s, d, "part")
+            .select("p_partkey", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .withColumn("rev", (col("l_extendedprice") *
+            (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .agg((lit(100.0) *
+            sum(when(col("p_type") === "PROMO", col("rev"))
+              .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+            sum(col("rev")).cast("double")).as("promo_share"))
+          .select(round(col("promo_share"), 4).as("promo_share"))
+      },
+      Some("""SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+             |         THEN CAST(l_extendedprice * (1 - l_discount)
+             |                   AS DECIMAL(18,4))
+             |         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             |       / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+             |                  AS DECIMAL(18,4))) AS DOUBLE), 4)
+             |  AS promo_share
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate BETWEEN DATE '1995-09-01'
+             |                     AND DATE '1995-09-30'""".stripMargin))
   )
 }

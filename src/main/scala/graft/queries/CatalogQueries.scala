@@ -2204,6 +2204,68 @@ object CatalogQueries {
              |GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
 
     QueryDef(
+      "c54_rest_scan_plan",
+      (s, d) => {
+        // SERVER-SIDE SCAN PLANNING (the Iceberg REST spec's plan
+        // endpoint): the client sends a filter; the server prunes
+        // against graft's native per-file min/max stats and returns
+        // only surviving file-scan tasks. The query reconstructs the
+        // answer from EXACTLY the returned files plus the residual
+        // filter — if pruning dropped a needed file, rows go missing
+        // and the oracle compare fails; if it pruned nothing, the
+        // explicit file-count check fails.
+        val cat = ensureCatalog(s, "gpl")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gpl.ns1")
+        s.sql("DROP TABLE IF EXISTS gpl.ns1.ord")
+        s.sql("""CREATE TABLE gpl.ns1.ord (
+                   o_orderkey BIGINT, o_orderstatus STRING,
+                   o_totalprice DOUBLE)""")
+        // range-clustered files → disjoint o_orderkey stats per file
+        s.read.parquet(s"$d/orders.parquet")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey")
+          .writeTo("gpl.ns1.ord").append()
+        val maxKey = s.sql("SELECT max(o_orderkey) FROM gpl.ns1.ord")
+          .head.getLong(0)
+        val bound = maxKey / 4
+        val server = new graft.serve.CatalogHttpServer(cat.storage)
+        val port = server.start()
+        val paths =
+          try {
+            val client = java.net.http.HttpClient.newHttpClient()
+            val res = client.send(
+              java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+                s"http://127.0.0.1:$port/v1/iceberg/namespaces/ns1/tables/ord/plan"))
+                .header("Content-Type", "application/json")
+                .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+                  s"""{"filter":{"type":"lt-eq","term":"o_orderkey",
+                     |"value":$bound}}""".stripMargin.replaceAll("\n", "")))
+                .build(),
+              java.net.http.HttpResponse.BodyHandlers.ofString())
+            require(res.statusCode() == 200,
+              s"plan failed: ${res.statusCode()} ${res.body()}")
+            val node = graft.objects.Json.mapper.readTree(res.body())
+            val tasks = node.get("file-scan-tasks")
+            require(node.path("pruned-data-files").asInt() > 0,
+              "the range filter should prune range-clustered files")
+            (0 until tasks.size()).map(i =>
+              tasks.get(i).get("data-file").get("file-path").asText())
+          } finally server.stop()
+        s.read.parquet(paths: _*)
+          .filter(col("o_orderkey") <= bound) // the residual
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy("status")
+      },
+      Some("""SELECT o_orderstatus AS status, count(*) AS n,
+             |       round(sum(o_totalprice), 2) AS total
+             |FROM orders
+             |WHERE o_orderkey <= (SELECT max(o_orderkey) FROM orders) / 4
+             |GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
+
+    QueryDef(
       "c44_snapshot_pin",
       (s, d) => {
         // Table-level snapshot-id time travel: `VERSION AS OF

@@ -234,6 +234,13 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0,
       IcebergCommits.commit(storage, ns, t,
         Json.mapper.readTree(requestBody(ex)))
       replyLoadTable(ex, ns, t)
+    case ("POST", List("namespaces", ns, "tables", t, "plan")) =>
+      // the spec's server-side scan planning: the client's filter
+      // prunes against graft's native per-file stats HERE, so only
+      // surviving file-scan tasks (with their applicable delete
+      // files) cross the wire — not the whole manifest tree
+      reply(ex, 200, IcebergPlan.plan(storage, ns, t,
+        Json.mapper.readTree(requestBody(ex))))
     case ("HEAD", List("namespaces", ns, "tables", t)) =>
       val exists = withReadTxn(txn => Graft.tableExists(storage, txn, ns, t))
       replyEmpty(ex, if (exists) 204 else 404)

@@ -1,0 +1,376 @@
+package graft.serve
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.ObjectNode
+import graft.catalog.Graft
+import graft.format.{DataFileEntry, Manifests, TableMetadata}
+import graft.objects.Json
+import graft.spark.{ColumnMapping, GraftCatalog, StatValues}
+import graft.storage.StorageOps
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SERVER-SIDE SCAN PLANNING — the Iceberg REST OpenAPI spec's
+  * `POST /v1/{prefix}/namespaces/{ns}/tables/{t}/plan`
+  * (PlanTableScanRequest → completed PlanTableScanResult).
+  *
+  * This is the 100 TB move of the served plane: instead of shipping the
+  * whole manifest tree for the client to prune, the CLIENT'S FILTER is
+  * evaluated here against graft's native per-file statistics (min/max/
+  * null counts recorded at commit time, plus exact identity-partition
+  * values recovered from the path), and only the surviving file-scan
+  * tasks — with the delete files that apply to each — cross the wire.
+  * Evaluation is Iceberg's inclusive-projection posture: a file is
+  * dropped only when the stats PROVE no row can match; anything
+  * unknown (missing stat, unparseable literal, transformed term) keeps
+  * the file and the client's residual filter does the rest. The task
+  * inventory is read back from the SAME avro manifests the table load
+  * serves ([[IcebergManifests.ensure]]), so plan responses and
+  * manifest walks can never disagree about the file set.
+  *
+  * Supported expression JSON (the spec's serialization): `true`/
+  * `false`, `and`/`or`/`not`, `is-null`/`not-null`, `is-nan`/`not-nan`
+  * (conservative), `lt`/`lt-eq`/`gt`/`gt-eq`/`eq`/`not-eq`, `in`/
+  * `not-in`; terms are plain column names or `{"type": "reference"}`
+  * wrappers. `not` is rewritten into negation normal form before
+  * evaluation (inclusive evaluators cannot negate "might match").
+  */
+object IcebergPlan {
+
+  // ---- expression tree (negation-normal-form after parse) ----
+
+  private sealed trait Expr
+  private case object ETrue extends Expr
+  private case object EFalse extends Expr
+  private final case class EAnd(l: Expr, r: Expr) extends Expr
+  private final case class EOr(l: Expr, r: Expr) extends Expr
+  private final case class ECmp(op: String, col: String, v: JsonNode)
+    extends Expr
+  private final case class EIn(col: String, vs: Seq[JsonNode],
+      negated: Boolean) extends Expr
+  private final case class ENull(col: String, negated: Boolean) extends Expr
+  /** Anything the server cannot reason about — never prunes. */
+  private case object EUnknown extends Expr
+
+  private def termOf(n: JsonNode): Option[String] = {
+    val t = n.get("term")
+    if (t == null) None
+    else if (t.isTextual) Some(t.asText())
+    else if (t.isObject && t.path("type").asText() == "reference")
+      Some(t.path("term").asText())
+    else None // a transform term (bucket[16](k) etc.) — unknown
+  }
+
+  private def parse(n: JsonNode): Expr = {
+    if (n == null || n.isNull) return ETrue
+    if (n.isBoolean) return if (n.asBoolean()) ETrue else EFalse
+    val tpe = n.path("type").asText()
+    tpe match {
+      case "true" => ETrue
+      case "false" => EFalse
+      case "and" => EAnd(parse(n.get("left")), parse(n.get("right")))
+      case "or" => EOr(parse(n.get("left")), parse(n.get("right")))
+      case "not" => negate(parse(n.get("child")))
+      case "lt" | "lt-eq" | "gt" | "gt-eq" | "eq" | "not-eq" =>
+        termOf(n).map(c => ECmp(tpe, c, n.get("value"))).getOrElse(EUnknown)
+      case "in" | "not-in" =>
+        termOf(n).map { c =>
+          val vs = Option(n.get("values"))
+            .filter(_.isArray)
+            .map(a => (0 until a.size()).map(a.get))
+            .getOrElse(Seq.empty)
+          EIn(c, vs, negated = tpe == "not-in")
+        }.getOrElse(EUnknown)
+      case "is-null" | "not-null" =>
+        termOf(n).map(c => ENull(c, negated = tpe == "not-null"))
+          .getOrElse(EUnknown)
+      case "is-nan" | "not-nan" => EUnknown // conservative
+      case "" => throw new IllegalArgumentException(
+        "filter expression without a type")
+      case other => throw new IllegalArgumentException(
+        s"unsupported filter expression type: $other")
+    }
+  }
+
+  private def negate(e: Expr): Expr = e match {
+    case ETrue => EFalse
+    case EFalse => ETrue
+    case EAnd(l, r) => EOr(negate(l), negate(r))
+    case EOr(l, r) => EAnd(negate(l), negate(r))
+    case ECmp(op, c, v) =>
+      val inv = op match {
+        case "lt" => "gt-eq"; case "lt-eq" => "gt"
+        case "gt" => "lt-eq"; case "gt-eq" => "lt"
+        case "eq" => "not-eq"; case "not-eq" => "eq"
+      }
+      ECmp(inv, c, v)
+    case EIn(c, vs, neg) => EIn(c, vs, !neg)
+    case ENull(c, neg) => ENull(c, !neg)
+    case EUnknown => EUnknown
+  }
+
+  // ---- per-file inclusive evaluation over native stats ----
+
+  /** Per-column facts about one data file: min/max (internal values),
+    * null count, row count; identity-partition columns carry EXACT
+    * values folded in as mn == mx (or all-null).
+    */
+  private final case class ColFacts(mn: Option[Any], mx: Option[Any],
+      nulls: Option[Long], rows: Long, dt: DataType)
+
+  private def mightMatch(e: Expr, facts: String => Option[ColFacts])
+      : Boolean = e match {
+    case ETrue | EUnknown => true
+    case EFalse => false
+    case EAnd(l, r) => mightMatch(l, facts) && mightMatch(r, facts)
+    case EOr(l, r) => mightMatch(l, facts) || mightMatch(r, facts)
+    case ENull(c, negated) => facts(c) match {
+      case None => true
+      case Some(f) =>
+        if (!negated) f.nulls.forall(_ > 0)
+        else f.nulls.forall(_ < f.rows)
+    }
+    case ECmp(op, c, vNode) => facts(c) match {
+      case None => true
+      case Some(f) =>
+        literal(vNode, f.dt) match {
+          case None => true // unparseable literal — residual decides
+          case Some(v) =>
+            def cmpMn = f.mn.map(mn => StatValues.compare(mn, v, f.dt))
+            def cmpMx = f.mx.map(mx => StatValues.compare(mx, v, f.dt))
+            op match {
+              case "lt" => cmpMn.forall(_ < 0)
+              case "lt-eq" => cmpMn.forall(_ <= 0)
+              case "gt" => cmpMx.forall(_ > 0)
+              case "gt-eq" => cmpMx.forall(_ >= 0)
+              case "eq" => cmpMn.forall(_ <= 0) && cmpMx.forall(_ >= 0)
+              case "not-eq" =>
+                // cannot match only when every row equals v
+                !(cmpMn.contains(0) && cmpMx.contains(0) &&
+                  f.nulls.contains(0L))
+            }
+        }
+    }
+    case EIn(c, vs, negated) => facts(c) match {
+      case None => true
+      case Some(f) =>
+        if (!negated)
+          vs.exists(v => mightMatch(ECmp("eq", c, v), facts)) ||
+            vs.isEmpty // empty IN matches nothing, but stay conservative
+        else {
+          // cannot match only when the file is single-valued on a
+          // member of the set
+          val single = f.mn.isDefined && f.mx.isDefined &&
+            StatValues.compare(f.mn.get, f.mx.get, f.dt) == 0 &&
+            f.nulls.contains(0L)
+          !(single && vs.exists(v =>
+            literal(v, f.dt).exists(l =>
+              StatValues.compare(f.mn.get, l, f.dt) == 0)))
+        }
+    }
+  }
+
+  /** Spec literal JSON → internal comparable value for `dt`. */
+  private def literal(v: JsonNode, dt: DataType): Option[Any] = {
+    if (v == null || v.isNull) return None
+    try dt match {
+      case LongType => Some(v.asLong())
+      case IntegerType | ShortType | ByteType => Some(v.asInt())
+      case DoubleType | FloatType =>
+        StatValues.internal(v.asDouble().toString, dt)
+      case StringType => Some(UTF8String.fromString(v.asText()))
+      case BooleanType => Some(v.asBoolean())
+      case DateType =>
+        if (v.isNumber) Some(v.asInt())
+        else Some(java.time.LocalDate.parse(v.asText()).toEpochDay.toInt)
+      case TimestampType | TimestampNTZType =>
+        if (v.isNumber) Some(v.asLong())
+        else None
+      case _ => None
+    } catch { case _: Exception => None }
+  }
+
+  // ---- the endpoint ----
+
+  /** Handle one PlanTableScanRequest; returns the completed
+    * PlanTableScanResult JSON. IllegalArgumentException → HTTP 400.
+    */
+  def plan(storage: StorageOps, ns: String, t: String,
+      body: JsonNode): String = {
+    val txn = Graft.beginTransaction(storage)
+    try planIn(storage, txn, ns, t, body)
+    finally txn.close()
+  }
+
+  private def planIn(storage: StorageOps, txn: graft.txn.Transaction,
+      ns: String, t: String, body: JsonNode): String = {
+    val td = Graft.describeTable(storage, txn, ns, t)
+    val raw = TableMetadata.read(storage, td.metadataLocation)
+    val meta = raw.copy(snapshots = raw.allSnapshots(storage),
+      snapshotLog = Seq.empty)
+    val filter = parse(body.get("filter"))
+    val snapId =
+      if (body.hasNonNull("snapshot-id")) body.get("snapshot-id").asLong()
+      else meta.currentSnapshotId
+    val out = Json.mapper.createObjectNode()
+    out.put("plan-status", "completed")
+    val tasks = out.putArray("file-scan-tasks")
+    val deleteArr = out.putArray("delete-files")
+    if (snapId < 0) return out.toString // empty table: zero tasks
+    val snap = meta.snapshots.find(_.id == snapId).getOrElse(
+      throw new IllegalArgumentException(s"no such snapshot: $snapId"))
+    require(!IcebergManifests.unservable(snap),
+      s"table $ns.$t has pending merge-on-read PREDICATE deletes and " +
+        "this server has no co-located Spark session to materialize them")
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val partCols = td.properties.get(GraftCatalog.PartitionColsProp)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+    val manifests =
+      IcebergManifests.ensure(storage, ns, t, meta, schema, partCols)
+    val mlAbs = manifests.manifestLists.getOrElse(snapId,
+      throw new IllegalArgumentException(s"snapshot $snapId is not servable"))
+
+    // read the SAME manifests the table load serves
+    final case class Entry(df: org.apache.avro.generic.GenericRecord,
+        seq: Long, content: Int)
+    val entries = Seq.newBuilder[Entry]
+    IcebergStatic.readAvro(storage, IcebergCommits.toRel(storage, mlAbs))
+      .foreach { m =>
+        val mRel = IcebergCommits.toRel(storage,
+          IcebergCommits.req(m, "manifest_path").toString)
+        val mContent = IcebergCommits.intOf(IcebergCommits.opt(m, "content"), 0)
+        IcebergStatic.readAvro(storage, mRel).foreach { e =>
+          if (IcebergCommits.intOf(IcebergCommits.opt(e, "status"), 1) != 2) {
+            val df = IcebergCommits.req(e, "data_file")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            val seq = Option(IcebergCommits.opt(e, "sequence_number"))
+              .map(IcebergCommits.longOf).getOrElse(0L)
+            val fileContent =
+              IcebergCommits.intOf(IcebergCommits.opt(df, "content"), 0)
+            entries += Entry(df,
+              seq, if (mContent == 0) 0 else fileContent)
+          }
+        }
+      }
+
+    // native per-file stats, keyed by the absolute path the manifests
+    // plan; identity-partition values fold in as exact mn == mx facts
+    val renames = ColumnMapping.renames(schema)
+    val statsByAbs: Map[String, DataFileEntry] =
+      Manifests.filesOf(storage, snap)
+        .map(f => storage.absolute(f.path) -> f).toMap
+    def factsFor(abs: String): String => Option[ColFacts] = {
+      val st = statsByAbs.get(abs)
+      (logical: String) => {
+        val field = schema.fields.find(_.name == logical)
+        field.flatMap { fld =>
+          val phys = renames.getOrElse(logical, logical)
+          if (partCols.contains(logical)) {
+            val v = st.flatMap(f => IcebergManifests.partitionValue(
+              f.path, logical, fld.dataType))
+            val internal = v.map {
+              case s: String => UTF8String.fromString(s)
+              case x => x
+            }
+            Some(ColFacts(internal, internal,
+              if (internal.isDefined) Some(0L)
+              else st.map(_.rowCount), // no path value = treat as null
+              st.map(_.rowCount).getOrElse(0L), fld.dataType))
+          } else st.map { f =>
+            ColFacts(
+              f.minValues.get(phys)
+                .flatMap(StatValues.internal(_, fld.dataType)),
+              f.maxValues.get(phys)
+                .flatMap(StatValues.internal(_, fld.dataType)),
+              f.nullCounts.get(phys), f.rowCount, fld.dataType)
+          }
+        }
+      }
+    }
+
+    def contentFileJson(df: org.apache.avro.generic.GenericRecord,
+        content: Int): ObjectNode = {
+      val n = Json.mapper.createObjectNode()
+      n.put("spec-id",
+        if (content == 2) (if (partCols.nonEmpty) 1 else 0) else 0)
+      n.put("content", content match {
+        case 0 => "data"
+        case 1 => "position-deletes"
+        case 2 => "equality-deletes"
+      })
+      n.put("file-path", IcebergCommits.req(df, "file_path").toString)
+      n.put("file-format", "PARQUET")
+      val part = n.putArray("partition")
+      IcebergCommits.opt(df, "partition") match {
+        case pr: org.apache.avro.generic.GenericRecord =>
+          pr.getSchema.getFields.forEach { f =>
+            val v = pr.get(f.name())
+            if (v == null) part.addNull()
+            else v match {
+              case i: java.lang.Integer => part.add(i.intValue())
+              case l: java.lang.Long => part.add(l.longValue())
+              case other => part.add(String.valueOf(other))
+            }
+          }
+        case _ => ()
+      }
+      n.put("record-count",
+        IcebergCommits.longOf(IcebergCommits.req(df, "record_count")))
+      n.put("file-size-in-bytes", IcebergCommits.longOf(
+        IcebergCommits.req(df, "file_size_in_bytes")))
+      IcebergCommits.opt(df, "equality_ids") match {
+        case l: java.util.List[_] =>
+          val ids = n.putArray("equality-ids")
+          l.forEach(v => ids.add(IcebergCommits.intOf(v, -1)))
+        case _ => ()
+      }
+      n
+    }
+
+    val all = entries.result()
+    val deletes = all.filter(_.content != 0)
+    val dataEntries = all.filter(_.content == 0)
+    // delete files index (order stable: manifest order)
+    val deleteIdx = deletes.zipWithIndex
+    deleteIdx.foreach { case (d, _) =>
+      deleteArr.add(contentFileJson(d.df, d.content))
+    }
+    def partTuple(df: org.apache.avro.generic.GenericRecord): String =
+      IcebergCommits.opt(df, "partition") match {
+        case pr: org.apache.avro.generic.GenericRecord =>
+          pr.getSchema.getFields.toArray.map {
+            case f: org.apache.avro.Schema.Field =>
+              String.valueOf(pr.get(f.name()))
+          }.mkString("|")
+        case _ => ""
+      }
+    var kept = 0
+    dataEntries.foreach { e =>
+      val abs = IcebergCommits.req(e.df, "file_path").toString
+      if (mightMatch(filter, factsFor(abs))) {
+        kept += 1
+        val task = tasks.addObject()
+        task.set("data-file", contentFileJson(e.df, 0))
+        val refs = task.putArray("delete-file-references")
+        deleteIdx.foreach { case (d, i) =>
+          val applies = d.content match {
+            // position deletes apply to files committed at or before
+            // their sequence, within the same partition
+            case 1 => d.seq >= e.seq &&
+              (partCols.isEmpty || partTuple(d.df) == partTuple(e.df))
+            // equality deletes bind strictly later, globally
+            case 2 => d.seq > e.seq
+            case _ => false
+          }
+          if (applies) refs.add(i)
+        }
+        Option(body.get("filter")).filterNot(_.isNull)
+          .foreach { f =>
+            task.set[JsonNode]("residual-filter", f); ()
+          }
+      }
+    }
+    out.put("pruned-data-files", dataEntries.size - kept)
+    out.toString
+  }
+}

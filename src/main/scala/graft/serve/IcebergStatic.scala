@@ -267,7 +267,7 @@ object IcebergStatic {
     None
   }
 
-  private def readAvro(storage: StorageOps,
+  private[serve] def readAvro(storage: StorageOps,
       rel: String): Seq[org.apache.avro.generic.GenericRecord] = {
     val local = storage.prepareToReadLocal(rel).toFile
     val r = new org.apache.avro.file.DataFileReader(local,

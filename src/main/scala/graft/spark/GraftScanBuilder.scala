@@ -764,7 +764,7 @@ private[spark] object RuntimeFilteredScan {
   * [[graft.format.ParquetStats]] writes: numbers via `toString`,
   * strings verbatim).
   */
-private[spark] object StatValues {
+private[graft] object StatValues {
   def internal(s: String, dt: DataType): Option[Any] = try dt match {
     case LongType | TimestampType | TimestampNTZType => Some(s.toLong)
     case IntegerType | DateType => Some(s.toInt)

@@ -1,0 +1,185 @@
+package graft.serve
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import graft.objects.Json
+import graft.spark.GraftCatalog
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Server-side scan planning over REST: the client's filter prunes
+  * against native per-file stats on the server; surviving tasks carry
+  * the delete files that apply to them; refusals and conservative
+  * fallbacks behave per the inclusive-evaluation contract.
+  */
+class IcebergPlanSpec extends AnyFunSuite {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft-iplan").toString
+
+  lazy val spark: SparkSession = graft.Verify.sessionBuilder("4")
+    .config("spark.sql.catalog.ipl", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.ipl.warehouse", warehouse)
+    .getOrCreate()
+
+  private def storage = spark.sessionState.catalogManager.catalog("ipl")
+    .asInstanceOf[GraftCatalog].storage
+
+  private val client = HttpClient.newHttpClient()
+
+  private def postPlan(port: Int, ns: String, t: String,
+      body: String): (Int, String) = {
+    val res = client.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$port/v1/iceberg/namespaces/$ns/tables/$t/plan"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (res.statusCode(), res.body())
+  }
+
+  private def withServer[A](f: Int => A): A = {
+    val server = new CatalogHttpServer(storage)
+    val port = server.start()
+    try f(port) finally server.stop()
+  }
+
+  test("range filter prunes files by min/max stats; survivors reconstruct") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ipl.ns1")
+    spark.sql("CREATE TABLE ipl.ns1.rng (k BIGINT, v DOUBLE)")
+    // 4 files with DISJOINT k ranges → stats pruning has something to cut
+    spark.range(1000).select(col("id").as("k"), (col("id") * 1.5).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .writeTo("ipl.ns1.rng").append()
+
+    withServer { port =>
+      val (c0, full) = postPlan(port, "ns1", "rng", "{}")
+      assert(c0 == 200, full)
+      val fullTasks = Json.mapper.readTree(full).get("file-scan-tasks")
+      assert(fullTasks.size() == 4)
+
+      val (c1, resp) = postPlan(port, "ns1", "rng",
+        """{"filter":{"type":"lt","term":"k","value":100}}""")
+      assert(c1 == 200, resp)
+      val node = Json.mapper.readTree(resp)
+      assert(node.path("plan-status").asText() == "completed")
+      val tasks = node.get("file-scan-tasks")
+      assert(tasks.size() < 4 && tasks.size() >= 1,
+        s"expected pruning, got ${tasks.size()} tasks")
+      assert(node.path("pruned-data-files").asInt() == 4 - tasks.size())
+      // reconstruct from the returned files only + residual filter
+      val paths = (0 until tasks.size()).map(i =>
+        tasks.get(i).get("data-file").get("file-path").asText())
+      val got = spark.read.parquet(paths: _*).filter(col("k") < 100).count()
+      assert(got == 100)
+      // every surviving task echoes the residual
+      assert((0 until tasks.size()).forall(i =>
+        tasks.get(i).has("residual-filter")))
+    }
+  }
+
+  test("identity partition values prune exactly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ipl.ns2")
+    spark.sql("""CREATE TABLE ipl.ns2.part (k BIGINT, region STRING)
+      PARTITIONED BY (region)""")
+    spark.sql("""INSERT INTO ipl.ns2.part VALUES
+      (1, 'eu'), (2, 'us'), (3, 'eu'), (4, 'ap')""")
+    withServer { port =>
+      val (c, resp) = postPlan(port, "ns2", "part",
+        """{"filter":{"type":"eq","term":"region","value":"eu"}}""")
+      assert(c == 200, resp)
+      val tasks = Json.mapper.readTree(resp).get("file-scan-tasks")
+      val paths = (0 until tasks.size()).map(i =>
+        tasks.get(i).get("data-file").get("file-path").asText())
+      assert(paths.nonEmpty && paths.forall(_.contains("region=eu")),
+        s"non-eu files survived: $paths")
+    }
+  }
+
+  test("pending position deletes ride the tasks as delete-file references") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ipl.ns3")
+    spark.sql("""CREATE TABLE ipl.ns3.mor (k BIGINT, v STRING)
+      TBLPROPERTIES ('graft.update.mode' = 'merge-on-read',
+                     'graft.merge.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO ipl.ns3.mor SELECT id, 'x' FROM range(100)")
+    // MERGE upsert → pending position-delete object
+    spark.sql("""MERGE INTO ipl.ns3.mor t
+      USING (SELECT id AS k, 'upd' AS v FROM range(10)) s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v""")
+    withServer { port =>
+      val (c, resp) = postPlan(port, "ns3", "mor", "{}")
+      assert(c == 200, resp)
+      val node = Json.mapper.readTree(resp)
+      val dels = node.get("delete-files")
+      assert(dels.size() >= 1, resp)
+      assert((0 until dels.size()).exists(i =>
+        dels.get(i).path("content").asText() == "position-deletes"))
+      // the ORIGINAL data file references the delete; the delta file
+      // written by the merge (same sequence) must NOT
+      val tasks = node.get("file-scan-tasks")
+      val refCounts = (0 until tasks.size()).map { i =>
+        (tasks.get(i).get("data-file").get("file-path").asText(),
+          tasks.get(i).get("delete-file-references").size())
+      }
+      assert(refCounts.exists(_._2 > 0), s"no task references deletes: $refCounts")
+    }
+  }
+
+  test("conservative fallbacks and refusals") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ipl.ns4")
+    spark.sql("CREATE TABLE ipl.ns4.t (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO ipl.ns4.t VALUES (1, 'a'), (2, NULL)")
+    withServer { port =>
+      val total = Json.mapper.readTree(
+        postPlan(port, "ns4", "t", "{}")._2)
+        .get("file-scan-tasks").size()
+      // unknown column term → conservative keep, not an error
+      val (c1, r1) = postPlan(port, "ns4", "t",
+        """{"filter":{"type":"eq","term":"nope","value":1}}""")
+      assert(c1 == 200)
+      assert(Json.mapper.readTree(r1).get("file-scan-tasks").size() == total)
+      // is-null keeps only files whose null count admits a null
+      val (c2, r2) = postPlan(port, "ns4", "t",
+        """{"filter":{"type":"is-null","term":"s"}}""")
+      assert(c2 == 200)
+      val nullTasks = Json.mapper.readTree(r2).get("file-scan-tasks").size()
+      assert(nullTasks >= 1 && nullTasks <= total)
+      if (total == 2) assert(nullTasks == 1,
+        "null-count pruning should cut the no-null file")
+      // impossible range on a stats-covered column → zero tasks
+      val (c3, r3) = postPlan(port, "ns4", "t",
+        """{"filter":{"type":"gt","term":"k","value":1000}}""")
+      assert(c3 == 200)
+      assert(Json.mapper.readTree(r3).get("file-scan-tasks").size() == 0, r3)
+      // malformed expression type → 400
+      val (c4, _) = postPlan(port, "ns4", "t",
+        """{"filter":{"type":"starts-with-banana","term":"s","value":"x"}}""")
+      assert(c4 == 400)
+      // unknown snapshot → 400
+      val (c5, _) = postPlan(port, "ns4", "t", """{"snapshot-id": 999999}""")
+      assert(c5 == 400)
+    }
+  }
+
+  test("snapshot-id plans the older inventory") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ipl.ns5")
+    spark.sql("CREATE TABLE ipl.ns5.tt (k BIGINT)")
+    spark.sql("INSERT INTO ipl.ns5.tt VALUES (1)")
+    val firstSnap = spark.sql(
+      "SELECT min(snapshot_id) FROM ipl.ns5.`tt$snapshots`")
+      .collect()(0).getLong(0)
+    spark.sql("INSERT INTO ipl.ns5.tt VALUES (2)")
+    withServer { port =>
+      val (c, resp) = postPlan(port, "ns5", "tt",
+        s"""{"snapshot-id": $firstSnap}""")
+      assert(c == 200, resp)
+      assert(Json.mapper.readTree(resp).get("file-scan-tasks").size() == 1)
+      val (c2, resp2) = postPlan(port, "ns5", "tt", "{}")
+      assert(c2 == 200)
+      assert(Json.mapper.readTree(resp2).get("file-scan-tasks").size() == 2)
+    }
+  }
+}

@@ -158,6 +158,54 @@ object Similarity {
               |WHERE rank <= $K ORDER BY qid, rank""".stripMargin)),
 
     QueryDef(
+      "ss08_filtered_topk",
+      (s, d) => {
+        // FILTERED vector search: top-k under a metadata predicate
+        // (label = 3) — the retrieval shape RAG and dataset-curation
+        // pipelines actually run ("nearest neighbors among documents
+        // of kind X"). The predicate applies BEFORE scoring, pushed
+        // into the scan (pre-filtering): at 100 TB a selective label
+        // cuts the scored volume by its selectivity, where
+        // post-filtering an unfiltered top-k would underfill k. The
+        // top-k machinery is ss01's two-phase exact shape.
+        GraftFunctions.register(s)
+        val e = table(s, d, "embeddings")
+          .select("vec_id", "embedding", "label")
+        val q = e.filter(col("vec_id") < NQ)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val scored = e.filter(col("label") === 3)
+          .join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("cos_sim",
+            round(GraftFunctions.cosineSim(col("embedding"), col("qvec")), 4))
+          .withColumn("pid", spark_partition_id())
+        val local = Window.partitionBy("qid", "pid")
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        val global = Window.partitionBy("qid")
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        scored
+          .withColumn("lrank", row_number().over(local))
+          .filter(col("lrank") <= K)
+          .withColumn("rank", row_number().over(global))
+          .filter(col("rank") <= K)
+          .select("qid", "rank", "vec_id", "cos_sim")
+          .orderBy("qid", "rank")
+      },
+      Some(s"""SELECT qid, rank, vec_id, cos_sim FROM (
+              |  SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+              |         round(list_cosine_similarity(e.embedding::DOUBLE[],
+              |                                      q.embedding::DOUBLE[]), 4) AS cos_sim,
+              |         row_number() OVER (
+              |           PARTITION BY q.vec_id
+              |           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+              |                                                 q.embedding::DOUBLE[]), 4) DESC,
+              |                    e.vec_id) AS rank
+              |  FROM embeddings e, embeddings q
+              |  WHERE q.vec_id < $NQ AND e.vec_id != q.vec_id
+              |    AND e.label = 3
+              |)
+              |WHERE rank <= $K ORDER BY qid, rank""".stripMargin)),
+
+    QueryDef(
       "ss02_ann_ivf",
       (s, d) => {
         // IVF with k-means training. nlist scales ~√N (override with

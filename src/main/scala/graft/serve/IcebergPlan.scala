@@ -115,8 +115,15 @@ object IcebergPlan {
     * null count, row count; identity-partition columns carry EXACT
     * values folded in as mn == mx (or all-null).
     */
-  private final case class ColFacts(mn: Option[Any], mx: Option[Any],
+  private[serve] final case class ColFacts(mn: Option[Any], mx: Option[Any],
       nulls: Option[Long], rows: Long, dt: DataType)
+
+  /** Test seam: parse a spec filter and evaluate it against facts —
+    * the inclusive-evaluation property tests drive this directly.
+    */
+  private[serve] def mightMatchJson(filter: JsonNode,
+      facts: String => Option[ColFacts]): Boolean =
+    mightMatch(parse(filter), facts)
 
   private def mightMatch(e: Expr, facts: String => Option[ColFacts])
       : Boolean = e match {

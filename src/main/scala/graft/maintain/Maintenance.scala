@@ -518,6 +518,7 @@ object Maintenance {
     TreeOps.writeRootAt(dest, exportRoot,
       graft.objects.FileLocations.rootNodePath(0L))
     dest.overwrite(graft.objects.FileLocations.LatestVersionHint, "0".getBytes)
+    dest.overwrite(graft.objects.FileLocations.OldestVersionHint, "0".getBytes)
     // a NAMED export is recorded in the source catalog definition
     // (docs/format.md:305-308); string VERSION AS OF resolves the name
     // to the exported root — the files stay reachable in the source
@@ -547,6 +548,11 @@ object Maintenance {
         .filterNot(keepNodes).toSeq
     }
     storage.deleteBatch(deletable.distinct)
+    // the spec's guaranteed-oldest hint (docs/format.md:213-216):
+    // version-based time travel below this floor fails fast
+    keep.lastOption.foreach(oldest => storage.overwrite(
+      graft.objects.FileLocations.OldestVersionHint,
+      oldest.version.toString.getBytes("UTF-8")))
     expire.size
   }
 

@@ -81,6 +81,14 @@ object ObjectKeys {
 object FileLocations {
   val LatestVersionHint = "vn/latest"
 
+  /** Guaranteed-oldest version hint (docs/format.md:213-216 — the
+    * reference specs it but never writes it): maintained by
+    * catalog-history expiration so time travel below the retention
+    * floor fails fast with the floor in the message instead of
+    * walking a chain to a missing file.
+    */
+  val OldestVersionHint = "vn/oldest"
+
   /** Root node file for a version: 64-bit binary, bit-reversed so hot
     * versions spread lexicographically (FileLocations.java:61-81,
     * docs/format.md:192-194).

@@ -352,6 +352,19 @@ object TreeOps {
   def findRootForVersion(storage: StorageOps, latest: TreeRoot, version: Long): TreeRoot = {
     require(version <= latest.version,
       s"version $version is newer than latest ${latest.version}")
+    if (version == latest.version) return latest
+    // versions map directly onto root file names (docs/format.md:297
+    // — "the root node of the specific version can directly be found
+    // based on the root node file name"): O(1) at any history depth,
+    // instead of walking latest−version previous pointers. Version
+    // numbers are never reused (roots are atomic-create-once), so a
+    // direct hit is always the right lineage.
+    val direct = FileLocations.rootNodePath(version)
+    if (storage.exists(direct)) return loadRoot(storage, direct)
+    // below the expiration floor? fail fast with the floor
+    oldestVersionHint(storage).filter(version < _).foreach(o =>
+      throw new IllegalArgumentException(
+        s"version $version expired (oldest retained: $o)"))
     var cur = latest
     while (cur.version != version) {
       val prev = cur.previousRootPath.filter(storage.exists).getOrElse(
@@ -361,6 +374,15 @@ object TreeOps {
     }
     cur
   }
+
+  /** The guaranteed-oldest version hint, when one has been written
+    * (catalog-history expiration maintains it — docs/format.md:213-216).
+    */
+  def oldestVersionHint(storage: StorageOps): Option[Long] =
+    if (!storage.exists(FileLocations.OldestVersionHint)) None
+    else try Some(new String(
+      storage.read(FileLocations.OldestVersionHint), "UTF-8").trim.toLong)
+    catch { case _: Exception => None }
 
   /** Time travel by timestamp: newest root created at or before `ts`
     * (reference findRootBeforeTimestamp, TreeOperations.java:397-423).

@@ -273,6 +273,20 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(latest.version == latestBefore)
     // full current state still readable
     assert(spark.table("mcat.ns1.h").count() == 3)
+    // expiration wrote the spec's guaranteed-oldest hint (vn/oldest,
+    // docs/format.md:213-216) = the oldest RETAINED version
+    val oldest = graft.tree.TreeOps.oldestVersionHint(cat.storage)
+    assert(oldest.contains(latestBefore - 1),
+      s"oldest hint: $oldest, latest: $latestBefore")
+    // a retained version loads DIRECTLY (O(1) file-name mapping);
+    // an expired one fails fast naming the floor
+    val ok = graft.tree.TreeOps.findRootForVersion(
+      cat.storage, latest, latestBefore - 1)
+    assert(ok.version == latestBefore - 1)
+    val e = intercept[IllegalArgumentException] {
+      graft.tree.TreeOps.findRootForVersion(cat.storage, latest, 0L)
+    }
+    assert(e.getMessage.contains("oldest retained"), e.getMessage)
   }
 
   test("orphan scan distributes by prefix: Spark job, not a driver walk") {

@@ -14,6 +14,7 @@ object SparkEntry {
   val allDefs: Seq[QueryDef] =
     graft.queries.Relational.defs ++
       graft.queries.Advanced.defs ++
+      graft.queries.TpchMore.defs ++
       graft.queries.OperatorQueries.defs ++
       graft.queries.CatalogQueries.defs ++
       graft.pipeline.TextAnalysis.defs ++

@@ -570,6 +570,45 @@ object TextAnalysis {
              |  CAST(len(regexp_extract_all(aug,
              |    '10\.0\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ip,
              |  md5(red) AS red_md5
-             |FROM red ORDER BY doc_id""".stripMargin))
+             |FROM red ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "ta16_dup_ngram_fraction",
+      (s, d) => {
+        // Gopher-style repetition filter (Rae et al. 2021 §A1.1,
+        // "duplicate n-grams"): per document, the fraction of 5-gram
+        // occurrences that are repeats of an earlier 5-gram —
+        // (count − distinct) / count. Templated/looping text scores
+        // high and gets filtered before training. One exploded-gram
+        // aggregation: count is map-side combined; the distinct rides
+        // Spark's partial-distinct rewrite, both keyed by doc_id, so
+        // the corpus scan shuffles once on a uniform key. Short docs
+        // (< 5 words) have no 5-grams and are excluded (no 0/0).
+        val w = table(s, d, "documents")
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+        w.select(col("doc_id"),
+            explode(wordGrams("ws", 5, hashed = false)).as("gram"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            countDistinct("gram").as("n_distinct"))
+          .select(col("doc_id"), col("n_grams"),
+            round((col("n_grams") - col("n_distinct")).cast("double") /
+              col("n_grams").cast("double"), 4).as("dup5_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, array_to_string(ws[u.i:u.i+4], ' ') AS gram
+             |  FROM w, unnest(range(1, greatest(len(ws) - 4, 0) + 1)) u(i)),
+             |a AS (
+             |  SELECT doc_id, count(*) AS n_grams,
+             |         count(DISTINCT gram) AS n_distinct
+             |  FROM g GROUP BY 1)
+             |SELECT doc_id, n_grams,
+             |       round((n_grams - n_distinct) / CAST(n_grams AS DOUBLE), 4)
+             |         AS dup5_frac
+             |FROM a ORDER BY doc_id""".stripMargin))
   )
 }

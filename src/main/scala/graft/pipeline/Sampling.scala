@@ -222,6 +222,80 @@ object Sampling {
              |FROM (SELECT doc_id,
              |             md5('7:' || CAST(doc_id AS VARCHAR)) AS k
              |      FROM documents)
-             |ORDER BY k, doc_id LIMIT 50""".stripMargin))
+             |ORDER BY k, doc_id LIMIT 50""".stripMargin)),
+
+    QueryDef(
+      "sp07_dsir_weights",
+      (s, d) => {
+        // DSIR-style importance weights (Xie et al. 2023,
+        // arXiv:2302.03169): score every document by how much its
+        // hashed-unigram distribution looks like a TARGET domain
+        // (here: the English slice) versus the whole corpus —
+        // per-doc mean of log(p_target(bucket) / p_corpus(bucket))
+        // with add-half smoothing over 4096 md5 buckets (the paper's
+        // hashed n-gram features; hex-prefix bucketing is
+        // engine-portable). The selection step then keeps the top
+        // weights; emitted here are the weights themselves.
+        //
+        // 100 TB shape: three aggregation passes over the exploded
+        // token stream — two build the 4096-row frequency tables
+        // (map-side combined, then broadcast), the third sums the
+        // looked-up log-ratios per doc_id. The ratio table is KB-scale
+        // at any corpus size, so the scoring pass never shuffles the
+        // corpus by anything but doc_id (the 1-row totals land on the
+        // 4096-row table as scalar-subquery BroadcastNestedLoopJoins —
+        // trivial build sides, see q27). Log-ratios round to 6dp and
+        // sum as exact DECIMAL so neither ln() ulp nor reduction order
+        // can drift the output across engines.
+        val B = 4096
+        val words = table(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(split(trim(col("text")), "\\s+")).as("word"))
+          .withColumn("b", substring(md5(col("word")), 1, 3))
+        val tgt = words.filter(col("lang") === "en")
+          .groupBy("b").agg(count(lit(1)).as("tc"))
+        val corpus = words.groupBy("b").agg(count(lit(1)).as("ac"))
+        val tgtTotal = broadcast(tgt.agg(sum("tc").as("__tt")))
+        val corpusTotal = broadcast(corpus.agg(sum("ac").as("__at")))
+        val ratio = corpus
+          .join(tgt, Seq("b"), "left_outer")
+          .crossJoin(tgtTotal).crossJoin(corpusTotal)
+          .select(col("b"),
+            round(log(
+              ((coalesce(col("tc"), lit(0L)) + lit(0.5)) /
+                (col("__tt") + lit(0.5 * B))) /
+              ((col("ac") + lit(0.5)) / (col("__at") + lit(0.5 * B)))), 6)
+              .cast("decimal(18,6)").as("lr"))
+        words.join(broadcast(ratio), "b")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum("lr").as("slr"))
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("slr").cast("double") /
+              col("n_tokens").cast("double"), 4).as("dsir_weight"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id, lang,
+             |         unnest(string_split_regex(trim(text), '\s+')) AS word
+             |  FROM documents),
+             |bw AS (SELECT doc_id, lang, substr(md5(word), 1, 3) AS b
+             |       FROM words),
+             |tgt AS (SELECT b, count(*) AS tc FROM bw
+             |        WHERE lang = 'en' GROUP BY 1),
+             |corpus AS (SELECT b, count(*) AS ac FROM bw GROUP BY 1),
+             |ratio AS (
+             |  SELECT corpus.b,
+             |         CAST(round(ln(
+             |           ((coalesce(tc, 0) + 0.5) /
+             |            ((SELECT sum(tc) FROM tgt) + 0.5 * 4096)) /
+             |           ((ac + 0.5) /
+             |            ((SELECT sum(ac) FROM corpus) + 0.5 * 4096))), 6)
+             |           AS DECIMAL(18,6)) AS lr
+             |  FROM corpus LEFT JOIN tgt ON corpus.b = tgt.b)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |       round(CAST(sum(lr) AS DOUBLE) / count(*), 4)
+             |         AS dsir_weight
+             |FROM bw JOIN ratio ON bw.b = ratio.b
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin))
   )
 }

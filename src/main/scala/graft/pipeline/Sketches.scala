@@ -69,6 +69,60 @@ object Sketches {
              |       round(quantile_cont(value, 0.95), 4) AS p95,
              |       true AS p50_ok, true AS p95_ok
              |FROM events GROUP BY event_type ORDER BY event_type"""
-        .stripMargin))
+        .stripMargin)),
+
+    QueryDef(
+      "sk03_cms_heavy_hitters",
+      (s, d) => {
+        // Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan
+        // 2005) over the corpus bigram stream: the streaming-friendly
+        // complement of ta12's exact top-20. The sketch is a fixed
+        // d×w counter grid (here 80 KB at eps=1e-3, conf=0.99) built
+        // in ONE map-side-combined pass — `count_min_sketch` is a
+        // mergeable Spark aggregate, so 100 TB of text reduces to KBs
+        // over the wire with no per-key shuffle at all; the exact side
+        // (the graded values, shared with ta12) is what gets
+        // impossible first at scale. Graded in-line like sk01/sk02:
+        // `lower_ok` is CMS's DETERMINISTIC never-underestimate
+        // guarantee; `upper_ok` is the eps·N overestimate bound
+        // (probabilistic per row, deterministic here under the fixed
+        // seed). The probe side is a driver-held 80 KB blob applied to
+        // exactly 20 rows — metadata-sized by construction.
+        val eps = 0.001
+        val bigrams = table(s, d, "documents")
+          .select(split(trim(col("text")), "\\s+").as("ws"))
+          .select(explode(
+            graft.pipeline.TextAnalysis.wordGrams("ws", 2, hashed = false))
+            .as("bigram"))
+        val row = bigrams.agg(
+          count_min_sketch(col("bigram"), lit(eps), lit(0.99), lit(42))
+            .as("cms"),
+          count(lit(1)).as("n_total")).head()
+        val bytes = row.getAs[Array[Byte]](0)
+        val bound = math.ceil(eps * row.getLong(1)).toLong
+        val estimate = udf { bg: String =>
+          org.apache.spark.util.sketch.CountMinSketch
+            .readFrom(new java.io.ByteArrayInputStream(bytes))
+            .estimateCount(bg)
+        }
+        bigrams.groupBy("bigram")
+          .agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("bigram"))
+          .limit(20)
+          .withColumn("est", estimate(col("bigram")))
+          .select(col("bigram"), col("n_exact"),
+            (col("est") >= col("n_exact")).as("lower_ok"),
+            (col("est") <= col("n_exact") + lit(bound)).as("upper_ok"))
+      },
+      Some("""WITH w AS (
+             |  SELECT string_split_regex(trim(text), '\s+') AS ws
+             |  FROM documents),
+             |bg AS (
+             |  SELECT array_to_string(ws[u.i:u.i+1], ' ') AS bigram
+             |  FROM w, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) u(i))
+             |SELECT bigram, count(*) AS n_exact,
+             |       true AS lower_ok, true AS upper_ok
+             |FROM bg GROUP BY bigram
+             |ORDER BY n_exact DESC, bigram LIMIT 20""".stripMargin))
   )
 }

@@ -609,6 +609,125 @@ object TextAnalysis {
              |SELECT doc_id, n_grams,
              |       round((n_grams - n_distinct) / CAST(n_grams AS DOUBLE), 4)
              |         AS dup5_frac
-             |FROM a ORDER BY doc_id""".stripMargin))
+             |FROM a ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "ta17_char_entropy",
+      (s, d) => {
+        // Character-level Shannon entropy per document (bits/char) —
+        // the classic gibberish/boilerplate screen: binary blobs and
+        // base64 spill score near log2(alphabet), "aaaa…" loops score
+        // near 0, natural language sits ~3.5–4.5. Computed as
+        // H = ln N − (Σ n_c·ln n_c)/N over per-character counts: two
+        // hash aggregations keyed (doc_id, char) then doc_id, both
+        // map-side combined, per-doc state bounded by the alphabet —
+        // scales linearly with no driver work. Cross-engine
+        // determinism: each n·ln n term rounds to 6dp and sums as
+        // exact DECIMAL so libm ulp and reduction order can't move
+        // the 4dp output (the sp07 recipe).
+        val chars = table(s, d, "documents")
+          .select(col("doc_id"), trim(col("text")).as("t"))
+          // same short-input guard as [[wordGrams]]: sequence(1, 0) is
+          // DESCENDING in Spark, so empty text must yield array(), not
+          // two phantom rows
+          .select(col("doc_id"), explode(expr(
+            "CASE WHEN length(t) > 0 THEN " +
+              "transform(sequence(1, length(t)), i -> substring(t, i, 1)) " +
+              "ELSE array() END")).as("c"))
+        chars.groupBy("doc_id", "c")
+          .agg(count(lit(1)).as("n"))
+          .groupBy("doc_id")
+          .agg(sum("n").as("n_chars"),
+            sum(round(col("n").cast("double") * log(col("n")), 6)
+              .cast("decimal(18,6)")).as("sterm"))
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+            round((round(log(col("n_chars")), 6) -
+              col("sterm").cast("double") / col("n_chars").cast("double")) /
+              lit(0.6931471805599453), 4).as("char_entropy"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, trim(text) AS t FROM documents),
+             |c AS (SELECT doc_id, substr(t, u.i, 1) AS c
+             |      FROM t, unnest(range(1, length(t) + 1)) u(i)),
+             |a AS (SELECT doc_id, c, count(*) AS n FROM c GROUP BY 1, 2),
+             |s AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+             |             sum(CAST(round(n * ln(n), 6) AS DECIMAL(18,6)))
+             |               AS sterm
+             |      FROM a GROUP BY 1)
+             |SELECT doc_id, n_chars,
+             |       round((round(ln(n_chars), 6) -
+             |              CAST(sterm AS DOUBLE) / n_chars)
+             |             / 0.6931471805599453, 4) AS char_entropy
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "ta18_gopher_quality",
+      (s, d) => {
+        // Composite Gopher quality verdict (Rae et al. 2021 §A1.1):
+        // the five content rules a pretraining pipeline applies as ONE
+        // pass — word count in [50, 100k], mean word length in [3, 10],
+        // '#'/'…' symbol-to-word ratio ≤ 0.1, ≥ 80% of words carry an
+        // alphabetic character, ≥ 2 distinct-position stopword hits —
+        // plus the conjunction (`keep`). Everything is computed with
+        // array higher-order functions ON THE SCAN (no explode, no
+        // shuffle, no UDF): at 100 TB this is a single codegen'd
+        // projection, and the repetition rules it composes with
+        // (ta10/ta16) are the only passes that aggregate.
+        val t = table(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            split(trim(col("text")), "\\s+").as("ws"))
+          .select(col("doc_id"), col("text"), col("ws"),
+            size(col("ws")).as("n_words"),
+            expr("aggregate(ws, 0L, (a, w) -> a + length(w))").as("tot_len"),
+            expr("size(filter(ws, w -> w rlike '[A-Za-z]'))").as("n_alpha"),
+            expr(s"size(filter(ws, w -> lower(w) IN ($stopwordSqlList)))")
+              .as("n_stop"),
+            ((length(col("text")) -
+              length(regexp_replace(col("text"), "#", ""))) +
+              (length(col("text")) -
+                length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+              .as("n_sym"))
+        t.select(col("doc_id"), col("n_words"),
+            col("n_words").between(50, 100000).as("wc_ok"),
+            (col("tot_len").cast("double") / col("n_words"))
+              .between(3.0, 10.0).as("mwl_ok"),
+            (col("n_sym").cast("double") / col("n_words") <= 0.1)
+              .as("sym_ok"),
+            (col("n_alpha").cast("double") / col("n_words") >= 0.8)
+              .as("alpha_ok"),
+            (col("n_stop") >= 2).as("stop_ok"))
+          .withColumn("keep",
+            col("wc_ok") && col("mwl_ok") && col("sym_ok") &&
+              col("alpha_ok") && col("stop_ok"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, text,
+             |         string_split_regex(trim(text), '\\s+') AS ws
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id, len(ws) AS n_words,
+             |         list_sum(list_transform(ws, w -> length(w))) AS tot_len,
+             |         len(list_filter(ws,
+             |             w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+             |         len(list_filter(ws,
+             |             w -> lower(w) IN ($stopwordSqlList))) AS n_stop,
+             |         (length(text) - length(replace(text, '#', '')))
+             |         + (length(text) - length(replace(text, '...', ''))) / 3
+             |           AS n_sym
+             |  FROM t)
+             |SELECT doc_id, n_words,
+             |       n_words BETWEEN 50 AND 100000 AS wc_ok,
+             |       CAST(tot_len AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0
+             |         AS mwl_ok,
+             |       CAST(n_sym AS DOUBLE) / n_words <= 0.1 AS sym_ok,
+             |       CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AS alpha_ok,
+             |       n_stop >= 2 AS stop_ok,
+             |       (n_words BETWEEN 50 AND 100000)
+             |       AND (CAST(tot_len AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0)
+             |       AND (CAST(n_sym AS DOUBLE) / n_words <= 0.1)
+             |       AND (CAST(n_alpha AS DOUBLE) / n_words >= 0.8)
+             |       AND (n_stop >= 2) AS keep
+             |FROM m ORDER BY doc_id""".stripMargin))
   )
 }

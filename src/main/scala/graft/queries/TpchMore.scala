@@ -520,6 +520,129 @@ object TpchMore {
              |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
              |                  AS DOUBLE) / 7.0, 2) AS avg_yearly
              |FROM li JOIN avgq ON l_partkey = ak
-             |WHERE 5 * cnt * qty < sum_qty""".stripMargin))
+             |WHERE 5 * cnt * qty < sum_qty""".stripMargin)),
+
+    QueryDef(
+      "q58_tpch_q12",
+      (s, d) => {
+        // TPC-H Q12 (shipping modes and order priority), adapted: no
+        // l_shipmode/l_receiptdate → the mode is l_linestatus and
+        // "late" is shipped more than 90 days after the order date.
+        // Same shape: one fact⋈fact join on the orderkey, conditional
+        // sums splitting critical from non-critical priorities.
+        val li = table(s, d, "lineitem")
+          .select("l_orderkey", "l_linestatus", "l_shipdate")
+        val ord = table(s, d, "orders")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .groupBy("l_linestatus")
+          .agg(
+            sum(when(col("o_orderpriority") === "1-URGENT" ||
+              col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+              .as("high_line_count"),
+            sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+              col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+              .as("low_line_count"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+             |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |                THEN 1 ELSE 0 END) AS high_line_count,
+             |       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |                THEN 1 ELSE 0 END) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
+      "q59_tpch_q11",
+      (s, d) => {
+        // TPC-H Q11 (important stock identification), adapted: no
+        // partsupp → "stock value" is each part's shipped revenue from
+        // suppliers of one nation, kept when it exceeds a fixed
+        // fraction of that nation's total. The shape is Q11's: a
+        // grouped aggregate filtered by a scalar aggregate OVER THE
+        // SAME frame — the 1-row total broadcasts back over the
+        // per-part rows (a 1-row BroadcastNestedLoopJoin, the
+        // textbook scalar-subquery shape — see q27), one shuffle
+        // total.
+        val sup = broadcast(table(s, d, "supplier")
+          .join(table(s, d, "nation").filter(col("n_name") === "NATION_3"),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey"))
+        val vals = table(s, d, "lineitem")
+          .join(sup, col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .groupBy("l_partkey")
+          .agg(sum(rev).as("value"))
+        val total = broadcast(vals.agg(sum("value").as("__total")))
+        vals.crossJoin(total)
+          .filter(col("value") > col("__total") * lit(0.001))
+          .select(col("l_partkey"),
+            round(col("value"), 2).cast("double").as("part_value"))
+          .orderBy(col("part_value").desc, col("l_partkey"))
+      },
+      Some("""WITH vals AS (
+             |  SELECT l_partkey,
+             |         sum(CAST(l_extendedprice * (1 - l_discount)
+             |             AS DECIMAL(18,4))) AS value
+             |  FROM lineitem
+             |  WHERE l_suppkey IN (
+             |    SELECT s_suppkey FROM supplier
+             |    JOIN nation ON s_nationkey = n_nationkey
+             |    WHERE n_name = 'NATION_3')
+             |  GROUP BY 1)
+             |SELECT l_partkey, CAST(round(value, 2) AS DOUBLE) AS part_value
+             |FROM vals
+             |WHERE value > (SELECT sum(value) FROM vals) * 0.001
+             |ORDER BY part_value DESC, l_partkey""".stripMargin)),
+
+    QueryDef(
+      "q60_tpch_q20",
+      (s, d) => {
+        // TPC-H Q20 (potential part promotion), adapted: no partsupp →
+        // a supplier qualifies when, for some name-filtered part, it
+        // shipped MORE THAN HALF of that part's 1996 volume (the
+        // original's "availqty > half the shipped quantity" gate,
+        // re-anchored on observable data). Shape preserved: an inner
+        // per-(part, supplier) aggregate, a per-part total, the
+        // half-share comparison, then a semi-join up to the supplier
+        // dimension — both aggregates share the l_partkey shuffle key.
+        val pts = broadcast(table(s, d, "part")
+          .filter(col("p_name").startsWith("old")).select("p_partkey"))
+        val li96 = table(s, d, "lineitem")
+          .filter(col("l_shipdate").between("1996-01-01", "1996-12-31"))
+          .join(pts, col("l_partkey") === col("p_partkey"), "left_semi")
+        val perPair = li96.groupBy("l_partkey", "l_suppkey")
+          .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sq"))
+        val perPart = li96.groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("tq"))
+        val dominant = perPair
+          .join(perPart, col("l_partkey") === col("pk"))
+          .filter(col("sq") * lit(2) > col("tq"))
+          .select("l_suppkey")
+        table(s, d, "supplier")
+          .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("s_suppkey", "s_name")
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH li96 AS (
+             |  SELECT l_partkey, l_suppkey,
+             |         CAST(l_quantity AS DECIMAL(18,4)) AS qty
+             |  FROM lineitem
+             |  WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+             |                       AND TIMESTAMP '1996-12-31'
+             |    AND l_partkey IN (SELECT p_partkey FROM part
+             |                      WHERE p_name LIKE 'old%')),
+             |pair AS (SELECT l_partkey, l_suppkey, sum(qty) AS sq
+             |         FROM li96 GROUP BY 1, 2),
+             |tot AS (SELECT l_partkey AS pk, sum(qty) AS tq
+             |        FROM li96 GROUP BY 1)
+             |SELECT s_suppkey, s_name FROM supplier
+             |WHERE s_suppkey IN (
+             |  SELECT l_suppkey FROM pair JOIN tot ON l_partkey = pk
+             |  WHERE sq * 2 > tq)
+             |ORDER BY s_suppkey""".stripMargin))
   )
 }

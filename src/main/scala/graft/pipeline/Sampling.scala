@@ -296,6 +296,62 @@ object Sampling {
              |       round(CAST(sum(lr) AS DOUBLE) / count(*), 4)
              |         AS dsir_weight
              |FROM bw JOIN ratio ON bw.b = ratio.b
-             |GROUP BY 1 ORDER BY doc_id""".stripMargin))
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "sp08_budget_alloc",
+      (s, d) => {
+        // Token-budget apportionment by largest remainder (Hamilton's
+        // method): split a 1M-token training budget across `source`
+        // slices proportionally to their token mass, integer-exact —
+        // floor(B·t_s / T) each, the R = B − Σfloor leftovers going to
+        // the largest fractional remainders (ties to the first source
+        // name). EVERYTHING is bigint arithmetic (B·t_s div/mod T —
+        // no doubles anywhere), so the allocation is bit-identical on
+        // any engine: the reproducibility a published data recipe
+        // needs. One map-side-combined aggregation over the corpus;
+        // the apportionment itself runs on the per-source table (rows
+        // = |sources|, metadata-sized). At 100 TB swap the bigint
+        // products for DECIMAL(38,0) — B·t_s approaches 2^63 around
+        // 10^13 tokens.
+        val B = 1000000L
+        val bySrc = table(s, d, "documents")
+          .select(col("source"),
+            size(split(trim(col("text")), "\\s+")).as("toks"))
+          .groupBy("source").agg(sum("toks").as("tokens"))
+        val tot = broadcast(bySrc.agg(sum("tokens").as("__t")))
+        val base = bySrc.crossJoin(tot)
+          .withColumn("fl", expr(s"($B * tokens) div __t"))
+          .withColumn("rem", expr(s"($B * tokens) % __t"))
+        val left = broadcast(base.agg((lit(B) - sum("fl")).as("__r")))
+        val w = Window.orderBy(col("rem").desc, col("source"))
+        base.crossJoin(left)
+          .withColumn("rnk", row_number().over(w))
+          .select(col("source"), col("tokens"),
+            (col("fl") + when(col("rnk") <= col("__r"), 1L).otherwise(0L))
+              .as("alloc"))
+          .orderBy("source")
+      },
+      Some("""WITH bysrc AS (
+             |  SELECT source,
+             |         CAST(sum(len(string_split_regex(trim(text), '\s+')))
+             |              AS BIGINT) AS tokens
+             |  FROM documents GROUP BY 1),
+             |base AS (
+             |  SELECT source, tokens,
+             |         (1000000 * tokens) // (SELECT sum(tokens) FROM bysrc)
+             |           AS fl,
+             |         (1000000 * tokens) % (SELECT sum(tokens) FROM bysrc)
+             |           AS rem
+             |  FROM bysrc),
+             |ranked AS (
+             |  SELECT source, tokens, fl,
+             |         row_number() OVER (ORDER BY rem DESC, source) AS rnk
+             |  FROM base)
+             |SELECT source, tokens,
+             |       CAST(fl + CASE WHEN rnk <=
+             |           1000000 - (SELECT sum(fl) FROM base)
+             |         THEN 1 ELSE 0 END AS BIGINT) AS alloc
+             |FROM ranked ORDER BY source""".stripMargin))
   )
 }

@@ -728,6 +728,65 @@ object TextAnalysis {
              |       AND (CAST(n_sym AS DOUBLE) / n_words <= 0.1)
              |       AND (CAST(n_alpha AS DOUBLE) / n_words >= 0.8)
              |       AND (n_stop >= 2) AS keep
-             |FROM m ORDER BY doc_id""".stripMargin))
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "ta19_tfidf_keywords",
+      (s, d) => {
+        // TF-IDF keyword extraction: each document's top-3 terms by
+        // tf·ln(N/df) — the standard content-tagging/retrieval-feature
+        // pass. Two map-side-combined aggregations build the
+        // term-frequency (keyed doc_id,word — uniform) and
+        // document-frequency (keyed word) tables; they join BY WORD
+        // (a vocabulary-keyed hash join — at 100 TB the vocabulary is
+        // Zipf-bounded and far smaller than the corpus, but NOT
+        // broadcast-assumed), then a per-doc window takes the top 3
+        // (per-partition state bounded by one doc's vocabulary).
+        // Determinism: idf rounds to 6dp and multiplies an integer tf
+        // (exact DECIMAL), ties break on the word, so ranks can't
+        // drift between engines.
+        val words = table(s, d, "documents")
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("word"))
+        val tf = words.groupBy("doc_id", "word")
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+        val nDocs = broadcast(
+          table(s, d, "documents").agg(count(lit(1)).as("__n")))
+        val scored = tf.join(df, "word").crossJoin(nDocs)
+          .withColumn("idf",
+            round(log(col("__n").cast("double") / col("df")), 6)
+              .cast("decimal(18,6)"))
+          .withColumn("score", col("tf") * col("idf"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("word"))
+        scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("word"),
+            round(col("score").cast("double"), 4).as("tfidf"))
+          .orderBy("doc_id", "rnk")
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id,
+             |         unnest(string_split_regex(trim(text), '\s+')) AS word
+             |  FROM documents),
+             |tf AS (SELECT doc_id, word, count(*) AS tf
+             |       FROM words GROUP BY 1, 2),
+             |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.word,
+             |         tf.tf * CAST(round(ln(
+             |             CAST((SELECT count(*) FROM documents) AS DOUBLE)
+             |             / df.df), 6) AS DECIMAL(18,6)) AS score
+             |  FROM tf JOIN df ON tf.word = df.word),
+             |ranked AS (
+             |  SELECT doc_id, word, score,
+             |         row_number() OVER (PARTITION BY doc_id
+             |                            ORDER BY score DESC, word) AS rnk
+             |  FROM scored)
+             |SELECT doc_id, rnk, word,
+             |       round(CAST(score AS DOUBLE), 4) AS tfidf
+             |FROM ranked WHERE rnk <= 3
+             |ORDER BY doc_id, rnk""".stripMargin))
   )
 }

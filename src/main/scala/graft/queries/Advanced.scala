@@ -572,6 +572,83 @@ object Advanced {
              |  AS promo_share
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |WHERE l_shipdate BETWEEN DATE '1995-09-01'
-             |                     AND DATE '1995-09-30'""".stripMargin))
+             |                     AND DATE '1995-09-30'""".stripMargin)),
+
+    QueryDef(
+      "q61_json_extract",
+      (s, d) => {
+        // Semi-structured extraction: `events.props` is a JSON string
+        // column ({"k": <int>}); parse it with a DECLARED schema
+        // (`from_json`, the production path — typed null on malformed
+        // rows, no exceptions mid-scan) and aggregate on the extracted
+        // field. Scan-local projection: the JSON parse rides the scan
+        // inside codegen, nothing shuffles but the final tiny
+        // per-type aggregate — the shape that makes JSON columns
+        // usable at 100 TB without an ETL flattening pass.
+        table(s, d, "events")
+          .withColumn("k",
+            from_json(col("props"), "k BIGINT", Map.empty[String, String])
+              .getField("k"))
+          .groupBy("event_type")
+          .agg(count(col("k")).as("n_k"),
+            sum("k").as("sum_k"),
+            sum(when(col("k") % 2 === 1, 1L).otherwise(0L)).as("n_odd"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |       count(k) AS n_k,
+             |       sum(k) AS sum_k,
+             |       sum(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS n_odd
+             |FROM (SELECT event_type,
+             |             CAST(json_extract_string(props, '$.k') AS BIGINT)
+             |               AS k
+             |      FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "q62_range_window",
+      (s, d) => {
+        // Time-RANGE window frame (the calendar-frame operator ROWS
+        // frames can't express): each user's peak 1-hour activity —
+        // for every event, sum the user's `value` over [t−3599 s, t],
+        // then keep each user's max and report the top 25. The frame
+        // is keyed on epoch SECONDS (integer) so Spark's
+        // `rangeBetween` and DuckDB's `RANGE BETWEEN n PRECEDING`
+        // agree exactly, tie rows included by value not position in
+        // both engines; values quantize to DECIMAL before the frame
+        // sum so summation order can't drift a cent. One shuffle
+        // (partitionBy user) + per-partition sort — the standard
+        // distributed window shape; partitions are per-user and
+        // bounded.
+        val ev = table(s, d, "events")
+        val w = Window.partitionBy("user_id").orderBy("sec")
+          .rangeBetween(-3599L, 0L)
+        ev.withColumn("us", QueryDef.tsUs(ev, "ts"))
+          .withColumn("sec", expr("us div 1000000"))
+          .select(col("user_id"), col("sec"),
+            round(col("value"), 2).cast("decimal(18,4)").as("v"))
+          .withColumn("hour_sum", sum("v").over(w))
+          .groupBy("user_id")
+          .agg(max("hour_sum").as("peak"))
+          .select(col("user_id"),
+            col("peak").cast("double").as("peak_hour_value"))
+          .orderBy(col("peak_hour_value").desc, col("user_id"))
+          .limit(25)
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+             |         CAST(round(value, 2) AS DECIMAL(18,4)) AS v
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id,
+             |         sum(v) OVER (PARTITION BY user_id ORDER BY sec
+             |                      RANGE BETWEEN 3599 PRECEDING
+             |                            AND CURRENT ROW) AS hour_sum
+             |  FROM e)
+             |SELECT user_id, CAST(max(hour_sum) AS DOUBLE)
+             |         AS peak_hour_value
+             |FROM f GROUP BY user_id
+             |ORDER BY peak_hour_value DESC, user_id LIMIT 25"""
+        .stripMargin))
   )
 }

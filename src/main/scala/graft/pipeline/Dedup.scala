@@ -643,7 +643,47 @@ object Dedup {
              |                b.embedding::DOUBLE[]), 4) >= 0.35))
              |SELECT n AS n_exact_pairs, CAST(0.5 AS DOUBLE) AS recall_floor,
              |       true AS floor_met, CAST(0 AS BIGINT) AS n_false_positives
-             |FROM t""".stripMargin))
+             |FROM t""".stripMargin)),
+
+    QueryDef(
+      "dd13_incremental_dedup",
+      (s, d) => {
+        // Incremental ingestion dedup — the shape a 100 TB corpus
+        // actually runs: a new DELTA batch (doc_id % 10 ∈ {8,9} here)
+        // is admitted against the already-deduped BASE without ever
+        // re-scanning base content. Base side reduces to its
+        // fingerprint SET (one map-side-combined aggregate — in
+        // production this set is the persisted dedup index, not a
+        // rescan); the delta first self-dedups (min doc_id per
+        // fingerprint — first writer wins within the batch), then
+        // anti-joins the base fingerprints. Both joins key on the
+        // uniform 128-bit hash, so no skew; the admitted fraction is
+        // the batch's novelty rate, the metric an ingest monitor
+        // alerts on.
+        val fp = md5(regexp_replace(lower(col("text")), "\\s+", " "))
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), fp.as("fp"))
+        val base = docs.filter(col("doc_id") % 10 < 8)
+          .select("fp").distinct()
+        val delta = docs.filter(col("doc_id") % 10 >= 8)
+        delta.groupBy("fp")
+          .agg(min("doc_id").as("doc_id"),
+            count(lit(1)).as("n_in_batch"))
+          .join(base, Seq("fp"), "left_anti")
+          .select("doc_id", "fp", "n_in_batch")
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id,
+             |         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+             |  FROM documents),
+             |base AS (SELECT DISTINCT fp FROM docs WHERE doc_id % 10 < 8),
+             |delta AS (
+             |  SELECT fp, min(doc_id) AS doc_id, count(*) AS n_in_batch
+             |  FROM docs WHERE doc_id % 10 >= 8 GROUP BY fp)
+             |SELECT doc_id, fp, n_in_batch
+             |FROM delta WHERE fp NOT IN (SELECT fp FROM base)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** dd11/dd12's shared candidate machinery: k-means cells (shared IVF

@@ -649,6 +649,48 @@ object Advanced {
              |         AS peak_hour_value
              |FROM f GROUP BY user_id
              |ORDER BY peak_hour_value DESC, user_id LIMIT 25"""
-        .stripMargin))
+        .stripMargin)),
+
+    QueryDef(
+      "q63_grouping_sets",
+      (s, d) => {
+        // Explicit GROUPING SETS (the irregular-lattice variant q17's
+        // ROLLUP and q35's CUBE can't express: exactly these three
+        // groupings, no cross terms) + grouping() flags to
+        // disambiguate the NULL placeholders. One Expand + one hash
+        // aggregate in Spark — the same single-shuffle plan as a
+        // plain group-by, just with a 3× expand factor on the
+        // aggregate input. Sort order pins NULLS FIRST explicitly:
+        // Spark and DuckDB default opposite null orders.
+        table(s, d, "lineitem")
+          .selectExpr("l_returnflag", "l_linestatus",
+            "CAST(l_quantity AS DECIMAL(18,4)) AS qty")
+          .createOrReplaceTempView("li_gs")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                        grouping(l_returnflag) AS g_flag,
+                        grouping(l_linestatus) AS g_status,
+                        count(*) AS n, sum(qty) AS sum_qty
+                 FROM li_gs
+                 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                         (l_linestatus), ())
+                 ORDER BY g_flag, g_status,
+                          l_returnflag NULLS FIRST,
+                          l_linestatus NULLS FIRST""")
+          .withColumn("sum_qty", col("sum_qty").cast("double"))
+          .withColumn("g_flag", col("g_flag").cast("int"))
+          .withColumn("g_status", col("g_status").cast("int"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+             |       CAST(grouping(l_linestatus) AS INT) AS g_status,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             |         AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |                        (l_linestatus), ())
+             |ORDER BY g_flag, g_status,
+             |         l_returnflag NULLS FIRST,
+             |         l_linestatus NULLS FIRST""".stripMargin))
   )
 }

@@ -618,7 +618,73 @@ object StreamingQueries {
              |       round(sum(value), 2) AS revenue
              |FROM events e JOIN customer c ON e.user_id = c.c_custkey
              |WHERE e.event_type = 'purchase'
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
+      "st12_stream_curation",
+      (s, d) => {
+        // Streaming CURATION: the quality gate runs per micro-batch on
+        // a live ingest stream — the shape a 100 TB/day pipeline
+        // actually deploys (filter at ingest, never a full-corpus
+        // batch pass later). Documents arrive in two commits; each
+        // micro-batch applies the scan-local word-count + stopword
+        // rules (stateless — no watermark, no state store, executors
+        // never hold more than a batch partition), and the admitted
+        // stream must aggregate to exactly the batch answer over the
+        // whole corpus.
+        if (s.conf.getOption("spark.sql.catalog.gcur").isEmpty) {
+          s.conf.set("spark.sql.catalog.gcur",
+            classOf[graft.spark.GraftCatalog].getName)
+          s.conf.set("spark.sql.catalog.gcur.warehouse",
+            java.nio.file.Files.createTempDirectory("graft-gcur").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcur.ns1")
+        s.sql("DROP TABLE IF EXISTS gcur.ns1.doc_src")
+        s.sql("""CREATE TABLE gcur.ns1.doc_src (
+                   doc_id BIGINT, text STRING, lang STRING)""")
+        def slice(m: Int): Unit =
+          s.sql(s"""INSERT INTO gcur.ns1.doc_src
+                    SELECT doc_id, text, lang
+                    FROM parquet.`$d/documents.parquet`
+                    WHERE doc_id % 2 = $m""")
+        slice(0)
+        val stop = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+          .map(w => s"'$w'").mkString(", ")
+        val sink =
+          s"st12_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val checkpoint =
+          java.nio.file.Files.createTempDirectory("graft-st12").toString
+        val q = s.readStream.table("gcur.ns1.doc_src")
+          .withColumn("ws", split(trim(col("text")), "\\s+"))
+          .withColumn("n_words", size(col("ws")))
+          .filter(col("n_words") >= 10 &&
+            expr(s"size(filter(ws, w -> lower(w) IN ($stop))) >= 1"))
+          .select("doc_id", "lang", "n_words")
+          .writeStream
+          .format("memory").queryName(sink)
+          .option("checkpointLocation", checkpoint)
+          .start()
+        try {
+          q.processAllAvailable()
+          slice(1)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(sink)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_words").as("total_tokens"))
+          .orderBy("lang")
+      },
+      Some("""WITH m AS (
+             |  SELECT lang,
+             |         len(string_split_regex(trim(text), '\s+')) AS n_words,
+             |         len(list_filter(string_split_regex(trim(text), '\s+'),
+             |             w -> lower(w) IN ('the', 'a', 'of', 'to', 'and',
+             |                               'in', 'is', 'it'))) AS n_stop
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |       CAST(sum(n_words) AS BIGINT) AS total_tokens
+             |FROM m WHERE n_words >= 10 AND n_stop >= 1
+             |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
 }

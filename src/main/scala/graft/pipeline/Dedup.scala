@@ -4,6 +4,7 @@ import graft.QueryDef
 import graft.QueryDef.table
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` / `embeddings`.
@@ -683,7 +684,70 @@ object Dedup {
              |  FROM docs WHERE doc_id % 10 >= 8 GROUP BY fp)
              |SELECT doc_id, fp, n_in_batch
              |FROM delta WHERE fp NOT IN (SELECT fp FROM base)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "dd14_canonical_pick",
+      (s, d) => {
+        // Canonical selection per near-duplicate cluster: dd07 labels
+        // clusters; this picks WHICH copy survives — the longest
+        // document (near-dups differ, and pipelines keep the most
+        // complete copy, not the smallest id), ties to the smaller
+        // doc_id. One broadcast-sized join of the cluster labels back
+        // to doc lengths and a per-cluster window (partitions bounded
+        // by cluster size — the star-exchange CC already guarantees
+        // no giant unlabeled component sneaks through unconverged).
+        val clusters = defs.find(_.name == "dd07_dup_clusters").get.fn(s, d)
+        val lens = table(s, d, "documents").select("doc_id", "n_chars")
+        val w = Window.partitionBy("cluster_id")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        clusters.join(lens, "doc_id")
+          .withColumn("rnk", row_number().over(w))
+          .groupBy("cluster_id")
+          .agg(
+            min(when(col("rnk") === 1, col("doc_id"))).as("canonical_id"),
+            max(when(col("rnk") === 1, col("n_chars"))).as("canonical_chars"),
+            count(lit(1)).as("n_members"))
+          .orderBy("cluster_id")
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, n_chars,
+             |         list_distinct(list_transform(generate_series(1, len(w) - 2),
+             |                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM (SELECT doc_id, n_chars, string_split_regex(trim(text), '\s+') AS w
+             |        FROM documents)
+             |  WHERE len(w) >= 3
+             |), pairs AS (
+             |  SELECT doc_a, doc_b FROM (
+             |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |           round(len(list_intersect(a.s, b.s))::DOUBLE
+             |                 / len(list_distinct(a.s || b.s)), 4) AS jac
+             |    FROM sh a JOIN sh b
+             |      ON a.doc_id < b.doc_id
+             |     AND abs(a.n_chars - b.n_chars) <= 0.2 * greatest(a.n_chars, b.n_chars)
+             |  ) WHERE jac >= 0.5
+             |), edges AS (
+             |  SELECT doc_a AS s, doc_b AS t FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs
+             |), reach(n, m) AS (
+             |  SELECT DISTINCT s, s FROM edges
+             |  UNION
+             |  SELECT r.n, e.t FROM reach r JOIN edges e ON r.m = e.s
+             |), clusters AS (
+             |  SELECT n AS doc_id, min(m) AS cluster_id
+             |  FROM reach GROUP BY n
+             |), ranked AS (
+             |  SELECT c.cluster_id, c.doc_id, d.n_chars,
+             |         row_number() OVER (PARTITION BY c.cluster_id
+             |                            ORDER BY d.n_chars DESC, c.doc_id)
+             |           AS rnk
+             |  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id)
+             |SELECT cluster_id,
+             |       min(CASE WHEN rnk = 1 THEN doc_id END) AS canonical_id,
+             |       max(CASE WHEN rnk = 1 THEN n_chars END) AS canonical_chars,
+             |       count(*) AS n_members
+             |FROM ranked GROUP BY cluster_id ORDER BY cluster_id"""
+        .stripMargin))
   )
 
   /** dd11/dd12's shared candidate machinery: k-means cells (shared IVF

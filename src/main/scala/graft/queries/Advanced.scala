@@ -691,6 +691,47 @@ object Advanced {
              |                        (l_linestatus), ())
              |ORDER BY g_flag, g_status,
              |         l_returnflag NULLS FIRST,
-             |         l_linestatus NULLS FIRST""".stripMargin))
+             |         l_linestatus NULLS FIRST""".stripMargin)),
+
+    QueryDef(
+      "q64_unpivot",
+      (s, d) => {
+        // UNPIVOT (q29's inverse): wide per-priority aggregates fold
+        // into (priority, metric, value) long form — the reshaping
+        // step before generic metric pipelines. SQL-standard UNPIVOT
+        // runs in both engines; Spark plans it as an Expand over the
+        // 5-row aggregate (no shuffle beyond the aggregation's own),
+        // and at any scale the unpivot applies to the aggregated
+        // frame, never the fact table. Measures quantize before
+        // reshaping so the long values hash identically.
+        table(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            round(sum(col("o_totalprice").cast("decimal(18,4)"))
+              .cast("double"), 2).as("sum_price"),
+            // mean from the exact decimal sum, not avg() — double
+            // reduction order must not drift the 2dp rounding
+            round(sum(col("o_totalprice").cast("decimal(18,4)"))
+              .cast("double") / count(lit(1)), 2).as("avg_price"),
+            count(lit(1)).cast("double").as("n_orders"))
+          .createOrReplaceTempView("ord_wide")
+        s.sql("""SELECT o_orderpriority, metric, value
+                 FROM ord_wide
+                 UNPIVOT (value FOR metric IN
+                          (sum_price, avg_price, n_orders))
+                 ORDER BY o_orderpriority, metric""")
+      },
+      Some("""WITH wide AS (
+             |  SELECT o_orderpriority,
+             |         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+             |                    AS DOUBLE), 2) AS sum_price,
+             |         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+             |                    AS DOUBLE) / count(*), 2) AS avg_price,
+             |         CAST(count(*) AS DOUBLE) AS n_orders
+             |  FROM orders GROUP BY 1)
+             |SELECT o_orderpriority, metric, value
+             |FROM wide
+             |UNPIVOT (value FOR metric IN (sum_price, avg_price, n_orders))
+             |ORDER BY o_orderpriority, metric""".stripMargin))
   )
 }

@@ -13,6 +13,34 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** sp07's oracle SQL, shared: sp09 embeds it as a subquery (DuckDB
+    * allows a nested WITH inside a parenthesized derived table).
+    */
+  private val sp07OracleSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, lang,
+      |         unnest(string_split_regex(trim(text), '\s+')) AS word
+      |  FROM documents),
+      |bw AS (SELECT doc_id, lang, substr(md5(word), 1, 3) AS b
+      |       FROM words),
+      |tgt AS (SELECT b, count(*) AS tc FROM bw
+      |        WHERE lang = 'en' GROUP BY 1),
+      |corpus AS (SELECT b, count(*) AS ac FROM bw GROUP BY 1),
+      |ratio AS (
+      |  SELECT corpus.b,
+      |         CAST(round(ln(
+      |           ((coalesce(tc, 0) + 0.5) /
+      |            ((SELECT sum(tc) FROM tgt) + 0.5 * 4096)) /
+      |           ((ac + 0.5) /
+      |            ((SELECT sum(ac) FROM corpus) + 0.5 * 4096))), 6)
+      |           AS DECIMAL(18,6)) AS lr
+      |  FROM corpus LEFT JOIN tgt ON corpus.b = tgt.b)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       round(CAST(sum(lr) AS DOUBLE) / count(*), 4)
+      |         AS dsir_weight
+      |FROM bw JOIN ratio ON bw.b = ratio.b
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "sp01_hash_sample",
@@ -274,29 +302,7 @@ object Sampling {
               col("n_tokens").cast("double"), 4).as("dsir_weight"))
           .orderBy("doc_id")
       },
-      Some("""WITH words AS (
-             |  SELECT doc_id, lang,
-             |         unnest(string_split_regex(trim(text), '\s+')) AS word
-             |  FROM documents),
-             |bw AS (SELECT doc_id, lang, substr(md5(word), 1, 3) AS b
-             |       FROM words),
-             |tgt AS (SELECT b, count(*) AS tc FROM bw
-             |        WHERE lang = 'en' GROUP BY 1),
-             |corpus AS (SELECT b, count(*) AS ac FROM bw GROUP BY 1),
-             |ratio AS (
-             |  SELECT corpus.b,
-             |         CAST(round(ln(
-             |           ((coalesce(tc, 0) + 0.5) /
-             |            ((SELECT sum(tc) FROM tgt) + 0.5 * 4096)) /
-             |           ((ac + 0.5) /
-             |            ((SELECT sum(ac) FROM corpus) + 0.5 * 4096))), 6)
-             |           AS DECIMAL(18,6)) AS lr
-             |  FROM corpus LEFT JOIN tgt ON corpus.b = tgt.b)
-             |SELECT doc_id, count(*) AS n_tokens,
-             |       round(CAST(sum(lr) AS DOUBLE) / count(*), 4)
-             |         AS dsir_weight
-             |FROM bw JOIN ratio ON bw.b = ratio.b
-             |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+      Some(sp07OracleSql)),
 
     QueryDef(
       "sp08_budget_alloc",
@@ -352,6 +358,40 @@ object Sampling {
              |       CAST(fl + CASE WHEN rnk <=
              |           1000000 - (SELECT sum(fl) FROM base)
              |         THEN 1 ELSE 0 END AS BIGINT) AS alloc
-             |FROM ranked ORDER BY source""".stripMargin))
+             |FROM ranked ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      "sp09_dsir_select",
+      (s, d) => {
+        // The DSIR SELECTION step (completes sp07): per language,
+        // keep the top 20% of documents by importance weight —
+        // rnk·5 ≤ n, pure integer arithmetic, ties broken by doc_id,
+        // so the selected set is identical on any engine (selection
+        // reproducibility is the whole point of hashed DSIR). The
+        // per-language window rides one shuffle over the
+        // metadata-sized (doc_id, weight) frame — the heavy lifting
+        // happened in sp07's corpus passes; at 100 TB the weight
+        // frame is one row per document, not per token.
+        val wts = defs.find(_.name == "sp07_dsir_weights").get.fn(s, d)
+        val langs = table(s, d, "documents").select("doc_id", "lang")
+        val w = Window.partitionBy("lang")
+          .orderBy(col("dsir_weight").desc, col("doc_id"))
+        val n = Window.partitionBy("lang")
+        wts.join(langs, "doc_id")
+          .withColumn("rnk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(n))
+          .filter(col("rnk") * 5 <= col("n"))
+          .select("lang", "doc_id", "dsir_weight")
+          .orderBy("lang", "doc_id")
+      },
+      Some(s"""WITH j AS (
+             |  SELECT d.lang, w.doc_id, w.dsir_weight,
+             |         row_number() OVER (PARTITION BY d.lang
+             |             ORDER BY w.dsir_weight DESC, w.doc_id) AS rnk,
+             |         count(*) OVER (PARTITION BY d.lang) AS n
+             |  FROM ($sp07OracleSql) w
+             |  JOIN documents d ON w.doc_id = d.doc_id)
+             |SELECT lang, doc_id, dsir_weight FROM j
+             |WHERE rnk * 5 <= n ORDER BY lang, doc_id""".stripMargin))
   )
 }

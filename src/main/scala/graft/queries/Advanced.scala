@@ -732,6 +732,83 @@ object Advanced {
              |SELECT o_orderpriority, metric, value
              |FROM wide
              |UNPIVOT (value FOR metric IN (sum_price, avg_price, n_orders))
-             |ORDER BY o_orderpriority, metric""".stripMargin))
+             |ORDER BY o_orderpriority, metric""".stripMargin)),
+
+    QueryDef(
+      "q65_setops_all",
+      (s, d) => {
+        // Bag-semantics set operations (q15 covered the DISTINCT
+        // variants): INTERSECT ALL keeps min(multiplicity) and EXCEPT
+        // ALL subtracts multiplicities — the multiset algebra audit
+        // queries need ("how many high-priority orders ALSO cleared
+        // the price bar, counting repeats"). Spark plans both as
+        // count-aggregated joins (one shuffle each side, no row
+        // explosion); output re-aggregates per key so the graded
+        // result is compact and order-free.
+        val hi = table(s, d, "orders")
+          .filter(col("o_orderpriority") === "2-HIGH")
+          .select(col("o_custkey").as("custkey"))
+        val big = table(s, d, "orders")
+          .filter(col("o_totalprice") > 150000)
+          .select(col("o_custkey").as("custkey"))
+        val both = hi.intersectAll(big).groupBy("custkey")
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+        val only = hi.exceptAll(big).groupBy("custkey")
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+        both.unionByName(only)
+          .select("op", "custkey", "n")
+          .orderBy("op", "custkey")
+      },
+      Some("""WITH hi AS (SELECT o_custkey AS custkey FROM orders
+             |            WHERE o_orderpriority = '2-HIGH'),
+             |big AS (SELECT o_custkey AS custkey FROM orders
+             |        WHERE o_totalprice > 150000)
+             |SELECT 'intersect_all' AS op, custkey, count(*) AS n
+             |FROM (SELECT * FROM hi INTERSECT ALL SELECT * FROM big)
+             |GROUP BY custkey
+             |UNION ALL
+             |SELECT 'except_all' AS op, custkey, count(*) AS n
+             |FROM (SELECT * FROM hi EXCEPT ALL SELECT * FROM big)
+             |GROUP BY custkey
+             |ORDER BY op, custkey""".stripMargin)),
+
+    QueryDef(
+      "q66_recursive_cte",
+      (s, d) => {
+        // WITH RECURSIVE (landed in Spark 4.x): iterative traversal
+        // declared in SQL — the hierarchy/graph operator everything
+        // else here only approximates imperatively (dd07's CC loop).
+        // A synthetic reporting tree over customer keys (child k →
+        // parent k div 10, roots k < 10) walked to per-depth rollups.
+        // Each recursion step is one join of the frontier against the
+        // dimension — Spark executes it as iterated plans with the
+        // SAME shuffle shape as a hand-rolled loop, but the optimizer
+        // sees the whole statement. Depth is logarithmic in the key
+        // domain, so the iteration count stays ~5 at any SF.
+        table(s, d, "customer").select("c_custkey")
+          .createOrReplaceTempView("cust_keys")
+        s.sql("""WITH RECURSIVE chain AS (
+                   SELECT c_custkey AS custkey, 0 AS depth
+                   FROM cust_keys WHERE c_custkey < 10
+                   UNION ALL
+                   SELECT c.c_custkey, p.depth + 1
+                   FROM cust_keys c JOIN chain p
+                     ON c.c_custkey div 10 = p.custkey
+                   WHERE c.c_custkey >= 10)
+                 SELECT depth, count(*) AS n,
+                        min(custkey) AS first_key, max(custkey) AS last_key
+                 FROM chain GROUP BY depth ORDER BY depth""")
+          .withColumn("depth", col("depth").cast("int"))
+      },
+      Some("""WITH RECURSIVE chain AS (
+             |  SELECT c_custkey AS custkey, 0 AS depth
+             |  FROM customer WHERE c_custkey < 10
+             |  UNION ALL
+             |  SELECT c.c_custkey, p.depth + 1
+             |  FROM customer c JOIN chain p ON c.c_custkey // 10 = p.custkey
+             |  WHERE c.c_custkey >= 10)
+             |SELECT CAST(depth AS INT) AS depth, count(*) AS n,
+             |       min(custkey) AS first_key, max(custkey) AS last_key
+             |FROM chain GROUP BY depth ORDER BY depth""".stripMargin))
   )
 }

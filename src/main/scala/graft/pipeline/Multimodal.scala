@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.QueryDef
 import graft.QueryDef.table
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -228,6 +229,53 @@ object Multimodal {
              |       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
              |       sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_dropped
              |FROM (SELECT md5(text) AS h, count(*) AS n
-             |      FROM documents GROUP BY 1)""".stripMargin))
+             |      FROM documents GROUP BY 1)""".stripMargin)),
+
+    QueryDef(
+      "mm06_media_batch_pack",
+      (s, d) => {
+        // Modality-aware batch assembly: media items pack greedily
+        // (doc_id order, PER MODALITY — batches never mix codecs, the
+        // loader constraint) into training batches of ≤ 8 KB payload
+        // — batch = floor(exclusive-cumsum(bytes) / budget), sp02's
+        // integer-exact recipe applied to the binary column's sizes.
+        // One shuffle on media_kind (3 partitions of metadata-sized
+        // (id, len) rows — the payloads themselves never move: batch
+        // assignment is a pure function of the scan-local length).
+        val items = table(s, d, "documents")
+          .withColumn("media_len",
+            length(encode(col("text"), "utf-8")).cast("long"))
+          .withColumn("media_kind",
+            when(pmod(col("doc_id"), lit(3)) === 0, "image")
+              .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+              .otherwise("video"))
+        val w = Window.partitionBy("media_kind").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        items
+          .withColumn("batch_id",
+            floor((sum(col("media_len")).over(w) - col("media_len")) /
+              lit(8192)))
+          .groupBy("media_kind", "batch_id")
+          .agg(count(lit(1)).as("n_items"),
+            sum("media_len").as("batch_bytes"))
+          .orderBy("media_kind", "batch_id")
+      },
+      Some("""SELECT media_kind, batch_id, count(*) AS n_items,
+             |       CAST(sum(media_len) AS BIGINT) AS batch_bytes
+             |FROM (
+             |  SELECT media_kind, doc_id, media_len,
+             |         CAST(floor((sum(media_len) OVER (
+             |                PARTITION BY media_kind ORDER BY doc_id
+             |                ROWS UNBOUNDED PRECEDING) - media_len)
+             |              / 8192) AS BIGINT) AS batch_id
+             |  FROM (
+             |    SELECT doc_id,
+             |           CASE doc_id % 3 WHEN 0 THEN 'image'
+             |                           WHEN 1 THEN 'audio'
+             |                           ELSE 'video' END AS media_kind,
+             |           octet_length(encode(text)) AS media_len
+             |    FROM documents))
+             |GROUP BY media_kind, batch_id
+             |ORDER BY media_kind, batch_id""".stripMargin))
   )
 }

@@ -21,7 +21,7 @@ object Graft {
   def catalogExists(storage: StorageOps): Boolean =
     storage.exists(FileLocations.rootNodePath(0L)) ||
       // v0 may have been expired by catalog-history expiration
-      TreeOps.findLatestRoot(storage).isDefined
+      TreeOps.findLatestRoot(storage).exists(r => { r.close(); true })
 
   /** Write CatalogDef + empty root v0 (Olympia.java:53-63). */
   def createCatalog(storage: StorageOps, cd: CatalogDef): Unit = {
@@ -66,17 +66,20 @@ object Graft {
         val defPath = FileLocations.newCatalogDefPath()
         storage.writeAtomic(defPath, Json.write(cd2))
         val node = TreeOps.loadRoot(storage, latest.path.get)
-        val root = new graft.tree.TreeRoot(node.node, latest.version,
-          latest.path, None, defPath, System.currentTimeMillis(), "[]")
+        // root shares node's Arrow-backed TreeNode; one close releases both
         try {
-          TreeOps.writeRoot(storage, root, latest.version + 1)
-          return cd2
-        } catch {
-          case _: graft.storage.AtomicSealFailureException =>
-            attempt += 1
-            if (attempt > maxRetries) throw new graft.txn
-              .CommitFailedException("catalog-def update: too many retries")
-        }
+          val root = new graft.tree.TreeRoot(node.node, latest.version,
+            latest.path, None, defPath, System.currentTimeMillis(), "[]")
+          try {
+            TreeOps.writeRoot(storage, root, latest.version + 1)
+            return cd2
+          } catch {
+            case _: graft.storage.AtomicSealFailureException =>
+              attempt += 1
+              if (attempt > maxRetries) throw new graft.txn
+                .CommitFailedException("catalog-def update: too many retries")
+          }
+        } finally node.close()
       } finally latest.close()
     }
     throw new IllegalStateException("unreachable")
@@ -115,10 +118,11 @@ object Graft {
         val latest = TreeOps.findLatestRoot(storage).get
         try {
           if (latest.version > txn.beginningRoot.version) {
-            val committedActions = TreeOps.listRoots(storage, latest)
-              .takeWhile(_.version > txn.beginningRoot.version)
-              .flatMap(r => Actions.fromJson(r.actionsJson))
-              .toSeq
+            val committedActions = TreeOps
+              .collectRootsWhile(storage, latest)(
+                _.version > txn.beginningRoot.version)(
+                r => Actions.fromJson(r.actionsJson))
+              .flatten
             ConflictAnalyzer.analyze(txn.actions.toSeq, committedActions,
               txn.isolationLevel) match {
               case Left(reason) =>
@@ -155,10 +159,10 @@ object Graft {
             throw new CommitFailedException(s"txn ${txn.id}: too many commit retries")
           val winner = TreeOps.findLatestRoot(storage).get
           // actions committed since our snapshot (persisted in each root)
-          val committedActions = TreeOps.listRoots(storage, winner)
-            .takeWhile(_.version > base.version)
-            .flatMap(r => Actions.fromJson(r.actionsJson))
-            .toSeq
+          val committedActions = TreeOps
+            .collectRootsWhile(storage, winner)(_.version > base.version)(
+              r => Actions.fromJson(r.actionsJson))
+            .flatten
           ConflictAnalyzer.analyze(txn.actions.toSeq, committedActions,
             txn.isolationLevel) match {
             case Left(reason) =>
@@ -245,13 +249,16 @@ object Graft {
   def rollbackTo(storage: StorageOps, version: Long): TreeRoot = {
     val latest = TreeOps.findLatestRoot(storage)
       .getOrElse(throw new IllegalStateException("catalog does not exist"))
-    val target = TreeOps.findRootForVersion(storage, latest, version)
-    val replay = TreeOps.loadRoot(storage, target.path.get)
-    replay.rollbackFromRootPath = latest.path
-    replay.previousRootPath = latest.path
-    replay.actionsJson = "[]"
-    TreeOps.writeRoot(storage, replay, latest.version + 1)
-    replay
+    try {
+      val target = TreeOps.findRootForVersion(storage, latest, version)
+      val replay = TreeOps.loadRoot(storage, target.path.get)
+      if (target ne latest) target.close()
+      replay.rollbackFromRootPath = latest.path
+      replay.previousRootPath = latest.path
+      replay.actionsJson = "[]"
+      TreeOps.writeRoot(storage, replay, latest.version + 1)
+      replay
+    } finally latest.close()
   }
 
   // ---------- helpers ----------

@@ -486,6 +486,15 @@ object Maintenance {
     val latest = TreeOps.findLatestRoot(storage)
       .getOrElse(throw new IllegalStateException("catalog does not exist"))
     val target = TreeOps.findRootForVersion(storage, latest, version)
+    if (target ne latest) latest.close()
+    try exportAtRoot(cat, target, dest, copyData, name)
+    finally target.close()
+  }
+
+  private def exportAtRoot(cat: GraftCatalog, target: graft.tree.TreeRoot,
+      dest: graft.storage.StorageOps, copyData: Boolean,
+      name: Option[String]): Int = {
+    val storage = cat.storage
     var copied = 0
     def copy(rel: String): Unit = {
       dest.overwrite(rel, storage.read(rel)); copied += 1
@@ -512,11 +521,13 @@ object Maintenance {
     }
     // rebased v0 root
     val exportRoot = TreeOps.loadRoot(storage, target.path.get)
-    exportRoot.version = 0L
-    exportRoot.previousRootPath = None
-    exportRoot.rollbackFromRootPath = None
-    TreeOps.writeRootAt(dest, exportRoot,
-      graft.objects.FileLocations.rootNodePath(0L))
+    try {
+      exportRoot.version = 0L
+      exportRoot.previousRootPath = None
+      exportRoot.rollbackFromRootPath = None
+      TreeOps.writeRootAt(dest, exportRoot,
+        graft.objects.FileLocations.rootNodePath(0L))
+    } finally exportRoot.close()
     dest.overwrite(graft.objects.FileLocations.LatestVersionHint, "0".getBytes)
     dest.overwrite(graft.objects.FileLocations.OldestVersionHint, "0".getBytes)
     // a NAMED export is recorded in the source catalog definition
@@ -539,36 +550,50 @@ object Maintenance {
   def expireCatalogVersions(cat: GraftCatalog, keepLast: Int): Int = {
     val storage = cat.storage
     val latest = TreeOps.findLatestRoot(storage).getOrElse(return 0)
-    val roots = TreeOps.listRoots(storage, latest).toSeq
-    val (keep, expire) = roots.splitAt(keepLast)
+    val (chain, pinnedRoots) =
+      try (TreeOps.collectRootsWhile(storage, latest)(_ => true)(
+          r => (r.version, r.path.get)),
+        Graft.catalogDef(storage, latest).exportedSnapshots.values.toSet)
+      finally latest.close()
+    val (keep, pastHorizon) = chain.splitAt(keepLast)
+    // a NAMED catalog export pins its root past the horizon: `VERSION
+    // AS OF '<name>'` must keep resolving, and copy_data=false exports
+    // rely on source retention for shared metadata/data files — the
+    // pinned root file and every node it reaches survive (reachable by
+    // direct path even below the oldest-version hint)
+    val (pinnedExpired, expire) = pastHorizon.partition(v => pinnedRoots(v._2))
     if (expire.isEmpty) return 0
-    val keepNodes = keep.flatMap(r => reachableNodes(storage, r.path.get)).toSet
-    val deletable = expire.flatMap { r =>
-      r.path.get +: reachableNodes(storage, r.path.get)
-        .filterNot(keepNodes).toSeq
+    val keepNodes = (keep ++ pinnedExpired)
+      .flatMap(v => reachableNodes(storage, v._2)).toSet
+    val deletable = expire.flatMap { case (_, path) =>
+      path +: reachableNodes(storage, path).filterNot(keepNodes).toSeq
     }
     storage.deleteBatch(deletable.distinct)
     // the spec's guaranteed-oldest hint (docs/format.md:213-216):
     // version-based time travel below this floor fails fast
     keep.lastOption.foreach(oldest => storage.overwrite(
       graft.objects.FileLocations.OldestVersionHint,
-      oldest.version.toString.getBytes("UTF-8")))
+      oldest._1.toString.getBytes("UTF-8")))
     expire.size
   }
 
   private def reachableNodes(storage: graft.storage.StorageOps,
       rootPath: String): Seq[String] = {
     val root = TreeOps.loadRoot(storage, rootPath)
-    val out = Seq.newBuilder[String]
-    def walk(nodePath: Option[String]): Unit = nodePath.foreach { p =>
-      out += p
-      val node = TreeOps.loadNode(storage, p)
-      walk(node.leftmostChildPath)
-      node.mergedRows.foreach(r => walk(r.child))
-    }
-    walk(root.node.leftmostChildPath)
-    root.node.mergedRows.foreach(r => walk(r.child))
-    out.result()
+    try {
+      val out = Seq.newBuilder[String]
+      def walk(nodePath: Option[String]): Unit = nodePath.foreach { p =>
+        out += p
+        val node = TreeOps.loadNode(storage, p)
+        try {
+          walk(node.leftmostChildPath)
+          node.mergedRows.foreach(r => walk(r.child))
+        } finally node.close()
+      }
+      walk(root.node.leftmostChildPath)
+      root.node.mergedRows.foreach(r => walk(r.child))
+      out.result()
+    } finally root.close()
   }
 
   /** Name the table's current (or a given historic) snapshot so reads

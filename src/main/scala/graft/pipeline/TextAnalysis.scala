@@ -477,12 +477,18 @@ object TextAnalysis {
           .agg(count(lit(1)).as("k"))
         val freq = wdoc.groupBy("w").agg(sum("k").as("c"))
         val total = freq.agg(sum("c")).head.getLong(0).toDouble
+        // cross-engine determinism (the ta17/sp07 recipe): each term's
+        // log10 rounds to 6dp and quantizes to DECIMAL so the weighted
+        // sum is EXACT and engine-identical; one double division +
+        // round(4) at the end can't drift
         wdoc.join(freq, "w")
           .groupBy("doc_id")
           .agg(sum("k").as("n_words"),
             round(
-              sum(col("k") * log10(col("c").cast("double") / lit(total))) /
-                sum("k"), 4).as("logprob"))
+              sum(col("k") *
+                round(log10(col("c").cast("double") / lit(total)), 6)
+                  .cast("decimal(18,6)")).cast("double") /
+                sum("k").cast("double"), 4).as("logprob"))
           .orderBy("doc_id")
       },
       Some("""WITH words AS (
@@ -493,7 +499,9 @@ object TextAnalysis {
              |freq AS (SELECT w, count(*) AS c FROM w2 GROUP BY w),
              |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq)
              |SELECT doc_id, count(*) AS n_words,
-             |       round(avg(log10(CAST(c AS DOUBLE) / n)), 4) AS logprob
+             |       round(CAST(sum(CAST(round(log10(CAST(c AS DOUBLE) / n), 6)
+             |                          AS DECIMAL(18,6))) AS DOUBLE)
+             |             / CAST(count(*) AS DOUBLE), 4) AS logprob
              |FROM w2 JOIN freq USING (w), tot
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 

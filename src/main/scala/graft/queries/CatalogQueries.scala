@@ -31,6 +31,97 @@ object CatalogQueries {
     s.sessionState.catalogManager.catalog(name).asInstanceOf[GraftCatalog]
   }
 
+  /** ONE copy of the wire-shape scaffolding the external-engine REST
+    * interop scenarios (c43-c54) share: the spec-minimal avro manifest
+    * schemas a client authors, avro read/write, and localhost HTTP
+    * verbs against the served facade — so an edit to the wire shape
+    * cannot silently diverge between scenarios.
+    */
+  private object RestInterop {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.GenericRecord
+
+    private def parse(json: String) = new Schema.Parser().parse(json)
+    private def entryJson(withContent: Boolean): String =
+      """{"type":"record","name":"manifest_entry","fields":[""" +
+        """{"name":"status","type":"int"},""" +
+        """{"name":"data_file","type":{"type":"record","name":"r2","fields":[""" +
+        (if (withContent) """{"name":"content","type":"int"},""" else "") +
+        """{"name":"file_path","type":"string"},""" +
+        """{"name":"file_format","type":"string"},""" +
+        """{"name":"record_count","type":"long"},""" +
+        """{"name":"file_size_in_bytes","type":"long"}]}}]}"""
+    private def listJson(withContent: Boolean): String =
+      """{"type":"record","name":"manifest_file","fields":[""" +
+        """{"name":"manifest_path","type":"string"},""" +
+        """{"name":"manifest_length","type":"long"}""" +
+        (if (withContent) """,{"name":"content","type":"int"}""" else "") +
+        "]}"
+
+    /** Append-commit manifest-entry schema; the `withContent` variant
+      * adds the content discriminator row-level (delete) commits carry.
+      */
+    lazy val entrySchema: Schema = parse(entryJson(withContent = false))
+    lazy val entrySchemaWithContent: Schema = parse(entryJson(withContent = true))
+    lazy val listSchema: Schema = parse(listJson(withContent = false))
+    lazy val listSchemaWithContent: Schema = parse(listJson(withContent = true))
+
+    def writeAvro(f: java.io.File, schema: Schema,
+        recs: Seq[GenericRecord]): Unit = {
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, f)
+      recs.foreach(w.append)
+      w.close()
+    }
+
+    def readAvro(path: String): Seq[GenericRecord] = {
+      val r = new org.apache.avro.file.DataFileReader(
+        new java.io.File(path),
+        new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+      try {
+        val out = Seq.newBuilder[GenericRecord]
+        while (r.hasNext) out += r.next()
+        out.result()
+      } finally r.close()
+    }
+
+    /** GET the served table metadata node; fails loudly on non-200. */
+    def loadMetadata(port: Int, ns: String,
+        tbl: String): com.fasterxml.jackson.databind.JsonNode = {
+      val res = get(port, s"/v1/iceberg/namespaces/$ns/tables/$tbl")
+      require(res.statusCode() == 200,
+        s"REST load failed: ${res.statusCode()} ${res.body()}")
+      graft.objects.Json.mapper.readTree(res.body()).get("metadata")
+    }
+
+    /** The current snapshot's manifest-list path in served metadata. */
+    def currentManifestList(
+        md: com.fasterxml.jackson.databind.JsonNode): String = {
+      val snaps = md.get("snapshots")
+      (0 until snaps.size()).map(snaps.get)
+        .find(_.get("snapshot-id").asLong() ==
+          md.get("current-snapshot-id").asLong()).get
+        .get("manifest-list").asText()
+    }
+
+    def get(port: Int, path: String): java.net.http.HttpResponse[String] =
+      java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"http://127.0.0.1:$port$path")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+
+    def post(port: Int, path: String,
+        body: String): java.net.http.HttpResponse[String] =
+      java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"http://127.0.0.1:$port$path"))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+  }
+
   /** Fresh `cat.ns1.<table>` loaded from the sf parquet input. */
   private def provision(s: SparkSession, cat: String, d: String,
       table: String, source: String): Unit = {
@@ -113,7 +204,7 @@ object CatalogQueries {
         // that contained only the first append.
         val cat = ensureCatalog(s, "gc5")
         provision(s, "gc5", d, "nation", "nation")
-        val v1 = TreeOps.findLatestRoot(cat.storage).get.version
+        val v1 = TreeOps.latestVersion(cat.storage).get
         s.sql(s"INSERT INTO gc5.ns1.nation SELECT * FROM parquet.`$d/nation.parquet`")
         s.sql(s"""SELECT n_nationkey, n_name FROM gc5.ns1.nation VERSION AS OF $v1
                   ORDER BY n_nationkey""")
@@ -1236,32 +1327,10 @@ object CatalogQueries {
         val server = new graft.serve.CatalogHttpServer(cat.storage)
         val port = server.start()
         try {
-          val client = java.net.http.HttpClient.newHttpClient()
-          val res = client.send(
-            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
-              s"http://127.0.0.1:$port/v1/iceberg/namespaces/ns1/tables/ord"))
-              .GET().build(),
-            java.net.http.HttpResponse.BodyHandlers.ofString())
-          require(res.statusCode() == 200,
-            s"REST load failed: ${res.statusCode()} ${res.body()}")
-          val md = graft.objects.Json.mapper.readTree(res.body())
-            .get("metadata")
-          val snaps = md.get("snapshots")
-          val ml = (0 until snaps.size()).map(snaps.get)
-            .find(_.get("snapshot-id").asLong() ==
-              md.get("current-snapshot-id").asLong()).get
-            .get("manifest-list").asText()
-          def avro(path: String): Seq[org.apache.avro.generic.GenericRecord] = {
-            val r = new org.apache.avro.file.DataFileReader(
-              new java.io.File(path),
-              new org.apache.avro.generic.GenericDatumReader[
-                org.apache.avro.generic.GenericRecord]())
-            try Iterator.continually(r).takeWhile(_.hasNext)
-              .map(_.next()).toVector
-            finally r.close()
-          }
-          val entries = avro(ml).flatMap(m =>
-            avro(m.get("manifest_path").toString))
+          val md = RestInterop.loadMetadata(port, "ns1", "ord")
+          val ml = RestInterop.currentManifestList(md)
+          val entries = RestInterop.readAvro(ml).flatMap(m =>
+            RestInterop.readAvro(m.get("manifest_path").toString))
           def filesOf(content: Int): Seq[(String, Long)] = entries.flatMap { e =>
             val df = e.get("data_file")
               .asInstanceOf[org.apache.avro.generic.GenericRecord]
@@ -1342,32 +1411,10 @@ object CatalogQueries {
         val server = new graft.serve.CatalogHttpServer(cat.storage)
         val port = server.start()
         try {
-          val client = java.net.http.HttpClient.newHttpClient()
-          val res = client.send(
-            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
-              s"http://127.0.0.1:$port/v1/iceberg/namespaces/ns1/tables/ord"))
-              .GET().build(),
-            java.net.http.HttpResponse.BodyHandlers.ofString())
-          require(res.statusCode() == 200,
-            s"REST load failed: ${res.statusCode()} ${res.body()}")
-          val md = graft.objects.Json.mapper.readTree(res.body())
-            .get("metadata")
-          val snaps = md.get("snapshots")
-          val ml = (0 until snaps.size()).map(snaps.get)
-            .find(_.get("snapshot-id").asLong() ==
-              md.get("current-snapshot-id").asLong()).get
-            .get("manifest-list").asText()
-          def avro(path: String): Seq[org.apache.avro.generic.GenericRecord] = {
-            val r = new org.apache.avro.file.DataFileReader(
-              new java.io.File(path),
-              new org.apache.avro.generic.GenericDatumReader[
-                org.apache.avro.generic.GenericRecord]())
-            try Iterator.continually(r).takeWhile(_.hasNext)
-              .map(_.next()).toVector
-            finally r.close()
-          }
-          val entries = avro(ml).flatMap(m =>
-            avro(m.get("manifest_path").toString))
+          val md = RestInterop.loadMetadata(port, "ns1", "ord")
+          val ml = RestInterop.currentManifestList(md)
+          val entries = RestInterop.readAvro(ml).flatMap(m =>
+            RestInterop.readAvro(m.get("manifest_path").toString))
           def filesOf(content: Int): Seq[String] = entries.flatMap { e =>
             val df = e.get("data_file")
               .asInstanceOf[org.apache.avro.generic.GenericRecord]
@@ -1444,29 +1491,8 @@ object CatalogQueries {
         val dataFiles = extDir.listFiles()
           .filter(_.getName.endsWith(".parquet")).toSeq
         val rowsStaged = s.read.parquet(extDir.toString).count()
-        val entrySchema = new org.apache.avro.Schema.Parser().parse(
-          """{"type":"record","name":"manifest_entry","fields":[
-            |{"name":"status","type":"int"},
-            |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
-            |{"name":"file_path","type":"string"},
-            |{"name":"file_format","type":"string"},
-            |{"name":"record_count","type":"long"},
-            |{"name":"file_size_in_bytes","type":"long"}]}}]}"""
-            .stripMargin.replaceAll("\n", ""))
-        val listSchema = new org.apache.avro.Schema.Parser().parse(
-          """{"type":"record","name":"manifest_file","fields":[
-            |{"name":"manifest_path","type":"string"},
-            |{"name":"manifest_length","type":"long"}]}"""
-            .stripMargin.replaceAll("\n", ""))
-        def writeAvro(f: java.io.File, schema: org.apache.avro.Schema,
-            recs: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
-          val w = new org.apache.avro.file.DataFileWriter(
-            new org.apache.avro.generic.GenericDatumWriter[
-              org.apache.avro.generic.GenericRecord](schema))
-          w.create(schema, f)
-          recs.foreach(w.append)
-          w.close()
-        }
+        val entrySchema = RestInterop.entrySchema
+        val listSchema = RestInterop.listSchema
         val entries = dataFiles.map { f =>
           val df = new org.apache.avro.generic.GenericData.Record(
             entrySchema.getField("data_file").schema())
@@ -1484,28 +1510,19 @@ object CatalogQueries {
           e
         }
         val mf = new java.io.File(extDir, "client-m0.avro")
-        writeAvro(mf, entrySchema, entries)
+        RestInterop.writeAvro(mf, entrySchema, entries)
         val row = new org.apache.avro.generic.GenericData.Record(listSchema)
         row.put("manifest_path", mf.getAbsolutePath)
         row.put("manifest_length", mf.length())
         val ml = new java.io.File(extDir, "client-ml0.avro")
-        writeAvro(ml, listSchema, Seq(row))
+        RestInterop.writeAvro(ml, listSchema, Seq(row))
 
         val server = new graft.serve.CatalogHttpServer(cat.storage)
         val port = server.start()
         try {
-          val client = java.net.http.HttpClient.newHttpClient()
-          def get(path: String) = client.send(
-            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
-              s"http://127.0.0.1:$port$path")).GET().build(),
-            java.net.http.HttpResponse.BodyHandlers.ofString())
-          def post(path: String, body: String) = client.send(
-            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
-              s"http://127.0.0.1:$port$path"))
-              .header("Content-Type", "application/json")
-              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-              .build(),
-            java.net.http.HttpResponse.BodyHandlers.ofString())
+          def get(path: String) = RestInterop.get(port, path)
+          def post(path: String, body: String) =
+            RestInterop.post(port, path, body)
           val load = get("/v1/iceberg/namespaces/ns1/tables/ord")
           require(load.statusCode() == 200, load.body())
           val md = graft.objects.Json.mapper.readTree(load.body())
@@ -1570,18 +1587,9 @@ object CatalogQueries {
         val server = new graft.serve.CatalogHttpServer(cat.storage)
         val port = server.start()
         try {
-          val client = java.net.http.HttpClient.newHttpClient()
-          def get(path: String) = client.send(
-            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
-              s"http://127.0.0.1:$port$path")).GET().build(),
-            java.net.http.HttpResponse.BodyHandlers.ofString())
-          def post(path: String, body: String) = client.send(
-            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
-              s"http://127.0.0.1:$port$path"))
-              .header("Content-Type", "application/json")
-              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-              .build(),
-            java.net.http.HttpResponse.BodyHandlers.ofString())
+          def get(path: String) = RestInterop.get(port, path)
+          def post(path: String, body: String) =
+            RestInterop.post(port, path, body)
           val load = get("/v1/iceberg/namespaces/ns1/tables/ord")
           require(load.statusCode() == 200, load.body())
           val md = graft.objects.Json.mapper.readTree(load.body())
@@ -1591,17 +1599,8 @@ object CatalogQueries {
           val mlPath = (0 until snaps.size()).map(snaps.get)
             .find(_.get("snapshot-id").asLong() == baseSnap).get
             .get("manifest-list").asText()
-          def avro(path: String): Seq[org.apache.avro.generic.GenericRecord] = {
-            val r = new org.apache.avro.file.DataFileReader(
-              new java.io.File(path),
-              new org.apache.avro.generic.GenericDatumReader[
-                org.apache.avro.generic.GenericRecord]())
-            try Iterator.continually(r).takeWhile(_.hasNext)
-              .map(_.next()).toVector
-            finally r.close()
-          }
-          val planned = avro(mlPath).flatMap(m =>
-            avro(m.get("manifest_path").toString)).map(_.get("data_file")
+          val planned = RestInterop.readAvro(mlPath).flatMap(m =>
+            RestInterop.readAvro(m.get("manifest_path").toString)).map(_.get("data_file")
               .asInstanceOf[org.apache.avro.generic.GenericRecord]
               .get("file_path").toString)
           // the "external engine" computes (file_path, pos) for rows
@@ -1619,32 +1618,8 @@ object CatalogQueries {
             .find(_.getName.endsWith(".parquet")).get
           val delRows = s.read.parquet(delDir.toString).count()
           // client-authored delete manifest (content=1) + manifest list
-          val entrySchema = new org.apache.avro.Schema.Parser().parse(
-            """{"type":"record","name":"manifest_entry","fields":[
-              |{"name":"status","type":"int"},
-              |{"name":"data_file","type":{"type":"record","name":"r2",
-              |"fields":[
-              |{"name":"content","type":"int"},
-              |{"name":"file_path","type":"string"},
-              |{"name":"file_format","type":"string"},
-              |{"name":"record_count","type":"long"},
-              |{"name":"file_size_in_bytes","type":"long"}]}}]}"""
-              .stripMargin.replaceAll("\n", ""))
-          val listSchema = new org.apache.avro.Schema.Parser().parse(
-            """{"type":"record","name":"manifest_file","fields":[
-              |{"name":"manifest_path","type":"string"},
-              |{"name":"manifest_length","type":"long"},
-              |{"name":"content","type":"int"}]}"""
-              .stripMargin.replaceAll("\n", ""))
-          def writeAvro(f: java.io.File, schema: org.apache.avro.Schema,
-              recs: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
-            val w = new org.apache.avro.file.DataFileWriter(
-              new org.apache.avro.generic.GenericDatumWriter[
-                org.apache.avro.generic.GenericRecord](schema))
-            w.create(schema, f)
-            recs.foreach(w.append)
-            w.close()
-          }
+          val entrySchema = RestInterop.entrySchemaWithContent
+          val listSchema = RestInterop.listSchemaWithContent
           val df = new org.apache.avro.generic.GenericData.Record(
             entrySchema.getField("data_file").schema())
           df.put("content", 1)
@@ -1656,13 +1631,13 @@ object CatalogQueries {
           e.put("status", 1)
           e.put("data_file", df)
           val mf = new java.io.File(extDir, "client-del-m0.avro")
-          writeAvro(mf, entrySchema, Seq(e))
+          RestInterop.writeAvro(mf, entrySchema, Seq(e))
           val row = new org.apache.avro.generic.GenericData.Record(listSchema)
           row.put("manifest_path", mf.getAbsolutePath)
           row.put("manifest_length", mf.length())
           row.put("content", 1)
           val ml = new java.io.File(extDir, "client-del-ml0.avro")
-          writeAvro(ml, listSchema, Seq(row))
+          RestInterop.writeAvro(ml, listSchema, Seq(row))
           val body =
             s"""{"requirements":[
                |  {"type":"assert-table-uuid",
@@ -1730,32 +1705,10 @@ object CatalogQueries {
         val server = new graft.serve.CatalogHttpServer(cat.storage)
         val port = server.start()
         try {
-          val client = java.net.http.HttpClient.newHttpClient()
-          val res = client.send(
-            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
-              s"http://127.0.0.1:$port/v1/iceberg/namespaces/ns1/tables/li"))
-              .GET().build(),
-            java.net.http.HttpResponse.BodyHandlers.ofString())
-          require(res.statusCode() == 200,
-            s"REST load failed: ${res.statusCode()} ${res.body()}")
-          val md = graft.objects.Json.mapper.readTree(res.body())
-            .get("metadata")
-          val snaps = md.get("snapshots")
-          val ml = (0 until snaps.size()).map(snaps.get)
-            .find(_.get("snapshot-id").asLong() ==
-              md.get("current-snapshot-id").asLong()).get
-            .get("manifest-list").asText()
-          def avro(path: String): Seq[org.apache.avro.generic.GenericRecord] = {
-            val r = new org.apache.avro.file.DataFileReader(
-              new java.io.File(path),
-              new org.apache.avro.generic.GenericDatumReader[
-                org.apache.avro.generic.GenericRecord]())
-            try Iterator.continually(r).takeWhile(_.hasNext)
-              .map(_.next()).toVector
-            finally r.close()
-          }
-          val entries = avro(ml).flatMap(m =>
-            avro(m.get("manifest_path").toString))
+          val md = RestInterop.loadMetadata(port, "ns1", "li")
+          val ml = RestInterop.currentManifestList(md)
+          val entries = RestInterop.readAvro(ml).flatMap(m =>
+            RestInterop.readAvro(m.get("manifest_path").toString))
           def filesOf(content: Int): Seq[String] = entries.flatMap { e =>
             val df = e.get("data_file")
               .asInstanceOf[org.apache.avro.generic.GenericRecord]
@@ -1817,18 +1770,9 @@ object CatalogQueries {
         val server = new graft.serve.CatalogHttpServer(cat.storage)
         val port = server.start()
         try {
-          val client = java.net.http.HttpClient.newHttpClient()
-          def get(path: String) = client.send(
-            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
-              s"http://127.0.0.1:$port$path")).GET().build(),
-            java.net.http.HttpResponse.BodyHandlers.ofString())
-          def post(path: String, body: String) = client.send(
-            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
-              s"http://127.0.0.1:$port$path"))
-              .header("Content-Type", "application/json")
-              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-              .build(),
-            java.net.http.HttpResponse.BodyHandlers.ofString())
+          def get(path: String) = RestInterop.get(port, path)
+          def post(path: String, body: String) =
+            RestInterop.post(port, path, body)
           val load = get("/v1/iceberg/namespaces/ns1/tables/ord")
           require(load.statusCode() == 200, load.body())
           val md = graft.objects.Json.mapper.readTree(load.body())
@@ -1909,29 +1853,8 @@ object CatalogQueries {
         s.sql(s"""INSERT INTO gtx.ns1.cust
                   SELECT c_custkey, c_acctbal
                   FROM parquet.`$d/customer.parquet` WHERE c_custkey % 2 = 0""")
-        val entrySchema = new org.apache.avro.Schema.Parser().parse(
-          """{"type":"record","name":"manifest_entry","fields":[
-            |{"name":"status","type":"int"},
-            |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
-            |{"name":"file_path","type":"string"},
-            |{"name":"file_format","type":"string"},
-            |{"name":"record_count","type":"long"},
-            |{"name":"file_size_in_bytes","type":"long"}]}}]}"""
-            .stripMargin.replaceAll("\n", ""))
-        val listSchema = new org.apache.avro.Schema.Parser().parse(
-          """{"type":"record","name":"manifest_file","fields":[
-            |{"name":"manifest_path","type":"string"},
-            |{"name":"manifest_length","type":"long"}]}"""
-            .stripMargin.replaceAll("\n", ""))
-        def writeAvro(f: java.io.File, schema: org.apache.avro.Schema,
-            recs: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
-          val w = new org.apache.avro.file.DataFileWriter(
-            new org.apache.avro.generic.GenericDatumWriter[
-              org.apache.avro.generic.GenericRecord](schema))
-          w.create(schema, f)
-          recs.foreach(w.append)
-          w.close()
-        }
+        val entrySchema = RestInterop.entrySchema
+        val listSchema = RestInterop.listSchema
         // "external engine": stage each odd half under its table
         // location and author its avro manifest chain
         def stageExt(table: String,
@@ -1958,12 +1881,12 @@ object CatalogQueries {
               e
             }
           val mf = new java.io.File(extDir, "client-m0.avro")
-          writeAvro(mf, entrySchema, entries)
+          RestInterop.writeAvro(mf, entrySchema, entries)
           val row = new org.apache.avro.generic.GenericData.Record(listSchema)
           row.put("manifest_path", mf.getAbsolutePath)
           row.put("manifest_length", mf.length())
           val ml = new java.io.File(extDir, "client-ml0.avro")
-          writeAvro(ml, listSchema, Seq(row))
+          RestInterop.writeAvro(ml, listSchema, Seq(row))
           ml
         }
         val mlOrd = stageExt("ord", s.read.parquet(s"$d/orders.parquet")
@@ -1975,18 +1898,9 @@ object CatalogQueries {
         val server = new graft.serve.CatalogHttpServer(cat.storage)
         val port = server.start()
         try {
-          val client = java.net.http.HttpClient.newHttpClient()
-          def get(path: String) = client.send(
-            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
-              s"http://127.0.0.1:$port$path")).GET().build(),
-            java.net.http.HttpResponse.BodyHandlers.ofString())
-          def post(path: String, body: String) = client.send(
-            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
-              s"http://127.0.0.1:$port$path"))
-              .header("Content-Type", "application/json")
-              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-              .build(),
-            java.net.http.HttpResponse.BodyHandlers.ofString())
+          def get(path: String) = RestInterop.get(port, path)
+          def post(path: String, body: String) =
+            RestInterop.post(port, path, body)
           def snapOf(table: String): Long = {
             val load = get(s"/v1/iceberg/namespaces/ns1/tables/$table")
             require(load.statusCode() == 200, load.body())
@@ -2079,14 +1993,8 @@ object CatalogQueries {
         val server = new graft.serve.CatalogHttpServer(cat.storage)
         val port = server.start()
         try {
-          val client = java.net.http.HttpClient.newHttpClient()
-          def post(path: String, body: String) = client.send(
-            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
-              s"http://127.0.0.1:$port$path"))
-              .header("Content-Type", "application/json")
-              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-              .build(),
-            java.net.http.HttpResponse.BodyHandlers.ofString())
+          def post(path: String, body: String) =
+            RestInterop.post(port, path, body)
           val create = post("/v1/iceberg/namespaces/ns1/views",
             s"""{"name":"ordv","schema":$viewSchema,
                |"view-version":${versionJson(1, "WHERE o_orderkey % 2 = 0")}}"""
@@ -2142,15 +2050,8 @@ object CatalogQueries {
         val server = new graft.serve.CatalogHttpServer(cat.storage)
         val port = server.start()
         try {
-          val client = java.net.http.HttpClient.newHttpClient()
-          val res = client.send(
-            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
-              s"http://127.0.0.1:$port/v1/iceberg/namespaces/ns1/register"))
-              .header("Content-Type", "application/json")
-              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
-                s"""{"name":"adopted","metadata-location":"$loc"}"""))
-              .build(),
-            java.net.http.HttpResponse.BodyHandlers.ofString())
+          val res = RestInterop.post(port, "/v1/iceberg/namespaces/ns1/register",
+            s"""{"name":"adopted","metadata-location":"$loc"}""")
           require(res.statusCode() == 200,
             s"REST register failed: ${res.statusCode()} ${res.body()}")
         } finally server.stop()
@@ -2185,7 +2086,7 @@ object CatalogQueries {
         s.sql(s"""INSERT INTO gex.ns1.ord
                   SELECT o_orderkey, o_orderstatus, o_totalprice
                   FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 0""")
-        val v = graft.tree.TreeOps.findLatestRoot(cat.storage).get.version
+        val v = graft.tree.TreeOps.latestVersion(cat.storage).get
         val dest = java.nio.file.Files
           .createTempDirectory("graft-export-c53").toString
         s.sql(s"CALL gex.system.export_catalog(version => ${v}L, " +
@@ -2233,16 +2134,10 @@ object CatalogQueries {
         val port = server.start()
         val paths =
           try {
-            val client = java.net.http.HttpClient.newHttpClient()
-            val res = client.send(
-              java.net.http.HttpRequest.newBuilder(java.net.URI.create(
-                s"http://127.0.0.1:$port/v1/iceberg/namespaces/ns1/tables/ord/plan"))
-                .header("Content-Type", "application/json")
-                .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
-                  s"""{"filter":{"type":"lt-eq","term":"o_orderkey",
-                     |"value":$bound}}""".stripMargin.replaceAll("\n", "")))
-                .build(),
-              java.net.http.HttpResponse.BodyHandlers.ofString())
+            val res = RestInterop.post(port,
+              "/v1/iceberg/namespaces/ns1/tables/ord/plan",
+              s"""{"filter":{"type":"lt-eq","term":"o_orderkey",
+                 |"value":$bound}}""".stripMargin.replaceAll("\n", ""))
             require(res.statusCode() == 200,
               s"plan failed: ${res.statusCode()} ${res.body()}")
             val node = graft.objects.Json.mapper.readTree(res.body())

@@ -195,10 +195,15 @@ object TpchMore {
         // first-stage aggregate keys the second join — the per-order
         // quantity sum is map-side combined, its survivors are tiny
         // and broadcast back against orders/customer.
+        // filter on the EXACT decimal sum (the oracle's HAVING is on
+        // the unrounded sum — filtering the rounded value would flip
+        // membership for sums in (300, 300.005)); round only for output
         val big = table(s, d, "lineitem")
           .groupBy("l_orderkey")
-          .agg(round(sum("l_quantity"), 2).as("sum_qty"))
-          .filter(col("sum_qty") > 300)
+          .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("exact_qty"))
+          .filter(col("exact_qty") > 300)
+          .select(col("l_orderkey"),
+            round(col("exact_qty"), 2).cast("double").as("sum_qty"))
         val ord = table(s, d, "orders")
         ord.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
           .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
@@ -211,8 +216,11 @@ object TpchMore {
       Some("""SELECT c_custkey, c_name, o_orderkey,
              |       epoch_us(o_orderdate) AS o_orderdate_us, o_totalprice,
              |       sum_qty
-             |FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
-             |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300) big
+             |FROM (SELECT l_orderkey,
+             |             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)
+             |                  AS DOUBLE) AS sum_qty
+             |      FROM lineitem GROUP BY 1
+             |      HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 300) big
              |JOIN orders   ON o_orderkey = l_orderkey
              |JOIN customer ON o_custkey = c_custkey
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),

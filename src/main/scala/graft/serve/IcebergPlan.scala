@@ -351,20 +351,26 @@ object IcebergPlan {
           }.mkString("|")
         case _ => ""
       }
+    // partition tuples render ONCE per entry (not per data×delete
+    // pair — the avro record walk is O(fields) with allocations)
+    val deleteTuples = deleteIdx.map { case (d, i) =>
+      (d, i, if (partCols.isEmpty) "" else partTuple(d.df))
+    }
     var kept = 0
     dataEntries.foreach { e =>
       val abs = IcebergCommits.req(e.df, "file_path").toString
       if (mightMatch(filter, factsFor(abs))) {
         kept += 1
+        val eTuple = if (partCols.isEmpty) "" else partTuple(e.df)
         val task = tasks.addObject()
         task.set("data-file", contentFileJson(e.df, 0))
         val refs = task.putArray("delete-file-references")
-        deleteIdx.foreach { case (d, i) =>
+        deleteTuples.foreach { case (d, i, dTuple) =>
           val applies = d.content match {
             // position deletes apply to files committed at or before
             // their sequence, within the same partition
             case 1 => d.seq >= e.seq &&
-              (partCols.isEmpty || partTuple(d.df) == partTuple(e.df))
+              (partCols.isEmpty || dTuple == eTuple)
             // equality deletes bind strictly later, globally
             case 2 => d.seq > e.seq
             case _ => false

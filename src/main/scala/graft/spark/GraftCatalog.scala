@@ -415,19 +415,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           snapshotLog = Seq.empty), txn, storage)
     }
     val latest = TreeOps.findLatestRoot(storage).get
-    val root = TreeOps.findRootForVersion(storage, latest, version.toLong)
-    loadAtRoot(ident, root)
+    try loadAtRoot(ident, TreeOps.findRootForVersion(storage, latest, version.toLong))
+    finally latest.close() // idempotent if findRootForVersion returned it
   }
 
   /** `TIMESTAMP AS OF t` — Spark passes microseconds since epoch. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val latest = TreeOps.findLatestRoot(storage).get
-    val root = TreeOps.findRootBeforeTimestamp(storage, latest, timestamp / 1000L)
-    loadAtRoot(ident, root)
+    try loadAtRoot(ident,
+      TreeOps.findRootBeforeTimestamp(storage, latest, timestamp / 1000L))
+    finally latest.close() // idempotent if the walk returned it
   }
 
+  /** Takes ownership of `root`: its buffers are released before return
+    * (a frozen copy is re-loaded from its path for the table's txn).
+    */
   private def loadAtRoot(ident: Identifier, root: TreeRoot): Table = {
-    val frozen = TreeOps.loadRoot(storage, root.path.get)
+    val rootPath = root.path.get
+    root.close()
+    val frozen = TreeOps.loadRoot(storage, rootPath)
     val txn = new Transaction(UUID.randomUUID().toString,
       IsolationLevel.Snapshot, frozen, frozen,
       System.currentTimeMillis(), Long.MaxValue)

@@ -370,7 +370,9 @@ object TreeOps {
       val prev = cur.previousRootPath.filter(storage.exists).getOrElse(
         throw new IllegalArgumentException(
           s"version $version unreachable (expired or never existed)"))
-      cur = loadRoot(storage, prev)
+      val next = loadRoot(storage, prev)
+      if (cur ne latest) cur.close() // intermediate hop: release buffers
+      cur = next
     }
     cur
   }
@@ -390,18 +392,54 @@ object TreeOps {
   def findRootBeforeTimestamp(storage: StorageOps, latest: TreeRoot, ts: Long): TreeRoot = {
     var cur = latest
     while (cur.createdAtMillis > ts) {
-      cur = cur.previousRootPath.filter(storage.exists) match {
+      val next = cur.previousRootPath.filter(storage.exists) match {
         case Some(prev) => loadRoot(storage, prev)
         case None => throw new IllegalArgumentException(
           s"no catalog version exists at or before timestamp $ts " +
             "(older history may have been expired)")
       }
+      if (cur ne latest) cur.close() // intermediate hop: release buffers
+      cur = next
     }
     cur
   }
 
+  /** Walk the root chain newest-first while `cond` holds, mapping each
+    * qualifying root through `f` and closing every loaded root as soon
+    * as it is consumed (`latest` is caller-owned and never closed).
+    * The leak-free shape for "collect something from recent history" —
+    * use this instead of `listRoots` unless the caller genuinely needs
+    * the open roots.
+    */
+  def collectRootsWhile[A](storage: StorageOps, latest: TreeRoot)(
+      cond: TreeRoot => Boolean)(f: TreeRoot => A): Seq[A] = {
+    val out = Seq.newBuilder[A]
+    var cur = latest
+    var continue = cond(cur)
+    if (continue) out += f(cur)
+    while (continue) {
+      cur.previousRootPath.filter(storage.exists) match {
+        case Some(prev) =>
+          val next = loadRoot(storage, prev)
+          if (cur ne latest) cur.close()
+          cur = next
+          continue = cond(cur)
+          if (continue) out += f(cur)
+        case None => continue = false
+      }
+    }
+    if (cur ne latest) cur.close()
+    out.result()
+  }
+
+  /** Latest catalog version number, releasing the root's buffers. */
+  def latestVersion(storage: StorageOps): Option[Long] =
+    findLatestRoot(storage).map(r => try r.version finally r.close())
+
   /** Lazy iterator over the root-version chain, newest first
-    * (reference listRoots, TreeOperations.java:504-551).
+    * (reference listRoots, TreeOperations.java:504-551). The caller
+    * owns every root the iterator yields — prefer `collectRootsWhile`
+    * when the roots are consumed immediately.
     */
   def listRoots(storage: StorageOps, latest: TreeRoot): Iterator[TreeRoot] =
     Iterator.iterate(Option(latest)) {

@@ -289,6 +289,37 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("oldest retained"), e.getMessage)
   }
 
+  test("history expiration keeps roots pinned by named exports") {
+    spark.sql("CREATE TABLE mcat.ns1.pin (k BIGINT)")
+    spark.sql("INSERT INTO mcat.ns1.pin VALUES (1), (2)")
+    val v = graft.tree.TreeOps.latestVersion(cat.storage).get
+    val dest = new graft.storage.LocalStorageOps(
+      Files.createTempDirectory("graft-pin").toString)
+    // minimal export: shared metadata/node files stay in the source,
+    // so retention MUST NOT reclaim the pinned root's subtree
+    Maintenance.exportSnapshot(cat, v, dest, copyData = false,
+      name = Some("cut-1"))
+    (3 to 6).foreach(i => spark.sql(s"INSERT INTO mcat.ns1.pin VALUES ($i)"))
+    val removed = Maintenance.expireCatalogVersions(cat, keepLast = 2)
+    assert(removed > 0)
+    // the pinned root survived the horizon: the named read still
+    // resolves to the exported content
+    val pinned = spark.sql(
+      "SELECT k FROM mcat.ns1.pin VERSION AS OF 'cut-1' ORDER BY k")
+      .collect().map(_.getLong(0))
+    assert(pinned.sameElements(Array(1L, 2L)),
+      s"pinned read returned ${pinned.toSeq}")
+    // and the root FILE itself was kept (reachable by direct path)
+    val latest = graft.tree.TreeOps.findLatestRoot(cat.storage).get
+    try {
+      val r = graft.tree.TreeOps.findRootForVersion(cat.storage, latest, v)
+      assert(r.version == v)
+      if (r ne latest) r.close()
+    } finally latest.close()
+    // current state unaffected
+    assert(spark.table("mcat.ns1.pin").count() == 6)
+  }
+
   test("orphan scan distributes by prefix: Spark job, not a driver walk") {
     spark.sql("""CREATE TABLE mcat.ns1.od (k BIGINT, region STRING)
                  PARTITIONED BY (region)""")

@@ -114,7 +114,9 @@ object Maintenance {
       else df.repartition(identCols.map(col): _*)
         .sortWithinPartitions((identCols ++ sortCols).map(col): _*)
     val newFiles = graft.spark.GraftCatalog.commitDataFiles(
-      compacted, spec, storage, ns, t)
+      compacted, spec, storage, ns, t,
+      writeOpts = graft.spark.GraftWriteSupport
+        .parquetOptions(td.properties, schema))
     commitSnapshot(cat, txn, ns, t, "compact",
       graft.format.OverwriteFiles(newFiles), branch)
     CompactionResult(before, newFiles.size)

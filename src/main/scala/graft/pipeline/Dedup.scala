@@ -722,7 +722,69 @@ object Dedup {
              |       max(CASE WHEN rnk = 1 THEN n_chars END) AS canonical_chars,
              |       count(*) AS n_members
              |FROM ranked GROUP BY cluster_id ORDER BY cluster_id"""
-        .stripMargin))
+        .stripMargin)),
+
+    QueryDef(
+      "dd15_soft_dedup",
+      (s, d) => {
+        // SOFT dedup: instead of dropping near-duplicates, every
+        // document gets a training weight 1/|cluster| (singletons
+        // weigh 1.0) — duplicated CONTENT contributes one document's
+        // worth of gradient in expectation while no individual copy
+        // (with its distinct metadata) is lost. The cluster frame is
+        // dd07's connected components (metadata-sized: one row per
+        // CLUSTERED doc); the corpus-wide pass is a broadcast-friendly
+        // left join against it, so at 100 TB the full scan never
+        // shuffles on the cluster side.
+        val clusters = defs.find(_.name == "dd07_dup_clusters").get.fn(s, d)
+          .select(col("doc_id").as("c_doc"), col("cluster_id"))
+        val sizes = clusters.groupBy("cluster_id")
+          .agg(count(lit(1)).as("csize"))
+        val weighted = clusters.join(sizes, "cluster_id")
+        table(s, d, "documents").select("doc_id")
+          .join(broadcast(weighted), col("doc_id") === col("c_doc"),
+            "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("csize"), lit(1L)).as("cluster_size"),
+            round(lit(1.0) / coalesce(col("csize"), lit(1L)), 6).as("weight"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, n_chars,
+             |         list_distinct(list_transform(generate_series(1, len(w) - 2),
+             |                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM (SELECT doc_id, n_chars, string_split_regex(trim(text), '\s+') AS w
+             |        FROM documents)
+             |  WHERE len(w) >= 3
+             |), pairs AS (
+             |  SELECT doc_a, doc_b FROM (
+             |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |           round(len(list_intersect(a.s, b.s))::DOUBLE
+             |                 / len(list_distinct(a.s || b.s)), 4) AS jac
+             |    FROM sh a JOIN sh b
+             |      ON a.doc_id < b.doc_id
+             |     AND abs(a.n_chars - b.n_chars) <= 0.2 * greatest(a.n_chars, b.n_chars)
+             |  ) WHERE jac >= 0.5
+             |), edges AS (
+             |  SELECT doc_a AS s, doc_b AS t FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs
+             |), reach(n, m) AS (
+             |  SELECT DISTINCT s, s FROM edges
+             |  UNION
+             |  SELECT r.n, e.t FROM reach r JOIN edges e ON r.m = e.s
+             |), clusters AS (
+             |  SELECT n AS doc_id, min(m) AS cluster_id
+             |  FROM reach GROUP BY n
+             |), sizes AS (
+             |  SELECT cluster_id, count(*) AS csize FROM clusters GROUP BY 1
+             |)
+             |SELECT d.doc_id,
+             |       coalesce(z.csize, 1) AS cluster_size,
+             |       round(CAST(1.0 AS DOUBLE) / coalesce(z.csize, 1), 6) AS weight
+             |FROM documents d
+             |LEFT JOIN clusters c ON d.doc_id = c.doc_id
+             |LEFT JOIN sizes z ON c.cluster_id = z.cluster_id
+             |ORDER BY d.doc_id""".stripMargin))
   )
 
   /** Block-nested-loop pairing scaffold shared by dd05, dd08's truth

@@ -392,6 +392,46 @@ object Sampling {
              |  FROM ($sp07OracleSql) w
              |  JOIN documents d ON w.doc_id = d.doc_id)
              |SELECT lang, doc_id, dsir_weight FROM j
-             |WHERE rnk * 5 <= n ORDER BY lang, doc_id""".stripMargin))
+             |WHERE rnk * 5 <= n ORDER BY lang, doc_id""".stripMargin)),
+
+    QueryDef(
+      "sp10_chunk_stride",
+      (s, d) => {
+        // Context-window chunking: slice each document's token stream
+        // into windows of W=128 tokens with stride S=96 (32-token
+        // overlap) — the pre-tokenization step that turns variable-
+        // length documents into fixed-shape training examples while
+        // the overlap preserves cross-boundary context. Chunk count
+        // per doc is closed-form (1 + ceil(max(n-W,0)/S), pure bigint
+        // arithmetic), so the plan is one codegen'd projection +
+        // explode — per-row decidable, no shuffle at all until the
+        // output sort; at 100 TB it streams. A doc shorter than W
+        // yields exactly one (possibly short) chunk.
+        val W = 128
+        val S = 96
+        table(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tok"))
+          .withColumn("chunk_id", explode(sequence(lit(0L),
+            expr(s"(GREATEST(n_tok - $W, 0) + ${S - 1}) DIV $S"))))
+          .select(col("doc_id"), col("chunk_id"),
+            (col("chunk_id") * S).as("start_tok"),
+            (least(col("chunk_id") * S + W, col("n_tok")) -
+              col("chunk_id") * S).as("chunk_len"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             |           AS n_tok
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id, n_tok,
+             |         unnest(generate_series(0,
+             |           (greatest(n_tok - 128, 0) + 95) // 96)) AS chunk_id
+             |  FROM t)
+             |SELECT doc_id, chunk_id, chunk_id * 96 AS start_tok,
+             |       least(chunk_id * 96 + 128, n_tok) - chunk_id * 96 AS chunk_len
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
   )
 }

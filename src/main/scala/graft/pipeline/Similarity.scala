@@ -542,6 +542,71 @@ object Similarity {
       Some(s"""SELECT count(*) AS n_queries,
               |       CAST(0.4 AS DOUBLE) AS recall_floor,
               |       true AS floor_met
-              |FROM embeddings WHERE vec_id < $NQ""".stripMargin))
+              |FROM embeddings WHERE vec_id < $NQ""".stripMargin)),
+
+    QueryDef(
+      "ss09_knn_label",
+      (s, d) => {
+        // k-NN label transfer: predict each unlabeled query vector's
+        // class as the majority label of its k nearest labeled
+        // neighbors — the embedding-space classifier curation
+        // pipelines use to propagate a small seed of human labels
+        // (quality marks, topic tags) across a full corpus. The query
+        // side (vec_id < 20) is held out of the labeled pool, scored
+        // with ss01's two-phase exact top-k (per-partition then global
+        // merge, no single-reducer funnel), then a second tiny
+        // aggregation turns the ≤ NQL·K neighbor rows into votes.
+        // Ties break toward the smaller label — deterministic at any
+        // partitioning.
+        val NQL = 20
+        GraftFunctions.register(s)
+        val e = table(s, d, "embeddings")
+          .select("vec_id", "embedding", "label")
+        val q = e.filter(col("vec_id") < NQL)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val scored = e.filter(col("vec_id") >= NQL)
+          .join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("cos_sim",
+            round(GraftFunctions.cosineSim(col("embedding"), col("qvec")), 4))
+          .withColumn("pid", spark_partition_id())
+        val local = Window.partitionBy("qid", "pid")
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        val global = Window.partitionBy("qid")
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        val neighbors = scored
+          .withColumn("lrank", row_number().over(local))
+          .filter(col("lrank") <= K)
+          .withColumn("rank", row_number().over(global))
+          .filter(col("rank") <= K)
+        val byVotes = Window.partitionBy("qid")
+          .orderBy(col("votes").desc, col("label"))
+        neighbors
+          .groupBy("qid", "label")
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("r", row_number().over(byVotes))
+          .filter(col("r") === 1)
+          .select(col("qid"), col("label").cast("bigint").as("pred_label"),
+            col("votes"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT q.vec_id AS qid, e.label,
+              |         row_number() OVER (
+              |           PARTITION BY q.vec_id
+              |           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+              |                                                 q.embedding::DOUBLE[]), 4) DESC,
+              |                    e.vec_id) AS rank
+              |  FROM embeddings e, embeddings q
+              |  WHERE q.vec_id < 20 AND e.vec_id >= 20
+              |), votes AS (
+              |  SELECT qid, label, count(*) AS votes
+              |  FROM scored WHERE rank <= $K GROUP BY qid, label
+              |)
+              |SELECT qid, CAST(pred_label AS BIGINT) AS pred_label, votes FROM (
+              |  SELECT qid, label AS pred_label, votes,
+              |         row_number() OVER (
+              |           PARTITION BY qid ORDER BY votes DESC, label) AS r
+              |  FROM votes
+              |) WHERE r = 1 ORDER BY qid""".stripMargin))
   )
 }

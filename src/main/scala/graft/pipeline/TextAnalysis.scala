@@ -795,6 +795,53 @@ object TextAnalysis {
              |SELECT doc_id, rnk, word,
              |       round(CAST(score AS DOUBLE), 4) AS tfidf
              |FROM ranked WHERE rnk <= 3
-             |ORDER BY doc_id, rnk""".stripMargin))
+             |ORDER BY doc_id, rnk""".stripMargin)),
+
+    QueryDef(
+      "ta20_ccnet_bucket",
+      (s, d) => {
+        // CCNet's head/middle/tail split: per language, rank documents
+        // by their unigram-LM score (ta14) and cut into terciles —
+        // bucket 1 ("head") is the most-fluent third that CCNet keeps
+        // for pretraining, 3 ("tail") the most-likely-junk third. The
+        // rank order (logprob DESC, doc_id) is total, so the tercile
+        // boundary is engine-identical; the window rides one shuffle
+        // over the metadata-sized per-doc score frame, not the corpus.
+        val scores = defs.find(_.name == "ta14_unigram_logprob").get.fn(s, d)
+          .select(col("doc_id"), col("logprob"))
+        val langs = table(s, d, "documents").select("doc_id", "lang")
+        val w = Window.partitionBy("lang")
+          .orderBy(col("logprob").desc, col("doc_id"))
+        scores.join(langs, "doc_id")
+          .withColumn("bucket", ntile(3).over(w).cast("bigint"))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("logprob")).as("lp_min"),
+            max(col("logprob")).as("lp_max"))
+          .orderBy("lang", "bucket")
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id,
+             |         unnest(string_split_regex(trim(text), '\s+')) AS w
+             |  FROM documents),
+             |w2 AS (SELECT doc_id, w FROM words WHERE length(w) > 0),
+             |freq AS (SELECT w, count(*) AS c FROM w2 GROUP BY w),
+             |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+             |scores AS (
+             |  SELECT doc_id,
+             |         round(CAST(sum(CAST(round(log10(CAST(c AS DOUBLE) / n), 6)
+             |                            AS DECIMAL(18,6))) AS DOUBLE)
+             |               / CAST(count(*) AS DOUBLE), 4) AS logprob
+             |  FROM w2 JOIN freq USING (w), tot
+             |  GROUP BY doc_id),
+             |bucketed AS (
+             |  SELECT d.lang, s.logprob,
+             |         ntile(3) OVER (PARTITION BY d.lang
+             |                        ORDER BY s.logprob DESC, s.doc_id) AS bucket
+             |  FROM scores s JOIN documents d ON s.doc_id = d.doc_id)
+             |SELECT lang, bucket, count(*) AS n_docs,
+             |       min(logprob) AS lp_min, max(logprob) AS lp_max
+             |FROM bucketed GROUP BY lang, bucket
+             |ORDER BY lang, bucket""".stripMargin))
   )
 }

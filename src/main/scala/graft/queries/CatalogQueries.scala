@@ -2398,6 +2398,89 @@ object CatalogQueries {
              |SELECT side, c_mktsegment, count(*) AS n,
              |       round(sum(c_acctbal), 2) AS bal
              |FROM t GROUP BY side, c_mktsegment
-             |ORDER BY side, c_mktsegment""".stripMargin))
+             |ORDER BY side, c_mktsegment""".stripMargin)),
+
+    QueryDef(
+      "c55_bloom_pointlookup",
+      (s, d) => {
+        // Per-table parquet BLOOM FILTERS via table properties:
+        // `graft.parquet.*` properties ride every data-file write's
+        // hadoop conf (appends, streaming epochs, MERGE rewrites
+        // alike), so each written row group carries a bloom filter on
+        // the keyed column. At 100 TB a point lookup then skips row
+        // groups whose filter rules the key out — the structure that
+        // makes needle-in-haystack reads on a NON-sort-ordered key
+        // cheap, where min/max zone maps can't discriminate.
+        // BloomFilterSpec asserts the filter is physically present in
+        // the written footers; this query grades the read result.
+        ensureCatalog(s, "gbl")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gbl.ns1")
+        s.sql("DROP TABLE IF EXISTS gbl.ns1.ords")
+        s.sql("""CREATE TABLE gbl.ns1.ords (
+                   o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+                 TBLPROPERTIES (
+                   'graft.parquet.bloom.filter.enabled#o_orderkey' = 'true',
+                   'graft.parquet.bloom.filter.expected.ndv#o_orderkey' = '20000')""")
+        s.sql(s"""INSERT INTO gbl.ns1.ords
+                  SELECT o_orderkey, o_custkey, o_totalprice
+                  FROM parquet.`$d/orders.parquet`""")
+        s.sql("""SELECT o_orderkey, o_custkey,
+                        round(o_totalprice, 2) AS price
+                 FROM gbl.ns1.ords
+                 WHERE o_orderkey IN (1, 7, 400, 997)
+                 ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+             |FROM orders WHERE o_orderkey IN (1, 7, 400, 997)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef(
+      "c56_check_constraint",
+      (s, d) => {
+        // CHECK constraints: `graft.check.<name>` table properties are
+        // enforced on every batch write by GraftCheckConstraints —
+        // distributed row-wise validation inside whole-stage codegen
+        // (assert_true in a Filter over the write's query), failing
+        // the write atomically before any snapshot commits. The query
+        // grades both directions: a conforming insert lands; a
+        // violating insert throws and leaves NO partial state (the
+        // second aggregate re-reads the table and must match the
+        // first insert alone).
+        ensureCatalog(s, "gck")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gck.ns1")
+        s.sql("DROP TABLE IF EXISTS gck.ns1.cust")
+        s.sql("""CREATE TABLE gck.ns1.cust (
+                   c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)
+                 TBLPROPERTIES (
+                   'graft.check.bal_floor' = 'c_acctbal >= -1000.0',
+                   'graft.check.key_pos'   = 'c_custkey >= 0')""")
+        s.sql(s"""INSERT INTO gck.ns1.cust
+                  SELECT c_custkey, c_mktsegment, c_acctbal
+                  FROM parquet.`$d/customer.parquet`""")
+        val violated =
+          try {
+            // every source balance sits above -1000, so shifting by
+            // -100000 violates bal_floor on every row
+            s.sql(s"""INSERT INTO gck.ns1.cust
+                      SELECT c_custkey, c_mktsegment, c_acctbal - 100000.0
+                      FROM parquet.`$d/customer.parquet`""")
+            false
+          } catch {
+            case e: Throwable =>
+              // the failure must NAME the constraint (executor errors
+              // arrive wrapped, so scan the cause chain)
+              Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+                .take(10)
+                .exists(c => Option(c.getMessage)
+                  .exists(_.contains("constraint bal_floor violated")))
+          }
+        require(violated, "violating insert was not rejected")
+        s.sql("""SELECT count(*) AS n, round(sum(c_acctbal), 2) AS bal,
+                        min(c_acctbal) AS lo
+                 FROM gck.ns1.cust""")
+      },
+      Some("""SELECT count(*) AS n, round(sum(c_acctbal), 2) AS bal,
+             |       min(c_acctbal) AS lo
+             |FROM customer""".stripMargin))
   )
 }

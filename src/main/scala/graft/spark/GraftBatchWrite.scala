@@ -72,7 +72,7 @@ class GraftAppendWrite(
 }
 
 /** Shared write-path plumbing for hidden partition transforms. */
-private[spark] object GraftWriteSupport {
+private[graft] object GraftWriteSupport {
   /** Extend a parquet writer factory so each row derives its hidden
     * transform directory columns (`gp_*`) on the executor; identity-
     * only specs pass the factory through untouched.
@@ -88,6 +88,38 @@ private[spark] object GraftWriteSupport {
             s"partition source ${f.col} missing from write schema"))
         f.expr(a, a.dataType)
       })
+  }
+
+  /** Per-table parquet writer tuning: table properties prefixed
+    * `graft.parquet.` become hadoop conf keys under `parquet.` for
+    * this table's data-file writes (e.g.
+    * `'graft.parquet.bloom.filter.enabled#ck' = 'true'` turns on a
+    * parquet bloom filter for column `ck` — the row-group skipping
+    * structure point lookups at 100 TB live on). A `#column` suffix
+    * is translated to the column's PHYSICAL name, matching what data
+    * files actually store (rename-safe, like the writes themselves).
+    */
+  def parquetOptions(table: GraftTable): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    parquetOptions(table.properties().asScala.toMap, table.schema)
+  }
+
+  /** Core of [[parquetOptions]] for callers holding raw table
+    * properties + a schema (maintenance rewrites, COW partial
+    * rewrites) rather than a loaded [[GraftTable]].
+    */
+  def parquetOptions(props: Map[String, String],
+      schema: StructType): Map[String, String] = {
+    val renames = ColumnMapping.renames(schema)
+    props.collect {
+      case (k, v) if k.startsWith("graft.parquet.") =>
+        val raw = k.stripPrefix("graft.")
+        val mapped = raw.split('#') match {
+          case Array(base, c) => base + "#" + renames.getOrElse(c, c)
+          case _ => raw
+        }
+        mapped -> v
+    }
   }
 }
 
@@ -169,7 +201,8 @@ class GraftStreamingWrite(
     val delegate = SparkInternals.parquetBatchWrite(
       org.apache.spark.sql.SparkSession.active.asInstanceOf[ClassicSession],
       PartitionTransforms.extendSchema(physSchema, spec), partCols,
-      storage.absolute(stagingRel), info.queryId())
+      storage.absolute(stagingRel), info.queryId(),
+      GraftWriteSupport.parquetOptions(table))
     current = EpochState(commitId, stagingRel, delegate)
     val batchFactory = GraftWriteSupport.deriving(
       delegate.createBatchWriterFactory(pi), physSchema, spec)
@@ -268,7 +301,8 @@ class GraftAppendBatchWrite(
     SparkInternals.parquetBatchWrite(
       org.apache.spark.sql.SparkSession.active.asInstanceOf[ClassicSession],
       PartitionTransforms.extendSchema(physSchema, spec), partCols,
-      storage.absolute(stagingRel), info.queryId())
+      storage.absolute(stagingRel), info.queryId(),
+      GraftWriteSupport.parquetOptions(table))
 
   override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
     GraftWriteSupport.deriving(delegate.createBatchWriterFactory(pi),

@@ -734,11 +734,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
         Seq.empty): Unit = {
     val ns = ns1(ident.namespace())
     val (t, branch) = GraftCatalog.splitBranch(ident.name())
-    val (meta, spec, schema) = inTxn { txn =>
+    val (meta, spec, schema, tblProps) = inTxn { txn =>
       val td = Graft.describeTable(storage, txn, ns, t)
       val m = TableMetadata.read(storage, td.metadataLocation)
       (m, GraftCatalog.specOf(td.properties),
-        DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+        DataType.fromJson(m.schemaJson).asInstanceOf[StructType],
+        td.properties)
     }
     // files + their stats speak PHYSICAL names; the rewrite fn speaks
     // logical — read physical, re-label, rewrite, write physical
@@ -798,7 +799,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
             df.withColumnRenamed(physical, logical)
         }
         GraftCatalog.commitDataFiles(rewrite(logicalDf), spec, storage, ns, t,
-          Some(schema))
+          Some(schema), GraftWriteSupport.parquetOptions(tblProps, schema))
       }
     inTxn { txn =>
       applyReplaceCommit(storage, txn.runningRoot, ns, t, op, replaced,
@@ -1255,7 +1256,8 @@ object GraftCatalog {
     */
   private[graft] def commitDataFiles(data0: org.apache.spark.sql.DataFrame,
       spec: Seq[PartitionField], storage: StorageOps, ns: String, t: String,
-      tableSchema: Option[StructType] = None)
+      tableSchema: Option[StructType] = None,
+      writeOpts: Map[String, String] = Map.empty)
       : Seq[graft.format.DataFileEntry] = {
     // data files always carry PHYSICAL column names, so files written
     // before and after a RENAME COLUMN stay byte-compatible
@@ -1275,9 +1277,11 @@ object GraftCatalog {
     val stagingAbs =
       if (dirCols.isEmpty) storage.absolute(s"$dataDir/$commitId")
       else storage.absolute(s"$dataDir/.staging-$commitId")
-    if (dirCols.isEmpty) data.write.parquet(stagingAbs)
+    // writer tuning (bloom filters etc.) rides DataFrameWriter options
+    // into the job's hadoop conf (newHadoopConfWithOptions)
+    if (dirCols.isEmpty) data.write.options(writeOpts).parquet(stagingAbs)
     else data.repartition(dirCols.map(org.apache.spark.sql.functions.col): _*)
-      .write.partitionBy(dirCols: _*).parquet(stagingAbs)
+      .write.options(writeOpts).partitionBy(dirCols: _*).parquet(stagingAbs)
     finalizeCommitDir(storage, ns, t, commitId, dirCols)
   }
 

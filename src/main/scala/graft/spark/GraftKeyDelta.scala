@@ -149,7 +149,8 @@ class GraftKeyDeltaBatchWrite(
   private lazy val dataDelegate =
     SparkInternals.parquetBatchWrite(spark,
       PartitionTransforms.extendSchema(physSchema, spec), partCols,
-      storage.absolute(stagingRel), info.queryId())
+      storage.absolute(stagingRel), info.queryId(),
+      GraftWriteSupport.parquetOptions(table))
 
   override def createBatchWriterFactory(pi: PhysicalWriteInfo)
       : DeltaWriterFactory = {

@@ -449,7 +449,8 @@ class GraftCowBatchWrite(
     SparkInternals.parquetBatchWrite(
       org.apache.spark.sql.SparkSession.active.asInstanceOf[ClassicSession],
       PartitionTransforms.extendSchema(physSchema, spec), partCols,
-      storage.absolute(stagingRel), info.queryId())
+      storage.absolute(stagingRel), info.queryId(),
+      GraftWriteSupport.parquetOptions(table))
 
   override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
     GraftWriteSupport.deriving(delegate.createBatchWriterFactory(pi),

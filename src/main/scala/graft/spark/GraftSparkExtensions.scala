@@ -29,6 +29,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     ext.injectResolutionRule(session => new GraftViewResolution(session))
+    ext.injectResolutionRule(session => new GraftCheckConstraints(session))
   }
 }
 
@@ -445,5 +446,90 @@ class GraftViewResolution(session: SparkSession) extends Rule[LogicalPlan] {
     val view = cat.loadView(ident)
     Some(SubqueryAlias(parts,
       session.sessionState.sqlParser.parsePlan(view.query())))
+  }
+}
+
+/** CHECK-constraint enforcement on writes: table properties
+  * `graft.check.<name> = '<boolean SQL over the table's columns>'`
+  * make every batch INSERT / INSERT OVERWRITE fail — atomically,
+  * before any snapshot commits — when a row violates the predicate
+  * (SQL-standard CHECK semantics: a NULL result passes).
+  *
+  * Spark-first mechanics: the write's query is wrapped in a `Filter`
+  * whose condition is `isnull(assert_true(coalesce(cond, true), msg))`
+  * per constraint — always true row-wise, so no rows are dropped, but
+  * `assert_true` throws on the first violating row inside whole-stage
+  * codegen (the same plan shape Delta's CheckDeltaInvariant produces).
+  * The task failure aborts the write; the staging dir is cleaned and
+  * no snapshot commits. Enforcement is fully distributed: each
+  * executor checks only its own rows, nothing funnels to the driver.
+  */
+class GraftCheckConstraints(session: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{AppendData, Filter, OverwriteByExpression, OverwritePartitionsDynamic, V2WriteCommand}
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  private val Marker = "[graft-check]"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case w: V2WriteCommand if enforceable(w) =>
+        checksOf(w) match {
+          case cs if cs.nonEmpty && !wrapped(w.query) =>
+            w.withNewQuery(Filter(condition(w, cs), w.query))
+          case _ => w
+        }
+    }
+
+  /** Batch append/overwrite only: ReplaceData / WriteDelta (UPDATE,
+    * MERGE, DELETE rewrites) carry row-level plumbing their query
+    * shape must keep; constraints on those land with the rewritten
+    * rows' next append in this model.
+    */
+  private def enforceable(w: V2WriteCommand): Boolean = w match {
+    case _: AppendData | _: OverwriteByExpression |
+        _: OverwritePartitionsDynamic => true
+    case _ => false
+  }
+
+  private def checksOf(w: V2WriteCommand): Seq[(String, String)] =
+    w.table match {
+      case r: DataSourceV2Relation =>
+        r.table match {
+          case g: GraftTable =>
+            import scala.jdk.CollectionConverters._
+            g.properties().asScala.toSeq.collect {
+              case (k, v) if k.startsWith("graft.check.") =>
+                (k.stripPrefix("graft.check."), v)
+            }.sortBy(_._1)
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
+    }
+
+  /** One boolean condition AND-ing every constraint's checker. */
+  private def condition(w: V2WriteCommand,
+      checks: Seq[(String, String)]): Expression = {
+    val parser = session.sessionState.sqlParser
+    checks.map { case (name, sql) =>
+      val msg = (Marker +
+        s" constraint $name violated on ${w.table.name}: CHECK ($sql)")
+        .replace("'", "\"")
+      parser.parseExpression(
+        s"isnull(assert_true(coalesce(cast(($sql) as boolean), true), '$msg'))")
+    }.reduce((a, b) =>
+      org.apache.spark.sql.catalyst.expressions.And(a, b))
+  }
+
+  /** Idempotency across analyzer passes: the marker literal survives
+    * resolution (it is the `assert_true` error message), so a wrapped
+    * query is recognized before and after the condition resolves.
+    */
+  private def wrapped(q: LogicalPlan): Boolean = q match {
+    case f: Filter => f.condition.exists {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+        l.value != null && l.value.toString.startsWith(Marker)
+      case _ => false
+    }
+    case _ => false
   }
 }

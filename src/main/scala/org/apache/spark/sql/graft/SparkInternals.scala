@@ -44,11 +44,16 @@ object SparkInternals {
       schema: StructType,
       partCols: Seq[String],
       outDir: String,
-      queryId: String): BatchWrite = {
+      queryId: String,
+      hadoopOpts: Map[String, String] = Map.empty): BatchWrite = {
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     job.setOutputKeyClass(classOf[Void])
     job.setOutputValueClass(classOf[InternalRow])
     FileOutputFormat.setOutputPath(job, new Path(outDir))
+    // per-table parquet writer tuning (bloom filters, dictionary,
+    // page/row-group sizing) rides the job conf into prepareWrite's
+    // SerializableConfiguration — executor-side writers all see it
+    hadoopOpts.foreach { case (k, v) => job.getConfiguration.set(k, v) }
 
     val allAttrs: Seq[AttributeReference] = DataTypeUtils.toAttributes(schema)
     val partAttrs = partCols.map { c =>

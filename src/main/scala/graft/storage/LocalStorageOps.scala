@@ -55,7 +55,13 @@ class LocalStorageOps(val root: String) extends StorageOps {
     val staging = Files.createTempFile(target.getParent, ".staging-", ".tmp")
     try {
       Files.write(staging, data)
-      Files.move(staging, target, StandardCopyOption.REPLACE_EXISTING)
+      // ATOMIC_MOVE = plain rename(2). Without it the JDK unlinks an
+      // existing target BEFORE renaming, and a concurrent reader of
+      // `vn/latest` (e.g. a streaming source polling latestOffset)
+      // hits NoSuchFileException in the gap. rename(2) replaces
+      // atomically: readers see the old or the new hint, never none.
+      Files.move(staging, target, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
     } finally Files.deleteIfExists(staging)
   }
 

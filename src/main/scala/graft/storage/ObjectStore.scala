@@ -156,8 +156,13 @@ class DirectoryObjectStoreClient(val backingDir: String) extends ObjectStoreClie
     val staging = Files.createTempFile(target.getParent, ".staging-", ".tmp")
     try {
       Files.write(staging, data)
+      // ATOMIC_MOVE = rename(2): an S3 PUT replaces the object
+      // atomically, so the directory emulation must too — without it
+      // the JDK unlinks the target before renaming and concurrent GETs
+      // of a hot key (the `vn/latest` hint) see NoSuchFileException
       Files.move(staging, target,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } finally Files.deleteIfExists(staging)
   }
 

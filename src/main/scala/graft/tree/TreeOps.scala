@@ -327,7 +327,12 @@ object TreeOps {
   def findLatestRoot(storage: StorageOps): Option[TreeRoot] = {
     val hint =
       if (storage.exists(FileLocations.LatestVersionHint))
-        new String(storage.read(FileLocations.LatestVersionHint), "UTF-8").trim.toLong
+        // the hint is BEST-EFFORT: tolerate an exists→read race (a
+        // backend swapping or expiring the file between the two calls)
+        // by degrading to the probe-from-v0 path, never failing the txn
+        try new String(storage.read(FileLocations.LatestVersionHint), "UTF-8")
+          .trim.toLong
+        catch { case _: java.io.IOException => 0L }
       else 0L
     var v =
       if (storage.exists(FileLocations.rootNodePath(hint))) hint

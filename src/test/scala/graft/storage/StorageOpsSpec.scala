@@ -31,6 +31,36 @@ abstract class StorageOpsContract extends AnyFunSuite {
     assert(new String(s.read("x")) == "2")
   }
 
+  test("overwrite is atomic vs concurrent readers: old or new bytes, never absent") {
+    // Regression: the local backend's overwrite used unlink-then-rename
+    // (JDK move semantics without ATOMIC_MOVE), so a reader polling the
+    // `vn/latest` hint — e.g. a streaming source's latestOffset — could
+    // hit NoSuchFileException in the unlink window. Hammer one writer
+    // flipping the value against readers; every read must succeed and
+    // see a complete former or current value.
+    val s = fresh()
+    s.writeAtomic("hint/latest", "0".getBytes)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = Executors.newFixedThreadPool(4)
+    (1 to 3).foreach { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          while (!stop.get()) {
+            try {
+              val v = new String(s.read("hint/latest")).toLong
+              assert(v >= 0)
+            } catch { case t: Throwable => bad.add(t); stop.set(true) }
+          }
+      })
+    }
+    (1L to 2000L).foreach(i => s.overwrite("hint/latest", i.toString.getBytes))
+    stop.set(true)
+    pool.shutdown()
+    assert(pool.awaitTermination(30, TimeUnit.SECONDS))
+    assert(bad.isEmpty, s"reader failed during overwrite: ${bad.peek()}")
+  }
+
   test("sizeOf reports byte length; prepareToReadLocal yields readable local file") {
     val s = fresh()
     val payload = Array.fill[Byte](1234)(7)

@@ -784,7 +784,84 @@ object Dedup {
              |FROM documents d
              |LEFT JOIN clusters c ON d.doc_id = c.doc_id
              |LEFT JOIN sizes z ON c.cluster_id = z.cluster_id
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    QueryDef(
+      "dd16_containment",
+      (s, d) => {
+        // ASYMMETRIC containment dedup: C(A,B) = |grams A ∩ grams B|
+        // / min(|A|, |B|) — catches a short document quoted inside a
+        // long one, which Jaccard (dd03) structurally misses because
+        // the union in its denominator grows with the LONGER doc.
+        // Scale shape is inverted-index + verify: (1) distinct hashed
+        // 5-gram postings per doc; (2) STOP-GRAM removal — grams in
+        // > 20 docs carry no pair signal and are what makes a naive
+        // postings self-join quadratic on boilerplate — then the rare
+        // postings self-join on the gram yields candidate pairs;
+        // (3) exact shared-gram recount over the FULL gram sets for
+        // candidates only, so the df cutoff bounds work without
+        // changing reported scores. All stages are hash equi-joins /
+        // aggregations on uniformly-distributed md5 keys.
+        val w = table(s, d, "documents")
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+        val g = w.select(col("doc_id"),
+            explode(TextAnalysis.wordGrams("ws", 5, hashed = true)).as("gh"))
+          .distinct()
+        val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        val rare = g.groupBy("gh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 20).select("gh")
+        val gr = g.join(rare, "gh")
+        val cand = gr.as("a").join(gr.as("b"),
+            col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val shared = cand
+          .join(g.as("ga"), col("ga.doc_id") === col("doc_a"))
+          .join(g.as("gb"),
+            col("gb.doc_id") === col("doc_b") && col("ga.gh") === col("gb.gh"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+        shared
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na")),
+            "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb")),
+            "doc_b")
+          .withColumn("n_small", least(col("na"), col("nb")))
+          .withColumn("containment",
+            round(col("n_shared").cast("double") / col("n_small"), 4))
+          .filter(col("n_shared").cast("double") / col("n_small") >= 0.6)
+          .select("doc_a", "doc_b", "n_shared", "n_small", "containment")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+             |  FROM documents),
+             |g AS (
+             |  SELECT DISTINCT doc_id,
+             |         md5(array_to_string(ws[u.i:u.i+4], ' ')) AS gh
+             |  FROM w, unnest(range(1, greatest(len(ws) - 4, 0) + 1)) u(i)),
+             |sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+             |rare AS (
+             |  SELECT gh FROM (SELECT gh, count(*) AS df FROM g GROUP BY gh)
+             |  WHERE df <= 20),
+             |gr AS (SELECT doc_id, gh FROM g JOIN rare USING (gh)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM gr a JOIN gr b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+             |shared AS (
+             |  SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+             |  FROM cand c
+             |  JOIN g ga ON ga.doc_id = c.doc_a
+             |  JOIN g gb ON gb.doc_id = c.doc_b AND gb.gh = ga.gh
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, n_shared,
+             |       least(sa.n_grams, sb.n_grams) AS n_small,
+             |       round(CAST(n_shared AS DOUBLE)
+             |             / least(sa.n_grams, sb.n_grams), 4) AS containment
+             |FROM shared
+             |JOIN sizes sa ON sa.doc_id = doc_a
+             |JOIN sizes sb ON sb.doc_id = doc_b
+             |WHERE CAST(n_shared AS DOUBLE) / least(sa.n_grams, sb.n_grams) >= 0.6
+             |ORDER BY doc_a, doc_b""".stripMargin))
   )
 
   /** Block-nested-loop pairing scaffold shared by dd05, dd08's truth

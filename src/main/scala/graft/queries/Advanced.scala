@@ -809,6 +809,79 @@ object Advanced {
              |  WHERE c.c_custkey >= 10)
              |SELECT CAST(depth AS INT) AS depth, count(*) AS n,
              |       min(custkey) AS first_key, max(custkey) AS last_key
-             |FROM chain GROUP BY depth ORDER BY depth""".stripMargin))
+             |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)),
+
+    QueryDef(
+      "q67_interval_overlap",
+      (s, d) => {
+        // Interval-overlap join WITHOUT a nested loop: per-user
+        // sessions (30-min gap islands, >= 3 events) joined against
+        // every OTHER user's events falling inside the session's
+        // [start, end]. A naive range join is O(sessions × events);
+        // instead both sides key on a 1-hour time BIN — each session
+        // explodes to its covered bins (bounded by its span), each
+        // event maps to exactly one bin, so the join is a plain
+        // equi-shuffle and the residual s_start <= ts <= s_end filter
+        // runs post-match. A (session, event) pair meets on at most
+        // one bin (the event's), so no dedup pass is needed. At 100 TB
+        // the fan-out is span/1h per session and hot bins mirror real
+        // concurrency — the skew the query is measuring.
+        val ev0 = table(s, d, "events")
+        val ev = ev0.select(col("event_id"), col("user_id"),
+          QueryDef.tsUs(ev0, "ts").as("ts_us"))
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val sess = ev
+          .withColumn("prev_us", lag("ts_us", 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              col("ts_us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+          .withColumn("sess_id", sum("new_sess")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sess_id")
+          .agg(min("ts_us").as("s_start"), max("ts_us").as("s_end"),
+            count(lit(1)).as("n_own"))
+          .filter(col("n_own") >= 3)
+        val binned = sess.withColumn("bin",
+          explode(expr("sequence(s_start div 3600000000, s_end div 3600000000)")))
+        val other = ev
+          .select(col("event_id").as("o_event"), col("user_id").as("o_user"),
+            col("ts_us"), expr("ts_us div 3600000000").as("bin"))
+        binned.join(other,
+            binned("bin") === other("bin") &&
+              col("o_user") =!= binned("user_id") &&
+              col("ts_us") >= col("s_start") && col("ts_us") <= col("s_end"),
+            "left_outer")
+          .groupBy("user_id", "sess_id", "n_own")
+          .agg(count(col("o_event")).as("n_overlap"),
+            countDistinct(col("o_user")).as("n_other_users"))
+          .orderBy("user_id", "sess_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+             |m AS (
+             |  SELECT user_id, event_id, ts_us,
+             |         CASE WHEN lag(ts_us) OVER w IS NULL
+             |               OR ts_us - lag(ts_us) OVER w > 1800000000
+             |              THEN 1 ELSE 0 END AS new_sess
+             |  FROM ev
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+             |s2 AS (
+             |  SELECT user_id, ts_us,
+             |         CAST(sum(new_sess) OVER (PARTITION BY user_id
+             |           ORDER BY ts_us, event_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |           AS BIGINT) AS sess_id
+             |  FROM m),
+             |sess AS (
+             |  SELECT user_id, sess_id, min(ts_us) AS s_start,
+             |         max(ts_us) AS s_end, count(*) AS n_own
+             |  FROM s2 GROUP BY user_id, sess_id HAVING count(*) >= 3)
+             |SELECT s.user_id, s.sess_id, s.n_own,
+             |       count(e.event_id) AS n_overlap,
+             |       count(DISTINCT e.user_id) AS n_other_users
+             |FROM sess s LEFT JOIN ev e
+             |  ON e.ts_us BETWEEN s.s_start AND s.s_end
+             | AND e.user_id != s.user_id
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -451,9 +451,12 @@ class GraftViewResolution(session: SparkSession) extends Rule[LogicalPlan] {
 
 /** CHECK-constraint enforcement on writes: table properties
   * `graft.check.<name> = '<boolean SQL over the table's columns>'`
-  * make every batch INSERT / INSERT OVERWRITE fail — atomically,
-  * before any snapshot commits — when a row violates the predicate
-  * (SQL-standard CHECK semantics: a NULL result passes).
+  * make every batch write — INSERT / INSERT OVERWRITE, and the
+  * row-level UPDATE / MERGE / DELETE rewrites in all three modes
+  * (copy-on-write ReplaceData, position- and equality-delta
+  * WriteDelta) — fail atomically, before any snapshot commits, when a
+  * row violates the predicate (SQL-standard CHECK semantics: a NULL
+  * result passes; rows a delta marks DELETE are never validated).
   *
   * Spark-first mechanics: the write's query is wrapped in a `Filter`
   * whose condition is `isnull(assert_true(coalesce(cond, true), msg))`
@@ -465,46 +468,74 @@ class GraftViewResolution(session: SparkSession) extends Rule[LogicalPlan] {
   * executor checks only its own rows, nothing funnels to the driver.
   */
 class GraftCheckConstraints(session: SparkSession) extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.{AppendData, Filter, OverwriteByExpression, OverwritePartitionsDynamic, V2WriteCommand}
+  import org.apache.spark.sql.catalyst.plans.logical.{AppendData, Filter, OverwriteByExpression, OverwritePartitionsDynamic, ReplaceData, V2WriteCommand, WriteDelta}
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+  import org.apache.spark.sql.catalyst.util.RowDeltaUtils
 
   private val Marker = "[graft-check]"
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
-      case w: V2WriteCommand if enforceable(w) =>
-        checksOf(w) match {
+      case w: V2WriteCommand if w.query.resolved && enforceable(w) =>
+        applicableChecks(w) match {
           case cs if cs.nonEmpty && !wrapped(w.query) =>
             w.withNewQuery(Filter(condition(w, cs), w.query))
           case _ => w
         }
     }
 
-  /** Batch append/overwrite only: ReplaceData / WriteDelta (UPDATE,
-    * MERGE, DELETE rewrites) carry row-level plumbing their query
-    * shape must keep; constraints on those land with the rewritten
-    * rows' next append in this model.
+  /** Batch appends/overwrites AND row-level writes: a COW rewrite
+    * (`ReplaceData`) re-validates every surviving + rewritten row; a
+    * MoR delta (`WriteDelta`) validates only non-DELETE rows (gated on
+    * `__row_operation` — deleting a row never introduces data, and old
+    * values carried by position-delta delete rows must not re-trip a
+    * constraint added after they were written).
     */
   private def enforceable(w: V2WriteCommand): Boolean = w match {
     case _: AppendData | _: OverwriteByExpression |
-        _: OverwritePartitionsDynamic => true
+        _: OverwritePartitionsDynamic | _: ReplaceData | _: WriteDelta => true
     case _ => false
   }
 
-  private def checksOf(w: V2WriteCommand): Seq[(String, String)] =
+  private def checksOf(w: V2WriteCommand): Seq[(String, String)] = {
+    def props(g: GraftTable): Seq[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      g.properties().asScala.toSeq.collect {
+        case (k, v) if k.startsWith("graft.check.") =>
+          (k.stripPrefix("graft.check."), v)
+      }.sortBy(_._1)
+    }
     w.table match {
       case r: DataSourceV2Relation =>
-        r.table match {
-          case g: GraftTable =>
-            import scala.jdk.CollectionConverters._
-            g.properties().asScala.toSeq.collect {
-              case (k, v) if k.startsWith("graft.check.") =>
-                (k.stripPrefix("graft.check."), v)
-            }.sortBy(_._1)
+        // row-level writes target the table through the private[sql]
+        // operation wrapper Spark builds for ReplaceData / WriteDelta
+        org.apache.spark.sql.graft.SparkInternals
+          .unwrapRowLevelTable(r.table) match {
+          case g: GraftTable => props(g)
           case _ => Seq.empty
         }
       case _ => Seq.empty
     }
+  }
+
+  /** Checks whose referenced columns all exist in the write's query.
+    * A MoR DELETE's delta carries only row-id/metadata columns — no
+    * data columns to validate, so its checks drop out here instead of
+    * failing resolution; any delta that writes data (UPDATE inserts,
+    * MERGE inserts) still resolves and enforces.
+    */
+  private def applicableChecks(w: V2WriteCommand): Seq[(String, String)] = {
+    val parser = session.sessionState.sqlParser
+    val out = w.query.output.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+    checksOf(w).filter { case (_, sql) =>
+      scala.util.Try(parser.parseExpression(sql)).toOption.exists { e =>
+        e.collect {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            ua.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+        }.forall(out.contains)
+      }
+    }
+  }
 
   /** One boolean condition AND-ing every constraint's checker. */
   private def condition(w: V2WriteCommand,
@@ -514,8 +545,15 @@ class GraftCheckConstraints(session: SparkSession) extends Rule[LogicalPlan] {
       val msg = (Marker +
         s" constraint $name violated on ${w.table.name}: CHECK ($sql)")
         .replace("'", "\"")
-      parser.parseExpression(
-        s"isnull(assert_true(coalesce(cast(($sql) as boolean), true), '$msg'))")
+      val checked = s"coalesce(cast(($sql) as boolean), true)"
+      // delta rows tagged DELETE pass unconditionally (see enforceable)
+      val gated = w match {
+        case _: WriteDelta =>
+          s"CASE WHEN `${RowDeltaUtils.OPERATION_COLUMN}` = " +
+            s"${RowDeltaUtils.DELETE_OPERATION} THEN true ELSE $checked END"
+        case _ => checked
+      }
+      parser.parseExpression(s"isnull(assert_true($gated, '$msg'))")
     }.reduce((a, b) =>
       org.apache.spark.sql.catalyst.expressions.And(a, b))
   }

@@ -33,6 +33,17 @@ object SparkInternals {
   def column(e: Expression): org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** Unwrap the `private[sql]` operation wrapper Spark puts around a
+    * table inside ReplaceData / WriteDelta relations, so catalog rules
+    * can match the connector's own Table underneath.
+    */
+  def unwrapRowLevelTable(t: org.apache.spark.sql.connector.catalog.Table)
+      : org.apache.spark.sql.connector.catalog.Table = t match {
+    case rlot: org.apache.spark.sql.connector.write.RowLevelOperationTable =>
+      rlot.table
+    case other => other
+  }
+
   /** A real DSv2 [[BatchWrite]] producing parquet under `outDir` —
     * exactly the files `DataFrame.write.parquet` would produce, but
     * drivable from a connector write path (ReplaceData has no V1

@@ -804,9 +804,13 @@ object Dedup {
         // aggregations on uniformly-distributed md5 keys.
         val w = table(s, d, "documents")
           .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+        // the postings frame feeds FOUR consumers (sizes, df filter,
+        // candidate join ×2-sided, exact recount ×2-sided); pin it
+        // once instead of re-exploding the corpus per consumer — the
+        // cluster equivalent is materializing the inverted index
         val g = w.select(col("doc_id"),
             explode(TextAnalysis.wordGrams("ws", 5, hashed = true)).as("gh"))
-          .distinct()
+          .distinct().localCheckpoint()
         val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
         val rare = g.groupBy("gh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= 20).select("gh")

@@ -25,7 +25,11 @@ final case class DataFileEntry(
     // seq <= the predicate's seq — rows appended after the delete are
     // never retro-deleted. Pre-feature entries default to 0 (every
     // predicate applies — they existed first).
-    seq: Long = 0L)
+    seq: Long = 0L,
+    // storage key of the file's bloom SIDECAR object ([[FileBloom]]),
+    // present only when the table declares graft.file-bloom.columns;
+    // point-lookup scans probe it to drop files min/max can't
+    bloomPath: Option[String] = None)
 
 /** An immutable table version: file inventory + provenance. Replaces
   * the reference's `iceberg_metadata_location` indirection

@@ -116,7 +116,9 @@ object Maintenance {
     val newFiles = graft.spark.GraftCatalog.commitDataFiles(
       compacted, spec, storage, ns, t,
       writeOpts = graft.spark.GraftWriteSupport
-        .parquetOptions(td.properties, schema))
+        .parquetOptions(td.properties, schema),
+      bloom = graft.format.FileBloom.specOf(td.properties,
+        graft.spark.ColumnMapping.renames(schema)))
     commitSnapshot(cat, txn, ns, t, "compact",
       graft.format.OverwriteFiles(newFiles), branch)
     CompactionResult(before, newFiles.size)
@@ -439,6 +441,10 @@ object Maintenance {
         else false
       }
     val orphans = orphanData ++
+      // bloom sidecars ride with their data file: the listing filters
+      // `.parquet` so live sidecars are never candidates, and an
+      // orphaned file's sidecar leaves with it
+      orphanData.map(graft.format.FileBloom.sidecarKey).filter(storage.exists) ++
       manifestDirList.filter(_.endsWith(".manifest.json"))
         .filterNot(refManifests) ++
       manifestDirList.filter(_.endsWith(".snaplog.json"))

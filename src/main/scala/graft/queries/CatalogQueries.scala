@@ -2481,6 +2481,46 @@ object CatalogQueries {
       },
       Some("""SELECT count(*) AS n, round(sum(c_acctbal), 2) AS bal,
              |       min(c_acctbal) AS lo
-             |FROM customer""".stripMargin))
+             |FROM customer""".stripMargin)),
+
+    QueryDef(
+      "c57_file_bloom_prune",
+      (s, d) => {
+        // FILE-level bloom sidecars (`graft.file-bloom.columns`): each
+        // data-file commit also writes `<file>.bloom`, one bloom per
+        // indexed column, and point scans probe the sidecars of
+        // stats-surviving files BEFORE opening any parquet footer.
+        // The appends below interleave customer keys by residue class
+        // (k % 4), so every file's [min, max] spans the whole key
+        // domain — zone maps keep all four files for any probe; only
+        // the blooms discriminate. At 100 TB this is the
+        // needle-in-haystack path on a non-sort-ordered key: O(probed
+        // sidecars) small reads, not O(files) footer opens.
+        // FileBloomSpec asserts the pruning (scanned-file counts);
+        // this query grades the read RESULT against the oracle.
+        ensureCatalog(s, "gfb")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gfb.ns1")
+        s.sql("DROP TABLE IF EXISTS gfb.ns1.cust")
+        s.sql("""CREATE TABLE gfb.ns1.cust (
+                   c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)
+                 TBLPROPERTIES (
+                   'graft.file-bloom.columns' = 'c_custkey,c_mktsegment',
+                   'graft.file-bloom.ndv' = '50000',
+                   'graft.file-bloom.fpp' = '0.001')""")
+        (0 until 4).foreach { i =>
+          s.sql(s"""INSERT INTO gfb.ns1.cust
+                    SELECT c_custkey, c_mktsegment, c_acctbal
+                    FROM parquet.`$d/customer.parquet`
+                    WHERE c_custkey % 4 = $i""")
+        }
+        s.sql("""SELECT c_custkey, c_mktsegment,
+                        round(c_acctbal, 2) AS bal
+                 FROM gfb.ns1.cust
+                 WHERE c_custkey IN (3, 10, 401, 998)
+                 ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
+             |FROM customer WHERE c_custkey IN (3, 10, 401, 998)
+             |ORDER BY c_custkey""".stripMargin))
   )
 }

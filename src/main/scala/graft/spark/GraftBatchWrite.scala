@@ -221,7 +221,8 @@ class GraftStreamingWrite(
     current = null
     st.delegate.commit(messages)
     val newFiles = GraftCatalog.finalizeCommitDir(
-      storage, table.namespaceName, table.tableName, st.commitId, partCols)
+      storage, table.namespaceName, table.tableName, st.commitId, partCols,
+      table.fileBloomSpec)
     val eqDeletes =
       if (upsertKeys.isEmpty || newFiles.isEmpty) Seq.empty
       else Seq(writeEqDeleteObject(st.commitId, newFiles))
@@ -313,7 +314,8 @@ class GraftAppendBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     delegate.commit(messages) // finalizes parquet under the staging dir
     val newFiles = GraftCatalog.finalizeCommitDir(
-      storage, table.namespaceName, table.tableName, commitId, partCols)
+      storage, table.namespaceName, table.tableName, commitId, partCols,
+      table.fileBloomSpec)
     catalog.commitFiles(table.ident, newFiles, overwrite)
   }
 

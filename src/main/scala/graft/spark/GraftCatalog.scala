@@ -799,7 +799,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
             df.withColumnRenamed(physical, logical)
         }
         GraftCatalog.commitDataFiles(rewrite(logicalDf), spec, storage, ns, t,
-          Some(schema), GraftWriteSupport.parquetOptions(tblProps, schema))
+          Some(schema), GraftWriteSupport.parquetOptions(tblProps, schema),
+          graft.format.FileBloom.specOf(tblProps, renames))
       }
     inTxn { txn =>
       applyReplaceCommit(storage, txn.runningRoot, ns, t, op, replaced,
@@ -1257,7 +1258,8 @@ object GraftCatalog {
   private[graft] def commitDataFiles(data0: org.apache.spark.sql.DataFrame,
       spec: Seq[PartitionField], storage: StorageOps, ns: String, t: String,
       tableSchema: Option[StructType] = None,
-      writeOpts: Map[String, String] = Map.empty)
+      writeOpts: Map[String, String] = Map.empty,
+      bloom: Option[graft.format.FileBloom.Spec] = None)
       : Seq[graft.format.DataFileEntry] = {
     // data files always carry PHYSICAL column names, so files written
     // before and after a RENAME COLUMN stay byte-compatible
@@ -1282,7 +1284,7 @@ object GraftCatalog {
     if (dirCols.isEmpty) data.write.options(writeOpts).parquet(stagingAbs)
     else data.repartition(dirCols.map(org.apache.spark.sql.functions.col): _*)
       .write.options(writeOpts).partitionBy(dirCols: _*).parquet(stagingAbs)
-    finalizeCommitDir(storage, ns, t, commitId, dirCols)
+    finalizeCommitDir(storage, ns, t, commitId, dirCols, bloom)
   }
 
   /** Turn a finished parquet job under the commit's staging location
@@ -1298,11 +1300,12 @@ object GraftCatalog {
     * store with no rename copies server-side and deletes.
     */
   private[graft] def finalizeCommitDir(storage: StorageOps, ns: String,
-      t: String, commitId: String, partCols: Seq[String])
+      t: String, commitId: String, partCols: Seq[String],
+      bloom: Option[graft.format.FileBloom.Spec] = None)
       : Seq[graft.format.DataFileEntry] = {
     val dataDir = FileLocations.tableDataDir(ns, t)
     if (partCols.isEmpty)
-      return GraftTable.listCommitFiles(storage, s"$dataDir/$commitId")
+      return GraftTable.listCommitFiles(storage, s"$dataDir/$commitId", bloom)
     val staging = s"$dataDir/.staging-$commitId"
     val moved = storage.listDeep(staging)
       .filter(_.endsWith(".parquet"))
@@ -1316,7 +1319,8 @@ object GraftCatalog {
       }
     storage.deleteTree(staging) // job markers (_SUCCESS) + empty dirs
     val keys = moved.sorted
-    val stats = GraftTable.harvestStats(storage, keys)
+    // blooms build AFTER the move so sidecars live beside final paths
+    val stats = GraftTable.harvestStats(storage, keys, bloom)
     keys.map(k => GraftTable.fileEntry(dataDir, k, stats(k)))
   }
 }

@@ -167,7 +167,8 @@ class GraftKeyDeltaBatchWrite(
     val msgs = messages.collect { case m: KeyDeltaTaskCommit => m }
     dataDelegate.commit(msgs.flatMap(_.dataMsg).toArray)
     val newFiles = GraftCatalog.finalizeCommitDir(
-      storage, table.namespaceName, table.tableName, commitId, partCols)
+      storage, table.namespaceName, table.tableName, commitId, partCols,
+      table.fileBloomSpec)
     val eqDeletes = msgs.filter(_.deleteRel.nonEmpty).map { m =>
       EqDeleteFile(m.deleteRel.get, m.deleteRows,
         storage.sizeOf(m.deleteRel.get), physKeys)

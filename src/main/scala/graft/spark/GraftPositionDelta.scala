@@ -161,7 +161,8 @@ class GraftDeltaBatchWrite(
     val msgs = messages.collect { case m: DeltaTaskCommit => m }
     dataDelegate.commit(msgs.flatMap(_.dataMsg).toArray)
     val newFiles = GraftCatalog.finalizeCommitDir(
-      storage, table.namespaceName, table.tableName, commitId, partCols)
+      storage, table.namespaceName, table.tableName, commitId, partCols,
+      table.fileBloomSpec)
     // `_file` strings (URI paths of absolute locations) → the
     // snapshot's storage-relative entry paths
     val byNorm = table.currentFileTuples.map { case (abs, e) =>

@@ -461,7 +461,8 @@ class GraftCowBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     delegate.commit(messages) // finalizes parquet under the staging dir
     val newFiles = GraftCatalog.finalizeCommitDir(
-      storage, table.namespaceName, table.tableName, commitId, partCols)
+      storage, table.namespaceName, table.tableName, commitId, partCols,
+      table.fileBloomSpec)
     val actionType = op.command() match {
       case RowLevelOperation.Command.DELETE => ActionType.TableDelete
       case _ => ActionType.TableUpdate

@@ -37,7 +37,11 @@ class GraftScanBuilder(
     streamCtx: Option[GraftStreamCtx] = None,
     deletes: Seq[graft.format.DeletePredicate] = Seq.empty,
     posDeletes: Seq[(String, graft.format.PosDeleteFile)] = Seq.empty,
-    eqDeletes: Seq[(String, graft.format.EqDeleteFile)] = Seq.empty)
+    eqDeletes: Seq[(String, graft.format.EqDeleteFile)] = Seq.empty,
+    // storage-relative key → sidecar bytes ([[graft.format.FileBloom]]);
+    // consulted lazily, only for files that survive min/max pruning and
+    // only under `=` / `IN` predicates on bloom-indexed columns
+    bloomRead: String => Option[Array[Byte]] = _ => None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
@@ -68,8 +72,66 @@ class GraftScanBuilder(
       PartitionTransforms.derivedPredicates(physFilters, spec)
     if (prunable.isEmpty) return scanFiles
     val extSchema = PartitionTransforms.extendSchema(physSchema, spec)
-    scanFiles.filter { case (_, f) =>
+    bloomKept(scanFiles.filter { case (_, f) =>
       prunable.forall(expr => FilePruning.mayMatch(expr, f, extSchema))
+    }, physFilters)
+  }
+
+  // ---- bloom-sidecar point-lookup pruning -------------------------
+  //
+  // Second pass after min/max: on a key the layout is not sorted by,
+  // every file's [min, max] straddles a point probe — the sidecar
+  // bloom is what actually discriminates. One small object read per
+  // surviving candidate file (cached per scan), never a data read.
+
+  private val bloomCache = scala.collection.mutable.Map
+    .empty[String, Option[Map[String, org.apache.spark.util.sketch.BloomFilter]]]
+
+  private def bloomsOf(key: String)
+      : Option[Map[String, org.apache.spark.util.sketch.BloomFilter]] =
+    bloomCache.getOrElseUpdate(key,
+      try bloomRead(key).map(graft.format.FileBloom.deserialize)
+      catch { case scala.util.control.NonFatal(_) => None }) // keep file
+
+  /** Top-level conjunctive `col = lit` / `col IN (lits)` probes. */
+  private def pointProbes(filters: Seq[Expression]): Seq[(String, Seq[Any])] =
+    filters.flatMap {
+      case EqualTo(AttrName(a), Literal(v, _)) if v != null => Some(a -> Seq(v))
+      case EqualTo(Literal(v, _), AttrName(a)) if v != null => Some(a -> Seq(v))
+      case In(AttrName(a), vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val vals = vs.map(_.asInstanceOf[Literal].value).filter(_ != null)
+        if (vals.isEmpty) None else Some(a -> vals)
+      case _ => None
+    }
+
+  /** Hashing mirrors the write side ([[graft.format.FileBloom.build]]):
+    * integral/date/timestamp literals as the widened long, strings as
+    * UTF-8. An unsupported literal type keeps the file.
+    */
+  private def bloomMayContain(bf: org.apache.spark.util.sketch.BloomFilter,
+      v: Any): Boolean = v match {
+    case n: java.lang.Long => bf.mightContainLong(n)
+    case n: java.lang.Integer => bf.mightContainLong(n.longValue())
+    case n: java.lang.Short => bf.mightContainLong(n.longValue())
+    case n: java.lang.Byte => bf.mightContainLong(n.longValue())
+    case s: UTF8String => bf.mightContainString(s.toString)
+    case s: String => bf.mightContainString(s)
+    case _ => true
+  }
+
+  private def bloomKept(scanFiles: Seq[(String, DataFileEntry)],
+      physFilters: Seq[Expression]): Seq[(String, DataFileEntry)] = {
+    if (scanFiles.forall(_._2.bloomPath.isEmpty)) return scanFiles
+    val probes = pointProbes(physFilters)
+    if (probes.isEmpty) return scanFiles
+    scanFiles.filter { case (_, f) =>
+      f.bloomPath.flatMap(bloomsOf).forall { bl =>
+        probes.forall { case (c, vs) =>
+          // a column with no filter in the sidecar keeps the file
+          bl.get(c).forall(bf => vs.exists(v => bloomMayContain(bf, v)))
+        }
+      }
     }
   }
 

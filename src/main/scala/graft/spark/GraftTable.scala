@@ -93,6 +93,13 @@ class GraftTable(
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Seq.empty)
 
+  /** Per-file bloom sidecar spec (PHYSICAL column names), if the
+    * table declares `graft.file-bloom.columns`.
+    */
+  private[graft] def fileBloomSpec: Option[graft.format.FileBloom.Spec] =
+    graft.format.FileBloom.specOf(tableDef.properties,
+      ColumnMapping.renames(schema))
+
   private[spark] def currentFileTuples: Seq[(String, DataFileEntry)] =
     meta.currentFiles(storage).map(f => (storage.absolute(f.path), f))
 
@@ -213,7 +220,9 @@ class GraftTable(
       streamCtx = Some(streamCtx),
       deletes = pendingDeletes,
       posDeletes = pendingPosDeletes,
-      eqDeletes = pendingEqDeletes)
+      eqDeletes = pendingEqDeletes,
+      bloomRead = key =>
+        if (storage.exists(key)) Some(storage.read(key)) else None)
   }
 
   // ---------------- delete (SQL `DELETE FROM`) ----------------
@@ -296,11 +305,27 @@ object GraftTable {
     * A backend with no descriptor (in-memory test store) stays
     * driver-side on the live instance.
     */
-  def harvestStats(storage: StorageOps, keys: Seq[String])
-      : Map[String, (graft.format.ParquetStats.FileStats, Long)] = {
-    def one(st: StorageOps)(k: String) =
-      (k, (graft.format.ParquetStats.read(st.prepareToReadLocal(k).toString),
-        st.sizeOf(k)))
+  def harvestStats(storage: StorageOps, keys: Seq[String],
+      bloom: Option[graft.format.FileBloom.Spec] = None)
+      : Map[String, (graft.format.ParquetStats.FileStats, Long, Option[String])] = {
+    def one(st: StorageOps)(k: String) = {
+      val local = st.prepareToReadLocal(k).toString
+      // the bloom sidecar writes in the SAME task that reads the
+      // footer: one local-file pass per data file, commit-time only,
+      // and only the indexed columns are decoded
+      val bloomPath = bloom.flatMap { spec =>
+        val filters = graft.format.FileBloom.build(local, spec)
+        if (filters.isEmpty) None
+        else {
+          val side = graft.format.FileBloom.sidecarKey(k)
+          // overwrite, not writeAtomic: a retried task regenerates
+          // byte-identical content
+          st.overwrite(side, graft.format.FileBloom.serialize(filters))
+          Some(side)
+        }
+      }
+      (k, (graft.format.ParquetStats.read(local), st.sizeOf(k), bloomPath))
+    }
     val sconf = storage.reopenConf
     if (keys.lengthCompare(DriverStatsMax) <= 0 || !sconf.reopenable)
       keys.map(one(storage)).toMap
@@ -320,9 +345,10 @@ object GraftTable {
     * from the footers (distributed via [[harvestStats]] for large
     * commits — these stats drive file-level pruning at scan time).
     */
-  def listCommitFiles(storage: StorageOps, relDir: String): Seq[DataFileEntry] = {
+  def listCommitFiles(storage: StorageOps, relDir: String,
+      bloom: Option[graft.format.FileBloom.Spec] = None): Seq[DataFileEntry] = {
     val keys = storage.listDeep(relDir).filter(_.endsWith(".parquet")).sorted
-    val stats = harvestStats(storage, keys)
+    val stats = harvestStats(storage, keys, bloom)
     keys.map(k => fileEntry(relDir, k, stats(k)))
   }
 
@@ -335,8 +361,9 @@ object GraftTable {
     * keys.
     */
   def fileEntry(baseRel: String, key: String,
-      harvested: (graft.format.ParquetStats.FileStats, Long)): DataFileEntry = {
-    val (stats, size) = harvested
+      harvested: (graft.format.ParquetStats.FileStats, Long, Option[String]))
+      : DataFileEntry = {
+    val (stats, size, bloomPath) = harvested
     val base = if (baseRel.endsWith("/")) baseRel else baseRel + "/"
     require(key.startsWith(base), s"data file $key outside commit base $base")
     val allPartVals = key.drop(base.length).split('/').dropRight(1).toSeq
@@ -358,7 +385,8 @@ object GraftTable {
       sizeBytes = size,
       minValues = stats.minValues ++ partVals,
       maxValues = stats.maxValues ++ partVals,
-      nullCounts = stats.nullCounts ++ partNulls)
+      nullCounts = stats.nullCounts ++ partNulls,
+      bloomPath = bloomPath)
   }
 
   /** Undo Spark's %xx path escaping of partition values. */

@@ -54,7 +54,7 @@ class CommitStatsSpec extends AnyFunSuite {
     keys.foreach { k =>
       val abs = storage.absolute(k)
       val seq = graft.format.ParquetStats.read(abs)
-      val (dist, size) = harvested(k)
+      val (dist, size, _) = harvested(k)
       assert(dist == seq, s"stats mismatch for $k")
       assert(size == java.nio.file.Files.size(java.nio.file.Paths.get(abs)))
     }

@@ -123,6 +123,95 @@ object Sketches {
              |SELECT bigram, count(*) AS n_exact,
              |       true AS lower_ok, true AS upper_ok
              |FROM bg GROUP BY bigram
-             |ORDER BY n_exact DESC, bigram LIMIT 20""".stripMargin))
+             |ORDER BY n_exact DESC, bigram LIMIT 20""".stripMargin)),
+
+    QueryDef(
+      "sk04_theta_setops",
+      (s, d) => {
+        // Theta sketches: the mergeable distinct sketch that supports
+        // SET OPERATIONS — HLL unions but cannot intersect, so
+        // "how many (user, day) active pairs do event types A and B
+        // share?" needs either a full distinct self-join (what the
+        // exact side below does, and what 100 TB cannot afford per
+        // pair) or theta intersection over per-type sketches built in
+        // ONE pass. Shape: each partition builds local UpdateSketches
+        // (constant memory), compact bytes reduce by type (KBs over
+        // the wire), and the K(K-1)/2 pair intersections/unions happen
+        // on metadata-sized driver state. Graded like sk01-sk03: exact
+        // values are the output, sketch error is gated in-line (below
+        // 4 096 distincts a theta sketch is exact, so the gate is
+        // deterministic at test SF; at scale it holds to its rse).
+        import org.apache.datasketches.memory.Memory
+        import org.apache.datasketches.theta.{SetOperation, Sketch, UpdateSketch}
+        val ev0 = table(s, d, "events")
+        val ev = ev0
+          .withColumn("ts_us", QueryDef.tsUs(ev0, "ts"))
+          .select(col("event_type"),
+            (col("user_id") * 100000L + expr("ts_us div 86400000000"))
+              .as("ud"))
+        val du = ev.distinct()
+        val sizes = du.groupBy("event_type").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val common = du.as("a").join(du.as("b"),
+            col("a.ud") === col("b.ud") &&
+              col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+          .agg(count(lit(1)).as("n_common")).collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        val skBytes = ev.rdd.mapPartitions { it =>
+          val m = scala.collection.mutable.Map.empty[String, UpdateSketch]
+          it.foreach { r =>
+            m.getOrElseUpdate(r.getString(0), UpdateSketch.builder().build())
+              .update(r.getLong(1))
+          }
+          m.iterator.map { case (t, sk) => (t, sk.compact().toByteArray) }
+        }.reduceByKey { (x, y) =>
+          val u = SetOperation.builder().buildUnion()
+          u.union(Memory.wrap(x)); u.union(Memory.wrap(y))
+          u.getResult.toByteArray
+        }.collectAsMap()
+        val sk = skBytes.map { case (t, b) => t -> Sketch.wrap(Memory.wrap(b)) }
+        val types = sizes.keys.toSeq.sorted
+        val rows = for {
+          i <- types.indices
+          j <- (i + 1) until types.length
+        } yield {
+          val (ta, tb) = (types(i), types(j))
+          val nc = common.getOrElse((ta, tb), 0L)
+          val nu = sizes(ta) + sizes(tb) - nc
+          val interEst = SetOperation.builder().buildIntersection()
+            .intersect(sk(ta), sk(tb)).getEstimate
+          val un = SetOperation.builder().buildUnion()
+          un.union(sk(ta)); un.union(sk(tb))
+          val unionEst = un.getResult.getEstimate
+          (ta, tb, sizes(ta), sizes(tb), nc, nu,
+            math.abs(interEst - nc) <= math.max(0.05 * nc, 1.0),
+            math.abs(unionEst - nu) <= math.max(0.05 * nu, 1.0))
+        }
+        import s.implicits._
+        rows.toDF("ta", "tb", "n_a", "n_b", "n_common", "n_union",
+          "inter_ok", "union_ok").orderBy("ta", "tb")
+      },
+      Some("""WITH du AS (
+             |  SELECT DISTINCT event_type,
+             |         user_id * 100000 + epoch_us(ts) // 86400000000 AS ud
+             |  FROM events),
+             |sizes AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
+             |pairs AS (
+             |  SELECT sa.event_type AS ta, sb.event_type AS tb,
+             |         sa.n AS n_a, sb.n AS n_b
+             |  FROM sizes sa JOIN sizes sb ON sa.event_type < sb.event_type),
+             |common AS (
+             |  SELECT a.event_type AS ta, b.event_type AS tb,
+             |         count(*) AS n_common
+             |  FROM du a JOIN du b
+             |    ON a.ud = b.ud AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT p.ta, p.tb, p.n_a, p.n_b,
+             |       coalesce(c.n_common, 0) AS n_common,
+             |       p.n_a + p.n_b - coalesce(c.n_common, 0) AS n_union,
+             |       true AS inter_ok, true AS union_ok
+             |FROM pairs p LEFT JOIN common c ON p.ta = c.ta AND p.tb = c.tb
+             |ORDER BY p.ta, p.tb""".stripMargin))
   )
 }

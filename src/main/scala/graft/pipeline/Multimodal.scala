@@ -276,6 +276,72 @@ object Multimodal {
              |           octet_length(encode(text)) AS media_len
              |    FROM documents))
              |GROUP BY media_kind, batch_id
-             |ORDER BY media_kind, batch_id""".stripMargin))
+             |ORDER BY media_kind, batch_id""".stripMargin)),
+
+    QueryDef(
+      "mm07_scene_detect",
+      (s, d) => {
+        // Scene-change detection over mm03's frame stream: a boundary
+        // where consecutive frame features jump (|Δmean| > 3.0) — the
+        // shot-segmentation step video curation runs before per-scene
+        // dedup/captioning. Plan shape: one window pass per document
+        // (lag + running boundary sum = scene ids), then two hash
+        // aggregations — frames of different videos never meet, so
+        // the shuffle keys on doc_id and scales with corpus width.
+        // Frame means are dyadic rationals (sum/64): the Δ compare is
+        // exact on both engines, no float-boundary flake.
+        import org.apache.spark.sql.expressions.Window
+        val frames = defs.find(_.name == "mm03_frame_sample").get.fn(s, d)
+          .select("doc_id", "frame_idx", "mean_byte")
+        val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+        val scenes = frames
+          .withColumn("prev", lag("mean_byte", 1).over(w))
+          .withColumn("new_scene",
+            when(col("prev").isNull ||
+              abs(col("mean_byte") - col("prev")) > 3.0, 1L).otherwise(0L))
+          .withColumn("scene_id", sum("new_scene")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        scenes.groupBy("doc_id", "scene_id")
+          .agg(count(lit(1)).as("scene_frames"))
+          .groupBy("doc_id")
+          .agg(sum("scene_frames").as("n_frames"),
+            max("scene_id").as("n_scenes"),
+            max("scene_frames").as("longest_scene"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, hex(encode(text)) AS hx,
+             |         octet_length(encode(text)) AS n
+             |  FROM documents
+             |), f AS (
+             |  SELECT doc_id, hx, CAST(fi AS INT) AS frame_idx
+             |  FROM h, UNNEST(range(0, CAST(n // 64 AS BIGINT), 4)) AS t(fi)
+             |), m AS (
+             |  SELECT doc_id, frame_idx,
+             |    round(list_aggregate(list_transform(range(0, 64),
+             |      i -> (strpos('0123456789ABCDEF',
+             |              substr(hx, (frame_idx*64 + CAST(i AS INT))*2 + 1, 1)) - 1) * 16
+             |         + (strpos('0123456789ABCDEF',
+             |              substr(hx, (frame_idx*64 + CAST(i AS INT))*2 + 2, 1)) - 1)),
+             |      'sum') / 64.0, 4) AS mean_byte
+             |  FROM f
+             |), sc AS (
+             |  SELECT doc_id, frame_idx,
+             |         CASE WHEN lag(mean_byte) OVER w IS NULL
+             |               OR abs(mean_byte - lag(mean_byte) OVER w) > 3.0
+             |              THEN 1 ELSE 0 END AS new_scene
+             |  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+             |), sid AS (
+             |  SELECT doc_id,
+             |         sum(new_scene) OVER (PARTITION BY doc_id ORDER BY frame_idx
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_id
+             |  FROM sc
+             |), per AS (
+             |  SELECT doc_id, scene_id, count(*) AS scene_frames
+             |  FROM sid GROUP BY doc_id, scene_id)
+             |SELECT doc_id, CAST(sum(scene_frames) AS BIGINT) AS n_frames,
+             |       CAST(max(scene_id) AS BIGINT) AS n_scenes,
+             |       max(scene_frames) AS longest_scene
+             |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -89,6 +89,34 @@ class FileBloomSpec extends AnyFunSuite {
     assert(scannedFiles(s0) == 0)
   }
 
+  test("partitioned tables: sidecars land beside the MOVED final files") {
+    // the partitioned commit path stages then MOVES files into shared
+    // hive dirs — blooms must build after the move so sidecar keys
+    // match the committed entry paths
+    spark.sql("""CREATE TABLE fb.ns1.ptd (k BIGINT, region STRING)
+                 PARTITIONED BY (region)
+                 TBLPROPERTIES ('graft.file-bloom.columns' = 'k',
+                                'graft.file-bloom.fpp' = '0.0001')""")
+    spark.sql("""INSERT INTO fb.ns1.ptd
+                 SELECT id, CASE WHEN id % 2 = 0 THEN 'east' ELSE 'west' END
+                 FROM range(0, 200, 1, 1)""")
+    val dataDir = graft.objects.FileLocations.tableDataDir("ns1", "ptd")
+    val sidecars = cat.storage.listDeep(dataDir).filter(_.endsWith(".bloom"))
+    assert(sidecars.size == 2, s"one sidecar per partition file: $sidecars")
+    assert(sidecars.forall(sc =>
+      cat.storage.exists(sc.stripSuffix(".bloom"))),
+      "sidecar keys must match final (moved) data file keys")
+    // bloom + partition pruning compose: absent key in one partition
+    val none = spark.sql(
+      "SELECT * FROM fb.ns1.ptd WHERE region = 'east' AND k = 3")
+    assert(none.count() == 0)
+    assert(scannedFiles(none) == 0)
+    val one = spark.sql(
+      "SELECT * FROM fb.ns1.ptd WHERE region = 'east' AND k = 4")
+    assert(one.count() == 1)
+    assert(scannedFiles(one) == 1)
+  }
+
   test("compaction rebuilds sidecars; orphan cleanup removes stale ones only") {
     spark.sql("""CREATE TABLE fb.ns1.cmp (k BIGINT)
                  TBLPROPERTIES ('graft.file-bloom.columns' = 'k',

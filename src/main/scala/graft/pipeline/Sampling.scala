@@ -432,6 +432,69 @@ object Sampling {
              |  FROM t)
              |SELECT doc_id, chunk_id, chunk_id * 96 AS start_tok,
              |       least(chunk_id * 96 + 128, n_tok) - chunk_id * 96 AS chunk_len
-             |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    QueryDef(
+      "sp11_classifier_pairs",
+      (s, d) => {
+        // Contrastive training-pair mining for a quality classifier
+        // (the CCNet/RedPajama fastText prep step): each document
+        // passing the Gopher verdict (ta18) pairs with a FAILING
+        // document of comparable length, so the classifier learns
+        // quality, not length. Length comparability = FIXED log-ish
+        // length bands (per-row decidable — a corpus-wide ntile would
+        // be a global sort; fixed bands cost nothing at any SF),
+        // pairing = rank alignment inside (band, class) with doc_id
+        // tiebreaks — fully deterministic, and the unmatched surplus
+        // of the larger class drops out via the inner join.
+        val g = graft.pipeline.TextAnalysis.defs
+          .find(_.name == "ta18_gopher_quality").get.fn(s, d)
+          .select("doc_id", "keep")
+        val j = g.join(table(s, d, "documents").select("doc_id", "n_chars"),
+          "doc_id")
+        val b = j.withColumn("bucket",
+          when(col("n_chars") < 180, 1L).when(col("n_chars") < 310, 2L)
+            .when(col("n_chars") < 420, 3L).otherwise(4L))
+        def ranked(keepVal: Boolean) = b.filter(col("keep") === keepVal)
+          .withColumn("pair_id", row_number()
+            .over(Window.partitionBy("bucket").orderBy("doc_id"))
+            .cast("bigint"))
+        val pos = ranked(true).select(col("bucket"), col("pair_id"),
+          col("doc_id").as("pos_doc"), col("n_chars").as("pos_chars"))
+        val neg = ranked(false).select(col("bucket"), col("pair_id"),
+          col("doc_id").as("neg_doc"), col("n_chars").as("neg_chars"))
+        pos.join(neg, Seq("bucket", "pair_id"))
+          .select("bucket", "pair_id", "pos_doc", "neg_doc",
+            "pos_chars", "neg_chars")
+          .orderBy("bucket", "pair_id")
+      },
+      Some(s"""WITH g AS (
+              |${graft.pipeline.TextAnalysis.defs
+                  .find(_.name == "ta18_gopher_quality").get.oracle.get}
+              |), j AS (
+              |  SELECT g.doc_id, g.keep, d.n_chars
+              |  FROM g JOIN documents d ON g.doc_id = d.doc_id
+              |), b AS (
+              |  SELECT doc_id, keep, n_chars,
+              |         CAST(CASE WHEN n_chars < 180 THEN 1
+              |                   WHEN n_chars < 310 THEN 2
+              |                   WHEN n_chars < 420 THEN 3
+              |                   ELSE 4 END AS BIGINT) AS bucket
+              |  FROM j
+              |), p AS (
+              |  SELECT bucket, doc_id AS pos_doc, n_chars AS pos_chars,
+              |         CAST(row_number() OVER (PARTITION BY bucket
+              |           ORDER BY doc_id) AS BIGINT) AS pair_id
+              |  FROM b WHERE keep
+              |), n AS (
+              |  SELECT bucket, doc_id AS neg_doc, n_chars AS neg_chars,
+              |         CAST(row_number() OVER (PARTITION BY bucket
+              |           ORDER BY doc_id) AS BIGINT) AS pair_id
+              |  FROM b WHERE NOT keep
+              |)
+              |SELECT p.bucket, p.pair_id, p.pos_doc, n.neg_doc,
+              |       p.pos_chars, n.neg_chars
+              |FROM p JOIN n ON p.bucket = n.bucket AND p.pair_id = n.pair_id
+              |ORDER BY p.bucket, p.pair_id""".stripMargin))
   )
 }

@@ -842,6 +842,83 @@ object TextAnalysis {
              |SELECT lang, bucket, count(*) AS n_docs,
              |       min(logprob) AS lp_min, max(logprob) AS lp_max
              |FROM bucketed GROUP BY lang, bucket
-             |ORDER BY lang, bucket""".stripMargin))
+             |ORDER BY lang, bucket""".stripMargin)),
+
+    QueryDef(
+      "ta21_bpe_merges",
+      (s, d) => {
+        // A real BPE merge TRAINER (Sennrich et al. 2016), the
+        // tokenizer-construction step of every pretraining pipeline,
+        // in its scale-correct two-phase shape: ONE corpus pass builds
+        // the (word, count) vocabulary, then every merge iteration
+        // runs on that weighted vocab — frequency-weighted adjacent-
+        // pair counts, a deterministic argmax (count DESC, pair ASC),
+        // and a boundary-safe re-segmentation. Segments are space-
+        // joined symbol strings; the merge applies as a space-PADDED
+        // replace (' x y ' → ' xy ') so multi-char symbols never split
+        // at substring boundaries, left-to-right non-overlapping —
+        // greedy BPE semantics, identical in Spark and DuckDB. Per
+        // iteration only the 1-row argmax returns to the driver (the
+        // same driver-loop shape as dd07's convergence checks); the
+        // pair counting stays a distributed weighted aggregation.
+        import org.apache.spark.sql.DataFrame
+        val vocab = table(s, d, "documents")
+          .select(explode(split(trim(col("text")), "\\s+")).as("w0"))
+          .select(lower(col("w0")).as("word"))
+          .filter(col("word").rlike("^[a-z]+$"))
+          .groupBy("word").agg(count(lit(1)).as("c"))
+        var segs: DataFrame = vocab
+          .select(concat_ws(" ", split(col("word"), "")).as("seg"), col("c"))
+          .localCheckpoint() // iterations below re-derive from here
+        val merges = (1 to 5).map { k =>
+          val top = segs
+            .select(split(col("seg"), " ").as("sy"), col("c"))
+            .select(explode(expr(
+              """CASE WHEN size(sy) >= 2
+                 THEN transform(sequence(0, size(sy) - 2),
+                                i -> concat(sy[i], ' ', sy[i + 1]))
+                 ELSE array() END""")).as("pair"), col("c"))
+            .groupBy("pair").agg(sum("c").as("n"))
+            .orderBy(col("n").desc, col("pair")).limit(1)
+            .collect()(0)
+          val (pair, n) = (top.getString(0), top.getLong(1))
+          val merged = pair.replace(" ", "")
+          segs = segs.withColumn("seg",
+              expr(s"trim(replace(concat(' ', seg, ' '), ' $pair ', ' $merged '))"))
+            .localCheckpoint() // truncate the per-iteration plan lineage
+          (k.toLong, pair, merged, n)
+        }
+        import s.implicits._
+        merges.toDF("iteration", "pair", "merged", "n").orderBy("iteration")
+      },
+      Some {
+        def iter(k: Int) = s"""
+          |p$k AS (
+          |  SELECT sy[i] || ' ' || sy[i+1] AS pair, sum(c) AS n
+          |  FROM (SELECT string_split(seg, ' ') AS sy, c FROM s${k - 1}),
+          |       unnest(generate_series(1, len(sy) - 1)) AS t(i)
+          |  GROUP BY 1),
+          |t$k AS (SELECT $k AS iteration, pair, replace(pair, ' ', '') AS merged, n
+          |        FROM p$k ORDER BY n DESC, pair LIMIT 1),
+          |s$k AS (SELECT trim(replace(' ' || seg || ' ',
+          |                  ' ' || (SELECT pair FROM t$k) || ' ',
+          |                  ' ' || (SELECT merged FROM t$k) || ' ')) AS seg, c
+          |        FROM s${k - 1})""".stripMargin
+        ("""WITH w AS (
+           |  SELECT lower(u.w) AS word FROM documents,
+           |       unnest(string_split_regex(trim(text), '\s+')) AS u(w)
+           |  WHERE regexp_matches(lower(u.w), '^[a-z]+$')
+           |), v AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+           |s0 AS (SELECT array_to_string(string_split(word, ''), ' ') AS seg, c
+           |       FROM v),""".stripMargin
+          + (1 to 5).map(iter).mkString(",")
+          + """
+           |SELECT CAST(iteration AS BIGINT) AS iteration, pair, merged,
+           |       CAST(n AS BIGINT) AS n
+           |FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2
+           |      UNION ALL SELECT * FROM t3 UNION ALL SELECT * FROM t4
+           |      UNION ALL SELECT * FROM t5)
+           |ORDER BY iteration""".stripMargin)
+      })
   )
 }

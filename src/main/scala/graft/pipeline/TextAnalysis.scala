@@ -919,6 +919,87 @@ object TextAnalysis {
            |      UNION ALL SELECT * FROM t3 UNION ALL SELECT * FROM t4
            |      UNION ALL SELECT * FROM t5)
            |ORDER BY iteration""".stripMargin)
+      }),
+
+    QueryDef(
+      "ta22_bpe_tokenize",
+      (s, d) => {
+        // APPLY the trained merges (ta21's loop, word column kept):
+        // tokenize the corpus with the learned segmentation and grade
+        // per-language compression — words, BPE tokens, chars/token.
+        // The application is a broadcast join of the corpus word
+        // stream against the (vocab-sized) final segmentation table:
+        // at 100 TB the corpus never shuffles, only the vocab does —
+        // the same asymmetry a production tokenizer run exploits.
+        import org.apache.spark.sql.DataFrame
+        val words = table(s, d, "documents")
+          .select(col("lang"),
+            explode(split(trim(col("text")), "\\s+")).as("w0"))
+          .select(col("lang"), lower(col("w0")).as("word"))
+          .filter(col("word").rlike("^[a-z]+$"))
+        val vocab = words.groupBy("word").agg(count(lit(1)).as("c"))
+        var segs: DataFrame = vocab
+          .select(col("word"),
+            concat_ws(" ", split(col("word"), "")).as("seg"), col("c"))
+          .localCheckpoint()
+        (1 to 5).foreach { _ =>
+          val top = segs
+            .select(split(col("seg"), " ").as("sy"), col("c"))
+            .select(explode(expr(
+              """CASE WHEN size(sy) >= 2
+                 THEN transform(sequence(0, size(sy) - 2),
+                                i -> concat(sy[i], ' ', sy[i + 1]))
+                 ELSE array() END""")).as("pair"), col("c"))
+            .groupBy("pair").agg(sum("c").as("n"))
+            .orderBy(col("n").desc, col("pair")).limit(1)
+            .collect()(0)
+          val pair = top.getString(0)
+          val merged = pair.replace(" ", "")
+          segs = segs.withColumn("seg",
+              expr(s"trim(replace(concat(' ', seg, ' '), ' $pair ', ' $merged '))"))
+            .localCheckpoint()
+        }
+        val tok = segs.select(col("word"),
+          size(split(col("seg"), " ")).cast("bigint").as("n_tok"),
+          length(col("word")).cast("bigint").as("n_chr"))
+        words.join(broadcast(tok), "word")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum("n_tok").as("n_bpe_tokens"),
+            round(sum("n_chr").cast("double") / sum("n_tok"), 4)
+              .as("chars_per_token"))
+          .orderBy("lang")
+      },
+      Some {
+        def iter(k: Int) = s"""
+          |p$k AS (
+          |  SELECT sy[i] || ' ' || sy[i+1] AS pair, sum(c) AS n
+          |  FROM (SELECT string_split(seg, ' ') AS sy, c FROM s${k - 1}),
+          |       unnest(generate_series(1, len(sy) - 1)) AS t(i)
+          |  GROUP BY 1),
+          |t$k AS (SELECT pair, replace(pair, ' ', '') AS merged FROM p$k
+          |        ORDER BY n DESC, pair LIMIT 1),
+          |s$k AS (SELECT word, trim(replace(' ' || seg || ' ',
+          |                  ' ' || (SELECT pair FROM t$k) || ' ',
+          |                  ' ' || (SELECT merged FROM t$k) || ' ')) AS seg, c
+          |        FROM s${k - 1})""".stripMargin
+        ("""WITH wd AS (
+           |  SELECT d.lang, lower(u.w) AS word FROM documents d,
+           |       unnest(string_split_regex(trim(d.text), '\s+')) AS u(w)
+           |  WHERE regexp_matches(lower(u.w), '^[a-z]+$')
+           |), v AS (SELECT word, count(*) AS c FROM wd GROUP BY word),
+           |s0 AS (SELECT word, array_to_string(string_split(word, ''), ' ')
+           |         AS seg, c FROM v),""".stripMargin
+          + (1 to 5).map(iter).mkString(",")
+          + """
+           |, tok AS (SELECT word, len(string_split(seg, ' ')) AS n_tok,
+           |                 length(word) AS n_chr FROM s5)
+           |SELECT wd.lang, count(*) AS n_words,
+           |       CAST(sum(tok.n_tok) AS BIGINT) AS n_bpe_tokens,
+           |       round(CAST(sum(tok.n_chr) AS DOUBLE) / sum(tok.n_tok), 4)
+           |         AS chars_per_token
+           |FROM wd JOIN tok ON wd.word = tok.word
+           |GROUP BY wd.lang ORDER BY wd.lang""".stripMargin)
       })
   )
 }

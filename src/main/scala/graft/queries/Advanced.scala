@@ -882,6 +882,97 @@ object Advanced {
              |FROM sess s LEFT JOIN ev e
              |  ON e.ts_us BETWEEN s.s_start AND s.s_end
              | AND e.user_id != s.user_id
-             |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
+      "q68_pagerank",
+      (s, d) => {
+        // PageRank over the customer↔supplier bipartite graph (edge =
+        // shared order), 5 damped iterations — the iterative
+        // matrix-vector shape (entity importance, spam-graph scoring)
+        // that dd07's connected components only approximates. Each
+        // iteration is ONE distributed join + ONE aggregation over the
+        // edge list; only the per-node rank vector carries between
+        // iterations (localCheckpoint truncates lineage exactly like
+        // the CC loop). Cross-engine float discipline: per-edge
+        // contributions round to 10 dp and sum as DECIMAL(28,10) —
+        // exact, order-independent addition — so five chained
+        // iterations stay bit-identical to the unrolled DuckDB oracle.
+        val e0 = table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(table(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 10 + 1).as("c"),
+            (col("l_suppkey") * 10 + 2).as("s"))
+          .distinct()
+        val edges = e0.select(col("c").as("src"), col("s").as("dst"))
+          .union(e0.select(col("s").as("src"), col("c").as("dst")))
+          .localCheckpoint()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .withColumnRenamed("src", "node").localCheckpoint()
+        val n = deg.count().toDouble
+        // out-degree is loop-invariant: bake it onto the edge list
+        // once so each iteration is a single join + aggregation
+        val edgesDeg = edges
+          .join(deg, edges("src") === deg("node"))
+          .select(col("src"), col("dst"), col("deg"))
+          .localCheckpoint()
+        var rank = deg
+          .select(col("node"), round(lit(1.0) / n, 10).as("rank"))
+          .localCheckpoint()
+        (1 to 5).foreach { _ =>
+          // the rank vector is per-NODE (thousands of rows) while the
+          // edge list is per-EDGE (millions): broadcasting the vector
+          // keeps the big side map-side every iteration — only the
+          // per-destination partial sums shuffle. (Past broadcast
+          // scale, partition-align edges and rank on src instead.)
+          rank = edgesDeg
+            .join(broadcast(rank), edgesDeg("src") === rank("node"))
+            .select(col("dst"),
+              round(col("rank") / col("deg"), 10)
+                .cast("decimal(28,10)").as("cb"))
+            .groupBy("dst")
+            .agg(round(lit(0.15 / n) +
+              lit(0.85) * sum("cb").cast("double"), 10).as("rank"))
+            .withColumnRenamed("dst", "node")
+            .localCheckpoint()
+        }
+        rank.select(col("node"),
+            when(pmod(col("node"), lit(10)) === 1, "customer")
+              .otherwise("supplier").as("kind"),
+            round(col("rank"), 8).as("rank"))
+          .orderBy(col("rank").desc, col("node")).limit(20)
+      },
+      Some {
+        def it(k: Int) = s"""
+          |c$k AS (
+          |  SELECT e.dst AS node,
+          |         CAST(round(r.rank / d.deg, 10) AS DECIMAL(28,10)) AS c
+          |  FROM edges e
+          |  JOIN r${k - 1} r ON e.src = r.node
+          |  JOIN deg d ON d.node = e.src),
+          |r$k AS (
+          |  SELECT node,
+          |         round(0.15 / (SELECT n FROM nn)
+          |               + 0.85 * CAST(sum(c) AS DOUBLE), 10) AS rank
+          |  FROM c$k GROUP BY node)""".stripMargin
+        ("""WITH e0 AS (
+           |  SELECT DISTINCT o.o_custkey * 10 + 1 AS c,
+           |                  l.l_suppkey * 10 + 2 AS s
+           |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+           |edges AS (SELECT c AS src, s AS dst FROM e0
+           |          UNION ALL SELECT s, c FROM e0),
+           |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+           |r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 10) AS rank
+           |       FROM deg),""".stripMargin
+          + (1 to 5).map(it).mkString(",")
+          + """
+           |SELECT node,
+           |       CASE WHEN node % 10 = 1 THEN 'customer'
+           |            ELSE 'supplier' END AS kind,
+           |       round(rank, 8) AS rank
+           |FROM r5 ORDER BY rank DESC, node LIMIT 20""".stripMargin)
+      })
   )
 }

@@ -607,6 +607,40 @@ object Similarity {
               |         row_number() OVER (
               |           PARTITION BY qid ORDER BY votes DESC, label) AS r
               |  FROM votes
-              |) WHERE r = 1 ORDER BY qid""".stripMargin))
+              |) WHERE r = 1 ORDER BY qid""".stripMargin)),
+
+    QueryDef(
+      "ss10_range_search",
+      (s, d) => {
+        // RANGE search: every neighbor within a similarity RADIUS
+        // (cos ≥ 0.3) of each query — the query type duplicate
+        // thresholding and safety-filter matching use, where top-k's
+        // fixed k either truncates dense neighborhoods or pads sparse
+        // ones. Unlike top-k, range search needs NO ranking state at
+        // all: score + filter is per-row decidable, so the plan is a
+        // broadcast of the tiny query side over one linear scan —
+        // embarrassingly parallel at any corpus size, no window, no
+        // shuffle until the output sort.
+        val NQR = 10
+        GraftFunctions.register(s)
+        val e = table(s, d, "embeddings").select("vec_id", "embedding")
+        val q = e.filter(col("vec_id") < NQR)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        e.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("cos_sim",
+            round(GraftFunctions.cosineSim(col("embedding"), col("qvec")), 4))
+          .filter(col("cos_sim") >= 0.3)
+          .select("qid", "vec_id", "cos_sim")
+          .orderBy("qid", "vec_id")
+      },
+      Some("""SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+             |       round(list_cosine_similarity(e.embedding::DOUBLE[],
+             |                                    q.embedding::DOUBLE[]), 4)
+             |         AS cos_sim
+             |FROM embeddings e, embeddings q
+             |WHERE q.vec_id < 10 AND e.vec_id != q.vec_id
+             |  AND round(list_cosine_similarity(e.embedding::DOUBLE[],
+             |                                   q.embedding::DOUBLE[]), 4) >= 0.3
+             |ORDER BY qid, vec_id""".stripMargin))
   )
 }

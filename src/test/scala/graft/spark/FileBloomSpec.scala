@@ -117,6 +117,35 @@ class FileBloomSpec extends AnyFunSuite {
     assert(scannedFiles(one) == 1)
   }
 
+  test("streaming epochs write sidecars too; point scans prune across epochs") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.sql("""CREATE TABLE fb.ns1.stream (k BIGINT, v STRING)
+                 TBLPROPERTIES ('graft.file-bloom.columns' = 'k',
+                                'graft.file-bloom.fpp' = '0.0001')""")
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-fb-ck").toString)
+      .toTable("fb.ns1.stream")
+    // interleaved residue classes per epoch — min/max can't separate
+    in.addData((0L until 50L).map(i => (i * 4, "a")): _*)
+    q.processAllAvailable()
+    in.addData((0L until 50L).map(i => (i * 4 + 1, "b")): _*)
+    q.processAllAvailable()
+    q.stop()
+    val dataDir = graft.objects.FileLocations.tableDataDir("ns1", "stream")
+    assert(cat.storage.listDeep(dataDir).count(_.endsWith(".bloom")) == 2,
+      "each micro-batch commit writes its file's sidecar")
+    val one = spark.sql("SELECT * FROM fb.ns1.stream WHERE k = 5")
+    assert(one.count() == 1)
+    assert(scannedFiles(one) == 1, "bloom should isolate the epoch's file")
+    val none = spark.sql("SELECT * FROM fb.ns1.stream WHERE k = 6")
+    assert(none.count() == 0)
+    assert(scannedFiles(none) == 0)
+  }
+
   test("compaction rebuilds sidecars; orphan cleanup removes stale ones only") {
     spark.sql("""CREATE TABLE fb.ns1.cmp (k BIGINT)
                  TBLPROPERTIES ('graft.file-bloom.columns' = 'k',

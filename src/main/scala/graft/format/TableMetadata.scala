@@ -44,6 +44,23 @@ final case class DataFileEntry(
   * stays a few KB no matter how many files or snapshots exist.
   * Summary totals are carried so listings never resolve manifests.
   */
+/** Pointer to a written [[Puffin]] statistics file + the summary an
+  * Iceberg `statistics` metadata entry needs (blob inventory with NDV
+  * properties), so serving never re-opens the puffin bytes.
+  */
+final case class StatsFileRef(
+    path: String,
+    snapshotId: Long,
+    fileSizeInBytes: Long,
+    footerSizeInBytes: Long,
+    blobs: Seq[StatsBlobRef] = Seq.empty)
+
+final case class StatsBlobRef(
+    blobType: String,
+    fields: Seq[Int],
+    sequenceNumber: Long,
+    ndv: Long)
+
 final case class Snapshot(
     id: Long,
     parentId: Long = -1L, // -1 = none (plain Long: Option[Long] erases
@@ -242,7 +259,12 @@ final case class TableMetadata(
     // publishes it onto main when main is an ancestor of the head.
     @com.fasterxml.jackson.databind.annotation.JsonDeserialize(
       contentAs = classOf[java.lang.Long])
-    branches: Map[String, Long] = Map.empty) {
+    branches: Map[String, Long] = Map.empty,
+    // ANALYZE output: one Puffin statistics file covering `snapshotId`
+    // ([[Puffin]]; theta-sketch NDV blobs per column). Additive —
+    // readers ignoring it just plan without NDVs; replaced wholesale
+    // by the next analyze, removed if its snapshot expires.
+    stats: Option[StatsFileRef] = None) {
 
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.id == currentSnapshotId)
 

@@ -280,9 +280,13 @@ object Maintenance {
     val deadManifests = (meta.allSnapshots(storage).flatMap(_.manifests).distinct
       .filterNot(keptRefs)) ++
       (deadWhole ++ tailRefs).map(_.key)
+    // a statistics file whose covered snapshot expires goes with it
+    // (the ref first — the puffin object is deleted post-commit below)
+    val keptStats = meta.stats.filter(st => keep.exists(_.id == st.snapshotId))
+    val deadStats = meta.stats.filterNot(st => keptStats.contains(st))
     val meta2 = graft.format.SnapshotLog.spill(storage,
       GraftCatalog.tableManifestDir(ns, ident.name()),
-      meta.copy(snapshots = keep, snapshotLog = Seq.empty),
+      meta.copy(snapshots = keep, snapshotLog = Seq.empty, stats = keptStats),
       td.properties.get(graft.format.SnapshotLog.InlineMaxProp)
         .map(_.toInt).getOrElse(graft.format.SnapshotLog.InlineMaxDefault))
     val metaPath = FileLocations.tableMetadataPath(ns, ident.name())
@@ -299,7 +303,119 @@ object Maintenance {
     txn.record(graft.txn.Action(graft.txn.ActionType.AlterTable, key))
     Graft.commitTransaction(storage, txn)
     if (deadManifests.nonEmpty) storage.deleteBatch(deadManifests)
+    deadStats.foreach(st => storage.deleteBatch(Seq(st.path)))
     expired
+  }
+
+  final case class ColumnNdv(column: String, ndv: Long)
+
+  /** ANALYZE: per-column distinct-count sketches for the CURRENT
+    * snapshot, persisted as a REAL Iceberg Puffin statistics file
+    * (`apache-datasketches-theta-v1` blobs — the format external
+    * cost-based optimizers read NDVs from) and recorded in table
+    * metadata, where the REST facade serves it as the spec's
+    * `statistics` entry. One distributed pass: each partition builds
+    * one theta UpdateSketch per column (constant memory), compact
+    * sketch bytes merge associatively — KBs to the driver however
+    * many rows the table has. Merge-on-read state is respected (same
+    * read path as compaction), so NDVs describe the LOGICAL table.
+    * Columns of unsupported type are skipped silently.
+    */
+  def analyzeTable(spark: SparkSession, cat: GraftCatalog, ident: Identifier,
+      columns: Seq[String] = Seq.empty): Seq[ColumnNdv] = {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{SetOperation, Sketch, UpdateSketch}
+    import org.apache.spark.sql.types._
+    val storage = cat.storage
+    val txn = Graft.beginTransaction(storage)
+    val ns = ident.namespace()(0)
+    val t = ident.name()
+    val td = Graft.describeTable(storage, txn, ns, t)
+    val meta = TableMetadata.read(storage, td.metadataLocation)
+    val headSnap = meta.currentSnapshot
+    val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
+      .asInstanceOf[StructType]
+    def supported(dt: DataType): Boolean = dt match {
+      case LongType | IntegerType | ShortType | ByteType | StringType |
+           DoubleType | FloatType | DateType | TimestampType |
+           TimestampNTZType => true
+      case _ => false
+    }
+    val cols = (if (columns.nonEmpty) schema.fields.toSeq
+        .filter(f => columns.contains(f.name))
+      else schema.fields.toSeq).filter(f => supported(f.dataType))
+    require(cols.nonEmpty, "analyze: no supported columns selected")
+    val current = headSnap
+      .map(graft.format.Manifests.filesOf(storage, _)).getOrElse(Seq.empty)
+    val dataRoot = storage.absolute(FileLocations.tableDataDir(ns, t))
+    val df = graft.spark.MorDeletes.readEntries(spark, schema, Some(dataRoot),
+      current.map(f => (storage.absolute(f.path), f)),
+      headSnap.map(_.deletes).getOrElse(Seq.empty),
+      headSnap.map(_.posDeletes).getOrElse(Seq.empty)
+        .map(p => storage.absolute(p.path)),
+      eqDeletes = headSnap.map(_.eqDeletes).getOrElse(Seq.empty)
+        .map(p => (storage.absolute(p.path), p)),
+      posDeleteBytes =
+        headSnap.map(_.posDeletes).getOrElse(Seq.empty).map(_.sizeBytes).sum)
+      .select(cols.map(f => org.apache.spark.sql.functions.col(f.name)): _*)
+    val types = cols.map(_.dataType)
+    val merged: Map[Int, Array[Byte]] = df.rdd.mapPartitions { it =>
+      val sk = Array.fill(types.length)(UpdateSketch.builder().build())
+      it.foreach { row =>
+        var i = 0
+        while (i < types.length) {
+          if (!row.isNullAt(i)) types(i) match {
+            case LongType => sk(i).update(row.getLong(i))
+            case IntegerType => sk(i).update(row.getInt(i).toLong)
+            case ShortType => sk(i).update(row.getShort(i).toLong)
+            case ByteType => sk(i).update(row.getByte(i).toLong)
+            case StringType => sk(i).update(row.getString(i))
+            case DoubleType => sk(i).update(row.getDouble(i))
+            case FloatType => sk(i).update(row.getFloat(i).toDouble)
+            case DateType => row.get(i) match {
+              case d: java.sql.Date => sk(i).update(d.toLocalDate.toEpochDay)
+              case d: java.time.LocalDate => sk(i).update(d.toEpochDay)
+              case other => sk(i).update(other.toString)
+            }
+            case _ => // timestamps arrive as java.sql.Timestamp / Instant
+              sk(i).update(row.get(i).toString)
+          }
+          i += 1
+        }
+      }
+      sk.iterator.zipWithIndex.map { case (s, i) => (i, s.compact().toByteArray) }
+    }.reduceByKey { (a, b) =>
+      val u = SetOperation.builder().buildUnion()
+      u.union(Memory.wrap(a)); u.union(Memory.wrap(b))
+      u.getResult.toByteArray
+    }.collectAsMap().toMap
+    val snapId = meta.currentSnapshotId
+    val seq = headSnap.map(_.seq).getOrElse(0L)
+    val (fieldIds, _) = graft.spark.IcebergFieldIds.assign(schema,
+      td.properties)
+    val results = cols.indices.map { i =>
+      val bytes = merged(i)
+      val ndv = math.round(Sketch.wrap(Memory.wrap(bytes)).getEstimate)
+      val phys = graft.spark.ColumnMapping.physicalName(cols(i))
+      (cols(i).name, fieldIds.getOrElse(phys, i + 1), bytes, ndv)
+    }
+    val puffin = graft.format.Puffin.write(
+      results.map { case (_, fid, bytes, ndv) =>
+        graft.format.Puffin.Blob("apache-datasketches-theta-v1", Seq(fid),
+          snapId, seq, bytes, Map("ndv" -> ndv.toString))
+      }, createdBy = "graft-analyze")
+    val statsRel =
+      s"${GraftCatalog.tableManifestDir(ns, t)}/stats-$snapId.puffin"
+    storage.overwrite(statsRel, puffin) // re-analyze replaces in place
+    val ref = graft.format.StatsFileRef(statsRel, snapId,
+      puffin.length.toLong, graft.format.Puffin.footerSize(puffin).toLong,
+      results.map { case (_, fid, _, ndv) =>
+        graft.format.StatsBlobRef("apache-datasketches-theta-v1", Seq(fid),
+          seq, ndv)
+      })
+    commitMetaEdit(cat, ns, t, "analyze", Some(txn))((_, _, m) =>
+      m.copy(stats = Some(ref)))
+    results.map { case (name, _, _, ndv) => ColumnNdv(name, ndv) }
   }
 
   /** Above this many live files the data-dir orphan scan runs as a

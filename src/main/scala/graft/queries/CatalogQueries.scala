@@ -2521,6 +2521,60 @@ object CatalogQueries {
       },
       Some("""SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
              |FROM customer WHERE c_custkey IN (3, 10, 401, 998)
-             |ORDER BY c_custkey""".stripMargin))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "c58_analyze_ndv",
+      (s, d) => {
+        // ANALYZE TABLE: `CALL system.analyze_table` computes per-
+        // column theta-sketch NDVs in one distributed pass (constant
+        // memory per partition, mergeable compact sketches to the
+        // driver), persists them as a REAL Iceberg Puffin statistics
+        // file referenced from metadata, and serves the spec's
+        // `statistics` entry over REST for external cost-based
+        // optimizers. Graded like the sketch queries: the exact
+        // distinct counts are the output (DuckDB-checkable), the
+        // sketch estimate is gated in-line at 5% — exact below the
+        // sketch's 4 096-entry retention, within its rse above it.
+        ensureCatalog(s, "gaz")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gaz.ns1")
+        s.sql("DROP TABLE IF EXISTS gaz.ns1.cust")
+        s.sql("""CREATE TABLE gaz.ns1.cust (
+                   c_custkey BIGINT, c_mktsegment STRING, c_nationkey BIGINT)""")
+        s.sql(s"""INSERT INTO gaz.ns1.cust
+                  SELECT c_custkey, c_mktsegment, c_nationkey
+                  FROM parquet.`$d/customer.parquet`""")
+        val ndv = s.sql(
+          """CALL gaz.system.analyze_table(namespace => 'ns1',
+                                           table => 'cust')""")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val exact = s.sql(
+          """SELECT count(DISTINCT c_custkey) AS k,
+                    count(DISTINCT c_mktsegment) AS m,
+                    count(DISTINCT c_nationkey) AS n
+             FROM gaz.ns1.cust""").collect()(0)
+        import s.implicits._
+        Seq(
+          ("c_custkey", exact.getLong(0),
+            math.abs(ndv("c_custkey") - exact.getLong(0)).toDouble <=
+              0.05 * exact.getLong(0)),
+          ("c_mktsegment", exact.getLong(1),
+            math.abs(ndv("c_mktsegment") - exact.getLong(1)).toDouble <=
+              math.max(0.05 * exact.getLong(1), 1.0)),
+          ("c_nationkey", exact.getLong(2),
+            math.abs(ndv("c_nationkey") - exact.getLong(2)).toDouble <=
+              math.max(0.05 * exact.getLong(2), 1.0)))
+          .toDF("col_name", "n_exact", "within_tol").orderBy("col_name")
+      },
+      Some("""SELECT 'c_custkey' AS col_name,
+             |       count(DISTINCT c_custkey) AS n_exact, true AS within_tol
+             |FROM customer
+             |UNION ALL
+             |SELECT 'c_mktsegment', count(DISTINCT c_mktsegment), true
+             |FROM customer
+             |UNION ALL
+             |SELECT 'c_nationkey', count(DISTINCT c_nationkey), true
+             |FROM customer
+             |ORDER BY col_name""".stripMargin))
   )
 }

@@ -426,7 +426,8 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0,
         reply(ex, 200, IcebergRest.loadTableResult(td, meta,
           storage.absolute(td.metadataLocation),
           storage.absolute(FileLocations.tableDataDir(ns, t)),
-          manifests.manifestLists))
+          manifests.manifestLists,
+          meta.stats.map(st => storage.absolute(st.path))))
       }
     }
 

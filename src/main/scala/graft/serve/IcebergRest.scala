@@ -168,7 +168,8 @@ object IcebergRest {
     */
   def tableMetadataJson(td: TableDef, meta: TableMetadata,
       metadataLocation: String, dataLocation: String,
-      manifestLists: Map[Long, String] = Map.empty): ObjectNode = {
+      manifestLists: Map[Long, String] = Map.empty,
+      statsLocation: Option[String] = None): ObjectNode = {
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     val (schemaNode, lastColId) = toIcebergSchema(schema, td.properties)
     val m = mapper.createObjectNode()
@@ -270,6 +271,27 @@ object IcebergRest {
         r.put("snapshot-id", sid)
         r.put("type", "branch")
     }
+    // ANALYZE output: the spec's `statistics` entry pointing at the
+    // real Puffin file, blob inventory inline so planners read NDVs
+    // without opening the file
+    meta.stats.filter(st => servable.exists(_.id == st.snapshotId))
+      .foreach { st =>
+        val e = m.putArray("statistics").addObject()
+        e.put("snapshot-id", st.snapshotId)
+        e.put("statistics-path", statsLocation.getOrElse(st.path))
+        e.put("file-size-in-bytes", st.fileSizeInBytes)
+        e.put("file-footer-size-in-bytes", st.footerSizeInBytes)
+        val blobs = e.putArray("blob-metadata")
+        st.blobs.foreach { b =>
+          val bn = blobs.addObject()
+          bn.put("type", b.blobType)
+          bn.put("snapshot-id", st.snapshotId)
+          bn.put("sequence-number", b.sequenceNumber)
+          val fa = bn.putArray("fields")
+          b.fields.foreach(fa.add)
+          bn.putObject("properties").put("ndv", b.ndv.toString)
+        }
+      }
     m
   }
 
@@ -292,12 +314,13 @@ object IcebergRest {
 
   def loadTableResult(td: TableDef, meta: TableMetadata,
       metadataLocation: String, dataLocation: String,
-      manifestLists: Map[Long, String] = Map.empty): String = {
+      manifestLists: Map[Long, String] = Map.empty,
+      statsLocation: Option[String] = None): String = {
     val r = mapper.createObjectNode()
     r.put("metadata-location", metadataLocation)
     r.set("metadata",
       tableMetadataJson(td, meta, metadataLocation, dataLocation,
-        manifestLists))
+        manifestLists, statsLocation))
     r.putObject("config")
     r.toString
   }

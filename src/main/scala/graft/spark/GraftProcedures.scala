@@ -26,12 +26,13 @@ object GraftProcedures {
     "compact_table", "expire_snapshots", "remove_orphan_files",
     "expire_catalog_versions", "import_files", "rollback_catalog",
     "create_tag", "drop_tag",
-    "create_branch", "drop_branch", "fast_forward")
+    "create_branch", "drop_branch", "fast_forward", "analyze_table")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
       s"no such procedure namespace: ${ident.namespace().mkString(".")}")
     ident.name() match {
+      case "analyze_table" => AnalyzeTable(cat)
       case "compact_table" => CompactTable(cat)
       case "rewrite_position_deletes" => RewritePositionDeletes(cat)
       case "expire_snapshots" => ExpireSnapshots(cat)
@@ -100,6 +101,30 @@ object GraftProcedures {
         StructType(Seq(StructField("files_before", IntegerType, false),
           StructField("files_after", IntegerType, false))),
         Seq(InternalRow(r.filesBefore, r.filesAfter)))
+    }
+  }
+
+  /** ANALYZE: theta-sketch NDVs per column, persisted as an Iceberg
+    * Puffin statistics file and served over REST ([[Maintenance
+    * .analyzeTable]]); returns the per-column estimates.
+    */
+  private case class AnalyzeTable(cat: GraftCatalog)
+      extends GraftProcedure("analyze_table") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("namespace", StringType), in("table", StringType),
+      inDefault("columns", StringType, "''")) // comma-separated; '' = all
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val cols = input.getString(2).split(',').toSeq
+        .map(_.trim).filter(_.nonEmpty)
+      val r = Maintenance.analyzeTable(
+        org.apache.spark.sql.SparkSession.active, cat,
+        Identifier.of(Array(input.getString(0)), input.getString(1)), cols)
+      result(
+        StructType(Seq(StructField("column", StringType, false),
+          StructField("ndv", LongType, false))),
+        r.map(c => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(c.column),
+          c.ndv)))
     }
   }
 

@@ -84,7 +84,8 @@ object IcebergStatic {
     val bytes = (rel: String) => IcebergRest.loadTableResult(td, meta,
       storage.absolute(rel),
       storage.absolute(FileLocations.tableDataDir(ns, table)),
-      manifests.manifestLists).getBytes("UTF-8")
+      manifests.manifestLists,
+      meta.stats.map(st => storage.absolute(st.path))).getBytes("UTF-8")
     // the static document is the LoadTableResult's `metadata` object
     def metadataBytes(rel: String): Array[Byte] = {
       val full = Json.mapper.readTree(new String(bytes(rel), "UTF-8"))

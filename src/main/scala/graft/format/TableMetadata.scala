@@ -59,7 +59,11 @@ final case class StatsBlobRef(
     blobType: String,
     fields: Seq[Int],
     sequenceNumber: Long,
-    ndv: Long)
+    ndv: Long,
+    // PHYSICAL column name (rename-safe, like data-file stats) —
+    // native scans map it back to the logical name when reporting
+    // NDVs to Spark's optimizer
+    column: String = "")
 
 final case class Snapshot(
     id: Long,

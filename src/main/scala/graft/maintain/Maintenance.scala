@@ -397,10 +397,10 @@ object Maintenance {
       val bytes = merged(i)
       val ndv = math.round(Sketch.wrap(Memory.wrap(bytes)).getEstimate)
       val phys = graft.spark.ColumnMapping.physicalName(cols(i))
-      (cols(i).name, fieldIds.getOrElse(phys, i + 1), bytes, ndv)
+      (cols(i).name, fieldIds.getOrElse(phys, i + 1), bytes, ndv, phys)
     }
     val puffin = graft.format.Puffin.write(
-      results.map { case (_, fid, bytes, ndv) =>
+      results.map { case (_, fid, bytes, ndv, _) =>
         graft.format.Puffin.Blob("apache-datasketches-theta-v1", Seq(fid),
           snapId, seq, bytes, Map("ndv" -> ndv.toString))
       }, createdBy = "graft-analyze")
@@ -409,13 +409,13 @@ object Maintenance {
     storage.overwrite(statsRel, puffin) // re-analyze replaces in place
     val ref = graft.format.StatsFileRef(statsRel, snapId,
       puffin.length.toLong, graft.format.Puffin.footerSize(puffin).toLong,
-      results.map { case (_, fid, _, ndv) =>
+      results.map { case (_, fid, _, ndv, phys) =>
         graft.format.StatsBlobRef("apache-datasketches-theta-v1", Seq(fid),
-          seq, ndv)
+          seq, ndv, phys)
       })
     commitMetaEdit(cat, ns, t, "analyze", Some(txn))((_, _, m) =>
       m.copy(stats = Some(ref)))
-    results.map { case (name, _, _, ndv) => ColumnNdv(name, ndv) }
+    results.map { case (name, _, _, ndv, _) => ColumnNdv(name, ndv) }
   }
 
   /** Above this many live files the data-dir orphan scan runs as a

@@ -41,7 +41,10 @@ class GraftScanBuilder(
     // storage-relative key → sidecar bytes ([[graft.format.FileBloom]]);
     // consulted lazily, only for files that survive min/max pruning and
     // only under `=` / `IN` predicates on bloom-indexed columns
-    bloomRead: String => Option[Array[Byte]] = _ => None)
+    bloomRead: String => Option[Array[Byte]] = _ => None,
+    // ANALYZE NDVs (logical column → distinct count) covering THIS
+    // scan's snapshot — reported as DSv2 column statistics
+    ndvStats: Map[String, Long] = Map.empty)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
@@ -477,7 +480,8 @@ class GraftScanBuilder(
     val keptForStats =
       statsKept(effFiles, physFilters, physSchemaForStats).map(_._2)
     val exact = Some(ExactScanStats(
-      keptForStats.map(_.rowCount).sum, keptForStats.map(_.sizeBytes).sum))
+      keptForStats.map(_.rowCount).sum, keptForStats.map(_.sizeBytes).sum,
+      ndvStats))
     val mkStream = streamCtx.map { ctx =>
       val maxSnaps =
         Option(options.get(GraftTable.MaxSnapshotsPerTriggerOption))
@@ -547,6 +551,23 @@ private[spark] trait DelegatedStatistics
         java.util.OptionalLong.of(e.bytes)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(e.rows)
+      // ANALYZE's NDVs ride into Spark's CBO (join reorder, estimates
+      // under spark.sql.cbo.enabled) as DSv2 column statistics
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        e.ndv.foreach { case (col, n) =>
+          m.put(org.apache.spark.sql.connector.expressions.Expressions.column(col),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(n)
+            })
+        }
+        m
+      }
     }: org.apache.spark.sql.connector.read.Statistics).getOrElse(
       statsDelegate match {
         case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
@@ -561,9 +582,12 @@ private[spark] trait DelegatedStatistics
 }
 
 /** Exact totals for a scan, summed from the snapshot's per-file
-  * commit-time stats over the statically-pruned file list.
+  * commit-time stats over the statically-pruned file list; `ndv`
+  * carries ANALYZE's per-column distinct counts (logical names) when
+  * a statistics file covers the scanned snapshot.
   */
-private[spark] case class ExactScanStats(rows: Long, bytes: Long)
+private[spark] case class ExactScanStats(rows: Long, bytes: Long,
+    ndv: Map[String, Long] = Map.empty)
 
 /** Value identity of a graft scan: the table, the snapshot's file
   * list, the pushed column set, and the pushed filters (attributes

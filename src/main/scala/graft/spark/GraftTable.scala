@@ -222,8 +222,21 @@ class GraftTable(
       posDeletes = pendingPosDeletes,
       eqDeletes = pendingEqDeletes,
       bloomRead = key =>
-        if (storage.exists(key)) Some(storage.read(key)) else None)
+        if (storage.exists(key)) Some(storage.read(key)) else None,
+      ndvStats = analyzeNdvs)
   }
+
+  /** ANALYZE's per-column distinct counts (logical names), reported as
+    * DSv2 column statistics when the statistics file covers THIS
+    * load's pinned snapshot — Spark's CBO reads them for join
+    * reordering and cardinality estimates.
+    */
+  private def analyzeNdvs: Map[String, Long] =
+    meta.stats.filter(_.snapshotId == meta.currentSnapshotId).map { st =>
+      val toLogical = ColumnMapping.renames(schema).map(_.swap)
+      st.blobs.filter(_.column.nonEmpty).map(b =>
+        toLogical.getOrElse(b.column, b.column) -> b.ndv).toMap
+    }.getOrElse(Map.empty)
 
   // ---------------- delete (SQL `DELETE FROM`) ----------------
 

@@ -57,6 +57,21 @@ class AnalyzeSpec extends AnyFunSuite {
     }
     assert(pf.blobs.forall(_.fields.nonEmpty), "field ids recorded")
 
+    // NATIVE consumption: the next scan reports the NDVs as DSv2
+    // column statistics, the numbers Spark's CBO estimates with
+    val scan = spark.table("anz.ns1.t").queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.head
+    val colStats = scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics().columnStats()
+    import scala.jdk.CollectionConverters._
+    val ndvByName = colStats.asScala.map { case (ref, cs) =>
+      ref.fieldNames().mkString(".") -> cs.distinctCount().getAsLong
+    }.toMap
+    assert(ndvByName == Map("k" -> 1000L, "seg" -> 7L, "v" -> 131L))
+
     // served Iceberg metadata carries the spec's `statistics` entry
     val txn = graft.catalog.Graft.beginTransaction(cat.storage)
     val td = graft.catalog.Graft.describeTable(cat.storage, txn, "ns1", "t")

@@ -225,9 +225,11 @@ object Multimodal {
       // utf-8 text bytes stand in for the payload, so DuckDB's md5 of
       // the string hashes the same byte sequence
       Some("""SELECT count(*) AS distinct_payloads,
-             |       sum(n) AS total_payloads,
-             |       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
-             |       sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_dropped
+             |       CAST(sum(n) AS BIGINT) AS total_payloads,
+             |       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_dup_groups,
+             |       CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+             |         AS n_dropped
              |FROM (SELECT md5(text) AS h, count(*) AS n
              |      FROM documents GROUP BY 1)""".stripMargin)),
 

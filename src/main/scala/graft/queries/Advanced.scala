@@ -597,8 +597,9 @@ object Advanced {
       },
       Some("""SELECT event_type,
              |       count(k) AS n_k,
-             |       sum(k) AS sum_k,
-             |       sum(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS n_odd
+             |       CAST(sum(k) AS BIGINT) AS sum_k,
+             |       CAST(sum(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_odd
              |FROM (SELECT event_type,
              |             CAST(json_extract_string(props, '$.k') AS BIGINT)
              |               AS k

@@ -556,10 +556,10 @@ object TpchMore {
           .orderBy("l_linestatus")
       },
       Some("""SELECT l_linestatus,
-             |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-             |                THEN 1 ELSE 0 END) AS high_line_count,
-             |       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-             |                THEN 1 ELSE 0 END) AS low_line_count
+             |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
              |GROUP BY 1 ORDER BY 1""".stripMargin)),

@@ -63,7 +63,25 @@ final case class StatsBlobRef(
     // PHYSICAL column name (rename-safe, like data-file stats) —
     // native scans map it back to the logical name when reporting
     // NDVs to Spark's optimizer
-    column: String = "")
+    column: String = "",
+    // ANALYZE-time logical-table bounds + null count, stat-string
+    // encoded like [[DataFileEntry]] (numeric text; dates as epoch
+    // days, timestamps as epoch micros). Absent on legacy refs and on
+    // non-orderable columns; nullCount -1 = unknown (Option[Long]
+    // erases under Jackson, same as Snapshot.parentId).
+    min: Option[String] = None,
+    max: Option[String] = None,
+    nullCount: Long = -1L,
+    // equi-depth histogram over non-null values (numeric columns):
+    // bins+1 boundaries (global min first, then each bin's inclusive
+    // upper bound) and a per-bin distinct-count estimate. Height =
+    // nonNullRows / bins is carried explicitly so readers never need
+    // the ANALYZE-time row count.
+    histBounds: Seq[String] = Seq.empty,
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(
+      contentAs = classOf[java.lang.Long])
+    histNdv: Seq[Long] = Seq.empty,
+    histHeight: Double = 0.0)
 
 final case class Snapshot(
     id: Long,

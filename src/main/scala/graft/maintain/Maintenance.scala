@@ -393,30 +393,138 @@ object Maintenance {
     val seq = headSnap.map(_.seq).getOrElse(0L)
     val (fieldIds, _) = graft.spark.IcebergFieldIds.assign(schema,
       td.properties)
+
+    // ---- column bounds, null counts, equi-depth histograms ----
+    // Bounds + boundaries come from ONE map-side-combined aggregate
+    // job over every column; per-bin distinct estimates come from ONE
+    // explode + HLL++ job over the numeric columns together (partials
+    // combine map-side, so the shuffle carries sketches per (column,
+    // bin) per partition — constant in row count). Spark's CBO reads
+    // min/max/nullCount for filter selectivity and join sizing, and
+    // the histogram for selectivity on skewed columns.
+    import org.apache.spark.sql.{functions => F}
+    def histable(dt: DataType): Boolean = dt match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+           FloatType => true
+      case _ => false
+    }
+    val probs = (0 to HistogramBins).map(_.toDouble / HistogramBins)
+    val boundsAggs = cols.flatMap { f =>
+      val c = F.col(f.name)
+      Seq(F.min(c), F.max(c),
+        F.sum(F.when(c.isNull, 1L).otherwise(0L)),
+        if (histable(f.dataType))
+          F.percentile_approx(c.cast(DoubleType),
+            F.lit(probs.toArray), F.lit(10000))
+        else F.lit(null))
+    } :+ F.count(F.lit(1))
+    val bRow = df.agg(boundsAggs.head, boundsAggs.tail: _*).collect()(0)
+    val logicalRows = bRow.getLong(bRow.length - 1)
+    // stat-string encoding shared with DataFileEntry min/maxValues:
+    // numeric text, dates as epoch days, timestamps as epoch micros
+    def enc(v: Any): Option[String] = v match {
+      case null => None
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
+      case d: java.time.LocalDate => Some(d.toEpochDay.toString)
+      case ts: java.sql.Timestamp =>
+        Some((math.floorDiv(ts.getTime, 1000L) * 1000000L +
+          ts.getNanos / 1000L).toString)
+      case i: java.time.Instant =>
+        Some((i.getEpochSecond * 1000000L + i.getNano / 1000L).toString)
+      case dt: java.time.LocalDateTime =>
+        enc(dt.toInstant(java.time.ZoneOffset.UTC))
+      case n: java.lang.Number => Some(n.toString)
+      case _ => None
+    }
+    val histBoundsOf: Map[Int, Seq[Double]] = cols.indices.flatMap { i =>
+      if (!histable(cols(i).dataType) || bRow.isNullAt(4 * i + 3)) None
+      else {
+        val bs = bRow.getSeq[Double](4 * i + 3)
+        // a (near-)constant column has nothing to histogram
+        if (bs.distinct.size < 2) None else Some(i -> bs)
+      }
+    }.toMap
+    def binExpr(c: org.apache.spark.sql.Column, bs: Seq[Double])
+        : org.apache.spark.sql.Column = {
+      val v = c.cast(DoubleType)
+      // bin j ⇔ value ≤ boundary j+1 (first match wins); values above
+      // the last boundary (approx-percentile drift) land in the top bin
+      bs.tail.dropRight(1).zipWithIndex
+        .foldRight(F.lit(bs.size - 2)) { case ((b, j), rest) =>
+          F.when(v <= b, j).otherwise(rest)
+        }
+    }
+    val histEntries = histBoundsOf.toSeq.sortBy(_._1).map { case (i, bs) =>
+      F.struct(F.lit(i).as("ci"),
+        binExpr(F.col(cols(i).name), bs).as("bin"),
+        F.col(cols(i).name).cast(DoubleType).as("v"))
+    }
+    val binNdv: Map[(Int, Int), Long] =
+      if (histEntries.isEmpty) Map.empty
+      else df.select(F.explode(F.array(histEntries: _*)).as("e"))
+        .filter(F.col("e.v").isNotNull)
+        .groupBy(F.col("e.ci"), F.col("e.bin"))
+        .agg(F.approx_count_distinct(F.col("e.v")).as("nd"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+        .toMap
+
     val results = cols.indices.map { i =>
       val bytes = merged(i)
       val ndv = math.round(Sketch.wrap(Memory.wrap(bytes)).getEstimate)
       val phys = graft.spark.ColumnMapping.physicalName(cols(i))
-      (cols(i).name, fieldIds.getOrElse(phys, i + 1), bytes, ndv, phys)
+      val nulls = if (bRow.isNullAt(4 * i + 2)) 0L // empty table: sum is null
+        else bRow.getLong(4 * i + 2)
+      // strings are excluded from served bounds (CBO range estimation
+      // is numeric-only; file-level stats already carry string bounds)
+      val (mn, mx) = cols(i).dataType match {
+        case StringType => (None, None)
+        case _ => (enc(bRow.get(4 * i)), enc(bRow.get(4 * i + 1)))
+      }
+      val hb = histBoundsOf.getOrElse(i, Seq.empty)
+      val hn = if (hb.isEmpty) Seq.empty[Long]
+        else (0 until HistogramBins).map(j => binNdv.getOrElse((i, j), 0L))
+      val hh = if (hb.isEmpty) 0.0
+        else (logicalRows - nulls).toDouble / HistogramBins
+      AnalyzeCol(cols(i).name, fieldIds.getOrElse(phys, i + 1), bytes, ndv,
+        phys, mn, mx, nulls, hb.map(_.toString), hn, hh)
     }
     val puffin = graft.format.Puffin.write(
-      results.map { case (_, fid, bytes, ndv, _) =>
-        graft.format.Puffin.Blob("apache-datasketches-theta-v1", Seq(fid),
-          snapId, seq, bytes, Map("ndv" -> ndv.toString))
+      results.map { r =>
+        graft.format.Puffin.Blob("apache-datasketches-theta-v1", Seq(r.fid),
+          snapId, seq, r.bytes,
+          Map("ndv" -> r.ndv.toString, "null_count" -> r.nulls.toString) ++
+            r.min.map("lower_bound" -> _) ++ r.max.map("upper_bound" -> _) ++
+            (if (r.histBounds.isEmpty) Map.empty[String, String]
+             else Map("histogram-bounds" -> r.histBounds.mkString(","),
+               "histogram-ndv" -> r.histNdv.mkString(","),
+               "histogram-height" -> r.histHeight.toString)))
       }, createdBy = "graft-analyze")
     val statsRel =
       s"${GraftCatalog.tableManifestDir(ns, t)}/stats-$snapId.puffin"
     storage.overwrite(statsRel, puffin) // re-analyze replaces in place
     val ref = graft.format.StatsFileRef(statsRel, snapId,
       puffin.length.toLong, graft.format.Puffin.footerSize(puffin).toLong,
-      results.map { case (_, fid, _, ndv, phys) =>
-        graft.format.StatsBlobRef("apache-datasketches-theta-v1", Seq(fid),
-          seq, ndv, phys)
+      results.map { r =>
+        graft.format.StatsBlobRef("apache-datasketches-theta-v1", Seq(r.fid),
+          seq, r.ndv, r.phys, r.min, r.max, r.nulls,
+          r.histBounds, r.histNdv, r.histHeight)
       })
     commitMetaEdit(cat, ns, t, "analyze", Some(txn))((_, _, m) =>
       m.copy(stats = Some(ref)))
-    results.map { case (name, _, _, ndv, _) => ColumnNdv(name, ndv) }
+    results.map(r => ColumnNdv(r.name, r.ndv))
   }
+
+  /** Equi-depth histogram bin count ANALYZE produces per numeric
+    * column (Spark's own ANALYZE default is 254; 16 keeps the metadata
+    * document small while still separating a skewed column's hot range
+    * from its tail).
+    */
+  val HistogramBins = 16
+
+  private final case class AnalyzeCol(name: String, fid: Int,
+      bytes: Array[Byte], ndv: Long, phys: String, min: Option[String],
+      max: Option[String], nulls: Long, histBounds: Seq[String],
+      histNdv: Seq[Long], histHeight: Double)
 
   /** Above this many live files the data-dir orphan scan runs as a
     * Spark job (prefix-parallel LIST + shuffle anti-join) instead of

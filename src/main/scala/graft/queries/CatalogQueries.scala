@@ -2575,6 +2575,52 @@ object CatalogQueries {
              |UNION ALL
              |SELECT 'c_nationkey', count(DISTINCT c_nationkey), true
              |FROM customer
+             |ORDER BY col_name""".stripMargin)),
+
+    QueryDef(
+      "c59_analyze_colstats",
+      (s, d) => {
+        // ANALYZE → DSv2 column statistics → Spark's CBO: after
+        // analyze_table, the optimizer's per-attribute stats carry the
+        // column bounds and null counts the scan served (min/max typed
+        // per column, nullCount from footer-harvested file stats).
+        // Graded exactly: the values Spark's optimizer holds must equal
+        // DuckDB's min/max/null count over the same rows.
+        ensureCatalog(s, "gcs")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gcs.ns1")
+        s.sql("DROP TABLE IF EXISTS gcs.ns1.cust")
+        s.sql("CREATE TABLE gcs.ns1.cust (c_custkey BIGINT, c_acctbal DOUBLE)")
+        s.sql(s"""INSERT INTO gcs.ns1.cust
+                  SELECT c_custkey, c_acctbal
+                  FROM parquet.`$d/customer.parquet`""")
+        s.sql("""CALL gcs.system.analyze_table(namespace => 'ns1',
+                                               table => 'cust')""")
+        val saved = s.conf.get("spark.sql.cbo.enabled", "false")
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        try {
+          val attr = s.table("gcs.ns1.cust")
+            .queryExecution.optimizedPlan.stats.attributeStats
+          def st(n: String) = attr.find(_._1.name == n).get._2
+          def dbl(v: Any) = v.toString.toDouble
+          import s.implicits._
+          Seq("c_acctbal", "c_custkey").map { c =>
+            (c, dbl(st(c).min.get), dbl(st(c).max.get),
+              st(c).nullCount.get.toLong)
+          }.toDF("col_name", "min_v", "max_v", "null_count")
+            .orderBy("col_name")
+        } finally s.conf.set("spark.sql.cbo.enabled", saved)
+      },
+      Some("""SELECT 'c_acctbal' AS col_name,
+             |       min(c_acctbal) AS min_v, max(c_acctbal) AS max_v,
+             |       CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS null_count
+             |FROM customer
+             |UNION ALL
+             |SELECT 'c_custkey', CAST(min(c_custkey) AS DOUBLE),
+             |       CAST(max(c_custkey) AS DOUBLE),
+             |       CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+             |            AS BIGINT)
+             |FROM customer
              |ORDER BY col_name""".stripMargin))
   )
 }

@@ -289,7 +289,18 @@ object IcebergRest {
           bn.put("sequence-number", b.sequenceNumber)
           val fa = bn.putArray("fields")
           b.fields.foreach(fa.add)
-          bn.putObject("properties").put("ndv", b.ndv.toString)
+          val props = bn.putObject("properties")
+          props.put("ndv", b.ndv.toString)
+          // ANALYZE's bounds / null count / equi-depth histogram ride
+          // as blob properties (additive — NDV-only readers ignore them)
+          b.min.foreach(props.put("lower_bound", _))
+          b.max.foreach(props.put("upper_bound", _))
+          if (b.nullCount >= 0) props.put("null_count", b.nullCount.toString)
+          if (b.histBounds.nonEmpty) {
+            props.put("histogram-bounds", b.histBounds.mkString(","))
+            props.put("histogram-ndv", b.histNdv.mkString(","))
+            props.put("histogram-height", b.histHeight.toString)
+          }
         }
       }
     m

@@ -42,9 +42,10 @@ class GraftScanBuilder(
     // consulted lazily, only for files that survive min/max pruning and
     // only under `=` / `IN` predicates on bloom-indexed columns
     bloomRead: String => Option[Array[Byte]] = _ => None,
-    // ANALYZE NDVs (logical column → distinct count) covering THIS
-    // scan's snapshot — reported as DSv2 column statistics
-    ndvStats: Map[String, Long] = Map.empty)
+    // ANALYZE column statistics (logical names) covering THIS scan's
+    // snapshot — merged with file-level bounds/null counts over the
+    // pruned file list and reported as DSv2 column statistics
+    colStats: Map[String, AnalyzedColStats] = Map.empty)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
@@ -481,7 +482,7 @@ class GraftScanBuilder(
       statsKept(effFiles, physFilters, physSchemaForStats).map(_._2)
     val exact = Some(ExactScanStats(
       keptForStats.map(_.rowCount).sum, keptForStats.map(_.sizeBytes).sum,
-      ndvStats))
+      ColStatsBuild(schema, renames, keptForStats, colStats)))
     val mkStream = streamCtx.map { ctx =>
       val maxSnaps =
         Option(options.get(GraftTable.MaxSnapshotsPerTriggerOption))
@@ -551,19 +552,46 @@ private[spark] trait DelegatedStatistics
         java.util.OptionalLong.of(e.bytes)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(e.rows)
-      // ANALYZE's NDVs ride into Spark's CBO (join reorder, estimates
-      // under spark.sql.cbo.enabled) as DSv2 column statistics
+      // ANALYZE's NDVs + bounds + null counts + equi-depth histograms
+      // ride into Spark's CBO (join reorder, filter selectivity under
+      // spark.sql.cbo.enabled) as DSv2 column statistics
       override def columnStats(): java.util.Map[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        import org.apache.spark.sql.connector.read.colstats.{
+          ColumnStatistics, Histogram, HistogramBin}
         val m = new java.util.HashMap[
           org.apache.spark.sql.connector.expressions.NamedReference,
-          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-        e.ndv.foreach { case (col, n) =>
+          ColumnStatistics]()
+        e.cols.foreach { case (col, cs) =>
           m.put(org.apache.spark.sql.connector.expressions.Expressions.column(col),
-            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            new ColumnStatistics {
               override def distinctCount(): java.util.OptionalLong =
-                java.util.OptionalLong.of(n)
+                cs.ndv.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
+              override def min(): java.util.Optional[Object] =
+                cs.min.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty[Object]())
+              override def max(): java.util.Optional[Object] =
+                cs.max.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty[Object]())
+              override def nullCount(): java.util.OptionalLong =
+                cs.nullCount.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
+              override def histogram(): java.util.Optional[Histogram] =
+                cs.hist.map { h =>
+                  java.util.Optional.of(new Histogram {
+                    override def height(): Double = h.height
+                    override def bins(): Array[HistogramBin] =
+                      h.bounds.sliding(2).zip(h.binNdv.iterator).map {
+                        case (Seq(bLo, bHi), nd) => new HistogramBin {
+                          override def lo(): Double = bLo
+                          override def hi(): Double = bHi
+                          override def ndv(): Long = nd
+                        }
+                      }.toArray
+                  }: Histogram)
+                }.getOrElse(java.util.Optional.empty[Histogram]())
             })
         }
         m
@@ -582,12 +610,101 @@ private[spark] trait DelegatedStatistics
 }
 
 /** Exact totals for a scan, summed from the snapshot's per-file
-  * commit-time stats over the statically-pruned file list; `ndv`
-  * carries ANALYZE's per-column distinct counts (logical names) when
-  * a statistics file covers the scanned snapshot.
+  * commit-time stats over the statically-pruned file list; `cols`
+  * carries per-column CBO statistics (logical names) combined from
+  * ANALYZE's statistics file and the kept files' footer stats.
   */
 private[spark] case class ExactScanStats(rows: Long, bytes: Long,
-    ndv: Map[String, Long] = Map.empty)
+    cols: Map[String, ColStatV2] = Map.empty)
+
+/** ANALYZE-persisted statistics for one column as read back from the
+  * table's statistics file (bounds stat-string encoded like
+  * [[graft.format.DataFileEntry]]: numeric text, dates as epoch days,
+  * timestamps as epoch micros).
+  */
+private[graft] case class AnalyzedColStats(ndv: Long,
+    min: Option[String], max: Option[String], nullCount: Option[Long],
+    histBounds: Seq[Double] = Seq.empty, histNdv: Seq[Long] = Seq.empty,
+    histHeight: Double = 0.0)
+
+/** One column's statistics as served to Spark — min/max already boxed
+  * in the CBO's expected representation (numerics as themselves, dates
+  * as epoch-day Int, timestamps as epoch-micros Long: what
+  * EstimationUtils turns into selectivity ranges).
+  */
+private[spark] case class ColStatV2(ndv: Option[Long] = None,
+    min: Option[Any] = None, max: Option[Any] = None,
+    nullCount: Option[Long] = None, hist: Option[HistV2] = None)
+
+private[spark] case class HistV2(height: Double, bounds: Seq[Double],
+    binNdv: Seq[Long])
+
+/** Merges ANALYZE statistics with file-level footer stats over the
+  * PRUNED file list: bounds and null counts prefer the file level
+  * (scoped to what this scan actually reads — tighter after partition
+  * or min/max pruning), falling back to ANALYZE's whole-snapshot
+  * values; NDV and histograms come from ANALYZE only. Strings carry
+  * ndv/nullCount but no bounds (the CBO's range estimation is
+  * numeric-only).
+  */
+private[spark] object ColStatsBuild {
+  import org.apache.spark.sql.types._
+
+  def apply(schema: StructType, renames: Map[String, String],
+      kept: Seq[DataFileEntry],
+      analyzed: Map[String, AnalyzedColStats]): Map[String, ColStatV2] =
+    schema.fields.iterator.map { f =>
+      val phys = renames.getOrElse(f.name, f.name)
+      val a = analyzed.get(f.name)
+      val nullsFile =
+        if (kept.nonEmpty && kept.forall(_.nullCounts.contains(phys)))
+          Some(kept.map(_.nullCounts(phys)).sum)
+        else None
+      val fileBounds = reduceBounds(kept, phys, f.dataType)
+      val mn = fileBounds.map(_._1).orElse(a.flatMap(_.min))
+        .flatMap(typed(_, f.dataType))
+      val mx = fileBounds.map(_._2).orElse(a.flatMap(_.max))
+        .flatMap(typed(_, f.dataType))
+      val hist = a.filter(x => x.histBounds.size >= 2 &&
+        x.histNdv.size == x.histBounds.size - 1 && x.histHeight > 0)
+        .map(x => HistV2(x.histHeight, x.histBounds, x.histNdv))
+      f.name -> ColStatV2(a.map(_.ndv), mn, mx,
+        nullsFile.orElse(a.flatMap(_.nullCount)), hist)
+    }.filter(_._2 != ColStatV2()).toMap
+
+  /** (min, max) stat strings over the kept files — only when EVERY
+    * kept file carries the column's bounds (a stats-less file could
+    * hold any value) and the type compares numerically.
+    */
+  private def reduceBounds(kept: Seq[DataFileEntry], phys: String,
+      dt: DataType): Option[(String, String)] = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DateType |
+         TimestampType | TimestampNTZType | DoubleType | FloatType
+        if kept.nonEmpty && kept.forall(f =>
+          f.minValues.contains(phys) && f.maxValues.contains(phys)) =>
+      try Some((kept.map(f => BigDecimal(f.minValues(phys))).min.toString,
+        kept.map(f => BigDecimal(f.maxValues(phys))).max.toString))
+      catch { case _: NumberFormatException => None }
+    case _ => None
+  }
+
+  /** Stat string → the boxed value Spark's CBO expects for `dt`. */
+  private def typed(s: String, dt: DataType): Option[Any] =
+    try dt match {
+      case LongType => Some(java.lang.Long.valueOf(BigDecimal(s).toLongExact))
+      case IntegerType | DateType => // dates: epoch days
+        Some(java.lang.Integer.valueOf(BigDecimal(s).toIntExact))
+      case ShortType => Some(java.lang.Short.valueOf(BigDecimal(s).toShortExact))
+      case ByteType => Some(java.lang.Byte.valueOf(BigDecimal(s).toByteExact))
+      case TimestampType | TimestampNTZType => // epoch micros
+        Some(java.lang.Long.valueOf(BigDecimal(s).toLongExact))
+      case DoubleType => Some(java.lang.Double.valueOf(s.toDouble))
+      case FloatType => Some(java.lang.Float.valueOf(s.toFloat))
+      case _ => None
+    } catch {
+      case _: NumberFormatException | _: ArithmeticException => None
+    }
+}
 
 /** Value identity of a graft scan: the table, the snapshot's file
   * list, the pushed column set, and the pushed filters (attributes

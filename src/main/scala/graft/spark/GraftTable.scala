@@ -223,19 +223,23 @@ class GraftTable(
       eqDeletes = pendingEqDeletes,
       bloomRead = key =>
         if (storage.exists(key)) Some(storage.read(key)) else None,
-      ndvStats = analyzeNdvs)
+      colStats = analyzeColStats)
   }
 
-  /** ANALYZE's per-column distinct counts (logical names), reported as
+  /** ANALYZE's per-column statistics (logical names) — distinct
+    * counts, bounds, null counts, equi-depth histograms — reported as
     * DSv2 column statistics when the statistics file covers THIS
-    * load's pinned snapshot — Spark's CBO reads them for join
-    * reordering and cardinality estimates.
+    * load's pinned snapshot. Spark's CBO reads them for join
+    * reordering, filter selectivity, and cardinality estimates.
     */
-  private def analyzeNdvs: Map[String, Long] =
+  private def analyzeColStats: Map[String, AnalyzedColStats] =
     meta.stats.filter(_.snapshotId == meta.currentSnapshotId).map { st =>
       val toLogical = ColumnMapping.renames(schema).map(_.swap)
-      st.blobs.filter(_.column.nonEmpty).map(b =>
-        toLogical.getOrElse(b.column, b.column) -> b.ndv).toMap
+      st.blobs.filter(_.column.nonEmpty).map { b =>
+        toLogical.getOrElse(b.column, b.column) -> AnalyzedColStats(b.ndv,
+          b.min, b.max, if (b.nullCount >= 0) Some(b.nullCount) else None,
+          b.histBounds.map(_.toDouble), b.histNdv, b.histHeight)
+      }.toMap
     }.getOrElse(Map.empty)
 
   // ---------------- delete (SQL `DELETE FROM`) ----------------

@@ -84,6 +84,119 @@ class AnalyzeSpec extends AnyFunSuite {
     assert(stats.get(0).get("blob-metadata").size() == 3)
   }
 
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) =>
+      k -> (try Some(spark.conf.get(k)) catch { case _: Exception => None })
+    }
+    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("bounds, null counts, equi-depth histograms reach Spark's CBO") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS anz.ns1")
+    spark.sql("CREATE TABLE anz.ns1.t3 (k BIGINT, seg STRING, v DOUBLE, d DATE)")
+    // v is skewed: 90% of rows sit at 1.0, the tail spreads over ~1000
+    // values — exactly the shape equi-depth histograms exist for
+    spark.sql("""INSERT INTO anz.ns1.t3
+                 SELECT id,
+                        CASE WHEN id % 10 = 0 THEN NULL
+                             ELSE concat('s', id % 5) END,
+                        CASE WHEN id % 10 < 9 THEN 1.0
+                             ELSE CAST(id % 1000 AS DOUBLE) END,
+                        DATE '2024-01-01' + CAST(id % 30 AS INT)
+                 FROM range(0, 10000, 1, 4)""")
+    spark.sql("CALL anz.system.analyze_table(namespace => 'ns1', table => 't3')")
+
+    // persisted: stat-string bounds (dates as epoch days), null
+    // counts, 16-bin histogram with explicit height
+    val byCol = meta("t3").stats.get.blobs.map(b => b.column -> b).toMap
+    assert(byCol("k").min.contains("0") && byCol("k").max.contains("9999"))
+    assert(byCol("k").nullCount == 0L)
+    assert(byCol("seg").nullCount == 1000L)
+    assert(byCol("seg").min.isEmpty && byCol("seg").max.isEmpty,
+      "string bounds are not served (CBO range estimation is numeric-only)")
+    assert(byCol("d").min.contains(
+      java.time.LocalDate.of(2024, 1, 1).toEpochDay.toString))
+    assert(byCol("d").max.contains(
+      java.time.LocalDate.of(2024, 1, 30).toEpochDay.toString))
+    val vb = byCol("v")
+    assert(vb.histBounds.size == Maintenance.HistogramBins + 1)
+    assert(vb.histNdv.size == Maintenance.HistogramBins)
+    assert(vb.histHeight == 10000.0 / Maintenance.HistogramBins)
+    // skew shows in the bins: ≥ half of them are the single hot value
+    assert(vb.histBounds.count(_ == 1.0.toString) >=
+      Maintenance.HistogramBins / 2)
+
+    withConf("spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.planStats.enabled" -> "true") {
+      // catalyst consumption: the optimized plan's attribute stats
+      // carry what ANALYZE persisted — Spark accepted the DSv2
+      // ColumnStatistics (min/max typed per column, CBO-compatible)
+      val attrStats = spark.table("anz.ns1.t3")
+        .queryExecution.optimizedPlan.stats.attributeStats
+      def statOf(n: String) = attrStats.find(_._1.name == n).get._2
+      assert(statOf("k").min.contains(0L) && statOf("k").max.contains(9999L))
+      assert(statOf("k").nullCount.contains(BigInt(0)))
+      val kNdv = statOf("k").distinctCount.get
+      assert((kNdv - 10000).abs < BigInt(500),
+        s"theta estimate within 5% of 10000, got $kNdv")
+      assert(statOf("seg").nullCount.contains(BigInt(1000)))
+      assert(statOf("d").min.contains(
+        java.time.LocalDate.of(2024, 1, 1).toEpochDay.toInt))
+      assert(statOf("v").histogram.isDefined, "histogram reached catalyst")
+      assert(statOf("v").histogram.get.bins.length ==
+        Maintenance.HistogramBins)
+
+      // filter selectivity on the skewed column: without the
+      // histogram a v <= 0.5 estimate is min/max-interpolated (~0.1%
+      // of range → but range is [1,999] so ~0 … use v = 1.0 equality:
+      // histogram says ~90%, naive 1/ndv says ~0.1%)
+      val eqEst = spark.table("anz.ns1.t3").filter("v = 1.0")
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      assert(eqEst > BigInt(5000),
+        s"histogram-driven equality estimate should see the hot value, got $eqEst")
+
+      // range selectivity via min/max: k <= 999 is 10% of [0, 9999]
+      val rngEst = spark.table("anz.ns1.t3").filter("k <= 999")
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      assert(rngEst > BigInt(500) && rngEst < BigInt(2000),
+        s"min/max range estimate should land near 1000, got $rngEst")
+    }
+  }
+
+  test("join sizing improves with ANALYZE stats under CBO") {
+    // fact↔dim with a selective dim filter: with NDVs + bounds the
+    // join's output estimate is near truth; without ANALYZE the CBO
+    // falls back to size-derived guesses that overshoot wildly
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS anz.ns1")
+    spark.sql("CREATE TABLE anz.ns1.fact (fk BIGINT, m DOUBLE)")
+    spark.sql("""INSERT INTO anz.ns1.fact
+                 SELECT id % 100, CAST(id AS DOUBLE)
+                 FROM range(0, 20000, 1, 4)""")
+    spark.sql("CREATE TABLE anz.ns1.dim (k BIGINT, tag STRING)")
+    spark.sql("""INSERT INTO anz.ns1.dim
+                 SELECT id, concat('t', id % 4) FROM range(0, 100, 1, 1)""")
+    spark.sql("CALL anz.system.analyze_table(namespace => 'ns1', table => 'fact')")
+    spark.sql("CALL anz.system.analyze_table(namespace => 'ns1', table => 'dim')")
+    withConf("spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.planStats.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      val joined = spark.table("anz.ns1.fact")
+        .join(spark.table("anz.ns1.dim"),
+          org.apache.spark.sql.functions.col("fk") ===
+            org.apache.spark.sql.functions.col("k"))
+        .where("k < 10") // 10% of dim keys → 2000 fact rows
+      val est = joined.queryExecution.optimizedPlan.stats.rowCount.get
+      val actual = joined.count()
+      assert(actual == 2000L)
+      assert(est > BigInt(400) && est < BigInt(10000),
+        s"join estimate should be within ~5x of 2000 with stats, got $est")
+    }
+  }
+
   test("re-analyze replaces; merge-on-read deletes respected; expiry drops") {
     spark.sql("""CREATE TABLE anz.ns1.t2 (k BIGINT, v STRING)
                  TBLPROPERTIES ('graft.delete.mode' = 'merge-on-read')""")

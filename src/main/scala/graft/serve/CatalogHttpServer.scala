@@ -60,12 +60,45 @@ import graft.txn.Transaction
   */
 trait RequestAuthorizer {
   def authorize(method: String, path: String, bearer: Option[String]): Unit
+
+  /** OAuth2 client-credentials exchange (the OpenAPI's
+    * `POST /v1/oauth/tokens`): return a bearer token for a known
+    * client, None to reject with the spec's `invalid_client` error.
+    * The default issues nothing — deployments that want the token
+    * endpoint override BOTH methods in one class (issue here, accept
+    * what was issued in [[authorize]]).
+    */
+  def issueToken(clientId: String, clientSecret: String,
+      scope: Option[String]): Option[String] = None
 }
 
 object RequestAuthorizer {
   object AllowAll extends RequestAuthorizer {
     override def authorize(method: String, path: String,
         bearer: Option[String]): Unit = ()
+  }
+
+  /** The whole client-credentials story in one class: exchanges a
+    * known (client-id, secret) pair for a random bearer and accepts
+    * only bearers it issued. Bind real credential storage / expiry by
+    * replacing this class, nothing else.
+    */
+  final class ClientCredentials(clients: Map[String, String])
+      extends RequestAuthorizer {
+    private val live =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    override def authorize(method: String, path: String,
+        bearer: Option[String]): Unit =
+      if (!bearer.exists(live.contains))
+        throw new CatalogHttpServer.UnauthorizedException(
+          s"bad or missing bearer token for $method $path")
+    override def issueToken(clientId: String, clientSecret: String,
+        scope: Option[String]): Option[String] =
+      if (clients.get(clientId).contains(clientSecret)) {
+        val t = java.util.UUID.randomUUID().toString
+        live.add(t)
+        Some(t)
+      } else None
   }
 }
 
@@ -89,6 +122,14 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0,
     val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
     val iceberg = parts.take(2) == List("v1", "iceberg")
     try {
+      // the token endpoint is the one route a client reaches WITHOUT a
+      // bearer (it's how one is obtained) — OpenAPI `POST /v1/oauth/tokens`
+      if (parts == List("v1", "oauth", "tokens")) {
+        if (ex.getRequestMethod != "POST")
+          reply(ex, 405, """{"error":"unsupported method"}""")
+        else handleOauthTokens(ex)
+        return
+      }
       val bearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
         .filter(_.regionMatches(true, 0, "Bearer ", 0, 7)).map(_.substring(7))
       authorizer.authorize(ex.getRequestMethod,
@@ -121,6 +162,51 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0,
       case e: Exception =>
         reply(ex, 500, s"""{"error":${Json.writeString(String.valueOf(e.getMessage))}}""")
     } finally ex.close()
+  }
+
+  /** OAuth2 client-credentials exchange (OpenAPI `POST /v1/oauth/
+    * tokens`, `application/x-www-form-urlencoded`): delegates to the
+    * [[RequestAuthorizer]] seam, so a deployment's entire auth story —
+    * token issuance AND per-request gating — lives in that one class.
+    * Credentials arrive as `client_id`/`client_secret` params or the
+    * Iceberg client's combined `credential=id:secret` form.
+    */
+  private def handleOauthTokens(ex: HttpExchange): Unit = {
+    val raw = new String(requestBody(ex),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val form: Map[String, String] = raw.split('&').toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(
+          java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8"))
+        case _ => None
+      }
+    }.toMap
+    def oauthError(code: Int, err: String, desc: String): Unit =
+      reply(ex, code, s"""{"error":${Json.writeString(err)},""" +
+        s""""error_description":${Json.writeString(desc)}}""")
+    if (!form.get("grant_type").contains("client_credentials"))
+      return oauthError(400, "unsupported_grant_type",
+        s"expected client_credentials, got ${form.getOrElse("grant_type", "(none)")}")
+    val (id, secret) = form.get("credential") match {
+      case Some(c) => c.split(":", 2) match {
+        case Array(i, s) => (i, s)
+        case _ => ("", c) // spec: a bare credential is the secret
+      }
+      case None =>
+        (form.getOrElse("client_id", ""), form.getOrElse("client_secret", ""))
+    }
+    authorizer.issueToken(id, secret, form.get("scope")) match {
+      case Some(token) =>
+        val scope = form.getOrElse("scope", "catalog")
+        reply(ex, 200, s"""{"access_token":${Json.writeString(token)},""" +
+          s""""token_type":"bearer","expires_in":3600,""" +
+          s""""scope":${Json.writeString(scope)}}""")
+      case None =>
+        ex.getResponseHeaders.set("WWW-Authenticate", "Bearer")
+        oauthError(401, "invalid_client",
+          "unknown client or bad secret (or this deployment issues no tokens)")
+    }
   }
 
   /** Iceberg-REST-catalog routes (PUBLIC Apache Iceberg REST OpenAPI
@@ -240,6 +326,17 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0,
       // surviving file-scan tasks (with their applicable delete
       // files) cross the wire — not the whole manifest tree
       reply(ex, 200, IcebergPlan.plan(storage, ns, t,
+        Json.mapper.readTree(requestBody(ex))))
+    case ("GET", List("namespaces", _, "tables", _, "plan", planId)) =>
+      // FetchPlanningResult: poll a `submitted` plan by id
+      reply(ex, 200, IcebergPlan.fetchPlanningResult(planId))
+    case ("DELETE", List("namespaces", _, "tables", _, "plan", planId)) =>
+      IcebergPlan.cancelPlan(planId)
+      replyEmpty(ex, 204)
+    case ("POST", List("namespaces", _, "tables", _, "tasks")) =>
+      // FetchScanTasksResult: one page of a paginated plan, addressed
+      // by the opaque plan-task token the plan result carried
+      reply(ex, 200, IcebergPlan.fetchScanTasks(
         Json.mapper.readTree(requestBody(ex))))
     case ("HEAD", List("namespaces", ns, "tables", t)) =>
       val exists = withReadTxn(txn => Graft.tableExists(storage, txn, ns, t))

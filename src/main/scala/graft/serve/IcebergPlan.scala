@@ -197,10 +197,95 @@ object IcebergPlan {
     } catch { case _: Exception => None }
   }
 
+  // ---- plan store: async polling + paged task fetches ----
+
+  /** Tasks per page of a paginated plan result; override per table
+    * with `graft.plan.page-size`.
+    */
+  val PageSizeDefault = 1000
+  val PageSizeProp = "graft.plan.page-size"
+
+  /** Data-file count above which the plan answers `submitted` +
+    * plan-id instead of a synchronous body; override per table with
+    * `graft.plan.async-threshold`. At 100 TB a million-task plan in
+    * one response is a driver-side bottleneck on BOTH ends — the
+    * submitted/poll/paged-fetch shape is the spec's pressure valve.
+    */
+  val AsyncThresholdDefault = 100000
+  val AsyncThresholdProp = "graft.plan.async-threshold"
+
+  /** One fully-planned scan retained for plan-id polling and paged
+    * task fetches (pages pre-serialized — a fetch is a map lookup).
+    * Single-JVM store with a bounded window; a multi-server deployment
+    * would key the same strings in a shared cache. Planning itself is
+    * synchronous even for `submitted` responses — the protocol shape,
+    * not the compute venue, is what keeps a million-task plan from
+    * shipping as one JSON body; a real worker pool slots in behind
+    * [[register]] without changing any route.
+    */
+  private final case class StoredPlan(resultJson: String,
+      pages: IndexedSeq[String], var cancelled: Boolean = false)
+
+  private val MaxStoredPlans = 128
+  private val plans = new java.util.LinkedHashMap[String, StoredPlan](
+      16, 0.75f, false) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, StoredPlan]): Boolean =
+      size() > MaxStoredPlans
+  }
+
+  private def newPlanId(): String = java.util.UUID.randomUUID().toString
+
+  private def register(id: String, p: StoredPlan): Unit =
+    plans.synchronized { plans.put(id, p); () }
+
+  private def stored(planId: String): StoredPlan = {
+    val p = plans.synchronized(plans.get(planId))
+    if (p == null) throw new NoSuchElementException(
+      s"no such plan: $planId (expired or never submitted)")
+    p
+  }
+
+  /** `GET .../plan/{plan-id}` — FetchPlanningResult. */
+  def fetchPlanningResult(planId: String): String = {
+    val p = stored(planId)
+    if (p.cancelled) """{"plan-status":"cancelled"}""" else p.resultJson
+  }
+
+  /** `DELETE .../plan/{plan-id}` — cancel planning. */
+  def cancelPlan(planId: String): Unit = stored(planId).cancelled = true
+
+  /** `POST .../tasks` — FetchScanTasksResult for one opaque
+    * plan-task token.
+    */
+  def fetchScanTasks(body: JsonNode): String = {
+    val token = Option(body.get("plan-task")).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException("fetch-tasks needs a plan-task"))
+    val decoded = new String(java.util.Base64.getUrlDecoder.decode(token),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val (planId, idx) = decoded.lastIndexOf('#') match {
+      case -1 => throw new IllegalArgumentException(
+        s"malformed plan-task token")
+      case i => (decoded.substring(0, i), decoded.substring(i + 1).toInt)
+    }
+    val p = stored(planId)
+    require(!p.cancelled, s"plan $planId was cancelled")
+    if (idx < 0 || idx >= p.pages.size) throw new NoSuchElementException(
+      s"no such plan task page: $idx")
+    p.pages(idx)
+  }
+
+  private def taskToken(planId: String, idx: Int): String =
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
+      s"$planId#$idx".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   // ---- the endpoint ----
 
-  /** Handle one PlanTableScanRequest; returns the completed
-    * PlanTableScanResult JSON. IllegalArgumentException → HTTP 400.
+  /** Handle one PlanTableScanRequest; returns the PlanTableScanResult
+    * JSON — `completed` with inline tasks (small plans), `completed`
+    * with opaque `plan-tasks` tokens (paginated past the table's page
+    * size), or `submitted` + plan-id (past the async threshold).
+    * IllegalArgumentException → HTTP 400.
     */
   def plan(storage: StorageOps, ns: String, t: String,
       body: JsonNode): String = {
@@ -219,11 +304,13 @@ object IcebergPlan {
     val snapId =
       if (body.hasNonNull("snapshot-id")) body.get("snapshot-id").asLong()
       else meta.currentSnapshotId
-    val out = Json.mapper.createObjectNode()
-    out.put("plan-status", "completed")
-    val tasks = out.putArray("file-scan-tasks")
-    val deleteArr = out.putArray("delete-files")
-    if (snapId < 0) return out.toString // empty table: zero tasks
+    if (snapId < 0) { // empty table: zero tasks
+      val out = Json.mapper.createObjectNode()
+      out.put("plan-status", "completed")
+      out.putArray("file-scan-tasks")
+      out.putArray("delete-files")
+      return out.toString
+    }
     val snap = meta.snapshots.find(_.id == snapId).getOrElse(
       throw new IllegalArgumentException(s"no such snapshot: $snapId"))
     require(!IcebergManifests.unservable(snap),
@@ -339,8 +426,8 @@ object IcebergPlan {
     val dataEntries = all.filter(_.content == 0)
     // delete files index (order stable: manifest order)
     val deleteIdx = deletes.zipWithIndex
-    deleteIdx.foreach { case (d, _) =>
-      deleteArr.add(contentFileJson(d.df, d.content))
+    val deleteNodes = deleteIdx.map { case (d, _) =>
+      contentFileJson(d.df, d.content)
     }
     def partTuple(df: org.apache.avro.generic.GenericRecord): String =
       IcebergCommits.opt(df, "partition") match {
@@ -356,13 +443,15 @@ object IcebergPlan {
     val deleteTuples = deleteIdx.map { case (d, i) =>
       (d, i, if (partCols.isEmpty) "" else partTuple(d.df))
     }
+    val taskNodes = Seq.newBuilder[ObjectNode]
     var kept = 0
     dataEntries.foreach { e =>
       val abs = IcebergCommits.req(e.df, "file_path").toString
       if (mightMatch(filter, factsFor(abs))) {
         kept += 1
         val eTuple = if (partCols.isEmpty) "" else partTuple(e.df)
-        val task = tasks.addObject()
+        val task = Json.mapper.createObjectNode()
+        taskNodes += task
         task.set("data-file", contentFileJson(e.df, 0))
         val refs = task.putArray("delete-file-references")
         deleteTuples.foreach { case (d, i, dTuple) =>
@@ -383,7 +472,53 @@ object IcebergPlan {
           }
       }
     }
-    out.put("pruned-data-files", dataEntries.size - kept)
-    out.toString
+    val pageSize = td.properties.get(PageSizeProp).map(_.toInt)
+      .getOrElse(PageSizeDefault)
+    val asyncThreshold = td.properties.get(AsyncThresholdProp).map(_.toInt)
+      .getOrElse(AsyncThresholdDefault)
+    assemble(taskNodes.result(), deleteNodes, dataEntries.size - kept,
+      pageSize, async = dataEntries.size > asyncThreshold)
+  }
+
+  /** Shape the response: inline tasks when the plan is small, opaque
+    * `plan-tasks` tokens past the page size, `submitted` + plan-id
+    * past the async threshold. Every page is a self-contained
+    * FetchScanTasksResult — its tasks reference delete files by index
+    * into ITS OWN delete-files array.
+    */
+  private def assemble(taskNodes: Seq[ObjectNode],
+      deleteNodes: Seq[ObjectNode], pruned: Int, pageSize: Int,
+      async: Boolean): String = {
+    def withDeletes(n: ObjectNode): ObjectNode = {
+      val da = n.putArray("delete-files")
+      deleteNodes.foreach(da.add)
+      n
+    }
+    if (!async && taskNodes.lengthCompare(pageSize) <= 0) {
+      val out = Json.mapper.createObjectNode()
+      out.put("plan-status", "completed")
+      val ta = out.putArray("file-scan-tasks")
+      taskNodes.foreach(ta.add)
+      withDeletes(out)
+      out.put("pruned-data-files", pruned)
+      return out.toString
+    }
+    val pagesJson = (if (taskNodes.isEmpty) IndexedSeq(Seq.empty[ObjectNode])
+      else taskNodes.grouped(pageSize).toIndexedSeq).map { g =>
+      val pn = Json.mapper.createObjectNode()
+      val ta = pn.putArray("file-scan-tasks")
+      g.foreach(ta.add)
+      withDeletes(pn).toString
+    }
+    val planId = newPlanId()
+    val result = Json.mapper.createObjectNode()
+    result.put("plan-status", "completed")
+    val pt = result.putArray("plan-tasks")
+    pagesJson.indices.foreach(i => pt.add(taskToken(planId, i)))
+    withDeletes(result)
+    result.put("pruned-data-files", pruned)
+    register(planId, StoredPlan(result.toString, pagesJson))
+    if (async) s"""{"plan-status":"submitted","plan-id":"$planId"}"""
+    else result.toString
   }
 }

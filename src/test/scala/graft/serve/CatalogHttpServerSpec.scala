@@ -147,4 +147,64 @@ class CatalogHttpServerSpec extends AnyFunSuite {
       assert(getAuth("/v1/iceberg/namespaces", Some("sesame"))._1 == 200)
     } finally server.stop()
   }
+
+  test("OAuth client-credentials: exchange, gate, reject — one seam class") {
+    val storage = spark.sessionState.catalogManager.catalog("hc")
+      .asInstanceOf[GraftCatalog].storage
+    val server = new CatalogHttpServer(storage,
+      authorizer = new RequestAuthorizer.ClientCredentials(
+        Map("svc-etl" -> "s3cret")))
+    val port = server.start()
+    try {
+      def postForm(body: String): (Int, String) = {
+        val res = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/v1/oauth/tokens"))
+          .header("Content-Type", "application/x-www-form-urlencoded")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (res.statusCode(), res.body())
+      }
+      def getAuth(path: String, token: Option[String]): Int = {
+        val b = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port$path"))
+        token.foreach(t => b.header("Authorization", s"Bearer $t"))
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+          .statusCode()
+      }
+      // without a token every route is closed — except the token
+      // endpoint itself (it's how a token is obtained)
+      assert(getAuth("/v1/namespaces", None) == 401)
+      assert(getAuth("/v1/iceberg/namespaces", None) == 401)
+
+      // bad grant type → OAuth error shape, 400
+      val (cg, bg) = postForm("grant_type=password&client_id=svc-etl")
+      assert(cg == 400 && bg.contains("unsupported_grant_type"), s"$cg $bg")
+      // wrong secret → invalid_client, 401
+      val (cw, bw) = postForm(
+        "grant_type=client_credentials&client_id=svc-etl&client_secret=nope")
+      assert(cw == 401 && bw.contains("invalid_client"), s"$cw $bw")
+      // unknown client via the combined credential form → 401
+      assert(postForm(
+        "grant_type=client_credentials&credential=ghost:boo")._1 == 401)
+
+      // the real exchange: bearer out, spec response shape
+      val (co, bo) = postForm("grant_type=client_credentials" +
+        "&client_id=svc-etl&client_secret=s3cret&scope=catalog")
+      assert(co == 200, bo)
+      val tok = graft.objects.Json.mapper.readTree(bo)
+      assert(tok.get("token_type").asText() == "bearer")
+      assert(tok.get("scope").asText() == "catalog")
+      val bearer = tok.get("access_token").asText()
+      assert(bearer.nonEmpty)
+      // the issued token opens native AND Iceberg routes; fakes don't
+      assert(getAuth("/v1/namespaces", Some(bearer)) == 200)
+      assert(getAuth("/v1/iceberg/namespaces", Some(bearer)) == 200)
+      assert(getAuth("/v1/iceberg/namespaces", Some("forged")) == 401)
+
+      // the combined credential form also exchanges
+      val (cc, bc) = postForm(
+        "grant_type=client_credentials&credential=svc-etl:s3cret")
+      assert(cc == 200, bc)
+    } finally server.stop()
+  }
 }

@@ -164,6 +164,121 @@ class IcebergPlanSpec extends AnyFunSuite {
     }
   }
 
+  private def httpGet(port: Int, path: String): (Int, String) = {
+    val res = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (res.statusCode(), res.body())
+  }
+
+  private def httpDelete(port: Int, path: String): Int =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .DELETE().build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode()
+
+  private def postTasks(port: Int, ns: String, t: String,
+      token: String): (Int, String) = {
+    val res = client.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$port/v1/iceberg/namespaces/$ns/tables/$t/tasks"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          s"""{"plan-task":"$token"}""")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (res.statusCode(), res.body())
+  }
+
+  test("async plan: submitted → poll plan-id → paged task fetches → cancel") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ipl.ns6")
+    spark.sql("""CREATE TABLE ipl.ns6.big (k BIGINT, v DOUBLE)
+                 TBLPROPERTIES ('graft.plan.page-size' = '3',
+                                'graft.plan.async-threshold' = '5')""")
+    spark.range(1000)
+      .select(col("id").as("k"), (col("id") * 1.0).as("v"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .writeTo("ipl.ns6.big").append()
+    withServer { port =>
+      // past the async threshold: the response is submitted + plan-id,
+      // never a task inventory in the POST body
+      val (c, resp) = postPlan(port, "ns6", "big", "{}")
+      assert(c == 200, resp)
+      val n = Json.mapper.readTree(resp)
+      assert(n.path("plan-status").asText() == "submitted")
+      val planId = n.path("plan-id").asText()
+      assert(planId.nonEmpty)
+
+      // poll: completed, tasks addressed by opaque plan-task tokens
+      // (8 files / page-size 3 → 3 pages), nothing inline
+      val base = s"/v1/iceberg/namespaces/ns6/tables/big/plan/$planId"
+      val (gc, gresp) = httpGet(port, base)
+      assert(gc == 200, gresp)
+      val plan = Json.mapper.readTree(gresp)
+      assert(plan.path("plan-status").asText() == "completed")
+      assert(!plan.has("file-scan-tasks"))
+      val tokens = plan.get("plan-tasks")
+      assert(tokens != null && tokens.size() == 3, gresp)
+      assert(plan.path("pruned-data-files").asInt() == 0)
+
+      // fetch every page: sizes 3+3+2, paths disjoint, union complete,
+      // and the data reconstructs from the paged inventory alone
+      val paths = (0 until tokens.size()).flatMap { i =>
+        val (tc, tresp) = postTasks(port, "ns6", "big",
+          tokens.get(i).asText())
+        assert(tc == 200, tresp)
+        val page = Json.mapper.readTree(tresp)
+        val ts = page.get("file-scan-tasks")
+        assert(ts.size() <= 3 && ts.size() > 0)
+        assert(page.has("delete-files"), "pages are self-contained")
+        (0 until ts.size()).map(j =>
+          ts.get(j).get("data-file").get("file-path").asText())
+      }
+      assert(paths.size == 8 && paths.distinct.size == 8)
+      assert(spark.read.parquet(paths: _*).count() == 1000)
+
+      // bogus token → 400 (malformed) / unknown page → 404
+      assert(postTasks(port, "ns6", "big", "notatoken")._1 == 400)
+      // unknown plan id → 404
+      assert(httpGet(port,
+        "/v1/iceberg/namespaces/ns6/tables/big/plan/nope")._1 == 404)
+
+      // cancel: poll flips to cancelled, page fetches refuse
+      assert(httpDelete(port, base) == 204)
+      val (cc, cresp) = httpGet(port, base)
+      assert(cc == 200 &&
+        Json.mapper.readTree(cresp).path("plan-status").asText() == "cancelled")
+      assert(postTasks(port, "ns6", "big", tokens.get(0).asText())._1 == 400)
+    }
+  }
+
+  test("paginated sync plan: completed with plan-tasks under the threshold") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ipl.ns7")
+    spark.sql("""CREATE TABLE ipl.ns7.paged (k BIGINT)
+                 TBLPROPERTIES ('graft.plan.page-size' = '2')""")
+    spark.range(100).select(col("id").as("k"))
+      .repartitionByRange(5, col("k")).sortWithinPartitions("k")
+      .writeTo("ipl.ns7.paged").append()
+    withServer { port =>
+      // 5 files > page-size 2, below the (default) async threshold:
+      // synchronous completed result, paged task inventory
+      val (c, resp) = postPlan(port, "ns7", "paged", "{}")
+      assert(c == 200, resp)
+      val plan = Json.mapper.readTree(resp)
+      assert(plan.path("plan-status").asText() == "completed")
+      assert(!plan.has("file-scan-tasks"))
+      val tokens = plan.get("plan-tasks")
+      assert(tokens.size() == 3) // 2+2+1
+      val total = (0 until tokens.size()).map { i =>
+        val (tc, tresp) = postTasks(port, "ns7", "paged",
+          tokens.get(i).asText())
+        assert(tc == 200, tresp)
+        Json.mapper.readTree(tresp).get("file-scan-tasks").size()
+      }.sum
+      assert(total == 5)
+    }
+  }
+
   test("snapshot-id plans the older inventory") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ipl.ns5")
     spark.sql("CREATE TABLE ipl.ns5.tt (k BIGINT)")

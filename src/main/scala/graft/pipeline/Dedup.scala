@@ -574,13 +574,43 @@ object Dedup {
         // precision is exact; clustering only affects recall, graded
         // by dd12. Output: the DROP decisions — for each vector with
         // a same-cell smaller-id duplicate at cosine >= 0.35, the
-        // smallest such neighbor is kept as its survivor.
+        // smallest such neighbor is kept as its survivor. Centroids
+        // are PINNED deterministically (see semdedupPairs), so the
+        // oracle reconstructs the identical clustering in DuckDB and
+        // the drop set grades exactly, not just by recall.
         semdedupPairs(s, d)
           .groupBy(col("drop").as("vec_id"))
           .agg(min("keep").as("survivor"))
           .orderBy("vec_id")
       },
-      None),
+      Some("""WITH p AS (
+             |  SELECT greatest(4, CAST(round(sqrt(count(*))) AS BIGINT) // 4)
+             |           AS nlist
+             |  FROM embeddings),
+             |seeds AS (
+             |  SELECT vec_id AS cid, embedding
+             |  FROM embeddings
+             |  QUALIFY row_number() OVER (
+             |      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id)
+             |    <= (SELECT nlist FROM p)),
+             |assign AS (
+             |  SELECT e.vec_id, s.cid,
+             |         row_number() OVER (PARTITION BY e.vec_id
+             |           ORDER BY list_cosine_similarity(
+             |             e.embedding::DOUBLE[], s.embedding::DOUBLE[]) DESC,
+             |             s.cid) AS rk
+             |  FROM embeddings e, seeds s),
+             |cells AS (SELECT vec_id, cid FROM assign WHERE rk <= 2),
+             |pairs AS (
+             |  SELECT DISTINCT ca.vec_id AS keep_id, cb.vec_id AS drop_id
+             |  FROM cells ca
+             |  JOIN cells cb ON ca.cid = cb.cid AND ca.vec_id < cb.vec_id
+             |  JOIN embeddings a ON a.vec_id = ca.vec_id
+             |  JOIN embeddings b ON b.vec_id = cb.vec_id
+             |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+             |              b.embedding::DOUBLE[]), 4) >= 0.35)
+             |SELECT drop_id AS vec_id, min(keep_id) AS survivor
+             |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     QueryDef(
       "dd12_semdedup_recall",
@@ -923,10 +953,24 @@ object Dedup {
     require(nlist <= nlistMax,
       s"spark.graft.semdedup.nlist = $nlist exceeds the driver-held " +
         s"centroid ceiling $nlistMax")
-    val centroids = Similarity.trainCentroids(e, nlist)
+    // PINNED deterministic centroids: the nlist corpus vectors
+    // smallest under a fixed multiplicative spread of vec_id (Knuth's
+    // 2654435761) are the cell centers VERBATIM — no Lloyd float
+    // averaging, so the clustering is integer-reproducible and dd11's
+    // drop decisions grade EXACTLY against a DuckDB reconstruction
+    // (assignment ties break by centroid id in both engines; the
+    // cosine loops are sequential double accumulation on both sides).
+    // Lloyd-trained quality stays graded where the trainer lives
+    // (ss03/ss07 recall gates); dd12 still gates THIS clustering.
+    val seeds = e
+      .orderBy((col("vec_id") * lit(2654435761L)) % lit(4294967296L),
+        col("vec_id"))
+      .limit(nlist) // centroid-sized by construction (≤ nlist-max)
+      .collect()
     val indexed = e.withColumn("cell",
       explode(GraftFunctions.nearestCentroids(col("embedding"),
-        centroids.map(_._2).toSeq, centroids.map(_._1).toSeq, 2)))
+        seeds.toSeq.map(r => r.getSeq[Float](1).map(_.toDouble)),
+        seeds.toSeq.map(_.getLong(0)), 2)))
     val cos =
       round(GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")), 4)
     blockedPairJoin(indexed, "vec_id", 4)(

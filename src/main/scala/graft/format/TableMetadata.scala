@@ -81,7 +81,11 @@ final case class StatsBlobRef(
     @com.fasterxml.jackson.databind.annotation.JsonDeserialize(
       contentAs = classOf[java.lang.Long])
     histNdv: Seq[Long] = Seq.empty,
-    histHeight: Double = 0.0)
+    histHeight: Double = 0.0,
+    // value widths of variable-length columns (-1 = n/a): CBO row-size
+    // estimates on string-heavy tables
+    avgLen: Long = -1L,
+    maxLen: Long = -1L)
 
 final case class Snapshot(
     id: Long,

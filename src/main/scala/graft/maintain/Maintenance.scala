@@ -416,6 +416,13 @@ object Maintenance {
         if (histable(f.dataType))
           F.percentile_approx(c.cast(DoubleType),
             F.lit(probs.toArray), F.lit(10000))
+        else F.lit(null),
+        // value widths for variable-length columns (CBO row-size
+        // estimates — broadcast thresholds on string-heavy tables);
+        // fixed-width types derive their width from the type
+        if (f.dataType == StringType) F.avg(F.length(c)) else F.lit(null),
+        if (f.dataType == StringType)
+          F.max(F.length(c)).cast(LongType)
         else F.lit(null))
     } :+ F.count(F.lit(1))
     val bRow = df.agg(boundsAggs.head, boundsAggs.tail: _*).collect()(0)
@@ -437,9 +444,9 @@ object Maintenance {
       case _ => None
     }
     val histBoundsOf: Map[Int, Seq[Double]] = cols.indices.flatMap { i =>
-      if (!histable(cols(i).dataType) || bRow.isNullAt(4 * i + 3)) None
+      if (!histable(cols(i).dataType) || bRow.isNullAt(6 * i + 3)) None
       else {
-        val bs = bRow.getSeq[Double](4 * i + 3)
+        val bs = bRow.getSeq[Double](6 * i + 3)
         // a (near-)constant column has nothing to histogram
         if (bs.distinct.size < 2) None else Some(i -> bs)
       }
@@ -472,21 +479,26 @@ object Maintenance {
       val bytes = merged(i)
       val ndv = math.round(Sketch.wrap(Memory.wrap(bytes)).getEstimate)
       val phys = graft.spark.ColumnMapping.physicalName(cols(i))
-      val nulls = if (bRow.isNullAt(4 * i + 2)) 0L // empty table: sum is null
-        else bRow.getLong(4 * i + 2)
+      val nulls = if (bRow.isNullAt(6 * i + 2)) 0L // empty table: sum is null
+        else bRow.getLong(6 * i + 2)
       // strings are excluded from served bounds (CBO range estimation
       // is numeric-only; file-level stats already carry string bounds)
       val (mn, mx) = cols(i).dataType match {
         case StringType => (None, None)
-        case _ => (enc(bRow.get(4 * i)), enc(bRow.get(4 * i + 1)))
+        case _ => (enc(bRow.get(6 * i)), enc(bRow.get(6 * i + 1)))
       }
+      val avgLen =
+        if (bRow.isNullAt(6 * i + 4)) -1L
+        else math.round(bRow.getDouble(6 * i + 4))
+      val maxLen =
+        if (bRow.isNullAt(6 * i + 5)) -1L else bRow.getLong(6 * i + 5)
       val hb = histBoundsOf.getOrElse(i, Seq.empty)
       val hn = if (hb.isEmpty) Seq.empty[Long]
         else (0 until HistogramBins).map(j => binNdv.getOrElse((i, j), 0L))
       val hh = if (hb.isEmpty) 0.0
         else (logicalRows - nulls).toDouble / HistogramBins
       AnalyzeCol(cols(i).name, fieldIds.getOrElse(phys, i + 1), bytes, ndv,
-        phys, mn, mx, nulls, hb.map(_.toString), hn, hh)
+        phys, mn, mx, nulls, hb.map(_.toString), hn, hh, avgLen, maxLen)
     }
     val puffin = graft.format.Puffin.write(
       results.map { r =>
@@ -494,6 +506,8 @@ object Maintenance {
           snapId, seq, r.bytes,
           Map("ndv" -> r.ndv.toString, "null_count" -> r.nulls.toString) ++
             r.min.map("lower_bound" -> _) ++ r.max.map("upper_bound" -> _) ++
+            (if (r.avgLen >= 0) Map("avg_len" -> r.avgLen.toString,
+              "max_len" -> r.maxLen.toString) else Map.empty[String, String]) ++
             (if (r.histBounds.isEmpty) Map.empty[String, String]
              else Map("histogram-bounds" -> r.histBounds.mkString(","),
                "histogram-ndv" -> r.histNdv.mkString(","),
@@ -507,7 +521,7 @@ object Maintenance {
       results.map { r =>
         graft.format.StatsBlobRef("apache-datasketches-theta-v1", Seq(r.fid),
           seq, r.ndv, r.phys, r.min, r.max, r.nulls,
-          r.histBounds, r.histNdv, r.histHeight)
+          r.histBounds, r.histNdv, r.histHeight, r.avgLen, r.maxLen)
       })
     commitMetaEdit(cat, ns, t, "analyze", Some(txn))((_, _, m) =>
       m.copy(stats = Some(ref)))
@@ -524,7 +538,7 @@ object Maintenance {
   private final case class AnalyzeCol(name: String, fid: Int,
       bytes: Array[Byte], ndv: Long, phys: String, min: Option[String],
       max: Option[String], nulls: Long, histBounds: Seq[String],
-      histNdv: Seq[Long], histHeight: Double)
+      histNdv: Seq[Long], histHeight: Double, avgLen: Long, maxLen: Long)
 
   /** Above this many live files the data-dir orphan scan runs as a
     * Spark job (prefix-parallel LIST + shuffle anti-join) instead of

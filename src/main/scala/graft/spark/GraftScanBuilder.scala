@@ -578,6 +578,12 @@ private[spark] trait DelegatedStatistics
               override def nullCount(): java.util.OptionalLong =
                 cs.nullCount.map(java.util.OptionalLong.of)
                   .getOrElse(java.util.OptionalLong.empty())
+              override def avgLen(): java.util.OptionalLong =
+                cs.avgLen.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
+              override def maxLen(): java.util.OptionalLong =
+                cs.maxLen.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
               override def histogram(): java.util.Optional[Histogram] =
                 cs.hist.map { h =>
                   java.util.Optional.of(new Histogram {
@@ -625,7 +631,8 @@ private[spark] case class ExactScanStats(rows: Long, bytes: Long,
 private[graft] case class AnalyzedColStats(ndv: Long,
     min: Option[String], max: Option[String], nullCount: Option[Long],
     histBounds: Seq[Double] = Seq.empty, histNdv: Seq[Long] = Seq.empty,
-    histHeight: Double = 0.0)
+    histHeight: Double = 0.0, avgLen: Option[Long] = None,
+    maxLen: Option[Long] = None)
 
 /** One column's statistics as served to Spark — min/max already boxed
   * in the CBO's expected representation (numerics as themselves, dates
@@ -634,7 +641,8 @@ private[graft] case class AnalyzedColStats(ndv: Long,
   */
 private[spark] case class ColStatV2(ndv: Option[Long] = None,
     min: Option[Any] = None, max: Option[Any] = None,
-    nullCount: Option[Long] = None, hist: Option[HistV2] = None)
+    nullCount: Option[Long] = None, hist: Option[HistV2] = None,
+    avgLen: Option[Long] = None, maxLen: Option[Long] = None)
 
 private[spark] case class HistV2(height: Double, bounds: Seq[Double],
     binNdv: Seq[Long])
@@ -669,7 +677,8 @@ private[spark] object ColStatsBuild {
         x.histNdv.size == x.histBounds.size - 1 && x.histHeight > 0)
         .map(x => HistV2(x.histHeight, x.histBounds, x.histNdv))
       f.name -> ColStatV2(a.map(_.ndv), mn, mx,
-        nullsFile.orElse(a.flatMap(_.nullCount)), hist)
+        nullsFile.orElse(a.flatMap(_.nullCount)), hist,
+        a.flatMap(_.avgLen), a.flatMap(_.maxLen))
     }.filter(_._2 != ColStatV2()).toMap
 
   /** (min, max) stat strings over the kept files — only when EVERY

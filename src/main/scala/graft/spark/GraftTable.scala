@@ -238,7 +238,9 @@ class GraftTable(
       st.blobs.filter(_.column.nonEmpty).map { b =>
         toLogical.getOrElse(b.column, b.column) -> AnalyzedColStats(b.ndv,
           b.min, b.max, if (b.nullCount >= 0) Some(b.nullCount) else None,
-          b.histBounds.map(_.toDouble), b.histNdv, b.histHeight)
+          b.histBounds.map(_.toDouble), b.histNdv, b.histHeight,
+          if (b.avgLen >= 0) Some(b.avgLen) else None,
+          if (b.maxLen >= 0) Some(b.maxLen) else None)
       }.toMap
     }.getOrElse(Map.empty)
 

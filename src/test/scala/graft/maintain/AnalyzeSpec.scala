@@ -122,6 +122,9 @@ class AnalyzeSpec extends AnyFunSuite {
       java.time.LocalDate.of(2024, 1, 1).toEpochDay.toString))
     assert(byCol("d").max.contains(
       java.time.LocalDate.of(2024, 1, 30).toEpochDay.toString))
+    // string widths: seg is 's0'..'s4' (2 chars) where non-null
+    assert(byCol("seg").avgLen == 2L && byCol("seg").maxLen == 2L)
+    assert(byCol("k").avgLen == -1L, "widths only for variable-length types")
     val vb = byCol("v")
     assert(vb.histBounds.size == Maintenance.HistogramBins + 1)
     assert(vb.histNdv.size == Maintenance.HistogramBins)
@@ -144,6 +147,8 @@ class AnalyzeSpec extends AnyFunSuite {
       assert((kNdv - 10000).abs < BigInt(500),
         s"theta estimate within 5% of 10000, got $kNdv")
       assert(statOf("seg").nullCount.contains(BigInt(1000)))
+      assert(statOf("seg").avgLen.contains(2L) &&
+        statOf("seg").maxLen.contains(2L))
       assert(statOf("d").min.contains(
         java.time.LocalDate.of(2024, 1, 1).toEpochDay.toInt))
       assert(statOf("v").histogram.isDefined, "histogram reached catalyst")

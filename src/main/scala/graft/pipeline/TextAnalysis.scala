@@ -883,9 +883,11 @@ object TextAnalysis {
             .collect()(0)
           val (pair, n) = (top.getString(0), top.getLong(1))
           val merged = pair.replace(" ", "")
+          val prev = segs
           segs = segs.withColumn("seg",
               expr(s"trim(replace(concat(' ', seg, ' '), ' $pair ', ' $merged '))"))
             .localCheckpoint() // truncate the per-iteration plan lineage
+          prev.unpersist() // superseded checkpoint leaves the cache
           (k.toLong, pair, merged, n)
         }
         import s.implicits._
@@ -955,9 +957,11 @@ object TextAnalysis {
             .collect()(0)
           val pair = top.getString(0)
           val merged = pair.replace(" ", "")
+          val prev = segs
           segs = segs.withColumn("seg",
               expr(s"trim(replace(concat(' ', seg, ' '), ' $pair ', ' $merged '))"))
             .localCheckpoint()
+          prev.unpersist() // superseded checkpoint leaves the cache
         }
         val tok = segs.select(col("word"),
           size(split(col("seg"), " ")).cast("bigint").as("n_tok"),

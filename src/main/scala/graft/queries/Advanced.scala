@@ -918,6 +918,12 @@ object Advanced {
           .join(deg, edges("src") === deg("node"))
           .select(col("src"), col("dst"), col("deg"))
           .localCheckpoint()
+        // superseded checkpoints unpersist as soon as their successor
+        // is materialized (localCheckpoint is eager) — same storage
+        // discipline as the CC loop. Only the per-EDGE frames matter
+        // (millions of cached rows at scale); the final rank stays
+        // cached for the caller's collect.
+        edges.unpersist()
         var rank = deg
           .select(col("node"), round(lit(1.0) / n, 10).as("rank"))
           .localCheckpoint()
@@ -927,6 +933,7 @@ object Advanced {
           // keeps the big side map-side every iteration — only the
           // per-destination partial sums shuffle. (Past broadcast
           // scale, partition-align edges and rank on src instead.)
+          val prev = rank
           rank = edgesDeg
             .join(broadcast(rank), edgesDeg("src") === rank("node"))
             .select(col("dst"),
@@ -937,7 +944,10 @@ object Advanced {
               lit(0.85) * sum("cb").cast("double"), 10).as("rank"))
             .withColumnRenamed("dst", "node")
             .localCheckpoint()
+          prev.unpersist()
         }
+        deg.unpersist()
+        edgesDeg.unpersist()
         rank.select(col("node"),
             when(pmod(col("node"), lit(10)) === 1, "customer")
               .otherwise("supplier").as("kind"),

@@ -405,8 +405,22 @@ object Maintenance {
     import org.apache.spark.sql.{functions => F}
     def histable(dt: DataType): Boolean = dt match {
       case LongType | IntegerType | ShortType | ByteType | DoubleType |
-           FloatType => true
+           FloatType | DateType | TimestampType | TimestampNTZType => true
       case _ => false
+    }
+    // histogram input as a double in the column's CATALYST-internal
+    // scale — dates as epoch days, timestamps as epoch micros — so
+    // the persisted bin bounds compare directly against the internal
+    // values the CBO's estimation converts filter literals to. Time
+    // columns are THE pruning columns of a 100 TB corpus; histograms
+    // on them size date-range scans, not just numeric ones.
+    def histInput(f: org.apache.spark.sql.types.StructField)
+        : org.apache.spark.sql.Column = f.dataType match {
+      case DateType => F.unix_date(F.col(f.name)).cast(DoubleType)
+      case TimestampType => F.unix_micros(F.col(f.name)).cast(DoubleType)
+      case TimestampNTZType => // UTC session: NTZ → LTZ cast is lossless
+        F.unix_micros(F.col(f.name).cast(TimestampType)).cast(DoubleType)
+      case _ => F.col(f.name).cast(DoubleType)
     }
     val probs = (0 to HistogramBins).map(_.toDouble / HistogramBins)
     val boundsAggs = cols.flatMap { f =>
@@ -414,7 +428,7 @@ object Maintenance {
       Seq(F.min(c), F.max(c),
         F.sum(F.when(c.isNull, 1L).otherwise(0L)),
         if (histable(f.dataType))
-          F.percentile_approx(c.cast(DoubleType),
+          F.percentile_approx(histInput(f),
             F.lit(probs.toArray), F.lit(10000))
         else F.lit(null),
         // value widths for variable-length columns (CBO row-size
@@ -451,20 +465,18 @@ object Maintenance {
         if (bs.distinct.size < 2) None else Some(i -> bs)
       }
     }.toMap
-    def binExpr(c: org.apache.spark.sql.Column, bs: Seq[Double])
-        : org.apache.spark.sql.Column = {
-      val v = c.cast(DoubleType)
+    def binExpr(v: org.apache.spark.sql.Column, bs: Seq[Double])
+        : org.apache.spark.sql.Column =
       // bin j ⇔ value ≤ boundary j+1 (first match wins); values above
       // the last boundary (approx-percentile drift) land in the top bin
       bs.tail.dropRight(1).zipWithIndex
         .foldRight(F.lit(bs.size - 2)) { case ((b, j), rest) =>
           F.when(v <= b, j).otherwise(rest)
         }
-    }
     val histEntries = histBoundsOf.toSeq.sortBy(_._1).map { case (i, bs) =>
       F.struct(F.lit(i).as("ci"),
-        binExpr(F.col(cols(i).name), bs).as("bin"),
-        F.col(cols(i).name).cast(DoubleType).as("v"))
+        binExpr(histInput(cols(i)), bs).as("bin"),
+        histInput(cols(i)).as("v"))
     }
     val binNdv: Map[(Int, Int), Long] =
       if (histEntries.isEmpty) Map.empty

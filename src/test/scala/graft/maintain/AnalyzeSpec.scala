@@ -154,6 +154,20 @@ class AnalyzeSpec extends AnyFunSuite {
       assert(statOf("v").histogram.isDefined, "histogram reached catalyst")
       assert(statOf("v").histogram.get.bins.length ==
         Maintenance.HistogramBins)
+      // date histograms bin in epoch DAYS (catalyst's internal date
+      // scale, what filter literals convert to)
+      val dHist = statOf("d").histogram
+      assert(dHist.isDefined, "date column histogram reached catalyst")
+      assert(dHist.get.bins.head.lo ==
+        java.time.LocalDate.of(2024, 1, 1).toEpochDay.toDouble)
+      assert(dHist.get.bins.last.hi ==
+        java.time.LocalDate.of(2024, 1, 30).toEpochDay.toDouble)
+      // a 3-of-30-days range filter estimates near 10%
+      val dEst = spark.table("anz.ns1.t3")
+        .filter("d <= DATE '2024-01-03'")
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      assert(dEst > BigInt(500) && dEst < BigInt(2000),
+        s"date-range estimate should land near 1000, got $dEst")
 
       // filter selectivity on the skewed column: without the
       // histogram a v <= 0.5 estimate is min/max-interpolated (~0.1%

@@ -2621,6 +2621,79 @@ object CatalogQueries {
              |       CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
              |            AS BIGINT)
              |FROM customer
-             |ORDER BY col_name""".stripMargin))
+             |ORDER BY col_name""".stripMargin)),
+
+    QueryDef(
+      "c60_rest_async_plan",
+      (s, d) => {
+        // ASYNC + PAGINATED scan planning (the OpenAPI protocol's full
+        // shape): past the table's async threshold the plan POST
+        // answers `submitted` + plan-id; the client polls
+        // GET plan/{id} for a completed result whose task inventory is
+        // opaque plan-task tokens, fetched one self-contained page at
+        // a time via POST tasks. The query reconstructs the answer
+        // from EXACTLY the paged inventory — a dropped page or
+        // double-shipped file makes the oracle compare fail; page-size
+        // conformance and the submitted/poll shape are required
+        // in-line.
+        val cat = ensureCatalog(s, "gpa")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gpa.ns1")
+        s.sql("DROP TABLE IF EXISTS gpa.ns1.ord")
+        s.sql("""CREATE TABLE gpa.ns1.ord (
+                   o_orderkey BIGINT, o_orderstatus STRING,
+                   o_totalprice DOUBLE)
+                 TBLPROPERTIES ('graft.plan.page-size' = '3',
+                                'graft.plan.async-threshold' = '5')""")
+        s.read.parquet(s"$d/orders.parquet")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey")
+          .writeTo("gpa.ns1.ord").append()
+        val server = new graft.serve.CatalogHttpServer(cat.storage)
+        val port = server.start()
+        val paths =
+          try {
+            val sub = RestInterop.post(port,
+              "/v1/iceberg/namespaces/ns1/tables/ord/plan", "{}")
+            require(sub.statusCode() == 200,
+              s"plan failed: ${sub.statusCode()} ${sub.body()}")
+            val subNode = graft.objects.Json.mapper.readTree(sub.body())
+            require(subNode.path("plan-status").asText() == "submitted",
+              s"expected submitted past the async threshold: ${sub.body()}")
+            val planId = subNode.path("plan-id").asText()
+            val poll = RestInterop.get(port,
+              s"/v1/iceberg/namespaces/ns1/tables/ord/plan/$planId")
+            require(poll.statusCode() == 200, poll.body())
+            val plan = graft.objects.Json.mapper.readTree(poll.body())
+            require(plan.path("plan-status").asText() == "completed",
+              poll.body())
+            val tokens = plan.get("plan-tasks")
+            require(tokens != null && tokens.size() == 3, // 8 files / 3
+              s"expected 3 plan-task pages: ${poll.body()}")
+            (0 until tokens.size()).flatMap { i =>
+              val page = RestInterop.post(port,
+                s"/v1/iceberg/namespaces/ns1/tables/ord/tasks",
+                s"""{"plan-task":"${tokens.get(i).asText()}"}""")
+              require(page.statusCode() == 200, page.body())
+              val ts = graft.objects.Json.mapper.readTree(page.body())
+                .get("file-scan-tasks")
+              require(ts.size() <= 3 && ts.size() > 0,
+                s"page $i violates the page size: ${ts.size()}")
+              (0 until ts.size()).map(j =>
+                ts.get(j).get("data-file").get("file-path").asText())
+            }
+          } finally server.stop()
+        require(paths.distinct.size == paths.size,
+          "pages double-shipped a file")
+        s.read.parquet(paths: _*)
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy("status")
+      },
+      Some("""SELECT o_orderstatus AS status, count(*) AS n,
+             |       round(sum(o_totalprice), 2) AS total
+             |FROM orders
+             |GROUP BY o_orderstatus ORDER BY status""".stripMargin))
   )
 }

@@ -227,9 +227,18 @@ object Dedup {
         // block `|Δ| ≤ 0.2·max` implies a length ratio ≤ 1.25, so
         // log₁.₂₅ buckets of qualifying pairs differ by at most 1:
         // exploding each doc into buckets {b-1, b, b+1} turns the
-        // quadratic theta-join into a shuffle equi-join on bucket —
-        // the shape that survives a 100× scale-up.
+        // quadratic theta-join into a shuffle equi-join on bucket.
+        // Document lengths CLUSTER, so the hot bucket would hand one
+        // reducer its whole occupancy² — the round-11 sf1 soak
+        // measured exactly that. The dd05 block discipline subdivides
+        // it: the build side hashes into B sub-blocks, the probe side
+        // replicates over them, and the cell key (jb, bj) bounds every
+        // task at occupancy²/B. The shuffle-hash hint keeps the join a
+        // SHUFFLE even while the build side is broadcast-sized —
+        // reducer-side parallelism is the point (at 100 TB the
+        // broadcast path is unreachable anyway).
         GraftFunctions.register(s)
+        val B = 8
         val sh = docShingles(s, d)
           .withColumn("bucket",
             floor(log(col("n_chars").cast("double")) / math.log(1.25)))
@@ -237,10 +246,12 @@ object Dedup {
           col("doc_id").as("doc_a"), col("n_chars").as("nc_a"), col("sh").as("sh_a"),
           explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1))
             .as("jb"))
+          .withColumn("bj", explode(array((0 until B).map(lit): _*)))
         val build = sh.select(
           col("doc_id").as("doc_b"), col("n_chars").as("nc_b"), col("sh").as("sh_b"),
-          col("bucket").as("jb"))
-        probe.join(build, Seq("jb"))
+          col("bucket").as("jb"),
+          pmod(hash(col("doc_id")), lit(B)).as("bj"))
+        probe.join(build.hint("shuffle_hash"), Seq("jb", "bj"))
           .filter(col("doc_a") < col("doc_b") &&
             abs(col("nc_a") - col("nc_b")) <=
               lit(0.2) * greatest(col("nc_a"), col("nc_b")))

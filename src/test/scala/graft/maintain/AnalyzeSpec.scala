@@ -186,6 +186,41 @@ class AnalyzeSpec extends AnyFunSuite {
     }
   }
 
+  test("file-level bounds tighten column stats after pruning") {
+    // the scan merges ANALYZE stats with footer stats over the PRUNED
+    // file list — a filtered scan must report the kept files' tighter
+    // bounds, not the whole-table ANALYZE bounds
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS anz.ns1")
+    spark.sql("CREATE TABLE anz.ns1.rng (k BIGINT, v DOUBLE)")
+    // two range-disjoint files
+    spark.sql("""INSERT INTO anz.ns1.rng
+                 SELECT id, CAST(id AS DOUBLE) FROM range(0, 1000)""")
+    spark.sql("""INSERT INTO anz.ns1.rng
+                 SELECT id, CAST(id AS DOUBLE) FROM range(5000, 6000)""")
+    spark.sql("CALL anz.system.analyze_table(namespace => 'ns1', table => 'rng')")
+    import scala.jdk.CollectionConverters._
+    def scanStats(df: org.apache.spark.sql.DataFrame) = {
+      val scan = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan
+      }.head
+      scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics().columnStats().asScala.map { case (r, cs) =>
+          r.fieldNames().mkString(".") -> cs
+        }.toMap
+    }
+    // unfiltered: ANALYZE + full file set → whole-table bounds
+    val full = scanStats(spark.table("anz.ns1.rng"))
+    assert(full("k").min.get == 0L && full("k").max.get == 5999L)
+    // filtered to the first file: bounds tighten to the kept file
+    val pruned = scanStats(spark.table("anz.ns1.rng").filter("k < 1000"))
+    assert(pruned("k").min.get == 0L && pruned("k").max.get == 999L,
+      s"pruned scan should report the kept file's bounds, got " +
+        s"${pruned("k").min} .. ${pruned("k").max}")
+    // NDV still rides along from ANALYZE (whole-snapshot)
+    assert(pruned("k").distinctCount.isPresent)
+  }
+
   test("join sizing improves with ANALYZE stats under CBO") {
     // fact↔dim with a selective dim filter: with NDVs + bounds the
     // join's output estimate is near truth; without ANALYZE the CBO

@@ -79,24 +79,36 @@ object RequestAuthorizer {
   }
 
   /** The whole client-credentials story in one class: exchanges a
-    * known (client-id, secret) pair for a random bearer and accepts
-    * only bearers it issued. Bind real credential storage / expiry by
-    * replacing this class, nothing else.
+    * known (client-id, secret) pair for a random bearer, accepts only
+    * bearers it issued, and EXPIRES them after `ttlSeconds` (matching
+    * the token response's advertised `expires_in` — a client that
+    * ignores it gets the 401 + `WWW-Authenticate: Bearer` nudge to
+    * re-exchange). Bind real credential storage by replacing this
+    * class, nothing else.
     */
-  final class ClientCredentials(clients: Map[String, String])
+  final class ClientCredentials(clients: Map[String, String],
+      val ttlSeconds: Long = 3600L,
+      now: () => Long = () => System.currentTimeMillis())
       extends RequestAuthorizer {
     private val live =
-      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     override def authorize(method: String, path: String,
-        bearer: Option[String]): Unit =
-      if (!bearer.exists(live.contains))
+        bearer: Option[String]): Unit = {
+      val valid = bearer.exists { t =>
+        val exp = live.get(t)
+        if (exp == null) false
+        else if (exp.longValue >= now()) true
+        else { live.remove(t); false } // expired tokens leave the map
+      }
+      if (!valid)
         throw new CatalogHttpServer.UnauthorizedException(
-          s"bad or missing bearer token for $method $path")
+          s"bad, missing, or expired bearer token for $method $path")
+    }
     override def issueToken(clientId: String, clientSecret: String,
         scope: Option[String]): Option[String] =
       if (clients.get(clientId).contains(clientSecret)) {
         val t = java.util.UUID.randomUUID().toString
-        live.add(t)
+        live.put(t, now() + ttlSeconds * 1000L)
         Some(t)
       } else None
   }
@@ -199,8 +211,12 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0,
     authorizer.issueToken(id, secret, form.get("scope")) match {
       case Some(token) =>
         val scope = form.getOrElse("scope", "catalog")
+        val ttl = authorizer match {
+          case c: RequestAuthorizer.ClientCredentials => c.ttlSeconds
+          case _ => 3600L
+        }
         reply(ex, 200, s"""{"access_token":${Json.writeString(token)},""" +
-          s""""token_type":"bearer","expires_in":3600,""" +
+          s""""token_type":"bearer","expires_in":$ttl,""" +
           s""""scope":${Json.writeString(scope)}}""")
       case None =>
         ex.getResponseHeaders.set("WWW-Authenticate", "Bearer")

@@ -207,4 +207,39 @@ class CatalogHttpServerSpec extends AnyFunSuite {
       assert(cc == 200, bc)
     } finally server.stop()
   }
+
+  test("issued tokens expire after the advertised expires_in") {
+    val storage = spark.sessionState.catalogManager.catalog("hc")
+      .asInstanceOf[GraftCatalog].storage
+    var clock = 1000000L
+    val server = new CatalogHttpServer(storage,
+      authorizer = new RequestAuthorizer.ClientCredentials(
+        Map("svc" -> "pw"), ttlSeconds = 60L, now = () => clock))
+    val port = server.start()
+    try {
+      val res = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/v1/oauth/tokens"))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "grant_type=client_credentials&client_id=svc&client_secret=pw"))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(res.statusCode() == 200, res.body())
+      val node = graft.objects.Json.mapper.readTree(res.body())
+      assert(node.get("expires_in").asLong() == 60L,
+        "expires_in advertises the authorizer's TTL")
+      val tok = node.get("access_token").asText()
+      def hit(): Int = {
+        val b = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/v1/namespaces"))
+          .header("Authorization", s"Bearer $tok")
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+          .statusCode()
+      }
+      assert(hit() == 200, "fresh token serves")
+      clock += 59 * 1000L
+      assert(hit() == 200, "still inside the TTL")
+      clock += 2 * 1000L
+      assert(hit() == 401, "past the TTL the token is dead")
+    } finally server.stop()
+  }
 }

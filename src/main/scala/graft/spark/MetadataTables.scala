@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object MetadataTables {
   val Suffixes: Seq[String] =
     Seq("$snapshots", "$history", "$files", "$partitions", "$manifests", "$refs",
-      "$deletes")
+      "$deletes", "$stats")
 
   def forSuffix(baseName: String, suffix: String, meta: TableMetadata,
       partCols: Seq[String], storage: graft.storage.StorageOps): Table =
@@ -32,6 +32,7 @@ object MetadataTables {
       case "$manifests" => new ManifestsTable(baseName, meta, storage)
       case "$refs" => new RefsTable(baseName, meta)
       case "$deletes" => new DeletesTable(baseName, meta)
+      case "$stats" => new StatsTable(baseName, meta)
     }
 
   /** `<catalog>.sys.objects` — every object in the catalog at its
@@ -212,6 +213,43 @@ private class DeletesTable(baseName: String, meta: TableMetadata)
           InternalRow(UTF8String.fromString("equality"),
             UTF8String.fromString(s"${p.path} (${p.cols.mkString(",")})"),
             p.seq, p.rowCount, -1L))
+    }
+}
+
+/** `<table>$stats` — ANALYZE's per-column statistics as recorded in
+  * the table's statistics file: NDV, stat-string bounds (dates as
+  * epoch days, timestamps as epoch micros — the file-stats encoding),
+  * null count, string widths, and the equi-depth histogram's bin
+  * count. `covers_current` says whether the CURRENT snapshot is the
+  * one analyzed — false means "stale: re-run ANALYZE" (the scan
+  * already refuses to serve stale stats to the CBO).
+  */
+private class StatsTable(baseName: String, meta: TableMetadata)
+    extends LocalMetadataTable(s"$baseName$$stats") {
+  override def schema(): StructType = StructType(Seq(
+    StructField("column", StringType, nullable = false),
+    StructField("ndv", LongType, nullable = false),
+    StructField("min", StringType, nullable = true),
+    StructField("max", StringType, nullable = true),
+    StructField("null_count", LongType, nullable = true),
+    StructField("avg_len", LongType, nullable = true),
+    StructField("max_len", LongType, nullable = true),
+    StructField("histogram_bins", IntegerType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("covers_current", BooleanType, nullable = false)))
+
+  override def rows: Seq[InternalRow] =
+    meta.stats.toSeq.flatMap { st =>
+      st.blobs.filter(_.column.nonEmpty).sortBy(_.column).map { b =>
+        InternalRow(UTF8String.fromString(b.column), b.ndv,
+          b.min.map(UTF8String.fromString).orNull,
+          b.max.map(UTF8String.fromString).orNull,
+          if (b.nullCount >= 0) Long.box(b.nullCount) else null,
+          if (b.avgLen >= 0) Long.box(b.avgLen) else null,
+          if (b.maxLen >= 0) Long.box(b.maxLen) else null,
+          b.histNdv.size, st.snapshotId,
+          st.snapshotId == meta.currentSnapshotId)
+      }
     }
 }
 

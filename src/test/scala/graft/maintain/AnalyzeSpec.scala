@@ -133,6 +133,20 @@ class AnalyzeSpec extends AnyFunSuite {
     assert(vb.histBounds.count(_ == 1.0.toString) >=
       Maintenance.HistogramBins / 2)
 
+    // the operator view: `<table>$stats` lists what ANALYZE recorded
+    val statRows = spark.sql(
+      """SELECT column, ndv, min, max, null_count, avg_len,
+                histogram_bins, covers_current
+         FROM anz.ns1.`t3$stats` ORDER BY column""").collect()
+    assert(statRows.map(_.getString(0)).toSeq == Seq("d", "k", "seg", "v"))
+    val segRow = statRows.find(_.getString(0) == "seg").get
+    assert(segRow.getLong(4) == 1000L && segRow.getLong(5) == 2L)
+    val kRow = statRows.find(_.getString(0) == "k").get
+    assert(kRow.getString(2) == "0" && kRow.getString(3) == "9999")
+    assert(statRows.forall(_.getBoolean(7)), "stats cover the current snapshot")
+    assert(statRows.find(_.getString(0) == "v").get.getInt(6) ==
+      Maintenance.HistogramBins)
+
     withConf("spark.sql.cbo.enabled" -> "true",
         "spark.sql.cbo.planStats.enabled" -> "true") {
       // catalyst consumption: the optimized plan's attribute stats

@@ -322,9 +322,9 @@ object Maintenance {
     * Columns of unsupported type are skipped silently.
     */
   def analyzeTable(spark: SparkSession, cat: GraftCatalog, ident: Identifier,
-      columns: Seq[String] = Seq.empty): Seq[ColumnNdv] = {
+      columns: Seq[String] = Seq.empty, mode: String = "full"): Seq[ColumnNdv] = {
     import org.apache.datasketches.memory.Memory
-    import org.apache.datasketches.theta.{SetOperation, Sketch, UpdateSketch}
+    import org.apache.datasketches.theta.Sketch
     import org.apache.spark.sql.types._
     val storage = cat.storage
     val txn = Graft.beginTransaction(storage)
@@ -345,6 +345,12 @@ object Maintenance {
         .filter(f => columns.contains(f.name))
       else schema.fields.toSeq).filter(f => supported(f.dataType))
     require(cols.nonEmpty, "analyze: no supported columns selected")
+    require(mode == "full" || mode == "incremental",
+      s"analyze: unknown mode '$mode' (full | incremental)")
+    if (mode == "incremental")
+      incrementalAnalyze(spark, cat, txn, ns, t, td, meta, schema, cols)
+        .foreach(return _) // invalid delta (rewrites, new deletes, no
+    //                        prior stats, legacy ref) → full re-analyze
     val current = headSnap
       .map(graft.format.Manifests.filesOf(storage, _)).getOrElse(Seq.empty)
     val dataRoot = storage.absolute(FileLocations.tableDataDir(ns, t))
@@ -359,36 +365,7 @@ object Maintenance {
         headSnap.map(_.posDeletes).getOrElse(Seq.empty).map(_.sizeBytes).sum)
       .select(cols.map(f => org.apache.spark.sql.functions.col(f.name)): _*)
     val types = cols.map(_.dataType)
-    val merged: Map[Int, Array[Byte]] = df.rdd.mapPartitions { it =>
-      val sk = Array.fill(types.length)(UpdateSketch.builder().build())
-      it.foreach { row =>
-        var i = 0
-        while (i < types.length) {
-          if (!row.isNullAt(i)) types(i) match {
-            case LongType => sk(i).update(row.getLong(i))
-            case IntegerType => sk(i).update(row.getInt(i).toLong)
-            case ShortType => sk(i).update(row.getShort(i).toLong)
-            case ByteType => sk(i).update(row.getByte(i).toLong)
-            case StringType => sk(i).update(row.getString(i))
-            case DoubleType => sk(i).update(row.getDouble(i))
-            case FloatType => sk(i).update(row.getFloat(i).toDouble)
-            case DateType => row.get(i) match {
-              case d: java.sql.Date => sk(i).update(d.toLocalDate.toEpochDay)
-              case d: java.time.LocalDate => sk(i).update(d.toEpochDay)
-              case other => sk(i).update(other.toString)
-            }
-            case _ => // timestamps arrive as java.sql.Timestamp / Instant
-              sk(i).update(row.get(i).toString)
-          }
-          i += 1
-        }
-      }
-      sk.iterator.zipWithIndex.map { case (s, i) => (i, s.compact().toByteArray) }
-    }.reduceByKey { (a, b) =>
-      val u = SetOperation.builder().buildUnion()
-      u.union(Memory.wrap(a)); u.union(Memory.wrap(b))
-      u.getResult.toByteArray
-    }.collectAsMap().toMap
+    val merged: Map[Int, Array[Byte]] = sketchPass(df, types)
     val snapId = meta.currentSnapshotId
     val seq = headSnap.map(_.seq).getOrElse(0L)
     val (fieldIds, _) = graft.spark.IcebergFieldIds.assign(schema,
@@ -441,22 +418,6 @@ object Maintenance {
     } :+ F.count(F.lit(1))
     val bRow = df.agg(boundsAggs.head, boundsAggs.tail: _*).collect()(0)
     val logicalRows = bRow.getLong(bRow.length - 1)
-    // stat-string encoding shared with DataFileEntry min/maxValues:
-    // numeric text, dates as epoch days, timestamps as epoch micros
-    def enc(v: Any): Option[String] = v match {
-      case null => None
-      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
-      case d: java.time.LocalDate => Some(d.toEpochDay.toString)
-      case ts: java.sql.Timestamp =>
-        Some((math.floorDiv(ts.getTime, 1000L) * 1000000L +
-          ts.getNanos / 1000L).toString)
-      case i: java.time.Instant =>
-        Some((i.getEpochSecond * 1000000L + i.getNano / 1000L).toString)
-      case dt: java.time.LocalDateTime =>
-        enc(dt.toInstant(java.time.ZoneOffset.UTC))
-      case n: java.lang.Number => Some(n.toString)
-      case _ => None
-    }
     val histBoundsOf: Map[Int, Seq[Double]] = cols.indices.flatMap { i =>
       if (!histable(cols(i).dataType) || bRow.isNullAt(6 * i + 3)) None
       else {
@@ -497,7 +458,8 @@ object Maintenance {
       // is numeric-only; file-level stats already carry string bounds)
       val (mn, mx) = cols(i).dataType match {
         case StringType => (None, None)
-        case _ => (enc(bRow.get(6 * i)), enc(bRow.get(6 * i + 1)))
+        case _ =>
+          (statString(bRow.get(6 * i)), statString(bRow.get(6 * i + 1)))
       }
       val avgLen =
         if (bRow.isNullAt(6 * i + 4)) -1L
@@ -512,6 +474,151 @@ object Maintenance {
       AnalyzeCol(cols(i).name, fieldIds.getOrElse(phys, i + 1), bytes, ndv,
         phys, mn, mx, nulls, hb.map(_.toString), hn, hh, avgLen, maxLen)
     }
+    persistStats(cat, txn, ns, t, snapId, seq, results)
+  }
+
+  /** Incremental ANALYZE: theta sketches are mergeable, so stats can
+    * refresh by sketching ONLY the files appended since the last
+    * ANALYZE and unioning with the persisted sketch bytes — at 100 TB
+    * the table is never re-scanned for a stats refresh, only the
+    * delta is. Valid only over an ADDITIVE, delete-stable snapshot
+    * chain (appends never fall inside older predicates' sequence
+    * scope, older position deletes bind to older paths, older
+    * equality deletes bind strictly below the new files' sequence, so
+    * the delta's raw content IS its logical content); anything else —
+    * rewrites, new deletes, expired prior snapshot, legacy ref
+    * without bounds, changed column set — returns None and the caller
+    * runs a full analyze. Bounds and null counts merge exactly;
+    * string widths merge as a weighted average; HISTOGRAM bounds
+    * carry over with a rescaled height (boundaries go stale as the
+    * distribution drifts — run a periodic full ANALYZE to rebuild).
+    */
+  private def incrementalAnalyze(spark: SparkSession, cat: GraftCatalog,
+      txn: graft.txn.Transaction, ns: String, t: String,
+      td: graft.objects.TableDef, meta: TableMetadata,
+      schema: org.apache.spark.sql.types.StructType,
+      cols: Seq[org.apache.spark.sql.types.StructField])
+      : Option[Seq[ColumnNdv]] = {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{SetOperation, Sketch}
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.types._
+    val storage = cat.storage
+    val st = meta.stats.getOrElse(return None)
+    val prev = meta.findSnapshot(storage, st.snapshotId).getOrElse(return None)
+    val cur = meta.currentSnapshot.getOrElse(return None)
+    val between = meta.allSnapshots(storage)
+      .filter(s => s.seq > prev.seq && s.seq <= cur.seq)
+    if (!between.forall(s => graft.spark.GraftTable.AdditiveOps(s.operation)))
+      return None
+    if (cur.deletes != prev.deletes || cur.posDeletes != prev.posDeletes ||
+        cur.eqDeletes != prev.eqDeletes) return None
+    val priorByPhys = st.blobs.filter(_.column.nonEmpty)
+      .map(b => b.column -> b).toMap
+    val phys = cols.map(graft.spark.ColumnMapping.physicalName)
+    if (phys.toSet != priorByPhys.keySet) return None
+    if (phys.exists(p => priorByPhys(p).nullCount < 0)) return None // legacy
+    val (fieldIds, _) = graft.spark.IcebergFieldIds.assign(schema,
+      td.properties)
+    val puffin = graft.format.Puffin.read(storage.read(st.path))
+    val priorSk: Map[Int, Array[Byte]] = cols.indices.flatMap { i =>
+      val fid = fieldIds.getOrElse(phys(i), i + 1)
+      puffin.blobs.find(_.fields == Seq(fid))
+        .map(b => i -> puffin.blobData(b))
+    }.toMap
+    if (priorSk.size != cols.size) return None // blob/field-id drift
+
+    val prevPaths = graft.format.Manifests.filesOf(storage, prev)
+      .map(_.path).toSet
+    val delta = graft.format.Manifests.filesOf(storage, cur)
+      .filterNot(f => prevPaths(f.path))
+    val types = cols.map(_.dataType)
+    val (deltaSk, bRow) =
+      if (delta.isEmpty)
+        (Map.empty[Int, Array[Byte]], null: org.apache.spark.sql.Row)
+      else {
+        val dataRoot = storage.absolute(FileLocations.tableDataDir(ns, t))
+        val df = graft.spark.MorDeletes.readEntries(spark, schema,
+          Some(dataRoot), delta.map(f => (storage.absolute(f.path), f)),
+          Seq.empty, Seq.empty, eqDeletes = Seq.empty, posDeleteBytes = 0L)
+          .select(cols.map(f => F.col(f.name)): _*)
+        val aggs = cols.flatMap { f =>
+          val c = F.col(f.name)
+          Seq(F.min(c), F.max(c),
+            F.sum(F.when(c.isNull, 1L).otherwise(0L)),
+            if (f.dataType == StringType) F.avg(F.length(c)) else F.lit(null),
+            if (f.dataType == StringType)
+              F.max(F.length(c)).cast(LongType)
+            else F.lit(null))
+        } :+ F.count(F.lit(1))
+        (sketchPass(df, types), df.agg(aggs.head, aggs.tail: _*).collect()(0))
+      }
+    val deltaRows = if (bRow == null) 0L else bRow.getLong(bRow.length - 1)
+
+    // keep the SMALLER/LARGER original stat string (numeric text on
+    // both sides — strings never carry bounds)
+    def better(a: Option[String], b: Option[String],
+        takeLow: Boolean): Option[String] = (a, b) match {
+      case (Some(x), Some(y)) =>
+        val c = BigDecimal(x).compare(BigDecimal(y))
+        Some(if ((c <= 0) == takeLow) x else y)
+      case (x, None) => x
+      case (None, y) => y
+    }
+    val results = cols.indices.map { i =>
+      val p = priorByPhys(phys(i))
+      val mergedSk = deltaSk.get(i) match {
+        case None => priorSk(i)
+        case Some(d) =>
+          val u = SetOperation.builder().buildUnion()
+          u.union(Memory.wrap(priorSk(i))); u.union(Memory.wrap(d))
+          u.getResult.toByteArray
+      }
+      val ndv = math.round(Sketch.wrap(Memory.wrap(mergedSk)).getEstimate)
+      val dNulls = if (bRow == null || bRow.isNullAt(5 * i + 2)) 0L
+        else bRow.getLong(5 * i + 2)
+      val nulls = p.nullCount + dNulls
+      val (dMin, dMax) = cols(i).dataType match {
+        case StringType => (None, None)
+        case _ if bRow == null => (None, None)
+        case _ =>
+          (statString(bRow.get(5 * i)), statString(bRow.get(5 * i + 1)))
+      }
+      val mn = better(p.min, dMin, takeLow = true)
+      val mx = better(p.max, dMax, takeLow = false)
+      val (avgLen, maxLen) =
+        if (cols(i).dataType != StringType) (-1L, -1L)
+        else {
+          val prevNN = math.max(0L, prev.totalRows - p.nullCount)
+          val dNN = deltaRows - dNulls
+          val dAvg = if (bRow == null || bRow.isNullAt(5 * i + 3)) 0.0
+            else bRow.getDouble(5 * i + 3)
+          val dMaxL = if (bRow == null || bRow.isNullAt(5 * i + 4)) -1L
+            else bRow.getLong(5 * i + 4)
+          val avg =
+            if (p.avgLen < 0) { if (dNN > 0) math.round(dAvg) else -1L }
+            else if (prevNN + dNN <= 0) -1L
+            else math.round(
+              (p.avgLen.toDouble * prevNN + dAvg * dNN) / (prevNN + dNN))
+          (avg, math.max(p.maxLen, dMaxL))
+        }
+      val (hb, hn, hh) =
+        if (p.histBounds.isEmpty) (Seq.empty[String], Seq.empty[Long], 0.0)
+        else (p.histBounds, p.histNdv,
+          (cur.totalRows - nulls).toDouble / math.max(1, p.histNdv.size))
+      AnalyzeCol(cols(i).name, fieldIds.getOrElse(phys(i), i + 1), mergedSk,
+        ndv, phys(i), mn, mx, nulls, hb, hn, hh, avgLen, maxLen)
+    }
+    Some(persistStats(cat, txn, ns, t, cur.id, cur.seq, results))
+  }
+
+  /** Write the Puffin statistics file + metadata ref for `results` and
+    * commit; shared by full and incremental ANALYZE.
+    */
+  private def persistStats(cat: GraftCatalog, txn: graft.txn.Transaction,
+      ns: String, t: String, snapId: Long, seq: Long,
+      results: Seq[AnalyzeCol]): Seq[ColumnNdv] = {
+    val storage = cat.storage
     val puffin = graft.format.Puffin.write(
       results.map { r =>
         graft.format.Puffin.Blob("apache-datasketches-theta-v1", Seq(r.fid),
@@ -538,6 +645,66 @@ object Maintenance {
     commitMetaEdit(cat, ns, t, "analyze", Some(txn))((_, _, m) =>
       m.copy(stats = Some(ref)))
     results.map(r => ColumnNdv(r.name, r.ndv))
+  }
+
+  /** One theta UpdateSketch per column per partition (constant
+    * executor memory), compact bytes merged associatively — KBs to
+    * the driver at any row count.
+    */
+  private def sketchPass(df: org.apache.spark.sql.DataFrame,
+      types: Seq[org.apache.spark.sql.types.DataType])
+      : Map[Int, Array[Byte]] = {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{SetOperation, UpdateSketch}
+    import org.apache.spark.sql.types._
+    df.rdd.mapPartitions { it =>
+      val sk = Array.fill(types.length)(UpdateSketch.builder().build())
+      it.foreach { row =>
+        var i = 0
+        while (i < types.length) {
+          if (!row.isNullAt(i)) types(i) match {
+            case LongType => sk(i).update(row.getLong(i))
+            case IntegerType => sk(i).update(row.getInt(i).toLong)
+            case ShortType => sk(i).update(row.getShort(i).toLong)
+            case ByteType => sk(i).update(row.getByte(i).toLong)
+            case StringType => sk(i).update(row.getString(i))
+            case DoubleType => sk(i).update(row.getDouble(i))
+            case FloatType => sk(i).update(row.getFloat(i).toDouble)
+            case DateType => row.get(i) match {
+              case d: java.sql.Date => sk(i).update(d.toLocalDate.toEpochDay)
+              case d: java.time.LocalDate => sk(i).update(d.toEpochDay)
+              case other => sk(i).update(other.toString)
+            }
+            case _ => // timestamps arrive as java.sql.Timestamp / Instant
+              sk(i).update(row.get(i).toString)
+          }
+          i += 1
+        }
+      }
+      sk.iterator.zipWithIndex.map { case (s, i) => (i, s.compact().toByteArray) }
+    }.reduceByKey { (a, b) =>
+      val u = SetOperation.builder().buildUnion()
+      u.union(Memory.wrap(a)); u.union(Memory.wrap(b))
+      u.getResult.toByteArray
+    }.collectAsMap().toMap
+  }
+
+  /** Stat-string encoding shared with DataFileEntry min/maxValues:
+    * numeric text, dates as epoch days, timestamps as epoch micros.
+    */
+  private def statString(v: Any): Option[String] = v match {
+    case null => None
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toString)
+    case ts: java.sql.Timestamp =>
+      Some((math.floorDiv(ts.getTime, 1000L) * 1000000L +
+        ts.getNanos / 1000L).toString)
+    case i: java.time.Instant =>
+      Some((i.getEpochSecond * 1000000L + i.getNano / 1000L).toString)
+    case dt: java.time.LocalDateTime =>
+      statString(dt.toInstant(java.time.ZoneOffset.UTC))
+    case n: java.lang.Number => Some(n.toString)
+    case _ => None
   }
 
   /** Equi-depth histogram bin count ANALYZE produces per numeric

@@ -112,13 +112,18 @@ object GraftProcedures {
       extends GraftProcedure("analyze_table") {
     override def parameters(): Array[ProcedureParameter] = Array(
       in("namespace", StringType), in("table", StringType),
-      inDefault("columns", StringType, "''")) // comma-separated; '' = all
+      inDefault("columns", StringType, "''"), // comma-separated; '' = all
+      // 'incremental' sketches only files appended since the last
+      // ANALYZE and unions (falls back to full when the chain isn't
+      // purely additive)
+      inDefault("mode", StringType, "'full'"))
     override def call(input: InternalRow): JIterator[Scan] = {
       val cols = input.getString(2).split(',').toSeq
         .map(_.trim).filter(_.nonEmpty)
       val r = Maintenance.analyzeTable(
         org.apache.spark.sql.SparkSession.active, cat,
-        Identifier.of(Array(input.getString(0)), input.getString(1)), cols)
+        Identifier.of(Array(input.getString(0)), input.getString(1)), cols,
+        mode = input.getString(3))
       result(
         StructType(Seq(StructField("column", StringType, false),
           StructField("ndv", LongType, false))),

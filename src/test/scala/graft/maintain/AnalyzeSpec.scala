@@ -265,6 +265,52 @@ class AnalyzeSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental analyze merges the delta; equals a full re-analyze") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS anz.ns1")
+    spark.sql("CREATE TABLE anz.ns1.inc (k BIGINT, seg STRING)")
+    spark.sql("""INSERT INTO anz.ns1.inc
+                 SELECT id, concat('s', id % 7) FROM range(0, 1000, 1, 4)""")
+    spark.sql("CALL anz.system.analyze_table(namespace => 'ns1', table => 'inc')")
+    val firstStats = meta("inc").stats.get
+
+    // append a DISJOINT delta (and a longer seg variant), then analyze
+    // incrementally: only the delta is scanned, sketches union
+    spark.sql("""INSERT INTO anz.ns1.inc
+                 SELECT id, concat('seg', id % 3) FROM range(1000, 1500, 1, 2)""")
+    val inc = spark.sql(
+      """CALL anz.system.analyze_table(namespace => 'ns1', table => 'inc',
+                                       mode => 'incremental')""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // theta is exact below its retention: merged NDVs are exact
+    assert(inc == Map("k" -> 1500L, "seg" -> 10L), inc.toString)
+    val st = meta("inc").stats.get
+    assert(st.snapshotId != firstStats.snapshotId, "ref moved to current")
+    val byCol = st.blobs.map(b => b.column -> b).toMap
+    assert(byCol("k").min.contains("0") && byCol("k").max.contains("1499"))
+    assert(byCol("k").nullCount == 0L)
+    // widths merged: 1000×2 chars + 500×4 chars → avg 2.67 ≈ 3
+    assert(byCol("seg").maxLen == 4L)
+    assert(byCol("seg").avgLen == 3L, s"got ${byCol("seg").avgLen}")
+
+    // equal to a from-scratch full analyze of the same state
+    val full = spark.sql(
+      "CALL anz.system.analyze_table(namespace => 'ns1', table => 'inc')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full == inc)
+    val fullByCol = meta("inc").stats.get.blobs.map(b => b.column -> b).toMap
+    assert(fullByCol("k").min == byCol("k").min &&
+      fullByCol("k").max == byCol("k").max)
+
+    // a rewrite breaks the additive chain: incremental falls back to a
+    // FULL analyze (correct values, not a refusal)
+    spark.sql("DELETE FROM anz.ns1.inc WHERE k >= 1000")
+    val afterDel = spark.sql(
+      """CALL anz.system.analyze_table(namespace => 'ns1', table => 'inc',
+                                       mode => 'incremental')""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(afterDel("k") == 1000L, s"fallback full analyze, got $afterDel")
+  }
+
   test("re-analyze replaces; merge-on-read deletes respected; expiry drops") {
     spark.sql("""CREATE TABLE anz.ns1.t2 (k BIGINT, v STRING)
                  TBLPROPERTIES ('graft.delete.mode' = 'merge-on-read')""")

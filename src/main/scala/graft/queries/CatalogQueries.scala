@@ -2694,6 +2694,58 @@ object CatalogQueries {
       Some("""SELECT o_orderstatus AS status, count(*) AS n,
              |       round(sum(o_totalprice), 2) AS total
              |FROM orders
-             |GROUP BY o_orderstatus ORDER BY status""".stripMargin))
+             |GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
+
+    QueryDef(
+      "c61_analyze_incremental",
+      (s, d) => {
+        // INCREMENTAL ANALYZE: stats refresh by sketching only the
+        // appended delta and unioning with the persisted theta bytes —
+        // no table re-scan. Graded exactly: after base-analyze +
+        // append + incremental analyze, the merged bounds / null
+        // counts must equal DuckDB's over the WHOLE table, and the
+        // merged NDV must be the exact distinct count (theta is exact
+        // below its 4096-entry retention at this SF — same discipline
+        // as c58).
+        ensureCatalog(s, "gci")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gci.ns1")
+        s.sql("DROP TABLE IF EXISTS gci.ns1.cust")
+        s.sql("CREATE TABLE gci.ns1.cust (c_custkey BIGINT, c_acctbal DOUBLE)")
+        s.sql(s"""INSERT INTO gci.ns1.cust
+                  SELECT c_custkey, c_acctbal
+                  FROM parquet.`$d/customer.parquet`
+                  WHERE c_custkey % 2 = 0""")
+        s.sql("""CALL gci.system.analyze_table(namespace => 'ns1',
+                                               table => 'cust')""")
+        s.sql(s"""INSERT INTO gci.ns1.cust
+                  SELECT c_custkey, c_acctbal
+                  FROM parquet.`$d/customer.parquet`
+                  WHERE c_custkey % 2 = 1""")
+        val ndv = s.sql(
+          """CALL gci.system.analyze_table(namespace => 'ns1',
+                                           table => 'cust',
+                                           mode => 'incremental')""")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val nExact = s.sql("SELECT count(DISTINCT c_custkey) FROM gci.ns1.cust")
+          .head.getLong(0)
+        require(ndv("c_custkey") == nExact,
+          s"merged sketch must be exact here: ${ndv("c_custkey")} vs $nExact")
+        s.sql("""SELECT column AS col_name, CAST(min AS DOUBLE) AS min_v,
+                        CAST(max AS DOUBLE) AS max_v, null_count
+                 FROM gci.ns1.`cust$stats`
+                 WHERE covers_current ORDER BY column""")
+      },
+      Some("""SELECT 'c_acctbal' AS col_name, min(c_acctbal) AS min_v,
+             |       max(c_acctbal) AS max_v,
+             |       CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS null_count
+             |FROM customer
+             |UNION ALL
+             |SELECT 'c_custkey', CAST(min(c_custkey) AS DOUBLE),
+             |       CAST(max(c_custkey) AS DOUBLE),
+             |       CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+             |            AS BIGINT)
+             |FROM customer
+             |ORDER BY col_name""".stripMargin))
   )
 }

@@ -927,15 +927,26 @@ object Advanced {
         var rank = deg
           .select(col("node"), round(lit(1.0) / n, 10).as("rank"))
           .localCheckpoint()
+        // the rank vector is per-NODE while the edge list is per-EDGE:
+        // under the ceiling, broadcasting the vector keeps the big
+        // side map-side every iteration — only per-destination partial
+        // sums shuffle. PAST broadcast scale (billions of nodes) the
+        // vector shuffle-joins on src instead: the edge side is
+        // hash-partitioned on src once and every iteration reuses that
+        // exchange, so the per-iteration cost is shuffling the RANK
+        // vector (per-node, the small side) — never the edge list.
+        val bcastMax = s.conf
+          .getOption("spark.graft.pagerank.broadcast-max-nodes")
+          .map(_.toLong).getOrElse(10000000L)
+        val broadcastable = n <= bcastMax.toDouble
+        val edgesIter =
+          if (broadcastable) edgesDeg
+          else edgesDeg.repartition(col("src")).localCheckpoint()
         (1 to 5).foreach { _ =>
-          // the rank vector is per-NODE (thousands of rows) while the
-          // edge list is per-EDGE (millions): broadcasting the vector
-          // keeps the big side map-side every iteration — only the
-          // per-destination partial sums shuffle. (Past broadcast
-          // scale, partition-align edges and rank on src instead.)
           val prev = rank
-          rank = edgesDeg
-            .join(broadcast(rank), edgesDeg("src") === rank("node"))
+          rank = edgesIter
+            .join(if (broadcastable) broadcast(rank) else rank,
+              edgesIter("src") === rank("node"))
             .select(col("dst"),
               round(col("rank") / col("deg"), 10)
                 .cast("decimal(28,10)").as("cb"))
@@ -948,6 +959,7 @@ object Advanced {
         }
         deg.unpersist()
         edgesDeg.unpersist()
+        if (!broadcastable) edgesIter.unpersist()
         rank.select(col("node"),
             when(pmod(col("node"), lit(10)) === 1, "customer")
               .otherwise("supplier").as("kind"),

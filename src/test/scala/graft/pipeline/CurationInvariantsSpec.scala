@@ -29,6 +29,20 @@ class CurationInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q68 pagerank: the past-broadcast shuffle path is bit-identical") {
+    // decimal-exact contribution sums are order-independent, so the
+    // partition-aligned variant (rank shuffle-joined on src instead of
+    // broadcast) must produce EXACTLY the broadcast plan's rows
+    val a = graft.SparkEntry.queries("q68_pagerank")(spark, sf)
+      .collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.pagerank.broadcast-max-nodes", "1")
+    try {
+      val b = graft.SparkEntry.queries("q68_pagerank")(spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(a == b, "shuffle-path PageRank diverged from broadcast path")
+    } finally spark.conf.unset("spark.graft.pagerank.broadcast-max-nodes")
+  }
+
   test("sk03 CMS: never-underestimate and eps-bound flags all hold") {
     val rows = graft.SparkEntry.queries("sk03_cms_heavy_hitters")(spark, sf)
       .collect()

@@ -899,6 +899,10 @@ object Advanced {
         // contributions round to 10 dp and sum as DECIMAL(28,10) —
         // exact, order-independent addition — so five chained
         // iterations stay bit-identical to the unrolled DuckDB oracle.
+        // Only the UNDIRECTED pair set is materialized (half the edge
+        // list); the symmetric union is a lazy projection of the
+        // cached pairs — each iteration re-derives it map-side for
+        // free instead of caching 2× the rows.
         val e0 = table(s, d, "orders")
           .select(col("o_orderkey"), col("o_custkey"))
           .join(table(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
@@ -906,27 +910,17 @@ object Advanced {
           .select((col("o_custkey") * 10 + 1).as("c"),
             (col("l_suppkey") * 10 + 2).as("s"))
           .distinct()
+          .localCheckpoint()
         val edges = e0.select(col("c").as("src"), col("s").as("dst"))
           .union(e0.select(col("s").as("src"), col("c").as("dst")))
-          .localCheckpoint()
+        // deg's checkpoint cuts lineage to e0, so the per-node frames
+        // below never re-derive the edge list.
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
           .withColumnRenamed("src", "node").localCheckpoint()
         val n = deg.count().toDouble
-        // out-degree is loop-invariant: bake it onto the edge list
-        // once so each iteration is a single join + aggregation
-        val edgesDeg = edges
-          .join(deg, edges("src") === deg("node"))
-          .select(col("src"), col("dst"), col("deg"))
-          .localCheckpoint()
-        // superseded checkpoints unpersist as soon as their successor
-        // is materialized (localCheckpoint is eager) — same storage
-        // discipline as the CC loop. Only the per-EDGE frames matter
-        // (millions of cached rows at scale); the final rank stays
-        // cached for the caller's collect.
-        edges.unpersist()
+        val degB = deg.withColumnRenamed("node", "dnode")
         var rank = deg
           .select(col("node"), round(lit(1.0) / n, 10).as("rank"))
-          .localCheckpoint()
         // the rank vector is per-NODE while the edge list is per-EDGE:
         // under the ceiling, broadcasting the vector keeps the big
         // side map-side every iteration — only per-destination partial
@@ -940,25 +934,47 @@ object Advanced {
           .map(_.toLong).getOrElse(10000000L)
         val broadcastable = n <= bcastMax.toDouble
         val edgesIter =
-          if (broadcastable) edgesDeg
-          else edgesDeg.repartition(col("src")).localCheckpoint()
-        (1 to 5).foreach { _ =>
-          val prev = rank
-          rank = edgesIter
-            .join(if (broadcastable) broadcast(rank) else rank,
-              edgesIter("src") === rank("node"))
-            .select(col("dst"),
+          if (broadcastable) edges
+          else edges.repartition(col("src")).localCheckpoint()
+        // Two per-iteration cost cuts vs the r10/r11 shape, both
+        // value-preserving so the unrolled DuckDB oracle stays
+        // bit-identical:
+        //  1. The contribution round(rank/deg, 10) depends only on the
+        //     SOURCE node, so the divide + BigDecimal round + decimal
+        //     cast run per NODE (thousands) before the join, not per
+        //     EDGE (millions after it) — the edge side only hash-joins
+        //     and decimal-sums. DECIMAL(18,10) holds every value
+        //     (cb ≤ 1, Σcb ≤ 1) in Spark's compact-Long decimal path.
+        //  2. Checkpoint every SECOND iteration (plus the last):
+        //     lineage depth stays bounded at 2 joins while eager
+        //     materializations drop 5 → 3. The final checkpoint is
+        //     per-node-small and lets every edge-scale frame unpersist
+        //     before return, so the sf1 back-to-back leak discipline
+        //     holds; it stays cached for the caller's collect.
+        var lastCp: org.apache.spark.sql.DataFrame = null
+        (1 to 5).foreach { i =>
+          val cb = rank
+            .join(if (broadcastable) broadcast(degB) else degB,
+              rank("node") === degB("dnode"))
+            .select(col("node"),
               round(col("rank") / col("deg"), 10)
-                .cast("decimal(28,10)").as("cb"))
+                .cast("decimal(18,10)").as("cb"))
+          val next = edgesIter
+            .join(if (broadcastable) broadcast(cb) else cb,
+              edgesIter("src") === cb("node"))
             .groupBy("dst")
             .agg(round(lit(0.15 / n) +
               lit(0.85) * sum("cb").cast("double"), 10).as("rank"))
             .withColumnRenamed("dst", "node")
-            .localCheckpoint()
-          prev.unpersist()
+          rank = if (i % 2 == 0 || i == 5) {
+            val cp = next.localCheckpoint()
+            if (lastCp != null) lastCp.unpersist()
+            lastCp = cp
+            cp
+          } else next
         }
+        e0.unpersist()
         deg.unpersist()
-        edgesDeg.unpersist()
         if (!broadcastable) edgesIter.unpersist()
         rank.select(col("node"),
             when(pmod(col("node"), lit(10)) === 1, "customer")

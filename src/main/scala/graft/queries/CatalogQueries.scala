@@ -2701,12 +2701,12 @@ object CatalogQueries {
       (s, d) => {
         // INCREMENTAL ANALYZE: stats refresh by sketching only the
         // appended delta and unioning with the persisted theta bytes —
-        // no table re-scan. Graded exactly: after base-analyze +
-        // append + incremental analyze, the merged bounds / null
-        // counts must equal DuckDB's over the WHOLE table, and the
-        // merged NDV must be the exact distinct count (theta is exact
-        // below its 4096-entry retention at this SF — same discipline
-        // as c58).
+        // no table re-scan. Graded exactly on the merged bounds / null
+        // counts (must equal DuckDB over the WHOLE table). The merged
+        // NDV is exact only below the theta sketch's 4096-entry
+        // retention (true at sf0.01's 1.5k keys, NOT at sf0.1's 15k),
+        // so the in-query gate is exactness below retention and a 5%
+        // tolerance above it — same discipline as c58.
         ensureCatalog(s, "gci")
         s.sql("CREATE NAMESPACE IF NOT EXISTS gci.ns1")
         s.sql("DROP TABLE IF EXISTS gci.ns1.cust")
@@ -2728,8 +2728,16 @@ object CatalogQueries {
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val nExact = s.sql("SELECT count(DISTINCT c_custkey) FROM gci.ns1.cust")
           .head.getLong(0)
-        require(ndv("c_custkey") == nExact,
-          s"merged sketch must be exact here: ${ndv("c_custkey")} vs $nExact")
+        if (nExact <= 4096)
+          require(ndv("c_custkey") == nExact,
+            s"merged sketch must be exact below retention: " +
+              s"${ndv("c_custkey")} vs $nExact")
+        else
+          require(
+            math.abs(ndv("c_custkey") - nExact).toDouble <=
+              math.max(0.05 * nExact, 1.0),
+            s"merged sketch NDV outside 5% tolerance: " +
+              s"${ndv("c_custkey")} vs $nExact")
         s.sql("""SELECT column AS col_name, CAST(min AS DOUBLE) AS min_v,
                         CAST(max AS DOUBLE) AS max_v, null_count
                  FROM gci.ns1.`cust$stats`

@@ -345,14 +345,14 @@ class CatalogHttpServer(storage: StorageOps, port: Int = 0,
         Json.mapper.readTree(requestBody(ex))))
     case ("GET", List("namespaces", _, "tables", _, "plan", planId)) =>
       // FetchPlanningResult: poll a `submitted` plan by id
-      reply(ex, 200, IcebergPlan.fetchPlanningResult(planId))
+      reply(ex, 200, IcebergPlan.fetchPlanningResult(storage, planId))
     case ("DELETE", List("namespaces", _, "tables", _, "plan", planId)) =>
-      IcebergPlan.cancelPlan(planId)
+      IcebergPlan.cancelPlan(storage, planId)
       replyEmpty(ex, 204)
     case ("POST", List("namespaces", _, "tables", _, "tasks")) =>
       // FetchScanTasksResult: one page of a paginated plan, addressed
       // by the opaque plan-task token the plan result carried
-      reply(ex, 200, IcebergPlan.fetchScanTasks(
+      reply(ex, 200, IcebergPlan.fetchScanTasks(storage,
         Json.mapper.readTree(requestBody(ex))))
     case ("HEAD", List("namespaces", ns, "tables", t)) =>
       val exists = withReadTxn(txn => Graft.tableExists(storage, txn, ns, t))

@@ -214,51 +214,142 @@ object IcebergPlan {
   val AsyncThresholdDefault = 100000
   val AsyncThresholdProp = "graft.plan.async-threshold"
 
-  /** One fully-planned scan retained for plan-id polling and paged
-    * task fetches (pages pre-serialized — a fetch is a map lookup).
-    * Single-JVM store with a bounded window; a multi-server deployment
-    * would key the same strings in a shared cache. Planning itself is
+  /** One fully-planned scan, servable for plan-id polling and paged
+    * task fetches. The page bodies are NOT retained here: every page
+    * is spilled to storage as a derived object
+    * (`serve/plans/<plan-id>/page-<i>.json`) at registration, so the
+    * JVM never holds more than the byte-bounded hot cache of pages —
+    * the feature exists to serve million-task plans, and pre-serialized
+    * pages at ~500 B/task retained per plan-COUNT was a designed-in
+    * driver OOM. The plan metadata (result body + page count +
+    * cancelled flag) also persists beside the pages, so ANY server
+    * process over the same storage — or this one after eviction —
+    * serves any poll, page fetch, or cancel. Planning itself is
     * synchronous even for `submitted` responses — the protocol shape,
     * not the compute venue, is what keeps a million-task plan from
     * shipping as one JSON body; a real worker pool slots in behind
     * [[register]] without changing any route.
     */
-  private final case class StoredPlan(resultJson: String,
-      pages: IndexedSeq[String], var cancelled: Boolean = false)
+  private final case class StoredPlan(resultJson: String, nPages: Int,
+      @volatile var cancelled: Boolean = false)
 
-  private val MaxStoredPlans = 128
+  private def planDir(id: String): String = s"serve/plans/$id"
+  private def metaKey(id: String): String = s"${planDir(id)}/plan.json"
+  private def pageKey(id: String, i: Int): String =
+    s"${planDir(id)}/page-$i.json"
+  private def cancelKey(id: String): String =
+    s"${planDir(id)}/cancelled"
+
+  /** Plan metadata entries are a few hundred bytes (result body with
+    * opaque tokens + counters); bound by count, ACCESS order so
+    * actively-polled plans survive registration bursts.
+    */
+  private val MaxStoredPlanMetas = 4096
   private val plans = new java.util.LinkedHashMap[String, StoredPlan](
-      16, 0.75f, false) {
+      16, 0.75f, true) {
     override def removeEldestEntry(
         e: java.util.Map.Entry[String, StoredPlan]): Boolean =
-      size() > MaxStoredPlans
+      size() > MaxStoredPlanMetas
+  }
+
+  /** Hot page cache, bounded by Σ serialized-page BYTES (not plan
+    * count), access-order so pages of actively-paginated plans are
+    * not evicted by newly registered plans mid-pagination. A miss
+    * re-reads the spilled page object. Overridable for tests and
+    * deployments via -Dgraft.plan.page-cache-bytes.
+    */
+  @volatile var maxPageCacheBytes: Long =
+    java.lang.Long.getLong("graft.plan.page-cache-bytes", 64L << 20)
+  private var pageCacheBytes = 0L
+  private val pageCache =
+    new java.util.LinkedHashMap[String, String](16, 0.75f, true)
+
+  private def pageBytes(s: String): Long = 2L * s.length + 64
+
+  private def cachePut(key: String, page: String): Unit =
+    pageCache.synchronized {
+      if (pageCache.put(key, page) == null) pageCacheBytes += pageBytes(page)
+      val it = pageCache.entrySet().iterator()
+      while (pageCacheBytes > maxPageCacheBytes && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) { // never evict the page being served
+          pageCacheBytes -= pageBytes(e.getValue)
+          it.remove()
+        }
+      }
+    }
+
+  /** Test/ops visibility: resident page-cache bytes. */
+  def pageCacheResidentBytes: Long = pageCache.synchronized(pageCacheBytes)
+
+  /** Drop all in-memory plan state (spilled objects stay): simulates a
+    * fresh server process over the same storage in specs.
+    */
+  private[serve] def dropInMemoryStoreForTest(): Unit = {
+    plans.synchronized(plans.clear())
+    pageCache.synchronized { pageCache.clear(); pageCacheBytes = 0L }
   }
 
   private def newPlanId(): String = java.util.UUID.randomUUID().toString
 
-  private def register(id: String, p: StoredPlan): Unit =
-    plans.synchronized { plans.put(id, p); () }
+  private def ensureObject(storage: StorageOps, rel: String,
+      bytes: => Array[Byte]): Unit =
+    if (!storage.exists(rel)) {
+      try storage.writeAtomic(rel, bytes)
+      catch { case _: graft.storage.AtomicSealFailureException => () }
+    }
 
-  private def stored(planId: String): StoredPlan = {
-    val p = plans.synchronized(plans.get(planId))
-    if (p == null) throw new NoSuchElementException(
+  private def register(storage: StorageOps, id: String, resultJson: String,
+      pages: IndexedSeq[String]): Unit = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    pages.zipWithIndex.foreach { case (p, i) =>
+      ensureObject(storage, pageKey(id, i), p.getBytes(utf8))
+      cachePut(s"$id#$i", p)
+    }
+    val meta = Json.mapper.createObjectNode()
+    meta.put("pages", pages.size)
+    meta.set[JsonNode]("result", Json.mapper.readTree(resultJson))
+    ensureObject(storage, metaKey(id), meta.toString.getBytes(utf8))
+    plans.synchronized { plans.put(id, StoredPlan(resultJson, pages.size)); () }
+  }
+
+  private def stored(storage: StorageOps, planId: String): StoredPlan = {
+    val hit = plans.synchronized(plans.get(planId))
+    if (hit != null) return hit
+    // evicted or planned by another server process: reload the
+    // persisted metadata (the plan id is an opaque UUID — reject
+    // anything path-unsafe before touching storage)
+    require(planId.nonEmpty && planId.forall(c =>
+      c.isLetterOrDigit || c == '-'), s"malformed plan id: $planId")
+    if (!storage.exists(metaKey(planId))) throw new NoSuchElementException(
       s"no such plan: $planId (expired or never submitted)")
+    val meta = Json.mapper.readTree(storage.read(metaKey(planId)))
+    val p = StoredPlan(meta.get("result").toString, meta.get("pages").asInt(),
+      cancelled = storage.exists(cancelKey(planId)))
+    plans.synchronized { plans.put(planId, p); () }
     p
   }
 
   /** `GET .../plan/{plan-id}` — FetchPlanningResult. */
-  def fetchPlanningResult(planId: String): String = {
-    val p = stored(planId)
+  def fetchPlanningResult(storage: StorageOps, planId: String): String = {
+    val p = stored(storage, planId)
     if (p.cancelled) """{"plan-status":"cancelled"}""" else p.resultJson
   }
 
-  /** `DELETE .../plan/{plan-id}` — cancel planning. */
-  def cancelPlan(planId: String): Unit = stored(planId).cancelled = true
+  /** `DELETE .../plan/{plan-id}` — cancel planning. The marker object
+    * makes the cancellation visible to every server over the storage
+    * and durable past metadata eviction.
+    */
+  def cancelPlan(storage: StorageOps, planId: String): Unit = {
+    val p = stored(storage, planId)
+    p.cancelled = true
+    ensureObject(storage, cancelKey(planId), Array.emptyByteArray)
+  }
 
   /** `POST .../tasks` — FetchScanTasksResult for one opaque
     * plan-task token.
     */
-  def fetchScanTasks(body: JsonNode): String = {
+  def fetchScanTasks(storage: StorageOps, body: JsonNode): String = {
     val token = Option(body.get("plan-task")).map(_.asText()).getOrElse(
       throw new IllegalArgumentException("fetch-tasks needs a plan-task"))
     val decoded = new String(java.util.Base64.getUrlDecoder.decode(token),
@@ -268,11 +359,19 @@ object IcebergPlan {
         s"malformed plan-task token")
       case i => (decoded.substring(0, i), decoded.substring(i + 1).toInt)
     }
-    val p = stored(planId)
+    val p = stored(storage, planId)
     require(!p.cancelled, s"plan $planId was cancelled")
-    if (idx < 0 || idx >= p.pages.size) throw new NoSuchElementException(
+    if (idx < 0 || idx >= p.nPages) throw new NoSuchElementException(
       s"no such plan task page: $idx")
-    p.pages(idx)
+    val key = s"$planId#$idx"
+    val cached = pageCache.synchronized(pageCache.get(key))
+    if (cached != null) cached
+    else {
+      val page = new String(storage.read(pageKey(planId, idx)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      cachePut(key, page)
+      page
+    }
   }
 
   private def taskToken(planId: String, idx: Int): String =
@@ -476,7 +575,7 @@ object IcebergPlan {
       .getOrElse(PageSizeDefault)
     val asyncThreshold = td.properties.get(AsyncThresholdProp).map(_.toInt)
       .getOrElse(AsyncThresholdDefault)
-    assemble(taskNodes.result(), deleteNodes, dataEntries.size - kept,
+    assemble(storage, taskNodes.result(), deleteNodes, dataEntries.size - kept,
       pageSize, async = dataEntries.size > asyncThreshold)
   }
 
@@ -486,7 +585,7 @@ object IcebergPlan {
     * FetchScanTasksResult — its tasks reference delete files by index
     * into ITS OWN delete-files array.
     */
-  private def assemble(taskNodes: Seq[ObjectNode],
+  private def assemble(storage: StorageOps, taskNodes: Seq[ObjectNode],
       deleteNodes: Seq[ObjectNode], pruned: Int, pageSize: Int,
       async: Boolean): String = {
     def withDeletes(n: ObjectNode): ObjectNode = {
@@ -517,7 +616,7 @@ object IcebergPlan {
     pagesJson.indices.foreach(i => pt.add(taskToken(planId, i)))
     withDeletes(result)
     result.put("pruned-data-files", pruned)
-    register(planId, StoredPlan(result.toString, pagesJson))
+    register(storage, planId, result.toString, pagesJson)
     if (async) s"""{"plan-status":"submitted","plan-id":"$planId"}"""
     else result.toString
   }

@@ -252,6 +252,63 @@ class IcebergPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("plan store is byte-bounded: pages spill to storage, survive " +
+      "cache eviction and a fresh server process") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ipl.ns8")
+    spark.sql("""CREATE TABLE ipl.ns8.spill (k BIGINT)
+                 TBLPROPERTIES ('graft.plan.page-size' = '2',
+                                'graft.plan.async-threshold' = '5')""")
+    spark.range(600).select(col("id").as("k"))
+      .repartitionByRange(12, col("k")).sortWithinPartitions("k")
+      .writeTo("ipl.ns8.spill").append()
+    val prevBound = IcebergPlan.maxPageCacheBytes
+    // a single task page serializes to well over 1 KB: a 4 KB bound
+    // forces eviction while plans are still being registered
+    IcebergPlan.maxPageCacheBytes = 4096
+    try withServer { port =>
+      val (c, resp) = postPlan(port, "ns8", "spill", "{}")
+      assert(c == 200, resp)
+      val planId = Json.mapper.readTree(resp).path("plan-id").asText()
+      val (gc, gresp) = httpGet(port,
+        s"/v1/iceberg/namespaces/ns8/tables/spill/plan/$planId")
+      assert(gc == 200, gresp)
+      val tokens = Json.mapper.readTree(gresp).get("plan-tasks")
+      assert(tokens.size() == 6) // 12 files / page-size 2
+      // the cache respects the byte bound even though 6 pages were
+      // registered, and every page — cached or evicted — still serves
+      assert(IcebergPlan.pageCacheResidentBytes <= 4096,
+        s"resident ${IcebergPlan.pageCacheResidentBytes} past the bound")
+      val total = (0 until tokens.size()).map { i =>
+        val (tc, tresp) = postTasks(port, "ns8", "spill",
+          tokens.get(i).asText())
+        assert(tc == 200, tresp)
+        Json.mapper.readTree(tresp).get("file-scan-tasks").size()
+      }.sum
+      assert(total == 12)
+      assert(IcebergPlan.pageCacheResidentBytes <= 4096)
+      // spilled artifacts exist as derived storage objects
+      assert(storage.exists(s"serve/plans/$planId/plan.json"))
+      assert(storage.exists(s"serve/plans/$planId/page-5.json"))
+      // a fresh server process over the same storage serves the same
+      // plan: poll, page fetch, cancel — nothing lived only in memory
+      IcebergPlan.dropInMemoryStoreForTest()
+      val (gc2, gresp2) = httpGet(port,
+        s"/v1/iceberg/namespaces/ns8/tables/spill/plan/$planId")
+      assert(gc2 == 200 && Json.mapper.readTree(gresp2)
+        .path("plan-status").asText() == "completed", gresp2)
+      assert(postTasks(port, "ns8", "spill", tokens.get(3).asText())._1 == 200)
+      assert(httpDelete(port,
+        s"/v1/iceberg/namespaces/ns8/tables/spill/plan/$planId") == 204)
+      IcebergPlan.dropInMemoryStoreForTest()
+      // cancellation is durable across processes too (marker object)
+      val (cc, cresp) = httpGet(port,
+        s"/v1/iceberg/namespaces/ns8/tables/spill/plan/$planId")
+      assert(cc == 200 && Json.mapper.readTree(cresp)
+        .path("plan-status").asText() == "cancelled", cresp)
+      assert(postTasks(port, "ns8", "spill", tokens.get(0).asText())._1 == 400)
+    } finally IcebergPlan.maxPageCacheBytes = prevBound
+  }
+
   test("paginated sync plan: completed with plan-tasks under the threshold") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ipl.ns7")
     spark.sql("""CREATE TABLE ipl.ns7.paged (k BIGINT)

@@ -53,7 +53,13 @@ final case class StatsFileRef(
     snapshotId: Long,
     fileSizeInBytes: Long,
     footerSizeInBytes: Long,
-    blobs: Seq[StatsBlobRef] = Seq.empty)
+    blobs: Seq[StatsBlobRef] = Seq.empty,
+    // ANALYZE-time LOGICAL row count (delete-applied, unlike
+    // Snapshot.totalRows which counts raw data-file rows): incremental
+    // ANALYZE weights avgLen and sizes histogram heights from it so a
+    // carried-over merge-on-read delete set cannot skew them. -1 =
+    // legacy ref (predates the field) → incremental falls back to full.
+    logicalRows: Long = -1L)
 
 final case class StatsBlobRef(
     blobType: String,

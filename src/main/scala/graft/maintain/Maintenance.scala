@@ -380,25 +380,6 @@ object Maintenance {
     // min/max/nullCount for filter selectivity and join sizing, and
     // the histogram for selectivity on skewed columns.
     import org.apache.spark.sql.{functions => F}
-    def histable(dt: DataType): Boolean = dt match {
-      case LongType | IntegerType | ShortType | ByteType | DoubleType |
-           FloatType | DateType | TimestampType | TimestampNTZType => true
-      case _ => false
-    }
-    // histogram input as a double in the column's CATALYST-internal
-    // scale — dates as epoch days, timestamps as epoch micros — so
-    // the persisted bin bounds compare directly against the internal
-    // values the CBO's estimation converts filter literals to. Time
-    // columns are THE pruning columns of a 100 TB corpus; histograms
-    // on them size date-range scans, not just numeric ones.
-    def histInput(f: org.apache.spark.sql.types.StructField)
-        : org.apache.spark.sql.Column = f.dataType match {
-      case DateType => F.unix_date(F.col(f.name)).cast(DoubleType)
-      case TimestampType => F.unix_micros(F.col(f.name)).cast(DoubleType)
-      case TimestampNTZType => // UTC session: NTZ → LTZ cast is lossless
-        F.unix_micros(F.col(f.name).cast(TimestampType)).cast(DoubleType)
-      case _ => F.col(f.name).cast(DoubleType)
-    }
     val probs = (0 to HistogramBins).map(_.toDouble / HistogramBins)
     val boundsAggs = cols.flatMap { f =>
       val c = F.col(f.name)
@@ -426,27 +407,7 @@ object Maintenance {
         if (bs.distinct.size < 2) None else Some(i -> bs)
       }
     }.toMap
-    def binExpr(v: org.apache.spark.sql.Column, bs: Seq[Double])
-        : org.apache.spark.sql.Column =
-      // bin j ⇔ value ≤ boundary j+1 (first match wins); values above
-      // the last boundary (approx-percentile drift) land in the top bin
-      bs.tail.dropRight(1).zipWithIndex
-        .foldRight(F.lit(bs.size - 2)) { case ((b, j), rest) =>
-          F.when(v <= b, j).otherwise(rest)
-        }
-    val histEntries = histBoundsOf.toSeq.sortBy(_._1).map { case (i, bs) =>
-      F.struct(F.lit(i).as("ci"),
-        binExpr(histInput(cols(i)), bs).as("bin"),
-        histInput(cols(i)).as("v"))
-    }
-    val binNdv: Map[(Int, Int), Long] =
-      if (histEntries.isEmpty) Map.empty
-      else df.select(F.explode(F.array(histEntries: _*)).as("e"))
-        .filter(F.col("e.v").isNotNull)
-        .groupBy(F.col("e.ci"), F.col("e.bin"))
-        .agg(F.approx_count_distinct(F.col("e.v")).as("nd"))
-        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
-        .toMap
+    val binNdv: Map[(Int, Int), Long] = binNdvJob(df, histBoundsOf, cols)
 
     val results = cols.indices.map { i =>
       val bytes = merged(i)
@@ -474,7 +435,7 @@ object Maintenance {
       AnalyzeCol(cols(i).name, fieldIds.getOrElse(phys, i + 1), bytes, ndv,
         phys, mn, mx, nulls, hb.map(_.toString), hn, hh, avgLen, maxLen)
     }
-    persistStats(cat, txn, ns, t, snapId, seq, results)
+    persistStats(cat, txn, ns, t, snapId, seq, results, logicalRows)
   }
 
   /** Incremental ANALYZE: theta sketches are mergeable, so stats can
@@ -489,9 +450,11 @@ object Maintenance {
     * rewrites, new deletes, expired prior snapshot, legacy ref
     * without bounds, changed column set — returns None and the caller
     * runs a full analyze. Bounds and null counts merge exactly;
-    * string widths merge as a weighted average; HISTOGRAM bounds
-    * carry over with a rescaled height (boundaries go stale as the
-    * distribution drifts — run a periodic full ANALYZE to rebuild).
+    * string widths merge as a weighted average over LOGICAL row
+    * counts; HISTOGRAM bounds carry over with a rescaled height while
+    * the delta stays in range, and rebuild per-column (a column-pruned
+    * logical-table scan) when the delta's bounds drift outside the
+    * prior range by more than a bin width.
     */
   private def incrementalAnalyze(spark: SparkSession, cat: GraftCatalog,
       txn: graft.txn.Transaction, ns: String, t: String,
@@ -513,6 +476,9 @@ object Maintenance {
       return None
     if (cur.deletes != prev.deletes || cur.posDeletes != prev.posDeletes ||
         cur.eqDeletes != prev.eqDeletes) return None
+    // refs that predate the logical row count can't weight avgLen or
+    // size histogram heights correctly under carried-over deletes
+    if (st.logicalRows < 0) return None
     val priorByPhys = st.blobs.filter(_.column.nonEmpty)
       .map(b => b.column -> b).toMap
     val phys = cols.map(graft.spark.ColumnMapping.physicalName)
@@ -556,15 +522,69 @@ object Maintenance {
     val deltaRows = if (bRow == null) 0L else bRow.getLong(bRow.length - 1)
 
     // keep the SMALLER/LARGER original stat string (numeric text on
-    // both sides — strings never carry bounds)
+    // both sides — strings never carry bounds). A legacy-persisted
+    // non-numeric bound ("NaN" before statString filtered it) degrades
+    // to unknown rather than aborting the refresh.
     def better(a: Option[String], b: Option[String],
         takeLow: Boolean): Option[String] = (a, b) match {
       case (Some(x), Some(y)) =>
-        val c = BigDecimal(x).compare(BigDecimal(y))
-        Some(if ((c <= 0) == takeLow) x else y)
+        try {
+          val c = BigDecimal(x).compare(BigDecimal(y))
+          Some(if ((c <= 0) == takeLow) x else y)
+        } catch { case _: NumberFormatException => None }
       case (x, None) => x
       case (None, y) => y
     }
+    val curLogical = st.logicalRows + deltaRows
+
+    // ---- histogram drift detection ----
+    // Carried-over boundaries with a rescaled height are fine while
+    // the delta stays inside the analyzed range; an append EXTENDING
+    // the range (the normal case for time columns — precisely the
+    // histogrammed pruning columns) would pile every new value into
+    // an edge bin. When the delta's bounds fall outside the prior
+    // histogram's range by more than a bin width, rebuild THAT
+    // column's histogram over the logical table (a column-pruned
+    // scan); everything else still merges incrementally.
+    val deltaMinMax: Seq[(Option[String], Option[String])] =
+      cols.indices.map { i =>
+        cols(i).dataType match {
+          case StringType => (None, None)
+          case _ if bRow == null => (None, None)
+          case _ =>
+            (statString(bRow.get(5 * i)), statString(bRow.get(5 * i + 1)))
+        }
+      }
+    def asDouble(o: Option[String]): Option[Double] =
+      o.flatMap(s => try Some(s.toDouble)
+        catch { case _: NumberFormatException => None })
+    val drifted: Seq[Int] = cols.indices.filter { i =>
+      val p = priorByPhys(phys(i))
+      p.histBounds.size >= 2 && {
+        val first = p.histBounds.head.toDouble
+        val last = p.histBounds.last.toDouble
+        val w = (last - first) / (p.histBounds.size - 1)
+        asDouble(deltaMinMax(i)._1).exists(_ < first - w) ||
+          asDouble(deltaMinMax(i)._2).exists(_ > last + w)
+      }
+    }
+    val (newBounds, newBinNdv) =
+      if (drifted.isEmpty)
+        (Map.empty[Int, Seq[Double]], Map.empty[(Int, Int), Long])
+      else {
+        val dataRoot = storage.absolute(FileLocations.tableDataDir(ns, t))
+        val all = graft.format.Manifests.filesOf(storage, cur)
+        val fullDf = graft.spark.MorDeletes.readEntries(spark, schema,
+          Some(dataRoot), all.map(f => (storage.absolute(f.path), f)),
+          cur.deletes,
+          cur.posDeletes.map(p => storage.absolute(p.path)),
+          eqDeletes = cur.eqDeletes.map(p => (storage.absolute(p.path), p)),
+          posDeleteBytes = cur.posDeletes.map(_.sizeBytes).sum)
+          .select(cols.map(f => F.col(f.name)): _*)
+        val bounds = histBoundaries(fullDf, drifted.map(i => i -> cols(i)))
+        (bounds, binNdvJob(fullDf, bounds, cols))
+      }
+
     val results = cols.indices.map { i =>
       val p = priorByPhys(phys(i))
       val mergedSk = deltaSk.get(i) match {
@@ -578,18 +598,16 @@ object Maintenance {
       val dNulls = if (bRow == null || bRow.isNullAt(5 * i + 2)) 0L
         else bRow.getLong(5 * i + 2)
       val nulls = p.nullCount + dNulls
-      val (dMin, dMax) = cols(i).dataType match {
-        case StringType => (None, None)
-        case _ if bRow == null => (None, None)
-        case _ =>
-          (statString(bRow.get(5 * i)), statString(bRow.get(5 * i + 1)))
-      }
+      val (dMin, dMax) = deltaMinMax(i)
       val mn = better(p.min, dMin, takeLow = true)
       val mx = better(p.max, dMax, takeLow = false)
       val (avgLen, maxLen) =
         if (cols(i).dataType != StringType) (-1L, -1L)
         else {
-          val prevNN = math.max(0L, prev.totalRows - p.nullCount)
+          // LOGICAL prior row count: Snapshot.totalRows counts raw
+          // data-file rows, which over-weights the prior average when
+          // the chain carries merge-on-read deletes
+          val prevNN = math.max(0L, st.logicalRows - p.nullCount)
           val dNN = deltaRows - dNulls
           val dAvg = if (bRow == null || bRow.isNullAt(5 * i + 3)) 0.0
             else bRow.getDouble(5 * i + 3)
@@ -602,14 +620,26 @@ object Maintenance {
               (p.avgLen.toDouble * prevNN + dAvg * dNN) / (prevNN + dNN))
           (avg, math.max(p.maxLen, dMaxL))
         }
-      val (hb, hn, hh) =
-        if (p.histBounds.isEmpty) (Seq.empty[String], Seq.empty[Long], 0.0)
-        else (p.histBounds, p.histNdv,
-          (cur.totalRows - nulls).toDouble / math.max(1, p.histNdv.size))
+      val (hb, hn, hh) = newBounds.get(i) match {
+        case Some(bs) => // drift rebuild: fresh boundaries + bin NDVs
+          (bs.map(_.toString),
+            (0 until HistogramBins).map(j =>
+              newBinNdv.getOrElse((i, j), 0L)),
+            math.max(0L, curLogical - nulls).toDouble / HistogramBins)
+        case None if drifted.contains(i) =>
+          // rebuild degenerated (<2 distinct boundaries) → no histogram
+          (Seq.empty[String], Seq.empty[Long], 0.0)
+        case None if p.histBounds.isEmpty =>
+          (Seq.empty[String], Seq.empty[Long], 0.0)
+        case None => // in-range delta: carry boundaries, rescale height
+          (p.histBounds, p.histNdv,
+            math.max(0L, curLogical - nulls).toDouble /
+              math.max(1, p.histNdv.size))
+      }
       AnalyzeCol(cols(i).name, fieldIds.getOrElse(phys(i), i + 1), mergedSk,
         ndv, phys(i), mn, mx, nulls, hb, hn, hh, avgLen, maxLen)
     }
-    Some(persistStats(cat, txn, ns, t, cur.id, cur.seq, results))
+    Some(persistStats(cat, txn, ns, t, cur.id, cur.seq, results, curLogical))
   }
 
   /** Write the Puffin statistics file + metadata ref for `results` and
@@ -617,7 +647,7 @@ object Maintenance {
     */
   private def persistStats(cat: GraftCatalog, txn: graft.txn.Transaction,
       ns: String, t: String, snapId: Long, seq: Long,
-      results: Seq[AnalyzeCol]): Seq[ColumnNdv] = {
+      results: Seq[AnalyzeCol], logicalRows: Long): Seq[ColumnNdv] = {
     val storage = cat.storage
     val puffin = graft.format.Puffin.write(
       results.map { r =>
@@ -641,7 +671,7 @@ object Maintenance {
         graft.format.StatsBlobRef("apache-datasketches-theta-v1", Seq(r.fid),
           seq, r.ndv, r.phys, r.min, r.max, r.nulls,
           r.histBounds, r.histNdv, r.histHeight, r.avgLen, r.maxLen)
-      })
+      }, logicalRows = logicalRows)
     commitMetaEdit(cat, ns, t, "analyze", Some(txn))((_, _, m) =>
       m.copy(stats = Some(ref)))
     results.map(r => ColumnNdv(r.name, r.ndv))
@@ -694,6 +724,11 @@ object Maintenance {
     */
   private def statString(v: Any): Option[String] = v match {
     case null => None
+    // non-finite doubles have no orderable bound (Spark's max treats
+    // NaN as greatest): persisting "NaN"/"Infinity" would feed the CBO
+    // garbage and abort the next incremental merge's numeric compare
+    case d: java.lang.Double if d.isNaN || d.isInfinite => None
+    case f: java.lang.Float if f.isNaN || f.isInfinite => None
     case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
     case d: java.time.LocalDate => Some(d.toEpochDay.toString)
     case ts: java.sql.Timestamp =>
@@ -713,6 +748,94 @@ object Maintenance {
     * from its tail).
     */
   val HistogramBins = 16
+
+  private def histable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+           FloatType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+  }
+
+  /** Histogram input as a double in the column's CATALYST-internal
+    * scale — dates as epoch days, timestamps as epoch micros — so the
+    * persisted bin bounds compare directly against the internal values
+    * the CBO's estimation converts filter literals to. Time columns
+    * are THE pruning columns of a 100 TB corpus; histograms on them
+    * size date-range scans, not just numeric ones.
+    */
+  private def histInput(f: org.apache.spark.sql.types.StructField)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{functions => F}
+    f.dataType match {
+      case DateType => F.unix_date(F.col(f.name)).cast(DoubleType)
+      case TimestampType => F.unix_micros(F.col(f.name)).cast(DoubleType)
+      case TimestampNTZType => // UTC session: NTZ → LTZ cast is lossless
+        F.unix_micros(F.col(f.name).cast(TimestampType)).cast(DoubleType)
+      case _ => F.col(f.name).cast(DoubleType)
+    }
+  }
+
+  private def binExpr(v: org.apache.spark.sql.Column, bs: Seq[Double])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{functions => F}
+    // bin j ⇔ value ≤ boundary j+1 (first match wins); values above
+    // the last boundary (approx-percentile drift) land in the top bin
+    bs.tail.dropRight(1).zipWithIndex
+      .foldRight(F.lit(bs.size - 2)) { case ((b, j), rest) =>
+        F.when(v <= b, j).otherwise(rest)
+      }
+  }
+
+  /** Equi-depth boundaries (HistogramBins+1 internal-scale doubles)
+    * for the given (column-index, field) pairs — ONE approx-percentile
+    * job over `df`. Degenerate (<2 distinct boundaries) columns drop
+    * out, same as the full-ANALYZE path.
+    */
+  private def histBoundaries(df: org.apache.spark.sql.DataFrame,
+      items: Seq[(Int, org.apache.spark.sql.types.StructField)])
+      : Map[Int, Seq[Double]] = {
+    import org.apache.spark.sql.{functions => F}
+    if (items.isEmpty) return Map.empty
+    val probs = (0 to HistogramBins).map(_.toDouble / HistogramBins)
+    val aggs = items.map { case (_, f) =>
+      F.percentile_approx(histInput(f), F.lit(probs.toArray), F.lit(10000)) }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    items.zipWithIndex.flatMap { case ((i, _), k) =>
+      if (row.isNullAt(k)) None
+      else {
+        val bs = row.getSeq[Double](k)
+        if (bs.distinct.size < 2) None else Some(i -> bs)
+      }
+    }.toMap
+  }
+
+  /** Per-(column-index, bin) distinct estimates for every histogrammed
+    * column together — ONE explode + HLL++ job (partials combine
+    * map-side; the shuffle carries sketches per (column, bin) per
+    * partition, constant in row count). Shared by full ANALYZE and the
+    * incremental path's drift rebuilds.
+    */
+  private def binNdvJob(df: org.apache.spark.sql.DataFrame,
+      boundsOf: Map[Int, Seq[Double]],
+      cols: Seq[org.apache.spark.sql.types.StructField])
+      : Map[(Int, Int), Long] = {
+    import org.apache.spark.sql.{functions => F}
+    if (boundsOf.isEmpty) return Map.empty
+    val histEntries = boundsOf.toSeq.sortBy(_._1).map { case (i, bs) =>
+      F.struct(F.lit(i).as("ci"),
+        binExpr(histInput(cols(i)), bs).as("bin"),
+        histInput(cols(i)).as("v"))
+    }
+    df.select(F.explode(F.array(histEntries: _*)).as("e"))
+      .filter(F.col("e.v").isNotNull)
+      .groupBy(F.col("e.ci"), F.col("e.bin"))
+      .agg(F.approx_count_distinct(F.col("e.v")).as("nd"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+  }
 
   private final case class AnalyzeCol(name: String, fid: Int,
       bytes: Array[Byte], ndv: Long, phys: String, min: Option[String],

@@ -311,6 +311,79 @@ class AnalyzeSpec extends AnyFunSuite {
     assert(afterDel("k") == 1000L, s"fallback full analyze, got $afterDel")
   }
 
+  test("incremental analyze rebuilds a drifted histogram; carries an " +
+      "in-range one") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS anz.ns1")
+    spark.sql("CREATE TABLE anz.ns1.drf (k BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO anz.ns1.drf
+                 SELECT id, CAST(id % 100 AS DOUBLE)
+                 FROM range(0, 2000, 1, 4)""")
+    spark.sql("CALL anz.system.analyze_table(namespace => 'ns1', table => 'drf')")
+    val before = meta("drf").stats.get.blobs.map(b => b.column -> b).toMap
+    assert(before("k").histBounds.last.toDouble == 1999.0)
+
+    // append FAR beyond k's analyzed range (>> one bin width past
+    // 1999) while v stays in range: the k histogram must rebuild, the
+    // v histogram must carry over unchanged
+    spark.sql("""INSERT INTO anz.ns1.drf
+                 SELECT id, CAST(id % 100 AS DOUBLE)
+                 FROM range(3000, 4000, 1, 2)""")
+    val inc = spark.sql(
+      """CALL anz.system.analyze_table(namespace => 'ns1', table => 'drf',
+                                       mode => 'incremental')""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inc("k") == 3000L, "NDV still merges exactly (below retention)")
+    val after = meta("drf").stats.get.blobs.map(b => b.column -> b).toMap
+    assert(after("k").histBounds.last.toDouble >= 3000.0,
+      s"drifted histogram rebuilt to cover the appended range, " +
+        s"got ${after("k").histBounds.last}")
+    assert(after("k").histBounds.head.toDouble == 0.0)
+    assert(after("v").histBounds == before("v").histBounds,
+      "in-range column's boundaries carry over without a rescan")
+    // height rescaled to the new logical row count on BOTH columns
+    assert(after("v").histHeight == 3000.0 / Maintenance.HistogramBins)
+    assert(after("k").histHeight == 3000.0 / Maintenance.HistogramBins)
+
+    withConf("spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.planStats.enabled" -> "true") {
+      // the rebuilt histogram sizes a range filter on the NEW region
+      // within 2× (1000 of 3000 rows have k >= 3000); the stale
+      // carried-over histogram had no mass there at all
+      val est = spark.table("anz.ns1.drf").filter("k >= 3000")
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      assert(est > BigInt(500) && est < BigInt(2000),
+        s"drift-rebuilt estimate should land near 1000, got $est")
+    }
+  }
+
+  test("incremental analyze weights avgLen by LOGICAL rows under " +
+      "carried-over deletes") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS anz.ns1")
+    spark.sql("CREATE TABLE anz.ns1.lr (k BIGINT, s STRING)")
+    spark.sql("""INSERT INTO anz.ns1.lr
+                 SELECT id, 'aa' FROM range(0, 1000, 1, 2)""")
+    // mask half the rows; the delete set is IDENTICAL at both analyze
+    // points, so the incremental path is allowed — but raw
+    // Snapshot.totalRows still counts 1000
+    spark.sql("DELETE FROM anz.ns1.lr WHERE k < 500")
+    spark.sql("CALL anz.system.analyze_table(namespace => 'ns1', table => 'lr')")
+    assert(meta("lr").stats.get.logicalRows == 500L)
+    spark.sql("""INSERT INTO anz.ns1.lr
+                 SELECT id, 'aaaaaa' FROM range(1000, 1500, 1, 1)""")
+    spark.sql("""CALL anz.system.analyze_table(namespace => 'ns1',
+                                               table => 'lr',
+                                               mode => 'incremental')""")
+    val byCol = meta("lr").stats.get.blobs.map(b => b.column -> b).toMap
+    // 500 logical 2-char rows + 500 appended 6-char rows → avg 4;
+    // weighting by the raw 1000-row count would give round(3.33) = 3
+    assert(byCol("s").avgLen == 4L, s"got ${byCol("s").avgLen}")
+    assert(meta("lr").stats.get.logicalRows == 1000L)
+    // matches a from-scratch full analyze of the same state
+    spark.sql("CALL anz.system.analyze_table(namespace => 'ns1', table => 'lr')")
+    val fullByCol = meta("lr").stats.get.blobs.map(b => b.column -> b).toMap
+    assert(fullByCol("s").avgLen == 4L)
+  }
+
   test("re-analyze replaces; merge-on-read deletes respected; expiry drops") {
     spark.sql("""CREATE TABLE anz.ns1.t2 (k BIGINT, v STRING)
                  TBLPROPERTIES ('graft.delete.mode' = 'merge-on-read')""")

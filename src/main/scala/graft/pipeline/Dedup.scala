@@ -602,7 +602,8 @@ object Dedup {
              |  SELECT vec_id AS cid, embedding
              |  FROM embeddings
              |  QUALIFY row_number() OVER (
-             |      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id)
+             |      ORDER BY ((vec_id % 2147483648) * 2654435761)
+             |               % 4294967296, vec_id)
              |    <= (SELECT nlist FROM p)),
              |assign AS (
              |  SELECT e.vec_id, s.cid,
@@ -971,10 +972,18 @@ object Dedup {
     // drop decisions grade EXACTLY against a DuckDB reconstruction
     // (assignment ties break by centroid id in both engines; the
     // cosine loops are sequential double accumulation on both sides).
-    // Lloyd-trained quality stays graded where the trainer lives
-    // (ss03/ss07 recall gates); dd12 still gates THIS clustering.
+    // The spread multiplies in 2^31 modular space: (2^31-1) * K fits
+    // signed 64-bit on BOTH engines (a raw vec_id * K overflows Long
+    // past vec_id ≈ 3.5e9 — Spark would wrap where DuckDB errors,
+    // breaking the exact grade at exactly the 100 TB id range this
+    // targets). Ids differing by 2^31 share a spread key and fall to
+    // the deterministic vec_id tiebreak; for vec_id < 2^31 the key is
+    // bit-identical to the unreduced form. Lloyd-trained quality stays
+    // graded where the trainer lives (ss03/ss07 recall gates); dd12
+    // still gates THIS clustering.
     val seeds = e
-      .orderBy((col("vec_id") * lit(2654435761L)) % lit(4294967296L),
+      .orderBy(((col("vec_id") % lit(2147483648L)) * lit(2654435761L))
+          % lit(4294967296L),
         col("vec_id"))
       .limit(nlist) // centroid-sized by construction (≤ nlist-max)
       .collect()

@@ -106,11 +106,33 @@ object RequestAuthorizer {
     }
     override def issueToken(clientId: String, clientSecret: String,
         scope: Option[String]): Option[String] =
-      if (clients.get(clientId).contains(clientSecret)) {
+      if (secretMatches(clientId, clientSecret)) {
+        // abandoned-but-expired tokens would otherwise accumulate
+        // forever (authorize only evicts a token that is re-presented):
+        // sweep on the issue path, which is both rare and the only
+        // place the map grows
+        val cutoff = now()
+        val it = live.entrySet().iterator()
+        while (it.hasNext) if (it.next().getValue.longValue < cutoff)
+          it.remove()
         val t = java.util.UUID.randomUUID().toString
-        live.put(t, now() + ttlSeconds * 1000L)
+        live.put(t, cutoff + ttlSeconds * 1000L)
         Some(t)
       } else None
+
+    /** Test/ops visibility: tokens currently retained (live or
+      * expired-but-unswept).
+      */
+    def liveTokenCount: Int = live.size()
+
+    /** Constant-time secret comparison (a plain == leaks a prefix
+      * oracle through response timing).
+      */
+    private def secretMatches(clientId: String, secret: String): Boolean =
+      clients.get(clientId).exists(expected =>
+        java.security.MessageDigest.isEqual(
+          expected.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          secret.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 }
 

@@ -242,4 +242,21 @@ class CatalogHttpServerSpec extends AnyFunSuite {
       assert(hit() == 401, "past the TTL the token is dead")
     } finally server.stop()
   }
+
+  test("abandoned expired tokens are swept on the issue path") {
+    var clock = 1000000L
+    val auth = new RequestAuthorizer.ClientCredentials(
+      Map("svc" -> "pw"), ttlSeconds = 60L, now = () => clock)
+    // issue 10 tokens that are never presented again
+    (1 to 10).foreach(_ => assert(auth.issueToken("svc", "pw", None).nonEmpty))
+    assert(auth.liveTokenCount == 10)
+    clock += 61 * 1000L // all 10 expire, none re-presented
+    // the next exchange sweeps the corpses instead of growing forever
+    assert(auth.issueToken("svc", "pw", None).nonEmpty)
+    assert(auth.liveTokenCount == 1,
+      s"expired tokens must not accumulate, got ${auth.liveTokenCount}")
+    // wrong secret still refuses (constant-time compare path)
+    assert(auth.issueToken("svc", "pW", None).isEmpty)
+    assert(auth.issueToken("nosuch", "pw", None).isEmpty)
+  }
 }

@@ -296,6 +296,10 @@ object IcebergRest {
           b.min.foreach(props.put("lower_bound", _))
           b.max.foreach(props.put("upper_bound", _))
           if (b.nullCount >= 0) props.put("null_count", b.nullCount.toString)
+          if (b.avgLen >= 0) {
+            props.put("avg_len", b.avgLen.toString)
+            props.put("max_len", b.maxLen.toString)
+          }
           if (b.histBounds.nonEmpty) {
             props.put("histogram-bounds", b.histBounds.mkString(","))
             props.put("histogram-ndv", b.histNdv.mkString(","))

@@ -311,6 +311,52 @@ class AnalyzeSpec extends AnyFunSuite {
     assert(afterDel("k") == 1000L, s"fallback full analyze, got $afterDel")
   }
 
+  test("histograms, bounds, and widths serve over plain HTTP in the " +
+      "statistics entry") {
+    // the REST facade's stated audience is an EXTERNAL planner: the
+    // selectivity signal Spark's CBO gets (equi-depth histogram,
+    // bounds, null count, string widths) must ride the spec's
+    // `statistics` blob properties over the wire, not just in-process
+    val server = new graft.serve.CatalogHttpServer(cat.storage)
+    val port = server.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val res = client.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(
+          s"http://127.0.0.1:$port/v1/iceberg/namespaces/ns1/tables/t3"))
+        .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(res.statusCode() == 200, res.body())
+      val md = graft.objects.Json.mapper.readTree(res.body())
+        .get("metadata")
+      val stats = md.get("statistics")
+      assert(stats != null && stats.size() == 1, md.toString.take(400))
+      val blobs = stats.get(0).get("blob-metadata")
+      val propsByField = (0 until blobs.size()).map { i =>
+        blobs.get(i).get("fields").get(0).asInt() ->
+          blobs.get(i).get("properties")
+      }.toMap
+      // t3 (from the CBO test): v is the skewed DOUBLE column, seg the
+      // nullable STRING — field ids are positional (k=1,seg=2,v=3,d=4)
+      val v = propsByField(3)
+      assert(v.get("histogram-bounds").asText()
+        .split(",").length == Maintenance.HistogramBins + 1)
+      assert(v.get("histogram-ndv").asText()
+        .split(",").length == Maintenance.HistogramBins)
+      assert(v.get("histogram-height").asText().toDouble ==
+        10000.0 / Maintenance.HistogramBins)
+      assert(v.get("lower_bound") != null && v.get("upper_bound") != null)
+      val seg = propsByField(2)
+      assert(seg.get("null_count").asText() == "1000")
+      assert(seg.get("avg_len").asText() == "2" &&
+        seg.get("max_len").asText() == "2")
+      val d = propsByField(4)
+      assert(d.get("histogram-bounds").asText().split(",").head.toDouble ==
+        java.time.LocalDate.of(2024, 1, 1).toEpochDay.toDouble,
+        "date histograms serve in epoch-day scale")
+    } finally server.stop()
+  }
+
   test("incremental analyze rebuilds a drifted histogram; carries an " +
       "in-range one") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS anz.ns1")

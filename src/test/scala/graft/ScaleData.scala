@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * would give every row 9 new duplicates — a different workload, not
   * a bigger one).
   *
-  * Usage: Test/runMain graft.ScaleData <srcDir> <dstDir> [copies]
+  * Usage: Test/runMain graft.ScaleData <srcDir> <dstDir> [copies] [files]
   */
 object ScaleData {
 
@@ -24,26 +24,28 @@ object ScaleData {
     val src = args(0)
     val dst = args(1)
     val copies = if (args.length > 2) args(2).toInt else 10
+    // part files PER TABLE: a single-file table caps scan parallelism
+    // at parquet's split granularity and the soak then measures the
+    // split ceiling, not the plan (r11's ta17 read a 1.10 exponent
+    // that fell to 0.16 on a 16-file copy). Readers take a DIRECTORY
+    // named <t>.parquet transparently.
+    val files = if (args.length > 3) args(3).toInt else 16
     val spark: SparkSession = Verify.sessionBuilder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
 
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def offc(c: String, k: Int): Column = col(c) + lit(k * Off)
-    def write(t: String, out: DataFrame): Unit = {
-      // the sf dirs hold single FILES named <t>.parquet (queries glob
-      // on exactly that), so land the directory write and move the
-      // one part file into place
+    def write(t: String, out: DataFrame, nFiles: Int = files): Unit = {
       import java.nio.file.{Files, Path, Paths, StandardCopyOption}
       val tmp = s"$dst/.tmp-$t"
-      out.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
-        .findFirst().orElseThrow()
+      out.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+      val target = Paths.get(s"$dst/$t.parquet")
+      if (Files.exists(target))
+        Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+          .forEach((p: Path) => Files.delete(p))
       Files.createDirectories(Paths.get(dst))
-      Files.move(part, Paths.get(s"$dst/$t.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
-        .forEach((p: Path) => Files.delete(p))
-      println(s"SCALED $t x$copies")
+      Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+      println(s"SCALED $t x$copies files=$nFiles")
     }
     def scaled(t: String)(per: (DataFrame, Int) => DataFrame): Unit =
       write(t, (0 until copies).map(k => per(rd(t), k)).reduce(_ unionAll _))
@@ -106,8 +108,9 @@ object ScaleData {
       df.select(offc("p_partkey", k).as("p_partkey"), col("p_name"),
         col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
     }
-    // dimension tables stay as-is (copies share nations/regions)
-    Seq("nation", "region").foreach(t => write(t, rd(t)))
+    // dimension tables stay as-is (copies share nations/regions) and
+    // small — one file each
+    Seq("nation", "region").foreach(t => write(t, rd(t), nFiles = 1))
     spark.stop()
   }
 }

@@ -51,7 +51,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional args = family prefixes (e.g. `q st`) to bench a subset
+    // in local iteration; no args (the driver's invocation) runs all
     val asc = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => args.isEmpty || args.contains(family(q._1)))
     // audit knob: SPARK_GRAFT_ORDER=reverse runs families and queries
     // backwards — per-query times should be order-independent (<2x)
     val ordered =

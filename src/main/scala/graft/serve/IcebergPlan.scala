@@ -290,7 +290,41 @@ object IcebergPlan {
     pageCache.synchronized { pageCache.clear(); pageCacheBytes = 0L }
   }
 
-  private def newPlanId(): String = java.util.UUID.randomUUID().toString
+  /** Plan-artifact TTL: spilled plan objects (pages + metadata) are
+    * garbage once every client has paginated them — without a bound
+    * they accumulate in storage forever. The creation time is embedded
+    * in the plan id (`p<millis>-<uuid>`), so expiry needs no per-object
+    * mtime support from the store. Overridable via
+    * -Dgraft.plan.ttl-millis; default 24 h (a paginating client holds a
+    * plan for minutes, not days).
+    */
+  @volatile var planTtlMillis: Long =
+    java.lang.Long.getLong("graft.plan.ttl-millis", 24L * 3600 * 1000)
+
+  private def newPlanId(): String =
+    s"p${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}"
+
+  private def createdAt(planId: String): Option[Long] =
+    if (planId.startsWith("p") && planId.contains('-'))
+      try Some(planId.substring(1, planId.indexOf('-')).toLong)
+      catch { case _: NumberFormatException => None }
+    else None
+
+  /** Delete spilled artifacts of plans past the TTL. Runs on the
+    * register path (the only place storage grows); one delimiter
+    * listing per sweep, and losing a delete race with another server
+    * sweeping the same prefix is harmless.
+    */
+  private def sweepExpired(storage: StorageOps): Unit = {
+    val cutoff = System.currentTimeMillis() - planTtlMillis
+    storage.listCommonPrefixes("serve/plans/").foreach { p =>
+      val id = p.substring(p.lastIndexOf('/') + 1)
+      if (createdAt(id).exists(_ < cutoff)) {
+        try storage.deleteTree(p) catch { case _: Exception => () }
+        plans.synchronized { plans.remove(id); () }
+      }
+    }
+  }
 
   private def ensureObject(storage: StorageOps, rel: String,
       bytes: => Array[Byte]): Unit =
@@ -301,6 +335,7 @@ object IcebergPlan {
 
   private def register(storage: StorageOps, id: String, resultJson: String,
       pages: IndexedSeq[String]): Unit = {
+    sweepExpired(storage)
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     pages.zipWithIndex.foreach { case (p, i) =>
       ensureObject(storage, pageKey(id, i), p.getBytes(utf8))

@@ -306,6 +306,20 @@ class IcebergPlanSpec extends AnyFunSuite {
       assert(cc == 200 && Json.mapper.readTree(cresp)
         .path("plan-status").asText() == "cancelled", cresp)
       assert(postTasks(port, "ns8", "spill", tokens.get(0).asText())._1 == 400)
+
+      // TTL: spilled artifacts of expired plans are swept by the next
+      // registration (creation time rides in the plan id), so storage
+      // does not grow forever; the fresh plan still serves
+      val prevTtl = IcebergPlan.planTtlMillis
+      IcebergPlan.planTtlMillis = 0L // everything existing is expired
+      try {
+        val (c2, resp2) = postPlan(port, "ns8", "spill", "{}")
+        assert(c2 == 200, resp2)
+        assert(!storage.exists(s"serve/plans/$planId/plan.json"),
+          "expired plan artifacts must be swept on the register path")
+        val pid2 = Json.mapper.readTree(resp2).path("plan-id").asText()
+        assert(storage.exists(s"serve/plans/$pid2/plan.json"))
+      } finally IcebergPlan.planTtlMillis = prevTtl
     } finally IcebergPlan.maxPageCacheBytes = prevBound
   }
 

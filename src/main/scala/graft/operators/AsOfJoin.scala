@@ -159,17 +159,53 @@ object AsOfJoin {
     }
   }
 
-  /** Skew-resistant equi-join: the build side is replicated `salt`
-    * ways and the probe side's key is salted uniformly, so one hot key
-    * spreads over `salt` reducers instead of one straggler task.
-    * Result is row-identical to the plain join.
+  /** Heavy-hitter keys of `df(key)`, estimated from a bounded sample:
+    * keys whose sampled count exceeds both `heavyFactor` × the mean
+    * sampled key count and an absolute floor (sampling noise guard).
+    * Driver-held and capped at `cap` keys — the result feeds an
+    * `isin()` predicate, so it must stay broadcast-literal sized; a
+    * corpus with more than `cap` genuinely heavy keys is beyond
+    * salting anyway (that is a repartition-by-key-range problem).
+    */
+  def detectHeavyKeys(df: DataFrame, key: String, fraction: Double = 0.01,
+      heavyFactor: Double = 8.0, floor: Long = 20L,
+      cap: Int = 1024): Seq[Any] = {
+    val sampled = df.select(key).sample(fraction).groupBy(key)
+      .agg(count(lit(1)).as("__n"))
+    val Row(total: Long, distinct: Long) = sampled
+      .agg(sum("__n").cast("long"), count(lit(1))).head
+    if (distinct == 0) return Seq.empty
+    val threshold = math.max(heavyFactor * total.toDouble / distinct,
+      floor.toDouble)
+    sampled.filter(col("__n") >= threshold)
+      .orderBy(col("__n").desc).limit(cap)
+      .collect().map(_.get(0)).toSeq
+  }
+
+  /** Skew-resistant equi-join, salted ONLY where skew exists: probe
+    * keys detected heavy (bounded sample, [[detectHeavyKeys]]) are
+    * salted `salt` ways against the replicated HEAVY SLICE of the
+    * build side; all other keys take the plain shuffle join, and the
+    * two halves union. Replicating the whole build side `salt`× —
+    * the naive salting recipe — multiplies the build shuffle by
+    * `salt` even on skew-free data, which at 100 TB is paying 8× for
+    * insurance; here replication is confined to the keys that need
+    * it. Result is row-identical to the plain inner join (the heavy
+    * set only routes rows between physically-identical-semantics
+    * paths).
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
-      salt: Int): DataFrame = {
-    val salted = probe.withColumn("__salt", pmod(spark_partition_id() +
-      monotonically_increasing_id(), lit(salt)).cast("int"))
-    val replicated = build.withColumn("__salt",
+      salt: Int, sampleFraction: Double = 0.01): DataFrame = {
+    val heavyKeys = detectHeavyKeys(probe, key, sampleFraction)
+    if (heavyKeys.isEmpty) return probe.join(build, Seq(key))
+    val isHeavy = col(key).isin(heavyKeys: _*)
+    val light = probe.filter(!isHeavy).join(build, Seq(key))
+    val salted = probe.filter(isHeavy)
+      .withColumn("__salt", pmod(spark_partition_id() +
+        monotonically_increasing_id(), lit(salt)).cast("int"))
+    val replicated = build.filter(isHeavy).withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    val heavy = salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    light.unionByName(heavy)
   }
 }

@@ -53,4 +53,34 @@ class AsOfJoinSkewSpec extends AnyFunSuite {
       .collect().toSet
     assert(a == b)
   }
+
+  test("two-tier salted join: heavy keys detected, salted path " +
+      "row-identical to the plain join") {
+    import spark.implicits._
+    // key 7 carries half the probe rows (a genuine straggler key);
+    // the rest spread uniformly
+    val probe = ((0 until 30000).map(i => (7L, i.toDouble)) ++
+      (0 until 30000).map(i => ((i % 3000).toLong + 100, i * 2.0)))
+      .toDF("k", "v")
+    val build = (0L to 3100L).map(k => (k, s"b$k")).toDF("k", "tag")
+    // sample the whole probe: detection must find exactly the hot key
+    val heavy = AsOfJoin.detectHeavyKeys(probe, "k", fraction = 1.0)
+    assert(heavy == Seq(7L), s"expected the one hot key, got $heavy")
+    val salted = AsOfJoin.saltedJoin(probe, build, "k", salt = 8,
+      sampleFraction = 1.0).collect().toSet
+    val plain = probe.join(build, Seq("k")).collect().toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+    // skew-free data: detection stays empty and the join degenerates
+    // to the plain single-path join (no 8x build replication)
+    val uniform = (0 until 30000).map(i => ((i % 3000).toLong, i * 1.0))
+      .toDF("k", "v")
+    assert(AsOfJoin.detectHeavyKeys(uniform, "k", fraction = 1.0).isEmpty)
+    val viaSalt = AsOfJoin.saltedJoin(uniform, build, "k", salt = 8,
+      sampleFraction = 1.0)
+    assert(viaSalt.queryExecution.analyzed.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty, "skew-free input must not take the two-path union")
+    assert(viaSalt.count() == uniform.count())
+  }
 }

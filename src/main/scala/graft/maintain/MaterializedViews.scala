@@ -1,0 +1,206 @@
+package graft.maintain
+
+import graft.format.TableMetadata
+import graft.spark.{GraftCatalog, GraftTable}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained MATERIALIZED VIEWS over graft tables — the
+  * data-plane sibling of incremental ANALYZE: a stats refresh sketches
+  * only the appended delta, an MV refresh AGGREGATES only the appended
+  * delta and merges it into the stored state, so at 100 TB a view over
+  * an append-mostly fact table refreshes at the cost of the new data,
+  * never a full recompute.
+  *
+  * Maintainable aggregate class (the classic self-maintainable set for
+  * insert-only deltas): GROUP BY keys + COUNT / SUM / MIN / MAX. The
+  * merge is the aggregate's own combine (count+=count, sum+=sum,
+  * min/max of minima/maxima), applied by re-aggregating the union of
+  * the stored state and the delta aggregate. AVG is intentionally
+  * absent — express it as SUM/COUNT columns and divide at query time
+  * (the standard decomposition; storing the quotient would not merge).
+  *
+  * Delta validity rides the SAME gate as the engine's incremental
+  * read: the (last, current] snapshot range must be purely additive
+  * (append / import / cherrypick). A rewrite, delete, or upsert in the
+  * range falls back to a full recompute — correct, just not
+  * incremental — exactly like incremental ANALYZE's fallback.
+  *
+  * View definition state lives as table properties on the MV table
+  * itself (source, keys, aggregate spec, refreshed-snapshot
+  * watermark), so the MV is self-describing and survives catalog
+  * export/import like any other table.
+  */
+object MaterializedViews {
+
+  val SourceNsProp = "graft.mv.source-namespace"
+  val SourceTableProp = "graft.mv.source-table"
+  val GroupByProp = "graft.mv.group-by"
+  val AggsProp = "graft.mv.aggs"
+  val RefreshedSnapshotProp = "graft.mv.refreshed-snapshot"
+  /** On the SOURCE table: comma-separated `ns.mv` list of views
+    * derived from it — the zero-I/O trigger for
+    * [[graft.spark.GraftMvRewrite]] (no rewrite candidates means no
+    * catalog reads on the query path).
+    */
+  val DerivedProp = "graft.mv.derived"
+
+  /** One aggregate column: `out:fn:expr` with fn ∈ count|sum|min|max;
+    * entries separate with ';' so `expr` may contain commas
+    * (e.g. `total:sum:CAST(price AS DECIMAL(18,2))`).
+    */
+  final case class AggSpec(out: String, fn: String, expr: String) {
+    require(Set("count", "sum", "min", "max")(fn),
+      s"mv aggregate '$fn' is not incrementally maintainable " +
+        "(count|sum|min|max; express avg as sum/count)")
+    def firstPass: org.apache.spark.sql.Column = (fn match {
+      case "count" => count(lit(1))
+      case "sum" => sum(org.apache.spark.sql.functions.expr(expr))
+      case "min" => min(org.apache.spark.sql.functions.expr(expr))
+      case "max" => max(org.apache.spark.sql.functions.expr(expr))
+    }).as(out)
+    /** Combine of two partial states of this aggregate. */
+    def merge: org.apache.spark.sql.Column = (fn match {
+      case "count" | "sum" => sum(col(out))
+      case "min" => min(col(out))
+      case "max" => max(col(out))
+    }).as(out)
+  }
+
+  def parseAggs(spec: String): Seq[AggSpec] =
+    spec.split(';').toSeq.map(_.trim).filter(_.nonEmpty).map { e =>
+      val i1 = e.indexOf(':')
+      val i2 = e.indexOf(':', i1 + 1)
+      require(i1 > 0 && i2 > i1, s"mv aggregate entry '$e' is not out:fn:expr")
+      AggSpec(e.substring(0, i1).trim, e.substring(i1 + 1, i2).trim.toLowerCase,
+        e.substring(i2 + 1).trim)
+    }
+
+  final case class RefreshResult(mode: String, mvRows: Long)
+
+  private def fullName(cat: GraftCatalog, ns: String, t: String): String =
+    s"${cat.name()}.`$ns`.`$t`"
+
+  /** The snapshot id a just-analyzed DataFrame of a graft table will
+    * actually read — taken from the plan's captured table state, so
+    * the recorded watermark can never race a concurrent append.
+    */
+  private def plannedSnapshotId(df: DataFrame): Long =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[GraftTable] =>
+        r.table.asInstanceOf[GraftTable].meta.currentSnapshotId
+    }.getOrElse(throw new IllegalStateException(
+      "materialized view source is not a graft table scan"))
+
+  private def aggregate(src: DataFrame, groupBy: Seq[String],
+      aggs: Seq[AggSpec]): DataFrame =
+    src.groupBy(groupBy.map(col): _*)
+      .agg(aggs.head.firstPass, aggs.tail.map(_.firstPass): _*)
+
+  /** CREATE: computes the full aggregate, creates the MV table with
+    * the definition properties, and records the exact source snapshot
+    * the initial state reflects.
+    */
+  def create(spark: SparkSession, cat: GraftCatalog, ns: String, mv: String,
+      srcNs: String, srcTable: String, groupBy: Seq[String],
+      aggs: Seq[AggSpec]): RefreshResult = {
+    require(groupBy.nonEmpty && aggs.nonEmpty,
+      "materialized view needs group-by columns and aggregates")
+    val src = spark.table(fullName(cat, srcNs, srcTable))
+    val snapId = plannedSnapshotId(src)
+    val state = aggregate(src, groupBy, aggs)
+    state.writeTo(fullName(cat, ns, mv))
+      .tableProperty(SourceNsProp, srcNs)
+      .tableProperty(SourceTableProp, srcTable)
+      .tableProperty(GroupByProp, groupBy.mkString(","))
+      .tableProperty(AggsProp, aggs.map(a =>
+        s"${a.out}:${a.fn}:${a.expr}").mkString(";"))
+      .tableProperty(RefreshedSnapshotProp, snapId.toString)
+      .create()
+    // register on the source so the query-rewrite rule finds the view
+    // from the scanned table's own properties (dropped views leave a
+    // stale entry; the rule skips entries that fail to load)
+    val srcIdent = Identifier.of(Array(srcNs), srcTable)
+    val prior = Option(cat.loadTable(srcIdent).properties().get(DerivedProp))
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+    val entry = s"$ns.$mv"
+    if (!prior.contains(entry))
+      cat.alterTable(srcIdent,
+        TableChange.setProperty(DerivedProp, (prior :+ entry).mkString(",")))
+    RefreshResult("full",
+      spark.table(fullName(cat, ns, mv)).count())
+  }
+
+  /** REFRESH: merges the additive delta's aggregate into the stored
+    * state, or falls back to a full recompute when the snapshot range
+    * isn't purely additive. Returns the mode actually taken
+    * (`incremental` | `full` | `noop`).
+    */
+  def refresh(spark: SparkSession, cat: GraftCatalog,
+      ident: Identifier): RefreshResult = {
+    val ns = ident.namespace()(0)
+    val mv = ident.name()
+    val storage = cat.storage
+    val txn = graft.catalog.Graft.beginTransaction(storage)
+    val (props, srcNs, srcT) = try {
+      val td = graft.catalog.Graft.describeTable(storage, txn, ns, mv)
+      val p = td.properties
+      (p,
+        p.getOrElse(SourceNsProp, throw new IllegalArgumentException(
+          s"$ns.$mv is not a materialized view (no $SourceNsProp)")),
+        p(SourceTableProp))
+    } finally txn.close()
+    val groupBy = props(GroupByProp).split(',').toSeq.map(_.trim)
+    val aggs = parseAggs(props(AggsProp))
+    val last = props.get(RefreshedSnapshotProp).map(_.toLong).getOrElse(-1L)
+
+    val txn2 = graft.catalog.Graft.beginTransaction(storage)
+    val srcMeta = try {
+      val srcTd = graft.catalog.Graft.describeTable(storage, txn2, srcNs, srcT)
+      TableMetadata.read(storage, srcTd.metadataLocation)
+    } finally txn2.close()
+    val curId = srcMeta.currentSnapshotId
+    val mvFull = fullName(cat, ns, mv)
+    if (curId == last)
+      return RefreshResult("noop", spark.table(mvFull).count())
+
+    val between = srcMeta.allSnapshots(storage)
+      .filter(s => s.id > last && s.id <= curId)
+    val additive = last >= 0 && curId >= 0 &&
+      srcMeta.findSnapshot(storage, last).isDefined &&
+      between.nonEmpty && between.forall(s => GraftTable.AdditiveOps(s.operation))
+
+    val mvSchema = spark.table(mvFull).schema
+    val (mode, next) =
+      if (additive) {
+        // the engine's own incremental read plans exactly the files of
+        // (last, curId] — additivity means their RAW rows are the row
+        // delta, so the delta aggregate + combine IS the new state
+        val delta = spark.read
+          .option(GraftTable.StartSnapshotOption, last.toString)
+          .option(GraftTable.EndSnapshotOption, curId.toString)
+          .table(fullName(cat, srcNs, srcT))
+        val merged = spark.table(mvFull)
+          .unionByName(aggregate(delta, groupBy, aggs))
+          .groupBy(groupBy.map(col): _*)
+          .agg(aggs.head.merge, aggs.tail.map(_.merge): _*)
+        ("incremental", merged)
+      } else {
+        val src = spark.table(fullName(cat, srcNs, srcT))
+        ("full", aggregate(src, groupBy, aggs))
+      }
+    // merged aggregate types widen (sum of DECIMAL(p,s) → p+10): cast
+    // back to the MV's declared schema before the overwrite
+    val aligned = next.select(mvSchema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    aligned.createOrReplaceTempView("__graft_mv_refresh")
+    spark.sql(s"INSERT OVERWRITE $mvFull SELECT * FROM __graft_mv_refresh")
+    spark.catalog.dropTempView("__graft_mv_refresh")
+    cat.alterTable(Identifier.of(Array(ns), mv),
+      TableChange.setProperty(RefreshedSnapshotProp, curId.toString))
+    RefreshResult(mode, spark.table(mvFull).count())
+  }
+}

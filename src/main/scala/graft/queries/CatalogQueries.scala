@@ -2754,6 +2754,111 @@ object CatalogQueries {
              |       CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
              |            AS BIGINT)
              |FROM customer
-             |ORDER BY col_name""".stripMargin))
+             |ORDER BY col_name""".stripMargin)),
+
+    QueryDef(
+      "c62_mv_incremental",
+      (s, d) => {
+        // Incrementally-maintained MATERIALIZED VIEW: create over 2/3
+        // of orders, append the remaining third, refresh — the refresh
+        // must take the INCREMENTAL path (aggregate the delta, merge
+        // into stored state; the in-query require pins the mode), and
+        // the stored state must hash-match DuckDB's from-scratch
+        // aggregate over ALL orders. DECIMAL(18,2) sums are exact and
+        // order-independent, so incremental merge vs full recompute vs
+        // DuckDB agree bit-for-bit.
+        ensureCatalog(s, "gmv")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gmv.ns1")
+        s.sql("DROP TABLE IF EXISTS gmv.ns1.mv")
+        s.sql("DROP TABLE IF EXISTS gmv.ns1.ord")
+        s.sql("""CREATE TABLE gmv.ns1.ord (
+                   o_orderkey BIGINT, o_orderstatus STRING,
+                   o_totalprice DOUBLE, o_orderpriority STRING)""")
+        s.sql(s"""INSERT INTO gmv.ns1.ord
+                  SELECT o_orderkey, o_orderstatus, o_totalprice,
+                         o_orderpriority
+                  FROM parquet.`$d/orders.parquet`
+                  WHERE o_orderkey % 3 != 0""")
+        s.sql("""CALL gmv.system.create_materialized_view(
+                   namespace => 'ns1', name => 'mv',
+                   source_namespace => 'ns1', source_table => 'ord',
+                   group_by => 'o_orderstatus,o_orderpriority',
+                   aggs => 'n:count:1;total:sum:CAST(o_totalprice AS DECIMAL(18,2));mx:max:o_totalprice')""")
+        s.sql(s"""INSERT INTO gmv.ns1.ord
+                  SELECT o_orderkey, o_orderstatus, o_totalprice,
+                         o_orderpriority
+                  FROM parquet.`$d/orders.parquet`
+                  WHERE o_orderkey % 3 = 0""")
+        val mode = s.sql("""CALL gmv.system.refresh_materialized_view(
+                              namespace => 'ns1', name => 'mv')""")
+          .head.getString(0)
+        require(mode == "incremental",
+          s"append-only delta must refresh incrementally, took: $mode")
+        s.sql("""SELECT o_orderstatus AS status, o_orderpriority AS prio,
+                        n, CAST(total AS DOUBLE) AS total, mx
+                 FROM gmv.ns1.mv ORDER BY status, prio""")
+      },
+      Some("""SELECT o_orderstatus AS status, o_orderpriority AS prio,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |            AS DOUBLE) AS total,
+             |       max(o_totalprice) AS mx
+             |FROM orders
+             |GROUP BY 1, 2 ORDER BY status, prio""".stripMargin)),
+
+    QueryDef(
+      "c63_mv_rewrite",
+      (s, d) => {
+        // Transparent MV QUERY REWRITE (graft.spark.GraftMvRewrite):
+        // the aggregate below targets the SOURCE table, but the
+        // optimizer must serve it from the fresh materialized view —
+        // including the ROLL-UP (the query groups by one of the
+        // view's two keys) and avg re-expressed over the view's
+        // sum/count columns. The in-query require pins the plan to
+        // the view scan; the oracle computes the same aggregate from
+        // scratch, so the rewrite is graded end-to-end for both plan
+        // shape and values.
+        ensureCatalog(s, "gmv")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gmv.ns2")
+        s.sql("DROP TABLE IF EXISTS gmv.ns2.mv")
+        s.sql("DROP TABLE IF EXISTS gmv.ns2.ord")
+        s.sql("""CREATE TABLE gmv.ns2.ord (
+                   o_orderkey BIGINT, o_orderstatus STRING,
+                   o_totalprice DOUBLE, o_orderpriority STRING)""")
+        s.sql(s"""INSERT INTO gmv.ns2.ord
+                  SELECT o_orderkey, o_orderstatus, o_totalprice,
+                         o_orderpriority
+                  FROM parquet.`$d/orders.parquet`""")
+        s.sql("""CALL gmv.system.create_materialized_view(
+                   namespace => 'ns2', name => 'mv',
+                   source_namespace => 'ns2', source_table => 'ord',
+                   group_by => 'o_orderstatus,o_orderpriority',
+                   aggs => 'n:count:1;total:sum:CAST(o_totalprice AS DECIMAL(18,2));mn:min:o_totalprice')""")
+        val q = s.sql(
+          """SELECT o_orderpriority AS prio, count(*) AS n,
+                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE) AS total,
+                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE) / count(*) AS avg_price,
+                    min(o_totalprice) AS mn
+             FROM gmv.ns2.ord
+             GROUP BY o_orderpriority ORDER BY prio""")
+        val servedByMv = q.queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+              if r.relation.table.name().endsWith(".mv") => r
+        }.nonEmpty
+        require(servedByMv,
+          "roll-up aggregate over the source must be served by the MV:\n" +
+            q.queryExecution.optimizedPlan.treeString)
+        q
+      },
+      Some("""SELECT o_orderpriority AS prio, count(*) AS n,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |            AS DOUBLE) AS total,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |            AS DOUBLE) / count(*) AS avg_price,
+             |       min(o_totalprice) AS mn
+             |FROM orders
+             |GROUP BY 1 ORDER BY prio""".stripMargin))
   )
 }

@@ -1,0 +1,215 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.maintain.MaterializedViews
+
+/** Transparent materialized-view QUERY REWRITE: an aggregate over a
+  * graft table is answered from a FRESH materialized view of that
+  * table ([[graft.maintain.MaterializedViews]]) when the view covers
+  * it — the classic MV rewrite, done the Spark way as an optimizer
+  * rule over the logical plan (the reference has no planner of its
+  * own to hang this on; engines with one — Hive/Calcite
+  * `MaterializedViewRule`, Snowflake, BigQuery — all rewrite here).
+  *
+  * At 100 TB this is the payoff of incremental maintenance: the
+  * dashboard aggregate scans the few-thousand-row view, not the fact
+  * table, and correctness is never at risk because a STALE view
+  * (watermark != the scan's pinned snapshot) simply declines the
+  * rewrite and the query runs against the source.
+  *
+  * Covered class (sound, conservative — anything else declines):
+  *  - `Aggregate` whose child is the source relation through
+  *    attribute-only `Project`s and `Filter`s that reference ONLY the
+  *    view's group-by keys (the filter re-applies on the view, where
+  *    those keys are columns);
+  *  - group-by expressions that are plain source columns forming a
+  *    SUBSET of the view's keys (a roll-up re-aggregates the view:
+  *    count → sum of partial counts, sum → sum, min/max → min/max);
+  *  - aggregates `count(<literal>)` (no DISTINCT, no FILTER), and
+  *    `sum/min/max(expr)` where `expr` matches a view aggregate's
+  *    defining expression canonically.
+  *
+  * Scans with time-travel or incremental-read options decline (the
+  * view reflects exactly one snapshot — the watermark). Output
+  * attribute ids, names, and types are preserved (aggregate results
+  * cast back to the original types; `count` re-emerges as
+  * `coalesce(sum(n), 0)` so nullability holds), so parent operators
+  * are untouched.
+  *
+  * Enable/disable with `spark.graft.mv.rewrite.enabled` (default on);
+  * the rule is pay-as-you-go — it reads catalog metadata only when
+  * the aggregated table itself declares derived views in its
+  * `graft.mv.derived` property.
+  */
+class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    session.conf.get("spark.graft.mv.rewrite.enabled", "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case agg: Aggregate => rewrite(agg).getOrElse(agg)
+    }
+
+  /** The source relation under attribute-only projects + filters. */
+  private def strip(p: LogicalPlan)
+      : Option[(DataSourceV2Relation, Seq[Expression])] = p match {
+    case r: DataSourceV2Relation => Some((r, Nil))
+    case Filter(c, ch) => strip(ch).map { case (r, cs) => (r, c +: cs) }
+    case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      strip(ch)
+    case _ => None
+  }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val (rel, filters) = strip(agg.child).getOrElse(return None)
+    val src = rel.table match {
+      case g: GraftTable => g
+      case _ => return None
+    }
+    // time-travel/incremental options pin a snapshot other than the
+    // one the view maintains — never rewrite those
+    if (rel.options.containsKey(GraftTable.StartSnapshotOption) ||
+        rel.options.containsKey(GraftTable.EndSnapshotOption)) return None
+    val cat = rel.catalog match {
+      case Some(g: GraftCatalog) => g
+      case _ => return None
+    }
+    val derived = Option(src.properties().get(MaterializedViews.DerivedProp))
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(return None)
+    derived.view.flatMap(tryView(agg, rel, src, cat, filters, _)).headOption
+  }
+
+  /** Attempt the rewrite against one candidate `ns.mv`. */
+  private def tryView(agg: Aggregate, rel: DataSourceV2Relation,
+      src: GraftTable, cat: GraftCatalog, filters: Seq[Expression],
+      nsMv: String): Option[LogicalPlan] = {
+    val (ns, mvName) = nsMv.split('.') match {
+      case Array(a, b) => (a, b)
+      case _ => return None
+    }
+    val mvIdent = Identifier.of(Array(ns), mvName)
+    val mv = try cat.loadTable(mvIdent) match {
+      case g: GraftTable => g
+      case _ => return None
+    } catch { case _: Exception => return None } // dropped view: stale entry
+    val props = mv.properties()
+    // the view must be OVER this table and FRESH at the scan's snapshot
+    if (props.get(MaterializedViews.SourceNsProp) != src.namespaceName ||
+        props.get(MaterializedViews.SourceTableProp) != src.tableName)
+      return None
+    val watermark = Option(props.get(MaterializedViews.RefreshedSnapshotProp))
+      .map(_.toLong).getOrElse(return None)
+    if (watermark != src.meta.currentSnapshotId) return None
+
+    val keys = props.get(MaterializedViews.GroupByProp)
+      .split(',').toSeq.map(_.trim)
+    val specs = MaterializedViews.parseAggs(
+      props.get(MaterializedViews.AggsProp))
+
+    val mvRel = DataSourceV2Relation.create(mv, Some(cat), Some(mvIdent))
+    def mvAttr(name: String): Attribute =
+      mvRel.output.find(a => conf.resolver(a.name, name)).get
+
+    // source group-key column name -> replacement view attribute
+    val keyFor: Map[ExprId, Attribute] = rel.output.flatMap { a =>
+      keys.find(conf.resolver(_, a.name)).map(_ => a.exprId -> mvAttr(a.name))
+    }.toMap
+
+    // group-by: plain source columns, each a view key
+    val newGroup = agg.groupingExpressions.map {
+      case a: AttributeReference => keyFor.getOrElse(a.exprId, return None)
+      case _ => return None
+    }
+    // filters: every referenced column must be a view key
+    val newFilters = filters.map { c =>
+      c.transformUp {
+        case a: AttributeReference =>
+          keyFor.getOrElse(a.exprId, return None)
+      }
+    }
+
+    // view aggregate columns by (fn, canonical defining expression)
+    val parser = session.sessionState.sqlParser
+    def resolved(sql: String): Option[Expression] = {
+      val e = try parser.parseExpression(sql)
+      catch { case _: Exception => return None }
+      val r = e.transformUp {
+        case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+          rel.output.find(a => conf.resolver(a.name, ua.nameParts.head))
+            .getOrElse(return None)
+      }
+      if (r.resolved) Some(r) else None
+    }
+    val byDef: Map[(String, Expression), Attribute] = specs.flatMap { s =>
+      if (s.fn == "count") None
+      else resolved(s.expr).map(e => (s.fn, e.canonicalized) -> mvAttr(s.out))
+    }.toMap
+    val countAttr: Option[Attribute] =
+      specs.find(_.fn == "count").map(s => mvAttr(s.out))
+
+    val tz = Some(session.sessionState.conf.sessionLocalTimeZone)
+    def retyped(e: Expression, dt: org.apache.spark.sql.types.DataType) =
+      if (e.dataType == dt) e else Cast(e, dt, tz)
+
+    def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      ae.aggregateFunction match {
+        case Count(Seq(_: Literal)) =>
+          // every group the view stores has >= 1 row, so sum(n) is
+          // only null for the global aggregate of an empty view —
+          // where count must be 0
+          countAttr.map(n => Coalesce(Seq(
+            Sum(n).toAggregateExpression(), Literal(0L))))
+        case Sum(child, _) =>
+          byDef.get(("sum", child.canonicalized))
+            .map(a => Sum(a).toAggregateExpression())
+        case Min(child) =>
+          byDef.get(("min", child.canonicalized))
+            .map(a => Min(a).toAggregateExpression())
+        case Max(child) =>
+          byDef.get(("max", child.canonicalized))
+            .map(a => Max(a).toAggregateExpression())
+        case _ => None
+      }
+    }
+
+    // result expressions may compose over the aggregates (casts,
+    // arithmetic — the analyzer keeps them inside the Aggregate):
+    // rewrite every AggregateExpression and key reference in place,
+    // preserving names, ids, and types for parent operators
+    // aggregates rewrite wholesale (their CHILDREN reference source
+    // columns by design — never descend into them); any other source
+    // attribute in a result expression must be a group key
+    var covered = true
+    def rewriteResult(e: Expression): Expression = e match {
+      case ae: AggregateExpression => rewriteAgg(ae) match {
+        case Some(x) => retyped(x, ae.dataType)
+        case None => covered = false; ae
+      }
+      case a: AttributeReference =>
+        keyFor.getOrElse(a.exprId, { covered = false; a })
+      case other => other.mapChildren(rewriteResult)
+    }
+    val newResult = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        Alias(keyFor.getOrElse(a.exprId, return None), a.name)(a.exprId)
+      case ne => rewriteResult(ne).asInstanceOf[NamedExpression]
+    }
+    if (!covered) return None
+
+    val child = newFilters.foldLeft(mvRel: LogicalPlan)(
+      (p, c) => Filter(c, p))
+    Some(Aggregate(newGroup, newResult, child))
+  }
+}

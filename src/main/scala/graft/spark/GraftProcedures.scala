@@ -26,13 +26,16 @@ object GraftProcedures {
     "compact_table", "expire_snapshots", "remove_orphan_files",
     "expire_catalog_versions", "import_files", "rollback_catalog",
     "create_tag", "drop_tag",
-    "create_branch", "drop_branch", "fast_forward", "analyze_table")
+    "create_branch", "drop_branch", "fast_forward", "analyze_table",
+    "create_materialized_view", "refresh_materialized_view")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
       s"no such procedure namespace: ${ident.namespace().mkString(".")}")
     ident.name() match {
       case "analyze_table" => AnalyzeTable(cat)
+      case "create_materialized_view" => CreateMaterializedView(cat)
+      case "refresh_materialized_view" => RefreshMaterializedView(cat)
       case "compact_table" => CompactTable(cat)
       case "rewrite_position_deletes" => RewritePositionDeletes(cat)
       case "expire_snapshots" => ExpireSnapshots(cat)
@@ -130,6 +133,48 @@ object GraftProcedures {
         r.map(c => InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(c.column),
           c.ndv)))
+    }
+  }
+
+  /** Incrementally-maintained materialized view over a graft table
+    * ([[graft.maintain.MaterializedViews]]): GROUP BY keys +
+    * count/sum/min/max aggregates; refresh merges only the appended
+    * delta's aggregate, falling back to a full recompute when the
+    * snapshot range isn't purely additive.
+    */
+  private case class CreateMaterializedView(cat: GraftCatalog)
+      extends GraftProcedure("create_materialized_view") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("namespace", StringType), in("name", StringType),
+      in("source_namespace", StringType), in("source_table", StringType),
+      in("group_by", StringType), // comma-separated key columns
+      in("aggs", StringType)) // 'out:fn:expr;...' fn ∈ count|sum|min|max
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val r = graft.maintain.MaterializedViews.create(
+        org.apache.spark.sql.SparkSession.active, cat,
+        input.getString(0), input.getString(1),
+        input.getString(2), input.getString(3),
+        input.getString(4).split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+        graft.maintain.MaterializedViews.parseAggs(input.getString(5)))
+      result(
+        StructType(Seq(StructField("mode", StringType, false),
+          StructField("mv_rows", LongType, false))),
+        Seq(InternalRow(UTF8String.fromString(r.mode), r.mvRows)))
+    }
+  }
+
+  private case class RefreshMaterializedView(cat: GraftCatalog)
+      extends GraftProcedure("refresh_materialized_view") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("namespace", StringType), in("name", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val r = graft.maintain.MaterializedViews.refresh(
+        org.apache.spark.sql.SparkSession.active, cat,
+        Identifier.of(Array(input.getString(0)), input.getString(1)))
+      result(
+        StructType(Seq(StructField("mode", StringType, false),
+          StructField("mv_rows", LongType, false))),
+        Seq(InternalRow(UTF8String.fromString(r.mode), r.mvRows)))
     }
   }
 

@@ -30,6 +30,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     ext.injectResolutionRule(session => new GraftViewResolution(session))
     ext.injectResolutionRule(session => new GraftCheckConstraints(session))
+    ext.injectOptimizerRule(session => new GraftMvRewrite(session))
   }
 }
 

@@ -1,0 +1,127 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Transparent MV query rewrite: the optimized plan must scan the
+  * VIEW exactly when it is fresh and covers the query, results must be
+  * identical to the rewrite-disabled run, and every staleness /
+  * coverage gap must decline (correctness never depends on the view).
+  */
+class MvRewriteSpec extends AnyFunSuite {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-mvr").toString
+
+  lazy val spark: SparkSession = graft.Verify.sessionBuilder("4")
+    .config("spark.sql.catalog.mvr", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.mvr.warehouse", warehouse)
+    .getOrCreate()
+
+  private def usesMv(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.relation.table.name().endsWith(".mv") => r
+    }.nonEmpty
+
+  /** Run with rewrite on and off; assert identical rows and the
+    * expected plan source.
+    */
+  private def check(sql: String, expectMv: Boolean): Unit = {
+    val on = spark.sql(sql)
+    assert(usesMv(on) == expectMv,
+      s"expected usesMv=$expectMv for: $sql\n" +
+        on.queryExecution.optimizedPlan.treeString)
+    val rowsOn = on.collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val rowsOff = try
+      spark.sql(sql).collect().map(_.toString).sorted.toSeq
+    finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    assert(rowsOn == rowsOff, s"rewrite changed results for: $sql")
+  }
+
+  test("fresh MV serves exact-key, roll-up, filtered, and global " +
+      "aggregates; every gap declines") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mvr.ns1")
+    spark.sql("CREATE TABLE mvr.ns1.src (k1 STRING, k2 BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO mvr.ns1.src
+                 SELECT CAST(id % 5 AS STRING), id % 3, CAST(id AS DOUBLE) / 7
+                 FROM range(0, 20000, 1, 4)""")
+    spark.sql("""CALL mvr.system.create_materialized_view(
+                   namespace => 'ns1', name => 'mv',
+                   source_namespace => 'ns1', source_table => 'src',
+                   group_by => 'k1,k2',
+                   aggs => 'n:count:1;total:sum:CAST(v AS DECIMAL(18,2));mn:min:v;mx:max:v')""")
+
+    // exact keys
+    check("""SELECT k1, k2, count(*) AS n,
+                    sum(CAST(v AS DECIMAL(18,2))) AS total, max(v) AS mx
+             FROM mvr.ns1.src GROUP BY k1, k2""", expectMv = true)
+    // roll-up to a key subset
+    check("""SELECT k1, count(*) AS n, min(v) AS mn
+             FROM mvr.ns1.src GROUP BY k1""", expectMv = true)
+    // composed result expressions over covered aggregates rewrite in
+    // place — including avg via its sum/count decomposition
+    check("""SELECT k1, CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE)
+                        / count(*) AS avg_v
+             FROM mvr.ns1.src GROUP BY k1""", expectMv = true)
+    // filter on a key column, grouped by the other
+    check("""SELECT k2, sum(CAST(v AS DECIMAL(18,2))) AS total
+             FROM mvr.ns1.src WHERE k1 IN ('1', '3') GROUP BY k2""",
+      expectMv = true)
+    // global roll-up (no GROUP BY)
+    check("SELECT count(*) AS n, max(v) AS mx FROM mvr.ns1.src",
+      expectMv = true)
+
+    // gaps that must DECLINE, each still row-identical:
+    // an aggregate the view does not carry
+    check("SELECT k1, avg(v) AS a FROM mvr.ns1.src GROUP BY k1",
+      expectMv = false)
+    // sum of a DIFFERENT expression than the view's
+    check("SELECT k1, sum(v) AS s FROM mvr.ns1.src GROUP BY k1",
+      expectMv = false)
+    // count of a column (null-sensitive) is not count(*)
+    check("SELECT k1, count(v) AS n FROM mvr.ns1.src GROUP BY k1",
+      expectMv = false)
+    // DISTINCT aggregates decline
+    check("SELECT k1, count(DISTINCT k2) AS n FROM mvr.ns1.src GROUP BY k1",
+      expectMv = false)
+    // filter on a NON-key column declines
+    check("""SELECT k1, count(*) AS n FROM mvr.ns1.src
+             WHERE v > 100 GROUP BY k1""", expectMv = false)
+    // grouping by a non-key expression declines
+    check("SELECT upper(k1) AS u, count(*) AS n FROM mvr.ns1.src GROUP BY 1",
+      expectMv = false)
+
+    // staleness: an unrefreshed append must route to the SOURCE (new
+    // rows visible), then refresh restores the rewrite
+    spark.sql("INSERT INTO mvr.ns1.src VALUES ('9', 9, 1.5)")
+    val stale = spark.sql(
+      "SELECT count(*) AS n FROM mvr.ns1.src")
+    assert(!usesMv(stale))
+    assert(stale.head.getLong(0) == 20001L)
+    spark.sql("""CALL mvr.system.refresh_materialized_view(
+                   namespace => 'ns1', name => 'mv')""")
+    check("SELECT count(*) AS n FROM mvr.ns1.src", expectMv = true)
+
+    // time travel pins another snapshot: never rewritten
+    val versions = spark.sql(
+      "SELECT snapshot_id FROM mvr.ns1.`src$snapshots` ORDER BY snapshot_id")
+      .collect().map(_.getLong(0))
+    val tt = spark.sql(
+      s"SELECT count(*) AS n FROM mvr.ns1.src VERSION AS OF 'snap:${versions.head}'")
+    assert(!usesMv(tt))
+
+    // kill switch
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try assert(!usesMv(spark.sql(
+      "SELECT k1, count(*) AS n FROM mvr.ns1.src GROUP BY k1")))
+    finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+
+    // a dropped view leaves a stale registry entry: declines, no error
+    spark.sql("DROP TABLE mvr.ns1.mv")
+    check("SELECT k1, count(*) AS n FROM mvr.ns1.src GROUP BY k1",
+      expectMv = false)
+  }
+}

@@ -130,6 +130,7 @@ object MaterializedViews {
     if (!prior.contains(entry))
       cat.alterTable(srcIdent,
         TableChange.setProperty(DerivedProp, (prior :+ entry).mkString(",")))
+    graft.spark.GraftMvRewrite.invalidate(cat.name(), entry)
     RefreshResult("full",
       spark.table(fullName(cat, ns, mv)).count())
   }
@@ -201,6 +202,7 @@ object MaterializedViews {
     spark.catalog.dropTempView("__graft_mv_refresh")
     cat.alterTable(Identifier.of(Array(ns), mv),
       TableChange.setProperty(RefreshedSnapshotProp, curId.toString))
+    graft.spark.GraftMvRewrite.invalidate(cat.name(), s"$ns.$mv")
     RefreshResult(mode, spark.table(mvFull).count())
   }
 }

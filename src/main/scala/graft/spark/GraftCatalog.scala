@@ -598,7 +598,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
 
   override def dropTable(ident: Identifier): Boolean =
     try inTxn { txn =>
-      Graft.dropTable(storage, txn, ns1(ident.namespace()), ident.name()); true
+      Graft.dropTable(storage, txn, ns1(ident.namespace()), ident.name())
+      // a dropped materialized view must stop serving rewrites NOW,
+      // not at the memo's TTL
+      GraftMvRewrite.invalidate(name(),
+        s"${ns1(ident.namespace())}.${ident.name()}")
+      true
     } catch { case _: IllegalArgumentException => false }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {

@@ -99,10 +99,13 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     val mvIdent = Identifier.of(Array(ns), mvName)
-    val mv = try cat.loadTable(mvIdent) match {
-      case g: GraftTable => g
-      case _ => return None
-    } catch { case _: Exception => return None } // dropped view: stale entry
+    val mv = GraftMvRewrite.loadCached(cat, nsMv,
+      src.meta.currentSnapshotId, {
+        try cat.loadTable(mvIdent) match {
+          case g: GraftTable => Some(g)
+          case _ => None
+        } catch { case _: Exception => None } // dropped view: stale entry
+      }).getOrElse(return None)
     val props = mv.properties()
     // the view must be OVER this table and FRESH at the scan's snapshot
     if (props.get(MaterializedViews.SourceNsProp) != src.namespaceName ||
@@ -211,5 +214,50 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     val child = newFilters.foldLeft(mvRel: LogicalPlan)(
       (p, c) => Filter(c, p))
     Some(Aggregate(newGroup, newResult, child))
+  }
+}
+
+object GraftMvRewrite {
+  /** Brief memo of view-table loads keyed by (catalog, ns.mv, SOURCE
+    * snapshot id), so the optimizer's fixed-point iterations (and
+    * repeated aggregates in one plan) don't re-read catalog metadata
+    * for the same decision. Snapshot-consistent by construction: the
+    * rewrite embeds the loaded table INSTANCE (pinned at its own
+    * snapshot), and freshness compares that instance's watermark to
+    * the scan's pinned source snapshot — a cached entry can only
+    * reproduce a decision that was correct for this exact source
+    * snapshot, never serve newer data against an older scan. A
+    * refresh landing inside the TTL is at worst a missed rewrite.
+    */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Long), (Long, Option[GraftTable])]()
+  private val TtlMillis = 30000L
+  private val MaxEntries = 256
+
+  /** Drop memoized decisions for one view — create/refresh call this
+    * so a just-refreshed view rewrites immediately in this driver
+    * (another driver's refresh is picked up within the TTL).
+    */
+  private[graft] def invalidate(catName: String, nsMv: String): Unit = {
+    val it = cache.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k._1 == catName && k._2 == nsMv) it.remove()
+    }
+  }
+
+  private[spark] def loadCached(cat: GraftCatalog, nsMv: String,
+      srcSnapshotId: Long, load: => Option[GraftTable])
+      : Option[GraftTable] = {
+    val key = (cat.name(), nsMv, srcSnapshotId)
+    val now = System.currentTimeMillis()
+    Option(cache.get(key)).collect {
+      case (at, v) if now - at < TtlMillis => v
+    }.getOrElse {
+      val v = load
+      if (cache.size() >= MaxEntries) cache.clear()
+      cache.put(key, (now, v))
+      v
+    }
   }
 }

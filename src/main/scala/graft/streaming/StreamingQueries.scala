@@ -684,7 +684,83 @@ object StreamingQueries {
              |SELECT lang, count(*) AS n_docs,
              |       CAST(sum(n_words) AS BIGINT) AS total_tokens
              |FROM m WHERE n_words >= 10 AND n_stop >= 1
-             |GROUP BY lang ORDER BY lang""".stripMargin))
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      "st13_stream_mv",
+      (s, d) => {
+        // Streaming ingest KEEPS A MATERIALIZED VIEW FRESH: orders
+        // arrive on a landing stream; each micro-batch appends to the
+        // graft source table and refreshes the MV, and every one of
+        // those refreshes must take the INCREMENTAL path (aggregate
+        // the batch-sized delta, merge — never a full recompute while
+        // the ingest only appends). This is the 100 TB serving
+        // pattern: the dashboard aggregate is maintained at the cost
+        // of the ARRIVING data, and GraftMvRewrite serves queries
+        // from it between batches. The final MV state must hash-match
+        // DuckDB's from-scratch aggregate over everything streamed.
+        if (s.conf.getOption("spark.sql.catalog.gsmv").isEmpty) {
+          s.conf.set("spark.sql.catalog.gsmv",
+            classOf[graft.spark.GraftCatalog].getName)
+          s.conf.set("spark.sql.catalog.gsmv.warehouse",
+            java.nio.file.Files.createTempDirectory("graft-gsmv").toString)
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gsmv.ns1")
+        s.sql("DROP TABLE IF EXISTS gsmv.ns1.mv")
+        s.sql("DROP TABLE IF EXISTS gsmv.ns1.ord")
+        s.sql("DROP TABLE IF EXISTS gsmv.ns1.landing")
+        Seq("ord", "landing").foreach(t =>
+          s.sql(s"""CREATE TABLE gsmv.ns1.$t (
+                      o_orderkey BIGINT, o_orderstatus STRING,
+                      o_totalprice DOUBLE, o_orderpriority STRING)"""))
+        def slice(m: Int, into: String): Unit =
+          s.sql(s"""INSERT INTO gsmv.ns1.$into
+                    SELECT o_orderkey, o_orderstatus, o_totalprice,
+                           o_orderpriority
+                    FROM parquet.`$d/orders.parquet`
+                    WHERE o_orderkey % 3 = $m""")
+        // seed the source with slice 0 so the MV starts from a live
+        // snapshot, then stream slices 1 and 2 through the landing
+        // table in two micro-batches
+        slice(0, "ord")
+        s.sql("""CALL gsmv.system.create_materialized_view(
+                   namespace => 'ns1', name => 'mv',
+                   source_namespace => 'ns1', source_table => 'ord',
+                   group_by => 'o_orderstatus,o_orderpriority',
+                   aggs => 'n:count:1;total:sum:CAST(o_totalprice AS DECIMAL(18,2));mx:max:o_totalprice')""")
+        val modes = scala.collection.mutable.ArrayBuffer.empty[String]
+        val checkpoint =
+          java.nio.file.Files.createTempDirectory("graft-st13").toString
+        val q = s.readStream.table("gsmv.ns1.landing")
+          .writeStream
+          .option("checkpointLocation", checkpoint)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.writeTo("gsmv.ns1.ord").append()
+            modes += s.sql("""CALL gsmv.system.refresh_materialized_view(
+                                namespace => 'ns1', name => 'mv')""")
+              .head.getString(0)
+            ()
+          }
+          .start()
+        try {
+          slice(1, "landing")
+          q.processAllAvailable()
+          slice(2, "landing")
+          q.processAllAvailable()
+        } finally q.stop()
+        require(modes.nonEmpty && modes.forall(_ == "incremental"),
+          s"every micro-batch must refresh incrementally, took: $modes")
+        s.sql("""SELECT o_orderstatus AS status, o_orderpriority AS prio,
+                        n, CAST(total AS DOUBLE) AS total, mx
+                 FROM gsmv.ns1.mv ORDER BY status, prio""")
+      },
+      Some("""SELECT o_orderstatus AS status, o_orderpriority AS prio,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |            AS DOUBLE) AS total,
+             |       max(o_totalprice) AS mx
+             |FROM orders
+             |GROUP BY 1, 2 ORDER BY status, prio""".stripMargin))
   )
 
 }

@@ -309,6 +309,19 @@ final case class TableMetadata(
   def allSnapshots(storage: StorageOps): Seq[Snapshot] =
     snapshotLog.flatMap(r => SnapshotLog.read(storage, r.key)) ++ snapshots
 
+  /** Snapshots with `start < id <= end`, oldest first, opening ONLY
+    * the spilled segments whose id bounds intersect the range. The
+    * incremental paths (start/end-snapshot scans, MV refresh) ask for
+    * a RECENT window that normally lives entirely in the inline
+    * snapshot list — they must not pay a full-history segment read on
+    * a long-lived table the way [[allSnapshots]] does.
+    */
+  def snapshotsInRange(storage: StorageOps, start: Long, end: Long)
+      : Seq[Snapshot] =
+    (snapshotLog.filter(r => r.lastId > start && r.firstId <= end)
+      .flatMap(r => SnapshotLog.read(storage, r.key)) ++ snapshots)
+      .filter(s => s.id > start && s.id <= end)
+
   /** Snapshot by id: inline window first, then the ONE spilled segment
     * whose id bounds cover it.
     */

@@ -168,8 +168,7 @@ object MaterializedViews {
     if (curId == last)
       return RefreshResult("noop", spark.table(mvFull).count())
 
-    val between = srcMeta.allSnapshots(storage)
-      .filter(s => s.id > last && s.id <= curId)
+    val between = srcMeta.snapshotsInRange(storage, last, curId)
     val additive = last >= 0 && curId >= 0 &&
       srcMeta.findSnapshot(storage, last).isDefined &&
       between.nonEmpty && between.forall(s => GraftTable.AdditiveOps(s.operation))

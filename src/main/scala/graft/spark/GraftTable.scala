@@ -140,8 +140,7 @@ class GraftTable(
       .map(_.toLong).getOrElse(meta.currentSnapshotId)
     require(endId <= meta.currentSnapshotId,
       s"end-snapshot-id $endId is newer than current ${meta.currentSnapshotId}")
-    val nonAdditive = meta.allSnapshots(storage)
-      .filter(s => s.id > startId && s.id <= endId)
+    val nonAdditive = meta.snapshotsInRange(storage, startId, endId)
       .filterNot(s => GraftTable.AdditiveOps(s.operation))
     if (nonAdditive.nonEmpty) throw new UnsupportedOperationException(
       s"incremental read range ($startId, $endId] of ${name()} contains " +

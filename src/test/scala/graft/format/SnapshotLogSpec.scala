@@ -60,6 +60,20 @@ class SnapshotLogSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotsInRange opens only the segments the range touches") {
+    val s = new LocalStorageOps(Files.createTempDirectory("graft-sl").toString)
+    val m = commitN(s, 40, inlineMax = 4)
+    assert(m.snapshotsInRange(s, 10L, 20L).map(_.id) == (11L to 20L))
+    assert(m.snapshotsInRange(s, -1L, 39L).map(_.id) == (0L to 39L))
+    assert(m.snapshotsInRange(s, 39L, 39L).isEmpty)
+    // the hot case — a range inside the inline window — must read NO
+    // spilled segments: prove it by removing them all first
+    val inlineLow = m.snapshots.map(_.id).min
+    s.deleteBatch(m.snapshotLog.map(_.key))
+    assert(m.snapshotsInRange(s, inlineLow, 39L).map(_.id) ==
+      ((inlineLow + 1) to 39L))
+  }
+
   test("the segment-count bound merges the log instead of growing forever") {
     val s = new LocalStorageOps(Files.createTempDirectory("graft-sl").toString)
     // inlineMax=2 spills one snapshot per commit past the window, so

@@ -145,15 +145,26 @@ object MaterializedViews {
     val ns = ident.namespace()(0)
     val mv = ident.name()
     val storage = cat.storage
-    val txn = graft.catalog.Graft.beginTransaction(storage)
-    val (props, srcNs, srcT) = try {
-      val td = graft.catalog.Graft.describeTable(storage, txn, ns, mv)
-      val p = td.properties
-      (p,
-        p.getOrElse(SourceNsProp, throw new IllegalArgumentException(
-          s"$ns.$mv is not a materialized view (no $SourceNsProp)")),
-        p(SourceTableProp))
-    } finally txn.close()
+    val mvFull0 = fullName(cat, ns, mv)
+    // read the watermark from the SAME pinned table instance whose
+    // state the merge will read (the planned scan's table), so two
+    // concurrent refreshes can never pair a new state with an old
+    // watermark and re-merge an already-merged delta
+    val stored = spark.table(mvFull0)
+    val mvTable = stored.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[graft.spark.GraftTable] =>
+        r.table.asInstanceOf[graft.spark.GraftTable]
+    }.getOrElse(throw new IllegalArgumentException(
+      s"$ns.$mv is not a graft table"))
+    val props = {
+      import scala.jdk.CollectionConverters._
+      mvTable.properties().asScala.toMap
+    }
+    val srcNs = props.getOrElse(SourceNsProp,
+      throw new IllegalArgumentException(
+        s"$ns.$mv is not a materialized view (no $SourceNsProp)"))
+    val srcT = props(SourceTableProp)
     val groupBy = props(GroupByProp).split(',').toSeq.map(_.trim)
     val aggs = parseAggs(props(AggsProp))
     val last = props.get(RefreshedSnapshotProp).map(_.toLong).getOrElse(-1L)
@@ -164,26 +175,27 @@ object MaterializedViews {
       TableMetadata.read(storage, srcTd.metadataLocation)
     } finally txn2.close()
     val curId = srcMeta.currentSnapshotId
-    val mvFull = fullName(cat, ns, mv)
+    val mvFull = mvFull0
     if (curId == last)
-      return RefreshResult("noop", spark.table(mvFull).count())
+      return RefreshResult("noop", stored.count())
 
     val between = srcMeta.snapshotsInRange(storage, last, curId)
     val additive = last >= 0 && curId >= 0 &&
       srcMeta.findSnapshot(storage, last).isDefined &&
       between.nonEmpty && between.forall(s => GraftTable.AdditiveOps(s.operation))
 
-    val mvSchema = spark.table(mvFull).schema
+    val mvSchema = stored.schema
     val (mode, next) =
       if (additive) {
         // the engine's own incremental read plans exactly the files of
         // (last, curId] — additivity means their RAW rows are the row
-        // delta, so the delta aggregate + combine IS the new state
+        // delta, so the delta aggregate + combine IS the new state.
+        // `stored` is the SAME pinned state the watermark came from.
         val delta = spark.read
           .option(GraftTable.StartSnapshotOption, last.toString)
           .option(GraftTable.EndSnapshotOption, curId.toString)
           .table(fullName(cat, srcNs, srcT))
-        val merged = spark.table(mvFull)
+        val merged = stored
           .unionByName(aggregate(delta, groupBy, aggs))
           .groupBy(groupBy.map(col): _*)
           .agg(aggs.head.merge, aggs.tail.map(_.merge): _*)

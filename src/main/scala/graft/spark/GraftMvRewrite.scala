@@ -168,15 +168,18 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
       if (ae.isDistinct || ae.filter.isDefined) return None
       ae.aggregateFunction match {
-        case Count(Seq(_: Literal)) =>
+        case Count(Seq(l: Literal)) if l.value != null =>
           // every group the view stores has >= 1 row, so sum(n) is
           // only null for the global aggregate of an empty view —
-          // where count must be 0
+          // where count must be 0. count(NULL) is NOT row count
+          // (always 0) — the null-literal guard declines it.
           countAttr.map(n => Coalesce(Seq(
             Sum(n).toAggregateExpression(), Literal(0L))))
-        case Sum(child, _) =>
+        case Sum(child, mode) =>
+          // keep the eval mode: try_sum must stay try_sum over the
+          // view's partial sums
           byDef.get(("sum", child.canonicalized))
-            .map(a => Sum(a).toAggregateExpression())
+            .map(a => Sum(a, mode).toAggregateExpression())
         case Min(child) =>
           byDef.get(("min", child.canonicalized))
             .map(a => Min(a).toAggregateExpression())

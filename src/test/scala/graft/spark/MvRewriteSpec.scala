@@ -84,6 +84,19 @@ class MvRewriteSpec extends AnyFunSuite {
     // count of a column (null-sensitive) is not count(*)
     check("SELECT k1, count(v) AS n FROM mvr.ns1.src GROUP BY k1",
       expectMv = false)
+    // count(NULL) is always 0, never the row count: upstream constant
+    // folding may turn it into a literal before the rule sees it (a
+    // literal-only rewrite over the view is then valid), so assert
+    // row equality only — the rule itself declines the unfolded form
+    locally {
+      val cn = "SELECT k1, count(NULL) AS n FROM mvr.ns1.src GROUP BY k1"
+      val on = spark.sql(cn).collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      val off = try spark.sql(cn).collect().map(_.toString).sorted.toSeq
+      finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+      assert(on == off, "count(NULL) rows must not depend on the rewrite")
+      assert(on.forall(_.endsWith(",0]")), s"count(NULL) must be 0: $on")
+    }
     // DISTINCT aggregates decline
     check("SELECT k1, count(DISTINCT k2) AS n FROM mvr.ns1.src GROUP BY k1",
       expectMv = false)

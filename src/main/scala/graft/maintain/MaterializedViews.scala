@@ -135,6 +135,40 @@ object MaterializedViews {
       spark.table(fullName(cat, ns, mv)).count())
   }
 
+  /** DROP: removes the view table AND its entry in the source's
+    * derived-views registry (a bare DROP TABLE leaves a stale entry —
+    * tolerated by the rewrite rule, but this is the clean path).
+    * Dropping through here also stops any in-flight rewrite memoization
+    * via the dropTable hook.
+    */
+  def drop(spark: SparkSession, cat: GraftCatalog,
+      ident: Identifier): Boolean = {
+    val ns = ident.namespace()(0)
+    val mv = ident.name()
+    val storage = cat.storage
+    val txn = graft.catalog.Graft.beginTransaction(storage)
+    val (srcNs, srcT) = try {
+      val td = graft.catalog.Graft.describeTable(storage, txn, ns, mv)
+      (td.properties.getOrElse(SourceNsProp,
+        throw new IllegalArgumentException(
+          s"$ns.$mv is not a materialized view (no $SourceNsProp)")),
+        td.properties(SourceTableProp))
+    } finally txn.close()
+    val dropped = cat.dropTable(ident)
+    val srcIdent = Identifier.of(Array(srcNs), srcT)
+    try {
+      val prior = Option(cat.loadTable(srcIdent).properties().get(DerivedProp))
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq.empty)
+      val next = prior.filterNot(_ == s"$ns.$mv")
+      if (next != prior)
+        cat.alterTable(srcIdent,
+          if (next.isEmpty) TableChange.removeProperty(DerivedProp)
+          else TableChange.setProperty(DerivedProp, next.mkString(",")))
+    } catch { case _: Exception => () } // source itself gone: nothing to clean
+    dropped
+  }
+
   /** REFRESH: merges the additive delta's aggregate into the stored
     * state, or falls back to a full recompute when the snapshot range
     * isn't purely additive. Returns the mode actually taken

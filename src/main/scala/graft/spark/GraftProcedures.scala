@@ -27,7 +27,8 @@ object GraftProcedures {
     "expire_catalog_versions", "import_files", "rollback_catalog",
     "create_tag", "drop_tag",
     "create_branch", "drop_branch", "fast_forward", "analyze_table",
-    "create_materialized_view", "refresh_materialized_view")
+    "create_materialized_view", "refresh_materialized_view",
+    "drop_materialized_view")
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
@@ -36,6 +37,7 @@ object GraftProcedures {
       case "analyze_table" => AnalyzeTable(cat)
       case "create_materialized_view" => CreateMaterializedView(cat)
       case "refresh_materialized_view" => RefreshMaterializedView(cat)
+      case "drop_materialized_view" => DropMaterializedView(cat)
       case "compact_table" => CompactTable(cat)
       case "rewrite_position_deletes" => RewritePositionDeletes(cat)
       case "expire_snapshots" => ExpireSnapshots(cat)
@@ -175,6 +177,20 @@ object GraftProcedures {
         StructType(Seq(StructField("mode", StringType, false),
           StructField("mv_rows", LongType, false))),
         Seq(InternalRow(UTF8String.fromString(r.mode), r.mvRows)))
+    }
+  }
+
+  private case class DropMaterializedView(cat: GraftCatalog)
+      extends GraftProcedure("drop_materialized_view") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("namespace", StringType), in("name", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val dropped = graft.maintain.MaterializedViews.drop(
+        org.apache.spark.sql.SparkSession.active, cat,
+        Identifier.of(Array(input.getString(0)), input.getString(1)))
+      result(
+        StructType(Seq(StructField("dropped", BooleanType, false))),
+        Seq(InternalRow(dropped)))
     }
   }
 

@@ -137,4 +137,34 @@ class MvRewriteSpec extends AnyFunSuite {
     check("SELECT k1, count(*) AS n FROM mvr.ns1.src GROUP BY k1",
       expectMv = false)
   }
+
+  test("drop_materialized_view deregisters from the source") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mvr.ns2")
+    spark.sql("CREATE TABLE mvr.ns2.s (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO mvr.ns2.s VALUES (1, 1.5), (2, 2.5)")
+    spark.sql("""CALL mvr.system.create_materialized_view(
+                   namespace => 'ns2', name => 'm',
+                   source_namespace => 'ns2', source_table => 's',
+                   group_by => 'k', aggs => 'n:count:1')""")
+    def derived(): Option[String] = {
+      val cat = spark.sessionState.catalogManager.catalog("mvr")
+        .asInstanceOf[GraftCatalog]
+      Option(cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("ns2"), "s")).properties()
+        .get(graft.maintain.MaterializedViews.DerivedProp))
+    }
+    assert(derived().contains("ns2.m"))
+    val dropped = spark.sql("""CALL mvr.system.drop_materialized_view(
+                                 namespace => 'ns2', name => 'm')""")
+      .head.getBoolean(0)
+    assert(dropped)
+    assert(derived().isEmpty, "registry entry must be removed")
+    assert(!spark.catalog.tableExists("mvr.ns2.m"))
+    // dropping a plain table through the procedure is refused
+    val e = intercept[Exception] {
+      spark.sql("""CALL mvr.system.drop_materialized_view(
+                     namespace => 'ns2', name => 's')""").collect()
+    }
+    assert(e.getMessage.contains("not a materialized view"))
+  }
 }

@@ -165,8 +165,33 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     def retyped(e: Expression, dt: org.apache.spark.sql.types.DataType) =
       if (e.dataType == dt) e else Cast(e, dt, tz)
 
+    // keys the query groups by, in the view's spelling
+    val groupedKeys: Set[String] = agg.groupingExpressions.collect {
+      case a: AttributeReference => keys.find(conf.resolver(_, a.name))
+    }.flatten.toSet
+
     def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
-      if (ae.isDistinct || ae.filter.isDefined) return None
+      if (ae.filter.isDefined) return None
+      if (ae.isDistinct) return ae.aggregateFunction match {
+        // count(DISTINCT key...): when the grouped keys plus the
+        // counted keys cover the view's WHOLE key set, each view row
+        // is exactly one distinct counted combination within its
+        // group — and SQL's distinct-count skips any-null rows just
+        // like multi-child Count does, so a plain Count over the
+        // view's key columns is exact (nulls included)
+        case Count(children) if children.nonEmpty =>
+          val counted = children.map {
+            case a: AttributeReference =>
+              keys.find(conf.resolver(_, a.name)).getOrElse(return None)
+            case _ => return None
+          }.toSet
+          if ((groupedKeys ++ counted) == keys.toSet)
+            Some(Count(children.map {
+              case a: AttributeReference => keyFor(a.exprId)
+            }).toAggregateExpression())
+          else None
+        case _ => None
+      }
       ae.aggregateFunction match {
         case Count(Seq(l: Literal)) if l.value != null =>
           // every group the view stores has >= 1 row, so sum(n) is

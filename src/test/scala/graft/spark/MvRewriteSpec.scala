@@ -48,6 +48,10 @@ class MvRewriteSpec extends AnyFunSuite {
     spark.sql("""INSERT INTO mvr.ns1.src
                  SELECT CAST(id % 5 AS STRING), id % 3, CAST(id AS DOUBLE) / 7
                  FROM range(0, 20000, 1, 4)""")
+    // null keys exercise every rewrite's null semantics (count(*)
+    // counts null-key groups; count(DISTINCT key) must skip them)
+    spark.sql("""INSERT INTO mvr.ns1.src VALUES
+                 (NULL, 0, 3.5), (NULL, NULL, 4.5), ('1', NULL, 5.5)""")
     spark.sql("""CALL mvr.system.create_materialized_view(
                    namespace => 'ns1', name => 'mv',
                    source_namespace => 'ns1', source_table => 'src',
@@ -97,8 +101,18 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(on == off, "count(NULL) rows must not depend on the rewrite")
       assert(on.forall(_.endsWith(",0]")), s"count(NULL) must be 0: $on")
     }
-    // DISTINCT aggregates decline
+    // count(DISTINCT key) rewrites when grouped + counted keys cover
+    // the view's whole key set (nulls skipped on both paths)
     check("SELECT k1, count(DISTINCT k2) AS n FROM mvr.ns1.src GROUP BY k1",
+      expectMv = true)
+    check("SELECT count(DISTINCT k1, k2) AS n FROM mvr.ns1.src",
+      expectMv = true)
+    // ... and declines when they don't (k1 unconstrained: view rows
+    // per k2 are not distinct k2 values)
+    check("SELECT count(DISTINCT k2) AS n FROM mvr.ns1.src",
+      expectMv = false)
+    // DISTINCT over a non-key still declines
+    check("SELECT k1, count(DISTINCT v) AS n FROM mvr.ns1.src GROUP BY k1",
       expectMv = false)
     // filter on a NON-key column declines
     check("""SELECT k1, count(*) AS n FROM mvr.ns1.src
@@ -113,7 +127,7 @@ class MvRewriteSpec extends AnyFunSuite {
     val stale = spark.sql(
       "SELECT count(*) AS n FROM mvr.ns1.src")
     assert(!usesMv(stale))
-    assert(stale.head.getLong(0) == 20001L)
+    assert(stale.head.getLong(0) == 20004L)
     spark.sql("""CALL mvr.system.refresh_materialized_view(
                    namespace => 'ns1', name => 'mv')""")
     check("SELECT count(*) AS n FROM mvr.ns1.src", expectMv = true)

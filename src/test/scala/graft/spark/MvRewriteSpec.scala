@@ -77,6 +77,13 @@ class MvRewriteSpec extends AnyFunSuite {
     // global roll-up (no GROUP BY)
     check("SELECT count(*) AS n, max(v) AS mx FROM mvr.ns1.src",
       expectMv = true)
+    // SELECT DISTINCT over keys is an aggregate with no agg functions
+    check("SELECT DISTINCT k1 FROM mvr.ns1.src", expectMv = true)
+    check("SELECT DISTINCT k1, k2 FROM mvr.ns1.src", expectMv = true)
+    check("SELECT DISTINCT k1, v FROM mvr.ns1.src", expectMv = false)
+    // HAVING filters above the aggregate and composes with the rewrite
+    check("""SELECT k1, count(*) AS n FROM mvr.ns1.src
+             GROUP BY k1 HAVING count(*) > 3000""", expectMv = true)
 
     // gaps that must DECLINE, each still row-identical:
     // an aggregate the view does not carry

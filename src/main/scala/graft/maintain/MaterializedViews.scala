@@ -48,14 +48,19 @@ object MaterializedViews {
 
   /** One aggregate column: `out:fn:expr` with fn ∈ count|sum|min|max;
     * entries separate with ';' so `expr` may contain commas
-    * (e.g. `total:sum:CAST(price AS DECIMAL(18,2))`).
+    * (e.g. `total:sum:CAST(price AS DECIMAL(18,2))`). `count:1` is
+    * the row count; any other count expr is the SQL null-sensitive
+    * `count(expr)` — both merge by summing partials.
     */
   final case class AggSpec(out: String, fn: String, expr: String) {
     require(Set("count", "sum", "min", "max")(fn),
       s"mv aggregate '$fn' is not incrementally maintainable " +
         "(count|sum|min|max; express avg as sum/count)")
+    /** Row count (`count:1`) vs null-sensitive `count(col)`. */
+    def isCountStar: Boolean = fn == "count" && expr.trim == "1"
     def firstPass: org.apache.spark.sql.Column = (fn match {
-      case "count" => count(lit(1))
+      case "count" if isCountStar => count(lit(1))
+      case "count" => count(org.apache.spark.sql.functions.expr(expr))
       case "sum" => sum(org.apache.spark.sql.functions.expr(expr))
       case "min" => min(org.apache.spark.sql.functions.expr(expr))
       case "max" => max(org.apache.spark.sql.functions.expr(expr))
@@ -81,6 +86,39 @@ object MaterializedViews {
 
   private def fullName(cat: GraftCatalog, ns: String, t: String): String =
     s"${cat.name()}.`$ns`.`$t`"
+
+  /** Parse/format of the source's derived-views registry — the ONE
+    * definition [[graft.spark.GraftMvRewrite]] also reads through.
+    */
+  def parseDerived(prop: String): Seq[String] =
+    Option(prop).map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+
+  /** Read-modify-write of the registry with a verify-retry loop:
+    * property writes are last-writer-wins, so a concurrent
+    * create/drop over the same source could silently erase this
+    * writer's edit — re-read and retry until our edit stuck.
+    */
+  private def editDerived(cat: GraftCatalog, srcIdent: Identifier)(
+      edit: Seq[String] => Seq[String]): Unit = {
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val prior = parseDerived(
+        cat.loadTable(srcIdent).properties().get(DerivedProp))
+      val next = edit(prior).distinct
+      if (next == prior) return
+      cat.alterTable(srcIdent,
+        if (next.isEmpty) TableChange.removeProperty(DerivedProp)
+        else TableChange.setProperty(DerivedProp, next.mkString(",")))
+      val now = parseDerived(
+        cat.loadTable(srcIdent).properties().get(DerivedProp))
+      if (now == next || edit(now).distinct == now) return
+    }
+    throw new IllegalStateException(
+      s"derived-views registry on ${srcIdent} kept losing the edit " +
+        "to concurrent writers")
+  }
 
   /** The snapshot id a just-analyzed DataFrame of a graft table will
     * actually read — taken from the plan's captured table state, so
@@ -122,14 +160,8 @@ object MaterializedViews {
     // register on the source so the query-rewrite rule finds the view
     // from the scanned table's own properties (dropped views leave a
     // stale entry; the rule skips entries that fail to load)
-    val srcIdent = Identifier.of(Array(srcNs), srcTable)
-    val prior = Option(cat.loadTable(srcIdent).properties().get(DerivedProp))
-      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-      .getOrElse(Seq.empty)
     val entry = s"$ns.$mv"
-    if (!prior.contains(entry))
-      cat.alterTable(srcIdent,
-        TableChange.setProperty(DerivedProp, (prior :+ entry).mkString(",")))
+    editDerived(cat, Identifier.of(Array(srcNs), srcTable))(_ :+ entry)
     graft.spark.GraftMvRewrite.invalidate(cat.name(), entry)
     RefreshResult("full",
       spark.table(fullName(cat, ns, mv)).count())
@@ -155,17 +187,9 @@ object MaterializedViews {
         td.properties(SourceTableProp))
     } finally txn.close()
     val dropped = cat.dropTable(ident)
-    val srcIdent = Identifier.of(Array(srcNs), srcT)
-    try {
-      val prior = Option(cat.loadTable(srcIdent).properties().get(DerivedProp))
-        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-        .getOrElse(Seq.empty)
-      val next = prior.filterNot(_ == s"$ns.$mv")
-      if (next != prior)
-        cat.alterTable(srcIdent,
-          if (next.isEmpty) TableChange.removeProperty(DerivedProp)
-          else TableChange.setProperty(DerivedProp, next.mkString(",")))
-    } catch { case _: Exception => () } // source itself gone: nothing to clean
+    try editDerived(cat, Identifier.of(Array(srcNs), srcT))(
+      _.filterNot(_ == s"$ns.$mv"))
+    catch { case _: Exception => () } // source itself gone: nothing to clean
     dropped
   }
 
@@ -242,11 +266,26 @@ object MaterializedViews {
     // back to the MV's declared schema before the overwrite
     val aligned = next.select(mvSchema.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-    aligned.createOrReplaceTempView("__graft_mv_refresh")
-    spark.sql(s"INSERT OVERWRITE $mvFull SELECT * FROM __graft_mv_refresh")
-    spark.catalog.dropTempView("__graft_mv_refresh")
-    cat.alterTable(Identifier.of(Array(ns), mv),
-      TableChange.setProperty(RefreshedSnapshotProp, curId.toString))
+    // state overwrite and watermark update must be ONE atomic catalog
+    // commit: a crash (or interleaved refresh) between them would pair
+    // a state with the wrong watermark, and the next refresh would
+    // re-merge (double-count) or skip a delta. Both writes ride the
+    // session transaction; concurrent refreshes resolve through the
+    // engine's optimistic conflict analysis. An already-open user
+    // transaction is joined, not nested — the pairing then commits
+    // with the user's own atomicity.
+    val ownTxn = !cat.transactionActive
+    if (ownTxn) cat.beginTransaction()
+    try {
+      aligned.writeTo(mvFull).overwrite(lit(true))
+      cat.alterTable(Identifier.of(Array(ns), mv),
+        TableChange.setProperty(RefreshedSnapshotProp, curId.toString))
+      if (ownTxn) cat.commitTransaction()
+    } catch {
+      case e: Throwable =>
+        if (ownTxn && cat.transactionActive) cat.rollbackTransaction()
+        throw e
+    }
     graft.spark.GraftMvRewrite.invalidate(cat.name(), s"$ns.$mv")
     RefreshResult(mode, spark.table(mvFull).count())
   }

@@ -537,6 +537,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           properties = props),
         actionType)
     }
+    // if this table is a materialized view (renamed column, stripped
+    // definition property, watermark bump), cached rewrite decisions
+    // about it are void
+    GraftMvRewrite.invalidate(name(), s"$ns.${ident.name()}")
     loadTable(ident)
   }
 

@@ -90,8 +90,20 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     derived.view.flatMap(tryView(agg, rel, src, cat, filters, _)).headOption
   }
 
-  /** Attempt the rewrite against one candidate `ns.mv`. */
+  /** Attempt the rewrite against one candidate `ns.mv`. ANY failure
+    * declines — a drifted view (renamed/dropped column, stripped
+    * properties, schema change) must never take the source table's
+    * queries down with it. NonLocalReturnControl is a ControlThrowable
+    * and passes through NonFatal, so the decline `return`s inside the
+    * closures below still work.
+    */
   private def tryView(agg: Aggregate, rel: DataSourceV2Relation,
+      src: GraftTable, cat: GraftCatalog, filters: Seq[Expression],
+      nsMv: String): Option[LogicalPlan] =
+    try tryView0(agg, rel, src, cat, filters, nsMv)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def tryView0(agg: Aggregate, rel: DataSourceV2Relation,
       src: GraftTable, cat: GraftCatalog, filters: Seq[Expression],
       nsMv: String): Option[LogicalPlan] = {
     val (ns, mvName) = nsMv.split('.') match {
@@ -155,11 +167,11 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       if (r.resolved) Some(r) else None
     }
     val byDef: Map[(String, Expression), Attribute] = specs.flatMap { s =>
-      if (s.fn == "count") None
+      if (s.isCountStar) None
       else resolved(s.expr).map(e => (s.fn, e.canonicalized) -> mvAttr(s.out))
     }.toMap
     val countAttr: Option[Attribute] =
-      specs.find(_.fn == "count").map(s => mvAttr(s.out))
+      specs.find(_.isCountStar).map(s => mvAttr(s.out))
 
     val tz = Some(session.sessionState.conf.sessionLocalTimeZone)
     def retyped(e: Expression, dt: org.apache.spark.sql.types.DataType) =
@@ -200,6 +212,14 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           // (always 0) — the null-literal guard declines it.
           countAttr.map(n => Coalesce(Seq(
             Sum(n).toAggregateExpression(), Literal(0L))))
+        case Count(Seq(child)) =>
+          // null-sensitive count(expr) against a matching count spec:
+          // partial counts sum; a group of all-null rows sums its
+          // zeros to 0, and only a rowless global aggregate needs the
+          // coalesce
+          byDef.get(("count", child.canonicalized))
+            .map(a => Coalesce(Seq(
+              Sum(a).toAggregateExpression(), Literal(0L))))
         case Sum(child, mode) =>
           // keep the eval mode: try_sum must stay try_sum over the
           // view's partial sums

@@ -48,15 +48,17 @@ class MvRewriteSpec extends AnyFunSuite {
     spark.sql("""INSERT INTO mvr.ns1.src
                  SELECT CAST(id % 5 AS STRING), id % 3, CAST(id AS DOUBLE) / 7
                  FROM range(0, 20000, 1, 4)""")
-    // null keys exercise every rewrite's null semantics (count(*)
-    // counts null-key groups; count(DISTINCT key) must skip them)
+    // null keys and a null value exercise every rewrite's null
+    // semantics (count(*) counts null-key groups; count(DISTINCT key)
+    // and count(v) must skip nulls)
     spark.sql("""INSERT INTO mvr.ns1.src VALUES
-                 (NULL, 0, 3.5), (NULL, NULL, 4.5), ('1', NULL, 5.5)""")
+                 (NULL, 0, 3.5), (NULL, NULL, 4.5), ('1', NULL, 5.5),
+                 ('2', 1, NULL)""")
     spark.sql("""CALL mvr.system.create_materialized_view(
                    namespace => 'ns1', name => 'mv',
                    source_namespace => 'ns1', source_table => 'src',
                    group_by => 'k1,k2',
-                   aggs => 'n:count:1;total:sum:CAST(v AS DECIMAL(18,2));mn:min:v;mx:max:v')""")
+                   aggs => 'n:count:1;nv:count:v;total:sum:CAST(v AS DECIMAL(18,2));mn:min:v;mx:max:v')""")
 
     // exact keys
     check("""SELECT k1, k2, count(*) AS n,
@@ -92,8 +94,12 @@ class MvRewriteSpec extends AnyFunSuite {
     // sum of a DIFFERENT expression than the view's
     check("SELECT k1, sum(v) AS s FROM mvr.ns1.src GROUP BY k1",
       expectMv = false)
-    // count of a column (null-sensitive) is not count(*)
+    // count of a column (null-sensitive) serves from its count spec —
+    // the 'nv:count:v' column, never the row count
     check("SELECT k1, count(v) AS n FROM mvr.ns1.src GROUP BY k1",
+      expectMv = true)
+    // count of a column with NO count spec declines
+    check("SELECT k1, count(k2) AS n FROM mvr.ns1.src GROUP BY k1",
       expectMv = false)
     // count(NULL) is always 0, never the row count: upstream constant
     // folding may turn it into a literal before the rule sees it (a
@@ -134,7 +140,7 @@ class MvRewriteSpec extends AnyFunSuite {
     val stale = spark.sql(
       "SELECT count(*) AS n FROM mvr.ns1.src")
     assert(!usesMv(stale))
-    assert(stale.head.getLong(0) == 20004L)
+    assert(stale.head.getLong(0) == 20005L)
     spark.sql("""CALL mvr.system.refresh_materialized_view(
                    namespace => 'ns1', name => 'mv')""")
     check("SELECT count(*) AS n FROM mvr.ns1.src", expectMv = true)
@@ -152,6 +158,18 @@ class MvRewriteSpec extends AnyFunSuite {
     try assert(!usesMv(spark.sql(
       "SELECT k1, count(*) AS n FROM mvr.ns1.src GROUP BY k1")))
     finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+
+    // a DRIFTED view (definition property stripped) must decline, not
+    // crash the source's queries...
+    spark.sql(
+      "ALTER TABLE mvr.ns1.mv UNSET TBLPROPERTIES ('graft.mv.group-by')")
+    check("SELECT k1, count(*) AS n FROM mvr.ns1.src GROUP BY k1",
+      expectMv = false)
+    // ...and recovers when the definition is restored
+    spark.sql(
+      "ALTER TABLE mvr.ns1.mv SET TBLPROPERTIES ('graft.mv.group-by'='k1,k2')")
+    check("SELECT k1, count(*) AS n FROM mvr.ns1.src GROUP BY k1",
+      expectMv = true)
 
     // a dropped view leaves a stale registry entry: declines, no error
     spark.sql("DROP TABLE mvr.ns1.mv")

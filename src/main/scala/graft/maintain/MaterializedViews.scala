@@ -23,9 +23,17 @@ import org.apache.spark.sql.functions._
   *
   * Delta validity rides the SAME gate as the engine's incremental
   * read: the (last, current] snapshot range must be purely additive
-  * (append / import / cherrypick). A rewrite, delete, or upsert in the
-  * range falls back to a full recompute — correct, just not
-  * incremental — exactly like incremental ANALYZE's fallback.
+  * (append / import / cherrypick) for the append-delta path. A range
+  * containing deletes or updates takes the COUNTING-ALGORITHM path
+  * instead when every aggregate retracts (count/sum with the required
+  * companion counts — see [[cdcMaintainable]]): signed partials
+  * aggregated from the engine's change feed
+  * ([[graft.spark.TableChanges]], +insert / -delete) merge into the
+  * stored state and groups whose row count reaches zero drop out, so
+  * a sparse DELETE refreshes at the cost of the rows it touched,
+  * never the corpus. Only when neither path applies (min/max in the
+  * view, missing companion counts, rollback in range, expired
+  * watermark) does refresh fall back to a full recompute.
   *
   * View definition state lives as table properties on the MV table
   * itself (source, keys, aggregate spec, refreshed-snapshot
@@ -83,6 +91,23 @@ object MaterializedViews {
     }
 
   final case class RefreshResult(mode: String, mvRows: Long)
+
+  /** The counting-algorithm maintainable class (the classic
+    * self-maintainable-under-deletions set): every aggregate must
+    * retract from the change feed. count and sum retract by signed
+    * merge; min/max do not (a deleted extremum needs the base data to
+    * re-derive). Group liveness needs the row count (`count:1`), and
+    * NULL-correct sums need the matching non-null count
+    * (`count:<same expr>`, textual match) so a group whose last
+    * non-null value was deleted goes back to sum = NULL rather
+    * than 0.
+    */
+  private[graft] def cdcMaintainable(aggs: Seq[AggSpec]): Boolean =
+    aggs.forall(a => a.fn == "count" || a.fn == "sum") &&
+      aggs.exists(_.isCountStar) &&
+      aggs.filter(_.fn == "sum").forall(sm =>
+        aggs.exists(c => c.fn == "count" && !c.isCountStar &&
+          c.expr == sm.expr))
 
   private def fullName(cat: GraftCatalog, ns: String, t: String): String =
     s"${cat.name()}.`$ns`.`$t`"
@@ -242,6 +267,20 @@ object MaterializedViews {
       srcMeta.findSnapshot(storage, last).isDefined &&
       between.nonEmpty && between.forall(s => GraftTable.AdditiveOps(s.operation))
 
+    // ops whose change feed costs what the commit TOUCHED, not the
+    // corpus: sparse deletes/upserts and net-zero maintenance
+    // rewrites. A rollback diffs two whole logical snapshots inside
+    // TableChanges and an overwrite replaces arbitrarily much — for
+    // those a full recompute is the cheaper honest answer.
+    val cdcOps = GraftTable.AdditiveOps ++
+      Set("delete", "update", "merge", "upsert", "rewrite-deletes",
+        "compact", "rewrite-manifests")
+    val cdcOk = !additive && last >= 0 && curId >= 0 &&
+      srcMeta.findSnapshot(storage, last).isDefined &&
+      between.nonEmpty &&
+      between.forall(s => cdcOps(s.operation)) &&
+      cdcMaintainable(aggs)
+
     val mvSchema = stored.schema
     val (mode, next) =
       if (additive) {
@@ -258,6 +297,43 @@ object MaterializedViews {
           .groupBy(groupBy.map(col): _*)
           .agg(aggs.head.merge, aggs.tail.map(_.merge): _*)
         ("incremental", merged)
+      } else if (cdcOk) {
+        // counting algorithm over the engine's change feed: the range
+        // contains deletes/updates, but every aggregate retracts —
+        // signed (+insert / -delete) partials aggregated from ONLY the
+        // changed rows merge into the stored state, and groups whose
+        // row count reaches zero drop out of the view.
+        val changes = graft.spark.TableChanges.between(spark, cat,
+          Identifier.of(Array(srcNs), srcT), last, curId)
+        val sign = when(
+          col(graft.spark.TableChanges.ChangeTypeColumn) === "insert",
+          lit(1)).otherwise(lit(-1))
+        val signed = aggs.map { a =>
+          (a.fn match {
+            case "count" if a.isCountStar => sum(sign)
+            case "count" =>
+              sum(when(expr(a.expr).isNotNull, sign).otherwise(lit(0)))
+            case "sum" => sum(expr(a.expr) * sign)
+          }).as(a.out)
+        }
+        val deltaAgg = changes.groupBy(groupBy.map(col): _*)
+          .agg(signed.head, signed.tail: _*)
+        val mergedAll = stored
+          .unionByName(deltaAgg)
+          .groupBy(groupBy.map(col): _*)
+          .agg(aggs.head.merge, aggs.tail.map(_.merge): _*)
+        // a sum whose matching non-null count reached zero is NULL
+        // again (signed arithmetic alone would leave 0 behind)
+        val nullFixed = aggs.filter(_.fn == "sum").foldLeft(mergedAll) {
+          (df, sm) =>
+            val paired = aggs.find(c =>
+              c.fn == "count" && !c.isCountStar && c.expr == sm.expr).get
+            df.withColumn(sm.out,
+              when(col(paired.out) === 0, lit(null))
+                .otherwise(col(sm.out)))
+        }
+        val rowCount = aggs.find(_.isCountStar).get.out
+        ("cdc", nullFixed.filter(col(rowCount) > 0))
       } else {
         val src = spark.table(fullName(cat, srcNs, srcT))
         ("full", aggregate(src, groupBy, aggs))

@@ -2859,6 +2859,70 @@ object CatalogQueries {
              |            AS DOUBLE) / count(*) AS avg_price,
              |       min(o_totalprice) AS mn
              |FROM orders
-             |GROUP BY 1 ORDER BY prio""".stripMargin))
+             |GROUP BY 1 ORDER BY prio""".stripMargin)),
+
+    QueryDef(
+      "c64_mv_cdc_refresh",
+      (s, d) => {
+        // COUNTING-ALGORITHM MV maintenance (CDC refresh): after a
+        // copy-on-write DELETE and UPDATE plus an append — a snapshot
+        // range no append-delta refresh can serve — the refresh must
+        // take the CDC path (in-query require): signed
+        // (+insert/-delete) partials aggregated from the engine's
+        // change feed merge into the stored state, so the view
+        // refreshes at the cost of the rows the commits touched,
+        // never the corpus. Sums ride exact DECIMAL(18,2) with their
+        // paired non-null counts, so the retraction arithmetic
+        // matches DuckDB's from-scratch aggregate bit-for-bit.
+        ensureCatalog(s, "gmc")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gmc.ns1")
+        s.sql("DROP TABLE IF EXISTS gmc.ns1.mv")
+        s.sql("DROP TABLE IF EXISTS gmc.ns1.ord")
+        s.sql("""CREATE TABLE gmc.ns1.ord (
+                   o_orderkey BIGINT, o_orderstatus STRING,
+                   o_totalprice DOUBLE)""")
+        s.sql(s"""INSERT INTO gmc.ns1.ord
+                  SELECT o_orderkey, o_orderstatus, o_totalprice
+                  FROM parquet.`$d/orders.parquet`""")
+        s.sql("""CALL gmc.system.create_materialized_view(
+                   namespace => 'ns1', name => 'mv',
+                   source_namespace => 'ns1', source_table => 'ord',
+                   group_by => 'o_orderstatus',
+                   aggs => 'n:count:1;np:count:CAST(o_totalprice AS DECIMAL(18,2));total:sum:CAST(o_totalprice AS DECIMAL(18,2))')""")
+        s.sql("DELETE FROM gmc.ns1.ord WHERE o_orderkey % 7 = 0")
+        s.sql("""UPDATE gmc.ns1.ord SET o_totalprice = o_totalprice + 10
+                 WHERE o_orderkey % 5 = 0""")
+        s.sql(s"""INSERT INTO gmc.ns1.ord
+                  SELECT o_orderkey + 90000000, o_orderstatus, o_totalprice
+                  FROM parquet.`$d/orders.parquet`
+                  WHERE o_orderkey % 10 = 3""")
+        val mode = s.sql("""CALL gmc.system.refresh_materialized_view(
+                              namespace => 'ns1', name => 'mv')""")
+          .head.getString(0)
+        require(mode == "cdc",
+          "delete+update+append range must refresh via the change " +
+            s"feed, took: $mode")
+        s.sql("""SELECT o_orderstatus AS status, n, np,
+                        CAST(total AS DOUBLE) AS total
+                 FROM gmc.ns1.mv ORDER BY status""")
+      },
+      Some("""WITH afterdel AS (
+             |  SELECT * FROM orders WHERE NOT (o_orderkey % 7 = 0)),
+             |afterupd AS (
+             |  SELECT o_orderkey, o_orderstatus,
+             |         CASE WHEN o_orderkey % 5 = 0
+             |              THEN o_totalprice + 10 ELSE o_totalprice END
+             |           AS o_totalprice
+             |  FROM afterdel),
+             |final AS (
+             |  SELECT * FROM afterupd
+             |  UNION ALL
+             |  SELECT o_orderkey + 90000000, o_orderstatus, o_totalprice
+             |  FROM orders WHERE o_orderkey % 10 = 3)
+             |SELECT o_orderstatus AS status, count(*) AS n,
+             |       count(o_totalprice) AS np,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |            AS DOUBLE) AS total
+             |FROM final GROUP BY 1 ORDER BY status""".stripMargin))
   )
 }

@@ -141,8 +141,11 @@ object GraftProcedures {
   /** Incrementally-maintained materialized view over a graft table
     * ([[graft.maintain.MaterializedViews]]): GROUP BY keys +
     * count/sum/min/max aggregates; refresh merges only the appended
-    * delta's aggregate, falling back to a full recompute when the
-    * snapshot range isn't purely additive.
+    * delta's aggregate. A range containing deletes/updates maintains
+    * from the CHANGE FEED (counting algorithm, signed partials) when
+    * every aggregate retracts — count/sum with a `count:1` and a
+    * matching `count:<expr>` per sum; only otherwise does refresh
+    * fall back to a full recompute.
     */
   private case class CreateMaterializedView(cat: GraftCatalog)
       extends GraftProcedure("create_materialized_view") {

@@ -1,0 +1,153 @@
+package graft.maintain
+
+import java.nio.file.Files
+
+import graft.spark.GraftCatalog
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Counting-algorithm MV maintenance: a snapshot range containing
+  * deletes/updates refreshes from the CHANGE FEED when every aggregate
+  * retracts (count/sum with `count:1` and a matching `count:<expr>`
+  * per sum) — the state after any CDC refresh must EQUAL a
+  * from-scratch aggregate, groups whose row count reaches zero must
+  * drop out, a sum whose non-null count reaches zero must return to
+  * NULL, and every non-retractable shape must decline to the full
+  * path instead of corrupting state.
+  */
+class MvCdcSpec extends AnyFunSuite {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-mvcdc").toString
+
+  lazy val spark: SparkSession = graft.Verify.sessionBuilder("4")
+    .config("spark.sql.catalog.mcd", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.mcd.warehouse", warehouse)
+    .getOrCreate()
+
+  private def call(sqlText: String) =
+    spark.sql(sqlText).collect().map(r => r.getString(0) -> r.getLong(1)).head
+
+  private def refresh(mv: String) =
+    call(s"""CALL mcd.system.refresh_materialized_view(
+               namespace => 'ns1', name => '$mv')""")._1
+
+  private def rows(mv: String, cols: String) = spark.sql(
+    s"SELECT $cols FROM mcd.ns1.$mv ORDER BY k")
+    .collect().map(_.toString).toSeq
+
+  private def truth(src: String) = spark.sql(
+    s"""SELECT k, count(*) AS n,
+               count(CAST(v AS DECIMAL(18,2))) AS np,
+               sum(CAST(v AS DECIMAL(18,2))) AS total
+        FROM mcd.ns1.$src GROUP BY k ORDER BY k""")
+    .collect().map(_.toString).toSeq
+
+  private val cdcAggs =
+    "n:count:1;np:count:CAST(v AS DECIMAL(18,2));total:sum:CAST(v AS DECIMAL(18,2))"
+
+  private def createMv(src: String, mv: String, aggs: String = cdcAggs): Unit =
+    call(s"""CALL mcd.system.create_materialized_view(
+               namespace => 'ns1', name => '$mv',
+               source_namespace => 'ns1', source_table => '$src',
+               group_by => 'k', aggs => '$aggs')""")
+
+  test("delete, update, and group-vanishing ranges refresh via the " +
+      "change feed and equal the from-scratch aggregate") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mcd.ns1")
+    spark.sql("CREATE TABLE mcd.ns1.src (id BIGINT, k BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO mcd.ns1.src
+                 SELECT id, id % 5, CAST(id AS DOUBLE) / 4
+                 FROM range(0, 8000, 1, 4)""")
+    createMv("src", "mv")
+
+    // copy-on-write DELETE: retraction of the deleted rows only
+    spark.sql("DELETE FROM mcd.ns1.src WHERE id % 3 = 0")
+    assert(refresh("mv") == "cdc")
+    assert(rows("mv", "k, n, np, total") == truth("src"))
+
+    // copy-on-write UPDATE: delete(old)+insert(new) through the feed
+    spark.sql("UPDATE mcd.ns1.src SET v = v * 2 WHERE id % 7 = 1")
+    assert(refresh("mv") == "cdc")
+    assert(rows("mv", "k, n, np, total") == truth("src"))
+
+    // mixed range (delete THEN append, one refresh) with a group
+    // deleted outright: k=4 must drop out of the view entirely
+    spark.sql("DELETE FROM mcd.ns1.src WHERE k = 4")
+    spark.sql("INSERT INTO mcd.ns1.src VALUES (90001, 7, 2.5), (90002, 7, NULL)")
+    assert(refresh("mv") == "cdc")
+    assert(rows("mv", "k, n, np, total") == truth("src"))
+    assert(spark.sql("SELECT * FROM mcd.ns1.mv WHERE k = 4").count() == 0)
+    assert(refresh("mv") == "noop")
+  }
+
+  test("a sum whose last non-null value is deleted returns to NULL, " +
+      "not 0") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mcd.ns1")
+    spark.sql("CREATE TABLE mcd.ns1.nsrc (id BIGINT, k BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO mcd.ns1.nsrc VALUES
+                 (1, 1, 10.0), (2, 1, NULL), (3, 1, NULL), (4, 2, 5.0)""")
+    createMv("nsrc", "nmv")
+    spark.sql("DELETE FROM mcd.ns1.nsrc WHERE id = 1")
+    assert(refresh("nmv") == "cdc")
+    val r = spark.sql(
+      "SELECT n, np, total FROM mcd.ns1.nmv WHERE k = 1").collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 0 && r.isNullAt(2),
+      s"k=1 must keep its 2 null rows with total NULL, got $r")
+    assert(rows("nmv", "k, n, np, total") == truth("nsrc"))
+  }
+
+  test("non-retractable shapes decline to the full path") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mcd.ns1")
+    spark.sql("CREATE TABLE mcd.ns1.fsrc (id BIGINT, k BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO mcd.ns1.fsrc
+                 SELECT id, id % 3, CAST(id AS DOUBLE)
+                 FROM range(0, 300, 1, 2)""")
+    // min/max cannot retract a deleted extremum
+    createMv("fsrc", "fmv1", "n:count:1;mx:max:v")
+    // a sum without its matching non-null count cannot restore NULL
+    createMv("fsrc", "fmv2", "n:count:1;total:sum:v")
+    // no count:1 → group liveness is unknowable
+    createMv("fsrc", "fmv3", "np:count:v;total:sum:v")
+    spark.sql("DELETE FROM mcd.ns1.fsrc WHERE id % 2 = 0")
+    assert(refresh("fmv1") == "full")
+    assert(refresh("fmv2") == "full")
+    assert(refresh("fmv3") == "full")
+    // all three still equal the truth after the fallback
+    assert(rows("fmv1", "k, n, mx") == spark.sql(
+      """SELECT k, count(*) AS n, max(v) AS mx
+         FROM mcd.ns1.fsrc GROUP BY k ORDER BY k""")
+      .collect().map(_.toString).toSeq)
+
+    // a rollback in range diffs whole snapshots — full is the honest
+    // path even for a retractable view
+    spark.sql("INSERT INTO mcd.ns1.fsrc VALUES (9001, 1, 3.5)")
+    createMv("fsrc", "fmv4")
+    val snap = spark.sql(
+      "SELECT max(snapshot_id) FROM mcd.ns1.`fsrc$snapshots`")
+      .collect()(0).getLong(0)
+    spark.sql("INSERT INTO mcd.ns1.fsrc VALUES (9002, 1, 4.5)")
+    spark.sql(s"""CALL mcd.system.rollback_to_snapshot(
+                    namespace => 'ns1', table => 'fsrc',
+                    snapshot_id => $snap)""")
+    spark.sql("DELETE FROM mcd.ns1.fsrc WHERE id = 9001")
+    assert(refresh("fmv4") == "full")
+    assert(rows("fmv4", "k, n, np, total") == truth("fsrc"))
+  }
+
+  test("append-only ranges still take the cheaper incremental path " +
+      "and the chain recovers after a CDC refresh") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mcd.ns1")
+    spark.sql("CREATE TABLE mcd.ns1.asrc (id BIGINT, k BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO mcd.ns1.asrc
+                 SELECT id, id % 4, CAST(id AS DOUBLE)
+                 FROM range(0, 400, 1, 2)""")
+    createMv("asrc", "amv")
+    spark.sql("INSERT INTO mcd.ns1.asrc VALUES (900, 9, 1.5)")
+    assert(refresh("amv") == "incremental")
+    spark.sql("DELETE FROM mcd.ns1.asrc WHERE k = 9")
+    assert(refresh("amv") == "cdc")
+    spark.sql("INSERT INTO mcd.ns1.asrc VALUES (901, 2, 2.5)")
+    assert(refresh("amv") == "incremental")
+    assert(rows("amv", "k, n, np, total") == truth("asrc"))
+  }
+}

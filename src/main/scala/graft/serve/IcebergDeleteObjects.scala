@@ -205,20 +205,36 @@ object IcebergDeleteObjects {
         .select(col("_metadata.file_path").as("file"),
           col("_metadata.row_index").as("pos"))
     }
-    writeToBytes(graft.format.PosDeleteFiles.Schema) { (factory, write) =>
-      dfs.reduceOption(_ unionAll _).foreach { df =>
-        // global (file, pos) order via range partitioning; the local
-        // iterator streams one partition at a time instead of
-        // collecting every deleted position at once
-        val it = df.orderBy("file", "pos").toLocalIterator()
-        while (it.hasNext) {
-          val r = it.next()
-          val out = factory.newGroup()
-          out.append("file", r.getString(0))
-          out.append("pos", r.getLong(1))
-          write(out)
+    dfs.reduceOption(_ unionAll _) match {
+      case None =>
+        writeToBytes(graft.format.PosDeleteFiles.Schema)((_, _) => ())
+      case Some(df) =>
+        // one shuffle into a single (file, pos)-sorted partition,
+        // written by the executor's vectorized parquet writer — the
+        // driver never iterates the deleted positions (a row-at-a-time
+        // driver loop here was both the local hot spot and a
+        // single-thread ceiling on big predicate deletes)
+        val tmpDir =
+          java.nio.file.Files.createTempDirectory("graft-preddel")
+        try {
+          df.repartition(1).sortWithinPartitions("file", "pos")
+            .write.mode("overwrite").option("compression", "snappy")
+            .parquet(tmpDir.toString)
+          val part = java.nio.file.Files.list(tmpDir).iterator()
+          val found = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
+          while (part.hasNext) {
+            val p = part.next()
+            if (p.getFileName.toString.endsWith(".parquet")) found += p
+          }
+          require(found.size == 1,
+            s"expected one materialized delete part file, got $found")
+          java.nio.file.Files.readAllBytes(found.head)
+        } finally {
+          val walk = java.nio.file.Files.walk(tmpDir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
         }
-      }
     }
   }
 

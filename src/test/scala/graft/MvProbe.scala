@@ -85,6 +85,44 @@ object MvProbe {
                      namespace => 'ns', name => 'mv')""").head.getString(0)
     }
     require(mode2 == "full", s"expected full, got $mode2")
+    // CDC probe: a retractable view (count/sum + companion counts) and
+    // a SPARSE copy-on-write delete — the counting-algorithm refresh
+    // aggregates only the change feed (the files the delete touched),
+    // paired against the full recompute the max-view takes over the
+    // SAME snapshot range.
+    lap("create_cdc_view") {
+      spark.sql("""CALL gp.system.create_materialized_view(
+                     namespace => 'ns', name => 'cmv',
+                     source_namespace => 'ns', source_table => 'ord',
+                     group_by => 'o_orderstatus',
+                     aggs => 'n:count:1;np:count:CAST(o_totalprice AS DECIMAL(18,2));total:sum:CAST(o_totalprice AS DECIMAL(18,2))')""")
+    }
+    lap("sparse_delete") {
+      spark.sql("DELETE FROM gp.ns.ord WHERE o_orderkey BETWEEN 100 AND 2000")
+    }
+    val mode3 = lap("refresh_cdc") {
+      spark.sql("""CALL gp.system.refresh_materialized_view(
+                     namespace => 'ns', name => 'cmv')""").head.getString(0)
+    }
+    require(mode3 == "cdc", s"expected cdc, got $mode3")
+    val mode4 = lap("refresh_full_same_range") {
+      spark.sql("""CALL gp.system.refresh_materialized_view(
+                     namespace => 'ns', name => 'mv')""").head.getString(0)
+    }
+    require(mode4 == "full", s"expected full, got $mode4")
+    // truth check at scale: the CDC-merged state equals from scratch
+    val cdcRows = spark.sql(
+      """SELECT o_orderstatus, n, np, CAST(total AS DOUBLE)
+         FROM gp.ns.cmv ORDER BY 1""")
+      .collect().map(_.toString).toSeq
+    val truthRows = spark.sql(
+      """SELECT o_orderstatus, count(*),
+                count(CAST(o_totalprice AS DECIMAL(18,2))),
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         FROM gp.ns.ord GROUP BY 1 ORDER BY 1""")
+      .collect().map(_.toString).toSeq
+    require(cdcRows == truthRows, "cdc state diverged from truth")
+    println("PROBE cdc_state_matches_truth true")
     spark.stop()
   }
 }

@@ -134,6 +134,44 @@ class MvCdcSpec extends AnyFunSuite {
     assert(rows("fmv4", "k, n, np, total") == truth("fsrc"))
   }
 
+  test("merge-on-read equality upserts maintain through the feed and " +
+      "the rewrite serves the source right after a CDC refresh") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mcd.ns1")
+    spark.sql("""CREATE TABLE mcd.ns1.usrc (
+                   id BIGINT NOT NULL, k BIGINT, v DOUBLE)
+                 TBLPROPERTIES (
+                   'graft.write.upsert-keys' = 'id',
+                   'graft.merge.mode' = 'merge-on-read-eq')""")
+    spark.sql("""INSERT INTO mcd.ns1.usrc
+                 SELECT id, id % 3, CAST(id AS DOUBLE)
+                 FROM range(0, 600, 1, 2)""")
+    createMv("usrc", "umv")
+    // an eq-delete MERGE commits an `upsert` snapshot: matched keys
+    // land in a key object, no data file is rewritten — the feed
+    // surfaces them as delete(old)+insert(new)
+    spark.sql("""MERGE INTO mcd.ns1.usrc t
+                 USING (
+                   SELECT id, id % 3 AS k, CAST(id AS DOUBLE) * 10 AS v
+                   FROM range(0, 50)
+                   UNION ALL
+                   SELECT id, id % 3, CAST(id AS DOUBLE)
+                   FROM range(1000, 1050)) s
+                 ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    assert(refresh("umv") == "cdc")
+    assert(rows("umv", "k, n, np, total") == truth("usrc"))
+    // freshness restored by the CDC refresh: an aggregate over the
+    // SOURCE must be served from the view
+    val q = spark.sql(
+      "SELECT k, count(*) AS n FROM mcd.ns1.usrc GROUP BY k ORDER BY k")
+    val servedByMv = q.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.relation.table.name().endsWith(".umv") => r
+    }.nonEmpty
+    assert(servedByMv, q.queryExecution.optimizedPlan.treeString)
+  }
+
   test("append-only ranges still take the cheaper incremental path " +
       "and the chain recovers after a CDC refresh") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS mcd.ns1")

@@ -46,6 +46,16 @@ object MaterializedViews {
   val SourceTableProp = "graft.mv.source-table"
   val GroupByProp = "graft.mv.group-by"
   val AggsProp = "graft.mv.aggs"
+  /** Optional defining predicate (SQL over source columns — any
+    * columns, not just keys): the view aggregates only matching rows.
+    * Every maintenance path applies it to its input — the full
+    * recompute to the source, the incremental path to the appended
+    * delta, the CDC path to the change feed (where an UPDATE moving a
+    * row across the domain boundary surfaces as the one-sided
+    * retraction/insertion it is). The rewrite serves a query only
+    * when the query's own filter carries this predicate as a conjunct.
+    */
+  val WhereProp = "graft.mv.where"
   val RefreshedSnapshotProp = "graft.mv.refreshed-snapshot"
   /** On the SOURCE table: comma-separated `ns.mv` list of views
     * derived from it — the zero-I/O trigger for
@@ -162,26 +172,32 @@ object MaterializedViews {
     src.groupBy(groupBy.map(col): _*)
       .agg(aggs.head.firstPass, aggs.tail.map(_.firstPass): _*)
 
+  /** Apply the view's defining predicate (NULL drops the row, like a
+    * WHERE) to a maintenance input frame.
+    */
+  private def restrict(df: DataFrame, where: Option[String]): DataFrame =
+    where.fold(df)(w => df.filter(coalesce(expr(w), lit(false))))
+
   /** CREATE: computes the full aggregate, creates the MV table with
     * the definition properties, and records the exact source snapshot
     * the initial state reflects.
     */
   def create(spark: SparkSession, cat: GraftCatalog, ns: String, mv: String,
       srcNs: String, srcTable: String, groupBy: Seq[String],
-      aggs: Seq[AggSpec]): RefreshResult = {
+      aggs: Seq[AggSpec], where: Option[String] = None): RefreshResult = {
     require(groupBy.nonEmpty && aggs.nonEmpty,
       "materialized view needs group-by columns and aggregates")
     val src = spark.table(fullName(cat, srcNs, srcTable))
     val snapId = plannedSnapshotId(src)
-    val state = aggregate(src, groupBy, aggs)
-    state.writeTo(fullName(cat, ns, mv))
+    val state = aggregate(restrict(src, where), groupBy, aggs)
+    val w0 = state.writeTo(fullName(cat, ns, mv))
       .tableProperty(SourceNsProp, srcNs)
       .tableProperty(SourceTableProp, srcTable)
       .tableProperty(GroupByProp, groupBy.mkString(","))
       .tableProperty(AggsProp, aggs.map(a =>
         s"${a.out}:${a.fn}:${a.expr}").mkString(";"))
       .tableProperty(RefreshedSnapshotProp, snapId.toString)
-      .create()
+    where.fold(w0)(w => w0.tableProperty(WhereProp, w)).create()
     // register on the source so the query-rewrite rule finds the view
     // from the scanned table's own properties (dropped views leave a
     // stale entry; the rule skips entries that fail to load)
@@ -250,6 +266,7 @@ object MaterializedViews {
     val srcT = props(SourceTableProp)
     val groupBy = props(GroupByProp).split(',').toSeq.map(_.trim)
     val aggs = parseAggs(props(AggsProp))
+    val where = props.get(WhereProp)
     val last = props.get(RefreshedSnapshotProp).map(_.toLong).getOrElse(-1L)
 
     val txn2 = graft.catalog.Graft.beginTransaction(storage)
@@ -293,7 +310,7 @@ object MaterializedViews {
           .option(GraftTable.EndSnapshotOption, curId.toString)
           .table(fullName(cat, srcNs, srcT))
         val merged = stored
-          .unionByName(aggregate(delta, groupBy, aggs))
+          .unionByName(aggregate(restrict(delta, where), groupBy, aggs))
           .groupBy(groupBy.map(col): _*)
           .agg(aggs.head.merge, aggs.tail.map(_.merge): _*)
         ("incremental", merged)
@@ -303,8 +320,9 @@ object MaterializedViews {
         // signed (+insert / -delete) partials aggregated from ONLY the
         // changed rows merge into the stored state, and groups whose
         // row count reaches zero drop out of the view.
-        val changes = graft.spark.TableChanges.between(spark, cat,
-          Identifier.of(Array(srcNs), srcT), last, curId)
+        val changes = restrict(
+          graft.spark.TableChanges.between(spark, cat,
+            Identifier.of(Array(srcNs), srcT), last, curId), where)
         val sign = when(
           col(graft.spark.TableChanges.ChangeTypeColumn) === "insert",
           lit(1)).otherwise(lit(-1))
@@ -336,7 +354,7 @@ object MaterializedViews {
         ("cdc", nullFixed.filter(col(rowCount) > 0))
       } else {
         val src = spark.table(fullName(cat, srcNs, srcT))
-        ("full", aggregate(src, groupBy, aggs))
+        ("full", aggregate(restrict(src, where), groupBy, aggs))
       }
     // merged aggregate types widen (sum of DECIMAL(p,s) → p+10): cast
     // back to the MV's declared schema before the overwrite

@@ -3,7 +3,7 @@ package graft.spark
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.Identifier
@@ -29,13 +29,16 @@ import graft.maintain.MaterializedViews
   *  - `Aggregate` whose child is the source relation through
   *    attribute-only `Project`s and `Filter`s that reference ONLY the
   *    view's group-by keys (the filter re-applies on the view, where
-  *    those keys are columns);
+  *    those keys are columns); a FILTERED view additionally requires
+  *    its defining predicate verbatim (canonically) among the query's
+  *    conjuncts — that conjunct drops, the rest re-apply;
   *  - group-by expressions that are plain source columns forming a
   *    SUBSET of the view's keys (a roll-up re-aggregates the view:
   *    count → sum of partial counts, sum → sum, min/max → min/max);
   *  - aggregates `count(<literal>)` (no DISTINCT, no FILTER), and
   *    `sum/min/max(expr)` where `expr` matches a view aggregate's
-  *    defining expression canonically.
+  *    defining expression canonically; `avg(expr)` (double-typed)
+  *    when the view stores both `sum:expr` and `count:expr`.
   *
   * Scans with time-travel or incremental-read options decline (the
   * view reflects exactly one snapshot — the watermark). Output
@@ -146,13 +149,6 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference => keyFor.getOrElse(a.exprId, return None)
       case _ => return None
     }
-    // filters: every referenced column must be a view key
-    val newFilters = filters.map { c =>
-      c.transformUp {
-        case a: AttributeReference =>
-          keyFor.getOrElse(a.exprId, return None)
-      }
-    }
 
     // view aggregate columns by (fn, canonical defining expression)
     val parser = session.sessionState.sqlParser
@@ -165,6 +161,34 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
             .getOrElse(return None)
       }
       if (r.resolved) Some(r) else None
+    }
+
+    // a FILTERED view (defining predicate over any source columns)
+    // serves a query only when the query's own filters carry the
+    // predicate as a conjunct — that conjunct is already applied in
+    // the view's content and drops; every REMAINING conjunct must
+    // reference only view keys (re-applied on the view below)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val allConjuncts = filters.flatMap(conjuncts)
+    val residualConjuncts =
+      Option(props.get(MaterializedViews.WhereProp)) match {
+        case None => allConjuncts
+        case Some(whereSql) =>
+          val pred = resolved(whereSql).getOrElse(return None).canonicalized
+          val (matched, rest) =
+            allConjuncts.partition(_.canonicalized == pred)
+          if (matched.isEmpty) return None
+          rest
+      }
+    // filters: every referenced column must be a view key
+    val newFilters = residualConjuncts.map { c =>
+      c.transformUp {
+        case a: AttributeReference =>
+          keyFor.getOrElse(a.exprId, return None)
+      }
     }
     val byDef: Map[(String, Expression), Attribute] = specs.flatMap { s =>
       if (s.isCountStar) None
@@ -231,6 +255,26 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         case Max(child) =>
           byDef.get(("max", child.canonicalized))
             .map(a => Max(a).toAggregateExpression())
+        case av: Average
+            if av.dataType == org.apache.spark.sql.types.DoubleType =>
+          // avg(e) = sum(e)/count(e) over the view's partials when the
+          // view stores BOTH. Double-typed only: composing a DECIMAL
+          // average through double would round differently than
+          // Spark's own decimal Average, so those decline (and double
+          // arithmetic has no overflow path, so the eval mode is
+          // irrelevant here). The invariant `total IS NULL iff np = 0`
+          // (held by every maintenance path) makes the division's
+          // numerator NULL before a zero denominator can be
+          // evaluated — NULL for all-null and empty groups, exactly
+          // Average's semantics, under ANSI too.
+          for {
+            sa <- byDef.get(("sum", av.child.canonicalized))
+            ca <- byDef.get(("count", av.child.canonicalized))
+          } yield Divide(
+            Cast(Sum(sa).toAggregateExpression(),
+              org.apache.spark.sql.types.DoubleType, tz),
+            Cast(Sum(ca).toAggregateExpression(),
+              org.apache.spark.sql.types.DoubleType, tz))
         case _ => None
       }
     }

@@ -153,14 +153,16 @@ object GraftProcedures {
       in("namespace", StringType), in("name", StringType),
       in("source_namespace", StringType), in("source_table", StringType),
       in("group_by", StringType), // comma-separated key columns
-      in("aggs", StringType)) // 'out:fn:expr;...' fn ∈ count|sum|min|max
+      in("aggs", StringType), // 'out:fn:expr;...' fn ∈ count|sum|min|max
+      inDefault("where", StringType, "''")) // optional defining predicate
     override def call(input: InternalRow): JIterator[Scan] = {
       val r = graft.maintain.MaterializedViews.create(
         org.apache.spark.sql.SparkSession.active, cat,
         input.getString(0), input.getString(1),
         input.getString(2), input.getString(3),
         input.getString(4).split(',').toSeq.map(_.trim).filter(_.nonEmpty),
-        graft.maintain.MaterializedViews.parseAggs(input.getString(5)))
+        graft.maintain.MaterializedViews.parseAggs(input.getString(5)),
+        Option(input.getString(6)).map(_.trim).filter(_.nonEmpty))
       result(
         StructType(Seq(StructField("mode", StringType, false),
           StructField("mv_rows", LongType, false))),

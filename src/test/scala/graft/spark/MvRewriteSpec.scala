@@ -177,6 +177,101 @@ class MvRewriteSpec extends AnyFunSuite {
       expectMv = false)
   }
 
+  test("avg(expr) is served from the view's sum/count pair; decimal " +
+      "averages decline") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mvr.ns3")
+    spark.sql("CREATE TABLE mvr.ns3.src (k BIGINT, v DOUBLE)")
+    // id/4 is exact in binary, so every partial sum is exact and the
+    // on/off comparison is bit-identical (double sums are otherwise
+    // addition-order-sensitive)
+    spark.sql("""INSERT INTO mvr.ns3.src
+                 SELECT id % 7, CAST(id AS DOUBLE) / 4
+                 FROM range(0, 9000, 1, 4)""")
+    // all-null group (avg stays NULL through the division — the
+    // NULL-iff-zero-count invariant shields ANSI's divide-by-zero)
+    // and a partially-null group (avg ignores nulls)
+    spark.sql("""INSERT INTO mvr.ns3.src VALUES
+                 (90, NULL), (90, NULL), (91, NULL), (91, 2.0)""")
+    spark.sql("""CALL mvr.system.create_materialized_view(
+                   namespace => 'ns3', name => 'mv',
+                   source_namespace => 'ns3', source_table => 'src',
+                   group_by => 'k',
+                   aggs => 'n:count:1;nv:count:v;total:sum:v;nd:count:CAST(v AS DECIMAL(18,2));td:sum:CAST(v AS DECIMAL(18,2))')""")
+    check("SELECT k, avg(v) AS a FROM mvr.ns3.src GROUP BY k",
+      expectMv = true)
+    check("SELECT avg(v) AS a FROM mvr.ns3.src", expectMv = true)
+    check("SELECT k, round(avg(v), 3) AS a FROM mvr.ns3.src GROUP BY k",
+      expectMv = true)
+    // decimal-typed average: the view stores the matching sum/count
+    // pair, but composing through double would round differently than
+    // Spark's decimal Average — must decline
+    check("""SELECT k, avg(CAST(v AS DECIMAL(18,2))) AS a
+             FROM mvr.ns3.src GROUP BY k""", expectMv = false)
+  }
+
+  test("a FILTERED view serves only queries carrying its predicate, " +
+      "and every maintenance path applies the predicate") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mvr.ns4")
+    spark.sql("CREATE TABLE mvr.ns4.src (k BIGINT, cat STRING, v DOUBLE)")
+    spark.sql("""INSERT INTO mvr.ns4.src
+                 SELECT id % 6,
+                        CASE WHEN id % 3 = 0 THEN 'en' ELSE 'de' END,
+                        CAST(id AS DOUBLE) / 4
+                 FROM range(0, 12000, 1, 4)""")
+    spark.sql("""CALL mvr.system.create_materialized_view(
+                   namespace => 'ns4', name => 'mv',
+                   source_namespace => 'ns4', source_table => 'src',
+                   group_by => 'k',
+                   aggs => 'n:count:1;nv:count:v;total:sum:v',
+                   where => 'cat = ''en''')""")
+    def refresh(): String = spark.sql(
+      """CALL mvr.system.refresh_materialized_view(
+           namespace => 'ns4', name => 'mv')""").head.getString(0)
+
+    // the query must CARRY the defining predicate as a conjunct
+    check("""SELECT k, count(*) AS n, sum(v) AS total
+             FROM mvr.ns4.src WHERE cat = 'en' GROUP BY k""",
+      expectMv = true)
+    // extra key conjuncts re-apply on the view
+    check("""SELECT k, count(*) AS n FROM mvr.ns4.src
+             WHERE cat = 'en' AND k < 3 GROUP BY k""", expectMv = true)
+    check("""SELECT count(*) AS n FROM mvr.ns4.src WHERE cat = 'en'""",
+      expectMv = true)
+    // no predicate / a different predicate: the view covers a SUBSET
+    // of the source — must decline
+    check("SELECT k, count(*) AS n FROM mvr.ns4.src GROUP BY k",
+      expectMv = false)
+    check("""SELECT k, count(*) AS n FROM mvr.ns4.src
+             WHERE cat = 'de' GROUP BY k""", expectMv = false)
+
+    // incremental path: the delta filter keeps only in-domain rows
+    spark.sql("""INSERT INTO mvr.ns4.src VALUES
+                 (1, 'en', 2.5), (1, 'de', 99.0), (5, 'en', NULL)""")
+    assert(refresh() == "incremental")
+    check("""SELECT k, count(*) AS n, count(v) AS nv, sum(v) AS total
+             FROM mvr.ns4.src WHERE cat = 'en' GROUP BY k""",
+      expectMv = true)
+
+    // cdc path: retraction applies the predicate to the feed, and an
+    // UPDATE moving a row OUT of the domain is a one-sided retraction
+    spark.sql("DELETE FROM mvr.ns4.src WHERE v < 10")
+    spark.sql("UPDATE mvr.ns4.src SET cat = 'de' WHERE k = 5 AND cat = 'en'")
+    assert(refresh() == "cdc")
+    check("""SELECT k, count(*) AS n, sum(v) AS total
+             FROM mvr.ns4.src WHERE cat = 'en' GROUP BY k""",
+      expectMv = true)
+
+    // full fallback still honors the predicate (overwrite in range)
+    spark.sql("""INSERT OVERWRITE mvr.ns4.src
+                 SELECT id % 4, CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END,
+                        CAST(id AS DOUBLE) / 8
+                 FROM range(0, 4000, 1, 2)""")
+    assert(refresh() == "full")
+    check("""SELECT k, count(*) AS n, sum(v) AS total
+             FROM mvr.ns4.src WHERE cat = 'en' GROUP BY k""",
+      expectMv = true)
+  }
+
   test("drop_materialized_view deregisters from the source") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS mvr.ns2")
     spark.sql("CREATE TABLE mvr.ns2.s (k BIGINT, v DOUBLE)")

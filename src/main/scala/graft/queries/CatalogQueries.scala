@@ -2923,6 +2923,68 @@ object CatalogQueries {
              |       count(o_totalprice) AS np,
              |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
              |            AS DOUBLE) AS total
-             |FROM final GROUP BY 1 ORDER BY status""".stripMargin))
+             |FROM final GROUP BY 1 ORDER BY status""".stripMargin)),
+
+    QueryDef(
+      "c65_mv_filtered",
+      (s, d) => {
+        // FILTERED materialized view: the view aggregates only
+        // o_orderstatus = 'F' rows; the incremental refresh applies
+        // the predicate to the appended delta (in-query require pins
+        // the mode), and the aggregate below — which CARRIES the
+        // defining predicate as a conjunct — must be served from the
+        // view (in-query require pins the plan). Values hash-match
+        // DuckDB recomputing the filtered aggregate from scratch over
+        // ALL orders (exact DECIMAL sums).
+        ensureCatalog(s, "gmf")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gmf.ns1")
+        s.sql("DROP TABLE IF EXISTS gmf.ns1.mv")
+        s.sql("DROP TABLE IF EXISTS gmf.ns1.ord")
+        s.sql("""CREATE TABLE gmf.ns1.ord (
+                   o_orderkey BIGINT, o_orderstatus STRING,
+                   o_orderpriority STRING, o_totalprice DOUBLE)""")
+        s.sql(s"""INSERT INTO gmf.ns1.ord
+                  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                         o_totalprice
+                  FROM parquet.`$d/orders.parquet`
+                  WHERE o_orderkey % 3 != 0""")
+        s.sql("""CALL gmf.system.create_materialized_view(
+                   namespace => 'ns1', name => 'mv',
+                   source_namespace => 'ns1', source_table => 'ord',
+                   group_by => 'o_orderpriority',
+                   aggs => 'n:count:1;total:sum:CAST(o_totalprice AS DECIMAL(18,2))',
+                   where => 'o_orderstatus = ''F''')""")
+        s.sql(s"""INSERT INTO gmf.ns1.ord
+                  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                         o_totalprice
+                  FROM parquet.`$d/orders.parquet`
+                  WHERE o_orderkey % 3 = 0""")
+        val mode = s.sql("""CALL gmf.system.refresh_materialized_view(
+                              namespace => 'ns1', name => 'mv')""")
+          .head.getString(0)
+        require(mode == "incremental",
+          s"append-only delta must refresh incrementally, took: $mode")
+        val q = s.sql(
+          """SELECT o_orderpriority AS prio, count(*) AS n,
+                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE) AS total
+             FROM gmf.ns1.ord
+             WHERE o_orderstatus = 'F'
+             GROUP BY o_orderpriority ORDER BY prio""")
+        val servedByMv = q.queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+              if r.relation.table.name().endsWith(".mv") => r
+        }.nonEmpty
+        require(servedByMv,
+          "the filtered aggregate must be served by the view:\n" +
+            q.queryExecution.optimizedPlan.treeString)
+        q
+      },
+      Some("""SELECT o_orderpriority AS prio, count(*) AS n,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |            AS DOUBLE) AS total
+             |FROM orders
+             |WHERE o_orderstatus = 'F'
+             |GROUP BY 1 ORDER BY prio""".stripMargin))
   )
 }

@@ -1,0 +1,105 @@
+package graft.maintain
+
+import java.nio.file.Files
+
+import graft.spark.GraftCatalog
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized (seeded, deterministic) maintenance soak for the MV
+  * refresh paths: a mixed sequence of appends, copy-on-write deletes,
+  * value updates, and GROUP-MIGRATING key updates — with NULL keys and
+  * NULL values in play — refreshing after every operation. After every
+  * refresh, the stored state of BOTH a plain and a FILTERED view must
+  * equal a from-scratch aggregate of the source; across the run both
+  * the incremental and the cdc path must have been taken (so the
+  * equality is checking real maintenance, not repeated recomputes).
+  */
+class MvCdcPropertiesSpec extends AnyFunSuite {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft-mvprop").toString
+
+  lazy val spark: SparkSession = graft.Verify.sessionBuilder("4")
+    .config("spark.sql.catalog.mcp", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.mcp.warehouse", warehouse)
+    .getOrCreate()
+
+  private def refresh(mv: String): String = spark.sql(
+    s"""CALL mcp.system.refresh_materialized_view(
+          namespace => 'ns1', name => '$mv')""").head.getString(0)
+
+  private def state(mv: String): Seq[String] = spark.sql(
+    s"SELECT k, n, np, total FROM mcp.ns1.$mv ORDER BY k NULLS FIRST")
+    .collect().map(_.toString).toSeq
+
+  private def truth(whereSql: String): Seq[String] = spark.sql(
+    s"""SELECT k, count(*) AS n,
+               count(CAST(v AS DECIMAL(18,2))) AS np,
+               sum(CAST(v AS DECIMAL(18,2))) AS total
+        FROM mcp.ns1.src WHERE $whereSql
+        GROUP BY k ORDER BY k NULLS FIRST""")
+    .collect().map(_.toString).toSeq
+
+  test("a seeded mixed op sequence keeps both views equal to the " +
+      "from-scratch aggregate after every refresh") {
+    val rnd = new scala.util.Random(20260816L)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mcp.ns1")
+    spark.sql("CREATE TABLE mcp.ns1.src (id BIGINT, k BIGINT, v DOUBLE)")
+    // v = id/4 is exact in binary; NULL k and NULL v rows ride along
+    def insertBatch(lo: Long, n: Long): Unit = spark.sql(
+      s"""INSERT INTO mcp.ns1.src
+          SELECT id,
+                 CASE WHEN id % 17 = 3 THEN NULL ELSE id % 9 END,
+                 CASE WHEN id % 13 = 5 THEN NULL
+                      ELSE CAST(id AS DOUBLE) / 4 END
+          FROM range($lo, ${lo + n}, 1, 2)""")
+    insertBatch(0, 3000)
+    val cdcAggs =
+      "n:count:1;np:count:CAST(v AS DECIMAL(18,2));total:sum:CAST(v AS DECIMAL(18,2))"
+    spark.sql(s"""CALL mcp.system.create_materialized_view(
+                    namespace => 'ns1', name => 'mv',
+                    source_namespace => 'ns1', source_table => 'src',
+                    group_by => 'k', aggs => '$cdcAggs')""")
+    spark.sql(s"""CALL mcp.system.create_materialized_view(
+                    namespace => 'ns1', name => 'fmv',
+                    source_namespace => 'ns1', source_table => 'src',
+                    group_by => 'k', aggs => '$cdcAggs',
+                    where => 'k >= 3')""")
+
+    val modes = scala.collection.mutable.Set.empty[String]
+    var nextId = 3000L
+    (1 to 14).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 => // append (sometimes tiny, sometimes larger)
+          val n = 50 + rnd.nextInt(800)
+          insertBatch(nextId, n); nextId += n
+        case 1 => // sparse copy-on-write delete
+          val m = 5 + rnd.nextInt(15)
+          spark.sql(
+            s"DELETE FROM mcp.ns1.src WHERE id % $m = ${rnd.nextInt(m)}")
+        case 2 => // value update (NULL-crossing: some rows gain a value)
+          val m = 4 + rnd.nextInt(9)
+          spark.sql(s"""UPDATE mcp.ns1.src
+                        SET v = coalesce(v, 0.25) + 8
+                        WHERE id % $m = ${rnd.nextInt(m)}""")
+        case 3 => // KEY update: rows migrate between groups (and across
+          // the filtered view's domain boundary at k = 3)
+          val m = 6 + rnd.nextInt(7)
+          spark.sql(s"""UPDATE mcp.ns1.src
+                        SET k = (k + 1) % 9
+                        WHERE id % $m = ${rnd.nextInt(m)} AND k IS NOT NULL""")
+      }
+      val m1 = refresh("mv")
+      val m2 = refresh("fmv")
+      modes += m1; modes += m2
+      assert(m1 != "full" && m2 != "full",
+        s"step $step: no op here needs the full path, got $m1/$m2")
+      assert(state("mv") == truth("TRUE"), s"mv diverged at step $step")
+      assert(state("fmv") == truth("k >= 3"),
+        s"filtered mv diverged at step $step")
+    }
+    assert(modes.contains("incremental") && modes.contains("cdc"),
+      s"sequence must exercise both maintenance paths, saw: $modes")
+  }
+}

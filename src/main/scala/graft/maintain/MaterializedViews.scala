@@ -22,18 +22,23 @@ import org.apache.spark.sql.functions._
   * (the standard decomposition; storing the quotient would not merge).
   *
   * Delta validity rides the SAME gate as the engine's incremental
-  * read: the (last, current] snapshot range must be purely additive
-  * (append / import / cherrypick) for the append-delta path. A range
-  * containing deletes or updates takes the COUNTING-ALGORITHM path
-  * instead when every aggregate retracts (count/sum with the required
-  * companion counts — see [[cdcMaintainable]]): signed partials
-  * aggregated from the engine's change feed
-  * ([[graft.spark.TableChanges]], +insert / -delete) merge into the
-  * stored state and groups whose row count reaches zero drop out, so
-  * a sparse DELETE refreshes at the cost of the rows it touched,
-  * never the corpus. Only when neither path applies (min/max in the
-  * view, missing companion counts, rollback in range, expired
-  * watermark) does refresh fall back to a full recompute.
+  * read: a purely additive (append / import / cherrypick)
+  * (last, current] range takes the append-delta path directly. Any
+  * other range SEGMENTS along the main parent chain
+  * ([[segmentRange]]): additive runs read as file deltas, net-zero
+  * maintenance rewrites (compaction, delete-object/manifest rewrites)
+  * are skipped outright — routine compaction never costs a view
+  * refresh anything, for ANY aggregate set — and delete/update/merge/
+  * upsert runs take the COUNTING-ALGORITHM path when every aggregate
+  * retracts (count/sum with the required companion counts — see
+  * [[cdcMaintainable]]): signed partials aggregated from the engine's
+  * change feed ([[graft.spark.TableChanges]], +insert / -delete)
+  * merge into the stored state and groups whose row count reaches
+  * zero drop out, so a sparse DELETE refreshes at the cost of the
+  * rows it touched, never the corpus. Only when no path applies
+  * (min/max views over retracting ranges, missing companion counts,
+  * rollback or overwrite in range, expired watermark) does refresh
+  * fall back to a full recompute.
   *
   * View definition state lives as table properties on the MV table
   * itself (source, keys, aggregate spec, refreshed-snapshot
@@ -118,6 +123,72 @@ object MaterializedViews {
       aggs.filter(_.fn == "sum").forall(sm =>
         aggs.exists(c => c.fn == "count" && !c.isCountStar &&
           c.expr == sm.expr))
+
+  /** Snapshot ops that change the table's LOGICAL content but whose
+    * change feed costs what the commit touched, not the corpus.
+    */
+  private val RetractOps = Set("delete", "update", "merge", "upsert")
+  /** Ops that preserve logical content exactly (data-file compaction
+    * applies deletes that were already logically applied; delete-object
+    * and manifest rewrites are pure re-encodings) — a refresh skips
+    * them entirely.
+    */
+  private val NetZeroOps = Set("compact", "rewrite-deletes",
+    "rewrite-manifests")
+
+  /** One contiguous maintenance segment of a refresh range:
+    * `'A'` = additive (served by the engine's incremental file-delta
+    * read), `'C'` = retractable content change (served by the change
+    * feed). `(start, end]` are snapshot-id bounds on the main parent
+    * chain.
+    */
+  private[graft] final case class Segment(kind: Char, start: Long, end: Long)
+
+  /** Split `(last, curId]` of the MAIN parent chain into maintenance
+    * segments, dropping net-zero ops (compaction never costs a view
+    * refresh anything). Returns None — the full-recompute signal —
+    * when the chain is broken (expired watermark) or any op is outside
+    * the known classes (rollback diffs whole snapshots in the feed;
+    * overwrite replaces arbitrarily much; for both, a recompute is the
+    * cheaper honest answer). An additive segment whose ID INTERVAL is
+    * intruded by a concurrent branch snapshot (ids are global across
+    * branches; the incremental read gates on the interval view)
+    * downgrades to a feed segment, which is endpoint-based.
+    */
+  private[graft] def segmentRange(storage: graft.storage.StorageOps,
+      meta: TableMetadata, last: Long, curId: Long): Option[Seq[Segment]] = {
+    if (last < 0 || curId < 0) return None
+    var chain = List.empty[graft.format.Snapshot]
+    var cur = curId
+    while (cur != last) {
+      if (cur < 0) return None
+      val s = meta.findSnapshot(storage, cur).getOrElse(return None)
+      chain = s :: chain
+      cur = s.parentId
+    }
+    val segs = scala.collection.mutable.ArrayBuffer.empty[Segment]
+    var prev = last
+    for (s <- chain) {
+      val kind =
+        if (GraftTable.AdditiveOps(s.operation)) 'A'
+        else if (NetZeroOps(s.operation)) 'Z'
+        else if (RetractOps(s.operation)) 'C'
+        else return None
+      if (kind != 'Z') {
+        if (segs.nonEmpty && segs.last.kind == kind && segs.last.end == prev)
+          segs(segs.size - 1) = segs.last.copy(end = s.id)
+        else segs += Segment(kind, prev, s.id)
+      }
+      prev = s.id
+    }
+    Some(segs.toSeq.map { g =>
+      if (g.kind == 'A' &&
+          !meta.snapshotsInRange(storage, g.start, g.end)
+            .forall(s => GraftTable.AdditiveOps(s.operation)))
+        g.copy(kind = 'C')
+      else g
+    })
+  }
 
   private def fullName(cat: GraftCatalog, ns: String, t: String): String =
     s"${cat.name()}.`$ns`.`$t`"
@@ -284,74 +355,81 @@ object MaterializedViews {
       srcMeta.findSnapshot(storage, last).isDefined &&
       between.nonEmpty && between.forall(s => GraftTable.AdditiveOps(s.operation))
 
-    // ops whose change feed costs what the commit TOUCHED, not the
-    // corpus: sparse deletes/upserts and net-zero maintenance
-    // rewrites. A rollback diffs two whole logical snapshots inside
-    // TableChanges and an overwrite replaces arbitrarily much — for
-    // those a full recompute is the cheaper honest answer.
-    val cdcOps = GraftTable.AdditiveOps ++
-      Set("delete", "update", "merge", "upsert", "rewrite-deletes",
-        "compact", "rewrite-manifests")
-    val cdcOk = !additive && last >= 0 && curId >= 0 &&
-      srcMeta.findSnapshot(storage, last).isDefined &&
-      between.nonEmpty &&
-      between.forall(s => cdcOps(s.operation)) &&
-      cdcMaintainable(aggs)
+    def feedDelta(s0: Long, e0: Long): DataFrame = {
+      // counting algorithm over the engine's change feed: signed
+      // (+insert / -delete) partials aggregated from ONLY the changed
+      // rows of (s0, e0]
+      val changes = restrict(
+        graft.spark.TableChanges.between(spark, cat,
+          Identifier.of(Array(srcNs), srcT), s0, e0), where)
+      val sign = when(
+        col(graft.spark.TableChanges.ChangeTypeColumn) === "insert",
+        lit(1)).otherwise(lit(-1))
+      val signed = aggs.map { a =>
+        (a.fn match {
+          case "count" if a.isCountStar => sum(sign)
+          case "count" =>
+            sum(when(expr(a.expr).isNotNull, sign).otherwise(lit(0)))
+          case "sum" => sum(expr(a.expr) * sign)
+        }).as(a.out)
+      }
+      changes.groupBy(groupBy.map(col): _*)
+        .agg(signed.head, signed.tail: _*)
+    }
+    def appendDelta(s0: Long, e0: Long): DataFrame =
+      // the engine's own incremental read plans exactly the files
+      // appended in (s0, e0] — over an additive segment their RAW
+      // rows ARE the row delta
+      aggregate(restrict(spark.read
+        .option(GraftTable.StartSnapshotOption, s0.toString)
+        .option(GraftTable.EndSnapshotOption, e0.toString)
+        .table(fullName(cat, srcNs, srcT)), where), groupBy, aggs)
+
+    // segmented maintenance (when the whole range isn't additive):
+    // the main parent chain splits into append segments (file-delta
+    // read), net-zero maintenance rewrites (skipped — a compaction
+    // never costs a view refresh anything), and retractable segments
+    // (change feed). Retraction needs the counting-algorithm agg set;
+    // a purely append+net-zero split stays "incremental" for ANY
+    // aggregates — min/max views survive routine compaction without a
+    // corpus recompute.
+    val segs = if (additive) None
+      else segmentRange(storage, srcMeta, last, curId)
+    val retracts = segs.exists(_.exists(_.kind == 'C'))
 
     val mvSchema = stored.schema
     val (mode, next) =
       if (additive) {
-        // the engine's own incremental read plans exactly the files of
-        // (last, curId] — additivity means their RAW rows are the row
-        // delta, so the delta aggregate + combine IS the new state.
         // `stored` is the SAME pinned state the watermark came from.
-        val delta = spark.read
-          .option(GraftTable.StartSnapshotOption, last.toString)
-          .option(GraftTable.EndSnapshotOption, curId.toString)
-          .table(fullName(cat, srcNs, srcT))
         val merged = stored
-          .unionByName(aggregate(restrict(delta, where), groupBy, aggs))
+          .unionByName(appendDelta(last, curId))
           .groupBy(groupBy.map(col): _*)
           .agg(aggs.head.merge, aggs.tail.map(_.merge): _*)
         ("incremental", merged)
-      } else if (cdcOk) {
-        // counting algorithm over the engine's change feed: the range
-        // contains deletes/updates, but every aggregate retracts —
-        // signed (+insert / -delete) partials aggregated from ONLY the
-        // changed rows merge into the stored state, and groups whose
-        // row count reaches zero drop out of the view.
-        val changes = restrict(
-          graft.spark.TableChanges.between(spark, cat,
-            Identifier.of(Array(srcNs), srcT), last, curId), where)
-        val sign = when(
-          col(graft.spark.TableChanges.ChangeTypeColumn) === "insert",
-          lit(1)).otherwise(lit(-1))
-        val signed = aggs.map { a =>
-          (a.fn match {
-            case "count" if a.isCountStar => sum(sign)
-            case "count" =>
-              sum(when(expr(a.expr).isNotNull, sign).otherwise(lit(0)))
-            case "sum" => sum(expr(a.expr) * sign)
-          }).as(a.out)
+      } else if (segs.isDefined && (!retracts || cdcMaintainable(aggs))) {
+        val deltas = segs.get.map {
+          case Segment('A', s0, e0) => appendDelta(s0, e0)
+          case Segment(_, s0, e0) => feedDelta(s0, e0)
         }
-        val deltaAgg = changes.groupBy(groupBy.map(col): _*)
-          .agg(signed.head, signed.tail: _*)
-        val mergedAll = stored
-          .unionByName(deltaAgg)
+        val mergedAll = deltas.foldLeft(stored)(_ unionByName _)
           .groupBy(groupBy.map(col): _*)
           .agg(aggs.head.merge, aggs.tail.map(_.merge): _*)
-        // a sum whose matching non-null count reached zero is NULL
-        // again (signed arithmetic alone would leave 0 behind)
-        val nullFixed = aggs.filter(_.fn == "sum").foldLeft(mergedAll) {
-          (df, sm) =>
-            val paired = aggs.find(c =>
-              c.fn == "count" && !c.isCountStar && c.expr == sm.expr).get
-            df.withColumn(sm.out,
-              when(col(paired.out) === 0, lit(null))
-                .otherwise(col(sm.out)))
+        if (!retracts) ("incremental", mergedAll)
+        else {
+          // a sum whose matching non-null count reached zero is NULL
+          // again (signed arithmetic alone would leave 0 behind), and
+          // groups whose row count reaches zero drop out of the view
+          val nullFixed = aggs.filter(_.fn == "sum").foldLeft(mergedAll) {
+            (df, sm) =>
+              val paired = aggs.find(c =>
+                c.fn == "count" && !c.isCountStar && c.expr == sm.expr).get
+              df.withColumn(sm.out,
+                when(col(paired.out) === 0, lit(null))
+                  .otherwise(col(sm.out)))
+          }
+          val rowCount = aggs.find(_.isCountStar).get.out
+          ("cdc", nullFixed.filter(col(rowCount) > 0))
         }
-        val rowCount = aggs.find(_.isCountStar).get.out
-        ("cdc", nullFixed.filter(col(rowCount) > 0))
       } else {
         val src = spark.table(fullName(cat, srcNs, srcT))
         ("full", aggregate(restrict(src, where), groupBy, aggs))

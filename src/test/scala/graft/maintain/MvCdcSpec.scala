@@ -172,6 +172,69 @@ class MvCdcSpec extends AnyFunSuite {
     assert(servedByMv, q.queryExecution.optimizedPlan.treeString)
   }
 
+  test("net-zero maintenance rewrites are skipped by segmentation: " +
+      "compaction in range keeps min/max views incremental") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mcd.ns1")
+    spark.sql("CREATE TABLE mcd.ns1.zsrc (id BIGINT, k BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO mcd.ns1.zsrc
+                 SELECT id, id % 4, CAST(id AS DOUBLE) / 4
+                 FROM range(0, 2000, 1, 4)""")
+    // a MIN/MAX view — retraction-incapable, so before segmentation
+    // ANY non-additive op in range forced a full recompute
+    call("""CALL mcd.system.create_materialized_view(
+              namespace => 'ns1', name => 'zmv',
+              source_namespace => 'ns1', source_table => 'zsrc',
+              group_by => 'k',
+              aggs => 'n:count:1;mn:min:v;mx:max:v')""")
+    def ztruth() = spark.sql(
+      """SELECT k, count(*) AS n, min(v) AS mn, max(v) AS mx
+         FROM mcd.ns1.zsrc GROUP BY k ORDER BY k""")
+      .collect().map(_.toString).toSeq
+    def zrows() = spark.sql(
+      "SELECT k, n, mn, mx FROM mcd.ns1.zmv ORDER BY k")
+      .collect().map(_.toString).toSeq
+
+    // [append, compact, append]: the compaction is net-zero and must
+    // be SKIPPED — both append runs read as file deltas, the mode
+    // stays incremental even though min/max cannot retract
+    spark.sql("INSERT INTO mcd.ns1.zsrc VALUES (5001, 1, 600.25)")
+    spark.sql("""CALL mcd.system.compact_table(
+                   namespace => 'ns1', table => 'zsrc')""")
+    spark.sql("INSERT INTO mcd.ns1.zsrc VALUES (5002, 9, -1.75)")
+    assert(refresh("zmv") == "incremental")
+    assert(zrows() == ztruth())
+
+    // compaction-only range: nothing to do but advance the watermark
+    spark.sql("""CALL mcd.system.compact_table(
+                   namespace => 'ns1', table => 'zsrc')""")
+    assert(refresh("zmv") == "incremental")
+    assert(zrows() == ztruth())
+    assert(refresh("zmv") == "noop")
+
+    // [delete, compact] on the min/max view: the delete segment needs
+    // retraction — still a full recompute, unchanged semantics
+    spark.sql("DELETE FROM mcd.ns1.zsrc WHERE id % 5 = 0")
+    spark.sql("""CALL mcd.system.compact_table(
+                   namespace => 'ns1', table => 'zsrc')""")
+    assert(refresh("zmv") == "full")
+    assert(zrows() == ztruth())
+
+    // and on a RETRACTABLE view over the same source, a mixed
+    // [append, delete, compact, append] range segments into
+    // file-delta + feed + file-delta — cdc, state exact
+    call("""CALL mcd.system.create_materialized_view(
+              namespace => 'ns1', name => 'zmv2',
+              source_namespace => 'ns1', source_table => 'zsrc',
+              group_by => 'k', aggs => '""" + cdcAggs + "')")
+    spark.sql("INSERT INTO mcd.ns1.zsrc VALUES (6001, 2, 7.5)")
+    spark.sql("DELETE FROM mcd.ns1.zsrc WHERE id % 7 = 3")
+    spark.sql("""CALL mcd.system.compact_table(
+                   namespace => 'ns1', table => 'zsrc')""")
+    spark.sql("INSERT INTO mcd.ns1.zsrc VALUES (6002, 2, 8.5)")
+    assert(refresh("zmv2") == "cdc")
+    assert(rows("zmv2", "k, n, np, total") == truth("zsrc"))
+  }
+
   test("append-only ranges still take the cheaper incremental path " +
       "and the chain recovers after a CDC refresh") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS mcd.ns1")

@@ -71,8 +71,27 @@ object TableChanges {
     // at all. Ranges containing a rollback therefore diff the two
     // ENDPOINT snapshots logically, each read with its own residuals
     // applied — a 2-snapshot scan, the honest net-change answer.
-    val rangeSnaps = meta.allSnapshots(storage)
-      .filter(s => s.id > startSnapshotId && s.id <= endId)
+    // snapshot ids are GLOBAL across main + branches, so an id-interval
+    // filter could pull a concurrent BRANCH commit into the range and
+    // emit its merge-on-read deletes as main-lineage changes. Walk the
+    // endpoint's parent chain instead; only if the start is not an
+    // ancestor (possible for -1 = "since creation" on an imported
+    // lineage) fall back to the interval view.
+    val rangeSnaps: Seq[graft.format.Snapshot] = {
+      var acc = List.empty[graft.format.Snapshot]
+      var cur = endId
+      var reached = cur == startSnapshotId
+      while (!reached && cur >= 0) {
+        meta.findSnapshot(storage, cur) match {
+          case Some(s) => acc = s :: acc; cur = s.parentId
+          case None => cur = -2L // broken chain: fall back below
+        }
+        reached = cur == startSnapshotId
+      }
+      if (reached || (startSnapshotId < 0 && cur == -1L)) acc
+      else meta.allSnapshots(storage)
+        .filter(s => s.id > startSnapshotId && s.id <= endId)
+    }
     if (rangeSnaps.exists(_.operation == "rollback")) {
       def liveRows(id: Long): DataFrame =
         if (id < 0)

@@ -250,8 +250,7 @@ private[spark] object GraftChanges {
       tableName: String,
       startId: Long,
       endId: Long): Seq[Batch] =
-    meta.allSnapshots(storage)
-      .filter(s => s.id > startId && s.id <= endId)
+    TableChanges.mainLineage(storage, meta, startId, endId)
       .sortBy(_.id)
       .flatMap(snapshotBatches(spark, storage, meta, physSchema, baseDir,
         tableName, _))

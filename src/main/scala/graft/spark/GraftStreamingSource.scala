@@ -73,8 +73,19 @@ private[spark] class GraftMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = currentEnd
     val s = start.asInstanceOf[SnapshotOffset].id
-    SnapshotOffset(
-      maxSnapshotsPerTrigger.map(n => math.min(cur, s + n)).getOrElse(cur))
+    SnapshotOffset(maxSnapshotsPerTrigger.map { n =>
+      if (cur <= s) cur
+      else {
+        // resolve the n-th MAIN-lineage successor of s: snapshot ids
+        // are global across branches, so naive `s + n` could name a
+        // concurrent BRANCH snapshot and the endpoint diff would read
+        // that branch's inventory
+        val lineage = TableChanges.mainLineage(
+          ctx.storage, ctx.freshMeta(), s, cur)
+        if (lineage.isEmpty) math.min(cur, s + n)
+        else lineage.take(math.min(n, lineage.size.toLong).toInt).last.id
+      }
+    }.getOrElse(cur))
   }
 
   override def deserializeOffset(json: String): Offset =
@@ -85,8 +96,12 @@ private[spark] class GraftMicroBatchStream(
     val endId = end.asInstanceOf[SnapshotOffset].id
     if (endId <= startId) { lastScan = None; return Array.empty }
     val meta = ctx.freshMeta()
-    val nonAdditive = meta.allSnapshots(ctx.storage)
-      .filter(s => s.id > startId && s.id <= endId)
+    // main lineage only: a concurrent BRANCH commit with an id inside
+    // the interval must neither refuse the batch nor count as a range
+    // snapshot (the file diff below is endpoint-based and never saw
+    // branch files; this makes the gate agree with it)
+    val nonAdditive = TableChanges.mainLineage(ctx.storage, meta,
+        startId, endId)
       .filterNot(s => GraftTable.AdditiveOps(s.operation))
     if (nonAdditive.nonEmpty) throw new UnsupportedOperationException(
       s"stream over ${ctx.tableName} hit non-additive snapshot " +

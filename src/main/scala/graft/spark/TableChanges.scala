@@ -26,6 +26,33 @@ object TableChanges {
 
   val ChangeTypeColumn = "_change_type"
 
+  /** Snapshots of `(start, end]` on the MAIN parent chain, oldest
+    * first. Snapshot ids are GLOBAL across main + branches, so an
+    * id-interval filter could pull a concurrent BRANCH commit into a
+    * main range and emit its changes as main-lineage ones — walk the
+    * endpoint's parent chain instead. Only when the chain is broken
+    * (a mid-chain snapshot expired) or the start is not an ancestor
+    * does this fall back to the interval view, the historical
+    * behavior.
+    */
+  private[spark] def mainLineage(storage: graft.storage.StorageOps,
+      meta: TableMetadata, start: Long, end: Long)
+      : Seq[graft.format.Snapshot] = {
+    var acc = List.empty[graft.format.Snapshot]
+    var cur = end
+    var reached = cur == start
+    while (!reached && cur >= 0) {
+      meta.findSnapshot(storage, cur) match {
+        case Some(s) => acc = s :: acc; cur = s.parentId
+        case None => cur = -2L // broken chain: fall back below
+      }
+      reached = cur == start
+    }
+    if (reached || (start < 0 && cur == -1L)) acc
+    else meta.allSnapshots(storage)
+      .filter(s => s.id > start && s.id <= end)
+  }
+
   /** Changed rows in `(startSnapshotId, endSnapshotId]` of `ns.table`:
     * the table's columns plus [[ChangeTypeColumn]] (`insert` /
     * `delete`; an update surfaces as delete(old) + insert(new)).
@@ -71,27 +98,8 @@ object TableChanges {
     // at all. Ranges containing a rollback therefore diff the two
     // ENDPOINT snapshots logically, each read with its own residuals
     // applied — a 2-snapshot scan, the honest net-change answer.
-    // snapshot ids are GLOBAL across main + branches, so an id-interval
-    // filter could pull a concurrent BRANCH commit into the range and
-    // emit its merge-on-read deletes as main-lineage changes. Walk the
-    // endpoint's parent chain instead; only if the start is not an
-    // ancestor (possible for -1 = "since creation" on an imported
-    // lineage) fall back to the interval view.
-    val rangeSnaps: Seq[graft.format.Snapshot] = {
-      var acc = List.empty[graft.format.Snapshot]
-      var cur = endId
-      var reached = cur == startSnapshotId
-      while (!reached && cur >= 0) {
-        meta.findSnapshot(storage, cur) match {
-          case Some(s) => acc = s :: acc; cur = s.parentId
-          case None => cur = -2L // broken chain: fall back below
-        }
-        reached = cur == startSnapshotId
-      }
-      if (reached || (startSnapshotId < 0 && cur == -1L)) acc
-      else meta.allSnapshots(storage)
-        .filter(s => s.id > startSnapshotId && s.id <= endId)
-    }
+    val rangeSnaps = TableChanges.mainLineage(
+      storage, meta, startSnapshotId, endId)
     if (rangeSnaps.exists(_.operation == "rollback")) {
       def liveRows(id: Long): DataFrame =
         if (id < 0)

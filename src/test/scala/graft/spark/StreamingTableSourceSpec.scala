@@ -101,6 +101,34 @@ class StreamingTableSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a concurrent BRANCH commit interleaved in the id range is " +
+      "invisible to the stream, even under per-trigger caps") {
+    spark.sql("CREATE TABLE stc.ns.b (k BIGINT)")
+    spark.sql("INSERT INTO stc.ns.b VALUES (1)")
+    // interleave BRANCH snapshots between main commits: ids are global,
+    // so a capped stream's intermediate offset `start + n` would land
+    // on a branch snapshot without main-lineage offset resolution
+    spark.sql("""CALL stc.system.create_branch(
+                   namespace => 'ns', table => 'b', branch => 'wip')""")
+    spark.sql("INSERT INTO stc.ns.`b$branch_wip` VALUES (100), (101)")
+    spark.sql("INSERT INTO stc.ns.b VALUES (2)")
+    spark.sql("INSERT INTO stc.ns.`b$branch_wip` VALUES (102)")
+    spark.sql("INSERT INTO stc.ns.b VALUES (3)")
+    val checkpoint = Files.createTempDirectory("graft-sts-cp6").toString
+    val q = spark.readStream
+      .option("max-snapshots-per-trigger", "1")
+      .table("stc.ns.b")
+      .writeStream.format("memory").queryName("sts_sink6")
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sts_sink6").select("k").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L),
+        "main rows exactly once; branch rows never")
+    } finally q.stop()
+  }
+
   test("restart resumes from the checkpointed snapshot offset") {
     spark.sql("CREATE TABLE stc.ns.c (k BIGINT)")
     spark.sql("INSERT INTO stc.ns.c VALUES (1)")

@@ -150,10 +150,9 @@ object MaterializedViews {
     * when the chain is broken (expired watermark) or any op is outside
     * the known classes (rollback diffs whole snapshots in the feed;
     * overwrite replaces arbitrarily much; for both, a recompute is the
-    * cheaper honest answer). An additive segment whose ID INTERVAL is
-    * intruded by a concurrent branch snapshot (ids are global across
-    * branches; the incremental read gates on the interval view)
-    * downgrades to a feed segment, which is endpoint-based.
+    * cheaper honest answer). Branch snapshots never intrude: the chain
+    * walk, the incremental read's gate, and the change feed are all
+    * lineage-based.
     */
   private[graft] def segmentRange(storage: graft.storage.StorageOps,
       meta: TableMetadata, last: Long, curId: Long): Option[Seq[Segment]] = {
@@ -181,13 +180,7 @@ object MaterializedViews {
       }
       prev = s.id
     }
-    Some(segs.toSeq.map { g =>
-      if (g.kind == 'A' &&
-          !meta.snapshotsInRange(storage, g.start, g.end)
-            .forall(s => GraftTable.AdditiveOps(s.operation)))
-        g.copy(kind = 'C')
-      else g
-    })
+    Some(segs.toSeq)
   }
 
   private def fullName(cat: GraftCatalog, ns: String, t: String): String =

@@ -140,7 +140,11 @@ class GraftTable(
       .map(_.toLong).getOrElse(meta.currentSnapshotId)
     require(endId <= meta.currentSnapshotId,
       s"end-snapshot-id $endId is newer than current ${meta.currentSnapshotId}")
-    val nonAdditive = meta.snapshotsInRange(storage, startId, endId)
+    // gate on the endpoint's parent chain, not the global id interval:
+    // a concurrent BRANCH snapshot with an id inside the interval must
+    // not refuse a legitimately-additive range (the file diff below is
+    // endpoint-based and never sees branch files)
+    val nonAdditive = TableChanges.mainLineage(storage, meta, startId, endId)
       .filterNot(s => GraftTable.AdditiveOps(s.operation))
     if (nonAdditive.nonEmpty) throw new UnsupportedOperationException(
       s"incremental read range ($startId, $endId] of ${name()} contains " +

@@ -254,10 +254,10 @@ class MvCdcSpec extends AnyFunSuite {
     spark.sql("DELETE FROM mcd.ns1.`bsrc$branch_audit` WHERE k = 1")
     spark.sql("INSERT INTO mcd.ns1.bsrc VALUES (2002, 2, 6.25)")
     val m = refresh("bmv")
-    // the interval view of the range contains the branch delete, so
-    // the append run downgrades to the endpoint-based feed ("cdc") —
-    // what must NOT happen is k=1's rows being retracted
-    assert(m == "cdc" || m == "incremental", m)
+    // the main chain is two appends — the branch delete is invisible
+    // to the lineage walk, so the cheap path holds; what must NOT
+    // happen is k=1's rows being retracted
+    assert(m == "incremental", m)
     assert(rows("bmv", "k, n, np, total") == truth("bsrc"),
       "branch delete leaked into the main view state")
   }

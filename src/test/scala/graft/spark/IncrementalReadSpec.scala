@@ -66,6 +66,29 @@ class IncrementalReadSpec extends AnyFunSuite {
       .option("end-snapshot-id", "4").table("inc.ns.t").count() == 6)
   }
 
+  test("a concurrent BRANCH delete inside the id range neither " +
+      "refuses nor pollutes an additive incremental read") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS inc.ns")
+    spark.sql("CREATE TABLE inc.ns.br (k BIGINT, batch INT)")
+    spark.sql("INSERT INTO inc.ns.br VALUES (1, 0), (2, 0)")
+    val startId = spark.sql(
+      "SELECT max(snapshot_id) FROM inc.ns.`br$snapshots`")
+      .collect()(0).getLong(0)
+    // branch snapshots interleave in the GLOBAL id space: the range
+    // (startId, current] contains a branch DELETE by id, but the main
+    // parent chain is append-only — the read must serve it
+    spark.sql("""CALL inc.system.create_branch(
+                   namespace => 'ns', table => 'br', branch => 'wip')""")
+    spark.sql("DELETE FROM inc.ns.`br$branch_wip` WHERE k = 1")
+    spark.sql("INSERT INTO inc.ns.br VALUES (3, 1), (4, 1)")
+    val got = spark.read
+      .option("start-snapshot-id", startId.toString)
+      .table("inc.ns.br")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(3L, 4L),
+      s"only the main append's rows are the delta, got $got")
+  }
+
   test("TableChanges derives row-level insert/delete from a COW rewrite") {
     spark.sql("CREATE TABLE inc.ns.c (k BIGINT, v STRING)")
     spark.sql("INSERT INTO inc.ns.c VALUES (1, 'a'), (2, 'b')")

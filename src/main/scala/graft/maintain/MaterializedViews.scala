@@ -62,6 +62,23 @@ object MaterializedViews {
     */
   val WhereProp = "graft.mv.where"
   val RefreshedSnapshotProp = "graft.mv.refreshed-snapshot"
+  /** JOIN views: a second source (`ns`/`table`) inner-equi-joined to
+    * the first on [[JoinOnProp]] (`leftcol=rightcol,...`). The view
+    * aggregates over the JOIN result; [[RefreshedSnapshot2Prop]] is
+    * the right side's watermark. Incremental refresh uses the
+    * two-sided delta rule Δ(A⋈B) = ΔA⋈B_cur + A_prev⋈ΔB (all three
+    * frames snapshot-pinned, so a concurrent append can neither be
+    * lost nor double-counted): an append to the FACT side joins only
+    * the delta against the other side — at 100 TB that is a
+    * delta-sized broadcast join, never a corpus re-join. Ranges that
+    * aren't purely additive (after net-zero skipping) fall back to a
+    * full recompute; the counting-algorithm path is single-source
+    * only.
+    */
+  val Join2NsProp = "graft.mv.join-namespace"
+  val Join2TableProp = "graft.mv.join-table"
+  val JoinOnProp = "graft.mv.join-on"
+  val RefreshedSnapshot2Prop = "graft.mv.refreshed-snapshot2"
   /** On the SOURCE table: comma-separated `ns.mv` list of views
     * derived from it — the zero-I/O trigger for
     * [[graft.spark.GraftMvRewrite]] (no rewrite candidates means no
@@ -106,6 +123,24 @@ object MaterializedViews {
     }
 
   final case class RefreshResult(mode: String, mvRows: Long)
+
+  /** A join view's second source: inner-equi-joined to the first on
+    * `on` (left-source column, right-source column) pairs.
+    */
+  final case class JoinSpec(ns: String, table: String,
+      on: Seq[(String, String)]) {
+    require(on.nonEmpty, "join view needs at least one leftcol=rightcol pair")
+    def onFormatted: String = on.map { case (l, r) => s"$l=$r" }.mkString(",")
+  }
+
+  def parseJoinOn(spec: String): Seq[(String, String)] =
+    spec.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
+      p.split('=') match {
+        case Array(l, r) => (l.trim, r.trim)
+        case _ => throw new IllegalArgumentException(
+          s"join pair '$p' is not leftcol=rightcol")
+      }
+    }
 
   /** The counting-algorithm maintainable class (the classic
     * self-maintainable-under-deletions set): every aggregate must
@@ -246,14 +281,35 @@ object MaterializedViews {
     * the definition properties, and records the exact source snapshot
     * the initial state reflects.
     */
+  /** Inner equi-join of two frames on the declared column pairs. */
+  private def joinFrames(l: DataFrame, r: DataFrame,
+      on: Seq[(String, String)]): DataFrame =
+    l.join(r, on.map { case (lc, rc) => l(lc) === r(rc) }.reduce(_ && _),
+      "inner")
+
+  /** A table read pinned at one snapshot (the engine's `snap:` time
+    * travel) — every side of an incremental join-delta term must be
+    * snapshot-exact or a concurrent append could be double-counted.
+    */
+  private def pinned(spark: SparkSession, full: String,
+      snapId: Long): DataFrame =
+    spark.sql(s"SELECT * FROM $full VERSION AS OF 'snap:$snapId'")
+
   def create(spark: SparkSession, cat: GraftCatalog, ns: String, mv: String,
       srcNs: String, srcTable: String, groupBy: Seq[String],
-      aggs: Seq[AggSpec], where: Option[String] = None): RefreshResult = {
+      aggs: Seq[AggSpec], where: Option[String] = None,
+      join: Option[JoinSpec] = None): RefreshResult = {
     require(groupBy.nonEmpty && aggs.nonEmpty,
       "materialized view needs group-by columns and aggregates")
     val src = spark.table(fullName(cat, srcNs, srcTable))
     val snapId = plannedSnapshotId(src)
-    val state = aggregate(restrict(src, where), groupBy, aggs)
+    val (base, snap2) = join match {
+      case None => (src, None)
+      case Some(j) =>
+        val right = spark.table(fullName(cat, j.ns, j.table))
+        (joinFrames(src, right, j.on), Some(plannedSnapshotId(right)))
+    }
+    val state = aggregate(restrict(base, where), groupBy, aggs)
     val w0 = state.writeTo(fullName(cat, ns, mv))
       .tableProperty(SourceNsProp, srcNs)
       .tableProperty(SourceTableProp, srcTable)
@@ -261,12 +317,20 @@ object MaterializedViews {
       .tableProperty(AggsProp, aggs.map(a =>
         s"${a.out}:${a.fn}:${a.expr}").mkString(";"))
       .tableProperty(RefreshedSnapshotProp, snapId.toString)
-    where.fold(w0)(w => w0.tableProperty(WhereProp, w)).create()
-    // register on the source so the query-rewrite rule finds the view
-    // from the scanned table's own properties (dropped views leave a
-    // stale entry; the rule skips entries that fail to load)
+    val w1 = where.fold(w0)(w => w0.tableProperty(WhereProp, w))
+    join.fold(w1)(j => w1
+      .tableProperty(Join2NsProp, j.ns)
+      .tableProperty(Join2TableProp, j.table)
+      .tableProperty(JoinOnProp, j.onFormatted)
+      .tableProperty(RefreshedSnapshot2Prop, snap2.get.toString))
+      .create()
+    // register on the source(s) so the query-rewrite rule finds the
+    // view from the scanned table's own properties (dropped views
+    // leave a stale entry; the rule skips entries that fail to load)
     val entry = s"$ns.$mv"
     editDerived(cat, Identifier.of(Array(srcNs), srcTable))(_ :+ entry)
+    join.foreach(j =>
+      editDerived(cat, Identifier.of(Array(j.ns), j.table))(_ :+ entry))
     graft.spark.GraftMvRewrite.invalidate(cat.name(), entry)
     RefreshResult("full",
       spark.table(fullName(cat, ns, mv)).count())
@@ -284,17 +348,22 @@ object MaterializedViews {
     val mv = ident.name()
     val storage = cat.storage
     val txn = graft.catalog.Graft.beginTransaction(storage)
-    val (srcNs, srcT) = try {
+    val (srcNs, srcT, join2) = try {
       val td = graft.catalog.Graft.describeTable(storage, txn, ns, mv)
       (td.properties.getOrElse(SourceNsProp,
         throw new IllegalArgumentException(
           s"$ns.$mv is not a materialized view (no $SourceNsProp)")),
-        td.properties(SourceTableProp))
+        td.properties(SourceTableProp),
+        td.properties.get(Join2NsProp).map(
+          (_, td.properties(Join2TableProp))))
     } finally txn.close()
     val dropped = cat.dropTable(ident)
-    try editDerived(cat, Identifier.of(Array(srcNs), srcT))(
-      _.filterNot(_ == s"$ns.$mv"))
-    catch { case _: Exception => () } // source itself gone: nothing to clean
+    val sources = Seq((srcNs, srcT)) ++ join2
+    sources.foreach { case (sns, st) =>
+      try editDerived(cat, Identifier.of(Array(sns), st))(
+        _.filterNot(_ == s"$ns.$mv"))
+      catch { case _: Exception => () } // source itself gone: nothing
+    }
     dropped
   }
 
@@ -332,6 +401,13 @@ object MaterializedViews {
     val aggs = parseAggs(props(AggsProp))
     val where = props.get(WhereProp)
     val last = props.get(RefreshedSnapshotProp).map(_.toLong).getOrElse(-1L)
+
+    props.get(Join2NsProp).foreach { jns =>
+      return refreshJoin(spark, cat, ns, mv, mvFull0, stored, srcNs, srcT,
+        groupBy, aggs, where, last,
+        props.get(RefreshedSnapshot2Prop).map(_.toLong).getOrElse(-1L),
+        JoinSpec(jns, props(Join2TableProp), parseJoinOn(props(JoinOnProp))))
+    }
 
     val txn2 = graft.catalog.Graft.beginTransaction(storage)
     val srcMeta = try {
@@ -391,14 +467,14 @@ object MaterializedViews {
     val retracts = segs.exists(_.exists(_.kind == 'C'))
 
     val mvSchema = stored.schema
-    val (mode, next) =
+    val (mode, next, watermark) =
       if (additive) {
         // `stored` is the SAME pinned state the watermark came from.
         val merged = stored
           .unionByName(appendDelta(last, curId))
           .groupBy(groupBy.map(col): _*)
           .agg(aggs.head.merge, aggs.tail.map(_.merge): _*)
-        ("incremental", merged)
+        ("incremental", merged, curId)
       } else if (segs.isDefined && (!retracts || cdcMaintainable(aggs))) {
         val deltas = segs.get.map {
           case Segment('A', s0, e0) => appendDelta(s0, e0)
@@ -407,7 +483,7 @@ object MaterializedViews {
         val mergedAll = deltas.foldLeft(stored)(_ unionByName _)
           .groupBy(groupBy.map(col): _*)
           .agg(aggs.head.merge, aggs.tail.map(_.merge): _*)
-        if (!retracts) ("incremental", mergedAll)
+        if (!retracts) ("incremental", mergedAll, curId)
         else {
           // a sum whose matching non-null count reached zero is NULL
           // again (signed arithmetic alone would leave 0 behind), and
@@ -421,30 +497,112 @@ object MaterializedViews {
                   .otherwise(col(sm.out)))
           }
           val rowCount = aggs.find(_.isCountStar).get.out
-          ("cdc", nullFixed.filter(col(rowCount) > 0))
+          ("cdc", nullFixed.filter(col(rowCount) > 0), curId)
         }
       } else {
+        // the watermark comes from the PLANNED scan, not the earlier
+        // metadata read — an append landing between the two would
+        // otherwise be included in the recompute yet re-merged by the
+        // next refresh (double-count)
         val src = spark.table(fullName(cat, srcNs, srcT))
-        ("full", aggregate(restrict(src, where), groupBy, aggs))
+        ("full", aggregate(restrict(src, where), groupBy, aggs),
+          plannedSnapshotId(src))
       }
-    // merged aggregate types widen (sum of DECIMAL(p,s) → p+10): cast
-    // back to the MV's declared schema before the overwrite
+    commitState(spark, cat, ns, mv, mvFull, mvSchema, next,
+      Seq(RefreshedSnapshotProp -> watermark.toString), mode)
+  }
+
+  /** REFRESH of a JOIN view: the two-sided delta rule
+    * Δ(A⋈B) = ΔA⋈B_cur + A_prev⋈ΔB — every frame snapshot-pinned so a
+    * concurrent append is neither lost nor double-counted. Both sides'
+    * ranges segment like the single-source path (net-zero maintenance
+    * rewrites skipped); any retraction on either side falls back to a
+    * full recompute (the counting algorithm is single-source only).
+    */
+  private def refreshJoin(spark: SparkSession, cat: GraftCatalog,
+      ns: String, mv: String, mvFull: String, stored: DataFrame,
+      srcNs: String, srcT: String, groupBy: Seq[String],
+      aggs: Seq[AggSpec], where: Option[String], lastA: Long,
+      lastB: Long, j: JoinSpec): RefreshResult = {
+    val storage = cat.storage
+    val txn = graft.catalog.Graft.beginTransaction(storage)
+    val (metaA, metaB) = try {
+      val a = graft.catalog.Graft.describeTable(storage, txn, srcNs, srcT)
+      val b = graft.catalog.Graft.describeTable(storage, txn, j.ns, j.table)
+      (TableMetadata.read(storage, a.metadataLocation),
+        TableMetadata.read(storage, b.metadataLocation))
+    } finally txn.close()
+    val curA = metaA.currentSnapshotId
+    val curB = metaB.currentSnapshotId
+    if (curA == lastA && curB == lastB)
+      return RefreshResult("noop", stored.count())
+    val aFull = fullName(cat, srcNs, srcT)
+    val bFull = fullName(cat, j.ns, j.table)
+    val mvSchema = stored.schema
+    val segsA = if (curA == lastA) Some(Seq.empty[Segment])
+      else segmentRange(storage, metaA, lastA, curA)
+    val segsB = if (curB == lastB) Some(Seq.empty[Segment])
+      else segmentRange(storage, metaB, lastB, curB)
+    val incOk = segsA.exists(_.forall(_.kind == 'A')) &&
+      segsB.exists(_.forall(_.kind == 'A'))
+    val (mode, next, wA, wB) =
+      if (incOk) {
+        def deltaOf(full: String, segs: Seq[Segment]): Option[DataFrame] =
+          segs.map(g => spark.read
+            .option(GraftTable.StartSnapshotOption, g.start.toString)
+            .option(GraftTable.EndSnapshotOption, g.end.toString)
+            .table(full)).reduceOption(_ unionAll _)
+        val dA = deltaOf(aFull, segsA.get)
+        val dB = deltaOf(bFull, segsB.get)
+        val bCur = pinned(spark, bFull, curB)
+        val aPrev = pinned(spark, aFull, lastA)
+        // an append to one side joins only ITS delta against the
+        // other side — at 100 TB a delta-sized join, never a corpus
+        // re-join
+        val parts =
+          dA.map(d => aggregate(restrict(joinFrames(d, bCur, j.on), where),
+            groupBy, aggs)).toSeq ++
+          dB.map(d => aggregate(restrict(joinFrames(aPrev, d, j.on), where),
+            groupBy, aggs)).toSeq
+        val merged = parts.foldLeft(stored)(_ unionByName _)
+          .groupBy(groupBy.map(col): _*)
+          .agg(aggs.head.merge, aggs.tail.map(_.merge): _*)
+        ("incremental", merged, curA, curB)
+      } else {
+        val a = spark.table(aFull)
+        val b = spark.table(bFull)
+        ("full", aggregate(restrict(joinFrames(a, b, j.on), where),
+          groupBy, aggs), plannedSnapshotId(a), plannedSnapshotId(b))
+      }
+    commitState(spark, cat, ns, mv, mvFull, mvSchema, next,
+      Seq(RefreshedSnapshotProp -> wA.toString,
+        RefreshedSnapshot2Prop -> wB.toString), mode)
+  }
+
+  /** Shared refresh commit: cast the merged state back to the MV's
+    * declared schema (merged aggregate types widen — sum of
+    * DECIMAL(p,s) → p+10) and commit the state overwrite + watermark
+    * properties as ONE atomic catalog commit: a crash (or interleaved
+    * refresh) between them would pair a state with the wrong watermark,
+    * and the next refresh would re-merge (double-count) or skip a
+    * delta. Both writes ride the session transaction; concurrent
+    * refreshes resolve through the engine's optimistic conflict
+    * analysis. An already-open user transaction is joined, not
+    * nested — the pairing then commits with the user's own atomicity.
+    */
+  private def commitState(spark: SparkSession, cat: GraftCatalog,
+      ns: String, mv: String, mvFull: String,
+      mvSchema: org.apache.spark.sql.types.StructType, next: DataFrame,
+      watermarks: Seq[(String, String)], mode: String): RefreshResult = {
     val aligned = next.select(mvSchema.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-    // state overwrite and watermark update must be ONE atomic catalog
-    // commit: a crash (or interleaved refresh) between them would pair
-    // a state with the wrong watermark, and the next refresh would
-    // re-merge (double-count) or skip a delta. Both writes ride the
-    // session transaction; concurrent refreshes resolve through the
-    // engine's optimistic conflict analysis. An already-open user
-    // transaction is joined, not nested — the pairing then commits
-    // with the user's own atomicity.
     val ownTxn = !cat.transactionActive
     if (ownTxn) cat.beginTransaction()
     try {
       aligned.writeTo(mvFull).overwrite(lit(true))
       cat.alterTable(Identifier.of(Array(ns), mv),
-        TableChange.setProperty(RefreshedSnapshotProp, curId.toString))
+        watermarks.map { case (k, v) =>
+          TableChange.setProperty(k, v): TableChange }: _*)
       if (ownTxn) cat.commitTransaction()
     } catch {
       case e: Throwable =>

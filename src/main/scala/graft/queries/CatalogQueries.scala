@@ -2985,6 +2985,71 @@ object CatalogQueries {
              |            AS DOUBLE) AS total
              |FROM orders
              |WHERE o_orderstatus = 'F'
-             |GROUP BY 1 ORDER BY prio""".stripMargin))
+             |GROUP BY 1 ORDER BY prio""".stripMargin)),
+
+    QueryDef(
+      "c66_mv_join",
+      (s, d) => {
+        // JOIN materialized view (orders ⋈ customer on custkey,
+        // grouped by market segment): an append to the FACT side must
+        // refresh by the two-sided delta rule's ΔA⋈B term — the
+        // in-query require pins the incremental mode — and the
+        // join-aggregate query below, which joins the SOURCES, must be
+        // served from the view (plan require). Values hash-match
+        // DuckDB's from-scratch join aggregate (exact DECIMAL sums).
+        ensureCatalog(s, "gmj")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gmj.ns1")
+        s.sql("DROP TABLE IF EXISTS gmj.ns1.mv")
+        s.sql("DROP TABLE IF EXISTS gmj.ns1.ord")
+        s.sql("DROP TABLE IF EXISTS gmj.ns1.cust")
+        s.sql("""CREATE TABLE gmj.ns1.ord (
+                   o_orderkey BIGINT, o_custkey BIGINT,
+                   o_totalprice DOUBLE)""")
+        s.sql("""CREATE TABLE gmj.ns1.cust (
+                   c_custkey BIGINT, c_mktsegment STRING)""")
+        s.sql(s"""INSERT INTO gmj.ns1.cust
+                  SELECT c_custkey, c_mktsegment
+                  FROM parquet.`$d/customer.parquet`""")
+        s.sql(s"""INSERT INTO gmj.ns1.ord
+                  SELECT o_orderkey, o_custkey, o_totalprice
+                  FROM parquet.`$d/orders.parquet`
+                  WHERE o_orderkey % 3 != 0""")
+        s.sql("""CALL gmj.system.create_materialized_view(
+                   namespace => 'ns1', name => 'mv',
+                   source_namespace => 'ns1', source_table => 'ord',
+                   group_by => 'c_mktsegment',
+                   aggs => 'n:count:1;total:sum:CAST(o_totalprice AS DECIMAL(18,2))',
+                   join_namespace => 'ns1', join_table => 'cust',
+                   join_on => 'o_custkey=c_custkey')""")
+        s.sql(s"""INSERT INTO gmj.ns1.ord
+                  SELECT o_orderkey, o_custkey, o_totalprice
+                  FROM parquet.`$d/orders.parquet`
+                  WHERE o_orderkey % 3 = 0""")
+        val mode = s.sql("""CALL gmj.system.refresh_materialized_view(
+                              namespace => 'ns1', name => 'mv')""")
+          .head.getString(0)
+        require(mode == "incremental",
+          s"a fact-side append must refresh by the delta join, took: $mode")
+        val q = s.sql(
+          """SELECT c_mktsegment AS seg, count(*) AS n,
+                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE) AS total
+             FROM gmj.ns1.ord JOIN gmj.ns1.cust
+               ON o_custkey = c_custkey
+             GROUP BY c_mktsegment ORDER BY seg""")
+        val servedByMv = q.queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+              if r.relation.table.name().endsWith(".mv") => r
+        }.nonEmpty
+        require(servedByMv,
+          "the join aggregate must be served by the view:\n" +
+            q.queryExecution.optimizedPlan.treeString)
+        q
+      },
+      Some("""SELECT c_mktsegment AS seg, count(*) AS n,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |            AS DOUBLE) AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY seg""".stripMargin))
   )
 }

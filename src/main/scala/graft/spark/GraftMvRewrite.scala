@@ -31,7 +31,10 @@ import graft.maintain.MaterializedViews
   *    view's group-by keys (the filter re-applies on the view, where
   *    those keys are columns); a FILTERED view additionally requires
   *    its defining predicate verbatim (canonically) among the query's
-  *    conjuncts — that conjunct drops, the rest re-apply;
+  *    conjuncts — that conjunct drops, the rest re-apply; a JOIN view
+  *    matches an Aggregate over an INNER equi-join of its two sources
+  *    whose equality pairs are exactly the declared ones (either
+  *    orientation), fresh at BOTH relations' pinned snapshots;
   *  - group-by expressions that are plain source columns forming a
   *    SUBSET of the view's keys (a roll-up re-aggregates the view:
   *    count → sum of partial counts, sum → sum, min/max → min/max);
@@ -63,34 +66,78 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case agg: Aggregate => rewrite(agg).getOrElse(agg)
     }
 
-  /** The source relation under attribute-only projects + filters. */
-  private def strip(p: LogicalPlan)
+  /** One join side: a source relation through attribute-only projects
+    * and filters (the optimizer pushes inner-join-implied
+    * `isnotnull(joinkey)` filters below the join; they are validated
+    * against the join pairs by the caller).
+    */
+  private def sideStrip(p: LogicalPlan)
       : Option[(DataSourceV2Relation, Seq[Expression])] = p match {
     case r: DataSourceV2Relation => Some((r, Nil))
-    case Filter(c, ch) => strip(ch).map { case (r, cs) => (r, c +: cs) }
+    case Filter(c, ch) => sideStrip(ch).map { case (r, cs) => (r, c +: cs) }
+    case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      sideStrip(ch)
+    case _ => None
+  }
+
+  /** The aggregate's input under attribute-only projects + filters:
+    * either ONE source relation, or an INNER equi-join of two (filters
+    * only above the join; the join condition decomposed into attribute
+    * equality pairs).
+    */
+  private def strip(p: LogicalPlan): Option[(Seq[DataSourceV2Relation],
+      Seq[Expression], Seq[(Attribute, Attribute)])] = p match {
+    case r: DataSourceV2Relation => Some((Seq(r), Nil, Nil))
+    case Filter(c, ch) =>
+      strip(ch).map { case (rs, cs, jp) => (rs, c +: cs, jp) }
     case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       strip(ch)
+    case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
+      for {
+        lf <- sideStrip(j.left)
+        rf <- sideStrip(j.right)
+        cond <- j.condition
+        pairs <- {
+          def conj(e: Expression): Seq[Expression] = e match {
+            case And(a, b) => conj(a) ++ conj(b)
+            case x => Seq(x)
+          }
+          val ps = conj(cond).map {
+            case EqualTo(a: AttributeReference, b: AttributeReference) =>
+              (a: Attribute, b: Attribute)
+            case _ => return None
+          }
+          Some(ps)
+        }
+      } yield (Seq(lf._1, rf._1), lf._2 ++ rf._2, pairs)
     case _ => None
   }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val (rel, filters) = strip(agg.child).getOrElse(return None)
-    val src = rel.table match {
+    val (rels, filters, joinPairs) = strip(agg.child).getOrElse(return None)
+    val srcs = rels.map(_.table match {
       case g: GraftTable => g
       case _ => return None
-    }
+    })
     // time-travel/incremental options pin a snapshot other than the
     // one the view maintains — never rewrite those
-    if (rel.options.containsKey(GraftTable.StartSnapshotOption) ||
-        rel.options.containsKey(GraftTable.EndSnapshotOption)) return None
-    val cat = rel.catalog match {
+    if (rels.exists(r =>
+        r.options.containsKey(GraftTable.StartSnapshotOption) ||
+        r.options.containsKey(GraftTable.EndSnapshotOption))) return None
+    val cat = rels.head.catalog match {
       case Some(g: GraftCatalog) => g
       case _ => return None
     }
-    val derived = Option(src.properties().get(MaterializedViews.DerivedProp))
+    if (rels.exists(_.catalog != rels.head.catalog)) return None
+    // join views register on ALL their sources, so the first table's
+    // derived list is a complete candidate set for this query shape
+    val derived = Option(
+        srcs.head.properties().get(MaterializedViews.DerivedProp))
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(return None)
-    derived.view.flatMap(tryView(agg, rel, src, cat, filters, _)).headOption
+    derived.view
+      .flatMap(tryView(agg, rels, cat, filters, joinPairs, _)).headOption
   }
 
   /** Attempt the rewrite against one candidate `ns.mv`. ANY failure
@@ -100,35 +147,78 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     * and passes through NonFatal, so the decline `return`s inside the
     * closures below still work.
     */
-  private def tryView(agg: Aggregate, rel: DataSourceV2Relation,
-      src: GraftTable, cat: GraftCatalog, filters: Seq[Expression],
+  private def tryView(agg: Aggregate, rels: Seq[DataSourceV2Relation],
+      cat: GraftCatalog, filters: Seq[Expression],
+      joinPairs: Seq[(Attribute, Attribute)],
       nsMv: String): Option[LogicalPlan] =
-    try tryView0(agg, rel, src, cat, filters, nsMv)
+    try tryView0(agg, rels, cat, filters, joinPairs, nsMv)
     catch { case scala.util.control.NonFatal(_) => None }
 
-  private def tryView0(agg: Aggregate, rel: DataSourceV2Relation,
-      src: GraftTable, cat: GraftCatalog, filters: Seq[Expression],
+  private def tryView0(agg: Aggregate, rels: Seq[DataSourceV2Relation],
+      cat: GraftCatalog, filters: Seq[Expression],
+      joinPairs: Seq[(Attribute, Attribute)],
       nsMv: String): Option[LogicalPlan] = {
     val (ns, mvName) = nsMv.split('.') match {
       case Array(a, b) => (a, b)
       case _ => return None
     }
+    val srcTables = rels.map(_.table.asInstanceOf[GraftTable])
     val mvIdent = Identifier.of(Array(ns), mvName)
     val mv = GraftMvRewrite.loadCached(cat, nsMv,
-      src.meta.currentSnapshotId, {
+      srcTables.head.meta.currentSnapshotId, {
         try cat.loadTable(mvIdent) match {
           case g: GraftTable => Some(g)
           case _ => None
         } catch { case _: Exception => None } // dropped view: stale entry
       }).getOrElse(return None)
     val props = mv.properties()
-    // the view must be OVER this table and FRESH at the scan's snapshot
-    if (props.get(MaterializedViews.SourceNsProp) != src.namespaceName ||
-        props.get(MaterializedViews.SourceTableProp) != src.tableName)
-      return None
+    // the view must be over EXACTLY this query's relation shape —
+    // same table(s), same join pairs (either orientation) — and FRESH
+    // at every scanned relation's pinned snapshot
+    val vSrcNs = props.get(MaterializedViews.SourceNsProp)
+    val vSrcT = props.get(MaterializedViews.SourceTableProp)
     val watermark = Option(props.get(MaterializedViews.RefreshedSnapshotProp))
       .map(_.toLong).getOrElse(return None)
-    if (watermark != src.meta.currentSnapshotId) return None
+    def matches(g: GraftTable, n: String, t: String) =
+      g.namespaceName == n && g.tableName == t
+    Option(props.get(MaterializedViews.Join2NsProp)) match {
+      case None =>
+        if (rels.size != 1 || !matches(srcTables.head, vSrcNs, vSrcT))
+          return None
+        if (watermark != srcTables.head.meta.currentSnapshotId) return None
+      case Some(jns) =>
+        if (rels.size != 2) return None
+        val jt = props.get(MaterializedViews.Join2TableProp)
+        val (li, ri) =
+          if (matches(srcTables(0), vSrcNs, vSrcT) &&
+              matches(srcTables(1), jns, jt)) (0, 1)
+          else if (matches(srcTables(1), vSrcNs, vSrcT) &&
+              matches(srcTables(0), jns, jt)) (1, 0)
+          else return None
+        if (watermark != srcTables(li).meta.currentSnapshotId) return None
+        val wm2 = Option(
+            props.get(MaterializedViews.RefreshedSnapshot2Prop))
+          .map(_.toLong).getOrElse(return None)
+        if (wm2 != srcTables(ri).meta.currentSnapshotId) return None
+        // the query's equi-pairs must be exactly the declared ones
+        // (normalized to the view's left→right orientation)
+        val declared = MaterializedViews.parseJoinOn(
+          props.get(MaterializedViews.JoinOnProp))
+          .map { case (l, r) => (l.toLowerCase, r.toLowerCase) }.toSet
+        if (joinPairs.isEmpty) return None
+        val got = joinPairs.map { case (a, b) =>
+          if (rels(li).outputSet.contains(a) &&
+              rels(ri).outputSet.contains(b))
+            (a.name.toLowerCase, b.name.toLowerCase)
+          else if (rels(ri).outputSet.contains(a) &&
+              rels(li).outputSet.contains(b))
+            (b.name.toLowerCase, a.name.toLowerCase)
+          else return None
+        }.toSet
+        if (got != declared) return None
+    }
+    if (Option(props.get(MaterializedViews.Join2NsProp)).isEmpty &&
+        joinPairs.nonEmpty) return None
 
     val keys = props.get(MaterializedViews.GroupByProp)
       .split(',').toSeq.map(_.trim)
@@ -139,8 +229,9 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     def mvAttr(name: String): Attribute =
       mvRel.output.find(a => conf.resolver(a.name, name)).get
 
+    val output: Seq[Attribute] = rels.flatMap(_.output)
     // source group-key column name -> replacement view attribute
-    val keyFor: Map[ExprId, Attribute] = rel.output.flatMap { a =>
+    val keyFor: Map[ExprId, Attribute] = output.flatMap { a =>
       keys.find(conf.resolver(_, a.name)).map(_ => a.exprId -> mvAttr(a.name))
     }.toMap
 
@@ -157,8 +248,10 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       catch { case _: Exception => return None }
       val r = e.transformUp {
         case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
-          rel.output.find(a => conf.resolver(a.name, ua.nameParts.head))
-            .getOrElse(return None)
+          output.filter(a => conf.resolver(a.name, ua.nameParts.head)) match {
+            case Seq(one) => one
+            case _ => return None // missing or ambiguous across sources
+          }
       }
       if (r.resolved) Some(r) else None
     }
@@ -172,7 +265,15 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
-    val allConjuncts = filters.flatMap(conjuncts)
+    // inner-join-implied `isnotnull(joinkey)` conjuncts (the optimizer
+    // infers and pushes them) are already guaranteed by the view's
+    // join content — drop them rather than declining on them
+    val joinAttrIds: Set[ExprId] =
+      joinPairs.flatMap(p => Seq(p._1.exprId, p._2.exprId)).toSet
+    val allConjuncts = filters.flatMap(conjuncts).filterNot {
+      case IsNotNull(a: AttributeReference) => joinAttrIds.contains(a.exprId)
+      case _ => false
+    }
     val residualConjuncts =
       Option(props.get(MaterializedViews.WhereProp)) match {
         case None => allConjuncts

@@ -154,15 +154,22 @@ object GraftProcedures {
       in("source_namespace", StringType), in("source_table", StringType),
       in("group_by", StringType), // comma-separated key columns
       in("aggs", StringType), // 'out:fn:expr;...' fn ∈ count|sum|min|max
-      inDefault("where", StringType, "''")) // optional defining predicate
+      inDefault("where", StringType, "''"), // optional defining predicate
+      inDefault("join_namespace", StringType, "''"), // optional 2nd source
+      inDefault("join_table", StringType, "''"),
+      inDefault("join_on", StringType, "''")) // 'leftcol=rightcol,...'
     override def call(input: InternalRow): JIterator[Scan] = {
+      val joinNs = Option(input.getString(7)).map(_.trim).filter(_.nonEmpty)
       val r = graft.maintain.MaterializedViews.create(
         org.apache.spark.sql.SparkSession.active, cat,
         input.getString(0), input.getString(1),
         input.getString(2), input.getString(3),
         input.getString(4).split(',').toSeq.map(_.trim).filter(_.nonEmpty),
         graft.maintain.MaterializedViews.parseAggs(input.getString(5)),
-        Option(input.getString(6)).map(_.trim).filter(_.nonEmpty))
+        Option(input.getString(6)).map(_.trim).filter(_.nonEmpty),
+        joinNs.map(jns => graft.maintain.MaterializedViews.JoinSpec(
+          jns, input.getString(8),
+          graft.maintain.MaterializedViews.parseJoinOn(input.getString(9)))))
       result(
         StructType(Seq(StructField("mode", StringType, false),
           StructField("mv_rows", LongType, false))),

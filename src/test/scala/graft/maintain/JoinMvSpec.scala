@@ -1,0 +1,180 @@
+package graft.maintain
+
+import java.nio.file.Files
+
+import graft.spark.GraftCatalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JOIN materialized views: a view over an inner equi-join of two
+  * sources maintains by the two-sided delta rule
+  * Δ(A⋈B) = ΔA⋈B_cur + A_prev⋈ΔB — an append to EITHER side refreshes
+  * at delta-join cost — the state always equals a from-scratch join
+  * aggregate, retraction on either side falls back to full, and the
+  * transparent rewrite serves join-aggregate queries exactly when the
+  * shape and both watermarks match.
+  */
+class JoinMvSpec extends AnyFunSuite {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-jmv").toString
+
+  lazy val spark: SparkSession = graft.Verify.sessionBuilder("4")
+    .config("spark.sql.catalog.jmv", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.jmv.warehouse", warehouse)
+    .getOrCreate()
+
+  private def call(sqlText: String) =
+    spark.sql(sqlText).collect().map(r => r.getString(0) -> r.getLong(1)).head
+
+  private def refresh(): String = call(
+    """CALL jmv.system.refresh_materialized_view(
+         namespace => 'ns1', name => 'mv')""")._1
+
+  private def state(): Seq[String] = spark.sql(
+    "SELECT seg, n, total FROM jmv.ns1.mv ORDER BY seg")
+    .collect().map(_.toString).toSeq
+
+  private def truth(): Seq[String] = spark.sql(
+    """SELECT seg, count(*) AS n,
+              sum(CAST(amt AS DECIMAL(18,2))) AS total
+       FROM jmv.ns1.fact JOIN jmv.ns1.dim ON cid = did
+       GROUP BY seg ORDER BY seg""")
+    .collect().map(_.toString).toSeq
+
+  private def usesMv(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.relation.table.name().endsWith(".mv") => r
+    }.nonEmpty
+
+  private def check(sql: String, expectMv: Boolean): Unit = {
+    val on = spark.sql(sql)
+    assert(usesMv(on) == expectMv,
+      s"expected usesMv=$expectMv for: $sql\n" +
+        on.queryExecution.optimizedPlan.treeString)
+    val rowsOn = on.collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val rowsOff = try
+      spark.sql(sql).collect().map(_.toString).sorted.toSeq
+    finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    assert(rowsOn == rowsOff, s"rewrite changed results for: $sql")
+  }
+
+  test("two-sided incremental maintenance, full fallback on " +
+      "retraction, and compaction skipping") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS jmv.ns1")
+    spark.sql("CREATE TABLE jmv.ns1.fact (fid BIGINT, cid BIGINT, amt DOUBLE)")
+    spark.sql("CREATE TABLE jmv.ns1.dim (did BIGINT, seg STRING)")
+    spark.sql("""INSERT INTO jmv.ns1.fact
+                 SELECT id, id % 40, CAST(id AS DOUBLE) / 4
+                 FROM range(0, 4000, 1, 4)""")
+    spark.sql("""INSERT INTO jmv.ns1.dim
+                 SELECT id, CASE WHEN id % 3 = 0 THEN 'a'
+                                 WHEN id % 3 = 1 THEN 'b' ELSE 'c' END
+                 FROM range(0, 30, 1, 2)""")
+    val created = call(
+      """CALL jmv.system.create_materialized_view(
+           namespace => 'ns1', name => 'mv',
+           source_namespace => 'ns1', source_table => 'fact',
+           group_by => 'seg',
+           aggs => 'n:count:1;total:sum:CAST(amt AS DECIMAL(18,2))',
+           join_namespace => 'ns1', join_table => 'dim',
+           join_on => 'cid=did')""")
+    assert(created._1 == "full")
+    assert(state() == truth())
+
+    // fact-side append: ΔA ⋈ B_cur only
+    spark.sql("""INSERT INTO jmv.ns1.fact
+                 SELECT id, id % 40, CAST(id AS DOUBLE) / 8
+                 FROM range(4000, 5000, 1, 2)""")
+    assert(refresh() == "incremental")
+    assert(state() == truth())
+
+    // dim-side append: A_prev ⋈ ΔB — dim keys 30..39 existed in fact
+    // all along; their groups appear only now
+    spark.sql("""INSERT INTO jmv.ns1.dim
+                 SELECT id, 'd' FROM range(30, 40, 1, 2)""")
+    assert(refresh() == "incremental")
+    assert(state() == truth())
+
+    // both sides in one range: both delta terms in one refresh
+    spark.sql("INSERT INTO jmv.ns1.fact VALUES (9001, 40, 2.5)")
+    spark.sql("INSERT INTO jmv.ns1.dim VALUES (40, 'a')")
+    assert(refresh() == "incremental")
+    assert(state() == truth())
+    assert(refresh() == "noop")
+
+    // compaction on either side is net-zero: still incremental
+    spark.sql("""CALL jmv.system.compact_table(
+                   namespace => 'ns1', table => 'fact')""")
+    spark.sql("INSERT INTO jmv.ns1.fact VALUES (9002, 40, 3.5)")
+    assert(refresh() == "incremental")
+    assert(state() == truth())
+
+    // retraction on the DIM side: full fallback, state still exact
+    spark.sql("DELETE FROM jmv.ns1.dim WHERE did = 40")
+    assert(refresh() == "full")
+    assert(state() == truth())
+
+    // and the chain recovers
+    spark.sql("INSERT INTO jmv.ns1.fact VALUES (9003, 7, 4.5)")
+    assert(refresh() == "incremental")
+    assert(state() == truth())
+  }
+
+  test("the rewrite serves join-aggregate queries exactly when shape " +
+      "and freshness match") {
+    // state from the previous test is fresh after its last refresh
+    check("""SELECT seg, count(*) AS n,
+                    sum(CAST(amt AS DECIMAL(18,2))) AS total
+             FROM jmv.ns1.fact JOIN jmv.ns1.dim ON cid = did
+             GROUP BY seg""", expectMv = true)
+    // either join orientation
+    check("""SELECT seg, count(*) AS n
+             FROM jmv.ns1.dim JOIN jmv.ns1.fact ON did = cid
+             GROUP BY seg""", expectMv = true)
+    // global aggregate over the join
+    check("""SELECT count(*) AS n
+             FROM jmv.ns1.fact JOIN jmv.ns1.dim ON cid = did""",
+      expectMv = true)
+    // key-filtered (seg is the view key)
+    check("""SELECT seg, count(*) AS n
+             FROM jmv.ns1.fact JOIN jmv.ns1.dim ON cid = did
+             WHERE seg = 'a' GROUP BY seg""", expectMv = true)
+    // WRONG join pairs: not this view's shape
+    check("""SELECT seg, count(*) AS n
+             FROM jmv.ns1.fact JOIN jmv.ns1.dim ON fid = did
+             GROUP BY seg""", expectMv = false)
+    // extra non-key filter: not covered
+    check("""SELECT seg, count(*) AS n
+             FROM jmv.ns1.fact JOIN jmv.ns1.dim ON cid = did
+             WHERE amt > 100 GROUP BY seg""", expectMv = false)
+    // bare single-table aggregate: the join view must NOT serve it
+    check("SELECT count(*) AS n FROM jmv.ns1.fact", expectMv = false)
+    // stale on one side: append to dim without refresh → decline
+    spark.sql("INSERT INTO jmv.ns1.dim VALUES (41, 'e')")
+    check("""SELECT seg, count(*) AS n
+             FROM jmv.ns1.fact JOIN jmv.ns1.dim ON cid = did
+             GROUP BY seg""", expectMv = false)
+    assert(refresh() == "incremental")
+    check("""SELECT seg, count(*) AS n
+             FROM jmv.ns1.fact JOIN jmv.ns1.dim ON cid = did
+             GROUP BY seg""", expectMv = true)
+  }
+
+  test("drop deregisters the view from BOTH sources") {
+    spark.sql("""CALL jmv.system.drop_materialized_view(
+                   namespace => 'ns1', name => 'mv')""")
+    def derived(t: String): String = {
+      val props = spark.sql(s"SHOW TBLPROPERTIES jmv.ns1.$t")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      props.getOrElse("graft.mv.derived", "")
+    }
+    assert(!derived("fact").contains("ns1.mv"))
+    assert(!derived("dim").contains("ns1.mv"))
+    // and queries still run from source
+    check("""SELECT seg, count(*) AS n
+             FROM jmv.ns1.fact JOIN jmv.ns1.dim ON cid = did
+             GROUP BY seg""", expectMv = false)
+  }
+}

@@ -123,6 +123,51 @@ object MvProbe {
       .collect().map(_.toString).toSeq
     require(cdcRows == truthRows, "cdc state diverged from truth")
     println("PROBE cdc_state_matches_truth true")
+    // JOIN-view probe: orders ⋈ customer at sf1, then a 100×-smaller
+    // fact append — the two-sided delta refresh joins ONLY the delta
+    // against the dim, paired against a forced full re-join+re-agg.
+    spark.sql("""CREATE TABLE gp.ns.cust (
+                   c_custkey BIGINT, c_mktsegment STRING)""")
+    lap("load_cust") {
+      spark.sql(s"""INSERT INTO gp.ns.cust
+                    SELECT c_custkey, c_mktsegment
+                    FROM parquet.`$big/customer.parquet`""")
+    }
+    lap("create_join_view") {
+      spark.sql("""CALL gp.system.create_materialized_view(
+                     namespace => 'ns', name => 'jmv',
+                     source_namespace => 'ns', source_table => 'ord',
+                     group_by => 'c_mktsegment',
+                     aggs => 'n:count:1;total:sum:CAST(o_totalprice AS DECIMAL(18,2))',
+                     join_namespace => 'ns', join_table => 'cust',
+                     join_on => 'o_orderkey=c_custkey')""")
+    }
+    spark.sql(s"""INSERT INTO gp.ns.ord
+                  SELECT o_orderkey + ${nBig * 20}, o_orderstatus,
+                         o_totalprice, o_orderpriority
+                  FROM parquet.`$small/orders.parquet`""")
+    val jmode = lap("refresh_join_delta") {
+      spark.sql("""CALL gp.system.refresh_materialized_view(
+                     namespace => 'ns', name => 'jmv')""").head.getString(0)
+    }
+    require(jmode == "incremental", s"expected incremental, got $jmode")
+    // force full for the paired comparison: delete one fact row
+    spark.sql(s"DELETE FROM gp.ns.ord WHERE o_orderkey = ${nBig * 20 + 1}")
+    val jmode2 = lap("refresh_join_full") {
+      spark.sql("""CALL gp.system.refresh_materialized_view(
+                     namespace => 'ns', name => 'jmv')""").head.getString(0)
+    }
+    require(jmode2 == "full", s"expected full, got $jmode2")
+    val jState = spark.sql(
+      """SELECT c_mktsegment, n, CAST(total AS DOUBLE)
+         FROM gp.ns.jmv ORDER BY 1""").collect().map(_.toString).toSeq
+    val jTruth = spark.sql(
+      """SELECT c_mktsegment, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         FROM gp.ns.ord JOIN gp.ns.cust ON o_orderkey = c_custkey
+         GROUP BY 1 ORDER BY 1""").collect().map(_.toString).toSeq
+    require(jState == jTruth, "join view state diverged from truth")
+    println("PROBE join_state_matches_truth true")
     spark.stop()
   }
 }

@@ -253,7 +253,25 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
             case _ => return None // missing or ambiguous across sources
           }
       }
-      if (r.resolved) Some(r) else None
+      // the analyzer never sees this expression, so coerce comparison
+      // literals by hand and FOLD the cast — the query side arrives
+      // with its literals already folded (`amt > 100` vs `100.0`), and
+      // canonical comparison does not constant-fold
+      val ltz = Some(session.sessionState.conf.sessionLocalTimeZone)
+      def fold(li: Literal, dt: org.apache.spark.sql.types.DataType) =
+        Literal.create(Cast(li, dt, ltz).eval(null), dt)
+      val coerced = r.transformUp {
+        case bc: BinaryComparison => (bc.left, bc.right) match {
+          case (l, li: Literal) if li.dataType != l.dataType &&
+              Cast.canUpCast(li.dataType, l.dataType) =>
+            bc.withNewChildren(Seq(l, fold(li, l.dataType)))
+          case (li: Literal, rr) if li.dataType != rr.dataType &&
+              Cast.canUpCast(li.dataType, rr.dataType) =>
+            bc.withNewChildren(Seq(fold(li, rr.dataType), rr))
+          case _ => bc
+        }
+      }
+      if (coerced.resolved) Some(coerced) else None
     }
 
     // a FILTERED view (defining predicate over any source columns)
@@ -272,17 +290,28 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       joinPairs.flatMap(p => Seq(p._1.exprId, p._2.exprId)).toSet
     val allConjuncts = filters.flatMap(conjuncts).filterNot {
       case IsNotNull(a: AttributeReference) => joinAttrIds.contains(a.exprId)
+      // a runtime-pruning filter is a conservative replica of the join
+      // itself — redundant once the view serves the exact join result
+      case _: DynamicPruning => true
       case _ => false
     }
     val residualConjuncts =
       Option(props.get(MaterializedViews.WhereProp)) match {
         case None => allConjuncts
         case Some(whereSql) =>
-          val pred = resolved(whereSql).getOrElse(return None).canonicalized
+          val pred = resolved(whereSql).getOrElse(return None)
+          val predC = pred.canonicalized
           val (matched, rest) =
-            allConjuncts.partition(_.canonicalized == pred)
+            allConjuncts.partition(_.canonicalized == predC)
           if (matched.isEmpty) return None
-          rest
+          // a strict predicate implies isnotnull over its references;
+          // the optimizer infers and pushes those — drop them rather
+          // than declining on them
+          rest.filterNot {
+            case IsNotNull(a: AttributeReference) =>
+              pred.references.contains(a)
+            case _ => false
+          }
       }
     // filters: every referenced column must be a view key
     val newFilters = residualConjuncts.map { c =>

@@ -162,6 +162,56 @@ class JoinMvSpec extends AnyFunSuite {
              GROUP BY seg""", expectMv = true)
   }
 
+  test("a FILTERED join view composes both features: the predicate " +
+      "applies to every delta term and the rewrite requires it") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS jmv.ns2")
+    spark.sql("CREATE TABLE jmv.ns2.f (fid BIGINT, cid BIGINT, amt DOUBLE)")
+    spark.sql("CREATE TABLE jmv.ns2.d (did BIGINT, seg STRING)")
+    spark.sql("""INSERT INTO jmv.ns2.f
+                 SELECT id, id % 10, CAST(id AS DOUBLE) / 4
+                 FROM range(0, 2000, 1, 2)""")
+    spark.sql("""INSERT INTO jmv.ns2.d
+                 SELECT id, CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END
+                 FROM range(0, 10, 1, 2)""")
+    spark.sql("""CALL jmv.system.create_materialized_view(
+                   namespace => 'ns2', name => 'mv',
+                   source_namespace => 'ns2', source_table => 'f',
+                   group_by => 'seg',
+                   aggs => 'n:count:1;total:sum:CAST(amt AS DECIMAL(18,2))',
+                   where => 'amt > 100',
+                   join_namespace => 'ns2', join_table => 'd',
+                   join_on => 'cid=did')""")
+    def refresh2(): String = call(
+      """CALL jmv.system.refresh_materialized_view(
+           namespace => 'ns2', name => 'mv')""")._1
+    def truth2(): Seq[String] = spark.sql(
+      """SELECT seg, count(*) AS n,
+                sum(CAST(amt AS DECIMAL(18,2))) AS total
+         FROM jmv.ns2.f JOIN jmv.ns2.d ON cid = did
+         WHERE amt > 100 GROUP BY seg ORDER BY seg""")
+      .collect().map(_.toString).toSeq
+    def state2(): Seq[String] = spark.sql(
+      "SELECT seg, n, total FROM jmv.ns2.mv ORDER BY seg")
+      .collect().map(_.toString).toSeq
+    assert(state2() == truth2())
+    // deltas on both sides, each restricted by the predicate
+    spark.sql("""INSERT INTO jmv.ns2.f VALUES
+                 (9001, 3, 500.25), (9002, 3, 1.25)""")
+    spark.sql("INSERT INTO jmv.ns2.d VALUES (10, 'z')")
+    assert(refresh2() == "incremental")
+    assert(state2() == truth2())
+    // the rewrite needs the join shape AND the predicate conjunct
+    val q1 = spark.sql(
+      """SELECT seg, count(*) AS n
+         FROM jmv.ns2.f JOIN jmv.ns2.d ON cid = did
+         WHERE amt > 100 GROUP BY seg""")
+    assert(usesMv(q1), q1.queryExecution.optimizedPlan.treeString)
+    val q2 = spark.sql(
+      """SELECT seg, count(*) AS n
+         FROM jmv.ns2.f JOIN jmv.ns2.d ON cid = did GROUP BY seg""")
+    assert(!usesMv(q2), "missing predicate must decline")
+  }
+
   test("drop deregisters the view from BOTH sources") {
     spark.sql("""CALL jmv.system.drop_materialized_view(
                    namespace => 'ns1', name => 'mv')""")

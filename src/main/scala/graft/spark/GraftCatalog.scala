@@ -300,6 +300,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       return new GraftChangesTable(s"$catalogName.$ns.$base", td, meta,
         () => loadTable(baseIdent).asInstanceOf[GraftTable].meta, storage)
     }
+    // <table>$views: the materialized views derived from this table,
+    // with definitions and rewrite-grade freshness (each source's
+    // watermark vs its CURRENT snapshot)
+    if (ident.name().endsWith("$views")) {
+      import graft.maintain.MaterializedViews._
+      val base = ident.name().dropRight("$views".length)
+      val ns = ns1(ident.namespace())
+      val viewRows = inTxn { txn =>
+        val td =
+          try Graft.describeTable(storage, txn, ns, base)
+          catch { case _: NoSuchElementException =>
+            throw new NoSuchTableException(ident)
+          }
+        def currentOf(sns: String, st: String): Option[Long] =
+          try Some(TableMetadata.read(storage,
+            Graft.describeTable(storage, txn, sns, st).metadataLocation)
+            .currentSnapshotId)
+          catch { case scala.util.control.NonFatal(_) => None }
+        parseDerived(td.properties.getOrElse(DerivedProp, ""))
+          .flatMap { entry =>
+            entry.split('.') match {
+              case Array(vns, vn) =>
+                try {
+                  val p = Graft.describeTable(storage, txn, vns, vn).properties
+                  val wm = p(RefreshedSnapshotProp).toLong
+                  val wm2 = p.get(RefreshedSnapshot2Prop).map(_.toLong)
+                  val srcFresh = currentOf(p(SourceNsProp),
+                    p(SourceTableProp)).contains(wm)
+                  val joinFresh = p.get(Join2NsProp).forall(jns =>
+                    wm2.exists(w => currentOf(jns,
+                      p(Join2TableProp)).contains(w)))
+                  Some(MetadataTables.ViewRow(vns, vn,
+                    s"${p(SourceNsProp)}.${p(SourceTableProp)}",
+                    p.get(Join2NsProp).map(jns =>
+                      s"$jns.${p(Join2TableProp)}"),
+                    p(GroupByProp), p(AggsProp), p.get(WhereProp),
+                    wm, wm2, srcFresh && joinFresh))
+                } catch {
+                  // dropped / drifted view: a stale registry entry
+                  case scala.util.control.NonFatal(_) => None
+                }
+              case _ => None
+            }
+          }
+      }
+      return MetadataTables.viewsTable(s"$catalogName.$ns.$base", viewRows)
+    }
     // metadata tables: <table>$snapshots / <table>$files (reference
     // surfaces Iceberg metadata tables the same way,
     // OlympiaIcebergCatalog.java:360-367)

@@ -35,6 +35,45 @@ object MetadataTables {
       case "$stats" => new StatsTable(baseName, meta)
     }
 
+  /** One row of `<table>$views` — a materialized view derived from
+    * the base table, with its definition and freshness.
+    */
+  final case class ViewRow(ns: String, name: String, source: String,
+      joinSource: Option[String], groupBy: String, aggs: String,
+      where: Option[String], refreshedSnapshot: Long,
+      refreshedSnapshot2: Option[Long], fresh: Boolean)
+
+  /** `<table>$views` — the materialized views derived from this table
+    * (its `graft.mv.derived` registry, stale entries skipped), each
+    * with its definition and whether its watermark(s) cover every
+    * source's CURRENT snapshot — the freshness the transparent
+    * rewrite checks.
+    */
+  def viewsTable(baseName: String, rows0: Seq[ViewRow]): Table =
+    new LocalMetadataTable(s"$baseName$$views") {
+      override def schema(): StructType = StructType(Seq(
+        StructField("view_namespace", StringType, nullable = false),
+        StructField("view_name", StringType, nullable = false),
+        StructField("source", StringType, nullable = false),
+        StructField("join_source", StringType, nullable = true),
+        StructField("group_by", StringType, nullable = false),
+        StructField("aggs", StringType, nullable = false),
+        StructField("where", StringType, nullable = true),
+        StructField("refreshed_snapshot", LongType, nullable = false),
+        StructField("refreshed_snapshot2", LongType, nullable = true),
+        StructField("fresh", BooleanType, nullable = false)))
+
+      override def rows: Seq[InternalRow] = rows0.map { v =>
+        InternalRow(UTF8String.fromString(v.ns),
+          UTF8String.fromString(v.name), UTF8String.fromString(v.source),
+          v.joinSource.map(UTF8String.fromString).orNull,
+          UTF8String.fromString(v.groupBy), UTF8String.fromString(v.aggs),
+          v.where.map(UTF8String.fromString).orNull,
+          v.refreshedSnapshot,
+          v.refreshedSnapshot2.map(Long.box).orNull, v.fresh)
+      }
+    }
+
   /** `<catalog>.sys.objects` — every object in the catalog at its
     * latest version, from one streaming tree traversal. (For a
     * billion-object catalog the scale path reads the Arrow node files

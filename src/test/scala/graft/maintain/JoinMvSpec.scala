@@ -212,6 +212,28 @@ class JoinMvSpec extends AnyFunSuite {
     assert(!usesMv(q2), "missing predicate must decline")
   }
 
+  test("$views lists derived views with rewrite-grade freshness") {
+    val rows = spark.sql(
+      """SELECT view_name, source, join_source, fresh
+         FROM jmv.ns2.`f$views`""").collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getString(0) == "mv" && r.getString(1) == "ns2.f" &&
+      r.getString(2) == "ns2.d" && r.getBoolean(3), r.toString)
+    // an unrefreshed append on EITHER source flips freshness off; a
+    // refresh restores it
+    spark.sql("INSERT INTO jmv.ns2.d VALUES (11, 'y')")
+    assert(!spark.sql("SELECT fresh FROM jmv.ns2.`f$views`")
+      .head.getBoolean(0))
+    assert(call("""CALL jmv.system.refresh_materialized_view(
+                     namespace => 'ns2', name => 'mv')""")._1 == "incremental")
+    assert(spark.sql("SELECT fresh FROM jmv.ns2.`f$views`")
+      .head.getBoolean(0))
+    // the registry is visible from BOTH sources
+    assert(spark.sql("SELECT view_name FROM jmv.ns2.`d$views`")
+      .head.getString(0) == "mv")
+  }
+
   test("drop deregisters the view from BOTH sources") {
     spark.sql("""CALL jmv.system.drop_materialized_view(
                    namespace => 'ns1', name => 'mv')""")

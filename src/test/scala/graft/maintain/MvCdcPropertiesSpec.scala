@@ -66,8 +66,32 @@ class MvCdcPropertiesSpec extends AnyFunSuite {
                     source_namespace => 'ns1', source_table => 'src',
                     group_by => 'k', aggs => '$cdcAggs',
                     where => 'k >= 3')""")
+    // a JOIN view rides the same sequence: appends maintain via the
+    // two-sided delta rule, retractions fall back to full — either
+    // way the state must equal a from-scratch join aggregate
+    spark.sql("CREATE TABLE mcp.ns1.dim (dk BIGINT, grp STRING)")
+    spark.sql("""INSERT INTO mcp.ns1.dim
+                 SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END
+                 FROM range(0, 9, 1, 2)""")
+    spark.sql(s"""CALL mcp.system.create_materialized_view(
+                    namespace => 'ns1', name => 'jmv',
+                    source_namespace => 'ns1', source_table => 'src',
+                    group_by => 'grp',
+                    aggs => 'n:count:1;total:sum:CAST(v AS DECIMAL(18,2))',
+                    join_namespace => 'ns1', join_table => 'dim',
+                    join_on => 'k=dk')""")
+    def joinTruth(): Seq[String] = spark.sql(
+      """SELECT grp, count(*) AS n,
+                sum(CAST(v AS DECIMAL(18,2))) AS total
+         FROM mcp.ns1.src JOIN mcp.ns1.dim ON k = dk
+         GROUP BY grp ORDER BY grp""")
+      .collect().map(_.toString).toSeq
+    def joinState(): Seq[String] = spark.sql(
+      "SELECT grp, n, total FROM mcp.ns1.jmv ORDER BY grp")
+      .collect().map(_.toString).toSeq
 
     val modes = scala.collection.mutable.Set.empty[String]
+    val joinModes = scala.collection.mutable.Set.empty[String]
     var nextId = 3000L
     (1 to 14).foreach { step =>
       rnd.nextInt(4) match {
@@ -98,8 +122,18 @@ class MvCdcPropertiesSpec extends AnyFunSuite {
       assert(state("mv") == truth("TRUE"), s"mv diverged at step $step")
       assert(state("fmv") == truth("k >= 3"),
         s"filtered mv diverged at step $step")
+      joinModes += refresh("jmv")
+      assert(joinState() == joinTruth(), s"join mv diverged at step $step")
+      if (step == 7) {
+        // a dim-side append mid-sequence: the A_prev⋈ΔB delta term
+        spark.sql("INSERT INTO mcp.ns1.dim VALUES (9, 'nine')")
+        assert(refresh("jmv") == "incremental")
+        assert(joinState() == joinTruth(), "dim append diverged")
+      }
     }
     assert(modes.contains("incremental") && modes.contains("cdc"),
       s"sequence must exercise both maintenance paths, saw: $modes")
+    assert(joinModes.contains("incremental"),
+      s"join view must take the delta path at least once, saw: $joinModes")
   }
 }

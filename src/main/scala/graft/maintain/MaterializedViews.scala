@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   * an append-mostly fact table refreshes at the cost of the new data,
   * never a full recompute.
   *
+  * Both SIDES of a refresh are delta-scoped. The read side plans only
+  * the range's files (incremental read / change feed). The write side
+  * is a MERGE into a merge-on-read state table keyed by the group
+  * columns: the commit is an equality-delete of the touched groups'
+  * keys plus their new rows — O(touched groups), never O(view) — so a
+  * per-document view with billions of groups refreshes at the cost of
+  * the arriving data. Routine compaction of the state table folds the
+  * accumulated deltas (net-zero, skipped by maintenance itself).
+  *
   * Maintainable aggregate class (the classic self-maintainable set for
   * insert-only deltas): GROUP BY keys + COUNT / SUM / MIN / MAX. The
   * merge is the aggregate's own combine (count+=count, sum+=sum,
@@ -192,6 +201,11 @@ object MaterializedViews {
   private[graft] def segmentRange(storage: graft.storage.StorageOps,
       meta: TableMetadata, last: Long, curId: Long): Option[Seq[Segment]] = {
     if (last < 0 || curId < 0) return None
+    // the watermark snapshot itself must still RESOLVE: an expired
+    // watermark can survive as a child's parentId, so the chain walk
+    // below would "reach" it — but the incremental read and the change
+    // feed both need the snapshot's inventory and would throw
+    if (meta.findSnapshot(storage, last).isEmpty) return None
     var chain = List.empty[graft.format.Snapshot]
     var cur = curId
     while (cur != last) {
@@ -310,7 +324,28 @@ object MaterializedViews {
         (joinFrames(src, right, j.on), Some(plannedSnapshotId(right)))
     }
     val state = aggregate(restrict(base, where), groupBy, aggs)
-    val w0 = state.writeTo(fullName(cat, ns, mv))
+    // When every group key is NOT NULL and of an equality-delete key
+    // type, the state table is MERGE-ON-READ with the group keys as
+    // upsert keys: every incremental refresh below is then a MERGE
+    // whose write is a small equality-delete (the touched groups'
+    // keys) plus the touched groups' new rows — O(delta), never
+    // O(view), which is what makes per-document/per-user views
+    // (billions of groups at 100 TB) refreshable at the cost of the
+    // arriving data. Routine compaction folds the deltas back in (a
+    // net-zero op every maintenance path skips). Nullable or
+    // non-key-typed group columns fall back to copy-on-write MERGE
+    // (Spark's delta planning needs non-nullable row ids) — still
+    // group-scoped, rewriting only the state files the delta touches.
+    val eqDeltaKeys = groupBy.forall { k =>
+      state.schema.fields.find(_.name.equalsIgnoreCase(k)).exists(f =>
+        !f.nullable && graft.format.EqDeleteFiles.supported(f.dataType))
+    }
+    val wEq = state.writeTo(fullName(cat, ns, mv))
+    val w0 = (if (!eqDeltaKeys) wEq else wEq
+      .tableProperty(graft.spark.GraftCatalog.MergeModeProp,
+        graft.spark.GraftCatalog.MergeModeMergeOnReadEq)
+      .tableProperty(graft.spark.GraftCatalog.UpsertKeysProp,
+        groupBy.mkString(",")))
       .tableProperty(SourceNsProp, srcNs)
       .tableProperty(SourceTableProp, srcTable)
       .tableProperty(GroupByProp, groupBy.mkString(","))
@@ -367,13 +402,43 @@ object MaterializedViews {
     dropped
   }
 
-  /** REFRESH: merges the additive delta's aggregate into the stored
-    * state, or falls back to a full recompute when the snapshot range
-    * isn't purely additive. Returns the mode actually taken
-    * (`incremental` | `full` | `noop`).
+  /** REFRESH: merges the range's delta aggregate into the stored
+    * state — a group-scoped MERGE whose write cost tracks the TOUCHED
+    * groups, never the view — or falls back to a full recompute when
+    * the snapshot range can't be maintained. Returns the mode actually
+    * taken (`incremental` | `cdc` | `groups` | `full` | `noop`).
+    *
+    * Concurrency: the state MERGE and the watermark property advance
+    * commit as ONE transaction, guarded by an in-transaction watermark
+    * compare — a concurrent refresh that already advanced the
+    * watermark makes this attempt retry from the new base (its delta
+    * was computed against a stale range). Two refreshes racing the
+    * commit itself resolve through the engine's optimistic conflict
+    * analysis, where concurrent update/update on one table is
+    * UNRESOLVABLE — the loser aborts and retries here, so a replayed
+    * (non-idempotent) double-merge can never happen.
     */
   def refresh(spark: SparkSession, cat: GraftCatalog,
       ident: Identifier): RefreshResult = {
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      try {
+        refreshOnce(spark, cat, ident) match {
+          case Some(r) => return r
+          case None => () // concurrent refresh advanced the watermark
+        }
+      } catch {
+        case _: graft.txn.CommitFailedException if attempts < 5 => ()
+      }
+    }
+    throw new IllegalStateException(
+      s"materialized-view refresh of $ident kept losing to concurrent " +
+        "refreshes after 5 attempts")
+  }
+
+  private def refreshOnce(spark: SparkSession, cat: GraftCatalog,
+      ident: Identifier): Option[RefreshResult] = {
     val ns = ident.namespace()(0)
     val mv = ident.name()
     val storage = cat.storage
@@ -403,7 +468,7 @@ object MaterializedViews {
     val last = props.get(RefreshedSnapshotProp).map(_.toLong).getOrElse(-1L)
 
     props.get(Join2NsProp).foreach { jns =>
-      return refreshJoin(spark, cat, ns, mv, mvFull0, stored, srcNs, srcT,
+      return refreshJoinOnce(spark, cat, ns, mv, mvFull0, stored, srcNs, srcT,
         groupBy, aggs, where, last,
         props.get(RefreshedSnapshot2Prop).map(_.toLong).getOrElse(-1L),
         JoinSpec(jns, props(Join2TableProp), parseJoinOn(props(JoinOnProp))))
@@ -415,14 +480,8 @@ object MaterializedViews {
       TableMetadata.read(storage, srcTd.metadataLocation)
     } finally txn2.close()
     val curId = srcMeta.currentSnapshotId
-    val mvFull = mvFull0
     if (curId == last)
-      return RefreshResult("noop", stored.count())
-
-    val between = srcMeta.snapshotsInRange(storage, last, curId)
-    val additive = last >= 0 && curId >= 0 &&
-      srcMeta.findSnapshot(storage, last).isDefined &&
-      between.nonEmpty && between.forall(s => GraftTable.AdditiveOps(s.operation))
+      return Some(RefreshResult("noop", stored.count()))
 
     def feedDelta(s0: Long, e0: Long): DataFrame = {
       // counting algorithm over the engine's change feed: signed
@@ -454,62 +513,146 @@ object MaterializedViews {
         .option(GraftTable.EndSnapshotOption, e0.toString)
         .table(fullName(cat, srcNs, srcT)), where), groupBy, aggs)
 
-    // segmented maintenance (when the whole range isn't additive):
-    // the main parent chain splits into append segments (file-delta
-    // read), net-zero maintenance rewrites (skipped — a compaction
-    // never costs a view refresh anything), and retractable segments
-    // (change feed). Retraction needs the counting-algorithm agg set;
-    // a purely append+net-zero split stays "incremental" for ANY
-    // aggregates — min/max views survive routine compaction without a
-    // corpus recompute.
-    val segs = if (additive) None
-      else segmentRange(storage, srcMeta, last, curId)
+    // segmented maintenance: the main parent chain splits into append
+    // segments (file-delta read), net-zero maintenance rewrites
+    // (skipped — a compaction never costs a view refresh anything),
+    // and retractable segments (change feed). Retraction takes the
+    // counting-algorithm path when every aggregate retracts, the
+    // GROUP-SCOPED recompute otherwise (min/max: a deleted extremum
+    // re-derives from the base data — but only for the groups the
+    // range touched, never the corpus). Only an unwalkable range
+    // (expired watermark, rollback, overwrite) recomputes fully.
+    val segs = segmentRange(storage, srcMeta, last, curId)
     val retracts = segs.exists(_.exists(_.kind == 'C'))
 
     val mvSchema = stored.schema
-    val (mode, next, watermark) =
-      if (additive) {
-        // `stored` is the SAME pinned state the watermark came from.
-        val merged = stored
-          .unionByName(appendDelta(last, curId))
-          .groupBy(groupBy.map(col): _*)
-          .agg(aggs.head.merge, aggs.tail.map(_.merge): _*)
-        ("incremental", merged, curId)
-      } else if (segs.isDefined && (!retracts || cdcMaintainable(aggs))) {
-        val deltas = segs.get.map {
+    val expect = Seq(RefreshedSnapshotProp -> last.toString)
+    val wms = Seq(RefreshedSnapshotProp -> curId.toString)
+    def mergePartials(parts: Seq[DataFrame]): DataFrame = parts match {
+      case Seq(one) => one
+      case many => many.reduce(_ unionByName _)
+        .groupBy(groupBy.map(col): _*)
+        .agg(aggs.head.merge, aggs.tail.map(_.merge): _*)
+    }
+
+    segs match {
+      case Some(ss) if !retracts =>
+        // pure append (+ skipped net-zero) range: unsigned partials
+        val deltas = ss.map(g => appendDelta(g.start, g.end))
+        if (deltas.isEmpty)
+          commitWatermarkOnly(spark, cat, ns, mv, mvFull0, expect, wms,
+            "incremental")
+        else commitMerge(spark, cat, ns, mv, mvFull0, mvSchema, groupBy,
+          aggs, mergePartials(deltas), signed = false, expect, wms,
+          "incremental")
+      case Some(ss) if cdcMaintainable(aggs) =>
+        // counting algorithm: signed feed partials for retract
+        // segments, unsigned file-delta partials for appends — both
+        // combine by summing
+        val deltas = ss.map {
           case Segment('A', s0, e0) => appendDelta(s0, e0)
           case Segment(_, s0, e0) => feedDelta(s0, e0)
         }
-        val mergedAll = deltas.foldLeft(stored)(_ unionByName _)
-          .groupBy(groupBy.map(col): _*)
-          .agg(aggs.head.merge, aggs.tail.map(_.merge): _*)
-        if (!retracts) ("incremental", mergedAll, curId)
-        else {
-          // a sum whose matching non-null count reached zero is NULL
-          // again (signed arithmetic alone would leave 0 behind), and
-          // groups whose row count reaches zero drop out of the view
-          val nullFixed = aggs.filter(_.fn == "sum").foldLeft(mergedAll) {
-            (df, sm) =>
-              val paired = aggs.find(c =>
-                c.fn == "count" && !c.isCountStar && c.expr == sm.expr).get
-              df.withColumn(sm.out,
-                when(col(paired.out) === 0, lit(null))
-                  .otherwise(col(sm.out)))
-          }
-          val rowCount = aggs.find(_.isCountStar).get.out
-          ("cdc", nullFixed.filter(col(rowCount) > 0), curId)
-        }
-      } else {
+        commitMerge(spark, cat, ns, mv, mvFull0, mvSchema, groupBy, aggs,
+          mergePartials(deltas), signed = true, expect, wms, "cdc")
+      case Some(ss) =>
+        refreshGroups(spark, cat, ns, mv, mvFull0, mvSchema, groupBy, aggs,
+          where, srcNs, srcT, curId, ss, expect, wms)
+      case None =>
         // the watermark comes from the PLANNED scan, not the earlier
         // metadata read — an append landing between the two would
         // otherwise be included in the recompute yet re-merged by the
         // next refresh (double-count)
         val src = spark.table(fullName(cat, srcNs, srcT))
-        ("full", aggregate(restrict(src, where), groupBy, aggs),
-          plannedSnapshotId(src))
-      }
-    commitState(spark, cat, ns, mv, mvFull, mvSchema, next,
-      Seq(RefreshedSnapshotProp -> watermark.toString), mode)
+        commitFull(spark, cat, ns, mv, mvFull0, mvSchema,
+          aggregate(restrict(src, where), groupBy, aggs), expect,
+          Seq(RefreshedSnapshotProp -> plannedSnapshotId(src).toString),
+          "full")
+    }
+  }
+
+  /** GROUP-SCOPED recompute — the maintenance path for aggregate sets
+    * that cannot retract from the feed (min/max, sums without their
+    * companion counts): re-aggregate from the CURRENT source only the
+    * groups the range touched, and MERGE them over the state (groups
+    * whose last in-domain row vanished are deleted). The touched-group
+    * key set is delta-sized; when it fits a bounded driver IN-list the
+    * recompute scan carries per-column IN predicates, so file-stat
+    * pruning reaches the source scan and a sparse delete re-reads a
+    * pruned file subset, never the corpus. Past the cap, an exact
+    * null-safe semi-join scopes the scan without driver state.
+    */
+  private def refreshGroups(spark: SparkSession, cat: GraftCatalog,
+      ns: String, mv: String, mvFull: String,
+      mvSchema: org.apache.spark.sql.types.StructType, groupBy: Seq[String],
+      aggs: Seq[AggSpec], where: Option[String], srcNs: String, srcT: String,
+      curId: Long, segs: Seq[Segment], expect: Seq[(String, String)],
+      wms: Seq[(String, String)]): Option[RefreshResult] = {
+    val srcFull = fullName(cat, srcNs, srcT)
+    // keys of every row the range touched: appended rows read as file
+    // deltas, retracted segments from the change feed (both restricted
+    // by the defining predicate — a row moving across the domain
+    // boundary touches its group from whichever side was in-domain)
+    val touchedParts = segs.map {
+      case Segment('A', s0, e0) =>
+        restrict(spark.read
+          .option(GraftTable.StartSnapshotOption, s0.toString)
+          .option(GraftTable.EndSnapshotOption, e0.toString)
+          .table(srcFull), where).select(groupBy.map(col): _*)
+      case Segment(_, s0, e0) =>
+        restrict(graft.spark.TableChanges.between(spark, cat,
+          Identifier.of(Array(srcNs), srcT), s0, e0), where)
+          .select(groupBy.map(col): _*)
+    }
+    if (touchedParts.isEmpty)
+      return commitWatermarkOnly(spark, cat, ns, mv, mvFull, expect, wms,
+        "groups")
+    val touched = touchedParts.reduce(_ union _).distinct()
+    val cap = spark.conf.get("spark.graft.mv.groups.inlist-cap", "1000").toInt
+    val keyRows = touched.limit(cap + 1).collect()
+    val srcCur = pinned(spark, srcFull, curId)
+    val scoped =
+      if (keyRows.length <= cap) {
+        // per-column IN lists are a SUPERSET prune (cross product of
+        // per-column value sets); exactness is restored by the join
+        // against `touched` below
+        val pred = groupBy.indices.map { i =>
+          val vals = keyRows.map(_.get(i)).distinct.toSeq
+          val nn = vals.filter(_ != null)
+          val inC = if (nn.nonEmpty) Seq(col(groupBy(i)).isin(nn: _*)) else Nil
+          val nullC =
+            if (vals.contains(null)) Seq(col(groupBy(i)).isNull) else Nil
+          (inC ++ nullC).reduce(_ || _)
+        }.reduce(_ && _)
+        srcCur.filter(pred)
+      } else srcCur.join(touched,
+        groupBy.map(k => srcCur(k) <=> touched(k)).reduce(_ && _),
+        "left_semi")
+    val recomputed = aggregate(restrict(scoped, where), groupBy, aggs)
+      .withColumn(PresentCol, lit(true))
+    // every touched group LEFT-joined to its recomputed row: a group
+    // with no surviving in-domain rows joins nothing (present = false)
+    // and is DELETED from the state
+    val srcFrame = touched.join(recomputed,
+      groupBy.map(k => touched(k) <=> recomputed(k)).reduce(_ && _), "left")
+      .select(groupBy.map(k => touched(k).as(k)) ++
+        aggs.map(a => recomputed(a.out).as(a.out)) :+
+        coalesce(recomputed(PresentCol), lit(false)).as(PresentCol): _*)
+    val d = prefixed(srcFrame)
+    def dc(n: String) = col(DeltaPrefix + n)
+    def t(n: String) = mvSchema(n).dataType
+    val committed = stateTxn(cat, ns, mv, expect, wms) {
+      d.mergeInto(mvFull,
+          groupBy.map(k => col(k) <=> dc(k)).reduce(_ && _))
+        .whenMatched(!dc(PresentCol)).delete()
+        .whenMatched().update(
+          aggs.map(a => a.out -> dc(a.out).cast(t(a.out))).toMap)
+        .whenNotMatched(dc(PresentCol)).insert(
+          (groupBy.map(k => k -> dc(k).cast(t(k))) ++
+            aggs.map(a => a.out -> dc(a.out).cast(t(a.out)))).toMap)
+        .merge()
+    }
+    finish(spark, cat, ns, mv, mvFull, "groups", committed)
   }
 
   /** REFRESH of a JOIN view: the two-sided delta rule
@@ -519,11 +662,11 @@ object MaterializedViews {
     * rewrites skipped); any retraction on either side falls back to a
     * full recompute (the counting algorithm is single-source only).
     */
-  private def refreshJoin(spark: SparkSession, cat: GraftCatalog,
+  private def refreshJoinOnce(spark: SparkSession, cat: GraftCatalog,
       ns: String, mv: String, mvFull: String, stored: DataFrame,
       srcNs: String, srcT: String, groupBy: Seq[String],
       aggs: Seq[AggSpec], where: Option[String], lastA: Long,
-      lastB: Long, j: JoinSpec): RefreshResult = {
+      lastB: Long, j: JoinSpec): Option[RefreshResult] = {
     val storage = cat.storage
     val txn = graft.catalog.Graft.beginTransaction(storage)
     val (metaA, metaB) = try {
@@ -535,7 +678,7 @@ object MaterializedViews {
     val curA = metaA.currentSnapshotId
     val curB = metaB.currentSnapshotId
     if (curA == lastA && curB == lastB)
-      return RefreshResult("noop", stored.count())
+      return Some(RefreshResult("noop", stored.count()))
     val aFull = fullName(cat, srcNs, srcT)
     val bFull = fullName(cat, j.ns, j.table)
     val mvSchema = stored.schema
@@ -545,71 +688,192 @@ object MaterializedViews {
       else segmentRange(storage, metaB, lastB, curB)
     val incOk = segsA.exists(_.forall(_.kind == 'A')) &&
       segsB.exists(_.forall(_.kind == 'A'))
-    val (mode, next, wA, wB) =
-      if (incOk) {
-        def deltaOf(full: String, segs: Seq[Segment]): Option[DataFrame] =
-          segs.map(g => spark.read
-            .option(GraftTable.StartSnapshotOption, g.start.toString)
-            .option(GraftTable.EndSnapshotOption, g.end.toString)
-            .table(full)).reduceOption(_ unionAll _)
-        val dA = deltaOf(aFull, segsA.get)
-        val dB = deltaOf(bFull, segsB.get)
-        val bCur = pinned(spark, bFull, curB)
-        val aPrev = pinned(spark, aFull, lastA)
-        // an append to one side joins only ITS delta against the
-        // other side — at 100 TB a delta-sized join, never a corpus
-        // re-join
-        val parts =
-          dA.map(d => aggregate(restrict(joinFrames(d, bCur, j.on), where),
-            groupBy, aggs)).toSeq ++
-          dB.map(d => aggregate(restrict(joinFrames(aPrev, d, j.on), where),
-            groupBy, aggs)).toSeq
-        val merged = parts.foldLeft(stored)(_ unionByName _)
-          .groupBy(groupBy.map(col): _*)
-          .agg(aggs.head.merge, aggs.tail.map(_.merge): _*)
-        ("incremental", merged, curA, curB)
-      } else {
-        val a = spark.table(aFull)
-        val b = spark.table(bFull)
-        ("full", aggregate(restrict(joinFrames(a, b, j.on), where),
-          groupBy, aggs), plannedSnapshotId(a), plannedSnapshotId(b))
+    val expect = Seq(RefreshedSnapshotProp -> lastA.toString,
+      RefreshedSnapshot2Prop -> lastB.toString)
+    if (incOk) {
+      def deltaOf(full: String, segs: Seq[Segment]): Option[DataFrame] =
+        segs.map(g => spark.read
+          .option(GraftTable.StartSnapshotOption, g.start.toString)
+          .option(GraftTable.EndSnapshotOption, g.end.toString)
+          .table(full)).reduceOption(_ unionAll _)
+      val dA = deltaOf(aFull, segsA.get)
+      val dB = deltaOf(bFull, segsB.get)
+      val bCur = pinned(spark, bFull, curB)
+      val aPrev = pinned(spark, aFull, lastA)
+      // an append to one side joins only ITS delta against the
+      // other side — at 100 TB a delta-sized join, never a corpus
+      // re-join
+      val parts =
+        dA.map(d => aggregate(restrict(joinFrames(d, bCur, j.on), where),
+          groupBy, aggs)).toSeq ++
+        dB.map(d => aggregate(restrict(joinFrames(aPrev, d, j.on), where),
+          groupBy, aggs)).toSeq
+      val wms = Seq(RefreshedSnapshotProp -> curA.toString,
+        RefreshedSnapshot2Prop -> curB.toString)
+      if (parts.isEmpty)
+        commitWatermarkOnly(spark, cat, ns, mv, mvFull, expect, wms,
+          "incremental")
+      else {
+        val delta = parts match {
+          case Seq(one) => one
+          case many => many.reduce(_ unionByName _)
+            .groupBy(groupBy.map(col): _*)
+            .agg(aggs.head.merge, aggs.tail.map(_.merge): _*)
+        }
+        commitMerge(spark, cat, ns, mv, mvFull, mvSchema, groupBy, aggs,
+          delta, signed = false, expect, wms, "incremental")
       }
-    commitState(spark, cat, ns, mv, mvFull, mvSchema, next,
-      Seq(RefreshedSnapshotProp -> wA.toString,
-        RefreshedSnapshot2Prop -> wB.toString), mode)
+    } else {
+      val a = spark.table(aFull)
+      val b = spark.table(bFull)
+      commitFull(spark, cat, ns, mv, mvFull, mvSchema,
+        aggregate(restrict(joinFrames(a, b, j.on), where), groupBy, aggs),
+        expect,
+        Seq(RefreshedSnapshotProp -> plannedSnapshotId(a).toString,
+          RefreshedSnapshot2Prop -> plannedSnapshotId(b).toString),
+        "full")
+    }
   }
 
-  /** Shared refresh commit: cast the merged state back to the MV's
-    * declared schema (merged aggregate types widen — sum of
-    * DECIMAL(p,s) → p+10) and commit the state overwrite + watermark
-    * properties as ONE atomic catalog commit: a crash (or interleaved
-    * refresh) between them would pair a state with the wrong watermark,
-    * and the next refresh would re-merge (double-count) or skip a
-    * delta. Both writes ride the session transaction; concurrent
-    * refreshes resolve through the engine's optimistic conflict
-    * analysis. An already-open user transaction is joined, not
+  private val DeltaPrefix = "__mvd_"
+  private val PresentCol = "__mv_present"
+
+  private def prefixed(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c).as(DeltaPrefix + c)).toSeq: _*)
+
+  /** Run `body` (the state write) plus the watermark property advance
+    * as ONE atomic catalog commit — a crash or interleaved refresh
+    * between them would pair a state with the wrong watermark, and the
+    * next refresh would re-merge (double-count) or skip a delta. The
+    * watermark is re-read INSIDE the transaction and compared to the
+    * one the caller's delta was computed against; on mismatch the
+    * attempt rolls back and reports false (the caller retries from the
+    * new base). An already-open user transaction is joined, not
     * nested — the pairing then commits with the user's own atomicity.
     */
-  private def commitState(spark: SparkSession, cat: GraftCatalog,
-      ns: String, mv: String, mvFull: String,
-      mvSchema: org.apache.spark.sql.types.StructType, next: DataFrame,
-      watermarks: Seq[(String, String)], mode: String): RefreshResult = {
-    val aligned = next.select(mvSchema.fields.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  private def stateTxn(cat: GraftCatalog, ns: String, mv: String,
+      expect: Seq[(String, String)], watermarks: Seq[(String, String)])(
+      body: => Unit): Boolean = {
+    val ident = Identifier.of(Array(ns), mv)
     val ownTxn = !cat.transactionActive
     if (ownTxn) cat.beginTransaction()
     try {
-      aligned.writeTo(mvFull).overwrite(lit(true))
-      cat.alterTable(Identifier.of(Array(ns), mv),
-        watermarks.map { case (k, v) =>
+      val now = cat.loadTable(ident).properties()
+      val stale = expect.exists { case (k, v) =>
+        Option(now.get(k)).getOrElse("-1") != v }
+      if (stale) {
+        if (ownTxn) cat.rollbackTransaction()
+        false
+      } else {
+        body
+        cat.alterTable(ident, watermarks.map { case (k, v) =>
           TableChange.setProperty(k, v): TableChange }: _*)
-      if (ownTxn) cat.commitTransaction()
+        if (ownTxn) cat.commitTransaction()
+        true
+      }
     } catch {
       case e: Throwable =>
         if (ownTxn && cat.transactionActive) cat.rollbackTransaction()
         throw e
     }
-    graft.spark.GraftMvRewrite.invalidate(cat.name(), s"$ns.$mv")
-    RefreshResult(mode, spark.table(mvFull).count())
+  }
+
+  private def finish(spark: SparkSession, cat: GraftCatalog, ns: String,
+      mv: String, mvFull: String, mode: String,
+      committed: Boolean): Option[RefreshResult] =
+    if (!committed) None
+    else {
+      graft.spark.GraftMvRewrite.invalidate(cat.name(), s"$ns.$mv")
+      Some(RefreshResult(mode, spark.table(mvFull).count()))
+    }
+
+  /** Net-zero range (compaction-only): nothing to merge — advance the
+    * watermark and done.
+    */
+  private def commitWatermarkOnly(spark: SparkSession, cat: GraftCatalog,
+      ns: String, mv: String, mvFull: String, expect: Seq[(String, String)],
+      watermarks: Seq[(String, String)], mode: String): Option[RefreshResult] =
+    finish(spark, cat, ns, mv, mvFull, mode,
+      stateTxn(cat, ns, mv, expect, watermarks) {})
+
+  /** MERGE a delta-sized grouped frame into the state: matched groups
+    * combine in place, new groups insert — the write is the touched
+    * groups' keys (equality delete) plus their new rows, O(delta).
+    * `signed = true` is the counting algorithm's contract: count/sum
+    * partials may be negative, a group whose row count reaches zero is
+    * DELETED, and a sum whose matching non-null count reached zero is
+    * NULL again (signed arithmetic alone would leave 0 behind).
+    *
+    * The null-aware combine `coalesce(a + b, a, b)` is the aggregate's
+    * own partial-merge: both null → null (an all-null group), one null
+    * → the other, else the sum. Merged values widen (DECIMAL(p,s) + →
+    * p+1) and are cast back to the view's declared column types.
+    */
+  private def commitMerge(spark: SparkSession, cat: GraftCatalog,
+      ns: String, mv: String, mvFull: String,
+      mvSchema: org.apache.spark.sql.types.StructType, groupBy: Seq[String],
+      aggs: Seq[AggSpec], delta: DataFrame, signed: Boolean,
+      expect: Seq[(String, String)], watermarks: Seq[(String, String)],
+      mode: String): Option[RefreshResult] = {
+    val d = prefixed(delta)
+    def dc(n: String) = col(DeltaPrefix + n)
+    def t(n: String) = mvSchema(n).dataType
+    def comb(out: String) = coalesce(col(out) + dc(out), col(out), dc(out))
+    def pairedOf(sm: AggSpec): AggSpec = aggs.find(c =>
+      c.fn == "count" && !c.isCountStar && c.expr == sm.expr).get
+    val cond = groupBy.map(k => col(k) <=> dc(k)).reduce(_ && _)
+    val committed = stateTxn(cat, ns, mv, expect, watermarks) {
+      val w = d.mergeInto(mvFull, cond)
+      val writer =
+        if (!signed) w.whenMatched().update(aggs.map { a =>
+            a.out -> (a.fn match {
+              case "count" | "sum" => comb(a.out)
+              case "min" => least(col(a.out), dc(a.out))
+              case "max" => greatest(col(a.out), dc(a.out))
+            }).cast(t(a.out))
+          }.toMap)
+          .whenNotMatched().insert(
+            (groupBy.map(k => k -> dc(k).cast(t(k))) ++
+              aggs.map(a => a.out -> dc(a.out).cast(t(a.out)))).toMap)
+        else {
+          val rowCnt = aggs.find(_.isCountStar).get.out
+          w.whenMatched(comb(rowCnt) <= 0).delete()
+            .whenMatched().update(aggs.map { a =>
+              a.out -> (a.fn match {
+                case "count" => comb(a.out)
+                case _ => when(comb(pairedOf(a).out) === 0, lit(null))
+                  .otherwise(comb(a.out))
+              }).cast(t(a.out))
+            }.toMap)
+            .whenNotMatched(dc(rowCnt) > 0).insert(
+              (groupBy.map(k => k -> dc(k).cast(t(k))) ++
+                aggs.map { a =>
+                  a.out -> (a.fn match {
+                    case "count" => dc(a.out)
+                    case _ => when(dc(pairedOf(a).out) === 0, lit(null))
+                      .otherwise(dc(a.out))
+                  }).cast(t(a.out))
+                }).toMap)
+        }
+      writer.merge()
+    }
+    finish(spark, cat, ns, mv, mvFull, mode, committed)
+  }
+
+  /** Full-recompute commit: overwrite the whole state (the recompute
+    * IS the view — the one path whose write is O(view), taken only
+    * when no incremental path applies).
+    */
+  private def commitFull(spark: SparkSession, cat: GraftCatalog,
+      ns: String, mv: String, mvFull: String,
+      mvSchema: org.apache.spark.sql.types.StructType, next: DataFrame,
+      expect: Seq[(String, String)], watermarks: Seq[(String, String)],
+      mode: String): Option[RefreshResult] = {
+    val aligned = next.select(mvSchema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    finish(spark, cat, ns, mv, mvFull, mode,
+      stateTxn(cat, ns, mv, expect, watermarks) {
+        aligned.writeTo(mvFull).overwrite(lit(true))
+      })
   }
 }

@@ -67,12 +67,14 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(r2._1 == "noop")
     assert(mvRows() == truth())
 
-    // a DELETE breaks additivity: refresh falls back to FULL and the
-    // state still equals the from-scratch aggregate
+    // a DELETE breaks additivity: min/max cannot retract from the
+    // feed, so refresh re-aggregates ONLY the touched groups from the
+    // source (group-scoped recompute) and the state still equals the
+    // from-scratch aggregate
     spark.sql("DELETE FROM mvc.ns1.src WHERE v > 2000")
     val r3 = call("""CALL mvc.system.refresh_materialized_view(
                        namespace => 'ns1', name => 'mv')""")
-    assert(r3._1 == "full", r3.toString)
+    assert(r3._1 == "groups", r3.toString)
     assert(mvRows() == truth())
 
     // and the chain recovers: the next append is incremental again

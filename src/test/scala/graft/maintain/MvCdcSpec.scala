@@ -102,17 +102,18 @@ class MvCdcSpec extends AnyFunSuite {
     spark.sql("""INSERT INTO mcd.ns1.fsrc
                  SELECT id, id % 3, CAST(id AS DOUBLE)
                  FROM range(0, 300, 1, 2)""")
-    // min/max cannot retract a deleted extremum
+    // min/max cannot retract a deleted extremum — the group-scoped
+    // recompute re-aggregates only the touched groups
     createMv("fsrc", "fmv1", "n:count:1;mx:max:v")
     // a sum without its matching non-null count cannot restore NULL
     createMv("fsrc", "fmv2", "n:count:1;total:sum:v")
     // no count:1 → group liveness is unknowable
     createMv("fsrc", "fmv3", "np:count:v;total:sum:v")
     spark.sql("DELETE FROM mcd.ns1.fsrc WHERE id % 2 = 0")
-    assert(refresh("fmv1") == "full")
-    assert(refresh("fmv2") == "full")
-    assert(refresh("fmv3") == "full")
-    // all three still equal the truth after the fallback
+    assert(refresh("fmv1") == "groups")
+    assert(refresh("fmv2") == "groups")
+    assert(refresh("fmv3") == "groups")
+    // all three still equal the truth after the group-scoped recompute
     assert(rows("fmv1", "k, n, mx") == spark.sql(
       """SELECT k, count(*) AS n, max(v) AS mx
          FROM mcd.ns1.fsrc GROUP BY k ORDER BY k""")
@@ -212,11 +213,12 @@ class MvCdcSpec extends AnyFunSuite {
     assert(refresh("zmv") == "noop")
 
     // [delete, compact] on the min/max view: the delete segment needs
-    // retraction — still a full recompute, unchanged semantics
+    // retraction — the group-scoped recompute covers it (the trailing
+    // compaction is still skipped as net-zero)
     spark.sql("DELETE FROM mcd.ns1.zsrc WHERE id % 5 = 0")
     spark.sql("""CALL mcd.system.compact_table(
                    namespace => 'ns1', table => 'zsrc')""")
-    assert(refresh("zmv") == "full")
+    assert(refresh("zmv") == "groups")
     assert(zrows() == ztruth())
 
     // and on a RETRACTABLE view over the same source, a mixed

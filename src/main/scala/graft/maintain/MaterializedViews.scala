@@ -340,25 +340,43 @@ object MaterializedViews {
       state.schema.fields.find(_.name.equalsIgnoreCase(k)).exists(f =>
         !f.nullable && graft.format.EqDeleteFiles.supported(f.dataType))
     }
-    val wEq = state.writeTo(fullName(cat, ns, mv))
-    val w0 = (if (!eqDeltaKeys) wEq else wEq
-      .tableProperty(graft.spark.GraftCatalog.MergeModeProp,
-        graft.spark.GraftCatalog.MergeModeMergeOnReadEq)
-      .tableProperty(graft.spark.GraftCatalog.UpsertKeysProp,
-        groupBy.mkString(",")))
-      .tableProperty(SourceNsProp, srcNs)
-      .tableProperty(SourceTableProp, srcTable)
-      .tableProperty(GroupByProp, groupBy.mkString(","))
-      .tableProperty(AggsProp, aggs.map(a =>
-        s"${a.out}:${a.fn}:${a.expr}").mkString(";"))
-      .tableProperty(RefreshedSnapshotProp, snapId.toString)
-    val w1 = where.fold(w0)(w => w0.tableProperty(WhereProp, w))
-    join.fold(w1)(j => w1
-      .tableProperty(Join2NsProp, j.ns)
-      .tableProperty(Join2TableProp, j.table)
-      .tableProperty(JoinOnProp, j.onFormatted)
-      .tableProperty(RefreshedSnapshot2Prop, snap2.get.toString))
-      .create()
+    val props: Map[String, String] =
+      Map(SourceNsProp -> srcNs, SourceTableProp -> srcTable,
+        GroupByProp -> groupBy.mkString(","),
+        AggsProp -> aggs.map(a => s"${a.out}:${a.fn}:${a.expr}")
+          .mkString(";"),
+        RefreshedSnapshotProp -> snapId.toString) ++
+      (if (!eqDeltaKeys) Map.empty else Map(
+        graft.spark.GraftCatalog.MergeModeProp ->
+          graft.spark.GraftCatalog.MergeModeMergeOnReadEq,
+        graft.spark.GraftCatalog.UpsertKeysProp ->
+          groupBy.mkString(","))) ++
+      where.map(WhereProp -> _) ++
+      join.toSeq.flatMap(j => Seq(Join2NsProp -> j.ns,
+        Join2TableProp -> j.table, JoinOnProp -> j.onFormatted,
+        RefreshedSnapshot2Prop -> snap2.get.toString))
+    // explicit create + append instead of CTAS: Spark's CTAS marks
+    // every output column nullable, which would disqualify NOT NULL
+    // group keys from the equality-delta state path above. One atomic
+    // catalog commit either way (own transaction unless the user has
+    // one open).
+    val ownTxn = !cat.transactionActive
+    if (ownTxn) cat.beginTransaction()
+    try {
+      val cols = state.schema.fields.map(f =>
+        org.apache.spark.sql.connector.catalog.Column.create(
+          f.name, f.dataType, f.nullable))
+      import scala.jdk.CollectionConverters._
+      cat.createTable(Identifier.of(Array(ns), mv), cols,
+        Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+        props.asJava)
+      state.writeTo(fullName(cat, ns, mv)).append()
+      if (ownTxn) cat.commitTransaction()
+    } catch {
+      case e: Throwable =>
+        if (ownTxn && cat.transactionActive) cat.rollbackTransaction()
+        throw e
+    }
     // register on the source(s) so the query-rewrite rule finds the
     // view from the scanned table's own properties (dropped views
     // leave a stale entry; the rule skips entries that fail to load)
@@ -420,8 +438,9 @@ object MaterializedViews {
     */
   def refresh(spark: SparkSession, cat: GraftCatalog,
       ident: Identifier): RefreshResult = {
+    val maxAttempts = 8
     var attempts = 0
-    while (attempts < 5) {
+    while (attempts < maxAttempts) {
       attempts += 1
       try {
         refreshOnce(spark, cat, ident) match {
@@ -429,12 +448,16 @@ object MaterializedViews {
           case None => () // concurrent refresh advanced the watermark
         }
       } catch {
-        case _: graft.txn.CommitFailedException if attempts < 5 => ()
+        case _: graft.txn.CommitFailedException if attempts < maxAttempts =>
+          // losing the optimistic commit means a sibling refresh (or
+          // any writer) landed first — back off briefly so a herd of
+          // refreshers converges instead of spinning in lockstep
+          Thread.sleep(25L * attempts)
       }
     }
     throw new IllegalStateException(
       s"materialized-view refresh of $ident kept losing to concurrent " +
-        "refreshes after 5 attempts")
+        s"refreshes after $maxAttempts attempts")
   }
 
   private def refreshOnce(spark: SparkSession, cat: GraftCatalog,

@@ -3050,6 +3050,109 @@ object CatalogQueries {
              |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
              |            AS DOUBLE) AS total
              |FROM orders JOIN customer ON o_custkey = c_custkey
-             |GROUP BY 1 ORDER BY seg""".stripMargin))
+             |GROUP BY 1 ORDER BY seg""".stripMargin)),
+
+    QueryDef(
+      "c67_mv_ddl",
+      (s, d) => {
+        // SQL DDL surface for materialized views: CREATE MATERIALIZED
+        // VIEW derives keys/aggs/WHERE from its own SELECT (no
+        // procedure spec mini-language), REFRESH MATERIALIZED VIEW
+        // rides the same incremental machinery (the require pins the
+        // mode), and the filtered aggregate below must be served from
+        // the view (plan require). Values hash-match DuckDB's
+        // from-scratch filtered aggregate.
+        ensureCatalog(s, "gmd")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gmd.ns1")
+        s.sql("DROP MATERIALIZED VIEW IF EXISTS gmd.ns1.mv")
+        s.sql("DROP TABLE IF EXISTS gmd.ns1.ord")
+        s.sql("""CREATE TABLE gmd.ns1.ord (
+                   o_orderkey BIGINT, o_orderstatus STRING,
+                   o_totalprice DOUBLE, o_orderpriority STRING)""")
+        s.sql(s"""INSERT INTO gmd.ns1.ord
+                  SELECT o_orderkey, o_orderstatus, o_totalprice,
+                         o_orderpriority
+                  FROM parquet.`$d/orders.parquet`
+                  WHERE o_orderkey % 4 != 0""")
+        s.sql("""CREATE MATERIALIZED VIEW gmd.ns1.mv AS
+                 SELECT o_orderstatus, count(*) AS n,
+                        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+                 FROM gmd.ns1.ord
+                 WHERE o_orderpriority = '1-URGENT'
+                 GROUP BY o_orderstatus""")
+        s.sql(s"""INSERT INTO gmd.ns1.ord
+                  SELECT o_orderkey, o_orderstatus, o_totalprice,
+                         o_orderpriority
+                  FROM parquet.`$d/orders.parquet`
+                  WHERE o_orderkey % 4 = 0""")
+        val mode = s.sql("REFRESH MATERIALIZED VIEW gmd.ns1.mv")
+          .head.getString(0)
+        require(mode == "incremental",
+          s"DDL refresh of an append-only delta must be incremental: $mode")
+        val q = s.sql(
+          """SELECT o_orderstatus AS status, count(*) AS n,
+                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE) AS total
+             FROM gmd.ns1.ord WHERE o_orderpriority = '1-URGENT'
+             GROUP BY o_orderstatus ORDER BY status""")
+        val servedByMv = q.queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+              if r.relation.table.name().endsWith(".mv") => r
+        }.nonEmpty
+        require(servedByMv,
+          "the filtered aggregate must be served by the DDL-created view:\n" +
+            q.queryExecution.optimizedPlan.treeString)
+        q
+      },
+      Some("""SELECT o_orderstatus AS status, count(*) AS n,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |            AS DOUBLE) AS total
+             |FROM orders WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY 1 ORDER BY status""".stripMargin)),
+
+    QueryDef(
+      "c68_mv_group_recompute",
+      (s, d) => {
+        // GROUP-SCOPED min/max retraction: a sparse DELETE on a
+        // min/max view re-aggregates ONLY the touched groups from the
+        // source (mode 'groups', pinned by the require) instead of the
+        // corpus, and the refreshed STATE itself is graded against
+        // DuckDB recomputing from scratch minus the deleted keys. The
+        // NOT NULL group keys also pin the equality-delta state table
+        // (refresh writes O(touched groups)).
+        ensureCatalog(s, "gmg")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gmg.ns1")
+        s.sql("DROP TABLE IF EXISTS gmg.ns1.mv")
+        s.sql("DROP TABLE IF EXISTS gmg.ns1.ord")
+        s.sql("""CREATE TABLE gmg.ns1.ord (
+                   o_orderkey BIGINT NOT NULL,
+                   o_orderstatus STRING NOT NULL,
+                   o_totalprice DOUBLE,
+                   o_orderpriority STRING NOT NULL)""")
+        s.sql(s"""INSERT INTO gmg.ns1.ord
+                  SELECT o_orderkey, o_orderstatus, o_totalprice,
+                         o_orderpriority
+                  FROM parquet.`$d/orders.parquet`""")
+        s.sql("""CALL gmg.system.create_materialized_view(
+                   namespace => 'ns1', name => 'mv',
+                   source_namespace => 'ns1', source_table => 'ord',
+                   group_by => 'o_orderstatus,o_orderpriority',
+                   aggs => 'n:count:1;mn:min:o_totalprice;mx:max:o_totalprice')""")
+        s.sql("DELETE FROM gmg.ns1.ord WHERE o_orderkey % 97 = 13")
+        val mode = s.sql("""CALL gmg.system.refresh_materialized_view(
+                              namespace => 'ns1', name => 'mv')""")
+          .head.getString(0)
+        require(mode == "groups",
+          s"a sparse delete on a min/max view must refresh " +
+            s"group-scoped, took: $mode")
+        s.sql("""SELECT o_orderstatus AS status, o_orderpriority AS prio,
+                        n, mn, mx
+                 FROM gmg.ns1.mv ORDER BY status, prio""")
+      },
+      Some("""SELECT o_orderstatus AS status, o_orderpriority AS prio,
+             |       count(*) AS n, min(o_totalprice) AS mn,
+             |       max(o_totalprice) AS mx
+             |FROM orders WHERE o_orderkey % 97 != 13
+             |GROUP BY 1, 2 ORDER BY status, prio""".stripMargin))
   )
 }

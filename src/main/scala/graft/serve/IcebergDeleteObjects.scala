@@ -185,11 +185,15 @@ object IcebergDeleteObjects {
     * position-delete object. Row volume is the honest cost of the
     * representation change (a sparse DELETE stays KB-scale; Iceberg
     * engines materialize their own position deletes the same way).
+    * The result lands at `destRel` as a derived storage object —
+    * executors write it, the driver only moves the finished part file
+    * into place, so the object size is bounded by storage, not the
+    * driver heap.
     */
   def materializePredicateDeletes(
       spark: org.apache.spark.sql.SparkSession, storage: StorageOps,
       files: Seq[graft.format.DataFileEntry],
-      preds: Seq[graft.format.DeletePredicate]): Array[Byte] = {
+      preds: Seq[graft.format.DeletePredicate], destRel: String): Unit = {
     import org.apache.spark.sql.functions._
     // group by applicable predicate set: a predicate with sequence S
     // covers exactly the files with entry.seq <= S
@@ -207,33 +211,30 @@ object IcebergDeleteObjects {
     }
     dfs.reduceOption(_ unionAll _) match {
       case None =>
-        writeToBytes(graft.format.PosDeleteFiles.Schema)((_, _) => ())
+        try storage.writeAtomic(destRel,
+          writeToBytes(graft.format.PosDeleteFiles.Schema)((_, _) => ()))
+        catch { case _: graft.storage.AtomicSealFailureException => () }
       case Some(df) =>
         // one shuffle into a single (file, pos)-sorted partition,
-        // written by the executor's vectorized parquet writer — the
-        // driver never iterates the deleted positions (a row-at-a-time
-        // driver loop here was both the local hot spot and a
-        // single-thread ceiling on big predicate deletes)
-        val tmpDir =
-          java.nio.file.Files.createTempDirectory("graft-preddel")
+        // written by the executor's vectorized parquet writer into a
+        // STORAGE-side scratch prefix, then MOVED to the destination —
+        // the driver never iterates the positions and never holds the
+        // finished object in memory (a billion-row predicate delete
+        // stays off the driver heap), and the scratch lives under the
+        // shared warehouse location so this works when executors do
+        // not share the driver's local filesystem
+        val scratch = s"$destRel.tmp-${java.util.UUID.randomUUID()}"
         try {
           df.repartition(1).sortWithinPartitions("file", "pos")
             .write.mode("overwrite").option("compression", "snappy")
-            .parquet(tmpDir.toString)
-          val part = java.nio.file.Files.list(tmpDir).iterator()
-          val found = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
-          while (part.hasNext) {
-            val p = part.next()
-            if (p.getFileName.toString.endsWith(".parquet")) found += p
-          }
-          require(found.size == 1,
-            s"expected one materialized delete part file, got $found")
-          java.nio.file.Files.readAllBytes(found.head)
+            .parquet(storage.absolute(scratch))
+          val parts = storage.listDeep(scratch)
+            .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+          require(parts.size == 1,
+            s"expected one materialized delete part file, got $parts")
+          storage.move(parts.head, destRel)
         } finally {
-          val walk = java.nio.file.Files.walk(tmpDir)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          finally walk.close()
+          try storage.deleteTree(scratch) catch { case _: Exception => () }
         }
     }
   }

@@ -423,12 +423,9 @@ object IcebergManifests {
         val rel = s"$dir/pq-${snapshotKey(s)}.parquet"
         val files = Manifests.filesOf(storage, s)
         val inScope = files.filter(f => s.deletes.exists(_.seq >= f.seq))
-        if (!storage.exists(rel)) {
-          try storage.writeAtomic(rel,
-            IcebergDeleteObjects.materializePredicateDeletes(spark, storage,
-              files, s.deletes))
-          catch { case _: AtomicSealFailureException => () }
-        }
+        if (!storage.exists(rel))
+          IcebergDeleteObjects.materializePredicateDeletes(spark, storage,
+            files, s.deletes, rel)
         Some(PosDeleteFile(rel,
           IcebergDeleteObjects.parquetRowCount(storage, rel),
           storage.sizeOf(rel), inScope.map(_.path),

@@ -1,0 +1,238 @@
+package graft.spark
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
+
+import graft.maintain.MaterializedViews
+import graft.maintain.MaterializedViews.{AggSpec, JoinSpec}
+
+/** SQL DDL for materialized views — a user's first contact is
+  * `CREATE MATERIALIZED VIEW mv AS SELECT k, sum(v) AS s FROM t GROUP
+  * BY k`, not a procedure call with a spec mini-language. The
+  * statement's SELECT is parsed with Spark's own parser and the
+  * view's keys / aggregates / defining predicate / join spec are
+  * DERIVED from the unresolved plan, then handed to the exact same
+  * [[graft.maintain.MaterializedViews]] machinery the procedures use
+  * (`CALL <cat>.system.create_materialized_view` stays available and
+  * behaviorally identical).
+  *
+  * Accepted SELECT shape (anything else fails with a pointed message,
+  * never a silent approximation):
+  *  - `FROM <graft table>` or `FROM a [AS x] JOIN b [AS y] ON
+  *    x.c1 = y.c2 [AND ...]` (INNER equi-join, qualified ON columns);
+  *  - optional `WHERE <predicate>` — becomes the view's defining
+  *    predicate;
+  *  - `GROUP BY` of plain columns; select items are group keys or
+  *    ALIASED `count(*) | count(e) | sum(e) | min(e) | max(e)`
+  *    (no DISTINCT / FILTER; avg is refused with the sum/count
+  *    decomposition hint, same as the procedure path).
+  */
+object GraftMvDdl {
+
+  final case class Derived(srcNs: String, srcTable: String,
+      groupBy: Seq[String], aggs: Seq[AggSpec], where: Option[String],
+      join: Option[JoinSpec])
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"CREATE MATERIALIZED VIEW: $msg")
+
+  private def exprSql(e: Expression): String =
+    try e.sql catch {
+      case _: Exception => fail(s"cannot render expression: $e")
+    }
+
+  private final case class Rel(ns: String, table: String,
+      names: Set[String])
+
+  def derive(session: SparkSession, catalogName: String,
+      query: String): Derived = {
+    val plan =
+      try session.sessionState.sqlParser.parsePlan(query)
+      catch { case e: Exception => fail(s"cannot parse SELECT: ${e.getMessage}") }
+    val agg = plan match {
+      case a: Aggregate => a
+      case _ => fail("the definition must be a GROUP BY aggregate " +
+        "(SELECT <keys>, <aggs> FROM t [JOIN ...] [WHERE ...] GROUP BY <keys>)")
+    }
+
+    def relOf(p: LogicalPlan, alias: Option[String]): Rel = p match {
+      case SubqueryAlias(id, child) => relOf(child, Some(id.name))
+      case u: UnresolvedRelation =>
+        val (ns, t) = u.multipartIdentifier match {
+          case Seq(c, n, t2) if c.equalsIgnoreCase(catalogName) => (n, t2)
+          case Seq(n, t2) => (n, t2)
+          case other => fail(s"source must be <ns>.<table> in catalog " +
+            s"$catalogName, got ${other.mkString(".")}")
+        }
+        Rel(ns, t, (Set(t) ++ alias).map(_.toLowerCase))
+      case other => fail(s"FROM must reference tables directly, got: $other")
+    }
+    def conj(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conj(l) ++ conj(r)
+      case x => Seq(x)
+    }
+    def fromClause(p: LogicalPlan): (Rel, Option[(Rel, Seq[(String, String)])]) =
+      p match {
+        case j: Join if j.joinType == Inner =>
+          val l = relOf(j.left, None)
+          val r = relOf(j.right, None)
+          val cond = j.condition.getOrElse(fail("JOIN needs an ON clause"))
+          val pairs = conj(cond).map {
+            case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+              def side(u: UnresolvedAttribute): Option[Boolean] =
+                u.nameParts match {
+                  case Seq(q, _) if l.names(q.toLowerCase) => Some(true)
+                  case Seq(q, _) if r.names(q.toLowerCase) => Some(false)
+                  case _ => None
+                }
+              (side(a), side(b)) match {
+                case (Some(true), Some(false)) =>
+                  (a.nameParts.last, b.nameParts.last)
+                case (Some(false), Some(true)) =>
+                  (b.nameParts.last, a.nameParts.last)
+                case _ => fail("qualify every ON column as " +
+                  "<table-or-alias>.<col> = <table-or-alias>.<col>")
+              }
+            case other =>
+              fail(s"JOIN ON must be column equalities, got: ${exprSql(other)}")
+          }
+          (l, Some((r, pairs)))
+        case j: Join => fail(s"only INNER joins are maintainable, " +
+          s"got ${j.joinType}")
+        case other => (relOf(other, None), None)
+      }
+
+    val (left, joinPart, whereExpr) = agg.child match {
+      case Filter(c, ch) =>
+        val (l, jp) = fromClause(ch)
+        (l, jp, Some(c))
+      case ch =>
+        val (l, jp) = fromClause(ch)
+        (l, jp, None)
+    }
+
+    val groupKeys = agg.groupingExpressions.map {
+      case ua: UnresolvedAttribute => ua.nameParts.last
+      case other => fail(s"GROUP BY must list plain columns, " +
+        s"got: ${exprSql(other)}")
+    }
+    if (groupKeys.isEmpty) fail("a materialized view needs GROUP BY keys")
+
+    val aggSpecs = agg.aggregateExpressions.flatMap {
+      case ua: UnresolvedAttribute =>
+        val n = ua.nameParts.last
+        if (!groupKeys.exists(_.equalsIgnoreCase(n)))
+          fail(s"select item $n is neither a GROUP BY key nor an " +
+            "aliased aggregate")
+        None
+      case al @ Alias(f: UnresolvedFunction, name) =>
+        if (f.isDistinct) fail(s"DISTINCT aggregates are not " +
+          s"incrementally maintainable: ${exprSql(al)}")
+        if (f.filter.isDefined) fail(s"FILTER clauses are not " +
+          s"supported: ${exprSql(al)} — fold the condition into WHERE")
+        val fn = f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+        fn match {
+          case "count" => f.arguments match {
+            case Seq(_: UnresolvedStar) => Some(AggSpec(name, "count", "1"))
+            case Seq(Literal(v, _)) if v != null =>
+              Some(AggSpec(name, "count", "1"))
+            case Seq(one) => Some(AggSpec(name, "count", exprSql(one)))
+            case _ => fail(s"count takes one argument: ${exprSql(al)}")
+          }
+          case "sum" | "min" | "max" => f.arguments match {
+            case Seq(one) =>
+              val sql = exprSql(one)
+              if (sql.contains(";")) fail(s"';' in aggregate expression: $sql")
+              Some(AggSpec(name, fn, sql))
+            case _ => fail(s"$fn takes one argument: ${exprSql(al)}")
+          }
+          case "avg" | "mean" => fail("avg is not incrementally " +
+            "maintainable as a stored quotient — select sum(x) and " +
+            "count(x) instead (queries with avg(x) are then served by " +
+            "the rewrite)")
+          case other => fail(s"aggregate '$other' is not incrementally " +
+            "maintainable (count|sum|min|max)")
+        }
+      case other => fail("every select item must be a GROUP BY key or " +
+        s"an ALIASED count/sum/min/max, got: ${exprSql(other)}")
+    }
+    if (aggSpecs.isEmpty) fail("a materialized view needs at least one " +
+      "aggregate (count/sum/min/max)")
+
+    Derived(left.ns, left.table, groupKeys, aggSpecs,
+      whereExpr.map(exprSql), joinPart.map { case (r, pairs) =>
+        JoinSpec(r.ns, r.table, pairs)
+      })
+  }
+
+  private[spark] def graftCatalog(session: SparkSession,
+      name: String): GraftCatalog =
+    session.sessionState.catalogManager.catalog(name) match {
+      case g: GraftCatalog => g
+      case other => throw new IllegalStateException(
+        s"${other.name()} is not a graft catalog")
+    }
+}
+
+/** `CREATE MATERIALIZED VIEW [IF NOT EXISTS] ns.mv AS SELECT ...` —
+  * returns the initial build's (mode, mv_rows) like the procedure.
+  */
+case class CreateGraftMvCommand(catalogName: String, ns: String,
+    name: String, query: String, ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("mode", StringType, nullable = false)(),
+    AttributeReference("mv_rows", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = GraftMvDdl.graftCatalog(session, catalogName)
+    val ident = Identifier.of(Array(ns), name)
+    if (ifNotExists && cat.tableExists(ident)) return Seq(Row("noop", -1L))
+    val d = GraftMvDdl.derive(session, catalogName, query)
+    val r = MaterializedViews.create(session, cat, ns, name,
+      d.srcNs, d.srcTable, d.groupBy, d.aggs, d.where, d.join)
+    Seq(Row(r.mode, r.mvRows))
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW ns.mv`. */
+case class RefreshGraftMvCommand(catalogName: String, ns: String,
+    name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("mode", StringType, nullable = false)(),
+    AttributeReference("mv_rows", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = GraftMvDdl.graftCatalog(session, catalogName)
+    val r = MaterializedViews.refresh(session, cat,
+      Identifier.of(Array(ns), name))
+    Seq(Row(r.mode, r.mvRows))
+  }
+}
+
+/** `DROP MATERIALIZED VIEW [IF EXISTS] ns.mv` — also deregisters the
+  * view from its source's derived list (same as the procedure).
+  */
+case class DropGraftMvCommand(catalogName: String, ns: String,
+    name: String, ifExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("dropped", BooleanType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = GraftMvDdl.graftCatalog(session, catalogName)
+    val ident = Identifier.of(Array(ns), name)
+    if (!cat.tableExists(ident)) {
+      if (ifExists) return Seq(Row(false))
+      throw new NoSuchElementException(
+        s"materialized view not found: $catalogName.$ns.$name")
+    }
+    Seq(Row(MaterializedViews.drop(session, cat, ident)))
+  }
+}

@@ -54,6 +54,12 @@ import graft.maintain.MaterializedViews
   * the rule is pay-as-you-go — it reads catalog metadata only when
   * the aggregated table itself declares derived views in its
   * `graft.mv.derived` property.
+  *
+  * `spark.graft.mv.rewrite.max-staleness-ms = N` (default 0 = exact)
+  * opts a SESSION into bounded staleness: a view whose unabsorbed
+  * source commits are all younger than N ms still serves — the
+  * dashboard trade every warehouse offers (BigQuery max_staleness,
+  * Oracle stale_tolerated), chosen by the reader, never silently.
   */
 class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -181,11 +187,37 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       .map(_.toLong).getOrElse(return None)
     def matches(g: GraftTable, n: String, t: String) =
       g.namespaceName == n && g.tableName == t
+    // bounded staleness (opt-in): with
+    // `spark.graft.mv.rewrite.max-staleness-ms = N`, a view may serve
+    // a query when every source commit it has NOT yet absorbed is
+    // younger than N ms — "the answer is correct as of at most N ms
+    // ago", BigQuery's max_staleness semantics. Default 0 = exact
+    // (watermark must BE the scan's pinned snapshot). The walk is
+    // main-lineage; a broken chain or an older unabsorbed commit
+    // declines.
+    val staleOkMs = session.conf
+      .get("spark.graft.mv.rewrite.max-staleness-ms", "0").toLong
+    def freshEnough(g: GraftTable, wm: Long): Boolean = {
+      val cur = g.meta.currentSnapshotId
+      if (wm == cur) return true
+      if (staleOkMs <= 0) return false
+      val cutoff = System.currentTimeMillis() - staleOkMs
+      var id = cur
+      while (id != wm && id >= 0) {
+        g.meta.findSnapshot(cat.storage, id) match {
+          case Some(s) =>
+            if (s.timestampMillis <= cutoff) return false
+            id = s.parentId
+          case None => return false
+        }
+      }
+      id == wm
+    }
     Option(props.get(MaterializedViews.Join2NsProp)) match {
       case None =>
         if (rels.size != 1 || !matches(srcTables.head, vSrcNs, vSrcT))
           return None
-        if (watermark != srcTables.head.meta.currentSnapshotId) return None
+        if (!freshEnough(srcTables.head, watermark)) return None
       case Some(jns) =>
         if (rels.size != 2) return None
         val jt = props.get(MaterializedViews.Join2TableProp)
@@ -195,11 +227,11 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           else if (matches(srcTables(1), vSrcNs, vSrcT) &&
               matches(srcTables(0), jns, jt)) (1, 0)
           else return None
-        if (watermark != srcTables(li).meta.currentSnapshotId) return None
+        if (!freshEnough(srcTables(li), watermark)) return None
         val wm2 = Option(
             props.get(MaterializedViews.RefreshedSnapshot2Prop))
           .map(_.toLong).getOrElse(return None)
-        if (wm2 != srcTables(ri).meta.currentSnapshotId) return None
+        if (!freshEnough(srcTables(ri), wm2)) return None
         // the query's equi-pairs must be exactly the declared ones
         // (normalized to the view's left→right orientation)
         val declared = MaterializedViews.parseJoinOn(
@@ -304,17 +336,31 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           val (matched, rest) =
             allConjuncts.partition(_.canonicalized == predC)
           if (matched.isEmpty) return None
-          // a strict predicate implies isnotnull over its references;
-          // the optimizer infers and pushes those — drop them rather
-          // than declining on them
+          // drop an inferred isnotnull(a) ONLY when the defining
+          // predicate PROVABLY implies it: some top-level conjunct
+          // reaches `a` through a null-intolerant path (a null input
+          // nulls the conjunct, and the WHERE drops the row). A
+          // null-tolerant predicate (`x > 100 OR y = 1`) admits NULL
+          // x, so a query's own `x IS NOT NULL` is a REAL extra
+          // filter — it stays residual and re-applies on the view
+          // when x is a key, declines otherwise.
+          def strictOn(e: Expression, a: Attribute): Boolean = e match {
+            case r: AttributeReference => r.exprId == a.exprId
+            case _ => e.nullIntolerant && e.children.exists(strictOn(_, a))
+          }
+          val predConjs = conjuncts(pred)
           rest.filterNot {
             case IsNotNull(a: AttributeReference) =>
-              pred.references.contains(a)
+              predConjs.exists(strictOn(_, a))
             case _ => false
           }
       }
-    // filters: every referenced column must be a view key
+    // filters: deterministic only (a rand() < 0.5 conjunct re-applied
+    // on group-level rows would silently change row-level sampling
+    // into group-level sampling), and every referenced column must be
+    // a view key
     val newFilters = residualConjuncts.map { c =>
+      if (!c.deterministic) return None
       c.transformUp {
         case a: AttributeReference =>
           keyFor.getOrElse(a.exprId, return None)

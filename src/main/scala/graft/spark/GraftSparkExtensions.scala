@@ -55,6 +55,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       """AS\s+(.+?)\s*;?\s*$""").r
   private val dropViewRe =
     """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$""".r
+  // materialized-view DDL: the SELECT is handed verbatim to
+  // GraftMvDdl.derive, which parses it with Spark's parser and derives
+  // the view spec (keys/aggs/where/join) for the procedures' machinery
+  private val createMvRe =
+    ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      """([\w.`]+)\s+AS\s+(.+?)\s*;?\s*$""").r
+  private val refreshMvRe =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*$""".r
+  private val dropMvRe =
+    ("""(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?""" +
+      """([\w.`]+)\s*;?\s*$""").r
   private val showViewsRe =
     """(?is)^\s*SHOW\s+VIEWS(?:\s+(?:IN|FROM)\s+([\w.`]+))?\s*;?\s*$""".r
   private val showCreateViewRe =
@@ -128,6 +139,26 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case txnRe(verb, _) =>
       TransactionCommand(verb.toUpperCase(java.util.Locale.ROOT))
+    case createMvRe(ifNotExists, ident, query) =>
+      val parts = delegate.parseMultipartIdentifier(ident.replace("`", ""))
+      graftCatalogFor(parts) match {
+        case Some((cat, Seq(ns, name))) =>
+          CreateGraftMvCommand(cat, ns, name, query.trim, ifNotExists != null)
+        case _ => delegate.parsePlan(sqlText)
+      }
+    case refreshMvRe(ident) =>
+      val parts = delegate.parseMultipartIdentifier(ident.replace("`", ""))
+      graftCatalogFor(parts) match {
+        case Some((cat, Seq(ns, name))) => RefreshGraftMvCommand(cat, ns, name)
+        case _ => delegate.parsePlan(sqlText)
+      }
+    case dropMvRe(ifExists, ident) =>
+      val parts = delegate.parseMultipartIdentifier(ident.replace("`", ""))
+      graftCatalogFor(parts) match {
+        case Some((cat, Seq(ns, name))) =>
+          DropGraftMvCommand(cat, ns, name, ifExists != null)
+        case _ => delegate.parsePlan(sqlText)
+      }
     case createViewRe(replace, ident, aliases, comment, props, query) =>
       val parts = delegate.parseMultipartIdentifier(ident.replace("`", ""))
       graftCatalogFor(parts) match {

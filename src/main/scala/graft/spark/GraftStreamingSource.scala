@@ -82,7 +82,17 @@ private[spark] class GraftMicroBatchStream(
         // that branch's inventory
         val lineage = TableChanges.mainLineage(
           ctx.storage, ctx.freshMeta(), s, cur)
-        if (lineage.isEmpty) math.min(cur, s + n)
+        // mainLineage falls back to the unsorted global id-interval
+        // view when the chain is broken (expired mid-chain snapshot) —
+        // an intermediate offset from THAT list could itself be a
+        // branch snapshot. Only step through an INTACT chain (each
+        // element parent-linked, rooted at s); otherwise take cur in
+        // one batch — planInputPartitions re-gates the range anyway.
+        val intact = lineage.nonEmpty &&
+          lineage.iterator.zip(lineage.iterator.drop(1)).forall {
+            case (a, b) => b.parentId == a.id
+          } && (lineage.head.parentId == s || (s < 0 && lineage.head.parentId < 0))
+        if (!intact) cur
         else lineage.take(math.min(n, lineage.size.toLong).toInt).last.id
       }
     }.getOrElse(cur))

@@ -29,9 +29,11 @@ object MvProbe {
       r
     }
     spark.sql("CREATE NAMESPACE gp.ns")
+    // NOT NULL group keys pin the equality-delta state table: a
+    // refresh commit is then the touched groups' keys + rows, O(delta)
     spark.sql("""CREATE TABLE gp.ns.ord (
-                   o_orderkey BIGINT, o_orderstatus STRING,
-                   o_totalprice DOUBLE, o_orderpriority STRING)""")
+                   o_orderkey BIGINT NOT NULL, o_orderstatus STRING NOT NULL,
+                   o_totalprice DOUBLE, o_orderpriority STRING NOT NULL)""")
     lap("load_big") {
       spark.sql(s"""INSERT INTO gp.ns.ord
                     SELECT o_orderkey, o_orderstatus, o_totalprice,
@@ -72,19 +74,59 @@ object MvProbe {
     val fullFiles = spark.table("gp.ns.ord")
       .select(countDistinct(col("_file"))).head.getLong(0)
     println(s"PROBE files_planned full=$fullFiles incremental=$deltaFiles")
+    // state-write metric: files/bytes the refresh COMMITS to the view
+    // table — the scale claim is that this tracks the touched groups
+    // (delta-sized), while a forced full refresh writes the corpus
+    // inventory snapshot (data files by path→bytes, delete objects by
+    // detail→rows): the refresh's WRITE is the after-minus-before diff
+    def inv(tbl: String): (Map[String, Long], Map[String, Long]) = (
+      spark.sql(s"SELECT path, size_bytes FROM gp.ns.`$tbl$$files`")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      spark.sql(s"SELECT detail, n_rows FROM gp.ns.`$tbl$$deletes`")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    def written(tbl: String,
+        before: (Map[String, Long], Map[String, Long])): (Long, Long, Long) = {
+      val (d, del) = inv(tbl)
+      val newData = d -- before._1.keySet
+      val newDel = del -- before._2.keySet
+      (newData.size.toLong, newData.values.sum, newDel.values.sum)
+    }
+    val preInc = inv("mv")
     val mode = lap("refresh_incremental") {
       spark.sql("""CALL gp.system.refresh_materialized_view(
                      namespace => 'ns', name => 'mv')""").head.getString(0)
     }
     require(mode == "incremental", s"expected incremental, got $mode")
-    // force the full path for the comparison point: delete one row so
-    // the snapshot range is non-additive
+    val (incF, incB, incDel) = written("mv", preInc)
+    println(s"PROBE state_write mode=incremental files=$incF " +
+      s"bytes=$incB delete_rows=$incDel")
+    // a one-row delete: min/max cannot retract, so the refresh
+    // re-aggregates ONLY the touched group (group-scoped recompute)
     spark.sql("DELETE FROM gp.ns.ord WHERE o_orderkey = 1")
-    val mode2 = lap("refresh_full_fallback") {
+    val preG = inv("mv")
+    val mode2 = lap("refresh_groups_one_key") {
       spark.sql("""CALL gp.system.refresh_materialized_view(
                      namespace => 'ns', name => 'mv')""").head.getString(0)
     }
-    require(mode2 == "full", s"expected full, got $mode2")
+    require(mode2 == "groups", s"expected groups, got $mode2")
+    val (gF, gB, gDel) = written("mv", preG)
+    println(s"PROBE state_write mode=groups files=$gF bytes=$gB " +
+      s"delete_rows=$gDel")
+
+    // truth check after the group-scoped paths: state equals scratch
+    val gState = spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, n,
+                CAST(total AS DOUBLE), mx
+         FROM gp.ns.mv ORDER BY 1, 2""").collect().map(_.toString).toSeq
+    val gTruth = spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*),
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+                max(o_totalprice)
+         FROM gp.ns.ord GROUP BY 1, 2 ORDER BY 1, 2""")
+      .collect().map(_.toString).toSeq
+    require(gState == gTruth, "group-scoped state diverged from truth")
+    println("PROBE groups_state_matches_truth true")
+
     // CDC probe: a retractable view (count/sum + companion counts) and
     // a SPARSE copy-on-write delete — the counting-algorithm refresh
     // aggregates only the change feed (the files the delete touched),
@@ -105,11 +147,40 @@ object MvProbe {
                      namespace => 'ns', name => 'cmv')""").head.getString(0)
     }
     require(mode3 == "cdc", s"expected cdc, got $mode3")
-    val mode4 = lap("refresh_full_same_range") {
+    val preG2 = inv("mv")
+    val mode4 = lap("refresh_groups_same_range") {
       spark.sql("""CALL gp.system.refresh_materialized_view(
                      namespace => 'ns', name => 'mv')""").head.getString(0)
     }
-    require(mode4 == "full", s"expected full, got $mode4")
+    require(mode4 == "groups", s"expected groups, got $mode4")
+    val (g2F, g2B, g2Del) = written("mv", preG2)
+    println(s"PROBE state_write mode=groups(sparse_range) files=$g2F " +
+      s"bytes=$g2B delete_rows=$g2Del")
+    // the corpus-write comparison point: a forced FULL recompute of
+    // the same view (rollback in range is unwalkable)
+    spark.sql("INSERT INTO gp.ns.ord VALUES (1, 'O', 1.0, '1-URGENT')")
+    val rollSnap = spark.sql(
+      "SELECT max(snapshot_id) FROM gp.ns.`ord$snapshots`").head.getLong(0)
+    spark.sql("INSERT INTO gp.ns.ord VALUES (2, 'O', 2.0, '1-URGENT')")
+    spark.sql(s"""CALL gp.system.rollback_to_snapshot(
+                    namespace => 'ns', table => 'ord',
+                    snapshot_id => $rollSnap)""")
+    val preF = inv("mv")
+    val mode5 = lap("refresh_full_rollback") {
+      spark.sql("""CALL gp.system.refresh_materialized_view(
+                     namespace => 'ns', name => 'mv')""").head.getString(0)
+    }
+    require(mode5 == "full", s"expected full, got $mode5")
+    val (fF, fB, fDel) = written("mv", preF)
+    println(s"PROBE state_write mode=full files=$fF bytes=$fB " +
+      s"delete_rows=$fDel")
+    // (the 25-group view above is too small for byte comparisons to
+    // mean anything — the high-cardinality probe below carries the
+    // O(delta)-write requires)
+    // bring cmv up to the post-rollback state too (the rollback in
+    // range makes this a full recompute — asserted stale otherwise)
+    spark.sql("""CALL gp.system.refresh_materialized_view(
+                   namespace => 'ns', name => 'cmv')""")
     // truth check at scale: the CDC-merged state equals from scratch
     val cdcRows = spark.sql(
       """SELECT o_orderstatus, n, np, CAST(total AS DOUBLE)
@@ -168,6 +239,80 @@ object MvProbe {
          GROUP BY 1 ORDER BY 1""").collect().map(_.toString).toSeq
     require(jState == jTruth, "join view state diverged from truth")
     println("PROBE join_state_matches_truth true")
+
+    // HIGH-CARDINALITY state-write probe: one group PER ORDER KEY
+    // (150k groups at sf0.1) — the "refresh writes the touched
+    // groups, not the view" claim only shows at real group
+    // cardinality. The view is equality-delta (NOT NULL integral
+    // key): an incremental refresh of a 1%-sized delta and a sparse
+    // CDC delete must both write a small fraction of what the forced
+    // full rewrite of the same view writes.
+    spark.sql("""CALL gp.system.create_materialized_view(
+                   namespace => 'ns', name => 'wmv',
+                   source_namespace => 'ns', source_table => 'ord',
+                   group_by => 'o_orderkey',
+                   aggs => 'n:count:1;np:count:CAST(o_totalprice AS DECIMAL(18,2));total:sum:CAST(o_totalprice AS DECIMAL(18,2))')""")
+    spark.sql(s"""INSERT INTO gp.ns.ord
+                  SELECT o_orderkey + ${nBig * 40}, o_orderstatus,
+                         o_totalprice, o_orderpriority
+                  FROM parquet.`$small/orders.parquet`""")
+    val preWI = inv("wmv")
+    val wMode = lap("wide_refresh_incremental") {
+      spark.sql("""CALL gp.system.refresh_materialized_view(
+                     namespace => 'ns', name => 'wmv')""").head.getString(0)
+    }
+    require(wMode == "incremental", s"expected incremental, got $wMode")
+    val (wiF, wiB, wiDel) = written("wmv", preWI)
+    println(s"PROBE wide_state_write mode=incremental files=$wiF " +
+      s"bytes=$wiB delete_rows=$wiDel")
+    spark.sql(s"DELETE FROM gp.ns.ord WHERE o_orderkey % 9973 = 17")
+    val preWC = inv("wmv")
+    val wMode2 = lap("wide_refresh_cdc_sparse_delete") {
+      spark.sql("""CALL gp.system.refresh_materialized_view(
+                     namespace => 'ns', name => 'wmv')""").head.getString(0)
+    }
+    require(wMode2 == "cdc", s"expected cdc, got $wMode2")
+    val (wcF, wcB, wcDel) = written("wmv", preWC)
+    println(s"PROBE wide_state_write mode=cdc files=$wcF bytes=$wcB " +
+      s"delete_rows=$wcDel")
+    // force the full comparison point (rollback in range is unwalkable)
+    spark.sql(s"INSERT INTO gp.ns.ord VALUES (${nBig * 90}, 'O', 1.0, '1-URGENT')")
+    val wRollSnap = spark.sql(
+      "SELECT max(snapshot_id) FROM gp.ns.`ord$snapshots`").head.getLong(0)
+    spark.sql(s"INSERT INTO gp.ns.ord VALUES (${nBig * 90 + 1}, 'O', 2.0, '1-URGENT')")
+    spark.sql(s"""CALL gp.system.rollback_to_snapshot(
+                    namespace => 'ns', table => 'ord',
+                    snapshot_id => $wRollSnap)""")
+    val preWF = inv("wmv")
+    val wMode3 = lap("wide_refresh_full") {
+      spark.sql("""CALL gp.system.refresh_materialized_view(
+                     namespace => 'ns', name => 'wmv')""").head.getString(0)
+    }
+    require(wMode3 == "full", s"expected full, got $wMode3")
+    val (wfF, wfB, wfDel) = written("wmv", preWF)
+    println(s"PROBE wide_state_write mode=full files=$wfF bytes=$wfB " +
+      s"delete_rows=$wfDel")
+    println(f"PROBE wide_write_ratio incremental=${wfB.toDouble / wiB}%.1fx " +
+      f"cdc=${wfB.toDouble / wcB}%.1fx")
+    require(wiB * 4 < wfB,
+      s"incremental state write ($wiB bytes) must be a small fraction " +
+        s"of the full rewrite ($wfB bytes)")
+    require(wcB * 4 < wfB,
+      s"sparse-delete CDC state write ($wcB bytes) must be a small " +
+        s"fraction of the full rewrite ($wfB bytes)")
+    // wide-view truth check (exact decimal sums)
+    val wState = spark.sql(
+      """SELECT count(*) AS n, sum(n) AS rows,
+                CAST(sum(total) AS DOUBLE) AS total FROM gp.ns.wmv""")
+      .head.toString
+    val wTruth = spark.sql(
+      """SELECT count(DISTINCT o_orderkey) AS n, count(*) AS rows,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total FROM gp.ns.ord""").head.toString
+    require(wState == wTruth,
+      s"wide state diverged from truth: $wState vs $wTruth")
+    println("PROBE wide_state_matches_truth true")
+
     spark.stop()
   }
 }

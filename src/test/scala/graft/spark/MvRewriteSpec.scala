@@ -272,6 +272,91 @@ class MvRewriteSpec extends AnyFunSuite {
       expectMv = true)
   }
 
+  test("filtered-view rewrite: a null-tolerant predicate keeps the " +
+      "query's IS NOT NULL (decline), a strict one implies it (serve), " +
+      "and non-deterministic conjuncts always decline") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mvr.ns5")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mvr.ns6")
+    spark.sql("CREATE TABLE mvr.ns5.src (k BIGINT, x DOUBLE, y BIGINT)")
+    spark.sql("""INSERT INTO mvr.ns5.src
+                 SELECT id % 4, CASE WHEN id % 5 = 0 THEN NULL
+                                     ELSE CAST(id AS DOUBLE) END,
+                        id % 2
+                 FROM range(0, 8000, 1, 4)""")
+    // null-TOLERANT defining predicate: NULL-x rows with y = 1 are IN
+    // the view's domain
+    spark.sql("""CALL mvr.system.create_materialized_view(
+                   namespace => 'ns5', name => 'mv',
+                   source_namespace => 'ns5', source_table => 'src',
+                   group_by => 'k', aggs => 'n:count:1',
+                   where => 'x > 100 OR y = 1')""")
+    check("""SELECT k, count(*) AS n FROM mvr.ns5.src
+             WHERE x > 100 OR y = 1 GROUP BY k""", expectMv = true)
+    // an extra `x IS NOT NULL` EXCLUDES the NULL-x rows the predicate
+    // admitted via y = 1 — a real filter on a non-key column, so the
+    // rewrite must DECLINE (dropping it would silently return the
+    // view's NULL-x rows; the on/off row compare would catch that)
+    check("""SELECT k, count(*) AS n FROM mvr.ns5.src
+             WHERE (x > 100 OR y = 1) AND x IS NOT NULL GROUP BY k""",
+      expectMv = false)
+    // a non-deterministic residual conjunct must never re-apply on
+    // group-level view rows (length(uuid()) > -1 is always true — so
+    // the on/off rows stay comparable — but non-deterministic and not
+    // constant-foldable, unlike rand() range comparisons which the
+    // optimizer folds away)
+    check("""SELECT k, count(*) AS n FROM mvr.ns5.src
+             WHERE (x > 100 OR y = 1) AND length(uuid()) > -1 GROUP BY k""",
+      expectMv = false)
+
+    // STRICT defining predicate: `x > 100` nulls out on NULL x, so an
+    // explicit `x IS NOT NULL` is implied by the view's content and
+    // drops — the rewrite serves
+    spark.sql("""CALL mvr.system.create_materialized_view(
+                   namespace => 'ns6', name => 'mv',
+                   source_namespace => 'ns5', source_table => 'src',
+                   group_by => 'k', aggs => 'n:count:1',
+                   where => 'x > 100')""")
+    check("""SELECT k, count(*) AS n FROM mvr.ns5.src
+             WHERE x > 100 AND x IS NOT NULL GROUP BY k""", expectMv = true)
+  }
+
+  test("bounded staleness: max-staleness-ms serves a stale view within " +
+      "the bound and declines past it; the default stays exact") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mvr.ns7")
+    spark.sql("CREATE TABLE mvr.ns7.src (k BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO mvr.ns7.src
+                 SELECT id % 3, CAST(id AS DOUBLE) FROM range(0, 600, 1, 2)""")
+    spark.sql("""CALL mvr.system.create_materialized_view(
+                   namespace => 'ns7', name => 'mv',
+                   source_namespace => 'ns7', source_table => 'src',
+                   group_by => 'k', aggs => 'n:count:1')""")
+    val q = "SELECT k, count(*) AS n FROM mvr.ns7.src GROUP BY k"
+    assert(usesMv(spark.sql(q)))
+    spark.sql("INSERT INTO mvr.ns7.src VALUES (1, 1.0)")
+    // default = exact: a stale view never serves
+    assert(!usesMv(spark.sql(q)))
+    spark.conf.set("spark.graft.mv.rewrite.max-staleness-ms", "600000")
+    try {
+      // the unabsorbed commit is seconds old — within the bound the
+      // view serves, and the answer is the VIEW's content (correct as
+      // of the bound, by the caller's explicit choice)
+      assert(usesMv(spark.sql(q)))
+      val served = spark.sql(q).collect().map(_.toString).sorted.toSeq
+      val viewRows = spark.sql("SELECT k, n FROM mvr.ns7.mv")
+        .collect().map(_.toString).sorted.toSeq
+      assert(served == viewRows, "stale serving must answer from the view")
+      // a 1 ms bound is already exceeded — declines again
+      spark.conf.set("spark.graft.mv.rewrite.max-staleness-ms", "1")
+      Thread.sleep(50)
+      assert(!usesMv(spark.sql(q)))
+    } finally
+      spark.conf.unset("spark.graft.mv.rewrite.max-staleness-ms")
+    // refresh restores exact serving
+    spark.sql("""CALL mvr.system.refresh_materialized_view(
+                   namespace => 'ns7', name => 'mv')""")
+    check(q, expectMv = true)
+  }
+
   test("drop_materialized_view deregisters from the source") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS mvr.ns2")
     spark.sql("CREATE TABLE mvr.ns2.s (k BIGINT, v DOUBLE)")

@@ -651,6 +651,14 @@ object MaterializedViews {
       } else srcCur.join(touched,
         groupBy.map(k => srcCur(k) <=> touched(k)).reduce(_ && _),
         "left_semi")
+    // diagnostic (spec-gated): how many source files the group-scoped
+    // recompute actually reads — the IN-list prune should reach the
+    // scan's file statistics, so a sparse delete re-reads a file
+    // subset, never the corpus
+    if (spark.conf.get("spark.graft.mv.groups.debug-scan-files",
+        "false").toBoolean)
+      lastGroupsScanFiles.set(scoped.select(
+        countDistinct(col("_file"))).head.getLong(0))
     val recomputed = aggregate(restrict(scoped, where), groupBy, aggs)
       .withColumn(PresentCol, lit(true))
     // every touched group LEFT-joined to its recomputed row: a group
@@ -761,6 +769,13 @@ object MaterializedViews {
   private val DeltaPrefix = "__mvd_"
   private val PresentCol = "__mv_present"
 
+  /** Last group-scoped recompute's distinct source files read
+    * (diagnostic, populated only under
+    * `spark.graft.mv.groups.debug-scan-files`).
+    */
+  private[graft] val lastGroupsScanFiles =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
   private def prefixed(df: DataFrame): DataFrame =
     df.select(df.columns.map(c => col(c).as(DeltaPrefix + c)).toSeq: _*)
 
@@ -807,8 +822,41 @@ object MaterializedViews {
     if (!committed) None
     else {
       graft.spark.GraftMvRewrite.invalidate(cat.name(), s"$ns.$mv")
+      maybeCompactState(spark, cat, ns, mv)
       Some(RefreshResult(mode, spark.table(mvFull).count()))
     }
+
+  /** Bounded read amplification on the serving path: every
+    * equality-delta refresh leaves one small delete object (plus data
+    * file) pending on the state table, and a reader merges all of
+    * them. Past `spark.graft.mv.compact-after-deletes` pending delete
+    * objects (default 32, 0 disables) the refresh folds them with a
+    * standard compaction — a net-zero op every maintenance path
+    * skips, so it never costs a downstream refresh anything.
+    * Best-effort and skipped inside a user transaction (compaction is
+    * an independent maintenance commit, not part of the user's
+    * atomicity).
+    */
+  private def maybeCompactState(spark: SparkSession, cat: GraftCatalog,
+      ns: String, mv: String): Unit = {
+    val threshold = spark.conf
+      .get("spark.graft.mv.compact-after-deletes", "32").toInt
+    if (threshold <= 0 || cat.transactionActive) return
+    val storage = cat.storage
+    val txn = graft.catalog.Graft.beginTransaction(storage)
+    val pending = try {
+      val td = graft.catalog.Graft.describeTable(storage, txn, ns, mv)
+      val meta = TableMetadata.read(storage, td.metadataLocation)
+      meta.currentSnapshot.map(s =>
+        s.deletes.size + s.posDeletes.size + s.eqDeletes.size).getOrElse(0)
+    } finally txn.close()
+    if (pending >= threshold)
+      try {
+        Maintenance.compactDataFiles(spark, cat,
+          Identifier.of(Array(ns), mv))
+        ()
+      } catch { case scala.util.control.NonFatal(_) => () }
+  }
 
   /** Net-zero range (compaction-only): nothing to merge — advance the
     * watermark and done.

@@ -323,7 +323,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
             entry.split('.') match {
               case Array(vns, vn) =>
                 try {
-                  val p = Graft.describeTable(storage, txn, vns, vn).properties
+                  val vtd = Graft.describeTable(storage, txn, vns, vn)
+                  val p = vtd.properties
                   val wm = p(RefreshedSnapshotProp).toLong
                   val wm2 = p.get(RefreshedSnapshot2Prop).map(_.toLong)
                   val srcFresh = currentOf(p(SourceNsProp),
@@ -331,12 +332,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
                   val joinFresh = p.get(Join2NsProp).forall(jns =>
                     wm2.exists(w => currentOf(jns,
                       p(Join2TableProp)).contains(w)))
+                  val vmeta = TableMetadata.read(storage,
+                    vtd.metadataLocation)
+                  val pending = vmeta.currentSnapshot.map(sn =>
+                    sn.deletes.size + sn.posDeletes.size +
+                      sn.eqDeletes.size).getOrElse(0).toLong
+                  val stateMode =
+                    if (p.get(GraftCatalog.MergeModeProp)
+                        .contains(GraftCatalog.MergeModeMergeOnReadEq))
+                      "eq-delta"
+                    else "copy-on-write"
                   Some(MetadataTables.ViewRow(vns, vn,
                     s"${p(SourceNsProp)}.${p(SourceTableProp)}",
                     p.get(Join2NsProp).map(jns =>
                       s"$jns.${p(Join2TableProp)}"),
                     p(GroupByProp), p(AggsProp), p.get(WhereProp),
-                    wm, wm2, srcFresh && joinFresh))
+                    wm, wm2, srcFresh && joinFresh, stateMode, pending))
                 } catch {
                   // dropped / drifted view: a stale registry entry
                   case scala.util.control.NonFatal(_) => None

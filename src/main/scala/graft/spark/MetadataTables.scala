@@ -41,7 +41,8 @@ object MetadataTables {
   final case class ViewRow(ns: String, name: String, source: String,
       joinSource: Option[String], groupBy: String, aggs: String,
       where: Option[String], refreshedSnapshot: Long,
-      refreshedSnapshot2: Option[Long], fresh: Boolean)
+      refreshedSnapshot2: Option[Long], fresh: Boolean,
+      stateMode: String, pendingDeletes: Long)
 
   /** `<table>$views` — the materialized views derived from this table
     * (its `graft.mv.derived` registry, stale entries skipped), each
@@ -61,7 +62,14 @@ object MetadataTables {
         StructField("where", StringType, nullable = true),
         StructField("refreshed_snapshot", LongType, nullable = false),
         StructField("refreshed_snapshot2", LongType, nullable = true),
-        StructField("fresh", BooleanType, nullable = false)))
+        StructField("fresh", BooleanType, nullable = false),
+        // how refreshes WRITE the state: 'eq-delta' commits the
+        // touched groups' keys + rows (O(delta)); 'copy-on-write'
+        // rewrites touched state files (nullable/non-key-typed group
+        // columns). pending_deletes = delete objects a reader merges
+        // (folded by auto-compaction past the threshold).
+        StructField("state_mode", StringType, nullable = false),
+        StructField("pending_deletes", LongType, nullable = false)))
 
       override def rows: Seq[InternalRow] = rows0.map { v =>
         InternalRow(UTF8String.fromString(v.ns),
@@ -70,7 +78,8 @@ object MetadataTables {
           UTF8String.fromString(v.groupBy), UTF8String.fromString(v.aggs),
           v.where.map(UTF8String.fromString).orNull,
           v.refreshedSnapshot,
-          v.refreshedSnapshot2.map(Long.box).orNull, v.fresh)
+          v.refreshedSnapshot2.map(Long.box).orNull, v.fresh,
+          UTF8String.fromString(v.stateMode), v.pendingDeletes)
       }
     }
 

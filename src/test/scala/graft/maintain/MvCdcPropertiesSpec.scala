@@ -66,6 +66,22 @@ class MvCdcPropertiesSpec extends AnyFunSuite {
                     source_namespace => 'ns1', source_table => 'src',
                     group_by => 'k', aggs => '$cdcAggs',
                     where => 'k >= 3')""")
+    // a MIN/MAX view rides the same sequence: appends stay
+    // incremental, every retraction takes the GROUP-SCOPED recompute
+    // (never the full path), and the state must equal scratch —
+    // including NULL-key groups and group-vanishing deletes
+    spark.sql("""CALL mcp.system.create_materialized_view(
+                    namespace => 'ns1', name => 'gmv',
+                    source_namespace => 'ns1', source_table => 'src',
+                    group_by => 'k',
+                    aggs => 'n:count:1;mn:min:v;mx:max:v')""")
+    def mmState(): Seq[String] = spark.sql(
+      "SELECT k, n, mn, mx FROM mcp.ns1.gmv ORDER BY k NULLS FIRST")
+      .collect().map(_.toString).toSeq
+    def mmTruth(): Seq[String] = spark.sql(
+      """SELECT k, count(*) AS n, min(v) AS mn, max(v) AS mx
+         FROM mcp.ns1.src GROUP BY k ORDER BY k NULLS FIRST""")
+      .collect().map(_.toString).toSeq
     // a JOIN view rides the same sequence: appends maintain via the
     // two-sided delta rule, retractions fall back to full — either
     // way the state must equal a from-scratch join aggregate
@@ -91,6 +107,7 @@ class MvCdcPropertiesSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
 
     val modes = scala.collection.mutable.Set.empty[String]
+    val mmModes = scala.collection.mutable.Set.empty[String]
     val joinModes = scala.collection.mutable.Set.empty[String]
     var nextId = 3000L
     (1 to 14).foreach { step =>
@@ -122,6 +139,11 @@ class MvCdcPropertiesSpec extends AnyFunSuite {
       assert(state("mv") == truth("TRUE"), s"mv diverged at step $step")
       assert(state("fmv") == truth("k >= 3"),
         s"filtered mv diverged at step $step")
+      val m3 = refresh("gmv")
+      mmModes += m3
+      assert(m3 != "full",
+        s"step $step: min/max must maintain group-scoped, got $m3")
+      assert(mmState() == mmTruth(), s"min/max mv diverged at step $step")
       joinModes += refresh("jmv")
       assert(joinState() == joinTruth(), s"join mv diverged at step $step")
       if (step == 7) {
@@ -133,6 +155,9 @@ class MvCdcPropertiesSpec extends AnyFunSuite {
     }
     assert(modes.contains("incremental") && modes.contains("cdc"),
       s"sequence must exercise both maintenance paths, saw: $modes")
+    assert(mmModes.contains("incremental") && mmModes.contains("groups"),
+      s"min/max view must take both incremental and group-scoped " +
+        s"paths, saw: $mmModes")
     assert(joinModes.contains("incremental"),
       s"join view must take the delta path at least once, saw: $joinModes")
   }

@@ -1,0 +1,129 @@
+package graft.maintain
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.GraftCatalog
+
+/** Group-scoped min/max retraction must PRUNE the recompute scan: a
+  * sparse delete's touched-group keys become per-column IN predicates
+  * on the source scan, so file statistics drop every file whose key
+  * range misses them — the refresh re-reads a file subset, never the
+  * corpus.
+  */
+class MvGroupsPruneSpec extends AnyFunSuite {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-mgp").toString
+
+  lazy val spark: SparkSession = graft.Verify.sessionBuilder("4")
+    .config("spark.sql.catalog.mgp", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.mgp.warehouse", warehouse)
+    .getOrCreate()
+
+  test("a sparse delete on a min/max view recomputes from a pruned " +
+      "file subset and the state matches truth") {
+    spark.sql("CREATE NAMESPACE mgp.ns1")
+    spark.sql("CREATE TABLE mgp.ns1.src (gk BIGINT NOT NULL, pv DOUBLE)")
+    // 8 single-key inserts → 8 files with DISJOINT gk statistics
+    // (min = max = i), the layout file-stat pruning needs
+    (0 until 8).foreach { i =>
+      spark.sql(s"""INSERT INTO mgp.ns1.src
+                    SELECT $i, CAST(id AS DOUBLE)
+                    FROM range(${i * 1000}, ${i * 1000 + 1000}, 1, 1)""")
+    }
+    val totalFiles = spark.sql(
+      "SELECT count(*) FROM mgp.ns1.`src$files`").head.getLong(0)
+    assert(totalFiles >= 8, s"expected >= 8 files, got $totalFiles")
+    spark.sql("""CALL mgp.system.create_materialized_view(
+                   namespace => 'ns1', name => 'mv',
+                   source_namespace => 'ns1', source_table => 'src',
+                   group_by => 'gk',
+                   aggs => 'n:count:1;mn:min:pv;mx:max:pv')""")
+
+    // delete a few rows of ONE group — min/max cannot retract, so the
+    // refresh must take the group-scoped path, and its recompute scan
+    // must read only the files whose gk range can contain group 3
+    spark.sql("DELETE FROM mgp.ns1.src WHERE gk = 3 AND pv < 3100")
+    spark.conf.set("spark.graft.mv.groups.debug-scan-files", "true")
+    val mode = try spark.sql(
+      """CALL mgp.system.refresh_materialized_view(
+           namespace => 'ns1', name => 'mv')""").head.getString(0)
+    finally spark.conf.unset("spark.graft.mv.groups.debug-scan-files")
+    assert(mode == "groups", s"expected groups, got $mode")
+    val scanned = MaterializedViews.lastGroupsScanFiles.get()
+    assert(scanned >= 1 && scanned < totalFiles / 2,
+      s"group-scoped recompute read $scanned of $totalFiles files — " +
+        "the touched-key IN prune did not reach the scan")
+
+    val state = spark.sql(
+      "SELECT gk, n, mn, mx FROM mgp.ns1.mv ORDER BY gk")
+      .collect().map(_.toString).toSeq
+    val truth = spark.sql(
+      """SELECT gk, count(*) AS n, min(pv) AS mn, max(pv) AS mx
+         FROM mgp.ns1.src GROUP BY gk ORDER BY gk""")
+      .collect().map(_.toString).toSeq
+    assert(state == truth)
+
+    // the whole-group delete: group 3 vanishes from the view
+    spark.sql("DELETE FROM mgp.ns1.src WHERE gk = 3")
+    val mode2 = spark.sql(
+      """CALL mgp.system.refresh_materialized_view(
+           namespace => 'ns1', name => 'mv')""").head.getString(0)
+    assert(mode2 == "groups", s"expected groups, got $mode2")
+    val keys = spark.sql("SELECT gk FROM mgp.ns1.mv ORDER BY gk")
+      .collect().map(_.getLong(0)).toSeq
+    assert(keys == Seq(0L, 1L, 2L, 4L, 5L, 6L, 7L),
+      s"group 3 must vanish from the state, got $keys")
+  }
+
+  test("the state auto-compacts past the pending-delete threshold, " +
+      "bounding read amplification") {
+    spark.sql("CREATE NAMESPACE mgp.ns2")
+    spark.sql("CREATE TABLE mgp.ns2.src (k BIGINT NOT NULL, v DOUBLE)")
+    spark.sql("""INSERT INTO mgp.ns2.src
+                 SELECT id % 5, CAST(id AS DOUBLE) FROM range(0, 500, 1, 1)""")
+    spark.sql("""CALL mgp.system.create_materialized_view(
+                   namespace => 'ns2', name => 'mv',
+                   source_namespace => 'ns2', source_table => 'src',
+                   group_by => 'k',
+                   aggs => 'n:count:1;total:sum:CAST(v AS DECIMAL(18,2))')""")
+    def pendingDeletes(): Long = spark.sql(
+      "SELECT count(*) FROM mgp.ns2.`mv$deletes`").head.getLong(0)
+    def refreshOnce(i: Int): Unit = {
+      // each append touches EXISTING groups, so each equality-delta
+      // refresh leaves one more pending delete object
+      spark.sql(s"""INSERT INTO mgp.ns2.src
+                    SELECT id % 5, CAST(id AS DOUBLE)
+                    FROM range(${1000 * i}, ${1000 * i + 50}, 1, 1)""")
+      spark.sql("""CALL mgp.system.refresh_materialized_view(
+                     namespace => 'ns2', name => 'mv')""").collect()
+    }
+    spark.conf.set("spark.graft.mv.compact-after-deletes", "3")
+    try {
+      (1 to 5).foreach(refreshOnce)
+      assert(pendingDeletes() < 3,
+        s"auto-compaction must fold the delete objects, " +
+          s"still pending: ${pendingDeletes()}")
+    } finally spark.conf.unset("spark.graft.mv.compact-after-deletes")
+    // the $views inspection table surfaces the write-path facts
+    val vrow = spark.sql(
+      """SELECT state_mode, pending_deletes FROM mgp.ns2.`src$views`
+         WHERE view_name = 'mv'""").head
+    assert(vrow.getString(0) == "eq-delta", vrow.toString)
+    assert(vrow.getLong(1) == pendingDeletes(), vrow.toString)
+    // state stays exact through compactions, and the next refresh is
+    // still incremental (compaction is net-zero on the MV's own
+    // lineage and invisible to the source watermark)
+    refreshOnce(9)
+    val state = spark.sql(
+      "SELECT k, n, CAST(total AS DOUBLE) FROM mgp.ns2.mv ORDER BY k")
+      .collect().map(_.toString).toSeq
+    val truth = spark.sql(
+      """SELECT k, count(*), CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE)
+         FROM mgp.ns2.src GROUP BY k ORDER BY k""")
+      .collect().map(_.toString).toSeq
+    assert(state == truth)
+  }
+}

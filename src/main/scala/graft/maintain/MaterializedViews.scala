@@ -26,8 +26,8 @@ import org.apache.spark.sql.functions._
   * insert-only deltas): GROUP BY keys + COUNT / SUM / MIN / MAX. The
   * merge is the aggregate's own combine (count+=count, sum+=sum,
   * min/max of minima/maxima), applied by re-aggregating the union of
-  * the stored state and the delta aggregate. AVG is intentionally
-  * absent — express it as SUM/COUNT columns and divide at query time
+  * the state row and the delta row inside the MERGE. AVG is
+  * intentionally absent — express it as SUM/COUNT columns and divide at query time
   * (the standard decomposition; storing the quotient would not merge).
   *
   * Delta validity rides the SAME gate as the engine's incremental
@@ -44,10 +44,13 @@ import org.apache.spark.sql.functions._
   * change feed ([[graft.spark.TableChanges]], +insert / -delete)
   * merge into the stored state and groups whose row count reaches
   * zero drop out, so a sparse DELETE refreshes at the cost of the
-  * rows it touched, never the corpus. Only when no path applies
-  * (min/max views over retracting ranges, missing companion counts,
-  * rollback or overwrite in range, expired watermark) does refresh
-  * fall back to a full recompute.
+  * rows it touched, never the corpus. Aggregates that cannot retract
+  * (min/max; sums missing companion counts) take the GROUP-SCOPED
+  * recompute instead ([[refreshGroups]]): only the touched groups
+  * re-aggregate from the current source, with the touched keys pushed
+  * into the scan as IN predicates for file pruning. Only an
+  * unwalkable range (rollback or overwrite in range, expired
+  * watermark) falls back to a full recompute.
   *
   * View definition state lives as table properties on the MV table
   * itself (source, keys, aggregate spec, refreshed-snapshot
@@ -466,10 +469,10 @@ object MaterializedViews {
     val mv = ident.name()
     val storage = cat.storage
     val mvFull0 = fullName(cat, ns, mv)
-    // read the watermark from the SAME pinned table instance whose
-    // state the merge will read (the planned scan's table), so two
-    // concurrent refreshes can never pair a new state with an old
-    // watermark and re-merge an already-merged delta
+    // read the watermark from a pinned table instance (schema +
+    // definition properties together); the race against a concurrent
+    // refresh is closed later by re-comparing the watermark INSIDE
+    // the commit transaction (stateTxn), not by this read
     val stored = spark.table(mvFull0)
     val mvTable = stored.queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -892,7 +895,42 @@ object MaterializedViews {
     def comb(out: String) = coalesce(col(out) + dc(out), col(out), dc(out))
     def pairedOf(sm: AggSpec): AggSpec = aggs.find(c =>
       c.fn == "count" && !c.isCountStar && c.expr == sm.expr).get
-    val cond = groupBy.map(k => col(k) <=> dc(k)).reduce(_ && _)
+    // scope the merge's TARGET scan (equality-delta state tables
+    // only): when the delta's key set fits the bounded driver
+    // IN-list, AND the keys into the merge condition as a target-only
+    // conjunct — semantically a no-op (a state row outside the list
+    // matches no delta row, and there are no not-matched-by-source
+    // clauses), but the optimizer pushes it below the join into the
+    // view scan, where file statistics prune. The refresh's view-side
+    // READ then costs the touched state files, not the view — the
+    // read-side mirror of the O(delta) write — AND the merge's task
+    // count tracks touched files, so one commit leaves a handful of
+    // delete objects instead of one per view partition. Costs one
+    // bounded extra pass over the (delta-sized) grouped frame.
+    // Copy-on-write state tables skip this: Spark's own row-level
+    // runtime group filtering already scopes their rewrite (and its
+    // planner rejects exotic extra conjuncts in the merge condition).
+    val eqDelta = {
+      val p = cat.loadTable(Identifier.of(Array(ns), mv)).properties()
+      graft.spark.GraftCatalog.MergeModeMergeOnReadEq ==
+        p.get(graft.spark.GraftCatalog.MergeModeProp)
+    }
+    val cap = spark.conf.get("spark.graft.mv.groups.inlist-cap", "1000").toInt
+    val keyRows =
+      if (!eqDelta) Array.empty[org.apache.spark.sql.Row]
+      else delta.select(groupBy.map(col): _*).limit(cap + 1).collect()
+    val targetPrune: Option[org.apache.spark.sql.Column] =
+      if (!eqDelta || keyRows.isEmpty || keyRows.length > cap) None
+      else Some(groupBy.indices.map { i =>
+        val vals = keyRows.map(_.get(i)).distinct.toSeq
+        val nn = vals.filter(_ != null)
+        val inC = if (nn.nonEmpty) Seq(col(groupBy(i)).isin(nn: _*)) else Nil
+        val nullC =
+          if (vals.contains(null)) Seq(col(groupBy(i)).isNull) else Nil
+        (inC ++ nullC).reduceOption(_ || _).getOrElse(lit(false))
+      }.reduce(_ && _))
+    val cond = targetPrune.foldLeft(
+      groupBy.map(k => col(k) <=> dc(k)).reduce(_ && _))(_ && _)
     val committed = stateTxn(cat, ns, mv, expect, watermarks) {
       val w = d.mergeInto(mvFull, cond)
       val writer =

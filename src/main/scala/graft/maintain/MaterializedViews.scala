@@ -389,7 +389,7 @@ object MaterializedViews {
       editDerived(cat, Identifier.of(Array(j.ns), j.table))(_ :+ entry))
     graft.spark.GraftMvRewrite.invalidate(cat.name(), entry)
     RefreshResult("full",
-      spark.table(fullName(cat, ns, mv)).count())
+      countRows(spark, spark.table(fullName(cat, ns, mv))))
   }
 
   /** DROP: removes the view table AND its entry in the source's
@@ -448,7 +448,11 @@ object MaterializedViews {
       try {
         refreshOnce(spark, cat, ident) match {
           case Some(r) => return r
-          case None => () // concurrent refresh advanced the watermark
+          case None =>
+            // a concurrent refresh advanced the watermark — same herd
+            // as a lost commit, same backoff before recomputing the
+            // delta from the new base
+            Thread.sleep(25L * attempts)
         }
       } catch {
         case _: graft.txn.CommitFailedException if attempts < maxAttempts =>
@@ -507,7 +511,7 @@ object MaterializedViews {
     } finally txn2.close()
     val curId = srcMeta.currentSnapshotId
     if (curId == last)
-      return Some(RefreshResult("noop", stored.count()))
+      return Some(RefreshResult("noop", countRows(spark, stored)))
 
     def feedDelta(s0: Long, e0: Long): DataFrame = {
       // counting algorithm over the engine's change feed: signed
@@ -636,24 +640,22 @@ object MaterializedViews {
     val touched = touchedParts.reduce(_ union _).distinct()
     val cap = spark.conf.get("spark.graft.mv.groups.inlist-cap", "1000").toInt
     val keyRows = touched.limit(cap + 1).collect()
+    if (keyRows.isEmpty)
+      // the range's changes all fell outside the defining predicate:
+      // no group touched — advance the watermark and done
+      return commitWatermarkOnly(spark, cat, ns, mv, mvFull, expect, wms,
+        "groups")
+    val inPred = keyInPredicate(groupBy, keyRows, cap)
     val srcCur = pinned(spark, srcFull, curId)
-    val scoped =
-      if (keyRows.length <= cap) {
-        // per-column IN lists are a SUPERSET prune (cross product of
-        // per-column value sets); exactness is restored by the join
-        // against `touched` below
-        val pred = groupBy.indices.map { i =>
-          val vals = keyRows.map(_.get(i)).distinct.toSeq
-          val nn = vals.filter(_ != null)
-          val inC = if (nn.nonEmpty) Seq(col(groupBy(i)).isin(nn: _*)) else Nil
-          val nullC =
-            if (vals.contains(null)) Seq(col(groupBy(i)).isNull) else Nil
-          (inC ++ nullC).reduce(_ || _)
-        }.reduce(_ && _)
-        srcCur.filter(pred)
-      } else srcCur.join(touched,
+    val scoped = inPred match {
+      // per-column IN lists are a SUPERSET prune (cross product of
+      // per-column value sets); exactness is restored by the join
+      // against `touched` below
+      case Some(pred) => srcCur.filter(pred)
+      case None => srcCur.join(touched,
         groupBy.map(k => srcCur(k) <=> touched(k)).reduce(_ && _),
         "left_semi")
+    }
     // diagnostic (spec-gated): how many source files the group-scoped
     // recompute actually reads — the IN-list prune should reach the
     // scan's file statistics, so a sparse delete re-reads a file
@@ -675,9 +677,16 @@ object MaterializedViews {
     val d = prefixed(srcFrame)
     def dc(n: String) = col(DeltaPrefix + n)
     def t(n: String) = mvSchema(n).dataType
+    // same target-scan scoping as commitMerge: on an equality-delta
+    // state table, AND the touched keys into the merge condition so
+    // the view scan file-prunes and the commit's delete-object count
+    // tracks touched files (copy-on-write merges are scoped by
+    // Spark's own runtime group filtering and reject the conjunct)
+    val prune =
+      if (isEqDelta(cat, ns, mv)) inPred.toSeq else Seq.empty
     val committed = stateTxn(cat, ns, mv, expect, wms) {
       d.mergeInto(mvFull,
-          groupBy.map(k => col(k) <=> dc(k)).reduce(_ && _))
+          (groupBy.map(k => col(k) <=> dc(k)) ++ prune).reduce(_ && _))
         .whenMatched(!dc(PresentCol)).delete()
         .whenMatched().update(
           aggs.map(a => a.out -> dc(a.out).cast(t(a.out))).toMap)
@@ -712,7 +721,7 @@ object MaterializedViews {
     val curA = metaA.currentSnapshotId
     val curB = metaB.currentSnapshotId
     if (curA == lastA && curB == lastB)
-      return Some(RefreshResult("noop", stored.count()))
+      return Some(RefreshResult("noop", countRows(spark, stored)))
     val aFull = fullName(cat, srcNs, srcT)
     val bFull = fullName(cat, j.ns, j.table)
     val mvSchema = stored.schema
@@ -779,6 +788,32 @@ object MaterializedViews {
   private[graft] val lastGroupsScanFiles =
     new java.util.concurrent.atomic.AtomicLong(-1L)
 
+  /** Does the view's state table take the equality-delta merge path? */
+  private def isEqDelta(cat: GraftCatalog, ns: String, mv: String): Boolean = {
+    val p = cat.loadTable(Identifier.of(Array(ns), mv)).properties()
+    graft.spark.GraftCatalog.MergeModeMergeOnReadEq ==
+      p.get(graft.spark.GraftCatalog.MergeModeProp)
+  }
+
+  /** Bounded per-column IN predicate over the TARGET-side group key
+    * columns for a collected key set: a SUPERSET prune (cross product
+    * of per-column value sets, nulls via IS NULL) that file statistics
+    * can push into a scan. None when the set exceeds `cap` (callers
+    * fall back to an exact semi-join or an unpruned merge).
+    */
+  private def keyInPredicate(groupBy: Seq[String],
+      keyRows: Array[org.apache.spark.sql.Row],
+      cap: Int): Option[org.apache.spark.sql.Column] =
+    if (keyRows.isEmpty || keyRows.length > cap) None
+    else Some(groupBy.indices.map { i =>
+      val vals = keyRows.map(_.get(i)).distinct.toSeq
+      val nn = vals.filter(_ != null)
+      val inC = if (nn.nonEmpty) Seq(col(groupBy(i)).isin(nn: _*)) else Nil
+      val nullC =
+        if (vals.contains(null)) Seq(col(groupBy(i)).isNull) else Nil
+      (inC ++ nullC).reduceOption(_ || _).getOrElse(lit(false))
+    }.reduce(_ && _))
+
   private def prefixed(df: DataFrame): DataFrame =
     df.select(df.columns.map(c => col(c).as(DeltaPrefix + c)).toSeq: _*)
 
@@ -819,6 +854,16 @@ object MaterializedViews {
     }
   }
 
+  /** The reported view row count is ITSELF a read of the state —
+    * O(view) on a billion-group view. Operators of corpus-scale views
+    * disable it (`spark.graft.mv.refresh.count-rows = false` → -1);
+    * the refresh's own work never depends on it.
+    */
+  private def countRows(spark: SparkSession, df: => DataFrame): Long =
+    if (spark.conf.get("spark.graft.mv.refresh.count-rows", "true")
+        .toBoolean) df.count()
+    else -1L
+
   private def finish(spark: SparkSession, cat: GraftCatalog, ns: String,
       mv: String, mvFull: String, mode: String,
       committed: Boolean): Option[RefreshResult] =
@@ -826,7 +871,7 @@ object MaterializedViews {
     else {
       graft.spark.GraftMvRewrite.invalidate(cat.name(), s"$ns.$mv")
       maybeCompactState(spark, cat, ns, mv)
-      Some(RefreshResult(mode, spark.table(mvFull).count()))
+      Some(RefreshResult(mode, countRows(spark, spark.table(mvFull))))
     }
 
   /** Bounded read amplification on the serving path: every
@@ -910,25 +955,15 @@ object MaterializedViews {
     // Copy-on-write state tables skip this: Spark's own row-level
     // runtime group filtering already scopes their rewrite (and its
     // planner rejects exotic extra conjuncts in the merge condition).
-    val eqDelta = {
-      val p = cat.loadTable(Identifier.of(Array(ns), mv)).properties()
-      graft.spark.GraftCatalog.MergeModeMergeOnReadEq ==
-        p.get(graft.spark.GraftCatalog.MergeModeProp)
-    }
     val cap = spark.conf.get("spark.graft.mv.groups.inlist-cap", "1000").toInt
-    val keyRows =
-      if (!eqDelta) Array.empty[org.apache.spark.sql.Row]
-      else delta.select(groupBy.map(col): _*).limit(cap + 1).collect()
     val targetPrune: Option[org.apache.spark.sql.Column] =
-      if (!eqDelta || keyRows.isEmpty || keyRows.length > cap) None
-      else Some(groupBy.indices.map { i =>
-        val vals = keyRows.map(_.get(i)).distinct.toSeq
-        val nn = vals.filter(_ != null)
-        val inC = if (nn.nonEmpty) Seq(col(groupBy(i)).isin(nn: _*)) else Nil
-        val nullC =
-          if (vals.contains(null)) Seq(col(groupBy(i)).isNull) else Nil
-        (inC ++ nullC).reduceOption(_ || _).getOrElse(lit(false))
-      }.reduce(_ && _))
+      if (!isEqDelta(cat, ns, mv)) None
+      else {
+        val keyRows = delta.select(groupBy.map(col): _*)
+          .limit(cap + 1).collect()
+        if (keyRows.isEmpty) None
+        else keyInPredicate(groupBy, keyRows, cap)
+      }
     val cond = targetPrune.foldLeft(
       groupBy.map(k => col(k) <=> dc(k)).reduce(_ && _))(_ && _)
     val committed = stateTxn(cat, ns, mv, expect, watermarks) {

@@ -232,7 +232,14 @@ object IcebergDeleteObjects {
             .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
           require(parts.size == 1,
             s"expected one materialized delete part file, got $parts")
-          storage.move(parts.head, destRel)
+          // a racing request may have materialized the SAME snapshot's
+          // deletes first (the caller's exists-check is TOCTOU) — the
+          // content is deterministic, so losing the move is success
+          try storage.move(parts.head, destRel)
+          catch {
+            case e: Exception =>
+              if (!storage.exists(destRel)) throw e
+          }
         } finally {
           try storage.deleteTree(scratch) catch { case _: Exception => () }
         }

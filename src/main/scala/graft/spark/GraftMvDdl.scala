@@ -118,6 +118,30 @@ object GraftMvDdl {
         (l, jp, None)
     }
 
+    // alias/table qualifiers are VALID in the statement but must not
+    // leak into the stored definition (maintenance and the rewrite
+    // resolve single-part names against the source frames, where the
+    // statement's aliases don't exist) — strip known qualifiers,
+    // refuse unknown ones
+    val relNames: Set[String] =
+      left.names ++ joinPart.map(_._1.names).getOrElse(Set.empty)
+    def strip(e: Expression): Expression = e.transformUp {
+      case ua: UnresolvedAttribute => ua.nameParts match {
+        case Seq(_) => ua
+        case Seq(q, c) if relNames(q.toLowerCase) =>
+          UnresolvedAttribute(Seq(c))
+        case parts => fail(s"unsupported column reference " +
+          s"${parts.mkString(".")} — qualify with a FROM table name " +
+          "or alias")
+      }
+    }
+    def renderArg(e: Expression): String = {
+      val sql = exprSql(strip(e))
+      if (sql.contains(";"))
+        fail(s"';' in aggregate or WHERE expression: $sql")
+      sql
+    }
+
     val groupKeys = agg.groupingExpressions.map {
       case ua: UnresolvedAttribute => ua.nameParts.last
       case other => fail(s"GROUP BY must list plain columns, " +
@@ -143,14 +167,11 @@ object GraftMvDdl {
             case Seq(_: UnresolvedStar) => Some(AggSpec(name, "count", "1"))
             case Seq(Literal(v, _)) if v != null =>
               Some(AggSpec(name, "count", "1"))
-            case Seq(one) => Some(AggSpec(name, "count", exprSql(one)))
+            case Seq(one) => Some(AggSpec(name, "count", renderArg(one)))
             case _ => fail(s"count takes one argument: ${exprSql(al)}")
           }
           case "sum" | "min" | "max" => f.arguments match {
-            case Seq(one) =>
-              val sql = exprSql(one)
-              if (sql.contains(";")) fail(s"';' in aggregate expression: $sql")
-              Some(AggSpec(name, fn, sql))
+            case Seq(one) => Some(AggSpec(name, fn, renderArg(one)))
             case _ => fail(s"$fn takes one argument: ${exprSql(al)}")
           }
           case "avg" | "mean" => fail("avg is not incrementally " +
@@ -167,7 +188,7 @@ object GraftMvDdl {
       "aggregate (count/sum/min/max)")
 
     Derived(left.ns, left.table, groupKeys, aggSpecs,
-      whereExpr.map(exprSql), joinPart.map { case (r, pairs) =>
+      whereExpr.map(renderArg), joinPart.map { case (r, pairs) =>
         JoinSpec(r.ns, r.table, pairs)
       })
   }

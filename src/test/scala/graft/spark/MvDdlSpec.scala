@@ -91,12 +91,14 @@ class MvDdlSpec extends AnyFunSuite {
     spark.sql("""INSERT INTO mvd.ns2.dim
                  SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END
                  FROM range(0, 50, 1, 2)""")
+    // alias-qualified WHERE and aggregate arguments are stripped into
+    // the stored definition (maintenance frames have no aliases)
     val created = spark.sql(
       """CREATE MATERIALIZED VIEW mvd.ns2.mv AS
          SELECT seg, count(*) AS n,
-                sum(CAST(amount AS DECIMAL(18,2))) AS total
+                sum(CAST(f.amount AS DECIMAL(18,2))) AS total
          FROM mvd.ns2.fact f JOIN mvd.ns2.dim d ON f.fk = d.id
-         GROUP BY seg""").head
+         WHERE f.amount >= 0 GROUP BY seg""").head
     assert(created.getString(0) == "full")
     // fact append refreshes through the two-sided delta rule
     spark.sql("INSERT INTO mvd.ns2.fact VALUES (1, 2.5), (2, 3.5)")
@@ -109,6 +111,7 @@ class MvDdlSpec extends AnyFunSuite {
       """SELECT seg, count(*), CAST(sum(CAST(amount AS DECIMAL(18,2)))
                                     AS DOUBLE)
          FROM mvd.ns2.fact f JOIN mvd.ns2.dim d ON f.fk = d.id
+         WHERE amount >= 0
          GROUP BY seg ORDER BY seg""").collect().map(_.toString).toSeq
     assert(state == truth)
     spark.sql("DROP MATERIALIZED VIEW mvd.ns2.mv")
@@ -143,5 +146,14 @@ class MvDdlSpec extends AnyFunSuite {
     assert(msgOf("""CREATE MATERIALIZED VIEW mvd.ns3.m AS
                     SELECT v, count(*) AS n FROM mvd.ns3.t""")
       .contains("GROUP BY"))
+    // an unknown qualifier never leaks into the stored definition
+    assert(msgOf("""CREATE MATERIALIZED VIEW mvd.ns3.m AS
+                    SELECT k, sum(x.v) AS s FROM mvd.ns3.t GROUP BY k""")
+      .contains("unsupported column reference"))
+    // a ';' smuggled through a count() literal cannot corrupt the
+    // serialized aggregate spec
+    assert(msgOf("""CREATE MATERIALIZED VIEW mvd.ns3.m AS
+                    SELECT k, count(nullif(CAST(v AS STRING), 'a;b')) AS n
+                    FROM mvd.ns3.t GROUP BY k""").contains("';'"))
   }
 }

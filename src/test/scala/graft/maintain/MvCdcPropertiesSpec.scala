@@ -43,7 +43,11 @@ class MvCdcPropertiesSpec extends AnyFunSuite {
 
   test("a seeded mixed op sequence keeps both views equal to the " +
       "from-scratch aggregate after every refresh") {
-    val rnd = new scala.util.Random(20260816L)
+    // seed/steps override for ad-hoc long soaks:
+    //   SPARK_GRAFT_MV_SOAK_STEPS=60 SPARK_GRAFT_MV_SOAK_SEED=7 sbt ...
+    val steps = sys.env.getOrElse("SPARK_GRAFT_MV_SOAK_STEPS", "14").toInt
+    val rnd = new scala.util.Random(
+      sys.env.getOrElse("SPARK_GRAFT_MV_SOAK_SEED", "20260816").toLong)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS mcp.ns1")
     spark.sql("CREATE TABLE mcp.ns1.src (id BIGINT, k BIGINT, v DOUBLE)")
     // v = id/4 is exact in binary; NULL k and NULL v rows ride along
@@ -110,7 +114,7 @@ class MvCdcPropertiesSpec extends AnyFunSuite {
     val mmModes = scala.collection.mutable.Set.empty[String]
     val joinModes = scala.collection.mutable.Set.empty[String]
     var nextId = 3000L
-    (1 to 14).foreach { step =>
+    (1 to steps).foreach { step =>
       rnd.nextInt(4) match {
         case 0 => // append (sometimes tiny, sometimes larger)
           val n = 50 + rnd.nextInt(800)

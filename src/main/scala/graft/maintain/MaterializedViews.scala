@@ -441,7 +441,19 @@ object MaterializedViews {
     */
   def refresh(spark: SparkSession, cat: GraftCatalog,
       ident: Identifier): RefreshResult = {
-    val maxAttempts = 8
+    // contention budget and backoff are conf'd: under contention
+    // heavier than a handful of sessions, a fixed linear backoff has
+    // herd members retrying in near-lockstep until the budget runs
+    // out — exponential backoff with full jitter de-synchronizes them
+    val maxAttempts = spark.conf
+      .get("spark.graft.mv.refresh.max-attempts", "8").toInt
+    val baseMs = spark.conf
+      .get("spark.graft.mv.refresh.backoff-ms", "25").toLong
+    def backoff(attempt: Int): Unit = {
+      val cap = math.max(1L, baseMs * (1L << math.min(attempt, 6)))
+      Thread.sleep(1L +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(cap))
+    }
     var attempts = 0
     while (attempts < maxAttempts) {
       attempts += 1
@@ -452,14 +464,14 @@ object MaterializedViews {
             // a concurrent refresh advanced the watermark — same herd
             // as a lost commit, same backoff before recomputing the
             // delta from the new base
-            Thread.sleep(25L * attempts)
+            backoff(attempts)
         }
       } catch {
         case _: graft.txn.CommitFailedException if attempts < maxAttempts =>
           // losing the optimistic commit means a sibling refresh (or
-          // any writer) landed first — back off briefly so a herd of
+          // any writer) landed first — back off so a herd of
           // refreshers converges instead of spinning in lockstep
-          Thread.sleep(25L * attempts)
+          backoff(attempts)
       }
     }
     throw new IllegalStateException(
@@ -638,6 +650,11 @@ object MaterializedViews {
       return commitWatermarkOnly(spark, cat, ns, mv, mvFull, expect, wms,
         "groups")
     val touched = touchedParts.reduce(_ union _).distinct()
+    // the key collect below, the (possible) semi-join, and the state
+    // MERGE's left join each evaluate the touched-key set — persist
+    // the delta-sized frame so it computes once, not three times
+    touched.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val cap = spark.conf.get("spark.graft.mv.groups.inlist-cap", "1000").toInt
     val keyRows = touched.limit(cap + 1).collect()
     if (keyRows.isEmpty)
@@ -696,6 +713,7 @@ object MaterializedViews {
         .merge()
     }
     finish(spark, cat, ns, mv, mvFull, "groups", committed)
+    } finally touched.unpersist(false)
   }
 
   /** REFRESH of a JOIN view: the two-sided delta rule
@@ -956,8 +974,15 @@ object MaterializedViews {
     // runtime group filtering already scopes their rewrite (and its
     // planner rejects exotic extra conjuncts in the merge condition).
     val cap = spark.conf.get("spark.graft.mv.groups.inlist-cap", "1000").toInt
+    val eqDelta = isEqDelta(cat, ns, mv)
+    // the key collect below and the MERGE both evaluate the delta —
+    // persist the (delta-sized) grouped frame so the range aggregation
+    // computes once, not twice
+    if (eqDelta)
+      delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val targetPrune: Option[org.apache.spark.sql.Column] =
-      if (!isEqDelta(cat, ns, mv)) None
+      if (!eqDelta) None
       else {
         val keyRows = delta.select(groupBy.map(col): _*)
           .limit(cap + 1).collect()
@@ -1002,6 +1027,7 @@ object MaterializedViews {
       writer.merge()
     }
     finish(spark, cat, ns, mv, mvFull, mode, committed)
+    } finally if (eqDelta) delta.unpersist(false)
   }
 
   /** Full-recompute commit: overwrite the whole state (the recompute

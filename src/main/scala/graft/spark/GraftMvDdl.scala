@@ -135,12 +135,16 @@ object GraftMvDdl {
           "or alias")
       }
     }
-    def renderArg(e: Expression): String = {
+    // ';' is the AggsProp entry separator, so only AGGREGATE exprs
+    // need the guard — WHERE is stored in its own property and passes
+    // verbatim (a string literal like 'a;b' is a legitimate predicate)
+    def renderAgg(e: Expression): String = {
       val sql = exprSql(strip(e))
       if (sql.contains(";"))
-        fail(s"';' in aggregate or WHERE expression: $sql")
+        fail(s"';' in aggregate expression: $sql")
       sql
     }
+    def renderWhere(e: Expression): String = exprSql(strip(e))
 
     val groupKeys = agg.groupingExpressions.map {
       case ua: UnresolvedAttribute => ua.nameParts.last
@@ -167,11 +171,11 @@ object GraftMvDdl {
             case Seq(_: UnresolvedStar) => Some(AggSpec(name, "count", "1"))
             case Seq(Literal(v, _)) if v != null =>
               Some(AggSpec(name, "count", "1"))
-            case Seq(one) => Some(AggSpec(name, "count", renderArg(one)))
+            case Seq(one) => Some(AggSpec(name, "count", renderAgg(one)))
             case _ => fail(s"count takes one argument: ${exprSql(al)}")
           }
           case "sum" | "min" | "max" => f.arguments match {
-            case Seq(one) => Some(AggSpec(name, fn, renderArg(one)))
+            case Seq(one) => Some(AggSpec(name, fn, renderAgg(one)))
             case _ => fail(s"$fn takes one argument: ${exprSql(al)}")
           }
           case "avg" | "mean" => fail("avg is not incrementally " +
@@ -188,7 +192,7 @@ object GraftMvDdl {
       "aggregate (count/sum/min/max)")
 
     Derived(left.ns, left.table, groupKeys, aggSpecs,
-      whereExpr.map(renderArg), joinPart.map { case (r, pairs) =>
+      whereExpr.map(renderWhere), joinPart.map { case (r, pairs) =>
         JoinSpec(r.ns, r.table, pairs)
       })
   }

@@ -85,15 +85,29 @@ private[spark] class GraftMicroBatchStream(
         // mainLineage falls back to the unsorted global id-interval
         // view when the chain is broken (expired mid-chain snapshot) —
         // an intermediate offset from THAT list could itself be a
-        // branch snapshot. Only step through an INTACT chain (each
-        // element parent-linked, rooted at s); otherwise take cur in
-        // one batch — planInputPartitions re-gates the range anyway.
-        val intact = lineage.nonEmpty &&
-          lineage.iterator.zip(lineage.iterator.drop(1)).forall {
-            case (a, b) => b.parentId == a.id
-          } && (lineage.head.parentId == s || (s < 0 && lineage.head.parentId < 0))
-        if (!intact) cur
-        else lineage.take(math.min(n, lineage.size.toLong).toInt).last.id
+        // branch snapshot. Only step through the INTACT PREFIX of the
+        // chain (each element parent-linked, rooted at s): a break
+        // past the cap doesn't matter, and a break within it still
+        // caps the batch at the linked prefix instead of jumping to
+        // cur (which would bypass the per-trigger bound and process
+        // the whole backlog in one batch). Only when NO parent-linked
+        // prefix from s exists take cur — planInputPartitions re-gates
+        // the range anyway.
+        val prefix = {
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[graft.format.Snapshot]
+          var prev = s
+          val it = lineage.iterator
+          var linked = true
+          while (linked && it.hasNext && buf.size < n) {
+            val sn = it.next()
+            if (sn.parentId == prev || (prev < 0 && sn.parentId < 0)) {
+              buf += sn; prev = sn.id
+            } else linked = false
+          }
+          buf
+        }
+        if (prefix.isEmpty) cur else prefix.last.id
       }
     }.getOrElse(cur))
   }

@@ -17,10 +17,16 @@ class MvGroupsPruneSpec extends AnyFunSuite {
 
   private lazy val warehouse = Files.createTempDirectory("graft-mgp").toString
 
-  lazy val spark: SparkSession = graft.Verify.sessionBuilder("4")
-    .config("spark.sql.catalog.mgp", classOf[GraftCatalog].getName)
-    .config("spark.sql.catalog.mgp.warehouse", warehouse)
-    .getOrCreate()
+  // the tests mutate MV runtime conf (compact-after-deletes,
+  // debug-scan-files) — an ISOLATED session (own SQLConf, shared
+  // SparkContext) keeps those knobs from bleeding into suites running
+  // concurrently against the getOrCreate-shared session
+  lazy val spark: SparkSession = {
+    val s = graft.Verify.sessionBuilder("4").getOrCreate().newSession()
+    s.conf.set("spark.sql.catalog.mgp", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.mgp.warehouse", warehouse)
+    s
+  }
 
   test("a sparse delete on a min/max view recomputes from a pruned " +
       "file subset and the state matches truth") {

@@ -124,6 +124,97 @@ object Maintenance {
     CompactionResult(before, newFiles.size)
   }
 
+  /** PARTITION-SCOPED compaction fold for hash-bucketed merge-on-read
+    * state tables (the materialized-view state path): when every
+    * pending delete is an EQUALITY delete and every partition
+    * transform is a bucket over a delete-key column, the delete keys
+    * determine exactly which buckets can contain matching rows — the
+    * fold rewrites ONLY those buckets' files (applying the deletes)
+    * and carries every other file into the new snapshot untouched, so
+    * at billions of groups a fold costs the touched buckets, never the
+    * view. Returns None when not applicable (unpartitioned, non-bucket
+    * transforms, pos/predicate deletes pending, transform columns
+    * outside the delete key set) — callers fall back to the full fold.
+    */
+  def compactTouchedPartitions(spark: SparkSession, cat: GraftCatalog,
+      ident: Identifier): Option[CompactionResult] = {
+    val storage = cat.storage
+    val ns = ident.namespace()(0)
+    val t = ident.name()
+    val txn = Graft.beginTransaction(storage)
+    val td = Graft.describeTable(storage, txn, ns, t)
+    val meta = TableMetadata.read(storage, td.metadataLocation)
+    val snap = meta.currentSnapshot.getOrElse { txn.close(); return None }
+    val eq = snap.eqDeletes
+    if (snap.deletes.nonEmpty || snap.posDeletes.nonEmpty || eq.isEmpty) {
+      txn.close(); return None
+    }
+    val spec = graft.spark.GraftCatalog.specOf(td.properties)
+    val keyCols = td.properties
+      .get(graft.spark.GraftCatalog.UpsertKeysProp)
+      .map(_.split(',').toSeq.map(_.trim)).getOrElse(Seq.empty)
+    // soundness: a delete key lands ONLY in its own bucket iff the
+    // bucket source column is one of the delete key columns
+    if (spec.isEmpty ||
+        !spec.forall(f => f.kind == graft.spark.PartitionTransforms.Bucket &&
+          keyCols.exists(_.equalsIgnoreCase(f.col)))) {
+      txn.close(); return None
+    }
+    val current = graft.format.Manifests.filesOf(storage, snap)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    import org.apache.spark.sql.functions.col
+    // touched bucket values: the SAME derive expressions the write
+    // path uses, evaluated over the pending delete keys (delta-sized;
+    // the distinct value set is bounded by the bucket count)
+    val delKeys = spark.read.parquet(eq.map(p =>
+      storage.absolute(p.path)): _*)
+    val derived = spec.foldLeft(delKeys) { (df, f) =>
+      df.withColumn(f.dirName, org.apache.spark.sql.graft.SparkInternals
+        .column(f.expr(org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute(Seq(f.col)), df.schema(f.col).dataType)))
+    }
+    val dirCols = graft.spark.PartitionTransforms.dirNames(spec)
+    val touched: Set[Seq[String]] = derived
+      .select(dirCols.map(col): _*).distinct().collect()
+      .map(r => dirCols.indices.map(i => String.valueOf(r.get(i))).toSeq)
+      .toSet
+    def partValsOf(path: String): Option[Seq[String]] = {
+      val segs = path.split('/').filter(_.contains('='))
+      Some(dirCols.map { dn =>
+        segs.find(_.startsWith(dn + "=")) match {
+          case Some(s) => s.drop(dn.length + 1)
+          case None => return None
+        }
+      })
+    }
+    // a file whose partition can't be determined is conservatively
+    // touched (Option.forall is true for None → lands in `touchedF`)
+    val (touchedF, carry) = current.partition(f =>
+      partValsOf(f.path).forall(touched.contains))
+    val newFiles =
+      if (touchedF.isEmpty) Seq.empty
+      else {
+        val dataRoot = storage.absolute(FileLocations.tableDataDir(ns, t))
+        val df = graft.spark.MorDeletes.readEntries(spark, schema,
+          Some(dataRoot), touchedF.map(f => (storage.absolute(f.path), f)),
+          Seq.empty, Seq.empty,
+          eqDeletes = eq.map(p => (storage.absolute(p.path), p)),
+          posDeleteBytes = 0L)
+        graft.spark.GraftCatalog.commitDataFiles(
+          df, spec, storage, ns, t,
+          writeOpts = graft.spark.GraftWriteSupport
+            .parquetOptions(td.properties, schema),
+          bloom = graft.format.FileBloom.specOf(td.properties,
+            graft.spark.ColumnMapping.renames(schema)))
+      }
+    // the overwrite commit clears the pending delete list — sound
+    // because every delete-key row could only live in a touched bucket
+    commitSnapshot(cat, txn, ns, t, "compact",
+      graft.format.OverwriteFiles(carry ++ newFiles))
+    Some(CompactionResult(current.size, carry.size + newFiles.size))
+  }
+
   final case class RewriteDeletesResult(objectsBefore: Int, objectsAfter: Int,
       rowsBefore: Long, rowsAfter: Long)
 

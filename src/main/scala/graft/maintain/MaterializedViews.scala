@@ -63,6 +63,17 @@ object MaterializedViews {
   val SourceTableProp = "graft.mv.source-table"
   val GroupByProp = "graft.mv.group-by"
   val AggsProp = "graft.mv.aggs"
+  /** Expression keys: `name:expr` entries separated by ';' for group
+    * keys that are not plain source columns — the canonical case is a
+    * time-bucketed rollup (`day:date_trunc('DAY', ts)`). The
+    * expression is materialized as a NAMED state column, and every
+    * maintenance path (full / incremental / cdc / groups) evaluates it
+    * on its input before grouping, so the state table itself only ever
+    * sees named key columns. Expressions must be deterministic (the
+    * same row must land in the same group on every refresh) and may
+    * reference any source column.
+    */
+  val KeyExprsProp = "graft.mv.key-exprs"
   /** Optional defining predicate (SQL over source columns — any
     * columns, not just keys): the view aggregates only matching rows.
     * Every maintenance path applies it to its input — the full
@@ -74,6 +85,15 @@ object MaterializedViews {
     */
   val WhereProp = "graft.mv.where"
   val RefreshedSnapshotProp = "graft.mv.refreshed-snapshot"
+  /** Per-VIEW bounded staleness: when set on the MV table, the rewrite
+    * serves queries from this view while every unabsorbed source
+    * commit is younger than the bound — regardless of the session's
+    * `spark.graft.mv.rewrite.max-staleness-ms` — so one session can
+    * mix exact dashboards (views without the property) and
+    * stale-tolerant monitors (views with it). The view property wins
+    * over the session conf for the views that declare it.
+    */
+  val MaxStalenessProp = "graft.mv.max-staleness-ms"
   /** JOIN views: a second source (`ns`/`table`) inner-equi-joined to
     * the first on [[JoinOnProp]] (`leftcol=rightcol,...`). The view
     * aggregates over the JOIN result; [[RefreshedSnapshot2Prop]] is
@@ -90,6 +110,16 @@ object MaterializedViews {
   val Join2NsProp = "graft.mv.join-namespace"
   val Join2TableProp = "graft.mv.join-table"
   val JoinOnProp = "graft.mv.join-on"
+  /** `inner` (absent = inner) or `left`: a LEFT-join view aggregates
+    * over A ⟕ B, null-extending unmatched left rows. Incremental
+    * maintenance uses Δ(A⟕B) = ΔA⟕B_cur + A_prev⋈ΔB −
+    * nullext((A_prev⋉ΔB)▷B_prev): a right-side append RETRACTS the
+    * null-extended contribution of left rows that just gained their
+    * first match, so right-side deltas need the counting-algorithm
+    * aggregate class ([[cdcMaintainable]]); fact-side-only appends
+    * stay unsigned and work for any aggregate set.
+    */
+  val JoinTypeProp = "graft.mv.join-type"
   val RefreshedSnapshot2Prop = "graft.mv.refreshed-snapshot2"
   /** On the SOURCE table: comma-separated `ns.mv` list of views
     * derived from it — the zero-I/O trigger for
@@ -98,16 +128,79 @@ object MaterializedViews {
     */
   val DerivedProp = "graft.mv.derived"
 
-  /** One aggregate column: `out:fn:expr` with fn ∈ count|sum|min|max;
-    * entries separate with ';' so `expr` may contain commas
-    * (e.g. `total:sum:CAST(price AS DECIMAL(18,2))`). `count:1` is
-    * the row count; any other count expr is the SQL null-sensitive
-    * `count(expr)` — both merge by summing partials.
+  /** Opt-in refresh-on-write: `graft.mv.refresh-on-commit=true` on the
+    * SOURCE table enqueues a best-effort ASYNC refresh of each derived
+    * view after a write commit lands, so serving freshness doesn't
+    * depend on external scheduling. Fire-and-forget: the user's commit
+    * has already committed when the hook enqueues; a hook failure (or
+    * losing the optimistic race to another refresher) never fails the
+    * user's write. A commit burst COALESCES — at most one queued
+    * refresh per view at a time — and the pending marker clears when
+    * the refresh STARTS, so a commit landing mid-refresh re-enqueues
+    * (its delta may postdate the running refresh's watermark read).
+    */
+  val RefreshOnCommitProp = "graft.mv.refresh-on-commit"
+
+  private lazy val hookPool = java.util.concurrent.Executors
+    .newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-mv-refresh-on-commit")
+      t.setDaemon(true)
+      t
+    })
+  private val pendingHooks =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Called by write paths after their commit; never throws. The
+    * session is resolved HERE (active on the committing thread, else
+    * the default session — streaming epoch commits run on a stream
+    * thread with no active session) and captured for the hook thread.
+    */
+  private[graft] def maybeRefreshOnCommit(
+      cat: GraftCatalog, props: java.util.Map[String, String]): Unit =
+    try {
+      if (!"true".equalsIgnoreCase(props.get(RefreshOnCommitProp))) return
+      val spark = SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession).getOrElse(return)
+      parseDerived(props.get(DerivedProp)).foreach { nsMv =>
+        val key = s"${cat.name()}:$nsMv"
+        if (pendingHooks.add(key))
+          hookPool.execute(() => {
+            pendingHooks.remove(key)
+            try {
+              nsMv.split('.') match {
+                case Array(ns, mv) =>
+                  refresh(spark, cat, Identifier.of(Array(ns), mv))
+                  ()
+                case _ => ()
+              }
+            } catch { case scala.util.control.NonFatal(_) => () }
+          })
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Test/ops hook: block until the refresh-on-commit queue drains. */
+  private[graft] def awaitRefreshHooks(): Unit = {
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    hookPool.execute(() => latch.countDown())
+    latch.await(60, java.util.concurrent.TimeUnit.SECONDS)
+    ()
+  }
+
+  /** One aggregate column: `out:fn:expr` with fn ∈
+    * count|sum|min|max|hll; entries separate with ';' so `expr` may
+    * contain commas (e.g. `total:sum:CAST(price AS DECIMAL(18,2))`).
+    * `count:1` is the row count; any other count expr is the SQL
+    * null-sensitive `count(expr)` — both merge by summing partials.
+    * `hll` stores a Datasketches HLL sketch of the expression's
+    * values (BINARY state): partials merge by sketch UNION, so a
+    * distinct-count view refreshes incrementally — reads estimate via
+    * `hll_sketch_estimate`. Sketches cannot retract; deletes take the
+    * group-scoped recompute like min/max.
     */
   final case class AggSpec(out: String, fn: String, expr: String) {
-    require(Set("count", "sum", "min", "max")(fn),
+    require(Set("count", "sum", "min", "max", "hll")(fn),
       s"mv aggregate '$fn' is not incrementally maintainable " +
-        "(count|sum|min|max; express avg as sum/count)")
+        "(count|sum|min|max|hll; express avg as sum/count)")
     /** Row count (`count:1`) vs null-sensitive `count(col)`. */
     def isCountStar: Boolean = fn == "count" && expr.trim == "1"
     def firstPass: org.apache.spark.sql.Column = (fn match {
@@ -116,14 +209,34 @@ object MaterializedViews {
       case "sum" => sum(org.apache.spark.sql.functions.expr(expr))
       case "min" => min(org.apache.spark.sql.functions.expr(expr))
       case "max" => max(org.apache.spark.sql.functions.expr(expr))
+      case "hll" =>
+        hll_sketch_agg(org.apache.spark.sql.functions.expr(expr))
     }).as(out)
-    /** Combine of two partial states of this aggregate. */
+    /** Combine of two partial states of this aggregate (aggregate
+      * form, for unioning partial frames).
+      */
     def merge: org.apache.spark.sql.Column = (fn match {
       case "count" | "sum" => sum(col(out))
       case "min" => min(col(out))
       case "max" => max(col(out))
+      case "hll" => hll_union_agg(col(out))
     }).as(out)
   }
+
+  /** `name:expr;...` — name up to the FIRST ':' (exprs may contain
+    * ':' in casts and time literals; ';' is the separator and is
+    * rejected at definition time).
+    */
+  def parseKeyExprs(spec: String): Seq[(String, String)] =
+    Option(spec).map(_.split(';').toSeq.map(_.trim).filter(_.nonEmpty)
+      .map { e =>
+        val i = e.indexOf(':')
+        require(i > 0, s"mv key-expr entry '$e' is not name:expr")
+        (e.substring(0, i).trim, e.substring(i + 1).trim)
+      }).getOrElse(Seq.empty)
+
+  def formatKeyExprs(keyExprs: Seq[(String, String)]): String =
+    keyExprs.map { case (n, e) => s"$n:$e" }.mkString(";")
 
   def parseAggs(spec: String): Seq[AggSpec] =
     spec.split(';').toSeq.map(_.trim).filter(_.nonEmpty).map { e =>
@@ -136,12 +249,15 @@ object MaterializedViews {
 
   final case class RefreshResult(mode: String, mvRows: Long)
 
-  /** A join view's second source: inner-equi-joined to the first on
-    * `on` (left-source column, right-source column) pairs.
+  /** A join view's second source: equi-joined to the first on `on`
+    * (left-source column, right-source column) pairs; `joinType` is
+    * `inner` or `left`.
     */
   final case class JoinSpec(ns: String, table: String,
-      on: Seq[(String, String)]) {
+      on: Seq[(String, String)], joinType: String = "inner") {
     require(on.nonEmpty, "join view needs at least one leftcol=rightcol pair")
+    require(joinType == "inner" || joinType == "left",
+      s"join view type must be inner or left, got $joinType")
     def onFormatted: String = on.map { case (l, r) => s"$l=$r" }.mkString(",")
   }
 
@@ -283,9 +399,22 @@ object MaterializedViews {
     }.getOrElse(throw new IllegalStateException(
       "materialized view source is not a graft table scan"))
 
+  /** Materialize expression keys as named columns alongside the source
+    * columns (aggregate exprs and the defining predicate still resolve
+    * against the source). Skips a key whose column already exists —
+    * maintenance paths may pre-key a frame before scoping it.
+    */
+  private def keyed(df: DataFrame,
+      keyExprs: Seq[(String, String)]): DataFrame =
+    keyExprs.foldLeft(df) { case (d, (n, e)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(n))) d
+      else d.withColumn(n, expr(e))
+    }
+
   private def aggregate(src: DataFrame, groupBy: Seq[String],
-      aggs: Seq[AggSpec]): DataFrame =
-    src.groupBy(groupBy.map(col): _*)
+      aggs: Seq[AggSpec],
+      keyExprs: Seq[(String, String)] = Seq.empty): DataFrame =
+    keyed(src, keyExprs).groupBy(groupBy.map(col): _*)
       .agg(aggs.head.firstPass, aggs.tail.map(_.firstPass): _*)
 
   /** Apply the view's defining predicate (NULL drops the row, like a
@@ -298,11 +427,11 @@ object MaterializedViews {
     * the definition properties, and records the exact source snapshot
     * the initial state reflects.
     */
-  /** Inner equi-join of two frames on the declared column pairs. */
+  /** Equi-join of two frames on the declared column pairs. */
   private def joinFrames(l: DataFrame, r: DataFrame,
-      on: Seq[(String, String)]): DataFrame =
+      on: Seq[(String, String)], joinType: String = "inner"): DataFrame =
     l.join(r, on.map { case (lc, rc) => l(lc) === r(rc) }.reduce(_ && _),
-      "inner")
+      joinType)
 
   /** A table read pinned at one snapshot (the engine's `snap:` time
     * travel) — every side of an incremental join-delta term must be
@@ -315,7 +444,8 @@ object MaterializedViews {
   def create(spark: SparkSession, cat: GraftCatalog, ns: String, mv: String,
       srcNs: String, srcTable: String, groupBy: Seq[String],
       aggs: Seq[AggSpec], where: Option[String] = None,
-      join: Option[JoinSpec] = None): RefreshResult = {
+      join: Option[JoinSpec] = None,
+      keyExprs: Seq[(String, String)] = Seq.empty): RefreshResult = {
     require(groupBy.nonEmpty && aggs.nonEmpty,
       "materialized view needs group-by columns and aggregates")
     val src = spark.table(fullName(cat, srcNs, srcTable))
@@ -324,9 +454,24 @@ object MaterializedViews {
       case None => (src, None)
       case Some(j) =>
         val right = spark.table(fullName(cat, j.ns, j.table))
-        (joinFrames(src, right, j.on), Some(plannedSnapshotId(right)))
+        (joinFrames(src, right, j.on, j.joinType),
+          Some(plannedSnapshotId(right)))
     }
-    val state = aggregate(restrict(base, where), groupBy, aggs)
+    keyExprs.foreach { case (n, e) =>
+      require(groupBy.exists(_.equalsIgnoreCase(n)),
+        s"key expression '$n' must be one of the group-by keys")
+      require(!e.contains(";"), s"';' in key expression '$n': $e")
+      require(!base.columns.exists(_.equalsIgnoreCase(n)),
+        s"key expression '$n' shadows a source column — pick a name " +
+          "the source does not use")
+      // deterministic or the same row lands in different groups across
+      // refreshes (resolve through a projection; the parse also
+      // validates the SQL against the source schema up front)
+      val resolved = base.select(expr(e).as(n)).queryExecution.analyzed
+      require(resolved.expressions.forall(_.deterministic),
+        s"key expression '$n' must be deterministic: $e")
+    }
+    val state = aggregate(restrict(base, where), groupBy, aggs, keyExprs)
     // When every group key is NOT NULL and of an equality-delete key
     // type, the state table is MERGE-ON-READ with the group keys as
     // upsert keys: every incremental refresh below is then a MERGE
@@ -349,6 +494,8 @@ object MaterializedViews {
         AggsProp -> aggs.map(a => s"${a.out}:${a.fn}:${a.expr}")
           .mkString(";"),
         RefreshedSnapshotProp -> snapId.toString) ++
+      (if (keyExprs.isEmpty) Map.empty
+       else Map(KeyExprsProp -> formatKeyExprs(keyExprs))) ++
       (if (!eqDeltaKeys) Map.empty else Map(
         graft.spark.GraftCatalog.MergeModeProp ->
           graft.spark.GraftCatalog.MergeModeMergeOnReadEq,
@@ -357,12 +504,26 @@ object MaterializedViews {
       where.map(WhereProp -> _) ++
       join.toSeq.flatMap(j => Seq(Join2NsProp -> j.ns,
         Join2TableProp -> j.table, JoinOnProp -> j.onFormatted,
-        RefreshedSnapshot2Prop -> snap2.get.toString))
+        RefreshedSnapshot2Prop -> snap2.get.toString) ++
+        (if (j.joinType == "left") Seq(JoinTypeProp -> "left") else Nil))
     // explicit create + append instead of CTAS: Spark's CTAS marks
     // every output column nullable, which would disqualify NOT NULL
     // group keys from the equality-delta state path above. One atomic
     // catalog commit either way (own transaction unless the user has
     // one open).
+    // `spark.graft.mv.state.buckets = N` (default 0 = off) HASH-BUCKETS
+    // the equality-delta state table on the first group key: refresh
+    // merges and — crucially — the auto-compaction fold then scale by
+    // TOUCHED BUCKETS (Maintenance.compactTouchedPartitions), so at
+    // billions of groups a fold rewrites the buckets the deltas hit,
+    // never the whole view. Off by default: small views pay file
+    // fan-out per refresh for no benefit.
+    val buckets = spark.conf.get("spark.graft.mv.state.buckets", "0").toInt
+    val transforms: Array[org.apache.spark.sql.connector.expressions.Transform] =
+      if (eqDeltaKeys && buckets > 0)
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(buckets, groupBy.head))
+      else Array.empty
     val ownTxn = !cat.transactionActive
     if (ownTxn) cat.beginTransaction()
     try {
@@ -370,8 +531,7 @@ object MaterializedViews {
         org.apache.spark.sql.connector.catalog.Column.create(
           f.name, f.dataType, f.nullable))
       import scala.jdk.CollectionConverters._
-      cat.createTable(Identifier.of(Array(ns), mv), cols,
-        Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      cat.createTable(Identifier.of(Array(ns), mv), cols, transforms,
         props.asJava)
       state.writeTo(fullName(cat, ns, mv)).append()
       if (ownTxn) cat.commitTransaction()
@@ -506,14 +666,16 @@ object MaterializedViews {
     val srcT = props(SourceTableProp)
     val groupBy = props(GroupByProp).split(',').toSeq.map(_.trim)
     val aggs = parseAggs(props(AggsProp))
+    val keyExprs = parseKeyExprs(props.getOrElse(KeyExprsProp, null))
     val where = props.get(WhereProp)
     val last = props.get(RefreshedSnapshotProp).map(_.toLong).getOrElse(-1L)
 
     props.get(Join2NsProp).foreach { jns =>
       return refreshJoinOnce(spark, cat, ns, mv, mvFull0, stored, srcNs, srcT,
-        groupBy, aggs, where, last,
+        groupBy, aggs, keyExprs, where, last,
         props.get(RefreshedSnapshot2Prop).map(_.toLong).getOrElse(-1L),
-        JoinSpec(jns, props(Join2TableProp), parseJoinOn(props(JoinOnProp))))
+        JoinSpec(jns, props(Join2TableProp), parseJoinOn(props(JoinOnProp)),
+          props.getOrElse(JoinTypeProp, "inner")))
     }
 
     val txn2 = graft.catalog.Graft.beginTransaction(storage)
@@ -543,7 +705,7 @@ object MaterializedViews {
           case "sum" => sum(expr(a.expr) * sign)
         }).as(a.out)
       }
-      changes.groupBy(groupBy.map(col): _*)
+      keyed(changes, keyExprs).groupBy(groupBy.map(col): _*)
         .agg(signed.head, signed.tail: _*)
     }
     def appendDelta(s0: Long, e0: Long): DataFrame =
@@ -553,7 +715,7 @@ object MaterializedViews {
       aggregate(restrict(spark.read
         .option(GraftTable.StartSnapshotOption, s0.toString)
         .option(GraftTable.EndSnapshotOption, e0.toString)
-        .table(fullName(cat, srcNs, srcT)), where), groupBy, aggs)
+        .table(fullName(cat, srcNs, srcT)), where), groupBy, aggs, keyExprs)
 
     // segmented maintenance: the main parent chain splits into append
     // segments (file-delta read), net-zero maintenance rewrites
@@ -599,7 +761,7 @@ object MaterializedViews {
           mergePartials(deltas), signed = true, expect, wms, "cdc")
       case Some(ss) =>
         refreshGroups(spark, cat, ns, mv, mvFull0, mvSchema, groupBy, aggs,
-          where, srcNs, srcT, curId, ss, expect, wms)
+          keyExprs, where, srcNs, srcT, curId, ss, expect, wms)
       case None =>
         // the watermark comes from the PLANNED scan, not the earlier
         // metadata read — an append landing between the two would
@@ -607,7 +769,7 @@ object MaterializedViews {
         // next refresh (double-count)
         val src = spark.table(fullName(cat, srcNs, srcT))
         commitFull(spark, cat, ns, mv, mvFull0, mvSchema,
-          aggregate(restrict(src, where), groupBy, aggs), expect,
+          aggregate(restrict(src, where), groupBy, aggs, keyExprs), expect,
           Seq(RefreshedSnapshotProp -> plannedSnapshotId(src).toString),
           "full")
     }
@@ -627,7 +789,8 @@ object MaterializedViews {
   private def refreshGroups(spark: SparkSession, cat: GraftCatalog,
       ns: String, mv: String, mvFull: String,
       mvSchema: org.apache.spark.sql.types.StructType, groupBy: Seq[String],
-      aggs: Seq[AggSpec], where: Option[String], srcNs: String, srcT: String,
+      aggs: Seq[AggSpec], keyExprs: Seq[(String, String)],
+      where: Option[String], srcNs: String, srcT: String,
       curId: Long, segs: Seq[Segment], expect: Seq[(String, String)],
       wms: Seq[(String, String)]): Option[RefreshResult] = {
     val srcFull = fullName(cat, srcNs, srcT)
@@ -637,13 +800,13 @@ object MaterializedViews {
     // boundary touches its group from whichever side was in-domain)
     val touchedParts = segs.map {
       case Segment('A', s0, e0) =>
-        restrict(spark.read
+        keyed(restrict(spark.read
           .option(GraftTable.StartSnapshotOption, s0.toString)
           .option(GraftTable.EndSnapshotOption, e0.toString)
-          .table(srcFull), where).select(groupBy.map(col): _*)
+          .table(srcFull), where), keyExprs).select(groupBy.map(col): _*)
       case Segment(_, s0, e0) =>
-        restrict(graft.spark.TableChanges.between(spark, cat,
-          Identifier.of(Array(srcNs), srcT), s0, e0), where)
+        keyed(restrict(graft.spark.TableChanges.between(spark, cat,
+          Identifier.of(Array(srcNs), srcT), s0, e0), where), keyExprs)
           .select(groupBy.map(col): _*)
     }
     if (touchedParts.isEmpty)
@@ -663,7 +826,10 @@ object MaterializedViews {
       return commitWatermarkOnly(spark, cat, ns, mv, mvFull, expect, wms,
         "groups")
     val inPred = keyInPredicate(groupBy, keyRows, cap)
-    val srcCur = pinned(spark, srcFull, curId)
+    // expression keys materialize BEFORE the scope filter (the IN
+    // predicate names the key columns); the prune on plain-column keys
+    // still pushes past the projection into the scan
+    val srcCur = keyed(pinned(spark, srcFull, curId), keyExprs)
     val scoped = inPred match {
       // per-column IN lists are a SUPERSET prune (cross product of
       // per-column value sets); exactness is restored by the join
@@ -726,7 +892,8 @@ object MaterializedViews {
   private def refreshJoinOnce(spark: SparkSession, cat: GraftCatalog,
       ns: String, mv: String, mvFull: String, stored: DataFrame,
       srcNs: String, srcT: String, groupBy: Seq[String],
-      aggs: Seq[AggSpec], where: Option[String], lastA: Long,
+      aggs: Seq[AggSpec], keyExprs: Seq[(String, String)],
+      where: Option[String], lastA: Long,
       lastB: Long, j: JoinSpec): Option[RefreshResult] = {
     val storage = cat.storage
     val txn = graft.catalog.Graft.beginTransaction(storage)
@@ -751,7 +918,14 @@ object MaterializedViews {
       segsB.exists(_.forall(_.kind == 'A'))
     val expect = Seq(RefreshedSnapshotProp -> lastA.toString,
       RefreshedSnapshot2Prop -> lastB.toString)
-    if (incOk) {
+    // a LEFT-join view whose RIGHT side gained rows must RETRACT the
+    // null-extended contribution of left rows that just matched for
+    // the first time — retraction needs the counting-algorithm
+    // aggregate class; without it, only fact-side-only appends stay
+    // incremental
+    val rightDelta = segsB.exists(_.nonEmpty)
+    val leftNeedsSigned = j.joinType == "left" && rightDelta
+    if (incOk && (!leftNeedsSigned || cdcMaintainable(aggs))) {
       def deltaOf(full: String, segs: Seq[Segment]): Option[DataFrame] =
         segs.map(g => spark.read
           .option(GraftTable.StartSnapshotOption, g.start.toString)
@@ -763,12 +937,37 @@ object MaterializedViews {
       val aPrev = pinned(spark, aFull, lastA)
       // an append to one side joins only ITS delta against the
       // other side — at 100 TB a delta-sized join, never a corpus
-      // re-join
-      val parts =
-        dA.map(d => aggregate(restrict(joinFrames(d, bCur, j.on), where),
-          groupBy, aggs)).toSeq ++
+      // re-join. ΔA joins B_cur with the VIEW's join type (a left
+      // view null-extends its unmatched new facts); ΔB always joins
+      // inner (old facts gaining matches).
+      val plus =
+        dA.map(d => aggregate(
+          restrict(joinFrames(d, bCur, j.on, j.joinType), where),
+          groupBy, aggs, keyExprs)).toSeq ++
         dB.map(d => aggregate(restrict(joinFrames(aPrev, d, j.on), where),
-          groupBy, aggs)).toSeq
+          groupBy, aggs, keyExprs)).toSeq
+      // retraction term: left rows matching ΔB but nothing in B_prev
+      // were previously stored null-extended — aggregate them with the
+      // right side's columns as NULLs and subtract
+      val bPrev = pinned(spark, bFull, lastB)
+      val minus =
+        if (!leftNeedsSigned) Seq.empty
+        else dB.toSeq.map { d =>
+          val touched = aPrev.join(d,
+            j.on.map { case (lc, rc) => aPrev(lc) === d(rc) }
+              .reduce(_ && _), "left_semi")
+          val newlyMatched = touched.join(bPrev,
+            j.on.map { case (lc, rc) => touched(lc) === bPrev(rc) }
+              .reduce(_ && _), "left_anti")
+          val nullExtended = bPrev.schema.fields.foldLeft(newlyMatched)(
+            (f2, f) => f2.withColumn(f.name, lit(null).cast(f.dataType)))
+          val agged = aggregate(restrict(nullExtended, where), groupBy,
+            aggs, keyExprs)
+          agged.select(groupBy.map(col) ++
+            aggs.map(a => (col(a.out) * lit(-1)).cast(
+              agged.schema(a.out).dataType).as(a.out)): _*)
+        }
+      val parts = plus ++ minus
       val wms = Seq(RefreshedSnapshotProp -> curA.toString,
         RefreshedSnapshot2Prop -> curB.toString)
       if (parts.isEmpty)
@@ -782,13 +981,14 @@ object MaterializedViews {
             .agg(aggs.head.merge, aggs.tail.map(_.merge): _*)
         }
         commitMerge(spark, cat, ns, mv, mvFull, mvSchema, groupBy, aggs,
-          delta, signed = false, expect, wms, "incremental")
+          delta, signed = leftNeedsSigned, expect, wms, "incremental")
       }
     } else {
       val a = spark.table(aFull)
       val b = spark.table(bFull)
       commitFull(spark, cat, ns, mv, mvFull, mvSchema,
-        aggregate(restrict(joinFrames(a, b, j.on), where), groupBy, aggs),
+        aggregate(restrict(joinFrames(a, b, j.on, j.joinType), where),
+          groupBy, aggs, keyExprs),
         expect,
         Seq(RefreshedSnapshotProp -> plannedSnapshotId(a).toString,
           RefreshedSnapshot2Prop -> plannedSnapshotId(b).toString),
@@ -918,8 +1118,11 @@ object MaterializedViews {
     } finally txn.close()
     if (pending >= threshold)
       try {
-        Maintenance.compactDataFiles(spark, cat,
-          Identifier.of(Array(ns), mv))
+        val ident = Identifier.of(Array(ns), mv)
+        // bucketed state: fold only the buckets the pending delete
+        // keys can touch; unpartitioned state folds fully
+        if (Maintenance.compactTouchedPartitions(spark, cat, ident).isEmpty)
+          Maintenance.compactDataFiles(spark, cat, ident)
         ()
       } catch { case scala.util.control.NonFatal(_) => () }
   }
@@ -999,6 +1202,10 @@ object MaterializedViews {
               case "count" | "sum" => comb(a.out)
               case "min" => least(col(a.out), dc(a.out))
               case "max" => greatest(col(a.out), dc(a.out))
+              // sketch union is the aggregate's own combine; coalesce
+              // because an all-null group's partial sketch is NULL
+              case "hll" => coalesce(
+                hll_union(col(a.out), dc(a.out)), col(a.out), dc(a.out))
             }).cast(t(a.out))
           }.toMap)
           .whenNotMatched().insert(

@@ -3076,7 +3076,8 @@ object CatalogQueries {
                   WHERE o_orderkey % 4 != 0""")
         s.sql("""CREATE MATERIALIZED VIEW gmd.ns1.mv AS
                  SELECT o_orderstatus, count(*) AS n,
-                        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+                        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+                        avg(o_totalprice) AS ap
                  FROM gmd.ns1.ord
                  WHERE o_orderpriority = '1-URGENT'
                  GROUP BY o_orderstatus""")
@@ -3092,7 +3093,8 @@ object CatalogQueries {
         val q = s.sql(
           """SELECT o_orderstatus AS status, count(*) AS n,
                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                         AS DOUBLE) AS total
+                         AS DOUBLE) AS total,
+                    round(avg(o_totalprice), 2) AS ap
              FROM gmd.ns1.ord WHERE o_orderpriority = '1-URGENT'
              GROUP BY o_orderstatus ORDER BY status""")
         val servedByMv = q.queryExecution.optimizedPlan.collectFirst {
@@ -3106,7 +3108,8 @@ object CatalogQueries {
       },
       Some("""SELECT o_orderstatus AS status, count(*) AS n,
              |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-             |            AS DOUBLE) AS total
+             |            AS DOUBLE) AS total,
+             |       round(avg(o_totalprice), 2) AS ap
              |FROM orders WHERE o_orderpriority = '1-URGENT'
              |GROUP BY 1 ORDER BY status""".stripMargin)),
 
@@ -3153,6 +3156,220 @@ object CatalogQueries {
              |       count(*) AS n, min(o_totalprice) AS mn,
              |       max(o_totalprice) AS mx
              |FROM orders WHERE o_orderkey % 97 != 13
-             |GROUP BY 1, 2 ORDER BY status, prio""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY status, prio""".stripMargin)),
+
+    QueryDef(
+      "c69_mv_expr_key",
+      (s, d) => {
+        // EXPRESSION-KEYED materialized view — the canonical production
+        // MV shape: a daily rollup keyed on date_trunc('DAY', ts). The
+        // DDL accepts the expression GROUP BY (the alias names the
+        // state column), every maintenance path evaluates the
+        // expression on its delta (append → incremental, sparse CoW
+        // delete → cdc, both mode-pinned), and the MONTH aggregate
+        // below is served from the DAY view by the aligned roll-up
+        // (plan require). Values hash-match DuckDB recomputing the
+        // month rollup from scratch (exact DECIMAL sums).
+        ensureCatalog(s, "gme")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gme.ns1")
+        s.sql("DROP MATERIALIZED VIEW IF EXISTS gme.ns1.mv")
+        s.sql("DROP TABLE IF EXISTS gme.ns1.ord")
+        s.sql("""CREATE TABLE gme.ns1.ord (
+                   o_orderkey BIGINT NOT NULL,
+                   o_orderdate TIMESTAMP NOT NULL,
+                   o_totalprice DOUBLE)""")
+        s.sql(s"""INSERT INTO gme.ns1.ord
+                  SELECT o_orderkey, o_orderdate, o_totalprice
+                  FROM parquet.`$d/orders.parquet`
+                  WHERE o_orderkey % 3 != 0""")
+        s.sql("""CREATE MATERIALIZED VIEW gme.ns1.mv AS
+                 SELECT date_trunc('DAY', o_orderdate) AS day,
+                        count(*) AS n,
+                        count(CAST(o_totalprice AS DECIMAL(18,2))) AS np,
+                        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+                 FROM gme.ns1.ord
+                 GROUP BY date_trunc('DAY', o_orderdate)""")
+        s.sql(s"""INSERT INTO gme.ns1.ord
+                  SELECT o_orderkey, o_orderdate, o_totalprice
+                  FROM parquet.`$d/orders.parquet`
+                  WHERE o_orderkey % 3 = 0""")
+        val m1 = s.sql("REFRESH MATERIALIZED VIEW gme.ns1.mv")
+          .head.getString(0)
+        require(m1 == "incremental",
+          s"append on an expression-keyed view must refresh " +
+            s"incrementally, took: $m1")
+        s.sql("DELETE FROM gme.ns1.ord WHERE o_orderkey % 101 = 7")
+        val m2 = s.sql("REFRESH MATERIALIZED VIEW gme.ns1.mv")
+          .head.getString(0)
+        require(m2 == "cdc",
+          s"a sparse delete on a count/sum view must refresh via the " +
+            s"change feed, took: $m2")
+        val q = s.sql(
+          """SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS mon,
+                    count(*) AS n,
+                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE) AS total
+             FROM gme.ns1.ord
+             GROUP BY date_trunc('MONTH', o_orderdate) ORDER BY mon""")
+        val servedByMv = q.queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+              if r.relation.table.name().endsWith(".mv") => r
+        }.nonEmpty
+        require(servedByMv,
+          "the MONTH rollup must be served from the DAY-keyed view:\n" +
+            q.queryExecution.optimizedPlan.treeString)
+        q
+      },
+      Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |            AS DOUBLE) AS total
+             |FROM orders WHERE NOT (o_orderkey % 101 = 7)
+             |GROUP BY 1 ORDER BY mon""".stripMargin)),
+
+    QueryDef(
+      "c70_mv_distinct_sketch",
+      (s, d) => {
+        // DISTINCT-COUNT materialized view with MERGEABLE sketch
+        // state: approx_count_distinct(o_custkey) in the DDL stores a
+        // Datasketches HLL sketch per group; an append refreshes by
+        // partial-sketch UNION (mode-pinned incremental — never a
+        // re-scan of the seen data), and count(DISTINCT) over the
+        // source is served from the sketch under the explicit session
+        // opt-in (plan-pinned). The estimate is gated within 5% of the
+        // exact per-group count (in-query require); the returned frame
+        // carries the exact-checkable columns plus the gate outcome,
+        // hash-matched by DuckDB.
+        ensureCatalog(s, "gms")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gms.ns1")
+        s.sql("DROP MATERIALIZED VIEW IF EXISTS gms.ns1.mv")
+        s.sql("DROP TABLE IF EXISTS gms.ns1.ord")
+        s.sql("""CREATE TABLE gms.ns1.ord (
+                   o_orderkey BIGINT NOT NULL,
+                   o_orderstatus STRING NOT NULL, o_custkey BIGINT)""")
+        s.sql(s"""INSERT INTO gms.ns1.ord
+                  SELECT o_orderkey, o_orderstatus, o_custkey
+                  FROM parquet.`$d/orders.parquet`
+                  WHERE o_orderkey % 3 != 0""")
+        s.sql("""CREATE MATERIALIZED VIEW gms.ns1.mv AS
+                 SELECT o_orderstatus, count(*) AS n,
+                        approx_count_distinct(o_custkey) AS nd
+                 FROM gms.ns1.ord GROUP BY o_orderstatus""")
+        s.sql(s"""INSERT INTO gms.ns1.ord
+                  SELECT o_orderkey, o_orderstatus, o_custkey
+                  FROM parquet.`$d/orders.parquet`
+                  WHERE o_orderkey % 3 = 0""")
+        val mode = s.sql("REFRESH MATERIALIZED VIEW gms.ns1.mv")
+          .head.getString(0)
+        require(mode == "incremental",
+          s"a sketch view must refresh by partial union, took: $mode")
+        val distinctQ =
+          """SELECT o_orderstatus AS status, count(DISTINCT o_custkey) AS nd
+             FROM gms.ns1.ord GROUP BY o_orderstatus"""
+        s.conf.set("spark.graft.mv.rewrite.approx-distinct", "true")
+        val est = try {
+          val q = s.sql(distinctQ)
+          val servedByMv = q.queryExecution.optimizedPlan.collectFirst {
+            case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+                if r.relation.table.name().endsWith(".mv") => r
+          }.nonEmpty
+          require(servedByMv,
+            "the opted-in distinct count must be served from the sketch:\n" +
+              q.queryExecution.optimizedPlan.treeString)
+          q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        } finally s.conf.unset("spark.graft.mv.rewrite.approx-distinct")
+        val exact = s.sql(distinctQ)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(est.keySet == exact.keySet, "group sets must agree")
+        exact.foreach { case (k, ex) =>
+          val e = est(k)
+          require(math.abs(e - ex).toDouble <= math.max(0.05 * ex, 1.0),
+            s"sketch estimate outside 5% tolerance for $k: $e vs $ex")
+        }
+        s.sql("""SELECT o_orderstatus AS status, count(*) AS n,
+                        true AS nd_ok
+                 FROM gms.ns1.ord GROUP BY 1 ORDER BY status""")
+      },
+      Some("""SELECT o_orderstatus AS status, count(*) AS n,
+             |       true AS nd_ok
+             |FROM orders GROUP BY 1 ORDER BY status""".stripMargin)),
+
+    QueryDef(
+      "c71_mv_left_join",
+      (s, d) => {
+        // LEFT-JOIN materialized view (orders ⟕ partial customer dim,
+        // grouped by segment; unmatched orders null-extend into the
+        // NULL-segment group). A fact append refreshes unsigned
+        // (ΔA⟕B_cur, mode-pinned); a DIM append then RETRACTS the
+        // null-extended contribution of orders that just gained their
+        // first match via signed partials — Δ(A⟕B) = ΔA⟕B_cur +
+        // A_prev⋈ΔB − nullext((A_prev⋉ΔB)▷B_prev) — also mode-pinned.
+        // The left-join aggregate below is served from the view (plan
+        // require) and hash-matches DuckDB recomputing from scratch.
+        ensureCatalog(s, "gml")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gml.ns1")
+        s.sql("DROP MATERIALIZED VIEW IF EXISTS gml.ns1.mv")
+        s.sql("DROP TABLE IF EXISTS gml.ns1.ord")
+        s.sql("DROP TABLE IF EXISTS gml.ns1.cust")
+        s.sql("""CREATE TABLE gml.ns1.ord (
+                   o_orderkey BIGINT, o_custkey BIGINT,
+                   o_totalprice DOUBLE)""")
+        s.sql("""CREATE TABLE gml.ns1.cust (
+                   c_custkey BIGINT, c_mktsegment STRING)""")
+        s.sql(s"""INSERT INTO gml.ns1.cust
+                  SELECT c_custkey, c_mktsegment
+                  FROM parquet.`$d/customer.parquet`
+                  WHERE c_custkey % 2 = 0""")
+        s.sql(s"""INSERT INTO gml.ns1.ord
+                  SELECT o_orderkey, o_custkey, o_totalprice
+                  FROM parquet.`$d/orders.parquet`
+                  WHERE o_orderkey % 3 != 0""")
+        s.sql("""CREATE MATERIALIZED VIEW gml.ns1.mv AS
+                 SELECT c_mktsegment, count(*) AS n,
+                        count(CAST(o_totalprice AS DECIMAL(18,2))) AS np,
+                        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+                 FROM gml.ns1.ord LEFT JOIN gml.ns1.cust
+                   ON ord.o_custkey = cust.c_custkey
+                 GROUP BY c_mktsegment""")
+        s.sql(s"""INSERT INTO gml.ns1.ord
+                  SELECT o_orderkey, o_custkey, o_totalprice
+                  FROM parquet.`$d/orders.parquet`
+                  WHERE o_orderkey % 3 = 0""")
+        val m1 = s.sql("REFRESH MATERIALIZED VIEW gml.ns1.mv")
+          .head.getString(0)
+        require(m1 == "incremental",
+          s"a fact append must refresh unsigned-incrementally: $m1")
+        s.sql(s"""INSERT INTO gml.ns1.cust
+                  SELECT c_custkey, c_mktsegment
+                  FROM parquet.`$d/customer.parquet`
+                  WHERE c_custkey % 4 = 1""")
+        val m2 = s.sql("REFRESH MATERIALIZED VIEW gml.ns1.mv")
+          .head.getString(0)
+        require(m2 == "incremental",
+          s"a dim append must refresh via signed retraction: $m2")
+        val q = s.sql(
+          """SELECT c_mktsegment AS seg, count(*) AS n,
+                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE) AS total
+             FROM gml.ns1.ord LEFT JOIN gml.ns1.cust
+               ON o_custkey = c_custkey
+             GROUP BY c_mktsegment ORDER BY seg NULLS FIRST""")
+        val servedByMv = q.queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+              if r.relation.table.name().endsWith(".mv") => r
+        }.nonEmpty
+        require(servedByMv,
+          "the left-join aggregate must be served by the view:\n" +
+            q.queryExecution.optimizedPlan.treeString)
+        q
+      },
+      Some("""WITH cust AS (
+             |  SELECT c_custkey, c_mktsegment FROM customer
+             |  WHERE c_custkey % 2 = 0 OR c_custkey % 4 = 1)
+             |SELECT c_mktsegment AS seg, count(*) AS n,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |            AS DOUBLE) AS total
+             |FROM orders LEFT JOIN cust ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY seg NULLS FIRST""".stripMargin))
   )
 }

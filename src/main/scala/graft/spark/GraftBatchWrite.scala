@@ -228,6 +228,10 @@ class GraftStreamingWrite(
       else Seq(writeEqDeleteObject(st.commitId, newFiles))
     catalog.commitStreamEpoch(table.ident, newFiles, eqDeletes, overwrite,
       epochKey = (info.queryId(), epochId))
+    // opt-in, best-effort, AFTER the epoch commit: a streamed-into
+    // source keeps its derived views fresh without external scheduling
+    graft.maintain.MaterializedViews.maybeRefreshOnCommit(
+      catalog, table.properties())
   }
 
   /** One equality-delete object: the DISTINCT key tuples of the files
@@ -317,6 +321,9 @@ class GraftAppendBatchWrite(
       storage, table.namespaceName, table.tableName, commitId, partCols,
       table.fileBloomSpec)
     catalog.commitFiles(table.ident, newFiles, overwrite)
+    // opt-in, best-effort, AFTER the commit: never fails the write
+    graft.maintain.MaterializedViews.maybeRefreshOnCommit(
+      catalog, table.properties())
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

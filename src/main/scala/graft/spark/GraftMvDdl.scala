@@ -28,16 +28,21 @@ import graft.maintain.MaterializedViews.{AggSpec, JoinSpec}
   *    x.c1 = y.c2 [AND ...]` (INNER equi-join, qualified ON columns);
   *  - optional `WHERE <predicate>` — becomes the view's defining
   *    predicate;
-  *  - `GROUP BY` of plain columns; select items are group keys or
-  *    ALIASED `count(*) | count(e) | sum(e) | min(e) | max(e)`
-  *    (no DISTINCT / FILTER; avg is refused with the sum/count
-  *    decomposition hint, same as the procedure path).
+  *  - `GROUP BY` of plain columns, OR of deterministic scalar
+  *    expressions that appear aliased in the select list (the alias
+  *    names the state column — `date_trunc('DAY', ts) AS day`), OR of
+  *    such an alias by name;
+  *  - select items are group keys or ALIASED
+  *    `count(*) | count(e) | sum(e) | min(e) | max(e) | avg(e)`
+  *    (no DISTINCT / FILTER; `avg(e) AS a` auto-expands to
+  *    `a_sum`/`a_cnt` state columns — the standard mergeable
+  *    decomposition — from which the rewrite serves `avg(e)`).
   */
 object GraftMvDdl {
 
   final case class Derived(srcNs: String, srcTable: String,
       groupBy: Seq[String], aggs: Seq[AggSpec], where: Option[String],
-      join: Option[JoinSpec])
+      join: Option[JoinSpec], keyExprs: Seq[(String, String)])
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"CREATE MATERIALIZED VIEW: $msg")
@@ -78,9 +83,12 @@ object GraftMvDdl {
         conj(l) ++ conj(r)
       case x => Seq(x)
     }
-    def fromClause(p: LogicalPlan): (Rel, Option[(Rel, Seq[(String, String)])]) =
+    def fromClause(p: LogicalPlan)
+        : (Rel, Option[(Rel, Seq[(String, String)], String)]) =
       p match {
-        case j: Join if j.joinType == Inner =>
+        case j: Join if j.joinType == Inner ||
+            j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter =>
+          val jt = if (j.joinType == Inner) "inner" else "left"
           val l = relOf(j.left, None)
           val r = relOf(j.right, None)
           val cond = j.condition.getOrElse(fail("JOIN needs an ON clause"))
@@ -103,9 +111,9 @@ object GraftMvDdl {
             case other =>
               fail(s"JOIN ON must be column equalities, got: ${exprSql(other)}")
           }
-          (l, Some((r, pairs)))
-        case j: Join => fail(s"only INNER joins are maintainable, " +
-          s"got ${j.joinType}")
+          (l, Some((r, pairs, jt)))
+        case j: Join => fail(s"only INNER and LEFT joins are " +
+          s"maintainable, got ${j.joinType}")
         case other => (relOf(other, None), None)
       }
 
@@ -146,19 +154,62 @@ object GraftMvDdl {
     }
     def renderWhere(e: Expression): String = exprSql(strip(e))
 
-    val groupKeys = agg.groupingExpressions.map {
-      case ua: UnresolvedAttribute => ua.nameParts.last
-      case other => fail(s"GROUP BY must list plain columns, " +
-        s"got: ${exprSql(other)}")
+    // select items that alias a SCALAR expression are expression-key
+    // candidates: `SELECT date_trunc('DAY', ts) AS day ... GROUP BY
+    // date_trunc('DAY', ts)` (or `GROUP BY day`) keys the view on the
+    // materialized expression — the canonical time-bucketed rollup
+    val aggFnNames = Set("count", "sum", "min", "max", "avg", "mean",
+      "approx_count_distinct")
+    def isAggCall(e: Expression): Boolean = e match {
+      case f: UnresolvedFunction =>
+        aggFnNames(f.nameParts.last.toLowerCase(java.util.Locale.ROOT))
+      case _ => false
     }
+    val aliasedScalars: Seq[(String, Expression)] =
+      agg.aggregateExpressions.collect {
+        case Alias(e, name) if !isAggCall(e) => name -> e
+      }
+    val groupKeys: Seq[(String, Option[String])] =
+      agg.groupingExpressions.map {
+        case ua: UnresolvedAttribute =>
+          val n = ua.nameParts.last
+          // `GROUP BY <alias>` of an aliased scalar select item is the
+          // expression key; any other plain reference is a source
+          // column key. An aliased PLAIN column (`SELECT c AS k ...
+          // GROUP BY k`) is also an expression key — the state column
+          // is the renamed projection.
+          aliasedScalars.find(_._1.equalsIgnoreCase(n)) match {
+            case Some((nm, e)) if ua.nameParts.length == 1 =>
+              (nm, Some(renderAgg(e)))
+            case _ => (n, None)
+          }
+        case other =>
+          // expression form: must match an aliased select item
+          // structurally (same parse tree after qualifier stripping)
+          val stripped = strip(other)
+          aliasedScalars.find { case (_, e) => strip(e) == stripped } match {
+            case Some((nm, e)) => (nm, Some(renderAgg(e)))
+            case None => fail("GROUP BY expression " +
+              s"${exprSql(other)} must appear in the select list " +
+              "under an alias (the alias names the view's key column)")
+          }
+      }
     if (groupKeys.isEmpty) fail("a materialized view needs GROUP BY keys")
+    val keyNames = groupKeys.map(_._1)
 
     val aggSpecs = agg.aggregateExpressions.flatMap {
       case ua: UnresolvedAttribute =>
         val n = ua.nameParts.last
-        if (!groupKeys.exists(_.equalsIgnoreCase(n)))
+        if (!keyNames.exists(_.equalsIgnoreCase(n)))
           fail(s"select item $n is neither a GROUP BY key nor an " +
             "aliased aggregate")
+        None
+      case al @ Alias(e, name) if !isAggCall(e) =>
+        // scalar select item: must be one of the GROUP BY keys
+        if (!groupKeys.exists(k => k._1.equalsIgnoreCase(name) &&
+            k._2.isDefined))
+          fail(s"select item ${exprSql(al)} is neither a GROUP BY key " +
+            "nor an aliased aggregate")
         None
       case al @ Alias(f: UnresolvedFunction, name) =>
         if (f.isDistinct) fail(s"DISTINCT aggregates are not " +
@@ -178,10 +229,32 @@ object GraftMvDdl {
             case Seq(one) => Some(AggSpec(name, fn, renderAgg(one)))
             case _ => fail(s"$fn takes one argument: ${exprSql(al)}")
           }
-          case "avg" | "mean" => fail("avg is not incrementally " +
-            "maintainable as a stored quotient — select sum(x) and " +
-            "count(x) instead (queries with avg(x) are then served by " +
-            "the rewrite)")
+          case "approx_count_distinct" =>
+            // distinct counts keep MERGEABLE state: a Datasketches HLL
+            // sketch column (`<name>_hll`, BINARY) that partial-unions
+            // on every refresh — reads estimate via
+            // hll_sketch_estimate, and the rewrite serves
+            // approx_count_distinct(e) (and, opted in, count(DISTINCT
+            // e)) from the sketch
+            f.arguments match {
+              case Seq(one) =>
+                Some(AggSpec(s"${name}_hll", "hll", renderAgg(one)))
+              case _ =>
+                fail(s"$fn takes one argument here: ${exprSql(al)}")
+            }
+          case "avg" | "mean" =>
+            // a stored QUOTIENT does not merge — auto-expand to the
+            // standard sum/count decomposition as two state columns
+            // (`<name>_sum`, `<name>_cnt`); the rewrite serves avg(x)
+            // over the source from exactly this pair, and a direct
+            // reader of the view divides
+            f.arguments match {
+              case Seq(one) =>
+                val e = renderAgg(one)
+                Seq(AggSpec(s"${name}_sum", "sum", e),
+                  AggSpec(s"${name}_cnt", "count", e))
+              case _ => fail(s"$fn takes one argument: ${exprSql(al)}")
+            }
           case other => fail(s"aggregate '$other' is not incrementally " +
             "maintainable (count|sum|min|max)")
         }
@@ -189,12 +262,17 @@ object GraftMvDdl {
         s"an ALIASED count/sum/min/max, got: ${exprSql(other)}")
     }
     if (aggSpecs.isEmpty) fail("a materialized view needs at least one " +
-      "aggregate (count/sum/min/max)")
+      "aggregate (count/sum/min/max/avg)")
+    val outNames = keyNames ++ aggSpecs.map(_.out)
+    val dups = outNames.groupBy(_.toLowerCase(java.util.Locale.ROOT))
+      .collect { case (_, vs) if vs.size > 1 => vs.head }
+    if (dups.nonEmpty) fail(s"duplicate output columns: " +
+      s"${dups.mkString(", ")} (note avg(x) AS a expands to a_sum/a_cnt)")
 
-    Derived(left.ns, left.table, groupKeys, aggSpecs,
-      whereExpr.map(renderWhere), joinPart.map { case (r, pairs) =>
-        JoinSpec(r.ns, r.table, pairs)
-      })
+    Derived(left.ns, left.table, keyNames, aggSpecs,
+      whereExpr.map(renderWhere), joinPart.map { case (r, pairs, jt) =>
+        JoinSpec(r.ns, r.table, pairs, jt)
+      }, groupKeys.collect { case (n, Some(e)) => (n, e) })
   }
 
   private[spark] def graftCatalog(session: SparkSession,
@@ -222,7 +300,7 @@ case class CreateGraftMvCommand(catalogName: String, ns: String,
     if (ifNotExists && cat.tableExists(ident)) return Seq(Row("noop", -1L))
     val d = GraftMvDdl.derive(session, catalogName, query)
     val r = MaterializedViews.create(session, cat, ns, name,
-      d.srcNs, d.srcTable, d.groupBy, d.aggs, d.where, d.join)
+      d.srcNs, d.srcTable, d.groupBy, d.aggs, d.where, d.join, d.keyExprs)
     Seq(Row(r.mode, r.mvRows))
   }
 }

@@ -3,6 +3,7 @@ package graft.spark
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.TruncTimestamp
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -72,34 +73,48 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case agg: Aggregate => rewrite(agg).getOrElse(agg)
     }
 
-  /** One join side: a source relation through attribute-only projects
-    * and filters (the optimizer pushes inner-join-implied
-    * `isnotnull(joinkey)` filters below the join; they are validated
-    * against the join pairs by the caller).
+  /** One join side: a source relation through projects and filters
+    * (the optimizer pushes inner-join-implied `isnotnull(joinkey)`
+    * filters below the join; they are validated against the join pairs
+    * by the caller). Projects may carry ALIASED expressions — the
+    * optimizer's PullOutGroupingExpressions materializes complex
+    * grouping (`date_trunc('DAY', ts)`) as `_groupingexpression#N`
+    * columns below the Aggregate — collected here so the caller can
+    * substitute them back before matching the view definition.
     */
   private def sideStrip(p: LogicalPlan)
-      : Option[(DataSourceV2Relation, Seq[Expression])] = p match {
-    case r: DataSourceV2Relation => Some((r, Nil))
-    case Filter(c, ch) => sideStrip(ch).map { case (r, cs) => (r, c +: cs) }
-    case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      sideStrip(ch)
-    case _ => None
-  }
+      : Option[(DataSourceV2Relation, Seq[Expression], Seq[Alias])] =
+    p match {
+      case r: DataSourceV2Relation => Some((r, Nil, Nil))
+      case Filter(c, ch) =>
+        sideStrip(ch).map { case (r, cs, as) => (r, c +: cs, as) }
+      case Project(pl, ch) if pl.forall(e =>
+          e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias]) =>
+        sideStrip(ch).map { case (r, cs, as) =>
+          (r, cs, pl.collect { case al: Alias => al } ++ as)
+        }
+      case _ => None
+    }
 
-  /** The aggregate's input under attribute-only projects + filters:
-    * either ONE source relation, or an INNER equi-join of two (filters
-    * only above the join; the join condition decomposed into attribute
-    * equality pairs).
+  /** The aggregate's input under projects + filters: either ONE source
+    * relation, or an INNER equi-join of two (filters only above the
+    * join; the join condition decomposed into attribute equality
+    * pairs). Collected aliases substitute back at match time.
     */
   private def strip(p: LogicalPlan): Option[(Seq[DataSourceV2Relation],
-      Seq[Expression], Seq[(Attribute, Attribute)])] = p match {
-    case r: DataSourceV2Relation => Some((Seq(r), Nil, Nil))
+      Seq[Expression], Seq[(Attribute, Attribute)], Seq[Alias],
+      String)] = p match {
+    case r: DataSourceV2Relation => Some((Seq(r), Nil, Nil, Nil, "inner"))
     case Filter(c, ch) =>
-      strip(ch).map { case (rs, cs, jp) => (rs, c +: cs, jp) }
-    case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      strip(ch)
+      strip(ch).map { case (rs, cs, jp, as, jt) => (rs, c +: cs, jp, as, jt) }
+    case Project(pl, ch) if pl.forall(e =>
+        e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias]) =>
+      strip(ch).map { case (rs, cs, jp, as, jt) =>
+        (rs, cs, jp, pl.collect { case al: Alias => al } ++ as, jt)
+      }
     case j: org.apache.spark.sql.catalyst.plans.logical.Join
-        if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
+        if j.joinType == org.apache.spark.sql.catalyst.plans.Inner ||
+          j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter =>
       for {
         lf <- sideStrip(j.left)
         rf <- sideStrip(j.right)
@@ -116,12 +131,27 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           }
           Some(ps)
         }
-      } yield (Seq(lf._1, rf._1), lf._2 ++ rf._2, pairs)
+      } yield (Seq(lf._1, rf._1), lf._2 ++ rf._2, pairs, lf._3 ++ rf._3,
+        if (j.joinType == org.apache.spark.sql.catalyst.plans.Inner) "inner"
+        else "left")
     case _ => None
   }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val (rels, filters, joinPairs) = strip(agg.child).getOrElse(return None)
+    val (rels, rawFilters, joinPairs, aliases, joinType) =
+      strip(agg.child).getOrElse(return None)
+    // substitute stripped-project aliases back into every expression we
+    // match (grouping, filters, aggregate children): the view defines
+    // itself over SOURCE columns, so `_groupingexpression#9` must read
+    // as `date_trunc('DAY', ts)` again — recursively, since an alias
+    // may reference a lower project's alias
+    val substMap: Map[ExprId, Expression] =
+      aliases.map(a => a.exprId -> a.child).toMap
+    def unalias(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference if substMap.contains(a.exprId) =>
+        unalias(substMap(a.exprId))
+    }
+    val filters = rawFilters.map(unalias)
     val srcs = rels.map(_.table match {
       case g: GraftTable => g
       case _ => return None
@@ -143,7 +173,9 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(return None)
     derived.view
-      .flatMap(tryView(agg, rels, cat, filters, joinPairs, _)).headOption
+      .flatMap(tryView(agg, rels, cat, filters, joinPairs, joinType,
+        unalias, _))
+      .headOption
   }
 
   /** Attempt the rewrite against one candidate `ns.mv`. ANY failure
@@ -155,14 +187,16 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     */
   private def tryView(agg: Aggregate, rels: Seq[DataSourceV2Relation],
       cat: GraftCatalog, filters: Seq[Expression],
-      joinPairs: Seq[(Attribute, Attribute)],
+      joinPairs: Seq[(Attribute, Attribute)], joinType: String,
+      unalias: Expression => Expression,
       nsMv: String): Option[LogicalPlan] =
-    try tryView0(agg, rels, cat, filters, joinPairs, nsMv)
+    try tryView0(agg, rels, cat, filters, joinPairs, joinType, unalias, nsMv)
     catch { case scala.util.control.NonFatal(_) => None }
 
   private def tryView0(agg: Aggregate, rels: Seq[DataSourceV2Relation],
       cat: GraftCatalog, filters: Seq[Expression],
-      joinPairs: Seq[(Attribute, Attribute)],
+      joinPairs: Seq[(Attribute, Attribute)], joinType: String,
+      unalias: Expression => Expression,
       nsMv: String): Option[LogicalPlan] = {
     val (ns, mvName) = nsMv.split('.') match {
       case Array(a, b) => (a, b)
@@ -195,8 +229,13 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     // (watermark must BE the scan's pinned snapshot). The walk is
     // main-lineage; a broken chain or an older unabsorbed commit
     // declines.
-    val staleOkMs = session.conf
-      .get("spark.graft.mv.rewrite.max-staleness-ms", "0").toLong
+    // the per-view property wins over the session conf: the operator
+    // of a monitor view declares its tolerance ONCE, exact views in
+    // the same session keep declining staleness
+    val staleOkMs = Option(props.get(MaterializedViews.MaxStalenessProp))
+      .map(_.trim.toLong)
+      .getOrElse(session.conf
+        .get("spark.graft.mv.rewrite.max-staleness-ms", "0").toLong)
     def freshEnough(g: GraftTable, wm: Long): Boolean = {
       val cur = g.meta.currentSnapshotId
       if (wm == cur) return true
@@ -220,11 +259,18 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         if (!freshEnough(srcTables.head, watermark)) return None
       case Some(jns) =>
         if (rels.size != 2) return None
+        val vJoinType =
+          Option(props.get(MaterializedViews.JoinTypeProp))
+            .getOrElse("inner")
+        // the query's join type must BE the view's; a LEFT join is
+        // side-asymmetric, so its sources never swap
+        if (joinType != vJoinType) return None
         val jt = props.get(MaterializedViews.Join2TableProp)
         val (li, ri) =
           if (matches(srcTables(0), vSrcNs, vSrcT) &&
               matches(srcTables(1), jns, jt)) (0, 1)
-          else if (matches(srcTables(1), vSrcNs, vSrcT) &&
+          else if (vJoinType == "inner" &&
+              matches(srcTables(1), vSrcNs, vSrcT) &&
               matches(srcTables(0), jns, jt)) (1, 0)
           else return None
         if (!freshEnough(srcTables(li), watermark)) return None
@@ -256,6 +302,8 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       .split(',').toSeq.map(_.trim)
     val specs = MaterializedViews.parseAggs(
       props.get(MaterializedViews.AggsProp))
+    val keyExprDefs = MaterializedViews.parseKeyExprs(
+      props.get(MaterializedViews.KeyExprsProp))
 
     val mvRel = DataSourceV2Relation.create(mv, Some(cat), Some(mvIdent))
     def mvAttr(name: String): Attribute =
@@ -267,44 +315,78 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       keys.find(conf.resolver(_, a.name)).map(_ => a.exprId -> mvAttr(a.name))
     }.toMap
 
-    // group-by: plain source columns, each a view key
-    val newGroup = agg.groupingExpressions.map {
-      case a: AttributeReference => keyFor.getOrElse(a.exprId, return None)
-      case _ => return None
-    }
-
     // view aggregate columns by (fn, canonical defining expression)
     val parser = session.sessionState.sqlParser
     def resolved(sql: String): Option[Expression] = {
       val e = try parser.parseExpression(sql)
       catch { case _: Exception => return None }
-      val r = e.transformUp {
+      // bind single-part names to the QUERY's own source attributes
+      // (same ExprIds, so canonical comparison aligns) ...
+      val bound = e.transformUp {
         case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
           output.filter(a => conf.resolver(a.name, ua.nameParts.head)) match {
             case Seq(one) => one
             case _ => return None // missing or ambiguous across sources
           }
       }
-      // the analyzer never sees this expression, so coerce comparison
-      // literals by hand and FOLD the cast — the query side arrives
-      // with its literals already folded (`amt > 100` vs `100.0`), and
-      // canonical comparison does not constant-fold
-      val ltz = Some(session.sessionState.conf.sessionLocalTimeZone)
-      def fold(li: Literal, dt: org.apache.spark.sql.types.DataType) =
-        Literal.create(Cast(li, dt, ltz).eval(null), dt)
-      val coerced = r.transformUp {
-        case bc: BinaryComparison => (bc.left, bc.right) match {
-          case (l, li: Literal) if li.dataType != l.dataType &&
-              Cast.canUpCast(li.dataType, l.dataType) =>
-            bc.withNewChildren(Seq(l, fold(li, l.dataType)))
-          case (li: Literal, rr) if li.dataType != rr.dataType &&
-              Cast.canUpCast(li.dataType, rr.dataType) =>
-            bc.withNewChildren(Seq(fold(li, rr.dataType), rr))
-          case _ => bc
+      // ... then run the real ANALYZER over a LocalRelation shim so
+      // functions resolve (date_trunc, etc.) and implicit casts land
+      // exactly as they did on the query side, and constant-fold so
+      // literal subtrees compare equal to the query's folded ones
+      // (`amt > 100` arrives from the query as `amt > 100.0`)
+      val shim = Project(Seq(Alias(bound, "__mv_def")()),
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          output.map(_.asInstanceOf[AttributeReference])))
+      val analyzed =
+        try session.sessionState.analyzer.execute(shim)
+        catch { case scala.util.control.NonFatal(_) => return None }
+      org.apache.spark.sql.catalyst.optimizer.ConstantFolding(
+          analyzed) match {
+        case Project(Seq(Alias(child, _)), _) if child.resolved =>
+          Some(child)
+        case _ => None
+      }
+    }
+
+    // EXPRESSION KEYS: the view's key column materializes a scalar
+    // expression over source columns (canonically `date_trunc('DAY',
+    // ts)`); a query grouping/filtering by the SAME expression maps it
+    // to the key column, and a query truncating the SAME child to a
+    // COARSER aligned bucket rolls up by re-truncating the key column
+    // (day → month: month boundaries are day boundaries)
+    val exprKeys: Seq[(Expression, Attribute)] = keyExprDefs.map {
+      case (n, sql) => (resolved(sql).getOrElse(return None), mvAttr(n))
+    }
+    val exprKeyCanon: Map[Expression, Attribute] =
+      exprKeys.map { case (e, a) => e.canonicalized -> a }.toMap
+    def truncLevel(e: Expression): Option[(String, Expression)] = e match {
+      case TruncTimestamp(Literal(f: org.apache.spark.unsafe.types.UTF8String,
+          org.apache.spark.sql.types.StringType), ts, _) =>
+        Some((GraftMvRewrite.normTruncLevel(f.toString), ts))
+      case _ => None
+    }
+    def groupRepl(e: Expression): Option[Expression] = e match {
+      case a: AttributeReference =>
+        keyFor.get(a.exprId).orElse(exprKeyCanon.get(a.canonicalized))
+      case _ => exprKeyCanon.get(e.canonicalized).orElse {
+        for {
+          (qLvl, qChild) <- truncLevel(e)
+          attr <- exprKeys.collectFirst {
+            case (ve, a) if truncLevel(ve).exists { case (vLvl, vChild) =>
+              vChild.canonicalized == qChild.canonicalized &&
+                GraftMvRewrite.truncRollupOk(vLvl, qLvl) } => a
+          }
+        } yield e match {
+          case t: TruncTimestamp => t.copy(timestamp = attr)
         }
       }
-      if (coerced.resolved) Some(coerced) else None
     }
+
+    // group-by: plain source columns or expression-key matches/rollups
+    // (unalias first — complex grouping arrives as pulled-out
+    // `_groupingexpression` attributes over a stripped Project)
+    val newGroup = agg.groupingExpressions.map(g =>
+      groupRepl(unalias(g)).getOrElse(return None))
 
     // a FILTERED view (defining predicate over any source columns)
     // serves a query only when the query's own filters carry the
@@ -358,13 +440,18 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     // filters: deterministic only (a rand() < 0.5 conjunct re-applied
     // on group-level rows would silently change row-level sampling
     // into group-level sampling), and every referenced column must be
-    // a view key
+    // a view key (or an expression-key match — top-down so the parent
+    // expression matches before its non-key children are visited)
     val newFilters = residualConjuncts.map { c =>
       if (!c.deterministic) return None
-      c.transformUp {
-        case a: AttributeReference =>
-          keyFor.getOrElse(a.exprId, return None)
-      }
+      // function literal, not a nested def: the decline `return None`
+      // must be NONLOCAL (exit tryView0), which only closures do
+      lazy val repl: Expression => Expression =
+        e => groupRepl(e).getOrElse(e match {
+          case _: AttributeReference => return None
+          case other => other.mapChildren(repl)
+        })
+      repl(c)
     }
     val byDef: Map[(String, Expression), Attribute] = specs.flatMap { s =>
       if (s.isCountStar) None
@@ -382,6 +469,14 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference => keys.find(conf.resolver(_, a.name))
     }.flatten.toSet
 
+    // distinct-count estimate from the view's stored HLL sketch:
+    // partial sketches union, the union estimates
+    def sketchEstimate(child: Expression): Option[Expression] =
+      byDef.get(("hll", child.canonicalized)).map { a =>
+        org.apache.spark.sql.catalyst.expressions.HllSketchEstimate(
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .HllUnionAgg(a).toAggregateExpression())
+      }
     def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
       if (ae.filter.isDefined) return None
       if (ae.isDistinct) return ae.aggregateFunction match {
@@ -392,16 +487,28 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         // like multi-child Count does, so a plain Count over the
         // view's key columns is exact (nulls included)
         case Count(children) if children.nonEmpty =>
-          val counted = children.map {
-            case a: AttributeReference =>
-              keys.find(conf.resolver(_, a.name)).getOrElse(return None)
-            case _ => return None
-          }.toSet
-          if ((groupedKeys ++ counted) == keys.toSet)
-            Some(Count(children.map {
-              case a: AttributeReference => keyFor(a.exprId)
-            }).toAggregateExpression())
-          else None
+          val exact: Option[Expression] = {
+            val counted = children.flatMap {
+              case a: AttributeReference =>
+                keys.find(conf.resolver(_, a.name))
+              case _ => None
+            }.toSet
+            if (counted.size == children.size &&
+                (groupedKeys ++ counted) == keys.toSet)
+              Some(Count(children.map {
+                case a: AttributeReference => keyFor(a.exprId)
+              }).toAggregateExpression())
+            else None
+          }
+          // an EXACT count(DISTINCT) may be served approximately from
+          // a stored sketch only under an explicit session opt-in —
+          // never silently
+          exact.orElse {
+            if (children.size == 1 && session.conf.get(
+                "spark.graft.mv.rewrite.approx-distinct", "false").toBoolean)
+              sketchEstimate(children.head)
+            else None
+          }
         case _ => None
       }
       ae.aggregateFunction match {
@@ -431,6 +538,12 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         case Max(child) =>
           byDef.get(("max", child.canonicalized))
             .map(a => Max(a).toAggregateExpression())
+        case h: org.apache.spark.sql.catalyst.expressions.aggregate
+            .HyperLogLogPlusPlus =>
+          // an approximate ask served from the stored sketch — a
+          // (documented) different estimator of the same quantity,
+          // still within an approx function's contract
+          sketchEstimate(h.child)
         case av: Average
             if av.dataType == org.apache.spark.sql.types.DoubleType =>
           // avg(e) = sum(e)/count(e) over the view's partials when the
@@ -468,14 +581,18 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         case Some(x) => retyped(x, ae.dataType)
         case None => covered = false; ae
       }
-      case a: AttributeReference =>
-        keyFor.getOrElse(a.exprId, { covered = false; a })
-      case other => other.mapChildren(rewriteResult)
+      // Alias before groupRepl: canonicalization strips aliases, so a
+      // wholesale replacement would lose the output name and exprId
+      case al: Alias => al.mapChildren(rewriteResult)
+      case other => groupRepl(other).getOrElse(other match {
+        case a: AttributeReference => covered = false; a
+        case _ => other.mapChildren(rewriteResult)
+      })
     }
     val newResult = agg.aggregateExpressions.map {
       case a: AttributeReference =>
-        Alias(keyFor.getOrElse(a.exprId, return None), a.name)(a.exprId)
-      case ne => rewriteResult(ne).asInstanceOf[NamedExpression]
+        Alias(groupRepl(unalias(a)).getOrElse(return None), a.name)(a.exprId)
+      case ne => rewriteResult(unalias(ne)).asInstanceOf[NamedExpression]
     }
     if (!covered) return None
 
@@ -486,6 +603,39 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 }
 
 object GraftMvRewrite {
+
+  private val TruncSynonyms = Map(
+    "yyyy" -> "year", "yy" -> "year", "mon" -> "month", "mm" -> "month",
+    "dd" -> "day")
+
+  private[spark] def normTruncLevel(s: String): String = {
+    val l = s.toLowerCase(java.util.Locale.ROOT)
+    TruncSynonyms.getOrElse(l, l)
+  }
+
+  /** Is `date_trunc(to, date_trunc(from, x))` exactly
+    * `date_trunc(to, x)`? True iff every `to`-bucket boundary falls on
+    * a `from`-bucket boundary. Sub-day levels chain linearly; WEEK,
+    * MONTH, QUARTER, YEAR boundaries are all day-aligned, so each rolls
+    * up from DAY and finer — but a month/quarter/year boundary is NOT
+    * a week boundary (and vice versa), so WEEK neither serves nor is
+    * served by the month chain.
+    */
+  private[spark] def truncRollupOk(from: String, to: String): Boolean = {
+    if (from == to) return true
+    val subDay = Seq("microsecond", "millisecond", "second", "minute",
+      "hour", "day")
+    val fi = subDay.indexOf(from)
+    if (fi >= 0)
+      subDay.drop(fi + 1).contains(to) ||
+        Seq("week", "month", "quarter", "year").contains(to)
+    else from match {
+      case "month" => to == "quarter" || to == "year"
+      case "quarter" => to == "year"
+      case _ => false
+    }
+  }
+
   /** Brief memo of view-table loads keyed by (catalog, ns.mv, SOURCE
     * snapshot id), so the optimizer's fixed-point iterations (and
     * repeated aggregates in one plan) don't re-read catalog metadata

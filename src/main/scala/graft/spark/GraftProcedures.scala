@@ -157,7 +157,9 @@ object GraftProcedures {
       inDefault("where", StringType, "''"), // optional defining predicate
       inDefault("join_namespace", StringType, "''"), // optional 2nd source
       inDefault("join_table", StringType, "''"),
-      inDefault("join_on", StringType, "''")) // 'leftcol=rightcol,...'
+      inDefault("join_on", StringType, "''"), // 'leftcol=rightcol,...'
+      inDefault("key_exprs", StringType, "''"), // 'name:expr;...'
+      inDefault("join_type", StringType, "'inner'")) // inner | left
     override def call(input: InternalRow): JIterator[Scan] = {
       val joinNs = Option(input.getString(7)).map(_.trim).filter(_.nonEmpty)
       val r = graft.maintain.MaterializedViews.create(
@@ -169,7 +171,10 @@ object GraftProcedures {
         Option(input.getString(6)).map(_.trim).filter(_.nonEmpty),
         joinNs.map(jns => graft.maintain.MaterializedViews.JoinSpec(
           jns, input.getString(8),
-          graft.maintain.MaterializedViews.parseJoinOn(input.getString(9)))))
+          graft.maintain.MaterializedViews.parseJoinOn(input.getString(9)),
+          Option(input.getString(11)).map(_.trim).filter(_.nonEmpty)
+            .getOrElse("inner"))),
+        graft.maintain.MaterializedViews.parseKeyExprs(input.getString(10)))
       result(
         StructType(Seq(StructField("mode", StringType, false),
           StructField("mv_rows", LongType, false))),

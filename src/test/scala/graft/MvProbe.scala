@@ -313,6 +313,56 @@ object MvProbe {
       s"wide state diverged from truth: $wState vs $wTruth")
     println("PROBE wide_state_matches_truth true")
 
+    // ---- hash-bucketed state: the auto-compaction fold must rewrite
+    // only the buckets the pending delete keys touch — the metric is
+    // carried (byte-identical) files vs rewritten files at fold time
+    spark.conf.set("spark.graft.mv.state.buckets", "16")
+    try spark.sql("""CALL gp.system.create_materialized_view(
+                       namespace => 'ns', name => 'bmv',
+                       source_namespace => 'ns', source_table => 'ord',
+                       group_by => 'o_orderkey',
+                       aggs => 'n:count:1;total:sum:CAST(o_totalprice AS DECIMAL(18,2))')""")
+    finally spark.conf.unset("spark.graft.mv.state.buckets")
+    def bmvFiles(): Set[String] = spark.sql(
+      "SELECT path FROM gp.ns.`bmv$files`")
+      .collect().map(_.getString(0)).toSet
+    spark.conf.set("spark.graft.mv.compact-after-deletes", "3")
+    val (carriedN, rewrittenN) = try {
+      // each refresh touches ONE existing order key → one bucket
+      (1 to 2).foreach { i =>
+        spark.sql(s"""INSERT INTO gp.ns.ord
+                      SELECT o_orderkey, o_orderstatus, o_totalprice,
+                             o_orderpriority
+                      FROM gp.ns.ord LIMIT 1""")
+        spark.sql("""CALL gp.system.refresh_materialized_view(
+                       namespace => 'ns', name => 'bmv')""").collect()
+      }
+      val before = bmvFiles()
+      spark.sql("""INSERT INTO gp.ns.ord
+                    SELECT o_orderkey, o_orderstatus, o_totalprice,
+                           o_orderpriority
+                    FROM gp.ns.ord LIMIT 1""")
+      spark.sql("""CALL gp.system.refresh_materialized_view(
+                     namespace => 'ns', name => 'bmv')""").collect()
+      val after = bmvFiles()
+      (before.intersect(after).size, after.diff(before).size)
+    } finally spark.conf.unset("spark.graft.mv.compact-after-deletes")
+    println(s"PROBE bucket_fold carried_files=$carriedN " +
+      s"rewritten_files=$rewrittenN")
+    require(carriedN > 0 && rewrittenN < carriedN,
+      s"the fold must rewrite touched buckets only: " +
+        s"carried=$carriedN rewritten=$rewrittenN")
+    val bState = spark.sql(
+      """SELECT count(*) AS n, CAST(sum(total) AS DOUBLE) AS total
+         FROM gp.ns.bmv""").head.toString
+    val bTruth = spark.sql(
+      """SELECT count(DISTINCT o_orderkey) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total FROM gp.ns.ord""").head.toString
+    require(bState == bTruth,
+      s"bucketed state diverged from truth: $bState vs $bTruth")
+    println("PROBE bucket_state_matches_truth true")
+
     spark.stop()
   }
 }

@@ -1,0 +1,85 @@
+package graft.maintain
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.GraftCatalog
+
+/** Opt-in refresh-on-write: `graft.mv.refresh-on-commit=true` on a
+  * SOURCE table triggers a best-effort async refresh of its derived
+  * views after a write commit, so serving freshness doesn't depend on
+  * external scheduling — and a hook failure never fails the user's
+  * commit.
+  */
+class MvRefreshOnCommitSpec extends AnyFunSuite {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-mroc").toString
+
+  lazy val spark: SparkSession = graft.Verify.sessionBuilder("4")
+    .config("spark.sql.catalog.mrc", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.mrc.warehouse", warehouse)
+    .getOrCreate()
+
+  private def watermark(): Long =
+    spark.sessionState.catalogManager.catalog("mrc")
+      .asInstanceOf[GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("ns1"), "mv"))
+      .properties().get(MaterializedViews.RefreshedSnapshotProp).toLong
+
+  test("an append to a hooked source refreshes the derived view " +
+      "without an explicit REFRESH") {
+    spark.sql("CREATE NAMESPACE mrc.ns1")
+    spark.sql("CREATE TABLE mrc.ns1.src (k BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO mrc.ns1.src
+                 SELECT id % 5, CAST(id AS DOUBLE) FROM range(0, 500, 1, 2)""")
+    spark.sql("""CALL mrc.system.create_materialized_view(
+                   namespace => 'ns1', name => 'mv',
+                   source_namespace => 'ns1', source_table => 'src',
+                   group_by => 'k',
+                   aggs => 'n:count:1;total:sum:CAST(v AS DECIMAL(18,2))')""")
+    spark.sql("""ALTER TABLE mrc.ns1.src SET TBLPROPERTIES
+                   ('graft.mv.refresh-on-commit' = 'true')""")
+    val before = watermark()
+
+    spark.sql("INSERT INTO mrc.ns1.src VALUES (1, 10.0), (7, 3.5)")
+    // the hook runs on its own daemon thread; drain the queue, then
+    // poll briefly (the refresh itself may still be committing)
+    MaterializedViews.awaitRefreshHooks()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (watermark() == before && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(watermark() != before,
+      "the commit hook must have advanced the view's watermark")
+    val state = spark.sql(
+      "SELECT k, n, CAST(total AS DOUBLE) FROM mrc.ns1.mv ORDER BY k")
+      .collect().map(_.toString).toSeq
+    val truth = spark.sql(
+      """SELECT k, count(*), CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE)
+         FROM mrc.ns1.src GROUP BY k ORDER BY k""")
+      .collect().map(_.toString).toSeq
+    assert(state == truth)
+  }
+
+  test("a failing hook never fails the user's commit") {
+    spark.sql("CREATE NAMESPACE mrc.ns2")
+    spark.sql("CREATE TABLE mrc.ns2.src (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO mrc.ns2.src VALUES (1, 1.0)")
+    spark.sql("""CALL mrc.system.create_materialized_view(
+                   namespace => 'ns2', name => 'mv',
+                   source_namespace => 'ns2', source_table => 'src',
+                   group_by => 'k', aggs => 'n:count:1')""")
+    spark.sql("""ALTER TABLE mrc.ns2.src SET TBLPROPERTIES
+                   ('graft.mv.refresh-on-commit' = 'true')""")
+    // drop the view table DIRECTLY (not via drop_materialized_view):
+    // the source keeps a stale derived entry, so the hook's refresh
+    // will fail — the write must still commit
+    spark.sql("DROP TABLE mrc.ns2.mv")
+    spark.sql("INSERT INTO mrc.ns2.src VALUES (2, 2.0)")
+    MaterializedViews.awaitRefreshHooks()
+    val n = spark.sql("SELECT count(*) FROM mrc.ns2.src").head.getLong(0)
+    assert(n == 2L, "the user's commit must land despite the hook failing")
+  }
+}

@@ -1,0 +1,119 @@
+package graft.maintain
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.GraftCatalog
+
+/** Distinct-count materialized views with MERGEABLE sketch state: an
+  * `hll` aggregate stores a Datasketches HLL sketch per group, partial
+  * sketches union on every incremental refresh, and the rewrite serves
+  * `approx_count_distinct` (always) and `count(DISTINCT ...)` (session
+  * opt-in, never silently) from the stored sketch.
+  */
+class MvSketchSpec extends AnyFunSuite {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-mvsk").toString
+
+  lazy val spark: SparkSession = graft.Verify.sessionBuilder("4")
+    .config("spark.sql.catalog.msk", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.msk.warehouse", warehouse)
+    .getOrCreate()
+
+  private def usesMv(sql: String): Boolean =
+    spark.sql(sql).queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.relation.table.name().endsWith(".mv") => r
+    }.nonEmpty
+
+  test("hll state refreshes by sketch union, survives the group-scoped " +
+      "path, and the rewrite serves approx/opted-in distinct counts") {
+    spark.sql("CREATE NAMESPACE msk.ns1")
+    spark.sql("CREATE TABLE msk.ns1.src (k BIGINT NOT NULL, u BIGINT)")
+    // ~150 distinct u per group: small enough that the HLL sketch is
+    // in exact (coupon) range, so estimates equal exact counts and the
+    // assertions below are deterministic
+    spark.sql("""INSERT INTO msk.ns1.src
+                 SELECT id % 3, id % 150 FROM range(0, 2000, 1, 2)""")
+    spark.sql("""CREATE MATERIALIZED VIEW msk.ns1.mv AS
+                 SELECT k, count(*) AS n,
+                        approx_count_distinct(u) AS nd
+                 FROM msk.ns1.src GROUP BY k""")
+    val cols = spark.table("msk.ns1.mv").columns.toSeq
+    assert(cols == Seq("k", "n", "nd_hll"), cols.toString)
+
+    def estimates(): Map[Long, Long] = spark.sql(
+      """SELECT k, hll_sketch_estimate(nd_hll) FROM msk.ns1.mv""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def exact(): Map[Long, Long] = {
+      spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      try spark.sql(
+        """SELECT k, count(DISTINCT u) FROM msk.ns1.src GROUP BY k""")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("spark.graft.mv.rewrite.enabled")
+    }
+    assert(estimates() == exact())
+
+    // append with NEW distinct values: the refresh unions the delta's
+    // partial sketches into the stored ones (incremental, mode-pinned)
+    spark.sql("""INSERT INTO msk.ns1.src
+                 SELECT id % 3, 1000 + id % 80 FROM range(0, 900, 1, 2)""")
+    val m1 = spark.sql("REFRESH MATERIALIZED VIEW msk.ns1.mv")
+      .head.getString(0)
+    assert(m1 == "incremental", m1)
+    assert(estimates() == exact())
+
+    // sketches cannot retract: a delete takes the group-scoped
+    // recompute and rebuilds the touched groups' sketches
+    spark.sql("DELETE FROM msk.ns1.src WHERE u >= 1000 AND k = 1")
+    val m2 = spark.sql("REFRESH MATERIALIZED VIEW msk.ns1.mv")
+      .head.getString(0)
+    assert(m2 == "groups", m2)
+    assert(estimates() == exact())
+
+    // approx_count_distinct over the source is served from the sketch
+    assert(usesMv(
+      "SELECT k, approx_count_distinct(u) AS nd FROM msk.ns1.src GROUP BY k"))
+    // exact count(DISTINCT) only under the explicit session opt-in
+    val distinctQ =
+      "SELECT k, count(DISTINCT u) AS nd FROM msk.ns1.src GROUP BY k"
+    assert(!usesMv(distinctQ),
+      "count(DISTINCT) must NOT be served approximately by default")
+    spark.conf.set("spark.graft.mv.rewrite.approx-distinct", "true")
+    try {
+      assert(usesMv(distinctQ))
+      val served = spark.sql(distinctQ + " ORDER BY k")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(served == exact())
+    } finally
+      spark.conf.unset("spark.graft.mv.rewrite.approx-distinct")
+  }
+
+  test("the procedure path takes hll specs and cdc-maintainable " +
+      "companions stay signed while sketches rebuild group-scoped") {
+    spark.sql("CREATE NAMESPACE msk.ns2")
+    spark.sql("CREATE TABLE msk.ns2.src (k BIGINT NOT NULL, u BIGINT)")
+    spark.sql("""INSERT INTO msk.ns2.src
+                 SELECT id % 4, id % 60 FROM range(0, 800, 1, 2)""")
+    spark.sql("""CALL msk.system.create_materialized_view(
+                   namespace => 'ns2', name => 'mv',
+                   source_namespace => 'ns2', source_table => 'src',
+                   group_by => 'k',
+                   aggs => 'n:count:1;nd:hll:u')""")
+    spark.sql("""INSERT INTO msk.ns2.src
+                 SELECT id % 4, 500 + id % 25 FROM range(0, 300, 1, 2)""")
+    spark.sql("""CALL msk.system.refresh_materialized_view(
+                   namespace => 'ns2', name => 'mv')""").collect()
+    val est = spark.sql(
+      """SELECT k, hll_sketch_estimate(nd) FROM msk.ns2.mv ORDER BY k""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val ex = try spark.sql(
+      """SELECT k, count(DISTINCT u) FROM msk.ns2.src GROUP BY k ORDER BY k""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    finally spark.conf.unset("spark.graft.mv.rewrite.enabled")
+    assert(est == ex)
+  }
+}

@@ -123,26 +123,45 @@ class MvDdlSpec extends AnyFunSuite {
     spark.sql("CREATE TABLE IF NOT EXISTS mvd.ns3.t (k BIGINT, v DOUBLE)")
     def msgOf(sql: String): String =
       intercept[Exception](spark.sql(sql).collect()).getMessage
+    // avg AUTO-EXPANDS to the sum/count pair — and the rewrite serves
+    // avg(v) over the source from exactly that pair
+    spark.sql("INSERT INTO mvd.ns3.t VALUES (1, 2.0), (1, 4.0), (2, 9.0)")
+    spark.sql("""CREATE MATERIALIZED VIEW mvd.ns3.avgmv AS
+                 SELECT k, avg(v) AS a FROM mvd.ns3.t GROUP BY k""")
+    val cols = spark.table("mvd.ns3.avgmv").columns.toSeq
+    assert(cols == Seq("k", "a_sum", "a_cnt"), cols.toString)
+    val avgQ = spark.sql(
+      "SELECT k, avg(v) AS a FROM mvd.ns3.t GROUP BY k ORDER BY k")
+    val served = avgQ.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.relation.table.name().endsWith("avgmv") => r
+    }.nonEmpty
+    assert(served, avgQ.queryExecution.optimizedPlan.treeString)
+    assert(avgQ.collect().map(_.toString).toSeq ==
+      Seq("[1,3.0]", "[2,9.0]"))
     assert(msgOf("""CREATE MATERIALIZED VIEW mvd.ns3.m AS
-                    SELECT k, avg(v) AS a FROM mvd.ns3.t GROUP BY k""")
-      .contains("sum(x) and count(x)"))
+                    SELECT k, avg(v) AS a, sum(v) AS a_sum
+                    FROM mvd.ns3.t GROUP BY k""")
+      .contains("duplicate output columns"))
     assert(msgOf("""CREATE MATERIALIZED VIEW mvd.ns3.m AS
                     SELECT k, count(DISTINCT v) AS n
                     FROM mvd.ns3.t GROUP BY k""").contains("DISTINCT"))
     assert(msgOf("""CREATE MATERIALIZED VIEW mvd.ns3.m AS
                     SELECT k, sum(v) FROM mvd.ns3.t GROUP BY k""")
       .toLowerCase.contains("alias"))
+    // a GROUP BY expression is an expression KEY — but only when the
+    // select list carries it under an alias to name the state column
     assert(msgOf("""CREATE MATERIALIZED VIEW mvd.ns3.m AS
-                    SELECT k + 1 AS k2, count(*) AS n
+                    SELECT count(*) AS n
                     FROM mvd.ns3.t GROUP BY k + 1""")
-      .contains("plain columns"))
+      .contains("select list"))
     assert(msgOf("""CREATE MATERIALIZED VIEW mvd.ns3.m AS
                     SELECT k FROM mvd.ns3.t GROUP BY k""")
       .contains("at least one aggregate"))
     assert(msgOf("""CREATE MATERIALIZED VIEW mvd.ns3.m AS
                     SELECT t.k, count(*) AS n
-                    FROM mvd.ns3.t LEFT JOIN mvd.ns3.t u ON t.k = u.k
-                    GROUP BY t.k""").contains("INNER"))
+                    FROM mvd.ns3.t FULL JOIN mvd.ns3.t u ON t.k = u.k
+                    GROUP BY t.k""").contains("INNER and LEFT"))
     assert(msgOf("""CREATE MATERIALIZED VIEW mvd.ns3.m AS
                     SELECT v, count(*) AS n FROM mvd.ns3.t""")
       .contains("GROUP BY"))

@@ -355,6 +355,27 @@ class MvRewriteSpec extends AnyFunSuite {
     spark.sql("""CALL mvr.system.refresh_materialized_view(
                    namespace => 'ns7', name => 'mv')""")
     check(q, expectMv = true)
+
+    // PER-VIEW staleness: the property on the MV table serves stale
+    // within its own bound while the session stays exact — one session
+    // mixes exact dashboards and stale-tolerant monitors
+    spark.sql("INSERT INTO mvr.ns7.src VALUES (2, 2.0)")
+    assert(!usesMv(spark.sql(q)), "session default must stay exact")
+    spark.sql("""ALTER TABLE mvr.ns7.mv SET TBLPROPERTIES
+                   ('graft.mv.max-staleness-ms' = '600000')""")
+    GraftMvRewrite.invalidate("mvr", "ns7.mv")
+    assert(usesMv(spark.sql(q)),
+      "the property-set view must serve within its own bound")
+    // and the property WINS over the conf for this view: an explicit
+    // 0 pins the view exact even when the session tolerates staleness
+    spark.sql("""ALTER TABLE mvr.ns7.mv SET TBLPROPERTIES
+                   ('graft.mv.max-staleness-ms' = '0')""")
+    GraftMvRewrite.invalidate("mvr", "ns7.mv")
+    spark.conf.set("spark.graft.mv.rewrite.max-staleness-ms", "600000")
+    try assert(!usesMv(spark.sql(q)),
+      "a view declaring max-staleness-ms = 0 stays exact even when " +
+        "the session tolerates staleness")
+    finally spark.conf.unset("spark.graft.mv.rewrite.max-staleness-ms")
   }
 
   test("drop_materialized_view deregisters from the source") {

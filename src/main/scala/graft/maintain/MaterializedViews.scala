@@ -102,10 +102,11 @@ object MaterializedViews {
     * frames snapshot-pinned, so a concurrent append can neither be
     * lost nor double-counted): an append to the FACT side joins only
     * the delta against the other side — at 100 TB that is a
-    * delta-sized broadcast join, never a corpus re-join. Ranges that
-    * aren't purely additive (after net-zero skipping) fall back to a
-    * full recompute; the counting-algorithm path is single-source
-    * only.
+    * delta-sized broadcast join, never a corpus re-join. Ranges with
+    * retractions (deletes/updates) take the SIGNED bilinear rule
+    * Δ(A⋈B) = ΔA_signed⋈B_cur + A_prev⋈ΔB_signed when every aggregate
+    * retracts ([[cdcMaintainable]]) — feed-sized signed joins — and
+    * fall back to a full recompute otherwise.
     */
   val Join2NsProp = "graft.mv.join-namespace"
   val Join2TableProp = "graft.mv.join-table"
@@ -423,6 +424,25 @@ object MaterializedViews {
   private def restrict(df: DataFrame, where: Option[String]): DataFrame =
     where.fold(df)(w => df.filter(coalesce(expr(w), lit(false))))
 
+  /** Counting-algorithm partial: aggregate `df` with each row weighted
+    * by `sign` (+1 insert / −1 delete) — count/sum only (the
+    * retractable class).
+    */
+  private def signedAggregate(df: DataFrame,
+      sign: org.apache.spark.sql.Column, groupBy: Seq[String],
+      aggs: Seq[AggSpec], keyExprs: Seq[(String, String)]): DataFrame = {
+    val signed = aggs.map { a =>
+      (a.fn match {
+        case "count" if a.isCountStar => sum(sign)
+        case "count" =>
+          sum(when(expr(a.expr).isNotNull, sign).otherwise(lit(0)))
+        case "sum" => sum(expr(a.expr) * sign)
+      }).as(a.out)
+    }
+    keyed(df, keyExprs).groupBy(groupBy.map(col): _*)
+      .agg(signed.head, signed.tail: _*)
+  }
+
   /** CREATE: computes the full aggregate, creates the MV table with
     * the definition properties, and records the exact source snapshot
     * the initial state reflects.
@@ -687,27 +707,16 @@ object MaterializedViews {
     if (curId == last)
       return Some(RefreshResult("noop", countRows(spark, stored)))
 
-    def feedDelta(s0: Long, e0: Long): DataFrame = {
+    def feedDelta(s0: Long, e0: Long): DataFrame =
       // counting algorithm over the engine's change feed: signed
       // (+insert / -delete) partials aggregated from ONLY the changed
       // rows of (s0, e0]
-      val changes = restrict(
-        graft.spark.TableChanges.between(spark, cat,
-          Identifier.of(Array(srcNs), srcT), s0, e0), where)
-      val sign = when(
-        col(graft.spark.TableChanges.ChangeTypeColumn) === "insert",
-        lit(1)).otherwise(lit(-1))
-      val signed = aggs.map { a =>
-        (a.fn match {
-          case "count" if a.isCountStar => sum(sign)
-          case "count" =>
-            sum(when(expr(a.expr).isNotNull, sign).otherwise(lit(0)))
-          case "sum" => sum(expr(a.expr) * sign)
-        }).as(a.out)
-      }
-      keyed(changes, keyExprs).groupBy(groupBy.map(col): _*)
-        .agg(signed.head, signed.tail: _*)
-    }
+      signedAggregate(
+        restrict(graft.spark.TableChanges.between(spark, cat,
+          Identifier.of(Array(srcNs), srcT), s0, e0), where),
+        when(col(graft.spark.TableChanges.ChangeTypeColumn) === "insert",
+          lit(1)).otherwise(lit(-1)),
+        groupBy, aggs, keyExprs)
     def appendDelta(s0: Long, e0: Long): DataFrame =
       // the engine's own incremental read plans exactly the files
       // appended in (s0, e0] — over an additive segment their RAW
@@ -925,6 +934,62 @@ object MaterializedViews {
     // incremental
     val rightDelta = segsB.exists(_.nonEmpty)
     val leftNeedsSigned = j.joinType == "left" && rightDelta
+    // retractions (deletes/updates) on a JOIN view's sources take the
+    // SIGNED BILINEAR rule when the aggregates retract:
+    //   Δ(A⋈B) = ΔA_signed ⋈ B_cur  +  A_prev ⋈ ΔB_signed
+    // (exact in multiset algebra for INNER joins with signed deltas —
+    // appends are +1 rows, feed deletes are −1). A LEFT view supports
+    // it only for fact-side changes with the dim UNCHANGED (ΔA ⟕
+    // B_cur is per-fact-row exact when B is fixed); dim-side
+    // retractions on a left view would move null-extension both ways
+    // and recompute fully instead.
+    val retracts = segsA.exists(_.exists(_.kind == 'C')) ||
+      segsB.exists(_.exists(_.kind == 'C'))
+    val signedOk = segsA.isDefined && segsB.isDefined &&
+      cdcMaintainable(aggs) &&
+      (j.joinType == "inner" ||
+        (j.joinType == "left" && segsB.get.isEmpty))
+    if (!incOk && retracts && signedOk) {
+      val bCur = pinned(spark, bFull, curB)
+      val aPrev = pinned(spark, aFull, lastA)
+      val signOf = when(
+        col(graft.spark.TableChanges.ChangeTypeColumn) === "insert",
+        lit(1)).otherwise(lit(-1))
+      def sideParts(full: String, srcIdent: Identifier, segs: Seq[Segment],
+          joinTo: DataFrame => DataFrame): Seq[DataFrame] =
+        segs.map {
+          case Segment('A', s0, e0) =>
+            signedAggregate(restrict(joinTo(spark.read
+              .option(GraftTable.StartSnapshotOption, s0.toString)
+              .option(GraftTable.EndSnapshotOption, e0.toString)
+              .table(full)), where), lit(1), groupBy, aggs, keyExprs)
+          case Segment(_, s0, e0) =>
+            signedAggregate(restrict(joinTo(
+              graft.spark.TableChanges.between(spark, cat, srcIdent,
+                s0, e0)), where), signOf, groupBy, aggs, keyExprs)
+        }
+      val parts =
+        sideParts(aFull, Identifier.of(Array(srcNs), srcT), segsA.get,
+          d => joinFrames(d, bCur, j.on, j.joinType)) ++
+        sideParts(bFull, Identifier.of(Array(j.ns), j.table), segsB.get,
+          d => joinFrames(aPrev, d, j.on))
+      val wms = Seq(RefreshedSnapshotProp -> curA.toString,
+        RefreshedSnapshot2Prop -> curB.toString)
+      return {
+        if (parts.isEmpty)
+          commitWatermarkOnly(spark, cat, ns, mv, mvFull, expect, wms, "cdc")
+        else {
+          val delta = parts match {
+            case Seq(one) => one
+            case many => many.reduce(_ unionByName _)
+              .groupBy(groupBy.map(col): _*)
+              .agg(aggs.head.merge, aggs.tail.map(_.merge): _*)
+          }
+          commitMerge(spark, cat, ns, mv, mvFull, mvSchema, groupBy, aggs,
+            delta, signed = true, expect, wms, "cdc")
+        }
+      }
+    }
     if (incOk && (!leftNeedsSigned || cdcMaintainable(aggs))) {
       def deltaOf(full: String, segs: Seq[Segment]): Option[DataFrame] =
         segs.map(g => spark.read

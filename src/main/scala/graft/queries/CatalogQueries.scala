@@ -3370,6 +3370,68 @@ object CatalogQueries {
              |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
              |            AS DOUBLE) AS total
              |FROM orders LEFT JOIN cust ON o_custkey = c_custkey
-             |GROUP BY 1 ORDER BY seg NULLS FIRST""".stripMargin))
+             |GROUP BY 1 ORDER BY seg NULLS FIRST""".stripMargin)),
+
+    QueryDef(
+      "c72_mv_join_cdc",
+      (s, d) => {
+        // SIGNED BILINEAR maintenance for JOIN views: with retractable
+        // aggregates (count/sum + companion counts), deletes on EITHER
+        // side of an inner-join view refresh via
+        // Δ(A⋈B) = ΔA_signed⋈B_cur + A_prev⋈ΔB_signed — feed-sized
+        // joins, never a corpus re-join or a full recompute. A
+        // fact-side delete and then a dim-side delete both take the
+        // cdc path (mode-pinned), and the refreshed STATE itself is
+        // graded against DuckDB recomputing the join aggregate from
+        // scratch minus the deleted rows (exact DECIMAL sums).
+        ensureCatalog(s, "gmx")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gmx.ns1")
+        s.sql("DROP TABLE IF EXISTS gmx.ns1.mv")
+        s.sql("DROP TABLE IF EXISTS gmx.ns1.ord")
+        s.sql("DROP TABLE IF EXISTS gmx.ns1.cust")
+        s.sql("""CREATE TABLE gmx.ns1.ord (
+                   o_orderkey BIGINT, o_custkey BIGINT,
+                   o_totalprice DOUBLE)""")
+        s.sql("""CREATE TABLE gmx.ns1.cust (
+                   c_custkey BIGINT, c_mktsegment STRING)""")
+        s.sql(s"""INSERT INTO gmx.ns1.cust
+                  SELECT c_custkey, c_mktsegment
+                  FROM parquet.`$d/customer.parquet`""")
+        s.sql(s"""INSERT INTO gmx.ns1.ord
+                  SELECT o_orderkey, o_custkey, o_totalprice
+                  FROM parquet.`$d/orders.parquet`""")
+        s.sql("""CALL gmx.system.create_materialized_view(
+                   namespace => 'ns1', name => 'mv',
+                   source_namespace => 'ns1', source_table => 'ord',
+                   group_by => 'c_mktsegment',
+                   aggs => 'n:count:1;np:count:CAST(o_totalprice AS DECIMAL(18,2));total:sum:CAST(o_totalprice AS DECIMAL(18,2))',
+                   join_namespace => 'ns1', join_table => 'cust',
+                   join_on => 'o_custkey=c_custkey')""")
+        s.sql("DELETE FROM gmx.ns1.ord WHERE o_orderkey % 13 = 6")
+        val m1 = s.sql("""CALL gmx.system.refresh_materialized_view(
+                            namespace => 'ns1', name => 'mv')""")
+          .head.getString(0)
+        require(m1 == "cdc",
+          s"a fact-side delete must take the signed bilinear path: $m1")
+        s.sql("DELETE FROM gmx.ns1.cust WHERE c_custkey % 23 = 5")
+        val m2 = s.sql("""CALL gmx.system.refresh_materialized_view(
+                            namespace => 'ns1', name => 'mv')""")
+          .head.getString(0)
+        require(m2 == "cdc",
+          s"a dim-side delete must take the signed bilinear path: $m2")
+        s.sql("""SELECT c_mktsegment AS seg, n, np,
+                        CAST(total AS DOUBLE) AS total
+                 FROM gmx.ns1.mv ORDER BY seg""")
+      },
+      Some("""WITH ord AS (
+             |  SELECT * FROM orders WHERE NOT (o_orderkey % 13 = 6)),
+             |cust AS (
+             |  SELECT * FROM customer WHERE NOT (c_custkey % 23 = 5))
+             |SELECT c_mktsegment AS seg, count(*) AS n,
+             |       count(CAST(o_totalprice AS DECIMAL(18,2))) AS np,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |            AS DOUBLE) AS total
+             |FROM ord JOIN cust ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY seg""".stripMargin))
   )
 }

@@ -346,7 +346,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
                     s"${p(SourceNsProp)}.${p(SourceTableProp)}",
                     p.get(Join2NsProp).map(jns =>
                       s"$jns.${p(Join2TableProp)}"),
-                    p(GroupByProp), p(AggsProp), p.get(WhereProp),
+                    p.get(Join2NsProp).map(_ =>
+                      p.getOrElse(
+                        graft.maintain.MaterializedViews.JoinTypeProp,
+                        "inner")),
+                    p(GroupByProp),
+                    p.get(graft.maintain.MaterializedViews.KeyExprsProp),
+                    p(AggsProp), p.get(WhereProp),
                     wm, wm2, srcFresh && joinFresh, stateMode, pending))
                 } catch {
                   // dropped / drifted view: a stale registry entry

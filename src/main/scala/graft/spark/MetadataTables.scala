@@ -39,7 +39,8 @@ object MetadataTables {
     * the base table, with its definition and freshness.
     */
   final case class ViewRow(ns: String, name: String, source: String,
-      joinSource: Option[String], groupBy: String, aggs: String,
+      joinSource: Option[String], joinType: Option[String],
+      groupBy: String, keyExprs: Option[String], aggs: String,
       where: Option[String], refreshedSnapshot: Long,
       refreshedSnapshot2: Option[Long], fresh: Boolean,
       stateMode: String, pendingDeletes: Long)
@@ -57,7 +58,9 @@ object MetadataTables {
         StructField("view_name", StringType, nullable = false),
         StructField("source", StringType, nullable = false),
         StructField("join_source", StringType, nullable = true),
+        StructField("join_type", StringType, nullable = true),
         StructField("group_by", StringType, nullable = false),
+        StructField("key_exprs", StringType, nullable = true),
         StructField("aggs", StringType, nullable = false),
         StructField("where", StringType, nullable = true),
         StructField("refreshed_snapshot", LongType, nullable = false),
@@ -75,7 +78,10 @@ object MetadataTables {
         InternalRow(UTF8String.fromString(v.ns),
           UTF8String.fromString(v.name), UTF8String.fromString(v.source),
           v.joinSource.map(UTF8String.fromString).orNull,
-          UTF8String.fromString(v.groupBy), UTF8String.fromString(v.aggs),
+          v.joinType.map(UTF8String.fromString).orNull,
+          UTF8String.fromString(v.groupBy),
+          v.keyExprs.map(UTF8String.fromString).orNull,
+          UTF8String.fromString(v.aggs),
           v.where.map(UTF8String.fromString).orNull,
           v.refreshedSnapshot,
           v.refreshedSnapshot2.map(Long.box).orNull, v.fresh,

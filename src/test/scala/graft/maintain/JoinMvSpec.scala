@@ -10,9 +10,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * sources maintains by the two-sided delta rule
   * Δ(A⋈B) = ΔA⋈B_cur + A_prev⋈ΔB — an append to EITHER side refreshes
   * at delta-join cost — the state always equals a from-scratch join
-  * aggregate, retraction on either side falls back to full, and the
-  * transparent rewrite serves join-aggregate queries exactly when the
-  * shape and both watermarks match.
+  * aggregate. Retraction on either side takes the SIGNED bilinear rule
+  * when every aggregate retracts (count/sum + companion counts) and
+  * falls back to full otherwise; the transparent rewrite serves
+  * join-aggregate queries exactly when the shape and both watermarks
+  * match.
   */
 class JoinMvSpec extends AnyFunSuite {
 
@@ -34,12 +36,19 @@ class JoinMvSpec extends AnyFunSuite {
     "SELECT seg, n, total FROM jmv.ns1.mv ORDER BY seg")
     .collect().map(_.toString).toSeq
 
-  private def truth(): Seq[String] = spark.sql(
-    """SELECT seg, count(*) AS n,
+  // truth MUST compute with the rewrite off — a fresh view would
+  // otherwise SERVE this join aggregate, comparing the state to
+  // itself instead of to a from-scratch recompute
+  private def truth(): Seq[String] = {
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try spark.sql(
+      """SELECT seg, count(*) AS n,
               sum(CAST(amt AS DECIMAL(18,2))) AS total
-       FROM jmv.ns1.fact JOIN jmv.ns1.dim ON cid = did
-       GROUP BY seg ORDER BY seg""")
-    .collect().map(_.toString).toSeq
+         FROM jmv.ns1.fact JOIN jmv.ns1.dim ON cid = did
+         GROUP BY seg ORDER BY seg""")
+      .collect().map(_.toString).toSeq
+    finally spark.conf.unset("spark.graft.mv.rewrite.enabled")
+  }
 
   private def usesMv(df: DataFrame): Boolean =
     df.queryExecution.optimizedPlan.collectFirst {
@@ -120,6 +129,70 @@ class JoinMvSpec extends AnyFunSuite {
     spark.sql("INSERT INTO jmv.ns1.fact VALUES (9003, 7, 4.5)")
     assert(refresh() == "incremental")
     assert(state() == truth())
+  }
+
+  test("retractions on either side take the SIGNED bilinear cdc path " +
+      "when every aggregate retracts") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS jmv.ns3")
+    spark.sql("CREATE TABLE jmv.ns3.fact (fid BIGINT, cid BIGINT, amt DOUBLE)")
+    spark.sql("CREATE TABLE jmv.ns3.dim (did BIGINT, seg STRING)")
+    spark.sql("""INSERT INTO jmv.ns3.fact
+                 SELECT id, id % 12, CAST(id AS DOUBLE) / 2
+                 FROM range(0, 3000, 1, 4)""")
+    spark.sql("""INSERT INTO jmv.ns3.dim
+                 SELECT id, concat('s', id % 4) FROM range(0, 12, 1, 2)""")
+    // companion counts make the aggregate set retractable
+    call("""CALL jmv.system.create_materialized_view(
+              namespace => 'ns3', name => 'mv3',
+              source_namespace => 'ns3', source_table => 'fact',
+              group_by => 'seg',
+              aggs => 'n:count:1;np:count:CAST(amt AS DECIMAL(18,2));total:sum:CAST(amt AS DECIMAL(18,2))',
+              join_namespace => 'ns3', join_table => 'dim',
+              join_on => 'cid=did')""")
+    def refresh3(): String = call(
+      """CALL jmv.system.refresh_materialized_view(
+           namespace => 'ns3', name => 'mv3')""")._1
+    def state3(): Seq[String] = spark.sql(
+      "SELECT seg, n, np, total FROM jmv.ns3.mv3 ORDER BY seg")
+      .collect().map(_.toString).toSeq
+    def truth3(): Seq[String] = {
+      spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      try spark.sql(
+        """SELECT seg, count(*) AS n,
+                  count(CAST(amt AS DECIMAL(18,2))) AS np,
+                  sum(CAST(amt AS DECIMAL(18,2))) AS total
+           FROM jmv.ns3.fact JOIN jmv.ns3.dim ON cid = did
+           GROUP BY seg ORDER BY seg""")
+        .collect().map(_.toString).toSeq
+      finally spark.conf.unset("spark.graft.mv.rewrite.enabled")
+    }
+
+    // FACT-side delete: signed ΔA ⋈ B_cur
+    spark.sql("DELETE FROM jmv.ns3.fact WHERE fid % 11 = 4")
+    assert(refresh3() == "cdc")
+    assert(state3() == truth3())
+
+    // FACT-side update (retract old + insert new through the feed)
+    spark.sql("""UPDATE jmv.ns3.fact SET amt = amt + 1
+                 WHERE fid % 13 = 2""")
+    assert(refresh3() == "cdc")
+    assert(state3() == truth3())
+
+    // DIM-side delete: A_prev ⋈ ΔB_signed — every fact of the deleted
+    // dim keys retracts; a group whose dim rows all vanish is DELETED
+    spark.sql("DELETE FROM jmv.ns3.dim WHERE did IN (3, 7, 11)")
+    assert(refresh3() == "cdc")
+    assert(state3() == truth3())
+    assert(!state3().exists(_.contains("s3")),
+      "the group whose dim rows vanished must drop out: " + state3())
+
+    // MIXED range: appends AND a delete across both sides in one
+    // refresh — all four bilinear terms in one signed merge
+    spark.sql("INSERT INTO jmv.ns3.fact VALUES (9001, 2, 4.5)")
+    spark.sql("DELETE FROM jmv.ns3.fact WHERE fid % 29 = 1")
+    spark.sql("INSERT INTO jmv.ns3.dim VALUES (12, 's0')")
+    assert(refresh3() == "cdc")
+    assert(state3() == truth3())
   }
 
   test("the rewrite serves join-aggregate queries exactly when shape " +

@@ -28,12 +28,19 @@ class MaterializedViewSpec extends AnyFunSuite {
     "SELECT k, n, total, mn, mx FROM mvc.ns1.mv ORDER BY k")
     .collect().map(_.toString).toSeq
 
-  private def truth() = spark.sql(
-    """SELECT k, count(*) AS n,
+  // truth MUST compute with the rewrite off — a fresh view would
+  // otherwise SERVE this source aggregate, comparing the state to
+  // itself instead of to a from-scratch recompute
+  private def truth() = {
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try spark.sql(
+      """SELECT k, count(*) AS n,
               sum(CAST(v AS DECIMAL(18,2))) AS total,
               min(v) AS mn, max(v) AS mx
-       FROM mvc.ns1.src GROUP BY k ORDER BY k""")
-    .collect().map(_.toString).toSeq
+         FROM mvc.ns1.src GROUP BY k ORDER BY k""")
+      .collect().map(_.toString).toSeq
+    finally spark.conf.unset("spark.graft.mv.rewrite.enabled")
+  }
 
   test("create computes the full aggregate; incremental refresh merges " +
       "the delta only; non-additive falls back to full") {

@@ -33,13 +33,21 @@ class MvCdcPropertiesSpec extends AnyFunSuite {
     s"SELECT k, n, np, total FROM mcp.ns1.$mv ORDER BY k NULLS FIRST")
     .collect().map(_.toString).toSeq
 
-  private def truth(whereSql: String): Seq[String] = spark.sql(
+  // every truth computes with the REWRITE OFF — a fresh view would
+  // otherwise serve the source aggregate, comparing the state to
+  // itself instead of to a from-scratch recompute
+  private def noRewrite[T](f: => T): T = {
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try f finally spark.conf.unset("spark.graft.mv.rewrite.enabled")
+  }
+
+  private def truth(whereSql: String): Seq[String] = noRewrite(spark.sql(
     s"""SELECT k, count(*) AS n,
                count(CAST(v AS DECIMAL(18,2))) AS np,
                sum(CAST(v AS DECIMAL(18,2))) AS total
         FROM mcp.ns1.src WHERE $whereSql
         GROUP BY k ORDER BY k NULLS FIRST""")
-    .collect().map(_.toString).toSeq
+    .collect().map(_.toString).toSeq)
 
   test("a seeded mixed op sequence keeps both views equal to the " +
       "from-scratch aggregate after every refresh") {
@@ -82,10 +90,10 @@ class MvCdcPropertiesSpec extends AnyFunSuite {
     def mmState(): Seq[String] = spark.sql(
       "SELECT k, n, mn, mx FROM mcp.ns1.gmv ORDER BY k NULLS FIRST")
       .collect().map(_.toString).toSeq
-    def mmTruth(): Seq[String] = spark.sql(
+    def mmTruth(): Seq[String] = noRewrite(spark.sql(
       """SELECT k, count(*) AS n, min(v) AS mn, max(v) AS mx
          FROM mcp.ns1.src GROUP BY k ORDER BY k NULLS FIRST""")
-      .collect().map(_.toString).toSeq
+      .collect().map(_.toString).toSeq)
     // a JOIN view rides the same sequence: appends maintain via the
     // two-sided delta rule, retractions fall back to full — either
     // way the state must equal a from-scratch join aggregate
@@ -100,19 +108,57 @@ class MvCdcPropertiesSpec extends AnyFunSuite {
                     aggs => 'n:count:1;total:sum:CAST(v AS DECIMAL(18,2))',
                     join_namespace => 'ns1', join_table => 'dim',
                     join_on => 'k=dk')""")
-    def joinTruth(): Seq[String] = spark.sql(
+    def joinTruth(): Seq[String] = noRewrite(spark.sql(
       """SELECT grp, count(*) AS n,
                 sum(CAST(v AS DECIMAL(18,2))) AS total
          FROM mcp.ns1.src JOIN mcp.ns1.dim ON k = dk
          GROUP BY grp ORDER BY grp""")
-      .collect().map(_.toString).toSeq
+      .collect().map(_.toString).toSeq)
     def joinState(): Seq[String] = spark.sql(
       "SELECT grp, n, total FROM mcp.ns1.jmv ORDER BY grp")
       .collect().map(_.toString).toSeq
+    // an EXPRESSION-KEYED view rides the same sequence: the key
+    // expression (k % 3, NULL-propagating) re-evaluates on every
+    // delta path; retractions stay cdc (never full)
+    spark.sql(s"""CALL mcp.system.create_materialized_view(
+                    namespace => 'ns1', name => 'emv',
+                    source_namespace => 'ns1', source_table => 'src',
+                    group_by => 'kb', aggs => '$cdcAggs',
+                    key_exprs => 'kb:k % 3')""")
+    def eState(): Seq[String] = spark.sql(
+      "SELECT kb, n, np, total FROM mcp.ns1.emv ORDER BY kb NULLS FIRST")
+      .collect().map(_.toString).toSeq
+    def eTruth(): Seq[String] = noRewrite(spark.sql(
+      """SELECT k % 3 AS kb, count(*) AS n,
+                count(CAST(v AS DECIMAL(18,2))) AS np,
+                sum(CAST(v AS DECIMAL(18,2))) AS total
+         FROM mcp.ns1.src GROUP BY 1 ORDER BY kb NULLS FIRST""")
+      .collect().map(_.toString).toSeq)
+    // and a LEFT-join view: src facts null-extend on NULL/unmatched
+    // keys; fact-side retractions take the signed path, the dim-side
+    // append mid-sequence exercises the null-extension retraction
+    spark.sql(s"""CALL mcp.system.create_materialized_view(
+                    namespace => 'ns1', name => 'lmv',
+                    source_namespace => 'ns1', source_table => 'src',
+                    group_by => 'grp', aggs => '$cdcAggs',
+                    join_namespace => 'ns1', join_table => 'dim',
+                    join_on => 'k=dk', join_type => 'left')""")
+    def lState(): Seq[String] = spark.sql(
+      "SELECT grp, n, np, total FROM mcp.ns1.lmv ORDER BY grp NULLS FIRST")
+      .collect().map(_.toString).toSeq
+    def lTruth(): Seq[String] = noRewrite(spark.sql(
+      """SELECT grp, count(*) AS n,
+                count(CAST(v AS DECIMAL(18,2))) AS np,
+                sum(CAST(v AS DECIMAL(18,2))) AS total
+         FROM mcp.ns1.src LEFT JOIN mcp.ns1.dim ON k = dk
+         GROUP BY grp ORDER BY grp NULLS FIRST""")
+      .collect().map(_.toString).toSeq)
 
     val modes = scala.collection.mutable.Set.empty[String]
     val mmModes = scala.collection.mutable.Set.empty[String]
     val joinModes = scala.collection.mutable.Set.empty[String]
+    val eModes = scala.collection.mutable.Set.empty[String]
+    val lModes = scala.collection.mutable.Set.empty[String]
     var nextId = 3000L
     (1 to steps).foreach { step =>
       rnd.nextInt(4) match {
@@ -150,11 +196,25 @@ class MvCdcPropertiesSpec extends AnyFunSuite {
       assert(mmState() == mmTruth(), s"min/max mv diverged at step $step")
       joinModes += refresh("jmv")
       assert(joinState() == joinTruth(), s"join mv diverged at step $step")
+      val m4 = refresh("emv")
+      eModes += m4
+      assert(m4 != "full",
+        s"step $step: expression-keyed retractions must stay cdc, got $m4")
+      assert(eState() == eTruth(), s"expr-key mv diverged at step $step")
+      val m5 = refresh("lmv")
+      lModes += m5
+      assert(m5 != "full",
+        s"step $step: left-join fact-side changes must stay signed, got $m5")
+      assert(lState() == lTruth(), s"left-join mv diverged at step $step")
       if (step == 7) {
-        // a dim-side append mid-sequence: the A_prev⋈ΔB delta term
+        // a dim-side append mid-sequence: the A_prev⋈ΔB delta term for
+        // the inner view, and the null-extension RETRACTION for the
+        // left view (facts whose key just matched for the first time)
         spark.sql("INSERT INTO mcp.ns1.dim VALUES (9, 'nine')")
         assert(refresh("jmv") == "incremental")
         assert(joinState() == joinTruth(), "dim append diverged")
+        assert(refresh("lmv") == "incremental")
+        assert(lState() == lTruth(), "left-join dim append diverged")
       }
     }
     assert(modes.contains("incremental") && modes.contains("cdc"),
@@ -164,5 +224,9 @@ class MvCdcPropertiesSpec extends AnyFunSuite {
         s"paths, saw: $mmModes")
     assert(joinModes.contains("incremental"),
       s"join view must take the delta path at least once, saw: $joinModes")
+    assert(eModes.contains("incremental") && eModes.contains("cdc"),
+      s"expr-key view must exercise both paths, saw: $eModes")
+    assert(lModes.contains("incremental") && lModes.contains("cdc"),
+      s"left-join view must exercise both paths, saw: $lModes")
   }
 }

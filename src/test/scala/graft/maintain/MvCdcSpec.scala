@@ -35,12 +35,19 @@ class MvCdcSpec extends AnyFunSuite {
     s"SELECT $cols FROM mcd.ns1.$mv ORDER BY k")
     .collect().map(_.toString).toSeq
 
-  private def truth(src: String) = spark.sql(
-    s"""SELECT k, count(*) AS n,
+  // truth MUST compute with the rewrite off — a fresh view would
+  // otherwise SERVE this source aggregate, comparing the state to
+  // itself instead of to a from-scratch recompute
+  private def truth(src: String) = {
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try spark.sql(
+      s"""SELECT k, count(*) AS n,
                count(CAST(v AS DECIMAL(18,2))) AS np,
                sum(CAST(v AS DECIMAL(18,2))) AS total
-        FROM mcd.ns1.$src GROUP BY k ORDER BY k""")
-    .collect().map(_.toString).toSeq
+          FROM mcd.ns1.$src GROUP BY k ORDER BY k""")
+      .collect().map(_.toString).toSeq
+    finally spark.conf.unset("spark.graft.mv.rewrite.enabled")
+  }
 
   private val cdcAggs =
     "n:count:1;np:count:CAST(v AS DECIMAL(18,2));total:sum:CAST(v AS DECIMAL(18,2))"

@@ -102,12 +102,20 @@ class MvLeftJoinSpec extends AnyFunSuite {
     assert(m3 == "incremental", m3)
     assert(state("ns1") == truth("ns1"))
 
-    // a delete is not incrementally maintainable for a join view —
-    // full recompute, still exact
+    // a FACT-side delete with the dim unchanged rides the signed
+    // bilinear path (ΔA_signed ⟕ B_cur): feed cost, not a recompute
     spark.sql("DELETE FROM mlj.ns1.fact WHERE k % 17 = 3")
     val m4 = spark.sql("REFRESH MATERIALIZED VIEW mlj.ns1.mv")
       .head.getString(0)
-    assert(m4 == "full", m4)
+    assert(m4 == "cdc", m4)
+    assert(state("ns1") == truth("ns1"))
+
+    // a DIM-side delete moves null-extension both ways — that is the
+    // one shape a left view recomputes fully (and stays exact)
+    spark.sql("DELETE FROM mlj.ns1.dim WHERE dref = 0")
+    val m5 = spark.sql("REFRESH MATERIALIZED VIEW mlj.ns1.mv")
+      .head.getString(0)
+    assert(m5 == "full", m5)
     assert(state("ns1") == truth("ns1"))
 
     // the rewrite serves the left-join aggregate and declines the

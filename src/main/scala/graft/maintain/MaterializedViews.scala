@@ -842,8 +842,13 @@ object MaterializedViews {
     val scoped = inPred match {
       // per-column IN lists are a SUPERSET prune (cross product of
       // per-column value sets); exactness is restored by the join
-      // against `touched` below
-      case Some(pred) => srcCur.filter(pred)
+      // against `touched` below. date_trunc expression keys add a
+      // RANGE prune on the raw source column (the IN on a derived
+      // column cannot reach file statistics) — only here, where
+      // keyRows is the COMPLETE touched set.
+      case Some(pred) =>
+        srcCur.filter(exprKeyRangePreds(spark, groupBy, keyExprs, keyRows)
+          .foldLeft(pred)(_ && _))
       case None => srcCur.join(touched,
         groupBy.map(k => srcCur(k) <=> touched(k)).reduce(_ && _),
         "left_semi")
@@ -1099,6 +1104,78 @@ object MaterializedViews {
 
   private def prefixed(df: DataFrame): DataFrame =
     df.select(df.columns.map(c => col(c).as(DeltaPrefix + c)).toSeq: _*)
+
+  /** For `date_trunc(lvl, col)` expression keys, SUPERSET range
+    * predicates on the RAW source column derived from the touched
+    * bucket values — file statistics can push a plain-column range
+    * where an IN on the derived key column cannot, so a group-scoped
+    * recompute on a time-bucketed view re-reads the touched days'
+    * files, never the corpus. Bucket width over-approximates
+    * generously (tz/DST-safe); exactness is restored by the caller's
+    * join against the touched-key set. Callers must pass the COMPLETE
+    * touched-key row set (a truncated set would not be a superset).
+    */
+  private def exprKeyRangePreds(spark: SparkSession, groupBy: Seq[String],
+      keyExprs: Seq[(String, String)],
+      keyRows: Array[org.apache.spark.sql.Row])
+      : Seq[org.apache.spark.sql.Column] =
+    keyExprs.flatMap { case (name, sql) =>
+      val idx = groupBy.indexWhere(_.equalsIgnoreCase(name))
+      val shape: Option[(String, String)] =
+        if (idx < 0) None
+        else (try Some(spark.sessionState.sqlParser.parseExpression(sql))
+        catch { case scala.util.control.NonFatal(_) => None }).flatMap {
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+              if f.nameParts.last.equalsIgnoreCase("date_trunc") &&
+                !f.isDistinct && f.filter.isEmpty =>
+            f.arguments match {
+              case Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+                  lvl: org.apache.spark.unsafe.types.UTF8String,
+                  org.apache.spark.sql.types.StringType),
+                  ua: org.apache.spark.sql.catalyst.analysis
+                    .UnresolvedAttribute) =>
+                Some((lvl.toString.toLowerCase(java.util.Locale.ROOT),
+                  ua.nameParts.last))
+              case _ => None
+            }
+          case _ => None
+        }
+      shape.flatMap { case (lvl0, srcCol) =>
+        val lvl = Map("yyyy" -> "year", "yy" -> "year", "mon" -> "month",
+          "mm" -> "month", "dd" -> "day").getOrElse(lvl0, lvl0)
+        val slackHours: Long = lvl match {
+          case "microsecond" | "millisecond" | "second" | "minute" => 1L
+          case "hour" => 2L
+          case "day" => 26L
+          case "week" => 8L * 24
+          case "month" => 32L * 24
+          case "quarter" => 93L * 24
+          case "year" => 367L * 24
+          case _ => -1L
+        }
+        def millisOf(v: Any): Option[Long] = v match {
+          case t: java.sql.Timestamp => Some(t.getTime)
+          case i: java.time.Instant => Some(i.toEpochMilli)
+          case _ => None
+        }
+        if (slackHours < 0) None
+        else {
+          val vals = keyRows.map(_.get(idx)).toSeq
+          val hasNull = vals.contains(null)
+          val ms = vals.filter(_ != null).map(millisOf)
+          if (ms.exists(_.isEmpty)) None // unexpected value type: no prune
+          else if (ms.isEmpty)
+            if (hasNull) Some(col(srcCol).isNull) else None
+          else {
+            val lo = new java.sql.Timestamp(ms.flatten.min)
+            val hi = new java.sql.Timestamp(
+              ms.flatten.max + slackHours * 3600L * 1000)
+            val rng = col(srcCol) >= lit(lo) && col(srcCol) < lit(hi)
+            Some(if (hasNull) rng || col(srcCol).isNull else rng)
+          }
+        }
+      }
+    }
 
   /** Run `body` (the state write) plus the watermark property advance
     * as ONE atomic catalog commit — a crash or interleaved refresh

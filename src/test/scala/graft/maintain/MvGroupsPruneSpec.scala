@@ -84,6 +84,56 @@ class MvGroupsPruneSpec extends AnyFunSuite {
       s"group 3 must vanish from the state, got $keys")
   }
 
+  test("a date_trunc-keyed view's group recompute range-prunes the " +
+      "source scan on the RAW timestamp column") {
+    spark.sql("CREATE NAMESPACE mgp.ns3")
+    spark.sql("""CREATE TABLE mgp.ns3.ev (
+                   id BIGINT NOT NULL, ts TIMESTAMP NOT NULL, v DOUBLE)""")
+    // 8 single-day inserts → 8 files with DISJOINT ts statistics
+    (0 until 8).foreach { d =>
+      spark.sql(s"""INSERT INTO mgp.ns3.ev
+                    SELECT id, timestamp'2024-03-0${d + 1} 00:00:00' +
+                           make_interval(0, 0, 0, 0, 0, CAST(id AS INT), 0),
+                           CAST(id AS DOUBLE)
+                    FROM range(${d * 500}, ${d * 500 + 500}, 1, 1)""")
+    }
+    val totalFiles = spark.sql(
+      "SELECT count(*) FROM mgp.ns3.`ev$files`").head.getLong(0)
+    assert(totalFiles >= 8, s"expected >= 8 files, got $totalFiles")
+    spark.sql("""CALL mgp.system.create_materialized_view(
+                   namespace => 'ns3', name => 'mv',
+                   source_namespace => 'ns3', source_table => 'ev',
+                   group_by => 'day',
+                   aggs => 'n:count:1;mn:min:v;mx:max:v',
+                   key_exprs => 'day:date_trunc(''DAY'', ts)')""")
+    // delete rows of ONE day: min/max recomputes group-scoped, and the
+    // derived range predicate on ts must prune the file scan
+    spark.sql("""DELETE FROM mgp.ns3.ev
+                 WHERE ts >= timestamp'2024-03-04 00:00:00'
+                   AND ts < timestamp'2024-03-04 00:04:00'""")
+    spark.conf.set("spark.graft.mv.groups.debug-scan-files", "true")
+    val mode = try spark.sql(
+      """CALL mgp.system.refresh_materialized_view(
+           namespace => 'ns3', name => 'mv')""").head.getString(0)
+    finally spark.conf.unset("spark.graft.mv.groups.debug-scan-files")
+    assert(mode == "groups", s"expected groups, got $mode")
+    val scanned = MaterializedViews.lastGroupsScanFiles.get()
+    assert(scanned >= 1 && scanned < totalFiles / 2,
+      s"day-bucket recompute read $scanned of $totalFiles files — " +
+        "the ts range prune did not reach the scan")
+    val state = spark.sql(
+      "SELECT day, n, mn, mx FROM mgp.ns3.mv ORDER BY day")
+      .collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val truth = try spark.sql(
+      """SELECT date_trunc('DAY', ts) AS day, count(*) AS n,
+                min(v) AS mn, max(v) AS mx
+         FROM mgp.ns3.ev GROUP BY 1 ORDER BY day""")
+      .collect().map(_.toString).toSeq
+    finally spark.conf.unset("spark.graft.mv.rewrite.enabled")
+    assert(state == truth)
+  }
+
   test("the state auto-compacts past the pending-delete threshold, " +
       "bounding read amplification") {
     spark.sql("CREATE NAMESPACE mgp.ns2")

@@ -142,13 +142,17 @@ object Maintenance {
     val ns = ident.namespace()(0)
     val t = ident.name()
     val txn = Graft.beginTransaction(storage)
+    // the commit path closes the txn itself; every other exit —
+    // not-applicable returns AND Spark-job failures in between — must
+    // close it here or the snapshot buffers leak
+    var txnHandedOff = false
+    try {
     val td = Graft.describeTable(storage, txn, ns, t)
     val meta = TableMetadata.read(storage, td.metadataLocation)
-    val snap = meta.currentSnapshot.getOrElse { txn.close(); return None }
+    val snap = meta.currentSnapshot.getOrElse(return None)
     val eq = snap.eqDeletes
-    if (snap.deletes.nonEmpty || snap.posDeletes.nonEmpty || eq.isEmpty) {
-      txn.close(); return None
-    }
+    if (snap.deletes.nonEmpty || snap.posDeletes.nonEmpty || eq.isEmpty)
+      return None
     val spec = graft.spark.GraftCatalog.specOf(td.properties)
     val keyCols = td.properties
       .get(graft.spark.GraftCatalog.UpsertKeysProp)
@@ -157,9 +161,8 @@ object Maintenance {
     // bucket source column is one of the delete key columns
     if (spec.isEmpty ||
         !spec.forall(f => f.kind == graft.spark.PartitionTransforms.Bucket &&
-          keyCols.exists(_.equalsIgnoreCase(f.col)))) {
-      txn.close(); return None
-    }
+          keyCols.exists(_.equalsIgnoreCase(f.col))))
+      return None
     val current = graft.format.Manifests.filesOf(storage, snap)
     val schema = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -210,9 +213,12 @@ object Maintenance {
       }
     // the overwrite commit clears the pending delete list — sound
     // because every delete-key row could only live in a touched bucket
+    txnHandedOff = true
     commitSnapshot(cat, txn, ns, t, "compact",
       graft.format.OverwriteFiles(carry ++ newFiles))
     Some(CompactionResult(current.size, carry.size + newFiles.size))
+    } finally if (!txnHandedOff)
+      try txn.close() catch { case scala.util.control.NonFatal(_) => () }
   }
 
   final case class RewriteDeletesResult(objectsBefore: Int, objectsAfter: Int,

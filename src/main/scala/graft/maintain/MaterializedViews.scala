@@ -168,9 +168,17 @@ object MaterializedViews {
           hookPool.execute(() => {
             pendingHooks.remove(key)
             try {
-              nsMv.split('.') match {
-                case Array(ns, mv) =>
-                  refresh(spark, cat, Identifier.of(Array(ns), mv))
+              // an ISOLATED session → its own catalog INSTANCE → its
+              // own session-transaction slot: the background refresh
+              // must never enlist in (or block) a transaction the
+              // user has open on the committing session's catalog.
+              // Cross-instance races resolve through the optimistic
+              // conflict matrix like any other writer.
+              val s2 = spark.newSession()
+              (s2.sessionState.catalogManager.catalog(cat.name()),
+                nsMv.split('.')) match {
+                case (g: GraftCatalog, Array(ns, mv)) =>
+                  refresh(s2, g, Identifier.of(Array(ns), mv))
                   ()
                 case _ => ()
               }
@@ -1141,8 +1149,7 @@ object MaterializedViews {
           case _ => None
         }
       shape.flatMap { case (lvl0, srcCol) =>
-        val lvl = Map("yyyy" -> "year", "yy" -> "year", "mon" -> "month",
-          "mm" -> "month", "dd" -> "day").getOrElse(lvl0, lvl0)
+        val lvl = graft.spark.GraftMvRewrite.normTruncLevel(lvl0)
         val slackHours: Long = lvl match {
           case "microsecond" | "millisecond" | "second" | "minute" => 1L
           case "hour" => 2L

@@ -118,6 +118,13 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       for {
         lf <- sideStrip(j.left)
         rf <- sideStrip(j.right)
+        // a filter UNDER the RIGHT side of a LEFT join is part of the
+        // null-extension semantics (rows it drops null-extend instead
+        // of disappearing) — hoisting it to a top-level conjunct would
+        // change results, so decline. Left-side-under filters hoist
+        // soundly (a dropped left row is gone either way).
+        if j.joinType == org.apache.spark.sql.catalyst.plans.Inner ||
+          rf._2.isEmpty
         cond <- j.condition
         pairs <- {
           def conj(e: Expression): Seq[Expression] = e match {
@@ -397,11 +404,16 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
-    // inner-join-implied `isnotnull(joinkey)` conjuncts (the optimizer
+    // INNER-join-implied `isnotnull(joinkey)` conjuncts (the optimizer
     // infers and pushes them) are already guaranteed by the view's
-    // join content — drop them rather than declining on them
+    // join content — drop them rather than declining on them. A LEFT
+    // join implies no such thing: there `key IS NOT NULL` is a REAL
+    // filter (the view's null-extended rows keep null-keyed facts),
+    // so it stays residual — and declines, since a join key is not a
+    // group key
     val joinAttrIds: Set[ExprId] =
-      joinPairs.flatMap(p => Seq(p._1.exprId, p._2.exprId)).toSet
+      if (joinType != "inner") Set.empty
+      else joinPairs.flatMap(p => Seq(p._1.exprId, p._2.exprId)).toSet
     val allConjuncts = filters.flatMap(conjuncts).filterNot {
       case IsNotNull(a: AttributeReference) => joinAttrIds.contains(a.exprId)
       // a runtime-pruning filter is a conservative replica of the join
@@ -608,7 +620,7 @@ object GraftMvRewrite {
     "yyyy" -> "year", "yy" -> "year", "mon" -> "month", "mm" -> "month",
     "dd" -> "day")
 
-  private[spark] def normTruncLevel(s: String): String = {
+  private[graft] def normTruncLevel(s: String): String = {
     val l = s.toLowerCase(java.util.Locale.ROOT)
     TruncSynonyms.getOrElse(l, l)
   }

@@ -133,6 +133,22 @@ class MvLeftJoinSpec extends AnyFunSuite {
       """SELECT grp, count(*) AS n
          FROM mlj.ns1.fact JOIN mlj.ns1.dim ON ref = dref
          GROUP BY grp"""))
+    // a filter UNDER the right side of a LEFT join changes the
+    // null-extension semantics (rows it drops null-extend instead of
+    // disappearing) — never served
+    assert(!servedBy(
+      """SELECT grp, count(*) AS n
+         FROM mlj.ns1.fact LEFT JOIN
+           (SELECT * FROM mlj.ns1.dim WHERE grp <> 'g0') d
+           ON ref = dref
+         GROUP BY grp"""))
+    // `joinkey IS NOT NULL` is inner-join-implied but NOT left-join
+    // implied (null-keyed facts live null-extended in the view) — it
+    // stays a real residual filter and declines
+    assert(!servedBy(
+      """SELECT grp, count(*) AS n
+         FROM mlj.ns1.fact LEFT JOIN mlj.ns1.dim ON ref = dref
+         WHERE ref IS NOT NULL GROUP BY grp"""))
   }
 
   test("a dim append on a min/max left view cannot retract — it " +

@@ -63,6 +63,45 @@ class MvRefreshOnCommitSpec extends AnyFunSuite {
     assert(state == truth)
   }
 
+  test("the hook refresh never enlists in a user transaction open on " +
+      "the committing session's catalog") {
+    spark.sql("CREATE NAMESPACE mrc.ns3")
+    spark.sql("CREATE TABLE mrc.ns3.src (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO mrc.ns3.src VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("""CALL mrc.system.create_materialized_view(
+                   namespace => 'ns3', name => 'mv',
+                   source_namespace => 'ns3', source_table => 'src',
+                   group_by => 'k', aggs => 'n:count:1')""")
+    spark.sql("""ALTER TABLE mrc.ns3.src SET TBLPROPERTIES
+                   ('graft.mv.refresh-on-commit' = 'true')""")
+    // observe through a FRESH instance each time: the user's open
+    // transaction must not gate what the hook published
+    def wmOf(): Long = spark.newSession().sessionState.catalogManager
+      .catalog("mrc").asInstanceOf[GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("ns3"), "mv"))
+      .properties().get(MaterializedViews.RefreshedSnapshotProp).toLong
+    val before = wmOf()
+    spark.sql("INSERT INTO mrc.ns3.src VALUES (3, 3.0)")
+    val cat = spark.sessionState.catalogManager.catalog("mrc")
+      .asInstanceOf[GraftCatalog]
+    cat.beginTransaction()
+    try {
+      MaterializedViews.awaitRefreshHooks()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (wmOf() == before && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      // the refresh COMMITTED while the user's txn is still open — it
+      // ran in its own session/catalog, never inside the user's txn
+      assert(wmOf() != before,
+        "the hook must publish independently of the open user txn")
+    } finally cat.rollbackTransaction()
+    // and the user's rollback cannot undo it
+    assert(wmOf() != before)
+    val n = spark.sql("SELECT sum(n) FROM mrc.ns3.mv").head.getLong(0)
+    assert(n == 3L, s"state must cover the appended row, got $n")
+  }
+
   test("a failing hook never fails the user's commit") {
     spark.sql("CREATE NAMESPACE mrc.ns2")
     spark.sql("CREATE TABLE mrc.ns2.src (k BIGINT, v DOUBLE)")

@@ -142,10 +142,10 @@ object Maintenance {
     val ns = ident.namespace()(0)
     val t = ident.name()
     val txn = Graft.beginTransaction(storage)
-    // the commit path closes the txn itself; every other exit —
-    // not-applicable returns AND Spark-job failures in between — must
-    // close it here or the snapshot buffers leak
-    var txnHandedOff = false
+    // close the txn on EVERY exit — not-applicable returns, Spark-job
+    // failures, a lost commit race, AND the successful commit (the
+    // commit path does not release the transaction's tree-root Arrow
+    // buffers; Transaction.close after a commit is safe and required)
     try {
     val td = Graft.describeTable(storage, txn, ns, t)
     val meta = TableMetadata.read(storage, td.metadataLocation)
@@ -213,12 +213,12 @@ object Maintenance {
       }
     // the overwrite commit clears the pending delete list — sound
     // because every delete-key row could only live in a touched bucket
-    txnHandedOff = true
     commitSnapshot(cat, txn, ns, t, "compact",
       graft.format.OverwriteFiles(carry ++ newFiles))
     Some(CompactionResult(current.size, carry.size + newFiles.size))
-    } finally if (!txnHandedOff)
+    } finally {
       try txn.close() catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   final case class RewriteDeletesResult(objectsBefore: Int, objectsAfter: Int,

@@ -160,14 +160,39 @@ object GraftMvDdl {
     // materialized expression — the canonical time-bucketed rollup
     val aggFnNames = Set("count", "sum", "min", "max", "avg", "mean",
       "approx_count_distinct")
-    def isAggCall(e: Expression): Boolean = e match {
+    // aggregate functions we RECOGNIZE but cannot incrementally
+    // maintain: route them to the pointed not-maintainable error, not
+    // the misleading "must appear under an alias" scalar diagnostics
+    val knownUnmaintainable = Set("max_by", "min_by", "first", "last",
+      "first_value", "last_value", "any_value", "collect_list",
+      "collect_set", "array_agg", "listagg", "string_agg", "stddev",
+      "stddev_pop", "stddev_samp", "variance", "var_pop", "var_samp",
+      "skewness", "kurtosis", "corr", "covar_pop", "covar_samp",
+      "percentile", "percentile_approx", "approx_percentile", "median",
+      "mode", "count_if", "bool_and", "bool_or", "every", "any", "some",
+      "bit_and", "bit_or", "bit_xor", "product", "hll_sketch_agg",
+      "hll_union_agg", "try_sum", "try_avg", "regr_avgx", "regr_avgy",
+      "regr_count", "regr_slope", "regr_intercept", "regr_r2",
+      "histogram_numeric", "grouping", "grouping_id")
+    def fnNameOf(e: Expression): Option[String] = e match {
       case f: UnresolvedFunction =>
-        aggFnNames(f.nameParts.last.toLowerCase(java.util.Locale.ROOT))
-      case _ => false
+        Some(f.nameParts.last.toLowerCase(java.util.Locale.ROOT))
+      // FIRST(x)/LAST(x)/percentile forms have dedicated grammar rules
+      // and arrive as concrete AggregateExpressions, not
+      // UnresolvedFunction
+      case ae: org.apache.spark.sql.catalyst.expressions.aggregate
+          .AggregateExpression =>
+        Some(ae.aggregateFunction.prettyName
+          .toLowerCase(java.util.Locale.ROOT))
+      case _ => None
     }
+    def isAggCall(e: Expression): Boolean = fnNameOf(e).exists(aggFnNames)
+    def isUnmaintainableAgg(e: Expression): Boolean =
+      fnNameOf(e).exists(knownUnmaintainable)
     val aliasedScalars: Seq[(String, Expression)] =
       agg.aggregateExpressions.collect {
-        case Alias(e, name) if !isAggCall(e) => name -> e
+        case Alias(e, name) if !isAggCall(e) && !isUnmaintainableAgg(e) =>
+          name -> e
       }
     val groupKeys: Seq[(String, Option[String])] =
       agg.groupingExpressions.map {
@@ -204,13 +229,17 @@ object GraftMvDdl {
           fail(s"select item $n is neither a GROUP BY key nor an " +
             "aliased aggregate")
         None
-      case al @ Alias(e, name) if !isAggCall(e) =>
+      case al @ Alias(e, name) if !isAggCall(e) && !isUnmaintainableAgg(e) =>
         // scalar select item: must be one of the GROUP BY keys
         if (!groupKeys.exists(k => k._1.equalsIgnoreCase(name) &&
             k._2.isDefined))
           fail(s"select item ${exprSql(al)} is neither a GROUP BY key " +
             "nor an aliased aggregate")
         None
+      case al @ Alias(e, _) if isUnmaintainableAgg(e) =>
+        fail(s"aggregate '${fnNameOf(e).get}' is not incrementally " +
+          "maintainable (supported: count, sum, min, max, avg/mean, " +
+          s"approx_count_distinct): ${exprSql(al)}")
       case al @ Alias(f: UnresolvedFunction, name) =>
         if (f.isDistinct) fail(s"DISTINCT aggregates are not " +
           s"incrementally maintainable: ${exprSql(al)}")
@@ -256,7 +285,8 @@ object GraftMvDdl {
               case _ => fail(s"$fn takes one argument: ${exprSql(al)}")
             }
           case other => fail(s"aggregate '$other' is not incrementally " +
-            "maintainable (count|sum|min|max)")
+            "maintainable (supported: count, sum, min, max, avg/mean, " +
+            "approx_count_distinct)")
         }
       case other => fail("every select item must be a GROUP BY key or " +
         s"an ALIASED count/sum/min/max, got: ${exprSql(other)}")

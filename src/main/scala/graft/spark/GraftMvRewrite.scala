@@ -554,8 +554,15 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
             .HyperLogLogPlusPlus =>
           // an approximate ask served from the stored sketch — a
           // (documented) different estimator of the same quantity,
-          // still within an approx function's contract
-          sketchEstimate(h.child)
+          // still within an approx function's contract — but ONLY
+          // when the stored sketch's expected error is at least as
+          // tight as the query's requested rsd: hll_sketch_agg's
+          // default lgConfigK=12 gives ~1.04/sqrt(2^12) ≈ 1.63%
+          // relative error, so approx_count_distinct(x, 0.005) must
+          // NOT be silently served three-times-looser
+          if (h.relativeSD >= GraftMvRewrite.StoredSketchRsd)
+            sketchEstimate(h.child)
+          else None
         case av: Average
             if av.dataType == org.apache.spark.sql.types.DoubleType =>
           // avg(e) = sum(e)/count(e) over the view's partials when the
@@ -615,6 +622,13 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 }
 
 object GraftMvRewrite {
+
+  /** Expected relative error of the stored Datasketches HLL state
+    * (`hll_sketch_agg` default lgConfigK = 12): 1.04 / sqrt(2^12).
+    * The rewrite serves an `approx_count_distinct(x, rsd)` from the
+    * sketch only when `rsd` is no tighter than this.
+    */
+  private[spark] val StoredSketchRsd: Double = 1.04 / math.sqrt(1 << 12)
 
   private val TruncSynonyms = Map(
     "yyyy" -> "year", "yy" -> "year", "mon" -> "month", "mm" -> "month",

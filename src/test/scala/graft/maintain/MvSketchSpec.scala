@@ -76,6 +76,14 @@ class MvSketchSpec extends AnyFunSuite {
     // approx_count_distinct over the source is served from the sketch
     assert(usesMv(
       "SELECT k, approx_count_distinct(u) AS nd FROM msk.ns1.src GROUP BY k"))
+    // ... but a query asking for a TIGHTER rsd than the stored
+    // sketch's expected error (default lgConfigK=12 → ~1.63%) must
+    // decline rather than silently serve a looser estimate
+    assert(!usesMv("""SELECT k, approx_count_distinct(u, 0.005) AS nd
+                      FROM msk.ns1.src GROUP BY k"""),
+      "a tighter-rsd ask must not be served from the default sketch")
+    assert(usesMv("""SELECT k, approx_count_distinct(u, 0.05) AS nd
+                     FROM msk.ns1.src GROUP BY k"""))
     // exact count(DISTINCT) only under the explicit session opt-in
     val distinctQ =
       "SELECT k, count(DISTINCT u) AS nd FROM msk.ns1.src GROUP BY k"

@@ -174,5 +174,21 @@ class MvDdlSpec extends AnyFunSuite {
     assert(msgOf("""CREATE MATERIALIZED VIEW mvd.ns3.m AS
                     SELECT k, count(nullif(CAST(v AS STRING), 'a;b')) AS n
                     FROM mvd.ns3.t GROUP BY k""").contains("';'"))
+    // KNOWN aggregates outside the maintainable set route to the
+    // not-maintainable diagnostic, not the misleading scalar/alias one
+    assert(msgOf("""CREATE MATERIALIZED VIEW mvd.ns3.m AS
+                    SELECT k, max_by(v, v) AS top
+                    FROM mvd.ns3.t GROUP BY k""")
+      .contains("not incrementally maintainable"))
+    assert(msgOf("""CREATE MATERIALIZED VIEW mvd.ns3.m AS
+                    SELECT k, stddev(v) AS sd
+                    FROM mvd.ns3.t GROUP BY k""")
+      .contains("not incrementally maintainable"))
+    // the catch-all names the FULL supported set (avg and
+    // approx_count_distinct included)
+    assert(msgOf("""CREATE MATERIALIZED VIEW mvd.ns3.m AS
+                    SELECT k, first(v) AS f
+                    FROM mvd.ns3.t GROUP BY k""")
+      .contains("approx_count_distinct"))
   }
 }

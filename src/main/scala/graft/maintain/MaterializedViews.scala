@@ -74,6 +74,18 @@ object MaterializedViews {
     * reference any source column.
     */
   val KeyExprsProp = "graft.mv.key-exprs"
+  /** The CREATING session's `spark.sql.session.timeZone`, stamped
+    * whenever the view has expression keys. Expressions like
+    * `date_trunc('DAY', ts)` are timezone-AWARE: evaluated under
+    * different session zones the same row lands in different buckets.
+    * Every maintenance path therefore evaluates key expressions with
+    * their timezone-aware nodes PINNED to this zone (regardless of the
+    * refreshing session's own zone), and the rewrite declines to serve
+    * a query session whose zone differs — the state is always
+    * internally consistent and never silently re-interpreted under
+    * another zone's midnights.
+    */
+  val TzProp = "graft.mv.tz"
   /** Optional defining predicate (SQL over source columns — any
     * columns, not just keys): the view aggregates only matching rows.
     * Every maintenance path applies it to its input — the full
@@ -412,18 +424,48 @@ object MaterializedViews {
     * columns (aggregate exprs and the defining predicate still resolve
     * against the source). Skips a key whose column already exists —
     * maintenance paths may pre-key a frame before scoping it.
+    * `tz` is the view's pinned key-expression zone ([[TzProp]]).
     */
-  private def keyed(df: DataFrame,
-      keyExprs: Seq[(String, String)]): DataFrame =
+  private def keyed(df: DataFrame, keyExprs: Seq[(String, String)],
+      tz: Option[String]): DataFrame =
     keyExprs.foldLeft(df) { case (d, (n, e)) =>
       if (d.columns.exists(_.equalsIgnoreCase(n))) d
-      else d.withColumn(n, expr(e))
+      else d.withColumn(n, keyColumn(d, e, tz))
     }
+
+  /** A key expression as a Column, with every timezone-aware node
+    * pinned to the view's creation zone: the expression is resolved
+    * against `df` under the CURRENT session (which fills session-zone
+    * ids), then the zone ids are rewritten to the pinned zone — so a
+    * refresher running under any `spark.sql.session.timeZone` buckets
+    * rows exactly as the creating session would have.
+    */
+  private def keyColumn(df: DataFrame, sql: String,
+      tz: Option[String]): org.apache.spark.sql.Column = tz match {
+    case None => expr(sql)
+    case Some(zone) =>
+      val analyzed = df.select(expr(sql)).queryExecution.analyzed
+      val e = analyzed match {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.head match {
+            case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+              a.child
+            case other => other
+          }
+        case _ => return expr(sql) // unexpected shape: session semantics
+      }
+      val pinned = e.transformUp {
+        case t: org.apache.spark.sql.catalyst.expressions
+            .TimeZoneAwareExpression => t.withTimeZone(zone)
+      }
+      org.apache.spark.sql.graft.SparkInternals.column(pinned)
+  }
 
   private def aggregate(src: DataFrame, groupBy: Seq[String],
       aggs: Seq[AggSpec],
-      keyExprs: Seq[(String, String)] = Seq.empty): DataFrame =
-    keyed(src, keyExprs).groupBy(groupBy.map(col): _*)
+      keyExprs: Seq[(String, String)] = Seq.empty,
+      tz: Option[String] = None): DataFrame =
+    keyed(src, keyExprs, tz).groupBy(groupBy.map(col): _*)
       .agg(aggs.head.firstPass, aggs.tail.map(_.firstPass): _*)
 
   /** Apply the view's defining predicate (NULL drops the row, like a
@@ -438,7 +480,8 @@ object MaterializedViews {
     */
   private def signedAggregate(df: DataFrame,
       sign: org.apache.spark.sql.Column, groupBy: Seq[String],
-      aggs: Seq[AggSpec], keyExprs: Seq[(String, String)]): DataFrame = {
+      aggs: Seq[AggSpec], keyExprs: Seq[(String, String)],
+      tz: Option[String]): DataFrame = {
     val signed = aggs.map { a =>
       (a.fn match {
         case "count" if a.isCountStar => sum(sign)
@@ -447,7 +490,7 @@ object MaterializedViews {
         case "sum" => sum(expr(a.expr) * sign)
       }).as(a.out)
     }
-    keyed(df, keyExprs).groupBy(groupBy.map(col): _*)
+    keyed(df, keyExprs, tz).groupBy(groupBy.map(col): _*)
       .agg(signed.head, signed.tail: _*)
   }
 
@@ -485,6 +528,13 @@ object MaterializedViews {
         (joinFrames(src, right, j.on, j.joinType),
           Some(plannedSnapshotId(right)))
     }
+    // pin the CREATING session's zone for the life of the view:
+    // date_trunc-style keys are timezone-aware, and without the pin a
+    // refresher (or a served query) under another session zone would
+    // bucket the same instant differently — silent state corruption
+    val keyTz: Option[String] =
+      if (keyExprs.isEmpty) None
+      else Some(spark.conf.get("spark.sql.session.timeZone"))
     keyExprs.foreach { case (n, e) =>
       require(groupBy.exists(_.equalsIgnoreCase(n)),
         s"key expression '$n' must be one of the group-by keys")
@@ -499,7 +549,8 @@ object MaterializedViews {
       require(resolved.expressions.forall(_.deterministic),
         s"key expression '$n' must be deterministic: $e")
     }
-    val state = aggregate(restrict(base, where), groupBy, aggs, keyExprs)
+    val state =
+      aggregate(restrict(base, where), groupBy, aggs, keyExprs, keyTz)
     // When every group key is NOT NULL and of an equality-delete key
     // type, the state table is MERGE-ON-READ with the group keys as
     // upsert keys: every incremental refresh below is then a MERGE
@@ -523,7 +574,8 @@ object MaterializedViews {
           .mkString(";"),
         RefreshedSnapshotProp -> snapId.toString) ++
       (if (keyExprs.isEmpty) Map.empty
-       else Map(KeyExprsProp -> formatKeyExprs(keyExprs))) ++
+       else Map(KeyExprsProp -> formatKeyExprs(keyExprs)) ++
+         keyTz.map(TzProp -> _)) ++
       (if (!eqDeltaKeys) Map.empty else Map(
         graft.spark.GraftCatalog.MergeModeProp ->
           graft.spark.GraftCatalog.MergeModeMergeOnReadEq,
@@ -695,12 +747,16 @@ object MaterializedViews {
     val groupBy = props(GroupByProp).split(',').toSeq.map(_.trim)
     val aggs = parseAggs(props(AggsProp))
     val keyExprs = parseKeyExprs(props.getOrElse(KeyExprsProp, null))
+    // legacy expression-keyed views without the pin evaluate under the
+    // refreshing session's zone (pre-pin behavior); pinned views are
+    // zone-stable across refreshers
+    val keyTz = props.get(TzProp)
     val where = props.get(WhereProp)
     val last = props.get(RefreshedSnapshotProp).map(_.toLong).getOrElse(-1L)
 
     props.get(Join2NsProp).foreach { jns =>
       return refreshJoinOnce(spark, cat, ns, mv, mvFull0, stored, srcNs, srcT,
-        groupBy, aggs, keyExprs, where, last,
+        groupBy, aggs, keyExprs, keyTz, where, last,
         props.get(RefreshedSnapshot2Prop).map(_.toLong).getOrElse(-1L),
         JoinSpec(jns, props(Join2TableProp), parseJoinOn(props(JoinOnProp)),
           props.getOrElse(JoinTypeProp, "inner")))
@@ -724,7 +780,7 @@ object MaterializedViews {
           Identifier.of(Array(srcNs), srcT), s0, e0), where),
         when(col(graft.spark.TableChanges.ChangeTypeColumn) === "insert",
           lit(1)).otherwise(lit(-1)),
-        groupBy, aggs, keyExprs)
+        groupBy, aggs, keyExprs, keyTz)
     def appendDelta(s0: Long, e0: Long): DataFrame =
       // the engine's own incremental read plans exactly the files
       // appended in (s0, e0] — over an additive segment their RAW
@@ -732,7 +788,8 @@ object MaterializedViews {
       aggregate(restrict(spark.read
         .option(GraftTable.StartSnapshotOption, s0.toString)
         .option(GraftTable.EndSnapshotOption, e0.toString)
-        .table(fullName(cat, srcNs, srcT)), where), groupBy, aggs, keyExprs)
+        .table(fullName(cat, srcNs, srcT)), where), groupBy, aggs,
+        keyExprs, keyTz)
 
     // segmented maintenance: the main parent chain splits into append
     // segments (file-delta read), net-zero maintenance rewrites
@@ -778,7 +835,7 @@ object MaterializedViews {
           mergePartials(deltas), signed = true, expect, wms, "cdc")
       case Some(ss) =>
         refreshGroups(spark, cat, ns, mv, mvFull0, mvSchema, groupBy, aggs,
-          keyExprs, where, srcNs, srcT, curId, ss, expect, wms)
+          keyExprs, keyTz, where, srcNs, srcT, curId, ss, expect, wms)
       case None =>
         // the watermark comes from the PLANNED scan, not the earlier
         // metadata read — an append landing between the two would
@@ -786,7 +843,8 @@ object MaterializedViews {
         // next refresh (double-count)
         val src = spark.table(fullName(cat, srcNs, srcT))
         commitFull(spark, cat, ns, mv, mvFull0, mvSchema,
-          aggregate(restrict(src, where), groupBy, aggs, keyExprs), expect,
+          aggregate(restrict(src, where), groupBy, aggs, keyExprs, keyTz),
+          expect,
           Seq(RefreshedSnapshotProp -> plannedSnapshotId(src).toString),
           "full")
     }
@@ -807,6 +865,7 @@ object MaterializedViews {
       ns: String, mv: String, mvFull: String,
       mvSchema: org.apache.spark.sql.types.StructType, groupBy: Seq[String],
       aggs: Seq[AggSpec], keyExprs: Seq[(String, String)],
+      keyTz: Option[String],
       where: Option[String], srcNs: String, srcT: String,
       curId: Long, segs: Seq[Segment], expect: Seq[(String, String)],
       wms: Seq[(String, String)]): Option[RefreshResult] = {
@@ -820,11 +879,12 @@ object MaterializedViews {
         keyed(restrict(spark.read
           .option(GraftTable.StartSnapshotOption, s0.toString)
           .option(GraftTable.EndSnapshotOption, e0.toString)
-          .table(srcFull), where), keyExprs).select(groupBy.map(col): _*)
+          .table(srcFull), where), keyExprs, keyTz)
+          .select(groupBy.map(col): _*)
       case Segment(_, s0, e0) =>
         keyed(restrict(graft.spark.TableChanges.between(spark, cat,
-          Identifier.of(Array(srcNs), srcT), s0, e0), where), keyExprs)
-          .select(groupBy.map(col): _*)
+          Identifier.of(Array(srcNs), srcT), s0, e0), where), keyExprs,
+          keyTz).select(groupBy.map(col): _*)
     }
     if (touchedParts.isEmpty)
       return commitWatermarkOnly(spark, cat, ns, mv, mvFull, expect, wms,
@@ -846,7 +906,7 @@ object MaterializedViews {
     // expression keys materialize BEFORE the scope filter (the IN
     // predicate names the key columns); the prune on plain-column keys
     // still pushes past the projection into the scan
-    val srcCur = keyed(pinned(spark, srcFull, curId), keyExprs)
+    val srcCur = keyed(pinned(spark, srcFull, curId), keyExprs, keyTz)
     val scoped = inPred match {
       // per-column IN lists are a SUPERSET prune (cross product of
       // per-column value sets); exactness is restored by the join
@@ -915,6 +975,7 @@ object MaterializedViews {
       ns: String, mv: String, mvFull: String, stored: DataFrame,
       srcNs: String, srcT: String, groupBy: Seq[String],
       aggs: Seq[AggSpec], keyExprs: Seq[(String, String)],
+      keyTz: Option[String],
       where: Option[String], lastA: Long,
       lastB: Long, j: JoinSpec): Option[RefreshResult] = {
     val storage = cat.storage
@@ -975,11 +1036,12 @@ object MaterializedViews {
             signedAggregate(restrict(joinTo(spark.read
               .option(GraftTable.StartSnapshotOption, s0.toString)
               .option(GraftTable.EndSnapshotOption, e0.toString)
-              .table(full)), where), lit(1), groupBy, aggs, keyExprs)
+              .table(full)), where), lit(1), groupBy, aggs, keyExprs,
+              keyTz)
           case Segment(_, s0, e0) =>
             signedAggregate(restrict(joinTo(
               graft.spark.TableChanges.between(spark, cat, srcIdent,
-                s0, e0)), where), signOf, groupBy, aggs, keyExprs)
+                s0, e0)), where), signOf, groupBy, aggs, keyExprs, keyTz)
         }
       val parts =
         sideParts(aFull, Identifier.of(Array(srcNs), srcT), segsA.get,
@@ -1021,9 +1083,9 @@ object MaterializedViews {
       val plus =
         dA.map(d => aggregate(
           restrict(joinFrames(d, bCur, j.on, j.joinType), where),
-          groupBy, aggs, keyExprs)).toSeq ++
+          groupBy, aggs, keyExprs, keyTz)).toSeq ++
         dB.map(d => aggregate(restrict(joinFrames(aPrev, d, j.on), where),
-          groupBy, aggs, keyExprs)).toSeq
+          groupBy, aggs, keyExprs, keyTz)).toSeq
       // retraction term: left rows matching ΔB but nothing in B_prev
       // were previously stored null-extended — aggregate them with the
       // right side's columns as NULLs and subtract
@@ -1040,7 +1102,7 @@ object MaterializedViews {
           val nullExtended = bPrev.schema.fields.foldLeft(newlyMatched)(
             (f2, f) => f2.withColumn(f.name, lit(null).cast(f.dataType)))
           val agged = aggregate(restrict(nullExtended, where), groupBy,
-            aggs, keyExprs)
+            aggs, keyExprs, keyTz)
           agged.select(groupBy.map(col) ++
             aggs.map(a => (col(a.out) * lit(-1)).cast(
               agged.schema(a.out).dataType).as(a.out)): _*)
@@ -1066,7 +1128,7 @@ object MaterializedViews {
       val b = spark.table(bFull)
       commitFull(spark, cat, ns, mv, mvFull, mvSchema,
         aggregate(restrict(joinFrames(a, b, j.on, j.joinType), where),
-          groupBy, aggs, keyExprs),
+          groupBy, aggs, keyExprs, keyTz),
         expect,
         Seq(RefreshedSnapshotProp -> plannedSnapshotId(a).toString,
           RefreshedSnapshot2Prop -> plannedSnapshotId(b).toString),
@@ -1174,7 +1236,12 @@ object MaterializedViews {
           else if (ms.isEmpty)
             if (hasNull) Some(col(srcCol).isNull) else None
           else {
-            val lo = new java.sql.Timestamp(ms.flatten.min)
+            // a truncated bucket instant is <= every raw value it
+            // covers under the zone that produced it; the symmetric
+            // 2h LOWER slack insures against DST-gap zones where a
+            // local midnight that does not exist maps forward
+            val lo = new java.sql.Timestamp(
+              ms.flatten.min - 2L * 3600L * 1000)
             val hi = new java.sql.Timestamp(
               ms.flatten.max + slackHours * 3600L * 1000)
             val rng = col(srcCol) >= lit(lo) && col(srcCol) < lit(hi)

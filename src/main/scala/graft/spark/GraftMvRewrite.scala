@@ -364,6 +364,22 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     val exprKeys: Seq[(Expression, Attribute)] = keyExprDefs.map {
       case (n, sql) => (resolved(sql).getOrElse(return None), mvAttr(n))
     }
+    // timezone-aware key expressions (date_trunc over TIMESTAMP, casts
+    // through session time) were materialized under the CREATING
+    // session's zone (graft.mv.tz) and every refresh re-pins to it —
+    // a query session under a DIFFERENT zone means both sides of the
+    // canonical comparison below resolve under the query zone and
+    // would "match" state holding another zone's bucket instants.
+    // Decline unless the zones agree (a legacy view without the pin
+    // declines any cross-zone serve the same way: its state zone is
+    // unknowable). Zone-insensitive expression keys are unaffected.
+    if (exprKeys.exists(_._1.exists(
+        _.isInstanceOf[TimeZoneAwareExpression]))) {
+      val qZone = session.sessionState.conf.sessionLocalTimeZone
+      val pinnedOk = Option(props.get(MaterializedViews.TzProp))
+        .exists(z => GraftMvRewrite.sameZone(z, qZone))
+      if (!pinnedOk) return None
+    }
     val exprKeyCanon: Map[Expression, Attribute] =
       exprKeys.map { case (e, a) => e.canonicalized -> a }.toMap
     def truncLevel(e: Expression): Option[(String, Expression)] = e match {
@@ -629,6 +645,16 @@ object GraftMvRewrite {
     * sketch only when `rsd` is no tighter than this.
     */
   private[spark] val StoredSketchRsd: Double = 1.04 / math.sqrt(1 << 12)
+
+  /** Two session-zone strings denote the same zone (textual equality
+    * plus ZoneId normalization, so "UTC" == "Etc/UTC" == "+00:00").
+    * Unparseable zones compare by text only.
+    */
+  private[graft] def sameZone(a: String, b: String): Boolean =
+    a == b || (try {
+      java.time.ZoneId.of(a).normalized() ==
+        java.time.ZoneId.of(b).normalized()
+    } catch { case scala.util.control.NonFatal(_) => false })
 
   private val TruncSynonyms = Map(
     "yyyy" -> "year", "yy" -> "year", "mon" -> "month", "mm" -> "month",

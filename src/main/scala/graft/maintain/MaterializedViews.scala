@@ -134,6 +134,22 @@ object MaterializedViews {
     */
   val JoinTypeProp = "graft.mv.join-type"
   val RefreshedSnapshot2Prop = "graft.mv.refreshed-snapshot2"
+  /** Multi-source (≥3-way) join views: joins BEYOND the first, each
+    * `ns|table|leftcol=rightcol,...` (INNER only), ';'-separated, in
+    * join-chain order — a star-schema rollup is
+    * `fact ⋈ dim1 ⋈ dim2 ⋈ ...` with each dim joined to any column of
+    * the accumulated left side. Maintenance generalizes the bilinear
+    * rule n-ary: Δ(S1⋈...⋈Sn) = Σ_i S1_prev⋈...⋈S(i-1)_prev ⋈ ΔSi ⋈
+    * S(i+1)_cur⋈...⋈Sn_cur — each term joins ONE side's delta against
+    * the others pinned at prev/cur per the transition order, so an
+    * append to any side costs a delta-sized join, never a corpus
+    * re-join; retractions ride the same terms with signed deltas when
+    * every aggregate retracts ([[cdcMaintainable]]).
+    * [[RefreshedExtraProp]] holds the extra sides' watermarks
+    * (comma-separated, aligned with the join list).
+    */
+  val JoinsExtraProp = "graft.mv.joins-extra"
+  val RefreshedExtraProp = "graft.mv.refreshed-snapshots-extra"
   /** On the SOURCE table: comma-separated `ns.mv` list of views
     * derived from it — the zero-I/O trigger for
     * [[graft.spark.GraftMvRewrite]] (no rewrite candidates means no
@@ -290,6 +306,22 @@ object MaterializedViews {
           s"join pair '$p' is not leftcol=rightcol")
       }
     }
+
+  /** `ns|table|leftcol=rightcol,...;...` — the extra (3rd+) join
+    * sides of a multi-source view, in chain order.
+    */
+  def parseJoinsExtra(spec: String): Seq[JoinSpec] =
+    Option(spec).map(_.split(';').toSeq.map(_.trim).filter(_.nonEmpty)
+      .map { e =>
+        e.split("\\|") match {
+          case Array(ns, t, on) => JoinSpec(ns.trim, t.trim, parseJoinOn(on))
+          case _ => throw new IllegalArgumentException(
+            s"extra-join entry '$e' is not ns|table|on")
+        }
+      }).getOrElse(Seq.empty)
+
+  def formatJoinsExtra(joins: Seq[JoinSpec]): String =
+    joins.map(j => s"${j.ns}|${j.table}|${j.onFormatted}").mkString(";")
 
   /** The counting-algorithm maintainable class (the classic
     * self-maintainable-under-deletions set): every aggregate must
@@ -516,17 +548,29 @@ object MaterializedViews {
       srcNs: String, srcTable: String, groupBy: Seq[String],
       aggs: Seq[AggSpec], where: Option[String] = None,
       join: Option[JoinSpec] = None,
-      keyExprs: Seq[(String, String)] = Seq.empty): RefreshResult = {
+      keyExprs: Seq[(String, String)] = Seq.empty,
+      extraJoins: Seq[JoinSpec] = Seq.empty): RefreshResult = {
     require(groupBy.nonEmpty && aggs.nonEmpty,
       "materialized view needs group-by columns and aggregates")
+    require(extraJoins.isEmpty || join.exists(_.joinType == "inner"),
+      "a multi-source (3+ way) view must be an INNER join chain")
+    require(extraJoins.forall(_.joinType == "inner"),
+      "extra join sides must be INNER joins")
     val src = spark.table(fullName(cat, srcNs, srcTable))
     val snapId = plannedSnapshotId(src)
-    val (base, snap2) = join match {
+    val (base2, snap2) = join match {
       case None => (src, None)
       case Some(j) =>
         val right = spark.table(fullName(cat, j.ns, j.table))
         (joinFrames(src, right, j.on, j.joinType),
           Some(plannedSnapshotId(right)))
+    }
+    // extra sides chain left-deep: each joins the ACCUMULATED frame
+    // (its ON left columns may come from any earlier source)
+    val (base, extraSnaps) = extraJoins.foldLeft(
+        (base2, Seq.empty[Long])) { case ((acc, snaps), j) =>
+      val right = spark.table(fullName(cat, j.ns, j.table))
+      (joinFrames(acc, right, j.on), snaps :+ plannedSnapshotId(right))
     }
     // pin the CREATING session's zone for the life of the view:
     // date_trunc-style keys are timezone-aware, and without the pin a
@@ -585,7 +629,10 @@ object MaterializedViews {
       join.toSeq.flatMap(j => Seq(Join2NsProp -> j.ns,
         Join2TableProp -> j.table, JoinOnProp -> j.onFormatted,
         RefreshedSnapshot2Prop -> snap2.get.toString) ++
-        (if (j.joinType == "left") Seq(JoinTypeProp -> "left") else Nil))
+        (if (j.joinType == "left") Seq(JoinTypeProp -> "left") else Nil)) ++
+      (if (extraJoins.isEmpty) Map.empty
+       else Map(JoinsExtraProp -> formatJoinsExtra(extraJoins),
+         RefreshedExtraProp -> extraSnaps.mkString(",")))
     // explicit create + append instead of CTAS: Spark's CTAS marks
     // every output column nullable, which would disqualify NOT NULL
     // group keys from the equality-delta state path above. One atomic
@@ -625,7 +672,7 @@ object MaterializedViews {
     // leave a stale entry; the rule skips entries that fail to load)
     val entry = s"$ns.$mv"
     editDerived(cat, Identifier.of(Array(srcNs), srcTable))(_ :+ entry)
-    join.foreach(j =>
+    (join.toSeq ++ extraJoins).foreach(j =>
       editDerived(cat, Identifier.of(Array(j.ns), j.table))(_ :+ entry))
     graft.spark.GraftMvRewrite.invalidate(cat.name(), entry)
     RefreshResult("full",
@@ -644,17 +691,19 @@ object MaterializedViews {
     val mv = ident.name()
     val storage = cat.storage
     val txn = graft.catalog.Graft.beginTransaction(storage)
-    val (srcNs, srcT, join2) = try {
+    val (srcNs, srcT, join2, extras) = try {
       val td = graft.catalog.Graft.describeTable(storage, txn, ns, mv)
       (td.properties.getOrElse(SourceNsProp,
         throw new IllegalArgumentException(
           s"$ns.$mv is not a materialized view (no $SourceNsProp)")),
         td.properties(SourceTableProp),
         td.properties.get(Join2NsProp).map(
-          (_, td.properties(Join2TableProp))))
+          (_, td.properties(Join2TableProp))),
+        parseJoinsExtra(td.properties.getOrElse(JoinsExtraProp, null))
+          .map(j => (j.ns, j.table)))
     } finally txn.close()
     val dropped = cat.dropTable(ident)
-    val sources = Seq((srcNs, srcT)) ++ join2
+    val sources = Seq((srcNs, srcT)) ++ join2 ++ extras
     sources.foreach { case (sns, st) =>
       try editDerived(cat, Identifier.of(Array(sns), st))(
         _.filterNot(_ == s"$ns.$mv"))
@@ -754,6 +803,18 @@ object MaterializedViews {
     val where = props.get(WhereProp)
     val last = props.get(RefreshedSnapshotProp).map(_.toLong).getOrElse(-1L)
 
+    props.get(JoinsExtraProp).foreach { je =>
+      val extra = parseJoinsExtra(je)
+      val extraWms = props.get(RefreshedExtraProp)
+        .map(_.split(',').toSeq.map(_.trim.toLong))
+        .getOrElse(extra.map(_ => -1L))
+      return refreshNaryOnce(spark, cat, ns, mv, mvFull0, stored, groupBy,
+        aggs, keyExprs, keyTz, where, (srcNs, srcT, last),
+        (JoinSpec(props(Join2NsProp), props(Join2TableProp),
+            parseJoinOn(props(JoinOnProp))),
+          props.get(RefreshedSnapshot2Prop).map(_.toLong).getOrElse(-1L)) +:
+          extra.zip(extraWms))
+    }
     props.get(Join2NsProp).foreach { jns =>
       return refreshJoinOnce(spark, cat, ns, mv, mvFull0, stored, srcNs, srcT,
         groupBy, aggs, keyExprs, keyTz, where, last,
@@ -1133,6 +1194,111 @@ object MaterializedViews {
         Seq(RefreshedSnapshotProp -> plannedSnapshotId(a).toString,
           RefreshedSnapshot2Prop -> plannedSnapshotId(b).toString),
         "full")
+    }
+  }
+
+  /** REFRESH of a MULTI-SOURCE (≥3-way) INNER join view: the n-ary
+    * bilinear rule. With sides S1..Sn each transitioning prev_i →
+    * cur_i, the delta telescopes over the transition order:
+    *   Δ(S1⋈...⋈Sn) = Σ_i  S1_prev ⋈ ... ⋈ S(i-1)_prev ⋈ ΔSi ⋈
+    *                       S(i+1)_cur ⋈ ... ⋈ Sn_cur
+    * (T_{i-1} − T_i where T_i pins sides ≤ i at prev — the sum is
+    * exact in multiset algebra by multilinearity of the inner
+    * equi-join). Each term joins ONE side's delta (file-delta read
+    * for appends, signed change feed for retractions) against the
+    * other sides pinned at their prev/cur snapshots — at 100 TB a
+    * star-schema rollup (fact ⋈ dim1 ⋈ dim2) refreshes any side's
+    * append at delta-join cost, never a corpus re-join. Retractions
+    * on ANY side ride the same terms with signed partials when every
+    * aggregate retracts ([[cdcMaintainable]]); otherwise (min/max
+    * under deletes) the honest answer is a full recompute — the
+    * single-source group-scoped path does not generalize to n sides
+    * cheaply, and pretending otherwise would re-join the corpus
+    * anyway.
+    */
+  private def refreshNaryOnce(spark: SparkSession, cat: GraftCatalog,
+      ns: String, mv: String, mvFull: String, stored: DataFrame,
+      groupBy: Seq[String], aggs: Seq[AggSpec],
+      keyExprs: Seq[(String, String)], keyTz: Option[String],
+      where: Option[String], primary: (String, String, Long),
+      joins: Seq[(JoinSpec, Long)]): Option[RefreshResult] = {
+    val storage = cat.storage
+    val names: Seq[(String, String)] =
+      (primary._1, primary._2) +: joins.map(j => (j._1.ns, j._1.table))
+    val lasts: Seq[Long] = primary._3 +: joins.map(_._2)
+    val txn = graft.catalog.Graft.beginTransaction(storage)
+    val metas = try names.map { case (sns, st) =>
+      TableMetadata.read(storage,
+        graft.catalog.Graft.describeTable(storage, txn, sns, st)
+          .metadataLocation)
+    } finally txn.close()
+    val curs = metas.map(_.currentSnapshotId)
+    if (curs == lasts)
+      return Some(RefreshResult("noop", countRows(spark, stored)))
+    val fulls = names.map { case (sns, st) => fullName(cat, sns, st) }
+    val mvSchema = stored.schema
+    def watermarkProps(ids: Seq[Long]): Seq[(String, String)] =
+      Seq(RefreshedSnapshotProp -> ids(0).toString,
+        RefreshedSnapshot2Prop -> ids(1).toString,
+        RefreshedExtraProp -> ids.drop(2).mkString(","))
+    val expect = watermarkProps(lasts)
+    val wmsNew = watermarkProps(curs)
+    val segsAll: Seq[Option[Seq[Segment]]] = names.indices.map { i =>
+      if (curs(i) == lasts(i)) Some(Seq.empty)
+      else segmentRange(storage, metas(i), lasts(i), curs(i))
+    }
+    val retracts = segsAll.exists(_.exists(_.exists(_.kind == 'C')))
+    def chained(frames: Seq[DataFrame]): DataFrame =
+      frames.zipWithIndex.tail.foldLeft(frames.head) {
+        case (acc, (f, idx)) => joinFrames(acc, f, joins(idx - 1)._1.on)
+      }
+    if (segsAll.forall(_.isDefined) &&
+        (!retracts || cdcMaintainable(aggs))) {
+      val signOf = when(
+        col(graft.spark.TableChanges.ChangeTypeColumn) === "insert",
+        lit(1)).otherwise(lit(-1))
+      val parts: Seq[DataFrame] = names.indices.flatMap { i =>
+        segsAll(i).get.map { seg =>
+          val delta = seg match {
+            case Segment('A', s0, e0) => spark.read
+              .option(GraftTable.StartSnapshotOption, s0.toString)
+              .option(GraftTable.EndSnapshotOption, e0.toString)
+              .table(fulls(i))
+            case Segment(_, s0, e0) =>
+              graft.spark.TableChanges.between(spark, cat,
+                Identifier.of(Array(names(i)._1), names(i)._2), s0, e0)
+          }
+          val frames = names.indices.map { j =>
+            if (j < i) pinned(spark, fulls(j), lasts(j))
+            else if (j > i) pinned(spark, fulls(j), curs(j))
+            else delta
+          }
+          val joined = restrict(chained(frames), where)
+          if (!retracts) aggregate(joined, groupBy, aggs, keyExprs, keyTz)
+          else signedAggregate(joined,
+            if (seg.kind == 'A') lit(1) else signOf,
+            groupBy, aggs, keyExprs, keyTz)
+        }
+      }
+      val mode = if (retracts) "cdc" else "incremental"
+      if (parts.isEmpty)
+        commitWatermarkOnly(spark, cat, ns, mv, mvFull, expect, wmsNew, mode)
+      else {
+        val delta = parts match {
+          case Seq(one) => one
+          case many => many.reduce(_ unionByName _)
+            .groupBy(groupBy.map(col): _*)
+            .agg(aggs.head.merge, aggs.tail.map(_.merge): _*)
+        }
+        commitMerge(spark, cat, ns, mv, mvFull, mvSchema, groupBy, aggs,
+          delta, signed = retracts, expect, wmsNew, mode)
+      }
+    } else {
+      val frames = fulls.map(spark.table)
+      commitFull(spark, cat, ns, mv, mvFull, mvSchema,
+        aggregate(restrict(chained(frames), where), groupBy, aggs,
+          keyExprs, keyTz),
+        expect, watermarkProps(frames.map(plannedSnapshotId)), "full")
     }
   }
 

@@ -3432,6 +3432,108 @@ object CatalogQueries {
              |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
              |            AS DOUBLE) AS total
              |FROM ord JOIN cust ON o_custkey = c_custkey
-             |GROUP BY 1 ORDER BY seg""".stripMargin))
+             |GROUP BY 1 ORDER BY seg""".stripMargin)),
+
+    QueryDef(
+      "c73_mv_nary_join",
+      (s, d) => {
+        // MULTI-SOURCE (3-way) join materialized view — the
+        // star-schema rollup orders ⋈ customer ⋈ nation grouped by
+        // nation. Maintenance is the n-ary TELESCOPING bilinear rule
+        // Δ(S1⋈S2⋈S3) = ΔS1⋈S2_cur⋈S3_cur + S1_prev⋈ΔS2⋈S3_cur +
+        // S1_prev⋈S2_prev⋈ΔS3: an append to ANY side refreshes at
+        // delta-join cost (each append mode-pinned incremental), a
+        // fact-side delete rides the same terms signed (mode-pinned
+        // cdc), and the final state is graded against DuckDB
+        // recomputing the 3-way aggregate from scratch. The 3-way
+        // aggregate below is also plan-pinned to be SERVED from the
+        // view by the rewrite's n-ary join-graph match.
+        ensureCatalog(s, "g3n")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS g3n.ns1")
+        s.sql("DROP MATERIALIZED VIEW IF EXISTS g3n.ns1.mv")
+        s.sql("DROP TABLE IF EXISTS g3n.ns1.ord")
+        s.sql("DROP TABLE IF EXISTS g3n.ns1.cust")
+        s.sql("DROP TABLE IF EXISTS g3n.ns1.nat")
+        s.sql("""CREATE TABLE g3n.ns1.ord (
+                   o_orderkey BIGINT, o_custkey BIGINT,
+                   o_totalprice DOUBLE)""")
+        s.sql("""CREATE TABLE g3n.ns1.cust (
+                   c_custkey BIGINT, c_nationkey BIGINT)""")
+        s.sql("""CREATE TABLE g3n.ns1.nat (
+                   n_nationkey BIGINT, n_name STRING)""")
+        s.sql(s"""INSERT INTO g3n.ns1.ord
+                  SELECT o_orderkey, o_custkey, o_totalprice
+                  FROM parquet.`$d/orders.parquet`
+                  WHERE o_orderkey % 3 != 0""")
+        s.sql(s"""INSERT INTO g3n.ns1.cust
+                  SELECT c_custkey, c_nationkey
+                  FROM parquet.`$d/customer.parquet`
+                  WHERE c_custkey % 2 = 0""")
+        s.sql(s"""INSERT INTO g3n.ns1.nat
+                  SELECT n_nationkey, n_name
+                  FROM parquet.`$d/nation.parquet`
+                  WHERE n_nationkey < 13""")
+        s.sql("""CREATE MATERIALIZED VIEW g3n.ns1.mv AS
+                 SELECT n_name, count(*) AS n,
+                        count(CAST(o_totalprice AS DECIMAL(18,2))) AS np,
+                        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+                 FROM g3n.ns1.ord
+                 JOIN g3n.ns1.cust ON ord.o_custkey = cust.c_custkey
+                 JOIN g3n.ns1.nat ON cust.c_nationkey = nat.n_nationkey
+                 GROUP BY n_name""")
+        def refresh(): String =
+          s.sql("REFRESH MATERIALIZED VIEW g3n.ns1.mv").head.getString(0)
+        // one append per side, each a delta-sized term
+        s.sql(s"""INSERT INTO g3n.ns1.ord
+                  SELECT o_orderkey, o_custkey, o_totalprice
+                  FROM parquet.`$d/orders.parquet`
+                  WHERE o_orderkey % 3 = 0""")
+        val m1 = refresh()
+        require(m1 == "incremental", s"fact append must be incremental: $m1")
+        s.sql(s"""INSERT INTO g3n.ns1.cust
+                  SELECT c_custkey, c_nationkey
+                  FROM parquet.`$d/customer.parquet`
+                  WHERE c_custkey % 2 = 1""")
+        val m2 = refresh()
+        require(m2 == "incremental", s"dim1 append must be incremental: $m2")
+        s.sql(s"""INSERT INTO g3n.ns1.nat
+                  SELECT n_nationkey, n_name
+                  FROM parquet.`$d/nation.parquet`
+                  WHERE n_nationkey >= 13""")
+        val m3 = refresh()
+        require(m3 == "incremental", s"dim2 append must be incremental: $m3")
+        s.sql("DELETE FROM g3n.ns1.ord WHERE o_orderkey % 13 = 6")
+        val m4 = refresh()
+        require(m4 == "cdc", s"a fact delete must take the signed path: $m4")
+        // the rewrite's n-ary join-graph match serves the 3-way
+        // aggregate from the view
+        val q = s.sql(
+          """SELECT n_name AS nation, count(*) AS n,
+                    count(CAST(o_totalprice AS DECIMAL(18,2))) AS np,
+                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE) AS total
+             FROM g3n.ns1.ord
+             JOIN g3n.ns1.cust ON ord.o_custkey = cust.c_custkey
+             JOIN g3n.ns1.nat ON cust.c_nationkey = nat.n_nationkey
+             GROUP BY n_name ORDER BY nation""")
+        val servedByMv = q.queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+              if r.relation.table.name().endsWith(".mv") => r
+        }.nonEmpty
+        require(servedByMv,
+          "the 3-way aggregate must be served by the view:\n" +
+            q.queryExecution.optimizedPlan.treeString)
+        q
+      },
+      Some("""WITH ord AS (
+             |  SELECT * FROM orders WHERE NOT (o_orderkey % 13 = 6))
+             |SELECT n_name AS nation, count(*) AS n,
+             |       count(CAST(o_totalprice AS DECIMAL(18,2))) AS np,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |            AS DOUBLE) AS total
+             |FROM ord
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY nation""".stripMargin))
   )
 }

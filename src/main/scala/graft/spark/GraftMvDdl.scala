@@ -42,7 +42,8 @@ object GraftMvDdl {
 
   final case class Derived(srcNs: String, srcTable: String,
       groupBy: Seq[String], aggs: Seq[AggSpec], where: Option[String],
-      join: Option[JoinSpec], keyExprs: Seq[(String, String)])
+      join: Option[JoinSpec], keyExprs: Seq[(String, String)],
+      extraJoins: Seq[JoinSpec] = Seq.empty)
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"CREATE MATERIALIZED VIEW: $msg")
@@ -83,21 +84,30 @@ object GraftMvDdl {
         conj(l) ++ conj(r)
       case x => Seq(x)
     }
+    // a JOIN CHAIN parses left-deep: `a JOIN b ON .. JOIN c ON ..` is
+    // Join(Join(a, b), c) — recurse into the left side, attributing
+    // each ON column to the NEW right side or to ANY earlier relation
+    // (a star-schema dim may join on a column of any accumulated side)
     def fromClause(p: LogicalPlan)
-        : (Rel, Option[(Rel, Seq[(String, String)], String)]) =
+        : (Rel, Seq[(Rel, Seq[(String, String)], String)]) =
       p match {
         case j: Join if j.joinType == Inner ||
             j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter =>
           val jt = if (j.joinType == Inner) "inner" else "left"
-          val l = relOf(j.left, None)
+          val (base, chain) = j.left match {
+            case jj: Join => fromClause(jj)
+            case other => (relOf(other, None), Nil)
+          }
+          val leftNames: Set[String] =
+            base.names ++ chain.flatMap(_._1.names)
           val r = relOf(j.right, None)
           val cond = j.condition.getOrElse(fail("JOIN needs an ON clause"))
           val pairs = conj(cond).map {
             case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
               def side(u: UnresolvedAttribute): Option[Boolean] =
                 u.nameParts match {
-                  case Seq(q, _) if l.names(q.toLowerCase) => Some(true)
                   case Seq(q, _) if r.names(q.toLowerCase) => Some(false)
+                  case Seq(q, _) if leftNames(q.toLowerCase) => Some(true)
                   case _ => None
                 }
               (side(a), side(b)) match {
@@ -111,13 +121,13 @@ object GraftMvDdl {
             case other =>
               fail(s"JOIN ON must be column equalities, got: ${exprSql(other)}")
           }
-          (l, Some((r, pairs, jt)))
+          (base, chain :+ ((r, pairs, jt)))
         case j: Join => fail(s"only INNER and LEFT joins are " +
           s"maintainable, got ${j.joinType}")
-        case other => (relOf(other, None), None)
+        case other => (relOf(other, None), Nil)
       }
 
-    val (left, joinPart, whereExpr) = agg.child match {
+    val (left, joinChain, whereExpr) = agg.child match {
       case Filter(c, ch) =>
         val (l, jp) = fromClause(ch)
         (l, jp, Some(c))
@@ -125,6 +135,11 @@ object GraftMvDdl {
         val (l, jp) = fromClause(ch)
         (l, jp, None)
     }
+    // a LEFT join is supported only as the SINGLE join of a two-source
+    // view (n-ary maintenance is the inner-join telescoping rule)
+    if (joinChain.size > 1 && joinChain.exists(_._3 == "left"))
+      fail("a multi-source (3+ way) view must be an INNER join chain " +
+        "(LEFT is supported for two-source views only)")
 
     // alias/table qualifiers are VALID in the statement but must not
     // leak into the stored definition (maintenance and the rewrite
@@ -132,7 +147,7 @@ object GraftMvDdl {
     // statement's aliases don't exist) — strip known qualifiers,
     // refuse unknown ones
     val relNames: Set[String] =
-      left.names ++ joinPart.map(_._1.names).getOrElse(Set.empty)
+      left.names ++ joinChain.flatMap(_._1.names)
     def strip(e: Expression): Expression = e.transformUp {
       case ua: UnresolvedAttribute => ua.nameParts match {
         case Seq(_) => ua
@@ -299,10 +314,13 @@ object GraftMvDdl {
     if (dups.nonEmpty) fail(s"duplicate output columns: " +
       s"${dups.mkString(", ")} (note avg(x) AS a expands to a_sum/a_cnt)")
 
+    val joinSpecs = joinChain.map { case (r, pairs, jt) =>
+      JoinSpec(r.ns, r.table, pairs, jt)
+    }
     Derived(left.ns, left.table, keyNames, aggSpecs,
-      whereExpr.map(renderWhere), joinPart.map { case (r, pairs, jt) =>
-        JoinSpec(r.ns, r.table, pairs, jt)
-      }, groupKeys.collect { case (n, Some(e)) => (n, e) })
+      whereExpr.map(renderWhere), joinSpecs.headOption,
+      groupKeys.collect { case (n, Some(e)) => (n, e) },
+      joinSpecs.drop(1))
   }
 
   private[spark] def graftCatalog(session: SparkSession,
@@ -330,7 +348,8 @@ case class CreateGraftMvCommand(catalogName: String, ns: String,
     if (ifNotExists && cat.tableExists(ident)) return Seq(Row("noop", -1L))
     val d = GraftMvDdl.derive(session, catalogName, query)
     val r = MaterializedViews.create(session, cat, ns, name,
-      d.srcNs, d.srcTable, d.groupBy, d.aggs, d.where, d.join, d.keyExprs)
+      d.srcNs, d.srcTable, d.groupBy, d.aggs, d.where, d.join, d.keyExprs,
+      d.extraJoins)
     Seq(Row(r.mode, r.mvRows))
   }
 }

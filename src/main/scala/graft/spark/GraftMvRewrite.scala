@@ -115,16 +115,30 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     case j: org.apache.spark.sql.catalyst.plans.logical.Join
         if j.joinType == org.apache.spark.sql.catalyst.plans.Inner ||
           j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter =>
+      val inner = j.joinType == org.apache.spark.sql.catalyst.plans.Inner
+      // an INNER join's left side may itself be an inner-join CHAIN
+      // (`fact ⋈ dim1 ⋈ dim2` optimizes left-deep, possibly under
+      // column-pruning Projects) — recurse through strip itself; a
+      // LEFT join keeps its single-relation left side (n-ary views
+      // are inner-only)
+      val leftPart: Option[(Seq[DataSourceV2Relation], Seq[Expression],
+          Seq[(Attribute, Attribute)], Seq[Alias])] =
+        if (inner)
+          strip(j.left).collect {
+            case (rs, cs, jp, as, "inner") => (rs, cs, jp, as)
+          }
+        else
+          sideStrip(j.left).map { case (r, cs, as) =>
+            (Seq(r), cs, Nil, as) }
       for {
-        lf <- sideStrip(j.left)
+        lf <- leftPart
         rf <- sideStrip(j.right)
         // a filter UNDER the RIGHT side of a LEFT join is part of the
         // null-extension semantics (rows it drops null-extend instead
         // of disappearing) — hoisting it to a top-level conjunct would
         // change results, so decline. Left-side-under filters hoist
         // soundly (a dropped left row is gone either way).
-        if j.joinType == org.apache.spark.sql.catalyst.plans.Inner ||
-          rf._2.isEmpty
+        if inner || rf._2.isEmpty
         cond <- j.condition
         pairs <- {
           def conj(e: Expression): Seq[Expression] = e match {
@@ -138,10 +152,80 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           }
           Some(ps)
         }
-      } yield (Seq(lf._1, rf._1), lf._2 ++ rf._2, pairs, lf._3 ++ rf._3,
-        if (j.joinType == org.apache.spark.sql.catalyst.plans.Inner) "inner"
-        else "left")
+      } yield (lf._1 :+ rf._1, lf._2 ++ rf._2, lf._3 ++ pairs,
+        lf._4 ++ rf._3, if (inner) "inner" else "left")
     case _ => None
+  }
+
+  /** Does an n-ary (≥3-source) query join chain match an n-ary view?
+    * Inner equi-join semantics depend only on the relation set and the
+    * CONJUNCTION of equality pairs — not the chain order — so the
+    * match is: every query relation maps bijectively to a view side
+    * (self-joins decline), each side is fresh at its own watermark,
+    * and the query's pair set equals the view's declared pair set,
+    * both normalized to unordered {(side, column), (side, column)}
+    * pairs (a declared left column resolves to the unique earlier side
+    * whose schema carries it — mirroring how CREATE resolved it on the
+    * accumulated frame).
+    */
+  private def naryMatch(props: java.util.Map[String, String],
+      extraJoins: Seq[MaterializedViews.JoinSpec],
+      rels: Seq[DataSourceV2Relation], srcTables: Seq[GraftTable],
+      joinPairs: Seq[(Attribute, Attribute)], joinType: String,
+      freshEnough: (GraftTable, Long) => Boolean,
+      watermark: Long): Boolean = {
+    if (joinType != "inner" || joinPairs.isEmpty) return false
+    val vSides: Seq[(String, String)] =
+      (props.get(MaterializedViews.SourceNsProp),
+        props.get(MaterializedViews.SourceTableProp)) +:
+      (props.get(MaterializedViews.Join2NsProp),
+        props.get(MaterializedViews.Join2TableProp)) +:
+      extraJoins.map(j => (j.ns, j.table))
+    if (vSides.distinct.size != vSides.size) return false
+    val sideOf: Seq[Int] = srcTables.map { g =>
+      vSides.indexWhere { case (n, t) =>
+        g.namespaceName == n && g.tableName == t }
+    }
+    if (sideOf.contains(-1) || sideOf.distinct.size != sideOf.size)
+      return false
+    val wm2 = Option(props.get(MaterializedViews.RefreshedSnapshot2Prop))
+      .map(_.toLong).getOrElse(return false)
+    val extraWms = Option(props.get(MaterializedViews.RefreshedExtraProp))
+      .map(_.split(',').toSeq.map(_.trim.toLong)).getOrElse(return false)
+    if (extraWms.size != extraJoins.size) return false
+    val wmOf: Seq[Long] = Seq(watermark, wm2) ++ extraWms
+    srcTables.indices.foreach { qi =>
+      if (!freshEnough(srcTables(qi), wmOf(sideOf(qi)))) return false
+    }
+    val relOfSide: Map[Int, DataSourceV2Relation] =
+      sideOf.zipWithIndex.map { case (s, qi) => s -> rels(qi) }.toMap
+    def colSide(name: String, below: Int): Option[Int] = {
+      val hits = (0 until below).filter(s =>
+        relOfSide(s).output.exists(a => conf.resolver(a.name, name)))
+      if (hits.size == 1) Some(hits.head) else None
+    }
+    val joinsAll = MaterializedViews.JoinSpec(vSides(1)._1, vSides(1)._2,
+      MaterializedViews.parseJoinOn(
+        props.get(MaterializedViews.JoinOnProp))) +: extraJoins
+    val declared: Set[Set[(Int, String)]] =
+      joinsAll.zipWithIndex.flatMap { case (j, k) =>
+        j.on.map { case (lc, rc) =>
+          val ls = colSide(lc, k + 1).getOrElse(return false)
+          Set((ls, lc.toLowerCase), (k + 1, rc.toLowerCase))
+        }
+      }.toSet
+    val got: Set[Set[(Int, String)]] = joinPairs.map { case (a, b) =>
+      def locate(x: Attribute): Option[(Int, String)] =
+        rels.indexWhere(_.outputSet.contains(x)) match {
+          case -1 => None
+          case qi => Some((sideOf(qi), x.name.toLowerCase))
+        }
+      (locate(a), locate(b)) match {
+        case (Some(pa), Some(pb)) => Set(pa, pb)
+        case _ => return false
+      }
+    }.toSet
+    got == declared
   }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
@@ -259,6 +343,16 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       }
       id == wm
     }
+    // a MULTI-SOURCE (≥3-way) view aggregates over the whole chain —
+    // a query matching only its first join must NEVER be served from
+    // it (n-ary query matching is handled by naryMatch below)
+    val extraJoins = MaterializedViews.parseJoinsExtra(
+      props.get(MaterializedViews.JoinsExtraProp))
+    if (extraJoins.nonEmpty) {
+      if (rels.size != 2 + extraJoins.size) return None
+      if (!naryMatch(props, extraJoins, rels, srcTables, joinPairs,
+          joinType, freshEnough, watermark)) return None
+    } else
     Option(props.get(MaterializedViews.Join2NsProp)) match {
       case None =>
         if (rels.size != 1 || !matches(srcTables.head, vSrcNs, vSrcT))

@@ -159,7 +159,9 @@ object GraftProcedures {
       inDefault("join_table", StringType, "''"),
       inDefault("join_on", StringType, "''"), // 'leftcol=rightcol,...'
       inDefault("key_exprs", StringType, "''"), // 'name:expr;...'
-      inDefault("join_type", StringType, "'inner'")) // inner | left
+      inDefault("join_type", StringType, "'inner'"), // inner | left
+      // 3rd+ sources of a star-schema view: 'ns|table|l=r,...;...'
+      inDefault("extra_joins", StringType, "''"))
     override def call(input: InternalRow): JIterator[Scan] = {
       val joinNs = Option(input.getString(7)).map(_.trim).filter(_.nonEmpty)
       val r = graft.maintain.MaterializedViews.create(
@@ -174,7 +176,10 @@ object GraftProcedures {
           graft.maintain.MaterializedViews.parseJoinOn(input.getString(9)),
           Option(input.getString(11)).map(_.trim).filter(_.nonEmpty)
             .getOrElse("inner"))),
-        graft.maintain.MaterializedViews.parseKeyExprs(input.getString(10)))
+        graft.maintain.MaterializedViews.parseKeyExprs(input.getString(10)),
+        Option(input.getString(12)).map(_.trim).filter(_.nonEmpty)
+          .map(graft.maintain.MaterializedViews.parseJoinsExtra)
+          .getOrElse(Seq.empty))
       result(
         StructType(Seq(StructField("mode", StringType, false),
           StructField("mv_rows", LongType, false))),

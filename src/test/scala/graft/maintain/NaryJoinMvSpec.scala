@@ -1,0 +1,178 @@
+package graft.maintain
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.GraftCatalog
+
+/** Multi-source (≥3-way) join materialized views — the star-schema
+  * rollup `fact ⋈ dim1 ⋈ dim2`. Maintenance is the n-ary telescoping
+  * bilinear rule: one side's delta at a time, earlier sides pinned at
+  * prev, later sides at cur — appends refresh unsigned-incrementally,
+  * deletes ride the same terms signed (cdc) when every aggregate
+  * retracts, and non-retractable aggregates under deletes recompute
+  * honestly. The rewrite serves the full chain and must never serve a
+  * SUB-chain (a 2-way query over the view's first join).
+  */
+class NaryJoinMvSpec extends AnyFunSuite {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-nary").toString
+
+  lazy val spark: SparkSession = graft.Verify.sessionBuilder("4")
+    .config("spark.sql.catalog.nry", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.nry.warehouse", warehouse)
+    .getOrCreate()
+
+  private def rows(sql: String): Seq[String] =
+    spark.sql(sql).collect().map(_.toString).toSeq
+
+  private def noRewrite[T](f: => T): T = {
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try f finally spark.conf.unset("spark.graft.mv.rewrite.enabled")
+  }
+
+  private def usesMv(sql: String, view: String = "mv"): Boolean =
+    spark.sql(sql).queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.relation.table.name().endsWith("." + view) => r
+    }.nonEmpty
+
+  private def refresh(view: String): String =
+    spark.sql(s"REFRESH MATERIALIZED VIEW nry.ns1.$view").head.getString(0)
+
+  test("3-way DDL view: per-side appends incremental, fact and dim " +
+      "deletes cdc, state matches truth, rewrite serves chain only") {
+    spark.sql("CREATE NAMESPACE nry.ns1")
+    spark.sql("""CREATE TABLE nry.ns1.fact (
+                   id BIGINT, ck BIGINT, amt DOUBLE)""")
+    spark.sql("CREATE TABLE nry.ns1.dim1 (ck BIGINT, nk BIGINT)")
+    spark.sql("CREATE TABLE nry.ns1.dim2 (nk BIGINT, region STRING)")
+    spark.sql("""INSERT INTO nry.ns1.fact
+                 SELECT id, id % 40, CAST(id AS DOUBLE) / 2
+                 FROM range(0, 3000, 1, 4) WHERE id % 3 != 0""")
+    spark.sql("""INSERT INTO nry.ns1.dim1
+                 SELECT id, id % 7 FROM range(0, 40, 1, 2)
+                 WHERE id % 2 = 0""")
+    spark.sql("""INSERT INTO nry.ns1.dim2
+                 SELECT id, concat('r', id % 3) FROM range(0, 7, 1, 2)
+                 WHERE id < 5""")
+    spark.sql("""CREATE MATERIALIZED VIEW nry.ns1.mv AS
+                 SELECT region, count(*) AS n,
+                        count(CAST(amt AS DECIMAL(18,2))) AS np,
+                        sum(CAST(amt AS DECIMAL(18,2))) AS total
+                 FROM nry.ns1.fact
+                 JOIN nry.ns1.dim1 ON fact.ck = dim1.ck
+                 JOIN nry.ns1.dim2 ON dim1.nk = dim2.nk
+                 GROUP BY region""")
+
+    def truth: Seq[String] = noRewrite(rows(
+      """SELECT region, count(*) AS n,
+                count(CAST(amt AS DECIMAL(18,2))) AS np,
+                sum(CAST(amt AS DECIMAL(18,2))) AS total
+         FROM nry.ns1.fact
+         JOIN nry.ns1.dim1 ON fact.ck = dim1.ck
+         JOIN nry.ns1.dim2 ON dim1.nk = dim2.nk
+         GROUP BY region ORDER BY region"""))
+    def state: Seq[String] =
+      rows("SELECT region, n, np, total FROM nry.ns1.mv ORDER BY region")
+    assert(state == truth)
+
+    // FACT append: delta ⋈ dim1_cur ⋈ dim2_cur
+    spark.sql("""INSERT INTO nry.ns1.fact
+                 SELECT id, id % 40, CAST(id AS DOUBLE) / 2
+                 FROM range(0, 3000, 1, 4) WHERE id % 3 = 0""")
+    assert(refresh("mv") == "incremental")
+    assert(state == truth, "fact append broke the state")
+
+    // DIM1 append: fact_prev ⋈ Δdim1 ⋈ dim2_cur (new matches surface)
+    spark.sql("""INSERT INTO nry.ns1.dim1
+                 SELECT id, id % 7 FROM range(0, 40, 1, 2)
+                 WHERE id % 2 = 1""")
+    assert(refresh("mv") == "incremental")
+    assert(state == truth, "dim1 append broke the state")
+
+    // DIM2 append: fact_prev ⋈ dim1_prev ⋈ Δdim2
+    spark.sql("""INSERT INTO nry.ns1.dim2
+                 SELECT id, concat('r', id % 3) FROM range(0, 7, 1, 2)
+                 WHERE id >= 5""")
+    assert(refresh("mv") == "incremental")
+    assert(state == truth, "dim2 append broke the state")
+
+    // FACT delete → signed feed term (cdc)
+    spark.sql("DELETE FROM nry.ns1.fact WHERE id % 11 = 4")
+    assert(refresh("mv") == "cdc")
+    assert(state == truth, "fact delete broke the state")
+
+    // DIM delete → signed feed term on the dim side (cdc): every
+    // group contributed through the deleted dim rows retracts
+    spark.sql("DELETE FROM nry.ns1.dim1 WHERE ck % 13 = 2")
+    assert(refresh("mv") == "cdc")
+    assert(state == truth, "dim1 delete broke the state")
+
+    // the rewrite serves the FULL chain (any join order the optimizer
+    // leaves intact; the pair-set match is order-insensitive) ...
+    assert(usesMv("""SELECT region, count(*) AS n
+                     FROM nry.ns1.fact
+                     JOIN nry.ns1.dim1 ON fact.ck = dim1.ck
+                     JOIN nry.ns1.dim2 ON dim1.nk = dim2.nk
+                     GROUP BY region"""))
+    // ... but NEVER a sub-chain: the view aggregates over all three
+    // sides, a 2-way query over the first join has different content
+    assert(!usesMv("""SELECT dim1.nk, count(*) AS n
+                      FROM nry.ns1.fact
+                      JOIN nry.ns1.dim1 ON fact.ck = dim1.ck
+                      GROUP BY dim1.nk"""),
+      "a 2-way sub-chain query must not be served from a 3-way view")
+    // different pair set over the same three tables must decline too
+    assert(!usesMv("""SELECT region, count(*) AS n
+                      FROM nry.ns1.fact
+                      JOIN nry.ns1.dim1 ON fact.ck = dim1.ck
+                      JOIN nry.ns1.dim2 ON fact.id = dim2.nk
+                      GROUP BY region"""),
+      "a different join graph must not be served")
+  }
+
+  test("procedure path with extra_joins; min/max under deletes " +
+      "recomputes honestly; DROP deregisters every source") {
+    spark.sql("""CALL nry.system.create_materialized_view(
+                   namespace => 'ns1', name => 'mv2',
+                   source_namespace => 'ns1', source_table => 'fact',
+                   group_by => 'region',
+                   aggs => 'n:count:1;hi:max:amt',
+                   join_namespace => 'ns1', join_table => 'dim1',
+                   join_on => 'ck=ck',
+                   extra_joins => 'ns1|dim2|nk=nk')""")
+    def truth2: Seq[String] = noRewrite(rows(
+      """SELECT region, count(*) AS n, max(amt) AS hi
+         FROM nry.ns1.fact
+         JOIN nry.ns1.dim1 ON fact.ck = dim1.ck
+         JOIN nry.ns1.dim2 ON dim1.nk = dim2.nk
+         GROUP BY region ORDER BY region"""))
+    def state2: Seq[String] =
+      rows("SELECT region, n, hi FROM nry.ns1.mv2 ORDER BY region")
+    assert(state2 == truth2)
+
+    // append stays incremental for ANY aggregate set
+    spark.sql("INSERT INTO nry.ns1.fact VALUES (90001, 2, 999.5)")
+    assert(refresh("mv2") == "incremental")
+    assert(state2 == truth2)
+
+    // a delete with max() in the spec cannot retract — honest full
+    spark.sql("DELETE FROM nry.ns1.fact WHERE id = 90001")
+    assert(refresh("mv2") == "full")
+    assert(state2 == truth2)
+
+    // DROP removes the registry entry on ALL THREE sources
+    spark.sql("DROP MATERIALIZED VIEW nry.ns1.mv2")
+    val cat = spark.sessionState.catalogManager.catalog("nry")
+      .asInstanceOf[GraftCatalog]
+    import org.apache.spark.sql.connector.catalog.Identifier
+    for (t <- Seq("fact", "dim1", "dim2")) {
+      val derived = Option(cat.loadTable(Identifier.of(Array("ns1"), t))
+        .properties().get(MaterializedViews.DerivedProp)).getOrElse("")
+      assert(!derived.contains("mv2"), s"$t still lists mv2: $derived")
+    }
+  }
+}

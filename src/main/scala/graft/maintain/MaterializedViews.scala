@@ -976,8 +976,8 @@ object MaterializedViews {
       // column cannot reach file statistics) — only here, where
       // keyRows is the COMPLETE touched set.
       case Some(pred) =>
-        srcCur.filter(exprKeyRangePreds(spark, groupBy, keyExprs, keyRows)
-          .foldLeft(pred)(_ && _))
+        srcCur.filter(exprKeyRangePreds(spark, groupBy, keyExprs, keyRows,
+          srcCur.schema).foldLeft(pred)(_ && _))
       case None => srcCur.join(touched,
         groupBy.map(k => srcCur(k) <=> touched(k)).reduce(_ && _),
         "left_semi")
@@ -1341,77 +1341,121 @@ object MaterializedViews {
   private def prefixed(df: DataFrame): DataFrame =
     df.select(df.columns.map(c => col(c).as(DeltaPrefix + c)).toSeq: _*)
 
-  /** For `date_trunc(lvl, col)` expression keys, SUPERSET range
-    * predicates on the RAW source column derived from the touched
-    * bucket values — file statistics can push a plain-column range
-    * where an IN on the derived key column cannot, so a group-scoped
-    * recompute on a time-bucketed view re-reads the touched days'
-    * files, never the corpus. Bucket width over-approximates
-    * generously (tz/DST-safe); exactness is restored by the caller's
-    * join against the touched-key set. Callers must pass the COMPLETE
-    * touched-key row set (a truncated set would not be a superset).
+  /** For time-derived expression keys — `date_trunc(lvl, col)`,
+    * `to_date(col)`, `year(col)` — SUPERSET range predicates on the
+    * RAW source column derived from the touched bucket values: file
+    * statistics can push a plain-column range where an IN on the
+    * derived key column cannot, so a group-scoped recompute on a
+    * time-bucketed view re-reads the touched days' files, never the
+    * corpus. Bucket width over-approximates generously (tz/DST-safe);
+    * exactness is restored by the caller's join against the
+    * touched-key set. Callers must pass the COMPLETE touched-key row
+    * set (a truncated set would not be a superset) and the source
+    * schema (the literals must match the raw column's type — DATE
+    * columns get DATE bounds, or the cast would defeat the file-stat
+    * push). `month(col)`/`dayofweek(col)`-style CYCLIC keys are not
+    * range-expressible on the raw column and get no prune.
     */
   private def exprKeyRangePreds(spark: SparkSession, groupBy: Seq[String],
       keyExprs: Seq[(String, String)],
-      keyRows: Array[org.apache.spark.sql.Row])
+      keyRows: Array[org.apache.spark.sql.Row],
+      srcSchema: org.apache.spark.sql.types.StructType)
       : Seq[org.apache.spark.sql.Column] =
     keyExprs.flatMap { case (name, sql) =>
       val idx = groupBy.indexWhere(_.equalsIgnoreCase(name))
-      val shape: Option[(String, String)] =
+      // (source column, lower slack ms, upper slack ms, value → ms)
+      val HourMs = 3600L * 1000
+      val DayMs = 24L * HourMs
+      def timeMs(v: Any): Option[Long] = v match {
+        case t: java.sql.Timestamp => Some(t.getTime)
+        case i: java.time.Instant => Some(i.toEpochMilli)
+        case d: java.sql.Date => Some(d.toLocalDate.toEpochDay * DayMs)
+        case d: java.time.LocalDate => Some(d.toEpochDay * DayMs)
+        case _ => None
+      }
+      def yearMs(v: Any): Option[Long] = v match {
+        case y: java.lang.Integer =>
+          try Some(java.time.LocalDate.of(y, 1, 1).toEpochDay * DayMs)
+          catch { case scala.util.control.NonFatal(_) => None }
+        case _ => None
+      }
+      val shape: Option[(String, Long, Long, Any => Option[Long])] =
         if (idx < 0) None
         else (try Some(spark.sessionState.sqlParser.parseExpression(sql))
         catch { case scala.util.control.NonFatal(_) => None }).flatMap {
           case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-              if f.nameParts.last.equalsIgnoreCase("date_trunc") &&
-                !f.isDistinct && f.filter.isEmpty =>
-            f.arguments match {
-              case Seq(org.apache.spark.sql.catalyst.expressions.Literal(
-                  lvl: org.apache.spark.unsafe.types.UTF8String,
-                  org.apache.spark.sql.types.StringType),
+              if !f.isDistinct && f.filter.isEmpty =>
+            val fn = f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+            (fn, f.arguments) match {
+              case ("date_trunc",
+                  Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+                    lvl: org.apache.spark.unsafe.types.UTF8String,
+                    org.apache.spark.sql.types.StringType),
                   ua: org.apache.spark.sql.catalyst.analysis
-                    .UnresolvedAttribute) =>
-                Some((lvl.toString.toLowerCase(java.util.Locale.ROOT),
-                  ua.nameParts.last))
+                    .UnresolvedAttribute)) =>
+                val slackHours: Long = graft.spark.GraftMvRewrite
+                    .normTruncLevel(lvl.toString) match {
+                  case "microsecond" | "millisecond" | "second" |
+                       "minute" => 1L
+                  case "hour" => 2L
+                  case "day" => 26L
+                  case "week" => 8L * 24
+                  case "month" => 32L * 24
+                  case "quarter" => 93L * 24
+                  case "year" => 367L * 24
+                  case _ => -1L
+                }
+                if (slackHours < 0) None
+                else Some((ua.nameParts.last, 2 * HourMs,
+                  slackHours * HourMs, timeMs _))
+              case ("to_date" | "date",
+                  Seq(ua: org.apache.spark.sql.catalyst.analysis
+                    .UnresolvedAttribute)) =>
+                // bucket value = the raw value's LOCAL date in the
+                // evaluation zone: raw instants lie within ±14h of
+                // the date's UTC midnight — 26h/50h slack covers any
+                // zone with margin
+                Some((ua.nameParts.last, 26 * HourMs, 50 * HourMs,
+                  timeMs _))
+              case ("year",
+                  Seq(ua: org.apache.spark.sql.catalyst.analysis
+                    .UnresolvedAttribute)) =>
+                Some((ua.nameParts.last, 26 * HourMs,
+                  367 * 24 * HourMs, yearMs _))
               case _ => None
             }
           case _ => None
         }
-      shape.flatMap { case (lvl0, srcCol) =>
-        val lvl = graft.spark.GraftMvRewrite.normTruncLevel(lvl0)
-        val slackHours: Long = lvl match {
-          case "microsecond" | "millisecond" | "second" | "minute" => 1L
-          case "hour" => 2L
-          case "day" => 26L
-          case "week" => 8L * 24
-          case "month" => 32L * 24
-          case "quarter" => 93L * 24
-          case "year" => 367L * 24
-          case _ => -1L
-        }
-        def millisOf(v: Any): Option[Long] = v match {
-          case t: java.sql.Timestamp => Some(t.getTime)
-          case i: java.time.Instant => Some(i.toEpochMilli)
-          case _ => None
-        }
-        if (slackHours < 0) None
-        else {
+      shape.flatMap { case (srcCol, loSlack, hiSlack, toMs) =>
+        srcSchema.fields.find(_.name.equalsIgnoreCase(srcCol))
+          .flatMap { field =>
           val vals = keyRows.map(_.get(idx)).toSeq
           val hasNull = vals.contains(null)
-          val ms = vals.filter(_ != null).map(millisOf)
+          val ms = vals.filter(_ != null).map(toMs)
           if (ms.exists(_.isEmpty)) None // unexpected value type: no prune
           else if (ms.isEmpty)
             if (hasNull) Some(col(srcCol).isNull) else None
           else {
-            // a truncated bucket instant is <= every raw value it
-            // covers under the zone that produced it; the symmetric
-            // 2h LOWER slack insures against DST-gap zones where a
-            // local midnight that does not exist maps forward
-            val lo = new java.sql.Timestamp(
-              ms.flatten.min - 2L * 3600L * 1000)
-            val hi = new java.sql.Timestamp(
-              ms.flatten.max + slackHours * 3600L * 1000)
-            val rng = col(srcCol) >= lit(lo) && col(srcCol) < lit(hi)
-            Some(if (hasNull) rng || col(srcCol).isNull else rng)
+            val loMs = ms.flatten.min - loSlack
+            val hiMs = ms.flatten.max + hiSlack
+            // bounds in the RAW column's own type, so the comparison
+            // stays a plain column-vs-literal file statistics can use
+            val bounds: Option[(org.apache.spark.sql.Column,
+                org.apache.spark.sql.Column)] = field.dataType match {
+              case org.apache.spark.sql.types.TimestampType =>
+                Some((lit(new java.sql.Timestamp(loMs)),
+                  lit(new java.sql.Timestamp(hiMs))))
+              case org.apache.spark.sql.types.DateType =>
+                def d(m: Long, up: Boolean) = lit(java.sql.Date.valueOf(
+                  java.time.LocalDate.ofEpochDay(
+                    Math.floorDiv(m, DayMs) + (if (up) 2 else -2))))
+                Some((d(loMs, up = false), d(hiMs, up = true)))
+              case _ => None
+            }
+            bounds.map { case (lo, hi) =>
+              val rng = col(srcCol) >= lo && col(srcCol) < hi
+              if (hasNull) rng || col(srcCol).isNull else rng
+            }
           }
         }
       }

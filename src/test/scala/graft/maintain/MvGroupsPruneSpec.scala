@@ -182,4 +182,110 @@ class MvGroupsPruneSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(state == truth)
   }
+
+  private def scannedOf(refreshSql: String): (String, Long) = {
+    spark.conf.set("spark.graft.mv.groups.debug-scan-files", "true")
+    val mode = try spark.sql(refreshSql).head.getString(0)
+    finally spark.conf.unset("spark.graft.mv.groups.debug-scan-files")
+    (mode, MaterializedViews.lastGroupsScanFiles.get())
+  }
+
+  test("a date_trunc key over a DATE column range-prunes with DATE " +
+      "bounds (a timestamp literal would defeat the file-stat push)") {
+    spark.sql("CREATE NAMESPACE mgp.ns4")
+    spark.sql("""CREATE TABLE mgp.ns4.ev (
+                   id BIGINT NOT NULL, d DATE NOT NULL, v DOUBLE)""")
+    // 8 single-month inserts → 8 files with DISJOINT d statistics
+    (0 until 8).foreach { m =>
+      spark.sql(s"""INSERT INTO mgp.ns4.ev
+                    SELECT id, date_add(date'2024-0${m + 1}-01',
+                           CAST(id % 25 AS INT)), CAST(id AS DOUBLE)
+                    FROM range(${m * 400}, ${m * 400 + 400}, 1, 1)""")
+    }
+    val totalFiles = spark.sql(
+      "SELECT count(*) FROM mgp.ns4.`ev$files`").head.getLong(0)
+    assert(totalFiles >= 8, s"expected >= 8 files, got $totalFiles")
+    spark.sql("""CALL mgp.system.create_materialized_view(
+                   namespace => 'ns4', name => 'mv',
+                   source_namespace => 'ns4', source_table => 'ev',
+                   group_by => 'mon',
+                   aggs => 'n:count:1;mn:min:v;mx:max:v',
+                   key_exprs => 'mon:date_trunc(''MONTH'', d)')""")
+    spark.sql("DELETE FROM mgp.ns4.ev WHERE d = date'2024-05-03'")
+    val (mode, scanned) = scannedOf(
+      """CALL mgp.system.refresh_materialized_view(
+           namespace => 'ns4', name => 'mv')""")
+    assert(mode == "groups", mode)
+    assert(scanned >= 1 && scanned < totalFiles / 2,
+      s"DATE-column month recompute read $scanned of $totalFiles files")
+    val state = spark.sql(
+      "SELECT mon, n, mn, mx FROM mgp.ns4.mv ORDER BY mon")
+      .collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val truth = try spark.sql(
+      """SELECT date_trunc('MONTH', d) AS mon, count(*) AS n,
+                min(v) AS mn, max(v) AS mx
+         FROM mgp.ns4.ev GROUP BY 1 ORDER BY mon""")
+      .collect().map(_.toString).toSeq
+    finally spark.conf.unset("spark.graft.mv.rewrite.enabled")
+    assert(state == truth)
+  }
+
+  test("to_date and year expression keys also range-prune the raw " +
+      "timestamp scan") {
+    spark.sql("CREATE NAMESPACE mgp.ns5")
+    spark.sql("""CREATE TABLE mgp.ns5.ev (
+                   id BIGINT NOT NULL, ts TIMESTAMP NOT NULL, v DOUBLE)""")
+    // 8 single-YEAR inserts → files disjoint for both to_date and year
+    (0 until 8).foreach { y =>
+      spark.sql(s"""INSERT INTO mgp.ns5.ev
+                    SELECT id, timestamp'201${y}-06-01 00:00:00' +
+                           make_interval(0, 0, 0, 0, 0, CAST(id % 600 AS INT), 0),
+                           CAST(id AS DOUBLE)
+                    FROM range(${y * 400}, ${y * 400 + 400}, 1, 1)""")
+    }
+    val totalFiles = spark.sql(
+      "SELECT count(*) FROM mgp.ns5.`ev$files`").head.getLong(0)
+    assert(totalFiles >= 8, s"expected >= 8 files, got $totalFiles")
+    spark.sql("""CALL mgp.system.create_materialized_view(
+                   namespace => 'ns5', name => 'mvd',
+                   source_namespace => 'ns5', source_table => 'ev',
+                   group_by => 'day',
+                   aggs => 'n:count:1;mn:min:v',
+                   key_exprs => 'day:to_date(ts)')""")
+    spark.sql("""CALL mgp.system.create_materialized_view(
+                   namespace => 'ns5', name => 'mvy',
+                   source_namespace => 'ns5', source_table => 'ev',
+                   group_by => 'y',
+                   aggs => 'n:count:1;mx:max:v',
+                   key_exprs => 'y:year(ts)')""")
+    spark.sql("""DELETE FROM mgp.ns5.ev
+                 WHERE ts >= timestamp'2014-06-01 00:00:00'
+                   AND ts < timestamp'2014-06-01 02:00:00'""")
+    val (modeD, scannedD) = scannedOf(
+      """CALL mgp.system.refresh_materialized_view(
+           namespace => 'ns5', name => 'mvd')""")
+    assert(modeD == "groups", modeD)
+    assert(scannedD >= 1 && scannedD < totalFiles / 2,
+      s"to_date recompute read $scannedD of $totalFiles files")
+    val (modeY, scannedY) = scannedOf(
+      """CALL mgp.system.refresh_materialized_view(
+           namespace => 'ns5', name => 'mvy')""")
+    assert(modeY == "groups", modeY)
+    assert(scannedY >= 1 && scannedY < totalFiles / 2,
+      s"year recompute read $scannedY of $totalFiles files")
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try {
+      assert(spark.sql("SELECT day, n, mn FROM mgp.ns5.mvd ORDER BY day")
+        .collect().map(_.toString).toSeq ==
+        spark.sql("""SELECT to_date(ts) AS day, count(*) AS n, min(v) AS mn
+                     FROM mgp.ns5.ev GROUP BY 1 ORDER BY day""")
+          .collect().map(_.toString).toSeq)
+      assert(spark.sql("SELECT y, n, mx FROM mgp.ns5.mvy ORDER BY y")
+        .collect().map(_.toString).toSeq ==
+        spark.sql("""SELECT year(ts) AS y, count(*) AS n, max(v) AS mx
+                     FROM mgp.ns5.ev GROUP BY 1 ORDER BY y""")
+          .collect().map(_.toString).toSeq)
+    } finally spark.conf.unset("spark.graft.mv.rewrite.enabled")
+  }
 }

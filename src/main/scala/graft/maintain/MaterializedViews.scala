@@ -169,15 +169,36 @@ object MaterializedViews {
     * (its delta may postdate the running refresh's watermark read).
     */
   val RefreshOnCommitProp = "graft.mv.refresh-on-commit"
+  /** Wall-clock millis of the last refresh commit (any mode, noop
+    * excluded) — surfaced by `<table>$views` as `refresh_age_seconds`
+    * so operators can see hook/scheduler lag at a glance.
+    */
+  val RefreshedAtProp = "graft.mv.refreshed-at-ms"
 
-  private lazy val hookPool = java.util.concurrent.Executors
-    .newSingleThreadExecutor(r => {
-      val t = new Thread(r, "graft-mv-refresh-on-commit")
+  /** A commit burst across MANY distinct views must not serialize
+    * view N's freshness behind views 1..N−1: a small bounded pool
+    * runs DISTINCT views' refreshes concurrently, while a per-view
+    * monitor keeps each single view's refreshes sequential (two
+    * concurrent refreshes of one view would just fight the optimistic
+    * commit and one would retry — the lock spends those cycles on the
+    * second delta instead).
+    */
+  private lazy val hookPool = {
+    val n = math.max(2, math.min(4,
+      Runtime.getRuntime.availableProcessors() / 8))
+    val idx = new java.util.concurrent.atomic.AtomicInteger()
+    java.util.concurrent.Executors.newFixedThreadPool(n, r => {
+      val t = new Thread(r,
+        s"graft-mv-refresh-on-commit-${idx.incrementAndGet()}")
       t.setDaemon(true)
       t
     })
+  }
   private val pendingHooks =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val runningHooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val hookActive = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Called by write paths after their commit; never throws. The
     * session is resolved HERE (active on the committing thread, else
@@ -192,35 +213,48 @@ object MaterializedViews {
         .orElse(SparkSession.getDefaultSession).getOrElse(return)
       parseDerived(props.get(DerivedProp)).foreach { nsMv =>
         val key = s"${cat.name()}:$nsMv"
-        if (pendingHooks.add(key))
+        if (pendingHooks.add(key)) {
+          hookActive.incrementAndGet()
           hookPool.execute(() => {
-            pendingHooks.remove(key)
             try {
-              // an ISOLATED session → its own catalog INSTANCE → its
-              // own session-transaction slot: the background refresh
-              // must never enlist in (or block) a transaction the
-              // user has open on the committing session's catalog.
-              // Cross-instance races resolve through the optimistic
-              // conflict matrix like any other writer.
-              val s2 = spark.newSession()
-              (s2.sessionState.catalogManager.catalog(cat.name()),
-                nsMv.split('.')) match {
-                case (g: GraftCatalog, Array(ns, mv)) =>
-                  refresh(s2, g, Identifier.of(Array(ns), mv))
-                  ()
-                case _ => ()
+              // same-view refreshes SERIALIZE (a commit landing
+              // mid-refresh re-enqueues and waits here); distinct
+              // views proceed on the other pool threads
+              val monitor =
+                runningHooks.computeIfAbsent(key, _ => new Object)
+              monitor.synchronized {
+                pendingHooks.remove(key)
+                // an ISOLATED session → its own catalog INSTANCE →
+                // its own session-transaction slot: the background
+                // refresh must never enlist in (or block) a
+                // transaction the user has open on the committing
+                // session's catalog. Cross-instance races resolve
+                // through the optimistic conflict matrix like any
+                // other writer.
+                val s2 = spark.newSession()
+                (s2.sessionState.catalogManager.catalog(cat.name()),
+                  nsMv.split('.')) match {
+                  case (g: GraftCatalog, Array(ns, mv)) =>
+                    refresh(s2, g, Identifier.of(Array(ns), mv))
+                    ()
+                  case _ => ()
+                }
               }
             } catch { case scala.util.control.NonFatal(_) => () }
+            finally hookActive.decrementAndGet()
           })
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => () }
 
-  /** Test/ops hook: block until the refresh-on-commit queue drains. */
+  /** Test/ops hook: block until the refresh-on-commit queue drains
+    * (all enqueued tasks FINISHED, not merely started — the pool is
+    * multi-threaded, so a pass-through latch task would not do).
+    */
   private[graft] def awaitRefreshHooks(): Unit = {
-    val latch = new java.util.concurrent.CountDownLatch(1)
-    hookPool.execute(() => latch.countDown())
-    latch.await(60, java.util.concurrent.TimeUnit.SECONDS)
-    ()
+    val deadline = System.currentTimeMillis() + 60000
+    while (hookActive.get() > 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
   }
 
   /** One aggregate column: `out:fn:expr` with fn ∈
@@ -616,7 +650,8 @@ object MaterializedViews {
         GroupByProp -> groupBy.mkString(","),
         AggsProp -> aggs.map(a => s"${a.out}:${a.fn}:${a.expr}")
           .mkString(";"),
-        RefreshedSnapshotProp -> snapId.toString) ++
+        RefreshedSnapshotProp -> snapId.toString,
+        RefreshedAtProp -> System.currentTimeMillis().toString) ++
       (if (keyExprs.isEmpty) Map.empty
        else Map(KeyExprsProp -> formatKeyExprs(keyExprs)) ++
          keyTz.map(TzProp -> _)) ++
@@ -1486,7 +1521,9 @@ object MaterializedViews {
         false
       } else {
         body
-        cat.alterTable(ident, watermarks.map { case (k, v) =>
+        val stamped = watermarks :+
+          (RefreshedAtProp -> System.currentTimeMillis().toString)
+        cat.alterTable(ident, stamped.map { case (k, v) =>
           TableChange.setProperty(k, v): TableChange }: _*)
         if (ownTxn) cat.commitTransaction()
         true

@@ -332,6 +332,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
                   val joinFresh = p.get(Join2NsProp).forall(jns =>
                     wm2.exists(w => currentOf(jns,
                       p(Join2TableProp)).contains(w)))
+                  // n-ary views: every EXTRA side must be at its own
+                  // watermark too, or the row reads fresh while the
+                  // rewrite (correctly) declines
+                  val extraJoins = parseJoinsExtra(
+                    p.getOrElse(JoinsExtraProp, null))
+                  val extraWms = p.get(RefreshedExtraProp)
+                    .map(_.split(',').toSeq.map(_.trim.toLong))
+                    .getOrElse(Seq.empty)
+                  val extraFresh = extraJoins.size == extraWms.size &&
+                    extraJoins.zip(extraWms).forall { case (j, w) =>
+                      currentOf(j.ns, j.table).contains(w)
+                    }
                   val vmeta = TableMetadata.read(storage,
                     vtd.metadataLocation)
                   val pending = vmeta.currentSnapshot.map(sn =>
@@ -345,7 +357,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
                   Some(MetadataTables.ViewRow(vns, vn,
                     s"${p(SourceNsProp)}.${p(SourceTableProp)}",
                     p.get(Join2NsProp).map(jns =>
-                      s"$jns.${p(Join2TableProp)}"),
+                      (s"$jns.${p(Join2TableProp)}" +:
+                        extraJoins.map(j => s"${j.ns}.${j.table}"))
+                        .mkString(",")),
                     p.get(Join2NsProp).map(_ =>
                       p.getOrElse(
                         graft.maintain.MaterializedViews.JoinTypeProp,
@@ -353,7 +367,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
                     p(GroupByProp),
                     p.get(graft.maintain.MaterializedViews.KeyExprsProp),
                     p(AggsProp), p.get(WhereProp),
-                    wm, wm2, srcFresh && joinFresh, stateMode, pending))
+                    wm, wm2, srcFresh && joinFresh && extraFresh,
+                    stateMode, pending,
+                    p.get(graft.maintain.MaterializedViews.RefreshedAtProp)
+                      .map(at => math.max(0L,
+                        (System.currentTimeMillis() - at.toLong) / 1000))))
                 } catch {
                   // dropped / drifted view: a stale registry entry
                   case scala.util.control.NonFatal(_) => None

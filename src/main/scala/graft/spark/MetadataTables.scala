@@ -43,7 +43,8 @@ object MetadataTables {
       groupBy: String, keyExprs: Option[String], aggs: String,
       where: Option[String], refreshedSnapshot: Long,
       refreshedSnapshot2: Option[Long], fresh: Boolean,
-      stateMode: String, pendingDeletes: Long)
+      stateMode: String, pendingDeletes: Long,
+      refreshAgeSeconds: Option[Long])
 
   /** `<table>$views` — the materialized views derived from this table
     * (its `graft.mv.derived` registry, stale entries skipped), each
@@ -72,7 +73,11 @@ object MetadataTables {
         // columns). pending_deletes = delete objects a reader merges
         // (folded by auto-compaction past the threshold).
         StructField("state_mode", StringType, nullable = false),
-        StructField("pending_deletes", LongType, nullable = false)))
+        StructField("pending_deletes", LongType, nullable = false),
+        // seconds since the last refresh COMMIT (any mode) — the
+        // operator's one-glance view of hook/scheduler lag; NULL for
+        // views created before the stamp existed
+        StructField("refresh_age_seconds", LongType, nullable = true)))
 
       override def rows: Seq[InternalRow] = rows0.map { v =>
         InternalRow(UTF8String.fromString(v.ns),
@@ -85,7 +90,8 @@ object MetadataTables {
           v.where.map(UTF8String.fromString).orNull,
           v.refreshedSnapshot,
           v.refreshedSnapshot2.map(Long.box).orNull, v.fresh,
-          UTF8String.fromString(v.stateMode), v.pendingDeletes)
+          UTF8String.fromString(v.stateMode), v.pendingDeletes,
+          v.refreshAgeSeconds.map(Long.box).orNull)
       }
     }
 

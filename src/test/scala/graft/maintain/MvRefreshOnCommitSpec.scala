@@ -121,4 +121,62 @@ class MvRefreshOnCommitSpec extends AnyFunSuite {
     val n = spark.sql("SELECT count(*) FROM mrc.ns2.src").head.getLong(0)
     assert(n == 2L, "the user's commit must land despite the hook failing")
   }
+
+  test("a commit burst across many views/sources drains the worker " +
+      "pool with every view fresh exactly once per coalesced window") {
+    spark.sql("CREATE NAMESPACE mrc.ns4")
+    val nViews = 6
+    (0 until nViews).foreach { i =>
+      spark.sql(s"CREATE TABLE mrc.ns4.src$i (k BIGINT, v DOUBLE)")
+      spark.sql(s"""INSERT INTO mrc.ns4.src$i
+                    SELECT id % 4, CAST(id AS DOUBLE)
+                    FROM range(0, 200, 1, 2)""")
+      spark.sql(s"""CALL mrc.system.create_materialized_view(
+                     namespace => 'ns4', name => 'mv$i',
+                     source_namespace => 'ns4', source_table => 'src$i',
+                     group_by => 'k',
+                     aggs => 'n:count:1;total:sum:CAST(v AS DECIMAL(18,2))')""")
+      spark.sql(s"""ALTER TABLE mrc.ns4.src$i SET TBLPROPERTIES
+                     ('graft.mv.refresh-on-commit' = 'true')""")
+    }
+    // burst: two commits per source back-to-back — per-view coalescing
+    // may fold them, per-view serialization must never interleave two
+    // refreshes of one view, and distinct views ride the pool threads
+    (0 until nViews).foreach { i =>
+      spark.sql(s"INSERT INTO mrc.ns4.src$i VALUES (1, 100.0)")
+      spark.sql(s"INSERT INTO mrc.ns4.src$i VALUES (2, 200.0)")
+    }
+    MaterializedViews.awaitRefreshHooks()
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    def allFresh(): Boolean = (0 until nViews).forall { i =>
+      spark.sql(s"""SELECT fresh FROM mrc.ns4.`src$i$$views`
+                    WHERE view_name = 'mv$i'""").head.getBoolean(0)
+    }
+    while (!allFresh() && System.nanoTime() < deadline) {
+      // a commit landing mid-refresh re-enqueues; drain again
+      MaterializedViews.awaitRefreshHooks()
+      Thread.sleep(50)
+    }
+    assert(allFresh(), "every view must be fresh after the burst drains")
+    (0 until nViews).foreach { i =>
+      val state = spark.sql(
+        s"SELECT k, n, CAST(total AS DOUBLE) FROM mrc.ns4.mv$i ORDER BY k")
+        .collect().map(_.toString).toSeq
+      spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      val truth = try spark.sql(
+        s"""SELECT k, count(*), CAST(sum(CAST(v AS DECIMAL(18,2)))
+                   AS DOUBLE)
+            FROM mrc.ns4.src$i GROUP BY k ORDER BY k""")
+        .collect().map(_.toString).toSeq
+      finally spark.conf.unset("spark.graft.mv.rewrite.enabled")
+      assert(state == truth, s"mv$i state diverged under the burst")
+    }
+    // the $views staleness column: freshly refreshed views report a
+    // small age, and it is never NULL for stamped views
+    val ages = spark.sql(
+      """SELECT refresh_age_seconds FROM mrc.ns4.`src0$views`
+         WHERE view_name = 'mv0'""").collect()
+    assert(ages.length == 1 && !ages(0).isNullAt(0), ages.mkString)
+    assert(ages(0).getLong(0) <= 300, s"age ${ages(0).getLong(0)}s")
+  }
 }

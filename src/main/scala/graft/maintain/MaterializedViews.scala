@@ -1108,17 +1108,20 @@ object MaterializedViews {
     // SIGNED BILINEAR rule when the aggregates retract:
     //   Δ(A⋈B) = ΔA_signed ⋈ B_cur  +  A_prev ⋈ ΔB_signed
     // (exact in multiset algebra for INNER joins with signed deltas —
-    // appends are +1 rows, feed deletes are −1). A LEFT view supports
-    // it only for fact-side changes with the dim UNCHANGED (ΔA ⟕
-    // B_cur is per-fact-row exact when B is fixed); dim-side
-    // retractions on a left view would move null-extension both ways
-    // and recompute fully instead.
+    // appends are +1 rows, feed deletes are −1). A LEFT view adds the
+    // NULL-EXTENSION FLIP terms for dim-side changes: with the fact
+    // side pinned at prev, only A rows TOUCHED by ΔB's join keys can
+    // change match-state, and the flip is
+    //   − nullext(touched ▷ B_prev ⋉ B_cur)   (had none, now matched)
+    //   + nullext(touched ⋉ B_prev ▷ B_cur)   (had some, now none)
+    // — semi/anti joins over the delta's key set, feed-sized, while
+    // the matched-contribution changes ride A_prev ⋈ ΔB_signed as in
+    // the inner case. ΔA_signed joins with the VIEW's type (⟕ B_cur),
+    // which is per-fact-row exact when evaluated against B_cur.
     val retracts = segsA.exists(_.exists(_.kind == 'C')) ||
       segsB.exists(_.exists(_.kind == 'C'))
     val signedOk = segsA.isDefined && segsB.isDefined &&
-      cdcMaintainable(aggs) &&
-      (j.joinType == "inner" ||
-        (j.joinType == "left" && segsB.get.isEmpty))
+      cdcMaintainable(aggs)
     if (!incOk && retracts && signedOk) {
       val bCur = pinned(spark, bFull, curB)
       val aPrev = pinned(spark, aFull, lastA)
@@ -1139,11 +1142,49 @@ object MaterializedViews {
               graft.spark.TableChanges.between(spark, cat, srcIdent,
                 s0, e0)), where), signOf, groupBy, aggs, keyExprs, keyTz)
         }
+      // LEFT views: null-extension flips for the A rows whose match
+      // state crossed zero — scoped to ΔB's join-key set, so a sparse
+      // dim delete costs the touched facts, never the corpus
+      val flips: Seq[DataFrame] =
+        if (j.joinType != "left" || segsB.get.isEmpty) Seq.empty
+        else {
+          val bPrevF = pinned(spark, bFull, lastB)
+          val dbKeys = segsB.get.map {
+            case Segment('A', s0, e0) => spark.read
+              .option(GraftTable.StartSnapshotOption, s0.toString)
+              .option(GraftTable.EndSnapshotOption, e0.toString)
+              .table(bFull)
+            case Segment(_, s0, e0) =>
+              graft.spark.TableChanges.between(spark, cat,
+                Identifier.of(Array(j.ns), j.table), s0, e0)
+          }.map(_.select(j.on.map { case (_, rc) => col(rc) }: _*))
+            .reduce(_ union _).distinct()
+          val touched = aPrev.join(dbKeys,
+            j.on.map { case (lc, rc) => aPrev(lc) === dbKeys(rc) }
+              .reduce(_ && _), "left_semi")
+          def matchJoin(f: DataFrame, b: DataFrame, how: String) =
+            f.join(b, j.on.map { case (lc, rc) => f(lc) === b(rc) }
+              .reduce(_ && _), how)
+          def nullExt(f: DataFrame): DataFrame =
+            bPrevF.schema.fields.foldLeft(f)((f2, fld) =>
+              f2.withColumn(fld.name, lit(null).cast(fld.dataType)))
+          val gained =
+            matchJoin(matchJoin(touched, bPrevF, "left_anti"), bCur,
+              "left_semi")
+          val lost =
+            matchJoin(matchJoin(touched, bPrevF, "left_semi"), bCur,
+              "left_anti")
+          Seq(
+            signedAggregate(restrict(nullExt(gained), where), lit(-1),
+              groupBy, aggs, keyExprs, keyTz),
+            signedAggregate(restrict(nullExt(lost), where), lit(1),
+              groupBy, aggs, keyExprs, keyTz))
+        }
       val parts =
         sideParts(aFull, Identifier.of(Array(srcNs), srcT), segsA.get,
           d => joinFrames(d, bCur, j.on, j.joinType)) ++
         sideParts(bFull, Identifier.of(Array(j.ns), j.table), segsB.get,
-          d => joinFrames(aPrev, d, j.on))
+          d => joinFrames(aPrev, d, j.on)) ++ flips
       val wms = Seq(RefreshedSnapshotProp -> curA.toString,
         RefreshedSnapshot2Prop -> curB.toString)
       return {

@@ -110,12 +110,31 @@ class MvLeftJoinSpec extends AnyFunSuite {
     assert(m4 == "cdc", m4)
     assert(state("ns1") == truth("ns1"))
 
-    // a DIM-side delete moves null-extension both ways — that is the
-    // one shape a left view recomputes fully (and stays exact)
+    // a DIM-side delete rides the signed path too: the matched
+    // contributions retract via A_prev ⋈ ΔB_signed, and facts whose
+    // LAST match vanished regain their null-extended contribution via
+    // the flip term +nullext(touched ⋉ B_prev ▷ B_cur) — feed-scoped,
+    // never a recompute
+    val nullBefore2 = noRewrite(spark.sql(
+      "SELECT n FROM mlj.ns1.mv WHERE grp IS NULL").head.getLong(0))
     spark.sql("DELETE FROM mlj.ns1.dim WHERE dref = 0")
     val m5 = spark.sql("REFRESH MATERIALIZED VIEW mlj.ns1.mv")
       .head.getString(0)
-    assert(m5 == "full", m5)
+    assert(m5 == "cdc", m5)
+    assert(state("ns1") == truth("ns1"))
+    val nullAfter2 = noRewrite(spark.sql(
+      "SELECT n FROM mlj.ns1.mv WHERE grp IS NULL").head.getLong(0))
+    assert(nullAfter2 > nullBefore2,
+      s"orphaned facts must re-null-extend: $nullBefore2 -> $nullAfter2")
+
+    // dim delete + re-insert of the same key in ONE range: match
+    // state flips nowhere (B_prev ⋉ and B_cur ⋉ both hold), only the
+    // matched contribution moves groups — still cdc, still exact
+    spark.sql("DELETE FROM mlj.ns1.dim WHERE dref = 1")
+    spark.sql("INSERT INTO mlj.ns1.dim VALUES (1, 'g2')")
+    val m6 = spark.sql("REFRESH MATERIALIZED VIEW mlj.ns1.mv")
+      .head.getString(0)
+    assert(m6 == "cdc", m6)
     assert(state("ns1") == truth("ns1"))
 
     // the rewrite serves the left-join aggregate and declines the

@@ -673,26 +673,41 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           if (h.relativeSD >= GraftMvRewrite.StoredSketchRsd)
             sketchEstimate(h.child)
           else None
-        case av: Average
-            if av.dataType == org.apache.spark.sql.types.DoubleType =>
-          // avg(e) = sum(e)/count(e) over the view's partials when the
-          // view stores BOTH. Double-typed only: composing a DECIMAL
-          // average through double would round differently than
-          // Spark's own decimal Average, so those decline (and double
-          // arithmetic has no overflow path, so the eval mode is
-          // irrelevant here). The invariant `total IS NULL iff np = 0`
-          // (held by every maintenance path) makes the division's
-          // numerator NULL before a zero denominator can be
-          // evaluated — NULL for all-null and empty groups, exactly
-          // Average's semantics, under ANSI too.
-          for {
-            sa <- byDef.get(("sum", av.child.canonicalized))
-            ca <- byDef.get(("count", av.child.canonicalized))
-          } yield Divide(
-            Cast(Sum(sa).toAggregateExpression(),
-              org.apache.spark.sql.types.DoubleType, tz),
-            Cast(Sum(ca).toAggregateExpression(),
-              org.apache.spark.sql.types.DoubleType, tz))
+        case av: Average =>
+          // avg(e) over the view's sum/count pair, for EVERY child
+          // type (double, decimal, ...): substitute the Average's own
+          // buffer attributes (sum, count) in its evaluateExpression
+          // with totals over the stored partials. Spark's final-step
+          // arithmetic — decimal widening and result scale, ANSI
+          // divide-by-zero guards, try-eval — is then reproduced BY
+          // CONSTRUCTION, not imitated: the substituted expression IS
+          // Average's final projection over the merged buffer. The
+          // stored partial-sum column has Sum(expr)'s type (== the
+          // buffer's); re-summing widens, so the total casts back —
+          // where that overflows, Spark's own buffer arithmetic would
+          // have overflowed to the same null/error. A view group's
+          // NULL sum (all-null group) only arises with count 0, where
+          // evaluateExpression yields NULL regardless.
+          (byDef.get(("sum", av.child.canonicalized)),
+            byDef.get(("count", av.child.canonicalized))) match {
+            case (Some(sa), Some(ca))
+                if av.aggBufferAttributes.size == 2 =>
+              val Seq(sumBuf, cntBuf) = av.aggBufferAttributes
+              def total(src: Attribute, want: Attribute): Expression = {
+                val t = Sum(src).toAggregateExpression()
+                if (t.dataType == want.dataType) t
+                else Cast(t, want.dataType, tz)
+              }
+              val sumTotal = total(sa, sumBuf)
+              val cntTotal = total(ca, cntBuf)
+              Some(av.evaluateExpression.transformUp {
+                case a: AttributeReference if a.exprId == sumBuf.exprId =>
+                  sumTotal
+                case a: AttributeReference if a.exprId == cntBuf.exprId =>
+                  cntTotal
+              })
+            case _ => None
+          }
         case _ => None
       }
     }

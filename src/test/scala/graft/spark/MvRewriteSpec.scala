@@ -177,8 +177,8 @@ class MvRewriteSpec extends AnyFunSuite {
       expectMv = false)
   }
 
-  test("avg(expr) is served from the view's sum/count pair; decimal " +
-      "averages decline") {
+  test("avg(expr) is served from the view's sum/count pair — double " +
+      "AND decimal, bit-exact via buffer substitution") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS mvr.ns3")
     spark.sql("CREATE TABLE mvr.ns3.src (k BIGINT, v DOUBLE)")
     // id/4 is exact in binary, so every partial sum is exact and the
@@ -202,11 +202,40 @@ class MvRewriteSpec extends AnyFunSuite {
     check("SELECT avg(v) AS a FROM mvr.ns3.src", expectMv = true)
     check("SELECT k, round(avg(v), 3) AS a FROM mvr.ns3.src GROUP BY k",
       expectMv = true)
-    // decimal-typed average: the view stores the matching sum/count
-    // pair, but composing through double would round differently than
-    // Spark's decimal Average — must decline
+    // decimal-typed average: served by substituting the Average's own
+    // buffer attributes into its evaluateExpression over the stored
+    // sum/count pair — Spark's exact decimal widening, result scale,
+    // and HALF_UP rounding by construction. check() compares against
+    // the rewrite-off run row-for-row, so any divergence (scale,
+    // rounding, null shape) fails here.
     check("""SELECT k, avg(CAST(v AS DECIMAL(18,2))) AS a
-             FROM mvr.ns3.src GROUP BY k""", expectMv = false)
+             FROM mvr.ns3.src GROUP BY k""", expectMv = true)
+    check("""SELECT avg(CAST(v AS DECIMAL(18,2))) AS a
+             FROM mvr.ns3.src""", expectMv = true)
+    // adversarial rounding: group sizes of 3 force repeating decimals
+    // (x.xx333.../x.xx666...) where a double-composed quotient would
+    // round differently at the result scale
+    spark.sql("CREATE TABLE mvr.ns3.r3 (k BIGINT, v DOUBLE)")
+    spark.sql("""INSERT INTO mvr.ns3.r3
+                 SELECT id % 300, 0.01 * CAST(id % 7 AS DOUBLE)
+                 FROM range(0, 900, 1, 2)""")
+    spark.sql("""CALL mvr.system.create_materialized_view(
+                   namespace => 'ns3', name => 'mv3',
+                   source_namespace => 'ns3', source_table => 'r3',
+                   group_by => 'k',
+                   aggs => 'nd:count:CAST(v AS DECIMAL(18,2));td:sum:CAST(v AS DECIMAL(18,2))')""")
+    val q3 = """SELECT k, avg(CAST(v AS DECIMAL(18,2))) AS a
+                FROM mvr.ns3.r3 GROUP BY k"""
+    val on = spark.sql(q3)
+    assert(on.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.relation.table.name().endsWith(".mv3") => r
+    }.nonEmpty, on.queryExecution.optimizedPlan.treeString)
+    val rowsOn = on.collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val rowsOff = try spark.sql(q3).collect().map(_.toString).sorted.toSeq
+    finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    assert(rowsOn == rowsOff, "decimal avg rounding diverged")
   }
 
   test("a FILTERED view serves only queries carrying its predicate, " +

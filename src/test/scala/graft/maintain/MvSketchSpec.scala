@@ -124,4 +124,72 @@ class MvSketchSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.graft.mv.rewrite.enabled")
     assert(est == ex)
   }
+
+  test("a BUCKETED sketch view survives deletes through the groups " +
+      "path and the bucket-scoped fold with estimate == exact") {
+    spark.sql("CREATE NAMESPACE msk.ns3")
+    spark.sql("CREATE TABLE msk.ns3.src (k BIGINT NOT NULL, u BIGINT)")
+    // 16 groups × ~120 distinct values: coupon-exact sketches
+    spark.sql("""INSERT INTO msk.ns3.src
+                 SELECT id % 16, id % 120 FROM range(0, 4000, 1, 2)""")
+    spark.conf.set("spark.graft.mv.state.buckets", "8")
+    try spark.sql("""CALL msk.system.create_materialized_view(
+                       namespace => 'ns3', name => 'mv',
+                       source_namespace => 'ns3', source_table => 'src',
+                       group_by => 'k',
+                       aggs => 'n:count:1;nd:hll:u')""")
+    finally spark.conf.unset("spark.graft.mv.state.buckets")
+    def estimates(): Map[Long, Long] = spark.sql(
+      "SELECT k, hll_sketch_estimate(nd) FROM msk.ns3.mv")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def exact(): Map[Long, Long] = {
+      spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      try spark.sql(
+        "SELECT k, count(DISTINCT u) FROM msk.ns3.src GROUP BY k")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("spark.graft.mv.rewrite.enabled")
+    }
+    // deletes: sketches cannot retract → GROUP-SCOPED recompute whose
+    // merge REPLACES the touched groups' sketches (equality deletes
+    // accumulate on the bucketed state)
+    spark.sql("DELETE FROM msk.ns3.src WHERE k = 5 AND u >= 60")
+    val m1 = spark.sql("""CALL msk.system.refresh_materialized_view(
+                            namespace => 'ns3', name => 'mv')""")
+      .head.getString(0)
+    assert(m1 == "groups", m1)
+    assert(estimates() == exact())
+    // the BUCKET-SCOPED fold applies those equality deletes by
+    // rewriting only the touched buckets' files, carrying the rest
+    // path-identical — the BINARY sketch column must survive the
+    // rewrite byte-exact
+    def files(): Set[String] = spark.sql(
+      "SELECT path FROM msk.ns3.`mv$files`")
+      .collect().map(_.getString(0)).toSet
+    val before = files()
+    val cat = spark.sessionState.catalogManager.catalog("msk")
+      .asInstanceOf[GraftCatalog]
+    val res = Maintenance.compactTouchedPartitions(spark, cat,
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("ns3"), "mv"))
+    assert(res.nonEmpty, "the scoped fold must apply to bucketed state")
+    val after = files()
+    val carried = before.intersect(after).size
+    val rewritten = after.diff(before).size
+    assert(carried > 0 && rewritten <= 2,
+      s"fold must carry untouched buckets: carried=$carried " +
+        s"rewritten=$rewritten")
+    val pending = spark.sql(
+      "SELECT count(*) FROM msk.ns3.`mv$deletes`").head.getLong(0)
+    assert(pending == 0L, s"fold must clear the deletes, got $pending")
+    assert(estimates() == exact(),
+      "sketch estimates diverged across the bucket-scoped fold")
+    // and the NEXT refresh stays incremental over the folded state
+    spark.sql("""INSERT INTO msk.ns3.src
+                 SELECT id % 16, 900 + id % 30 FROM range(0, 400, 1, 2)""")
+    val m2 = spark.sql("""CALL msk.system.refresh_materialized_view(
+                            namespace => 'ns3', name => 'mv')""")
+      .head.getString(0)
+    assert(m2 == "incremental", m2)
+    assert(estimates() == exact())
+  }
 }

@@ -269,24 +269,42 @@ object MaterializedViews {
     * group-scoped recompute like min/max.
     */
   final case class AggSpec(out: String, fn: String, expr: String) {
-    require(Set("count", "sum", "min", "max", "hll")(fn),
+    /** `hll` may carry a DECLARED sketch size: `hll@<lgConfigK>`
+      * (e.g. `hll@14`) — a view created from
+      * `approx_count_distinct(x, rsd)` sizes its stored sketches to
+      * the requested precision, and the rewrite serves any ask whose
+      * rsd is no tighter than the declared sketch's expected error.
+      */
+    val fnBase: String = fn.takeWhile(_ != '@')
+    /** Datasketches lgConfigK of the stored sketch (default 12 — the
+      * `hll_sketch_agg` default).
+      */
+    val hllLgK: Int =
+      if (!fn.contains('@')) 12
+      else fn.dropWhile(_ != '@').drop(1).toInt
+    require(Set("count", "sum", "min", "max", "hll")(fnBase) &&
+        (fnBase == "hll" || !fn.contains('@')) &&
+        hllLgK >= 4 && hllLgK <= 21,
       s"mv aggregate '$fn' is not incrementally maintainable " +
-        "(count|sum|min|max|hll; express avg as sum/count)")
+        "(count|sum|min|max|hll[@lgK]; express avg as sum/count)")
+    /** Expected relative error of the stored sketch. */
+    def hllRsd: Double = 1.04 / math.sqrt(1L << hllLgK)
     /** Row count (`count:1`) vs null-sensitive `count(col)`. */
     def isCountStar: Boolean = fn == "count" && expr.trim == "1"
-    def firstPass: org.apache.spark.sql.Column = (fn match {
+    def firstPass: org.apache.spark.sql.Column = (fnBase match {
       case "count" if isCountStar => count(lit(1))
       case "count" => count(org.apache.spark.sql.functions.expr(expr))
       case "sum" => sum(org.apache.spark.sql.functions.expr(expr))
       case "min" => min(org.apache.spark.sql.functions.expr(expr))
       case "max" => max(org.apache.spark.sql.functions.expr(expr))
       case "hll" =>
-        hll_sketch_agg(org.apache.spark.sql.functions.expr(expr))
+        hll_sketch_agg(org.apache.spark.sql.functions.expr(expr),
+          hllLgK)
     }).as(out)
     /** Combine of two partial states of this aggregate (aggregate
       * form, for unioning partial frames).
       */
-    def merge: org.apache.spark.sql.Column = (fn match {
+    def merge: org.apache.spark.sql.Column = (fnBase match {
       case "count" | "sum" => sum(col(out))
       case "min" => min(col(out))
       case "max" => max(col(out))
@@ -1702,7 +1720,7 @@ object MaterializedViews {
       val w = d.mergeInto(mvFull, cond)
       val writer =
         if (!signed) w.whenMatched().update(aggs.map { a =>
-            a.out -> (a.fn match {
+            a.out -> (a.fnBase match {
               case "count" | "sum" => comb(a.out)
               case "min" => least(col(a.out), dc(a.out))
               case "max" => greatest(col(a.out), dc(a.out))

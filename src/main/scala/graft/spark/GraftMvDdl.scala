@@ -279,12 +279,29 @@ object GraftMvDdl {
             // on every refresh — reads estimate via
             // hll_sketch_estimate, and the rewrite serves
             // approx_count_distinct(e) (and, opted in, count(DISTINCT
-            // e)) from the sketch
+            // e)) from the sketch. An explicit rsd SIZES the stored
+            // sketch (lgConfigK from the Datasketches error bound
+            // 1.04/sqrt(2^lgK)), and the rewrite then serves any ask
+            // no tighter than the declared precision.
+            def lgKOf(rsd: Double): Int = {
+              if (!(rsd > 0 && rsd < 1))
+                fail(s"rsd must be in (0, 1): ${exprSql(al)}")
+              val raw = math.ceil(
+                math.log(math.pow(1.04 / rsd, 2)) / math.log(2)).toInt
+              math.min(21, math.max(4, raw))
+            }
             f.arguments match {
               case Seq(one) =>
                 Some(AggSpec(s"${name}_hll", "hll", renderAgg(one)))
+              case Seq(one, Literal(v, _)) if v != null =>
+                val rsd = try v.toString.toDouble
+                  catch { case _: NumberFormatException =>
+                    fail(s"rsd must be a numeric literal: ${exprSql(al)}") }
+                val lgK = lgKOf(rsd)
+                Some(AggSpec(s"${name}_hll",
+                  if (lgK == 12) "hll" else s"hll@$lgK", renderAgg(one)))
               case _ =>
-                fail(s"$fn takes one argument here: ${exprSql(al)}")
+                fail(s"$fn takes (expr [, rsd]): ${exprSql(al)}")
             }
           case "avg" | "mean" =>
             // a stored QUOTIENT does not merge — auto-expand to the

@@ -577,7 +577,14 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     }
     val byDef: Map[(String, Expression), Attribute] = specs.flatMap { s =>
       if (s.isCountStar) None
-      else resolved(s.expr).map(e => (s.fn, e.canonicalized) -> mvAttr(s.out))
+      else resolved(s.expr).map(e =>
+        (s.fnBase, e.canonicalized) -> mvAttr(s.out))
+    }.toMap
+    // declared precision of each stored sketch (hll@lgK specs size
+    // their sketches to a requested rsd; default lgK=12 → ~1.63%)
+    val hllRsdByDef: Map[Expression, Double] = specs.flatMap { s =>
+      if (s.fnBase != "hll") None
+      else resolved(s.expr).map(e => e.canonicalized -> s.hllRsd)
     }.toMap
     val countAttr: Option[Attribute] =
       specs.find(_.isCountStar).map(s => mvAttr(s.out))
@@ -665,14 +672,17 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           // an approximate ask served from the stored sketch — a
           // (documented) different estimator of the same quantity,
           // still within an approx function's contract — but ONLY
-          // when the stored sketch's expected error is at least as
-          // tight as the query's requested rsd: hll_sketch_agg's
-          // default lgConfigK=12 gives ~1.04/sqrt(2^12) ≈ 1.63%
-          // relative error, so approx_count_distinct(x, 0.005) must
-          // NOT be silently served three-times-looser
-          if (h.relativeSD >= GraftMvRewrite.StoredSketchRsd)
-            sketchEstimate(h.child)
-          else None
+          // when the stored sketch's DECLARED precision is at least
+          // as tight as the query's requested rsd (a view created
+          // from approx_count_distinct(x, rsd) sized its sketches to
+          // that rsd; the default lgConfigK=12 is ~1.63%), so
+          // approx_count_distinct(x, 0.005) is never silently served
+          // looser than asked
+          hllRsdByDef.get(h.child.canonicalized) match {
+            case Some(stored) if h.relativeSD >= stored - 1e-9 =>
+              sketchEstimate(h.child)
+            case _ => None
+          }
         case av: Average =>
           // avg(e) over the view's sum/count pair, for EVERY child
           // type (double, decimal, ...): substitute the Average's own

@@ -125,6 +125,57 @@ class MvSketchSpec extends AnyFunSuite {
     assert(est == ex)
   }
 
+  test("a DECLARED rsd sizes the stored sketch and widens what the " +
+      "rewrite may serve — never tighter than declared") {
+    spark.sql("CREATE NAMESPACE msk.ns4")
+    spark.sql("CREATE TABLE msk.ns4.src (k BIGINT NOT NULL, u BIGINT)")
+    spark.sql("""INSERT INTO msk.ns4.src
+                 SELECT id % 3, id % 200 FROM range(0, 1500, 1, 2)""")
+    // rsd 0.01 → lgConfigK 14 (1.04/sqrt(2^14) ≈ 0.81%)
+    spark.sql("""CREATE MATERIALIZED VIEW msk.ns4.mv AS
+                 SELECT k, count(*) AS n,
+                        approx_count_distinct(u, 0.01) AS nd
+                 FROM msk.ns4.src GROUP BY k""")
+    def usesMv4(sql: String): Boolean =
+      spark.sql(sql).queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            if r.relation.table.name().endsWith("ns4.mv") => r
+      }.nonEmpty
+    // the spec round-trips with the declared size
+    val cat = spark.sessionState.catalogManager.catalog("msk")
+      .asInstanceOf[GraftCatalog]
+    val aggsProp = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("ns4"), "mv"))
+      .properties().get(MaterializedViews.AggsProp)
+    assert(aggsProp.contains("hll@14"), aggsProp)
+    // a 1% ask is now servable (the default-sized sketch declined it)
+    assert(usesMv4("""SELECT k, approx_count_distinct(u, 0.01) AS nd
+                      FROM msk.ns4.src GROUP BY k"""))
+    assert(usesMv4("""SELECT k, approx_count_distinct(u) AS nd
+                      FROM msk.ns4.src GROUP BY k"""))
+    // ... but an ask TIGHTER than the declared precision still
+    // declines
+    assert(!usesMv4("""SELECT k, approx_count_distinct(u, 0.005) AS nd
+                       FROM msk.ns4.src GROUP BY k"""))
+    // estimates stay exact in the coupon range through a refresh
+    spark.sql("""INSERT INTO msk.ns4.src
+                 SELECT id % 3, 300 + id % 50 FROM range(0, 300, 1, 2)""")
+    val m = spark.sql("REFRESH MATERIALIZED VIEW msk.ns4.mv")
+      .head.getString(0)
+    assert(m == "incremental", m)
+    val est = spark.sql(
+      "SELECT k, hll_sketch_estimate(nd_hll) FROM msk.ns4.mv ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val ex = try spark.sql(
+      """SELECT k, count(DISTINCT u) FROM msk.ns4.src
+         GROUP BY k ORDER BY k""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    finally spark.conf.unset("spark.graft.mv.rewrite.enabled")
+    assert(est == ex)
+  }
+
   test("a BUCKETED sketch view survives deletes through the groups " +
       "path and the bucket-scoped fold with estimate == exact") {
     spark.sql("CREATE NAMESPACE msk.ns3")

@@ -134,6 +134,78 @@ class NaryJoinMvSpec extends AnyFunSuite {
       "a different join graph must not be served")
   }
 
+  test("n-ary composes with WHERE and expression keys; $views lists " +
+      "all sides and tracks n-ary freshness") {
+    // defining predicate + a zone-insensitive expression key on a
+    // 3-way chain: every maintenance term restricts and keys its
+    // joined delta exactly like the single-source paths
+    spark.sql("""CREATE MATERIALIZED VIEW nry.ns1.mvw AS
+                 SELECT id % 5 AS bucket, count(*) AS n,
+                        count(CAST(amt AS DECIMAL(18,2))) AS np,
+                        sum(CAST(amt AS DECIMAL(18,2))) AS total
+                 FROM nry.ns1.fact
+                 JOIN nry.ns1.dim1 ON fact.ck = dim1.ck
+                 JOIN nry.ns1.dim2 ON dim1.nk = dim2.nk
+                 WHERE region <> 'r1'
+                 GROUP BY id % 5""")
+    def truthW: Seq[String] = noRewrite(rows(
+      """SELECT id % 5 AS bucket, count(*) AS n,
+                count(CAST(amt AS DECIMAL(18,2))) AS np,
+                sum(CAST(amt AS DECIMAL(18,2))) AS total
+         FROM nry.ns1.fact
+         JOIN nry.ns1.dim1 ON fact.ck = dim1.ck
+         JOIN nry.ns1.dim2 ON dim1.nk = dim2.nk
+         WHERE region <> 'r1'
+         GROUP BY 1 ORDER BY bucket"""))
+    def stateW: Seq[String] =
+      rows("SELECT bucket, n, np, total FROM nry.ns1.mvw ORDER BY bucket")
+    assert(stateW == truthW)
+    spark.sql("""INSERT INTO nry.ns1.fact
+                 SELECT id, id % 40, CAST(id AS DOUBLE)
+                 FROM range(50000, 50600, 1, 2)""")
+    assert(refresh("mvw") == "incremental")
+    assert(stateW == truthW, "fact append broke the filtered state")
+    spark.sql("DELETE FROM nry.ns1.fact WHERE id >= 50000 AND id % 3 = 1")
+    assert(refresh("mvw") == "cdc")
+    assert(stateW == truthW, "fact delete broke the filtered state")
+    // a WHERE row-move across the predicate via a dim delete: rows
+    // joined through deleted dim1 rows leave the domain entirely
+    spark.sql("DELETE FROM nry.ns1.dim1 WHERE nk = 3")
+    assert(refresh("mvw") == "cdc")
+    assert(stateW == truthW, "dim delete broke the filtered state")
+    // the rewrite serves the filtered n-ary aggregate only when the
+    // query carries the predicate
+    assert(usesMv("""SELECT id % 5 AS bucket, count(*) AS n
+                     FROM nry.ns1.fact
+                     JOIN nry.ns1.dim1 ON fact.ck = dim1.ck
+                     JOIN nry.ns1.dim2 ON dim1.nk = dim2.nk
+                     WHERE region <> 'r1'
+                     GROUP BY id % 5""", view = "mvw"))
+    assert(!usesMv("""SELECT id % 5 AS bucket, count(*) AS n
+                      FROM nry.ns1.fact
+                      JOIN nry.ns1.dim1 ON fact.ck = dim1.ck
+                      JOIN nry.ns1.dim2 ON dim1.nk = dim2.nk
+                      GROUP BY id % 5""", view = "mvw"),
+      "dropping the defining predicate must decline")
+
+    // $views: all extra sides listed; a dim2 append flips fresh=false
+    // until the next refresh absorbs it
+    val vrow = spark.sql(
+      """SELECT join_source, fresh FROM nry.ns1.`fact$views`
+         WHERE view_name = 'mv'""").head
+    assert(vrow.getString(0) == "ns1.dim1,ns1.dim2", vrow.toString)
+    spark.sql("INSERT INTO nry.ns1.dim2 VALUES (90, 'r0')")
+    val stale = spark.sql(
+      """SELECT fresh FROM nry.ns1.`fact$views`
+         WHERE view_name = 'mv'""").head.getBoolean(0)
+    assert(!stale, "an unabsorbed extra-side commit must read stale")
+    // mv's pending range also holds this test's fact deletes → cdc
+    assert(refresh("mv") == "cdc")
+    assert(spark.sql(
+      """SELECT fresh FROM nry.ns1.`fact$views`
+         WHERE view_name = 'mv'""").head.getBoolean(0))
+  }
+
   test("procedure path with extra_joins; min/max under deletes " +
       "recomputes honestly; DROP deregisters every source") {
     spark.sql("""CALL nry.system.create_materialized_view(

@@ -154,11 +154,36 @@ class MvCdcPropertiesSpec extends AnyFunSuite {
          GROUP BY grp ORDER BY grp NULLS FIRST""")
       .collect().map(_.toString).toSeq)
 
+    // and a 3-WAY (n-ary) view: src ⋈ dim ⋈ dim2, maintained by the
+    // telescoping rule — appends incremental, src/dim retractions cdc
+    spark.sql("CREATE TABLE mcp.ns1.dim2 (g2 STRING, region STRING)")
+    spark.sql("""INSERT INTO mcp.ns1.dim2 VALUES
+                 ('even', 'E'), ('odd', 'O'), ('nine', 'N')""")
+    spark.sql(s"""CALL mcp.system.create_materialized_view(
+                    namespace => 'ns1', name => 'nmv',
+                    source_namespace => 'ns1', source_table => 'src',
+                    group_by => 'region', aggs => '$cdcAggs',
+                    join_namespace => 'ns1', join_table => 'dim',
+                    join_on => 'k=dk',
+                    extra_joins => 'ns1|dim2|grp=g2')""")
+    def nState(): Seq[String] = spark.sql(
+      "SELECT region, n, np, total FROM mcp.ns1.nmv ORDER BY region")
+      .collect().map(_.toString).toSeq
+    def nTruth(): Seq[String] = noRewrite(spark.sql(
+      """SELECT region, count(*) AS n,
+                count(CAST(v AS DECIMAL(18,2))) AS np,
+                sum(CAST(v AS DECIMAL(18,2))) AS total
+         FROM mcp.ns1.src JOIN mcp.ns1.dim ON k = dk
+         JOIN mcp.ns1.dim2 ON grp = g2
+         GROUP BY region ORDER BY region""")
+      .collect().map(_.toString).toSeq)
+
     val modes = scala.collection.mutable.Set.empty[String]
     val mmModes = scala.collection.mutable.Set.empty[String]
     val joinModes = scala.collection.mutable.Set.empty[String]
     val eModes = scala.collection.mutable.Set.empty[String]
     val lModes = scala.collection.mutable.Set.empty[String]
+    val nModes = scala.collection.mutable.Set.empty[String]
     var nextId = 3000L
     (1 to steps).foreach { step =>
       rnd.nextInt(4) match {
@@ -206,6 +231,26 @@ class MvCdcPropertiesSpec extends AnyFunSuite {
       assert(m5 != "full",
         s"step $step: left-join fact-side changes must stay signed, got $m5")
       assert(lState() == lTruth(), s"left-join mv diverged at step $step")
+      val m6 = refresh("nmv")
+      nModes += m6
+      assert(m6 != "full",
+        s"step $step: n-ary fact-side changes must stay delta, got $m6")
+      assert(nState() == nTruth(), s"n-ary mv diverged at step $step")
+      if (step == 11) {
+        // a DIM-side delete mid-sequence: inner and n-ary views take
+        // signed terms; the LEFT view additionally re-null-extends
+        // the facts whose last match vanished (the flip term)
+        spark.sql("DELETE FROM mcp.ns1.dim WHERE dk = 2")
+        // jmv's sum has no companion count (not cdc-maintainable by
+        // construction) → its dim delete honestly recomputes; the
+        // cdc-maintainable views below stay signed
+        assert(refresh("jmv") == "full")
+        assert(joinState() == joinTruth(), "dim delete diverged (inner)")
+        assert(refresh("lmv") == "cdc")
+        assert(lState() == lTruth(), "dim delete diverged (left)")
+        assert(refresh("nmv") == "cdc")
+        assert(nState() == nTruth(), "dim delete diverged (n-ary)")
+      }
       if (step == 7) {
         // a dim-side append mid-sequence: the A_prev⋈ΔB delta term for
         // the inner view, and the null-extension RETRACTION for the
@@ -215,6 +260,8 @@ class MvCdcPropertiesSpec extends AnyFunSuite {
         assert(joinState() == joinTruth(), "dim append diverged")
         assert(refresh("lmv") == "incremental")
         assert(lState() == lTruth(), "left-join dim append diverged")
+        assert(refresh("nmv") == "incremental")
+        assert(nState() == nTruth(), "n-ary dim append diverged")
       }
     }
     assert(modes.contains("incremental") && modes.contains("cdc"),
@@ -228,5 +275,7 @@ class MvCdcPropertiesSpec extends AnyFunSuite {
       s"expr-key view must exercise both paths, saw: $eModes")
     assert(lModes.contains("incremental") && lModes.contains("cdc"),
       s"left-join view must exercise both paths, saw: $lModes")
+    assert(nModes.contains("incremental") && nModes.contains("cdc"),
+      s"n-ary view must exercise both paths, saw: $nModes")
   }
 }

@@ -206,6 +206,65 @@ class NaryJoinMvSpec extends AnyFunSuite {
          WHERE view_name = 'mv'""").head.getBoolean(0))
   }
 
+  test("a 4-way chain maintains by the same telescoping rule and " +
+      "serves global roll-ups") {
+    spark.sql("CREATE TABLE nry.ns1.dim3 (r2 STRING, zone STRING)")
+    spark.sql("""INSERT INTO nry.ns1.dim3 VALUES
+                 ('r0', 'west'), ('r1', 'east')""")
+    spark.sql("""CREATE MATERIALIZED VIEW nry.ns1.mv4 AS
+                 SELECT zone, count(*) AS n,
+                        count(CAST(amt AS DECIMAL(18,2))) AS np,
+                        sum(CAST(amt AS DECIMAL(18,2))) AS total
+                 FROM nry.ns1.fact
+                 JOIN nry.ns1.dim1 ON fact.ck = dim1.ck
+                 JOIN nry.ns1.dim2 ON dim1.nk = dim2.nk
+                 JOIN nry.ns1.dim3 ON dim2.region = dim3.r2
+                 GROUP BY zone""")
+    def truth4: Seq[String] = noRewrite(rows(
+      """SELECT zone, count(*) AS n,
+                count(CAST(amt AS DECIMAL(18,2))) AS np,
+                sum(CAST(amt AS DECIMAL(18,2))) AS total
+         FROM nry.ns1.fact
+         JOIN nry.ns1.dim1 ON fact.ck = dim1.ck
+         JOIN nry.ns1.dim2 ON dim1.nk = dim2.nk
+         JOIN nry.ns1.dim3 ON dim2.region = dim3.r2
+         GROUP BY zone ORDER BY zone"""))
+    def state4: Seq[String] =
+      rows("SELECT zone, n, np, total FROM nry.ns1.mv4 ORDER BY zone")
+    assert(state4 == truth4)
+    // appends on the outermost (4th) side and the fact side
+    spark.sql("INSERT INTO nry.ns1.dim3 VALUES ('r2', 'north')")
+    assert(refresh("mv4") == "incremental")
+    assert(state4 == truth4, "dim3 append broke the 4-way state")
+    spark.sql("""INSERT INTO nry.ns1.fact
+                 SELECT id, id % 40, CAST(id AS DOUBLE)
+                 FROM range(60000, 60400, 1, 2)""")
+    assert(refresh("mv4") == "incremental")
+    assert(state4 == truth4, "fact append broke the 4-way state")
+    spark.sql("DELETE FROM nry.ns1.fact WHERE id >= 60000 AND id % 2 = 0")
+    assert(refresh("mv4") == "cdc")
+    assert(state4 == truth4, "fact delete broke the 4-way state")
+    // the rewrite serves the 4-way chain, including the GLOBAL
+    // roll-up (no GROUP BY — partial counts/sums re-aggregate)
+    assert(usesMv("""SELECT zone, count(*) AS n
+                     FROM nry.ns1.fact
+                     JOIN nry.ns1.dim1 ON fact.ck = dim1.ck
+                     JOIN nry.ns1.dim2 ON dim1.nk = dim2.nk
+                     JOIN nry.ns1.dim3 ON dim2.region = dim3.r2
+                     GROUP BY zone""", view = "mv4"))
+    val globalQ = """SELECT count(*) AS n,
+                            sum(CAST(amt AS DECIMAL(18,2))) AS total
+                     FROM nry.ns1.fact
+                     JOIN nry.ns1.dim1 ON fact.ck = dim1.ck
+                     JOIN nry.ns1.dim2 ON dim1.nk = dim2.nk
+                     JOIN nry.ns1.dim3 ON dim2.region = dim3.r2"""
+    assert(usesMv(globalQ, view = "mv4"),
+      "the global roll-up must be served from the 4-way view")
+    val served = spark.sql(globalQ).head.toString
+    val scratch = noRewrite(rows(globalQ)).head
+    assert(served == scratch, s"global roll-up diverged: $served")
+  }
+
   test("procedure path with extra_joins; min/max under deletes " +
       "recomputes honestly; DROP deregisters every source") {
     spark.sql("""CALL nry.system.create_materialized_view(

@@ -74,16 +74,19 @@ object MaterializedViews {
     * reference any source column.
     */
   val KeyExprsProp = "graft.mv.key-exprs"
-  /** The CREATING session's `spark.sql.session.timeZone`, stamped
-    * whenever the view has expression keys. Expressions like
-    * `date_trunc('DAY', ts)` are timezone-AWARE: evaluated under
-    * different session zones the same row lands in different buckets.
-    * Every maintenance path therefore evaluates key expressions with
-    * their timezone-aware nodes PINNED to this zone (regardless of the
-    * refreshing session's own zone), and the rewrite declines to serve
-    * a query session whose zone differs — the state is always
-    * internally consistent and never silently re-interpreted under
-    * another zone's midnights.
+  /** The CREATING session's `spark.sql.session.timeZone`, stamped on
+    * every view. Expressions like `date_trunc('DAY', ts)` — as group
+    * keys, inside the defining predicate (`hour(ts) = 3`), or as
+    * aggregate inputs (`sum(hour(ts))`) — are timezone-AWARE:
+    * evaluated under different session zones the same row buckets,
+    * filters, or aggregates differently. Every maintenance path
+    * therefore evaluates ALL definition expressions with their
+    * timezone-aware nodes PINNED to this zone (regardless of the
+    * refreshing session's own zone), and the rewrite declines to
+    * serve a tz-sensitive definition expression to a query session
+    * whose zone differs — the state is always internally consistent
+    * and never silently re-interpreted under another zone's
+    * midnights.
     */
   val TzProp = "graft.mv.tz"
   /** Optional defining predicate (SQL over source columns — any
@@ -291,16 +294,21 @@ object MaterializedViews {
     def hllRsd: Double = 1.04 / math.sqrt(1L << hllLgK)
     /** Row count (`count:1`) vs null-sensitive `count(col)`. */
     def isCountStar: Boolean = fn == "count" && expr.trim == "1"
-    def firstPass: org.apache.spark.sql.Column = (fnBase match {
+    /** First-pass aggregate over a PRE-RESOLVED input column —
+      * maintenance paths resolve `expr` against their frame and pin
+      * timezone-aware nodes to the view's zone before passing it in.
+      */
+    def firstPassOn(input: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = (fnBase match {
       case "count" if isCountStar => count(lit(1))
-      case "count" => count(org.apache.spark.sql.functions.expr(expr))
-      case "sum" => sum(org.apache.spark.sql.functions.expr(expr))
-      case "min" => min(org.apache.spark.sql.functions.expr(expr))
-      case "max" => max(org.apache.spark.sql.functions.expr(expr))
-      case "hll" =>
-        hll_sketch_agg(org.apache.spark.sql.functions.expr(expr),
-          hllLgK)
+      case "count" => count(input)
+      case "sum" => sum(input)
+      case "min" => min(input)
+      case "max" => max(input)
+      case "hll" => hll_sketch_agg(input, hllLgK)
     }).as(out)
+    def firstPass: org.apache.spark.sql.Column =
+      firstPassOn(org.apache.spark.sql.functions.expr(expr))
     /** Combine of two partial states of this aggregate (aggregate
       * form, for unioning partial frames).
       */
@@ -548,15 +556,26 @@ object MaterializedViews {
   private def aggregate(src: DataFrame, groupBy: Seq[String],
       aggs: Seq[AggSpec],
       keyExprs: Seq[(String, String)] = Seq.empty,
-      tz: Option[String] = None): DataFrame =
-    keyed(src, keyExprs, tz).groupBy(groupBy.map(col): _*)
-      .agg(aggs.head.firstPass, aggs.tail.map(_.firstPass): _*)
+      tz: Option[String] = None): DataFrame = {
+    val k = keyed(src, keyExprs, tz)
+    // aggregate INPUTS pin the view zone too: `sum(hour(ts))` under a
+    // refresher in another zone would otherwise aggregate different
+    // values than the view's content
+    val cols = aggs.map(a => a.firstPassOn(keyColumn(k, a.expr, tz)))
+    k.groupBy(groupBy.map(col): _*).agg(cols.head, cols.tail: _*)
+  }
 
   /** Apply the view's defining predicate (NULL drops the row, like a
-    * WHERE) to a maintenance input frame.
+    * WHERE) to a maintenance input frame — under the view's pinned
+    * zone ([[TzProp]]): a tz-sensitive predicate (`hour(ts) = 3`)
+    * evaluated under the refreshing session's zone would keep a
+    * different row set than the view's content, the same corruption
+    * class as unpinned expression keys.
     */
-  private def restrict(df: DataFrame, where: Option[String]): DataFrame =
-    where.fold(df)(w => df.filter(coalesce(expr(w), lit(false))))
+  private def restrict(df: DataFrame, where: Option[String],
+      tz: Option[String]): DataFrame =
+    where.fold(df)(w =>
+      df.filter(coalesce(keyColumn(df, w, tz), lit(false))))
 
   /** Counting-algorithm partial: aggregate `df` with each row weighted
     * by `sign` (+1 insert / −1 delete) — count/sum only (the
@@ -566,16 +585,17 @@ object MaterializedViews {
       sign: org.apache.spark.sql.Column, groupBy: Seq[String],
       aggs: Seq[AggSpec], keyExprs: Seq[(String, String)],
       tz: Option[String]): DataFrame = {
+    val k = keyed(df, keyExprs, tz)
     val signed = aggs.map { a =>
       (a.fn match {
         case "count" if a.isCountStar => sum(sign)
         case "count" =>
-          sum(when(expr(a.expr).isNotNull, sign).otherwise(lit(0)))
-        case "sum" => sum(expr(a.expr) * sign)
+          sum(when(keyColumn(k, a.expr, tz).isNotNull, sign)
+            .otherwise(lit(0)))
+        case "sum" => sum(keyColumn(k, a.expr, tz) * sign)
       }).as(a.out)
     }
-    keyed(df, keyExprs, tz).groupBy(groupBy.map(col): _*)
-      .agg(signed.head, signed.tail: _*)
+    k.groupBy(groupBy.map(col): _*).agg(signed.head, signed.tail: _*)
   }
 
   /** CREATE: computes the full aggregate, creates the MV table with
@@ -625,12 +645,16 @@ object MaterializedViews {
       (joinFrames(acc, right, j.on), snaps :+ plannedSnapshotId(right))
     }
     // pin the CREATING session's zone for the life of the view:
-    // date_trunc-style keys are timezone-aware, and without the pin a
+    // date_trunc-style keys, tz-sensitive defining predicates
+    // (`hour(ts) = 3`), and tz-sensitive aggregate inputs are all
+    // evaluated on every maintenance path — without the pin a
     // refresher (or a served query) under another session zone would
-    // bucket the same instant differently — silent state corruption
+    // bucket/filter/aggregate differently: silent state corruption.
+    // Stamped on EVERY view (harmless for zone-insensitive
+    // definitions; the rewrite only enforces it per tz-sensitive
+    // expression).
     val keyTz: Option[String] =
-      if (keyExprs.isEmpty) None
-      else Some(spark.conf.get("spark.sql.session.timeZone"))
+      Some(spark.conf.get("spark.sql.session.timeZone"))
     keyExprs.foreach { case (n, e) =>
       require(groupBy.exists(_.equalsIgnoreCase(n)),
         s"key expression '$n' must be one of the group-by keys")
@@ -646,7 +670,8 @@ object MaterializedViews {
         s"key expression '$n' must be deterministic: $e")
     }
     val state =
-      aggregate(restrict(base, where), groupBy, aggs, keyExprs, keyTz)
+      aggregate(restrict(base, where, keyTz), groupBy, aggs, keyExprs,
+        keyTz)
     // When every group key is NOT NULL and of an equality-delete key
     // type, the state table is MERGE-ON-READ with the group keys as
     // upsert keys: every incremental refresh below is then a MERGE
@@ -670,9 +695,9 @@ object MaterializedViews {
           .mkString(";"),
         RefreshedSnapshotProp -> snapId.toString,
         RefreshedAtProp -> System.currentTimeMillis().toString) ++
+      keyTz.map(TzProp -> _) ++
       (if (keyExprs.isEmpty) Map.empty
-       else Map(KeyExprsProp -> formatKeyExprs(keyExprs)) ++
-         keyTz.map(TzProp -> _)) ++
+       else Map(KeyExprsProp -> formatKeyExprs(keyExprs))) ++
       (if (!eqDeltaKeys) Map.empty else Map(
         graft.spark.GraftCatalog.MergeModeProp ->
           graft.spark.GraftCatalog.MergeModeMergeOnReadEq,
@@ -891,7 +916,7 @@ object MaterializedViews {
       // rows of (s0, e0]
       signedAggregate(
         restrict(graft.spark.TableChanges.between(spark, cat,
-          Identifier.of(Array(srcNs), srcT), s0, e0), where),
+          Identifier.of(Array(srcNs), srcT), s0, e0), where, keyTz),
         when(col(graft.spark.TableChanges.ChangeTypeColumn) === "insert",
           lit(1)).otherwise(lit(-1)),
         groupBy, aggs, keyExprs, keyTz)
@@ -902,7 +927,7 @@ object MaterializedViews {
       aggregate(restrict(spark.read
         .option(GraftTable.StartSnapshotOption, s0.toString)
         .option(GraftTable.EndSnapshotOption, e0.toString)
-        .table(fullName(cat, srcNs, srcT)), where), groupBy, aggs,
+        .table(fullName(cat, srcNs, srcT)), where, keyTz), groupBy, aggs,
         keyExprs, keyTz)
 
     // segmented maintenance: the main parent chain splits into append
@@ -957,7 +982,8 @@ object MaterializedViews {
         // next refresh (double-count)
         val src = spark.table(fullName(cat, srcNs, srcT))
         commitFull(spark, cat, ns, mv, mvFull0, mvSchema,
-          aggregate(restrict(src, where), groupBy, aggs, keyExprs, keyTz),
+          aggregate(restrict(src, where, keyTz), groupBy, aggs, keyExprs,
+            keyTz),
           expect,
           Seq(RefreshedSnapshotProp -> plannedSnapshotId(src).toString),
           "full")
@@ -993,12 +1019,12 @@ object MaterializedViews {
         keyed(restrict(spark.read
           .option(GraftTable.StartSnapshotOption, s0.toString)
           .option(GraftTable.EndSnapshotOption, e0.toString)
-          .table(srcFull), where), keyExprs, keyTz)
+          .table(srcFull), where, keyTz), keyExprs, keyTz)
           .select(groupBy.map(col): _*)
       case Segment(_, s0, e0) =>
         keyed(restrict(graft.spark.TableChanges.between(spark, cat,
-          Identifier.of(Array(srcNs), srcT), s0, e0), where), keyExprs,
-          keyTz).select(groupBy.map(col): _*)
+          Identifier.of(Array(srcNs), srcT), s0, e0), where, keyTz),
+          keyExprs, keyTz).select(groupBy.map(col): _*)
     }
     if (touchedParts.isEmpty)
       return commitWatermarkOnly(spark, cat, ns, mv, mvFull, expect, wms,
@@ -1043,7 +1069,9 @@ object MaterializedViews {
         "false").toBoolean)
       lastGroupsScanFiles.set(scoped.select(
         countDistinct(col("_file"))).head.getLong(0))
-    val recomputed = aggregate(restrict(scoped, where), groupBy, aggs)
+    val recomputed =
+      aggregate(restrict(scoped, where, keyTz), groupBy, aggs,
+        tz = keyTz)
       .withColumn(PresentCol, lit(true))
     // every touched group LEFT-joined to its recomputed row: a group
     // with no surviving in-domain rows joins nothing (present = false)
@@ -1153,12 +1181,13 @@ object MaterializedViews {
             signedAggregate(restrict(joinTo(spark.read
               .option(GraftTable.StartSnapshotOption, s0.toString)
               .option(GraftTable.EndSnapshotOption, e0.toString)
-              .table(full)), where), lit(1), groupBy, aggs, keyExprs,
-              keyTz)
+              .table(full)), where, keyTz), lit(1), groupBy, aggs,
+              keyExprs, keyTz)
           case Segment(_, s0, e0) =>
             signedAggregate(restrict(joinTo(
               graft.spark.TableChanges.between(spark, cat, srcIdent,
-                s0, e0)), where), signOf, groupBy, aggs, keyExprs, keyTz)
+                s0, e0)), where, keyTz), signOf, groupBy, aggs, keyExprs,
+              keyTz)
         }
       // LEFT views: null-extension flips for the A rows whose match
       // state crossed zero — scoped to ΔB's join-key set, so a sparse
@@ -1193,9 +1222,11 @@ object MaterializedViews {
             matchJoin(matchJoin(touched, bPrevF, "left_semi"), bCur,
               "left_anti")
           Seq(
-            signedAggregate(restrict(nullExt(gained), where), lit(-1),
+            signedAggregate(restrict(nullExt(gained), where, keyTz),
+              lit(-1),
               groupBy, aggs, keyExprs, keyTz),
-            signedAggregate(restrict(nullExt(lost), where), lit(1),
+            signedAggregate(restrict(nullExt(lost), where, keyTz),
+              lit(1),
               groupBy, aggs, keyExprs, keyTz))
         }
       val parts =
@@ -1237,9 +1268,10 @@ object MaterializedViews {
       // inner (old facts gaining matches).
       val plus =
         dA.map(d => aggregate(
-          restrict(joinFrames(d, bCur, j.on, j.joinType), where),
+          restrict(joinFrames(d, bCur, j.on, j.joinType), where, keyTz),
           groupBy, aggs, keyExprs, keyTz)).toSeq ++
-        dB.map(d => aggregate(restrict(joinFrames(aPrev, d, j.on), where),
+        dB.map(d => aggregate(
+          restrict(joinFrames(aPrev, d, j.on), where, keyTz),
           groupBy, aggs, keyExprs, keyTz)).toSeq
       // retraction term: left rows matching ΔB but nothing in B_prev
       // were previously stored null-extended — aggregate them with the
@@ -1256,7 +1288,8 @@ object MaterializedViews {
               .reduce(_ && _), "left_anti")
           val nullExtended = bPrev.schema.fields.foldLeft(newlyMatched)(
             (f2, f) => f2.withColumn(f.name, lit(null).cast(f.dataType)))
-          val agged = aggregate(restrict(nullExtended, where), groupBy,
+          val agged = aggregate(
+            restrict(nullExtended, where, keyTz), groupBy,
             aggs, keyExprs, keyTz)
           agged.select(groupBy.map(col) ++
             aggs.map(a => (col(a.out) * lit(-1)).cast(
@@ -1282,7 +1315,8 @@ object MaterializedViews {
       val a = spark.table(aFull)
       val b = spark.table(bFull)
       commitFull(spark, cat, ns, mv, mvFull, mvSchema,
-        aggregate(restrict(joinFrames(a, b, j.on, j.joinType), where),
+        aggregate(
+          restrict(joinFrames(a, b, j.on, j.joinType), where, keyTz),
           groupBy, aggs, keyExprs, keyTz),
         expect,
         Seq(RefreshedSnapshotProp -> plannedSnapshotId(a).toString,
@@ -1367,7 +1401,7 @@ object MaterializedViews {
             else if (j > i) pinned(spark, fulls(j), curs(j))
             else delta
           }
-          val joined = restrict(chained(frames), where)
+          val joined = restrict(chained(frames), where, keyTz)
           if (!retracts) aggregate(joined, groupBy, aggs, keyExprs, keyTz)
           else signedAggregate(joined,
             if (seg.kind == 'A') lit(1) else signOf,
@@ -1390,7 +1424,7 @@ object MaterializedViews {
     } else {
       val frames = fulls.map(spark.table)
       commitFull(spark, cat, ns, mv, mvFull, mvSchema,
-        aggregate(restrict(chained(frames), where), groupBy, aggs,
+        aggregate(restrict(chained(frames), where, keyTz), groupBy, aggs,
           keyExprs, keyTz),
         expect, watermarkProps(frames.map(plannedSnapshotId)), "full")
     }

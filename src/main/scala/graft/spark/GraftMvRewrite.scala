@@ -458,22 +458,25 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     val exprKeys: Seq[(Expression, Attribute)] = keyExprDefs.map {
       case (n, sql) => (resolved(sql).getOrElse(return None), mvAttr(n))
     }
-    // timezone-aware key expressions (date_trunc over TIMESTAMP, casts
-    // through session time) were materialized under the CREATING
-    // session's zone (graft.mv.tz) and every refresh re-pins to it —
-    // a query session under a DIFFERENT zone means both sides of the
-    // canonical comparison below resolve under the query zone and
-    // would "match" state holding another zone's bucket instants.
-    // Decline unless the zones agree (a legacy view without the pin
-    // declines any cross-zone serve the same way: its state zone is
-    // unknowable). Zone-insensitive expression keys are unaffected.
-    if (exprKeys.exists(_._1.exists(
-        _.isInstanceOf[TimeZoneAwareExpression]))) {
+    // timezone-aware DEFINITION expressions (date_trunc keys, hour()
+    // predicates, tz-sensitive aggregate inputs) were materialized
+    // under the CREATING session's zone (graft.mv.tz) and every
+    // refresh re-pins to it — a query session under a DIFFERENT zone
+    // means both sides of the canonical comparison resolve under the
+    // query zone and would "match" state computed under another
+    // zone's semantics. `zoneGuard` declines a tz-SENSITIVE
+    // definition expression unless the query zone equals the pin (a
+    // legacy view without the pin declines the same way: its state
+    // zone is unknowable); zone-insensitive expressions — including
+    // casts that don't cross datetime types — carry no constraint.
+    val queryZoneOk: Boolean = {
       val qZone = session.sessionState.conf.sessionLocalTimeZone
-      val pinnedOk = Option(props.get(MaterializedViews.TzProp))
+      Option(props.get(MaterializedViews.TzProp))
         .exists(z => GraftMvRewrite.sameZone(z, qZone))
-      if (!pinnedOk) return None
     }
+    def zoneGuard(e: Expression): Boolean =
+      queryZoneOk || !GraftMvRewrite.tzSensitive(e)
+    if (exprKeys.exists(p => !zoneGuard(p._1))) return None
     val exprKeyCanon: Map[Expression, Attribute] =
       exprKeys.map { case (e, a) => e.canonicalized -> a }.toMap
     def truncLevel(e: Expression): Option[(String, Expression)] = e match {
@@ -536,6 +539,7 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         case None => allConjuncts
         case Some(whereSql) =>
           val pred = resolved(whereSql).getOrElse(return None)
+          if (!zoneGuard(pred)) return None
           val predC = pred.canonicalized
           val (matched, rest) =
             allConjuncts.partition(_.canonicalized == predC)
@@ -575,16 +579,20 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         })
       repl(c)
     }
+    // tz-sensitive aggregate inputs drop from the servable set under
+    // a mismatched query zone (zoneGuard) — canonicalization strips
+    // timeZoneIds, so the guard must run on the RESOLVED form
     val byDef: Map[(String, Expression), Attribute] = specs.flatMap { s =>
       if (s.isCountStar) None
-      else resolved(s.expr).map(e =>
+      else resolved(s.expr).filter(zoneGuard).map(e =>
         (s.fnBase, e.canonicalized) -> mvAttr(s.out))
     }.toMap
     // declared precision of each stored sketch (hll@lgK specs size
     // their sketches to a requested rsd; default lgK=12 → ~1.63%)
     val hllRsdByDef: Map[Expression, Double] = specs.flatMap { s =>
       if (s.fnBase != "hll") None
-      else resolved(s.expr).map(e => e.canonicalized -> s.hllRsd)
+      else resolved(s.expr).filter(zoneGuard)
+        .map(e => e.canonicalized -> s.hllRsd)
     }.toMap
     val countAttr: Option[Attribute] =
       specs.find(_.isCountStar).map(s => mvAttr(s.out))
@@ -764,6 +772,17 @@ object GraftMvRewrite {
     * sketch only when `rsd` is no tighter than this.
     */
   private[spark] val StoredSketchRsd: Double = 1.04 / math.sqrt(1 << 12)
+
+  /** Does evaluating `e` depend on the session timezone? Casts count
+    * only when they actually cross a datetime/string boundary
+    * (Cast.needsTimeZone); every other TimeZoneAwareExpression
+    * (date_trunc, hour, to_date over timestamps, ...) counts.
+    */
+  private[graft] def tzSensitive(e: Expression): Boolean = e.exists {
+    case c: Cast => c.needsTimeZone
+    case _: TimeZoneAwareExpression => true
+    case _ => false
+  }
 
   /** Two session-zone strings denote the same zone (textual equality
     * plus ZoneId normalization, so "UTC" == "Etc/UTC" == "+00:00").

@@ -151,4 +151,66 @@ class MvTzSpec extends AnyFunSuite {
     assert(withTz("America/New_York")(usesMv(q3, view = "mv3")),
       "a zone-insensitive expression key must serve cross-zone")
   }
+
+  test("tz-sensitive WHERE predicates and aggregate inputs pin the " +
+      "creation zone too — maintenance stays exact, serving declines " +
+      "per expression") {
+    // WHERE hour(ts) ... filters a DIFFERENT row set under another
+    // zone; sum(hour(ts)) aggregates different values. Both must
+    // evaluate under the pinned zone on every maintenance path.
+    spark.sql("""CREATE MATERIALIZED VIEW mtz.ns1.mvw AS
+                 SELECT id % 4 AS b, count(*) AS n,
+                        count(hour(ts)) AS nh, sum(hour(ts)) AS sh
+                 FROM mtz.ns1.ev WHERE hour(ts) >= 6
+                 GROUP BY id % 4""")
+    def truthW: Seq[String] = withTz("UTC")(noRewrite(rows(
+      """SELECT id % 4 AS b, count(*) AS n,
+                count(hour(ts)) AS nh, sum(hour(ts)) AS sh
+         FROM mtz.ns1.ev WHERE hour(ts) >= 6
+         GROUP BY 1 ORDER BY b""")))
+    def stateW: Seq[String] =
+      rows("SELECT b, n, nh, sh FROM mtz.ns1.mvw ORDER BY b")
+    assert(stateW == truthW)
+    // an IST refresher: both the predicate and the aggregate input
+    // must evaluate at UTC hours, not +05:30's
+    spark.sql("""INSERT INTO mtz.ns1.ev
+                 SELECT id, timestamp_seconds(1704067200 + id * 1800),
+                        CAST(id AS DOUBLE)
+                 FROM range(320, 380, 1, 2)""")
+    val mw = withTz("Asia/Kolkata")(
+      spark.sql("REFRESH MATERIALIZED VIEW mtz.ns1.mvw").head.getString(0))
+    assert(mw == "incremental", mw)
+    assert(stateW == truthW,
+      "an IST refresher corrupted the hour-filtered state")
+    // a delete through the signed feed path under yet another zone
+    spark.sql("DELETE FROM mtz.ns1.ev WHERE id % 19 = 8")
+    val mw2 = withTz("America/Los_Angeles")(
+      spark.sql("REFRESH MATERIALIZED VIEW mtz.ns1.mvw").head.getString(0))
+    assert(mw2 == "cdc", mw2)
+    assert(stateW == truthW,
+      "a PST refresher corrupted the hour-filtered state")
+    // serving: the pinned zone serves; a cross-zone session declines
+    // (its own hour() semantics differ from the state's)
+    val qw = """SELECT id % 4 AS b, count(*) AS n
+                FROM mtz.ns1.ev WHERE hour(ts) >= 6 GROUP BY id % 4"""
+    assert(withTz("UTC")(usesMv(qw, view = "mvw")))
+    assert(!withTz("America/New_York")(usesMv(qw, view = "mvw")),
+      "a tz-sensitive WHERE must not serve cross-zone")
+    // per-EXPRESSION granularity: on a zone-insensitive-keyed view, a
+    // cross-zone query may still use insensitive aggregates while the
+    // tz-sensitive aggregate declines
+    spark.sql("""CREATE MATERIALIZED VIEW mtz.ns1.mva AS
+                 SELECT id % 4 AS b, count(*) AS n, sum(v) AS sv,
+                        sum(hour(ts)) AS sh
+                 FROM mtz.ns1.ev GROUP BY id % 4""")
+    val qInsens = """SELECT id % 4 AS b, count(*) AS n, sum(v) AS sv
+                     FROM mtz.ns1.ev GROUP BY id % 4"""
+    val qSens = """SELECT id % 4 AS b, sum(hour(ts)) AS sh
+                   FROM mtz.ns1.ev GROUP BY id % 4"""
+    assert(withTz("America/New_York")(usesMv(qInsens, view = "mva")),
+      "insensitive aggregates must stay servable cross-zone")
+    assert(!withTz("America/New_York")(usesMv(qSens, view = "mva")),
+      "the tz-sensitive aggregate must decline cross-zone")
+    assert(withTz("UTC")(usesMv(qSens, view = "mva")))
+  }
 }

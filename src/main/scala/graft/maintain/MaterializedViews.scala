@@ -200,8 +200,20 @@ object MaterializedViews {
   private val pendingHooks =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val runningHooks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val hookActive = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Delayed re-dispatch for tasks that found their view already
+    * refreshing: the pool thread is handed BACK instead of blocking
+    * (two hot views must not occupy the whole pool while other views'
+    * refreshes sit in the queue), and the retry re-enters the pool
+    * after a short delay without holding any thread.
+    */
+  private lazy val hookRetry = java.util.concurrent.Executors
+    .newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-mv-refresh-on-commit-retry")
+      t.setDaemon(true)
+      t
+    })
 
   /** Called by write paths after their commit; never throws. The
     * session is resolved HERE (active on the committing thread, else
@@ -218,14 +230,17 @@ object MaterializedViews {
         val key = s"${cat.name()}:$nsMv"
         if (pendingHooks.add(key)) {
           hookActive.incrementAndGet()
-          hookPool.execute(() => {
-            try {
-              // same-view refreshes SERIALIZE (a commit landing
-              // mid-refresh re-enqueues and waits here); distinct
-              // views proceed on the other pool threads
-              val monitor =
-                runningHooks.computeIfAbsent(key, _ => new Object)
-              monitor.synchronized {
+          lazy val task: Runnable = () => {
+            if (!runningHooks.add(key)) {
+              // this view is refreshing on another thread RIGHT NOW:
+              // hand the pool slot back (don't block it) and retry
+              // shortly — the pending marker stays set, so further
+              // commits keep coalescing into this one retry
+              hookRetry.schedule(
+                (() => hookPool.execute(task)): Runnable,
+                25, java.util.concurrent.TimeUnit.MILLISECONDS)
+            } else {
+              try {
                 pendingHooks.remove(key)
                 // an ISOLATED session → its own catalog INSTANCE →
                 // its own session-transaction slot: the background
@@ -242,10 +257,14 @@ object MaterializedViews {
                     ()
                   case _ => ()
                 }
+              } catch { case scala.util.control.NonFatal(_) => () }
+              finally {
+                runningHooks.remove(key)
+                hookActive.decrementAndGet()
               }
-            } catch { case scala.util.control.NonFatal(_) => () }
-            finally hookActive.decrementAndGet()
-          })
+            }
+          }
+          hookPool.execute(task)
         }
       }
     } catch { case scala.util.control.NonFatal(_) => () }
@@ -280,11 +299,13 @@ object MaterializedViews {
       */
     val fnBase: String = fn.takeWhile(_ != '@')
     /** Datasketches lgConfigK of the stored sketch (default 12 — the
-      * `hll_sketch_agg` default).
+      * `hll_sketch_agg` default). Parsed defensively so a corrupted
+      * spec string reaches the pointed require below, not a raw
+      * NumberFormatException.
       */
     val hllLgK: Int =
       if (!fn.contains('@')) 12
-      else fn.dropWhile(_ != '@').drop(1).toInt
+      else fn.dropWhile(_ != '@').drop(1).toIntOption.getOrElse(-1)
     require(Set("count", "sum", "min", "max", "hll")(fnBase) &&
         (fnBase == "hll" || !fn.contains('@')) &&
         hllLgK >= 4 && hllLgK <= 21,
@@ -307,8 +328,6 @@ object MaterializedViews {
       case "max" => max(input)
       case "hll" => hll_sketch_agg(input, hllLgK)
     }).as(out)
-    def firstPass: org.apache.spark.sql.Column =
-      firstPassOn(org.apache.spark.sql.functions.expr(expr))
     /** Combine of two partial states of this aggregate (aggregate
       * form, for unioning partial frames).
       */
@@ -532,20 +551,95 @@ object MaterializedViews {
     * refresher running under any `spark.sql.session.timeZone` buckets
     * rows exactly as the creating session would have.
     */
+  /** Small cache of pinned-zone helper sessions: one isolated child
+    * session per (parent session, zone), used only to parse/analyze
+    * definition expressions under the view's zone. Bounded (cleared
+    * past 64 entries — sessions × zones stays tiny in practice).
+    */
+  private val pinnedSessions =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String),
+      SparkSession]()
+
+  private def sessionFor(spark: SparkSession, zone: String): SparkSession = {
+    val key = (System.identityHashCode(spark), zone)
+    val cached = pinnedSessions.get(key)
+    if (cached != null) cached
+    else {
+      if (pinnedSessions.size() >= 64) pinnedSessions.clear()
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.session.timeZone", zone)
+      pinnedSessions.putIfAbsent(key, s2)
+      pinnedSessions.get(key)
+    }
+  }
+
   private def keyColumn(df: DataFrame, sql: String,
       tz: Option[String]): org.apache.spark.sql.Column = tz match {
     case None => expr(sql)
     case Some(zone) =>
-      val analyzed = df.select(expr(sql)).queryExecution.analyzed
-      val e = analyzed match {
-        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
-          p.projectList.head match {
-            case a: org.apache.spark.sql.catalyst.expressions.Alias =>
-              a.child
-            case other => other
+      // parse AND analyze under a helper session pinned to the view's
+      // zone (made ACTIVE for the duration so every conf read — the
+      // parser's typed-literal conversion included — sees the pinned
+      // zone): `TIMESTAMP'...'` literals convert to instants at PARSE
+      // time, so rewriting timezone-aware NODES after the fact could
+      // not fix them. The expression binds to `df`'s own output
+      // attributes (same ExprIds), so the returned Column composes
+      // with `df` directly; any failure falls back to session-zone
+      // resolution with the node-level re-pin (the pre-literal-fix
+      // behavior, still correct for all function-based expressions).
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+      import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+      val spark = df.sparkSession
+      val out = df.queryExecution.analyzed.output
+      val resolver = spark.sessionState.conf.resolver
+      val pinnedResolved: Option[org.apache.spark.sql.catalyst
+          .expressions.Expression] =
+        try {
+          val s2 = sessionFor(spark, zone)
+          val prev = SparkSession.getActiveSession
+          SparkSession.setActiveSession(s2)
+          try {
+            val parsed = s2.sessionState.sqlParser.parseExpression(sql)
+            var bindable = true
+            val bound = parsed.transformUp {
+              case ua: UnresolvedAttribute =>
+                out.filter(a =>
+                  resolver(a.name, ua.nameParts.mkString("."))) match {
+                  case Seq(one) => one
+                  case _ => bindable = false; ua
+                }
+            }
+            if (!bindable) None
+            else {
+              val shim = Project(Seq(Alias(bound, "__mv_def")()),
+                LocalRelation(out.map(_.asInstanceOf[AttributeReference])))
+              s2.sessionState.analyzer.execute(shim) match {
+                case Project(Seq(Alias(child, _)), _) if child.resolved =>
+                  Some(child)
+                case _ => None
+              }
+            }
+          } finally {
+            prev match {
+              case Some(p) => SparkSession.setActiveSession(p)
+              case None => SparkSession.clearActiveSession()
+            }
           }
-        case _ => return expr(sql) // unexpected shape: session semantics
+        } catch { case scala.util.control.NonFatal(_) => None }
+      val e = pinnedResolved.getOrElse {
+        val analyzed = df.select(expr(sql)).queryExecution.analyzed
+        analyzed match {
+          case p: Project =>
+            p.projectList.head match {
+              case a: Alias => a.child
+              case other => other
+            }
+          case _ => return expr(sql) // unexpected shape
+        }
       }
+      // belt and braces: re-pin every timezone-aware node (covers the
+      // fallback path, and rules that read the session conf directly)
       val pinned = e.transformUp {
         case t: org.apache.spark.sql.catalyst.expressions
             .TimeZoneAwareExpression => t.withTimeZone(zone)
@@ -883,8 +977,14 @@ object MaterializedViews {
 
     props.get(JoinsExtraProp).foreach { je =>
       val extra = parseJoinsExtra(je)
+      // a watermark list whose arity doesn't match the join list
+      // (hand-edited properties, partial copy) must NOT silently zip
+      // a join side away — treat every extra watermark as unknown,
+      // which makes segmentRange decline and the refresh recompute
+      // fully against the REAL definition
       val extraWms = props.get(RefreshedExtraProp)
         .map(_.split(',').toSeq.map(_.trim.toLong))
+        .filter(_.size == extra.size)
         .getOrElse(extra.map(_ => -1L))
       return refreshNaryOnce(spark, cat, ns, mv, mvFull0, stored, groupBy,
         aggs, keyExprs, keyTz, where, (srcNs, srcT, last),

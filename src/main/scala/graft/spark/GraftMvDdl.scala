@@ -288,7 +288,15 @@ object GraftMvDdl {
                 fail(s"rsd must be in (0, 1): ${exprSql(al)}")
               val raw = math.ceil(
                 math.log(math.pow(1.04 / rsd, 2)) / math.log(2)).toInt
-              math.min(21, math.max(4, raw))
+              // silently clamping would store a LOOSER sketch than
+              // requested — and the rewrite's precision gate would
+              // then (correctly) never serve the view's own defining
+              // query. Fail pointedly instead.
+              if (raw > 21)
+                fail(f"rsd $rsd%g is tighter than the largest sketch " +
+                  "(lgConfigK=21 ≈ 0.072%% relative error) supports: " +
+                  exprSql(al))
+              math.max(4, raw)
             }
             f.arguments match {
               case Seq(one) =>

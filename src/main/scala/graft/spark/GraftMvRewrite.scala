@@ -639,10 +639,15 @@ class GraftMvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           }
           // an EXACT count(DISTINCT) may be served approximately from
           // a stored sketch only under an explicit session opt-in —
-          // never silently
+          // never silently — and even then only from a sketch at
+          // DEFAULT precision or better: the opt-in consents to the
+          // documented ~1.63% trade, not to whatever looser sketch a
+          // coarse hll@lgK view happens to store
           exact.orElse {
             if (children.size == 1 && session.conf.get(
-                "spark.graft.mv.rewrite.approx-distinct", "false").toBoolean)
+                "spark.graft.mv.rewrite.approx-distinct", "false").toBoolean
+                && hllRsdByDef.get(children.head.canonicalized)
+                  .exists(_ <= GraftMvRewrite.StoredSketchRsd + 1e-9))
               sketchEstimate(children.head)
             else None
           }
@@ -776,11 +781,18 @@ object GraftMvRewrite {
   /** Does evaluating `e` depend on the session timezone? Casts count
     * only when they actually cross a datetime/string boundary
     * (Cast.needsTimeZone); every other TimeZoneAwareExpression
-    * (date_trunc, hour, to_date over timestamps, ...) counts.
+    * (date_trunc, hour, to_date over timestamps, ...) counts. A
+    * TIMESTAMP-typed LITERAL counts too: `TIMESTAMP'2024-06-01'`
+    * converts wall-clock text to an instant at PARSE time under the
+    * parsing session's zone, so by the time any rule could look for a
+    * timezone-aware node there is only a folded instant — the
+    * zone-dependence is real but already baked in.
     */
   private[graft] def tzSensitive(e: Expression): Boolean = e.exists {
     case c: Cast => c.needsTimeZone
     case _: TimeZoneAwareExpression => true
+    case l: Literal =>
+      l.dataType == org.apache.spark.sql.types.TimestampType
     case _ => false
   }
 

@@ -33,6 +33,7 @@ object SparkInternals {
   def column(e: Expression): org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+
   /** Unwrap the `private[sql]` operation wrapper Spark puts around a
     * table inside ReplaceData / WriteDelta relations, so catalog rules
     * can match the connector's own Table underneath.

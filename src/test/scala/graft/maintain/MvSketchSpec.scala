@@ -174,6 +174,37 @@ class MvSketchSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     finally spark.conf.unset("spark.graft.mv.rewrite.enabled")
     assert(est == ex)
+    // a COARSE declared sketch (rsd 0.2 → lgK 5, ~18% error) must not
+    // be served for an EXACT count(DISTINCT) even under the session
+    // opt-in — the opt-in consents to default precision, not to
+    // whatever the loosest view stores
+    spark.sql("CREATE NAMESPACE msk.ns5")
+    spark.sql("CREATE TABLE msk.ns5.src (k BIGINT NOT NULL, u BIGINT)")
+    spark.sql("""INSERT INTO msk.ns5.src
+                 SELECT id % 3, id % 90 FROM range(0, 600, 1, 2)""")
+    spark.sql("""CREATE MATERIALIZED VIEW msk.ns5.mv AS
+                 SELECT k, count(*) AS n,
+                        approx_count_distinct(u, 0.2) AS nd
+                 FROM msk.ns5.src GROUP BY k""")
+    def usesMv5(sql: String): Boolean =
+      spark.sql(sql).queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            if r.relation.table.name().endsWith("ns5.mv") => r
+      }.nonEmpty
+    // the coarse approximate ask IS served (0.2 >= declared)...
+    assert(usesMv5("""SELECT k, approx_count_distinct(u, 0.2) AS nd
+                      FROM msk.ns5.src GROUP BY k"""))
+    spark.conf.set("spark.graft.mv.rewrite.approx-distinct", "true")
+    try assert(!usesMv5("""SELECT k, count(DISTINCT u) AS nd
+                           FROM msk.ns5.src GROUP BY k"""),
+      "opted-in count(DISTINCT) must not ride a coarse sketch")
+    finally spark.conf.unset("spark.graft.mv.rewrite.approx-distinct")
+    // and an rsd the largest sketch cannot honor fails CREATE loudly
+    val e = intercept[Exception](spark.sql(
+      """CREATE MATERIALIZED VIEW msk.ns5.m2 AS
+         SELECT k, approx_count_distinct(u, 0.0005) AS nd
+         FROM msk.ns5.src GROUP BY k""").collect())
+    assert(e.getMessage.contains("lgConfigK=21"), e.getMessage)
   }
 
   test("a BUCKETED sketch view survives deletes through the groups " +

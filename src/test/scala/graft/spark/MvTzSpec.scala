@@ -213,4 +213,45 @@ class MvTzSpec extends AnyFunSuite {
       "the tz-sensitive aggregate must decline cross-zone")
     assert(withTz("UTC")(usesMv(qSens, view = "mva")))
   }
+
+  test("typed TIMESTAMP literals pin too: they fold to instants at " +
+      "PARSE time, so the re-parse itself must run under the view zone") {
+    // WHERE ts < TIMESTAMP'...' — parsed under another zone the
+    // boundary shifts by the zone offset and a refresher would
+    // include/exclude the wrong rows; no TimeZoneAwareExpression
+    // survives parsing for a post-hoc rewrite to fix
+    spark.sql("""CREATE MATERIALIZED VIEW mtz.ns1.mvl AS
+                 SELECT id % 4 AS b, count(*) AS n,
+                        count(v) AS nv, sum(v) AS total
+                 FROM mtz.ns1.ev
+                 WHERE ts < TIMESTAMP'2024-01-03 00:00:00'
+                 GROUP BY id % 4""")
+    def truthL: Seq[String] = withTz("UTC")(noRewrite(rows(
+      """SELECT id % 4 AS b, count(*) AS n,
+                count(v) AS nv, sum(v) AS total
+         FROM mtz.ns1.ev WHERE ts < TIMESTAMP'2024-01-03 00:00:00'
+         GROUP BY 1 ORDER BY b""")))
+    def stateL: Seq[String] =
+      rows("SELECT b, n, nv, total FROM mtz.ns1.mvl ORDER BY b")
+    assert(stateL == truthL)
+    // rows INSIDE the discriminating window [Jan3 00:00Z, Jan3
+    // 05:00Z): out of domain at the UTC boundary, wrongly IN domain
+    // if a NY refresher re-parses the literal at NY midnight (05:00Z)
+    spark.sql("""INSERT INTO mtz.ns1.ev
+                 SELECT id, timestamp_seconds(1704240000 + (id - 1000) * 60),
+                        CAST(id AS DOUBLE)
+                 FROM range(1000, 1040, 1, 2)""")
+    val ml = withTz("America/New_York")(
+      spark.sql("REFRESH MATERIALIZED VIEW mtz.ns1.mvl").head.getString(0))
+    assert(ml == "incremental", ml)
+    assert(stateL == truthL,
+      "a NY refresher re-parsed the timestamp literal at NY midnight")
+    // and the rewrite treats the folded literal as tz-sensitive:
+    // cross-zone sessions decline, the pinned zone serves
+    val ql = """SELECT id % 4 AS b, count(*) AS n FROM mtz.ns1.ev
+                WHERE ts < TIMESTAMP'2024-01-03 00:00:00' GROUP BY id % 4"""
+    assert(withTz("UTC")(usesMv(ql, view = "mvl")))
+    assert(!withTz("America/New_York")(usesMv(ql, view = "mvl")),
+      "a parse-folded timestamp literal must decline cross-zone")
+  }
 }

@@ -363,6 +363,67 @@ object MvProbe {
       s"bucketed state diverged from truth: $bState vs $bTruth")
     println("PROBE bucket_state_matches_truth true")
 
+    // ---- n-ary (3-way star schema) at scale: a fact-side delta
+    // refresh joins ONLY the delta against the dims (telescoping
+    // rule); the write stays O(touched groups) and a forced full
+    // recompute of the same view is the yardstick
+    spark.sql("CREATE TABLE gp.ns.dstat (s STRING NOT NULL, sgrp STRING NOT NULL)")
+    spark.sql("""INSERT INTO gp.ns.dstat
+                 SELECT DISTINCT o_orderstatus,
+                        concat('g', o_orderstatus) FROM gp.ns.ord""")
+    spark.sql("CREATE TABLE gp.ns.dprio (p STRING NOT NULL, pgrp STRING NOT NULL)")
+    spark.sql("""INSERT INTO gp.ns.dprio
+                 SELECT DISTINCT o_orderpriority,
+                        substring(o_orderpriority, 1, 1)
+                 FROM gp.ns.ord""")
+    lap("nary_create_full") {
+      spark.sql("""CALL gp.system.create_materialized_view(
+                     namespace => 'ns', name => 'nmv',
+                     source_namespace => 'ns', source_table => 'ord',
+                     group_by => 'sgrp,pgrp',
+                     aggs => 'n:count:1;np:count:CAST(o_totalprice AS DECIMAL(18,2));total:sum:CAST(o_totalprice AS DECIMAL(18,2))',
+                     join_namespace => 'ns', join_table => 'dstat',
+                     join_on => 'o_orderstatus=s',
+                     extra_joins => 'ns|dprio|o_orderpriority=p')""")
+        .show(1, truncate = false)
+    }
+    spark.sql(s"""INSERT INTO gp.ns.ord
+                  SELECT o_orderkey + ${nBig * 40}, o_orderstatus,
+                         o_totalprice, o_orderpriority
+                  FROM parquet.`$small/orders.parquet`""")
+    val preNy = inv("nmv")
+    val nmode = lap("nary_refresh_incremental") {
+      spark.sql("""CALL gp.system.refresh_materialized_view(
+                     namespace => 'ns', name => 'nmv')""").head.getString(0)
+    }
+    require(nmode == "incremental", s"expected incremental, got $nmode")
+    val (nyF, nyB, nyDel) = written("nmv", preNy)
+    println(s"PROBE nary_state_write mode=incremental files=$nyF " +
+      s"bytes=$nyB delete_rows=$nyDel")
+    spark.sql(s"DELETE FROM gp.ns.ord WHERE o_orderkey % 9973 = 11")
+    val preNc = inv("nmv")
+    val nmode2 = lap("nary_refresh_cdc") {
+      spark.sql("""CALL gp.system.refresh_materialized_view(
+                     namespace => 'ns', name => 'nmv')""").head.getString(0)
+    }
+    require(nmode2 == "cdc", s"expected cdc, got $nmode2")
+    val (ncF, ncB, ncDel) = written("nmv", preNc)
+    println(s"PROBE nary_state_write mode=cdc files=$ncF bytes=$ncB " +
+      s"delete_rows=$ncDel")
+    val nState = spark.sql(
+      """SELECT sgrp, pgrp, n, np, CAST(total AS DOUBLE)
+         FROM gp.ns.nmv ORDER BY 1, 2""").collect().map(_.toString).toSeq
+    val nTruth = spark.sql(
+      """SELECT sgrp, pgrp, count(*) AS n,
+                count(CAST(o_totalprice AS DECIMAL(18,2))) AS np,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         FROM gp.ns.ord JOIN gp.ns.dstat ON o_orderstatus = s
+         JOIN gp.ns.dprio ON o_orderpriority = p
+         GROUP BY 1, 2 ORDER BY 1, 2""").collect().map(_.toString).toSeq
+    require(nState == nTruth, "n-ary view state diverged from truth")
+    println("PROBE nary_state_matches_truth true")
+
+
     spark.stop()
   }
 }

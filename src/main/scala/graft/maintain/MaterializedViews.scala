@@ -1834,11 +1834,18 @@ object MaterializedViews {
     // planner rejects exotic extra conjuncts in the merge condition).
     val cap = spark.conf.get("spark.graft.mv.groups.inlist-cap", "1000").toInt
     val eqDelta = isEqDelta(cat, ns, mv)
-    // the key collect below and the MERGE both evaluate the delta —
-    // persist the (delta-sized) grouped frame so the range aggregation
-    // computes once, not twice
-    if (eqDelta)
-      delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EVERY merge evaluates the delta at least twice — eq-delta state:
+    // the key collect below plus the MERGE; copy-on-write state:
+    // Spark's runtime group-filtering subquery (which files hold
+    // matched groups) re-executes the ENTIRE source plan, then the
+    // merge join executes it again. The delta is feed-sized by
+    // construction (that is the refresh's contract), its plan is a
+    // deep telescoping join/aggregate chain (20+ AQE stages for an
+    // n-ary cdc term), so persist it: the chain runs once and both
+    // consumers read the materialized rows. Profiled on c73: the cdc
+    // merge dropped from 23 sequential query stages to the cached
+    // scan + join + write.
+    delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     val targetPrune: Option[org.apache.spark.sql.Column] =
       if (!eqDelta) None
@@ -1890,7 +1897,7 @@ object MaterializedViews {
       writer.merge()
     }
     finish(spark, cat, ns, mv, mvFull, mode, committed)
-    } finally if (eqDelta) delta.unpersist(false)
+    } finally delta.unpersist(false)
   }
 
   /** Full-recompute commit: overwrite the whole state (the recompute

@@ -19,6 +19,11 @@ object Verify {
       // storage-partitioned joins (c17): session-level default so query
       // plans/timings are order-independent (no per-query conf mutation)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // no Hadoop native lib offline → RawLocalFileSystem.setPermission
+      // forks a chmod process per file create; this impl sets the same
+      // bits via java.nio in-process (see GraftLocalFileSystem)
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.spark.GraftLocalFileSystem].getName)
       .config("spark.ui.enabled", "false")
 
   def main(args: Array[String]): Unit = {

@@ -481,16 +481,24 @@ object Dedup {
         // floor: candidates are exact-cosine verified, so the subset
         // check is part of the verdict.
         val floor = 0.15
+        // NOT pinned: the count/semi/anti branches share identical
+        // subtrees and Spark's exchange reuse already evaluates the
+        // O(n²) blocked pairwise once — an explicit localCheckpoint
+        // measured 60% SLOWER (eager materialization + block overhead,
+        // and it breaks AQE reuse). Measured isolated min-of-3 at
+        // sf0.1: 2.6 s unpinned vs 4.2 s pinned.
         val exact = defs.find(_.name == "dd05_embedding_dup").get.fn(s, d)
           .select(col("vec_a"), col("vec_b"))
         val lsh = defs.find(_.name == "dd06_embedding_lsh").get.fn(s, d)
           .select(col("vec_a"), col("vec_b"))
         val nExact = exact.agg(count(lit(1)).as("n_exact_pairs"))
-        val nHit = lsh.join(exact, Seq("vec_a", "vec_b"), "left_semi")
-          .agg(count(lit(1)).as("hits"))
-        val nFalse = lsh.join(exact, Seq("vec_a", "vec_b"), "left_anti")
-          .agg(count(lit(1)).as("n_false_positives"))
-        nExact.crossJoin(nHit).crossJoin(nFalse)
+        // hits and false positives from ONE outer join (semi + anti
+        // were two passes computing complements of the same match)
+        val hitFalse = lsh.join(exact.withColumn("in_t", lit(1)),
+            Seq("vec_a", "vec_b"), "left_outer")
+          .agg(count(col("in_t")).as("hits"),
+            count(when(col("in_t").isNull, 1)).as("n_false_positives"))
+        nExact.crossJoin(hitFalse)
           .select(col("n_exact_pairs"),
             lit(floor).as("recall_floor"),
             // empty truth set (tiny SF) → vacuously met, not NULL
@@ -635,16 +643,18 @@ object Dedup {
         // this near-uniform corpus (the hardest case: real embedding
         // spaces cluster, which is the regime SemDeDup assumes).
         val floor = 0.5
+        // NOT pinned (see dd09: exchange reuse beats checkpoints);
+        // semi + anti folded into one outer join as in dd09
         val exact = defs.find(_.name == "dd05_embedding_dup").get.fn(s, d)
           .select(col("vec_a"), col("vec_b"))
         val sem = semdedupPairs(s, d)
           .select(col("keep").as("vec_a"), col("drop").as("vec_b"))
         val nExact = exact.agg(count(lit(1)).as("n_exact_pairs"))
-        val nHit = sem.join(exact, Seq("vec_a", "vec_b"), "left_semi")
-          .agg(count(lit(1)).as("hits"))
-        val nFalse = sem.join(exact, Seq("vec_a", "vec_b"), "left_anti")
-          .agg(count(lit(1)).as("n_false_positives"))
-        nExact.crossJoin(nHit).crossJoin(nFalse)
+        val hitFalse = sem.join(exact.withColumn("in_t", lit(1)),
+            Seq("vec_a", "vec_b"), "left_outer")
+          .agg(count(col("in_t")).as("hits"),
+            count(when(col("in_t").isNull, 1)).as("n_false_positives"))
+        nExact.crossJoin(hitFalse)
           .select(col("n_exact_pairs"),
             lit(floor).as("recall_floor"),
             // empty truth set (tiny SF) → vacuously met, not NULL

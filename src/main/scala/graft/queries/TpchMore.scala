@@ -362,8 +362,16 @@ object TpchMore {
         val pts = broadcast(table(s, d, "part")
           .filter(col("p_type") === "LARGE")
           .select("p_partkey", "p_name"))
+        // No pre-distinct on the supply pairs: duplicate (partkey,
+        // suppkey) observations produce IDENTICAL candidate rows (the
+        // window orders by (s_acctbal, s_suppkey), unique per supplier,
+        // so ties are only ever payload-identical duplicates and the
+        // rn=1 row is the same either way). The explicit distinct only
+        // added a full-lineitem exchange BEFORE the selective part /
+        // region broadcast filters; without it the window's own
+        // exchange is the single shuffle and it carries filtered rows.
         val supply = table(s, d, "lineitem")
-          .select("l_partkey", "l_suppkey").distinct()
+          .select("l_partkey", "l_suppkey")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("p_partkey").orderBy(col("s_acctbal"), col("s_suppkey"))
         supply
@@ -473,8 +481,14 @@ object TpchMore {
           .filter(col("p_brand") =!= "Brand#1" &&
             col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
           .select("p_partkey", "p_brand", "p_type", "p_size"))
+        // No pre-distinct on the pairs: countDistinct(l_suppkey) dedups
+        // within each group and the anti-join is row-independent, so the
+        // explicit distinct only added a full-lineitem shuffle BEFORE the
+        // selective part filter. Joining raw pairs lets the broadcast
+        // filter run first and the distinct-aggregate's map-side partial
+        // dedup the survivors (one shuffle of distinct pairs, not two).
         table(s, d, "lineitem")
-          .select("l_partkey", "l_suppkey").distinct()
+          .select("l_partkey", "l_suppkey")
           .join(pts, col("l_partkey") === col("p_partkey"))
           .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"),
             "left_anti")

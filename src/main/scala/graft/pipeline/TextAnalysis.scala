@@ -626,40 +626,29 @@ object TextAnalysis {
         // the classic gibberish/boilerplate screen: binary blobs and
         // base64 spill score near log2(alphabet), "aaaa…" loops score
         // near 0, natural language sits ~3.5–4.5. Computed as
-        // H = ln N − (Σ n_c·ln n_c)/N over per-character counts.
-        // Cross-engine determinism: each n·ln n term rounds to 6dp
-        // and sums as exact DECIMAL so libm ulp and reduction order
-        // can't move the 4dp output (the sp07 recipe).
-        // Per-ROW run-length histogram instead of a corpus-wide
-        // per-character explode + two hash aggregations: sort the
-        // doc's char array (equal chars become adjacent — binary
-        // string comparison, the same equality the groupBy keyed on),
-        // take run-end positions, difference them into counts. The
-        // per-(doc,char) counts are IDENTICAL and decimal addition is
-        // exact and commutative, so the 4dp output cannot move; what
-        // changes is the plan — one codegen'd projection and NO
-        // shuffle before the final orderBy, where the explode shape
-        // shuffled one row per corpus character. (Guard: empty text
-        // yielded no char rows, so those docs were absent — filter.)
-        val docs = table(s, d, "documents")
+        // H = ln N − (Σ n_c·ln n_c)/N over per-character counts: two
+        // hash aggregations keyed (doc_id, char) then doc_id, both
+        // map-side combined, per-doc state bounded by the alphabet —
+        // scales linearly with no driver work. Cross-engine
+        // determinism: each n·ln n term rounds to 6dp and sums as
+        // exact DECIMAL so libm ulp and reduction order can't move
+        // the 4dp output (the sp07 recipe).
+        val chars = table(s, d, "documents")
           .select(col("doc_id"), trim(col("text")).as("t"))
-          .filter(length(col("t")) > 0)
-        docs
-          .withColumn("sorted", expr(
-            "array_sort(transform(sequence(1, length(t)), " +
-              "i -> substring(t, i, 1)))"))
-          .withColumn("ends", expr(
-            "filter(sequence(1, size(sorted)), i -> i = size(sorted) " +
-              "OR element_at(sorted, i) <> element_at(sorted, i + 1))"))
-          .withColumn("counts", expr(
-            "zip_with(ends, concat(array(0), slice(ends, 1, " +
-              "greatest(size(ends) - 1, 0))), (e, p) -> e - p)"))
-          .select(col("doc_id"),
-            length(col("t")).cast("long").as("n_chars"),
-            expr("aggregate(counts, CAST(0 AS DECIMAL(18,6)), (acc, n) -> " +
-              "CAST(acc + CAST(round(CAST(n AS DOUBLE) * ln(n), 6) " +
-              "AS DECIMAL(18,6)) AS DECIMAL(18,6)))").as("sterm"))
-          .select(col("doc_id"), col("n_chars"),
+          // same short-input guard as [[wordGrams]]: sequence(1, 0) is
+          // DESCENDING in Spark, so empty text must yield array(), not
+          // two phantom rows
+          .select(col("doc_id"), explode(expr(
+            "CASE WHEN length(t) > 0 THEN " +
+              "transform(sequence(1, length(t)), i -> substring(t, i, 1)) " +
+              "ELSE array() END")).as("c"))
+        chars.groupBy("doc_id", "c")
+          .agg(count(lit(1)).as("n"))
+          .groupBy("doc_id")
+          .agg(sum("n").as("n_chars"),
+            sum(round(col("n").cast("double") * log(col("n")), 6)
+              .cast("decimal(18,6)")).as("sterm"))
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
             round((round(log(col("n_chars")), 6) -
               col("sterm").cast("double") / col("n_chars").cast("double")) /
               lit(0.6931471805599453), 4).as("char_entropy"))

@@ -119,7 +119,21 @@ object Bench {
     val st = status.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = times.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$st,"sf":"$sfDir"}""")
-    if (status.values.exists(_ == "failed")) sys.exit(1)
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$st,"sf":"$sfDir"}"""
+    println(full)
+    // With 218 queries the line above is ~10 KB, and a consumer that
+    // keeps only a short tail of stdout loses its head (metric/value/
+    // queries). Persist the identical JSON to a file and ALSO print a
+    // compact machine-parseable total line LAST so it lands inside any
+    // tail window. Additions only: the long line stays as-is.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), full + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: $e")
+    }
+    val nFailed = status.values.count(_ == "failed")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${times.size},"failed":$nFailed,"queries_file":"bench_out.json","sf":"$sfDir"}""")
+    if (nFailed > 0) sys.exit(1)
   }
 }

@@ -24,6 +24,12 @@ object Verify {
       // bits via java.nio in-process (see GraftLocalFileSystem)
       .config("spark.hadoop.fs.file.impl",
         classOf[graft.spark.GraftLocalFileSystem].getName)
+      // release state-store providers when the last streaming query
+      // stops — stopped queries' providers otherwise linger in the
+      // executor-wide registry and their maintenance walks bill
+      // whatever runs next in the session (see GraftStateStoreUnload)
+      .config("spark.sql.streaming.streamingQueryListeners",
+        classOf[graft.spark.GraftStateStoreUnloadListener].getName)
       .config("spark.ui.enabled", "false")
 
   def main(args: Array[String]): Unit = {

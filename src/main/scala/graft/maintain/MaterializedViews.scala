@@ -775,9 +775,11 @@ object MaterializedViews {
     // (billions of groups at 100 TB) refreshable at the cost of the
     // arriving data. Routine compaction folds the deltas back in (a
     // net-zero op every maintenance path skips). Nullable or
-    // non-key-typed group columns fall back to copy-on-write MERGE
-    // (Spark's delta planning needs non-nullable row ids) — still
-    // group-scoped, rewriting only the state files the delta touches.
+    // non-key-typed group columns can't be equality-delete identifiers
+    // (Spark's delta planning needs non-nullable row ids and eq-delete
+    // keys must round-trip exactly); they take POSITION-delta MERGE
+    // instead — matched state rows identified by (_file, _pos), the
+    // write a pos-delete object plus the new rows, still O(delta).
     val eqDeltaKeys = groupBy.forall { k =>
       state.schema.fields.find(_.name.equalsIgnoreCase(k)).exists(f =>
         !f.nullable && graft.format.EqDeleteFiles.supported(f.dataType))
@@ -792,11 +794,25 @@ object MaterializedViews {
       keyTz.map(TzProp -> _) ++
       (if (keyExprs.isEmpty) Map.empty
        else Map(KeyExprsProp -> formatKeyExprs(keyExprs))) ++
-      (if (!eqDeltaKeys) Map.empty else Map(
+      (if (eqDeltaKeys) Map(
         graft.spark.GraftCatalog.MergeModeProp ->
           graft.spark.GraftCatalog.MergeModeMergeOnReadEq,
         graft.spark.GraftCatalog.UpsertKeysProp ->
-          groupBy.mkString(","))) ++
+          groupBy.mkString(","))
+      // nullable or non-key-typed group keys can't be equality-delete
+      // identifiers, but they don't need copy-on-write either: POSITION
+      // deltas identify matched state rows by (_file, _pos) — both
+      // non-nullable metadata — so the refresh MERGE plans as WriteDelta
+      // (pos-delete objects + new rows, O(delta)) instead of ReplaceData
+      // (runtime group-filter subquery re-executing the source + a full
+      // rewrite of every touched state file). Conf-gated: at 100 TB the
+      // O(delta) write is the only viable shape, but on small state the
+      // accumulated delete files tax every later read — measure both.
+      else if (spark.conf.get("spark.graft.mv.state.mor-fallback",
+        "true").toBoolean) Map(
+        graft.spark.GraftCatalog.MergeModeProp ->
+          graft.spark.GraftCatalog.DeleteModeMergeOnRead)
+      else Map.empty) ++
       where.map(WhereProp -> _) ++
       join.toSeq.flatMap(j => Seq(Join2NsProp -> j.ns,
         Join2TableProp -> j.table, JoinOnProp -> j.onFormatted,
@@ -1190,7 +1206,7 @@ object MaterializedViews {
     // tracks touched files (copy-on-write merges are scoped by
     // Spark's own runtime group filtering and reject the conjunct)
     val prune =
-      if (isEqDelta(cat, ns, mv)) inPred.toSeq else Seq.empty
+      if (isDeltaMerge(cat, ns, mv)) inPred.toSeq else Seq.empty
     val committed = stateTxn(cat, ns, mv, expect, wms) {
       d.mergeInto(mvFull,
           (groupBy.map(k => col(k) <=> dc(k)) ++ prune).reduce(_ && _))
@@ -1540,11 +1556,17 @@ object MaterializedViews {
   private[graft] val lastGroupsScanFiles =
     new java.util.concurrent.atomic.AtomicLong(-1L)
 
-  /** Does the view's state table take the equality-delta merge path? */
-  private def isEqDelta(cat: GraftCatalog, ns: String, mv: String): Boolean = {
+  /** Does the view's state table MERGE as a DELTA (equality-delete or
+    * position-delete write)? Both plan as WriteDelta, whose target scan
+    * accepts the touched-key conjunct for file-stat pruning; only
+    * copy-on-write (ReplaceData) rejects it and scopes via Spark's own
+    * runtime group filtering instead.
+    */
+  private def isDeltaMerge(cat: GraftCatalog, ns: String, mv: String): Boolean = {
     val p = cat.loadTable(Identifier.of(Array(ns), mv)).properties()
-    graft.spark.GraftCatalog.MergeModeMergeOnReadEq ==
-      p.get(graft.spark.GraftCatalog.MergeModeProp)
+      .get(graft.spark.GraftCatalog.MergeModeProp)
+    graft.spark.GraftCatalog.MergeModeMergeOnReadEq == p ||
+      graft.spark.GraftCatalog.DeleteModeMergeOnRead == p
   }
 
   /** Bounded per-column IN predicate over the TARGET-side group key
@@ -1833,7 +1855,7 @@ object MaterializedViews {
     // runtime group filtering already scopes their rewrite (and its
     // planner rejects exotic extra conjuncts in the merge condition).
     val cap = spark.conf.get("spark.graft.mv.groups.inlist-cap", "1000").toInt
-    val eqDelta = isEqDelta(cat, ns, mv)
+    val deltaMerge = isDeltaMerge(cat, ns, mv)
     // EVERY merge evaluates the delta at least twice — eq-delta state:
     // the key collect below plus the MERGE; copy-on-write state:
     // Spark's runtime group-filtering subquery (which files hold
@@ -1848,7 +1870,7 @@ object MaterializedViews {
     delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     val targetPrune: Option[org.apache.spark.sql.Column] =
-      if (!eqDelta) None
+      if (!deltaMerge) None
       else {
         val keyRows = delta.select(groupBy.map(col): _*)
           .limit(cap + 1).collect()

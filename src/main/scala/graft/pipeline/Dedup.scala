@@ -118,6 +118,12 @@ object Dedup {
       if (rounds >= maxRounds)
         throw new IllegalStateException(
           s"connected components did not converge in $maxRounds rounds")
+      // NOTE (r16, measured): checkpointing every SECOND round — two
+      // star passes per action, q68's cadence — was tried and REVERTED:
+      // dd07 3.0→6.1 s, dd14 3.4→6.4 s, dd15 3.6→7.9 s at sf0.1. The
+      // loop is star-SHUFFLE-dominated, not action-latency-dominated:
+      // convergence needs ~3 single rounds, so pairing rounds runs 4
+      // star passes' worth of shuffles to save one checkpoint+probe.
       val next = smallStar(largeStar(e)).localCheckpoint()
       // exact set equality in ONE action: both sides are distinct edge
       // sets, so tagging +1/-1 and summing per edge yields a nonzero

@@ -32,8 +32,15 @@ class GraftNoForkRawLocalFileSystem extends RawLocalFileSystem {
       add(0x100, OWNER_READ); add(0x80, OWNER_WRITE); add(0x40, OWNER_EXECUTE)
       add(0x20, GROUP_READ); add(0x10, GROUP_WRITE); add(0x8, GROUP_EXECUTE)
       add(0x4, OTHERS_READ); add(0x2, OTHERS_WRITE); add(0x1, OTHERS_EXECUTE)
-      java.nio.file.Files.setPosixFilePermissions(pathToFile(p).toPath, perms)
-      ()
+      // non-POSIX file stores (some tmpfs/mount variants) throw
+      // UnsupportedOperationException — degrade to the shell path
+      // Hadoop would have taken, instead of letting it escape
+      try {
+        java.nio.file.Files.setPosixFilePermissions(pathToFile(p).toPath, perms)
+        ()
+      } catch {
+        case _: UnsupportedOperationException => super.setPermission(p, permission)
+      }
     }
   }
 }

@@ -239,8 +239,24 @@ class GraftScanBuilder(
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (dataFilters.nonEmpty || agg.groupByExpressions.nonEmpty) return None
     if (MorDeletes.pending(deletes, files.map(_._2))) return None
-    // position/equality deletes make the commit-time counts an overcount
-    if (posDeletes.nonEmpty || eqDeletes.nonEmpty) return None
+    // equality deletes make counts unknowable from metadata (a key may
+    // match 0..n rows); POSITION deletes subtract exactly from
+    // COUNT(*): every delete row kills exactly one live row — a scan
+    // applies pending deletes, so a deleted position can never re-match
+    // a later MERGE/DELETE and be deleted twice — PROVIDED each object's
+    // referenced data files are all still live (path-scoped stale refs
+    // never match, so a dangling ref turns rowCount into an overcount).
+    // Per-column stats (min/max/null counts) stay non-pushable under
+    // any delete: the deleted rows may be exactly the extremes.
+    if (eqDeletes.nonEmpty) return None
+    val posDeleteRows: Long =
+      if (posDeletes.isEmpty) 0L
+      else {
+        val live = files.map(_._2.path).toSet
+        if (!posDeletes.forall(_._2.dataFiles.forall(live.contains)))
+          return None
+        posDeletes.map(_._2.rowCount).sum
+      }
     val renames = ColumnMapping.renames(schema)
     val entries = files.map(_._2)
 
@@ -267,23 +283,25 @@ class GraftScanBuilder(
       case _: CountStar =>
         if (entries.exists(_.rowCount < 0)) None
         else Some((org.apache.spark.sql.types.StructField("count(*)",
-          LongType, nullable = false), entries.map(_.rowCount).sum: Any))
+          LongType, nullable = false),
+          entries.map(_.rowCount).sum - posDeleteRows: Any))
       case c: org.apache.spark.sql.connector.expressions.aggregate.Count
           if !c.isDistinct =>
-        // COUNT(col) = Σ (rows − nulls); needs a null count in EVERY file
+        // COUNT(col) = Σ (rows − nulls); needs a null count in EVERY
+        // file, and no deletes (a deleted row's nullness is unknown)
         col(c.column()).flatMap { case (logical, phys, _) =>
-          if (entries.exists(f =>
+          if (posDeleteRows > 0 || entries.exists(f =>
               f.rowCount < 0 || !f.nullCounts.contains(phys))) None
           else Some((org.apache.spark.sql.types.StructField(s"count($logical)",
             LongType, nullable = false),
             entries.map(f => f.rowCount - f.nullCounts(phys)).sum: Any))
         }
-      case m: Min =>
+      case m: Min if posDeleteRows == 0 =>
         col(m.column()).flatMap { case (logical, phys, dt) =>
           reduceStat(_.minValues, phys, dt, takeMin = true).map(v =>
             (org.apache.spark.sql.types.StructField(s"min($logical)", dt), v))
         }
-      case m: Max =>
+      case m: Max if posDeleteRows == 0 =>
         col(m.column()).flatMap { case (logical, phys, dt) =>
           reduceStat(_.maxValues, phys, dt, takeMin = false).map(v =>
             (org.apache.spark.sql.types.StructField(s"max($logical)", dt), v))

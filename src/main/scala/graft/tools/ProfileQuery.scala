@@ -49,7 +49,10 @@ object ProfileQuery {
           if (record) {
             import scala.jdk.CollectionConverters._
             val nt = e.stageInfos.map(_.numTasks).sum
-            val call = Option(e.properties.getProperty("callSite.short"))
+            // properties itself can be null — an NPE here is swallowed
+            // by the listener bus and silently drops the job
+            val call = Option(e.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short")))
               .getOrElse("")
             jobs.put(e.jobId,
               new Job(e.jobId, e.time, nt, e.stageIds.size, call))
@@ -141,7 +144,11 @@ object ProfileQuery {
       spark.streams.active.foreach(_.stop())
       // drain the async listener bus before reading
       Thread.sleep(500)
-      println(s"\n======== $name  total=${totalMs.round} ms ========")
+      // acts/jobs/hot are cleared per round, so the printed breakdown
+      // is the LAST round's — which may not be the round the min total
+      // came from; label it so step attributions aren't misread
+      println(s"\n======== $name  total=${totalMs.round} ms (min of 3; " +
+        "breakdown below is from the LAST round) ========")
       import scala.jdk.CollectionConverters._
       val all = acts.asScala.toSeq
       println(s"actions=${all.size}  sumActionMs=${all.map(_.ms).sum.round}")

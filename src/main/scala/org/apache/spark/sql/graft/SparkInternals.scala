@@ -576,6 +576,13 @@ object SparkInternals {
       new DispatchingReaderFactory(fs, allColumnar)
     }
   }
+
+  /** Unload every loaded state-store provider (`private[sql]`) — used
+    * by the termination listener that releases stopped streaming
+    * queries' providers (see graft.spark.GraftStateStoreUnloadListener).
+    */
+  def unloadAllStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }
 
 private class DerivingWriterFactory(

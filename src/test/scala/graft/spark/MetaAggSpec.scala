@@ -67,6 +67,34 @@ class MetaAggSpec extends AnyFunSuite {
     assert(!after.queryExecution.executedPlan.toString.contains("MetadataAggregate"))
   }
 
+  test("position deletes subtract exactly from count(*)") {
+    spark.sql("""CREATE TABLE magg.ns.p (k BIGINT, v STRING)
+      TBLPROPERTIES ('graft.update.mode' = 'merge-on-read',
+                     'graft.merge.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO magg.ns.p SELECT id, concat('s', id) " +
+      "FROM range(0, 100, 1, 2)")
+    // UPDATE via position delta: N pos-delete rows + N replacement rows
+    spark.sql("UPDATE magg.ns.p SET v = 'u' WHERE k % 10 = 0")
+    val upd = spark.sql("SELECT count(*) FROM magg.ns.p")
+    assert(upd.head.getLong(0) == 100)
+    assert(upd.queryExecution.executedPlan.toString
+      .contains("MetadataAggregate"),
+      "count(*) under pos-deletes must still answer from metadata")
+    // MERGE deleting rows: count drops by the delete-object row count
+    spark.sql("""MERGE INTO magg.ns.p t
+      USING (SELECT id * 2 AS k FROM range(0, 10)) s ON t.k = s.k
+      WHEN MATCHED THEN DELETE""")
+    val del = spark.sql("SELECT count(*) FROM magg.ns.p")
+    assert(del.head.getLong(0) == 90)
+    assert(del.queryExecution.executedPlan.toString
+      .contains("MetadataAggregate"))
+    // min/max/count(col) can't tell WHICH rows died — they must scan
+    val mn = spark.sql("SELECT min(k), count(v) FROM magg.ns.p")
+    assert(mn.head.getLong(0) == 1)
+    assert(!mn.queryExecution.executedPlan.toString
+      .contains("MetadataAggregate"))
+  }
+
   test("count respects time travel") {
     spark.sql("CALL magg.system.create_tag('ns', 'm', 'pre')")
     spark.sql("INSERT INTO magg.ns.m SELECT id + 500 FROM range(0, 50, 1, 1)")

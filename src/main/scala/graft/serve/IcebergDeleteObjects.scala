@@ -214,35 +214,107 @@ object IcebergDeleteObjects {
         try storage.writeAtomic(destRel,
           writeToBytes(graft.format.PosDeleteFiles.Schema)((_, _) => ()))
         catch { case _: graft.storage.AtomicSealFailureException => () }
-      case Some(df) =>
-        // one shuffle into a single (file, pos)-sorted partition,
-        // written by the executor's vectorized parquet writer into a
-        // STORAGE-side scratch prefix, then MOVED to the destination —
-        // the driver never iterates the positions and never holds the
-        // finished object in memory (a billion-row predicate delete
-        // stays off the driver heap), and the scratch lives under the
-        // shared warehouse location so this works when executors do
-        // not share the driver's local filesystem
-        val scratch = s"$destRel.tmp-${java.util.UUID.randomUUID()}"
-        try {
-          df.repartition(1).sortWithinPartitions("file", "pos")
-            .write.mode("overwrite").option("compression", "snappy")
-            .parquet(storage.absolute(scratch))
-          val parts = storage.listDeep(scratch)
-            .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
-          require(parts.size == 1,
-            s"expected one materialized delete part file, got $parts")
-          // a racing request may have materialized the SAME snapshot's
-          // deletes first (the caller's exists-check is TOCTOU) — the
-          // content is deterministic, so losing the move is success
-          try storage.move(parts.head, destRel)
-          catch {
-            case e: Exception =>
-              if (!storage.exists(destRel)) throw e
-          }
-        } finally {
-          try storage.deleteTree(scratch) catch { case _: Exception => () }
+      case Some(df) => writeSingleSorted(storage, df, destRel)
+    }
+  }
+
+  /** One shuffle into a single (file, pos)-sorted partition, written by
+    * the executor's vectorized parquet writer into a STORAGE-side
+    * scratch prefix, then MOVED to the destination — the driver never
+    * iterates the positions and never holds the finished object in
+    * memory (a billion-row predicate delete stays off the driver heap),
+    * and the scratch lives under the shared warehouse location so this
+    * works when executors do not share the driver's local filesystem.
+    */
+  private def writeSingleSorted(storage: StorageOps,
+      df: org.apache.spark.sql.DataFrame, destRel: String): Unit = {
+    val scratch = s"$destRel.tmp-${java.util.UUID.randomUUID()}"
+    try {
+      df.repartition(1).sortWithinPartitions("file", "pos")
+        .write.mode("overwrite").option("compression", "snappy")
+        .parquet(storage.absolute(scratch))
+      val parts = storage.listDeep(scratch)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+      require(parts.size == 1,
+        s"expected one materialized delete part file, got $parts")
+      // a racing request may have materialized the SAME snapshot's
+      // deletes first (the caller's exists-check is TOCTOU) — the
+      // content is deterministic, so losing the move is success
+      try storage.move(parts.head, destRel)
+      catch {
+        case e: Exception =>
+          if (!storage.exists(destRel)) throw e
+      }
+    } finally {
+      try storage.deleteTree(scratch) catch { case _: Exception => () }
+    }
+  }
+
+  /** Batched [[materializePredicateDeletes]]: several snapshots'
+    * pending-predicate objects from ONE distributed scan. Every data
+    * file referenced by any request is read once, with every predicate
+    * that can apply to it (`p.seq >= f.seq` — intrinsic to the (file,
+    * predicate) pair, not to the requesting snapshot) evaluated as a
+    * bit column; the surviving (file, pos, bits) rows are persisted and
+    * each request's object is a filter over its own predicates' bits
+    * plus a broadcast semi-join against its own file list (snapshots
+    * share files but need not be nested — compaction drops files). The
+    * per-request write is unchanged, so downstream transcode sees
+    * byte-identical objects.
+    */
+  def materializePredicateDeleteSets(
+      spark: org.apache.spark.sql.SparkSession, storage: StorageOps,
+      requests: Seq[(String, Seq[graft.format.DataFileEntry],
+        Seq[graft.format.DeletePredicate])]): Unit = {
+    import org.apache.spark.sql.functions._
+    requests match {
+      case Seq() => ()
+      case Seq((dest, fs, ps)) =>
+        materializePredicateDeletes(spark, storage, fs, ps, dest)
+      case _ =>
+        val preds = requests.flatMap(_._3).distinct
+        val bit = preds.zipWithIndex
+          .map { case (p, i) => p -> s"_p$i" }.toMap
+        val files = requests.flatMap(_._2)
+          .groupBy(_.path).map(_._2.head).toSeq
+        val groups = files.map(f => f -> preds.filter(_.seq >= f.seq))
+          .filter(_._2.nonEmpty)
+          .groupBy(_._2).toSeq
+        val dfs = groups.map { case (ps, fs) =>
+          val bits = preds.map(p =>
+            (if (ps.contains(p)) coalesce(expr(p.sql), lit(false))
+             else lit(false)).as(bit(p)))
+          spark.read.parquet(fs.map(f => storage.absolute(f._1.path)): _*)
+            .select(col("_metadata.file_path").as("file") +:
+              col("_metadata.row_index").as("pos") +: bits: _*)
+            .where(ps.map(p => col(bit(p))).reduce(_ || _))
         }
+        val rows = dfs.reduceOption(_ unionAll _) match {
+          case None =>
+            requests.foreach { case (dest, _, _) =>
+              try storage.writeAtomic(dest,
+                writeToBytes(graft.format.PosDeleteFiles.Schema)((_, _) => ()))
+              catch { case _: graft.storage.AtomicSealFailureException => () }
+            }
+            return
+          case Some(df) => df
+            // the rendered file_path and the entry path differ by URI
+            // scheme; normalize once for the per-request membership join
+            .withColumn("_nf", regexp_replace(col("file"), "^file:/+", "/"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
+        try requests.foreach { case (dest, fs, ps) =>
+          val mine = ps.map(p => col(bit(p))).reduce(_ || _)
+          val myFiles = fs
+            .map(f => Tuple1(Path.getPathWithoutSchemeAndAuthority(
+              new Path(storage.absolute(f.path))).toString))
+          val fdf = spark.createDataFrame(myFiles).toDF("_nf")
+          writeSingleSorted(storage,
+            rows.where(mine)
+              .join(broadcast(fdf), Seq("_nf"), "left_semi")
+              .select(col("file"), col("pos")),
+            dest)
+        } finally rows.unpersist(false)
     }
   }
 

@@ -408,28 +408,51 @@ object IcebergManifests {
       * (path, pos) — over-scoping is harmless).
       */
     /** Pending PREDICATE deletes materialized as one synthetic
-      * native-shaped position-delete object at a deterministic
-      * per-snapshot key, then served through the standard transcode
-      * below. Stamped at the NEWEST predicate's sequence (position
-      * matching is exact (path, pos); over-scoping is harmless) and
-      * referencing every in-scope data file.
+      * native-shaped position-delete object, then served through the
+      * standard transcode below. Stamped at the NEWEST predicate's
+      * sequence (position matching is exact (path, pos); over-scoping
+      * is harmless) and referencing every in-scope data file.
+      *
+      * The object is CONTENT-addressed by (in-scope files, applicable
+      * predicates): consecutive snapshots whose delete view coincides —
+      * the common case, where later commits only append out-of-scope
+      * files — share one object instead of re-scanning per snapshot.
+      * All objects a load is missing are produced by ONE batched scan
+      * ([[IcebergDeleteObjects.materializePredicateDeleteSets]]).
       */
-    def syntheticPredicateDeletes(s: Snapshot): Option[PosDeleteFile] =
-      if (s.deletes.isEmpty) None
-      else {
+    case class PredMat(rel: String, files: Seq[DataFileEntry],
+        inScope: Seq[DataFileEntry], deletes: Seq[graft.format.DeletePredicate])
+    val predMats: Map[Long, PredMat] = served
+      .filter(s => s.deletes.nonEmpty &&
+        !storage.exists(s"$dir/ml-${snapshotKey(s)}.avro"))
+      .map { s =>
+        val files = Manifests.filesOf(storage, s)
+        val inScope = files.filter(f => s.deletes.exists(_.seq >= f.seq))
+        val desc = (inScope.map(f => s"${f.path}@${f.seq}").sorted ++
+          s.deletes.map(p => s"${p.sql}@${p.seq}").sorted).mkString("\n")
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(desc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .take(12).map("%02x".format(_)).mkString
+        s.id -> PredMat(s"$dir/pq-$digest.parquet", files, inScope, s.deletes)
+      }.toMap
+    locally {
+      val missing = predMats.values
+        .filter(m => !storage.exists(m.rel))
+        .groupBy(_.rel).map(_._2.head).toSeq.sortBy(_.rel)
+      if (missing.nonEmpty) {
         val spark = colocatedSpark.getOrElse(throw new IllegalStateException(
           "predicate-delete materialization needs a co-located Spark " +
             "session (unservable() guards this upstream)"))
-        val rel = s"$dir/pq-${snapshotKey(s)}.parquet"
-        val files = Manifests.filesOf(storage, s)
-        val inScope = files.filter(f => s.deletes.exists(_.seq >= f.seq))
-        if (!storage.exists(rel))
-          IcebergDeleteObjects.materializePredicateDeletes(spark, storage,
-            files, s.deletes, rel)
-        Some(PosDeleteFile(rel,
-          IcebergDeleteObjects.parquetRowCount(storage, rel),
-          storage.sizeOf(rel), inScope.map(_.path),
-          s.deletes.map(_.seq).max))
+        IcebergDeleteObjects.materializePredicateDeleteSets(spark, storage,
+          missing.map(m => (m.rel, m.files, m.deletes)))
+      }
+    }
+    def syntheticPredicateDeletes(s: Snapshot): Option[PosDeleteFile] =
+      predMats.get(s.id).map { m =>
+        PosDeleteFile(m.rel,
+          IcebergDeleteObjects.parquetRowCount(storage, m.rel),
+          storage.sizeOf(m.rel), m.inScope.map(_.path),
+          m.deletes.map(_.seq).max)
       }
 
     def ensurePosManifest(s: Snapshot): WrittenManifest = {

@@ -944,6 +944,15 @@ object Dedup {
     val withBlk = df.withColumn("blk", pmod(hash(col(idCol)), lit(blocks)))
     val pairs =
       (0 until blocks).flatMap(i => (i until blocks).map(j => (i, j)))
+    // NOT repartitioned by cell: an explicit
+    // `.repartition(col("bi"), col("bj"))` after the broadcast fan-out
+    // (to spread the cells' inner loops across tasks) showed NO
+    // reproducible win at sf0.1/32 cpus — dd05 same-batch A/B pairs
+    // landed inside the ±40% cross-session noise band in both
+    // directions while the shuffle moves every replicated embedding
+    // payload. The scan side already splits by parquet row group,
+    // which is the scale story too; the cell key exists so a cluster
+    // CAN redistribute explicitly if its scan arrives unsplit.
     val a = withBlk.as("a").join(broadcast(pairs.toDF("bi", "bj")),
       col("a.blk") === col("bi"))
     val b = withBlk.as("b").join(broadcast(pairs.toDF("bi2", "bj2")),

@@ -945,12 +945,11 @@ object Advanced {
         //     EDGE (millions after it) — the edge side only hash-joins
         //     and decimal-sums. DECIMAL(18,10) holds every value
         //     (cb ≤ 1, Σcb ≤ 1) in Spark's compact-Long decimal path.
-        //  2. Checkpoint every SECOND iteration (plus the last):
-        //     lineage depth stays bounded at 2 joins while eager
-        //     materializations drop 5 → 3. The final checkpoint is
-        //     per-node-small and lets every edge-scale frame unpersist
-        //     before return, so the sf1 back-to-back leak discipline
-        //     holds; it stays cached for the caller's collect.
+        //  2. Checkpoint only the LAST iteration: the final checkpoint
+        //     is per-node-small and lets every edge-scale frame
+        //     unpersist before return, so the sf1 back-to-back leak
+        //     discipline holds; it stays cached for the caller's
+        //     collect. Intermediate cadence is conf-gated (below).
         var lastCp: org.apache.spark.sql.DataFrame = null
         (1 to 5).foreach { i =>
           val cb = rank
@@ -966,7 +965,17 @@ object Advanced {
             .agg(round(lit(0.15 / n) +
               lit(0.85) * sum("cb").cast("double"), 10).as("rank"))
             .withColumnRenamed("dst", "node")
-          rank = if (i % 2 == 0 || i == 5) {
+          // Cadence (r16 A/B, isolated min-of-3): every-2nd 4.21 s,
+          // last-only 3.99 s, and the shuffle-join path 4.9–5.3 s —
+          // one deep plan (5 chained broadcast join+agg stages) beats
+          // intermediate materializations: each checkpoint pays its own
+          // jobs + block-manager writes while AQE already runs the
+          // chain stage-by-stage. Lineage stays bounded at 5 joins;
+          // the conf restores the eager cadence for iteration counts
+          // where one plan would outgrow the planner.
+          rank = if (i == 5 || ((i % 2 == 0) && s.conf
+              .getOption("spark.graft.pagerank.checkpoint-every-2")
+              .exists(_.toBoolean))) {
             val cp = next.localCheckpoint()
             if (lastCp != null) lastCp.unpersist()
             lastCp = cp

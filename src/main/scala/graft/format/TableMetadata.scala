@@ -154,7 +154,14 @@ final case class PosDeleteFile(
     rowCount: Long,
     sizeBytes: Long,
     dataFiles: Seq[String],
-    seq: Long = 0L)
+    seq: Long = 0L,
+    // true once a rewrite pruned SOME of this entry's references: the
+    // object's parquet still holds rows naming the rewritten (dead)
+    // paths, so `rowCount` (the object's total rows) now overcounts
+    // the entry's LIVE deleted rows. Scans are unaffected (stale paths
+    // never match); metadata-only COUNT(*) must not subtract an
+    // overcount, so it falls back to a scan for pruned entries.
+    refsPruned: Boolean = false)
 
 /** One equality-delete object (streaming upsert): a parquet object of
   * the upsert batch's DISTINCT key tuples under the physical key
@@ -435,8 +442,11 @@ final case class TableMetadata(
         // drop references to rewritten paths; entries with nothing
         // left to reference leave the pending list (their object is
         // garbage once no live snapshot carries them)
-        parentPos.map(p => p.copy(dataFiles = p.dataFiles.filterNot(rm)))
-          .filter(_.dataFiles.nonEmpty)
+        parentPos.map { p =>
+          val kept = p.dataFiles.filterNot(rm)
+          p.copy(dataFiles = kept,
+            refsPruned = p.refsPruned || kept.size < p.dataFiles.size)
+        }.filter(_.dataFiles.nonEmpty)
       case RewritePosDeletes(rm, add) =>
         // same reference validation as AddRowDeltas: after a rebase the
         // coalesced object may name rows of files a racing commit

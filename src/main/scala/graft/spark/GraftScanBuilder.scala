@@ -253,7 +253,10 @@ class GraftScanBuilder(
       if (posDeletes.isEmpty) 0L
       else {
         val live = files.map(_._2.path).toSet
-        if (!posDeletes.forall(_._2.dataFiles.forall(live.contains)))
+        // a ref-pruned entry's rowCount still counts rows that named
+        // rewritten files — an overcount over its live deletes
+        if (posDeletes.exists(_._2.refsPruned) ||
+            !posDeletes.forall(_._2.dataFiles.forall(live.contains)))
           return None
         posDeletes.map(_._2.rowCount).sum
       }

@@ -95,6 +95,20 @@ class MetaAggSpec extends AnyFunSuite {
       .contains("MetadataAggregate"))
   }
 
+  test("a ref-pruned delete object disables the metadata count") {
+    // the CoW DELETE rewrites only the files with matches; pending
+    // delete objects REFERENCING those files keep their other refs but
+    // their rowCount now overcounts live deletes — count(*) must fall
+    // back to a scan, not subtract the stale total
+    spark.sql("DELETE FROM magg.ns.p WHERE k >= 50")
+    val r = spark.sql("SELECT count(*) FROM magg.ns.p")
+    assert(r.head.getLong(0) == 40,
+      "exact count after partial rewrite under pending pos-deletes")
+    assert(!r.queryExecution.executedPlan.toString
+      .contains("MetadataAggregate"),
+      "pruned delete refs must disable the metadata-only count")
+  }
+
   test("count respects time travel") {
     spark.sql("CALL magg.system.create_tag('ns', 'm', 'pre')")
     spark.sql("INSERT INTO magg.ns.m SELECT id + 500 FROM range(0, 50, 1, 1)")

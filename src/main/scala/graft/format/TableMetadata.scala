@@ -122,7 +122,14 @@ final case class Snapshot(
     // (see [[EqDeleteFile]]): each applies to data files with
     // entry.seq < its seq. An overwrite or whole-table rewrite clears
     // the list (the rewrite read applied them).
-    eqDeletes: Seq[EqDeleteFile] = Seq.empty) {
+    eqDeletes: Seq[EqDeleteFile] = Seq.empty,
+    // operation == "delete" (copy-on-write) only: the COMPLETE delete
+    // predicate (physical column names), when the whole conjunct set
+    // translated. Lets the change feed reconstruct the deleted rows as
+    // ONE filtered scan of the replaced files instead of diffing the
+    // replaced and rewritten row sets ("" = unknown: legacy snapshot
+    // or untranslatable predicate — diff instead).
+    deleteSql: String = "") {
 
   def totalFiles: Long = if (fileCount >= 0) fileCount else files.size.toLong
   def totalRows: Long = if (fileCount >= 0) rowCount else files.map(_.rowCount).sum
@@ -208,7 +215,11 @@ final case class SnapshotLogDoc(snapshots: Seq[Snapshot])
 sealed trait FilesEdit
 final case class AppendFiles(add: Seq[DataFileEntry]) extends FilesEdit
 final case class OverwriteFiles(all: Seq[DataFileEntry]) extends FilesEdit
-final case class ReplaceFiles(remove: Set[String], add: Seq[DataFileEntry])
+final case class ReplaceFiles(remove: Set[String], add: Seq[DataFileEntry],
+    // complete-predicate copy-on-write DELETE only: the predicate SQL
+    // (physical names) whose TRUE rows this rewrite removed — recorded
+    // on the snapshot for the change feed ("" = not a predicate delete)
+    deleteSql: String = "")
   extends FilesEdit
 /** Merge-on-read DELETE: inventory untouched, one predicate added.
   * `atSeq` is the commit sequence the delete OBSERVED — on a lost
@@ -395,7 +406,8 @@ final case class TableMetadata(
     val stamped = edit match {
       case AppendFiles(add) => AppendFiles(add.map(_.copy(seq = seq)))
       case OverwriteFiles(all) => OverwriteFiles(all.map(_.copy(seq = seq)))
-      case ReplaceFiles(rm, add) => ReplaceFiles(rm, add.map(_.copy(seq = seq)))
+      case r @ ReplaceFiles(_, add, _) =>
+        r.copy(add = add.map(_.copy(seq = seq)))
       case e: AddDeletePredicate => e
       case AddRowDeltas(add, dels) => AddRowDeltas(add.map(_.copy(seq = seq)),
         dels.map(_.copy(seq = seq)))
@@ -438,7 +450,7 @@ final case class TableMetadata(
             s"table (concurrently rewritten?): ${missing.mkString(", ")}")
         parentPos ++ dels
       case OverwriteFiles(_) => Seq.empty
-      case ReplaceFiles(rm, _) =>
+      case ReplaceFiles(rm, _, _) =>
         // drop references to rewritten paths; entries with nothing
         // left to reference leave the pending list (their object is
         // garbage once no live snapshot carries them)
@@ -467,7 +479,7 @@ final case class TableMetadata(
     val eqDeletes = stamped match {
       case AddUpsert(_, eqs) => parentEq ++ eqs
       case OverwriteFiles(_) => Seq.empty
-      case ReplaceFiles(rm, _) =>
+      case ReplaceFiles(rm, _, _) =>
         // a WHOLE-table rewrite (compaction) read with the equality
         // deletes applied and re-sequenced every row it kept — nothing
         // is left in their scope. A partial rewrite keeps the list:
@@ -482,7 +494,11 @@ final case class TableMetadata(
     val child = next.copy(id = id, parentId = baseId,
       timestampMillis = System.currentTimeMillis(), operation = op,
       seq = seq, deletes = deletes, posDeletes = posDeletes,
-      eqDeletes = eqDeletes)
+      eqDeletes = eqDeletes,
+      deleteSql = stamped match {
+        case r: ReplaceFiles => r.deleteSql
+        case _ => ""
+      })
     val updated = branch match {
       case Some(b) => copy(snapshots = snapshots :+ child,
         branches = branches + (b -> id))
@@ -614,7 +630,7 @@ object Manifests {
           (Seq.empty[DataFileEntry],
             all.grouped(chunk).map(write(storage, manifestDir, _)).toSeq,
             pCount, pRows, pBytes)
-      case ReplaceFiles(remove, add) =>
+      case ReplaceFiles(remove, add, _) =>
         val keptInline = pInline.filterNot(f => remove(f.path))
         var removedEntries = pInline.filter(f => remove(f.path))
         // rewrite ONLY segments that contain a removed path; every

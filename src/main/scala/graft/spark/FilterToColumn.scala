@@ -24,10 +24,29 @@ object PredicateToColumn {
     case _ => None
   }
 
+  // column, literal, or an arithmetic combination of them — DELETEs
+  // like `k % 13 = 6` arrive as GeneralScalarExpression("%") over a
+  // field and a literal (division is left untranslated: its result
+  // type depends on ANSI/decimal rules the rebuild must not guess)
+  private def value(e: VExpr): Option[Column] = e match {
+    case g: org.apache.spark.sql.connector.expressions.GeneralScalarExpression
+        if g.children().length == 2 =>
+      val f: Option[(Column, Column) => Column] = g.name() match {
+        case "+" => Some(_ + _)
+        case "-" => Some(_ - _)
+        case "*" => Some(_ * _)
+        case "%" => Some(_ % _)
+        case _ => None
+      }
+      for (op <- f; a <- value(g.children()(0)); b <- value(g.children()(1)))
+        yield op(a, b)
+    case _ => column(e).orElse(literal(e))
+  }
+
   private def binary(p: Predicate)(f: (Column, Column) => Column): Option[Column] = {
     val ch = p.children()
     if (ch.length != 2) return None
-    for (a <- column(ch(0)); b <- literal(ch(1))) yield f(a, b)
+    for (a <- value(ch(0)); b <- value(ch(1))) yield f(a, b)
   }
 
   def translate(p: Predicate): Option[Column] = p match {
@@ -88,16 +107,31 @@ object PredicateToExpression {
     case _ => None
   }
 
+  // attr, literal, or arithmetic over them (FilePruning stays
+  // conservative on arithmetic shapes — they translate so the DELETE
+  // path can treat the conjunct set as COMPLETE and record the
+  // predicate; division is excluded, its result type is ANSI-dependent)
+  private def value(e: VExpr): Option[Expression] = e match {
+    case g: org.apache.spark.sql.connector.expressions.GeneralScalarExpression
+        if g.children().length == 2 =>
+      import org.apache.spark.sql.catalyst.expressions.{Add, Multiply, Remainder, Subtract}
+      val f: Option[(Expression, Expression) => Expression] = g.name() match {
+        case "+" => Some(Add(_, _))
+        case "-" => Some(Subtract(_, _))
+        case "*" => Some(Multiply(_, _))
+        case "%" => Some(Remainder(_, _))
+        case _ => None
+      }
+      for (op <- f; a <- value(g.children()(0)); b <- value(g.children()(1)))
+        yield op(a, b)
+    case _ => attr(e).orElse(lit(e))
+  }
+
   private def binary(p: Predicate)(
       f: (Expression, Expression) => Expression): Option[Expression] = {
     val ch = p.children()
     if (ch.length != 2) return None
-    // attr-op-literal in either order; FilePruning handles both
-    (attr(ch(0)), lit(ch(1)), lit(ch(0)), attr(ch(1))) match {
-      case (Some(a), Some(l), _, _) => Some(f(a, l))
-      case (_, _, Some(l), Some(a)) => Some(f(l, a))
-      case _ => None
-    }
+    for (a <- value(ch(0)); b <- value(ch(1))) yield f(a, b)
   }
 
   def translate(p: Predicate): Option[Expression] = p match {

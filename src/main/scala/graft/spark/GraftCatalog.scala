@@ -893,11 +893,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           Some(schema), GraftWriteSupport.parquetOptions(tblProps, schema),
           graft.format.FileBloom.specOf(tblProps, renames))
       }
+    // a complete-predicate DELETE records its predicate (physical
+    // names, like merge-on-read's DeletePredicate) on the snapshot:
+    // the change feed then recovers the deleted rows as one filtered
+    // scan of the replaced files instead of a two-sided row-set diff
+    val deleteSql =
+      if (op == "delete" && wholeFileExprs.nonEmpty)
+        ColumnMapping.toPhysicalExpr(wholeFileExprs.reduce(
+          org.apache.spark.sql.catalyst.expressions.And(_, _)), renames).sql
+      else ""
     inTxn { txn =>
       applyReplaceCommit(storage, txn.runningRoot, ns, t, op, replaced,
-        newFiles, branch)
+        newFiles, branch, deleteSql)
       txn.replays += ((s, r) =>
-        applyReplaceCommit(s, r, ns, t, op, replaced, newFiles, branch))
+        applyReplaceCommit(s, r, ns, t, op, replaced, newFiles, branch,
+          deleteSql))
       val cd = Graft.catalogDef(storage, txn.runningRoot)
       txn.record(Action(actionType, ObjectKeys.tableKey(ns, t, cd), Map.empty))
     }
@@ -1072,9 +1082,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   private def applyReplaceCommit(s: StorageOps, root: TreeRoot, ns: String,
       t: String, op: String, replaced: Set[String],
       newFiles: Seq[graft.format.DataFileEntry],
-      branch: Option[String] = None): Unit =
+      branch: Option[String] = None, deleteSql: String = ""): Unit =
     applyFilesCommit(s, root, ns, t, op,
-      graft.format.ReplaceFiles(replaced, newFiles), branch)
+      graft.format.ReplaceFiles(replaced, newFiles, deleteSql), branch)
 
   /** Head-snapshot commit sequence of a table (or its branch) as seen
     * from `root`; -1 for an empty table. One metadata read — used by

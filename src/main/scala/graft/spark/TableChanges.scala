@@ -210,10 +210,32 @@ object TableChanges {
       }
       dfs.reduceOption(_ unionAll _)
     }
+    // single-snapshot COMPLETE-PREDICATE delete: the deleted rows are
+    // exactly the replaced files' rows where the recorded predicate is
+    // TRUE, and the rewrite adds no rows — ONE scan of the removed
+    // files (with predicate pushdown) instead of two exceptAll
+    // shuffles over every rewritten row. Requires the parent to carry
+    // no pending merge-on-read residuals (a raw removed-file scan
+    // would otherwise also surface previously-deleted rows the
+    // rewrite applied) and an un-renamed schema (the predicate speaks
+    // physical names, the scan reads logical).
+    val predDeleteOnly = rangeSnaps match {
+      case Seq(s) =>
+        s.operation == "delete" && s.deleteSql.nonEmpty &&
+        meta.findSnapshot(storage, s.parentId).exists(p =>
+          p.deletes.isEmpty && p.posDeletes.isEmpty && p.eqDeletes.isEmpty) &&
+        ColumnMapping.renames(schema).isEmpty
+      case _ => false
+    }
     val base =
       if (removed.isEmpty)
         // append-only range: the new files ARE the inserts — no shuffle
         inserts.withColumn(ChangeTypeColumn, lit("insert"))
+      else if (predDeleteOnly)
+        deletes.filter(org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.expr(rangeSnaps.head.deleteSql),
+            lit(false)))
+          .withColumn(ChangeTypeColumn, lit("delete"))
       else
         inserts.exceptAll(deletes).withColumn(ChangeTypeColumn, lit("insert"))
           .unionAll(

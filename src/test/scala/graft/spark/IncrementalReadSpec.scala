@@ -113,4 +113,46 @@ class IncrementalReadSpec extends AnyFunSuite {
     assert(full.where("_change_type = 'insert'").count() == 4)
     assert(full.where("_change_type = 'delete'").count() == 0)
   }
+
+  // the optimizer rewrites ExceptAll into union+aggregate
+  // (RewriteExceptAll), so probe the ANALYZED plan
+  private def hasExcept(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.analyzed.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Except => e
+    }.nonEmpty
+
+  test("a predicate DELETE's change feed is one filtered scan, no diff") {
+    spark.sql("CREATE TABLE inc.ns.d (k BIGINT, v STRING)")
+    spark.sql(
+      "INSERT INTO inc.ns.d SELECT id, concat('s', id) FROM range(0, 100)")
+    spark.sql("INSERT INTO inc.ns.d SELECT id + 100, concat('s', id + 100) " +
+      "FROM range(0, 100)")
+    spark.sql("DELETE FROM inc.ns.d WHERE k % 13 = 6") // snapshot 2
+    val ch = TableChanges.between(spark, cat,
+      Identifier.of(Array("ns"), "d"), startSnapshotId = 1L)
+    assert(!hasExcept(ch),
+      "a complete-predicate delete must not pay the two-sided row diff")
+    val rows = ch.collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(rows.forall(_._2 == "delete"))
+    assert(rows.map(_._1).sorted.toSeq ==
+      (0L until 200L).filter(_ % 13 == 6))
+  }
+
+  test("the predicate-delete fast path yields to pending row deltas") {
+    // raw removed-file rows would resurrect position-deleted rows the
+    // rewrite applied — the feed must fall back to the row-set diff
+    spark.sql("""CREATE TABLE inc.ns.e (k BIGINT, v STRING)
+      TBLPROPERTIES ('graft.update.mode' = 'merge-on-read')""")
+    spark.sql(
+      "INSERT INTO inc.ns.e SELECT id, concat('s', id) FROM range(0, 10)")
+    spark.sql("UPDATE inc.ns.e SET v = 'u' WHERE k = 1") // pos delta, snap 1
+    spark.sql("DELETE FROM inc.ns.e WHERE k >= 5") // CoW, snapshot 2
+    val ch = TableChanges.between(spark, cat,
+      Identifier.of(Array("ns"), "e"), startSnapshotId = 1L)
+    assert(hasExcept(ch),
+      "pending position deltas on the parent must force the diff path")
+    val deleted = ch.where("_change_type = 'delete'")
+      .collect().map(_.getLong(0))
+    assert((5L until 10L).forall(deleted.contains))
+  }
 }
